@@ -1,0 +1,63 @@
+"""Test-table catalog: load driver-generated parquet, register views.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst gets predicate
+pushdown, column pruning, and (on a partitioned production layout)
+partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Filters/projections applied by callers are
+    pushed into this parquet scan by Catalyst.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    default; read it as raw nanos (legacy conf, runtime-settable so it
+    also holds under the driver's own session) and truncate to a µs
+    timestamp — the same ns->µs truncation DuckDB applies, keeping the
+    oracle comparison exact.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Event-time semantics (window/date_trunc/extract) must not depend on
+    # the host session's timezone — pin UTC even under a foreign session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer div: epoch-nanos (~1.7e18) would lose precision in a
+            # double-typed `/`
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for the SQL API paths)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,169 @@
+"""The flagship pipeline: the reference's NIC-traffic monitor, batch form.
+
+Reference semantics (rakrachok/spark-streaming-test):
+  * packet stream (nif, raw bytes) -> per-NIC byte totals per 5-minute
+    micro-batch: ``mapToPair`` + ``reduceByKey`` (MainApp.java:41-42,54-55)
+  * config lookup: ``select limit_name, limit_value from traffic_limits
+    where limit_name in ('min','max') order by limit_value`` + ``limit(2)``
+    + collect; row[1] is the max (MainApp.java:44-49 — the ``min`` read is
+    dead code at :48, only ``max`` is enforced)
+  * per-row threshold routing: total > max -> "Alert: the amount of data
+    suppressed the limit" else "Info: the amount of data is under the
+    limit" (MainApp.java:56-63, KafkaProducer.java / MainApp.java:59,61)
+
+Here the packet stream's batch surrogate is the ``events`` table
+(user_id <-> NIC, value <-> packet size, ts <-> arrival time; FIXTURES.md
+§8), the 5-minute micro-batch becomes an explicit 5-minute tumbling
+event-time window, and the whole pipeline is one declarative DataFrame
+plan: scan -> project -> window agg (partial+final hash agg, the
+``reduceByKey`` equivalent) -> threshold projection. The streaming form of
+the same plan lives in ``streaming/pipeline.py``.
+
+Scale notes: the aggregation shuffles once on (window, nif) — inevitable
+and key-balanced; the limits lookup is a 2-row dimension resolved either
+driver-side (reference parity, a plan-time scalar) or via
+``F.broadcast`` (no shuffle). Nothing here grows with data volume except
+the one agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.deterministic import dsum, sql_dsum
+from ..registry import register
+
+ALERT_MSG = "Alert: the amount of data suppressed the limit"
+INFO_MSG = "Info: the amount of data is under the limit"
+
+# traffic_limits fixture (FIXTURES.md §11; schema from MainApp.java:44-49).
+LIMITS_ROWS = [("min", 50), ("max", 150)]
+
+_LIMITS_CTE = (
+    "limits(limit_name, limit_value) AS (VALUES ('min', 50), ('max', 150))"
+)
+
+
+def traffic_limits(spark: SparkSession) -> DataFrame:
+    """Materialize the 2-row config dimension (engine-side fixture)."""
+    return spark.createDataFrame(LIMITS_ROWS, "limit_name string, limit_value int")
+
+
+def lookup_max_limit(spark: SparkSession) -> int:
+    """Reference-parity config lookup (MainApp.java:44-49).
+
+    SQL with IN-filter (O5) + sort (O6) + limit-2 (O7, fused by Catalyst
+    to TakeOrderedAndProject top-k) + collect (O8); row[1] is the max.
+    """
+    traffic_limits(spark).createOrReplaceTempView("traffic_limits")
+    rows = spark.sql(
+        "select limit_name, limit_value from traffic_limits "
+        "where limit_name in ('min', 'max') order by limit_value"
+    ).limit(2).collect()
+    return rows[1]["limit_value"]
+
+
+def _windowed_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (window_start, nif, total_bytes): O3 projection + O11 sum.
+
+    ``F.window(ts, '5 minutes')`` is the explicit event-time form of the
+    reference's implicit 5-minute micro-batch (MainApp.java:26,38).
+    """
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.col("ts"),
+            F.col("user_id").cast("string").alias("nif"),
+            F.col("value"),
+        )
+        .groupBy(F.window("ts", "5 minutes"), "nif")
+        .agg(dsum("value").alias("total_bytes"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "nif",
+            "total_bytes",
+        )
+    )
+
+
+@register(
+    "traffic_alerts",
+    bench=True,
+    tags=("flagship", "agg", "routing"),
+    oracle=f"""
+WITH {_LIMITS_CTE},
+mx AS (
+  SELECT limit_value FROM (
+    SELECT limit_name, limit_value FROM limits
+    WHERE limit_name IN ('min','max') ORDER BY limit_value LIMIT 2
+  ) t ORDER BY limit_value DESC LIMIT 1
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(user_id AS VARCHAR) AS nif,
+         {sql_dsum('value')} AS total_bytes
+  FROM events GROUP BY 1, 2
+)
+SELECT agg.window_start, agg.nif, agg.total_bytes,
+       agg.total_bytes > mx.limit_value AS is_alert,
+       CASE WHEN agg.total_bytes > mx.limit_value THEN '{ALERT_MSG}'
+            ELSE '{INFO_MSG}' END AS message
+FROM agg, mx
+""",
+)
+def traffic_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: reference pipeline end-to-end (O3+O5+O6+O7+O8+O11+O12).
+
+    The max limit is resolved once at plan time and closure-captured into
+    the threshold projection — exactly the reference's hoisted lookup
+    (MainApp.java:44-49 vs the per-batch loop :51-64).
+    """
+    max_limit = lookup_max_limit(spark)
+    totals = _windowed_totals(spark, sf_dir)
+    is_alert = F.col("total_bytes") > F.lit(max_limit)
+    return totals.select(
+        "window_start",
+        "nif",
+        "total_bytes",
+        is_alert.alias("is_alert"),
+        F.when(is_alert, ALERT_MSG).otherwise(INFO_MSG).alias("message"),
+    )
+
+
+@register(
+    "traffic_alerts_broadcast",
+    tags=("flagship", "join", "broadcast"),
+    oracle=f"""
+WITH {_LIMITS_CTE},
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(user_id AS VARCHAR) AS nif,
+         {sql_dsum('value')} AS total_bytes
+  FROM events GROUP BY 1, 2
+)
+SELECT agg.window_start, agg.nif, agg.total_bytes,
+       agg.total_bytes > l.limit_value AS is_alert
+FROM agg JOIN limits l ON l.limit_name = 'max'
+""",
+)
+def traffic_alerts_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-idiomatic variant: broadcast-join the limits dimension.
+
+    At 100 TB the driver-side collect of the reference (MainApp.java:47)
+    is replaced by ``F.broadcast`` of the tiny dimension — the comparison
+    ships with every task, no shuffle, and limit changes flow through the
+    plan instead of a closure capture.
+    """
+    totals = _windowed_totals(spark, sf_dir)
+    limits = traffic_limits(spark).filter(F.col("limit_name") == "max")
+    return (
+        totals.join(F.broadcast(limits), F.lit(True), "inner")
+        .select(
+            "window_start",
+            "nif",
+            "total_bytes",
+            (F.col("total_bytes") > F.col("limit_value")).alias("is_alert"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Central query registry — the driver contract's backing store.
+
+Every implemented operator family registers one or more named queries
+here. A :class:`Query` bundles the PySpark implementation with its DuckDB
+oracle SQL (``None`` for genuinely non-SQL-expressible operators, which
+the driver then checks rows-only). ``bench=True`` marks headline queries
+run by ``bench.py``.
+
+Modules self-register at import time via :func:`register`; the full map is
+assembled lazily by :func:`all_queries` so importing the package stays
+cheap.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules whose import populates the registry.
+_QUERY_MODULES = [
+    "spark_streaming_test_spark.operators.traffic",
+    "spark_streaming_test_spark.operators.relational",
+    "spark_streaming_test_spark.operators.joins",
+    "spark_streaming_test_spark.operators.windows",
+    "spark_streaming_test_spark.operators.aggregates",
+    "spark_streaming_test_spark.functions.scalar",
+    "spark_streaming_test_spark.operators.tpch",
+    "spark_streaming_test_spark.streaming.batch_oracle",
+    "spark_streaming_test_spark.llm.dedup",
+    "spark_streaming_test_spark.llm.similarity",
+    "spark_streaming_test_spark.llm.text_analysis",
+    "spark_streaming_test_spark.llm.multimodal",
+]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    bench: bool = False
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+_LOADED = False
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, bench=bench, doc=doc or (fn.__doc__ or ""), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Module not built yet (incremental build) — skip, don't break
+            # the driver contract for the queries that do exist.
+            if e.name is None or not mod.startswith(e.name):
+                raise
+    _LOADED = True
+
+
+def all_queries() -> dict[str, Query]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+
+
+def bench_queries() -> dict[str, Query]:
+    return {name: q for name, q in all_queries().items() if q.bench}
