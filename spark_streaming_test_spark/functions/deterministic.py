@@ -23,7 +23,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Wide enough for SUM over ~1e9 rows of ~1e6-magnitude values.
-_PREC, _SCALE = 25, 4
+#
+# SCALE RULE: the cast scale must be >= the true decimal scale of the
+# value, so the scaled value is near an integer — never near a .5 tie.
+# Source money/rate columns have 2 decimals; products of up to three of
+# them have <= 6. At a tie (e.g. a 6-decimal value cast at scale 4)
+# Spark rounds the exact binary value HALF_UP while DuckDB rounds the
+# 10^s-scaled double half-even — they diverge. At scale 6 every such
+# value scales to a near-integer and both engines agree bitwise.
+_PREC, _SCALE = 25, 6
 _DEC = f"decimal({_PREC},{_SCALE})"
 
 

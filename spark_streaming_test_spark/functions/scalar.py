@@ -1,0 +1,225 @@
+"""Scalar function suite — string / date / math / array / map / JSON.
+
+The reference's only scalar computation is ``byte[].length`` (O3,
+MainApp.java:42); per SURVEY.md §2.1 the engine ships the full built-in
+scalar families. Everything here is a JVM-side Catalyst expression
+inside whole-stage codegen — no Python on the hot path.
+
+Oracle-parity notes: every function below was chosen to have an exact
+DuckDB twin (same semantics on the same inputs). Float-valued math goes
+through sqrt/abs/floor/ceil (IEEE-exact, identical in any engine)
+rather than transcendental libm calls whose last ulp differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "fn_string_suite",
+    tags=("scalar", "string"),
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars,
+       lower(substring(text, 1, 20)) AS head_lower,
+       upper(source) AS source_upper,
+       concat(lang, ':', source) AS lang_source,
+       replace(lang, 'e', 'E') AS lang_repl,
+       trim(text) = text AS is_trimmed,
+       contains(text, 'spark') AS mentions_spark,
+       starts_with(text, 'the') AS starts_the,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word
+FROM documents
+""",
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length/substr/case/concat/replace/trim/contains/prefix/regexp."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.lower(F.substring("text", 1, 20)).alias("head_lower"),
+        F.upper("source").alias("source_upper"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.replace(F.col("lang"), F.lit("e"), F.lit("E")).alias("lang_repl"),
+        (F.trim(F.col("text")) == F.col("text")).alias("is_trimmed"),
+        F.contains(F.col("text"), F.lit("spark")).alias("mentions_spark"),
+        F.startswith(F.col("text"), F.lit("the")).alias("starts_the"),
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+    )
+
+
+@register(
+    "fn_date_suite",
+    tags=("scalar", "date"),
+    oracle="""
+SELECT event_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       date_trunc('hour', ts) AS hour,
+       CAST(EXTRACT(year FROM ts) AS INT) AS year,
+       CAST(EXTRACT(month FROM ts) AS INT) AS month,
+       CAST(EXTRACT(dow FROM ts) AS INT) AS dow_sunday0,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+       ts + INTERVAL 7 DAY AS ts_plus_7d
+FROM events
+""",
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/extract/epoch/interval arithmetic on event time.
+
+    ``dayofweek`` is 1=Sunday in Spark vs 0=Sunday in DuckDB's ``dow`` —
+    normalized to Sunday=0 on the Spark side.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        (F.dayofweek("ts") - 1).alias("dow_sunday0"),
+        F.hour("ts").alias("hour_of_day"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_plus_7d"),
+    )
+
+
+@register(
+    "fn_math_suite",
+    tags=("scalar", "math"),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - l_quantity * 1000) AS abs_diff,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       sqrt(l_quantity) AS qty_sqrt,
+       l_extendedprice * l_extendedprice AS price_sq,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS above_30k
+FROM lineitem
+""",
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/floor/ceil/sqrt/power/mod/greatest/least/sign — all IEEE-exact
+    operations (bitwise engine-portable, unlike ln/exp)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000).alias("abs_diff"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("above_30k"),
+    )
+
+
+@register(
+    "fn_array_suite",
+    tags=("scalar", "array"),
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       string_split(text, ' ')[1] AS first_token,
+       list_sort(list_distinct(string_split(lower(text), ' ')))[1:5] AS first_5_vocab
+FROM documents
+""",
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/size/contains/index/distinct/sort/slice on token arrays."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.slice(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), 1, 5).alias(
+            "first_5_vocab"
+        ),
+    )
+
+
+@register(
+    "fn_array_explode",
+    tags=("scalar", "array", "explode"),
+    oracle="""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE length(token) >= 4
+GROUP BY token
+""",
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UNNEST) into a token-frequency aggregation — the
+    generator + agg pattern that backs the text-analysis operators."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.length("token") >= 4)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "fn_json_suite",
+    tags=("scalar", "json"),
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       json_extract_string(props, '$.missing') AS missing
+FROM events
+""",
+)
+def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object path extraction on the events.props JSON column +
+    cast; absent paths yield NULL in both engines."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "fn_map_from_json",
+    tags=("scalar", "map"),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       1 AS n_keys
+FROM events
+""",
+)
+def fn_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into MapType + map_keys/element_at — the map-column
+    family (oracle flattens to the scalar equivalent since DuckDB's JSON
+    is not a MAP type)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )

@@ -1,0 +1,223 @@
+"""Grouped-aggregation family — O11 (reduceByKey, MainApp.java:54-55)
+generalized: multi-aggregate groupBy, distinct counts, rollup/cube/
+grouping sets, pivot, ordered collect.
+
+Scale notes: every groupBy here is a HashAggregate with map-side partial
+aggregation before the single shuffle on the group key — the distributed
+equivalent of the reference's ``reduceByKey`` combine. ``count_distinct``
+plans as a two-phase expand+agg; ``approx_count_distinct`` (HLL) is the
+100 TB path and is O(1) memory per group. Float sums go through the
+decimal-cast determinism helpers (functions/deterministic.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+
+
+@register(
+    "agg_sum_by_key",
+    bench=True,
+    tags=("agg",),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate hash aggregation by a composite key."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    tags=("agg", "distinct"),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (expand + two-phase agg)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    tags=("agg", "approx"),
+    # No oracle: HLL sketches are implementation-defined; the driver's
+    # rows-only check applies. test_aggregates asserts the estimate is
+    # within 5% of the exact count.
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the O(1)-memory scale path for
+    100 TB cardinality estimation."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("agg", "rollup"),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (flag, flag+status, grand total)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_cube",
+    tags=("agg", "cube"),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("agg", "grouping-sets"),
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand node
+    as rollup/cube)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    tags=("agg", "pivot"),
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra distinct-scan job);
+    the oracle is the equivalent conditional aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    tags=("agg", "collect"),
+    oracle="""
+SELECT o_custkey, array_agg(o_orderkey ORDER BY o_orderkey) AS orderkeys
+FROM orders
+WHERE o_orderstatus = 'P'
+GROUP BY o_custkey
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is unordered in a distributed agg — sort_array makes
+    it deterministic (matching DuckDB's ORDER BY inside array_agg)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+    )
+
+
+@register(
+    "agg_stats_moments",
+    tags=("agg", "stats"),
+    oracle=f"""
+SELECT event_type,
+       {sql_dsum('value')} AS sum_value,
+       {sql_davg('value')} AS avg_value,
+       ({sql_dsum('value * value')} / CAST(COUNT(value) AS DOUBLE)
+        - {sql_davg('value')} * {sql_davg('value')}) AS var_pop_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance from deterministic first/second moments
+    (E[x²]−E[x]²) — built-in var_pop is a streaming one-pass algorithm
+    whose float order differs by engine, so moments are the
+    cross-engine-stable formulation."""
+    ev = load(spark, sf_dir, "events")
+    sum_v = dsum("value")
+    avg_v = davg("value")
+    sum_sq = dsum(F.col("value") * F.col("value"))
+    cnt = F.count("value").cast("double")
+    return ev.groupBy("event_type").agg(
+        sum_v.alias("sum_value"),
+        avg_v.alias("avg_value"),
+        (sum_sq / cnt - avg_v * avg_v).alias("var_pop_value"),
+    )

@@ -1,0 +1,318 @@
+"""Join family — the reference's limits-vs-aggregate comparison is a
+degenerate broadcast join (collect + closure capture, MainApp.java:47-49,
+56-63); here it generalizes to the full family per SURVEY.md §2.1:
+broadcast hash, sort-merge, shuffle-hash, semi/anti, outer, non-equi
+range, and a scalable merge as-of join.
+
+Scale notes per strategy:
+  * broadcast: dimensions (region/nation/customer at TPC-H ratios) ship
+    to every executor — zero shuffle of the fact side.
+  * sort-merge: the fact-fact join (lineitem x orders) shuffles both
+    sides on the key once; AQE converts to broadcast at runtime if a
+    side turns out small, and splits skewed partitions.
+  * shuffle-hash: avoids the sort for medium build sides.
+  * as-of: expressed as union + window (one shuffle + one sort) instead
+    of the naive range cross-join — the only formulation that survives
+    100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.deterministic import dsum, sql_dsum
+from ..registry import register
+
+
+@register(
+    "join_broadcast_dim",
+    bench=True,
+    tags=("join", "broadcast"),
+    oracle=f"""
+SELECT n.n_name, {sql_dsum('o.o_totalprice')} AS sum_price,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact -> dim broadcast chain: orders joins broadcast(customer) joins
+    broadcast(nation); the fact table never shuffles for the joins (only
+    the final agg shuffles on n_name)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_sort_merge",
+    bench=True,
+    tags=("join", "smj"),
+    oracle=f"""
+SELECT o.o_orderpriority, {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderpriority
+""",
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem x orders) with an explicit merge
+    hint: both sides shuffle-partition on the key, sort, and stream —
+    bounded memory at any scale. The status filter is pushed below the
+    join into the orders scan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_shuffle_hash",
+    tags=("join", "shj"),
+    oracle=f"""
+SELECT p.p_brand, {sql_dsum('l.l_quantity')} AS sum_qty
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-hash join hint: hash-build the (smaller) part side per
+    partition, no sort phase — wins over SMJ when the build side fits
+    executor memory per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(p.hint("shuffle_hash"), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "join_left_semi",
+    tags=("join", "semi"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join — probe side streams, no row duplication."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    tags=("join", "anti"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join — customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_outer_agg",
+    tags=("join", "outer"),
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       COALESCE(t.n_orders, 0) AS n_orders,
+       COALESCE(t.sum_price, 0.0) AS sum_price
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+  FROM orders GROUP BY o_custkey
+) t ON c.c_custkey = t.o_custkey
+""",
+)
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer against a pre-aggregated fact: aggregate BEFORE the
+    join (shrinks the shuffle to one row per key), then preserve
+    customers with no orders via COALESCE defaults."""
+    c = load(spark, sf_dir, "customer")
+    t = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+    return (
+        c.join(t, c.c_custkey == t.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("sum_price", F.lit(0.0)).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    tags=("join", "outer"),
+    oracle="""
+SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+       COALESCE(cn.n_customers, 0) AS n_customers,
+       COALESCE(sn.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey) cn
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey) sn
+USING (nationkey)
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (customer vs supplier presence
+    per nation)."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_range_nonequi",
+    tags=("join", "range"),
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_retailprice
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+           AND l.l_extendedprice BETWEEN p.p_retailprice * 10 AND p.p_retailprice * 20
+""",
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate: Catalyst keys the hash join on the equi
+    part and applies the range as a post-join filter — never a cartesian.
+    (A pure theta join without any equi key would need a broadcast
+    nested-loop + banding; see llm/similarity.py for that pattern.)"""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return li.join(
+        p,
+        (li.l_partkey == p.p_partkey)
+        & li.l_extendedprice.between(p.p_retailprice * 10, p.p_retailprice * 20),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_retailprice")
+
+
+@register(
+    "join_asof",
+    tags=("join", "asof"),
+    oracle="""
+WITH od AS (
+  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_order_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderdate AS last_order_date, o.last_order_price
+FROM events e
+ASOF LEFT JOIN od o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event matched to the latest order at-or-before
+    its timestamp, per user) as union + window — the merge formulation:
+
+      tag both sides -> union on (key, time) -> last(order cols,
+      ignorenulls) over (key ORDER BY time, side) -> keep event rows
+
+    One shuffle on the key + one sort, streaming over arbitrarily large
+    sides — vs. DuckDB's native ASOF JOIN as the oracle. Orders are
+    pre-aggregated to one row per (custkey, orderdate) so the as-of
+    match is deterministic under ties."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+        )
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "k",
+            "t",
+            F.lit(0).alias("is_event"),
+            F.col("t").alias("o_date"),
+            "last_order_price",
+        )
+    )
+    unioned = ev.select(
+        "event_id", "k", "t", "is_event",
+        F.lit(None).cast("timestamp").alias("o_date"),
+        F.lit(None).cast("double").alias("last_order_price"),
+    ).unionByName(od)
+    # Order rows at the same timestamp with the order side first
+    # (is_event ASC) so an event at exactly t matches the order at t
+    # (>= semantics, as in the oracle's e.ts >= o.o_orderdate).
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("last_order_date", F.last("o_date", ignorenulls=True).over(w))
+        .withColumn("last_price", F.last("last_order_price", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts"),
+            "last_order_date",
+            F.col("last_price").alias("last_order_price"),
+        )
+    )

@@ -1,0 +1,190 @@
+"""Window-function family — the reference's sort+limit top-k (O6+O7,
+MainApp.java:45-46) generalized to per-group ranking, running
+aggregates, offsets, and frame-based windows (SURVEY.md §2.1).
+
+Every window here uses a TOTAL order (unique tiebreaker column in the
+ORDER BY) so results are deterministic and hash-stable across engines
+and partitionings — rank/lag over a non-total order is a latent
+nondeterminism bug at any scale.
+
+Scale notes: a window = one shuffle on partitionBy keys + per-partition
+sort. Keys here (custkey, user_id, suppkey) are high-cardinality and
+unskewed; a low-cardinality partitionBy (or none — a global window)
+would serialize onto one task and is avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "window_topk_per_group",
+    bench=True,
+    tags=("window", "topk"),
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Spark pushes a per-partition limit
+    below the shuffle for rank-filter patterns (WindowGroupLimit), so
+    each group ships at most k rows — the distributed top-k idiom."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    tags=("window", "frame"),
+    oracle="""
+SELECT event_id, user_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_value
+FROM events
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total over event time (ROWS frame with a total
+    order; decimal-cast keeps the prefix sums engine-exact)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(25,4)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    tags=("window", "offset"),
+    oracle="""
+SELECT event_id, user_id, ts,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+       CAST(date_diff('second',
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT)
+       AS gap_seconds
+FROM events
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets + inter-event gap in seconds per user."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("gap_seconds"),
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    tags=("window", "rank"),
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+       RANK() OVER w AS price_rank,
+       DENSE_RANK() OVER w AS price_dense_rank,
+       NTILE(4) OVER w AS price_quartile
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+""",
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile sharing one window definition (one
+    shuffle+sort serves all three)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@register(
+    "window_sliding_frame",
+    tags=("window", "frame"),
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_3,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt_3
+FROM events
+""",
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding ROWS frame (trailing window of 3 events)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(25,4)")).over(w).cast("double").alias("sum_3"),
+        F.count(F.lit(1)).over(w).alias("cnt_3"),
+    )
+
+
+@register(
+    "window_first_last",
+    tags=("window", "frame"),
+    oracle="""
+SELECT DISTINCT user_id,
+       FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_value,
+       LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+FROM events
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last event value per user over the full partition frame."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+    ).distinct()

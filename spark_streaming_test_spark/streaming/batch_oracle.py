@@ -1,0 +1,231 @@
+"""Streaming semantics in batch-checkable form.
+
+Structured Streaming's incremental operators (tumbling/sliding/session
+windows, watermark dedup, the reference's edge-triggered alert state)
+produce, on a finite input, exactly what the equivalent batch query
+produces — that's the correctness contract this module exploits: each
+query here IS the streaming computation, expressed over the bounded
+``events`` table so the driver's DuckDB oracle can check it. The live
+``readStream`` forms of the same pipelines live in
+``streaming/pipeline.py`` and are exercised by tests/test_streaming.py.
+
+Reference parity: the 5-minute tumbling window is the reference's batch
+interval (MainApp.java:26,38); the edge-trigger query is the
+KafkaProducer dedup state machine (KafkaProducer.java:34-41) — emit only
+when the alert flag changes per key, first observation emits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.deterministic import dsum, sql_dsum
+from ..operators.traffic import ALERT_MSG, INFO_MSG
+from ..registry import register
+
+
+@register(
+    "stream_tumbling_window",
+    bench=True,
+    tags=("streaming", "window"),
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (F.window) — the streaming
+    groupBy(window, key) in its batch-equivalent form."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    tags=("streaming", "window"),
+    oracle=f"""
+WITH offsets AS (SELECT unnest([0, 30]) AS off_minutes),
+slid AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts - to_minutes(off_minutes))
+           + to_minutes(off_minutes) AS window_start,
+         value
+  FROM events, offsets
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM slid GROUP BY 1
+""",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour length, 30 min slide): each event lands in
+    2 windows. Spark expands via the window generator; the oracle
+    replicates with an explicit offset unnest."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    tags=("streaming", "session"),
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) via F.session_window — merged
+    event groups per user. The oracle derives identical sessions with
+    the classic lag-gap + running-count sessionization.
+
+    Note: session_window.end is start-of-last-event + gap; the oracle
+    compares MIN/MAX event time per session instead (engine-neutral)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_dedup_by_key",
+    tags=("streaming", "dedup"),
+    oracle="""
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicates(key)`` keeps the first arrival per key;
+    batch equivalent: row_number over arrival order = 1. (The raw
+    ``dropDuplicates`` on an unordered batch is nondeterministic — this
+    is the deterministic formulation of the same semantics.)"""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "stream_edge_trigger_alerts",
+    tags=("streaming", "stateful", "flagship"),
+    oracle=f"""
+WITH agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(user_id AS VARCHAR) AS nif,
+         {sql_dsum('value')} AS total_bytes
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT window_start, nif, total_bytes,
+         total_bytes > 150 AS is_alert,
+         LAG(total_bytes > 150) OVER (PARTITION BY nif ORDER BY window_start)
+           AS prev_alert
+  FROM agg
+)
+SELECT window_start, nif, total_bytes, is_alert,
+       CASE WHEN is_alert THEN '{ALERT_MSG}' ELSE '{INFO_MSG}' END AS message
+FROM flagged
+WHERE prev_alert IS NULL OR is_alert <> prev_alert
+""",
+)
+def stream_edge_trigger_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 — the reference's edge-triggered alert dedup
+    (KafkaProducer.java:34-41: send only when the per-NIC alert flag
+    changes; first observation always sends) in batch form: lag over the
+    per-key window sequence, keep rows where the flag flips.
+
+    The true streaming form (applyInPandasWithState with per-key
+    {last_alert} state, checkpointed and globally consistent — fixing
+    the reference's per-JVM static-map bug, SURVEY.md §4.3) is
+    ``streaming.pipeline.edge_trigger_stream`` and is tested in
+    tests/test_streaming.py; on any bounded input both produce exactly
+    these rows."""
+    ev = load(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "5 minutes"),
+            F.col("user_id").cast("string").alias("nif"),
+        )
+        .agg(dsum("value").alias("total_bytes"))
+        .select(
+            F.col("window.start").alias("window_start"), "nif", "total_bytes"
+        )
+    )
+    is_alert = F.col("total_bytes") > 150
+    w = Window.partitionBy("nif").orderBy("window_start")
+    flagged = agg.select(
+        "window_start", "nif", "total_bytes", is_alert.alias("is_alert")
+    ).withColumn("prev_alert", F.lag("is_alert").over(w))
+    return (
+        flagged.filter(
+            F.col("prev_alert").isNull()
+            | (F.col("is_alert") != F.col("prev_alert"))
+        )
+        .select(
+            "window_start",
+            "nif",
+            "total_bytes",
+            "is_alert",
+            F.when(F.col("is_alert"), ALERT_MSG).otherwise(INFO_MSG).alias("message"),
+        )
+    )
