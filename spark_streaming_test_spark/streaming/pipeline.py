@@ -1,0 +1,219 @@
+"""Structured Streaming form of the reference pipeline.
+
+Reference (rakrachok/spark-streaming-test) shape:
+  receiver packet stream -> mapToPair(nif, len) -> 5-min micro-batches ->
+  reduceByKey(sum) -> threshold routing -> edge-triggered Kafka alerts
+  (MainApp.java:38-64, KafkaProducer.java:34-41).
+
+This module provides the same pipeline as ONE incremental Structured
+Streaming query, in two flavors:
+
+  * event-time: watermark + tumbling window aggregation (idiomatic;
+    handles late data, which the DStream model could not), then
+    edge-trigger state.
+  * processing-time parity: ``foreachBatch`` with
+    ``trigger(processingTime='5 minutes')`` — batch boundaries define the
+    window exactly as MainApp.java:26,38.
+
+The edge-trigger dedup is a keyed stateful operator
+(``applyInPandasWithState``) with per-NIC state {last_alert: bool} —
+globally consistent and checkpointed, deliberately fixing the
+reference's per-executor-JVM static map (KafkaProducer.java:15, see
+SURVEY.md §4.3: the reference re-sends on executor reassignment and
+loses state on restart; we do not replicate the bug).
+
+Scale: state is one boolean per NIC key — O(distinct keys) cluster-wide,
+partitioned by key hash; the windowed agg before it is the only shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.traffic import ALERT_MSG, INFO_MSG
+
+# Packet-stream schema: FIXTURES.md §12 — (nif, raw|bytes, ts); the
+# reference element is Tuple2<String nifName, byte[] raw>
+# (CaptureNetworkReceiver.java:23,99-101) + event time added.
+PACKET_SCHEMA = T.StructType(
+    [
+        T.StructField("nif", T.StringType()),
+        T.StructField("bytes", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("nif", T.StringType()),
+        T.StructField("total_bytes", T.DoubleType()),
+        T.StructField("is_alert", T.BooleanType()),
+        T.StructField("message", T.StringType()),
+    ]
+)
+
+
+def packet_stream_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-based packet stream: each parquet file dropped into ``path``
+    becomes (part of) a micro-batch — the deterministic test stand-in
+    for the receiver source (O1). ``maxFilesPerTrigger=1`` pins the
+    file->batch mapping so multi-batch state tests are reproducible."""
+    return (
+        spark.readStream.schema(PACKET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+def windowed_totals_stream(
+    packets: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time form of MainApp's per-batch reduceByKey: watermarked
+    tumbling-window sum per NIC. Append-mode emits a window once the
+    watermark passes — late packets within the watermark are included,
+    a capability the reference lacked."""
+    return (
+        packets.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "nif")
+        .agg(F.sum("bytes").alias("total_bytes"))
+        .select(
+            F.col("window.start").alias("window_start"), "nif", "total_bytes"
+        )
+    )
+
+
+def _edge_trigger_fn(max_limit: float) -> Callable[..., Iterator[pd.DataFrame]]:
+    """Build the applyInPandasWithState function for the O13 state machine.
+
+    Truth table (KafkaProducer.java:35-40): state absent -> emit;
+    is_alert != stored flag -> emit; else suppress. State updates on
+    every observation. Input rows are per-key batch totals."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (nif,) = key
+        total = 0.0
+        for pdf in pdfs:
+            total += float(pdf["total_bytes"].sum())
+        is_alert = total > max_limit
+        prev = state.get if state.exists else None
+        state.update((bool(is_alert),))
+        if prev is None or prev[0] != is_alert:
+            yield pd.DataFrame(
+                {
+                    "nif": [nif],
+                    "total_bytes": [total],
+                    "is_alert": [is_alert],
+                    "message": [ALERT_MSG if is_alert else INFO_MSG],
+                }
+            )
+
+    return fn
+
+
+def edge_trigger_stream(
+    totals: DataFrame, max_limit: float
+) -> DataFrame:
+    """Edge-triggered alert dedup over per-key totals.
+
+    ``totals`` must be an UN-aggregated stream of per-key contributions
+    (e.g. the raw packet stream projected to (nif, total_bytes) per
+    micro-batch): Structured Streaming allows one stateful operator per
+    query, so the per-batch sum happens inside the state function —
+    mirroring the reference, where reduceByKey ran per micro-batch
+    before the stateful producer (MainApp.java:54-63)."""
+    return totals.groupBy("nif").applyInPandasWithState(
+        _edge_trigger_fn(max_limit),
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=T.StructType([T.StructField("last_alert", T.BooleanType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def reference_pipeline_foreach_batch(
+    packets: DataFrame,
+    max_limit: float,
+    sink: Callable[[list[dict]], None],
+    trigger: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Exact processing-time parity path (O9-O15): per micro-batch,
+    aggregate bytes per NIC, apply the threshold, run the edge-trigger
+    state machine, and hand emitted alerts to ``sink``.
+
+    The state dict lives on the driver — unlike the reference's
+    per-executor static map (KafkaProducer.java:15) it is globally
+    consistent across batches. The batch aggregate itself runs
+    distributed (groupBy inside foreachBatch); only the per-key flags
+    and emitted rows touch the driver — O(distinct NICs), tiny.
+
+    Returns the started StreamingQuery.
+    """
+    last_alert: dict[str, bool] = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy("nif")
+            .agg(F.sum("bytes").alias("total_bytes"))
+            .collect()
+        )
+        out: list[dict] = []
+        for r in rows:
+            is_alert = r["total_bytes"] > max_limit
+            prev = last_alert.get(r["nif"])
+            last_alert[r["nif"]] = is_alert
+            if prev is None or prev != is_alert:
+                out.append(
+                    {
+                        "nif": r["nif"],
+                        "total_bytes": r["total_bytes"],
+                        "is_alert": is_alert,
+                        "message": ALERT_MSG if is_alert else INFO_MSG,
+                        "batch_id": batch_id,
+                    }
+                )
+        if out:
+            sink(out)
+
+    writer = packets.writeStream.foreachBatch(process).outputMode("update")
+    if trigger:
+        writer = writer.trigger(processingTime=trigger)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def write_alerts_kafka(
+    alerts: DataFrame,
+    brokers: str,
+    topic: str = "alerts",
+    checkpoint: str | None = None,
+):
+    """Kafka sink (O14): null key + string value, topic 'alerts' —
+    matching KafkaProducer.java:17,38. The built-in sink is
+    at-least-once (an upgrade over the reference's fire-and-forget
+    at-most-once, KafkaProducer.java:39 — see SURVEY.md §4.3).
+
+    Requires the spark-sql-kafka package on the classpath; callers gate
+    on broker availability (tests use the memory sink instead)."""
+    writer = (
+        alerts.selectExpr(
+            "CAST(NULL AS STRING) AS key", "message AS value"
+        )
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

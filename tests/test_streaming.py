@@ -1,0 +1,231 @@
+"""Structured Streaming tests: file-source micro-batches driving the
+reference pipeline; edge-trigger truth table (O13, KafkaProducer.java:35-40);
+streaming windowed agg == batch equivalent; custom packet DataSource."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_test_spark.streaming.pipeline import (
+    ALERT_MSG,
+    INFO_MSG,
+    PACKET_SCHEMA,
+    edge_trigger_stream,
+    packet_stream_from_dir,
+    reference_pipeline_foreach_batch,
+    windowed_totals_stream,
+)
+
+
+def _write_packet_batch(spark, path: str, rows: list[tuple], batch_id: int) -> None:
+    """One flat parquet file == one micro-batch (maxFilesPerTrigger=1).
+    Written via pyarrow: the streaming file source lists plain files
+    under the path, not nested write.parquet directories."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(
+        {
+            "nif": [r[0] for r in rows],
+            "bytes": [r[1] for r in rows],
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, f"{path}/b{batch_id}.parquet")
+
+
+def _ts(minute: int):
+    from datetime import datetime
+
+    return datetime(2024, 1, 1, 0, minute, 0)
+
+
+def test_edge_trigger_truth_table(spark, tmp_path):
+    """Per-key totals over 4 batches; emissions only on flag flips.
+
+    Key A totals: 200(alert,emit) 220(alert,SUPPRESS) 80(info,emit) 90(info,SUPPRESS)
+    Key B totals: 100(info,emit) 400(alert,emit) ...
+    """
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "chk")
+    batches = [
+        [("A", 200.0, _ts(0)), ("B", 100.0, _ts(0))],
+        [("A", 120.0, _ts(5)), ("A", 100.0, _ts(5)), ("B", 400.0, _ts(5))],
+        [("A", 80.0, _ts(10)), ("B", 500.0, _ts(10))],
+        [("A", 90.0, _ts(15)), ("B", 90.0, _ts(15))],
+    ]
+    _write_packet_batch(spark, src, batches[0], 0)
+    packets = packet_stream_from_dir(spark, src)
+    totals = packets.select("nif", F.col("bytes").alias("total_bytes"))
+    alerts = edge_trigger_stream(totals, max_limit=150.0)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("edge_out")
+        .outputMode("append")
+        .option("checkpointLocation", out)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_packet_batch(spark, src, rows, i)
+            q.processAllAvailable()
+        got = [
+            (r["nif"], r["total_bytes"], r["is_alert"], r["message"])
+            for r in spark.sql(
+                "SELECT * FROM edge_out ORDER BY nif, total_bytes"
+            ).collect()
+        ]
+    finally:
+        q.stop()
+    assert got == [
+        ("A", 80.0, False, INFO_MSG),     # batch2: alert->info EMIT
+        ("A", 200.0, True, ALERT_MSG),    # batch0: first obs EMIT
+        # A batch1 (220, alert) suppressed; A batch3 (90, info) suppressed
+        ("B", 90.0, False, INFO_MSG),     # batch3: alert->info EMIT
+        ("B", 100.0, False, INFO_MSG),    # batch0: first obs EMIT
+        ("B", 400.0, True, ALERT_MSG),    # batch1: info->alert EMIT
+        # B batch2 (500, alert) suppressed
+    ]
+
+
+def test_foreach_batch_reference_parity(spark, tmp_path):
+    """The processing-time parity path (O9-O15): same truth table via
+    foreachBatch + driver-consistent state."""
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    batches = [
+        [("A", 200.0, _ts(0))],
+        [("A", 220.0, _ts(5))],
+        [("A", 80.0, _ts(10))],
+    ]
+    _write_packet_batch(spark, src, batches[0], 0)
+    collected: list[dict] = []
+    q = reference_pipeline_foreach_batch(
+        packet_stream_from_dir(spark, src),
+        max_limit=150.0,
+        sink=lambda rows: collected.extend(rows),
+        checkpoint=chk,
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_packet_batch(spark, src, rows, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [(r["nif"], r["is_alert"], r["message"]) for r in collected] == [
+        ("A", True, ALERT_MSG),   # first observation
+        ("A", False, INFO_MSG),   # 220 suppressed, then flip to info
+    ]
+
+
+def test_streaming_window_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming watermarked tumbling-window agg over a bounded input
+    produces exactly the batch groupBy(window) result — the incremental
+    correctness contract behind streaming/batch_oracle.py."""
+    from spark_streaming_test_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("nif"),
+        F.col("value").alias("bytes"),
+        "ts",
+    )
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src, mode="overwrite")
+
+    packets = (
+        spark.readStream.schema(PACKET_SCHEMA).parquet(src)
+    )
+    totals = windowed_totals_stream(packets, window="1 hour", watermark="0 seconds")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["nif"]): round(r["total_bytes"], 6)
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r["ws"], r["nif"]): round(r["total"], 6)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").start.alias("ws"), "nif"
+        )
+        .agg(F.sum("bytes").alias("total"))
+        .collect()
+    }
+    # Append mode only emits windows closed by the watermark; with a
+    # 0-second watermark everything except the max-event-time window
+    # closes. Allow the (tiny) open tail to be absent.
+    assert len(got) >= len(expected) - 60
+    for k, v in got.items():
+        assert expected[k] == v, k
+
+
+def test_synthetic_packet_source_stream(spark, tmp_path):
+    """Custom DataSource (O1 stand-in): registered format streams
+    deterministic frames; offsets advance per batch and stop at
+    max_batches; raw payload bounded by snaplen."""
+    from spark_streaming_test_spark.sources.packets import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_packets")
+        .option("nifs", "2")
+        .option("packets_per_batch", "5")
+        .option("snaplen", "256")
+        .option("max_batches", "3")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pkt_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM pkt_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 2 * 5 * 3  # nifs * packets_per_batch * max_batches
+    assert {r["nif"] for r in rows} == {"eth0", "eth1"}
+    assert all(64 <= len(r["raw"]) <= 256 for r in rows)
+    # determinism: batch replay yields identical frames
+    from spark_streaming_test_spark.sources.packets import _gen_batch, _Conf
+
+    conf = _Conf({"nifs": "2", "packets_per_batch": "5", "snaplen": "256"})
+    again = list(_gen_batch(conf, 0))
+    assert list(_gen_batch(conf, 0)) == again
+
+
+def test_synthetic_packet_source_batch(spark):
+    """Batch read of the same format (one schema, interchangeable
+    sources)."""
+    from spark_streaming_test_spark.sources.packets import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_packets")
+        .option("nifs", "3")
+        .option("packets_per_batch", "4")
+        .load()
+    )
+    assert df.count() == 12
+    assert df.columns == ["nif", "raw", "ts"]
