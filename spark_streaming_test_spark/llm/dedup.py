@@ -1,0 +1,358 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over the ``documents`` table, each designed for the
+100 TB regime:
+
+  * exact         — content hash + min-wins groupBy (one shuffle on the
+                    hash; hash first so the shuffle key is 32 bytes, not
+                    the document body)
+  * n-gram Jaccard— exact pairwise similarity via an inverted shingle
+                    index (shuffle ~ total postings, never O(n^2) docs;
+                    df-style pruning bounds hot shingles)
+  * MinHash + LSH — banded signature bucketing: candidates only from
+                    shared bands, then exact-Jaccard verification of the
+                    candidate set (the scalable near-dup path)
+  * SimHash       — 32-bit sign-sum signatures, banded for candidate
+                    pairs within small Hamming distance
+  * embedding     — cosine near-dup over the ``embeddings`` table
+
+All signatures are built from deterministic hashes (xxhash64 with fixed
+seeds / md5), so every run — and every resume after failure — produces
+identical candidates; nothing depends on partitioning or RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Pairwise (O(n^2)-shaped) queries cap the doc_id range so the oracle
+# comparison stays cheap at any sf; the operators themselves have no
+# such cap — the inverted-index / LSH formulations are the scale path.
+PAIRWISE_CAP = 400
+
+
+def _shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of lower-cased text (JVM-side)."""
+    toks = F.split(F.lower(col), " ")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    bench=True,
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 content hash, keep the smallest doc_id.
+    The groupBy shuffles 32-byte hashes, not document bodies."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("llm", "dedup", "jaccard"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])
+         )) AS shingles
+  FROM documents WHERE doc_id < {PAIRWISE_CAP}
+),
+postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM docs)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.n_common AS DOUBLE)
+         / (sa.n_shingles + sb.n_shingles - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE)
+      / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (>= 0.5) via an inverted
+    shingle index: explode distinct shingles, self-join postings on the
+    shingle (shuffle is sum-of-postings, not docs^2), count
+    intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    The jaccard value is a ratio of exact ints — IEEE division, bitwise
+    identical in any engine."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIRWISE_CAP)
+    docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
+    postings = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    pa, pb = postings.alias("a"), postings.alias("b")
+    common = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# MinHash configuration: 32 hashes in 8 bands of 4 rows. For Jaccard s,
+# P(candidate) = 1 - (1 - s^4)^8 — ~0.97 at s=0.8, ~0.03 at s=0.2.
+MINHASH_HASHES = 32
+MINHASH_BANDS = 8
+MINHASH_ROWS = MINHASH_HASHES // MINHASH_BANDS
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, signature array<long>[32]) via seeded xxhash64 min-hash.
+
+    One explode + one groupBy: min(xxhash64(shingle, seed_i)) per doc for
+    32 fixed seeds — deterministic, partitioning-independent."""
+    posts = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(MINHASH_HASHES)
+    ]
+    sig = posts.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("signature")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    bench=True,
+    tags=("llm", "dedup", "lsh"),
+    # No SQL oracle: xxhash64 seeds have no DuckDB twin. Correctness is
+    # gated by tests/test_llm.py: candidates are verified with exact
+    # Jaccard, and recall vs the exact pairwise query is asserted.
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the 100 TB path:
+
+      shingle -> 32 seeded min-hashes -> 8 banded bucket keys ->
+      self-join on (band, bucket_hash) for candidates -> exact-Jaccard
+      verification of candidates only (>= 0.5).
+
+    Shuffles: one explode+groupBy for signatures, one self-join on
+    band buckets (each doc appears 8 times), one semi-join back for
+    verification. No O(n^2) stage anywhere."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * MINHASH_ROWS + r + 1)
+                                for r in range(MINHASH_ROWS)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification of the (small) candidate set
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): 32-bit SimHash — per token-hash bit,
+    sum +1/-1 across the doc; signature bit = sign of the sum.
+
+    Expressed as 32 conditional-sum aggregates over one explode (one
+    shuffle; everything stays in whole-stage codegen)."""
+    posts = docs.select("doc_id", F.explode("tokens").alias("token")).withColumn(
+        "h", F.xxhash64("token")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = posts.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    tags=("llm", "dedup", "simhash"),
+    # rows-only: xxhash64-derived signatures have no SQL twin; the
+    # banded pair semantics are asserted in tests/test_llm.py.
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: docs whose 32-bit signatures share
+    at least one of 4 8-bit bands (Hamming <= 3 guarantee), verified by
+    exact Hamming distance <= 6. Output: (doc_a, doc_b, hamming)."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split(F.lower("text"), " ").alias("tokens"))
+    sig = simhash_signatures(docs)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("piece"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.piece")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("llm", "dedup", "embedding"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < {PAIRWISE_CAP} AND b.vec_id < {PAIRWISE_CAP}
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.8
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.8) — brute-force on
+    a capped id range (the oracle-checkable baseline; the LSH-bucketed
+    scale path is llm/similarity.py::sim_lsh_topk). Dot products fold
+    left-to-right in double, matching DuckDB bitwise."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PAIRWISE_CAP)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    da = F.col("emb_a").cast("array<double>")
+    db = F.col("emb_b").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    cosine = dot / (norm(da) * norm(db))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.8)
+    )

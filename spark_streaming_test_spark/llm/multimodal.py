@@ -1,0 +1,149 @@
+"""Multimodal column conventions: opaque binary payloads + typed
+metadata, with Arrow-batched Pandas-UDF plumbing for decode /
+feature-extract / resize / frame-sample stages.
+
+Contract (SURVEY.md §2.1 north star): image/audio/video travel as
+``binary`` columns with sibling metadata columns; all heavy per-item
+work runs in ``mapInPandas`` over Arrow batches so Python touches each
+byte once per batch, never per row. The actual media decoding libraries
+(PIL/ffmpeg/torchaudio) are NOT in this container — the decode step is
+a clearly-marked stub (deterministic fake behind an import-try), but
+the Spark-side plumbing (schema, batch iteration, partitioning, UDF
+signatures) is real and tested.
+
+The ``documents`` table stands in as the payload source: text bytes ==
+the opaque blob. At 100 TB the payload column dominates storage — the
+metadata-only queries below never deserialize it (column pruning reads
+just the small columns), which is the whole point of the layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+FEATURE_DIM = 8
+
+try:  # real decoders, if ever present in the image
+    import PIL.Image  # noqa: F401
+
+    HAVE_IMAGE_LIBS = True
+except ImportError:
+    HAVE_IMAGE_LIBS = False
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode path — unavailable in this container by design."""
+    if not HAVE_IMAGE_LIBS:
+        raise NotImplementedError(
+            "media decode libs not installed; use fake_features (stub) instead"
+        )
+    raise NotImplementedError("wire PIL decode here when libs are present")
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decode+embed stage: FEATURE_DIM
+    floats derived from payload bytes (stable across runs/partitions)."""
+    import hashlib
+
+    h = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)
+    ]
+
+
+@register(
+    "mm_binary_metadata",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       md5(text) AS payload_md5,
+       'text/plain' AS mime,
+       octet_length(encode(text)) > 300 AS is_large
+FROM documents
+""",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata, computed without any
+    Python: encode -> binary, octet_length, md5 digest, mime tag,
+    size-class routing. At scale this query prunes to metadata only."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.lit("text/plain").alias("mime"),
+        (F.octet_length(payload) > 300).alias("is_large"),
+    )
+
+
+@register(
+    "mm_feature_extract_stub",
+    tags=("llm", "multimodal", "pandas-udf"),
+    # rows-only: the fake feature vector is an engine-side construct;
+    # determinism + batch shape are asserted in tests/test_llm.py.
+)
+def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing over Arrow batches: binary
+    payloads stream through ``mapInPandas`` (one Python roundtrip per
+    ~10k-row batch), emitting a FEATURE_DIM float vector + byte size
+    per item. The feature fn is the documented deterministic stub —
+    swap ``_fake_features`` for a real decoder when libs exist."""
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "features": pdf["payload"].map(_fake_features),
+                }
+            )
+
+    return src.mapInPandas(
+        extract, schema="doc_id long, n_bytes long, features array<double>"
+    )
+
+
+@register(
+    "mm_frame_sample_stub",
+    tags=("llm", "multimodal", "pandas-udf"),
+    # rows-only (same rationale as mm_feature_extract_stub)
+)
+def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: each payload yields ceil(n_bytes/256)
+    'frames' (stand-in for video frame extraction) — a 1->N generator
+    inside mapInPandas, the shape a real ffmpeg sampler would use.
+    Output rows carry (doc_id, frame_idx, frame_md5)."""
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_idx, out_md5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                chunks = [payload[i : i + 256] for i in range(0, len(payload), 256)]
+                for idx, chunk in enumerate(chunks):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_md5.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return src.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame_md5 string"
+    )

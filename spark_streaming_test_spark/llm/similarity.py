@@ -1,0 +1,204 @@
+"""Approximate-nearest-neighbor similarity search over embeddings.
+
+Two paths per the north star (SURVEY.md §2.1, REPOSE ICDE'21 / top-k
+EDBT'19-20 patterns in PAPERS.md):
+
+  * brute-force top-k cosine — the exact, oracle-checkable baseline:
+    broadcast the (small) query set against all vectors, score with
+    JVM-side higher-order array functions, rank with a per-query window.
+    At scale this is the "scan" path: one pass over the corpus per
+    query batch, no index.
+  * LSH-bucketed top-k — random-hyperplane signatures (deterministic,
+    hash-derived planes) bucket the corpus; candidates come only from
+    the query's bucket ring, then exact re-ranking. Trades recall for
+    a corpus-scan reduction of ~2^bits.
+
+Dot products / norms fold left-to-right in double precision — bitwise
+identical to the DuckDB oracle's list_inner_product formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+N_QUERIES = 5  # query set: vec_id < 5
+TOP_K = 10
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: str) -> Column:
+    return F.col(c).cast("array<double>")
+
+
+@register(
+    "sim_bruteforce_topk",
+    bench=True,
+    tags=("llm", "similarity", "topk"),
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector: broadcast
+    queries x corpus scan -> score -> per-query top-k window (the
+    WindowGroupLimit pushdown keeps only k rows per query per task)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(_as_double("q_emb"), _as_double("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# Random-hyperplane LSH: each plane's coefficients derive from
+# xxhash64(dim_index, plane_index) mapped to [-1, 1] — deterministic,
+# no RNG, reproducible across runs and engines.
+LSH_PLANES = 8
+
+
+def _plane_coeff(dim: Column, plane: int) -> Column:
+    h = F.xxhash64(dim, F.lit(plane))
+    return (h % 10_000_001).cast("double") / 5_000_000.0 - 1.0
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """2^LSH_PLANES-bucket signature: bit b = sign(dot(plane_b, v))."""
+    sig = F.lit(0).cast("long")
+    for p in range(LSH_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(F.sequence(F.lit(0), F.size(emb) - 1), lambda i: _plane_coeff(i, p)),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+@register(
+    "sim_lsh_topk",
+    tags=("llm", "similarity", "lsh"),
+    # rows-only: bucket membership is hash-defined; recall vs the exact
+    # brute-force result is asserted in tests/test_llm.py.
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: corpus and queries signed into 2^8 buckets by
+    deterministic random-hyperplane projections; candidates = exact
+    bucket match (hamming-0 ring), re-ranked exactly. At 100 TB the
+    bucket column is a partition/cluster key — each query touches
+    ~1/256 of the corpus instead of scanning it."""
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    corpus = e.select("vec_id", "embedding", lsh_bucket(emb_d).alias("bucket"))
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(_as_double("q_emb"), _as_double("embedding")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "sim_pairwise_label_stats",
+    tags=("llm", "similarity", "agg"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200 AND b.vec_id < 200
+)
+SELECT label_a = label_b AS same_label,
+       CAST(SUM(CAST(cosine AS DECIMAL(25,12))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_cosine,
+       COUNT(*) AS n_pairs
+FROM pairs GROUP BY label_a = label_b
+""",
+)
+def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality diagnostic: mean intra- vs inter-label cosine
+    (same-label pairs should score higher). Decimal(scale 12)-cast sum
+    keeps the mean deterministic; cosines are not decimal-scale values,
+    but at scale 12 the rounding-tie probability is ~1e-12 per pair."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = cosine(_as_double("emb_a"), _as_double("emb_b"))
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select((F.col("label_a") == F.col("label_b")).alias("same_label"), cos.alias("cosine"))
+        .groupBy("same_label")
+        .agg(
+            (
+                F.sum(F.col("cosine").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_cosine"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )

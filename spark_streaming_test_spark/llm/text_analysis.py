@@ -1,0 +1,231 @@
+"""Text-analysis operators over ``documents``: language-ID, quality
+scoring, token counting, fingerprinting (SURVEY.md §2.1 north star;
+sentiment/text pipeline patterns per EDBT'16 in PAPERS.md).
+
+Everything is JVM-side Catalyst expressions (no Python UDFs in these
+paths): substring-count via the length/replace trick, regexp counts,
+md5 fingerprints — all with exact DuckDB twins for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Marker words per language for the n-gram/stopword language-ID
+# heuristic. Counts use ' word ' substring occurrences so partial-word
+# hits don't fire (identical trick on both engines).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "with"],
+    "es": ["el", "la", "los", "por"],
+    "de": ["der", "und", "das", "mit"],
+    "fr": ["le", "les", "des", "avec"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of ``needle`` in text via (len - len(replace))/len —
+    pure string ops, bitwise identical in any engine."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def _sql_count(expr: str, needle: str) -> str:
+    return (
+        f"(length({expr}) - length(replace({expr}, '{needle}', ''))) / {len(needle)}"
+    )
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def _lang_score(col: Column, lang: str) -> Column:
+    total = F.lit(0).cast("double")
+    for w in LANG_MARKERS[lang]:
+        total = total + _count_occurrences(_padded(col), f" {w} ")
+    return total
+
+
+def _sql_lang_score(lang: str) -> str:
+    padded = "concat(' ', lower(text), ' ')"
+    return " + ".join(_sql_count(padded, f" {w} ") for w in LANG_MARKERS[lang])
+
+
+@register(
+    "text_language_id",
+    tags=("llm", "text", "langid"),
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_sql_lang_score('en')} AS score_en,
+         {_sql_lang_score('es')} AS score_es,
+         {_sql_lang_score('de')} AS score_de,
+         {_sql_lang_score('fr')} AS score_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE
+         WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         WHEN score_de >= score_fr THEN 'de'
+         ELSE 'fr'
+       END AS predicted_lang,
+       score_en, score_es, score_de, score_fr
+FROM scores
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: per-language marker-word counts,
+    argmax with a fixed tie-break order (en > es > de > fr)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = {lang: _lang_score(t, lang) for lang in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted.alias("predicted_lang"),
+        s["en"].alias("score_en"),
+        s["es"].alias("score_es"),
+        s["de"].alias("score_de"),
+        s["fr"].alias("score_fr"),
+    )
+
+
+@register(
+    "text_quality_score",
+    bench=True,
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_token_len,
+         ({" + ".join(_sql_count("concat(' ', lower(text), ' ')", f" {w} ") for w in STOPWORDS)})
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+       CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END
+         * CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.5 END
+         * (1.0 - punct_ratio) AS quality_score
+FROM feats
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score from length, stopword density,
+    and punctuation ratio — the classic pretraining-corpus filter
+    features, computed entirely JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = F.size(F.split(t, " "))
+    stop_hits = F.lit(0).cast("double")
+    for w in STOPWORDS:
+        stop_hits = stop_hits + _count_occurrences(_padded(t), f" {w} ")
+    avg_token_len = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tokens
+    punct_ratio = (
+        F.size(F.regexp_extract_all(t, F.lit(r"[\!-/\:-@\[-`\{-~]"), 0)).cast("double")
+        / F.length(t)
+    )
+    stopword_ratio = stop_hits / n_tokens
+    quality = (
+        F.when(n_tokens >= 20, 1.0).otherwise(n_tokens / F.lit(20.0))
+        * F.when(stopword_ratio > 0.05, 1.0).otherwise(0.5)
+        * (F.lit(1.0) - punct_ratio)
+    )
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+@register(
+    "text_token_count",
+    tags=("llm", "text", "tokens"),
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4_estimate
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (alnum runs + single punctuation marks), and the chars/4 LLM
+    rule-of-thumb."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(F.split(t, " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.length(t) / 4.0).alias("chars_div4_estimate"),
+    )
+
+
+FINGERPRINT_K = 5
+
+
+@register(
+    "text_fingerprint",
+    tags=("llm", "text", "fingerprint"),
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])
+         ))) AS shingle
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, md5(shingle) AS h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
+  FROM shingled
+)
+SELECT doc_id, array_agg(h ORDER BY h) AS fingerprint
+FROM hashed WHERE rn <= {FINGERPRINT_K}
+GROUP BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: the K smallest md5(3-gram shingle) digests
+    (a bottom-k minwise sketch — two docs' fingerprint overlap estimates
+    Jaccard similarity). md5 exists in both engines, making this the
+    oracle-checkable cousin of the xxhash64 MinHash in llm/dedup.py."""
+    from .dedup import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, FINGERPRINT_K).alias("fingerprint"))
+    )
