@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline query suite and prints ONE JSON line.
+
+Protocol (driver contract + BASELINE.md): run at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``, time each
+headline query's full materialization, and emit::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the built-in ``noop`` sink — every
+partition is computed on executors but nothing is collected to the driver,
+so the timing measures the distributed plan, not driver serialization.
+A warm-up pass (count of one parquet) removes JVM/codegen cold-start from
+the first query's number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_streaming_test_spark import registry  # noqa: E402
+from spark_streaming_test_spark.session import get_spark  # noqa: E402
+
+# Headline suite: one representative per operator family (SURVEY.md §2.1),
+# weighted toward the shuffle/join-heavy plans that dominate at 100 TB.
+HEADLINE = [
+    "traffic_alerts",            # flagship: scan+agg+broadcast join+routing
+    "tpch_q1_pricing_summary",   # wide hash aggregate over lineitem
+    "tpch_q3_shipping_priority", # 3-way join + agg + top-k
+    "tpch_q5_local_supplier_volume",  # 6-way join
+    "tpch_q10_returned_items",   # join + group + top-k
+    "agg_rollup",                # multi-level aggregate
+    "window_topk_per_group",     # partitioned window + filter
+    "join_asof",                 # as-of (time-series) join
+    "stream_edge_trigger_alerts",  # stateful dedup semantics (batch oracle)
+    "dedup_exact",               # content-hash dedup over documents
+    "dedup_minhash_lsh",         # shingle→minhash→band→bucket self-join
+    "sim_bruteforce_topk",       # top-k cosine over embeddings
+    "text_quality_score",        # text-analysis scalar pipeline
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # Warm up JVM / codegen / parquet footer cache.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
