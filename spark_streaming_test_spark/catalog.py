@@ -57,6 +57,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the scan under-parallelizes.
+
+    The driver's test tables are single parquet files with one row group,
+    so Spark reads them as ONE input partition — and any CPU-heavy per-row
+    transform (shingling, hashing, scoring) then runs on one core. On a
+    production layout (many files / row groups) the scan already yields
+    >= cores partitions and this is a no-op, so the extra shuffle is only
+    paid when it buys parallelism. Cost: the shuffle moves the raw rows
+    once; for compute-dominated operators that's the right trade."""
+    from .session import default_parallelism
+
+    target = min_partitions or default_parallelism()
+    # Probe with inputFiles() (a file listing) — NOT df.rdd, which forces
+    # full physical planning and costs seconds on wide plans. Few files
+    # ⇒ few scan partitions (single-row-group test files don't split).
+    if len(df.inputFiles()) < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API paths)."""
     for name in TABLES:

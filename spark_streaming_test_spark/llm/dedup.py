@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 # Pairwise (O(n^2)-shaped) queries cap the doc_id range so the oracle
@@ -62,7 +62,7 @@ GROUP BY sha256(text)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: sha256 content hash, keep the smallest doc_id.
     The groupBy shuffles 32-byte hashes, not document bodies."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return (
         d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
@@ -113,7 +113,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The jaccard value is a ratio of exact ints — IEEE division, bitwise
     identical in any engine."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIRWISE_CAP)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIRWISE_CAP))
     docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
     postings = docs.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -152,17 +152,20 @@ MINHASH_ROWS = MINHASH_HASHES // MINHASH_BANDS
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, signature array<long>[32]) via seeded xxhash64 min-hash.
 
-    One explode + one groupBy: min(xxhash64(shingle, seed_i)) per doc for
-    32 fixed seeds — deterministic, partitioning-independent."""
-    posts = docs.select("doc_id", F.explode("shingles").alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(MINHASH_HASHES)
-    ]
-    sig = posts.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("signature")
+    A pure projection — ``signature[i] = array_min(transform(shingles,
+    s -> xxhash64(s, i)))`` — so signature computation needs NO shuffle
+    (the earlier explode+groupBy formulation shuffled every posting).
+    Deterministic and partitioning-independent: min over a doc-local
+    array for 32 fixed seeds."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(MINHASH_HASHES)
+        ]
     )
+    return docs.select("doc_id", sig.alias("signature"))
 
 
 @register(
@@ -183,7 +186,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles: one explode+groupBy for signatures, one self-join on
     band buckets (each doc appears 8 times), one semi-join back for
     verification. No O(n^2) stage anywhere."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     sig = minhash_signatures(docs)
     bands = sig.select(
@@ -273,7 +276,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: docs whose 32-bit signatures share
     at least one of 4 8-bit bands (Hamming <= 3 guarantee), verified by
     exact Hamming distance <= 6. Output: (doc_a, doc_b, hamming)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     docs = d.select("doc_id", F.split(F.lower("text"), " ").alias("tokens"))
     sig = simhash_signatures(docs)
     mask = (1 << _SIMHASH_BAND_BITS) - 1

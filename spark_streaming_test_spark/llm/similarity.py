@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 N_QUERIES = 5  # query set: vec_id < 5
@@ -72,7 +72,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector: broadcast
     queries x corpus scan -> score -> per-query top-k window (the
     WindowGroupLimit pushdown keeps only k rows per query per task)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -131,7 +131,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket match (hamming-0 ring), re-ranked exactly. At 100 TB the
     bucket column is a partition/cluster key — each query touches
     ~1/256 of the corpus instead of scanning it."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     emb_d = F.col("embedding").cast("array<double>")
     corpus = e.select("vec_id", "embedding", lsh_bucket(emb_d).alias("bucket"))
     q = corpus.filter(F.col("vec_id") < N_QUERIES).select(

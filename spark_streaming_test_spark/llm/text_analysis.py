@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 # Marker words per language for the n-gram/stopword language-ID
@@ -84,7 +84,7 @@ FROM scores
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID: per-language marker-word counts,
     argmax with a fixed tie-break order (en > es > de > fr)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     t = F.col("text")
     s = {lang: _lang_score(t, lang) for lang in LANG_MARKERS}
     predicted = (
@@ -134,7 +134,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality score from length, stopword density,
     and punctuation ratio — the classic pretraining-corpus filter
     features, computed entirely JVM-side."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     t = F.col("text")
     n_tokens = F.size(F.split(t, " "))
     stop_hits = F.lit(0).cast("double")
@@ -177,7 +177,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace split, a BPE-ish regex
     (alnum runs + single punctuation marks), and the chars/4 LLM
     rule-of-thumb."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -222,7 +222,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable cousin of the xxhash64 MinHash in llm/dedup.py."""
     from .dedup import _shingles
 
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
         .select("doc_id", F.md5("shingle").alias("h"))
