@@ -1,0 +1,51 @@
+"""File-format connectors beyond parquet: CSV and JSON scans (SURVEY.md
+§2.1 scans family — "Parquet/CSV/JSON scan").
+
+Each query materializes a small dimension table into the engine's scratch
+dir in the corresponding text format, then scans it back with an
+EXPLICIT schema (schema inference is a full extra pass over the data —
+never acceptable at 100 TB) and oracle-checks the roundtrip against the
+original parquet. This proves the connector path: writer, reader, schema
+binding, header handling, and type restoration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..registry import register
+
+SCRATCH = "/root/repo/.scratch"
+
+NATION_DDL = "n_nationkey int, n_name string, n_regionkey int"
+
+
+@register(
+    "scan_csv_roundtrip",
+    tags=("source", "csv"),
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector roundtrip: parquet dim -> CSV (header) -> scan with
+    explicit DDL schema. Distributed on both sides (the writer emits one
+    file per partition; the reader splits by line)."""
+    path = os.path.join(SCRATCH, "nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(NATION_DDL).option("header", True).csv(path)
+
+
+@register(
+    "scan_json_roundtrip",
+    tags=("source", "json"),
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector roundtrip with explicit schema (no inference
+    pass). INT columns are declared INT so the roundtrip preserves the
+    parquet types instead of JSON's default BIGINT widening."""
+    path = os.path.join(SCRATCH, "nation_json")
+    load(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+    return spark.read.schema(NATION_DDL).json(path)
