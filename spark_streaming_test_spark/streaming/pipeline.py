@@ -140,6 +140,65 @@ def edge_trigger_stream(
     )
 
 
+class EdgeTriggerProcessor:
+    """Spark-4 ``StatefulProcessor`` form of the O13 edge-trigger state
+    machine (KafkaProducer.java:34-41) — the idiomatic successor to
+    ``applyInPandasWithState`` above, with named state variables, TTL
+    support, and state-schema evolution.
+
+    State: one ValueState ``last_alert {flag: bool}`` per NIC key —
+    O(distinct keys) cluster-wide, hash-partitioned, checkpointed (the
+    reference's static per-JVM map was neither, SURVEY.md §4.3).
+
+    Defined lazily as a factory because ``StatefulProcessor`` subclasses
+    import pyspark.sql.streaming.stateful_processor, which exists only on
+    Spark 4.
+    """
+
+    def __new__(cls, max_limit: float):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Processor(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState("last_alert", "flag boolean")
+
+            def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+                (nif,) = key
+                total = 0.0
+                for pdf in rows:
+                    total += float(pdf["total_bytes"].sum())
+                is_alert = total > max_limit
+                prev = self._state.get()
+                self._state.update((bool(is_alert),))
+                if prev is None or bool(prev[0]) != is_alert:
+                    yield pd.DataFrame(
+                        {
+                            "nif": [nif],
+                            "total_bytes": [total],
+                            "is_alert": [is_alert],
+                            "message": [ALERT_MSG if is_alert else INFO_MSG],
+                        }
+                    )
+
+            def close(self) -> None:
+                pass
+
+        return _Processor()
+
+
+def edge_trigger_stream_tws(totals: DataFrame, max_limit: float) -> DataFrame:
+    """Edge-triggered alert dedup via ``transformWithStateInPandas``
+    (Spark 4). Same truth table as :func:`edge_trigger_stream`; prefer
+    this on Spark 4 — ``applyInPandasWithState`` remains as the Spark-3.x
+    fallback."""
+    return totals.groupBy("nif").transformWithStateInPandas(
+        statefulProcessor=EdgeTriggerProcessor(max_limit),
+        outputStructType=ALERT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def reference_pipeline_foreach_batch(
     packets: DataFrame,
     max_limit: float,

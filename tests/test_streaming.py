@@ -97,6 +97,68 @@ def test_edge_trigger_truth_table(spark, tmp_path):
     ]
 
 
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas spawns a streaming python runner that
+    # requires a working google.protobuf; gate rather than fail where the
+    # environment lacks it.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in this env)",
+)
+def test_edge_trigger_truth_table_tws(spark, tmp_path):
+    """Same truth table through the Spark-4 transformWithStateInPandas
+    path (EdgeTriggerProcessor) — both stateful APIs must agree."""
+    from spark_streaming_test_spark.streaming.pipeline import edge_trigger_stream_tws
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "chk")
+    batches = [
+        [("A", 200.0, _ts(0)), ("B", 100.0, _ts(0))],
+        [("A", 120.0, _ts(5)), ("A", 100.0, _ts(5)), ("B", 400.0, _ts(5))],
+        [("A", 80.0, _ts(10)), ("B", 500.0, _ts(10))],
+        [("A", 90.0, _ts(15)), ("B", 90.0, _ts(15))],
+    ]
+    _write_packet_batch(spark, src, batches[0], 0)
+    packets = packet_stream_from_dir(spark, src)
+    totals = packets.select("nif", F.col("bytes").alias("total_bytes"))
+    alerts = edge_trigger_stream_tws(totals, max_limit=150.0)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("edge_tws_out")
+        .outputMode("append")
+        .option("checkpointLocation", out)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_packet_batch(spark, src, rows, i)
+            q.processAllAvailable()
+        got = [
+            (r["nif"], r["total_bytes"], r["is_alert"], r["message"])
+            for r in spark.sql(
+                "SELECT * FROM edge_tws_out ORDER BY nif, total_bytes"
+            ).collect()
+        ]
+    finally:
+        q.stop()
+    assert got == [
+        ("A", 80.0, False, INFO_MSG),
+        ("A", 200.0, True, ALERT_MSG),
+        ("B", 90.0, False, INFO_MSG),
+        ("B", 100.0, False, INFO_MSG),
+        ("B", 400.0, True, ALERT_MSG),
+    ]
+
+
 def test_foreach_batch_reference_parity(spark, tmp_path):
     """The processing-time parity path (O9-O15): same truth table via
     foreachBatch + driver-consistent state."""
