@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.functions.scalar",
     "spark_streaming_test_spark.operators.tpch",
     "spark_streaming_test_spark.operators.tpch_ext",
+    "spark_streaming_test_spark.operators.skew",
     "spark_streaming_test_spark.streaming.batch_oracle",
     "spark_streaming_test_spark.sources.files",
     "spark_streaming_test_spark.llm.dedup",
