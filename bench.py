@@ -51,8 +51,21 @@ def main() -> None:
     spark = get_spark("bench")
     qs = registry.queries()
 
-    # Warm up JVM / codegen / parquet footer cache.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm up JVM class loading / codegen / python workers / parquet
+    # reader on a tiny scale factor so the first measured query reflects
+    # steady-state execution, not one-time session costs.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load
+
+    warm = load(spark, "/root/testdata/sf0.001", "events")
+    dim = spark.createDataFrame([("a", 1)], "k string, v int")
+    (
+        warm.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.sum("value").alias("s"))
+        .join(F.broadcast(dim), F.lit(True))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
