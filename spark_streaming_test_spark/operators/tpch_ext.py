@@ -472,6 +472,258 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    tags=("tpch", "correlated-subquery", "topk"),
+    oracle="""
+WITH cost AS (
+  SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+         MIN(l.l_extendedprice) AS supply_cost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, c.supply_cost
+FROM part p
+JOIN cost c ON p.p_partkey = c.partkey
+JOIN supplier s ON s.s_suppkey = c.suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_size BETWEEN 1 AND 25 AND p.p_type = 'PROMO'
+  AND c.supply_cost = (
+    SELECT MIN(c2.supply_cost) FROM cost c2 WHERE c2.partkey = p.p_partkey
+  )
+ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp ⇒ supply cost = MIN(l_extendedprice)
+    observed per part×supplier in lineitem): the cheapest EUROPE supplier
+    per PROMO part. The correlated MIN subquery decorrelates to a per-part
+    pre-aggregate broadcast-joined back — same rewrite Catalyst applies to
+    the SQL form. MIN of doubles is order-independent, so no decimal
+    routing is needed (cf. MainApp.java:44-46 for the reference's only
+    sort+limit query, generalized here to top-k over a join tree)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").between(1, 25) & (F.col("p_type") == "PROMO")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            "s_suppkey", "s_name", "s_acctbal", "nation",
+        )
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    min_cost = cost.groupBy(F.col("partkey").alias("mc_pk")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (F.col("partkey") == F.col("mc_pk"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "supply_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    tags=("tpch", "scalar-subquery", "having"),
+    oracle=f"""
+WITH natval AS (
+  SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+)
+SELECT l_partkey AS ps_partkey, {sql_dsum('value')} AS part_value
+FROM natval
+GROUP BY l_partkey
+HAVING {sql_dsum('value')} > (
+  SELECT {sql_dsum('value')} * 0.001 FROM natval
+)
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: no partsupp ⇒ "stock value" = discounted
+    revenue per part from NATION_3 suppliers): parts whose value exceeds
+    a fraction of the nation's total — HAVING against an uncorrelated
+    scalar subquery, evaluated as a 1-row broadcast. Both sides of the
+    threshold comparison route through the same exact decimal sum, so the
+    > comparison is bitwise-identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natval = (
+        li.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"),
+        )
+    )
+    per_part = natval.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        dsum("value").alias("part_value")
+    )
+    threshold = natval.agg((dsum("value") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(threshold), F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q12_shipping_priority_class",
+    tags=("tpch", "case-agg"),
+    oracle=f"""
+SELECT l.l_returnflag AS ship_class,
+       COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def tpch_q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: l_returnflag stands in for the missing
+    l_shipmode; "late" = shipped >365d after order date): count of
+    urgent/high- vs low-priority lines among 1997's late shipments, per
+    class — CASE-conditional counting over a fact⋈fact join with a
+    non-equi date residual."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_count",
+    tags=("tpch", "distinct-agg", "not-in"),
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: lineitem as the part↔supplier bridge; the
+    "customer complaints" exclusion becomes negative-balance suppliers):
+    distinct supplier count per (brand, type, size) — NOT IN on a
+    not-null key lowers to a left-anti join, then COUNT(DISTINCT) over
+    the surviving bridge rows."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_sk")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("bad_sk"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_supply",
+    tags=("tpch", "nested-in", "semi-join"),
+    oracle=f"""
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_1'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+      )
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING {sql_dsum('l.l_quantity')} > 50
+  )
+""",
+)
+def tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: "excess stock" = shipped >50 units of a red
+    part in 1997): NATION_1 suppliers who heavily supplied any red part —
+    the nested IN chain (part-name IN inside supplier IN) becomes two
+    stacked semi-joins over a grouped HAVING filter."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    red = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        F.col("p_partkey").alias("red_pk")
+    )
+    heavy = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("red_pk"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select(F.col("l_suppkey").alias("heavy_sk"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == F.col("heavy_sk"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
     "tpch_q22_global_sales_opportunity",
     tags=("tpch", "anti-join", "scalar-subquery"),
     oracle=f"""
