@@ -155,6 +155,130 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF coarse quantizer: centroids are the corpus vectors whose vec_id is a
+# multiple of IVF_STRIDE (deterministic, data-derived, K grows with corpus);
+# each vector is assigned to its max-cosine centroid, queries probe the
+# IVF_NPROBE nearest cells.
+IVF_STRIDE = 37
+IVF_NPROBE = 2
+
+
+@register(
+    "sim_ivf_topk",
+    tags=("llm", "similarity", "ivf"),
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+scored AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+         list_inner_product(e.embedding::DOUBLE[], c.cemb)
+           / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(c.cemb, c.cemb))) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM scored WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_inner_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[])))
+           AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rescored
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into K cells (centroid =
+    max-cosine match), probe the query's IVF_NPROBE nearest cells, exact
+    re-rank inside them. The K centroid vectors are collected once to the
+    driver (tiny — the same collect-the-dimension pattern as the
+    reference's limits lookup, MainApp.java:44-49) and inlined as literal
+    arrays, so cell assignment is a single shuffle-free corpus scan; at
+    100 TB the cell id becomes the partition key and each query touches
+    ~nprobe/K of the data. Ties (equal cosine) break toward the lower
+    centroid id in both engines."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    emb_d = _as_double("embedding")
+    cent_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % IVF_STRIDE == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("cemb"))
+        .collect()
+    )
+    cents = sorted((int(r["vec_id"]), list(r["cemb"])) for r in cent_rows)
+
+    def _ccos(cvec: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        return dot(emb_d, c) / (F.col("vnorm") * norm(c))
+
+    # array<struct<ccos, negcid>>: lexicographic struct ordering makes
+    # array_max/sort_array pick max cosine then min centroid id — the
+    # oracle's ORDER BY ccos DESC, cid tie-break.
+    scores = F.array(*[
+        F.struct(_ccos(cvec).alias("ccos"), F.lit(-cid).cast("long").alias("negcid"))
+        for cid, cvec in cents
+    ])
+    base = e.withColumn("vnorm", norm(emb_d)).withColumn("scores", scores)
+    corpus = base.select(
+        "vec_id", "embedding", (-F.array_max("scores").getField("negcid")).alias("cell")
+    )
+    q = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array("scores", asc=False), 1, IVF_NPROBE),
+                    lambda s: -s.getField("negcid"),
+                )
+            ).alias("probe_cell"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(_as_double("q_emb"), _as_double("embedding")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 @register(
     "sim_pairwise_label_stats",
     tags=("llm", "similarity", "agg"),

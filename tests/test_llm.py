@@ -74,6 +74,29 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
             assert abs(brute[key] - r["cosine"]) < 1e-9
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-probed ANN: every query must return candidates (nprobe cells
+    are never empty — the query's own cell is probed), scores on the
+    brute-force overlap must agree exactly, and recall of true top-k
+    neighbors should be substantial for clustered embeddings."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    ivf_rows = similarity.sim_ivf_topk(spark, sf_dir).collect()
+    assert ivf_rows, "IVF returned nothing — quantizer degenerate"
+    queries = {r["query_id"] for r in ivf_rows}
+    assert len(queries) == similarity.N_QUERIES
+    overlap = 0
+    for r in ivf_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert abs(brute[key] - r["cosine"]) < 1e-9
+            overlap += 1
+    recall = overlap / len(brute)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} suspiciously low"
+
+
 def test_mm_feature_stub_shape_and_determinism(spark, sf_dir):
     df = multimodal.mm_feature_extract_stub(spark, sf_dir)
     rows1 = {r["doc_id"]: r["features"] for r in df.collect()}
