@@ -67,9 +67,14 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Each query runs twice: the first execution pays one-time JIT/codegen
+    # compilation (seconds for the wide unrolled expressions, amortized to
+    # zero over any real workload); the second run is the steady-state
+    # throughput number BASELINE.md tracks.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -156,7 +156,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     s -> xxhash64(s, i)))`` — so signature computation needs NO shuffle
     (the earlier explode+groupBy formulation shuffled every posting).
     Deterministic and partitioning-independent: min over a doc-local
-    array for 32 fixed seeds."""
+    array for 32 fixed seeds.
+
+    The 32 array_min expressions are deliberately UNROLLED (not a nested
+    transform over sequence(0,31)): the unrolled form stays in compiled
+    codegen (~4x faster steady-state); the nested-lambda form evaluates
+    interpreted per element and only saves one-time JIT cost."""
     sig = F.array(
         *[
             F.array_min(
@@ -208,7 +213,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    ba, bb = bands.alias("a"), bands.alias("b")
+    # Shuffle-hash self-join (not broadcast): both sides are the SAME
+    # scan→shingle→signature subtree, so with identical hash-partitioned
+    # exchanges AQE's ReusedExchange computes the signature pass ONCE and
+    # replays the shuffle files for the other side — a broadcast join
+    # would execute the expensive subtree twice.
+    ba, bb = bands.alias("a").hint("shuffle_hash"), bands.alias("b").hint("shuffle_hash")
     candidates = (
         ba.join(
             bb,
@@ -221,9 +231,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification of the (small) candidate set
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # Exact verification of the (small) candidate set. Shingles sit BELOW
+    # each join's exchange (materialized arrays, one projection per side,
+    # the two sides' exchanges canonicalize identically → reused), so the
+    # jaccard predicate — which Catalyst pushes into the join residual —
+    # only touches already-computed columns instead of re-deriving
+    # shingles from text per matched row.
+    sh_a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    ).hint("shuffle_hash")
+    sh_b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

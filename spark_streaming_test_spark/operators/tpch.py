@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 
@@ -36,11 +36,17 @@ GROUP BY l_returnflag, l_linestatus
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: one scan, pushdown date filter, 8-aggregate hash agg on
-    a 6-value composite key — pure partial+final aggregation throughput."""
+    a 6-value composite key — pure partial+final aggregation throughput.
+
+    spread(): the fixture is one parquet file with one row group, so the
+    scan yields a single input partition; round-robin fan-out lets the
+    partial aggregate run on all cores (applied AFTER the filter so the
+    predicate still reaches the parquet reader). On a multi-file
+    production layout it is a no-op."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        spread(li.filter(F.col("l_shipdate") <= "2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -178,15 +184,16 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 )
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure scan+filter+global agg — the pushdown benchmark
-    (all four predicates reach the parquet reader)."""
+    (all four predicates reach the parquet reader; spread() fans the
+    surviving rows out AFTER the filtered scan so pushdown is kept)."""
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.filter(
+        spread(li.filter(
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01")
             & F.col("l_discount").between(0.02, 0.04)
             & (F.col("l_quantity") < 24)
-        )
+        ))
         .agg(
             dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
