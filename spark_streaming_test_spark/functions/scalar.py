@@ -223,3 +223,49 @@ def fn_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@register(
+    "fn_higher_order",
+    tags=("scalar", "array", "lambda"),
+    oracle="""
+WITH arr AS (
+  SELECT event_id,
+         [event_id % 7, event_id % 11, event_id % 13] AS a,
+         [event_id % 3, event_id % 5, event_id % 2] AS b
+  FROM events
+)
+SELECT event_id,
+       list_transform(a, x -> x * 2 + 1) AS doubled_plus1,
+       list_filter(a, x -> x % 2 = 0) AS evens,
+       CAST(list_sum(a) AS BIGINT) AS total,
+       CAST(list_dot_product(a, b) AS DOUBLE) AS dot_ab,
+       len(list_filter(a, x -> x > 9)) > 0 AS has_gt9,
+       len(list_filter(a, x -> NOT (x < 13))) = 0 AS all_lt13,
+       list_sort(a) AS sorted_a
+FROM arr
+""",
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas: transform/filter/aggregate/zip_with/
+    exists/forall/array_sort — all Catalyst expressions evaluated inside
+    whole-stage codegen (no Python), the building blocks for the
+    embedding math in llm/similarity.py."""
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    a = F.array(eid % 7, eid % 11, eid % 13)
+    b = F.array(eid % 3, eid % 5, eid % 2)
+    return ev.select(
+        "event_id",
+        F.transform(a, lambda x: x * 2 + 1).alias("doubled_plus1"),
+        F.filter(a, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double").alias("dot_ab"),
+        F.exists(a, lambda x: x > 9).alias("has_gt9"),
+        F.forall(a, lambda x: x < 13).alias("all_lt13"),
+        F.array_sort(a).alias("sorted_a"),
+    )

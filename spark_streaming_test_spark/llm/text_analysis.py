@@ -229,3 +229,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.slice(F.array_sort(F.collect_list("h")), 1, FINGERPRINT_K).alias("fingerprint"))
     )
+
+
+TOKEN_TOPK = 25
+
+
+@register(
+    "text_token_topk",
+    tags=("llm", "text", "token"),
+    oracle=f"""
+SELECT token, COUNT(*) AS n_docs_tokens
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_docs_tokens DESC, token
+LIMIT {TOKEN_TOPK}
+""",
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k token frequency (vocabulary head).
+
+    Tokenize (regex split, JVM-side) → explode → hash-aggregate →
+    top-k. The explode fan-out happens AFTER the single-file scan is
+    spread across partitions, so the count shuffles only (token,
+    partial-count) pairs — at 100 TB this is the word-count pattern
+    with map-side combine, and the final top-k is a
+    TakeOrderedAndProject (no global sort materialized).
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_docs_tokens"))
+        .orderBy(F.desc("n_docs_tokens"), "token")
+        .limit(TOKEN_TOPK)
+    )

@@ -221,3 +221,63 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_v.alias("avg_value"),
         (sum_sq / cnt - avg_v * avg_v).alias("var_pop_value"),
     )
+
+
+@register(
+    "agg_percentile_median",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS qty_p25,
+       median(l_quantity) AS qty_median,
+       quantile_cont(l_quantity, 0.75) AS qty_p75,
+       quantile_cont(l_extendedprice, 0.9) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group.
+
+    ``F.percentile`` is the exact (sort-based) aggregate — same
+    linear-interpolation semantics as DuckDB's ``quantile_cont``. At
+    100 TB the drop-in scale path is ``approx_percentile`` (KLL/GK
+    sketch, bounded memory, mergeable across partitions); exact
+    percentile shuffles every value of the group to one reducer.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("qty_p25"),
+        F.median("l_quantity").alias("qty_median"),
+        F.percentile("l_quantity", 0.75).alias("qty_p75"),
+        F.percentile("l_extendedprice", 0.9).alias("price_p90"),
+    )
+
+
+@register(
+    "agg_argminmax_condcount",
+    tags=("agg", "argminmax"),
+    oracle="""
+SELECT event_type,
+       max_by(value, event_id) AS latest_value,
+       min_by(value, event_id) AS earliest_value,
+       count_if(value > 50.0) AS n_high,
+       bool_or(value > 99.0) AS any_extreme,
+       bool_and(value >= 0.0) AS all_nonneg
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_argminmax_condcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax (min_by/max_by over the unique event_id ordering —
+    unique key makes the result deterministic) plus conditional count
+    and boolean aggregates. All single-pass hash aggregates with
+    map-side partial combine."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("value", "event_id").alias("latest_value"),
+        F.min_by("value", "event_id").alias("earliest_value"),
+        F.count_if(F.col("value") > 50.0).alias("n_high"),
+        F.bool_or(F.col("value") > 99.0).alias("any_extreme"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+    )

@@ -188,3 +188,35 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_value"),
         F.last("value").over(w).alias("last_value"),
     ).distinct()
+
+
+@register(
+    "window_cume_percent",
+    tags=("window", "rank"),
+    oracle="""
+SELECT event_id, event_type,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id)
+         AS cd,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id)
+         AS pr,
+       ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+         AS decile
+FROM events
+""",
+)
+def window_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (cume_dist / percent_rank / decile).
+
+    The (value, event_id) composite ordering is a total order, so ranks
+    are deterministic across engines. One shuffle on event_type, sort
+    within partitions — same plan shape as any ranked window at scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(10).over(w).alias("decile"),
+    )
