@@ -269,3 +269,47 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(a, lambda x: x < 13).alias("all_lt13"),
         F.array_sort(a).alias("sorted_a"),
     )
+
+
+@register(
+    "fn_struct_ops",
+    tags=("scalar", "struct"),
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+         struct_pack(uid := user_id, etype := event_type,
+                     nested := struct_pack(v := value, day := date_trunc('day', ts)))
+           AS info
+  FROM events
+)
+SELECT event_id,
+       info.uid AS uid,
+       info.etype AS etype,
+       info.nested.v AS v,
+       CAST(info.nested.day AS TIMESTAMP) AS day
+FROM s
+""",
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct create + nested field access. The struct is a pure Catalyst
+    projection (named_struct), and reading ``info.nested.v`` collapses
+    back to the source column — Catalyst prunes the intermediate struct
+    entirely, so nesting costs nothing in the scan or shuffle. Output is
+    flattened to scalars (the driver's value-hash canonicalizes scalar
+    cells, not struct cells)."""
+    ev = load(spark, sf_dir, "events")
+    info = F.struct(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.struct(
+            F.col("value").alias("v"),
+            F.date_trunc("day", "ts").alias("day"),
+        ).alias("nested"),
+    )
+    return ev.select("event_id", info.alias("info")).select(
+        "event_id",
+        F.col("info.uid").alias("uid"),
+        F.col("info.etype").alias("etype"),
+        F.col("info.nested.v").alias("v"),
+        F.col("info.nested.day").alias("day"),
+    )

@@ -193,3 +193,33 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@register(
+    "set_union_by_name",
+    tags=("setops",),
+    oracle="""
+SELECT c_custkey AS entity_key, c_nationkey AS nationkey, c_acctbal AS acctbal,
+       NULL AS s_suppkey
+FROM customer
+UNION ALL BY NAME
+SELECT s_nationkey AS nationkey, s_acctbal AS acctbal, s_suppkey
+FROM supplier
+""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: ``unionByName(allowMissingColumns=True)``
+    aligns columns by NAME and null-fills the gaps — the pattern for
+    unioning heterogeneous batches (e.g. crawl snapshots whose schemas
+    drifted) without positional bugs. Still a zero-shuffle bag union."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        "s_suppkey",
+    )
+    return c.unionByName(s, allowMissingColumns=True)

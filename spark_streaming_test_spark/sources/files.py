@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
@@ -49,3 +50,37 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(SCRATCH, "nation_json")
     load(spark, sf_dir, "nation").write.mode("overwrite").json(path)
     return spark.read.schema(NATION_DDL).json(path)
+
+
+@register(
+    "scan_partitioned_pruning",
+    tags=("source", "parquet", "pruning"),
+    oracle="""
+SELECT event_id, user_id, value, event_type
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+""",
+)
+def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet layout + partition pruning.
+
+    Writes events partitioned by ``event_type`` (``partitionBy`` on the
+    writer → one directory per value), then scans back with an IN filter
+    on the partition column. The filter is resolved against DIRECTORY
+    NAMES at planning time — ``.explain`` shows it under
+    ``PartitionFilters`` with only 2 of 5 partitions listed, and zero
+    rows of the other partitions are ever read. At 100 TB this is the
+    difference between scanning 40 TB and scanning the whole lake; the
+    same mechanism prunes date-partitioned event logs to the queried
+    day range."""
+    path = os.path.join(SCRATCH, "events_by_type")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )

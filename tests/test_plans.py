@@ -99,3 +99,67 @@ def test_exact_dedup_no_body_shuffle(spark, qs):
     assert "text" not in exchange.split("\n\n")[0], (
         "document body shuffled in dedup_exact"
     )
+
+
+def test_partitioned_scan_prunes_partitions(spark, qs):
+    # The partition-column IN filter must be resolved against directory
+    # names at planning time (PartitionFilters), not per-row.
+    df = qs["scan_partitioned_pruning"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_bucketed_join_needs_no_shuffle(spark):
+    # Bucketed co-located join — THE pre-shuffle pattern for repeated
+    # 100 TB fact-fact joins: both sides hash-clustered into the same
+    # bucket count on the join key at WRITE time, so the join reads
+    # bucket i against bucket i with zero Exchange in the plan.
+    import os
+    from pyspark.sql import functions as F
+    from spark_streaming_test_spark.catalog import load
+
+    scratch = "/root/repo/.scratch"
+    orders = load(spark, SF_DIR, "orders")
+    lineitem = load(spark, SF_DIR, "lineitem")
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", lineitem, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(scratch, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    # At sf0.001 both sides fit the broadcast threshold, which would
+    # hide the property under test (a fact-fact join at 100 TB cannot
+    # broadcast) — force the non-broadcast strategy the bucketing serves.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("bkt_lineitem")
+            .join(
+                spark.table("bkt_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = checks.formatted_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # Exactly ONE Exchange: the re-key for the final groupBy. An
+        # unbucketed plan has three (one per join side + the agg);
+        # bucketing eliminates both join-side shuffles.
+        import re as _re
+
+        n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, f"expected 1 Exchange, got {n_exchanges}:\n{plan}"
+        n = joined.agg(F.sum("n")).collect()[0][0]
+        assert n == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_orders", "bkt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
