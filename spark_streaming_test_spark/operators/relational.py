@@ -223,3 +223,27 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "fn_unpivot",
+    tags=("reshape",),
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem)
+UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+""",
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide measures -> long key/value rows) — the inverse of
+    agg_pivot. Plans as an Expand node: each input row fans out to one
+    row per measure with NO shuffle, so at 100 TB it's a map-side
+    reshape that streams straight into whatever aggregation follows."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

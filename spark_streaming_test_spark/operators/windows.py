@@ -220,3 +220,33 @@ def window_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@register(
+    "window_range_frame",
+    tags=("window", "frame"),
+    oracle="""
+SELECT event_id, event_type, user_id,
+       COUNT(*) OVER (PARTITION BY event_type ORDER BY user_id
+         RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS n_near,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER (
+         PARTITION BY event_type ORDER BY user_id
+         RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_near
+FROM events
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (all rows within 50 user_ids below the
+    current row's). Unlike ROWS frames, RANGE includes ALL peers of the
+    boundary values, so the result is deterministic even where user_id
+    ties — and the decimal-cast sum keeps the float total
+    order-independent across engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("user_id").rangeBetween(-50, 0)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.sum(F.col("value").cast("decimal(25,4)")).over(w).cast("double").alias("sum_near"),
+    )
