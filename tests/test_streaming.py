@@ -291,3 +291,118 @@ def test_synthetic_packet_source_batch(spark):
     )
     assert df.count() == 12
     assert df.columns == ["nif", "raw", "ts"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics (absent from the DStream reference): an event
+    older than (max event time - watermark delay) must NOT be folded
+    into its already-finalized window, and append mode must emit each
+    window exactly once."""
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    _write_packet_batch(spark, src, [("A", 100.0, _ts(0)), ("A", 50.0, _ts(2))], 0)
+    totals = windowed_totals_stream(
+        packet_stream_from_dir(spark, src), window="5 minutes", watermark="10 minutes"
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Advance max event time to :20 -> watermark becomes :10, sealing
+        # the [:00,:05) window.
+        _write_packet_batch(spark, src, [("A", 10.0, _ts(20))], 1)
+        q.processAllAvailable()
+        # 999 at :01 is 19 min late (< watermark :10): must be DISCARDED.
+        _write_packet_batch(spark, src, [("A", 999.0, _ts(1)), ("A", 10.0, _ts(40))], 2)
+        q.processAllAvailable()
+        # One more batch so the new watermark (:30) seals [:20,:25).
+        _write_packet_batch(spark, src, [("A", 1.0, _ts(41))], 3)
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].minute, r["total_bytes"])
+            for r in spark.sql("SELECT * FROM wm_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(0, 150.0), (20, 10.0)}, got
+
+
+def test_edge_trigger_state_survives_restart(spark, tmp_path):
+    """Checkpointed keyed state across a stop/start cycle — the semantic
+    upgrade over the reference's static per-JVM map (SURVEY.md §4.3):
+    after restart the processor must REMEMBER key A is in the alert
+    state and suppress the repeat, where the reference would re-send."""
+    import glob as _glob
+
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def start_query():
+        packets = packet_stream_from_dir(spark, src)
+        totals = packets.select("nif", F.col("bytes").alias("total_bytes"))
+        alerts = edge_trigger_stream(totals, max_limit=150.0)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    _write_packet_batch(spark, src, [("A", 200.0, _ts(0))], 0)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Restart from the same checkpoint; A stays over-limit.
+    _write_packet_batch(spark, src, [("A", 220.0, _ts(5))], 1)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _glob.glob(f"{out}/*.parquet")
+    rows = [
+        (r["nif"], r["total_bytes"], r["is_alert"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    # Exactly the first observation; the post-restart repeat is suppressed.
+    assert rows == [("A", 200.0, True)], rows
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming dropDuplicates keeps keyed state bounded by the
+    watermark and drops cross-batch repeats of the same (nif, ts)."""
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    _write_packet_batch(spark, src, [("A", 1.0, _ts(0)), ("B", 2.0, _ts(0))], 0)
+    packets = packet_stream_from_dir(spark, src)
+    deduped = packets.withWatermark("ts", "10 minutes").dropDuplicates(["nif", "ts"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # (A, :00) repeats across batches -> dropped by state, not batch-local dedup.
+        _write_packet_batch(spark, src, [("A", 9.0, _ts(0)), ("C", 3.0, _ts(1))], 1)
+        q.processAllAvailable()
+        got = sorted(
+            (r["nif"], r["bytes"]) for r in spark.sql("SELECT * FROM dd_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [("A", 1.0), ("B", 2.0), ("C", 3.0)], got
