@@ -1,0 +1,88 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+``df.sample()`` draws from a partition-seeded RNG, so its output changes
+with partitioning, task retries, and engine — unacceptable both for the
+oracle gate and for real pipelines (a retried task must not change the
+training set). These operators instead key every decision on a CONTENT
+HASH (md5 of the stable id): the same row lands in the same
+sample/split on any cluster size, any engine, any rerun — and documents
+added later don't reshuffle existing assignments (the property that
+makes hash-splits the standard for 100 TB corpora).
+
+All are pure projections/filters over the scan — no shuffle except the
+small audit aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, spread
+from ..registry import register
+
+# First two hex chars of md5 ~ uniform over 256 buckets; '00'..'19' is
+# 26/256 ~ 10.2% of rows.
+SAMPLE_CEIL = "19"
+
+
+def _hash_key(col):
+    return F.md5(F.col(col).cast("string"))
+
+
+@register(
+    "sample_hash_deterministic",
+    tags=("llm", "sampling"),
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{SAMPLE_CEIL}'
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% sample selected by md5(doc_id) prefix — partition-count- and
+    retry-invariant, unlike ``df.sample``. The predicate is a scan-level
+    filter (no shuffle); at 100 TB the sample streams out of the source
+    without materializing the corpus."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", "source", "n_chars").filter(
+        F.substring(_hash_key("doc_id"), 1, 2) <= SAMPLE_CEIL
+    )
+
+
+@register(
+    "split_train_test",
+    tags=("llm", "sampling", "split"),
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM assigned
+GROUP BY lang, split
+""",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed train/val/test split (12/2/2 of 16 hex buckets =
+    75%/12.5%/12.5%) with a per-language audit aggregate. Assignment is
+    a projection; only the audit counts shuffle. Adding documents never
+    moves an existing doc between splits (no train/test leakage on
+    incremental corpus refreshes)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    first = F.substring(_hash_key("doc_id"), 1, 1)
+    split = (
+        F.when(first <= "b", "train").when(first <= "d", "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
