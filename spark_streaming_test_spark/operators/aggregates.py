@@ -281,3 +281,49 @@ def agg_argminmax_condcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 99.0).alias("any_extreme"),
         F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
     )
+
+
+@register(
+    "agg_rollup_hierarchical_time",
+    tags=("agg", "rollup", "time"),
+    oracle="""
+WITH minute_agg AS (
+  SELECT date_trunc('minute', ts) AS minute_ts, event_type,
+         SUM(CAST(value AS DECIMAL(25,6))) AS v, COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT date_trunc('hour', minute_ts) AS hour_ts, event_type,
+       CAST(SUM(v) AS DOUBLE) AS total_value,
+       SUM(n) AS n_events,
+       COUNT(*) AS n_active_minutes
+FROM minute_agg
+GROUP BY 1, 2
+""",
+)
+def agg_rollup_hierarchical_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the continuous-aggregate / hypertable
+    pattern): aggregate raw events to minute grain once, then derive the
+    hour grain FROM THE MINUTE PARTIALS — never rescanning raw data.
+
+    At 100 TB the minute layer is a materialized table ~1000x smaller
+    than the events it summarizes; every coarser grain (hour/day/month)
+    is an agg over partials. Sums stay in exact decimal between the two
+    levels, so the re-aggregation is bit-identical to a direct
+    hour-grain aggregate — which is what makes serving coarse grains
+    from partials safe. ``n_active_minutes`` (count of non-empty minute
+    buckets) is only expressible from the fine grain."""
+    ev = load(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_ts"), "event_type"
+    ).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return minute.groupBy(
+        F.date_trunc("hour", "minute_ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.sum("v").cast("double").alias("total_value"),
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+    )
