@@ -1,0 +1,120 @@
+"""The Python UDF surface: scalar ``@pandas_udf``, grouped-agg
+``@pandas_udf``, and ``applyInPandas`` (UDTF-like grouped map).
+
+UDFs are the SLOW PATH — every query here has a pure-JVM twin elsewhere
+in the repo (text_analysis.py does token counting in Catalyst
+expressions), and the hot paths use those. This module exists because a
+complete engine must still offer the escape hatch, with the right
+plumbing: all three APIs move data over Arrow in columnar batches
+(``spark.sql.execution.arrow.*`` in session.py), never row-at-a-time
+pickling, which is the 10-100× difference the Pandas-UDF design exists
+for.
+
+UDF objects are built lazily inside each query (``pandas_udf`` resolves
+its return type against the active session, so decorating at module
+import would require a session before the registry can even list
+queries).
+
+Every UDF below computes integer results, so the DuckDB oracle
+comparison is exact — no float-association hazards through Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load, spread
+from ..registry import register
+
+_WORD_RE = r"[a-z]+"
+
+
+@register(
+    "udf_pandas_scalar",
+    tags=("udf", "pandas"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_WORD_RE}')) AS INT) AS n_words
+FROM documents
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched) counting word tokens —
+    pandas' C-backed str.count over the whole series, no per-row
+    Python. The JVM-side twin is text_token_count; this exists to
+    exercise the vectorized Python path with identical semantics."""
+
+    @pandas_udf("int")
+    def count_words(texts: pd.Series) -> pd.Series:
+        return texts.str.lower().str.count(_WORD_RE).astype("int32")
+
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", count_words("text").alias("n_words"))
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    tags=("udf", "pandas", "agg"),
+    oracle="""
+SELECT lang, SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (one group's column in, one scalar
+    out). NOTE the scale caveat: unlike built-in aggregates this has NO
+    map-side partial aggregation — every group's full column crosses to
+    Python on one executor. Fine for moderate group sizes; for 100 TB
+    hot keys use built-ins or a salted two-phase pre-aggregation
+    (operators/skew.py) first."""
+
+    @pandas_udf("bigint")
+    def sum_chars(n_chars: pd.Series) -> int:
+        return int(n_chars.sum())
+
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(sum_chars("n_chars").alias("total_chars"))
+
+
+@register(
+    "udf_apply_in_pandas",
+    tags=("udf", "pandas", "grouped-map"),
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+FROM documents
+GROUP BY lang
+""",
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas`` grouped map (the UDTF shape): each language's
+    rows arrive as ONE pandas DataFrame; the function returns an
+    arbitrary-schema frame. The per-group profile here is expressible as
+    built-ins (that twin is the oracle) — the API matters for logic that
+    genuinely isn't, e.g. per-group model scoring or sequence labeling.
+    Same scale caveat as any grouped map: one group = one task's memory."""
+    d = spread(load(spark, sf_dir, "documents"))
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["n_chars"]
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "min_chars": [int(n.min())],
+                "max_chars": [int(n.max())],
+                "n_long": [int((n > 500).sum())],
+            }
+        )
+
+    return d.select("lang", "n_chars").groupBy("lang").applyInPandas(
+        profile,
+        schema="lang string, n_docs bigint, min_chars bigint, max_chars bigint, n_long bigint",
+    )

@@ -29,6 +29,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.windows",
     "spark_streaming_test_spark.operators.aggregates",
     "spark_streaming_test_spark.functions.scalar",
+    "spark_streaming_test_spark.functions.udfs",
     "spark_streaming_test_spark.operators.tpch",
     "spark_streaming_test_spark.operators.tpch_ext",
     "spark_streaming_test_spark.operators.skew",
