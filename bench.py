@@ -41,7 +41,12 @@ HEADLINE = [
     "dedup_exact",               # content-hash dedup over documents
     "dedup_minhash_lsh",         # shingle→minhash→band→bucket self-join
     "sim_bruteforce_topk",       # top-k cosine over embeddings
+    "sim_ivf_topk",              # IVF coarse-quantizer ANN (scale path)
     "text_quality_score",        # text-analysis scalar pipeline
+    "text_token_topk",           # tokenize→explode→count→top-k (word-count shape)
+    "agg_rollup_hierarchical_time",  # continuous-aggregate partial reuse
+    "sample_hash_deterministic", # scan-level hash sampling
+    "udf_pandas_scalar",         # Arrow-batched Python UDF path
 ]
 
 

@@ -316,3 +316,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_price").alias("last_order_price"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    tags=("join", "null"),
+    oracle="""
+WITH keyed AS (
+  SELECT nullif(event_type, 'error') AS k, value FROM events
+),
+counts AS (
+  SELECT k, COUNT(*) AS n FROM keyed GROUP BY k
+)
+SELECT COALESCE(a.k, '(null)') AS k_display, a.n AS n_left, b.n AS n_right
+FROM counts a JOIN counts b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — essential when a
+    "key" is genuinely optional (here 'error' events nulled out via
+    nullif). Still a hash join: the null-safe comparator is the join
+    key, so no fallback to nested-loop."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("k"), "value"
+    )
+    counts = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    a = counts.alias("a")
+    b = counts.alias("b")
+    return a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))).select(
+        F.coalesce(F.col("a.k"), F.lit("(null)")).alias("k_display"),
+        F.col("a.n").alias("n_left"),
+        F.col("b.n").alias("n_right"),
+    )

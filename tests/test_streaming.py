@@ -406,3 +406,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert got == [("A", 1.0), ("B", 2.0), ("C", 3.0)], got
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Event-time session windows in a live stream: activity separated
+    by < 5-minute gaps merges into one session; a longer gap starts a
+    new one. Append mode emits a session only after the watermark passes
+    its close — asserted across micro-batches."""
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    _write_packet_batch(
+        spark, src, [("A", 10.0, _ts(0)), ("A", 20.0, _ts(3))], 0
+    )
+    packets = packet_stream_from_dir(spark, src)
+    sessions = (
+        packets.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "nif")
+        .agg(F.sum("bytes").alias("total_bytes"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "nif",
+            "total_bytes",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # :30 is > 5 min after :03 -> new session; watermark -> :20,
+        # sealing the first session ([:00, :08) = last event + gap).
+        _write_packet_batch(spark, src, [("A", 5.0, _ts(30))], 1)
+        q.processAllAvailable()
+        _write_packet_batch(spark, src, [("A", 1.0, _ts(50))], 2)
+        q.processAllAvailable()
+        got = sorted(
+            (r["sess_start"].minute, r["sess_end"].minute, r["total_bytes"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        )
+    finally:
+        q.stop()
+    # Session 1: events at :00 and :03 merged (gap 3 < 5), closes :08.
+    # Session 2: the :30 event, closed at :35, sealed once watermark hit :40.
+    assert got == [(0, 8, 30.0), (30, 35, 5.0)], got
