@@ -84,3 +84,33 @@ def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).filter(
         F.col("event_type").isin("purchase", "signup")
     )
+
+
+COMPACT_FILES = 4
+
+
+@register(
+    "scan_compacted_write",
+    tags=("source", "parquet", "compaction"),
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def scan_compacted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: rewrite a table into exactly
+    COMPACT_FILES parquet files via ``coalesce`` (a NARROW dependency —
+    partitions concatenate with no shuffle, unlike ``repartition``).
+
+    The small-files problem is a top-3 operational issue at 100 TB:
+    a streaming ingest that commits every 5 minutes leaves millions of
+    KB-scale files whose open/footer costs dominate scans. A periodic
+    coalesce-rewrite (files sized to ~1 GB) restores scan throughput.
+    The roundtrip is oracle-checked; the file count is asserted in
+    tests/test_plans.py."""
+    path = os.path.join(SCRATCH, "events_compacted")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .coalesce(COMPACT_FILES)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

@@ -163,3 +163,13 @@ def test_bucketed_join_needs_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_orders", "bkt_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_compacted_write_file_count(spark, qs):
+    import glob
+
+    qs["scan_compacted_write"](spark, SF_DIR).count()
+    from spark_streaming_test_spark.sources.files import COMPACT_FILES, SCRATCH
+
+    files = glob.glob(f"{SCRATCH}/events_compacted/*.parquet")
+    assert 0 < len(files) <= COMPACT_FILES, files
