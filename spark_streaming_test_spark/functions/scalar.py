@@ -313,3 +313,62 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.nested.v").alias("v"),
         F.col("info.nested.day").alias("day"),
     )
+
+
+@register(
+    "fn_conditional_suite",
+    tags=("scalar", "conditional"),
+    oracle="""
+SELECT event_id,
+       coalesce(nullif(event_type, 'error'), 'recovered') AS etype_fixed,
+       greatest(value, 50.0) AS floored_50,
+       least(value, 50.0) AS capped_50,
+       CASE WHEN value IS NULL THEN -1.0 ELSE value END AS value_nn,
+       nullif(user_id % 5, 0) AS bucket_or_null
+FROM events
+""",
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalars: coalesce/nullif/greatest/least/CASE — all
+    Catalyst expressions in codegen (null handling never leaves the
+    JVM)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("recovered")).alias(
+            "etype_fixed"
+        ),
+        F.greatest("value", F.lit(50.0)).alias("floored_50"),
+        F.least("value", F.lit(50.0)).alias("capped_50"),
+        F.when(F.col("value").isNull(), F.lit(-1.0)).otherwise(F.col("value")).alias(
+            "value_nn"
+        ),
+        F.nullif(F.col("user_id") % 5, F.lit(0)).alias("bucket_or_null"),
+    )
+
+
+@register(
+    "fn_date_arithmetic",
+    tags=("scalar", "date"),
+    oracle="""
+SELECT event_id,
+       CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month_clamped,
+       last_day(CAST(ts AS DATE)) AS month_end,
+       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_2024,
+       CAST(CAST(ts AS DATE) - INTERVAL 7 DAY AS DATE) AS week_earlier
+FROM events
+""",
+)
+def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: month addition with end-of-month clamping
+    (Jan 31 + 1 month = Feb 29), last_day, day diffs — semantics chosen
+    where Spark and DuckDB agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        F.add_months(d, 1).alias("next_month_clamped"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
+        F.date_sub(d, 7).alias("week_earlier"),
+    )

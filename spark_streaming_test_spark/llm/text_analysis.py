@@ -268,3 +268,41 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs_tokens"), "token")
         .limit(TOKEN_TOPK)
     )
+
+
+# PII patterns kept to syntax identical in Java regex (Spark) and RE2
+# (DuckDB): character classes, +, {m,}, no backrefs/lookaround.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+@register(
+    "text_pii_redact",
+    tags=("llm", "text", "pii"),
+    oracle=f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{LONG_DIGITS_RE}', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{LONG_DIGITS_RE}')) AS n_long_numbers
+FROM documents
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: redact email addresses and
+    long digit runs (phone/account numbers), and count what was removed
+    for audit. Pure JVM regexp (codegen), patterns restricted to the
+    syntax subset where Java regex and RE2 agree — a scan-shaped map
+    with zero shuffle, which is what lets it run inline in a 100 TB
+    ingest pass rather than as a separate job."""
+    d = spread(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_DIGITS_RE, "<NUM>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(LONG_DIGITS_RE))).alias("n_long_numbers"),
+    )

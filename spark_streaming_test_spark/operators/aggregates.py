@@ -327,3 +327,27 @@ def agg_rollup_hierarchical_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.count(F.lit(1)).alias("n_active_minutes"),
     )
+
+
+@register(
+    "agg_bitwise",
+    tags=("agg", "bitwise"),
+    oracle="""
+SELECT event_type,
+       bit_and(user_id) AS all_bits,
+       bit_or(user_id) AS any_bits,
+       bit_xor(user_id) AS parity_bits
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR over the group) — exact integer
+    ops, single-pass hash agg with partial combine (bitwise ops are
+    associative+commutative, so map-side partials are lossless)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("all_bits"),
+        F.bit_or("user_id").alias("any_bits"),
+        F.bit_xor("user_id").alias("parity_bits"),
+    )
