@@ -1,0 +1,212 @@
+"""Document chunking & sequence packing for LLM training corpora.
+
+Three operators a training-data pipeline needs between "clean corpus" and
+"batches on the accelerator":
+
+* ``text_chunk_fixed`` — split each document into fixed-size overlapping
+  windows (the retrieval/embedding chunking step). Expressed as
+  ``explode(sequence(...))`` + ``substring`` — pure Catalyst generators,
+  no Python, no shuffle: chunking is a flatMap over the scan, so at
+  100 TB it streams source→sink embarrassingly parallel.
+* ``text_pack_greedy`` — causal-LM sequence packing: concatenate
+  documents in a stable order and cut every ``CTX`` tokens (next-fit by
+  running token count). A running sum needs a sort; a GLOBAL order would
+  serialize on one task, so packing is partitioned by ``source`` — each
+  source packs independently (the standard sharded-packing layout: bins
+  are keyed ``(source, bin_id)``), keeping every partition's window sort
+  local after a hash shuffle.
+* ``corpus_mixture_weights`` — per-(lang, source) token shares and the
+  resampling weight that would flatten the mixture to uniform — the
+  knob for domain-mixture tuning. One small aggregate + a broadcastable
+  window over ~K group rows.
+
+Reference parity note: the reference (rakrachok/spark-streaming-test) has
+no text pipeline — these extend it per the SURVEY.md §2.1 north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load, spread
+from ..registry import register
+
+# Chunk geometry: 200-char windows every 150 chars (50-char overlap).
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+# Packing context length, in whitespace tokens.
+CTX_TOKENS = 512
+
+
+@register(
+    "text_chunk_fixed",
+    bench=True,
+    tags=("llm", "chunking"),
+    oracle=f"""
+SELECT doc_id,
+       CAST((start_pos - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+       start_pos AS chunk_start,
+       substring(text, start_pos, {CHUNK_CHARS}) AS chunk_text,
+       length(substring(text, start_pos, {CHUNK_CHARS})) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), {CHUNK_STRIDE}))
+           AS start_pos
+  FROM documents
+)
+""",
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap: 200-char windows, 150-char
+    stride. ``sequence`` generates the window starts JVM-side and
+    ``explode`` flat-maps them — one narrow stage fused into the scan
+    (no shuffle, no Python). The tail chunk is allowed to be short;
+    1-indexed ``substring`` clamps identically in Spark and DuckDB."""
+    d = spread(load(spark, sf_dir, "documents"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.substring(F.col("text"), F.col("start_pos"), CHUNK_CHARS)
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("start_pos"))
+        .select(
+            "doc_id",
+            (((F.col("start_pos") - 1) / CHUNK_STRIDE).cast("int")).alias("chunk_id"),
+            F.col("start_pos").alias("chunk_start"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document packing assignment: running whitespace-token count
+    within each ``source`` shard, cut into CTX_TOKENS bins."""
+    d = spread(load(spark, sf_dir, "documents"))
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / CTX_TOKENS).alias(
+                "bin_id"
+            ),
+            ((F.col("cum_tokens") - F.col("n_tokens")) % CTX_TOKENS).alias(
+                "bin_offset"
+            ),
+        )
+    )
+
+
+_PACKED_SQL = f"""
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum_tokens - n_tokens) / {CTX_TOKENS}) AS BIGINT) AS bin_id,
+       (cum_tokens - n_tokens) % {CTX_TOKENS} AS bin_offset
+FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM documents
+)
+"""
+
+
+@register(
+    "text_pack_greedy",
+    bench=True,
+    tags=("llm", "packing"),
+    oracle=_PACKED_SQL,
+)
+def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM sequence packing (next-fit): documents are concatenated
+    in stable (source, doc_id) order and cut every CTX_TOKENS tokens;
+    a doc may straddle two bins (exactly how packed pretraining batches
+    are built). The running sum is a window PARTITIONED by source — the
+    sort is per-shard, so no single-task global sort at 100 TB."""
+    return _packed(spark, sf_dir)
+
+
+@register(
+    "text_pack_bin_stats",
+    tags=("llm", "packing"),
+    oracle=f"""
+SELECT source, bin_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM ({_PACKED_SQL})
+GROUP BY source, bin_id
+""",
+)
+def text_pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing audit: per-bin document count and token fill. Interior
+    bins fill to >= CTX_TOKENS (a straddling doc tops them up); only a
+    shard's final bin may be short — the packing-efficiency check run
+    before shipping batches to training."""
+    return (
+        _packed(spark, sf_dir)
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    tags=("llm", "mixture"),
+    oracle="""
+WITH grp AS (
+  SELECT lang, source,
+         COUNT(*) AS n_docs,
+         SUM(n_chars) AS total_chars
+  FROM documents
+  GROUP BY lang, source
+)
+SELECT lang, source, n_docs, total_chars,
+       CAST(total_chars AS DOUBLE)
+         / SUM(total_chars) OVER () AS char_share,
+       (1.0 / COUNT(*) OVER ())
+         / (CAST(total_chars AS DOUBLE) / SUM(total_chars) OVER ())
+         AS uniform_weight
+FROM grp
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture audit: each (lang, source) cell's share of corpus
+    chars, and the resampling weight that would flatten the mixture to
+    uniform. The heavy part is one partial-aggregated groupBy; the
+    unpartitioned window then runs over only K group rows (dozens), so
+    the 'global' window is trivially cheap."""
+    d = load(spark, sf_dir, "documents")
+    grp = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    share = F.col("total_chars").cast("double") / F.sum("total_chars").over(w)
+    return grp.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        share.alias("char_share"),
+        ((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share).alias("uniform_weight"),
+    )

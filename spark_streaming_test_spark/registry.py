@@ -36,6 +36,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.streaming.batch_oracle",
     "spark_streaming_test_spark.sources.files",
     "spark_streaming_test_spark.llm.dedup",
+    "spark_streaming_test_spark.llm.chunking",
     "spark_streaming_test_spark.llm.sampling",
     "spark_streaming_test_spark.llm.similarity",
     "spark_streaming_test_spark.llm.text_analysis",
