@@ -1,0 +1,77 @@
+"""Hash / binary-encoding and regexp scalar-function suites
+(SURVEY.md §2.1 scalar-fns family, generalized from the reference's single
+``byte[].length`` projection — ``MainApp.java:41-42``).
+
+Content hashing is the workhorse of every 100 TB pipeline stage that needs
+determinism: dedup keys, sampling decisions, split assignment, fingerprints.
+All of these are JVM-side Catalyst expressions inside whole-stage codegen —
+a pure narrow projection over the scan, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, spread
+from ..registry import register
+
+
+@register(
+    "fn_hash_suite",
+    tags=("function", "hash"),
+    oracle="""
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       substr(md5(text), 1, 8) AS h_short,
+       to_base64(encode(substr(text, 1, 12))) AS b64_prefix,
+       hex(substr(text, 1, 8)) AS hex_prefix,
+       length(text) * 8 AS bits
+FROM documents
+""",
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic + encoding functions: md5, sha2-256, truncated
+    digest (the bucketing idiom), base64 and hex of a binary prefix,
+    bit length. One codegen'd projection — the dedup/sampling key
+    toolbox at scan speed."""
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.substring(F.md5("text"), 1, 8).alias("h_short"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64_prefix"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("hex_prefix"),
+        (F.length("text") * 8).alias("bits"),
+    )
+
+
+@register(
+    "fn_regexp_suite",
+    tags=("function", "regexp"),
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(text, '[aeiou]+', '_', 'g') AS devoweled,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_lower_runs,
+       nullif(regexp_extract(text, '[a-z]{5,}'), '') AS first_long_word,
+       regexp_matches(text, '^[A-Z]') AS starts_upper,
+       len(string_split_regex(text, '\s+')) AS n_fields
+FROM documents
+""",
+)
+def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: global replace (Spark's default = DuckDB's 'g'
+    flag), match counting, first-match extraction (NULL on no match on
+    both engines), anchored boolean match, regex split. All Java-regex
+    compatible patterns so semantics agree engine-to-engine."""
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[aeiou]+", "_").alias("devoweled"),
+        F.regexp_count("text", F.lit("[a-z]+")).alias("n_lower_runs"),
+        F.regexp_substr("text", F.lit("[a-z]{5,}")).alias("first_long_word"),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+        F.size(F.split("text", r"\s+")).alias("n_fields"),
+    )

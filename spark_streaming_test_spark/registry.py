@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.aggregates",
     "spark_streaming_test_spark.functions.scalar",
     "spark_streaming_test_spark.functions.udfs",
+    "spark_streaming_test_spark.functions.hashing",
     "spark_streaming_test_spark.operators.tpch",
     "spark_streaming_test_spark.operators.tpch_ext",
     "spark_streaming_test_spark.operators.skew",
@@ -39,6 +40,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.llm.chunking",
     "spark_streaming_test_spark.llm.sampling",
     "spark_streaming_test_spark.llm.similarity",
+    "spark_streaming_test_spark.llm.embeddings",
     "spark_streaming_test_spark.llm.text_analysis",
     "spark_streaming_test_spark.llm.multimodal",
 ]
