@@ -351,3 +351,38 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("user_id").alias("any_bits"),
         F.bit_xor("user_id").alias("parity_bits"),
     )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    tags=("aggregation", "sketch", "approx"),
+    oracle=None,  # HLL estimates are engine-specific; accuracy asserted in tests/test_llm.py
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE pattern for distinct counting at
+    100 TB: build one HyperLogLog sketch per fine-grained group
+    (nation), then roll up to coarse groups (region) by MERGING the
+    sketches (``hll_union_agg``) instead of rescanning the fact table.
+    Partial aggregation means each executor ships one ~KB sketch per
+    group, not its raw keys; the nation-level sketch table can be
+    persisted and re-merged into any coarser grouping for free.
+
+    Generalizes the reference's sum-by-key aggregate (MainApp.java:54-55)
+    to the approximate-distinct family."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    per_nation = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sketch"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_customers"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .select("n_regionkey", "approx_customers", "n_nations")
+    )

@@ -114,3 +114,36 @@ def scan_compacted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+@register(
+    "scan_orc_roundtrip",
+    tags=("source", "orc"),
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector roundtrip: parquet dim -> ORC -> scan with explicit
+    schema. ORC is the other columnar format a lakehouse must read;
+    Spark's vectorized ORC reader gives the same pushdown/pruning as
+    parquet. (DuckDB can't read ORC, so the oracle checks the roundtrip
+    against the original rows instead — value-exact.)"""
+    path = os.path.join(SCRATCH, "nation_orc")
+    load(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    return spark.read.schema(NATION_DDL).orc(path)
+
+
+@register(
+    "scan_text_lines",
+    tags=("source", "text"),
+    oracle="SELECT n_name AS line FROM nation",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text connector: one string column, one row per line — the
+    raw-corpus ingest format (every web-scale text dump starts life as
+    line-delimited text). Values are newline-free dimension names so the
+    roundtrip is exact."""
+    path = os.path.join(SCRATCH, "nation_txt")
+    load(spark, sf_dir, "nation").select(F.col("n_name").alias("line")).write.mode(
+        "overwrite"
+    ).text(path)
+    return spark.read.text(path).select(F.col("value").alias("line"))

@@ -130,3 +130,32 @@ def test_decode_stub_raises_without_libs():
         pytest.skip("image libs present")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"payload")
+
+def test_hll_sketch_rollup_accuracy(spark, sf_dir):
+    """Region-level HLL estimates (merged from per-nation sketches) must
+    land within 5% of the exact distinct counts, and merging must
+    preserve the nation count per region."""
+    from spark_streaming_test_spark.operators.aggregates import agg_hll_sketch_rollup
+    from spark_streaming_test_spark.catalog import load
+
+    est = {
+        r["n_regionkey"]: (r["approx_customers"], r["n_nations"])
+        for r in agg_hll_sketch_rollup(spark, sf_dir).collect()
+    }
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    exact = {
+        r["n_regionkey"]: (r["exact"], r["n_nations"])
+        for r in cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("exact"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for rk, (approx, n_nat) in est.items():
+        true, true_nat = exact[rk]
+        assert n_nat == true_nat
+        assert abs(approx - true) / max(true, 1) < 0.05, (rk, approx, true)
