@@ -229,3 +229,89 @@ def stream_edge_trigger_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_alert"), ALERT_MSG).otherwise(INFO_MSG).alias("message"),
         )
     )
+
+
+@register(
+    "stream_static_enrich",
+    tags=("streaming", "join"),
+    oracle=f"""
+SELECT c.c_mktsegment AS mktsegment,
+       e.event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join in batch-checkable form: the event stream
+    enriched against a slowly-changing dimension (customer), then
+    aggregated per segment. In the live form (pipeline.py::
+    enrich_with_dim) the dim is broadcast to every micro-batch — a
+    map-side join, no stream-side shuffle; the post-join agg is the
+    only stateful stage. This is the scale form of the reference's
+    collect-once limits lookup (MainApp.java:44-49)."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "stream_stream_join",
+    tags=("streaming", "join", "interval"),
+    oracle=f"""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       COUNT(p.event_id) AS n_purchases,
+       {sql_dsum('p.value')} AS purchase_value
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+GROUP BY 1, 2
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in batch-checkable form: every click
+    joined to the same user's purchases in the following 30 minutes
+    (attribution). The live form (pipeline.py::interval_join_streams)
+    is a watermarked stream-stream join — the time bound is what lets
+    Spark evict buffered state, keeping per-key state O(events in the
+    interval) instead of unbounded. NULL-sum over no purchases stays
+    NULL on both engines."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        clicks.join(purchases, cond, "left")
+        .groupBy(F.col("click_id"), F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_id").alias("n_purchases"),
+            dsum("p_value").alias("purchase_value"),
+        )
+    )

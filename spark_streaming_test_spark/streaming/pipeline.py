@@ -276,3 +276,36 @@ def write_alerts_kafka(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, join_expr) -> DataFrame:
+    """Stream-static join: enrich a live stream against a batch
+    dimension. The static side is broadcast into every micro-batch —
+    a map-side hash join with NO stream-side shuffle and no state.
+    Spark re-resolves the static plan each batch, so a dim refreshed
+    in place is picked up without restarting the query (the fix for
+    the reference's startup-only limits snapshot, MainApp.java:44-49)."""
+    return stream_df.join(F.broadcast(dim_df), join_expr)
+
+
+def interval_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (attribution shape):
+    each click matched to the same user's purchases within
+    ``max_delay`` after it. Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can evict buffered
+    rows once the watermark passes the interval — state stays
+    O(interval), not O(stream). Expects columns
+    (click_id, c_user, click_ts) and (p_id, p_user, p_ts, p_value)."""
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(p, cond, "inner")

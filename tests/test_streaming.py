@@ -454,3 +454,101 @@ def test_streaming_session_window(spark, tmp_path):
     # Session 1: events at :00 and :03 merged (gap 3 < 5), closes :08.
     # Session 2: the :30 event, closed at :35, sealed once watermark hit :40.
     assert got == [(0, 8, 30.0), (30, 35, 5.0)], got
+
+
+def test_stream_static_join_enrichment(spark, sf_dir, tmp_path):
+    """Live stream-static join: a streamed events feed broadcast-joined
+    to the customer dim matches the batch join row-for-row."""
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.streaming.pipeline import enrich_with_dim
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src, mode="overwrite")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double, ts timestamp"
+    ).parquet(src)
+    enriched = enrich_with_dim(
+        stream, cust, F.col("user_id") == F.col("c_custkey")
+    ).select("event_id", "c_mktsegment")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["c_mktsegment"])
+            for r in spark.sql("SELECT * FROM enrich_out").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Live watermarked stream-stream interval join produces exactly the
+    batch interval-join pairs on a bounded input."""
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.streaming.pipeline import interval_join_streams
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.write.parquet(csrc, mode="overwrite")
+    purchases.write.parquet(psrc, mode="overwrite")
+
+    cs = spark.readStream.schema(
+        "click_id long, c_user long, click_ts timestamp"
+    ).parquet(csrc)
+    ps = spark.readStream.schema(
+        "p_id long, p_user long, p_ts timestamp"
+    ).parquet(psrc)
+    joined = interval_join_streams(cs, ps).select("click_id", "p_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["click_id"], r["p_id"])
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r["click_id"], r["p_id"])
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("click_id", "p_id")
+        .collect()
+    }
+    assert got == expected
