@@ -47,6 +47,8 @@ HEADLINE = [
     "agg_rollup_hierarchical_time",  # continuous-aggregate partial reuse
     "sample_hash_deterministic", # scan-level hash sampling
     "udf_pandas_scalar",         # Arrow-batched Python UDF path
+    "text_chunk_fixed",          # explode-based document chunking
+    "text_pack_greedy",          # sequence packing via partitioned window
 ]
 
 

@@ -86,3 +86,28 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "sample_stratified_hash",
+    tags=("llm", "sampling", "stratified"),
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      <= CASE WHEN lang = 'en' THEN '1f' ELSE '7f' END
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample the dominant
+    stratum (en at ~12.5%) while keeping minority languages at ~50% —
+    the rebalancing step applied to over-represented web crawl sources.
+    Same hash-key mechanics as sample_hash_deterministic, so the
+    decision is retry/partition/engine-invariant and a later corpus
+    refresh never flips an existing row; still a pure scan-level
+    filter (no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    ceil = F.when(F.col("lang") == "en", "1f").otherwise("7f")
+    return d.select("doc_id", "lang", "source", "n_chars").filter(
+        F.substring(_hash_key("doc_id"), 1, 2) <= ceil
+    )
