@@ -34,6 +34,8 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.tpch",
     "spark_streaming_test_spark.operators.tpch_ext",
     "spark_streaming_test_spark.operators.skew",
+    "spark_streaming_test_spark.operators.behavior",
+    "spark_streaming_test_spark.operators.profiling",
     "spark_streaming_test_spark.streaming.batch_oracle",
     "spark_streaming_test_spark.sources.files",
     "spark_streaming_test_spark.llm.dedup",
