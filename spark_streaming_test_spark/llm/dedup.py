@@ -378,3 +378,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.8)
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    tags=("llm", "dedup", "cluster"),
+    # No SQL oracle: iterative fixpoint. tests/test_llm.py checks the
+    # clustering against a driver-side union-find over the same pairs.
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph — the
+    step that turns PAIRS into dedup DECISIONS: each component is a
+    duplicate cluster, its min doc_id the canonical survivor
+    (``keep``), everything else dropped.
+
+    Algorithm: iterative min-label propagation. Every doc starts
+    labeled with its own id; each round every node takes the min of its
+    label and its neighbors' labels; converged when no label changes —
+    O(component diameter) rounds of one shuffle each (near-dup
+    components are tiny cliques, so 2-3 rounds in practice; large-
+    diameter chains would want the alternating large/small-star
+    algorithm instead). ``localCheckpoint`` truncates the growing loop
+    lineage each round so the plan doesn't deepen with iterations."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Symmetric edge list; self-loops implicit via the label join below.
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -159,3 +159,50 @@ def test_hll_sketch_rollup_accuracy(spark, sf_dir):
         true, true_nat = exact[rk]
         assert n_nat == true_nat
         assert abs(approx - true) / max(true, 1) < 0.05, (rk, approx, true)
+
+
+def test_dedup_cluster_matches_union_find(spark, sf_dir):
+    """Label-propagation clusters must equal a driver-side union-find
+    over the same LSH pairs; exactly one keeper (the min id) per
+    cluster; docs in no pair keep themselves."""
+    from spark_streaming_test_spark.llm.dedup import (
+        dedup_cluster_canonical,
+        dedup_minhash_lsh,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_cluster_canonical(spark, sf_dir).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical root = min doc_id in component
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    expected_root = {}
+    for root, members in comp.items():
+        m = min(members + [root])
+        for x in members + [root]:
+            expected_root[x] = m
+
+    for doc_id, (cluster, keep) in got.items():
+        exp = expected_root.get(doc_id, doc_id)
+        assert cluster == exp, (doc_id, cluster, exp)
+        assert keep == (doc_id == cluster)
