@@ -173,3 +173,63 @@ def test_compacted_write_file_count(spark, qs):
 
     files = glob.glob(f"{SCRATCH}/events_compacted/*.parquet")
     assert 0 < len(files) <= COMPACT_FILES, files
+
+
+def _non_spread_exchanges(plan: str) -> int:
+    # spread()'s round-robin repartition sits directly above the scan and
+    # exists only because local test tables are single-row-group files; a
+    # production many-file scan skips it. Don't count it against the plan.
+    import re as _re
+
+    n = len(_re.findall(r"\(\d+\) Exchange", plan))
+    spread = len(
+        _re.findall(r"\+- Exchange \(\d+\)\s*\n\s*\+- Scan parquet", plan)
+    )
+    return n - spread
+
+
+def test_chunking_shuffles_nothing_but_spread(spark, qs):
+    # Chunking is a flatMap (explode) over the scan — any non-spread
+    # Exchange means a 100 TB corpus would shuffle for no reason.
+    df = qs["text_chunk_fixed"](spark, SF_DIR)
+    assert _non_spread_exchanges(checks.formatted_plan(df)) == 0
+    checks.assert_operator(df, "Generate")
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, qs):
+    # The dim side must broadcast: a shuffle join on the stream side
+    # would re-key every micro-batch.
+    df = qs["stream_static_enrich"](spark, SF_DIR)
+    checks.assert_broadcast_join(df)
+
+
+def test_sessionize_single_exchange(spark, qs):
+    # lag-window, cumsum-window, and final groupBy all share the
+    # user_id hash partitioning: exactly one Exchange end-to-end.
+    import re as _re
+
+    df = qs["window_sessionize"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    n = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 1, f"expected 1 Exchange, got {n}:\n{plan}"
+
+
+def test_pack_greedy_single_exchange(spark, qs):
+    # Window partitioned by source: one hash exchange, sort local.
+    import re as _re
+
+    df = qs["text_pack_greedy"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    n = _non_spread_exchanges(plan)
+    assert n == 1, f"expected 1 non-spread Exchange, got {n}:\n{plan}"
+
+
+def test_stratified_sample_is_scan_filter(spark, qs):
+    # Pure scan-level filter: no shuffle anywhere.
+    df = qs["sample_stratified_hash"](spark, SF_DIR)
+    checks.assert_operator(df, "Exchange", present=False)
+
+
+def test_emb_quantize_no_shuffle(spark, qs):
+    df = qs["emb_normalize_quantize"](spark, SF_DIR)
+    assert _non_spread_exchanges(checks.formatted_plan(df)) == 0
