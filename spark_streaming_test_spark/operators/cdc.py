@@ -1,0 +1,177 @@
+"""Change-data-capture / slowly-changing-dimension operators — the
+incremental-maintenance shapes a lakehouse runs between ingest batches.
+
+``table_diff`` reconciles two snapshots of a keyed table into
+added/removed/changed rows (full-outer join on key + content-hash
+compare — the engine-level primitive under MERGE INTO). ``scd2_intervals``
+turns an event log into type-2 validity intervals (``lead`` over event
+time). Both are single-shuffle plans keyed on the entity id.
+
+The snapshots here are two halves of ``orders`` (split by a hash
+predicate so both sides are deterministic and overlap), standing in for
+"yesterday's load" vs "today's load".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Snapshot predicates: old = buckets 0..9, new = buckets 3..12 of 16.
+# Overlap (3..9) are candidate updates; o_orderstatus differs for ~1/3
+# of them via the second hash char, exercising the 'changed' branch.
+_BUCKET = "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)"
+
+
+@register(
+    "table_diff",
+    tags=("cdc", "join"),
+    oracle=f"""
+WITH old_snap AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE {_BUCKET} <= '9'
+),
+new_snap AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) <= '4'
+              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE {_BUCKET} BETWEEN '3' AND 'c'
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_orderstatus <> n.o_orderstatus
+              OR o.o_custkey <> n.o_custkey
+              OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       o.o_orderstatus AS old_status,
+       n.o_orderstatus AS new_status
+FROM old_snap o
+FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+""",
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: full-outer join on the key, then
+    classify each key as added / removed / changed / unchanged. One
+    sort-merge (or shuffle-hash) join on the key — at 100 TB both
+    snapshots should be bucketed on the key so the join is
+    shuffle-free; the change predicate compares columns directly (a
+    content hash per side collapses it to one comparison when rows are
+    wide)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    mut = F.substring(F.md5(F.col("o_orderkey").cast("string")), 2, 1)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    old_snap = o.filter(bucket <= "9").select(*cols)
+    new_snap = (
+        o.filter(bucket.between("3", "c"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(mut <= "4", "U").otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            "o_totalprice",
+        )
+    )
+    old_a, new_a = old_snap.alias("o"), new_snap.alias("n")
+    changed = (
+        (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.o_custkey") != F.col("n.o_custkey"))
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    )
+    return (
+        old_a.join(new_a, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), "added")
+            .when(F.col("n.o_orderkey").isNull(), "removed")
+            .when(changed, "changed")
+            .otherwise("unchanged")
+            .alias("change_type"),
+            F.col("o.o_orderstatus").alias("old_status"),
+            F.col("n.o_orderstatus").alias("new_status"),
+        )
+    )
+
+
+@register(
+    "scd2_intervals",
+    tags=("cdc", "window", "scd2"),
+    oracle="""
+WITH typed AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+  WHERE event_type IN ('signup', 'purchase', 'error')
+)
+SELECT user_id,
+       event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM typed
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each state-change event
+    opens a validity interval closed by the user's next change
+    (``lead``); the last interval per user is open-ended
+    (``is_current``). One hash exchange on user_id, window sort local —
+    the standard event-log → dimension-table derivation. Ties broken by
+    event_id for deterministic interval order."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "agg_histogram",
+    tags=("aggregation", "histogram"),
+    oracle="""
+WITH binned AS (
+  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin_id
+  FROM orders
+)
+SELECT bin_id,
+       bin_id * 25000.0 AS bin_lo,
+       (bin_id + 1) * 25000.0 AS bin_hi,
+       COUNT(*) AS n_orders
+FROM binned
+GROUP BY bin_id
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bin assignment is a
+    scan-level projection (floor division — deterministic on both
+    engines, unlike engine-specific width_bucket edge rules), then a
+    partial-aggregated count per bin. The profile-stage histogram at
+    100 TB: one narrow pass + a ~hundred-row shuffle."""
+    o = load(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / 25000.0).cast("bigint")
+    return (
+        o.select(bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin_id",
+            (F.col("bin_id") * 25000.0).alias("bin_lo"),
+            ((F.col("bin_id") + 1) * 25000.0).alias("bin_hi"),
+            "n_orders",
+        )
+    )

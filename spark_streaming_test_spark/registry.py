@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.tpch_ext",
     "spark_streaming_test_spark.operators.skew",
     "spark_streaming_test_spark.operators.behavior",
+    "spark_streaming_test_spark.operators.cdc",
     "spark_streaming_test_spark.operators.profiling",
     "spark_streaming_test_spark.streaming.batch_oracle",
     "spark_streaming_test_spark.sources.files",
