@@ -118,3 +118,50 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile,
         schema="lang string, n_docs bigint, min_chars bigint, max_chars bigint, n_long bigint",
     )
+
+
+@register(
+    "udf_python_udtf",
+    tags=("udf", "udtf"),
+    oracle="""
+SELECT doc_id,
+       CAST(i AS INT) AS piece_idx,
+       trim(piece) AS piece,
+       length(trim(piece)) AS piece_len
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, '.')) AS piece,
+         generate_subscripts(string_split(text, '.'), 1) AS i
+  FROM documents
+)
+WHERE trim(piece) <> ''
+""",
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``): one input row -> many output
+    rows, here sentence-splitting a document (the UDTF third of the
+    UDF/UDAF/UDTF surface; the declarative twin is
+    ``explode(split(...))``, which is what the oracle uses). UDTFs run
+    row-at-a-time in Python — reserve them for logic ``explode`` can't
+    express; this query exists to prove the plumbing end-to-end."""
+    from pyspark.sql.functions import col, lit, udtf
+
+    @udtf(returnType="piece_idx int, piece string, piece_len int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(text.split("."), start=1):
+                piece = raw.strip()
+                if piece:
+                    yield i, piece, len(piece)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = spread(load(spark, sf_dir, "documents"))
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.piece_idx, s.piece, s.piece_len
+        FROM udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )

@@ -306,3 +306,158 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE))).alias("n_emails"),
         F.size(F.regexp_extract_all(t, F.lit(LONG_DIGITS_RE))).alias("n_long_numbers"),
     )
+
+
+@register(
+    "text_quality_filter",
+    tags=("llm", "text", "quality", "filter"),
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang, source,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_token_len,
+         ({" + ".join(_sql_count("concat(' ', lower(text), ' ')", f" {w} ") for w in STOPWORDS)})
+           / len(string_split(text, ' ')) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CASE
+         WHEN n_chars < 40 THEN 'too_short'
+         WHEN n_tokens < 8 THEN 'too_few_tokens'
+         WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'token_len_out_of_range'
+         WHEN stopword_ratio < 0.01 THEN 'low_stopword_density'
+         ELSE 'keep'
+       END AS verdict,
+       CASE
+         WHEN n_chars >= 40 AND n_tokens >= 8
+          AND avg_token_len BETWEEN 2.0 AND 12.0
+          AND stopword_ratio >= 0.01 THEN TRUE ELSE FALSE
+       END AS keep
+FROM feats
+""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality GATE (the decision layer on top
+    of ``text_quality_score``): ordered rules — min length, min token
+    count, mean-token-length band, stopword density — emit the first
+    failing rule as the drop reason, so corpus curation can report WHY
+    each document fell out. Pure scan-level projection: the whole gate
+    runs at ingest speed with zero shuffle at any corpus size."""
+    d = spread(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(t, " "))
+    avg_token_len = (
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tokens
+    )
+    stop_hits = F.lit(0).cast("double")
+    for w in STOPWORDS:
+        stop_hits = stop_hits + _count_occurrences(_padded(t), f" {w} ")
+    stopword_ratio = stop_hits / n_tokens
+    verdict = (
+        F.when(n_chars < 40, "too_short")
+        .when(n_tokens < 8, "too_few_tokens")
+        .when(
+            (avg_token_len < 2.0) | (avg_token_len > 12.0), "token_len_out_of_range"
+        )
+        .when(stopword_ratio < 0.01, "low_stopword_density")
+        .otherwise("keep")
+    )
+    keep = (
+        (n_chars >= 40)
+        & (n_tokens >= 8)
+        & avg_token_len.between(2.0, 12.0)
+        & (stopword_ratio >= 0.01)
+    )
+    return d.select("doc_id", "lang", "source", verdict.alias("verdict"), keep.alias("keep"))
+
+
+@register(
+    "text_bigram_pmi",
+    tags=("llm", "text", "collocation"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+),
+bigrams AS (
+  SELECT string_split_regex(lt, '[^a-z]+')[i] AS w1,
+         string_split_regex(lt, '[^a-z]+')[i+1] AS w2
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(string_split_regex(lt, '[^a-z]+')), 1))) AS i
+  )
+  WHERE string_split_regex(lt, '[^a-z]+')[i] <> ''
+    AND string_split_regex(lt, '[^a-z]+')[i+1] <> ''
+),
+big_counts AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM bigrams GROUP BY w1, w2
+),
+uni_counts AS (
+  SELECT w1 AS w, SUM(n_pair) AS n_first FROM big_counts GROUP BY w1
+),
+uni2_counts AS (
+  SELECT w2 AS w, SUM(n_pair) AS n_second FROM big_counts GROUP BY w2
+),
+total AS (SELECT SUM(n_pair) AS n_total FROM big_counts)
+SELECT w1, w2, n_pair,
+       round(ln((CAST(n_pair AS DOUBLE) * n_total)
+                / (CAST(u1.n_first AS DOUBLE) * u2.n_second)), 8) AS pmi
+FROM big_counts b
+JOIN uni_counts u1 ON b.w1 = u1.w
+JOIN uni2_counts u2 ON b.w2 = u2.w
+CROSS JOIN total
+WHERE n_pair >= 5
+""",
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information over corpus
+    bigrams (the phrase-detection pass run before tokenizer training).
+    Bigrams explode from a regex tokenization; PMI joins pair counts
+    against both marginal-position counts. The marginals are tiny
+    (vocab-sized) aggregates of the ALREADY-aggregated pair table —
+    nothing rescans the corpus — and at 100 TB they broadcast back onto
+    the pair table. PMI rounded to 8 dp: ln() may differ in the last
+    ulp across libm implementations."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    pairs = (
+        d.select(toks.alias("tk"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.col("tk"),
+                        F.slice(F.col("tk"), 2, 2_000_000),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                    lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    big_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni1 = big_counts.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("n_pair").alias("n_first")
+    )
+    uni2 = big_counts.groupBy(F.col("w2").alias("w")).agg(
+        F.sum("n_pair").alias("n_second")
+    )
+    total = big_counts.agg(F.sum("n_pair").alias("n_total"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("n_total"))
+            / (F.col("n_first").cast("double") * F.col("n_second"))
+        ),
+        8,
+    )
+    return (
+        big_counts.filter(F.col("n_pair") >= 5)
+        .join(F.broadcast(uni1), F.col("w1") == F.col("w"))
+        .drop("w")
+        .join(F.broadcast(uni2), F.col("w2") == F.col("w"))
+        .drop("w")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+    )

@@ -552,3 +552,83 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_rate_source_drives_pipeline(spark, tmp_path):
+    """The built-in rate source (SURVEY §2.1 scans family) feeds the
+    traffic projection live: synthesize (nif, bytes, ts) from rate rows
+    and confirm data flows end-to-end into the memory sink."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            F.concat(F.lit("eth"), (F.col("value") % 2)).alias("nif"),
+            (F.col("value") % 100 + 1).cast("double").alias("bytes"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM rate_out").collect()[0]["c"]
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0, "rate source produced no rows within 30s"
+        nifs = {
+            r["nif"] for r in spark.sql("SELECT DISTINCT nif FROM rate_out").collect()
+        }
+        assert nifs <= {"eth0", "eth1"}
+    finally:
+        q.stop()
+
+
+def test_available_now_backfill_terminates(spark, sf_dir, tmp_path):
+    """Trigger.AvailableNow: process the whole backlog as bounded
+    micro-batches, then stop — the backfill mode for reprocessing a
+    historical corpus through a streaming pipeline without leaving a
+    continuous query running. Totals must equal the batch aggregate."""
+    from spark_streaming_test_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("nif"),
+        F.col("value").alias("bytes"),
+        "ts",
+    )
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema(PACKET_SCHEMA).parquet(src)
+    totals = stream.groupBy("nif").agg(F.sum("bytes").alias("total_bytes"))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("backfill_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "AvailableNow query did not self-terminate"
+    finally:
+        q.stop()
+    got = {
+        r["nif"]: round(r["total_bytes"], 6)
+        for r in spark.sql("SELECT * FROM backfill_out").collect()
+    }
+    expected = {
+        r["nif"]: round(r["total"], 6)
+        for r in ev.groupBy("nif").agg(F.sum("bytes").alias("total")).collect()
+    }
+    assert got == expected
