@@ -49,6 +49,7 @@ HEADLINE = [
     "udf_pandas_scalar",         # Arrow-batched Python UDF path
     "text_chunk_fixed",          # explode-based document chunking
     "text_pack_greedy",          # sequence packing via partitioned window
+    "text_bigram_pmi",           # collocation mining: explode + 3-way marginal join
 ]
 
 
