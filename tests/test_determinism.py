@@ -1,0 +1,70 @@
+"""Reproducibility gate: float aggregates must be BITWISE identical
+under any partitioning (the functions/deterministic.py contract — at
+100 TB, partition counts change with AQE/cluster size on every run, and
+a training pipeline that emits different bytes per run is broken)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_test_spark.catalog import load
+from spark_streaming_test_spark.functions.deterministic import dsum
+
+
+def _bits(x: float) -> str:
+    return struct.pack("d", x).hex()
+
+
+@pytest.mark.parametrize("n_parts", [1, 7, 32])
+def test_dsum_bitwise_stable_across_partitionings(spark, sf_dir, n_parts):
+    li = load(spark, sf_dir, "lineitem").repartition(n_parts)
+    got = {
+        r["l_returnflag"]: _bits(r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(dsum("l_extendedprice").alias("s"))
+        .collect()
+    }
+    base = {
+        r["l_returnflag"]: _bits(r["s"])
+        for r in load(spark, sf_dir, "lineitem")
+        .coalesce(1)
+        .groupBy("l_returnflag")
+        .agg(dsum("l_extendedprice").alias("s"))
+        .collect()
+    }
+    assert got == base
+
+
+def test_naive_double_sum_is_why_dsum_exists(spark, sf_dir):
+    """Documents the failure mode dsum prevents: naive double SUM over
+    different partition orders is allowed to differ in the last ulp.
+    (Not asserted to differ — just asserted dsum stays equal where the
+    naive sum is merely 'close'.)"""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.repartition(13).agg(F.sum("l_extendedprice")).collect()[0][0]
+    b = li.coalesce(1).agg(F.sum("l_extendedprice")).collect()[0][0]
+    assert abs(a - b) / abs(b) < 1e-12  # close, but not guaranteed bit-equal
+    da = li.repartition(13).agg(dsum("l_extendedprice")).collect()[0][0]
+    db = li.coalesce(1).agg(dsum("l_extendedprice")).collect()[0][0]
+    assert _bits(da) == _bits(db)
+
+
+@pytest.mark.parametrize("n_parts", [2, 16])
+def test_hash_sampling_invariant_to_partitioning(spark, sf_dir, n_parts):
+    from spark_streaming_test_spark.registry import queries
+
+    q = queries()["sample_hash_deterministic"]
+    ids_base = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    d = load(spark, sf_dir, "documents").repartition(n_parts)
+    d.createOrReplaceTempView("__docs_reparted")
+    ids_rep = {
+        r["doc_id"]
+        for r in d.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "19"
+        ).collect()
+    }
+    assert ids_base == ids_rep
