@@ -147,3 +147,58 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).text(path)
     return spark.read.text(path).select(F.col("value").alias("line"))
+
+
+def _zorder_bits(a, b, bits: int = 8):
+    """Interleave the low ``bits`` of two non-negative int columns into
+    a z-value (Morton code) — pure JVM bit arithmetic."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    return z
+
+
+def _sql_zorder_bits(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "scan_zorder_write",
+    tags=("source", "parquet", "layout", "zorder"),
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       {_sql_zorder_bits("(o_custkey % 256)", "CAST(floor(o_totalprice / 2500.0) AS BIGINT) % 256")} AS zval
+FROM orders
+""",
+)
+def scan_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered layout: interleave the bits of
+    two filter columns (customer bucket, price bucket) into one z-value,
+    range-partition + sort the table by it, and write. Rows close in
+    BOTH dimensions land in the same files, so parquet min/max stats
+    prune scans filtered on EITHER column — the multi-column data-
+    skipping layout (Delta/Iceberg 'OPTIMIZE ZORDER BY') at 100 TB,
+    expressed with stock Spark bit arithmetic and repartitionByRange.
+    The query returns the z-valued rows (oracle-checked); the clustered
+    write is exercised for its side effect."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zval = _zorder_bits(
+        F.col("o_custkey") % 256,
+        F.floor(F.col("o_totalprice") / 2500.0).cast("long") % 256,
+    )
+    df = o.withColumn("zval", zval)
+    (
+        df.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCRATCH, "orders_zorder"))
+    )
+    return df

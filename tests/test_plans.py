@@ -233,3 +233,29 @@ def test_stratified_sample_is_scan_filter(spark, qs):
 def test_emb_quantize_no_shuffle(spark, qs):
     df = qs["emb_normalize_quantize"](spark, SF_DIR)
     assert _non_spread_exchanges(checks.formatted_plan(df)) == 0
+
+
+def test_zorder_write_clusters_files(spark, qs):
+    # The clustered write must produce files whose zval ranges are
+    # (nearly) disjoint — that disjointness IS the data-skipping
+    # property: a zval-band filter then touches few files.
+    from pyspark.sql import functions as F
+
+    qs["scan_zorder_write"](spark, SF_DIR)  # side effect: clustered write
+    written = spark.read.parquet(
+        "/root/repo/.scratch/orders_zorder"
+    ).withColumn("file", F.input_file_name())
+    spans = (
+        written.groupBy("file")
+        .agg((F.max("zval") - F.min("zval")).alias("span"))
+        .collect()
+    )
+    glob = written.agg(
+        (F.max("zval") - F.min("zval")).alias("g")
+    ).collect()[0]["g"]
+    assert len(spans) >= 4
+    total_span = sum(r["span"] for r in spans)
+    # Range partitioning makes per-file spans partition the global range
+    # (plus boundary slack); grossly overlapping files would sum to
+    # n_files * global_span.
+    assert total_span <= 1.5 * glob, (total_span, glob, len(spans))
