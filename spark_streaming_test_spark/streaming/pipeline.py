@@ -155,12 +155,19 @@ class EdgeTriggerProcessor:
     Spark 4.
     """
 
-    def __new__(cls, max_limit: float):
+    def __new__(cls, max_limit: float, ttl_ms: int | None = None):
         from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
         class _Processor(StatefulProcessor):
             def init(self, handle) -> None:
-                self._state = handle.getValueState("last_alert", "flag boolean")
+                # Optional TTL: a NIC silent for ttl_ms gets its state
+                # evicted (and re-alerts on reappearance, like a fresh
+                # key). At 100 TB key cardinalities the TTL is what
+                # bounds the state store; requires
+                # timeMode="processingtime" on the query.
+                self._state = handle.getValueState(
+                    "last_alert", "flag boolean", ttlDurationMs=ttl_ms
+                )
 
             def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
                 (nif,) = key
@@ -186,16 +193,19 @@ class EdgeTriggerProcessor:
         return _Processor()
 
 
-def edge_trigger_stream_tws(totals: DataFrame, max_limit: float) -> DataFrame:
+def edge_trigger_stream_tws(
+    totals: DataFrame, max_limit: float, ttl_ms: int | None = None
+) -> DataFrame:
     """Edge-triggered alert dedup via ``transformWithStateInPandas``
     (Spark 4). Same truth table as :func:`edge_trigger_stream`; prefer
     this on Spark 4 — ``applyInPandasWithState`` remains as the Spark-3.x
-    fallback."""
+    fallback. ``ttl_ms`` bounds the state store by evicting keys idle
+    longer than the TTL (state TTL needs processing-time mode)."""
     return totals.groupBy("nif").transformWithStateInPandas(
-        statefulProcessor=EdgeTriggerProcessor(max_limit),
+        statefulProcessor=EdgeTriggerProcessor(max_limit, ttl_ms),
         outputStructType=ALERT_SCHEMA,
         outputMode="append",
-        timeMode="none",
+        timeMode="none" if ttl_ms is None else "processingtime",
     )
 
 

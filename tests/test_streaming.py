@@ -678,3 +678,52 @@ def test_idempotent_sink_replay_safe(spark, sf_dir, tmp_path):
     replay = spark.createDataFrame(rows, "event_id long, user_id long, value double")
     writer(replay, last_bid)
     assert spark.read.parquet(out).count() == total
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in this env)",
+)
+def test_edge_trigger_tws_with_ttl_wiring(spark, tmp_path):
+    """TTL-enabled state: same edge-trigger truth table on a single
+    batch (TTL far in the future), proving the ttlDurationMs +
+    processing-time-mode wiring end-to-end."""
+    from spark_streaming_test_spark.streaming.pipeline import (
+        PACKET_SCHEMA,
+        edge_trigger_stream_tws,
+    )
+
+    src = str(tmp_path / "packets")
+    rows = [
+        ("eth0", 200.0, "2024-01-01 00:00:30"),
+        ("eth1", 50.0, "2024-01-01 00:00:40"),
+    ]
+    df = spark.createDataFrame(
+        [(n, b, __import__("datetime").datetime.fromisoformat(t)) for n, b, t in rows],
+        PACKET_SCHEMA,
+    )
+    df.write.parquet(src, mode="overwrite")
+    totals = (
+        spark.readStream.schema(PACKET_SCHEMA)
+        .parquet(src)
+        .groupBy("nif")
+        .agg(F.sum("bytes").alias("total_bytes"))
+    )
+    alerts = edge_trigger_stream_tws(totals, max_limit=150.0, ttl_ms=3_600_000)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r["nif"]: (r["is_alert"])
+        for r in spark.sql("SELECT * FROM ttl_out").collect()
+    }
+    assert got == {"eth0": True, "eth1": False}
