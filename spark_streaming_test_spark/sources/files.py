@@ -202,3 +202,40 @@ def scan_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(SCRATCH, "orders_zorder"))
     )
     return df
+
+
+@register(
+    "scan_merge_schema",
+    tags=("source", "parquet", "schema-evolution"),
+    oracle="""
+SELECT n_nationkey, n_name,
+       CASE WHEN n_nationkey < 13 THEN NULL ELSE n_regionkey END AS n_regionkey
+FROM nation
+""",
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old partition written WITHOUT
+    ``n_regionkey`` and a new partition written with it, scanned as one
+    table via ``mergeSchema`` — missing columns null-fill. This is how
+    a 100 TB lakehouse absorbs additive schema changes without
+    rewriting history. (Pay the footer-merge cost only when schemas
+    actually diverge; pin the schema explicitly otherwise.)"""
+    n = load(spark, sf_dir, "nation")
+    path = os.path.join(SCRATCH, "nation_evolved")
+    (
+        n.filter(F.col("n_nationkey") < 13)
+        .select("n_nationkey", "n_name")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "gen=old"))
+    )
+    (
+        n.filter(F.col("n_nationkey") >= 13)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "gen=new"))
+    )
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

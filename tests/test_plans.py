@@ -259,3 +259,48 @@ def test_zorder_write_clusters_files(spark, qs):
     # (plus boundary slack); grossly overlapping files would sum to
     # n_files * global_span.
     assert total_span <= 1.5 * glob, (total_span, glob, len(spans))
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    # Runtime bloom-filter injection: the selective dim side builds a
+    # bloom filter that pre-filters the FACT SCAN (might_contain on the
+    # join key) before the shuffle — the semi-join reduction that, at
+    # 100 TB, drops most fact rows before they move. Fires above
+    # size thresholds in production; lowered here so the rewrite is
+    # observable at test scale.
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_DIR, "lineitem")
+        orders = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue().lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
