@@ -147,3 +147,45 @@ def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         sample, schema="doc_id long, frame_idx int, frame_md5 string"
     )
+
+
+@register(
+    "mm_resize_stub",
+    tags=("llm", "multimodal", "pandas-udf"),
+    # rows-only (engine-side stub; determinism asserted in tests/test_llm.py)
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary payloads stream through ``mapInPandas``
+    and come back re-scaled to a fixed TARGET_BYTES budget (truncate or
+    cycle-pad — the deterministic stand-in for an image resample; swap
+    the inner fn for PIL ``Image.resize`` when libs exist). Emits the
+    resized payload WITH its provenance metadata (orig/new sizes, scale
+    factor) — the payload column stays opaque binary end-to-end, which
+    is the invariant that matters at 100 TB: Python touches bytes only
+    inside the Arrow batch, the engine never interprets them."""
+    TARGET_BYTES = 128
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _resize_one(payload: bytes) -> bytes:
+            if len(payload) >= TARGET_BYTES:
+                return bytes(payload[:TARGET_BYTES])
+            reps = (TARGET_BYTES + len(payload) - 1) // len(payload)
+            return bytes((payload * reps)[:TARGET_BYTES])
+
+        for pdf in batches:
+            resized = pdf["payload"].map(_resize_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["payload"].map(len),
+                    "resized": resized,
+                    "new_bytes": resized.map(len),
+                }
+            )
+
+    return src.mapInPandas(
+        resize,
+        schema="doc_id long, orig_bytes long, resized binary, new_bytes long",
+    )

@@ -206,3 +206,15 @@ def test_dedup_cluster_matches_union_find(spark, sf_dir):
         exp = expected_root.get(doc_id, doc_id)
         assert cluster == exp, (doc_id, cluster, exp)
         assert keep == (doc_id == cluster)
+
+
+def test_mm_resize_stub_budget_and_determinism(spark, sf_dir):
+    from spark_streaming_test_spark.llm.multimodal import mm_resize_stub
+
+    rows = {r["doc_id"]: r for r in mm_resize_stub(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert r["new_bytes"] == 128
+        assert len(r["resized"]) == 128
+    again = {r["doc_id"]: bytes(r["resized"]) for r in mm_resize_stub(spark, sf_dir).collect()}
+    assert {k: bytes(v["resized"]) for k, v in rows.items()} == again
