@@ -210,3 +210,86 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("char_share"),
         ((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share).alias("uniform_weight"),
     )
+
+
+@register(
+    "corpus_curation_funnel",
+    tags=("llm", "pipeline", "curation"),
+    oracle="""
+WITH kept AS (
+  SELECT doc_id, lang, text,
+         length(text) >= 40
+         AND len(string_split(text, ' ')) >= 8
+         AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0
+           AS q_keep
+  FROM documents
+),
+deduped AS (
+  SELECT doc_id, lang,
+         doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS d_keep
+  FROM kept WHERE q_keep
+),
+sampled AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           <= CASE WHEN lang = 'en' THEN '1f' ELSE '7f' END AS s_keep
+  FROM deduped WHERE d_keep
+)
+SELECT 'raw' AS stage, (SELECT COUNT(*) FROM kept) AS n_docs
+UNION ALL
+SELECT 'quality', (SELECT COUNT(*) FROM kept WHERE q_keep)
+UNION ALL
+SELECT 'exact_dedup', (SELECT COUNT(*) FROM deduped WHERE d_keep)
+UNION ALL
+SELECT 'sampled', (SELECT COUNT(*) FROM sampled WHERE s_keep)
+""",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE lazy plan: quality gate →
+    exact dedup (min-id survivor per content hash) → stratified hash
+    downsample, reporting the attrition count after each stage — the
+    top-level report every training-corpus refresh produces.
+
+    Composition shape at 100 TB: the quality gate is a scan-level
+    filter; dedup survival is a window over the content hash (shuffles
+    32-byte hashes + ids only — document bodies never move); sampling
+    is again a pure filter. Stage counts are four tiny aggregates over
+    the shared lineage — Spark recomputes the cheap filters rather than
+    materializing intermediates (swap in .persist() between stages when
+    the corpus iteration loop reuses them)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = F.size(F.split(t, " "))
+    avg_tok = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tokens
+    q_keep = (F.length(t) >= 40) & (n_tokens >= 8) & avg_tok.between(2.0, 12.0)
+
+    kept = d.select("doc_id", "lang", "text", q_keep.alias("q_keep"))
+    w = Window.partitionBy(F.sha2("text", 256))
+    deduped = (
+        kept.filter("q_keep")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("d_keep"),
+        )
+    )
+    sampled = deduped.filter("d_keep").select(
+        "doc_id",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            <= F.when(F.col("lang") == "en", "1f").otherwise("7f")
+        ).alias("s_keep"),
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("raw", kept)
+        .unionByName(stage("quality", kept.filter("q_keep")))
+        .unionByName(stage("exact_dedup", deduped.filter("d_keep")))
+        .unionByName(stage("sampled", sampled.filter("s_keep")))
+    )
