@@ -125,3 +125,89 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_purchased_after_click"),
     )
+
+
+@register(
+    "agg_mode_per_group",
+    tags=("aggregation", "mode"),
+    oracle="""
+WITH counted AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents
+  GROUP BY lang, source
+),
+ranked AS (
+  SELECT lang, source, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, source)
+           AS rk
+  FROM counted
+)
+SELECT lang, source AS mode_source, n AS mode_count
+FROM ranked WHERE rk = 1
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group — count-then-rank, the
+    shape built-in ``mode()`` can't give deterministically (its ties
+    are arbitrary; here ties break lexically on the value, so the
+    answer is stable across engines and runs). Two shuffles over
+    (group, value) pairs — at 100 TB both key on small aggregated
+    frames, never raw rows."""
+    d = load(spark, sf_dir, "documents")
+    counted = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "lang",
+            F.col("source").alias("mode_source"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    tags=("aggregation", "retention", "cohort"),
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(time_bucket(INTERVAL '1 week', ts)) AS cohort_week
+  FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, time_bucket(INTERVAL '1 week', ts) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('week', f.cohort_week, a.active_week) AS INT) AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM first_seen f
+JOIN activity a ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, then
+    distinct-active counts per (cohort, weeks-since) cell — THE
+    product-analytics retention query. The cohort frame is one row per
+    user (tiny next to the event log), so its join back onto per-week
+    activity broadcasts at scale; everything else is partial-aggregated
+    distinct counting."""
+    ev = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
