@@ -135,12 +135,16 @@ SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        list_contains(string_split(text, ' '), 'spark') AS has_spark,
        string_split(text, ' ')[1] AS first_token,
-       list_sort(list_distinct(string_split(lower(text), ' ')))[1:5] AS first_5_vocab
+       COALESCE(array_to_string(
+         list_sort(list_distinct(string_split(lower(text), ' ')))[1:5], ','), '')
+         AS first_5_vocab
 FROM documents
 """,
 )
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """split/size/contains/index/distinct/sort/slice on token arrays."""
+    """split/size/contains/index/distinct/sort/slice on token arrays.
+    The sliced vocab array is serialized to a comma-joined string — the
+    driver's pandas canonicalizer cannot hash list cells."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.select(
@@ -148,9 +152,10 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.element_at(toks, 1).alias("first_token"),
-        F.slice(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), 1, 5).alias(
-            "first_5_vocab"
-        ),
+        F.concat_ws(
+            ",",
+            F.slice(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), 1, 5),
+        ).alias("first_5_vocab"),
     )
 
 
@@ -236,13 +241,14 @@ WITH arr AS (
   FROM events
 )
 SELECT event_id,
-       list_transform(a, x -> x * 2 + 1) AS doubled_plus1,
-       list_filter(a, x -> x % 2 = 0) AS evens,
+       COALESCE(array_to_string(list_transform(a, x -> x * 2 + 1), ','), '')
+         AS doubled_plus1,
+       COALESCE(array_to_string(list_filter(a, x -> x % 2 = 0), ','), '') AS evens,
        CAST(list_sum(a) AS BIGINT) AS total,
        CAST(list_dot_product(a, b) AS DOUBLE) AS dot_ab,
        len(list_filter(a, x -> x > 9)) > 0 AS has_gt9,
        len(list_filter(a, x -> NOT (x < 13))) = 0 AS all_lt13,
-       list_sort(a) AS sorted_a
+       COALESCE(array_to_string(list_sort(a), ','), '') AS sorted_a
 FROM arr
 """,
 )
@@ -257,8 +263,12 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.array(eid % 3, eid % 5, eid % 2)
     return ev.select(
         "event_id",
-        F.transform(a, lambda x: x * 2 + 1).alias("doubled_plus1"),
-        F.filter(a, lambda x: x % 2 == 0).alias("evens"),
+        F.concat_ws(
+            ",", F.transform(a, lambda x: x * 2 + 1).cast("array<string>")
+        ).alias("doubled_plus1"),
+        F.concat_ws(
+            ",", F.filter(a, lambda x: x % 2 == 0).cast("array<string>")
+        ).alias("evens"),
         F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
         F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -267,7 +277,7 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("dot_ab"),
         F.exists(a, lambda x: x > 9).alias("has_gt9"),
         F.forall(a, lambda x: x < 13).alias("all_lt13"),
-        F.array_sort(a).alias("sorted_a"),
+        F.concat_ws(",", F.array_sort(a).cast("array<string>")).alias("sorted_a"),
     )
 
 

@@ -59,7 +59,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_grouped_agg",
     tags=("udf", "pandas", "agg"),
     oracle="""
-SELECT lang, SUM(n_chars) AS total_chars
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang
 """,

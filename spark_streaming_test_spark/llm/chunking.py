@@ -112,7 +112,7 @@ def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKED_SQL = f"""
 SELECT doc_id, source, n_tokens,
        CAST(floor((cum_tokens - n_tokens) / {CTX_TOKENS}) AS BIGINT) AS bin_id,
-       (cum_tokens - n_tokens) % {CTX_TOKENS} AS bin_offset
+       CAST((cum_tokens - n_tokens) % {CTX_TOKENS} AS BIGINT) AS bin_offset
 FROM (
   SELECT doc_id, source,
          len(string_split(text, ' ')) AS n_tokens,
@@ -145,7 +145,7 @@ def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT source, bin_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS bin_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM ({_PACKED_SQL})
@@ -176,7 +176,7 @@ def text_pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH grp AS (
   SELECT lang, source,
          COUNT(*) AS n_docs,
-         SUM(n_chars) AS total_chars
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
   FROM documents
   GROUP BY lang, source
 )

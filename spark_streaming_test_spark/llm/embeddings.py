@@ -39,7 +39,9 @@ WITH v AS (
 SELECT vec_id, label,
        len(emb) AS n_dims,
        l2_norm,
-       list_transform(emb, x -> CAST(floor(x / l2_norm * 127 + 0.5) AS INT)) AS q8,
+       COALESCE(array_to_string(
+         list_transform(emb, x -> CAST(floor(x / l2_norm * 127 + 0.5) AS INT)), ','), '')
+         AS q8,
        list_inner_product(
          list_transform(emb, x -> x / l2_norm),
          list_transform(emb, x -> x / l2_norm)) AS unit_sumsq
@@ -62,9 +64,12 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.size("emb").alias("n_dims"),
             "l2_norm",
-            F.transform(
-                F.col("emb"),
-                lambda x: F.floor(x / F.col("l2_norm") * 127 + 0.5).cast("int"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("emb"),
+                    lambda x: F.floor(x / F.col("l2_norm") * 127 + 0.5).cast("int"),
+                ).cast("array<string>"),
             ).alias("q8"),
             _sumsq(unit).alias("unit_sumsq"),
         )

@@ -62,7 +62,7 @@ WITH assigned AS (
          n_chars
   FROM documents
 )
-SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM assigned
 GROUP BY lang, split
 """,

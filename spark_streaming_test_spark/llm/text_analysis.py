@@ -210,7 +210,7 @@ hashed AS (
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
   FROM shingled
 )
-SELECT doc_id, array_agg(h ORDER BY h) AS fingerprint
+SELECT doc_id, COALESCE(string_agg(h, ',' ORDER BY h), '') AS fingerprint
 FROM hashed WHERE rn <= {FINGERPRINT_K}
 GROUP BY doc_id
 """,
@@ -219,7 +219,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: the K smallest md5(3-gram shingle) digests
     (a bottom-k minwise sketch — two docs' fingerprint overlap estimates
     Jaccard similarity). md5 exists in both engines, making this the
-    oracle-checkable cousin of the xxhash64 MinHash in llm/dedup.py."""
+    oracle-checkable cousin of the xxhash64 MinHash in llm/dedup.py.
+    The sketch is serialized to a comma-joined string (the driver's
+    pandas canonicalizer cannot hash list cells)."""
     from .dedup import _shingles
 
     d = spread(load(spark, sf_dir, "documents"))
@@ -227,7 +229,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
         .select("doc_id", F.md5("shingle").alias("h"))
         .groupBy("doc_id")
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, FINGERPRINT_K).alias("fingerprint"))
+        .agg(
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_list("h")), 1, FINGERPRINT_K)
+            ).alias("fingerprint")
+        )
     )
 
 

@@ -176,7 +176,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     tags=("agg", "collect"),
     oracle="""
-SELECT o_custkey, array_agg(o_orderkey ORDER BY o_orderkey) AS orderkeys
+SELECT o_custkey,
+       COALESCE(string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey), '')
+         AS orderkeys
 FROM orders
 WHERE o_orderstatus = 'P'
 GROUP BY o_custkey
@@ -184,12 +186,18 @@ GROUP BY o_custkey
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list is unordered in a distributed agg — sort_array makes
-    it deterministic (matching DuckDB's ORDER BY inside array_agg)."""
+    it deterministic. The sorted list is serialized to a comma-joined
+    string: the driver's pandas canonicalizer cannot hash list cells
+    (round-1 crash), so array results travel as strings."""
     o = load(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_orderstatus") == "P")
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("o_orderkey")).cast("array<string>")
+            ).alias("orderkeys")
+        )
     )
 
 
@@ -261,7 +269,7 @@ def agg_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        max_by(value, event_id) AS latest_value,
        min_by(value, event_id) AS earliest_value,
-       count_if(value > 50.0) AS n_high,
+       CAST(count_if(value > 50.0) AS BIGINT) AS n_high,
        bool_or(value > 99.0) AS any_extreme,
        bool_and(value >= 0.0) AS all_nonneg
 FROM events
@@ -295,7 +303,7 @@ WITH minute_agg AS (
 )
 SELECT date_trunc('hour', minute_ts) AS hour_ts, event_type,
        CAST(SUM(v) AS DOUBLE) AS total_value,
-       SUM(n) AS n_events,
+       CAST(SUM(n) AS BIGINT) AS n_events,
        COUNT(*) AS n_active_minutes
 FROM minute_agg
 GROUP BY 1, 2

@@ -35,9 +35,9 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, event_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+              AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

@@ -149,8 +149,8 @@ WITH binned AS (
   FROM orders
 )
 SELECT bin_id,
-       bin_id * 25000.0 AS bin_lo,
-       (bin_id + 1) * 25000.0 AS bin_hi,
+       CAST(bin_id * 25000.0 AS DOUBLE) AS bin_lo,
+       CAST((bin_id + 1) * 25000.0 AS DOUBLE) AS bin_hi,
        COUNT(*) AS n_orders
 FROM binned
 GROUP BY bin_id

@@ -1,18 +1,93 @@
 """Order-insensitive exact result comparison between Spark and DuckDB.
 
 Replicates (a strict superset of) the driver's correctness gate: same row
-count, same column-name set, and exact value equality after sorting
-columns by name and rows by canonicalized value. Floats must match
-bitwise — the engine's deterministic-aggregation strategy
-(functions/deterministic.py) makes that achievable, and holding the line
-locally means the driver's value-hash cannot flake.
+count, same column-name set, same RESULT COLUMN TYPES, and exact value
+equality after sorting columns by name and rows by canonicalized value.
+Floats must match bitwise — the engine's deterministic-aggregation
+strategy (functions/deterministic.py) makes that achievable, and holding
+the line locally means the driver's value-hash cannot flake.
+
+The type check exists because the driver canonicalizes through pandas,
+where result *width* matters: DuckDB widens SUM(BIGINT)/count_if to
+HUGEINT, which pandas renders as float64 while Spark's bigint stays
+int64 — identical values, different hash (the exact failure mode of
+agg_argminmax_condcount/agg_rollup_hierarchical_time in round 1). Both
+engines' declared types are mapped to a canonical label and compared
+per column, so any width divergence fails locally before the driver
+ever sees it.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import math
+import re
 from decimal import Decimal
+
+# Canonical type labels keyed by each engine's spelling. Coarse on
+# purpose: the driver's hash cares about the pandas dtype a value lands
+# in, not the SQL name. All signed ints up to 64 bits collapse to one
+# label (round-1 evidence: window_topk_per_group returned Spark int32
+# against a DuckDB BIGINT oracle and the driver hash PASSED — python
+# ints compare width-blind). HUGEINT stays distinct: pandas renders
+# int128 as float64/object, which is exactly the divergence that failed
+# agg_argminmax_condcount in round 1.
+_SPARK_TYPES = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "int",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "date": "date",
+    "binary": "binary",
+    "void": "null",
+}
+
+_DUCKDB_TYPES = {
+    "tinyint": "int",
+    "smallint": "int",
+    "integer": "int",
+    "bigint": "int",
+    "hugeint": "int128",  # never matches a Spark type — by design
+    "utinyint": "uint8",
+    "usmallint": "uint16",
+    "uinteger": "uint32",
+    "ubigint": "uint64",
+    "float": "float32",
+    "double": "float64",
+    "varchar": "string",
+    "boolean": "bool",
+    "timestamp": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "timestamp_ns": "timestamp",
+    "date": "date",
+    "blob": "binary",
+    '"null"': "null",
+}
+
+
+def canon_spark_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("decimal"):
+        return re.sub(r"\s+", "", t)
+    if t.startswith(("array<", "map<", "struct<")):
+        return "complex"
+    return _SPARK_TYPES.get(t, t)
+
+
+def canon_duckdb_type(t: str) -> str:
+    t = str(t).strip().lower()
+    if t.startswith("decimal"):
+        return re.sub(r"\s+", "", t)
+    if t.endswith("[]") or t.startswith(("map(", "struct(")):
+        return "complex"
+    return _DUCKDB_TYPES.get(t, t)
 
 
 def _canon(v):
@@ -61,12 +136,34 @@ def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, cur.fetchall()
 
 
+def assert_types_match(spark_df, con, sql: str, name: str = "query") -> None:
+    """Per-column declared-type equality (after canonical mapping).
+
+    Also rejects complex (array/map/struct) result columns outright:
+    the driver's pandas canonicalizer crashes on unhashable cells
+    (round-1 agg_collect_sorted / fn_array_suite), so oracle-backed
+    queries must serialize them to strings before returning.
+    """
+    stypes = {f.name: canon_spark_type(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    rel = con.sql(sql)
+    dtypes = {c: canon_duckdb_type(t) for c, t in zip(rel.columns, rel.types)}
+    bad = []
+    for c in sorted(stypes):
+        s, d = stypes[c], dtypes.get(c)
+        if s == "complex" or d == "complex":
+            bad.append(f"{c}: complex result type (spark={s}, duckdb={d}) — serialize to string")
+        elif s != d:
+            bad.append(f"{c}: spark={s} duckdb={d}")
+    assert not bad, f"{name}: result type mismatch — " + "; ".join(bad)
+
+
 def assert_match(spark_df, con, sql: str, name: str = "query") -> None:
     scols, srows = spark_result(spark_df)
     dcols, drows = duckdb_result(con, sql)
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch spark={sorted(scols)} duckdb={sorted(dcols)}"
     )
+    assert_types_match(spark_df, con, sql, name)
     assert len(srows) == len(drows), (
         f"{name}: row count mismatch spark={len(srows)} duckdb={len(drows)}"
     )
