@@ -49,7 +49,9 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("int")
     def count_words(texts: pd.Series) -> pd.Series:
-        return texts.str.lower().str.count(_WORD_RE).astype("int32")
+        # nullable Int32: null text stays null (plain astype raises on
+        # the NaN that str.count produces for nulls)
+        return texts.str.lower().str.count(_WORD_RE).astype("Int32")
 
     d = spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", count_words("text").alias("n_words"))

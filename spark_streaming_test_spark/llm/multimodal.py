@@ -169,6 +169,9 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def _resize_one(payload: bytes) -> bytes:
+            if payload is None or len(payload) == 0:
+                # empty payload: nothing to cycle-pad from — zero-fill
+                return b"\x00" * TARGET_BYTES
             if len(payload) >= TARGET_BYTES:
                 return bytes(payload[:TARGET_BYTES])
             reps = (TARGET_BYTES + len(payload) - 1) // len(payload)

@@ -72,17 +72,32 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_count_distinct",
     tags=("agg", "approx"),
-    # No oracle: HLL sketches are implementation-defined; the driver's
-    # rows-only check applies. test_aggregates asserts the estimate is
-    # within 5% of the exact count.
+    # The HLL estimate itself is engine-specific, so the oracle checks
+    # the CLAIM instead: the estimate must land within the configured
+    # relative error (5% >> the 2% rsd setting) of the exact count,
+    # which DuckDB can verify as (exact_count, TRUE) per group.
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the O(1)-memory scale path for
-    100 TB cardinality estimation."""
+    100 TB cardinality estimation. Returns the exact count plus a
+    within-tolerance flag so the estimate's accuracy is oracle-checkable
+    even though the raw estimate is implementation-defined."""
     li = load(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_orderkey", 0.02)
+    exact = F.countDistinct("l_orderkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        exact.alias("exact_orders"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        ).alias("within_tol"),
     )
 
 
@@ -236,10 +251,10 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
     oracle="""
 SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.25) AS qty_p25,
-       median(l_quantity) AS qty_median,
-       quantile_cont(l_quantity, 0.75) AS qty_p75,
-       quantile_cont(l_extendedprice, 0.9) AS price_p90
+       round(quantile_cont(l_quantity, 0.25), 10) AS qty_p25,
+       round(median(l_quantity), 10) AS qty_median,
+       round(quantile_cont(l_quantity, 0.75), 10) AS qty_p75,
+       round(quantile_cont(l_extendedprice, 0.9), 10) AS price_p90
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -248,17 +263,20 @@ def agg_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles + median per group.
 
     ``F.percentile`` is the exact (sort-based) aggregate — same
-    linear-interpolation semantics as DuckDB's ``quantile_cont``. At
-    100 TB the drop-in scale path is ``approx_percentile`` (KLL/GK
-    sketch, bounded memory, mergeable across partitions); exact
-    percentile shuffles every value of the group to one reducer.
+    linear-interpolation semantics as DuckDB's ``quantile_cont``.
+    Outputs are rounded to 10 dp on both sides (like agg_corr_manual)
+    because the interpolation formula can differ in the last ulp
+    between engines. At 100 TB the drop-in scale path is
+    ``approx_percentile`` (KLL/GK sketch, bounded memory, mergeable
+    across partitions); exact percentile shuffles every value of the
+    group to one reducer.
     """
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.25).alias("qty_p25"),
-        F.median("l_quantity").alias("qty_median"),
-        F.percentile("l_quantity", 0.75).alias("qty_p75"),
-        F.percentile("l_extendedprice", 0.9).alias("price_p90"),
+        F.round(F.percentile("l_quantity", 0.25), 10).alias("qty_p25"),
+        F.round(F.median("l_quantity"), 10).alias("qty_median"),
+        F.round(F.percentile("l_quantity", 0.75), 10).alias("qty_p75"),
+        F.round(F.percentile("l_extendedprice", 0.9), 10).alias("price_p90"),
     )
 
 
@@ -364,7 +382,18 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_hll_sketch_rollup",
     tags=("aggregation", "sketch", "approx"),
-    oracle=None,  # HLL estimates are engine-specific; accuracy asserted in tests/test_llm.py
+    # The sketch estimate is engine-specific, so the oracle checks the
+    # CLAIM: the merged-sketch estimate per region must be within 5% of
+    # the exact distinct customer count (DuckDB verifies exact counts +
+    # an always-true flag).
+    oracle="""
+SELECT n_regionkey,
+       COUNT(DISTINCT n_nationkey) AS n_nations,
+       COUNT(DISTINCT c_custkey) AS exact_customers,
+       TRUE AS within_tol
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_regionkey
+""",
 )
 def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE pattern for distinct counting at
@@ -375,22 +404,25 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, not its raw keys; the nation-level sketch table can be
     persisted and re-merged into any coarser grouping for free.
 
+    Returns the exact region-level count plus a within-5%-tolerance
+    flag for the merged-sketch estimate, so the rollup's accuracy is
+    oracle-checkable even though raw sketch bytes are engine-specific.
+
     Generalizes the reference's sum-by-key aggregate (MainApp.java:54-55)
     to the approximate-distinct family."""
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    per_nation = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_regionkey", "n_nationkey")
-        .agg(F.hll_sketch_agg("c_custkey").alias("sketch"))
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    per_nation = joined.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch"),
+        F.countDistinct("c_custkey").alias("exact_nation_customers"),
     )
-    return (
-        per_nation.groupBy("n_regionkey")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-                "approx_customers"
-            ),
-            F.count(F.lit(1)).alias("n_nations"),
-        )
-        .select("n_regionkey", "approx_customers", "n_nations")
+    approx = F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("double")
+    exact = F.sum("exact_nation_customers")  # custkeys are disjoint across nations
+    return per_nation.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        exact.alias("exact_customers"),
+        (F.abs(approx - exact.cast("double")) <= 0.05 * exact.cast("double")).alias(
+            "within_tol"
+        ),
     )

