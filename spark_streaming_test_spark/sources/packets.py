@@ -25,18 +25,27 @@ Options:
                       unbounded; finite values make tests terminate)
     start_epoch_s     event-time base (default 2024-01-01)
 
-Parallelism note: this simple reader generates on one task (fine for a
-test source); the production path is Kafka where partitions = NICs
-gives the per-NIC parallelism of the reference's thread-per-NIC model.
+Parallelism: one input partition per NIC, in both the batch reader
+(``partitions()``) and the stream reader (``DataSourceStreamReader``) —
+the planner schedules one task per NIC, matching the reference's
+thread-per-NIC capture model (CaptureNetworkReceiver.java:68-75). At
+scale the same shape holds: partitions = capture interfaces, so adding
+NICs adds parallel read tasks with no code change.
 """
 
 from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 SCHEMA_DDL = "nif string, raw binary, ts timestamp"
@@ -66,41 +75,77 @@ class _Conf:
 
 def _gen_batch(conf: _Conf, batch: int) -> Iterator[tuple]:
     for nif_idx in range(conf.nifs):
-        for seq in range(conf.packets_per_batch):
-            yield _packet(nif_idx, batch, seq, conf.snaplen)
+        yield from _gen_nif_batch(conf, nif_idx, batch)
 
 
-class SyntheticPacketStreamReader(SimpleDataSourceStreamReader):
+def _gen_nif_batch(conf: _Conf, nif_idx: int, batch: int) -> Iterator[tuple]:
+    """One NIC's frames for one micro-batch — the unit of task work."""
+    for seq in range(conf.packets_per_batch):
+        yield _packet(nif_idx, batch, seq, conf.snaplen)
+
+
+@dataclass
+class NicPartition(InputPartition):
+    """One capture interface × one offset range = one Spark task, the
+    same work unit as the reference's per-NIC capture thread
+    (CaptureNetworkReceiver.java:68-75). Must stay picklable — it is
+    shipped to executors by the Python data-source harness."""
+
+    nif_idx: int
+    start_batch: int
+    end_batch: int
+
+
+class SyntheticPacketStreamReader(DataSourceStreamReader):
+    """Partitioned stream reader: ``partitions(start, end)`` fans the
+    offset range out to one :class:`NicPartition` per NIC, so each
+    micro-batch reads all NICs in parallel tasks instead of one."""
+
     def __init__(self, options):
         self.conf = _Conf(options)
+        self._latest = 0
 
     def initialOffset(self) -> dict:
         return {"batch": 0}
 
-    def read(self, start: dict):
-        batch = start["batch"]
-        if 0 <= self.conf.max_batches <= batch:
-            return iter([]), start  # exhausted: offset stops advancing
-        # list-iterator, not a generator: the harness caches and pickles
-        # the prefetched rows, and generators are unpicklable
-        return iter(list(_gen_batch(self.conf, batch))), {"batch": batch + 1}
+    def latestOffset(self) -> dict:
+        # One generated batch per poll, capped at max_batches so tests
+        # (and availableNow triggers) terminate.
+        if self.conf.max_batches < 0 or self._latest < self.conf.max_batches:
+            self._latest += 1
+        return {"batch": self._latest}
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+    def partitions(self, start: dict, end: dict):
+        # On restart Spark replans from checkpointed offsets without
+        # calling initialOffset — keep the poll counter ahead of any
+        # offset Spark already knows so latestOffset never goes backward.
+        self._latest = max(self._latest, end["batch"])
         return [
-            row
-            for batch in range(start["batch"], end["batch"])
-            for row in _gen_batch(self.conf, batch)
+            NicPartition(nif_idx, start["batch"], end["batch"])
+            for nif_idx in range(self.conf.nifs)
         ]
+
+    def read(self, partition: NicPartition) -> Iterator[tuple]:
+        for batch in range(partition.start_batch, partition.end_batch):
+            yield from _gen_nif_batch(self.conf, partition.nif_idx, batch)
+
+    def commit(self, end: dict) -> None:
+        # Synthetic frames are derived from offsets — nothing to
+        # release; just keep the poll counter monotone across restarts.
+        self._latest = max(self._latest, end["batch"])
 
 
 class SyntheticPacketBatchReader(DataSourceReader):
     def __init__(self, options):
         self.conf = _Conf(options)
 
-    def read(self, partition) -> Iterator[tuple]:
+    def partitions(self):
         batches = self.conf.max_batches if self.conf.max_batches >= 0 else 1
-        for batch in range(batches):
-            yield from _gen_batch(self.conf, batch)
+        return [NicPartition(nif_idx, 0, batches) for nif_idx in range(self.conf.nifs)]
+
+    def read(self, partition: NicPartition) -> Iterator[tuple]:
+        for batch in range(partition.start_batch, partition.end_batch):
+            yield from _gen_nif_batch(self.conf, partition.nif_idx, batch)
 
 
 class SyntheticPacketDataSource(DataSource):
@@ -114,7 +159,7 @@ class SyntheticPacketDataSource(DataSource):
     def schema(self) -> str:
         return SCHEMA_DDL
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType):
         return SyntheticPacketStreamReader(self.options)
 
     def reader(self, schema: StructType):

@@ -293,6 +293,63 @@ def test_synthetic_packet_source_batch(spark):
     assert df.columns == ["nif", "raw", "ts"]
 
 
+def test_packet_source_partition_per_nic(spark, tmp_path):
+    """Source parallelism matches the reference's thread-per-NIC model
+    (CaptureNetworkReceiver.java:68-75): both the batch and the stream
+    reader plan exactly one input partition per NIC, and each NIC's
+    frames land wholly inside its own partition."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.sources.packets import register
+
+    register(spark)
+
+    def nif_to_pids(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["nif"], set()).add(r["pid"])
+        return out
+
+    batch = (
+        spark.read.format("synthetic_packets")
+        .option("nifs", "3")
+        .option("packets_per_batch", "4")
+        .load()
+        .select("nif", F.spark_partition_id().alias("pid"))
+        .distinct()
+        .collect()
+    )
+    by_nif = nif_to_pids(batch)
+    assert set(by_nif) == {"eth0", "eth1", "eth2"}
+    assert all(len(pids) == 1 for pids in by_nif.values())
+    assert len({next(iter(p)) for p in by_nif.values()}) == 3  # no NICs share a task
+
+    stream = (
+        spark.readStream.format("synthetic_packets")
+        .option("nifs", "2")
+        .option("packets_per_batch", "3")
+        .option("max_batches", "2")
+        .load()
+        .select("nif", F.spark_partition_id().alias("pid"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pkt_parts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_parts"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT DISTINCT nif, pid FROM pkt_parts").collect()
+    finally:
+        q.stop()
+    by_nif = nif_to_pids(rows)
+    assert set(by_nif) == {"eth0", "eth1"}
+    assert all(len(pids) == 1 for pids in by_nif.values())
+    assert len({next(iter(p)) for p in by_nif.values()}) == 2
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data semantics (absent from the DStream reference): an event
     older than (max event time - watermark delay) must NOT be folded
