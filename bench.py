@@ -50,6 +50,10 @@ HEADLINE = [
     "text_chunk_fixed",          # explode-based document chunking
     "text_pack_greedy",          # sequence packing via partitioned window
     "text_bigram_pmi",           # collocation mining: explode + 3-way marginal join
+    "dedup_ngram_jaccard",       # inverted shingle index near-dup (postings shuffle)
+    "scan_partitioned_pruning",  # partition-pruned scan off a Hive-style layout
+    "join_salted_skew",          # hot-key salted join (skew mitigation path)
+    "stream_stream_join",        # interval-bounded stream-stream join, batch twin
 ]
 
 
