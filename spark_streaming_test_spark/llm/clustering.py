@@ -1,0 +1,178 @@
+"""Embedding clustering: distributed k-means over the ``embeddings`` table.
+
+Training-data pipelines cluster embeddings constantly — semantic dedup
+(SemDeDup), domain discovery, diversity-balanced sampling, IVF coarse
+quantizers (``llm/similarity.py`` uses the same assignment step). The
+canonical distributed formulation is Lloyd's algorithm with:
+
+  * **broadcast centroids** — K x dim doubles, kilobytes, shipped to
+    every task; the corpus is never shuffled for assignment;
+  * **map-side partial aggregation** for the update step — posexplode
+    to (cluster, dim, value) and hash-aggregate; Spark's partial agg
+    means each task contributes K x dim partial sums, so the shuffle is
+    O(tasks x K x dim), independent of corpus size;
+  * **deterministic seeding** — centroids start at the K smallest
+    vec_ids (no RNG), so every run, every engine, and every resume
+    produces identical clusters.
+
+Determinism of float math: distances are double inner products computed
+in identical elementwise order on both engines, then rounded to 6 dp
+before comparison/summation so no last-ulp or summation-order effect
+can flip an argmin or a hash (see ``functions/deterministic.py``).
+
+``emb_kmeans_assign`` (one assignment pass + per-cluster stats) is
+fully DuckDB-oracle-checked. ``emb_kmeans_lloyd`` (iterative: assign ->
+recompute centroids x N) is inherently iterative — per the driver
+contract it registers rows-only; its convergence properties (inertia
+monotonically non-increasing, partitioning-invariance) are pytest-held
+in ``tests/test_llm.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, spread
+from ..functions.deterministic import dsum
+from ..registry import register
+
+K = 8  # centroids seeded from vec_id < K
+LLOYD_ITERS = 3
+DIST_DP = 6  # distance rounding, see module docstring
+
+
+def _ip(a: Column, b: Column) -> Column:
+    """Double inner product, elementwise left-to-right — the same fold
+    order DuckDB's list_inner_product uses, so results match bitwise."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _dist2(x: Column, c: Column) -> Column:
+    """Squared L2 as ip(x,x) - 2*ip(x,c) + ip(c,c): three bitwise-
+    reproducible terms combined in fixed order (a - b) + c."""
+    return _ip(x, x) - F.lit(2.0) * _ip(x, c) + _ip(c, c)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+
+
+def _assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: corpus x broadcast(centroids),
+    argmin over (rounded distance, centroid_id) — fully deterministic
+    even under exact distance ties."""
+    scored = e.join(F.broadcast(centroids), F.lit(True)).select(
+        "vec_id",
+        "x",
+        "cid",
+        F.round(_dist2(F.col("x"), F.col("c")), DIST_DP).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_SQL_IP = "list_inner_product({a}, {b})"
+
+
+def _sql_dist2(x: str, c: str) -> str:
+    ip = _SQL_IP.format
+    return f"{ip(a=x, b=x)} - 2*{ip(a=x, b=c)} + {ip(a=c, b=c)}"
+
+
+@register(
+    "emb_kmeans_assign",
+    tags=("llm", "clustering"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < {K}
+),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+scored AS (
+  SELECT corpus.vec_id, cent.cid,
+         round({_sql_dist2('x', 'c')}, {DIST_DP}) AS d2
+  FROM corpus CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM scored
+)
+SELECT cid AS cluster_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_dist2
+FROM best WHERE rn = 1
+GROUP BY cid
+""",
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment pass over deterministic seed centroids
+    (vec_id < K), reporting per-cluster membership and mean squared
+    distance. The corpus-side plan is scan -> broadcast nested-loop
+    score -> per-vector top-1 -> hash agg; the only shuffle is the
+    final K-row aggregate."""
+    e = _embeddings(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    assigned = _assign(e, centroids)
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (dsum("d2") / F.count(F.lit(1)).cast("double")).alias("mean_dist2"),
+        )
+    )
+
+
+@register(
+    "emb_kmeans_lloyd",
+    tags=("llm", "clustering", "iterative"),
+    doc="Iterative Lloyd k-means — rows-only per the driver contract "
+    "(genuinely non-SQL-expressible); convergence pytest-held.",
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LLOYD_ITERS} Lloyd iterations: assign (broadcast centroids) ->
+    update (posexplode to (cluster, dim, value), decimal-exact mean per
+    dim, rebuild centroid arrays). Returns per-cluster size, inertia
+    contribution, and the final centroid norm.
+
+    Scale: each iteration is one broadcast join + one (cluster, dim)
+    hash agg whose map-side partials bound the shuffle at
+    O(tasks x K x dim); centroid frames stay K rows end-to-end. The
+    iteration count is a fixed hyperparameter, not data-dependent, so
+    the plan depth is bounded."""
+    e = _embeddings(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    for _ in range(LLOYD_ITERS):
+        assigned = _assign(e, centroids)
+        # Update step: mean per (cluster, dim) with decimal-exact sums
+        # (partition-order invariant), then fold dims back into arrays.
+        dims = assigned.select("cid", F.posexplode("x").alias("dim", "v"))
+        means = dims.groupBy("cid", "dim").agg(
+            (dsum("v") / F.count(F.lit(1)).cast("double")).alias("m")
+        )
+        centroids = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cid", F.transform("dm", lambda s: s["m"]).alias("c"))
+        )
+    final = _assign(e, centroids)
+    norm = F.sqrt(_ip(F.col("c"), F.col("c")))
+    stats = final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        dsum("d2").alias("inertia"),
+    )
+    cents = centroids.select(
+        F.col("cid").alias("cluster_id"), F.round(norm, 6).alias("centroid_norm")
+    )
+    return stats.join(cents, "cluster_id")

@@ -1,0 +1,147 @@
+"""Benchmark decontamination for training-data pipelines.
+
+Before training, every serious pipeline checks the corpus for
+*contamination*: training documents that contain verbatim n-grams from
+a held-out benchmark/eval set, which would leak test answers into the
+model. The standard method (GPT-3 appendix C, PaLM, Llama) is n-gram
+overlap: collect the distinct word n-grams of the eval set and flag any
+training document sharing at least one.
+
+Scale design (100 TB corpus, benchmark sets of at most a few hundred MB):
+the eval n-gram set is SMALL — it fits in a broadcast. The corpus side
+is a single scan + per-row shingle projection (JVM array lambdas, no
+Python); the broadcast hash join filters postings map-side, so the only
+shuffle is the final per-document count of *matching* grams — a few
+rows per contaminated document, not per posting. Nothing in the plan is
+O(corpus x eval).
+
+The eval split here is derived from the ``documents`` table itself by
+deterministic hash (same md5-prefix mechanics as ``llm/sampling.py`` —
+engine- and partitioning-invariant), standing in for an external
+benchmark table; swapping in a real benchmark parquet is a one-line
+source change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, spread
+from ..registry import register
+from .dedup import _shingles
+
+# Word-n-gram size for overlap matching. 5 is in the range used in
+# published decontamination setups (8-13 for exact filtering, smaller
+# for flagging); on this synthetic vocabulary 5-grams are rare enough
+# to be a signal while still producing matches to verify.
+NGRAM_N = 5
+
+# Docs whose md5(doc_id) starts with 'f' (~1/16 of the corpus) act as
+# the held-out benchmark set; the rest are the training corpus.
+EVAL_PREFIX = "f"
+
+# DuckDB twin of dedup._shingles(col, 5): i-indexed (1-based) slices of
+# the lower-cased token list; subscripts past the end yield NULL, which
+# concat_ws skips — identical partial-gram behavior to element_at.
+_SQL_TOKS = "string_split(lower(text), ' ')"
+_SQL_GRAMS = f"""list_distinct(list_transform(
+  range(1, greatest(len({_SQL_TOKS}) - {NGRAM_N - 2}, 1)),
+  i -> concat_ws(' ', {", ".join(f"{_SQL_TOKS}[i+{j}]" for j in range(NGRAM_N))})
+))"""
+
+_SQL_SPLIT_DOCS = f"""
+docs AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{EVAL_PREFIX}' AS is_eval,
+         {_SQL_GRAMS} AS grams
+  FROM documents
+),
+eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS g FROM docs WHERE is_eval
+),
+train_postings AS (
+  SELECT doc_id, source, unnest(grams) AS g FROM docs WHERE NOT is_eval
+)"""
+
+
+def _split_docs(spark: SparkSession, sf_dir: str):
+    d = spread(load(spark, sf_dir, "documents"))
+    docs = d.select(
+        "doc_id",
+        "source",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == EVAL_PREFIX).alias(
+            "is_eval"
+        ),
+        _shingles(F.col("text"), NGRAM_N).alias("grams"),
+    )
+    eval_grams = (
+        docs.filter("is_eval").select(F.explode("grams").alias("g")).distinct()
+    )
+    train = docs.filter(~F.col("is_eval"))
+    train_postings = train.select("doc_id", "source", F.explode("grams").alias("g"))
+    return train, eval_grams, train_postings
+
+
+@register(
+    "decon_ngram_overlap",
+    tags=("llm", "decontamination"),
+    oracle=f"""
+WITH {_SQL_SPLIT_DOCS}
+SELECT t.doc_id, COUNT(*) AS n_matched_ngrams
+FROM train_postings t JOIN eval_grams e ON t.g = e.g
+GROUP BY t.doc_id
+""",
+)
+def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training documents sharing >= 1 distinct {NGRAM_N}-gram with the
+    eval split, with the count of matched grams. Grams are distinct
+    per document and the eval set is distinct, so the broadcast join
+    yields one row per (train doc, matched gram) — COUNT(*) is the
+    matched-gram count."""
+    _, eval_grams, train_postings = _split_docs(spark, sf_dir)
+    return (
+        train_postings.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched_ngrams"))
+    )
+
+
+@register(
+    "decon_contamination_rate",
+    tags=("llm", "decontamination", "report"),
+    oracle=f"""
+WITH {_SQL_SPLIT_DOCS},
+hits AS (
+  SELECT DISTINCT t.doc_id FROM train_postings t JOIN eval_grams e ON t.g = e.g
+),
+train AS (SELECT DISTINCT doc_id, source FROM docs WHERE NOT is_eval)
+SELECT train.source,
+       COUNT(*) AS n_train_docs,
+       COUNT(hits.doc_id) AS n_contaminated,
+       CAST(COUNT(hits.doc_id) AS DOUBLE) / COUNT(*) AS contamination_rate
+FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+GROUP BY train.source
+""",
+)
+def decon_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination audit: what fraction of each source's
+    training documents is flagged. The rate is a ratio of exact ints
+    (bitwise identical in any engine). This is the report a pipeline
+    operator reads before deciding whether to drop or rewrite a
+    source."""
+    train, eval_grams, train_postings = _split_docs(spark, sf_dir)
+    hits = (
+        train_postings.join(F.broadcast(eval_grams), "g").select("doc_id").distinct()
+    )
+    return (
+        train.join(hits.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_rate"
+            ),
+        )
+    )

@@ -467,3 +467,76 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("w1", "w2", "n_pair", pmi.alias("pmi"))
     )
+
+
+# --- intra-document repetition (Gopher-style repetition filters) -----------
+
+_SQL_RTOKS = "string_split(lower(text), ' ')"
+_SQL_RTRIG = (
+    f"list_transform(range(1, greatest(len({_SQL_RTOKS})-1, 1)), "
+    f"i -> concat_ws(' ', {_SQL_RTOKS}[i], {_SQL_RTOKS}[i+1], {_SQL_RTOKS}[i+2]))"
+)
+
+
+@register(
+    "text_repetition_stats",
+    tags=("llm", "text", "quality", "repetition"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_SQL_RTOKS}) AS n_tokens,
+         len(list_distinct({_SQL_RTOKS})) AS n_distinct,
+         list_max(list_transform(list_distinct({_SQL_RTOKS}),
+                  x -> len(list_filter({_SQL_RTOKS}, y -> y = x)))) AS top_n,
+         len({_SQL_RTRIG}) AS n_trigrams,
+         len(list_distinct({_SQL_RTRIG})) AS n_distinct_trigrams
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_frac,
+       CAST(top_n AS DOUBLE) / n_tokens AS top_token_frac,
+       1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams AS dup_trigram_frac,
+       CAST(top_n AS DOUBLE) / n_tokens > 0.2
+         OR 1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams > 0.3
+         AS is_repetitive
+FROM t
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher repetition rules:
+    duplicate-n-gram fraction and most-common-token share flag
+    machine-generated/spammy text). Everything is per-row array lambdas
+    over the token list — a pure projection with ZERO shuffle; at
+    100 TB this streams through the scan at I/O speed. All outputs are
+    ratios of exact ints (IEEE division, engine-invariant)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    k = F.size(toks) - 2
+    trig = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    n_tokens = F.size(toks)
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda y: y == t)),
+        )
+    )
+    top_frac = top_n.cast("double") / n_tokens
+    dup_trig = F.lit(1.0) - F.size(F.array_distinct(trig)).cast("double") / F.size(trig)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias(
+            "distinct_frac"
+        ),
+        top_frac.alias("top_token_frac"),
+        dup_trig.alias("dup_trigram_frac"),
+        ((top_frac > 0.2) | (dup_trig > 0.3)).alias("is_repetitive"),
+    )

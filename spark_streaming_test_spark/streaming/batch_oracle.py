@@ -315,3 +315,45 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_value").alias("purchase_value"),
         )
     )
+
+
+@register(
+    "stream_dedup_windowed",
+    tags=("streaming", "dedup", "watermark"),
+    oracle="""
+SELECT user_id, event_type,
+       time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_id AS first_event_id, ts AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type,
+                        time_bucket(INTERVAL '10 minutes', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def stream_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded dedup: keep the first event per (key, 10-minute
+    bucket) — the batch twin of ``dropDuplicatesWithinWatermark``-style
+    state, where a key recurring AFTER the time bound is emitted again
+    (unlike ``stream_dedup_by_key``'s forever-state). At scale this is
+    the form you want: state is evictable by watermark, so the dedup
+    map is bounded by keys-per-window, not keys-ever-seen."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "window_start").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("window_start", F.window("ts", "10 minutes")["start"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "window_start",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )

@@ -220,3 +220,125 @@ def test_mm_resize_stub_budget_and_determinism(spark, sf_dir):
         assert len(r["resized"]) == 128
     again = {r["doc_id"]: bytes(r["resized"]) for r in mm_resize_stub(spark, sf_dir).collect()}
     assert {k: bytes(v["resized"]) for k, v in rows.items()} == again
+
+
+def test_kmeans_lloyd_inertia_non_increasing(spark, sf_dir):
+    """Lloyd's must not diverge: re-running the assign/update loop and
+    measuring inertia after each update gives a non-increasing series
+    (allowing 1e-6 slack for the 6-dp distance rounding)."""
+    from spark_streaming_test_spark.llm import clustering
+
+    e = clustering._embeddings(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < clustering.K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    inertias = []
+    for _ in range(3):
+        assigned = clustering._assign(e, cents)
+        inertias.append(
+            assigned.agg(F.sum("d2").alias("i")).collect()[0]["i"]
+        )
+        dims = assigned.select("cid", F.posexplode("x").alias("dim", "v"))
+        means = dims.groupBy("cid", "dim").agg(
+            (F.sum("v") / F.count(F.lit(1))).alias("m")
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cid", F.transform("dm", lambda s: s["m"]).alias("c"))
+        )
+    for prev, nxt in zip(inertias, inertias[1:]):
+        assert nxt <= prev + 1e-6, inertias
+
+
+def test_kmeans_lloyd_deterministic_and_total(spark, sf_dir):
+    """Two runs produce identical cluster stats (hash seeding, decimal
+    sums — no RNG, no partition-order dependence), clusters cover all K
+    ids, and memberships sum to the corpus size."""
+    from spark_streaming_test_spark.llm import clustering
+
+    r1 = sorted(
+        (r["cluster_id"], r["n_members"], r["inertia"], r["centroid_norm"])
+        for r in clustering.emb_kmeans_lloyd(spark, sf_dir).collect()
+    )
+    r2 = sorted(
+        (r["cluster_id"], r["n_members"], r["inertia"], r["centroid_norm"])
+        for r in clustering.emb_kmeans_lloyd(spark, sf_dir).collect()
+    )
+    assert r1 == r2
+    assert [c for c, *_ in r1] == list(range(clustering.K))
+    n_corpus = clustering._embeddings(spark, sf_dir).count()
+    assert sum(n for _, n, *_ in r1) == n_corpus
+
+
+def test_decon_flagged_docs_truly_overlap(spark, sf_dir):
+    """Every flagged training document must share at least one distinct
+    5-gram with some eval document — re-derive grams in pure Python and
+    verify; also check no eval doc is ever flagged."""
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.llm import decontamination as dc
+    import hashlib
+
+    flagged = {
+        r["doc_id"]: r["n_matched_ngrams"]
+        for r in dc.decon_ngram_overlap(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def is_eval(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0] == dc.EVAL_PREFIX
+
+    def grams(text):
+        toks = text.lower().split(" ")
+        n = dc.NGRAM_N
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_grams = set()
+    for did, text in docs.items():
+        if is_eval(did):
+            eval_grams |= grams(text)
+    for did, n_matched in flagged.items():
+        assert not is_eval(did), f"eval doc {did} flagged as train"
+        got = len(grams(docs[did]) & eval_grams)
+        assert got == n_matched, (did, got, n_matched)
+
+
+def test_decon_rate_consistent_with_overlap(spark, sf_dir):
+    """The per-source report's contaminated total equals the number of
+    distinct flagged docs, and rates are in [0, 1]."""
+    from spark_streaming_test_spark.llm import decontamination as dc
+
+    n_flagged = dc.decon_ngram_overlap(spark, sf_dir).count()
+    report = dc.decon_contamination_rate(spark, sf_dir).collect()
+    assert sum(r["n_contaminated"] for r in report) == n_flagged
+    for r in report:
+        assert 0.0 <= r["contamination_rate"] <= 1.0
+        assert r["n_contaminated"] <= r["n_train_docs"]
+
+
+def test_repetition_stats_match_python(spark, sf_dir):
+    """Spot-check the repetition signals against a pure-Python
+    recomputation for 20 documents."""
+    from spark_streaming_test_spark.llm import text_analysis as ta
+
+    rows = ta.text_repetition_stats(spark, sf_dir).filter(F.col("doc_id") < 20).collect()
+    from spark_streaming_test_spark.catalog import load
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).collect()
+    }
+    assert rows
+    for r in rows:
+        toks = texts[r["doc_id"]].lower().split(" ")
+        trigs = [" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))]
+        assert r["n_tokens"] == len(toks)
+        assert r["distinct_frac"] == len(set(toks)) / len(toks)
+        top = max(toks.count(t) for t in set(toks))
+        assert r["top_token_frac"] == top / len(toks)
+        assert r["dup_trigram_frac"] == 1.0 - len(set(trigs)) / len(trigs)
