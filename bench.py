@@ -54,6 +54,8 @@ HEADLINE = [
     "scan_partitioned_pruning",  # partition-pruned scan off a Hive-style layout
     "join_salted_skew",          # hot-key salted join (skew mitigation path)
     "stream_stream_join",        # interval-bounded stream-stream join, batch twin
+    "decon_ngram_overlap",       # benchmark n-gram contamination sweep
+    "emb_kmeans_assign",         # broadcast-centroid k-means assignment pass
 ]
 
 

@@ -174,8 +174,8 @@ def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator + agg pattern that backs the text-analysis operators."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
-        .filter(F.length("token") >= 4)
+        d.select(F.explode_outer(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.length("token") >= 4))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -71,7 +71,10 @@ def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunk = F.substring(F.col("text"), F.col("start_pos"), CHUNK_CHARS)
     return (
-        d.select("doc_id", "text", F.explode(starts).alias("start_pos"))
+        # explode_outer avoids the implicit size>0 pushdown filter that
+        # re-derives the sequence expression per row; starts is never
+        # empty (greatest(len,1)), so rows are identical.
+        d.select("doc_id", "text", F.explode_outer(starts).alias("start_pos"))
         .select(
             "doc_id",
             (((F.col("start_pos") - 1) / CHUNK_STRIDE).cast("int")).alias("chunk_id"),

@@ -157,7 +157,10 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = _assign(e, centroids)
         # Update step: mean per (cluster, dim) with decimal-exact sums
         # (partition-order invariant), then fold dims back into arrays.
-        dims = assigned.select("cid", F.posexplode("x").alias("dim", "v"))
+        # posexplode_outer: sidesteps the size>0 pushdown filter that
+        # would re-derive the embedding cast below the join (vectors are
+        # never empty, so rows are identical)
+        dims = assigned.select("cid", F.posexplode_outer("x").alias("dim", "v"))
         means = dims.groupBy("cid", "dim").agg(
             (dsum("v") / F.count(F.lit(1)).cast("double")).alias("m")
         )

@@ -75,11 +75,17 @@ def _split_docs(spark: SparkSession, sf_dir: str):
         ),
         _shingles(F.col("text"), NGRAM_N).alias("grams"),
     )
+    # explode_outer, not explode: the plain form implies a size>0 filter
+    # pushed below the projection that re-derives the whole (interpreted)
+    # 5-gram expression per row — measured ~7x slower. Gram arrays are
+    # never empty (>= 1 partial gram), so rows are identical.
     eval_grams = (
-        docs.filter("is_eval").select(F.explode("grams").alias("g")).distinct()
+        docs.filter("is_eval").select(F.explode_outer("grams").alias("g")).distinct()
     )
     train = docs.filter(~F.col("is_eval"))
-    train_postings = train.select("doc_id", "source", F.explode("grams").alias("g"))
+    train_postings = train.select(
+        "doc_id", "source", F.explode_outer("grams").alias("g")
+    )
     return train, eval_grams, train_postings
 
 

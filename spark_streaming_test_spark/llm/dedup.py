@@ -116,7 +116,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIRWISE_CAP))
     docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
-    postings = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode_outer, NOT explode: plain explode implies a pushed-down
+    # `size(shingles) > 0` Filter that Catalyst rewrites in terms of the
+    # full (interpreted, non-codegen) shingle expression below the
+    # projection — evaluating it twice per row, ~7x slower end-to-end.
+    # Shingle arrays are never empty (>= 1 partial gram), so the outer
+    # variant is row-identical.
+    postings = docs.select("doc_id", F.explode_outer("shingles").alias("shingle"))
     pa, pb = postings.alias("a"), postings.alias("b")
     common = (
         pa.join(
@@ -194,9 +200,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     sig = minhash_signatures(docs)
+    # explode_outer: avoids the implicit size>0 pushdown filter, which
+    # would re-derive the whole 32-hash signature expression a second
+    # time below this projection (see postings note above). The band
+    # array is a literal 8-element construction — never empty.
     bands = sig.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -268,8 +278,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
     Expressed as 32 conditional-sum aggregates over one explode (one
     shuffle; everything stays in whole-stage codegen)."""
-    posts = docs.select("doc_id", F.explode("tokens").alias("token")).withColumn(
-        "h", F.xxhash64("token")
+    # explode_outer + null-drop: sidesteps the size>0 pushdown filter
+    # (would duplicate the split below the projection); the explicit
+    # null filter on the GENERATED attribute cannot be pushed down and
+    # restores exact explode semantics for null-text rows.
+    posts = (
+        docs.select("doc_id", F.explode_outer("tokens").alias("token"))
+        .filter(F.col("token").isNotNull())
+        .withColumn("h", F.xxhash64("token"))
     )
     bit_sums = [
         F.sum(
@@ -302,7 +318,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id",
         "simhash",
-        F.explode(
+        F.explode_outer(  # literal 4-element array; see minhash note
             F.array(
                 *[
                     F.struct(

@@ -226,7 +226,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load(spark, sf_dir, "documents"))
     return (
-        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        # explode_outer: plain explode's implicit size>0 pushdown filter
+        # would re-derive the interpreted shingle expression per row
+        # (shingle arrays are never empty, so rows are identical)
+        d.select("doc_id", F.explode_outer(_shingles(F.col("text"))).alias("shingle"))
         .select("doc_id", F.md5("shingle").alias("h"))
         .groupBy("doc_id")
         .agg(
@@ -267,8 +270,8 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = spread(load(spark, sf_dir, "documents"))
     return (
-        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
-        .filter(F.col("token") != "")
+        d.select(F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
         .groupBy("token")
         .agg(F.count("*").alias("n_docs_tokens"))
         .orderBy(F.desc("n_docs_tokens"), "token")
@@ -427,10 +430,15 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp across libm implementations."""
     d = spread(load(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    # explode_outer + null-drop: plain explode's implicit size>0 filter
+    # would re-derive the whole zip_with/filter pair chain below the
+    # projection (interpreted, per row — measured ~7x slower on the
+    # shingle twin). The pair array CAN be empty here, so the generated-
+    # attribute null filter is required for row parity.
     pairs = (
         d.select(toks.alias("tk"))
         .select(
-            F.explode(
+            F.explode_outer(
                 F.filter(
                     F.zip_with(
                         F.col("tk"),
@@ -441,6 +449,7 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bg")
         )
+        .filter(F.col("bg").isNotNull())
         .select("bg.w1", "bg.w2")
     )
     big_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))

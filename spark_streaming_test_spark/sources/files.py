@@ -239,3 +239,51 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+N_BUCKETS = 8
+
+
+@register(
+    "scan_bucketed_join",
+    tags=("source", "bucketing", "join"),
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: write both sides bucketed+sorted on the
+    join key (external tables under the scratch dir, so the plan works
+    under any session's warehouse), then sort-merge join them with NO
+    exchange on either side — the bucket layout IS the shuffle, paid
+    once at write time and amortized over every subsequent join.
+
+    This is THE technique for repeated large-x-large joins at 100 TB:
+    a fact table bucketed on its join key turns every downstream join
+    on that key into a local merge. ``tests/test_plans.py`` asserts the
+    exchange-free plan shape. (The ``merge`` hint pins SMJ so the
+    correctness result doesn't depend on the broadcast threshold; at
+    real scale neither side would be broadcastable anyway.)"""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for df, key, name in (
+        (orders, "o_custkey", "orders_bkt"),
+        (cust, "c_custkey", "customer_bkt"),
+    ):
+        (
+            df.repartition(N_BUCKETS, key)  # one file per bucket
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(SCRATCH, name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("orders_bkt").hint("merge")
+    c = spark.table("customer_bkt")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
+    )

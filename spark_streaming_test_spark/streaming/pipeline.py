@@ -321,6 +321,20 @@ def interval_join_streams(
     return c.join(p, cond, "inner")
 
 
+def dedup_within_watermark_stream(
+    packets: DataFrame, keys: tuple[str, ...] = ("nif",), delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermark-bounded streaming dedup: suppress repeats of a key
+    whose event time falls within ``delay`` of the kept occurrence;
+    once the watermark passes, the key's state is EVICTED and a later
+    recurrence is emitted again. This is the bounded-state form of
+    ``dropDuplicates`` — at 100 TB the forever-state variant grows with
+    keys-ever-seen and eventually OOMs every executor, while this one
+    is bounded by keys-per-watermark-window. Batch twin:
+    ``batch_oracle.stream_dedup_windowed``."""
+    return packets.withWatermark("ts", delay).dropDuplicatesWithinWatermark(list(keys))
+
+
 def idempotent_batch_writer(base_path: str):
     """Replay-safe ``foreachBatch`` sink: each micro-batch lands in its
     own ``batch_id=N`` directory with overwrite semantics, so a batch

@@ -304,3 +304,14 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The bucketed-table join must be exchange-free on both sides:
+    bucket layout replaces the shuffle. SMJ + zero Exchange nodes."""
+    from spark_streaming_test_spark.sources.files import scan_bucketed_join
+
+    df = scan_bucketed_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan

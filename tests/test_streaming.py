@@ -784,3 +784,45 @@ def test_edge_trigger_tws_with_ttl_wiring(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ttl_out").collect()
     }
     assert got == {"eth0": True, "eth1": False}
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key repeating within the 10-min
+    bound is suppressed; after the watermark passes (evicting state),
+    the same key is emitted again — proving the state is time-bounded,
+    unlike forever-state dropDuplicates."""
+    from spark_streaming_test_spark.streaming.pipeline import (
+        dedup_within_watermark_stream,
+    )
+
+    src = str(tmp_path / "pkt_src")
+    chk = str(tmp_path / "chk")
+    batches = [
+        # A twice within 1 min (dup suppressed), B once
+        [("A", 10.0, _ts(0)), ("A", 11.0, _ts(1)), ("B", 20.0, _ts(0))],
+        # C at +30 min advances the watermark to +20, evicting A/B state
+        [("C", 30.0, _ts(30))],
+        # A recurs after eviction -> emitted again
+        [("A", 12.0, _ts(31))],
+    ]
+    _write_packet_batch(spark, src, batches[0], 0)
+    deduped = dedup_within_watermark_stream(packet_stream_from_dir(spark, src))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_packet_batch(spark, src, rows, i)
+            q.processAllAvailable()
+        got = [
+            (r["nif"], r["bytes"])
+            for r in spark.sql("SELECT nif, bytes FROM wm_dedup_out").collect()
+        ]
+    finally:
+        q.stop()
+    assert sorted(got) == [("A", 10.0), ("A", 12.0), ("B", 20.0), ("C", 30.0)], got
