@@ -179,3 +179,77 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster_id"), F.round(norm, 6).alias("centroid_norm")
     )
     return stats.join(cents, "cluster_id")
+
+
+# SemDeDup-style semantic dedup: K2 coarse clusters bound the pairwise
+# search. In production K2 scales with the corpus so cluster size stays
+# ~constant — total work is linear-in-corpus, never all-pairs.
+SEM_K = 64
+SEM_COS = 0.4  # synthetic 64-dim vectors top out near 0.5 cosine
+
+
+def _sql_assign_cte(k: int) -> str:
+    return f"""
+cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < {k}
+),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+scored AS (
+  SELECT corpus.vec_id, corpus.x, cent.cid,
+         round({_sql_dist2('x', 'c')}, {DIST_DP}) AS d2
+  FROM corpus CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, x, cid FROM (
+    SELECT vec_id, x, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "dedup_semantic_cluster",
+    tags=("llm", "dedup", "clustering", "semantic"),
+    oracle=f"""
+WITH {_sql_assign_cte(SEM_K)}
+SELECT a.cid AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_inner_product(a.x, b.x)
+         / (sqrt(list_inner_product(a.x, a.x))
+            * sqrt(list_inner_product(b.x, b.x))) AS cosine
+FROM assigned a JOIN assigned b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_inner_product(a.x, b.x)
+        / (sqrt(list_inner_product(a.x, a.x))
+           * sqrt(list_inner_product(b.x, b.x))) >= {SEM_COS}
+""",
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse-cluster the embeddings ({SEM_K} deterministic
+    seed centroids), then search for near-duplicate pairs ONLY within
+    each cluster. The cluster id becomes the join/partition key, so the
+    pairwise stage is bounded by cluster size — the semantic analogue
+    of LSH banding (llm/dedup.py) for the embedding space. Shuffles:
+    one hash exchange on cluster_id for the self-join; assignment
+    itself is broadcast-centroids, shuffle-free."""
+    e = _embeddings(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    assigned = _assign(e, centroids).select("vec_id", "x", "cid")
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("vec_a"), F.col("x").alias("xa")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("vec_b"), F.col("x").alias("xb")
+    )
+    cos = _ip(F.col("xa"), F.col("xb")) / (
+        F.sqrt(_ip(F.col("xa"), F.col("xa"))) * F.sqrt(_ip(F.col("xb"), F.col("xb")))
+    )
+    return (
+        a.join(b, (a.cid == b.cid) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            a.cid.alias("cluster_id"), "vec_a", "vec_b", cos.alias("cosine")
+        )
+        .filter(F.col("cosine") >= SEM_COS)
+    )

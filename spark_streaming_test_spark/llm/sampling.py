@@ -15,7 +15,7 @@ small audit aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
@@ -110,4 +110,55 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil = F.when(F.col("lang") == "en", "1f").otherwise("7f")
     return d.select("doc_id", "lang", "source", "n_chars").filter(
         F.substring(_hash_key("doc_id"), 1, 2) <= ceil
+    )
+
+
+TOKEN_BUDGET = 800  # per-source whitespace-token budget
+
+
+@register(
+    "sample_token_budget",
+    tags=("llm", "sampling", "budget"),
+    oracle=f"""
+WITH scored AS (
+  SELECT source, doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+running AS (
+  SELECT source, doc_id, n_chars, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS running_tokens
+  FROM scored
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, running_tokens
+FROM running WHERE running_tokens <= {TOKEN_BUDGET}
+""",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: per source, take documents in quality
+    order (longest-first proxy here; any score column slots in) until a
+    fixed token budget is hit — how mixture targets are enforced when
+    assembling a training corpus ("X billion tokens of domain Y").
+    One hash exchange on source; the running sum reuses that partition
+    (single window, no second shuffle); ints only, engine-exact."""
+    d = spread(load(spark, sf_dir, "documents"))
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("source", "doc_id", "n_chars", n_tokens.alias("n_tokens"))
+        .withColumn("running_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("running_tokens") <= TOKEN_BUDGET)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "running_tokens",
+        )
     )

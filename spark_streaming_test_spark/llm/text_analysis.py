@@ -549,3 +549,78 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_trig.alias("dup_trigram_frac"),
         ((top_frac > 0.2) | (dup_trig > 0.3)).alias("is_repetitive"),
     )
+
+
+# --- unigram-LM quality scoring (perplexity-style filter) ------------------
+
+LOGPROB_DP = 8          # ln() may differ in the last ulp across libm builds
+LOW_QUALITY_LP = -7.0   # avg token logprob below this => out-of-vocab-heavy
+
+
+@register(
+    "text_unigram_logprob",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=f"""
+WITH postings AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents
+),
+clean AS (SELECT doc_id, token FROM postings WHERE token <> ''),
+vocab AS (
+  SELECT token, COUNT(*) AS n FROM clean GROUP BY token
+),
+total AS (SELECT SUM(n) AS t FROM vocab),
+lp AS (
+  SELECT token, round(ln(CAST(n AS DOUBLE) / t), {LOGPROB_DP}) AS logp
+  FROM vocab, total
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(lp.logp AS DECIMAL(25,{LOGPROB_DP}))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_logprob,
+       CAST(SUM(CAST(lp.logp AS DECIMAL(25,{LOGPROB_DP}))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) < {LOW_QUALITY_LP} AS low_quality
+FROM clean c JOIN lp ON c.token = lp.token
+GROUP BY c.doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train a unigram LM on the corpus
+    itself (token -> ln(count/total)), then score every document by mean
+    token logprob — the cheap stand-in for perplexity-based quality
+    filters (KenLM-style). Low scores flag gibberish/OOV-heavy docs.
+
+    Scale: the vocabulary is a corpus-level aggregate that is TINY
+    relative to the corpus (Heaps' law) — it broadcasts back onto the
+    postings, so the per-doc scoring pass has no vocab-side shuffle.
+    Logprobs are rounded then decimal-summed: partition-order invariant
+    and bitwise equal to the DuckDB oracle."""
+    d = spread(load(spark, sf_dir, "documents"))
+    postings = (
+        d.select(
+            "doc_id",
+            F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    vocab = postings.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("t"))
+    lp = vocab.join(F.broadcast(total), F.lit(True)).select(
+        "token",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("t")), LOGPROB_DP
+        ).alias("logp"),
+    )
+    dec = f"decimal(25,{LOGPROB_DP})"
+    avg_lp = F.sum(F.col("logp").cast(dec)).cast("double") / F.count(
+        F.lit(1)
+    ).cast("double")
+    return (
+        postings.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            avg_lp.alias("avg_logprob"),
+            (avg_lp < LOW_QUALITY_LP).alias("low_quality"),
+        )
+    )

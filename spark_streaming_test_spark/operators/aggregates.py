@@ -426,3 +426,36 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tol"
         ),
     )
+
+
+@register(
+    "agg_approx_percentile_check",
+    tags=("agg", "approx", "percentile"),
+    # Like agg_approx_count_distinct: the t-digest/GK estimate itself is
+    # engine-specific, so the oracle verifies the CLAIM — the approx
+    # median must land between the exact 45th and 55th percentiles
+    # (rank-error bound of approx_percentile at accuracy 1000 is far
+    # tighter than +-5 percentile points).
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       TRUE AS within_tol
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile — the O(1)-memory quantile sketch for
+    100 TB (exact percentile needs a full sort or all values in memory
+    per group; the sketch is a bounded-size mergeable summary, exactly
+    the map-side-combine shape). Returns the exact median (rounded:
+    interpolation may differ in the last ulp across engines) plus a
+    rank-tolerance flag making the estimate's accuracy oracle-checkable."""
+    ev = load(spark, sf_dir, "events")
+    approx = F.percentile_approx("value", 0.5, 1000)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("exact_p50"),
+        approx.between(
+            F.percentile("value", 0.45), F.percentile("value", 0.55)
+        ).alias("within_tol"),
+    )

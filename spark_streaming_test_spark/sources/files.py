@@ -287,3 +287,27 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    tags=("source", "xml"),
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector roundtrip (built-in since Spark 4, the merged
+    spark-xml): parquet dim -> row-tagged XML -> scan with explicit
+    schema. Same no-inference rule as the CSV/JSON twins — at 100 TB an
+    inference pass over XML is a full extra parse of the corpus."""
+    path = os.path.join(SCRATCH, "nation_xml")
+    (
+        load(spark, sf_dir, "nation")
+        .write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(path)
+    )
+    return (
+        spark.read.schema(NATION_DDL).option("rowTag", "nation").format("xml").load(path)
+    )
