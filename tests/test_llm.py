@@ -229,8 +229,10 @@ def test_kmeans_lloyd_inertia_non_increasing(spark, sf_dir):
     from spark_streaming_test_spark.llm import clustering
 
     e = clustering._embeddings(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < clustering.K).select(
-        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    cents = clustering._collect_centroids(
+        e.filter(F.col("vec_id") < clustering.K).select(
+            F.col("vec_id").alias("cid"), F.col("x").alias("c")
+        )
     )
     inertias = []
     for _ in range(3):
@@ -242,7 +244,7 @@ def test_kmeans_lloyd_inertia_non_increasing(spark, sf_dir):
         means = dims.groupBy("cid", "dim").agg(
             (F.sum("v") / F.count(F.lit(1))).alias("m")
         )
-        cents = (
+        cents = clustering._collect_centroids(
             means.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select("cid", F.transform("dm", lambda s: s["m"]).alias("c"))
