@@ -1,0 +1,242 @@
+"""Lexical retrieval scoring: TF-IDF term extraction and BM25 ranking.
+
+Training-data pipelines use lexical scores constantly — keyword
+extraction for topic tagging, TF-IDF vectors for clustering/dedup
+pre-filters, and BM25 as the retrieval baseline every embedding model
+is benchmarked against (and as the sparse half of hybrid search when
+mining hard negatives for contrastive training).
+
+Both operators are pure DataFrame compositions — tokenize (JVM regex
+split) → explode → hash aggregate — so the corpus-side work is the
+word-count shape with map-side combine. The per-token document
+frequency table is vocabulary-sized (Heaps' law: ~K·N^0.5 terms for N
+tokens), orders of magnitude smaller than the corpus, so idf joins
+broadcast at any realistic scale.
+
+Determinism: idf/score formulas use ``ln`` of exact integer ratios and
+are rounded to 6 dp on both engines before ranking; rank ties break on
+the token / doc_id so window output is total-ordered (see
+``functions/deterministic.py`` for the strategy note).
+
+Reference parity note: the reference engine (a 3-class DStream demo,
+``MainApp.java``) has no retrieval operators; these belong to the
+generalized LLM-pipeline surface (SURVEY.md §2.1) the repo declares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, spread
+from ..registry import register
+
+TFIDF_TOPK = 5  # top terms kept per document
+SCORE_DP = 6  # score rounding, see module docstring
+
+# BM25 hyperparameters (the canonical Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+# Query terms drawn from the synthetic vocabulary (TESTDATA.md) — a
+# small literal set, exactly how a retrieval eval harness probes.
+BM25_QUERY = ("spark", "stream", "window", "hash")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) pairs: lowercase a-z runs, the same tokenizer as
+    ``text_token_topk`` so scores are comparable across the suite."""
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+    ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
+
+
+# Shared SQL fragment: tokenized (doc_id, token) pairs.
+_SQL_TOKENS = """
+tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)"""
+
+
+@register(
+    "text_tfidf_topk",
+    tags=("llm", "text", "retrieval"),
+    bench=True,
+    oracle=f"""
+WITH {_SQL_TOKENS},
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+         round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0),
+               {SCORE_DP}) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOPK}
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} TF-IDF terms per document (smoothed sklearn-style
+    idf: ln((1+N)/(1+df)) + 1).
+
+    Plan at scale: explode → (doc_id, token) hash agg with map-side
+    combine (the only corpus-sized shuffle), token-level df agg is
+    vocabulary-sized and **broadcast** back onto tf, N is a broadcast
+    1-row cross join, and the per-doc top-k window rides the same
+    doc_id hash partitioning the tf aggregate already produced."""
+    tf = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n), F.lit(True))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                SCORE_DP,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
+_Q_LIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "text_bm25_retrieval",
+    tags=("llm", "text", "retrieval"),
+    oracle=f"""
+WITH {_SQL_TOKENS},
+dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token IN ({_Q_LIST})
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+term_score AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.dl / stats.avgdl)),
+           {SCORE_DP}) AS s
+  FROM tf
+  JOIN df USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE),
+                     {SCORE_DP}) AS bm25
+FROM term_score
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+""",
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} documents for the literal query
+    {BM25_QUERY} (k1={BM25_K1}, b={BM25_B}).
+
+    Scale shape: the tf aggregate filters tokens to the query terms
+    BEFORE aggregating — the corpus-sized explode collapses to
+    O(matching docs × |query|) rows immediately. Document length and
+    the avgdl scalar come from one token-count aggregate; df and the
+    stats row are tiny and **broadcast**. Final ranking is a
+    TakeOrderedAndProject (partial top-k per partition, no global
+    sort). Per-term partials go through a decimal sum so the score is
+    partition-order invariant."""
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term_score = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats), F.lit(True))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1.0
+                        - BM25_B
+                        + BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                SCORE_DP,
+            ).alias("s"),
+        )
+    )
+    return (
+        term_score.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(25,6)")).cast("double"),
+                SCORE_DP,
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -162,3 +162,52 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_tokens",
         )
     )
+
+
+RESERVOIR_N = 100
+
+
+@register(
+    "sample_weighted_reservoir",
+    tags=("llm", "sampling", "weighted"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(
+           ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS UBIGINT) + 0.5) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE), 12) AS res_key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, res_key
+FROM keyed ORDER BY res_key DESC, doc_id LIMIT {RESERVOIR_N}
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): each row gets key ln(u)/w with
+    u = md5(doc_id)-derived uniform and w = n_chars; the {RESERVOIR_N}
+    largest keys ARE a weighted sample — longer documents
+    proportionally more likely, yet every decision replayable on any
+    engine/partitioning (u is content-keyed, not RNG).
+
+    Scale: key assignment is a scan-level projection; selection is
+    ORDER BY + LIMIT which Spark executes as TakeOrderedAndProject —
+    each partition keeps its local top-{RESERVOIR_N}, only N×partitions
+    candidate rows ever move. One pass, no full sort, no corpus
+    shuffle — the one-pass distributed reservoir.
+
+    Determinism note: u = (hex_int + 0.5) / 2^32 and the ln/divide
+    chain are IEEE-identical on both engines (same libm, exact binary
+    inputs); round(12) only stabilizes display."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(_hash_key("doc_id"), 1, 8), 16, 10).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 12)
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("res_key"))
+        .orderBy(F.desc("res_key"), "doc_id")
+        .limit(RESERVOIR_N)
+    )

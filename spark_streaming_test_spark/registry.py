@@ -57,6 +57,9 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.windows",
     "spark_streaming_test_spark.operators.aggregates",
     "spark_streaming_test_spark.functions.scalar",
+    "spark_streaming_test_spark.llm.retrieval",
+    "spark_streaming_test_spark.operators.graph",
+    "spark_streaming_test_spark.operators.entity",
 ]
 
 
