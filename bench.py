@@ -56,6 +56,9 @@ HEADLINE = [
     "stream_stream_join",        # interval-bounded stream-stream join, batch twin
     "decon_ngram_overlap",       # benchmark n-gram contamination sweep
     "emb_kmeans_assign",         # broadcast-centroid k-means assignment pass
+    "text_tfidf_topk",           # TF-IDF: word-count shape + broadcast df join
+    "graph_pagerank",            # iterative fixed-point join-agg loop
+    "er_blocked_match",          # blocked self-join entity resolution
 ]
 
 

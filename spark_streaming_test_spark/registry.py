@@ -60,6 +60,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.llm.retrieval",
     "spark_streaming_test_spark.operators.graph",
     "spark_streaming_test_spark.operators.entity",
+    "spark_streaming_test_spark.operators.timeseries",
 ]
 
 
