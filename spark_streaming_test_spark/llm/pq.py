@@ -1,0 +1,238 @@
+"""Product quantization (PQ): compress embeddings to byte codes, search
+with asymmetric distance computation (ADC).
+
+THE memory lever for vector search at scale: a 64-dim float32 vector is
+256 bytes; its PQ code here is {M} small ints (4 bytes as int8). IVF-PQ
+(coarse quantizer from ``llm/similarity.py`` + this module's codes) is
+how billion-vector indexes fit in RAM — the corpus is scanned as codes,
+and only the query side ever touches full-precision floats
+(Jegou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011).
+
+Layout: the 64-dim space splits into {M} contiguous 16-dim subspaces;
+each subspace gets a {K}-codeword codebook (deterministic seeds:
+vec_id < {K}, sliced per subspace — no RNG, the same convention as the
+k-means seeds in ``llm/clustering.py``). Encoding = per-subspace
+nearest-codeword argmin; ADC = per-query distance TABLE (M x K,
+computed once per query) + table lookups summed per corpus code.
+
+Scale shape: both operators are MAP-ONLY corpus scans — the codebook
+and distance tables are kilobyte literals inlined into the projection
+(the ``_assign`` trick from ``llm/clustering.py``); the only shuffle
+anywhere is the final top-k's TakeOrderedAndProject partial. At 100 TB
+the encode pass is embarrassingly parallel and the ADC scan reads
+4 bytes/vector instead of 256.
+
+Determinism: subspace distances round to 6 dp before the argmin
+(tie-break on codeword id); the ADC distance table is pre-folded in
+Python with the identical left-to-right IEEE fold the SQL oracle's
+``list_inner_product`` uses, and the 4-term ADC sum is a fixed-order
+expression — bitwise identical cross-engine with no rounding step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, spread
+from ..registry import register
+
+DIM = 64
+M = 4  # subspaces
+SUB = DIM // M  # dims per subspace
+K = 16  # codewords per subspace (seeded from vec_id < K)
+DIST_DP = 6
+ADC_TOPK = 10
+QUERY_VEC_ID = 0  # ADC query = this embedding row (read by both engines)
+
+_CB_CACHE: dict[str, list[list[list[float]]]] = {}
+_QV_CACHE: dict[str, list[float]] = {}
+
+
+def _codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """cb[m][k] = 16-dim codeword: seed embeddings sliced per subspace.
+    One tiny memoized collect (K rows), the documented small-dimension
+    materialization."""
+    if sf_dir not in _CB_CACHE:
+        rows = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < K)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+            .orderBy("vec_id")
+            .collect()
+        )
+        _CB_CACHE[sf_dir] = [
+            [[float(v) for v in r["x"][m * SUB : (m + 1) * SUB]] for r in rows]
+            for m in range(M)
+        ]
+        _QV_CACHE[sf_dir] = [float(v) for v in rows[QUERY_VEC_ID]["x"]]
+    return _CB_CACHE[sf_dir]
+
+
+def _ip_py(a: list[float], b: list[float]) -> float:
+    """Left-to-right double fold — the exact order DuckDB's
+    list_inner_product and Spark's F.aggregate use."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _sub_ip(x: Column, start: int, other: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(F.slice(x, start + 1, SUB), other, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _encode_cols(x: Column, cb: list[list[list[float]]]) -> list[Column]:
+    """One argmin column per subspace, built from codebook literals —
+    the zero-shuffle assignment pattern of ``clustering._assign``."""
+    codes = []
+    for m in range(M):
+        start = m * SUB
+        xm = F.slice(x, start + 1, SUB)
+        ipxx = F.aggregate(
+            F.zip_with(xm, xm, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        c_mat = F.lit(cb[m])
+        ipcc = [_ip_py(c, c) for c in cb[m]]
+        c_ipcc = F.lit(ipcc)
+
+        def d2_at(i: Column, _xm=xm, _ipxx=ipxx, _c_mat=c_mat, _c_ipcc=c_ipcc) -> Column:
+            ipxc = F.aggregate(
+                F.zip_with(_xm, F.element_at(_c_mat, i + 1), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            return F.round(
+                _ipxx - F.lit(2.0) * ipxc + F.element_at(_c_ipcc, i + 1),
+                DIST_DP,
+            )
+
+        dc = F.transform(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            lambda i: F.struct(d2_at(i).alias("d2"), i.alias("cid")),
+        )
+        codes.append(F.array_min(dc)["cid"].cast("int").alias(f"c{m}"))
+    return codes
+
+
+def _sql_subspace_ctes() -> str:
+    """Per-subspace encode CTEs: centroid slice, corpus slice, scored
+    cross join, argmin."""
+    parts = []
+    for m in range(M):
+        lo, hi = m * SUB + 1, (m + 1) * SUB
+        ip = "list_inner_product"
+        parts.append(f"""
+cent{m} AS (
+  SELECT vec_id AS cid, (embedding::DOUBLE[])[{lo}:{hi}] AS c
+  FROM embeddings WHERE vec_id < {K}
+),
+sub{m} AS (
+  SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS x FROM embeddings
+),
+code{m} AS (
+  SELECT vec_id, CAST(cid AS INTEGER) AS c{m} FROM (
+    SELECT sub{m}.vec_id, cent{m}.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY sub{m}.vec_id
+             ORDER BY round({ip}(x, x) - 2*{ip}(x, c) + {ip}(c, c),
+                            {DIST_DP}), cid) AS rn
+    FROM sub{m} CROSS JOIN cent{m}
+  ) WHERE rn = 1
+)""")
+    return ",".join(parts)
+
+
+_SQL_ENC_JOIN = " JOIN ".join(
+    ["code0"] + [f"code{m} USING (vec_id)" for m in range(1, M)]
+)
+
+
+@register(
+    "emb_pq_encode",
+    tags=("llm", "similarity", "pq"),
+    oracle=f"""
+WITH {_sql_subspace_ctes()}
+SELECT vec_id, c0, c1, c2, c3 FROM {_SQL_ENC_JOIN}
+""",
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus: per vector, the nearest codeword id in
+    each of the {M} subspaces. A single map-only projection — at scale
+    this is the index-build pass that shrinks the corpus 64x."""
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cb = _codebook(spark, sf_dir)
+    return e.select("vec_id", *_encode_cols(F.col("x"), cb))
+
+
+@register(
+    "sim_pq_adc_topk",
+    tags=("llm", "similarity", "pq"),
+    oracle=f"""
+WITH {_sql_subspace_ctes()},
+enc AS (SELECT vec_id, c0, c1, c2, c3 FROM {_SQL_ENC_JOIN}),
+{",".join(f'''
+qt{m} AS (
+  SELECT cent{m}.cid,
+         list_inner_product(q.x, q.x)
+           - 2*list_inner_product(q.x, cent{m}.c)
+           + list_inner_product(cent{m}.c, cent{m}.c) AS d
+  FROM cent{m} CROSS JOIN (SELECT x FROM sub{m} WHERE vec_id = {QUERY_VEC_ID}) q
+)''' for m in range(M))}
+SELECT e.vec_id,
+       qt0.d + qt1.d + qt2.d + qt3.d AS adc_dist
+FROM enc e
+JOIN qt0 ON e.c0 = qt0.cid
+JOIN qt1 ON e.c1 = qt1.cid
+JOIN qt2 ON e.c2 = qt2.cid
+JOIN qt3 ON e.c3 = qt3.cid
+ORDER BY adc_dist, e.vec_id
+LIMIT {ADC_TOPK}
+""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-{ADC_TOPK}: approximate nearest neighbors of the query
+    vector (vec_id {QUERY_VEC_ID}) using ONLY the PQ codes for the
+    corpus side. The M x K distance table is computed once driver-side
+    (kilobytes) and inlined as literals; the corpus scan is then
+    encode + {M} array lookups + a fixed-order 4-term sum, and the
+    top-k is a TakeOrderedAndProject partial — no shuffle of the
+    corpus, no full-precision corpus reads."""
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cb = _codebook(spark, sf_dir)
+    qv = _QV_CACHE[sf_dir]
+    enc = e.select("vec_id", *_encode_cols(F.col("x"), cb))
+    # Distance table per subspace: d2(q_m, cb[m][k]) in the identical
+    # ip(q,q) - 2*ip(q,c) + ip(c,c) fold the oracle uses — unrounded,
+    # bitwise-identical doubles.
+    dtabs = []
+    for m in range(M):
+        qm = qv[m * SUB : (m + 1) * SUB]
+        ipqq = _ip_py(qm, qm)
+        dtabs.append(
+            F.lit(
+                [ipqq - 2.0 * _ip_py(qm, c) + _ip_py(c, c) for c in cb[m]]
+            )
+        )
+    adc = (
+        F.element_at(dtabs[0], F.col("c0") + 1)
+        + F.element_at(dtabs[1], F.col("c1") + 1)
+        + F.element_at(dtabs[2], F.col("c2") + 1)
+        + F.element_at(dtabs[3], F.col("c3") + 1)
+    )
+    return (
+        enc.select("vec_id", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(ADC_TOPK)
+    )

@@ -344,3 +344,45 @@ def test_repetition_stats_match_python(spark, sf_dir):
         top = max(toks.count(t) for t in set(toks))
         assert r["top_token_frac"] == top / len(toks)
         assert r["dup_trigram_frac"] == 1.0 - len(set(trigs)) / len(trigs)
+
+
+def test_pq_encode_properties(spark, sf_dir):
+    """PQ sanity: codes lie in [0, K); every codebook seed (vec_id < K)
+    encodes to its own codeword id in all subspaces (its subspace
+    distance to itself is exactly 0)."""
+    from spark_streaming_test_spark.llm import pq
+
+    enc = pq.emb_pq_encode(spark, sf_dir)
+    rows = {r["vec_id"]: (r["c0"], r["c1"], r["c2"], r["c3"]) for r in enc.collect()}
+    for codes in rows.values():
+        assert all(0 <= c < pq.K for c in codes)
+    for seed in range(pq.K):
+        assert rows[seed] == (seed,) * 4, (seed, rows[seed])
+
+
+def test_pq_adc_self_recall_and_floor(spark, sf_dir):
+    """The ADC query vector must rank itself first (its codes
+    reconstruct it exactly — it is a seed), and code-only search must
+    beat random selection on structure-free synthetic data
+    (recall@10 >= 0.1 vs exact L2)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.llm import pq
+
+    adc = pq.sim_pq_adc_topk(spark, sf_dir).collect()
+    assert adc[0]["vec_id"] == pq.QUERY_VEC_ID
+    e = (
+        pq.load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+    )
+    q = [float(v) for v in e.filter(F.col("vec_id") == pq.QUERY_VEC_ID).collect()[0]["x"]]
+    d2 = (
+        F.aggregate(F.zip_with("x", F.lit(q), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda s, v: s + v)
+    )
+    exact = {
+        r["vec_id"]
+        for r in e.select("vec_id", d2.alias("d")).orderBy("d", "vec_id").limit(10).collect()
+    }
+    got = {r["vec_id"] for r in adc}
+    assert len(exact & got) / 10 >= 0.1
