@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, spread
 from ..functions.deterministic import dsum
+from ..functions.literals import lit_double_matrix, lit_doubles, lit_longs
 from ..registry import register
 
 K = 8  # centroids seeded from vec_id < K
@@ -113,17 +114,19 @@ def _assign(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     # construction stays O(1) in K. (Per-centroid unrolling costs
     # ~0.2 s of lambda-conversion overhead EACH on the Python side;
     # at K=64 that was 13 s of driver time before a single row moved.)
+    # The literals render through the SQL parser, not F.lit — py4j
+    # list conversion cost another 2.6 s at K=64 (functions/literals).
     # ip(c,c) is pre-folded in Python left-to-right, the identical
     # fold order the SQL oracle's list_inner_product uses.
-    c_mat = F.lit([c for _, c in cents])
-    c_ids = F.lit([cid for cid, _ in cents])
+    c_mat = lit_double_matrix([c for _, c in cents])
+    c_ids = lit_longs([cid for cid, _ in cents])
     ipcc = []
     for _, c in cents:
         acc = 0.0
         for v in c:
             acc = acc + v * v
         ipcc.append(acc)
-    c_ipcc = F.lit(ipcc)
+    c_ipcc = lit_doubles(ipcc)
 
     def d2_at(i: Column) -> Column:
         ipxc = F.aggregate(

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
+from ..functions.literals import lit_double_matrix, lit_doubles
 from ..registry import register
 
 DIM = 64
@@ -99,9 +100,9 @@ def _encode_cols(x: Column, cb: list[list[list[float]]]) -> list[Column]:
             F.lit(0.0),
             lambda s, v: s + v,
         )
-        c_mat = F.lit(cb[m])
+        c_mat = lit_double_matrix(cb[m])
         ipcc = [_ip_py(c, c) for c in cb[m]]
-        c_ipcc = F.lit(ipcc)
+        c_ipcc = lit_doubles(ipcc)
 
         def d2_at(i: Column, _xm=xm, _ipxx=ipxx, _c_mat=c_mat, _c_ipcc=c_ipcc) -> Column:
             ipxc = F.aggregate(
@@ -221,7 +222,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qm = qv[m * SUB : (m + 1) * SUB]
         ipqq = _ip_py(qm, qm)
         dtabs.append(
-            F.lit(
+            lit_doubles(
                 [ipqq - 2.0 * _ip_py(qm, c) + _ip_py(c, c) for c in cb[m]]
             )
         )
