@@ -1,0 +1,78 @@
+"""Feature preprocessing over embedding columns.
+
+Model-input hygiene for the vector side of a training pipeline:
+per-dimension standardization (z-scoring) is what PCA/whitening,
+distance calibration, and quantizer training all assume upstream.
+
+Shape at scale: ``posexplode`` fans the corpus to (vec_id, dim, value)
+— the same layout the k-means update step uses — aggregates per dim
+with map-side partial combine (the shuffle carries O(tasks x dims)
+partials, not the corpus), and the 64-row dim-stats frame broadcasts
+back onto the exploded stream. Everything is Catalyst expressions;
+no Python touches the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, spread
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+
+Z_DP = 6  # z-score rounding (see functions/deterministic.py)
+
+
+@register(
+    "emb_dim_standardize",
+    tags=("llm", "embeddings", "features"),
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+stats AS (
+  SELECT dim,
+         {sql_davg('v')} AS mu,
+         sqrt({sql_dsum('v * v')} / CAST(COUNT(*) AS DOUBLE)
+              - ({sql_davg('v')}) * ({sql_davg('v')})) AS sigma
+  FROM dims GROUP BY dim
+)
+SELECT d.vec_id, CAST(d.dim - 1 AS INTEGER) AS dim,
+       round((d.v - s.mu) / s.sigma, {Z_DP}) AS z
+FROM dims d JOIN stats s ON d.dim = s.dim
+""",
+)
+def emb_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score of every embedding component (population
+    sigma). Returned long-form (vec_id, dim, z) — the layout the next
+    aggregate consumes, and array-canon-safe for the driver gate.
+
+    Determinism: mean and E[v²] go through exact decimal sums, sigma
+    and the final ratio are IEEE ops on identical doubles, and z rounds
+    to {Z_DP} dp on both engines."""
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    dims = e.select(
+        "vec_id", F.posexplode_outer("x").alias("dim", "v")
+    )
+    stats = dims.groupBy("dim").agg(
+        davg("v").alias("mu"),
+        F.sqrt(
+            dsum(F.col("v") * F.col("v")) / F.count(F.lit(1)).cast("double")
+            - davg("v") * davg("v")
+        ).alias("sigma"),
+    )
+    return (
+        dims.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), Z_DP).alias(
+                "z"
+            ),
+        )
+    )

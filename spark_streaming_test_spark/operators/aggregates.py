@@ -459,3 +459,63 @@ def agg_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("value", 0.45), F.percentile("value", 0.55)
         ).alias("within_tol"),
     )
+
+
+HH_SUPPORT = 0.004  # heavy-hitter threshold as a fraction of all tokens
+
+
+@register(
+    "agg_heavy_hitters_claim",
+    tags=("aggregates", "approx", "claim-oracle"),
+    oracle=f"""
+WITH tok AS (
+  SELECT token FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+n AS (SELECT COUNT(*) AS total FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count, TRUE AS found
+FROM tok CROSS JOIN n
+GROUP BY token, n.total
+HAVING COUNT(*) > {HH_SUPPORT} * n.total
+""",
+)
+def agg_heavy_hitters_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark's one-pass streaming summary
+    (``df.stat.freqItems`` — Karp/Shenker/Papadimitriou), verified as a
+    CLAIM: the sketch guarantees a superset of every token with
+    frequency > support x N, so each true heavy hitter (exact count
+    from a word-count aggregate) is emitted with ``found`` = membership
+    in the sketch set. The oracle emits TRUE rows — any sketch miss
+    hash-mismatches. Same oracle pattern as agg_approx_count_distinct.
+
+    The sketch side is one map-side-combinable pass with an O(1/support)
+    state bound per partition; the exact side is the word-count shape.
+    The sketch result set itself may vary with partitioning — the
+    CLAIM (superset of true heavy hitters) is the partition-invariant
+    guarantee, which is exactly what this query checks."""
+    from ..catalog import spread
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(
+            F.explode_outer(
+                F.split(F.lower("text"), "[^a-z]+")
+            ).alias("token")
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    sketch_set = set(
+        toks.stat.freqItems(["token"], HH_SUPPORT).collect()[0][0]
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = toks.count()
+    return (
+        counts.filter(F.col("exact_count") > HH_SUPPORT * total)
+        .select(
+            "token",
+            "exact_count",
+            F.col("token").isin(*sorted(sketch_set)).alias("found"),
+        )
+    )

@@ -97,3 +97,82 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
     )
+
+
+ANOM_WIN = 20  # trailing rows in the reference window
+ANOM_MIN = 5  # minimum trailing observations before scoring
+ANOM_Z = 3.0  # |z| flag threshold
+Z_DP = 8
+
+
+@register(
+    "ts_anomaly_zscore",
+    tags=("timeseries", "window", "anomaly"),
+    oracle=f"""
+WITH w AS (
+  SELECT user_id, event_id, ts, value,
+         COUNT(*) OVER trail AS n,
+         {{dsum}} AS s,
+         {{dsum2}} AS s2
+  FROM events
+  WINDOW trail AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, ts, value,
+       CAST(n AS BIGINT) AS n_ref,
+       round((value - s / n)
+             / sqrt(s2 / n - (s / n) * (s / n)), {Z_DP}) AS z,
+       abs((value - s / n)
+           / sqrt(s2 / n - (s / n) * (s / n))) > {ANOM_Z} AS is_anomaly
+FROM w
+WHERE n >= {ANOM_MIN}
+  AND s2 / n - (s / n) * (s / n) > 0
+""".format(
+        dsum="CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER trail AS DOUBLE)",
+        dsum2="CAST(SUM(CAST(value * value AS DECIMAL(25,6))) OVER trail"
+        " AS DOUBLE)",
+    ),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/std of its user's trailing {ANOM_WIN} observations (excluding
+    itself); |z| > {ANOM_Z} flags the point. Rows with fewer than
+    {ANOM_MIN} references or zero variance are unscoreable and dropped.
+
+    One hash exchange on user_id; both trailing sums ride the same
+    window frame, so Spark evaluates a single WindowExec. Sums are
+    decimal-exact (value has 2 decimals, value² has 4 — both
+    near-integer at scale 6), so mean/std/z are IEEE ops on identical
+    doubles cross-engine; z rounds at {Z_DP} dp."""
+    e = load(spark, sf_dir, "events")
+    trail = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_WIN, -1)
+    )
+    dec = "decimal(25,6)"
+    n = F.count(F.lit(1)).over(trail)
+    s = F.sum(F.col("value").cast(dec)).over(trail).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast(dec))
+        .over(trail)
+        .cast("double")
+    )
+    mu = s / n
+    var = s2 / n - mu * mu
+    z = (F.col("value") - mu) / F.sqrt(var)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            n.alias("n_ref"),
+            F.round(z, Z_DP).alias("z"),
+            (F.abs(z) > ANOM_Z).alias("is_anomaly"),
+            var.alias("_var"),
+        )
+        .filter((F.col("n_ref") >= ANOM_MIN) & (F.col("_var") > 0))
+        .drop("_var")
+    )

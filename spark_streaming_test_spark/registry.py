@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.entity",
     "spark_streaming_test_spark.operators.timeseries",
     "spark_streaming_test_spark.llm.pq",
+    "spark_streaming_test_spark.llm.features",
 ]
 
 
