@@ -175,3 +175,61 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "cdc_merge_apply",
+    tags=("cdc", "join", "merge"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE {_BUCKET} <= '9'
+),
+changes AS (
+  SELECT o_orderkey, o_custkey,
+         'U' AS o_orderstatus, o_totalprice,
+         CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) <= '1'
+              THEN 'delete' ELSE 'upsert' END AS op
+  FROM orders WHERE {_BUCKET} BETWEEN '3' AND 'c'
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+FROM base b LEFT JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE c.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM changes WHERE op = 'upsert'
+""",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO applied as a batch plan: rows of the base snapshot
+    whose key appears in the changeset are superseded (LEFT ANTI join),
+    then surviving upserts append — delete ops simply emit nothing.
+    This is the engine-level primitive lakehouse MERGE compiles to;
+    ``table_diff`` is its read-side twin.
+
+    One shuffle on the merge key for the anti join (AQE picks
+    broadcast when the changeset is small — the common case for
+    incremental loads); the union is shuffle-free. At 100 TB the base
+    side would additionally prune untouched partitions by the
+    changeset's key-range stats before the join."""
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    op_char = F.substring(F.md5(F.col("o_orderkey").cast("string")), 2, 1)
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(bucket <= "9")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    changes = (
+        load(spark, sf_dir, "orders")
+        .filter(bucket.between("3", "c"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            "o_totalprice",
+            F.when(op_char <= "1", "delete").otherwise("upsert").alias("op"),
+        )
+    )
+    survivors = base.join(changes, "o_orderkey", "left_anti")
+    upserts = changes.filter(F.col("op") == "upsert").drop("op")
+    return survivors.unionByName(upserts)
