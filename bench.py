@@ -59,6 +59,8 @@ HEADLINE = [
     "text_tfidf_topk",           # TF-IDF: word-count shape + broadcast df join
     "graph_pagerank",            # iterative fixed-point join-agg loop
     "er_blocked_match",          # blocked self-join entity resolution
+    "sim_pq_adc_topk",           # PQ code scan + distance-table lookups
+    "ts_anomaly_zscore",         # trailing-window anomaly scoring
 ]
 
 
