@@ -315,3 +315,53 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_weighted_reservoir_uses_partial_topk(spark, qs):
+    # The reservoir selection must be TakeOrderedAndProject (per-
+    # partition top-N), not a global Sort — at 100 TB a global sort of
+    # reservoir keys is the difference between one pass and a shuffle
+    # of the corpus.
+    df = qs["sample_weighted_reservoir"](spark, SF_DIR)
+    checks.assert_operator(df, "TakeOrderedAndProject")
+    plan = checks.formatted_plan(df)
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_tfidf_broadcasts_df_table(spark, qs):
+    # The document-frequency table is vocabulary-sized (Heaps' law) and
+    # must broadcast; a shuffle join here re-keys the corpus-sized tf
+    # frame twice.
+    df = qs["text_tfidf_topk"](spark, SF_DIR)
+    checks.assert_broadcast_join(df, min_count=2)  # df table + N scalar
+
+
+def test_pq_adc_is_map_only_topk(spark, qs):
+    # ADC search: codebook + distance table are literals, so the plan
+    # must be scan -> project -> TakeOrderedAndProject with no Exchange
+    # other than spread()'s test-fixture repartition.
+    df = qs["sim_pq_adc_topk"](spark, SF_DIR)
+    checks.assert_operator(df, "TakeOrderedAndProject")
+    assert _non_spread_exchanges(checks.formatted_plan(df)) == 0
+
+
+def test_er_blocked_match_reuses_exchange(spark, qs):
+    # Both self-join sides are the identical scan subtree; AQE must
+    # compute the block-key exchange once and replay it (ReusedExchange)
+    # — otherwise the part scan runs twice.
+    df = qs["er_blocked_match"](spark, SF_DIR)
+    # collect() finalizes THIS DataFrame's adaptive plan (a noop write
+    # would execute a clone and leave df's own plan isFinalPlan=false).
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_anomaly_zscore_single_window_exec(spark, qs):
+    # Count and both trailing sums share one frame — exactly one
+    # WindowExec (and one exchange) or the trailing stats re-shuffle
+    # per aggregate.
+    df = qs["ts_anomaly_zscore"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count(") Window") == 1, plan[:2000]
