@@ -1,0 +1,107 @@
+"""Market-basket co-occurrence mining over ``orders`` x ``lineitem``.
+
+The association-rule primitive (support / confidence / lift) behind
+recommenders and cross-sell analytics — and the same
+pair-generation-within-a-bounded-group shape as the LSH band join
+(``llm/dedup.py``): pairs are generated ONLY within an order, so the
+quadratic step is bounded by basket size (TPC-H orders hold <= 7
+items), never by the catalog.
+
+Plan: distinct (order, part) -> self-join on l_orderkey (both sides
+identical subtrees, shuffle-hash hinted => AQE ReusedExchange computes
+the scan once) -> pair counts with map-side partials -> two broadcast
+joins against the item-marginal frame (catalog-sized, tiny vs the fact
+table). Lift arithmetic is integer-valued doubles (< 2^53 — exact),
+rounded at output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+MIN_PAIR_SUPPORT = 2  # emit pairs seen in >= this many orders
+LIFT_DP = 8
+
+
+@register(
+    "basket_pair_lift",
+    tags=("behavior", "joins", "association"),
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+item_count AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_pair
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+)
+SELECT p.part_a, p.part_b, CAST(p.n_pair AS BIGINT) AS n_pair,
+       CAST(ia.n_item AS BIGINT) AS n_a,
+       CAST(ib.n_item AS BIGINT) AS n_b,
+       round((CAST(p.n_pair AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)),
+             {LIFT_DP}) AS lift
+FROM pairs p
+JOIN item_count ia ON p.part_a = ia.pk
+JOIN item_count ib ON p.part_b = ib.pk
+CROSS JOIN n
+""",
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-occurring in >= {MIN_PAIR_SUPPORT} orders with
+    their lift: P(a,b) / (P(a)·P(b)) over the order universe. Lift > 1
+    means the pair attracts; < 1 repels."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a")).hint(
+        "shuffle_hash"
+    )
+    b = items.select(F.col("ok"), F.col("pk").alias("part_b")).hint(
+        "shuffle_hash"
+    )
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= MIN_PAIR_SUPPORT)
+    )
+    item_count = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    n_orders = items.agg(
+        F.countDistinct("ok").cast("double").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_count.select(F.col("pk").alias("part_a"),
+                                          F.col("n_item").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(item_count.select(F.col("pk").alias("part_b"),
+                                          F.col("n_item").alias("n_b"))),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders), F.lit(True))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                LIFT_DP,
+            ).alias("lift"),
+        )
+    )

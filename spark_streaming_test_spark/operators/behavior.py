@@ -211,3 +211,57 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+TRANS_DP = 8
+
+
+@register(
+    "events_markov_transitions",
+    tags=("behavior", "window", "markov"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+marg AS (SELECT src, SUM(n) AS total FROM trans GROUP BY src)
+SELECT t.src, t.dst, CAST(t.n AS BIGINT) AS n,
+       round(CAST(t.n AS DOUBLE) / CAST(m.total AS DOUBLE), {TRANS_DP})
+         AS p
+FROM trans t JOIN marg m ON t.src = m.src
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: for each (src, dst) adjacent pair, the count and the
+    row-normalized transition probability — the behavioral model
+    underlying next-event prediction and bot detection.
+
+    One hash exchange on user_id for the lead() adjacency, then the
+    transition counts partial-aggregate to |event_types|² rows; the
+    marginal join is over that tiny matrix (**broadcast**). Integer
+    counts divide as identical doubles cross-engine; p rounds at
+    {TRANS_DP} dp."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    marg = trans.groupBy("src").agg(F.sum("n").alias("total"))
+    return trans.join(F.broadcast(marg), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("total").cast("double"),
+            TRANS_DP,
+        ).alias("p"),
+    )

@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.timeseries",
     "spark_streaming_test_spark.llm.pq",
     "spark_streaming_test_spark.llm.features",
+    "spark_streaming_test_spark.operators.basket",
 ]
 
 
