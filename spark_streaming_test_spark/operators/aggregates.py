@@ -519,3 +519,42 @@ def agg_heavy_hitters_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("token").isin(*sorted(sketch_set)).alias("found"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    tags=("aggregates", "bitmap", "distinct"),
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type computed via Spark 4's
+    bitmap aggregates instead of COUNT(DISTINCT): ids map to (bucket,
+    bit position), per-bucket bitmaps OR-combine with map-side partial
+    aggregation, and popcounts sum per group.
+
+    Why it matters at 100 TB: COUNT(DISTINCT) shuffles every distinct
+    (group, id) pair; the bitmap plan shuffles one <= 4 KB bitmap per
+    (group, bucket) regardless of how many ids fall in the bucket —
+    for dense id spaces that is orders of magnitude less traffic, while
+    staying EXACT (the oracle is plain COUNT(DISTINCT); values match
+    bitwise). The same bitmaps are mergeable rollup state, like the HLL
+    sketches of agg_hll_sketch_rollup but lossless."""
+    e = load(spark, sf_dir, "events")
+    per_bucket = (
+        e.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bm")
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+    )

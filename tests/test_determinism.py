@@ -68,3 +68,26 @@ def test_hash_sampling_invariant_to_partitioning(spark, sf_dir, n_parts):
         ).collect()
     }
     assert ids_base == ids_rep
+
+
+def test_pagerank_invariant_to_shuffle_partitions(spark, sf_dir):
+    """Fixed-point integer PageRank must produce bit-identical ranks
+    at any parallelism — the property the int64 formulation buys
+    (float PageRank differs in the last ulp across partition counts)."""
+    from spark_streaming_test_spark.operators import graph
+
+    def run():
+        return sorted(
+            (r["node_id"], r["rank"], r["degree"])
+            for r in graph.graph_pagerank(spark, sf_dir).collect()
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        r1 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        r2 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert r1 == r2
