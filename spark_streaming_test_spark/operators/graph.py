@@ -60,11 +60,17 @@ _TELEPORT_FP = (DAMP_DEN - DAMP_NUM) * FP_ONE // DAMP_DEN
 # so repeated query construction (bench warm runs, the parity suite)
 # reuses the materialized edge cache. Same pattern as the IVF index in
 # ``llm/similarity.py``.
-_EDGE_CACHE: dict[str, tuple] = {}
+# Keyed by (session id, sf_dir): cached DataFrames are bound to the
+# session that created them — a fresh session (e.g. the Hive-enabled
+# test session, or a driver that recycles sessions) must rebuild rather
+# than touch another session's plan. The seed/IVF caches hold plain
+# Python lists and don't need this.
+_EDGE_CACHE: dict[tuple[int, str], tuple] = {}
 
 
 def _edge_index(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _EDGE_CACHE:
+    key = (id(spark), sf_dir)
+    if key not in _EDGE_CACHE:
         o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_suppkey"
@@ -97,8 +103,8 @@ def _edge_index(spark: SparkSession, sf_dir: str):
             .agg(F.count(F.lit(1)).alias("outdeg"))
             .persist()
         )
-        _EDGE_CACHE[sf_dir] = (edges, deg)
-    return _EDGE_CACHE[sf_dir]
+        _EDGE_CACHE[key] = (edges, deg)
+    return _EDGE_CACHE[key]
 
 
 def _sql_pr_iter(prev: str, out: str) -> str:
