@@ -381,3 +381,74 @@ def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
+
+
+HARD_NEG_K = 3
+
+
+@register(
+    "sim_hard_negatives",
+    tags=("llm", "similarity", "training-data"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS negative_id,
+         e.label AS negative_label,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cosine
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.vec_id AND e.label <> q.label
+),
+ranked AS (
+  SELECT query_id, negative_id, negative_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored
+)
+SELECT query_id, negative_id, negative_label, cosine, rank
+FROM ranked WHERE rank <= {HARD_NEG_K}
+""",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    {HARD_NEG_K} most-similar corpus vectors with a DIFFERENT label —
+    the near-misses that make embedding models learn boundaries (random
+    negatives are too easy; these are the informative ones).
+
+    The plan is sim_bruteforce_topk with the label-inequality predicate
+    fused into the broadcast join, so mismatched-label pairs are
+    dropped before scoring; per-query top-k is the WindowGroupLimit
+    path. At scale, the IVF/PQ index replaces the scan exactly as for
+    plain ANN — hard negatives are just filtered neighbors."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cosine(_as_double("q_emb"), _as_double("embedding")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+    )
