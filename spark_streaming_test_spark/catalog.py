@@ -54,6 +54,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div: epoch-nanos (~1.7e18) would lose precision in a
             # double-typed `/`
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Some driver generations write parquet TIMESTAMP(MICROS)
+            # without isAdjustedToUTC, which Spark 4 infers as
+            # TIMESTAMP_NTZ — a type unix_micros/window() reject.
+            # Under the UTC session pinned above this cast is
+            # wall-clock-preserving, so every operator (and the DuckDB
+            # oracle, which reads the same naive values) sees identical
+            # instants regardless of which generation wrote the files.
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
+            )
     return df
 
 

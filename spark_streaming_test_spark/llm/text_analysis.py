@@ -423,11 +423,16 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: pointwise mutual information over corpus
     bigrams (the phrase-detection pass run before tokenizer training).
     Bigrams explode from a regex tokenization; PMI joins pair counts
-    against both marginal-position counts. The marginals are tiny
-    (vocab-sized) aggregates of the ALREADY-aggregated pair table —
-    nothing rescans the corpus — and at 100 TB they broadcast back onto
-    the pair table. PMI rounded to 8 dp: ln() may differ in the last
-    ulp across libm implementations."""
+    against both marginal-position counts. The pair-count table is
+    materialized ONCE (``localCheckpoint`` here; a parquet stage table
+    in production) because four consumers hang off it — the marginal
+    aggregates are submitted as concurrent broadcast jobs, which race
+    ahead of AQE exchange reuse and would otherwise each re-run the
+    corpus tokenization (measured: 4 identical 32-task map stages,
+    ~4x wall). The materialized artifact is vocab^2-bounded — tiny
+    next to the corpus — so marginals and the grand total are cheap
+    re-aggregations of it. PMI rounded to 8 dp: ln() may differ in the
+    last ulp across libm implementations."""
     d = spread(load(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.col("text")), "[^a-z]+")
     # explode_outer + null-drop: plain explode's implicit size>0 filter
@@ -452,7 +457,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bg").isNotNull())
         .select("bg.w1", "bg.w2")
     )
-    big_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    big_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
     uni1 = big_counts.groupBy(F.col("w1").alias("w")).agg(
         F.sum("n_pair").alias("n_first")
     )
