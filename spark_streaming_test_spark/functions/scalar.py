@@ -382,3 +382,65 @@ def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
         F.date_sub(d, 7).alias("week_earlier"),
     )
+
+
+@register(
+    "fn_url_suite",
+    tags=("scalar", "url", "text"),
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?ref=' || lang || '&utm_source=feed&page=2' AS url
+  FROM documents
+)
+SELECT doc_id,
+       url,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       nullif(regexp_extract(url, '[?&]ref=([^&]*)', 1), '') AS ref_param,
+       regexp_extract(url, '^[a-z]+://(?:[^./?#]+\\.)*([^./?#]+\\.[^./?#]+)(?:[/?#]|$)', 1)
+         AS registered_domain,
+       regexp_replace(
+         regexp_replace(url, '[?&]utm_[^&]*', '', 'g'),
+         '\\?&', '?', 'g') AS canonical_url
+FROM u
+""",
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing/normalization — the first pass over any web corpus
+    (host extraction for per-domain quality priors, tracking-param
+    stripping for canonical-URL dedup). URLs synthesize
+    deterministically from the fixtures (the corpus has no real URLs),
+    then round-trip through Spark's JVM-side `parse_url` plus regexp
+    canonicalization; the oracle re-derives every field with plain
+    regexes, so the two engines cross-check each other's parsers.
+    All builtins — zero Python in the row path."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?ref="), F.col("lang"),
+        F.lit("&utm_source=feed&page=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    canonical = F.regexp_replace(
+        F.regexp_replace(F.col("url"), r"[?&]utm_[^&]*", ""),
+        r"\?&", "?",
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias(
+            "ref_param"
+        ),
+        F.regexp_extract(
+            F.col("url"),
+            r"^[a-z]+://(?:[^./?#]+\.)*([^./?#]+\.[^./?#]+)(?:[/?#]|$)",
+            1,
+        ).alias("registered_domain"),
+        canonical.alias("canonical_url"),
+    )

@@ -452,3 +452,93 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HARD_NEG_K)
     )
+
+
+KNN_K = 10
+
+
+@register(
+    "sim_knn_classify",
+    tags=("llm", "similarity", "classification"),
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, true_label, neighbor_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+  FROM ranked WHERE rank <= {KNN_K}
+  GROUP BY query_id, true_label, neighbor_label
+),
+best AS (
+  SELECT query_id, true_label, neighbor_label AS predicted_label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, neighbor_label) AS vr
+  FROM votes
+)
+SELECT query_id, predicted_label, CAST(n_votes AS BIGINT) AS n_votes,
+       true_label, predicted_label = true_label AS correct
+FROM best WHERE vr = 1 ORDER BY query_id
+""",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction — the auto-labeling / label-propagation
+    primitive: each query vector takes the majority label of its
+    {KNN_K} nearest corpus neighbors by cosine (ties broken by vote
+    count then smallest label, fully deterministic). Same broadcast
+    query-set x corpus-scan shape as sim_bruteforce_topk — the
+    WindowGroupLimit keeps k rows per query per task, and everything
+    after the top-k runs on O(queries x k) rows. At 100 TB the scan
+    swaps for the IVF index (sim_ivf_topk) with the vote stage
+    unchanged."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cosine(_as_double("q_emb"), _as_double("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+            "true_label",
+            (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

@@ -211,3 +211,150 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("outdeg").alias("degree"),
         )
     )
+
+
+# --- triangle counting & degree stats over the co-purchase graph ----------
+#
+# The bipartite customer-supplier graph above has no triangles by
+# construction, so the triangle queries use a unipartite CO-PURCHASE
+# graph: parts are nodes, an edge connects two parts that appear in the
+# same order (the same bounded pair generation as basket_pair_lift —
+# quadratic only within a basket, never across the catalog).
+
+_SQL_COPURCHASE = """
+items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical (u < v) co-purchase edges over parts."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
+    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
+    return (
+        a.join(b, ["ok"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangle_count",
+    tags=("graph", "joins", "triangles"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+und AS (
+  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+),
+deg AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node),
+agg AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(degree * (degree - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT agg.n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       agg.n_wedges,
+       tri.n_triangles,
+       round(CASE WHEN agg.n_wedges = 0 THEN 0.0
+                  ELSE 3.0 * tri.n_triangles / agg.n_wedges END, 8)
+         AS global_clustering
+FROM agg CROSS JOIN tri
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + clustering coefficient of the
+    co-purchase graph, by oriented wedge-closure join: canonical
+    (u < v) edges make each triangle a single wedge (u,v1,v2) with
+    u < v1 < v2 closed by edge (v1,v2) — every triangle counted exactly
+    once, no /6 correction, and wedge fan-out is bounded by ORIENTED
+    out-degree. At 100 TB the id-ordering orientation here swaps for
+    degree-ordering (orient low-degree -> high-degree), which provably
+    minimizes oriented out-degree skew; the join shape is identical.
+    The edge list is materialized once (localCheckpoint) — three
+    consumers (two wedge sides + closure probe) would otherwise
+    re-derive it through the basket self-join."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = edges.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = edges.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, ["u"]).filter(F.col("v1") < F.col("v2"))
+    closed = wedges.join(
+        edges.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    und = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    coeff = F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"), 8
+        )
+    )
+    return (
+        node_stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            coeff.alias("global_clustering"),
+        )
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    tags=("graph", "aggregation"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+und AS (
+  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+),
+deg AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node)
+SELECT degree, COUNT(*) AS n_parts
+FROM deg GROUP BY degree ORDER BY degree
+""",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first
+    diagnostic run on any production graph (power-law tail => salting /
+    degree-oriented algorithms needed downstream). Two partial-agg
+    shuffles over the edge list; output is O(max degree) rows."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return (
+        und.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("degree")
+    )

@@ -1,0 +1,171 @@
+"""Data-quality constraint checking (the Deequ/Great-Expectations shape).
+
+Production ingest gates every batch behind declarative constraints —
+completeness, uniqueness, referential integrity, range and set
+membership — and fails the pipeline (or quarantines the batch) when a
+metric crosses its threshold. The reference's config-driven threshold
+check (SURVEY.md §3.2; `MainApp.java:32-43` reads `traffic_limits` and
+routes on min/max) is the 2-row special case of exactly this pattern:
+compute a metric, compare against a declared bound, emit a verdict.
+
+Scale design: ALL metrics for a table come out of ONE full scan — each
+constraint is a conditional aggregate inside a single wide
+`agg`, so adding constraints adds columns, not passes. The per-table
+scalar frames are then unpivoted (stack) and unioned: the unioned
+frame is O(#constraints) rows, so everything after the scans is free.
+Referential integrity is the one join — the dimension side's keys are
+broadcast (customer keys ≪ orders at any scale where RI checking makes
+sense; for same-magnitude tables a shuffle join with the same
+LeftAnti semantics drops in)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+METRIC_DP = 8  # ratios rounded to 8 dp: exact count ratios, stable in binary
+
+# All metrics are fractions in [0, 1]; a check passes when
+# metric >= THRESHOLD (per-constraint thresholds drop in by turning
+# this into a dict keyed by constraint name).
+THRESHOLD = 1.0
+
+
+def _ratio(num, den):
+    return F.round(num.cast("double") / den.cast("double"), METRIC_DP)
+
+
+@register(
+    "dq_constraint_suite",
+    tags=("quality", "aggregation", "constraints"),
+    oracle=f"""
+WITH cust AS (
+  SELECT
+    round(CAST(COUNT(c_acctbal) AS DOUBLE) / COUNT(*), {METRIC_DP}) AS completeness_acctbal,
+    round(CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / COUNT(*), {METRIC_DP}) AS uniq_custkey
+  FROM customer
+),
+ord AS (
+  SELECT
+    round(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), {METRIC_DP}) AS uniq_orderkey,
+    round(CAST(COUNT(o_orderdate) AS DOUBLE) / COUNT(*), {METRIC_DP}) AS completeness_orderdate
+  FROM orders
+),
+ri AS (
+  SELECT round(CAST(COUNT(CASE WHEN c.c_custkey IS NOT NULL THEN 1 END) AS DOUBLE)
+               / COUNT(*), {METRIC_DP}) AS ri_custkey
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+li AS (
+  SELECT
+    round(CAST(COUNT(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 1 END) AS DOUBLE)
+          / COUNT(*), {METRIC_DP}) AS range_discount,
+    round(CAST(COUNT(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 END) AS DOUBLE)
+          / COUNT(*), {METRIC_DP}) AS set_returnflag,
+    round(CAST(COUNT(CASE WHEN l_quantity >= 0 THEN 1 END) AS DOUBLE)
+          / COUNT(*), {METRIC_DP}) AS nonneg_quantity
+  FROM lineitem
+),
+metrics(check_name, metric) AS (
+  SELECT 'customer.c_acctbal.completeness', completeness_acctbal FROM cust
+  UNION ALL SELECT 'customer.c_custkey.uniqueness', uniq_custkey FROM cust
+  UNION ALL SELECT 'orders.o_orderkey.uniqueness', uniq_orderkey FROM ord
+  UNION ALL SELECT 'orders.o_orderdate.completeness', completeness_orderdate FROM ord
+  UNION ALL SELECT 'orders.o_custkey.referential_integrity', ri_custkey FROM ri
+  UNION ALL SELECT 'lineitem.l_discount.in_range_0_1', range_discount FROM li
+  UNION ALL SELECT 'lineitem.l_returnflag.in_set_ANR', set_returnflag FROM li
+  UNION ALL SELECT 'lineitem.l_quantity.non_negative', nonneg_quantity FROM li
+)
+SELECT check_name, metric, metric >= 1.0 AS passed
+FROM metrics
+ORDER BY check_name
+""",
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the declared constraint suite; one row per constraint with
+    its measured metric and pass/fail verdict. Single pass per table:
+    every constraint on a table is a conditional aggregate in the same
+    `agg`, so the plan holds three fact scans + one broadcast anti
+    probe no matter how many constraints are declared."""
+    n = F.count(F.lit(1))
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .agg(
+            _ratio(F.count("c_acctbal"), n).alias(
+                "customer.c_acctbal.completeness"
+            ),
+            _ratio(F.count_distinct(F.col("c_custkey")), n).alias(
+                "customer.c_custkey.uniqueness"
+            ),
+        )
+    )
+    ord_ = (
+        load(spark, sf_dir, "orders")
+        .agg(
+            _ratio(F.count_distinct(F.col("o_orderkey")), n).alias(
+                "orders.o_orderkey.uniqueness"
+            ),
+            _ratio(F.count("o_orderdate"), n).alias(
+                "orders.o_orderdate.completeness"
+            ),
+        )
+    )
+    # RI: fraction of orders whose customer key resolves. Broadcast the
+    # key set (dimension-sized); LEFT join + conditional count keeps it
+    # a single probe pass over the fact side.
+    cust_keys = load(spark, sf_dir, "customer").select("c_custkey")
+    ri = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(cust_keys),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            _ratio(F.count("c_custkey"), n).alias(
+                "orders.o_custkey.referential_integrity"
+            )
+        )
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            _ratio(
+                F.count(F.when(F.col("l_discount").between(0, 1), 1)), n
+            ).alias("lineitem.l_discount.in_range_0_1"),
+            _ratio(
+                F.count(F.when(F.col("l_returnflag").isin("A", "N", "R"), 1)),
+                n,
+            ).alias("lineitem.l_returnflag.in_set_ANR"),
+            _ratio(F.count(F.when(F.col("l_quantity") >= 0, 1)), n).alias(
+                "lineitem.l_quantity.non_negative"
+            ),
+        )
+    )
+
+    def unpivot(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+        return df.selectExpr(
+            f"stack({len(cols)}, {pairs}) AS (check_name, metric)"
+        )
+
+    metrics = (
+        unpivot(cust)
+        .unionAll(unpivot(ord_))
+        .unionAll(unpivot(ri))
+        .unionAll(unpivot(li))
+    )
+    threshold = F.lit(THRESHOLD)
+    return (
+        metrics.select(
+            "check_name",
+            "metric",
+            (F.col("metric") >= threshold).alias("passed"),
+        )
+        .orderBy("check_name")
+    )

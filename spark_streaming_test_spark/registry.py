@@ -60,6 +60,8 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.llm.pq",
     "spark_streaming_test_spark.llm.features",
     "spark_streaming_test_spark.operators.basket",
+    "spark_streaming_test_spark.operators.quality",
+    "spark_streaming_test_spark.operators.segmentation",
 ]
 
 # Round-3 driver verification window. The driver checks the FIRST ~50
@@ -115,6 +117,9 @@ _DRIVER_WINDOW = [
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue", "tpch_q20_excess_supply",
     "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+    # round-3 additions (oracle-backed) — rotate into the round-4 window
+    "dq_constraint_suite", "graph_triangle_count", "graph_degree_histogram",
+    "rfm_segmentation", "pareto_frontier", "sim_knn_classify",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "emb_kmeans_lloyd", "mm_feature_extract_stub", "mm_frame_sample_stub",
     "mm_resize_stub",
