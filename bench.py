@@ -61,6 +61,9 @@ HEADLINE = [
     "er_blocked_match",          # blocked self-join entity resolution
     "sim_pq_adc_topk",           # PQ code scan + distance-table lookups
     "ts_anomaly_zscore",         # trailing-window anomaly scoring
+    "graph_triangle_count",      # oriented wedge-closure triangle join
+    "text_bigram_logprob",       # bigram-LM train+score (two corpus passes)
+    "dq_constraint_suite",       # multi-table constraint metrics, 1 pass/table
 ]
 
 

@@ -456,3 +456,104 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    tags=("llm", "dedup", "containment"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])
+         )) AS shingles
+  FROM documents WHERE doc_id < {PAIRWISE_CAP}
+),
+postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM docs),
+directed AS (
+  SELECT c.doc_a AS contained_doc, c.doc_b AS container_doc,
+         CAST(c.n_common AS DOUBLE) / sa.n_shingles AS containment
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  UNION ALL
+  SELECT c.doc_b, c.doc_a,
+         CAST(c.n_common AS DOUBLE) / sb.n_shingles
+  FROM common c
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT contained_doc, container_doc, containment
+FROM directed WHERE containment >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment near-dup detection: C(A -> B) =
+    |A ∩ B| / |A| — the asymmetric twin of Jaccard that catches a
+    short document wholly quoted inside a longer one (Jaccard stays
+    low when |B| >> |A|, containment hits 1.0). The standard
+    boilerplate / quotation / subsumption filter in corpus curation.
+
+    Same inverted-shingle-index plan as dedup_ngram_jaccard — the
+    intersection count per UNORDERED pair computes once (a < b), then
+    fans out into the two directed ratios; shuffle is bounded by
+    postings, never docs^2. Ratios are exact-int IEEE divisions,
+    bitwise equal across engines."""
+    d = spread(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIRWISE_CAP)
+    )
+    docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
+    postings = docs.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    )
+    pa, pb = postings.alias("a"), postings.alias("b")
+    common = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    # Fan the unordered pair into its two directed ratios with ONE
+    # explode instead of a self-union — a union's second branch would
+    # re-run the postings self-join subtree.
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained_doc"),
+                    F.col("doc_b").alias("container_doc"),
+                    (F.col("n_common").cast("double") / F.col("na")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained_doc"),
+                    F.col("doc_a").alias("container_doc"),
+                    (F.col("n_common").cast("double") / F.col("nb")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("e")
+    ).select("e.contained_doc", "e.container_doc", "e.containment")
+    return directed.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)

@@ -9,7 +9,7 @@ md5 fingerprints — all with exact DuckDB twins for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
@@ -631,5 +631,146 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             avg_lp.alias("avg_logprob"),
             (avg_lp < LOW_QUALITY_LP).alias("low_quality"),
+        )
+    )
+
+
+BACKOFF = 0.4  # stupid-backoff discount for unseen bigrams
+
+_SQL_LM_PAIRS = """
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+),
+doc_pairs AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(tk))) AS t(i)
+  WHERE tk[i] <> '' AND tk[i+1] <> ''
+)"""
+
+
+@register(
+    "text_bigram_logprob",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=f"""
+WITH {_SQL_LM_PAIRS},
+big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM doc_pairs GROUP BY w1, w2
+),
+lp_big AS (
+  SELECT w1, w2,
+         round(ln(CAST(c12 AS DOUBLE)
+                  / SUM(c12) OVER (PARTITION BY w1)), {LOGPROB_DP}) AS logp
+  FROM big
+),
+clean AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, COUNT(*) AS n FROM clean WHERE token <> '' GROUP BY token
+),
+total AS (SELECT SUM(n) AS t FROM vocab),
+lp_uni AS (
+  SELECT token,
+         round(ln({BACKOFF} * CAST(n AS DOUBLE) / t), {LOGPROB_DP}) AS logp_bo
+  FROM vocab, total
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(coalesce(lb.logp, lu.logp_bo)
+                     AS DECIMAL(25,{LOGPROB_DP}))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+FROM doc_pairs p
+LEFT JOIN lp_big lb ON p.w1 = lb.w1 AND p.w2 = lb.w2
+JOIN lp_uni lu ON p.w2 = lu.token
+GROUP BY p.doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model document scoring with stupid backoff —
+    one step closer to the KenLM-style perplexity filters used in
+    corpus curation than ``text_unigram_logprob``: seen bigrams score
+    ln(c12 / c1.), unseen ones back off to ln({BACKOFF} * unigram
+    probability). Train-then-score = two passes over the corpus (model
+    aggregation, scoring join) plus one token pass for the backoff
+    table; both model tables are vocab-bounded (Heaps' law), so they
+    checkpoint once and BROADCAST onto the scoring pass — no
+    corpus-sized shuffle anywhere. Per-bigram logprobs round at
+    {LOGPROB_DP} dp then decimal-sum: partition-order invariant,
+    bitwise equal to the oracle."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+
+    def pair_frame():
+        return (
+            d.select("doc_id", toks.alias("tk"))
+            .select(
+                "doc_id",
+                F.explode_outer(
+                    F.filter(
+                        F.zip_with(
+                            F.col("tk"),
+                            F.slice(F.col("tk"), 2, 2_000_000),
+                            lambda a, b: F.struct(
+                                a.alias("w1"), b.alias("w2")
+                            ),
+                        ),
+                        lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                    )
+                ).alias("bg"),
+            )
+            .filter(F.col("bg").isNotNull())
+            .select("doc_id", "bg.w1", "bg.w2")
+        )
+
+    # Model tables: checkpoint so the scoring pass's broadcast builds
+    # don't re-run the corpus tokenization (the PMI lesson).
+    big = (
+        pair_frame()
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    lp_big = big.select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(
+                F.col("c12").cast("double")
+                / F.sum("c12").over(Window.partitionBy("w1"))
+            ),
+            LOGPROB_DP,
+        ).alias("logp"),
+    )
+    vocab = (
+        d.select(F.explode_outer(toks).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("n").alias("t"))
+    lp_uni = vocab.join(F.broadcast(total), F.lit(True)).select(
+        "token",
+        F.round(
+            F.log(F.lit(BACKOFF) * F.col("n").cast("double") / F.col("t")),
+            LOGPROB_DP,
+        ).alias("logp_bo"),
+    )
+    dec = f"decimal(25,{LOGPROB_DP})"
+    logp = F.coalesce(F.col("logp"), F.col("logp_bo"))
+    return (
+        pair_frame()
+        .join(F.broadcast(lp_big), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(lp_uni), F.col("w2") == F.col("token")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(logp.cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_logprob"),
         )
     )

@@ -558,3 +558,62 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_bucket.groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
     )
+
+
+# --- count-min sketch -----------------------------------------------------
+
+CM_DEPTH = 4     # independent hash rows
+CM_WIDTH = 256   # buckets per row
+
+
+@register(
+    "agg_countmin_claim",
+    tags=("aggregation", "sketch", "claim"),
+    oracle="""
+SELECT user_id, COUNT(*) AS n_exact, TRUE AS cm_overestimates
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def agg_countmin_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, verified as a CLAIM (the
+    agg_heavy_hitters_claim pattern): the sketch's `est(x) =
+    min_i sketch[i][h_i(x)]` can only OVER-estimate — counters only
+    ever absorb additions — so the oracle pins the exact counts and
+    asserts the overestimate invariant held for every key. The DuckDB
+    engine cannot reproduce Spark's xxhash64, which is exactly why the
+    sketch ships as a claim rather than a value hash.
+
+    Scale design: the sketch build is ONE pass with map-side partial
+    aggregation onto depth x width (4x256) keys — the shuffle is
+    bounded by the sketch size per partition, NOT the input; this is
+    what makes count-min the streaming/distributed-merge choice (sum
+    sketches cell-wise to merge). The probe side broadcasts the
+    1024-cell sketch onto the per-key frame."""
+    ev = load(spark, sf_dir, "events")
+    buckets = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("user_id"), F.lit(i)), F.lit(CM_WIDTH))
+            for i in range(CM_DEPTH)
+        ]
+    )
+    sketch = (
+        ev.select(F.posexplode(buckets).alias("row_i", "bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (
+        exact.select("user_id", F.posexplode(buckets).alias("row_i", "bucket"))
+        .join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "n_exact",
+            (F.col("cm_est") >= F.col("n_exact")).alias("cm_overestimates"),
+        )
+        .orderBy("user_id")
+    )

@@ -265,3 +265,126 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             TRANS_DP,
         ).alias("p"),
     )
+
+
+FUNNEL_WINDOW_MIN = 60  # view -> purchase must complete within this many minutes
+
+
+@register(
+    "events_window_funnel",
+    tags=("behavior", "funnel", "window"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_here
+  FROM events
+),
+clicks AS (
+  SELECT user_id, ts AS click_ts, next_purchase_here AS purchase_after_click
+  FROM seq WHERE event_type = 'click'
+),
+views AS (
+  SELECT s.user_id, s.ts AS view_ts, s.next_click,
+         c.purchase_after_click
+  FROM seq s
+  LEFT JOIN clicks c
+    ON c.user_id = s.user_id AND c.click_ts = s.next_click
+  WHERE s.event_type = 'view'
+),
+levels AS (
+  SELECT user_id,
+         1
+         + CASE WHEN next_click IS NOT NULL
+                 AND next_click <= view_ts + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+                THEN 1 ELSE 0 END
+         + CASE WHEN next_click IS NOT NULL
+                 AND next_click <= view_ts + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+                 AND purchase_after_click IS NOT NULL
+                 AND purchase_after_click <= view_ts + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+                THEN 1 ELSE 0 END AS level
+  FROM views
+),
+per_user AS (SELECT user_id, MAX(level) AS max_level FROM levels GROUP BY user_id)
+SELECT max_level, COUNT(*) AS n_users
+FROM per_user GROUP BY max_level ORDER BY max_level
+""",
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-``windowFunnel`` semantics: deepest view -> click ->
+    purchase chain where each NEXT stage follows the previous one and
+    the whole chain completes within {W} minutes of the anchoring view.
+    Differs from ``events_funnel`` (global first-touch) by enforcing
+    strict per-chain ordering and a bounded time window.
+
+    Plan: one window pass over user-ordered events computes, at every
+    row, the next click / next purchase strictly after it (reverse
+    running MIN — no self-join against the raw stream). Each view then
+    needs the purchase-after-ITS-click, which is a key-equi join back
+    to the click rows on (user_id, next_click) — shuffle bounded by
+    the click subset, and both sides already partition by user_id so
+    the sort-merge reuses the window's exchange. Funnel levels and the
+    final histogram are O(users) aggregates. Ties on ts are broken by
+    event_id in the window order, so chain choice is deterministic."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_of = lambda t: F.min(
+        F.when(F.col("event_type") == t, F.col("ts"))
+    ).over(w_next)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        next_of("click").alias("next_click"),
+        next_of("purchase").alias("next_purchase_here"),
+    )
+    clicks = seq.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("next_purchase_here").alias("purchase_after_click"),
+    )
+    views = (
+        seq.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"), "next_click")
+        .join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("next_click") == F.col("click_ts")),
+            "left",
+        )
+        .drop("c_user_id")
+    )
+    deadline = F.col("view_ts") + F.expr(
+        f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES"
+    )
+    stage2 = F.col("next_click").isNotNull() & (
+        F.col("next_click") <= deadline
+    )
+    stage3 = (
+        stage2
+        & F.col("purchase_after_click").isNotNull()
+        & (F.col("purchase_after_click") <= deadline)
+    )
+    levels = views.select(
+        "user_id",
+        (
+            F.lit(1) + stage2.cast("int") + stage3.cast("int")
+        ).alias("level"),
+    )
+    return (
+        levels.groupBy("user_id")
+        .agg(F.max("level").alias("max_level"))
+        .groupBy("max_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("max_level")
+    )

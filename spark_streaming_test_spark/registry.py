@@ -120,6 +120,8 @@ _DRIVER_WINDOW = [
     # round-3 additions (oracle-backed) — rotate into the round-4 window
     "dq_constraint_suite", "graph_triangle_count", "graph_degree_histogram",
     "rfm_segmentation", "pareto_frontier", "sim_knn_classify",
+    "fn_url_suite", "text_bigram_logprob", "agg_countmin_claim",
+    "dedup_containment", "events_window_funnel",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "emb_kmeans_lloyd", "mm_feature_extract_stub", "mm_frame_sample_stub",
     "mm_resize_stub",
