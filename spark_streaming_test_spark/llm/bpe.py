@@ -1,0 +1,187 @@
+"""BPE tokenizer training on-cluster (the tokenizer-fitting pass of an
+LLM data pipeline).
+
+Byte-pair encoding training never needs the corpus after ONE aggregation:
+the classic algorithm (Sennrich et al. 2016; HF `tokenizers` does the
+same) operates on the WORD-FREQUENCY table — count words once, then
+iterate merges over that vocab-bounded frame. That shape is ideal for
+Spark: the only corpus-sized stage is the initial word count (one
+shuffle with map-side partials); every merge iteration is a pair-count
+aggregate + argmax + string rewrite on O(vocab) rows, checkpointed like
+the PageRank loop (`operators/graph.py`).
+
+Symbols are '\\x00'-delimited inside a word string, so a merge is a
+plain `replace('a\\0b' -> 'ab')` — left-to-right, non-overlapping,
+exactly the reference BPE merge semantics — and stays a JVM string op.
+
+The merge choice ties break by (count DESC, left ASC, right ASC), so
+training is fully deterministic on any partitioning. The merge table is
+the model: rows-only for the driver (the fixed-point loop is not
+single-SQL-expressible); semantics are pinned by the classic
+"low/lower/newest/widest" unit corpus in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, spread
+from ..registry import register
+
+N_MERGES = 8
+SEP = "\x00"
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus pass: lowercase alpha words with frequencies."""
+    d = spread(load(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_train(words: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
+    """Run the merge loop over a (word, n) frame; returns the ordered
+    merge table as plain dicts. Each iteration: adjacent-pair counts
+    weighted by word frequency (aggregate over O(vocab) rows), argmax
+    with a total-order tie-break (a 1-row driver collect — the same
+    bounded collect as the reference's limits lookup,
+    MainApp.java:38-40), then one string-replace rewrite."""
+    syms = words.select(
+        F.col("n"),
+        F.concat_ws(SEP, F.split(F.col("word"), "(?!^)(?=.)")).alias("s"),
+    ).localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for it in range(n_merges):
+        arr = F.split(F.col("s"), SEP)
+        adj = F.filter(
+            F.zip_with(
+                arr,
+                F.slice(arr, 2, 2_000_000),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            ),
+            lambda p: p["r"].isNotNull(),
+        )
+        pairs = (
+            syms.select("n", F.explode_outer(adj).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append(
+            {
+                "iteration": it,
+                "left": b.l,
+                "right": b.r,
+                "merged": b.l + b.r,
+                "pair_count": b.cnt,
+            }
+        )
+        syms = syms.select(
+            "n",
+            F.replace(
+                F.col("s"), F.lit(b.l + SEP + b.r), F.lit(b.l + b.r)
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@register(
+    "text_bpe_train",
+    tags=("llm", "text", "tokenizer", "iterative"),
+    # No SQL oracle: the merge loop is an iterative fixpoint with a
+    # data-dependent argmax per level — not single-SQL-expressible.
+    # Driver records rows-only; semantics are pinned by the classic
+    # unit corpus + determinism tests in tests/test_llm.py.
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table on the corpus: one word-count shuffle,
+    then N_MERGES iterations over the vocab-bounded symbol frame. The
+    result IS the tokenizer model (ordered merge rules)."""
+    merges = bpe_train(_word_counts(spark, sf_dir))
+    schema = "iteration int, left string, right string, merged string, pair_count bigint"
+    if not merges:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [
+            (m["iteration"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        schema,
+    )
+
+
+# Applying a tokenizer is the inverse deployment shape: the merge table
+# is a FIXED pretrained model (every production pipeline tokenizes with
+# an existing tokenizer), so the rules inline as literals into a static
+# plan — chained JVM string replaces, no Python, and a DuckDB oracle
+# can replay the identical rule chain.
+PRETRAINED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "s"), ("o", "r"),
+]
+
+
+@register(
+    "text_bpe_encode",
+    tags=("llm", "text", "tokenizer"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),
+clean AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+encoded AS (
+  SELECT doc_id,
+         {"".join(f"replace(" for _ in PRETRAINED_MERGES)}
+           array_to_string(string_split_regex(w, ''), chr(1))
+         {"".join(f", '{l}' || chr(1) || '{r}', '{l}{r}')" for l, r in PRETRAINED_MERGES)}
+           AS s
+  FROM clean
+)
+SELECT doc_id,
+       CAST(SUM(len(string_split(s, chr(1)))) AS BIGINT) AS n_bpe_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM encoded
+GROUP BY doc_id
+""",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a fixed pretrained BPE merge table:
+    per word, split to characters and apply the merge rules IN ORDER
+    (each rule is one left-to-right non-overlapping string replace on
+    the symbol-delimited form — reference BPE apply semantics). The
+    whole rule chain compiles into one codegen'd projection of nested
+    JVM `replace` calls: zero shuffles besides the final per-doc count,
+    zero Python, and token counts the oracle replays rule-for-rule."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = (
+        d.select(
+            "doc_id",
+            F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .filter(F.col("w").isNotNull() & (F.col("w") != ""))
+    )
+    s = F.concat_ws(SEP, F.split(F.col("w"), "(?!^)(?=.)"))
+    for l, r in PRETRAINED_MERGES:
+        s = F.replace(s, F.lit(l + SEP + r), F.lit(l + r))
+    return (
+        words.select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.size(F.split(F.col("s"), SEP))).alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )

@@ -233,3 +233,61 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = base.join(changes, "o_orderkey", "left_anti")
     upserts = changes.filter(F.col("op") == "upsert").drop("op")
     return survivors.unionByName(upserts)
+
+
+@register(
+    "cdc_changelog_compact",
+    tags=("cdc", "window", "compaction"),
+    oracle="""
+WITH log AS (
+  SELECT event_id AS seq, user_id AS key, value,
+         CASE WHEN event_type = 'purchase' THEN 'D'
+              WHEN event_type = 'view' THEN 'I'
+              ELSE 'U' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT key, seq, op, value,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT key, seq AS last_seq, value AS last_value
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+ORDER BY key
+""",
+)
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — materialize the latest state per key from
+    an insert/update/delete op log (the read-side of every CDC
+    pipeline, and what a lakehouse table's log-compaction job does).
+    Last-writer-wins by sequence number: one hash exchange on the key,
+    WindowGroupLimit keeps one row per key PER TASK before the final
+    rank filter, and a tombstone ('D' last) erases the key entirely.
+    The op log derives deterministically from events (event_id is the
+    total-order sequence).
+
+    At 100 TB this is the canonical compaction plan: shuffle is the
+    log itself (unavoidable — last-wins needs key co-location), but
+    the group-limit pushdown means each task emits at most one row per
+    key before the merge, so the final stage is state-sized."""
+    log = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("key"),
+        "value",
+        F.when(F.col("event_type") == "purchase", "D")
+        .when(F.col("event_type") == "view", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("seq").alias("last_seq"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("key")
+    )

@@ -250,3 +250,53 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_near"),
         F.sum(F.col("value").cast("decimal(25,4)")).over(w).cast("double").alias("sum_near"),
     )
+
+
+@register(
+    "window_running_distinct",
+    tags=("window", "distinct"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, ts, event_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
+FROM flagged
+""",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — which no SQL
+    window supports directly — via the first-occurrence decomposition:
+    flag each (user, value)'s first row (row_number = 1 over the
+    value-partitioned window), then a running SUM of flags over the
+    time-ordered window. Two WindowExecs over the SAME user_id hash
+    exchange (the second adds only a sort), so the plan stays one
+    shuffle; ties on ts break by event_id for full determinism. The
+    standard trick for 'unique items seen so far' product metrics."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_seen = (F.row_number().over(w_first) == 1).cast("int")
+    return (
+        ev.withColumn("first_seen", first_seen)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+        )
+    )

@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.basket",
     "spark_streaming_test_spark.operators.quality",
     "spark_streaming_test_spark.operators.segmentation",
+    "spark_streaming_test_spark.llm.bpe",
 ]
 
 # Round-3 driver verification window. The driver checks the FIRST ~50
@@ -121,10 +122,11 @@ _DRIVER_WINDOW = [
     "dq_constraint_suite", "graph_triangle_count", "graph_degree_histogram",
     "rfm_segmentation", "pareto_frontier", "sim_knn_classify",
     "fn_url_suite", "text_bigram_logprob", "agg_countmin_claim",
-    "dedup_containment", "events_window_funnel",
+    "dedup_containment", "events_window_funnel", "text_bpe_encode",
+    "cdc_changelog_compact", "window_running_distinct",
     # rows-only (no oracle) — deliberately after the oracle-backed block
-    "emb_kmeans_lloyd", "mm_feature_extract_stub", "mm_frame_sample_stub",
-    "mm_resize_stub",
+    "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
+    "mm_frame_sample_stub", "mm_resize_stub",
 ]
 
 

@@ -386,3 +386,48 @@ def test_pq_adc_self_recall_and_floor(spark, sf_dir):
     }
     got = {r["vec_id"] for r in adc}
     assert len(exact & got) / 10 >= 0.1
+
+
+# --- BPE tokenizer training ------------------------------------------------
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich-style unit corpus: with words {low:5, lower:2, newest:6,
+    widest:3}, the first merges must be (e,s)->es then (es,t)->est —
+    the canonical worked example of the BPE paper."""
+    from spark_streaming_test_spark.llm import bpe
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, n bigint",
+    )
+    merges = bpe.bpe_train(words, n_merges=4)
+    assert [m["merged"] for m in merges[:2]] == ["es", "est"]
+    # pair counts weight by word frequency: es = 6 + 3 = 9
+    assert merges[0]["pair_count"] == 9
+    assert merges[1]["pair_count"] == 9
+    # every later merge must reference symbols that exist at that point
+    assert all(m["pair_count"] > 0 for m in merges)
+
+
+def test_bpe_train_deterministic_under_partitioning(spark):
+    from spark_streaming_test_spark.llm import bpe
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, n bigint",
+    )
+    a = bpe.bpe_train(words.repartition(1), n_merges=3)
+    b = bpe.bpe_train(words.repartition(7), n_merges=3)
+    assert a == b
+
+
+def test_bpe_train_query_runs(spark):
+    from spark_streaming_test_spark import registry
+
+    df = registry.queries()["text_bpe_train"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 8
+    assert rows[0].iteration == 0
+    # merged symbol is always the concatenation of its parts
+    assert all(r.merged == r.left + r.right for r in rows)

@@ -365,3 +365,69 @@ def test_anomaly_zscore_single_window_exec(spark, qs):
     df = qs["ts_anomaly_zscore"](spark, SF_DIR)
     plan = checks.formatted_plan(df)
     assert plan.count(") Window") == 1, plan[:2000]
+
+
+def test_dq_suite_prunes_fact_scans(spark, qs):
+    # Each constraint table is scanned once with only the checked
+    # columns in ReadSchema — lineitem (11 cols) must read <= 3.
+    df = qs["dq_constraint_suite"](spark, SF_DIR)
+    schemas = checks.read_schemas(df)
+    li = [s for s in schemas if "l_discount" in s]
+    assert li, f"no lineitem scan found: {schemas}"
+    assert all(s.count(",") <= 2 for s in li), f"lineitem reads too much: {li}"
+    checks.assert_broadcast_join(df)  # RI key set broadcasts
+
+
+def test_pareto_window_runs_on_aggregated_frame(spark, qs):
+    # The skyline window must consume the per-size aggregate (O(sizes)
+    # rows), never the raw part table — HashAggregate below Window.
+    df = qs["pareto_frontier"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans print leaves last: the aggregate must appear
+    # BELOW (later than) the window consuming it.
+    assert agg_pos > win_pos, "window is not fed by the aggregate"
+
+
+def test_knn_classify_broadcasts_queries_and_group_limits(spark, qs):
+    # The query set joins on a non-equi condition (vec_id != query_id),
+    # so the broadcast materializes as BroadcastNestedLoopJoin — fine:
+    # the BUILD side is the tiny query set, the corpus streams.
+    df = qs["sim_knn_classify"](spark, SF_DIR)
+    checks.assert_operator(df, "BroadcastNestedLoopJoin")
+    checks.assert_operator(df, "WindowGroupLimit")
+
+
+def test_bigram_logprob_broadcasts_model_tables(spark, qs):
+    # Both LM tables (bigram probs, unigram backoff) must broadcast —
+    # a shuffle join here would move the corpus-sized pair stream.
+    df = qs["text_bigram_logprob"](spark, SF_DIR)
+    checks.assert_broadcast_join(df, min_count=2)
+
+
+def test_countmin_sketch_broadcasts(spark, qs):
+    df = qs["agg_countmin_claim"](spark, SF_DIR)
+    checks.assert_broadcast_join(df)
+
+
+def test_triangle_count_on_tiny_known_graph(spark):
+    # K4 minus one edge: edges of complete graph on {1,2,3,4} without
+    # (3,4) -> triangles {1,2,3} and {1,2,4}; wedges: deg 3,3,2,2 ->
+    # 3+3+1+1 = 8; clustering = 3*2/8 = 0.75.
+    from spark_streaming_test_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "u bigint, v bigint"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(g, "_copurchase_edges", lambda s, d: edges):
+        row = g.graph_triangle_count(spark, SF_DIR).collect()[0]
+    assert row.n_nodes == 4
+    assert row.n_edges == 5
+    assert row.n_wedges == 8
+    assert row.n_triangles == 2
+    assert abs(row.global_clustering - 0.75) < 1e-12
