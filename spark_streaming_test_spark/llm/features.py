@@ -76,3 +76,51 @@ def emb_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+MRL_DIMS = 16   # truncation prefix length (full vectors are 64-d)
+MRL_DP = 8
+
+
+@register(
+    "emb_matryoshka_eval",
+    tags=("llm", "embeddings", "mrl"),
+    oracle=f"""
+WITH t AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS fv,
+         (embedding::DOUBLE[])[1:{MRL_DIMS}] AS pfx
+  FROM embeddings
+)
+SELECT vec_id,
+       round(sqrt(list_inner_product(fv, fv)), {MRL_DP}) AS norm_full,
+       round(sqrt(list_inner_product(pfx, pfx)), {MRL_DP}) AS norm_prefix,
+       round(list_inner_product(pfx, pfx) / list_inner_product(fv, fv),
+             {MRL_DP}) AS energy_retained
+FROM t
+""",
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much of each vector's
+    energy the first MRL_DIMS dims retain — the go/no-go metric for
+    serving truncated embeddings (prefix dims of MRL-trained models
+    carry most of the signal; energy_retained quantifies it per
+    vector). Pure JVM array lambdas (slice + aggregate dot products),
+    map-only — no shuffle at any scale. Ratios of exact sums round at
+    MRL_DP dp on both engines."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    full = F.col("embedding").cast("array<double>")
+    pfx = F.slice(full, 1, MRL_DIMS)
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    e_full = dot(full, full)
+    e_pfx = dot(pfx, pfx)
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(e_full), MRL_DP).alias("norm_full"),
+        F.round(F.sqrt(e_pfx), MRL_DP).alias("norm_prefix"),
+        F.round(e_pfx / e_full, MRL_DP).alias("energy_retained"),
+    )

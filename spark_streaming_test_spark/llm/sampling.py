@@ -211,3 +211,48 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("res_key"), "doc_id")
         .limit(RESERVOIR_N)
     )
+
+
+TEMPORAL_CUTOFF = "2024-01-25"  # events strictly before -> train
+
+
+@register(
+    "sample_temporal_split",
+    tags=("llm", "sampling", "split", "temporal"),
+    oracle=f"""
+WITH labeled AS (
+  SELECT user_id, event_id,
+         CASE WHEN ts < TIMESTAMP '{TEMPORAL_CUTOFF}' THEN 'train'
+              ELSE 'eval' END AS split
+  FROM events
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM labeled
+GROUP BY split
+ORDER BY split
+""",
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split at a fixed cutoff — the leakage-safe
+    alternative to hash splitting for time-dependent data (the eval
+    period must be strictly AFTER anything trained on; hash splits
+    leak future events into train). The cutoff literal pushes into the
+    parquet scan as a min/max row-group filter, so at 100 TB each
+    split materializes from a fraction of the files. Reported as
+    per-split event/user counts; the labeling projection is what a
+    writer would partition the output by."""
+    ev = load(spark, sf_dir, "events")
+    split = F.when(
+        F.col("ts") < F.lit(TEMPORAL_CUTOFF).cast("timestamp"), "train"
+    ).otherwise("eval")
+    return (
+        ev.select(split.alias("split"), "event_id", "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("split")
+    )

@@ -169,3 +169,43 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+K_ANON = 5  # minimum acceptable equivalence-class size
+
+
+@register(
+    "dq_k_anonymity",
+    tags=("quality", "privacy", "aggregation"),
+    oracle=f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+       class_size < {K_ANON} AS violates_k
+FROM classes
+ORDER BY c_nationkey, c_mktsegment
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (nation, market segment): every equivalence class smaller than
+    k=K_ANON re-identifies its members and must be generalized or
+    suppressed before the table ships to training. One partial-agg
+    shuffle on the quasi-identifier; output is class-count-sized.
+    The release gate of privacy-preserving data prep — same
+    verdict-per-group shape as the constraint suite."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") < K_ANON).alias("violates_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -826,3 +826,74 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(got) == [("A", 10.0), ("A", 12.0), ("B", 20.0), ("C", 30.0)], got
+
+
+def test_countmin_sketch_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """Count-min mergeability — the property that makes the sketch the
+    streaming frequency estimator: summing per-micro-batch sketches
+    cell-wise must equal the sketch built over the whole corpus in one
+    batch pass. foreachBatch maintains the running sketch as a
+    cell-wise SUM (a parquet accumulator keyed by (row_i, bucket));
+    maxFilesPerTrigger splits the input so several merges really
+    happen."""
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators.aggregates import (
+        CM_DEPTH,
+        CM_WIDTH,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    src = str(tmp_path / "ev")
+    # multiple files => multiple micro-batches with maxFilesPerTrigger=1
+    ev.repartition(4).write.parquet(src, mode="overwrite")
+    acc = str(tmp_path / "sketch_acc")
+
+    def buckets():
+        return F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.col("user_id"), F.lit(i)), F.lit(CM_WIDTH)
+                )
+                for i in range(CM_DEPTH)
+            ]
+        )
+
+    def merge_sketch(batch_df, batch_id):
+        part = (
+            batch_df.select(F.posexplode(buckets()).alias("row_i", "bucket"))
+            .groupBy("row_i", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        part.write.parquet(acc, mode="append")
+
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_sketch)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "stream did not terminate"
+    finally:
+        q.stop()
+
+    merged = {
+        (r["row_i"], r["bucket"]): r["total"]
+        for r in spark.read.parquet(acc)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").alias("total"))
+        .collect()
+    }
+    batch = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in ev.select(F.posexplode(buckets()).alias("row_i", "bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert merged == batch
