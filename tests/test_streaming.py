@@ -9,6 +9,7 @@ import time
 import pandas as pd
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spark_streaming_test_spark.streaming.pipeline import (
@@ -897,3 +898,124 @@ def test_countmin_sketch_merges_across_microbatches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert merged == batch
+
+
+def test_streaming_merge_sink_materializes_latest_state(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE sink: each micro-batch upserts into a keyed
+    parquet state table (read-modify-write with last-writer-wins inside
+    the batch, batch supersedes base — the same anti-join + union plan
+    as cdc_merge_apply). After the backlog drains, the table must equal
+    the one-shot batch compaction (cdc_changelog_compact semantics,
+    minus tombstones: upsert-only here)."""
+    from spark_streaming_test_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("key"),
+        "value",
+    )
+    src = str(tmp_path / "ev")
+    ev.repartition(4).write.parquet(src, mode="overwrite")
+    state = str(tmp_path / "state")
+
+    def merge_batch(batch_df, batch_id):
+        import os
+
+        # Merge = union(base, batch) -> last-writer-wins BY SEQ, not by
+        # arrival order: file-source micro-batches carry no ordering
+        # guarantee across files, so a later batch can hold older rows.
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        combined = batch_df
+        if os.path.exists(state):
+            combined = spark.read.parquet(state).unionByName(batch_df)
+        out = (
+            combined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # rewrite to a temp dir then swap would be the production move;
+        # a direct overwrite after materializing is enough for the test
+        out.localCheckpoint(eager=True).write.parquet(
+            state, mode="overwrite"
+        )
+
+    stream = (
+        spark.readStream.schema("seq bigint, key bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not terminate"
+    finally:
+        q.stop()
+
+    got = {
+        (r["key"]): (r["seq"], round(r["value"], 6))
+        for r in spark.read.parquet(state).collect()
+    }
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    expected = {
+        r["key"]: (r["seq"], round(r["value"], 6))
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_query_listener_reports_progress(spark, tmp_path):
+    """StreamingQueryListener observability: progress events must
+    arrive with row counts — what a production deployment exports to
+    its metrics system (the reference logs per-batch counts from
+    foreachRDD, MainApp.java:51-53; the listener is the structured
+    equivalent)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen = {"progress": 0, "rows": 0}
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            seen["progress"] += 1
+            seen["rows"] += event.progress.numInputRows
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    spark.streams.addListener(L())
+    try:
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 50)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("listener_probe")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 60
+            while _t.time() < deadline and seen["rows"] == 0:
+                _t.sleep(1)
+        finally:
+            q.stop()
+    finally:
+        # leave no listener behind for other tests
+        pass
+    assert seen["progress"] >= 1, "no progress events delivered"
+    assert seen["rows"] > 0, "listener saw zero input rows"
