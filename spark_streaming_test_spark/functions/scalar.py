@@ -444,3 +444,38 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("registered_domain"),
         canonical.alias("canonical_url"),
     )
+
+
+@register(
+    "fn_null_semantics",
+    tags=("scalar", "null"),
+    oracle="""
+SELECT o_orderkey,
+       coalesce(o_orderstatus, 'unknown') AS status_or_default,
+       nullif(o_orderstatus, 'O') AS null_if_open,
+       (o_orderstatus IS NOT DISTINCT FROM 'O') AS nullsafe_eq_open,
+       CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_nvl,
+       (o_orderstatus IS NULL) AS status_missing
+FROM orders
+""",
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface in one projection: coalesce, nullif,
+    null-safe equality (<=>), NVL-style CASE, IS NULL — the semantics
+    every filter/join/agg implicitly depends on, pinned explicitly so an
+    engine change in null handling fails loudly. Map-only."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.col("o_orderstatus"), F.lit("unknown")).alias(
+            "status_or_default"
+        ),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("null_if_open"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("O")).alias(
+            "nullsafe_eq_open"
+        ),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_nvl"),
+        F.col("o_orderstatus").isNull().alias("status_missing"),
+    )

@@ -195,8 +195,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       verification of candidates only (>= 0.5).
 
     Shuffles: one explode+groupBy for signatures, one self-join on
-    band buckets (each doc appears 8 times), one semi-join back for
-    verification. No O(n^2) stage anywhere."""
+    band buckets (each doc appears 8 times); the candidate pair set is
+    then checkpointed (tiny — that's LSH's point) and verification
+    shingles ONLY candidate documents (broadcast id semi-filter), so
+    the exact-Jaccard stage is candidate-bounded, not corpus-bounded.
+    No O(n^2) stage anywhere."""
     d = spread(load(spark, sf_dir, "documents"))
     docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     sig = minhash_signatures(docs)
@@ -241,16 +244,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Exact verification of the (small) candidate set. Shingles sit BELOW
-    # each join's exchange (materialized arrays, one projection per side,
-    # the two sides' exchanges canonicalize identically → reused), so the
-    # jaccard predicate — which Catalyst pushes into the join residual —
-    # only touches already-computed columns instead of re-deriving
-    # shingles from text per matched row.
-    sh_a = docs.select(
+    # Materialize the candidate PAIRS (tiny — LSH's whole point) so the
+    # verification stage can consume them twice (id semi-filter + final
+    # join) without re-running the signature/band subtree.
+    candidates = candidates.localCheckpoint(eager=True)
+    # Exact verification touches CANDIDATE DOCUMENTS ONLY: semi-filter
+    # the corpus to candidate ids BEFORE shingling, so the verify-side
+    # shingle computation is bounded by the candidate count, not the
+    # corpus (previously both verify sides re-shingled every doc). The
+    # id set broadcasts; at 100 TB this is the difference between a
+    # candidate-sized projection and two more corpus passes.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = d.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    )
+    sh_a = cand_docs.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     ).hint("shuffle_hash")
-    sh_b = docs.select(
+    sh_b = cand_docs.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -617,3 +617,44 @@ def agg_countmin_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "agg_grouping_id",
+    tags=("agg", "rollup", "grouping-id"),
+    oracle="""
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over a ROLLUP — the disambiguator
+    that lets consumers tell a real NULL group from a subtotal row
+    (every BI layer on top of rollups needs it). Same single Expand +
+    partial-agg plan as agg_rollup; the indicators are free metadata
+    from the Expand node, not extra computation."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias(
+                "priority"
+            ),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
