@@ -240,3 +240,154 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+RRF_K = 60       # the canonical reciprocal-rank-fusion constant
+RRF_DEPTH = 50   # fuse the top-50 of each ranker
+RRF_TOPK = 20
+
+
+@register(
+    "text_rrf_fusion",
+    tags=("llm", "text", "retrieval", "fusion"),
+    oracle=f"""
+WITH {_SQL_TOKENS},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token IN ({_Q_LIST})
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+bm25_term AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.dl / stats.avgdl)),
+           {SCORE_DP}) AS s
+  FROM tf JOIN df USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+bm25_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+           ORDER BY round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE),
+                          {SCORE_DP}) DESC, doc_id) AS r
+  FROM bm25_term GROUP BY doc_id
+),
+tfidf_term AS (
+  SELECT tf.doc_id,
+         round(tf.tf * (ln((1.0 + stats.n_docs) / (1.0 + df.df)) + 1.0),
+               {SCORE_DP}) AS s
+  FROM tf JOIN df USING (token) CROSS JOIN stats
+),
+tfidf_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+           ORDER BY round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE),
+                          {SCORE_DP}) DESC, doc_id) AS r
+  FROM tfidf_term GROUP BY doc_id
+),
+fused AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + b.r), 0.0)
+               + coalesce(1.0 / ({RRF_K} + t.r), 0.0), {SCORE_DP}) AS rrf,
+         b.r AS bm25_rank, t.r AS tfidf_rank
+  FROM (SELECT * FROM bm25_rank WHERE r <= {RRF_DEPTH}) b
+  FULL OUTER JOIN (SELECT * FROM tfidf_rank WHERE r <= {RRF_DEPTH}) t
+    ON b.doc_id = t.doc_id
+)
+SELECT doc_id, rrf, bm25_rank, tfidf_rank
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOPK}
+""",
+)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers for the same literal query
+    (BM25 and TF-IDF here; in production the second arm is the dense
+    ANN ranking — sim_ivf_topk — and this same fusion applies):
+    rrf(d) = sum over rankers of 1/(k + rank_r(d)), the standard
+    hybrid-search combiner (Cormack et al., the TREC fusion baseline).
+
+    Scale: both arms share ONE query-term-filtered tf aggregate (the
+    corpus explode collapses immediately), their rank windows run on
+    the matched-doc frame, and fusion is a full-outer join of two
+    <= {RRF_DEPTH}-row frames. Ranks, not scores, cross the fusion
+    boundary — which is why RRF needs no score normalization and the
+    oracle agrees bitwise."""
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # shared by both arms + df
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dec = "decimal(25,6)"
+
+    bm25_s = F.round(
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        SCORE_DP,
+    )
+    bm25_doc = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(stats), F.lit(True))
+        .select("doc_id", bm25_s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("s").cast(dec)).cast("double"), SCORE_DP).alias("score"))
+    )
+    tfidf_s = F.round(
+        F.col("tf")
+        * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+        SCORE_DP,
+    )
+    tfidf_doc = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(stats), F.lit(True))
+        .select("doc_id", tfidf_s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("s").cast(dec)).cast("double"), SCORE_DP).alias("score"))
+    )
+
+    def ranked(doc_scores: DataFrame, name: str) -> DataFrame:
+        w = Window.orderBy(F.desc("score"), "doc_id")
+        return (
+            doc_scores.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= RRF_DEPTH)
+            .select(F.col("doc_id"), F.col("r").alias(name))
+        )
+
+    b = ranked(bm25_doc, "bm25_rank")
+    t = ranked(tfidf_doc, "tfidf_rank")
+    fused = b.join(t, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("tfidf_rank")), F.lit(0.0)),
+            SCORE_DP,
+        ).alias("rrf"),
+        "bm25_rank",
+        "tfidf_rank",
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPK)
