@@ -350,3 +350,172 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n").alias("n_left"),
         F.col("b.n").alias("n_right"),
     )
+
+
+def _asof_union(spark: SparkSession, sf_dir: str):
+    """Shared tagged-union frame for the as-of variants: events and
+    per-(custkey, orderdate) order rows on one (key, time) axis."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("timestamp").alias("o_date"),
+        F.lit(None).cast("double").alias("order_price"),
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t")
+        )
+        .agg(F.max("o_totalprice").alias("order_price"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "k",
+            "t",
+            F.lit(0).alias("is_event"),
+            F.col("t").alias("o_date"),
+            "order_price",
+        )
+    )
+    return ev.unionByName(od)
+
+
+@register(
+    "join_asof_forward",
+    tags=("join", "asof"),
+    oracle="""
+WITH od AS (
+  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS next_order_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderdate AS next_order_date, o.next_order_price
+FROM events e
+ASOF LEFT JOIN od o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each event matched to the EARLIEST order
+    at-or-after its timestamp (the lookahead twin of join_asof:
+    label-join for 'next purchase after impression' attribution).
+    Same union + window formulation, mirrored: first(order cols,
+    ignorenulls) over (key ORDER BY time, events-before-orders at
+    ties) with a [current, unbounded following] frame. One shuffle,
+    one sort, streaming over any side size."""
+    unioned = _asof_union(spark, sf_dir)
+    # At equal timestamps the event must see the order (<= semantics):
+    # events (is_event=1) sort BEFORE orders (0) under is_event DESC,
+    # so the forward-looking frame includes the same-t order row.
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        unioned.select(
+            "event_id",
+            "k",
+            "t",
+            "is_event",
+            F.first("o_date", ignorenulls=True).over(w).alias(
+                "next_order_date"
+            ),
+            F.first("order_price", ignorenulls=True).over(w).alias(
+                "next_order_price"
+            ),
+        )
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts"),
+            "next_order_date",
+            "next_order_price",
+        )
+    )
+
+
+@register(
+    "join_asof_nearest",
+    tags=("join", "asof"),
+    oracle="""
+WITH od AS (
+  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS order_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+back AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderdate AS b_date, o.order_price AS b_price
+  FROM events e
+  ASOF LEFT JOIN od o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+),
+fwd AS (
+  SELECT e.event_id, o.o_orderdate AS f_date, o.order_price AS f_price
+  FROM events e
+  ASOF LEFT JOIN od o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE WHEN f_date IS NULL THEN b_date
+            WHEN b_date IS NULL THEN f_date
+            WHEN epoch_us(b.ts) - epoch_us(b_date)
+                 <= epoch_us(f_date) - epoch_us(b.ts) THEN b_date
+            ELSE f_date END AS nearest_order_date,
+       CASE WHEN f_date IS NULL THEN b_price
+            WHEN b_date IS NULL THEN f_price
+            WHEN epoch_us(b.ts) - epoch_us(b_date)
+                 <= epoch_us(f_date) - epoch_us(b.ts) THEN b_price
+            ELSE f_price END AS nearest_order_price
+FROM back b JOIN fwd f ON b.event_id = f.event_id
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest', ties
+    to the backward match): both direction candidates come from the
+    SAME union frame — the backward and forward windows differ only in
+    frame/sort-tie, so they share one hash exchange and one sort gives
+    way to two WindowExecs over co-partitioned data; no second join
+    against the raw tables. The oracle composes DuckDB's two native
+    ASOF directions and picks per row."""
+    unioned = _asof_union(spark, sf_dir)
+    wb = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    both = unioned.select(
+        "event_id",
+        "k",
+        "t",
+        "is_event",
+        F.last("o_date", ignorenulls=True).over(wb).alias("b_date"),
+        F.last("order_price", ignorenulls=True).over(wb).alias("b_price"),
+        F.first("o_date", ignorenulls=True).over(wf).alias("f_date"),
+        F.first("order_price", ignorenulls=True).over(wf).alias("f_price"),
+    ).filter(F.col("is_event") == 1)
+    back_wins = (
+        F.col("f_date").isNull()
+        | (
+            F.col("b_date").isNotNull()
+            & (
+                F.unix_micros("t") - F.unix_micros("b_date")
+                <= F.unix_micros("f_date") - F.unix_micros("t")
+            )
+        )
+    )
+    return both.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(back_wins, F.col("b_date"))
+        .otherwise(F.col("f_date"))
+        .alias("nearest_order_date"),
+        F.when(back_wins, F.col("b_price"))
+        .otherwise(F.col("f_price"))
+        .alias("nearest_order_price"),
+    )

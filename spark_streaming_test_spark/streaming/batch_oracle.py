@@ -357,3 +357,53 @@ def stream_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("first_ts"),
         )
     )
+
+
+TOPK_PER_WINDOW = 3
+
+
+@register(
+    "stream_window_topk",
+    tags=("streaming", "window", "topk"),
+    oracle=f"""
+WITH agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         user_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, user_id, n_events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, user_id) AS rnk
+  FROM agg
+)
+SELECT window_start, user_id, n_events, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {TOPK_PER_WINDOW}
+""",
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_PER_WINDOW} most active users per hourly window — the
+    'trending entities per window' streaming-analytics staple, in its
+    batch-oracle form (live: the same plan runs under foreachBatch on
+    the windowed aggregate, since rank windows aren't incremental).
+    Window agg (one shuffle, map-side partials) then a per-window
+    group-limit rank — WindowGroupLimit keeps k rows per window per
+    task, so the rank stage moves O(windows x k) rows."""
+    ev = load(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_PER_WINDOW)
+    )
