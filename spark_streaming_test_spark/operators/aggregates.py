@@ -658,3 +658,35 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+@register(
+    "agg_weighted_avg",
+    tags=("agg", "weighted"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,4)))
+                 AS DOUBLE)
+            / CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+            AS DOUBLE) AS qty_weighted_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DECIMAL(25,2))
+         AS total_weight
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean (sum(w*x)/sum(w)) — the aggregation every mixture
+    metric and weighted-sampling audit needs, with both sums in
+    decimal (products of 2-decimal columns are exact at scale 4, per
+    the determinism strategy) so the ratio is one IEEE division of
+    identical doubles on any engine or partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,4)")
+    )
+    w = F.sum(F.col("l_quantity").cast("decimal(25,2)"))
+    return li.groupBy("l_returnflag").agg(
+        (wsum.cast("double") / w.cast("double")).alias("qty_weighted_price"),
+        w.cast("decimal(25,2)").alias("total_weight"),
+    )

@@ -300,3 +300,47 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+@register(
+    "window_gap_islands",
+    tags=("window", "islands"),
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id,
+         event_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS island_key
+  FROM events
+)
+SELECT user_id,
+       MIN(event_id) AS island_start,
+       MAX(event_id) AS island_end,
+       COUNT(*) AS island_len
+FROM tagged
+GROUP BY user_id, island_key
+ORDER BY user_id, island_start
+""",
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE event_ids per user
+    via the id-minus-row_number trick (consecutive ids share a constant
+    difference to their rank — each run collapses to one group key).
+    The integer-sequence twin of time-gap sessionization
+    (window_sessionize): one hash exchange serves the rank window AND
+    the island aggregate. Detects retention gaps / missing-id ranges in
+    ingest audits."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn(
+            "island_key", F.col("event_id") - F.row_number().over(w)
+        )
+        .groupBy("user_id", "island_key")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .select("user_id", "island_start", "island_end", "island_len")
+        .orderBy("user_id", "island_start")
+    )

@@ -127,6 +127,7 @@ _DRIVER_WINDOW = [
     "dq_k_anonymity", "emb_matryoshka_eval", "sample_temporal_split",
     "agg_grouping_id", "fn_null_semantics", "text_rrf_fusion",
     "join_asof_forward", "join_asof_nearest", "stream_window_topk",
+    "agg_weighted_avg", "window_gap_islands",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
