@@ -1,0 +1,294 @@
+"""Statistical-modeling aggregates: grouped OLS, A/B readout, winsorize.
+
+The feature-engineering tail of a training pipeline needs small
+closed-form statistics computed over huge groups: a per-segment trend
+line (is `value` drifting with hour-of-day?), an experiment readout
+(two-proportion z-test over hash-split variants), and outlier capping
+(winsorization) before normalization. The reference engine stops at
+sum/count (``MainApp.java:40-44``); these are the generalized
+statistical family over the same shuffle shape.
+
+Determinism: every moment (Sx, Sy, Sxy, Sxx, Syy) routes through the
+fixed-point decimal sums in ``functions/deterministic`` — the derived
+slope/intercept/r²/z are then IEEE divisions and square roots of
+bitwise-identical doubles, so Spark and the DuckDB oracle agree without
+any rounding.
+
+Scale: each operator is ONE hash shuffle on the group key with map-side
+partial aggregation — the shuffle carries O(groups x moments) partials,
+never rows. Winsorization adds a rank window on the same partitioning,
+so the sort rides the aggregation exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.deterministic import dsum, sql_dsum
+from ..registry import register
+
+
+@register(
+    "agg_linreg_by_group",
+    tags=("aggregate", "statistics", "regression"),
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+         value AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('x')} AS sx,
+         {sql_dsum('y')} AS sy,
+         {sql_dsum('x * y')} AS sxy,
+         {sql_dsum('x * x')} AS sxx,
+         {sql_dsum('y * y')} AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+""",
+)
+def agg_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of ``value`` on hour-of-day: slope, intercept,
+    r² from the closed-form normal equations.
+
+    Spark ships ``regr_slope``/``regr_r2``, but their streaming-mean
+    update order varies with partitioning (non-reproducible last-ulp
+    results at scale). Computing the five moments as exact decimal sums
+    makes the fit reproducible run-to-run AND bitwise-comparable across
+    engines — one shuffle either way."""
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    slope = cov_n / var_x
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((cov_n * cov_n) / (var_x * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+@register(
+    "ab_test_zscore",
+    tags=("aggregate", "statistics", "experiment"),
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted
+  FROM events
+  GROUP BY user_id
+),
+arms AS (
+  SELECT variant, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(converted) AS DOUBLE) AS conv
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+         MAX(CASE WHEN variant = 'A' THEN conv END) AS ca,
+         MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN variant = 'B' THEN conv END) AS cb
+  FROM arms
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       ca / na AS rate_a, cb / nb AS rate_b,
+       (ca / na - cb / nb)
+         / NULLIF(sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb))
+                * (1.0 / na + 1.0 / nb)), 0.0) AS z,
+       abs((ca / na - cb / nb)
+         / NULLIF(sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb))
+                * (1.0 / na + 1.0 / nb)), 0.0)) > 1.96 AS significant
+FROM wide
+""",
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users hash-split 50/50 into variants by md5
+    prefix (deterministic, replay-safe — the same property as
+    ``sample_hash_deterministic``), per-user conversion = any
+    high-value ``purchase`` event, then the pooled two-proportion
+    z-test (denominator NULLIF-guarded for degenerate pools under
+    ANSI mode).
+
+    Scale shape: user-grain reduce (one shuffle on user_id, map-side
+    combine), then a 2-row variant aggregate — the z arithmetic runs on
+    a single final row. No driver-side math."""
+    e = load(spark, sf_dir, "events")
+    assigned = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 180),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                <= "7",
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+            "converted",
+        )
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("cb"),
+    )
+    na, ca, nb, cb = F.col("na"), F.col("ca"), F.col("nb"), F.col("cb")
+    pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.nullif(
+        F.sqrt(
+            pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        na.cast("bigint").alias("n_a"),
+        ca.cast("bigint").alias("conv_a"),
+        nb.cast("bigint").alias("n_b"),
+        cb.cast("bigint").alias("conv_b"),
+        (ca / na).alias("rate_a"),
+        (cb / nb).alias("rate_b"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+WINS_LO = 0.05  # lower winsorization quantile
+WINS_HI = 0.95  # upper winsorization quantile
+
+
+@register(
+    "agg_winsorize",
+    tags=("aggregate", "statistics", "outliers"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(ceil({WINS_LO} * n) AS BIGINT)
+                  THEN value END) AS lo,
+         MAX(CASE WHEN rn = CAST(ceil({WINS_HI} * n) AS BIGINT)
+                  THEN value END) AS hi,
+         MAX(n) AS n
+  FROM ranked GROUP BY event_type
+),
+clamped AS (
+  SELECT r.event_type, b.lo, b.hi, b.n,
+         CASE WHEN r.value < b.lo THEN b.lo
+              WHEN r.value > b.hi THEN b.hi
+              ELSE r.value END AS wv,
+         CASE WHEN r.value < b.lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN r.value > b.hi THEN 1 ELSE 0 END AS clip_hi
+  FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(lo) AS lo, MAX(hi) AS hi,
+       CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_high,
+       {sql_dsum('wv')} AS winsorized_sum
+FROM clamped GROUP BY event_type
+""",
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: cap ``value`` at the exact-rank 5th/95th
+    percentile (rank = ceil(q*n) over a deterministic ``value,
+    event_id`` order — no interpolation, so both engines pick the same
+    concrete data point), report clip counts and the capped sum.
+
+    Scale: the rank window, bound extraction, and final aggregate all
+    share one ``event_type`` hash partitioning — a single exchange; the
+    per-group bound frame is tiny and broadcasts back onto the rows."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(WINS_LO * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(WINS_HI * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    clamped = ranked.drop("n").join(F.broadcast(bounds.drop("n")), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("clip_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("clip_hi"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum("clip_lo").cast("bigint").alias("n_clipped_low"),
+        F.sum("clip_hi").cast("bigint").alias("n_clipped_high"),
+        dsum("wv").alias("winsorized_sum"),
+    )
