@@ -1,0 +1,302 @@
+"""Trend extraction over regularized series: EWMA, CUSUM, autocorrelation.
+
+The monitoring side of the reference (5-minute alert windows,
+``MainApp.java:26,38``) generalizes to trend operators over the same
+hourly series that ``ts_resample_ffill`` builds: exponential smoothing
+(the classic streaming baseline), CUSUM mean-shift detection (change
+points), and rolling lag-1 autocorrelation (seasonality / burstiness
+diagnostics).
+
+All three share ONE aggregation shape: hourly reduce on
+(event_type, hour) — a single hash shuffle with map-side combine —
+followed by windows partitioned by the same key, so the sort rides the
+aggregation exchange and no second shuffle is needed. Series count is
+the group-key cardinality; at 100 TB the key is a high-cardinality
+series id and partitions cleanly (see ``operators/skew.py`` for the
+low-cardinality salting pattern).
+
+Determinism notes (the cross-engine hash gate):
+
+- EWMA is a LEFT FOLD ``s -> (s + x) / 2`` over the trailing-24 frame
+  in frame order. Halving is an exact binary scaling and both engines
+  fold left-to-right over identical doubles, so results match bitwise
+  with no rounding (Spark ``reduce``, DuckDB ``list_reduce``).
+- CUSUM and autocorrelation run on the EXACT-decimal hourly total
+  series (raw values are 2-decimal; the hourly DECIMAL sum is
+  lossless). CUSUM never materializes the mean — deviations are
+  scaled through by n (``d = n*hv - S``), pure decimal arithmetic —
+  and autocorrelation's six moments are decimal sums/products in the
+  trailing frame. round() of an arbitrary double appears NOWHERE:
+  cross-engine round() tie behavior was measured to diverge (Spark
+  HALF_UP on the exact binary expansion vs DuckDB's scaled-double
+  rounding), so exactness comes from decimal algebra instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.deterministic import davg, sql_davg
+from ..registry import register
+
+EWMA_WIN = 24  # trailing hours folded into the smoothed value
+ACF_WIN = 24  # trailing (x, lag-1) pairs per correlation estimate
+ACF_MIN = 12  # minimum pairs before emitting an estimate
+CUSUM_FLAG = 1.5  # |cusum| / (sigma * sqrt(t)) flag threshold
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hourly series: deterministic mean of ``value`` per
+    (event_type, hour). One shuffle; every operator below rides it."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(davg("value").alias("v"))
+
+
+_SQL_HOURLY = f"""
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         {sql_davg('value')} AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def _hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal hourly totals: ``value`` is 2-decimal by
+    construction, so the per-hour DECIMAL sum is lossless — the series
+    every decimal-exact operator below builds on. Same single-shuffle
+    shape as :func:`_hourly`."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("hv")
+    )
+
+
+_SQL_HOURLY_SUM = """
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS hv
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@register(
+    "ts_ewma_smooth",
+    tags=("timeseries", "window", "smoothing"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY})
+SELECT event_type, h, v,
+       list_reduce(
+         list(v) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN {EWMA_WIN - 1} PRECEDING AND CURRENT ROW),
+         (acc, x) -> (acc + x) / 2.0) AS ewma
+FROM hourly
+""",
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of the hourly
+    series, seeded from the oldest value in a trailing 24-hour frame.
+
+    alpha = 1/2 makes every fold step ``(acc + x) / 2`` — an IEEE-exact
+    halving — so the smoothed series is reproducible bitwise across
+    engines, partition counts, and reruns. The frame array is bounded
+    (24 doubles), so the window state is O(1) per row at any scale."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(EWMA_WIN - 1), Window.currentRow)
+    )
+    return (
+        _hourly(spark, sf_dir)
+        .withColumn("arr", F.collect_list("v").over(w))
+        .select(
+            "event_type",
+            "h",
+            "v",
+            F.expr(
+                "reduce(slice(arr, 2, size(arr) - 1), element_at(arr, 1),"
+                " (acc, x) -> (acc + x) / 2.0D)"
+            ).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "ts_cusum_shift",
+    tags=("timeseries", "window", "changepoint"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS nd,
+         CAST(SUM(hv) AS DECIMAL(24,2)) AS s_dec,
+         CAST(SUM(hv) AS DOUBLE) AS s,
+         CAST(SUM(hv * hv) AS DOUBLE) AS s2,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.h,
+         s.nd * h.hv - s.s_dec AS d,
+         sqrt(s.s2 / s.n - (s.s / s.n) * (s.s / s.n)) AS sigma,
+         s.n
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+),
+cum AS (
+  SELECT event_type, h, sigma, n,
+         CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cusum_scaled,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+              AS DOUBLE) AS t
+  FROM dev
+)
+SELECT event_type, h, cusum_scaled / n AS cusum,
+       cusum_scaled / NULLIF(n * sigma * sqrt(t), 0.0) AS score,
+       abs(cusum_scaled / NULLIF(n * sigma * sqrt(t), 0.0)) > {CUSUM_FLAG}
+         AS is_shift
+FROM cum
+""",
+)
+def ts_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift chart over hourly TOTALS: running sum of
+    deviations from the series mean, normalized by sigma * sqrt(t) (a
+    Brownian-motion scaling — a stable series hovers near 0, a level
+    shift drifts the score past the flag line).
+
+    Exactness without rounding: the mean is never materialized.
+    Deviations are scaled through by n — ``d_i = n*hv_i - S`` — which
+    is PURE integer-scaled decimal arithmetic (the raw values are
+    2-decimal, so hourly sums are exact decimals), and the division by
+    n happens once, on the final double. No round() of an arbitrary
+    double anywhere, hence no cross-engine tie hazard."""
+    hourly = _hourly_sum(spark, sf_dir)
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("nd"),
+        F.sum("hv").cast("decimal(24,2)").alias("s_dec"),
+        F.sum("hv").cast("double").alias("s"),
+        F.sum(F.col("hv") * F.col("hv")).cast("double").alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    dev = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        (F.col("nd") * F.col("hv") - F.col("s_dec")).alias("d"),
+        F.sqrt(s2 / n - (s / n) * (s / n)).alias("sigma"),
+        n.alias("n"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy("event_type").orderBy("h")
+    cum = dev.select(
+        "event_type",
+        "h",
+        "sigma",
+        "n",
+        F.sum("d").over(wcum).cast("double").alias("cusum_scaled"),
+        F.row_number().over(wrn).cast("double").alias("t"),
+    )
+    score = F.col("cusum_scaled") / F.nullif(
+        F.col("n") * F.col("sigma") * F.sqrt(F.col("t")), F.lit(0.0)
+    )
+    return cum.select(
+        "event_type",
+        "h",
+        (F.col("cusum_scaled") / F.col("n")).alias("cusum"),
+        score.alias("score"),
+        (F.abs(score) > CUSUM_FLAG).alias("is_shift"),
+    )
+
+
+@register(
+    "ts_rolling_autocorr",
+    tags=("timeseries", "window", "autocorrelation"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+lagged AS (
+  SELECT event_type, h, hv AS xd,
+         LAG(hv) OVER (PARTITION BY event_type ORDER BY h) AS yd
+  FROM hourly
+),
+pairs AS (
+  SELECT event_type, h,
+         CASE WHEN yd IS NOT NULL THEN xd END AS px, yd AS py
+  FROM lagged
+),
+mom AS (
+  SELECT event_type, h,
+         CAST(COUNT(py) OVER trail AS DOUBLE) AS n,
+         CAST(SUM(px) OVER trail AS DOUBLE) AS sx,
+         CAST(SUM(py) OVER trail AS DOUBLE) AS sy,
+         CAST(SUM(px * py) OVER trail AS DOUBLE) AS sxy,
+         CAST(SUM(px * px) OVER trail AS DOUBLE) AS sxx,
+         CAST(SUM(py * py) OVER trail AS DOUBLE) AS syy
+  FROM pairs
+  WINDOW trail AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {ACF_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, h, CAST(n AS BIGINT) AS n_pairs,
+       (n * sxy - sx * sy)
+         / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+         AS acf1
+FROM mom WHERE n >= {ACF_MIN}
+""",
+)
+def ts_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation of the hourly-total series over a
+    trailing 24-hour frame — high acf1 = smooth trending load, near 0 =
+    memoryless noise, negative = oscillation. Emitted once >= 12 pairs
+    exist in the frame.
+
+    The series is the exact-decimal hourly TOTAL (raw values are
+    2-decimal, so the sum is lossless); Pearson correlation is then
+    assembled from six exact decimal moments in the trailing frame.
+    Spark's sliding re-aggregation and DuckDB's segment tree cannot
+    disagree, because decimal addition is associative (doubles are
+    not)."""
+    hourly = _hourly_sum(spark, sf_dir)
+    wlag = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "h", F.col("hv").alias("xd")
+    ).withColumn("yd", F.lag("xd").over(wlag))
+    pairs = lagged.select(
+        "event_type",
+        "h",
+        F.when(F.col("yd").isNotNull(), F.col("xd")).alias("px"),
+        F.col("yd").alias("py"),
+    )
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(ACF_WIN - 1), Window.currentRow)
+    )
+    mom = pairs.select(
+        "event_type",
+        "h",
+        F.count("py").over(trail).cast("double").alias("n"),
+        F.sum("px").over(trail).cast("double").alias("sx"),
+        F.sum("py").over(trail).cast("double").alias("sy"),
+        F.sum(F.col("px") * F.col("py")).over(trail).cast("double").alias("sxy"),
+        F.sum(F.col("px") * F.col("px")).over(trail).cast("double").alias("sxx"),
+        F.sum(F.col("py") * F.col("py")).over(trail).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    acf1 = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
+    return mom.filter(n >= ACF_MIN).select(
+        "event_type",
+        "h",
+        n.cast("bigint").alias("n_pairs"),
+        acf1.alias("acf1"),
+    )
