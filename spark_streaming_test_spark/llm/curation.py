@@ -1,0 +1,149 @@
+"""Corpus curation add-ons: character entropy and curriculum ordering.
+
+Character-level Shannon entropy is a cheap, language-agnostic garbage
+detector (binary-ish blobs and keyboard-mash score far from natural
+text; repeated boilerplate scores low), complementing the word-level
+signals in ``llm/text_analysis.py``. Curriculum ordering turns a
+difficulty score into a training schedule: easy-first within an
+interleave that keeps every difficulty stratum represented in every
+training slice — the standard shuffled-curriculum layout.
+
+Scale shape: entropy explodes documents to (doc, char) — shuffle keyed
+by doc_id with map-side combine on the (doc, char) counts, so the
+exchange carries per-doc char histograms (≤ alphabet size per doc),
+not raw characters. Curriculum is two windows over one global sort —
+at 100 TB the ntile/row_number pair becomes a range-partitioned rank
+(``Window.orderBy`` with no partition key is single-task; the
+production form pre-buckets difficulty with approx quantiles — noted
+inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+ENT_TERM_DP = 9  # per-char-count term rounding before exact decimal sum
+ENT_DP = 8  # final entropy rounding
+CUR_BUCKETS = 10  # curriculum difficulty strata
+
+
+@register(
+    "text_char_entropy",
+    tags=("llm", "text", "quality", "entropy"),
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, length(text))) AS i
+  )
+),
+counts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM chars GROUP BY doc_id, ch
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(CAST(round(c * ln(c), {ENT_TERM_DP})
+                       AS DECIMAL(25,{ENT_TERM_DP}))) AS DOUBLE) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted, n_distinct,
+       round(ln(n) - s / n, {ENT_DP}) AS char_entropy
+FROM agg
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy (nats):
+    ``H = ln(n) - (1/n) * sum_c c*ln(c)`` over per-character counts c —
+    the counts-only decomposition, so ln only ever sees integers.
+
+    Determinism: each ``c*ln(c)`` term is rounded then summed as an
+    exact decimal (order-independent); the final entropy is rounded at
+    8 dp so a last-ulp libm difference between engines cannot
+    surface. The explode is the only corpus-sized stage; the per-doc
+    char histogram it reduces to is bounded by the alphabet."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        F.col("text"),
+    ).select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum(F.col("c").cast("bigint")).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")), ENT_TERM_DP).cast(
+                f"decimal(25,{ENT_TERM_DP})"
+            )
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_counted"),
+        "n_distinct",
+        F.round(F.log(F.col("n")) - F.col("s") / F.col("n"), ENT_DP).alias(
+            "char_entropy"
+        ),
+    )
+
+
+@register(
+    "corpus_curriculum_order",
+    tags=("llm", "curation", "curriculum"),
+    oracle=f"""
+WITH strat AS (
+  SELECT doc_id, n_chars,
+         NTILE({CUR_BUCKETS}) OVER (ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_chars, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY n_chars, doc_id) AS pos
+  FROM strat
+)
+SELECT doc_id, n_chars, CAST(bucket AS INTEGER) AS bucket,
+       pos, (pos - 1) * {CUR_BUCKETS} + bucket AS curriculum_rank
+FROM pos
+""",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-curriculum schedule: stratify the corpus into
+    ten difficulty buckets (difficulty = n_chars, ties broken
+    by doc_id), then interleave round-robin across buckets —
+    ``curriculum_rank`` walks easy→hard within each cycle while every
+    cycle samples all strata.
+
+    The global ntile here is the PARITY form (single-task sort, exact).
+    At 100 TB, stratify with pre-computed difficulty quantiles
+    (``approxQuantile`` or a 1% hash sample) so bucketing becomes a
+    stateless projection and the only sort is per-bucket — the same
+    swap documented for ``sort_limit_topk``."""
+    d = load(spark, sf_dir, "documents")
+    worder = Window.orderBy("n_chars", "doc_id")
+    strat = d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(CUR_BUCKETS).over(worder).alias("bucket"),
+    )
+    wpos = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    return strat.select(
+        "doc_id",
+        "n_chars",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.row_number().over(wpos).alias("pos"),
+    ).withColumn(
+        "curriculum_rank",
+        (F.col("pos") - 1) * CUR_BUCKETS + F.col("bucket"),
+    )

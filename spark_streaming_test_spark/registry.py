@@ -65,6 +65,8 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.llm.bpe",
     "spark_streaming_test_spark.operators.mlstats",
     "spark_streaming_test_spark.operators.trend",
+    "spark_streaming_test_spark.operators.fuzzy",
+    "spark_streaming_test_spark.llm.curation",
 ]
 
 # Round-3 driver verification window. The driver checks the FIRST ~50
@@ -132,6 +134,7 @@ _DRIVER_WINDOW = [
     "agg_weighted_avg", "window_gap_islands",
     "agg_linreg_by_group", "ab_test_zscore", "agg_winsorize",
     "ts_ewma_smooth", "ts_cusum_shift", "ts_rolling_autocorr",
+    "join_fuzzy_dictionary", "text_char_entropy", "corpus_curriculum_order",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
