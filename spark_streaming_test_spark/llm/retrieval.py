@@ -391,3 +391,140 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tfidf_rank",
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPK)
+
+
+SPARSE_TOPK = 8  # TF-IDF terms kept per doc in the truncated vector
+SPARSE_DF_CAP = 100  # stop-token ceiling: drop terms in > this many docs
+SPARSE_MIN_COS = 0.6  # emit pairs at or above this cosine
+SPARSE_W_DP = 3  # weight quantization (decimal scale for exact algebra)
+
+
+@register(
+    "sim_sparse_cosine_join",
+    tags=("llm", "similarity", "retrieval", "join"),
+    oracle=f"""
+WITH {_SQL_TOKENS},
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0),
+                    {SPARSE_W_DP}) AS DECIMAL(12,{SPARSE_W_DP})) AS w
+  FROM tf JOIN df USING (token) CROSS JOIN n
+  WHERE df.df <= {SPARSE_DF_CAP}
+),
+trunc AS (
+  SELECT doc_id, token, w FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY w DESC, token) AS rk
+    FROM weighted
+  ) WHERE rk <= {SPARSE_TOPK}
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+  FROM trunc GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_terms,
+         CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+  FROM trunc a JOIN trunc b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b, d.shared_terms,
+       d.dot / (na.nrm * nb.nrm) AS cos
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+WHERE d.dot / (na.nrm * nb.nrm) >= {SPARSE_MIN_COS}
+""",
+)
+def sim_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs document cosine similarity over TRUNCATED TF-IDF
+    vectors (top-{SPARSE_TOPK} terms per doc), candidates generated by
+    an inverted-index self-join — the sparse-vector twin of
+    ``dedup_minhash_lsh``'s banded candidate generation.
+
+    Why this survives 100 TB where naive all-pairs dies: (1) stop
+    tokens (df > {SPARSE_DF_CAP}) are dropped, so no posting list —
+    and hence no per-token join fan-out — exceeds the cap; (2) vectors
+    truncate to their top terms, bounding postings at
+    {SPARSE_TOPK}/doc; (3) the pair shuffle therefore carries
+    sum-over-tokens(df^2) rows, not n_docs^2. Weights quantize to
+    {SPARSE_W_DP}-decimal DECIMALs so dots and norms are exact algebra
+    and the final cosine is an IEEE expression over identical doubles.
+    """
+    tf = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    weighted = (
+        tf.join(F.broadcast(df.filter(F.col("df") <= SPARSE_DF_CAP)), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (1.0 + F.col("n_docs")) / (1.0 + F.col("df"))
+                    )
+                    + 1.0
+                ),
+                SPARSE_W_DP,
+            )
+            .cast(f"decimal(12,{SPARSE_W_DP})")
+            .alias("w"),
+        )
+    )
+    wrk = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "token")
+    trunc = (
+        weighted.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= SPARSE_TOPK)
+        .select("doc_id", "token", "w")
+    )
+    norms = trunc.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = trunc.alias("a")
+    b = trunc.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_terms"),
+            F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= SPARSE_MIN_COS)
+        .select("doc_a", "doc_b", "shared_terms", cos.alias("cos"))
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
 
 # Gap threshold: a pause longer than this starts a new session.
@@ -387,4 +388,93 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("max_level")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("max_level")
+    )
+
+
+@register(
+    "events_attribution",
+    tags=("window", "attribution", "behavior"),
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS) OVER hist AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER hist AS last_touch
+  FROM events
+  WINDOW hist AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+  SELECT * FROM ordered
+  WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+),
+first_rev AS (
+  SELECT first_touch AS channel, COUNT(*) AS n_first,
+         {sql_dsum('value')} AS rev_first
+  FROM conv GROUP BY first_touch
+),
+last_rev AS (
+  SELECT last_touch AS channel, COUNT(*) AS n_last,
+         {sql_dsum('value')} AS rev_last
+  FROM conv GROUP BY last_touch
+)
+SELECT COALESCE(f.channel, l.channel) AS channel,
+       CAST(COALESCE(f.n_first, 0) AS BIGINT) AS n_first,
+       COALESCE(f.rev_first, 0.0) AS rev_first,
+       CAST(COALESCE(l.n_last, 0) AS BIGINT) AS n_last,
+       COALESCE(l.rev_last, 0.0) AS rev_last
+FROM first_rev f FULL OUTER JOIN last_rev l ON f.channel = l.channel
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: credit each purchase's revenue to the
+    user's FIRST preceding non-purchase touch (first-touch model) and
+    the MOST RECENT one (last-touch model); report conversion counts
+    and deterministic revenue sums per channel under both models.
+
+    One shuffle on user_id drives both attribution windows (identical
+    frame, shared sort); the per-channel rollups aggregate a tiny
+    channel domain and the final FULL OUTER join runs on single-digit
+    rows. Purchases with no preceding touch are unattributable and
+    excluded (documented, matching standard attribution tooling)."""
+    e = load(spark, sf_dir, "events")
+    hist = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    conv = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.first(touch, ignorenulls=True).over(hist).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(hist).alias("last_touch"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_touch").isNotNull()
+        )
+    )
+    first_rev = conv.groupBy(
+        F.col("first_touch").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_first"), dsum("value").alias("rev_first")
+    )
+    last_rev = conv.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_last"), dsum("value").alias("rev_last")
+    )
+    return (
+        first_rev.join(last_rev, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce(F.col("n_first"), F.lit(0)).cast("bigint").alias("n_first"),
+            F.coalesce(F.col("rev_first"), F.lit(0.0)).alias("rev_first"),
+            F.coalesce(F.col("n_last"), F.lit(0)).cast("bigint").alias("n_last"),
+            F.coalesce(F.col("rev_last"), F.lit(0.0)).alias("rev_last"),
+        )
     )

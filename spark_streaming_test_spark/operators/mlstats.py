@@ -292,3 +292,80 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("clip_hi").cast("bigint").alias("n_clipped_high"),
         dsum("wv").alias("winsorized_sum"),
     )
+
+
+@register(
+    "agg_gini_hhi",
+    tags=("aggregate", "statistics", "concentration"),
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(floor(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))))
+              AS DECIMAL(14,0)) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+ranked AS (
+  SELECT segment, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                                 ORDER BY x, o_custkey) AS DECIMAL(8,0)) AS i
+  FROM spend
+),
+m AS (
+  SELECT segment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(x * x) AS DOUBLE) AS sx2,
+         CAST(SUM(i * x) AS DOUBLE) AS six
+  FROM ranked GROUP BY segment
+)
+SELECT segment, CAST(n AS BIGINT) AS n_customers, sx AS total_spend,
+       (2.0 * six) / (n * sx) - (n + 1.0) / n AS gini,
+       sx2 / (sx * sx) AS hhi
+FROM m
+""",
+)
+def agg_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration diagnostics per market segment: Gini
+    coefficient (rank-sum closed form over ascending spend) and
+    Herfindahl–Hirschman index (sum of squared shares, computed as
+    sum(x^2)/sum(x)^2 so shares never materialize).
+
+    Spend is floored to whole currency units so every moment — sum,
+    sum of squares, rank-weighted sum — is exact integer-decimal
+    arithmetic; the Gini/HHI ratios are then IEEE expressions over
+    bitwise-identical doubles. Rank ties share equal x, so tie order
+    cannot change the rank-sum — the tie-break exists purely for a
+    total order. Shape: fact-dim equi-join, customer-grain reduce,
+    rank window and final reduce on the same segment partitioning."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.floor(F.sum(F.col("o_totalprice").cast("decimal(12,2)")))
+            .cast("decimal(14,0)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("x", "o_custkey")
+    ranked = spend.select(
+        "segment",
+        "x",
+        F.row_number().over(w).cast("decimal(8,0)").alias("i"),
+    )
+    m = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
+    )
+    n, sx, sx2, six = F.col("n"), F.col("sx"), F.col("sx2"), F.col("six")
+    return m.select(
+        "segment",
+        n.cast("bigint").alias("n_customers"),
+        sx.alias("total_spend"),
+        ((F.lit(2.0) * six) / (n * sx) - (n + F.lit(1.0)) / n).alias("gini"),
+        (sx2 / (sx * sx)).alias("hhi"),
+    )

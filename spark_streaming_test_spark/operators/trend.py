@@ -300,3 +300,72 @@ def ts_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_pairs"),
         acf1.alias("acf1"),
     )
+
+
+@register(
+    "ts_period_over_period",
+    tags=("timeseries", "window", "growth"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS dv
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+lagged AS (
+  SELECT event_type, d, dv,
+         LAG(dv, 1) OVER w AS prev_d,
+         LAG(dv, 7) OVER w AS prev_w
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, d,
+       CAST(dv AS DOUBLE) AS total,
+       CAST(dv - prev_d AS DOUBLE) AS dod_delta,
+       CAST(dv - prev_d AS DOUBLE)
+         / NULLIF(CAST(prev_d AS DOUBLE), 0.0) AS dod_pct,
+       CAST(dv - prev_w AS DOUBLE) AS wow_delta,
+       CAST(dv - prev_w AS DOUBLE)
+         / NULLIF(CAST(prev_w AS DOUBLE), 0.0) AS wow_pct
+FROM lagged
+""",
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day and week-over-week growth of daily totals per
+    series — the dashboard staple. Deltas are computed in exact decimal
+    (lossless 2-decimal sums) and only the final ratios divide as
+    doubles, NULLIF-guarded for zero baselines and NULL for the
+    warm-up rows that have no prior period.
+
+    Same one-shuffle shape as the rest of the module: daily reduce on
+    (event_type, day), then both lags ride a single sorted window."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("dv")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "dv",
+        F.lag("dv", 1).over(w).alias("prev_d"),
+        F.lag("dv", 7).over(w).alias("prev_w"),
+    )
+    dod = (F.col("dv") - F.col("prev_d")).cast("double")
+    wow = (F.col("dv") - F.col("prev_w")).cast("double")
+    return lagged.select(
+        "event_type",
+        "d",
+        F.col("dv").cast("double").alias("total"),
+        dod.alias("dod_delta"),
+        (dod / F.nullif(F.col("prev_d").cast("double"), F.lit(0.0))).alias(
+            "dod_pct"
+        ),
+        wow.alias("wow_delta"),
+        (wow / F.nullif(F.col("prev_w").cast("double"), F.lit(0.0))).alias(
+            "wow_pct"
+        ),
+    )

@@ -135,6 +135,8 @@ _DRIVER_WINDOW = [
     "agg_linreg_by_group", "ab_test_zscore", "agg_winsorize",
     "ts_ewma_smooth", "ts_cusum_shift", "ts_rolling_autocorr",
     "join_fuzzy_dictionary", "text_char_entropy", "corpus_curriculum_order",
+    "events_attribution", "ts_period_over_period", "agg_gini_hhi",
+    "sim_sparse_cosine_join",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
