@@ -14,7 +14,7 @@ no Python touches the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
@@ -123,4 +123,66 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(e_full), MRL_DP).alias("norm_full"),
         F.round(F.sqrt(e_pfx), MRL_DP).alias("norm_prefix"),
         F.round(e_pfx / e_full, MRL_DP).alias("energy_retained"),
+    )
+
+
+@register(
+    "emb_quantile_transform",
+    tags=("llm", "embeddings", "features"),
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, dim, v,
+         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM dims
+)
+SELECT vec_id, dim,
+       CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS q
+FROM ranked
+""",
+)
+def emb_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile transform (rank-to-uniform): each
+    embedding component maps to its empirical quantile
+    ``(rank-1)/(n-1)`` within its dimension — the rank-based
+    normalization that makes distance metrics robust to per-dimension
+    scale and heavy tails before quantizer training.
+
+    Rank-only arithmetic (integer ranks, one final integer/integer
+    division) — nothing to round, bitwise identical everywhere. Shape:
+    ``posexplode`` to (vec_id, dim, v) then ONE window shuffle
+    partitioned by dim; with 64 dims and a 1000-executor cluster the
+    production form adds a salt on (dim, value-range) to spread each
+    dimension's sort — the same stratified-rank swap documented for
+    ``corpus_curriculum_order``."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    wr = Window.partitionBy("dim").orderBy("v", "vec_id")
+    wn = Window.partitionBy("dim")
+    return (
+        dims.select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            "v",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            (
+                (F.col("rk") - 1).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ).alias("q"),
+        )
     )

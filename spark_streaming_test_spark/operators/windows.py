@@ -344,3 +344,57 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "island_start", "island_end", "island_len")
         .orderBy("user_id", "island_start")
     )
+
+
+MED_WIN = 21  # trailing frame width for the rolling median
+
+
+@register(
+    "window_moving_median",
+    tags=("window", "median", "robust"),
+    oracle=f"""
+WITH framed AS (
+  SELECT user_id, ts, event_id, value,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {MED_WIN - 1} PRECEDING AND CURRENT ROW)) AS arr
+  FROM events
+)
+SELECT user_id, ts, event_id, value,
+       arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS moving_median,
+       CAST(len(arr) AS BIGINT) AS frame_n
+FROM framed
+""",
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-window median (lower middle for even frames) of
+    ``value`` per user — the robust-smoothing twin of a moving average,
+    immune to the outliers that drag means around.
+
+    No arithmetic at all: sort the bounded frame array and index the
+    middle, so cross-engine equality is structural. The frame is
+    capped at {MED_WIN} doubles — O(1) window state per row — and the
+    single shuffle is the user_id hash exchange the sort rides on.
+    Spark's built-in ``median`` window function would interpolate even
+    frames with IEEE division; the index form keeps the result an
+    actual data point (and bitwise stable)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MED_WIN - 1), Window.currentRow)
+    )
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("arr", F.array_sort(F.collect_list("value").over(w)))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.expr(
+                "element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))"
+            ).alias("moving_median"),
+            F.size("arr").cast("bigint").alias("frame_n"),
+        )
+    )
