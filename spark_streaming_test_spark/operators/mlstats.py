@@ -369,3 +369,73 @@ def agg_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(2.0) * six) / (n * sx) - (n + F.lit(1.0)) / n).alias("gini"),
         (sx2 / (sx * sx)).alias("hhi"),
     )
+
+
+WILSON_Z = 1.96  # 95% interval
+WILSON_THRESH = 150  # "success" = value above this
+
+
+@register(
+    "agg_rate_wilson_ci",
+    tags=("aggregate", "statistics", "confidence-interval"),
+    oracle=f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN value > {WILSON_THRESH} THEN 1 ELSE 0 END)
+              AS DOUBLE) AS s
+  FROM events GROUP BY event_type
+),
+-- NB: DuckDB parses bare 1.96 as DECIMAL(3,2); the z constant must be
+-- cast to DOUBLE or z*z folds to an EXACT 3.8416 while Spark uses the
+-- binary double product — a guaranteed last-ulp hash mismatch.
+terms AS (
+  SELECT event_type, n, s,
+         CAST({WILSON_Z} AS DOUBLE) AS z,
+         s / n AS p
+  FROM counts
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS successes,
+       p AS rate,
+       ((p + (z * z) / (2.0 * n))
+          - z * sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * n * n)))
+         / (1.0 + (z * z) / n) AS wilson_lo,
+       ((p + (z * z) / (2.0 * n))
+          + z * sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * n * n)))
+         / (1.0 + (z * z) / n) AS wilson_hi
+FROM terms
+""",
+)
+def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group success-rate estimate with a 95% Wilson score interval
+    — the interval that stays sane at extreme rates and small n, which
+    is what dashboards should quote instead of the textbook normal
+    approximation.
+
+    Integer counts in, one closed-form IEEE expression out: no float
+    aggregation at all, so the result is bitwise stable under any
+    partitioning. One map-side-combined shuffle on the group key."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            F.when(F.col("value") > WILSON_THRESH, 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    n, s = F.col("n"), F.col("s")
+    z2 = WILSON_Z * WILSON_Z
+    p = s / n
+    center = p + z2 / (2.0 * n)
+    half = WILSON_Z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    denom = 1.0 + z2 / n
+    return counts.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        s.cast("bigint").alias("successes"),
+        p.alias("rate"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )

@@ -369,3 +369,60 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_pct"
         ),
     )
+
+
+@register(
+    "ts_seasonal_residual",
+    tags=("timeseries", "seasonality", "decomposition"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+hod AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM h) AS INTEGER) AS hod,
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS nd,
+         CAST(SUM(hv) AS DECIMAL(24,2)) AS s_dec,
+         CAST(SUM(hv) AS DOUBLE) AS s,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM hourly GROUP BY event_type, CAST(EXTRACT(hour FROM h) AS INTEGER)
+)
+SELECT h.event_type, h.h, CAST(h.hv AS DOUBLE) AS total,
+       p.hod, p.s / p.n AS seasonal_mean,
+       CAST(p.nd * h.hv - p.s_dec AS DOUBLE) / p.n AS residual
+FROM hourly h
+JOIN hod p ON h.event_type = p.event_type
+          AND CAST(EXTRACT(hour FROM h.h) AS INTEGER) = p.hod
+""",
+)
+def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition: each hourly total splits into
+    the seasonal mean for that clock hour and a residual — the
+    one-period classical decomposition that turns daily rhythm into a
+    feature and leaves anomalies in the residual.
+
+    Same no-rounding trick as :func:`ts_cusum_shift`: the residual is
+    computed scaled-through (``n*hv - S``) in exact decimal and divided
+    by n once, as a double, so both engines agree bitwise. The seasonal
+    profile is 24 rows per series — broadcast back onto the hourly
+    stream; two reduces, no extra sort."""
+    hourly = _hourly_sum(spark, sf_dir)
+    hod = hourly.groupBy(
+        "event_type", F.hour("h").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("nd"),
+        F.sum("hv").cast("decimal(24,2)").alias("s_dec"),
+        F.sum("hv").cast("double").alias("s"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    joined = hourly.withColumn(
+        "hod", F.hour("h").cast("int")
+    ).join(F.broadcast(hod), ["event_type", "hod"])
+    return joined.select(
+        "event_type",
+        "h",
+        F.col("hv").cast("double").alias("total"),
+        "hod",
+        (F.col("s") / F.col("n")).alias("seasonal_mean"),
+        (
+            (F.col("nd") * F.col("hv") - F.col("s_dec")).cast("double")
+            / F.col("n")
+        ).alias("residual"),
+    )
