@@ -64,6 +64,10 @@ HEADLINE = [
     "graph_triangle_count",      # oriented wedge-closure triangle join
     "text_bigram_logprob",       # bigram-LM train+score (two corpus passes)
     "dq_constraint_suite",       # multi-table constraint metrics, 1 pass/table
+    "sim_sparse_cosine_join",    # truncated TF-IDF inverted-index pair join
+    "ts_cusum_shift",            # exact-decimal cumulative window over series
+    "window_moving_median",      # bounded-frame sort-and-index rolling median
+    "join_fuzzy_dictionary",     # broadcast NLJ + levenshtein + top-1 window
 ]
 
 
