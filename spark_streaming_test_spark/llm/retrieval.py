@@ -498,8 +498,12 @@ def sim_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = trunc.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )
-    a = trunc.alias("a")
-    b = trunc.alias("b")
+    # Both pair-join sides are the identical trunc subtree: shuffle-hash
+    # hints (the dedup_minhash_lsh pattern) make AQE hash-partition each
+    # side by token and replay the exchange (ReusedExchange) instead of
+    # recomputing tokenize→tf→truncate twice.
+    a = trunc.alias("a").hint("shuffle_hash")
+    b = trunc.alias("b").hint("shuffle_hash")
     dots = (
         a.join(
             b,

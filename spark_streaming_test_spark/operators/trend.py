@@ -7,13 +7,15 @@ hourly series that ``ts_resample_ffill`` builds: exponential smoothing
 points), and rolling lag-1 autocorrelation (seasonality / burstiness
 diagnostics).
 
-All three share ONE aggregation shape: hourly reduce on
-(event_type, hour) — a single hash shuffle with map-side combine —
-followed by windows partitioned by the same key, so the sort rides the
-aggregation exchange and no second shuffle is needed. Series count is
-the group-key cardinality; at 100 TB the key is a high-cardinality
-series id and partitions cleanly (see ``operators/skew.py`` for the
-low-cardinality salting pattern).
+All operators share ONE aggregation shape: hourly reduce on
+(event_type, hour) — the only corpus-sized exchange, and it carries
+map-side-combined partials, not raw rows. The per-series windows then
+re-exchange on event_type alone, but that shuffle moves the already
+tiny hourly frame (series x hours), which is the right trade: forcing
+a single exchange would mean pre-partitioning RAW events by series
+and losing the combine. Series count is the group-key cardinality; at
+100 TB the key is a high-cardinality series id and partitions cleanly
+(see ``operators/skew.py`` for the low-cardinality salting pattern).
 
 Determinism notes (the cross-engine hash gate):
 
