@@ -350,3 +350,108 @@ def idempotent_batch_writer(base_path: str):
         )
 
     return write
+
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("nif", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+class EwmaProcessor:
+    """Streaming EWMA (alpha = 1/2) per key — the live twin of the batch
+    ``ts_ewma_smooth`` operator, as a Spark-4 ``StatefulProcessor``.
+
+    State per key is O(1): the running smoothed value and an
+    observation count. Each micro-batch folds its rows in (ts, value)
+    order through ``s -> (s + x) / 2`` — the same IEEE-exact halving as
+    the batch form, so a given arrival order reproduces bitwise across
+    restarts (the ValueState checkpoint carries the fold seed).
+
+    Factory-shaped like :class:`EdgeTriggerProcessor` because the
+    ``StatefulProcessor`` base class only exists on Spark 4.
+    """
+
+    def __new__(cls):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Processor(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState(
+                    "ewma", "s double, n bigint"
+                )
+
+            def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+                (nif,) = key
+                pdf = pd.concat(list(rows))
+                pdf = pdf.sort_values(["ts", "total_bytes"])
+                prev = self._state.get()
+                s = None if prev is None else float(prev[0])
+                n = 0 if prev is None else int(prev[1])
+                for x in pdf["total_bytes"]:
+                    x = float(x)
+                    s = x if s is None else (s + x) / 2.0
+                    n += 1
+                self._state.update((float(s), int(n)))
+                yield pd.DataFrame({"nif": [nif], "n": [n], "ewma": [s]})
+
+            def close(self) -> None:
+                pass
+
+        return _Processor()
+
+
+def ewma_stream_tws(values: DataFrame) -> DataFrame:
+    """Per-key streaming EWMA over (nif, total_bytes, ts) rows: emits
+    the running smoothed value once per key per micro-batch. The state
+    store holds two numbers per key — at 100 TB key cardinality that is
+    the minimal stateful footprint, and TTL/timers can bound it exactly
+    as in :func:`edge_trigger_stream_tws`."""
+    return values.groupBy("nif").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType=EWMA_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def _ewma_fold_fn() -> Callable[..., Iterator[pd.DataFrame]]:
+    """applyInPandasWithState fold for :func:`ewma_stream` — identical
+    recurrence to :class:`EwmaProcessor`, Spark-3.x-compatible API."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (nif,) = key
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["ts", "total_bytes"])
+        s, n = (state.get if state.exists else (None, 0))
+        for x in pdf["total_bytes"]:
+            x = float(x)
+            s = x if s is None else (s + x) / 2.0
+            n += 1
+        state.update((float(s), int(n)))
+        yield pd.DataFrame({"nif": [nif], "n": [n], "ewma": [s]})
+
+    return fn
+
+
+def ewma_stream(values: DataFrame) -> DataFrame:
+    """Per-key streaming EWMA via ``applyInPandasWithState`` — the
+    Spark-3.x twin of :func:`ewma_stream_tws` (same O(1) state, same
+    exact-halving fold; see :class:`EwmaProcessor` for semantics)."""
+    return values.groupBy("nif").applyInPandasWithState(
+        _ewma_fold_fn(),
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=T.StructType(
+            [
+                T.StructField("s", T.DoubleType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

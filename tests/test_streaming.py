@@ -1019,3 +1019,73 @@ def test_streaming_query_listener_reports_progress(spark, tmp_path):
         pass
     assert seen["progress"] >= 1, "no progress events delivered"
     assert seen["rows"] > 0, "listener saw zero input rows"
+
+
+@pytest.mark.parametrize("api", ["apply", "tws"])
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path, api):
+    """Three micro-batches of per-key values; the final streaming EWMA
+    must equal a plain Python left fold s -> (s+x)/2 over the full
+    arrival-ordered sequence — state carries the fold seed across
+    batches, and the exact-halving recurrence leaves no float slack.
+    Both stateful APIs run the same recurrence; the Spark-4
+    transformWithState form is env-gated on protobuf."""
+    from spark_streaming_test_spark.streaming.pipeline import (
+        ewma_stream,
+        ewma_stream_tws,
+    )
+
+    if api == "tws" and not _has_protobuf():
+        pytest.skip("transformWithStateInPandas needs google.protobuf")
+    ewma_op = ewma_stream_tws if api == "tws" else ewma_stream
+
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    batches = [
+        [("A", 100.0, _ts(0)), ("A", 50.0, _ts(1)), ("B", 10.0, _ts(0))],
+        [("A", 75.0, _ts(5)), ("B", 20.0, _ts(5)), ("B", 30.0, _ts(6))],
+        [("A", 10.0, _ts(10)), ("B", 40.0, _ts(10))],
+    ]
+    _write_packet_batch(spark, src, batches[0], 0)
+    packets = packet_stream_from_dir(spark, src)
+    values = packets.select(
+        "nif", F.col("bytes").alias("total_bytes"), "ts"
+    )
+    q = (
+        ewma_op(values)
+        .writeStream.format("memory")
+        .queryName(f"ewma_out_{api}")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_packet_batch(spark, src, rows, i)
+            q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT nif, n, ewma FROM ewma_out_{api}"
+        ).collect()
+    finally:
+        q.stop()
+
+    def fold(xs):
+        s = None
+        for x in xs:
+            s = x if s is None else (s + x) / 2.0
+        return s
+
+    seq = {"A": [100.0, 50.0, 75.0, 10.0], "B": [10.0, 20.0, 30.0, 40.0]}
+    # one emission per key per batch it appears in
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["nif"], []).append((r["n"], r["ewma"]))
+    for k, emissions in per_key.items():
+        assert len(emissions) == 3
+        n_final, ewma_final = max(emissions)
+        assert n_final == len(seq[k])
+        assert ewma_final == fold(seq[k]), (k, emissions)
+    # intermediate state carried: batch-2 emission equals fold of prefix
+    for k in seq:
+        prefix_n, prefix_val = sorted(per_key[k])[1]
+        assert prefix_val == fold(seq[k][:prefix_n])
