@@ -137,7 +137,7 @@ _DRIVER_WINDOW = [
     "join_fuzzy_dictionary", "text_char_entropy", "corpus_curriculum_order",
     "events_attribution", "ts_period_over_period", "agg_gini_hhi",
     "sim_sparse_cosine_join", "window_moving_median", "emb_quantile_transform",
-    "agg_rate_wilson_ci", "ts_seasonal_residual",
+    "agg_rate_wilson_ci", "ts_seasonal_residual", "scan_csv_badrecords",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",

@@ -311,3 +311,73 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(NATION_DDL).option("rowTag", "nation").format("xml").load(path)
     )
+
+
+@register(
+    "scan_csv_badrecords",
+    tags=("source", "csv", "error-handling"),
+    oracle="""
+SELECT 'corrupt' AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS key_sum
+FROM nation WHERE n_nationkey % 5 = 0
+UNION ALL
+SELECT 'ok' AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation WHERE n_nationkey % 5 <> 0
+""",
+)
+def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record routing on the CSV connector: a fixture where
+    every 5th row is garbage ("not-an-int" in an INT column) is read in
+    PERMISSIVE mode with ``columnNameOfCorruptRecord`` — bad lines land
+    in the quarantine column instead of killing the job, and the query
+    reports the ok/corrupt split with a checksum over the surviving
+    keys.
+
+    This is the ingestion posture that matters at 100 TB: a fraction of
+    any real corpus is malformed, FAILFAST would abort hours in, and
+    silent DROPMALFORMED loses auditability. The corrupt column keeps
+    the raw line for a quarantine sink. Corruption here is derived
+    deterministically from the key so the DuckDB oracle can predict the
+    split exactly."""
+    path = os.path.join(SCRATCH, "nation_badcsv")
+    load(spark, sf_dir, "nation").select(
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.concat(F.lit("not-an-int,"), F.col("n_name"), F.lit(",bad")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            )
+        )
+        .alias("value")
+    ).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            NATION_DDL + ", _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("ok")
+            .alias("status"),
+            "n_nationkey",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # corrupt rows parse every field to NULL, so their sum is
+            # NULL — matching the oracle's CAST(NULL AS BIGINT) branch
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+    )
