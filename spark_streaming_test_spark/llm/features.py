@@ -186,3 +186,77 @@ def emb_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
+
+
+COV_DP = 8  # covariance entry rounding (both engines) before output
+
+
+@register(
+    "emb_covariance_matrix",
+    tags=("llm", "embeddings", "features", "pca"),
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id, a.dim AS di, b.dim AS dj, a.v AS vi, b.v AS vj
+  FROM dims a JOIN dims b
+    ON a.vec_id = b.vec_id AND a.dim <= b.dim
+),
+mom AS (
+  SELECT di, dj,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('vi')} AS si,
+         {sql_dsum('vj')} AS sj,
+         {sql_dsum('vi * vj')} AS sij
+  FROM pairs GROUP BY di, dj
+)
+SELECT CAST(di - 1 AS INTEGER) AS di, CAST(dj - 1 AS INTEGER) AS dj,
+       round(sij / n - (si / n) * (sj / n), {COV_DP}) AS cov
+FROM mom
+""",
+)
+def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular covariance matrix of the embedding dimensions —
+    the input to PCA/whitening/Mahalanobis calibration. Output is
+    long-form (di, dj, cov), di <= dj: D*(D+1)/2 rows for D dims.
+
+    Shape at scale: the per-vector dim self-join fans each vector to
+    D^2/2 component pairs but stays VECTOR-LOCAL (equi-join on vec_id
+    inside one shuffle), and the moment aggregate reduces straight to
+    the D^2/2-row matrix with map-side combine — the shuffle carries
+    O(tasks x D^2) partials, never the corpus. Moments are exact
+    decimal sums; the only rounding is the final entry quantization."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    a = dims.alias("a")
+    b = dims.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.vec_id"))
+        & (F.col("a.dim") <= F.col("b.dim")),
+    ).select(
+        F.col("a.dim").alias("di"),
+        F.col("b.dim").alias("dj"),
+        F.col("a.v").alias("vi"),
+        F.col("b.v").alias("vj"),
+    )
+    mom = pairs.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("vi").alias("si"),
+        dsum("vj").alias("sj"),
+        dsum(F.col("vi") * F.col("vj")).alias("sij"),
+    )
+    n, si, sj, sij = F.col("n"), F.col("si"), F.col("sj"), F.col("sij")
+    return mom.select(
+        F.col("di").cast("int").alias("di"),
+        F.col("dj").cast("int").alias("dj"),
+        F.round(sij / n - (si / n) * (sj / n), COV_DP).alias("cov"),
+    )

@@ -256,3 +256,49 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sample_balanced_classes",
+    tags=("llm", "sampling", "class-balance"),
+    oracle="""
+WITH sized AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+),
+floor_n AS (SELECT MIN(n) AS cap FROM sized),
+ranked AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM embeddings
+)
+SELECT r.label, r.vec_id
+FROM ranked r CROSS JOIN floor_n f
+WHERE r.rk <= f.cap
+""",
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows, chosen by md5 rank so the selection is
+    deterministic, partition-invariant, and replay-safe (the property
+    all sampling in this engine shares — `df.sample` is none of those).
+
+    One shuffle on label drives both the per-class rank and the class
+    sizes; the 1-row floor broadcasts. At 100 TB the md5 order also
+    makes the kept subset stable under corpus appends: existing rows
+    keep their rank prefix unless new rows hash below them — the same
+    property that makes hash sampling incremental-friendly."""
+    e = load(spark, sf_dir, "embeddings")
+    sized = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cap = sized.agg(F.min("n").alias("cap"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        e.select("label", "vec_id")
+        .withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("cap"))
+        .select("label", "vec_id")
+    )

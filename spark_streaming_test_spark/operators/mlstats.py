@@ -439,3 +439,90 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+@register(
+    "ab_test_welch_t",
+    tags=("aggregate", "statistics", "experiment"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         value
+  FROM events WHERE event_type = 'purchase'
+),
+arms AS (
+  SELECT variant,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('value')} AS s,
+         {sql_dsum('value * value')} AS s2
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+         MAX(CASE WHEN variant = 'A' THEN s END) AS sa,
+         MAX(CASE WHEN variant = 'A' THEN s2 END) AS sa2,
+         MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN variant = 'B' THEN s END) AS sb,
+         MAX(CASE WHEN variant = 'B' THEN s2 END) AS sb2
+  FROM arms
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       sa / na AS mean_a, sb / nb AS mean_b,
+       (sa / na - sb / nb)
+         / NULLIF(sqrt(
+             ((sa2 - sa * sa / na) / (na - 1.0)) / na
+             + ((sb2 - sb * sb / nb) / (nb - 1.0)) / nb), 0.0) AS t,
+       abs((sa / na - sb / nb)
+         / NULLIF(sqrt(
+             ((sa2 - sa * sa / na) / (na - 1.0)) / na
+             + ((sb2 - sb * sb / nb) / (nb - 1.0)) / nb), 0.0)) > 1.96
+         AS significant
+FROM wide
+""",
+)
+def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase VALUE between the
+    same hash-split variants as :func:`ab_test_zscore` — the
+    compare-the-means readout to its compare-the-rates one. Sample
+    variances come from exact decimal power sums; the t statistic is a
+    single IEEE expression on the final 1-row frame (df is large here,
+    so the 1.96 normal cutoff is the standard reading)."""
+    e = load(spark, sf_dir, "events")
+    assigned = e.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "value",
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("value").alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("variant") == "A", F.col("s2"))).alias("sa2"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("variant") == "B", F.col("s2"))).alias("sb2"),
+    )
+    na, sa, sa2 = F.col("na"), F.col("sa"), F.col("sa2")
+    nb, sb, sb2 = F.col("nb"), F.col("sb"), F.col("sb2")
+    se = F.sqrt(
+        ((sa2 - sa * sa / na) / (na - 1.0)) / na
+        + ((sb2 - sb * sb / nb) / (nb - 1.0)) / nb
+    )
+    t = (sa / na - sb / nb) / F.nullif(se, F.lit(0.0))
+    return wide.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (sa / na).alias("mean_a"),
+        (sb / nb).alias("mean_b"),
+        t.alias("t"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
