@@ -260,3 +260,188 @@ def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dj").cast("int").alias("dj"),
         F.round(sij / n - (si / n) * (sj / n), COV_DP).alias("cov"),
     )
+
+
+PCA_ITERS = 8  # power-iteration count (fixed, both engines unroll it)
+PCA_SV = 1_000_000  # eigenvector fixed-point scale
+PCA_SM = 1_000_000  # covariance fixed-point scale
+PCA_WQ = 10_000_000  # norm pre-quantizer (keeps sum-of-squares in int64)
+
+
+def _sql_pca_iter(prev: str, out: str) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines single-reference
+    # CTEs, and this chain references each frame twice — inlined, the
+    # expression tree (and the covariance build) doubles per iteration,
+    # turning an 8-iteration oracle into 2^8 covariance scans
+    # (measured: ~350 s -> ~10 s at sf0.001).
+    return f"""
+w_{out} AS MATERIALIZED (
+  SELECT m.di AS dim, CAST(SUM(m.mi * v.vi) AS BIGINT) AS wr
+  FROM cov_fp m JOIN {prev} v ON m.dj = v.dim GROUP BY m.di
+),
+n_{out} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(
+           CAST(floor(CAST(wr AS DOUBLE) / {PCA_WQ}) AS BIGINT)
+           * CAST(floor(CAST(wr AS DOUBLE) / {PCA_WQ}) AS BIGINT)
+         ) AS DOUBLE)) AS nq
+  FROM w_{out}
+),
+{out} AS MATERIALIZED (
+  SELECT dim,
+         CAST(floor(CAST(wr AS DOUBLE)
+                    / (nq * {PCA_WQ}.0 / {PCA_SV})) AS BIGINT) AS vi
+  FROM w_{out}, n_{out}
+)"""
+
+
+_SQL_PCA_ITERS = ",".join(
+    _sql_pca_iter(f"v{i}", f"v{i + 1}") for i in range(PCA_ITERS)
+)
+
+
+@register(
+    "emb_pca_power",
+    tags=("llm", "embeddings", "pca", "iterative"),
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.dim AS di, b.dim AS dj, a.v AS vi, b.v AS vj
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+),
+mom AS (
+  SELECT di, dj,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('vi')} AS si,
+         {sql_dsum('vj')} AS sj,
+         {sql_dsum('vi * vj')} AS sij
+  FROM pairs GROUP BY di, dj
+),
+cov_fp AS MATERIALIZED (
+  SELECT di, dj,
+         CAST(floor((sij / n - (si / n) * (sj / n)) * {PCA_SM}.0)
+              AS BIGINT) AS mi
+  FROM mom
+),
+v0 AS (
+  SELECT DISTINCT di AS dim,
+         CAST({PCA_SV // 8} AS BIGINT) AS vi
+  FROM cov_fp
+),
+{_SQL_PCA_ITERS},
+anchor AS (
+  SELECT CASE WHEN vi >= 0 THEN 1 ELSE -1 END AS s
+  FROM v{PCA_ITERS} ORDER BY abs(vi) DESC, dim LIMIT 1
+)
+SELECT CAST(v.dim - 1 AS INTEGER) AS dim,
+       CAST(a.s * v.vi AS DOUBLE) / {PCA_SV}.0 AS loading,
+       n.nq * {PCA_WQ}.0 / ({PCA_SM}.0 * {PCA_SV}.0) AS eigenvalue
+FROM v{PCA_ITERS} v CROSS JOIN anchor a CROSS JOIN n_v{PCA_ITERS} n
+""",
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding cloud by
+    {PCA_ITERS} fixed-point power iterations over the covariance
+    matrix, with the top eigenvalue from the final iterate's norm.
+
+    Determinism borrows ``graph_pagerank``'s playbook: after one
+    floor-quantization of the covariance (identical doubles on both
+    engines), every matrix-vector product is EXACT int64 arithmetic —
+    order-independent sums, no rounding modes to disagree on. The
+    normalization per iteration is the only float step: one sqrt and
+    one floor over bitwise-identical doubles. The sign is anchored to
+    the largest-magnitude loading so the eigenvector's direction is
+    well-defined.
+
+    Scale: the covariance build is the corpus-sized stage (vector-local
+    D^2 fan-out, partial-combined reduce to D^2 rows — see
+    ``emb_covariance_matrix``); each iteration is then a broadcast join
+    over the D^2-row matrix frame with an O(D) shuffle of partials,
+    lineage-truncated per iteration. D=64 here; at D=4096 the matrix
+    frame is 16M rows — still executor-resident, same plan."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    a_ = dims.alias("a")
+    b_ = dims.alias("b")
+    mom = (
+        a_.join(b_, F.col("a.vec_id") == F.col("b.vec_id"))
+        .select(
+            F.col("a.dim").alias("di"),
+            F.col("b.dim").alias("dj"),
+            F.col("a.v").alias("vi_"),
+            F.col("b.v").alias("vj_"),
+        )
+        .groupBy("di", "dj")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum("vi_").alias("si"),
+            dsum("vj_").alias("sj"),
+            dsum(F.col("vi_") * F.col("vj_")).alias("sij"),
+        )
+    )
+    n, si, sj, sij = F.col("n"), F.col("si"), F.col("sj"), F.col("sij")
+    cov_fp = mom.select(
+        "di",
+        "dj",
+        F.floor((sij / n - (si / n) * (sj / n)) * float(PCA_SM))
+        .cast("bigint")
+        .alias("mi"),
+    ).localCheckpoint(eager=True)
+    v = cov_fp.select("di").distinct().select(
+        F.col("di").alias("dim"),
+        F.lit(PCA_SV // 8).cast("bigint").alias("vi"),
+    )
+    nrm = None
+    for _ in range(PCA_ITERS):
+        w = (
+            cov_fp.join(F.broadcast(v), cov_fp.dj == v.dim)
+            .groupBy(F.col("di").alias("dim"))
+            .agg(F.sum(F.col("mi") * F.col("vi")).cast("bigint").alias("wr"))
+            # Eager checkpoint of the O(D) frame: norm and next iterate
+            # both derive from it, and without truncation the lineage
+            # (broadcast of a frame whose plan contains the previous
+            # broadcast...) re-plans the whole history each iteration —
+            # the same measured blowup graph_pagerank documents.
+            .localCheckpoint(eager=True)
+        )
+        wq = F.floor(F.col("wr").cast("double") / PCA_WQ).cast("bigint")
+        nrm = w.agg(
+            F.sqrt(F.sum(wq * wq).cast("double")).alias("nq")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "dim",
+            F.floor(
+                F.col("wr").cast("double")
+                / (F.col("nq") * (float(PCA_WQ) / PCA_SV))
+            )
+            .cast("bigint")
+            .alias("vi"),
+        )
+    anchor = (
+        v.orderBy(F.abs(F.col("vi")).desc(), "dim")
+        .limit(1)
+        .select(
+            F.when(F.col("vi") >= 0, 1).otherwise(-1).alias("s")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            ((F.col("s") * F.col("vi")).cast("double") / PCA_SV).alias(
+                "loading"
+            ),
+            (
+                F.col("nq") * float(PCA_WQ) / (float(PCA_SM) * PCA_SV)
+            ).alias("eigenvalue"),
+        )
+    )
