@@ -291,3 +291,70 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    tags=("cdc", "join", "temporal", "asof"),
+    oracle="""
+WITH merged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('signup', 'purchase', 'error')
+              THEN 0 ELSE 1 END AS kind,
+         CASE WHEN event_type IN ('signup', 'purchase', 'error')
+              THEN event_type END AS state,
+         CASE WHEN event_type IN ('view', 'click')
+              THEN event_type END AS probe_type,
+         value
+  FROM events
+),
+resolved AS (
+  SELECT user_id, ts, event_id, kind, probe_type, value,
+         last_value(state IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active_state
+  FROM merged
+)
+SELECT event_id, user_id, ts, probe_type, value, active_state
+FROM resolved WHERE kind = 1
+""",
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal dimension) join: each view/click event
+    resolves to the SCD2 state version (``scd2_intervals``'s
+    signup/purchase/error states) active AT its timestamp — NULL before
+    the user's first state, the standard as-of semantics.
+
+    Deliberately NOT a range join: versions and probes union into one
+    per-user sorted stream and a ``last_value IGNORE NULLS`` window
+    resolves every probe in a single pass — one user_id exchange total,
+    against the range join's per-probe interval search. Same-timestamp
+    ties resolve state-first (kind 0 < 1), so a probe sees a state
+    created at its own instant — matching the closed-open
+    ``[valid_from, valid_to)`` interval convention."""
+    e = load(spark, sf_dir, "events")
+    is_state = F.col("event_type").isin("signup", "purchase", "error")
+    is_probe = F.col("event_type").isin("view", "click")
+    merged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(is_state, 0).otherwise(1).alias("kind"),
+        F.when(is_state, F.col("event_type")).alias("state"),
+        F.when(is_probe, F.col("event_type")).alias("probe_type"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "active_state", F.last("state", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id", "user_id", "ts", "probe_type", "value", "active_state"
+        )
+    )

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.deterministic import davg, sql_davg
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 
 EWMA_WIN = 24  # trailing hours folded into the smoothed value
@@ -427,4 +427,65 @@ def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nd") * F.col("hv") - F.col("s_dec")).cast("double")
             / F.col("n")
         ).alias("residual"),
+    )
+
+
+@register(
+    "window_ohlc_bars",
+    tags=("timeseries", "window", "ohlc"),
+    oracle=f"""
+WITH framed AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value,
+         first_value(value) OVER w AS open,
+         last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS close
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id)
+)
+SELECT event_type, h,
+       MAX(open) AS open, MAX(value) AS high, MIN(value) AS low,
+       MAX(close) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       {{dsum}} AS volume
+FROM framed GROUP BY event_type, h
+""".format(dsum=sql_dsum("value")),
+)
+def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (series, hour) the first/last values
+    in (ts, event_id) order plus high/low/count/volume — the
+    market-data aggregation shape, equally the downsampling step any
+    metrics store runs before charting.
+
+    Open/close come from frame-bounded window first/last over a TOTAL
+    order (event_id tiebreak), so concurrent ticks cannot make the bar
+    nondeterministic; the bar reduce rides the same (series, hour)
+    partitioning, so window and aggregate share one exchange. Volume
+    is the exact decimal sum."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", "ts")
+    ).orderBy("ts", "event_id")
+    framed = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value")
+        .over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("close"),
+    )
+    return framed.groupBy("event_type", "h").agg(
+        F.max("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("close").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        dsum("value").alias("volume"),
     )

@@ -431,3 +431,55 @@ def test_bpe_train_query_runs(spark):
     assert rows[0].iteration == 0
     # merged symbol is always the concatenation of its parts
     assert all(r.merged == r.left + r.right for r in rows)
+
+
+def test_pca_power_recovers_planted_component(spark, tmp_path):
+    """emb_pca_power must recover a PLANTED dominant direction. The
+    driver's synthetic embeddings are isotropic (top eigengap ratio
+    ~0.98 — no power method converges in 8 iterations there; the
+    oracle parity test still pins cross-engine equality on that data),
+    so this test builds an anisotropic fixture: x = s*u + noise with a
+    strong spike, where convergence is fast and the answer is known."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_test_spark.registry import all_queries
+
+    rng = np.random.default_rng(7)
+    d, n = 64, 300
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    emb = rng.normal(scale=0.05, size=(n, d)) + np.outer(
+        rng.normal(scale=1.0, size=n), u
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in emb],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * n, type=pa.int32()),
+            }
+        ),
+        f"{sf_dir}/embeddings.parquet",
+    )
+    rows = all_queries()["emb_pca_power"].fn(spark, sf_dir).collect()
+    got = {r["dim"]: r["loading"] for r in rows}
+    lam = rows[0]["eigenvalue"]
+
+    cov = np.cov(emb.astype(np.float32).astype(np.float64), rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    v = np.array([got[i] for i in range(d)])
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    assert abs(lam - evals[-1]) / evals[-1] < 0.02, (lam, evals[-1])
+    # WQ-truncated norm slightly underestimates ||w||, so v lands a
+    # hair over unit — bounded by the quantizer's relative error.
+    assert 0.99 < np.linalg.norm(v) <= 1.0 + 1e-4
