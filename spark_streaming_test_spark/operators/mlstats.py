@@ -526,3 +526,206 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+MAD_K = 1.4826  # normal-consistency constant for MAD-sigma
+MAD_FLAG = 3.5  # |robust z| flag threshold
+
+
+@register(
+    "events_anomaly_mad",
+    tags=("aggregate", "statistics", "outliers", "robust"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.event_id, r.value,
+         abs(r.value - m.median) AS adev, m.median
+  FROM ranked r JOIN med m ON r.event_type = m.event_type
+),
+dev_ranked AS (
+  SELECT event_type, event_id, value, median, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+  FROM dev_ranked GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value, d.median, m.mad,
+       (d.value - d.median)
+         / NULLIF(CAST({MAD_K} AS DOUBLE) * m.mad, 0.0) AS robust_z,
+       abs((d.value - d.median)
+         / NULLIF(CAST({MAD_K} AS DOUBLE) * m.mad, 0.0)) > {MAD_FLAG}
+         AS is_outlier
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE abs((d.value - d.median)
+         / NULLIF(CAST({MAD_K} AS DOUBLE) * m.mad, 0.0)) > {MAD_FLAG}
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: flag rows
+    whose |value - median| exceeds {MAD_FLAG} MAD-sigmas (MAD * 1.4826,
+    the normal-consistent robust sigma). Unlike the z-score twin
+    (``ts_anomaly_zscore``), one extreme value cannot inflate the
+    spread it is judged against — the estimator the anomaly literature
+    actually recommends for contaminated data.
+
+    Both medians are exact lower-middle rank picks over a total order
+    (no interpolation — structural cross-engine equality, same trick as
+    ``agg_winsorize``/``window_moving_median``); the constant is
+    DOUBLE-cast in the oracle because bare decimals would fold exactly
+    where Spark's double literal does not. Two rank windows + two joins
+    all share the event_type partitioning — one corpus exchange, and
+    the per-group median/MAD frames broadcast."""
+    e = load(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"),
+                F.col("value"),
+            )
+        ).alias("median")
+    )
+    dev = ranked.drop("rn", "n").join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("adev"),
+    )
+    wa = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dev_ranked = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(wa).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = dev_ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"),
+                F.col("adev"),
+            )
+        ).alias("mad")
+    )
+    z = (F.col("value") - F.col("median")) / F.nullif(
+        F.lit(MAD_K) * F.col("mad"), F.lit(0.0)
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > MAD_FLAG)
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            "median",
+            "mad",
+            z.alias("robust_z"),
+            (F.abs(z) > MAD_FLAG).alias("is_outlier"),
+        )
+    )
+
+
+CHI2_CRIT_DOF4 = 9.488  # chi-square 95% critical value at dof=4
+CHI2_DP = 8
+
+
+@register(
+    "ab_test_chi_square",
+    tags=("aggregate", "statistics", "experiment"),
+    oracle=f"""
+WITH cells AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         event_type,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT c.variant, c.event_type, c.o,
+         SUM(c.o) OVER (PARTITION BY c.variant) AS row_tot,
+         SUM(c.o) OVER (PARTITION BY c.event_type) AS col_tot,
+         SUM(c.o) OVER () AS n
+  FROM cells c
+),
+terms AS (
+  SELECT CAST(round(
+           (o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+             / (row_tot * col_tot / n), {CHI2_DP + 2})
+         AS DECIMAL(25,{CHI2_DP + 2})) AS term,
+         n
+  FROM margins
+)
+SELECT round(CAST(SUM(term) AS DOUBLE), {CHI2_DP}) AS chi2,
+       CAST(4 AS INTEGER) AS dof,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(term) AS DOUBLE) > {CHI2_CRIT_DOF4} AS significant
+FROM terms
+""",
+)
+def ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the variant x event-type
+    contingency table (did the hash split change behavioral mix?) —
+    the categorical counterpart to the z/t readouts above.
+
+    Margins come from window sums over the 10-cell table (integer
+    counts — exact); each (O-E)^2/E term is an IEEE expression over
+    identical doubles, quantized to decimal before the final sum so the
+    10-term addition is order-independent. dof = (2-1)(5-1) = 4; the
+    flag compares against the 95% critical value. SUM(o) window totals
+    are exact integer-valued doubles, so no decimal plumbing is needed
+    upstream of the terms."""
+    e = load(spark, sf_dir, "events")
+    cells = e.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "event_type",
+    ).groupBy("variant", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    margins = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("variant")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("event_type")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    term = F.round(
+        (F.col("o") - exp) * (F.col("o") - exp) / exp, CHI2_DP + 2
+    ).cast(f"decimal(25,{CHI2_DP + 2})")
+    terms = margins.select(term.alias("term"), "n")
+    return terms.agg(
+        F.round(F.sum("term").cast("double"), CHI2_DP).alias("chi2"),
+        F.lit(4).cast("int").alias("dof"),
+        F.max("n").cast("bigint").alias("n"),
+        (F.sum("term").cast("double") > CHI2_CRIT_DOF4).alias("significant"),
+    )
