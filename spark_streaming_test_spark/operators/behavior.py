@@ -478,3 +478,92 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rev_last"), F.lit(0.0)).alias("rev_last"),
         )
     )
+
+
+@register(
+    "events_time_to_convert",
+    tags=("window", "behavior", "latency"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+  FROM events GROUP BY user_id
+),
+durs AS (
+  SELECT user_id,
+         CAST(date_diff('second', signup_ts, purchase_ts) AS BIGINT)
+           AS secs_to_convert
+  FROM firsts
+  WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+        AND purchase_ts >= signup_ts
+),
+ranked AS (
+  SELECT secs_to_convert,
+         ROW_NUMBER() OVER (ORDER BY secs_to_convert, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM durs
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN secs_to_convert END) AS p50_secs,
+       MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                THEN secs_to_convert END) AS p90_secs,
+       MIN(secs_to_convert) AS min_secs,
+       MAX(secs_to_convert) AS max_secs
+FROM ranked
+""",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: seconds from each user's FIRST signup to their
+    FIRST subsequent purchase, summarized as exact-rank p50/p90 and
+    min/max — the conversion-latency readout every growth dashboard
+    pairs with the funnel counts in ``events_funnel``.
+
+    One user-grain conditional-MIN reduce (single shuffle, map-side
+    combine) computes both first-touch timestamps; the duration
+    distribution is user-count-sized, so its rank window is cheap, and
+    the percentiles are concrete data points picked by rank — no
+    interpolation to disagree on. Users who purchase before ever
+    signing up (data noise) are excluded, as are non-converters."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("signup_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchase_ts"),
+    )
+    durs = firsts.filter(
+        F.col("signup_ts").isNotNull()
+        & F.col("purchase_ts").isNotNull()
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+    ).select(
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("secs_to_convert"),
+    )
+    wr = Window.orderBy("secs_to_convert", "user_id")
+    ranked = durs.select(
+        "secs_to_convert",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"),
+                F.col("secs_to_convert"),
+            )
+        ).alias("p50_secs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.90 * F.col("n")).cast("bigint"),
+                F.col("secs_to_convert"),
+            )
+        ).alias("p90_secs"),
+        F.min("secs_to_convert").alias("min_secs"),
+        F.max("secs_to_convert").alias("max_secs"),
+    )
