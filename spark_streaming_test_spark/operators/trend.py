@@ -489,3 +489,134 @@ def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
         dsum("value").alias("volume"),
     )
+
+
+@register(
+    "ts_holt_linear",
+    tags=("timeseries", "window", "smoothing", "forecast"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY}),
+framed AS (
+  SELECT event_type, h, v,
+         -- accumulator is a 2-element LIST [level, trend], not a struct:
+         -- DuckDB 1.0 mis-evaluates the second field of struct-returning
+         -- fold lambdas (measured: trend drifts from step 2 on), while
+         -- list-returning lambdas fold correctly.
+         list_transform(
+           list(v) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN {EWMA_WIN - 1} PRECEDING AND CURRENT ROW),
+           y -> [y, CAST(0.0 AS DOUBLE)]) AS arr
+  FROM hourly
+),
+folded AS (
+  SELECT event_type, h, v,
+         list_reduce(arr,
+           (a, x) -> [ (x[1] + a[1] + a[2]) / 2.0,
+                       (a[2] + ((x[1] + a[1] + a[2]) / 2.0 - a[1])) / 2.0 ])
+           AS st
+  FROM framed
+)
+SELECT event_type, h, v,
+       st[1] AS level, st[2] AS trend, st[1] + st[2] AS forecast_next
+FROM folded
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (alpha = beta = 1/2) over the
+    trailing 24-hour frame: a level AND a trend component, plus the
+    one-step-ahead forecast ``level + trend`` — what EWMA cannot give
+    (EWMA lags any trending series by construction).
+
+    Same exactness argument as :func:`ts_ewma_smooth`, extended to a
+    2-component fold state: every update is additions and exact
+    halvings evaluated in identical expression shape on both engines
+    (Spark ``reduce`` with a struct accumulator, DuckDB ``list_reduce``
+    over a struct-lifted frame whose first element seeds the fold
+    exactly like Spark's init). Bounded frame, O(1) window state."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(EWMA_WIN - 1), Window.currentRow)
+    )
+    folded = (
+        _hourly(spark, sf_dir)
+        .withColumn("arr", F.collect_list("v").over(w))
+        .withColumn(
+            "st",
+            F.expr(
+                "reduce(slice(arr, 2, size(arr) - 1),"
+                " named_struct('l', element_at(arr, 1), 'b', 0.0D),"
+                " (a, x) -> named_struct("
+                "   'l', (x + a.l + a.b) / 2.0D,"
+                "   'b', (a.b + ((x + a.l + a.b) / 2.0D - a.l)) / 2.0D))"
+            ),
+        )
+    )
+    return folded.select(
+        "event_type",
+        "h",
+        "v",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
+    )
+
+
+DON_WIN = 24  # Donchian lookback (hours), excluding the current bar
+
+
+@register(
+    "window_donchian_band",
+    tags=("timeseries", "window", "breakout"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+banded AS (
+  SELECT event_type, h, hv,
+         MAX(hv) OVER trail AS upper_band,
+         MIN(hv) OVER trail AS lower_band,
+         COUNT(*) OVER trail AS n_lookback
+  FROM hourly
+  WINDOW trail AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {DON_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h, CAST(hv AS DOUBLE) AS total,
+       CAST(upper_band AS DOUBLE) AS upper_band,
+       CAST(lower_band AS DOUBLE) AS lower_band,
+       (hv > upper_band) AS breakout_up,
+       (hv < lower_band) AS breakout_down
+FROM banded WHERE n_lookback >= {DON_WIN // 2}
+""",
+)
+def window_donchian_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel breakout detection: flag hours whose total
+    breaches the max/min of the PRECEDING {DON_WIN}-hour channel (the
+    current bar excluded, so a bar never breaks its own band) — the
+    volume-surge / volume-collapse alarm in its classic trading form,
+    emitted once half a lookback window exists.
+
+    Min/max/compare over exact decimals: nothing to round, nothing
+    order-dependent; one hourly reduce + one frame-bounded window on
+    the same series partitioning."""
+    hourly = _hourly_sum(spark, sf_dir)
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-DON_WIN, -1)
+    )
+    banded = hourly.select(
+        "event_type",
+        "h",
+        "hv",
+        F.max("hv").over(trail).alias("upper_band"),
+        F.min("hv").over(trail).alias("lower_band"),
+        F.count(F.lit(1)).over(trail).alias("n_lookback"),
+    )
+    return banded.filter(F.col("n_lookback") >= DON_WIN // 2).select(
+        "event_type",
+        "h",
+        F.col("hv").cast("double").alias("total"),
+        F.col("upper_band").cast("double").alias("upper_band"),
+        F.col("lower_band").cast("double").alias("lower_band"),
+        (F.col("hv") > F.col("upper_band")).alias("breakout_up"),
+        (F.col("hv") < F.col("lower_band")).alias("breakout_down"),
+    )
