@@ -519,3 +519,94 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_price"))
         .alias("nearest_order_price"),
     )
+
+
+ASOF_TOL_DAYS = 7  # staleness cap: older matches are discarded
+
+
+@register(
+    "join_asof_tolerance",
+    tags=("join", "asof", "tolerance"),
+    oracle=f"""
+WITH od AS (
+  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_order_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+matched AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderdate AS m_date, o.last_order_price AS m_price
+  FROM events e
+  ASOF LEFT JOIN od o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN m_date >= ts - INTERVAL {ASOF_TOL_DAYS} DAY
+            THEN m_date END AS last_order_date,
+       CASE WHEN m_date >= ts - INTERVAL {ASOF_TOL_DAYS} DAY
+            THEN m_price END AS last_order_price,
+       (m_date IS NOT NULL
+        AND m_date < ts - INTERVAL {ASOF_TOL_DAYS} DAY) AS match_too_stale
+FROM matched
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest at-or-before
+    order matches ONLY if it is within {ASOF_TOL_DAYS} days of the
+    event — older state is worse than no state in feature pipelines
+    (a quote from last month is not "the current quote"), so stale
+    matches null out and are flagged for auditability.
+
+    Same single-exchange union+window merge as ``join_asof`` — the
+    tolerance is a pure post-projection, adding zero plan cost, where
+    a range-join formulation (BETWEEN t - tol AND t) would force a
+    banded join. Spark-side interval arithmetic mirrors the oracle's
+    closed ``>=`` boundary exactly."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+        )
+        .agg(F.max("o_totalprice").alias("m_price"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "k",
+            "t",
+            F.lit(0).alias("is_event"),
+            F.col("t").alias("m_date"),
+            "m_price",
+        )
+    )
+    unioned = ev.select(
+        "event_id", "k", "t", "is_event",
+        F.lit(None).cast("timestamp").alias("m_date"),
+        F.lit(None).cast("double").alias("m_price"),
+    ).unionByName(od)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        unioned.withColumn(
+            "md", F.last("m_date", ignorenulls=True).over(w)
+        )
+        .withColumn("mp", F.last("m_price", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+    )
+    fresh = F.col("md") >= F.col("t") - F.expr(
+        f"INTERVAL {ASOF_TOL_DAYS} DAY"
+    )
+    return matched.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(fresh, F.col("md")).alias("last_order_date"),
+        F.when(fresh, F.col("mp")).alias("last_order_price"),
+        (F.col("md").isNotNull() & ~fresh).alias("match_too_stale"),
+    )

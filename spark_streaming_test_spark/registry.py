@@ -141,7 +141,7 @@ _DRIVER_WINDOW = [
     "emb_covariance_matrix", "ab_test_welch_t", "sample_balanced_classes",
     "emb_pca_power", "window_ohlc_bars", "join_scd2_pointintime",
     "events_anomaly_mad", "ab_test_chi_square", "events_time_to_convert",
-    "ts_holt_linear", "window_donchian_band",
+    "ts_holt_linear", "window_donchian_band", "join_asof_tolerance",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
