@@ -91,3 +91,42 @@ def test_pagerank_invariant_to_shuffle_partitions(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert r1 == r2
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "ts_cusum_shift",
+        "ts_ewma_smooth",
+        "ts_holt_linear",
+        "agg_linreg_by_group",
+        "emb_pca_power",
+    ],
+)
+def test_round3_ops_bitwise_stable_across_shuffle_partitions(
+    spark, sf_dir, qname
+):
+    """The round-3 decimal-exact/fixed-point operators must emit the
+    SAME BYTES when the shuffle partition count changes — the property
+    their docstrings claim. Floats compare by bit pattern, not ==."""
+    from spark_streaming_test_spark.registry import all_queries
+
+    fn = all_queries()[qname].fn
+
+    def snapshot(n_parts: int):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            rows = fn(spark, sf_dir).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        out = []
+        for r in rows:
+            canon = tuple(
+                _bits(v) if isinstance(v, float) else v
+                for v in r
+            )
+            out.append(canon)
+        return sorted(out, key=repr)
+
+    assert snapshot(3) == snapshot(32)
