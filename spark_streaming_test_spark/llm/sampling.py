@@ -302,3 +302,88 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("cap"))
         .select("label", "vec_id")
     )
+
+
+@register(
+    "sample_importance_weights",
+    tags=("llm", "sampling", "estimation"),
+    oracle="""
+WITH tagged AS (
+  SELECT CASE WHEN lang IN ('en', 'de', 'fr') THEN lang ELSE 'other' END
+           AS stratum,
+         n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents
+),
+capped AS (
+  SELECT stratum, n_chars, h,
+         CASE stratum WHEN 'en' THEN '3' WHEN 'de' THEN '7'
+                      WHEN 'fr' THEN 'b' ELSE 'f' END AS ceil_digit
+  FROM tagged
+),
+agg AS (
+  SELECT stratum,
+         CAST(COUNT(*) AS DOUBLE) AS n_total,
+         CAST(SUM(CASE WHEN h <= ceil_digit THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_kept,
+         CAST(SUM(n_chars) AS DOUBLE) AS true_chars,
+         CAST(SUM(CASE WHEN h <= ceil_digit THEN n_chars ELSE 0 END)
+              AS DOUBLE) AS kept_chars
+  FROM capped GROUP BY stratum
+)
+SELECT stratum,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       n_total / n_kept AS weight,
+       kept_chars * (n_total / n_kept) AS est_chars,
+       CAST(true_chars AS BIGINT) AS true_chars,
+       kept_chars * (n_total / n_kept) / true_chars AS est_ratio
+FROM agg
+""",
+)
+def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with inverse-inclusion-probability weights:
+    each language stratum keeps a DIFFERENT md5-prefix fraction (heavy
+    downsampling of dominant strata — the mixture-rebalancing move),
+    and the Horvitz–Thompson weight ``n_total / n_kept`` makes
+    downstream statistics unbiased. ``est_ratio`` audits the estimator
+    against the true total in-line.
+
+    Counts and char totals are exact integers; the weight and estimate
+    are one IEEE expression per stratum row. One shuffle, map-side
+    combined — the corpus never moves, only per-stratum partials."""
+    d = load(spark, sf_dir, "documents")
+    stratum = F.when(
+        F.col("lang").isin("en", "de", "fr"), F.col("lang")
+    ).otherwise("other")
+    ceil_digit = (
+        F.when(F.col("stratum") == "en", "3")
+        .when(F.col("stratum") == "de", "7")
+        .when(F.col("stratum") == "fr", "b")
+        .otherwise("f")
+    )
+    tagged = d.select(
+        stratum.alias("stratum"),
+        "n_chars",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h"),
+    ).withColumn("ceil_digit", ceil_digit)
+    kept = F.col("h") <= F.col("ceil_digit")
+    agg = tagged.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("double").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("double").alias("n_kept"),
+        F.sum("n_chars").cast("double").alias("true_chars"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("double")
+        .alias("kept_chars"),
+    )
+    weight = F.col("n_total") / F.col("n_kept")
+    est = F.col("kept_chars") * weight
+    return agg.select(
+        "stratum",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        weight.alias("weight"),
+        est.alias("est_chars"),
+        F.col("true_chars").cast("bigint").alias("true_chars"),
+        (est / F.col("true_chars")).alias("est_ratio"),
+    )

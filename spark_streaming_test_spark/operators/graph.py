@@ -379,3 +379,81 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("degree")
     )
+
+
+JACC_MIN_SHARED = 2  # candidate pairs must share >= this many neighbors
+
+
+@register(
+    "graph_jaccard_neighbors",
+    tags=("graph", "similarity", "link-prediction"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+und AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM und GROUP BY node
+),
+shared AS (
+  SELECT a.node AS u, b.node AS v, COUNT(*) AS n_shared
+  FROM und a JOIN und b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY a.node, b.node
+  HAVING COUNT(*) >= {JACC_MIN_SHARED}
+)
+SELECT s.u, s.v, CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(s.n_shared AS DOUBLE)
+         / CAST(du.d + dv.d - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN deg du ON s.u = du.node
+JOIN deg dv ON s.v = dv.node
+""",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity (link prediction): Jaccard overlap of
+    neighborhoods |N(u) ∩ N(v)| / |N(u) ∪ N(v)| for node pairs sharing
+    >= {JACC_MIN_SHARED} neighbors on the co-purchase graph —
+    "parts bought alongside the same parts", the collaborative-filter
+    signal in its graph form.
+
+    Candidates come from the shared-neighbor inverted index (join on
+    the common neighbor, never pairwise over nodes) — the same
+    candidates-only discipline as ``dedup_ngram_jaccard``; the union
+    is derived from degrees, so it needs no second pass. Integer
+    counts + one final IEEE division per pair."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a = und.alias("a").hint("shuffle_hash")
+    b = und.alias("b").hint("shuffle_hash")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= JACC_MIN_SHARED)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        shared.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
