@@ -358,3 +358,72 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "ts", "probe_type", "value", "active_state"
         )
     )
+
+
+IVM_CUTOFF = "1998-01-01"  # base snapshot boundary (orders span 1995-2001)
+
+
+@register(
+    "agg_incremental_maintenance",
+    tags=("cdc", "aggregation", "incremental"),
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-customer aggregate is
+    computed as BASE-SNAPSHOT + DELTA-BATCH merged by key — never
+    rescanning the base — while the DuckDB oracle recomputes the full
+    aggregate from scratch. A hash match therefore PROVES the
+    incremental path is lossless, which is the property that lets a
+    100 TB pipeline maintain aggregates by touching only the new
+    partition instead of re-aggregating history on every arrival.
+
+    Exactness is what makes the proof possible: counts are integers
+    and spend accumulates in DECIMAL, whose addition is associative —
+    ``base + delta`` is bitwise the full sum. (Double accumulators
+    would differ in the last ulp and the equivalence would be only
+    approximate.) Both branches prune on the cutoff at the scan."""
+    o = load(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast(
+        "decimal(22,2)"
+    )
+    base = (
+        o.filter(F.col("o_orderdate") < IVM_CUTOFF)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            spend.alias("s_b"),
+        )
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= IVM_CUTOFF)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_d"),
+            spend.alias("s_d"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(22,2)")
+    return (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("n_b"), F.lit(0))
+                + F.coalesce(F.col("n_d"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("s_b"), zero)
+                + F.coalesce(F.col("s_d"), zero)
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
