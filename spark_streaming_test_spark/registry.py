@@ -67,6 +67,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.trend",
     "spark_streaming_test_spark.operators.fuzzy",
     "spark_streaming_test_spark.llm.curation",
+    "spark_streaming_test_spark.llm.textrank",
 ]
 
 # Round-3 driver verification window. The driver checks the FIRST ~50
@@ -143,7 +144,7 @@ _DRIVER_WINDOW = [
     "events_anomaly_mad", "ab_test_chi_square", "events_time_to_convert",
     "ts_holt_linear", "window_donchian_band", "join_asof_tolerance",
     "sample_importance_weights", "graph_jaccard_neighbors",
-    "agg_incremental_maintenance",
+    "agg_incremental_maintenance", "text_textrank_keywords",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
