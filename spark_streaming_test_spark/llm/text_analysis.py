@@ -774,3 +774,82 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    tags=("llm", "text", "langid", "evaluation"),
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_sql_lang_score('en')} AS score_en,
+         {_sql_lang_score('es')} AS score_es,
+         {_sql_lang_score('de')} AS score_de,
+         {_sql_lang_score('fr')} AS score_fr
+  FROM documents
+),
+pred AS (
+  SELECT labeled_lang,
+         CASE
+           WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+           WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+           WHEN score_de >= score_fr THEN 'de'
+           ELSE 'fr'
+         END AS predicted_lang
+  FROM scores
+),
+cells AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY labeled_lang, predicted_lang
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n,
+       CAST(c.n AS DOUBLE)
+         / CAST(SUM(c.n) OVER (PARTITION BY c.labeled_lang) AS DOUBLE)
+         AS recall_share,
+       (c.labeled_lang = c.predicted_lang) AS is_correct
+FROM cells c
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID classifier against the
+    labeled ``lang`` column — the eval-harness shape: per
+    (actual, predicted) cell its count and per-class recall share.
+    Quality work is only as good as its evals; this keeps the
+    classifier's error structure (which languages bleed into which)
+    one query away.
+
+    Same single corpus pass as ``text_language_id`` (scores are scalar
+    expressions), then a cells reduce over a 16-row frame — the window
+    share is arithmetic on exact integer counts."""
+    d = spread(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    s = {lang: _lang_score(t, lang) for lang in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    cells = (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            predicted.alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    share = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy("labeled_lang")
+    ).cast("double")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        share.alias("recall_share"),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias(
+            "is_correct"
+        ),
+    )

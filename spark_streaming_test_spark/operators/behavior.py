@@ -567,3 +567,55 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("secs_to_convert").alias("min_secs"),
         F.max("secs_to_convert").alias("max_secs"),
     )
+
+
+SEQ_TOPK = 15  # most common behavior trigrams reported
+
+
+@register(
+    "events_sequence_trigrams",
+    tags=("window", "behavior", "sequence-mining"),
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LEAD(event_type, 1) OVER w AS nxt1,
+         LEAD(event_type, 2) OVER w AS nxt2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grams AS (
+  SELECT event_type AS e1, nxt1 AS e2, nxt2 AS e3, COUNT(*) AS n
+  FROM ordered
+  WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT e1, e2, e3, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+  FROM grams
+) WHERE rk <= {SEQ_TOPK}
+""",
+)
+def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (lite): the {SEQ_TOPK} most frequent
+    3-step behavior sequences across users — LEAD-windowed trigram
+    extraction, one shuffle on user_id, then a 5³-bounded pattern
+    reduce. The Markov-transition twin (`events_markov_transitions`)
+    models pairs; trigrams expose the longer habits (view→click→
+    purchase vs view→view→view) funnels are built from."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    grams = ordered.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wr = Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    return (
+        grams.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= SEQ_TOPK)
+        .select("e1", "e2", "e3", "n", F.col("rk").cast("int").alias("rank"))
+    )
