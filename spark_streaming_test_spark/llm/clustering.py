@@ -335,3 +335,88 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= SEM_COS)
     )
+
+
+OUTLIER_Z = 3.0  # flag vectors beyond this many sigmas of cluster distance
+
+
+@register(
+    "emb_outlier_centroid_dist",
+    tags=("llm", "clustering", "outliers", "curation"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < {K}
+),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+scored AS (
+  SELECT corpus.vec_id, cent.cid,
+         round({_sql_dist2('x', 'c')}, {DIST_DP}) AS d2
+  FROM corpus CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id, cid, d2 FROM best WHERE rn = 1),
+stats AS (
+  SELECT cid,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(d2 AS DECIMAL(25,{DIST_DP}))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(round(d2 * d2, {DIST_DP + 2})
+                       AS DECIMAL(25,{DIST_DP + 2}))) AS DOUBLE) AS s2
+  FROM assigned GROUP BY cid
+)
+SELECT a.vec_id, a.cid AS cluster_id, a.d2,
+       (a.d2 - t.s / t.n)
+         / NULLIF(sqrt(t.s2 / t.n - (t.s / t.n) * (t.s / t.n)), 0.0) AS z
+FROM assigned a JOIN stats t ON a.cid = t.cid
+WHERE (a.d2 - t.s / t.n)
+        / NULLIF(sqrt(t.s2 / t.n - (t.s / t.n) * (t.s / t.n)), 0.0)
+      > {OUTLIER_Z}
+""",
+)
+def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining for curation: assign every vector
+    to its nearest seed centroid (the zero-shuffle ``_assign`` scan),
+    then flag vectors whose squared distance sits more than
+    {OUTLIER_Z} sigmas above their OWN cluster's mean — the
+    cluster-conditional distance filter SemDeDup-style pipelines use
+    to drop mislabeled/garbage embeddings without a global threshold
+    that popular clusters would dominate.
+
+    Distances are the 6-dp-quantized doubles the k-means family
+    already standardizes on, so the per-cluster moments are exact
+    decimal sums (the d2^2 re-quantization cannot tie: a 6-dp value's
+    square lands ≥ 1e-4 away from any half-way point at 8 dp by the
+    quadratic-residue argument). One K-row stats frame broadcasts
+    back; the filter is a projection."""
+    e = _embeddings(spark, sf_dir)
+    assigned = _assign(e, _seed_centroids(spark, sf_dir, K)).select(
+        "vec_id", "cid", "d2"
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("d2").alias("s"),
+        F.sum(
+            F.round(F.col("d2") * F.col("d2"), DIST_DP + 2).cast(
+                f"decimal(25,{DIST_DP + 2})"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    z = (F.col("d2") - s / n) / F.nullif(
+        F.sqrt(s2 / n - (s / n) * (s / n)), F.lit(0.0)
+    )
+    return (
+        assigned.join(F.broadcast(stats), "cid")
+        .filter(z > OUTLIER_Z)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            "d2",
+            z.alias("z"),
+        )
+    )

@@ -209,3 +209,88 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+BENFORD_P = {  # log10(1 + 1/d), inlined identically into both engines
+    '1': 0.3010299956639812,
+    '2': 0.17609125905568124,
+    '3': 0.12493873660829992,
+    '4': 0.09691001300805642,
+    '5': 0.07918124604762482,
+    '6': 0.06694678963061322,
+    '7': 0.05799194697768673,
+    '8': 0.05115252244738129,
+    '9': 0.04575749056067514,
+}
+BENFORD_DP = 8  # per-digit chi-square term quantization
+
+
+@register(
+    "dq_benford_digits",
+    tags=("quality", "statistics", "forensics"),
+    oracle=f"""
+WITH digits AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS d,
+         COUNT(*) AS o
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM digits),
+expected AS (
+  SELECT d, CAST(o AS DOUBLE) AS o, t.n,
+         CAST(CASE d WHEN '1' THEN 0.3010299956639812 WHEN '2' THEN 0.17609125905568124 WHEN '3' THEN 0.12493873660829992 WHEN '4' THEN 0.09691001300805642 WHEN '5' THEN 0.07918124604762482 WHEN '6' THEN 0.06694678963061322 WHEN '7' THEN 0.05799194697768673 WHEN '8' THEN 0.05115252244738129 WHEN '9' THEN 0.04575749056067514 END AS DOUBLE) AS p
+  FROM digits, tot t
+)
+SELECT d AS first_digit,
+       CAST(o AS BIGINT) AS observed,
+       o / n AS observed_share,
+       p AS benford_share,
+       round((o - n * p) * (o - n * p) / (n * p), {BENFORD_DP})
+         AS chi2_term
+FROM expected
+""",
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensics on order totals: observed first-digit
+    shares against log10(1 + 1/d), with per-digit chi-square terms —
+    the fraud/synthetic-data smell test auditors run on financial
+    columns (fabricated numbers rarely follow Benford).
+
+    The nine expected probabilities are Python-repr double literals
+    inlined into BOTH engines, so every term is an IEEE expression
+    over identical inputs; the 9-row result needs no decimal plumbing
+    beyond the final term rounding. One map-side-combined digit
+    reduce; everything after runs on nine rows."""
+    o = load(spark, sf_dir, "orders")
+    digits = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = digits.agg(F.sum("o").cast("double").alias("n"))
+    p = None
+    for dig, prob in BENFORD_P.items():
+        p = (
+            F.when(F.col("d") == dig, F.lit(prob))
+            if p is None
+            else p.when(F.col("d") == dig, F.lit(prob))
+        )
+    expected = digits.crossJoin(F.broadcast(tot)).select(
+        "d", F.col("o").cast("double").alias("o"), "n", p.alias("p")
+    )
+    on, nn, pp = F.col("o"), F.col("n"), F.col("p")
+    return expected.select(
+        F.col("d").alias("first_digit"),
+        on.cast("bigint").alias("observed"),
+        (on / nn).alias("observed_share"),
+        pp.alias("benford_share"),
+        F.round((on - nn * pp) * (on - nn * pp) / (nn * pp), BENFORD_DP).alias(
+            "chi2_term"
+        ),
+    )
