@@ -619,3 +619,100 @@ def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SEQ_TOPK)
         .select("e1", "e2", "e3", "n", F.col("rk").cast("int").alias("rank"))
     )
+
+
+@register(
+    "events_cohort_ltv",
+    tags=("aggregation", "cohort", "ltv"),
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(time_bucket(INTERVAL '1 week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size
+  FROM first_seen GROUP BY cohort_week
+),
+weekly AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('week', f.cohort_week,
+                        time_bucket(INTERVAL '1 week', e.ts)) AS INTEGER)
+           AS weeks_since,
+         CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+  FROM events e
+  JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_week, weeks_since, rev,
+         SUM(rev) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM weekly
+)
+SELECT c.cohort_week, c.weeks_since,
+       CAST(c.rev AS DOUBLE) AS week_revenue,
+       CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+       CAST(c.cum_rev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS ltv_per_user,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size
+FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    (first-seen-week cohort, weeks-since), normalized to LTV per
+    cohort member — the revenue twin of ``events_retention_cohorts``
+    and the curve payback models are fit on.
+
+    Revenue accumulates in exact decimal end-to-end (weekly sums AND
+    the cumulative window), so the curve is bitwise reproducible; the
+    user→cohort map is one row per user and broadcasts onto the
+    purchase stream; cohort sizes join on the tiny cohort frame."""
+    e = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    weekly = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(week)
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                )
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weekly.withColumn("cum_rev", F.sum("rev").over(wcum))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        F.col("rev").cast("double").alias("week_revenue"),
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        (
+            F.col("cum_rev").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("ltv_per_user"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+    )
