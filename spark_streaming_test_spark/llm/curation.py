@@ -20,6 +20,8 @@ inline).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -146,4 +148,48 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "curriculum_rank",
         (F.col("pos") - 1) * CUR_BUCKETS + F.col("bucket"),
+    )
+
+
+@register(
+    "text_compress_ratio",
+    tags=("llm", "text", "quality", "udf"),
+    doc="zlib compression ratio per document — rows-only per the "
+    "driver contract (DuckDB has no zlib); behavior pytest-held.",
+)
+def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: ``len(zlib(text)) / len(text)``
+    per document — highly repetitive/templated text compresses far
+    below natural prose, making this one of the cheapest
+    model-free garbage detectors (the Gopher pipeline's repetition
+    filters approximate exactly this quantity).
+
+    The one legitimately-Python operator family: zlib is not a
+    Catalyst expression, so this runs as an Arrow-batched pandas UDF
+    (never row-at-a-time) — a map-only scan with zero shuffles, the
+    shape where the UDF tax is purely per-core CPU. zlib level is
+    pinned so output lengths are deterministic across runs and
+    platforms (fixed DEFLATE implementation in CPython's bundled
+    zlib)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def compress_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t: str) -> float:
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(ratio)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.round(compress_ratio(F.col("text")), 6).alias("compress_ratio"),
+    ).withColumn(
+        "is_repetitive", F.col("compress_ratio") < 0.35
     )

@@ -148,7 +148,7 @@ _DRIVER_WINDOW = [
     "text_langid_confusion", "events_sequence_trigrams",
     "emb_outlier_centroid_dist", "dq_benford_digits", "events_cohort_ltv",
     # rows-only (no oracle) — deliberately after the oracle-backed block
-    "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
+    "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
 ]
 

@@ -483,3 +483,44 @@ def test_pca_power_recovers_planted_component(spark, tmp_path):
     # WQ-truncated norm slightly underestimates ||w||, so v lands a
     # hair over unit — bounded by the quantizer's relative error.
     assert 0.99 < np.linalg.norm(v) <= 1.0 + 1e-4
+
+
+def test_compress_ratio_separates_repetitive_text(spark, tmp_path):
+    """Repetitive text must score well below natural-ish text, and the
+    metric must be deterministic across runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_test_spark.registry import all_queries
+
+    texts = [
+        "spam " * 200,                                  # pure repetition
+        "the quick brown fox jumps over the lazy dog while "
+        "pack my box with five dozen liquor jugs and a sphinx "
+        "of black quartz judges my vow under seventeen bright "
+        "unrelated winter lanterns near the quiet harbor today",  # varied
+        "abcdefghijklmnopqrstuvwxyz0123456789 " * 25,   # mid
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    fn = all_queries()["text_compress_ratio"].fn
+    rows = {r["doc_id"]: r for r in fn(spark, str(tmp_path)).collect()}
+    assert rows[0]["compress_ratio"] < rows[2]["compress_ratio"]
+    assert rows[2]["compress_ratio"] < rows[1]["compress_ratio"]
+    assert rows[0]["is_repetitive"] and not rows[1]["is_repetitive"]
+    again = {r["doc_id"]: r for r in fn(spark, str(tmp_path)).collect()}
+    assert all(
+        rows[k]["compress_ratio"] == again[k]["compress_ratio"] for k in rows
+    )
