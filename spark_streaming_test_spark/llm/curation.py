@@ -193,3 +193,100 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "is_repetitive", F.col("compress_ratio") < 0.35
     )
+
+
+DOM_MIN_DOCS = 10  # sources smaller than this get 'review', not a verdict
+DOM_Q_BLOCK = 0.45  # mean quality below this blocks the source
+
+
+@register(
+    "corpus_domain_quality_rollup",
+    tags=("llm", "curation", "quality", "rollup"),
+    oracle=f"""
+WITH feats AS (
+  SELECT source, n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_token_len
+  FROM documents
+),
+rolled AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+         CAST(SUM(CAST(round(avg_token_len, 6) AS DECIMAL(18,6)))
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_avg_token_len,
+         CAST(SUM(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS share_long_docs
+  FROM feats GROUP BY source
+)
+SELECT source, n_docs, total_chars, mean_tokens, mean_avg_token_len,
+       share_long_docs,
+       CASE WHEN n_docs < {DOM_MIN_DOCS} THEN 'review'
+            WHEN share_long_docs < {DOM_Q_BLOCK} THEN 'block'
+            ELSE 'keep' END AS verdict
+FROM rolled
+""",
+)
+def corpus_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain-level curation verdicts: per-source document
+    volume, mean length statistics, and the share of substantive
+    (>= 20-token) documents, mapped to keep / block / review — the
+    step that turns per-document quality signals into the DOMAIN
+    blocklist web-scale pipelines actually apply (filtering by source
+    is 1000x cheaper than re-scoring every page of a bad domain).
+
+    Per-source reduce with map-side combine — the corpus never
+    shuffles, only per-source partials; the fractional feature
+    (avg token length) is 6-dp-quantized before its exact decimal sum
+    so the mean is bitwise stable."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("double")
+    avg_tok = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    feats = d.select(
+        "source",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+    )
+    rolled = feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.sum(F.col("n_tokens").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tokens"),
+        (
+            F.sum(
+                F.round("avg_token_len", 6).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_avg_token_len"),
+        (
+            F.sum(
+                F.when(F.col("n_tokens") >= 20, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("share_long_docs"),
+    )
+    verdict = (
+        F.when(F.col("n_docs") < DOM_MIN_DOCS, "review")
+        .when(F.col("share_long_docs") < DOM_Q_BLOCK, "block")
+        .otherwise("keep")
+    )
+    return rolled.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "mean_tokens",
+        "mean_avg_token_len",
+        "share_long_docs",
+        verdict.alias("verdict"),
+    )
