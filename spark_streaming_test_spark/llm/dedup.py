@@ -572,3 +572,76 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.contained_doc", "e.container_doc", "e.containment")
     return directed.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+
+
+@register(
+    "text_ngram_novelty",
+    tags=("llm", "dedup", "curation", "novelty"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])
+         )) AS shingles
+  FROM documents
+),
+postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM postings GROUP BY shingle
+),
+flags AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM postings p JOIN firsts f ON p.shingle = f.shingle
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_shingles AS BIGINT) AS novelty
+FROM flags
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: the share of a doc's distinct
+    word 3-grams that NO earlier document (lower doc_id = earlier
+    ingest) already contains. A corpus whose novelty curve collapses
+    is re-crawling itself — this is the dedup-pressure / memorization-
+    risk dial curation teams actually watch, and the attribution is
+    first-occurrence (each shingle credits exactly one doc).
+
+    Same inverted shingle index as ``dedup_ngram_jaccard``, but the
+    self-join is replaced by a shingle-grain MIN reduce (map-side
+    combined, shuffle ~ postings) and a join back — no pairwise stage
+    at all, so it scales strictly better than the pair operators."""
+    d = spread(load(spark, sf_dir, "documents"))
+    postings = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    firsts = postings.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    flags = (
+        postings.join(firsts.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )
