@@ -729,3 +729,108 @@ def ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n"),
         (F.sum("term").cast("double") > CHI2_CRIT_DOF4).alias("significant"),
     )
+
+
+KS_ALPHA_C = 1.358  # critical coefficient at alpha = 0.05
+
+
+@register(
+    "ab_test_ks",
+    tags=("aggregate", "statistics", "experiment"),
+    oracle=f"""
+WITH vals AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         value
+  FROM events WHERE event_type = 'purchase'
+),
+per_value AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM vals GROUP BY value
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
+  FROM per_value
+),
+steps AS (
+  SELECT CAST(SUM(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_b
+  FROM per_value
+)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       MAX(abs(s.cum_a / t.na - s.cum_b / t.nb)) AS ks_d,
+       CAST({KS_ALPHA_C} AS DOUBLE)
+         * sqrt((t.na + t.nb) / (t.na * t.nb)) AS ks_crit,
+       MAX(abs(s.cum_a / t.na - s.cum_b / t.nb))
+         > CAST({KS_ALPHA_C} AS DOUBLE)
+           * sqrt((t.na + t.nb) / (t.na * t.nb)) AS reject_same_dist
+FROM steps s CROSS JOIN tot t
+GROUP BY t.na, t.nb
+""",
+)
+def ab_test_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test on purchase values between
+    the hash-split variants: D = sup |F_A - F_B| over the pooled value
+    grid, against the alpha=0.05 critical line — the
+    whole-distribution readout that catches shape changes the mean
+    tests (z, t) miss entirely.
+
+    The ECDFs are cumulative integer counts over per-value partials
+    (the cumulative window runs on the value DOMAIN, not the corpus —
+    for continuous data, quantize to a grid first, as
+    ``agg_histogram`` does); D is a max over exact count ratios.
+    Everything after the user-grain reduce runs on the domain frame."""
+    e = load(spark, sf_dir, "events")
+    vals = e.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "value",
+    )
+    per_value = vals.groupBy("value").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = per_value.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = per_value.select(
+        F.sum("ca").over(wcum).cast("double").alias("cum_a"),
+        F.sum("cb").over(wcum).cast("double").alias("cum_b"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    crit = F.lit(KS_ALPHA_C) * F.sqrt((na + nb) / (na * nb))
+    d = F.max(F.abs(F.col("cum_a") / na - F.col("cum_b") / nb))
+    return (
+        steps.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            d.alias("ks_d"),
+            F.first(crit).alias("ks_crit"),
+            (d > F.first(crit)).alias("reject_same_dist"),
+        )
+        .select(
+            na.cast("bigint").alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            "ks_d",
+            "ks_crit",
+            "reject_same_dist",
+        )
+    )

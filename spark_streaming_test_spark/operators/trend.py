@@ -620,3 +620,95 @@ def window_donchian_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hv") > F.col("upper_band")).alias("breakout_up"),
         (F.col("hv") < F.col("lower_band")).alias("breakout_down"),
     )
+
+
+@register(
+    "ts_mann_kendall",
+    tags=("timeseries", "statistics", "trend-test"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.hv > a.hv THEN 1
+              WHEN b.hv < a.hv THEN -1 ELSE 0 END AS sgn
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h < b.h
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(sgn) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY event_type
+),
+sized AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM hourly GROUP BY event_type
+)
+SELECT t.event_type, t.s AS mk_s, t.n_pairs,
+       CAST(t.s AS DOUBLE) / CAST(t.n_pairs AS DOUBLE) AS kendall_tau,
+       (CASE WHEN t.s > 0 THEN CAST(t.s AS DOUBLE) - 1.0
+             WHEN t.s < 0 THEN CAST(t.s AS DOUBLE) + 1.0
+             ELSE 0.0 END)
+         / NULLIF(sqrt(z.n * (z.n - 1.0) * (2.0 * z.n + 5.0) / 18.0), 0.0)
+         AS mk_z,
+       abs((CASE WHEN t.s > 0 THEN CAST(t.s AS DOUBLE) - 1.0
+                 WHEN t.s < 0 THEN CAST(t.s AS DOUBLE) + 1.0
+                 ELSE 0.0 END)
+         / NULLIF(sqrt(z.n * (z.n - 1.0) * (2.0 * z.n + 5.0) / 18.0), 0.0))
+         > 1.96 AS has_trend
+FROM stats t JOIN sized z ON t.event_type = z.event_type
+""",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per series: the rank statistic
+    S = sum of sign(x_j - x_i) over ordered hour pairs, Kendall's tau,
+    and the continuity-corrected normal z (no-ties variance — exact
+    decimals make value ties measure-zero-rare and the test is
+    insensitive to the correction). Nonparametric: immune to the
+    outliers that bias the OLS slope in ``agg_linreg_by_group``.
+
+    PAIRWISE within a series — O(hours²) per key, fine for bounded
+    series (720 hours here); the production form for years-long series
+    is the documented seasonal/blocked variant (per-month S summed),
+    which caps the quadratic term. Sign counting is pure integer
+    arithmetic; only the final z divides as doubles."""
+    hourly = _hourly_sum(spark, sf_dir)
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") < F.col("b.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.hv") > F.col("a.hv"), 1)
+        .when(F.col("b.hv") < F.col("a.hv"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    stats = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    sized = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    j = stats.join(F.broadcast(sized), "event_type")
+    s_dbl = F.col("s").cast("double")
+    s_corr = (
+        F.when(F.col("s") > 0, s_dbl - 1.0)
+        .when(F.col("s") < 0, s_dbl + 1.0)
+        .otherwise(F.lit(0.0))
+    )
+    n = F.col("n")
+    mk_z = s_corr / F.nullif(
+        F.sqrt(n * (n - 1.0) * (2.0 * n + 5.0) / 18.0), F.lit(0.0)
+    )
+    return j.select(
+        "event_type",
+        F.col("s").alias("mk_s"),
+        "n_pairs",
+        (s_dbl / F.col("n_pairs").cast("double")).alias("kendall_tau"),
+        mk_z.alias("mk_z"),
+        (F.abs(mk_z) > 1.96).alias("has_trend"),
+    )
