@@ -712,3 +712,72 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         mk_z.alias("mk_z"),
         (F.abs(mk_z) > 1.96).alias("has_trend"),
     )
+
+
+@register(
+    "events_inter_arrival",
+    tags=("timeseries", "statistics", "burstiness"),
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(gap_s) AS DOUBLE) AS n,
+         CAST(SUM(gap_s) AS DOUBLE) AS s,
+         CAST(SUM(gap_s * gap_s) AS DOUBLE) AS s2,
+         CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+  FROM gaps GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       s / n AS mean_gap_s,
+       sqrt(s2 / n - (s / n) * (s / n)) / NULLIF(s / n, 0.0) AS cv,
+       (sqrt(s2 / n - (s / n) * (s / n)) - s / n)
+         / NULLIF(sqrt(s2 / n - (s / n) * (s / n)) + s / n, 0.0)
+         AS burstiness,
+       max_gap_s
+FROM m
+""",
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival statistics per stream: mean gap, coefficient of
+    variation, and the Goh–Barabási burstiness index
+    ``(sigma - mu) / (sigma + mu)`` (−1 = metronome, 0 = Poisson,
+    → 1 = heavy bursts) — how a telemetry platform distinguishes
+    steady load from bursty load BEFORE picking window sizes and
+    watermarks for it (a bursty stream needs longer watermark slack;
+    see the streaming module's lateness tests).
+
+    Gaps are exact integer seconds from a lag window; moments are
+    integer sums (< 2^53 — no decimal plumbing needed); one
+    user-invisible sort per series rides the single exchange."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count("gap_s").cast("double").alias("n"),
+        F.sum("gap_s").cast("double").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("double").alias("s2"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    mu = s / n
+    sigma = F.sqrt(s2 / n - mu * mu)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_gaps"),
+        mu.alias("mean_gap_s"),
+        (sigma / F.nullif(mu, F.lit(0.0))).alias("cv"),
+        ((sigma - mu) / F.nullif(sigma + mu, F.lit(0.0))).alias("burstiness"),
+        "max_gap_s",
+    )
