@@ -381,3 +381,58 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         )
     )
+
+
+@register(
+    "scan_dynamic_partition_overwrite",
+    tags=("source", "parquet", "partitioned", "write"),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rewritten
+FROM (
+  SELECT event_type, -value AS value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_type, value FROM events WHERE event_type <> 'click'
+)
+GROUP BY event_type
+""",
+)
+def scan_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite semantics: land the events table
+    Hive-partitioned by event_type, then overwrite ONLY the 'click'
+    partition (rows negated as a visible marker) in
+    ``partitionOverwriteMode=dynamic`` — untouched partitions must
+    survive byte-for-byte. The read-back per-partition counts prove
+    isolation: exactly the click rows are rewritten.
+
+    This is THE lakehouse backfill primitive: at 100 TB you re-land
+    one bad day/source without rewriting (or even listing) the other
+    partitions, and without the eventual-consistency hazards of
+    delete-then-write. Static overwrite mode here would silently drop
+    every other partition — the failure this query pins against."""
+    path = os.path.join(SCRATCH, "events_dynpart")
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            e.filter(F.col("event_type") == "click")
+            .select("event_type", (-F.col("value")).alias("value"))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rewritten"),
+    )
