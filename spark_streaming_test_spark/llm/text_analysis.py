@@ -853,3 +853,104 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_correct"
         ),
     )
+
+
+ZIPF_DP = 9  # log-term quantization before the exact moment sums
+
+
+@register(
+    "text_zipf_fit",
+    tags=("llm", "text", "statistics", "corpus"),
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents
+),
+freqs AS (
+  SELECT token, COUNT(*) AS freq FROM tok WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk
+  FROM freqs
+),
+pts AS (
+  SELECT round(ln(CAST(rnk AS DOUBLE)), {ZIPF_DP}) AS x,
+         round(ln(CAST(freq AS DOUBLE)), {ZIPF_DP}) AS y
+  FROM ranked
+),
+-- products are computed in DOUBLE and quantized ONCE: a
+-- DECIMAL(20,9) * DECIMAL(20,9) product carries scale 18, whose
+-- scaled sum exceeds 2^53 and casts to double a last-ulp apart
+-- between engines (measured in r2 here).
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(20,{ZIPF_DP}))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(20,{ZIPF_DP}))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, {ZIPF_DP + 1}) AS DECIMAL(25,{ZIPF_DP + 1}))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, {ZIPF_DP + 1}) AS DECIMAL(25,{ZIPF_DP + 1}))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(y * y, {ZIPF_DP + 1}) AS DECIMAL(25,{ZIPF_DP + 1}))) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         AS zipf_intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) over the full vocabulary — natural language
+    sits near slope −1 with high r², while templated/synthetic corpora
+    flatten or kink. A one-row corpus-health dial (alongside
+    ``text_char_entropy``'s per-doc one) that also sanity-checks any
+    tokenizer change: if the slope jumps, the tokenizer broke.
+
+    ln only ever sees positive integers (ranks, counts); terms are
+    quantized and summed as exact decimals (order-free) and the fit is
+    the same closed-form normal-equation expression as
+    ``agg_linreg_by_group``. Vocabulary-sized everything after the one
+    word-count shuffle; the rank window runs on the vocab frame."""
+    d = spread(load(spark, sf_dir, "documents"))
+    freqs = (
+        d.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wr = Window.orderBy(F.col("freq").desc(), "token")
+    ranked = freqs.withColumn("rnk", F.row_number().over(wr))
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), ZIPF_DP).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), ZIPF_DP).alias("y"),
+    )
+    dec1 = f"decimal(20,{ZIPF_DP})"
+    dec2 = f"decimal(25,{ZIPF_DP + 1})"
+
+    def q2(c):
+        return F.sum(F.round(c, ZIPF_DP + 1).cast(dec2)).cast("double")
+
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec1)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec1)).cast("double").alias("sy"),
+        q2(F.col("x") * F.col("y")).alias("sxy"),
+        q2(F.col("x") * F.col("x")).alias("sxx"),
+        q2(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    slope = cov_n / var_x
+    return m.select(
+        n.cast("bigint").alias("vocab_size"),
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / n).alias("zipf_intercept"),
+        ((cov_n * cov_n) / (var_x * (n * syy - sy * sy))).alias("r2"),
+    )
