@@ -1089,3 +1089,55 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path, api):
     for k in seq:
         prefix_n, prefix_val = sorted(per_key[k])[1]
         assert prefix_val == fold(seq[k][:prefix_n])
+
+
+def test_streaming_ewma_state_survives_restart(spark, tmp_path):
+    """The EWMA fold seed must come back from the checkpoint after a
+    stop/start: the post-restart smoothed value has to equal the fold
+    over the FULL sequence, not a fresh fold over the second batch."""
+    import glob as _glob
+
+    from spark_streaming_test_spark.streaming.pipeline import ewma_stream
+
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def start_query():
+        packets = packet_stream_from_dir(spark, src)
+        values = packets.select(
+            "nif", F.col("bytes").alias("total_bytes"), "ts"
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        return (
+            ewma_stream(values)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    _write_packet_batch(
+        spark, src, [("A", 100.0, _ts(0)), ("A", 50.0, _ts(1))], 0
+    )
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_packet_batch(spark, src, [("A", 75.0, _ts(5))], 1)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _glob.glob(f"{out}/*.parquet")
+    rows = sorted(
+        (r["n"], r["ewma"]) for r in spark.read.parquet(out).collect()
+    )
+    # batch 0: fold(100, 50) = 75.0; batch 1 resumes from state:
+    # (75 + 75) / 2 = 75.0 with n=3 — a fresh fold would report n=1.
+    assert rows == [(2, 75.0), (3, 75.0)], rows
