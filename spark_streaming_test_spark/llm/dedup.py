@@ -23,7 +23,7 @@ identical candidates; nothing depends on partitioning or RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
@@ -644,4 +644,46 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double")
             / F.col("n_shingles").cast("double")
         ).alias("novelty"),
+    )
+
+
+@register(
+    "dedup_soft_weights",
+    tags=("llm", "dedup", "sampling", "weights"),
+    oracle="""
+WITH groups AS (
+  SELECT doc_id, sha256(text) AS h,
+         COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       1.0 / CAST(n_copies AS DOUBLE) AS sample_weight,
+       (n_copies > 1) AS is_duplicated
+FROM groups
+""",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates
+    (``dedup_exact``), every copy stays in the corpus weighted
+    ``1/n_copies`` — the expected token distribution matches the
+    deduplicated corpus while preserving shard locality and avoiding
+    a destructive filter (the SoftDeDup recipe; weights feed the
+    sampler, e.g. ``sample_weighted_reservoir``).
+
+    One window over the content-hash partitioning — the shuffle moves
+    32-byte hashes plus ids, never bodies, exactly like the hard-dedup
+    twin; the weight is one exact integer division per row."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    return d.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+    ).select(
+        "doc_id",
+        "n_copies",
+        (F.lit(1.0) / F.col("n_copies").cast("double")).alias(
+            "sample_weight"
+        ),
+        (F.col("n_copies") > 1).alias("is_duplicated"),
     )

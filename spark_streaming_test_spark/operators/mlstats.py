@@ -834,3 +834,85 @@ def ab_test_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_same_dist",
         )
     )
+
+
+@register(
+    "agg_spearman_corr",
+    tags=("aggregate", "statistics", "correlation"),
+    oracle="""
+WITH spend AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS total_spend
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal
+),
+ranked AS (
+  SELECT c_nationkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal, c_custkey) AS DOUBLE)
+           AS rx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY total_spend, c_custkey) AS DOUBLE)
+           AS ry
+  FROM spend
+),
+m AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(rx * ry AS BIGINT)) AS DOUBLE) AS sxy
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT c_nationkey AS nationkey, CAST(n AS BIGINT) AS n_customers,
+       (12.0 * sxy - 3.0 * n * (n + 1.0) * (n + 1.0))
+         / NULLIF(n * (n * n - 1.0), 0.0) AS spearman_rho
+FROM m WHERE n >= 3
+""",
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between account balance and realized
+    spend per nation — does the static balance field actually track
+    customer value? Rank-based, so outliers and nonlinearity (which
+    wreck ``agg_corr_manual``'s Pearson) don't distort it.
+
+    With tie-broken integer ranks both marginals are exact
+    permutations of 1..n, so the closed form collapses to
+    ``rho = (12*sum(rx*ry) - 3n(n+1)^2) / (n(n^2-1))`` — INTEGER
+    arithmetic up to one final division (rank products < 2^53 for any
+    realistic group). Two rank windows share the nation partitioning;
+    one fact-dim join feeds them."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_spend")
+        )
+    )
+    wx = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wy = Window.partitionBy("c_nationkey").orderBy(
+        "total_spend", "c_custkey"
+    )
+    ranked = spend.select(
+        "c_nationkey",
+        F.row_number().over(wx).cast("double").alias("rx"),
+        F.row_number().over(wy).cast("double").alias("ry"),
+    )
+    m = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("rx") * F.col("ry")).cast("bigint"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sxy = F.col("n"), F.col("sxy")
+    rho = (12.0 * sxy - 3.0 * n * (n + 1.0) * (n + 1.0)) / F.nullif(
+        n * (n * n - 1.0), F.lit(0.0)
+    )
+    return m.filter(n >= 3).select(
+        F.col("c_nationkey").alias("nationkey"),
+        n.cast("bigint").alias("n_customers"),
+        rho.alias("spearman_rho"),
+    )
