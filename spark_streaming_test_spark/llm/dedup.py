@@ -687,3 +687,63 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_copies") > 1).alias("is_duplicated"),
     )
+
+
+PREFIX_LEN = 80  # leading characters compared for truncation artifacts
+
+
+@register(
+    "dedup_prefix_hash",
+    tags=("llm", "dedup", "crawl-artifacts"),
+    oracle=f"""
+WITH pfx AS (
+  SELECT doc_id, n_chars,
+         sha256(substr(text, 1, {PREFIX_LEN})) AS ph
+  FROM documents
+),
+grouped AS (
+  SELECT ph, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS keep_doc_id,
+         CAST(MAX(n_chars) AS BIGINT) AS longest_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS shortest_chars
+  FROM pfx GROUP BY ph
+)
+SELECT ph AS prefix_hash, n_docs, keep_doc_id,
+       longest_chars, shortest_chars,
+       (longest_chars > shortest_chars) AS has_truncation_suspect
+FROM grouped WHERE n_docs > 1
+""",
+)
+def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups: documents with identical leading
+    {PREFIX_LEN} characters but (possibly) different tails — the crawl
+    truncation / pagination artifact ``dedup_exact`` misses, because a
+    cut-off copy hashes differently in full. Groups whose member
+    lengths differ are flagged as truncation suspects; the canonical
+    keeper is MIN doc_id, with the length spread reported so a
+    downstream resolve step can prefer the longest copy instead.
+
+    Same shuffle discipline as exact dedup: group on the 32-byte
+    prefix hash, never the bodies."""
+    d = load(spark, sf_dir, "documents")
+    pfx = d.select(
+        "doc_id",
+        "n_chars",
+        F.sha2(F.substring("text", 1, PREFIX_LEN), 256).alias("ph"),
+    )
+    grouped = pfx.groupBy("ph").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+        F.max("n_chars").cast("bigint").alias("longest_chars"),
+        F.min("n_chars").cast("bigint").alias("shortest_chars"),
+    )
+    return grouped.filter(F.col("n_docs") > 1).select(
+        F.col("ph").alias("prefix_hash"),
+        "n_docs",
+        "keep_doc_id",
+        "longest_chars",
+        "shortest_chars",
+        (F.col("longest_chars") > F.col("shortest_chars")).alias(
+            "has_truncation_suspect"
+        ),
+    )

@@ -916,3 +916,95 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_customers"),
         rho.alias("spearman_rho"),
     )
+
+
+PARETO_DECILES = 10
+
+
+@register(
+    "agg_concentration_curve",
+    tags=("aggregate", "statistics", "concentration"),
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x,
+         ROW_NUMBER() OVER (ORDER BY x DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM spend
+),
+cum AS (
+  SELECT rn, n,
+         SUM(x) OVER (ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_x,
+         SUM(x) OVER () AS tot
+  FROM ranked
+)
+SELECT CAST(decile AS INTEGER) AS top_pct_decile,
+       CAST(MAX(rn) AS BIGINT) AS n_customers,
+       CAST(MAX(cum_x) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+         AS revenue_share
+FROM (
+  SELECT *, CAST(ceil({PARETO_DECILES}.0 * rn / n) AS BIGINT) AS decile
+  FROM cum
+)
+GROUP BY decile
+""",
+)
+def agg_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/Lorenz) curve: customers sorted by
+    spend descending, cumulative revenue share at each top-N% decile —
+    the "do 20% of customers drive 80% of revenue?" readout that
+    complements the scalar ``agg_gini_hhi`` with the actual curve.
+
+    Exact decimal spend all the way through BOTH cumulative sums; the
+    decile share is one integer-ratio division per output row. The
+    global rank window runs on the customer-grain frame (already
+    reduced); the production swap for extreme cardinality is the same
+    quantile pre-bucketing documented on ``corpus_curriculum_order``."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    wr = Window.orderBy(F.col("x").desc(), "o_custkey")
+    wn = Window.partitionBy()
+    ranked = spend.select(
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    wcum = Window.orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ranked.select(
+        "rn",
+        "n",
+        F.sum("x").over(wcum).alias("cum_x"),
+        F.sum("x").over(wn).alias("tot"),
+    )
+    decile = F.ceil(
+        F.lit(float(PARETO_DECILES)) * F.col("rn") / F.col("n")
+    ).cast("bigint")
+    return (
+        cum.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_customers"),
+            (
+                F.max("cum_x").cast("double")
+                / F.max("tot").cast("double")
+            ).alias("revenue_share"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("top_pct_decile"),
+            "n_customers",
+            "revenue_share",
+        )
+    )

@@ -149,6 +149,7 @@ _DRIVER_WINDOW = [
     "emb_outlier_centroid_dist", "dq_benford_digits", "events_cohort_ltv",
     "corpus_domain_quality_rollup", "text_ngram_novelty", "ts_mann_kendall", "ab_test_ks", "events_inter_arrival", "scan_dynamic_partition_overwrite", "text_zipf_fit",
     "agg_spearman_corr", "dedup_soft_weights",
+    "agg_concentration_curve", "dedup_prefix_hash",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
