@@ -1,0 +1,290 @@
+"""Model-evaluation metrics computed in-engine: AUC, calibration,
+log-loss/Brier, precision-recall sweeps.
+
+A training-data pipeline does not stop at producing examples — the same
+engine scores candidate filters and ranking models offline, over the
+full corpus, before anything ships. These operators compute the
+standard classifier diagnostics as ONE aggregation pipeline each, so a
+1000-executor cluster can grade a model on 100 TB of scored events
+without sampling. The running example derives a binary label
+(``event_type = 'purchase'``) and a monotone score (``value`` /
+its logistic squash) from the events table; in production the label
+and score are just columns of the scored dataset.
+
+The reference engine stops at per-key sums (``MainApp.java:40-44``);
+this family generalizes the same shuffle shape (group → partials →
+small frame) to rank statistics and proper scoring rules.
+
+Determinism: AUC is exact INTEGER rank arithmetic until one final
+division. Probabilities and per-row losses route transcendentals
+(exp/ln) through ``round(_, 8)`` — libm builds may differ in the last
+ulp — then aggregate as DECIMAL(25,8) (order-invariant, bitwise equal
+across engines); see ``functions/deterministic`` for the rule.
+
+Scale: every metric reduces to sufficient statistics with map-side
+partial aggregation. AUC shuffles O(days × distinct scores) count
+pairs (never rows); the cumulative window rides the same partitioning.
+Calibration/loss shuffle O(groups) decimal partials. The threshold
+sweep broadcasts a 9-row threshold frame — no per-threshold rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+_DP = 8  # transcendental rounding, matches LOGPROB_DP in text_analysis
+_DEC8 = f"decimal(25,{_DP})"
+
+# Logistic squash of the raw event value into a pseudo-probability.
+# Centered/scaled so the sf0.01 value range (0..490) maps well inside
+# (0, 1) with mass on both sides of 0.5.
+_P_SQL = f"round(1.0 / (1.0 + exp(-(value - 150.0) / 75.0)), {_DP})"
+_Y_SQL = "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (day, y ∈ {0,1}, score, p ∈ (0,1) at 8 dp)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        F.to_date("ts").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.col("value").alias("score"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 150.0) / 75.0)),
+            _DP,
+        ).alias("p"),
+    )
+
+
+@register(
+    "mlstats_auc_roc",
+    tags=("mlstats", "evaluation", "rank"),
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(ts AS DATE) AS day, {_Y_SQL} AS y, value AS score FROM events
+),
+by_score AS (
+  SELECT day, score,
+         SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM scored GROUP BY day, score
+),
+cum AS (
+  SELECT day, pos, neg,
+         SUM(neg) OVER (PARTITION BY day ORDER BY score
+                        ROWS UNBOUNDED PRECEDING) - neg AS neg_below
+  FROM by_score
+)
+SELECT day,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+         / (2.0 * SUM(pos) * SUM(neg)) AS auc
+FROM cum GROUP BY day
+""",
+)
+def mlstats_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per day via the Mann-Whitney U statistic with the
+    standard tie correction (each tied pos/neg pair contributes 1/2).
+
+    The textbook trapezoid-over-sorted-scores needs a global sort of
+    every scored row; this form needs only the per-(day, score) POSITIVE
+    and NEGATIVE COUNTS — U = Σ_s pos_s · (neg_below_s + neg_s / 2) —
+    so the shuffle carries one count pair per distinct score, and the
+    cumulative window runs over that already-small frame on the same
+    day-partitioning. Doubling U keeps the arithmetic in exact int64
+    until the single final division (deterministic cross-engine)."""
+    s = _scored(spark, sf_dir)
+    by_score = s.groupBy("day", "score").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    w = Window.partitionBy("day").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = by_score.withColumn(
+        "neg_below", F.sum("neg").over(w) - F.col("neg")
+    )
+    return cum.groupBy("day").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        (
+            F.sum(
+                F.col("pos") * (F.lit(2) * F.col("neg_below") + F.col("neg"))
+            ).cast("double")
+            / (F.lit(2.0) * F.sum("pos") * F.sum("neg"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "mlstats_calibration_bins",
+    tags=("mlstats", "evaluation", "calibration"),
+    oracle=f"""
+WITH scored AS (
+  SELECT {_Y_SQL} AS y, {_P_SQL} AS p FROM events
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bin, y, p FROM scored
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(25,{_DP}))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_pred,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+       (CAST(SUM(CAST(p AS DECIMAL(25,{_DP}))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE))
+         - (CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS gap
+FROM binned GROUP BY bin
+""",
+)
+def mlstats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: decile-bin the predicted probability and
+    compare mean prediction vs observed positive rate per bin (the gap
+    column is the per-bin calibration error; its weighted sum is ECE).
+
+    One hash shuffle on a 10-value key with map-side combine — the
+    partials are (count, decimal Σp, Σy) triples, so the exchange is
+    O(bins), corpus-size-independent. Mean predictions aggregate the
+    8-dp-rounded probability as DECIMAL(25,8): partition-order
+    invariant, bitwise equal to the oracle."""
+    s = _scored(spark, sf_dir)
+    binned = s.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "y",
+        "p",
+    )
+    n = F.count(F.lit(1))
+    mean_pred = F.sum(F.col("p").cast(_DEC8)).cast("double") / n.cast("double")
+    frac_pos = F.sum("y").cast("double") / n.cast("double")
+    return binned.groupBy("bin").agg(
+        n.cast("bigint").alias("n"),
+        mean_pred.alias("mean_pred"),
+        frac_pos.alias("frac_pos"),
+        (mean_pred - frac_pos).alias("gap"),
+    )
+
+
+@register(
+    "mlstats_logloss_brier",
+    tags=("mlstats", "evaluation", "scoring-rule"),
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(ts AS DATE) AS day, {_Y_SQL} AS y, {_P_SQL} AS p FROM events
+),
+rowloss AS (
+  SELECT day,
+         round(-(y * ln(p) + (1 - y) * ln(1.0 - p)), {_DP}) AS ll,
+         round((p - y) * (p - y), {_DP}) AS br
+  FROM scored
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ll AS DECIMAL(25,{_DP}))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS logloss,
+       CAST(SUM(CAST(br AS DECIMAL(25,{_DP}))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS brier
+FROM rowloss GROUP BY day
+""",
+)
+def mlstats_logloss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper scoring rules per day: mean negative log-likelihood
+    (log-loss / cross-entropy) and mean squared error on probabilities
+    (Brier score) — the two standard "is the model's confidence worth
+    anything" numbers, computed exactly over every scored row.
+
+    The logistic squash keeps p strictly inside (0,1) so ln never sees
+    0; per-row losses are rounded at 8 dp (ln is libm-dependent in the
+    last ulp) then decimal-summed — ONE map-side-combined shuffle
+    carrying O(days) partials."""
+    s = _scored(spark, sf_dir)
+    p, y = F.col("p"), F.col("y")
+    rowloss = s.select(
+        "day",
+        F.round(
+            -(y * F.log(p) + (F.lit(1) - y) * F.log(F.lit(1.0) - p)), _DP
+        ).alias("ll"),
+        F.round((p - y) * (p - y), _DP).alias("br"),
+    )
+    n = F.count(F.lit(1))
+    return rowloss.groupBy("day").agg(
+        n.cast("bigint").alias("n"),
+        (F.sum(F.col("ll").cast(_DEC8)).cast("double") / n.cast("double")).alias(
+            "logloss"
+        ),
+        (F.sum(F.col("br").cast(_DEC8)).cast("double") / n.cast("double")).alias(
+            "brier"
+        ),
+    )
+
+
+@register(
+    "mlstats_threshold_sweep",
+    tags=("mlstats", "evaluation", "precision-recall"),
+    oracle=f"""
+WITH scored AS (
+  SELECT {_Y_SQL} AS y, {_P_SQL} AS p FROM events
+),
+thresholds AS (
+  SELECT CAST(i AS DOUBLE) / 10.0 AS thr FROM range(1, 10) AS t(i)
+),
+conf AS (
+  SELECT thr,
+         SUM(CASE WHEN p >= thr AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN p >= thr AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN p <  thr AND y = 1 THEN 1 ELSE 0 END) AS fn
+  FROM scored CROSS JOIN thresholds
+  GROUP BY thr
+)
+SELECT thr,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       CASE WHEN tp + fn = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+            ELSE 2.0 * tp / (2 * tp + fp + fn) END AS f1
+FROM conf
+""",
+)
+def mlstats_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 at nine operating thresholds (0.1–0.9)
+    in one pass: broadcast the 9-row threshold frame across the scored
+    events, then count the confusion cells per threshold.
+
+    The naive loop re-scans the corpus per threshold; this form scans
+    ONCE, multiplies each row into 9 (a broadcast nested-loop join
+    against a literal frame — no shuffle on the big side), and reduces
+    to 9 integer triples with map-side combine. Exact integer counts
+    until the final ratios — deterministic cross-engine."""
+    s = _scored(spark, sf_dir)
+    thresholds = spark.range(1, 10).select(
+        (F.col("id").cast("double") / 10.0).alias("thr")
+    )
+    joined = s.crossJoin(F.broadcast(thresholds))
+    hit = F.col("p") >= F.col("thr")
+    conf = joined.groupBy("thr").agg(
+        F.sum(F.when(hit & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(hit & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~hit & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return conf.select(
+        "thr",
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        F.when(tp + fp == 0, F.lit(0.0))
+        .otherwise(tp.cast("double") / (tp + fp))
+        .alias("precision"),
+        F.when(tp + fn == 0, F.lit(0.0))
+        .otherwise(tp.cast("double") / (tp + fn))
+        .alias("recall"),
+        F.when(F.lit(2) * tp + fp + fn == 0, F.lit(0.0))
+        .otherwise(F.lit(2.0) * tp / (F.lit(2) * tp + fp + fn))
+        .alias("f1"),
+    )

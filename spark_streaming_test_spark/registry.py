@@ -68,6 +68,8 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.fuzzy",
     "spark_streaming_test_spark.llm.curation",
     "spark_streaming_test_spark.llm.textrank",
+    "spark_streaming_test_spark.operators.evalmetrics",
+    "spark_streaming_test_spark.operators.geo",
 ]
 
 # Round-3 driver verification window. The driver checks the FIRST ~50
@@ -150,6 +152,9 @@ _DRIVER_WINDOW = [
     "corpus_domain_quality_rollup", "text_ngram_novelty", "ts_mann_kendall", "ab_test_ks", "events_inter_arrival", "scan_dynamic_partition_overwrite", "text_zipf_fit",
     "agg_spearman_corr", "dedup_soft_weights",
     "agg_concentration_curve", "dedup_prefix_hash",
+    "mlstats_auc_roc", "mlstats_calibration_bins", "mlstats_logloss_brier",
+    "mlstats_threshold_sweep", "geo_radius_join", "geo_nearest_within_radius",
+    "geo_cell_density",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
