@@ -68,6 +68,8 @@ HEADLINE = [
     "ts_cusum_shift",            # exact-decimal cumulative window over series
     "window_moving_median",      # bounded-frame sort-and-index rolling median
     "join_fuzzy_dictionary",     # broadcast NLJ + levenshtein + top-1 window
+    "mlstats_auc_roc",           # rank-statistic AUC: count-pair shuffle + window
+    "geo_radius_join",           # grid-cell spatial candidate join
 ]
 
 

@@ -387,3 +387,71 @@ def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_chars").cast("bigint").alias("true_chars"),
         (est / F.col("true_chars")).alias("est_ratio"),
     )
+
+
+TEMP_TAU = 0.7  # mixture temperature (multilingual-LM convention)
+
+
+@register(
+    "sample_temperature_mixture",
+    tags=("llm", "sampling", "mixture"),
+    oracle=f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(chars) AS total FROM s),
+q AS (
+  SELECT source, n_docs, chars,
+         CAST(chars AS DOUBLE) / total AS p,
+         round(pow(CAST(chars AS DOUBLE) / total,
+                   CAST({TEMP_TAU} AS DOUBLE)), 8) AS qn
+  FROM s, t
+),
+z AS (SELECT CAST(SUM(CAST(qn AS DECIMAL(25,8))) AS DOUBLE) AS zsum FROM q)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(chars AS BIGINT) AS chars,
+       p AS nat_share,
+       qn / zsum AS sample_weight,
+       (qn / zsum) / p AS boost
+FROM q, z
+""",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: resample sources by
+    p^τ (τ={TEMP_TAU}) renormalized — the standard move that upweights
+    tail domains/languages without flattening the mixture entirely
+    (τ=1 keeps natural token shares, τ=0 is uniform). ``boost`` is the
+    effective epoch multiplier each source's data gets under the
+    temperature mixture; feed ``sample_weight`` into the weighted
+    reservoir sampler.
+
+    Scale: ONE map-side-combined shuffle carrying (count, Σchars) per
+    source; everything after runs on the source-cardinality frame
+    (tiny, Heaps-bounded) with a broadcast grand total. pow() outputs
+    are rounded at 8 dp then decimal-summed for a cross-engine-stable
+    normalizer; the shares themselves are exact integer ratios."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    t = s.agg(F.sum("chars").alias("total"))
+    q = s.join(F.broadcast(t), F.lit(True)).select(
+        "source",
+        "n_docs",
+        "chars",
+        (F.col("chars").cast("double") / F.col("total")).alias("p"),
+        F.round(
+            F.pow(F.col("chars").cast("double") / F.col("total"), TEMP_TAU), 8
+        ).alias("qn"),
+    )
+    z = q.agg(F.sum(F.col("qn").cast("decimal(25,8)")).cast("double").alias("zsum"))
+    return q.join(F.broadcast(z), F.lit(True)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("chars").cast("bigint").alias("chars"),
+        F.col("p").alias("nat_share"),
+        (F.col("qn") / F.col("zsum")).alias("sample_weight"),
+        ((F.col("qn") / F.col("zsum")) / F.col("p")).alias("boost"),
+    )

@@ -610,3 +610,98 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("mp")).alias("last_order_price"),
         (F.col("md").isNotNull() & ~fresh).alias("match_too_stale"),
     )
+
+
+# --- interval-overlap join (binned candidate generation) -------------------
+#
+# Both interval sets derive deterministically from integer keys (pure
+# int64 arithmetic, identical in both engines): supplier availability
+# windows and customer demand windows over a 365-day year. In
+# production these are real [start, end] columns (contracts, sessions,
+# maintenance windows).
+
+IV_BIN_DAYS = 32  # bin width >= max interval length => <= 3 bins/interval
+
+
+def _sql_intervals() -> str:
+    return """
+sup_iv AS (
+  SELECT s_suppkey,
+         (s_suppkey * 97) % 300 AS a_start,
+         (s_suppkey * 97) % 300 + 10 + (s_suppkey * 131) % 30 AS a_end
+  FROM supplier
+),
+cus_iv AS (
+  SELECT c_custkey,
+         (c_custkey * 61) % 320 AS d_start,
+         (c_custkey * 61) % 320 + 5 + (c_custkey * 37) % 20 AS d_end
+  FROM customer
+)"""
+
+
+@register(
+    "join_interval_overlap",
+    tags=("join", "interval", "range"),
+    oracle=f"""
+WITH {_sql_intervals()}
+SELECT c.c_custkey, s.s_suppkey,
+       LEAST(c.d_end, s.a_end) - GREATEST(c.d_start, s.a_start) + 1
+         AS overlap_days
+FROM cus_iv c JOIN sup_iv s
+  ON c.d_start <= s.a_end AND s.a_start <= c.d_end
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join — every (customer demand,
+    supplier availability) window pair that shares at least one day,
+    with the exact overlap length.
+
+    The naive form is a non-equi theta join (cross product + range
+    predicate); the scale form here bins the timeline into
+    {IV_BIN_DAYS}-day cells (bin width >= the max interval length, so
+    every interval spans <= 3 bins): each side explodes to its covered
+    bins, candidates come from an EQUI-join on bin id, duplicates from
+    multi-bin pairs collapse with a distinct on the key pair, and only
+    candidates pay the exact overlap predicate. Shuffle volume is
+    Σ per-bin occupancy products — proportional to temporal density,
+    never |C|×|S|. The supplier side (replicated <= 3×) broadcasts;
+    at two large sides both hash on bin id. Same candidates-from-
+    buckets shape as ``geo_radius_join``, applied to 1-D time.
+    All-integer day arithmetic — bitwise identical cross-engine."""
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 97) % 300).alias("a_start"),
+        (
+            (F.col("s_suppkey") * 97) % 300
+            + 10
+            + (F.col("s_suppkey") * 131) % 30
+        ).alias("a_end"),
+    )
+    cus = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 61) % 320).alias("d_start"),
+        (
+            (F.col("c_custkey") * 61) % 320
+            + 5
+            + (F.col("c_custkey") * 37) % 20
+        ).alias("d_end"),
+    )
+    bins = lambda lo, hi: F.sequence(
+        F.floor(F.col(lo) / IV_BIN_DAYS), F.floor(F.col(hi) / IV_BIN_DAYS)
+    )
+    sup_b = sup.withColumn("bin", F.explode(bins("a_start", "a_end")))
+    cus_b = cus.withColumn("bin", F.explode(bins("d_start", "d_end")))
+    overlap = (
+        F.least(F.col("d_end"), F.col("a_end"))
+        - F.greatest(F.col("d_start"), F.col("a_start"))
+        + 1
+    )
+    return (
+        cus_b.join(F.broadcast(sup_b), "bin")
+        .filter(
+            (F.col("d_start") <= F.col("a_end"))
+            & (F.col("a_start") <= F.col("d_end"))
+        )
+        .select("c_custkey", "s_suppkey", overlap.alias("overlap_days"))
+        .distinct()
+    )

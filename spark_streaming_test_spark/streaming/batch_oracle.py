@@ -407,3 +407,89 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK_PER_WINDOW)
     )
+
+
+# --- watermark late-data accounting ---------------------------------------
+
+JITTER_MOD_S = 900        # synthetic network delay: 0..15 min per event
+JITTER_PRIME = 2654435761  # Knuth multiplicative hash spread
+WM_DELAY_MIN = 5          # withWatermark("ts", "5 minutes")
+
+
+@register(
+    "stream_late_data_accounting",
+    tags=("streaming", "watermark", "diagnostics"),
+    oracle=f"""
+WITH arr AS (
+  SELECT event_type, ts,
+         ts + to_seconds((event_id * {JITTER_PRIME}) % {JITTER_MOD_S}) AS ats,
+         event_id
+  FROM events
+),
+wm AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (PARTITION BY event_type ORDER BY ats, event_id
+                       ROWS UNBOUNDED PRECEDING)
+           - INTERVAL {WM_DELAY_MIN} MINUTE AS wmark
+  FROM arr
+)
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN ts < wmark THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN ts < wmark THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS drop_rate
+FROM wm GROUP BY 1, 2
+""",
+)
+def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing diagnostic: replay each per-type event stream in
+    ARRIVAL order (event time + a deterministic hash jitter of up to 15
+    minutes — the synthetic network delay) and count, per hourly window,
+    how many rows a ``withWatermark("ts", "{WM_DELAY_MIN} minutes")``
+    stream would DROP: rows whose event time is already behind the
+    running max event time minus the delay when they arrive. This is the
+    query you run over yesterday's log before choosing a production
+    watermark — pair it with ``events_inter_arrival`` (burstiness).
+
+    Scale: the running-max window partitions by event_type — the same
+    per-shard watermark structure Structured Streaming keeps (the global
+    watermark is the min over shards), so there is no global sort; each
+    stream's arrival replay sorts within its hash partition and the
+    window-count reduce rides the same exchange. Integer/timestamp
+    arithmetic only — nothing to round."""
+    ev = load(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.expr(
+            f"ts + make_interval(0,0,0,0,0,0,(event_id * {JITTER_PRIME}) % {JITTER_MOD_S})"
+        ).alias("ats"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ats", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wm = arr.withColumn(
+        "wmark",
+        F.max("ts").over(w) - F.expr(f"INTERVAL {WM_DELAY_MIN} MINUTE"),
+    )
+    late = F.when(F.col("ts") < F.col("wmark"), 1).otherwise(0)
+    return (
+        wm.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(late).alias("n_dropped"),
+            (F.sum(late).cast("double") / F.count(F.lit(1))).alias("drop_rate"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.col("n_dropped").cast("bigint").alias("n_dropped"),
+            "drop_rate",
+        )
+    )
