@@ -447,23 +447,25 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # Fused convergence probe: checkpoint (old, new) side-by-side
+        # once, count the diff with a filter — no old-vs-new join.
+        merged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                "cluster_id",
                 F.least(
                     "cluster_id", F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
+                ).alias("new_cluster"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
+        changed = merged.filter(
+            F.col("new_cluster") != F.col("cluster_id")
+        ).count()
+        labels = merged.select(
+            "doc_id", F.col("new_cluster").alias("cluster_id")
         )
-        labels = new_labels
         if changed == 0:
             break
     return labels.select(

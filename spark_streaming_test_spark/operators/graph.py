@@ -457,3 +457,80 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- connected components over the co-purchase graph ----------------------
+
+CC_MAX_ROUNDS = 30  # safety cap; min-label converges in O(diameter) rounds
+
+
+@register(
+    "graph_connected_components",
+    tags=("graph", "iterative", "components"),
+    oracle=f"""
+WITH RECURSIVE {_SQL_COPURCHASE},
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN und e ON e.src = r.node
+)
+SELECT node AS part_id, MIN(lab) AS component,
+       (node = MIN(lab)) AS is_root
+FROM reach GROUP BY node
+""",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph by iterative
+    min-label propagation — the same loop that canonicalizes duplicate
+    clusters (``dedup_cluster_canonical``), here over an edge set both
+    engines can derive, so the component assignment itself gets a
+    bitwise driver-grade oracle (DuckDB computes the fixpoint as a
+    recursive transitive closure; min over reachable labels equals the
+    component minimum on a symmetric edge set).
+
+    Per round: edges broadcast-or-hash join the node-sized label frame,
+    min-reduce per node with map-side combine (O(nodes) partials
+    shuffled, never edges), `localCheckpoint` truncating loop lineage;
+    stop when no label changes. Random-graph diameter keeps rounds
+    ~log n; a pathological chain would swap in the large/small-star
+    variant (same per-round join shape). The converged fixpoint is
+    independent of round count and partitioning — pure integer min —
+    which is what makes an iterative algorithm hash-comparable at all."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node")).distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nbr_min = (
+            und.join(labels, und.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("lab").alias("nbr_min"))
+        )
+        # Carry (old, new) label side-by-side through ONE checkpoint so
+        # the convergence probe is a filter-count on the materialized
+        # frame — no extra old-vs-new join per round.
+        merged = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                "lab",
+                F.least("lab", F.coalesce("nbr_min", "lab")).alias("new_lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("new_lab") != F.col("lab")).count()
+        labels = merged.select("node", F.col("new_lab").alias("lab"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("part_id"),
+        F.col("lab").alias("component"),
+        (F.col("node") == F.col("lab")).alias("is_root"),
+    )
