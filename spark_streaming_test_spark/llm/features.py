@@ -445,3 +445,69 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eigenvalue"),
         )
     )
+
+
+# --- the hashing trick: text -> fixed-width sparse feature vectors --------
+
+HASH_DIM = 1024  # 2^10 feature buckets
+
+
+@register(
+    "feature_hashing_trick",
+    tags=("llm", "features", "text", "hashing"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents
+),
+clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % {HASH_DIM}
+              AS INTEGER) AS feature_idx,
+         CASE WHEN ('0x' || substr(md5(token), 9, 1))::UBIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM clean
+)
+SELECT doc_id, feature_idx,
+       CAST(SUM(sgn) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, feature_idx
+HAVING SUM(sgn) <> 0
+""",
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al.): map every token into a
+    fixed {HASH_DIM}-bucket feature space by content hash, with a
+    second hash bit choosing ±1 so collision noise cancels in
+    expectation — how you featurize unbounded vocabulary for linear
+    quality classifiers (fastText-style) WITHOUT building or
+    broadcasting a vocabulary at all. Output is the sparse COO form
+    (doc_id, feature_idx, weight); zero-cancelled entries drop.
+
+    Scale: vocabulary-free means NO dictionary stage, no join — one
+    tokenize+hash projection (md5 in codegen) and one (doc, bucket)
+    hash aggregate with map-side combine. The md5-derived index is
+    cross-engine exact (same idiom as `sample_hash_deterministic`),
+    so the whole sparse matrix hash-matches the oracle."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    h = F.md5("token")
+    idx = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % HASH_DIM).cast(
+        "int"
+    )
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", idx.alias("feature_idx"), sgn.alias("sgn"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

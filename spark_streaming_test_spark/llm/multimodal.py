@@ -192,3 +192,91 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id long, orig_bytes long, resized binary, new_bytes long",
     )
+
+
+# --- perceptual average-hash dedup (REAL numpy compute, not a stub) -------
+
+AHASH_BITS = 32
+
+
+@register(
+    "mm_avg_hash_dedup",
+    tags=("llm", "multimodal", "dedup", "pandas-udf"),
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         ord(substr(text, CAST(t.i AS INTEGER) + 1, 1)) AS byte,
+         length(text) AS n
+  FROM documents, LATERAL unnest(range(0, length(text))) AS t(i)
+),
+chunk AS (
+  SELECT doc_id, (i * {AHASH_BITS}) // n AS c,
+         SUM(byte) AS s_i, COUNT(*) AS n_i
+  FROM b GROUP BY doc_id, (i * {AHASH_BITS}) // n
+),
+tot AS (SELECT doc_id, SUM(byte) AS s, COUNT(*) AS n FROM b GROUP BY doc_id),
+hashes AS (
+  SELECT chunk.doc_id AS doc_id,
+         CAST(SUM(CASE WHEN s_i * tot.n > tot.s * n_i
+                  THEN (CAST(1 AS BIGINT) << CAST(c AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS ahash
+  FROM chunk JOIN tot ON chunk.doc_id = tot.doc_id
+  GROUP BY chunk.doc_id
+)
+SELECT doc_id, ahash,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash,
+       doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS keep
+FROM hashes
+""",
+)
+def mm_avg_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the opaque binary payload — the
+    image near-dup workhorse (aHash), computed for REAL with
+    numpy-vectorized Arrow batches (this is not one of the decode
+    stubs: byte-signal hashing needs no media libs). Per payload:
+    resample the byte stream into {AHASH_BITS} equal spans, set bit i
+    when span i's mean exceeds the global mean, then group identical
+    hashes into duplicate clusters (min doc_id survives).
+
+    The threshold compare stays in EXACT integer cross-multiplied form
+    (span_sum · n_total > total_sum · span_len) — no float mean, so
+    the Python path and the SQL oracle agree bit-for-bit; a real image
+    pipeline would first decode+grayscale in this same mapInPandas
+    slot. Scale: the hash pass is embarrassingly parallel over Arrow
+    batches (payload bytes touched once); the dedup groupBy shuffles
+    8-byte hashes, never payloads — identical shape to
+    ``dedup_exact``."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes) -> int:
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n = len(b)
+            if n == 0:
+                return 0
+            idx = (np.arange(n) * AHASH_BITS) // n
+            s_i = np.bincount(idx, weights=b, minlength=AHASH_BITS).astype(
+                np.int64
+            )
+            n_i = np.bincount(idx, minlength=AHASH_BITS).astype(np.int64)
+            bits = (s_i * n > b.sum() * n_i).astype(np.int64)
+            return int((bits << np.arange(AHASH_BITS)).sum())
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash": pdf["payload"].map(one)}
+            )
+
+    hashes = src.mapInPandas(ahash, schema="doc_id long, ahash long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ahash")
+    return hashes.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_same_hash"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
