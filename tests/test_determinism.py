@@ -101,6 +101,13 @@ def test_pagerank_invariant_to_shuffle_partitions(spark, sf_dir):
         "ts_holt_linear",
         "agg_linreg_by_group",
         "emb_pca_power",
+        "mlstats_auc_roc",
+        "mlstats_logloss_brier",
+        "geo_radius_join",
+        "graph_connected_components",
+        "mm_avg_hash_dedup",
+        "sample_temperature_mixture",
+        "stream_late_data_accounting",
     ],
 )
 def test_round3_ops_bitwise_stable_across_shuffle_partitions(
