@@ -464,6 +464,48 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ROUNDS = 30  # safety cap; min-label converges in O(diameter) rounds
 
 
+def min_label_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
+    """Connected components by min-label propagation over a canonical
+    (u < v) edge list → ``(node, lab)`` with lab = component minimum.
+
+    Shared by the co-purchase components query and the entity-grouping
+    step of the ER family. Per round: symmetrized edges join the
+    node-sized label frame, min-reduce per node with map-side combine
+    (O(nodes) partials shuffled, never edges), one ``localCheckpoint``
+    carrying (old, new) side-by-side so the convergence probe is a
+    filter-count — no extra old-vs-new join. The converged fixpoint is
+    independent of round count and partitioning (pure integer min),
+    which is what makes the iterative result hash-comparable."""
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node")).distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            und.join(labels, und.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("lab").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                "lab",
+                F.least("lab", F.coalesce("nbr_min", "lab")).alias("new_lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("new_lab") != F.col("lab")).count()
+        labels = merged.select("node", F.col("new_lab").alias("lab"))
+        if changed == 0:
+            break
+    return labels
+
+
 @register(
     "graph_connected_components",
     tags=("graph", "iterative", "components"),
@@ -498,37 +540,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (same per-round join shape). The converged fixpoint is
     independent of round count and partitioning — pure integer min —
     which is what makes an iterative algorithm hash-comparable at all."""
-    edges = _copurchase_edges(spark, sf_dir)
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("u").alias("node")).distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(CC_MAX_ROUNDS):
-        nbr_min = (
-            und.join(labels, und.v == labels.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("lab").alias("nbr_min"))
-        )
-        # Carry (old, new) label side-by-side through ONE checkpoint so
-        # the convergence probe is a filter-count on the materialized
-        # frame — no extra old-vs-new join per round.
-        merged = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                "lab",
-                F.least("lab", F.coalesce("nbr_min", "lab")).alias("new_lab"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = merged.filter(F.col("new_lab") != F.col("lab")).count()
-        labels = merged.select("node", F.col("new_lab").alias("lab"))
-        if changed == 0:
-            break
+    labels = min_label_components(_copurchase_edges(spark, sf_dir))
     return labels.select(
         F.col("node").alias("part_id"),
         F.col("lab").alias("component"),
