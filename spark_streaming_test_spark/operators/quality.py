@@ -294,3 +294,62 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+# --- duplication-rate dashboard per source --------------------------------
+
+
+@register(
+    "dq_dup_rate_by_source",
+    tags=("quality", "dedup", "diagnostics"),
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, source, sha256(text) AS h FROM documents
+),
+hstats AS (
+  SELECT h, COUNT(*) AS n_copies, COUNT(DISTINCT source) AS n_sources
+  FROM hashed GROUP BY h
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_source,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_rate
+FROM hashed JOIN hstats USING (h)
+GROUP BY source
+""",
+)
+def dq_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DASHBOARD number: per source, how many of its docs are
+    exact duplicates of anything in the corpus, and how many duplicate
+    ACROSS sources (mirror/scrape contamination — the signal that two
+    feeds crawl the same site). This is the rollup a curation team
+    watches per ingest run; blocklist decisions come from
+    `corpus_domain_quality_rollup`, duplication decisions from here.
+
+    Scale: hash-first (the `dedup_exact` contract — 32-byte keys, not
+    bodies), one groupBy for per-hash stats, one hash-partitioned join
+    back (both sides already keyed by h, AQE-coalesced), one per-source
+    reduce. Integer counts to one final division."""
+    hashed = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.sha2("text", 256).alias("h")
+    )
+    hstats = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    dup = F.when(F.col("n_copies") > 1, 1).otherwise(0)
+    xsrc = F.when(F.col("n_sources") > 1, 1).otherwise(0)
+    return (
+        hashed.join(hstats, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_dup_docs"),
+            F.sum(xsrc).cast("bigint").alias("n_cross_source"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )

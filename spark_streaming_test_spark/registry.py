@@ -70,6 +70,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.llm.textrank",
     "spark_streaming_test_spark.operators.evalmetrics",
     "spark_streaming_test_spark.operators.geo",
+    "spark_streaming_test_spark.operators.hierarchy",
 ]
 
 # Round-3 driver verification window. The driver checks the FIRST ~50
@@ -157,7 +158,7 @@ _DRIVER_WINDOW = [
     "geo_cell_density", "stream_late_data_accounting", "join_interval_overlap",
     "sample_temperature_mixture", "graph_connected_components",
     "mm_avg_hash_dedup", "feature_hashing_trick", "dedup_incremental_exact",
-    "er_entity_groups",
+    "er_entity_groups", "hierarchy_subtree_rollup", "dq_dup_rate_by_source",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
