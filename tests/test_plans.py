@@ -521,3 +521,61 @@ def test_sparse_cosine_reuses_trunc_exchange(spark, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_geo_radius_join_broadcasts_replicated_side(spark, qs):
+    # Grid-cell spatial join: the 9x-replicated supplier side must
+    # broadcast — the customer side gets NO exchange at all. A shuffle
+    # here means the candidate join degenerated to a co-hash of the
+    # big side at every scale.
+    df = qs["geo_radius_join"](spark, SF_DIR)
+    checks.assert_broadcast_join(df)
+    checks.assert_no_cartesian(df)
+
+
+def test_threshold_sweep_single_scan(spark, qs):
+    # Nine operating thresholds from ONE corpus scan: the literal
+    # threshold frame joins via BroadcastNestedLoopJoin (it has no
+    # equi-key); the events scan must appear exactly once in the plan.
+    df = qs["mlstats_threshold_sweep"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    checks.assert_operator(df, "BroadcastNestedLoopJoin")
+
+
+def test_hierarchy_rollup_two_exchanges(spark, qs):
+    # Ancestor-chain flattening: one aggregate exchange on ancestor id
+    # + one join-back exchange for depths — and NO iteration. More
+    # exchanges means the rollup re-derived the chain per level.
+    df = qs["hierarchy_subtree_rollup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 4, plan  # 2 logical, AQE may split
+
+
+def test_interval_overlap_no_cartesian(spark, qs):
+    # The theta-join reduction must go through the bin equi-join, not
+    # a BroadcastNestedLoop/cartesian over the raw predicate.
+    df = qs["join_interval_overlap"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
+    checks.assert_operator(df, "BroadcastNestedLoopJoin", present=False)
+
+
+def test_feature_hashing_no_join(spark, qs):
+    # Vocabulary-free featurization: tokenize+hash+aggregate — any
+    # join in this plan means a dictionary snuck back in.
+    df = qs["feature_hashing_trick"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_late_data_accounting_no_global_sort(spark, qs):
+    # The watermark replay must ride per-stream window partitioning;
+    # a global Sort (no partition keys) would mean a single-task
+    # arrival replay at scale.
+    df = qs["stream_late_data_accounting"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    # Every Sort in the plan must be a window-local sort under an
+    # Exchange hashpartitioning on event_type, never rangepartitioning
+    # (Spark's global-sort signature).
+    assert "rangepartitioning" not in plan.lower(), plan
