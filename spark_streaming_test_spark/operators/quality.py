@@ -353,3 +353,58 @@ def dq_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
         )
     )
+
+
+L_DIV = 3  # minimum distinct sensitive values per equivalence class
+
+
+@register(
+    "dq_l_diversity",
+    tags=("quality", "privacy", "aggregation"),
+    oracle=f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+           AS l_distinct
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST(l_distinct AS BIGINT) AS l_distinct,
+       l_distinct < {L_DIV} AS violates_l
+FROM classes
+""",
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a class can
+    be large yet have ONE sensitive value (here the account-balance
+    band), so membership alone discloses it. Every quasi-identifier
+    class must see >= {L_DIV} distinct sensitive bands or the release
+    needs generalization.
+
+    Pairs with ``dq_k_anonymity`` as the privacy release gate; same
+    single partial-agg shuffle on the quasi-identifier (the distinct
+    count adds a band-level pre-aggregate, still map-side combined,
+    never a row-level re-shuffle). Banding uses floor division of
+    2-decimal balances — integer-exact in both engines."""
+    banded = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    return (
+        banded.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct("band").cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "l_distinct",
+            (F.col("l_distinct") < L_DIV).alias("violates_l"),
+        )
+    )
