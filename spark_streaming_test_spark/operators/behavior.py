@@ -716,3 +716,85 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ltv_per_user"),
         F.col("cohort_size").cast("bigint").alias("cohort_size"),
     )
+
+
+MIN_PATH_SUPPORT = 3  # journeys must recur this often to surface
+
+
+@register(
+    "events_journey_paths",
+    tags=("behavior", "sessionize", "sequence"),
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+HAVING COUNT(*) >= {MIN_PATH_SUPPORT}
+""",
+)
+def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top recurring user journeys: sessionize (same gap/cumsum idiom
+    as ``window_sessionize``), serialize each session's in-order
+    event-type sequence to a path string, and count how often each
+    full path recurs — the product-analytics "what do users actually
+    do" query that transition matrices (`events_markov_transitions`)
+    can't answer, because it keeps WHOLE paths, not one-step hops.
+
+    ONE exchange on user_id serves the lag window, the running sum and
+    the per-session fold; the path aggregate then shuffles one string
+    per session (sessions ≪ events), and support filtering bounds the
+    result. In-session order is pinned by (ts, event_id) on both
+    engines, so path strings — and their counts — match bitwise."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    new_session = (
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+    ).cast("int")
+    paths = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("session_seq", F.sum(new_session).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .filter(F.col("n_sessions") >= MIN_PATH_SUPPORT)
+    )

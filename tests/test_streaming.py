@@ -385,9 +385,19 @@ def test_watermark_drops_late_data(spark, tmp_path):
             (r["window_start"].minute, r["total_bytes"])
             for r in spark.sql("SELECT * FROM wm_out").collect()
         }
+        # The engine's own observability must agree: the state operator
+        # reports exactly ONE row dropped by the watermark across the
+        # run (the 999-byte packet) — this is the live counterpart of
+        # the stream_late_data_accounting diagnostic.
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
     finally:
         q.stop()
     assert got == {(0, 150.0), (20, 10.0)}, got
+    assert dropped == 1, dropped
 
 
 def test_edge_trigger_state_survives_restart(spark, tmp_path):
