@@ -20,7 +20,7 @@ LeftAnti semantics drops in)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -407,4 +407,130 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_distinct",
             (F.col("l_distinct") < L_DIV).alias("violates_l"),
         )
+    )
+
+
+# --- population-stability drift (PSI) -------------------------------------
+
+PSI_BINS = 10
+PSI_SPLIT = "2024-01-16"  # first half of the month trains the bin edges
+PSI_DP = 8
+
+
+@register(
+    "dq_psi_drift",
+    tags=("quality", "drift", "mlops"),
+    oracle=f"""
+WITH a AS (
+  SELECT value, event_id FROM events WHERE ts < TIMESTAMP '{PSI_SPLIT}'
+),
+b AS (
+  SELECT value FROM events WHERE ts >= TIMESTAMP '{PSI_SPLIT}'
+),
+ranked AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM a
+),
+edges AS (
+  SELECT value AS edge FROM ranked
+  WHERE rn IN (SELECT CAST(ceil(t.i * r.n / {PSI_BINS}.0) AS BIGINT)
+               FROM (SELECT DISTINCT n FROM ranked) r,
+                    LATERAL unnest(range(1, {PSI_BINS})) AS t(i))
+),
+bin_a AS (
+  SELECT 1 + (SELECT COUNT(*) FROM edges e WHERE a.value > e.edge) AS bin
+  FROM a
+),
+bin_b AS (
+  SELECT 1 + (SELECT COUNT(*) FROM edges e WHERE b.value > e.edge) AS bin
+  FROM b
+),
+ca AS (SELECT bin, COUNT(*) AS n_a FROM bin_a GROUP BY bin),
+cb AS (SELECT bin, COUNT(*) AS n_b FROM bin_b GROUP BY bin),
+tot AS (SELECT (SELECT COUNT(*) FROM a) AS ta, (SELECT COUNT(*) FROM b) AS tb),
+p AS (
+  SELECT COALESCE(ca.bin, cb.bin) AS bin,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         (COALESCE(n_a, 0) + 1.0) / (ta + {PSI_BINS}.0) AS p_a,
+         (COALESCE(n_b, 0) + 1.0) / (tb + {PSI_BINS}.0) AS p_b
+  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin CROSS JOIN tot
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       p_a, p_b,
+       round((p_b - p_a) * ln(p_b / p_a), {PSI_DP}) AS psi_term
+FROM p
+""",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the model-monitoring staple: decile
+    the reference window's score distribution by EXACT rank, count both
+    windows into those bins, and report per-bin (p_b - p_a)*ln(p_b/p_a)
+    terms (their sum is the PSI; > 0.25 conventionally pages someone).
+    Laplace smoothing (+1 per bin) keeps empty bins finite.
+
+    Scale: the bin edges are exact-rank picks over the reference
+    window — at production size that rank window partitions by
+    monitored feature (the winsorize machinery); the edges themselves
+    are O(bins) and collect to the driver like every broadcast
+    dimension here (a fixed 9 values regardless of corpus size).
+    Binning is then a PURE PROJECTION — a 9-literal comparison ladder,
+    no join — and each population reduces to O(bins) counts map-side.
+    The only rounding is the ln() product at {PSI_DP} dp (measure-zero
+    ties); everything else is exact integer ratios."""
+    import math
+
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("ts") < PSI_SPLIT).select("value", "event_id")
+    b = ev.filter(F.col("ts") >= PSI_SPLIT).select("value")
+    wr = Window.orderBy("value", "event_id")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = a.select(
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    n_val = ranked.select("n").first()["n"]
+    edge_ranks = sorted(
+        {int(math.ceil(i * n_val / PSI_BINS)) for i in range(1, PSI_BINS)}
+    )
+    edge_vals = [
+        r["value"]
+        for r in ranked.filter(F.col("rn").isin(edge_ranks))
+        .orderBy("rn")
+        .select("value")
+        .collect()
+    ]
+
+    def bin_expr():
+        e = F.lit(1)
+        for v in edge_vals:
+            e = e + F.when(F.col("value") > F.lit(v), 1).otherwise(0)
+        return e.alias("bin")
+
+    ca = a.select(bin_expr()).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = b.select(bin_expr()).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    ta = a.count()
+    tb = b.count()
+    j = ca.join(cb, "bin", "full_outer").select(
+        F.col("bin").cast("int").alias("bin"),
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+    )
+    p_a = (F.col("n_a") + 1.0) / (ta + float(PSI_BINS))
+    p_b = (F.col("n_b") + 1.0) / (tb + float(PSI_BINS))
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.round((p_b - p_a) * F.log(p_b / p_a), PSI_DP).alias("psi_term"),
     )

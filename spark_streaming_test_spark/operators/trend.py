@@ -781,3 +781,109 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sigma - mu) / F.nullif(sigma + mu, F.lit(0.0))).alias("burstiness"),
         "max_gap_s",
     )
+
+
+FA_DP = 8  # per-row percentage-error quantization (measure-zero ties)
+
+
+@register(
+    "ts_forecast_accuracy",
+    tags=("timeseries", "forecasting", "evaluation"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+seq AS (
+  SELECT event_type, h, CAST(hv AS DOUBLE) AS a,
+         CAST(LAG(hv) OVER w AS DOUBLE) AS f_naive,
+         list_reduce(
+           list(CAST(hv AS DOUBLE))
+             OVER (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {EWMA_WIN} PRECEDING AND 1 PRECEDING),
+           (acc, x) -> (acc + x) / 2.0) AS f_ewma
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+scored AS (
+  SELECT event_type,
+         round(abs(a - f_naive) / a, {FA_DP}) AS ape_naive,
+         round(abs(a - f_ewma) / a, {FA_DP}) AS ape_ewma,
+         round(2.0 * abs(a - f_ewma) / (abs(a) + abs(f_ewma)), {FA_DP})
+           AS sape_ewma,
+         round(abs(a - f_naive), {FA_DP}) AS ae_naive,
+         round(abs(a - f_ewma), {FA_DP}) AS ae_ewma
+  FROM seq WHERE f_naive IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+       CAST(SUM(CAST(ape_naive AS DECIMAL(25,{FA_DP}))) AS DOUBLE)
+         / COUNT(*) AS mape_naive,
+       CAST(SUM(CAST(ape_ewma AS DECIMAL(25,{FA_DP}))) AS DOUBLE)
+         / COUNT(*) AS mape_ewma,
+       CAST(SUM(CAST(sape_ewma AS DECIMAL(25,{FA_DP}))) AS DOUBLE)
+         / COUNT(*) AS smape_ewma,
+       CAST(SUM(CAST(ae_ewma AS DECIMAL(25,{FA_DP}))) AS DOUBLE)
+         / CAST(SUM(CAST(ae_naive AS DECIMAL(25,{FA_DP}))) AS DOUBLE)
+         AS mase_ewma
+FROM scored GROUP BY event_type
+""",
+)
+def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scorecard closing the forecasting loop
+    (EWMA/Holt produce forecasts; this grades them): one-step-ahead
+    naive (last value) and EWMA forecasts over the hourly series,
+    scored with MAPE, sMAPE and MASE (EWMA's absolute error relative
+    to the naive baseline — < 1 means the smoother actually earns its
+    keep; the standard scale-free model-selection number).
+
+    One (event_type, hour) reduce builds the series; both forecasts
+    ride a single series-partitioned window pass (the EWMA is the
+    exact-halving fold over the trailing frame, SHIFTED one step so it
+    never sees the value it predicts). Per-row errors quantize at
+    {FA_DP} dp (the measure-zero-tie class) and aggregate as decimals
+    — bitwise reproducible at any partitioning."""
+    w = Window.partitionBy("event_type").orderBy("h")
+    wtrail = w.rowsBetween(-EWMA_WIN, -1)
+    hv_d = F.col("hv").cast("double")
+    seq = (
+        _hourly_sum(spark, sf_dir)
+        .withColumn("a", hv_d)
+        .withColumn("f_naive", F.lag(hv_d).over(w))
+        .withColumn("arr", F.collect_list(hv_d).over(wtrail))
+        .withColumn(
+            "f_ewma",
+            F.when(
+                F.size("arr") > 0,
+                F.expr(
+                    "reduce(slice(arr, 2, size(arr) - 1), element_at(arr, 1),"
+                    " (acc, x) -> (acc + x) / 2.0D)"
+                ),
+            ),
+        )
+        .filter(F.col("f_naive").isNotNull())
+    )
+    a, fn, fe = F.col("a"), F.col("f_naive"), F.col("f_ewma")
+    scored = seq.select(
+        "event_type",
+        F.round(F.abs(a - fn) / a, FA_DP).alias("ape_naive"),
+        F.round(F.abs(a - fe) / a, FA_DP).alias("ape_ewma"),
+        F.round(2.0 * F.abs(a - fe) / (F.abs(a) + F.abs(fe)), FA_DP).alias(
+            "sape_ewma"
+        ),
+        F.round(F.abs(a - fn), FA_DP).alias("ae_naive"),
+        F.round(F.abs(a - fe), FA_DP).alias("ae_ewma"),
+    )
+    dec = f"decimal(25,{FA_DP})"
+    n = F.count(F.lit(1))
+
+    def dmean(c):
+        return F.sum(F.col(c).cast(dec)).cast("double") / n
+
+    return scored.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_forecasts"),
+        dmean("ape_naive").alias("mape_naive"),
+        dmean("ape_ewma").alias("mape_ewma"),
+        dmean("sape_ewma").alias("smape_ewma"),
+        (
+            F.sum(F.col("ae_ewma").cast(dec)).cast("double")
+            / F.sum(F.col("ae_naive").cast(dec)).cast("double")
+        ).alias("mase_ewma"),
+    )
