@@ -542,3 +542,184 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- MMR diversified retrieval --------------------------------------------
+
+MMR_K = 5        # final diversified picks per query
+MMR_CAND = 20    # relevance-ranked candidate pool fed to the greedy loop
+MMR_LAMBDA = 0.7  # relevance vs diversity trade-off
+
+
+def _sql_mmr_steps() -> str:
+    """Unrolled greedy MMR steps 2..MMR_K (step 1 is the top-relevance
+    pick). Each step scores remaining candidates by
+    λ·rel − (1−λ)·max-sim-to-selected and takes the argmax."""
+    lam = f"CAST({MMR_LAMBDA} AS DOUBLE)"
+    steps = []
+    for k in range(2, MMR_K + 1):
+        prev = f"sel{k-1}"
+        steps.append(f"""
+step{k} AS (
+  SELECT query_id, neighbor_id, cosine, maxsim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY {lam} * cosine - (1.0 - {lam}) * maxsim DESC,
+                    neighbor_id) AS rn
+  FROM (
+    SELECT c.query_id, c.neighbor_id, c.cosine,
+           (SELECT MAX(p.sim) FROM pair p
+            WHERE p.query_id = c.query_id AND p.a = c.neighbor_id
+              AND p.b IN (SELECT s.neighbor_id FROM {prev} s
+                          WHERE s.query_id = c.query_id)) AS maxsim
+    FROM cand c
+    WHERE c.neighbor_id NOT IN (SELECT s.neighbor_id FROM {prev} s
+                                WHERE s.query_id = c.query_id)
+  )
+),
+sel{k} AS (
+  SELECT query_id, neighbor_id, pick, mmr_score FROM {prev}
+  UNION ALL
+  SELECT query_id, neighbor_id, {k} AS pick,
+         {lam} * cosine - (1.0 - {lam}) * maxsim AS mmr_score
+  FROM step{k} WHERE rn = 1
+)""")
+    return ",".join(steps)
+
+
+@register(
+    "sim_mmr_diversify",
+    tags=("llm", "similarity", "retrieval", "diversity"),
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {MMR_CAND}
+),
+pair AS (
+  SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+         list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+           AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, 1 AS pick, cosine AS mmr_score FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM cand) WHERE rn = 1
+),
+{_sql_mmr_steps()}
+SELECT query_id, CAST(pick AS INTEGER) AS pick, neighbor_id, mmr_score
+FROM sel{MMR_K}
+""",
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance — the diversified-retrieval pass a
+    RAG pipeline runs AFTER top-k search so the context window isn't
+    five copies of the same paragraph: greedily pick {MMR_K} of the
+    top-{MMR_CAND} candidates, each step maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ={MMR_LAMBDA};
+    pick 1 scores its raw relevance by convention).
+
+    Scale split: relevance ranking + the candidate×candidate cosine
+    matrix are JVM-side (broadcast queries, WindowGroupLimit top-k,
+    {MMR_CAND}²-bounded pair join per query); the inherently sequential
+    greedy loop runs in ``applyInPandas`` over the per-query candidate
+    frame — a BOUNDED {MMR_CAND}-row group, so Python cost is O(queries),
+    not O(corpus). The pandas step consumes the JVM-computed float64
+    sims unchanged (numpy does the same IEEE multiply-add the SQL
+    oracle does), which is why the greedy argmax — and the whole
+    output — still hash-matches DuckDB's {MMR_K}-step unrolled CTE."""
+    import pandas as pd
+
+    e = spread(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(_as_double("q_emb"), _as_double("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MMR_CAND)
+        .select("query_id", "neighbor_id", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    emb = e.select("vec_id", _as_double("embedding").alias("emb"))
+    ca = cand.select("query_id", F.col("neighbor_id").alias("a"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("b"))
+    pair = (
+        ca.join(cb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(F.broadcast(emb.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))), "a")
+        .join(F.broadcast(emb.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))), "b")
+        .select("query_id", "a", "b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+    )
+    merged = cand.join(
+        pair.groupBy("query_id", "a").agg(
+            F.map_from_arrays(
+                F.collect_list("b"), F.collect_list("sim")
+            ).alias("sims")
+        ).withColumnRenamed("a", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        sims = dict(zip(pdf["neighbor_id"], pdf["sims"]))
+        rel = dict(zip(pdf["neighbor_id"], pdf["cosine"]))
+        remaining = list(pdf["neighbor_id"])
+        first = remaining.pop(0)
+        picks = [(first, 1, rel[first])]
+        selected = [first]
+        for k in range(2, MMR_K + 1):
+            best = None
+            for nid in remaining:
+                maxsim = max(sims[nid][s] for s in selected)
+                score = MMR_LAMBDA * rel[nid] - (1.0 - MMR_LAMBDA) * maxsim
+                # argmax with (score DESC, neighbor_id ASC) tie-break —
+                # identical to the oracle's ROW_NUMBER ordering.
+                if best is None or score > best[1] or (
+                    score == best[1] and nid < best[0]
+                ):
+                    best = (nid, score)
+            picks.append((best[0], k, best[1]))
+            selected.append(best[0])
+            remaining.remove(best[0])
+        out = pd.DataFrame(
+            picks, columns=["neighbor_id", "pick", "mmr_score"]
+        )
+        out["query_id"] = pdf["query_id"].iloc[0]
+        return out[["query_id", "pick", "neighbor_id", "mmr_score"]]
+
+    return merged.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, pick int, neighbor_id long, mmr_score double",
+    )
