@@ -32,12 +32,13 @@ expression — bitwise identical cross-engine with no rounding step.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
 from ..functions.literals import lit_double_matrix, lit_doubles
 from ..registry import register
+from .similarity import N_QUERIES, TOP_K
 
 DIM = 64
 M = 4  # subspaces
@@ -236,4 +237,93 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.select("vec_id", adc.alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(ADC_TOPK)
+    )
+
+
+# --- binary (sign-bit) quantization + Hamming retrieval -------------------
+
+BQ_HALF = 32  # dims packed per word: 64-dim -> (lo, hi) int64 pair
+
+
+def _sql_pack(half: str) -> str:
+    base = 0 if half == "lo" else BQ_HALF
+    return (
+        f"CAST(list_sum(list_transform(range({base}, {base + BQ_HALF}), "
+        f"i -> CASE WHEN embedding[CAST(i AS INTEGER) + 1] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << (CAST(i AS INTEGER) - {base})) "
+        f"ELSE 0 END)) AS BIGINT)"
+    )
+
+
+@register(
+    "sim_binary_hamming_topk",
+    tags=("llm", "similarity", "quantization", "topk"),
+    oracle=f"""
+WITH packed AS (
+  SELECT vec_id, {_sql_pack('lo')} AS lo, {_sql_pack('hi')} AS hi
+  FROM embeddings
+),
+q AS (SELECT vec_id, lo, hi FROM packed WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+         bit_count(xor(q.lo, p.lo)) + bit_count(xor(q.hi, p.hi)) AS hamming
+  FROM q JOIN packed p ON p.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(hamming AS INTEGER) AS hamming, rank
+FROM (
+  SELECT query_id, neighbor_id, hamming,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization retrieval — the third compression family
+    next to int8 (`emb_normalize_quantize`) and PQ (`emb_pq_encode`):
+    keep only the SIGN BIT per dimension (64× smaller than float32),
+    rank by Hamming distance via XOR + popcount. The standard cheap
+    first stage of a modern two-stage retriever (binary scan →
+    float/PQ rerank on the shortlist).
+
+    Scale: packing is a pure projection (the corpus becomes two int64
+    columns — 16 bytes/vector, cache-resident at billions); scoring is
+    XOR + bit_count in whole-stage codegen, no floats anywhere, and
+    the per-query top-k collapses to WindowGroupLimit. Integer
+    end-to-end: nothing for engines to disagree on."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+
+    def pack(base: int):
+        word = F.lit(0).cast("bigint")
+        for i in range(base, base + BQ_HALF):
+            word = word.bitwiseOR(
+                F.when(
+                    F.element_at("embedding", i + 1) > 0,
+                    F.lit(1 << (i - base)).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+        return word
+
+    packed = e.select(
+        "vec_id", pack(0).alias("lo"), pack(BQ_HALF).alias("hi")
+    )
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = F.bit_count(
+        F.col("lo").bitwiseXOR(F.col("qlo"))
+    ) + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    scored = packed.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        hamming.cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
     )

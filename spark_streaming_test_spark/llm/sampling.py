@@ -455,3 +455,51 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qn") / F.col("zsum")).alias("sample_weight"),
         ((F.col("qn") / F.col("zsum")) / F.col("p")).alias("boost"),
     )
+
+
+N_EPOCHS = 2  # epochs materialized by the demo query
+
+
+@register(
+    "sample_epoch_shuffle",
+    tags=("llm", "sampling", "ordering"),
+    oracle=f"""
+WITH epochs AS (SELECT CAST(t.i AS INTEGER) AS epoch
+                FROM unnest(range(0, {N_EPOCHS})) AS t(i)),
+keyed AS (
+  SELECT epoch, doc_id,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+           AS shuffle_key
+  FROM documents CROSS JOIN epochs
+)
+SELECT epoch, doc_id, shuffle_key,
+       ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY shuffle_key, doc_id)
+         AS position
+FROM keyed
+""",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch training order: every epoch re-shuffles
+    the corpus by ``md5(epoch:doc_id)`` — a different but fully
+    DETERMINISTIC permutation per epoch, so a preempted training run
+    resumes mid-epoch at the exact same order with no shuffle files or
+    RNG state to recover. The pattern every large-scale data loader
+    needs and Spark's ``orderBy(rand())`` cannot give you.
+
+    Scale: the shuffle key is a pure projection; the per-epoch
+    ordering is a range-partitioned sort on that key (epochs are
+    independent, so each epoch's sort parallelizes fully), and in
+    production the WRITE inherits the order (`sortWithinPartitions` +
+    ordered file naming) — the position column here makes the
+    contract oracle-checkable."""
+    d = load(spark, sf_dir, "documents")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn("position", F.row_number().over(w))
