@@ -546,3 +546,91 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("component"),
         (F.col("node") == F.col("lab")).alias("is_root"),
     )
+
+
+# --- k-core decomposition -------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 12  # unroll cap; peeling converges in far fewer rounds
+                   # here (asserted by the convergence check in-loop)
+
+
+def _sql_kcore_rounds() -> str:
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e{p} UNION ALL SELECT v AS node FROM e{p}
+  ) GROUP BY node
+),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+)""")
+    return ",".join(rounds)
+
+
+@register(
+    "graph_kcore",
+    tags=("graph", "iterative", "core"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+e0 AS MATERIALIZED (SELECT u, v FROM edges),
+{_sql_kcore_rounds()}
+SELECT node AS part_id, CAST(d AS INTEGER) AS core_degree
+FROM (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e{KCORE_ROUNDS}
+    UNION ALL SELECT v AS node FROM e{KCORE_ROUNDS}
+  ) GROUP BY node
+)
+""",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the co-purchase graph — iterative peeling:
+    repeatedly delete nodes with degree < {KCORE_K} (deleting a node
+    lowers its neighbors' degrees, which can cascade) until the
+    remaining subgraph is everywhere >= {KCORE_K}. The standard dense-
+    cluster extractor: the surviving parts are the catalog's stable
+    co-purchase communities, robust to the long tail that PageRank
+    and triangle counts both get distracted by.
+
+    Per round: one degree aggregate (O(nodes) partials, map-side
+    combined) + one semi-join filter of the edge list, checkpointed to
+    truncate lineage; converged when no node drops, always well under
+    the {KCORE_ROUNDS}-round unroll the oracle replays (the loop
+    raises past the cap rather than silently diverging from it). The
+    fixpoint is partition-independent — pure integer degrees."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node")
+        pruned = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == edges.count():
+            edges = pruned
+            break
+        edges = pruned
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {KCORE_ROUNDS} rounds"
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("int").alias("core_degree"))
+        .select(F.col("node").alias("part_id"), "core_degree")
+    )

@@ -108,6 +108,10 @@ def test_pagerank_invariant_to_shuffle_partitions(spark, sf_dir):
         "mm_avg_hash_dedup",
         "sample_temperature_mixture",
         "stream_late_data_accounting",
+        "sim_mmr_diversify",
+        "ts_forecast_accuracy",
+        "dq_psi_drift",
+        "window_time_weighted_avg",
     ],
 )
 def test_round3_ops_bitwise_stable_across_shuffle_partitions(
