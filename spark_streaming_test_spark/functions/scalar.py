@@ -479,3 +479,37 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_nvl"),
         F.col("o_orderstatus").isNull().alias("status_missing"),
     )
+
+
+@register(
+    "fn_variant_suite",
+    tags=("scalar", "json", "variant", "spark4"),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       'OBJECT<k: BIGINT>' AS top_type,
+       CAST(json_extract_string(props, '$.missing') AS INT) AS missing_int
+FROM events
+""",
+)
+def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT path: ``parse_json`` into the open semi-
+    structured VariantType (binary-encoded, schema-on-read — the
+    engine-native answer to shredding-free JSON columns), then typed
+    ``variant_get`` extraction and ``try_variant_get`` for absent
+    paths. The modern replacement for string-JSON `get_json_object`
+    pipelines: parsing happens ONCE per row into the binary form, and
+    every downstream extraction is a cheap typed probe instead of a
+    re-parse. The oracle flattens to DuckDB JSON extraction — same
+    values, which is the point: VARIANT changes the storage/CPU
+    profile, not the semantics."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.schema_of_variant(v).alias("top_type"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+    )
