@@ -436,3 +436,61 @@ def scan_dynamic_partition_overwrite(
         .cast("bigint")
         .alias("n_rewritten"),
     )
+
+
+MANIFEST_BUCKETS = 8
+MANIFEST_LO, MANIFEST_HI = 100.0, 200.0
+
+
+@register(
+    "scan_manifest_pruning",
+    tags=("source", "parquet", "manifest", "lakehouse"),
+    oracle=f"""
+SELECT event_id, value FROM events
+WHERE value BETWEEN {MANIFEST_LO} AND {MANIFEST_HI}
+""",
+)
+def scan_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style MANIFEST file skipping, built from parts Spark
+    already has: (1) lay the table out value-clustered (repartition by
+    a value bucket so each file covers a narrow range), (2) derive a
+    manifest — one (file, min, max) row per data file via
+    ``input_file_name`` — exactly the column-stats entry a table
+    format keeps, (3) answer a range predicate by consulting the
+    MANIFEST first and handing the scan only the files whose range
+    intersects, with the residual filter applied on top.
+
+    This is the lakehouse read path in miniature: the manifest is
+    O(files) and lives driver/catalog-side (the same small-dimension
+    materialization as every broadcast here), so a selective predicate
+    touches a fraction of the data files without any Hive partition
+    directories. Row-identical to the full-scan filter (the oracle);
+    the files-skipped assertion lives in tests/test_plans.py."""
+    path = os.path.join(SCRATCH, "events_manifest")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    bucket = F.least(
+        F.floor(F.col("value") / 62.5).cast("int"), F.lit(MANIFEST_BUCKETS - 1)
+    )
+    (
+        ev.repartition(MANIFEST_BUCKETS, bucket)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    )
+    keep = [
+        r["file"]
+        for r in manifest
+        if r["hi"] >= MANIFEST_LO and r["lo"] <= MANIFEST_HI
+    ]
+    # Expose the skip count for the plan test without re-deriving.
+    scan_manifest_pruning.last_file_counts = (len(keep), len(manifest))
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("value").between(MANIFEST_LO, MANIFEST_HI))
+        .select("event_id", "value")
+    )

@@ -579,3 +579,14 @@ def test_late_data_accounting_no_global_sort(spark, qs):
     # Exchange hashpartitioning on event_type, never rangepartitioning
     # (Spark's global-sort signature).
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_manifest_pruning_skips_files(spark, qs):
+    # The manifest consult must hand the scan a strict subset of the
+    # data files — otherwise it's a full scan with extra steps.
+    from spark_streaming_test_spark.sources.files import scan_manifest_pruning
+
+    qs["scan_manifest_pruning"](spark, SF_DIR).count()
+    kept, total = scan_manifest_pruning.last_file_counts
+    assert kept < total, (kept, total)
+    assert kept >= 1
