@@ -783,7 +783,8 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FA_DP = 8  # per-row percentage-error quantization (measure-zero ties)
+FA_DP = 8          # percentage-error quantization (generic doubles only)
+FA_POW = 1 << (EWMA_WIN - 1)  # common denominator for exact scaled errors
 
 
 @register(
@@ -792,25 +793,38 @@ FA_DP = 8  # per-row percentage-error quantization (measure-zero ties)
     oracle=f"""
 WITH hourly AS ({_SQL_HOURLY_SUM}),
 seq AS (
-  SELECT event_type, h, CAST(hv AS DOUBLE) AS a,
-         CAST(LAG(hv) OVER w AS DOUBLE) AS f_naive,
-         list_reduce(
-           list(CAST(hv AS DOUBLE))
+  SELECT event_type, h,
+         CAST(hv * 100 AS BIGINT) AS a_int,
+         CAST(LAG(hv) OVER w * 100 AS BIGINT) AS prev_int,
+         list_transform(
+           list(CAST(hv * 100 AS BIGINT))
              OVER (PARTITION BY event_type ORDER BY h
                    ROWS BETWEEN {EWMA_WIN} PRECEDING AND 1 PRECEDING),
-           (acc, x) -> (acc + x) / 2.0) AS f_ewma
+           y -> [y, CAST(1 AS BIGINT)]) AS arr
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY h)
 ),
+folded AS (
+  SELECT event_type, a_int, prev_int,
+         list_reduce(arr, (a, x) -> [a[1] + x[1] * a[2], a[2] * 2]) AS fp
+  FROM seq WHERE prev_int IS NOT NULL
+),
 scored AS (
   SELECT event_type,
-         round(abs(a - f_naive) / a, {FA_DP}) AS ape_naive,
+         CAST(a_int AS DOUBLE) / 100.0 AS a,
+         CAST(fp[1] AS DOUBLE) / CAST(fp[2] AS DOUBLE) / 100.0 AS f_ewma,
+         abs(a_int * fp[2] - fp[1]) * ({FA_POW} // fp[2]) AS ae_e_scaled,
+         abs(a_int - prev_int) * {FA_POW} AS ae_n_scaled,
+         abs(CAST(a_int AS DOUBLE) - prev_int) / 100.0 AS ae_naive_d
+  FROM folded
+),
+terms AS (
+  SELECT event_type, ae_e_scaled, ae_n_scaled,
+         round(ae_naive_d / a, {FA_DP}) AS ape_naive,
          round(abs(a - f_ewma) / a, {FA_DP}) AS ape_ewma,
          round(2.0 * abs(a - f_ewma) / (abs(a) + abs(f_ewma)), {FA_DP})
-           AS sape_ewma,
-         round(abs(a - f_naive), {FA_DP}) AS ae_naive,
-         round(abs(a - f_ewma), {FA_DP}) AS ae_ewma
-  FROM seq WHERE f_naive IS NOT NULL
+           AS sape_ewma
+  FROM scored
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_forecasts,
@@ -820,56 +834,79 @@ SELECT event_type,
          / COUNT(*) AS mape_ewma,
        CAST(SUM(CAST(sape_ewma AS DECIMAL(25,{FA_DP}))) AS DOUBLE)
          / COUNT(*) AS smape_ewma,
-       CAST(SUM(CAST(ae_ewma AS DECIMAL(25,{FA_DP}))) AS DOUBLE)
-         / CAST(SUM(CAST(ae_naive AS DECIMAL(25,{FA_DP}))) AS DOUBLE)
+       CAST(SUM(ae_e_scaled) AS DOUBLE) / CAST(SUM(ae_n_scaled) AS DOUBLE)
          AS mase_ewma
-FROM scored GROUP BY event_type
+FROM terms GROUP BY event_type
 """,
 )
 def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-accuracy scorecard closing the forecasting loop
     (EWMA/Holt produce forecasts; this grades them): one-step-ahead
     naive (last value) and EWMA forecasts over the hourly series,
-    scored with MAPE, sMAPE and MASE (EWMA's absolute error relative
-    to the naive baseline — < 1 means the smoother actually earns its
-    keep; the standard scale-free model-selection number).
+    scored with MAPE, sMAPE and MASE (EWMA absolute error over the
+    naive baseline's — < 1 means the smoother earns its keep).
 
-    One (event_type, hour) reduce builds the series; both forecasts
-    ride a single series-partitioned window pass (the EWMA is the
-    exact-halving fold over the trailing frame, SHIFTED one step so it
-    never sees the value it predicts). Per-row errors quantize at
-    {FA_DP} dp (the measure-zero-tie class) and aggregate as decimals
-    — bitwise reproducible at any partitioning."""
+    Determinism note (hard-won): |actual − EWMA| is a DYADIC
+    combination of 2-decimal values, which lands EXACTLY on half-ties
+    at any fixed decimal quantization once the fold depth passes the
+    scale's 2-adic valuation — round() then disagrees across engines.
+    So the MASE errors never touch floats: the EWMA folds as an exact
+    integer pair [numerator, 2^steps] (centi-unit values times a
+    power-of-two denominator stays in int64), errors cross-multiply
+    to the common 2^{EWMA_WIN - 1} denominator, and MASE is ONE double
+    division of two exact int64 sums. The percentage errors divide by
+    the actual first — a non-dyadic denominator makes their 8-dp
+    rounding measure-zero-safe. One exchange on event_type serves the
+    LAG window, the trailing frame, and the reduce."""
     w = Window.partitionBy("event_type").orderBy("h")
     wtrail = w.rowsBetween(-EWMA_WIN, -1)
-    hv_d = F.col("hv").cast("double")
+    hv_int = (F.col("hv") * 100).cast("bigint")
     seq = (
         _hourly_sum(spark, sf_dir)
-        .withColumn("a", hv_d)
-        .withColumn("f_naive", F.lag(hv_d).over(w))
-        .withColumn("arr", F.collect_list(hv_d).over(wtrail))
-        .withColumn(
-            "f_ewma",
-            F.when(
-                F.size("arr") > 0,
-                F.expr(
-                    "reduce(slice(arr, 2, size(arr) - 1), element_at(arr, 1),"
-                    " (acc, x) -> (acc + x) / 2.0D)"
-                ),
-            ),
-        )
-        .filter(F.col("f_naive").isNotNull())
+        .withColumn("a_int", hv_int)
+        .withColumn("prev_int", F.lag(hv_int).over(w))
+        .withColumn("arr", F.collect_list(hv_int).over(wtrail))
+        .filter(F.col("prev_int").isNotNull())
     )
-    a, fn, fe = F.col("a"), F.col("f_naive"), F.col("f_ewma")
-    scored = seq.select(
+    folded = seq.select(
         "event_type",
-        F.round(F.abs(a - fn) / a, FA_DP).alias("ape_naive"),
-        F.round(F.abs(a - fe) / a, FA_DP).alias("ape_ewma"),
-        F.round(2.0 * F.abs(a - fe) / (F.abs(a) + F.abs(fe)), FA_DP).alias(
+        "a_int",
+        "prev_int",
+        F.expr(
+            "aggregate(slice(arr, 2, size(arr) - 1),"
+            " array(element_at(arr, 1), 1L),"
+            " (acc, x) -> array(element_at(acc, 1) + x * element_at(acc, 2),"
+            "                   element_at(acc, 2) * 2L))"
+        ).alias("fp"),
+    )
+    fnum, fden = F.element_at("fp", 1), F.element_at("fp", 2)
+    a = F.col("a_int").cast("double") / 100.0
+    f_ewma = fnum.cast("double") / fden.cast("double") / 100.0
+    scored = folded.select(
+        "event_type",
+        a.alias("a"),
+        f_ewma.alias("f_ewma"),
+        (
+            F.abs(F.col("a_int") * fden - fnum)
+            * F.expr(f"{FA_POW}L div element_at(fp, 2)")
+        ).alias("ae_e_scaled"),
+        (F.abs(F.col("a_int") - F.col("prev_int")) * FA_POW).alias(
+            "ae_n_scaled"
+        ),
+        (
+            F.abs(F.col("a_int").cast("double") - F.col("prev_int")) / 100.0
+        ).alias("ae_naive_d"),
+    )
+    af, fe = F.col("a"), F.col("f_ewma")
+    terms = scored.select(
+        "event_type",
+        "ae_e_scaled",
+        "ae_n_scaled",
+        F.round(F.col("ae_naive_d") / af, FA_DP).alias("ape_naive"),
+        F.round(F.abs(af - fe) / af, FA_DP).alias("ape_ewma"),
+        F.round(2.0 * F.abs(af - fe) / (F.abs(af) + F.abs(fe)), FA_DP).alias(
             "sape_ewma"
         ),
-        F.round(F.abs(a - fn), FA_DP).alias("ae_naive"),
-        F.round(F.abs(a - fe), FA_DP).alias("ae_ewma"),
     )
     dec = f"decimal(25,{FA_DP})"
     n = F.count(F.lit(1))
@@ -877,87 +914,13 @@ def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dmean(c):
         return F.sum(F.col(c).cast(dec)).cast("double") / n
 
-    return scored.groupBy("event_type").agg(
+    return terms.groupBy("event_type").agg(
         n.cast("bigint").alias("n_forecasts"),
         dmean("ape_naive").alias("mape_naive"),
         dmean("ape_ewma").alias("mape_ewma"),
         dmean("sape_ewma").alias("smape_ewma"),
         (
-            F.sum(F.col("ae_ewma").cast(dec)).cast("double")
-            / F.sum(F.col("ae_naive").cast(dec)).cast("double")
+            F.sum("ae_e_scaled").cast("double")
+            / F.sum("ae_n_scaled").cast("double")
         ).alias("mase_ewma"),
-    )
-
-
-TWA_DP = 8  # final ratio rounding: the scaled decimal sums exceed 2^53,
-            # so the double casts may differ in the last ulp per engine;
-            # rounding the RATIO (not the sums) restores bit equality.
-
-
-@register(
-    "window_time_weighted_avg",
-    tags=("timeseries", "window", "twap"),
-    oracle=f"""
-WITH seq AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, value, ts,
-         LEAD(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
-                        ORDER BY ts, event_id) AS nxt
-  FROM events
-),
-weighted AS (
-  SELECT event_type, day,
-         CAST(value AS DECIMAL(12,2))
-           * CAST(epoch_us(nxt) - epoch_us(ts) AS DECIMAL(18,0)) AS wv,
-         epoch_us(nxt) - epoch_us(ts) AS w
-  FROM seq WHERE nxt IS NOT NULL
-)
-SELECT event_type, day,
-       CAST(COUNT(*) AS BIGINT) AS n_intervals,
-       CAST(SUM(w) AS BIGINT) AS covered_us,
-       round(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), {TWA_DP})
-         AS twa_value
-FROM weighted GROUP BY event_type, day
-""",
-)
-def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-weighted average over an IRREGULAR series (the TWAP /
-    time_weight operator of tick stores): each observation counts for
-    the micro-seconds until the next one, per (event_type, day) —
-    where a plain AVG over-weights bursts, this is the number a
-    billing/utilization/price pipeline actually wants.
-
-    One exchange on (event_type, day) drives both the LEAD window and
-    the final reduce. Weights are exact integer µs, products exact
-    DECIMAL(12,2)×INT — the sums are lossless; only the final ratio is
-    rounded (at {TWA_DP} dp) because its scaled numerator exceeds 2^53
-    where engine double-casts may split an ulp. The last observation
-    of each day carries no duration and is excluded (open interval) —
-    same contract as range-interpolated time_weight."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
-        "ts", "event_id"
-    )
-    seq = ev.select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        "value",
-        "ts",
-        F.lead("ts").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    dur = F.unix_micros("nxt") - F.unix_micros("ts")
-    weighted = seq.select(
-        "event_type",
-        "day",
-        (
-            F.col("value").cast("decimal(12,2)")
-            * dur.cast("decimal(18,0)")
-        ).alias("wv"),
-        dur.alias("w"),
-    )
-    return weighted.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
-        F.sum("w").cast("bigint").alias("covered_us"),
-        F.round(
-            F.sum("wv").cast("double") / F.sum("w").cast("double"), TWA_DP
-        ).alias("twa_value"),
     )
