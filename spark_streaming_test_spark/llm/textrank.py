@@ -164,3 +164,145 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rank"),
         )
     )
+
+
+# --- RAKE keyphrases -------------------------------------------------------
+
+RAKE_STOP = ("a", "the", "big", "small", "fast", "slow")
+RAKE_MAX_LEN = 4   # RAKE convention: drop over-long candidate runs
+RAKE_TOP = 25
+
+
+@register(
+    "text_rake_keyphrases",
+    tags=("llm", "text", "keywords", "rake"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         string_split(lower(text), ' ')[CAST(t.i AS INTEGER)] AS token
+  FROM documents,
+       LATERAL unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN token IN {RAKE_STOP} THEN 1 ELSE 0 END AS is_stop,
+         SUM(CASE WHEN token IN {RAKE_STOP} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, run_id,
+         list(token ORDER BY pos) AS words
+  FROM flagged WHERE is_stop = 0
+  GROUP BY doc_id, run_id
+),
+phrases AS (
+  SELECT doc_id, run_id, words, len(words) AS plen,
+         array_to_string(words, ' ') AS phrase
+  FROM runs WHERE len(words) BETWEEN 1 AND {RAKE_MAX_LEN}
+),
+members AS (
+  SELECT phrase, plen, CAST(t.i AS BIGINT) AS wpos,
+         words[CAST(t.i AS INTEGER)] AS w
+  FROM phrases, LATERAL unnest(range(1, plen + 1)) AS t(i)
+),
+wstats AS (
+  SELECT w, CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS wscore
+  FROM members GROUP BY w
+),
+pscore AS (
+  SELECT m.phrase,
+         list_reduce(list(s.wscore ORDER BY m.wpos),
+                     (acc, x) -> acc + x) AS score
+  FROM (SELECT DISTINCT phrase, wpos, w FROM members) m
+  JOIN wstats s ON m.w = s.w
+  GROUP BY m.phrase
+),
+counts AS (SELECT phrase, COUNT(*) AS n_occ FROM phrases GROUP BY phrase)
+SELECT phrase, CAST(n_occ AS BIGINT) AS n_occurrences, score,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT c.phrase, c.n_occ, p.score,
+         ROW_NUMBER() OVER (ORDER BY p.score DESC, c.phrase) AS rk
+  FROM counts c JOIN pscore p ON c.phrase = p.phrase
+) WHERE rk <= {RAKE_TOP}
+""",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction — the degree/frequency counterpart to
+    ``text_textrank_keywords``: candidate phrases are maximal
+    stopword-delimited token runs (≤ {RAKE_MAX_LEN} words), each word
+    scores degree/frequency over all candidate instances (words that
+    appear inside LONGER phrases score higher), and a phrase scores
+    the sum of its words — no graph, no iteration, which is exactly
+    RAKE's appeal at corpus scale.
+
+    Scale: tokenize+flag is a projection; run grouping rides one
+    (doc, run) exchange; word stats are a vocabulary-sized aggregate
+    (Heaps-bounded, broadcast back onto distinct phrase members); the
+    final top-{RAKE_TOP} is a WindowGroupLimit. Phrase scores fold the
+    per-word doubles IN WORD ORDER (a bounded ≤{RAKE_MAX_LEN}-term
+    fold both engines replay identically), so no rounding is needed
+    anywhere."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    is_stop = F.col("token").isin(*RAKE_STOP).cast("int")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = toks.select(
+        "doc_id", "pos", "token", is_stop.alias("is_stop")
+    ).withColumn("run_id", F.sum("is_stop").over(wdoc))
+    runs = (
+        flagged.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ).alias("words")
+        )
+    )
+    phrases = runs.filter(
+        F.size("words").between(1, RAKE_MAX_LEN)
+    ).select(
+        "doc_id",
+        "run_id",
+        "words",
+        F.size("words").alias("plen"),
+        F.array_join("words", " ").alias("phrase"),
+    )
+    members = phrases.select(
+        "phrase",
+        "plen",
+        F.posexplode("words").alias("wpos0", "w"),
+    ).select("phrase", "plen", (F.col("wpos0") + 1).alias("wpos"), "w")
+    wstats = members.groupBy("w").agg(
+        (F.sum("plen").cast("double") / F.count(F.lit(1))).alias("wscore")
+    )
+    pscore = (
+        members.select("phrase", "wpos", "w")
+        .distinct()
+        .join(F.broadcast(wstats), "w")
+        .groupBy("phrase")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(wpos, wscore))),"
+                " s -> s.wscore), 0.0D, (acc, x) -> acc + x)"
+            ).alias("score")
+        )
+    )
+    counts = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    wr = Window.orderBy(F.col("score").desc(), "phrase")
+    return (
+        counts.join(pscore, "phrase")
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= RAKE_TOP)
+        .select("phrase", "n_occurrences", "score", "rank")
+    )
