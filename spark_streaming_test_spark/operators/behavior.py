@@ -798,3 +798,105 @@ def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sessions") >= MIN_PATH_SUPPORT)
     )
+
+
+BOT_BURST_PER_MIN = 5   # max events in any single minute
+BOT_MIN_GAP_S = 2       # fastest human-plausible repeat, seconds
+BOT_MIN_EVENTS = 20     # ignore low-activity users
+
+
+@register(
+    "events_bot_detection",
+    tags=("behavior", "quality", "heuristics"),
+    oracle=f"""
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS c
+  FROM events GROUP BY user_id, date_trunc('minute', ts)
+),
+burst AS (SELECT user_id, MAX(c) AS max_per_min FROM per_min GROUP BY user_id),
+gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+gapstats AS (
+  SELECT user_id,
+         MIN(gap_us) AS min_gap_us,
+         SUM(CASE WHEN gap_us < {BOT_MIN_GAP_S} * 1000000 THEN 1 ELSE 0 END)
+           AS n_rapid
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+),
+base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events GROUP BY user_id
+)
+SELECT b.user_id,
+       CAST(b.n_events AS BIGINT) AS n_events,
+       CAST(b.n_types AS INTEGER) AS n_types,
+       CAST(bu.max_per_min AS INTEGER) AS max_per_min,
+       CAST(g.min_gap_us AS BIGINT) AS min_gap_us,
+       CAST(g.n_rapid AS BIGINT) AS n_rapid,
+       (bu.max_per_min > {BOT_BURST_PER_MIN}
+        OR g.n_rapid * 2 > b.n_events
+        OR b.n_types = 1) AS bot_suspect
+FROM base b
+JOIN burst bu ON b.user_id = bu.user_id
+JOIN gapstats g ON b.user_id = g.user_id
+WHERE b.n_events >= {BOT_MIN_EVENTS}
+""",
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation heuristics per user — the trust-and-safety twin
+    of the corpus quality filters: burstiness (max events in any one
+    minute), inhuman repeat speed (min and count of sub-{BOT_MIN_GAP_S}s
+    gaps), and behavioral monotony (single event type). Any tripwire
+    flags the account for review; thresholds are the knobs a fraud
+    team tunes against labeled cases.
+
+    ONE exchange on user_id serves the gap window and the per-user
+    reduces (the minute-bucket burst aggregates map-side first), and
+    the signals join user-keyed aggregates — O(users) frames, not
+    events. All integer timestamps and counts: nothing to round."""
+    ev = load(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    burst = per_min.groupBy("user_id").agg(F.max("c").alias("max_per_min"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    gapstats = gaps.groupBy("user_id").agg(
+        F.min("gap_us").alias("min_gap_us"),
+        F.sum(
+            F.when(F.col("gap_us") < BOT_MIN_GAP_S * 1_000_000, 1).otherwise(0)
+        ).alias("n_rapid"),
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    suspect = (
+        (F.col("max_per_min") > BOT_BURST_PER_MIN)
+        | (F.col("n_rapid") * 2 > F.col("n_events"))
+        | (F.col("n_types") == 1)
+    )
+    return (
+        base.filter(F.col("n_events") >= BOT_MIN_EVENTS)
+        .join(burst, "user_id")
+        .join(gapstats, "user_id")
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_types").cast("int").alias("n_types"),
+            F.col("max_per_min").cast("int").alias("max_per_min"),
+            F.col("min_gap_us").cast("bigint").alias("min_gap_us"),
+            F.col("n_rapid").cast("bigint").alias("n_rapid"),
+            suspect.alias("bot_suspect"),
+        )
+    )

@@ -494,3 +494,46 @@ def scan_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").between(MANIFEST_LO, MANIFEST_HI))
         .select("event_id", "value")
     )
+
+
+TT_VERSIONS = 2  # snapshots materialized by the demo query
+
+
+@register(
+    "scan_time_travel",
+    tags=("source", "parquet", "lakehouse", "snapshot"),
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, 0 AS version FROM nation
+WHERE n_regionkey <> 1
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 1 AS version FROM nation
+""",
+)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel without a table format: every write lands
+    in an immutable ``v=N`` directory and readers pin a version — the
+    copy-on-write discipline Delta/Iceberg formalize, expressed as
+    plain parquet + a version column. The query writes snapshot v0 (a
+    filtered state), then v1 (the full state), and reads BOTH back
+    side-by-side — proving an old snapshot stays byte-stable after
+    later writes (the audit/reproducibility contract: training runs
+    pin the exact corpus snapshot they saw).
+
+    Scale: versions are directories, so pinning is partition pruning
+    on the version column; storage cost is per-snapshot deltas in a
+    real format, full copies here (the demo's simplification —
+    documented, not hidden). Readers never see a half-written
+    snapshot because the version directory only becomes referenced
+    after its write completes."""
+    nation = load(spark, sf_dir, "nation")
+    base = os.path.join(SCRATCH, "nation_versions")
+    v0 = nation.filter(F.col("n_regionkey") != 1)
+    v0.write.mode("overwrite").parquet(os.path.join(base, "v=0"))
+    nation.write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    read0 = spark.read.schema(NATION_DDL).parquet(
+        os.path.join(base, "v=0")
+    ).withColumn("version", F.lit(0))
+    read1 = spark.read.schema(NATION_DDL).parquet(
+        os.path.join(base, "v=1")
+    ).withColumn("version", F.lit(1))
+    return read0.unionAll(read1)
