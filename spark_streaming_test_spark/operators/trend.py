@@ -924,3 +924,69 @@ def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("ae_n_scaled").cast("double")
         ).alias("mase_ewma"),
     )
+
+
+@register(
+    "window_drawdown",
+    tags=("timeseries", "window", "risk"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+cum AS (
+  SELECT event_type, h,
+         CAST(SUM(hv) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS UNBOUNDED PRECEDING) AS DECIMAL(24,2))
+           AS equity
+  FROM hourly
+),
+dd AS (
+  SELECT event_type, h, equity,
+         CAST(MAX(equity) OVER (PARTITION BY event_type ORDER BY h
+                                ROWS UNBOUNDED PRECEDING) AS DECIMAL(24,2))
+           AS peak
+  FROM cum
+)
+SELECT event_type,
+       CAST(MAX(peak - equity) AS DOUBLE) AS max_drawdown,
+       CAST(MAX(CASE WHEN peak - equity
+                        = (SELECT MAX(p2.peak - p2.equity) FROM dd p2
+                           WHERE p2.event_type = dd.event_type)
+                 THEN h END) AS TIMESTAMP) AS worst_at,
+       CAST(MAX(equity) AS DOUBLE) AS peak_equity
+FROM dd GROUP BY event_type
+""",
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the risk metric over the running
+    cumulative total (treat hourly totals as P&L): drawdown(t) =
+    running-peak − equity(t); report the worst, when it bottomed
+    (latest such hour on ties), and the peak. Rolling sums, running
+    max, and the differences all stay in EXACT decimal (2-decimal
+    inputs), so no float ever enters — the double casts at the end
+    convert exact small decimals losslessly.
+
+    One exchange on event_type drives both stacked windows and the
+    final reduce — the running-max-over-running-sum pattern costs no
+    more than one window."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = (
+        _hourly_sum(spark, sf_dir)
+        .withColumn("equity", F.sum("hv").over(w).cast("decimal(24,2)"))
+        .withColumn("peak", F.max("equity").over(w).cast("decimal(24,2)"))
+        .withColumn("draw", F.col("peak") - F.col("equity"))
+    )
+    worst = dd.groupBy("event_type").agg(F.max("draw").alias("max_draw"))
+    return (
+        dd.join(worst, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("draw").cast("double").alias("max_drawdown"),
+            F.max(
+                F.when(F.col("draw") == F.col("max_draw"), F.col("h"))
+            ).alias("worst_at"),
+            F.max("equity").cast("double").alias("peak_equity"),
+        )
+    )
