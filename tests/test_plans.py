@@ -590,3 +590,32 @@ def test_manifest_pruning_skips_files(spark, qs):
     kept, total = scan_manifest_pruning.last_file_counts
     assert kept < total, (kept, total)
     assert kept >= 1
+
+
+def test_prefix_join_no_cartesian_and_reused_exchange(spark, qs):
+    # PPJoin candidates must come from the prefix-token equi-join
+    # (shuffle-hash, AQE-reusable) — never a cartesian fallback.
+    df = qs["join_set_similarity_prefix"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
+    checks.assert_operator(df, "BroadcastNestedLoopJoin", present=False)
+
+
+def test_rake_vocab_broadcasts(spark, qs):
+    # Word scores are a vocabulary-sized aggregate and must broadcast
+    # back onto phrase members, not shuffle the corpus against them.
+    df = qs["text_rake_keyphrases"](spark, SF_DIR)
+    checks.assert_broadcast_join(df)
+
+
+def test_binary_hamming_single_scan_shape(spark, qs):
+    # Packing is a projection; the 5 query rows join via broadcast
+    # nested loop (the <> condition has no equi-key) and the top-k
+    # collapses to WindowGroupLimit.
+    df = qs["sim_binary_hamming_topk"](spark, SF_DIR)
+    checks.assert_operator(df, "BroadcastNestedLoopJoin")
+    checks.assert_operator(df, "WindowGroupLimit")
+
+
+def test_bot_detection_no_cartesian(spark, qs):
+    df = qs["events_bot_detection"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
