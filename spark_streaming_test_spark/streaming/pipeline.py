@@ -455,3 +455,45 @@ def ewma_stream(values: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def merge_upsert_writer(state_path: str, key_cols: list[str]):
+    """``foreachBatch`` MERGE sink: maintain a keyed GOLDEN TABLE under
+    ``state_path`` by upserting each micro-batch — existing keys update
+    (last-writer-wins within the batch is the caller's pre-aggregation
+    contract), new keys insert. Plain-parquet copy-on-write rendition
+    of ``MERGE INTO`` (Delta/Iceberg make the rewrite transactional;
+    the anti-join + union algebra is identical — and the same as the
+    batch `cdc_merge_apply` operator, here driven incrementally).
+
+    Staging-then-rename keeps readers off half-written state; the
+    rewrite cost is the golden table, not history — the incremental
+    alternative to recomputing a full aggregate every batch. At scale
+    the table is partitioned and only partitions containing batch keys
+    rewrite (dynamic partition overwrite — `scan_dynamic_partition_
+    overwrite` proves that isolation)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        current = os.path.join(state_path, "current")
+        staged = os.path.join(state_path, f"_staged_{batch_id}")
+        if os.path.exists(current):
+            existing = spark.read.parquet(current)
+            keep = existing.join(
+                batch_df.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            merged = keep.unionByName(batch_df)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(staged)
+        old = os.path.join(state_path, f"_old_{batch_id}")
+        if os.path.exists(current):
+            os.rename(current, old)
+        os.rename(staged, current)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return write

@@ -1151,3 +1151,54 @@ def test_streaming_ewma_state_survives_restart(spark, tmp_path):
     # batch 0: fold(100, 50) = 75.0; batch 1 resumes from state:
     # (75 + 75) / 2 = 75.0 with n=3 — a fresh fold would report n=1.
     assert rows == [(2, 75.0), (3, 75.0)], rows
+
+
+def test_foreach_batch_merge_upsert_golden_table(spark, tmp_path):
+    """Incremental MERGE sink: the golden table after N micro-batches
+    must equal the batch recompute over everything ingested — keys
+    seen again UPDATE in place (no duplicates), new keys insert, and
+    a reader never sees more than one row per key."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.streaming.pipeline import (
+        merge_upsert_writer,
+        packet_stream_from_dir,
+    )
+
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "golden")
+    batches = [
+        [("A", 10.0, _ts(0)), ("B", 5.0, _ts(1))],
+        [("A", 99.0, _ts(2)), ("C", 7.0, _ts(3))],   # A updates, C inserts
+        [("B", 1.0, _ts(4))],                         # B updates
+    ]
+    _write_packet_batch(spark, src, batches[0], 0)
+    # Per-key totals within the micro-batch; MERGE keys on nif.
+    agg = (
+        packet_stream_from_dir(spark, src)
+        .groupBy("nif")
+        .agg(F.max("bytes").alias("last_length"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(merge_upsert_writer(state, ["nif"]))
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_packet_batch(spark, src, rows, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["nif"]: r["last_length"]
+        for r in spark.read.parquet(f"{state}/current").collect()
+    }
+    # complete-mode aggregate over ALL ingested rows -> max per key.
+    assert got == {"A": 99.0, "B": 5.0, "C": 7.0}, got
+    # exactly one row per key — the reader-facing MERGE invariant.
+    n = spark.read.parquet(f"{state}/current").count()
+    assert n == 3, n
