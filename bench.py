@@ -70,6 +70,10 @@ HEADLINE = [
     "join_fuzzy_dictionary",     # broadcast NLJ + levenshtein + top-1 window
     "mlstats_auc_roc",           # rank-statistic AUC: count-pair shuffle + window
     "geo_radius_join",           # grid-cell spatial candidate join
+    "join_interval_overlap",     # 1-D binned interval-overlap candidates
+    "sim_binary_hamming_topk",   # sign-bit pack + XOR/popcount retrieval
+    "dedup_incremental_exact",   # base-index probe + intra-delta window
+    "text_rake_keyphrases",      # stopword runs + vocab-bounded scores
 ]
 
 

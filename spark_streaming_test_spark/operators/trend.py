@@ -990,3 +990,77 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("equity").cast("double").alias("peak_equity"),
         )
     )
+
+
+TWA_DP = 8  # final ratio rounding: the scaled decimal sums exceed 2^53,
+            # so the double casts may differ in the last ulp per engine;
+            # rounding the RATIO (not the sums) restores bit equality.
+
+
+@register(
+    "window_time_weighted_avg",
+    tags=("timeseries", "window", "twap"),
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value, ts,
+         LEAD(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                        ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+weighted AS (
+  SELECT event_type, day,
+         CAST(value AS DECIMAL(12,2))
+           * CAST(epoch_us(nxt) - epoch_us(ts) AS DECIMAL(18,0)) AS wv,
+         epoch_us(nxt) - epoch_us(ts) AS w
+  FROM seq WHERE nxt IS NOT NULL
+)
+SELECT event_type, day,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(w) AS BIGINT) AS covered_us,
+       round(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), {TWA_DP})
+         AS twa_value
+FROM weighted GROUP BY event_type, day
+""",
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series (the TWAP /
+    time_weight operator of tick stores): each observation counts for
+    the micro-seconds until the next one, per (event_type, day) —
+    where a plain AVG over-weights bursts, this is the number a
+    billing/utilization/price pipeline actually wants.
+
+    One exchange on (event_type, day) drives both the LEAD window and
+    the final reduce. Weights are exact integer µs, products exact
+    DECIMAL(12,2)×INT — the sums are lossless; only the final ratio is
+    rounded (at {TWA_DP} dp) because its scaled numerator exceeds 2^53
+    where engine double-casts may split an ulp. The last observation
+    of each day carries no duration and is excluded (open interval) —
+    same contract as range-interpolated time_weight."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dur = F.unix_micros("nxt") - F.unix_micros("ts")
+    weighted = seq.select(
+        "event_type",
+        "day",
+        (
+            F.col("value").cast("decimal(12,2)")
+            * dur.cast("decimal(18,0)")
+        ).alias("wv"),
+        dur.alias("w"),
+    )
+    return weighted.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("w").cast("bigint").alias("covered_us"),
+        F.round(
+            F.sum("wv").cast("double") / F.sum("w").cast("double"), TWA_DP
+        ).alias("twa_value"),
+    )
