@@ -327,3 +327,132 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# --- two-stage cascade: binary shortlist -> exact cosine rerank -----------
+
+CASCADE_SHORTLIST = 50
+
+
+def _sql_hamming_ranked() -> str:
+    """Shared CTE text: packed signatures + per-query Hamming ranking."""
+    return f"""
+packed AS (
+  SELECT vec_id, {_sql_pack('lo')} AS lo, {_sql_pack('hi')} AS hi
+  FROM embeddings
+),
+q AS (SELECT vec_id, lo, hi FROM packed WHERE vec_id < {N_QUERIES}),
+hscored AS (
+  SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+         bit_count(xor(q.lo, p.lo)) + bit_count(xor(q.hi, p.hi)) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY bit_count(xor(q.lo, p.lo))
+                                     + bit_count(xor(q.hi, p.hi)),
+                                     p.vec_id) AS hrank
+  FROM q JOIN packed p ON p.vec_id <> q.vec_id
+)"""
+
+
+@register(
+    "sim_two_stage_rerank",
+    tags=("llm", "similarity", "cascade", "topk"),
+    oracle=f"""
+WITH {_sql_hamming_ranked()},
+shortlist AS (
+  SELECT query_id, neighbor_id FROM hscored
+  WHERE hrank <= {CASCADE_SHORTLIST}
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_inner_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[])))
+           AS cosine
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rescored
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval CASCADE: stage 1 scans the 16-byte
+    binary signatures and keeps a {CASCADE_SHORTLIST}-deep Hamming
+    shortlist per query (cache-speed, no floats); stage 2 re-scores
+    ONLY the shortlist with exact float cosine and emits the final
+    top-{TOP_K}. This is how billion-vector deployments spend their
+    compute: the expensive metric touches candidates, never the
+    corpus — and unlike a one-stage ANN, quality degrades gracefully
+    (deeper shortlist → higher recall, same plan).
+
+    Scale: stage 1 is the `sim_binary_hamming_topk` shape (projection
+    + WindowGroupLimit); stage 2 joins the O(queries × shortlist)
+    frame against the float vectors by id — a point-lookup-sized
+    hash join. Integer stage 1 + the engine's bitwise-stable cosine
+    make the whole cascade hash-comparable."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+
+    def pack(base: int):
+        word = F.lit(0).cast("bigint")
+        for i in range(base, base + BQ_HALF):
+            word = word.bitwiseOR(
+                F.when(
+                    F.element_at("embedding", i + 1) > 0,
+                    F.lit(1 << (i - base)).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+        return word
+
+    packed = e.select("vec_id", pack(0).alias("lo"), pack(BQ_HALF).alias("hi"))
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    wham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    shortlist = (
+        packed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(wham))
+        .filter(F.col("hrank") <= CASCADE_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    from .similarity import _as_double, cosine as _cos
+
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    rescored = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -723,3 +723,71 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         greedy,
         schema="query_id long, pick int, neighbor_id long, mmr_score double",
     )
+
+
+# --- ANN recall evaluation (IVF vs exact ground truth) --------------------
+
+
+def _registered_oracle(name: str) -> str:
+    from ..registry import all_queries
+
+    return all_queries()[name].oracle
+
+
+@register(
+    "sim_recall_eval",
+    tags=("llm", "similarity", "evaluation"),
+    # Oracle built lazily below (composes the two registered oracles) —
+    # registry assembles before first use, so resolve at import of this
+    # module's tail, after both component queries registered.
+    oracle=None,  # placeholder, replaced immediately after registration
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN path against the exact brute-force
+    ground truth — the eval every ANN deployment runs before trading
+    exactness for speed, expressed as a JOIN of the two retrieval
+    operators this engine already ships (both bitwise-deterministic,
+    which is why the recall NUMBER itself is oracle-checkable — on
+    most engines ANN eval is inherently flaky).
+
+    Scale: both sides are per-query top-k frames (O(queries × k)), so
+    the comparison join and per-query reduce are trivially small next
+    to the retrieval passes themselves; the exact side is the one you
+    sample down in production (ground truth over a query SAMPLE), the
+    IVF side runs at full fleet scale."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hit = approx.withColumnRenamed("ivf_neighbor", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("recall"),
+    )
+
+
+# Compose the recall oracle from the two component oracles (each is a
+# complete WITH..SELECT — legal as a parenthesized subquery).
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["sim_recall_eval"].oracle = f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM ({_registered_oracle('sim_bruteforce_topk')}) e
+LEFT JOIN ({_registered_oracle('sim_ivf_topk')}) i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
