@@ -537,3 +537,40 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "v=1")
     ).withColumn("version", F.lit(1))
     return read0.unionAll(read1)
+
+
+DV_DELETE_MOD = 7  # synthetic delete set: every 7th event id
+
+
+@register(
+    "scan_row_level_deletes",
+    tags=("source", "parquet", "lakehouse", "deletes"),
+    oracle=f"""
+SELECT event_id, event_type, value FROM events
+WHERE event_id % {DV_DELETE_MOD} <> 0
+""",
+)
+def scan_row_level_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector read path (Delta DVs / Iceberg equality deletes):
+    instead of rewriting data files to delete rows, a tiny DELETE FILE
+    of keys rides next to the immutable base files and every read
+    anti-joins it out. The query writes the base table once, writes a
+    separate delete-key file, and reads base MINUS deletes — no base
+    rewrite ever happened, which is the entire point (deleting 0.1% of
+    a 100 TB table costs kilobytes, not a rewrite).
+
+    Scale: the delete set is usually small → broadcast anti-join (zero
+    base-side shuffle, as here); a pathological delete set falls back
+    to a co-hashed anti-join — same plan algebra. Compaction later
+    folds deletes into the base (`scan_compacted_write`) and drops the
+    delete file."""
+    base = os.path.join(SCRATCH, "events_dv")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(os.path.join(base, "data"))
+    deletes = ev.filter(F.col("event_id") % DV_DELETE_MOD == 0).select(
+        "event_id"
+    )
+    deletes.write.mode("overwrite").parquet(os.path.join(base, "deletes"))
+    data = spark.read.parquet(os.path.join(base, "data"))
+    dv = spark.read.parquet(os.path.join(base, "deletes"))
+    return data.join(F.broadcast(dv), "event_id", "left_anti")
