@@ -503,3 +503,51 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
     return keyed.withColumn("position", F.row_number().over(w))
+
+
+KFOLDS = 5
+
+
+@register(
+    "sample_group_kfold",
+    tags=("llm", "sampling", "splitting"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(source), 1, 8))::UBIGINT % {KFOLDS}
+              AS INTEGER) AS fold
+  FROM documents
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups
+FROM assigned GROUP BY fold
+""",
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment — cross-validation WITHOUT leakage: the
+    fold is a hash of the GROUP (source), never the row, so every
+    document from one source lands in the same fold and a model
+    evaluated on fold i has truly never seen that source. The audit
+    frame reports docs and groups per fold (group counts across folds
+    sum to the distinct-source total ⇒ each group lives in exactly one
+    fold — the invariant `split_train_test` holds at row grain, lifted
+    to group grain).
+
+    Scale: fold assignment is a pure projection (md5 in codegen, no
+    group dictionary, no shuffle-by-group); the audit reduce carries
+    O(folds × sources) partials. Deterministic and replay-safe like
+    every hash split here."""
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("bigint")
+        % KFOLDS
+    ).cast("int")
+    return (
+        d.select(fold.alias("fold"), "source")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_groups"),
+        )
+    )

@@ -634,3 +634,77 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("core_degree"))
         .select(F.col("node").alias("part_id"), "core_degree")
     )
+
+
+# --- multi-hop BFS distances from the hub node ----------------------------
+
+BFS_MAX_HOPS = 12
+
+
+@register(
+    "graph_bfs_hops",
+    tags=("graph", "iterative", "bfs"),
+    oracle=f"""
+WITH RECURSIVE {_SQL_COPURCHASE},
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY src),
+hub AS (
+  SELECT node FROM (
+    SELECT node, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rn FROM deg
+  ) WHERE rn = 1
+),
+reach(node, dist) AS (
+  SELECT node, 0 FROM hub
+  UNION
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN und e ON e.src = r.node
+  WHERE r.dist < {BFS_MAX_HOPS}
+)
+SELECT node AS part_id, CAST(MIN(dist) AS INTEGER) AS hops
+FROM reach GROUP BY node
+""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from the HUB (highest-degree part,
+    ties to the smaller id) to every reachable node — the "how far is
+    everything from the center" query behind influence radii and
+    cache-warming order. The frontier loop is the min-label machinery
+    with +1 arithmetic: each round the frontier's neighbors adopt
+    dist+1 if unvisited; stops when no node is newly reached (graph
+    diameter rounds — the {BFS_MAX_HOPS}-hop cap mirrors the oracle's
+    recursion bound and covers this graph's diameter with slack).
+
+    Per round: ONE frontier×edges join + min-reduce, frontier-sized
+    shuffles (not edge-sized), lineage checkpointed. The converged
+    distance field is pure integer — hash-comparable like the other
+    iterative fixpoints."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hub = (
+        deg.orderBy(F.col("d").desc(), "node").limit(1).select("node")
+    )
+    dist = hub.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            und.join(
+                frontier.select(F.col("node").alias("u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.select(
+        F.col("node").alias("part_id"), F.col("hops").cast("int").alias("hops")
+    )

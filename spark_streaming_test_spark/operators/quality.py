@@ -534,3 +534,81 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_b.alias("p_b"),
         F.round((p_b - p_a) * F.log(p_b / p_a), PSI_DP).alias("psi_term"),
     )
+
+
+CAT_DRIFT_DP = 8
+
+
+@register(
+    "dq_categorical_drift",
+    tags=("quality", "drift", "mlops"),
+    oracle=f"""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 0 ELSE 1 END AS half
+  FROM events
+),
+cells AS (
+  SELECT event_type, half, COUNT(*) AS n FROM tagged GROUP BY event_type, half
+),
+margins AS (
+  SELECT c.event_type, c.half, c.n,
+         SUM(c.n) OVER (PARTITION BY c.event_type) AS row_tot,
+         SUM(c.n) OVER (PARTITION BY c.half) AS col_tot,
+         SUM(c.n) OVER () AS grand
+  FROM cells c
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT) AS n_after,
+       CAST(SUM(round(
+         (n - CAST(row_tot AS DOUBLE) * col_tot / grand)
+         * (n - CAST(row_tot AS DOUBLE) * col_tot / grand)
+         / (CAST(row_tot AS DOUBLE) * col_tot / grand), {CAT_DRIFT_DP}))
+         AS DECIMAL(25,{CAT_DRIFT_DP}))::DOUBLE AS chi2_contrib
+FROM margins GROUP BY event_type
+""",
+)
+def dq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor — the nominal-feature twin of
+    `dq_psi_drift`: a before/after chi-square decomposition per
+    category (summing `chi2_contrib` gives the full independence
+    statistic; a category whose contribution spikes is WHAT drifted,
+    which the omnibus number alone can't say).
+
+    One (category, half) count reduce, margin windows over the
+    category-cardinality frame, and per-cell contributions rounded at
+    {CAT_DRIFT_DP} dp (ratio-of-counts doubles — generic) then summed
+    as decimals. Everything shuffles O(categories), never events."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.col("ts") < PSI_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    cells = tagged.groupBy("event_type", "half").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("half")
+    wg = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "half",
+        "n",
+        F.sum("n").over(wr).alias("row_tot"),
+        F.sum("n").over(wc).alias("col_tot"),
+        F.sum("n").over(wg).alias("grand"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    contrib = F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, CAT_DRIFT_DP)
+    return m.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_before"),
+        F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_after"),
+        F.sum(contrib.cast(f"decimal(25,{CAT_DRIFT_DP})"))
+        .cast("double")
+        .alias("chi2_contrib"),
+    )
