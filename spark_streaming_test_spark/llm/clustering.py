@@ -30,7 +30,7 @@ in ``tests/test_llm.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
@@ -419,4 +419,86 @@ def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
             z.alias("z"),
         )
+    )
+
+
+@register(
+    "emb_cluster_purity",
+    tags=("llm", "clustering", "evaluation"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < {K}
+),
+corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+scored AS (
+  SELECT corpus.vec_id, corpus.label, cent.cid,
+         round({_sql_dist2('x', 'c')}, {DIST_DP}) AS d2
+  FROM corpus CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, label, cid FROM (
+    SELECT vec_id, label, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+lc AS (
+  SELECT cid, label, COUNT(*) AS n FROM best GROUP BY cid, label
+),
+maj AS (
+  SELECT cid, label AS majority_label, n AS n_majority FROM (
+    SELECT cid, label, n,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+    FROM lc
+  ) WHERE rn = 1
+),
+sz AS (SELECT cid, SUM(n) AS n_members FROM lc GROUP BY cid)
+SELECT s.cid AS cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(m.majority_label AS INTEGER) AS majority_label,
+       CAST(m.n_majority AS BIGINT) AS n_majority,
+       CAST(m.n_majority AS DOUBLE) / s.n_members AS purity
+FROM sz s JOIN maj m ON s.cid = m.cid
+""",
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation against ground-truth labels: assign
+    the corpus to the deterministic seed centroids, then report each
+    cluster's size, majority label, and PURITY (majority fraction) —
+    the sanity number you check before trusting any cluster-derived
+    curation decision (SemDeDup, per-cluster sampling, outlier
+    mining). Weighted-averaging the purity column gives overall
+    clustering purity.
+
+    Scale: same map-only broadcast-centroid assignment as
+    `emb_kmeans_assign`; the label contingency reduce carries
+    O(K × labels) cells with map-side combine; majority pick is a
+    rank-1 window over that tiny frame. Integer counts to one final
+    division."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    assigned = _assign(
+        e.select("vec_id", F.col("x")), _seed_centroids(spark, sf_dir, K)
+    ).join(e.select("vec_id", "label"), "vec_id")
+    lc = assigned.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
+    wmaj = Window.partitionBy("cid").orderBy(F.col("n").desc(), "label")
+    maj = (
+        lc.withColumn("rn", F.row_number().over(wmaj))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    sz = lc.groupBy("cid").agg(F.sum("n").alias("n_members"))
+    return sz.join(maj, "cid").select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("majority_label").cast("int").alias("majority_label"),
+        F.col("n_majority").cast("bigint").alias("n_majority"),
+        (F.col("n_majority").cast("double") / F.col("n_members")).alias(
+            "purity"
+        ),
     )
