@@ -513,3 +513,51 @@ def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("top_type"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
     )
+
+
+@register(
+    "fn_try_arithmetic_suite",
+    tags=("scalar", "ansi", "error-handling"),
+    oracle="""
+SELECT event_id,
+       CASE WHEN CAST(floor(value) AS BIGINT) > 807 THEN NULL
+            ELSE CAST(floor(value) AS BIGINT) + 9223372036854775000
+       END AS overflow_guarded,
+       value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS safe_div,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_ok,
+       TRY_CAST(event_type AS INTEGER) AS bad_cast,
+       string_split(event_type, 'a')[1] AS elem1,
+       CASE WHEN len(string_split(event_type, 'a')) >= 9
+            THEN string_split(event_type, 'a')[9] ELSE NULL END AS elem_oob
+FROM events
+""",
+)
+def fn_try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error hardening: Spark 4 runs ANSI SQL by default, so
+    overflow/bad-cast/div-by-zero THROW mid-job — on a 1000-executor
+    run that's an hours-in abort from one poison row. The ``try_*``
+    family (try_add, try_divide, try_cast) converts each hazard to
+    NULL row-locally, which is the production posture for untrusted
+    columns: route the NULLs to quarantine (`scan_csv_badrecords`
+    pattern) instead of dying.
+
+    Pure codegen projection; the oracle mirrors with NULLIF/TRY_CAST
+    (DuckDB's non-throwing semantics made explicit)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_add(
+            F.col("value").cast("bigint"), F.lit(9223372036854775000)
+        ).alias("overflow_guarded"),
+        F.try_divide(
+            F.col("value"), (F.col("event_id") % 3).cast("double")
+        ).alias("safe_div"),
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999")
+        ).cast("int").alias("k_ok"),
+        F.expr("try_cast(event_type AS INT)").alias("bad_cast"),
+        F.try_element_at(F.split("event_type", "a"), F.lit(1)).alias("elem1"),
+        F.try_element_at(F.split("event_type", "a"), F.lit(9)).alias(
+            "elem_oob"
+        ),
+    )
