@@ -1202,3 +1202,39 @@ def test_foreach_batch_merge_upsert_golden_table(spark, tmp_path):
     # exactly one row per key — the reader-facing MERGE invariant.
     n = spark.read.parquet(f"{state}/current").count()
     assert n == 3, n
+
+
+def test_stream_union_two_sources(spark, tmp_path):
+    """Two independent file-source streams UNIONed into one query — the
+    multi-region/multi-topic ingest shape (the reference runs one
+    receiver per NIC and unions implicitly; Structured Streaming makes
+    the union an explicit plan node). Each source advances its own
+    offsets; rows from both must land exactly once."""
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    chk = str(tmp_path / "chk")
+    _write_packet_batch(spark, src_a, [("A", 1.0, _ts(0))], 0)
+    _write_packet_batch(spark, src_b, [("B", 2.0, _ts(0))], 0)
+    unioned = packet_stream_from_dir(spark, src_a).unionByName(
+        packet_stream_from_dir(spark, src_b)
+    )
+    q = (
+        unioned.writeStream.format("memory")
+        .queryName("union_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_packet_batch(spark, src_a, [("A", 3.0, _ts(1))], 1)
+        q.processAllAvailable()
+        _write_packet_batch(spark, src_b, [("B", 4.0, _ts(1))], 1)
+        q.processAllAvailable()
+        got = sorted(
+            (r["nif"], r["bytes"])
+            for r in spark.sql("SELECT * FROM union_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 4.0)], got
