@@ -954,3 +954,114 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - slope * sx) / n).alias("zipf_intercept"),
         ((cov_n * cov_n) / (var_x * (n * syy - sy * sy))).alias("r2"),
     )
+
+
+# --- source-distribution similarity (Jensen–Shannon) -----------------------
+
+JSD_DP = 8
+_LN2 = "CAST(0.6931471805599453 AS DOUBLE)"  # bare literal parses DECIMAL
+
+
+@register(
+    "text_jsd_source_similarity",
+    tags=("llm", "text", "distribution", "similarity"),
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT source, token, COUNT(*) AS n FROM toks WHERE token <> ''
+  GROUP BY source, token
+),
+totals AS (SELECT source, SUM(n) AS t FROM counts GROUP BY source),
+dist AS (
+  SELECT c.source, c.token, CAST(c.n AS DOUBLE) / t.t AS p
+  FROM counts c JOIN totals t ON c.source = t.source
+),
+shared AS (
+  SELECT a.source AS sa, b.source AS sb,
+         COUNT(*) AS n_shared,
+         CAST(SUM(CAST(round(a.p * ln(2.0 * a.p / (a.p + b.p)), {JSD_DP})
+                       AS DECIMAL(25,{JSD_DP}))) AS DOUBLE) AS kl_a,
+         CAST(SUM(CAST(round(b.p * ln(2.0 * b.p / (a.p + b.p)), {JSD_DP})
+                       AS DECIMAL(25,{JSD_DP}))) AS DOUBLE) AS kl_b,
+         CAST(SUM(CAST(a.p AS DECIMAL(25,{JSD_DP}))) AS DOUBLE) AS pa_shared,
+         CAST(SUM(CAST(b.p AS DECIMAL(25,{JSD_DP}))) AS DOUBLE) AS pb_shared
+  FROM dist a JOIN dist b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT sa, sb, CAST(n_shared AS BIGINT) AS n_shared,
+       0.5 * (kl_a + kl_b)
+         + 0.5 * {_LN2} * ((1.0 - pa_shared) + (1.0 - pb_shared)) AS jsd
+FROM shared
+""",
+)
+def text_jsd_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of sources' unigram
+    distributions — which feeds are DISTRIBUTIONALLY near-duplicates
+    (mirrors, scrapes, re-crawls) even when no document matches
+    exactly: low JSD pairs are mixture-design candidates for merging,
+    and the complement of `dq_dup_rate_by_source`'s exact-hash view.
+
+    The disjoint-support mass needs no outer join: tokens present in
+    only one distribution contribute exactly ½·ln2·(their mass), so
+    everything reduces to SHARED-token sums — one inner self-join on
+    the vocabulary-keyed per-source distribution (Heaps-bounded:
+    O(sources²) output, O(vocab × sources) input). Probabilities are
+    exact count ratios; each ln-term rounds at {JSD_DP} dp then sums
+    as decimals; ln2 enters as an explicit double literal (bare SQL
+    decimals parse DECIMAL and fold differently)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            "source",
+            F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("source").agg(F.sum("n").alias("t"))
+    dist = counts.join(totals, "source").select(
+        "source", "token", (F.col("n").cast("double") / F.col("t")).alias("p")
+    )
+    a = dist.select(
+        F.col("source").alias("sa"), "token", F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("source").alias("sb"), "token", F.col("p").alias("pb")
+    )
+    dec = f"decimal(25,{JSD_DP})"
+    pa, pb = F.col("pa"), F.col("pb")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(
+                F.round(pa * F.log(2.0 * pa / (pa + pb)), JSD_DP).cast(dec)
+            ).cast("double").alias("kl_a"),
+            F.sum(
+                F.round(pb * F.log(2.0 * pb / (pa + pb)), JSD_DP).cast(dec)
+            ).cast("double").alias("kl_b"),
+            F.sum(pa.cast(dec)).cast("double").alias("pa_shared"),
+            F.sum(pb.cast(dec)).cast("double").alias("pb_shared"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return shared.select(
+        "sa",
+        "sb",
+        "n_shared",
+        # No final rounding: every operand is already an exact decimal
+        # cast or a rounded sum (bitwise identical across engines), so
+        # the composite is identical too — and a final round() could
+        # only REINTRODUCE a half-ulp tie.
+        (
+            0.5 * (F.col("kl_a") + F.col("kl_b"))
+            + 0.5
+            * ln2
+            * ((1.0 - F.col("pa_shared")) + (1.0 - F.col("pb_shared")))
+        ).alias("jsd"),
+    )
