@@ -176,3 +176,93 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_ref") >= ANOM_MIN) & (F.col("_var") > 0))
         .drop("_var")
     )
+
+
+# --- interval union / coverage --------------------------------------------
+
+
+@register(
+    "ts_interval_coverage",
+    tags=("timeseries", "interval", "gaps-islands"),
+    oracle="""
+WITH iv AS (
+  SELECT s.s_nationkey AS nation,
+         (s.s_suppkey * 97) % 300 AS a_start,
+         (s.s_suppkey * 97) % 300 + 10 + (s.s_suppkey * 131) % 30 AS a_end
+  FROM supplier s
+),
+ordered AS (
+  SELECT nation, a_start, a_end,
+         MAX(a_end) OVER (PARTITION BY nation ORDER BY a_start, a_end
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM iv
+),
+flagged AS (
+  SELECT nation, a_start, a_end,
+         CASE WHEN prev_max_end IS NULL OR a_start > prev_max_end
+              THEN 1 ELSE 0 END AS new_island
+  FROM ordered
+),
+islands AS (
+  SELECT nation, a_start, a_end,
+         SUM(new_island) OVER (PARTITION BY nation ORDER BY a_start, a_end
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT nation,
+       CAST(COUNT(DISTINCT island) AS BIGINT) AS n_islands,
+       CAST(SUM(len) AS BIGINT) AS covered_days,
+       CAST(MAX(len) AS BIGINT) AS longest_run
+FROM (
+  SELECT nation, island, MAX(a_end) - MIN(a_start) + 1 AS len
+  FROM islands GROUP BY nation, island
+) GROUP BY nation
+""",
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per nation: merge each nation's overlapping
+    supplier-availability windows into disjoint islands and report how
+    many, the total covered days, and the longest continuous run — the
+    uptime/coverage question ("when is at least one supplier
+    available?") that a plain SUM of interval lengths double-counts.
+
+    The merge is the gaps-islands idiom lifted to intervals: one
+    partition-ordered window computes the running max end; a new
+    island starts exactly when a start clears it. ONE exchange on the
+    group key serves both windows and the two-level reduce — no
+    interval self-join anywhere, so it scales as a sort, not a join.
+    Same synthetic integer-day windows as `join_interval_overlap`."""
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation"),
+        ((F.col("s_suppkey") * 97) % 300).alias("a_start"),
+        (
+            (F.col("s_suppkey") * 97) % 300
+            + 10
+            + (F.col("s_suppkey") * 131) % 30
+        ).alias("a_end"),
+    )
+    w = Window.partitionBy("nation").orderBy("a_start", "a_end")
+    prev_max = F.max("a_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = s.withColumn(
+        "new_island",
+        F.when(
+            prev_max.isNull() | (F.col("a_start") > prev_max), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = islands.groupBy("nation", "island").agg(
+        (F.max("a_end") - F.min("a_start") + 1).alias("len")
+    )
+    return per_island.groupBy("nation").agg(
+        F.countDistinct("island").cast("bigint").alias("n_islands"),
+        F.sum("len").cast("bigint").alias("covered_days"),
+        F.max("len").cast("bigint").alias("longest_run"),
+    )
