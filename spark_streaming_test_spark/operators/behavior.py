@@ -900,3 +900,65 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             suspect.alias("bot_suspect"),
         )
     )
+
+
+@register(
+    "events_stickiness",
+    tags=("behavior", "aggregation", "engagement"),
+    oracle="""
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+wau AS (
+  SELECT CAST(time_bucket(INTERVAL '1 week', ts) AS DATE) AS week_start,
+         COUNT(DISTINCT user_id) AS wau
+  FROM events GROUP BY time_bucket(INTERVAL '1 week', ts)
+),
+mau AS (SELECT COUNT(DISTINCT user_id) AS mau FROM events)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       CAST(m.mau AS BIGINT) AS mau,
+       CAST(d.dau AS DOUBLE) / w.wau AS dau_wau,
+       CAST(d.dau AS DOUBLE) / m.mau AS dau_mau
+FROM dau d
+JOIN wau w ON CAST(time_bucket(INTERVAL '1 week',
+                               CAST(d.day AS TIMESTAMP)) AS DATE) = w.week_start
+CROSS JOIN mau m
+""",
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: daily active users against the enclosing
+    week's and the full month's actives (DAU/WAU and DAU/MAU — the
+    "how habitual is usage" product metric; 1.0 means everyone active
+    this month shows up every day).
+
+    Three distinct-count reduces at different grains (day exchange
+    dominates; WAU/MAU frames are tiny and broadcast back onto the
+    daily series), integer counts to two final divisions. At fleet
+    scale the exact distincts swap for the mergeable HLL sketches of
+    `agg_hll_sketch_rollup` with identical query shape."""
+    ev = load(spark, sf_dir, "events")
+    dau = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    mau = ev.agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.withColumn(
+            "week_start",
+            F.date_trunc("week", F.col("day").cast("timestamp")).cast("date"),
+        )
+        .join(F.broadcast(wau), "week_start")
+        .crossJoin(F.broadcast(mau))
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            (F.col("dau").cast("double") / F.col("wau")).alias("dau_wau"),
+            (F.col("dau").cast("double") / F.col("mau")).alias("dau_mau"),
+        )
+    )
