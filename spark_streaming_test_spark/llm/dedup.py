@@ -912,3 +912,55 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap") >= PREFIX_OVERLAP_T)
         .select("doc_a", "doc_b", "overlap")
     )
+
+
+@register(
+    "dedup_template_shape",
+    tags=("llm", "dedup", "template"),
+    oracle="""
+WITH shaped AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_transform(string_split(lower(text), ' '),
+                          t -> CAST(length(t) AS VARCHAR)), ',')) AS shape_h
+  FROM documents
+)
+SELECT shape_h AS shape_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM shaped GROUP BY shape_h
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_template_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by SHAPE hashing: fingerprint
+    each document by its sequence of token LENGTHS (not the tokens),
+    so form letters, generated listings, and mad-lib spam — identical
+    skeletons with substituted words — collapse into one group even
+    though no two texts match byte-wise and word-level shingles mostly
+    differ. The structural complement of `dedup_exact` (content) and
+    `dedup_minhash_lsh` (set overlap).
+
+    Same scale contract as exact dedup: the shape hash is a pure
+    codegen projection and the groupBy shuffles 32-byte hashes, never
+    bodies. A production variant quantizes lengths into buckets to
+    tolerate ±1-char substitutions — same plan."""
+    d = spread(load(spark, sf_dir, "documents"))
+    shape = F.md5(
+        F.array_join(
+            F.transform(
+                F.split(F.lower("text"), " "),
+                lambda t: F.length(t).cast("string"),
+            ),
+            ",",
+        )
+    )
+    return (
+        d.select("doc_id", shape.alias("shape_hash"))
+        .groupBy("shape_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
