@@ -28,7 +28,7 @@ the one agg shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -166,4 +166,91 @@ def traffic_alerts_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_bytes",
             (F.col("total_bytes") > F.col("limit_value")).alias("is_alert"),
         )
+    )
+
+
+BURST_FACTOR = 3          # alert when a window exceeds this x trailing mean
+BURST_TRAIL = 12          # trailing 5-minute windows in the baseline (1 hour)
+BURST_MIN_HISTORY = 6     # suppress alerts until this much history exists
+
+
+@register(
+    "traffic_burst_alerts",
+    tags=("traffic", "window", "anomaly"),
+    oracle=f"""
+WITH totals AS (
+  SELECT CAST(user_id AS VARCHAR) AS nif,
+         time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+  FROM events GROUP BY user_id, time_bucket(INTERVAL '5 minutes', ts)
+),
+trailed AS (
+  SELECT nif, window_start, total,
+         CAST(SUM(total) OVER w AS DECIMAL(24,2)) AS trail_sum,
+         COUNT(*) OVER w AS trail_n
+  FROM totals
+  WINDOW w AS (PARTITION BY nif ORDER BY window_start
+               ROWS BETWEEN {BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT nif, window_start,
+       CAST(total AS DOUBLE) AS total,
+       CAST(trail_sum AS DOUBLE) / trail_n AS baseline,
+       CAST(trail_n AS INTEGER) AS n_history,
+       trail_n >= {BURST_MIN_HISTORY}
+         AND total * trail_n > {BURST_FACTOR} * trail_sum AS is_burst
+FROM trailed WHERE trail_n >= 1
+""",
+)
+def traffic_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive upgrade of the reference's STATIC limit
+    (MainApp.java:44-49 reads one global max from a config table):
+    alert when a NIC's 5-minute total exceeds {BURST_FACTOR}× its OWN
+    trailing-hour mean — per-entity baselines instead of one
+    fleet-wide constant, with an alert holdoff until
+    {BURST_MIN_HISTORY} windows of history exist (cold NICs can't
+    page). This is the static→relative threshold migration every
+    monitoring pipeline eventually makes.
+
+    One exchange on nif serves the 5-minute reduce, the trailing
+    window, and the verdict projection. The burst test cross-
+    multiplies (total·n > factor·sum) in EXACT decimal — no mean is
+    ever materialized as a float before the comparison, so the
+    boolean cannot waver cross-engine; only display columns cast to
+    double."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy(
+        F.col("user_id").cast("string").alias("nif"),
+        F.window("ts", "5 minutes").alias("w"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("total")
+    ).select("nif", F.col("w.start").alias("window_start"), "total")
+    wt = (
+        Window.partitionBy("nif")
+        .orderBy("window_start")
+        .rowsBetween(-BURST_TRAIL, -1)
+    )
+    trailed = totals.select(
+        "nif",
+        "window_start",
+        "total",
+        F.sum("total").over(wt).cast("decimal(24,2)").alias("trail_sum"),
+        F.count(F.lit(1)).over(wt).alias("trail_n"),
+    ).filter(F.col("trail_n") >= 1)
+    return trailed.select(
+        "nif",
+        "window_start",
+        F.col("total").cast("double").alias("total"),
+        (F.col("trail_sum").cast("double") / F.col("trail_n")).alias(
+            "baseline"
+        ),
+        F.col("trail_n").cast("int").alias("n_history"),
+        (
+            (F.col("trail_n") >= BURST_MIN_HISTORY)
+            & (
+                F.col("total") * F.col("trail_n")
+                > BURST_FACTOR * F.col("trail_sum")
+            )
+        ).alias("is_burst"),
     )
