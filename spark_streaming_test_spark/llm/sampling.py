@@ -551,3 +551,84 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").cast("bigint").alias("n_groups"),
         )
     )
+
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+NEYMAN_DP = 8
+
+
+@register(
+    "sample_neyman_allocation",
+    tags=("llm", "sampling", "statistics"),
+    oracle=f"""
+WITH strata AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(value * value, 4) AS DECIMAL(20,4)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT event_type, n_h,
+         round(n_h * sqrt(s2 / n_h - (s1 / n_h) * (s1 / n_h)), {NEYMAN_DP})
+           AS weight
+  FROM strata
+),
+tot AS (
+  SELECT CAST(SUM(CAST(weight AS DECIMAL(25,{NEYMAN_DP}))) AS DOUBLE) AS z
+  FROM scored
+)
+SELECT event_type, n_h,
+       weight / z AS alloc_share,
+       CAST(floor({NEYMAN_BUDGET} * weight / z) AS BIGINT) AS alloc_n,
+       round({NEYMAN_BUDGET}.0 * weight / z / n_h, {NEYMAN_DP})
+         AS sampling_rate
+FROM scored CROSS JOIN tot
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation: split a {NEYMAN_BUDGET}-row
+    labeling/eval budget across strata ∝ N_h·σ_h — variance-heavy
+    strata get more samples, (near-)constant ones almost none; this is
+    provably the minimum-variance allocation for a fixed budget, and
+    the difference between wasting annotation money and not.
+
+    One map-side-combined pass collects exact decimal moments per
+    stratum (the `agg_linreg_by_group` template: value² quantized once
+    at 4 dp); σ is an IEEE sqrt of identical doubles, the N_h·σ_h
+    weight rounds at {NEYMAN_DP} dp (generic, post-division) and
+    normalizes against a decimal-summed total. Allocation integers
+    floor deterministically."""
+    ev = load(spark, sf_dir, "events")
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s1"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 4).cast("decimal(20,4)")
+        ).cast("double").alias("s2"),
+    )
+    nh = F.col("n_h").cast("double")
+    sigma = F.sqrt(F.col("s2") / nh - (F.col("s1") / nh) * (F.col("s1") / nh))
+    scored = strata.select(
+        "event_type",
+        "n_h",
+        F.round(nh * sigma, NEYMAN_DP).alias("weight"),
+    )
+    tot = scored.agg(
+        F.sum(F.col("weight").cast(f"decimal(25,{NEYMAN_DP})"))
+        .cast("double")
+        .alias("z")
+    )
+    return scored.join(F.broadcast(tot), F.lit(True)).select(
+        "event_type",
+        "n_h",
+        (F.col("weight") / F.col("z")).alias("alloc_share"),
+        F.floor(NEYMAN_BUDGET * F.col("weight") / F.col("z"))
+        .cast("bigint")
+        .alias("alloc_n"),
+        F.round(
+            NEYMAN_BUDGET * F.col("weight") / F.col("z") / F.col("n_h"),
+            NEYMAN_DP,
+        ).alias("sampling_rate"),
+    )
