@@ -977,18 +977,19 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("equity", F.sum("hv").over(w).cast("decimal(24,2)"))
         .withColumn("peak", F.max("equity").over(w).cast("decimal(24,2)"))
         .withColumn("draw", F.col("peak") - F.col("equity"))
-    )
-    worst = dd.groupBy("event_type").agg(F.max("draw").alias("max_draw"))
-    return (
-        dd.join(worst, "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("draw").cast("double").alias("max_drawdown"),
-            F.max(
-                F.when(F.col("draw") == F.col("max_draw"), F.col("h"))
-            ).alias("worst_at"),
-            F.max("equity").cast("double").alias("peak_equity"),
+        # The per-series worst comes from ANOTHER window on the SAME
+        # partitioning (not a self-join, which would re-execute the
+        # whole running-sum subtree for the join's other side).
+        .withColumn(
+            "max_draw", F.max("draw").over(Window.partitionBy("event_type"))
         )
+    )
+    return dd.groupBy("event_type").agg(
+        F.max("draw").cast("double").alias("max_drawdown"),
+        F.max(
+            F.when(F.col("draw") == F.col("max_draw"), F.col("h"))
+        ).alias("worst_at"),
+        F.max("equity").cast("double").alias("peak_equity"),
     )
 
 

@@ -619,3 +619,26 @@ def test_binary_hamming_single_scan_shape(spark, qs):
 def test_bot_detection_no_cartesian(spark, qs):
     df = qs["events_bot_detection"](spark, SF_DIR)
     checks.assert_no_cartesian(df)
+
+
+def test_drawdown_single_exchange(spark, qs):
+    # Stacked running-sum + running-max windows must share ONE
+    # event_type exchange with the final reduce.
+    df = qs["window_drawdown"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_stickiness_broadcasts_coarse_grains(spark, qs):
+    # WAU/MAU frames are tiny and must broadcast onto the daily series.
+    df = qs["events_stickiness"](spark, SF_DIR)
+    checks.assert_broadcast_join(df)
+    checks.assert_no_cartesian(df)
+
+
+def test_burst_alerts_single_exchange(spark, qs):
+    # 5-minute reduce + trailing window + verdict: one nif-keyed
+    # exchange end-to-end.
+    df = qs["traffic_burst_alerts"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
