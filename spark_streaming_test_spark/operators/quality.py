@@ -612,3 +612,90 @@ def dq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2_contrib"),
     )
+
+
+RECON_TOL = 0.01  # cents-level tolerance for the money reconciliation
+
+
+@register(
+    "dq_reconcile_orders",
+    tags=("quality", "reconciliation", "join"),
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2))
+           AS item_total
+  FROM lineitem GROUP BY l_orderkey
+),
+recon AS (
+  SELECT o.o_orderpriority,
+         o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(14,2)) AS header_total,
+         li.item_total,
+         li.item_total IS NULL AS no_items,
+         CASE WHEN li.item_total IS NOT NULL
+              THEN abs(CAST(o.o_totalprice AS DECIMAL(14,2)) - li.item_total)
+         END AS abs_diff
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN no_items THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_without_items,
+       CAST(SUM(CASE WHEN abs_diff > {RECON_TOL} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched,
+       CAST(SUM(COALESCE(abs_diff, 0)) AS DOUBLE) AS total_abs_diff,
+       CAST(MAX(abs_diff) AS DOUBLE) AS worst_abs_diff
+FROM recon GROUP BY o_orderpriority
+""",
+)
+def dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table RECONCILIATION — the financial-close query: does
+    every order header's total equal the sum of its line items (within
+    {RECON_TOL})? Reports, per priority class, orphan headers, the
+    mismatch count, and the total/worst absolute discrepancy — the
+    numbers an audit wants BEFORE anyone aggregates revenue. (On this
+    synthetic data headers deliberately don't tie out — the operator's
+    job is to MEASURE that, and the oracle agrees to the cent.)
+
+    Scale: line items pre-aggregate to O(orders) BEFORE the join (the
+    reduce-then-join rule — joining raw line items first would shuffle
+    the fact table twice); header-vs-items arithmetic stays in exact
+    DECIMAL end-to-end, so tolerance comparisons cannot waver."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("item_total")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("header_total"),
+    )
+    recon = o.join(
+        li, o.o_orderkey == li.l_orderkey, "left"
+    ).select(
+        "o_orderpriority",
+        F.col("item_total").isNull().alias("no_items"),
+        F.when(
+            F.col("item_total").isNotNull(),
+            F.abs(F.col("header_total") - F.col("item_total")),
+        ).alias("abs_diff"),
+    )
+    return recon.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("no_items"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_without_items"),
+        F.sum(F.when(F.col("abs_diff") > RECON_TOL, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.sum(F.coalesce("abs_diff", F.lit(0)))
+        .cast("double")
+        .alias("total_abs_diff"),
+        F.max("abs_diff").cast("double").alias("worst_abs_diff"),
+    )
