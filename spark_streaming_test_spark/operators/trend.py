@@ -1065,3 +1065,86 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wv").cast("double") / F.sum("w").cast("double"), TWA_DP
         ).alias("twa_value"),
     )
+
+
+XCORR_WIN = 24
+XCORR_MIN = 12
+
+
+@register(
+    "ts_rolling_cross_corr",
+    tags=("timeseries", "window", "correlation"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+aligned AS (
+  SELECT a.h, a.hv AS xv, b.hv AS yv
+  FROM (SELECT h, hv FROM hourly WHERE event_type = 'click') a
+  JOIN (SELECT h, hv FROM hourly WHERE event_type = 'purchase') b
+    ON a.h = b.h
+),
+mom AS (
+  SELECT h,
+         CAST(COUNT(*) OVER trail AS DOUBLE) AS n,
+         CAST(SUM(xv) OVER trail AS DOUBLE) AS sx,
+         CAST(SUM(yv) OVER trail AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xv * yv AS DECIMAL(30,4))) OVER trail AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(xv * xv AS DECIMAL(30,4))) OVER trail AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yv * yv AS DECIMAL(30,4))) OVER trail AS DOUBLE) AS syy
+  FROM aligned
+  WINDOW trail AS (ORDER BY h
+                   ROWS BETWEEN {XCORR_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT h, CAST(n AS BIGINT) AS n_hours,
+       (n * sxy - sx * sy)
+         / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+         AS xcorr
+FROM mom WHERE n >= {XCORR_MIN}
+""",
+)
+def ts_rolling_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling CROSS-correlation between two metric streams (hourly
+    click vs purchase totals, trailing {XCORR_WIN} h) — the "are these
+    two systems still coupled" dial: a stable high value is the normal
+    co-movement of traffic and conversions; a sudden drop flags a
+    broken funnel step even while both series individually look
+    healthy (exactly what per-series anomaly detection misses).
+
+    Series align with ONE hour-keyed join of two filtered branches of
+    the same hourly reduce; Pearson assembles from six exact decimal
+    moments in the trailing frame — products of scale-2 decimals
+    quantize exactly at scale 4 (the documented safe product scale),
+    so sliding re-aggregation order cannot matter. Same machinery as
+    `ts_rolling_autocorr`, lifted from lag pairs to series pairs."""
+    hourly = _hourly_sum(spark, sf_dir)
+    a = hourly.filter(F.col("event_type") == "click").select(
+        "h", F.col("hv").alias("xv")
+    )
+    b = hourly.filter(F.col("event_type") == "purchase").select(
+        "h", F.col("hv").alias("yv")
+    )
+    aligned = a.join(b, "h")
+    trail = Window.orderBy("h").rowsBetween(-(XCORR_WIN - 1), Window.currentRow)
+    dec4 = "decimal(30,4)"
+    mom = aligned.select(
+        "h",
+        F.count(F.lit(1)).over(trail).cast("double").alias("n"),
+        F.sum("xv").over(trail).cast("double").alias("sx"),
+        F.sum("yv").over(trail).cast("double").alias("sy"),
+        F.sum((F.col("xv") * F.col("yv")).cast(dec4)).over(trail)
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("xv") * F.col("xv")).cast(dec4)).over(trail)
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("yv") * F.col("yv")).cast(dec4)).over(trail)
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return mom.filter(n >= XCORR_MIN).select(
+        "h",
+        n.cast("bigint").alias("n_hours"),
+        ((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))).alias("xcorr"),
+    )
