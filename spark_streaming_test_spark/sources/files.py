@@ -574,3 +574,41 @@ def scan_row_level_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = spark.read.parquet(os.path.join(base, "data"))
     dv = spark.read.parquet(os.path.join(base, "deletes"))
     return data.join(F.broadcast(dv), "event_id", "left_anti")
+
+
+@register(
+    "scan_tsv_quoted_roundtrip",
+    tags=("source", "csv", "dialect"),
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_tsv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-dialect hardening: tab delimiter, quoted fields, backslash
+    escapes — the messy-export reality most feeds actually arrive in.
+    Writer and reader pin the SAME dialect options explicitly (sep,
+    quote, escape, quoteAll), because silent dialect mismatch is the
+    classic corrupt-ingest bug: fields shift one column and every
+    downstream type cast "works" on wrong data. Roundtrip is
+    value-exact against the original dimension table.
+
+    Same distributed contract as `scan_csv_roundtrip`: file-per-
+    partition writer, line-splittable reader, explicit DDL schema (no
+    inference pass)."""
+    path = os.path.join(SCRATCH, "nation_tsv")
+    (
+        load(spark, sf_dir, "nation")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "\t")
+        .option("quote", '"')
+        .option("escape", "\\")
+        .option("quoteAll", True)
+        .csv(path)
+    )
+    return (
+        spark.read.schema(NATION_DDL)
+        .option("header", True)
+        .option("sep", "\t")
+        .option("quote", '"')
+        .option("escape", "\\")
+        .csv(path)
+    )
