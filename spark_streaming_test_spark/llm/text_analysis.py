@@ -1065,3 +1065,123 @@ def text_jsd_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((1.0 - F.col("pa_shared")) + (1.0 - F.col("pb_shared")))
         ).alias("jsd"),
     )
+
+
+# --- windowed co-occurrence PMI (word2vec-style context window) ------------
+
+COOC_WINDOW = 2   # context radius: pairs (w_i, w_j) with j - i in [1, 2]
+COOC_MIN_N = 8    # pair-count support floor
+
+
+@register(
+    "text_cooccurrence_pmi",
+    tags=("llm", "text", "collocation", "pmi"),
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+),
+pairs AS (
+  SELECT least(tk[CAST(t.i AS INTEGER)],
+               tk[CAST(t.i AS INTEGER) + CAST(d.o AS INTEGER)]) AS w1,
+         greatest(tk[CAST(t.i AS INTEGER)],
+                  tk[CAST(t.i AS INTEGER) + CAST(d.o AS INTEGER)]) AS w2
+  FROM toks,
+       LATERAL unnest(range(1, greatest(len(tk), 1))) AS t(i),
+       LATERAL unnest(range(1, {COOC_WINDOW} + 1)) AS d(o)
+  WHERE CAST(t.i AS INTEGER) + CAST(d.o AS INTEGER) <= len(tk)
+    AND tk[CAST(t.i AS INTEGER)] <> ''
+    AND tk[CAST(t.i AS INTEGER) + CAST(d.o AS INTEGER)] <> ''
+),
+pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+m1 AS (
+  SELECT w, SUM(n_pair) AS occ FROM (
+    SELECT w1 AS w, n_pair FROM pc UNION ALL SELECT w2, n_pair FROM pc
+  ) GROUP BY w
+),
+tot AS (SELECT SUM(n_pair) AS t FROM pc)
+SELECT pc.w1, pc.w2, CAST(pc.n_pair AS BIGINT) AS n_pair,
+       round(ln((CAST(pc.n_pair AS DOUBLE) * t)
+                / (CAST(a.occ AS DOUBLE) * b.occ)), 8) AS pmi
+FROM pc JOIN m1 a ON pc.w1 = a.w JOIN m1 b ON pc.w2 = b.w
+CROSS JOIN tot
+WHERE pc.n_pair >= {COOC_MIN_N}
+""",
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI over a ±{COOC_WINDOW}-token CONTEXT WINDOW — the word2vec/
+    GloVe co-occurrence statistic, where `text_bigram_pmi` only sees
+    adjacent pairs: collocations with an intervening word ("merge …
+    join") surface here and nowhere else. Pairs canonicalize
+    (min, max) so both directions pool.
+
+    Same scale contract as the bigram pass: pair generation is a JVM
+    array comprehension (positions × {COOC_WINDOW} offsets — bounded
+    fan-out, no self-join), the pair-count table materializes ONCE and
+    marginals re-aggregate FROM it (no corpus rescan), both marginal
+    frames broadcast. ln rounds at 8 dp (generic)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(F.col("tk")), F.lit(1))),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(COOC_WINDOW)),
+                    lambda o: F.struct(
+                        F.least(
+                            F.try_element_at(F.col("tk"), i),
+                            F.try_element_at(F.col("tk"), i + o),
+                        ).alias("w1"),
+                        F.greatest(
+                            F.try_element_at(F.col("tk"), i),
+                            F.try_element_at(F.col("tk"), i + o),
+                        ).alias("w2"),
+                        (i + o <= F.size(F.col("tk"))).alias("ok"),
+                    ),
+                ),
+                lambda s: s["ok"]
+                & (s["w1"] != "")
+                & (s["w2"] != "")
+                & s["w1"].isNotNull()
+                & s["w2"].isNotNull(),
+            ),
+        )
+    )
+    pairs = (
+        d.select(toks.alias("tk"))
+        .select(F.explode_outer(pair_structs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.w1", "p.w2")
+    )
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
+    m1 = (
+        pc.select(F.col("w1").alias("w"), "n_pair")
+        .unionAll(pc.select(F.col("w2").alias("w"), "n_pair"))
+        .groupBy("w")
+        .agg(F.sum("n_pair").alias("occ"))
+    )
+    tot = pc.agg(F.sum("n_pair").alias("t"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("t"))
+            / (F.col("occ_a").cast("double") * F.col("occ_b"))
+        ),
+        8,
+    )
+    return (
+        pc.filter(F.col("n_pair") >= COOC_MIN_N)
+        .join(
+            F.broadcast(m1.select(F.col("w").alias("w1"), F.col("occ").alias("occ_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(m1.select(F.col("w").alias("w2"), F.col("occ").alias("occ_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"), pmi.alias("pmi"))
+    )
