@@ -456,3 +456,158 @@ def sim_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# --- IVF + PQ: the billion-vector index, both halves combined -------------
+
+from .similarity import (  # noqa: E402
+    IVF_NPROBE,
+    IVF_STRIDE,
+    _ivf_index,
+    ivf_corpus_cells,
+    ivf_query_probes,
+)
+
+IVFPQ_TOPK = 10
+
+
+def _sql_ivf_cells() -> str:
+    """IVF cell-assignment CTEs (the sim_ivf_topk oracle's head),
+    namespaced to avoid colliding with the PQ subspace CTEs."""
+    return f"""
+ivf_cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+),
+ivf_scored AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(e.embedding::DOUBLE[], c.cemb)
+           / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(c.cemb, c.cemb))) AS ccos
+  FROM embeddings e CROSS JOIN ivf_cents c
+),
+ivf_assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM ivf_scored
+  ) WHERE rn = 1
+),
+ivf_probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM ivf_scored WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+)"""
+
+
+def _sql_multi_query_tables() -> str:
+    """Per-(query, subspace) ADC distance tables."""
+    return ",".join(
+        f"""
+mqt{m} AS (
+  SELECT p.query_id, c.cid,
+         list_inner_product(q.x, q.x)
+           - 2*list_inner_product(q.x, c.c)
+           + list_inner_product(c.c, c.c) AS d
+  FROM (SELECT DISTINCT query_id FROM ivf_probes) p
+  JOIN sub{m} q ON q.vec_id = p.query_id
+  CROSS JOIN cent{m} c
+)""" for m in range(M)
+    )
+
+
+@register(
+    "sim_ivfpq_topk",
+    tags=("llm", "similarity", "ivf", "pq"),
+    oracle=f"""
+WITH {_sql_subspace_ctes()},
+enc AS (SELECT vec_id, c0, c1, c2, c3 FROM {_SQL_ENC_JOIN}),
+{_sql_ivf_cells()},
+{_sql_multi_query_tables()},
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM ivf_probes p JOIN ivf_assigned a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id,
+         mqt0.d + mqt1.d + mqt2.d + mqt3.d AS adc_dist
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN mqt0 ON mqt0.query_id = c.query_id AND e.c0 = mqt0.cid
+  JOIN mqt1 ON mqt1.query_id = c.query_id AND e.c1 = mqt1.cid
+  JOIN mqt2 ON mqt2.query_id = c.query_id AND e.c2 = mqt2.cid
+  JOIN mqt3 ON mqt3.query_id = c.query_id AND e.c3 = mqt3.cid
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= {IVFPQ_TOPK}
+""",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the two halves of this engine's vector index COMBINED
+    into the structure billion-vector deployments actually run
+    (FAISS's default): the coarse quantizer routes each query to its
+    {IVF_NPROBE} nearest cells, and within those cells the corpus is
+    scanned as 4-byte PQ CODES with per-query ADC distance tables —
+    full-precision floats never touch the corpus side at query time.
+
+    Scale: the index pass (cell assignment + PQ encode) is map-only
+    over Arrow batches; at query time each query reads ~nprobe/K of
+    the corpus as codes (a 64× smaller scan than floats), the
+    M×K-entry distance tables are driver-built literals per query
+    batch, and the per-query top-k collapses to WindowGroupLimit.
+    Every stage reuses a bitwise-proven component (IVF assignment,
+    PQ codes, fixed-order ADC sums), so the composed index is
+    hash-comparable end-to-end."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    cells = ivf_corpus_cells(spark, sf_dir, e).select("vec_id", "cell")
+    codes = emb_pq_encode(spark, sf_dir)
+    probes = ivf_query_probes(spark, sf_dir).select(
+        "query_id", "probe_cell"
+    )
+    cb = _codebook(spark, sf_dir)
+    _, q_vecs = _ivf_index(spark, sf_dir)
+    table_rows = []
+    for qid, qv in q_vecs:
+        for m in range(M):
+            qm = qv[m * SUB : (m + 1) * SUB]
+            ipqq = _ip_py(qm, qm)
+            for cid, cvec in enumerate(cb[m]):
+                d = ipqq - 2.0 * _ip_py(qm, cvec) + _ip_py(cvec, cvec)
+                table_rows.append((qid, m, cid, float(d)))
+    qt = spark.createDataFrame(
+        table_rows, "query_id long, m int, cid int, d double"
+    )
+    cand = (
+        cells.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
+    adc = cand
+    for m in range(M):
+        qtm = qt.filter(F.col("m") == m).select(
+            "query_id",
+            F.col("cid").alias(f"c{m}"),
+            F.col("d").alias(f"d{m}"),
+        )
+        adc = adc.join(F.broadcast(qtm), ["query_id", f"c{m}"])
+    dist = F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("adc_dist", dist)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= IVFPQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

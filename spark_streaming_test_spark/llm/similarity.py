@@ -194,6 +194,78 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return _IVF_CACHE[sf_dir]
 
 
+def ivf_corpus_cells(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): max-cosine centroid assignment via an
+    Arrow-batched pandas UDF whose dimension-by-dimension left fold
+    reproduces ``list_inner_product`` bitwise. Shared by the IVF and
+    IVF+PQ indexes."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents, _ = _ivf_index(spark, sf_dir)
+
+    def _fold_dot(acc_len: int, E: np.ndarray, cvec) -> np.ndarray:
+        # Left-fold over dimensions: ((0 + p0) + p1) + ... — the exact
+        # addition order of F.aggregate and DuckDB's list_inner_product.
+        acc = np.zeros(acc_len)
+        for j in range(E.shape[1]):
+            acc = acc + E[:, j] * cvec[j]
+        return acc
+
+    cnorms = []
+    for _, cvec in cents:
+        s = 0.0
+        for x in cvec:
+            s = s + x * x
+        cnorms.append(float(s) ** 0.5)
+
+    @pandas_udf("long")
+    def assign_cell(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int64")
+        E = np.stack(embs.to_numpy()).astype(np.float64)  # f32->f64 exact
+        m = E.shape[0]
+        vn = np.sqrt(_fold_dot(m, E, E.T))  # acc += E[:,j]*E[:,j]
+        best_cos = np.full(m, -np.inf)
+        best_cid = np.zeros(m, dtype=np.int64)
+        for (cid, cvec), cn in zip(cents, cnorms):
+            ccos = _fold_dot(m, E, cvec) / (vn * cn)
+            better = ccos > best_cos  # strict: ties keep the lower cid
+            best_cos = np.where(better, ccos, best_cos)
+            best_cid = np.where(better, cid, best_cid)
+        return pd.Series(best_cid)
+
+    return e.select("vec_id", "embedding", assign_cell("embedding").alias("cell"))
+
+
+def ivf_query_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, probe_cell, q_emb): top-nprobe cells per query vector,
+    scored driver-side with the same left fold (O(queries × K))."""
+    cents, q_vecs = _ivf_index(spark, sf_dir)
+    cnorms = []
+    for _, cvec in cents:
+        s = 0.0
+        for x in cvec:
+            s = s + x * x
+        cnorms.append(float(s) ** 0.5)
+    probe_rows = []
+    for qid, qv in q_vecs:
+        qs = 0.0
+        for x in qv:
+            qs = qs + x * x
+        qn = float(qs) ** 0.5
+        scored = []
+        for (cid, cvec), cn in zip(cents, cnorms):
+            s = 0.0
+            for a, b in zip(qv, cvec):
+                s = s + a * b
+            scored.append((-(s / (qn * cn)), cid))
+        for _, cid in sorted(scored)[:IVF_NPROBE]:
+            probe_rows.append((qid, cid, qv))
+    return spark.createDataFrame(
+        probe_rows, "query_id long, probe_cell long, q_emb array<double>"
+    )
+
+
 @register(
     "sim_ivf_topk",
     tags=("llm", "similarity", "ivf"),
@@ -261,63 +333,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner loops). At 100 TB the cell id becomes the partition key and
     each query touches ~nprobe/K of the data. Ties (equal cosine) break
     toward the lower centroid id in both engines."""
-    from pyspark.sql.functions import pandas_udf
-
     e = spread(load(spark, sf_dir, "embeddings"))
-    cents, q_vecs = _ivf_index(spark, sf_dir)
-
-    def _fold_dot(acc_len: int, E: np.ndarray, cvec) -> np.ndarray:
-        # Left-fold over dimensions: ((0 + p0) + p1) + ... — the exact
-        # addition order of F.aggregate and DuckDB's list_inner_product.
-        acc = np.zeros(acc_len)
-        for j in range(E.shape[1]):
-            acc = acc + E[:, j] * cvec[j]
-        return acc
-
-    cnorms = []
-    for _, cvec in cents:
-        s = 0.0
-        for x in cvec:
-            s = s + x * x
-        cnorms.append(float(s) ** 0.5)
-
-    @pandas_udf("long")
-    def assign_cell(embs: pd.Series) -> pd.Series:
-        if len(embs) == 0:
-            return pd.Series([], dtype="int64")
-        E = np.stack(embs.to_numpy()).astype(np.float64)  # f32->f64 exact
-        m = E.shape[0]
-        vn = np.sqrt(_fold_dot(m, E, E.T))  # acc += E[:,j]*E[:,j]
-        best_cos = np.full(m, -np.inf)
-        best_cid = np.zeros(m, dtype=np.int64)
-        for (cid, cvec), cn in zip(cents, cnorms):
-            ccos = _fold_dot(m, E, cvec) / (vn * cn)
-            better = ccos > best_cos  # strict: ties keep the lower cid
-            best_cos = np.where(better, ccos, best_cos)
-            best_cid = np.where(better, cid, best_cid)
-        return pd.Series(best_cid)
-
-    corpus = e.select("vec_id", "embedding", assign_cell("embedding").alias("cell"))
-
-    # Query probes: N_QUERIES vectors, scored against the K centroids in
-    # plain Python with the same fold order, top-nprobe cells each.
-    probe_rows = []
-    for qid, qv in q_vecs:
-        qs = 0.0
-        for x in qv:
-            qs = qs + x * x
-        qn = float(qs) ** 0.5
-        scored = []
-        for (cid, cvec), cn in zip(cents, cnorms):
-            s = 0.0
-            for a, b in zip(qv, cvec):
-                s = s + a * b
-            scored.append((-(s / (qn * cn)), cid))
-        for _, cid in sorted(scored)[:IVF_NPROBE]:
-            probe_rows.append((qid, cid, qv))
-    q = spark.createDataFrame(
-        probe_rows, "query_id long, probe_cell long, q_emb array<double>"
-    )
+    corpus = ivf_corpus_cells(spark, sf_dir, e)
+    q = ivf_query_probes(spark, sf_dir)
     cand = corpus.join(
         F.broadcast(q),
         (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
