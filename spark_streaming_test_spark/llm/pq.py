@@ -611,3 +611,53 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVFPQ_TOPK)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+@register(
+    "sim_ivfpq_recall_eval",
+    tags=("llm", "similarity", "evaluation"),
+    oracle=None,  # composed below from the two registered oracles
+)
+def sim_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the COMPRESSED index (IVF+PQ) against exact
+    brute-force ground truth — the number that prices the 64×
+    compression: how much recall did the codes cost on top of the
+    cell routing (compare with `sim_recall_eval`, which grades cell
+    routing alone). Same join-of-retrievals shape; oracle-checkable
+    because both sides are bitwise-deterministic."""
+    from .similarity import sim_bruteforce_topk
+
+    exact = sim_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        sim_ivfpq_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("recall"),
+    )
+
+
+from ..registry import _REGISTRY as _PQREG  # noqa: E402
+from .similarity import _registered_oracle  # noqa: E402
+
+_PQREG["sim_ivfpq_recall_eval"].oracle = f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM ({_registered_oracle('sim_bruteforce_topk')}) e
+LEFT JOIN ({_registered_oracle('sim_ivfpq_topk')}) i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
