@@ -1008,3 +1008,133 @@ def agg_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share",
         )
     )
+
+
+# --- Kaplan–Meier survival (time-to-convert with censoring) ----------------
+
+KM_DP = 8
+KM_HORIZON = "2024-01-31"  # observation cutoff: non-converters censor here
+
+
+@register(
+    "events_survival_km",
+    tags=("mlstats", "survival", "behavior"),
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+cohort AS (
+  SELECT user_id,
+         CASE WHEN t_purchase >= t_signup
+              THEN date_diff('day', t_signup, t_purchase) END AS t_event,
+         date_diff('day', t_signup, TIMESTAMP '{KM_HORIZON}') AS t_censor
+  FROM firsts WHERE t_signup IS NOT NULL
+),
+durations AS (
+  SELECT user_id,
+         COALESCE(t_event, t_censor) AS dur,
+         t_event IS NOT NULL AS converted
+  FROM cohort WHERE COALESCE(t_event, t_censor) >= 0
+),
+risk AS (
+  SELECT dur AS t,
+         SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+         COUNT(*) AS leaving,
+         SUM(COUNT(*)) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+           AS n_at_risk
+  FROM durations GROUP BY dur
+),
+terms AS (
+  SELECT t, d, n_at_risk,
+         CASE WHEN d > 0
+              THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), {KM_DP})
+              ELSE 0.0 END AS log_term
+  FROM risk
+),
+surv AS (
+  SELECT t, d, n_at_risk,
+         CAST(SUM(CAST(log_term AS DECIMAL(25,{KM_DP})))
+              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS cum_log
+  FROM terms
+)
+SELECT CAST(t AS INTEGER) AS day,
+       CAST(d AS BIGINT) AS n_converted,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       round(exp(cum_log), {KM_DP}) AS survival
+FROM surv WHERE d > 0
+""",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup→purchase conversion WITH
+    censoring — the estimator `events_time_to_convert`'s percentiles
+    silently get wrong by ignoring users who haven't converted YET:
+    non-converters stay in the risk set until the observation horizon,
+    so S(t) is unbiased. Output: per conversion day, the events, the
+    risk set, and the survival estimate (1 − S = conversion CDF).
+
+    Scale: one user-grain reduce (first signup/purchase), one
+    duration-grain reduce (O(horizon days) rows), then windows over
+    that tiny frame — risk sets come from a DESCENDING cumulative
+    count, the product Π(1 − d/n) moves to log space where each term
+    rounds at {KM_DP} dp (ln of a count ratio — generic) and
+    accumulates as exact decimals; exp + a final generic round
+    restores the curve. Integer durations everywhere else."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    cohort = firsts.filter(F.col("t_signup").isNotNull()).select(
+        F.when(
+            F.col("t_purchase") >= F.col("t_signup"),
+            F.datediff("t_purchase", "t_signup"),
+        ).alias("t_event"),
+        F.datediff(F.lit(KM_HORIZON).cast("timestamp"), F.col("t_signup")).alias(
+            "t_censor"
+        ),
+    )
+    durations = cohort.select(
+        F.coalesce("t_event", "t_censor").alias("dur"),
+        F.col("t_event").isNotNull().alias("converted"),
+    ).filter(F.col("dur") >= 0)
+    wdesc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = (
+        durations.groupBy("dur")
+        .agg(
+            F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+            F.count(F.lit(1)).alias("leaving"),
+        )
+        .withColumn("n_at_risk", F.sum("leaving").over(wdesc))
+    )
+    log_term = F.when(
+        F.col("d") > 0,
+        F.round(
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")), KM_DP
+        ),
+    ).otherwise(0.0)
+    wasc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = risk.withColumn("log_term", log_term).withColumn(
+        "cum_log",
+        F.sum(F.col("log_term").cast(f"decimal(25,{KM_DP})"))
+        .over(wasc)
+        .cast("double"),
+    )
+    return surv.filter(F.col("d") > 0).select(
+        F.col("dur").cast("int").alias("day"),
+        F.col("d").cast("bigint").alias("n_converted"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.round(F.exp("cum_log"), KM_DP).alias("survival"),
+    )
