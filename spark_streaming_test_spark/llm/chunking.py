@@ -296,3 +296,52 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("exact_dedup", deduped.filter("d_keep")))
         .unionByName(stage("sampled", sampled.filter("s_keep")))
     )
+
+
+@register(
+    "export_jsonl_records",
+    tags=("llm", "export", "serialization"),
+    oracle="""
+SELECT doc_id,
+       concat('{"text":"', text,
+              '","meta":{"source":"', source,
+              '","lang":"', lang,
+              '","n_chars":', CAST(n_chars AS VARCHAR), '}}') AS jsonl,
+       length(concat('{"text":"', text,
+              '","meta":{"source":"', source,
+              '","lang":"', lang,
+              '","n_chars":', CAST(n_chars AS VARCHAR), '}}')) AS n_bytes
+FROM documents
+""",
+)
+def export_jsonl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export step: serialize each curated document to the
+    JSONL record shape every LLM data loader ingests
+    (``{"text": ..., "meta": {...}}``). Built with explicit string
+    concatenation on BOTH engines so the bytes are oracle-comparable —
+    engine-native JSON writers disagree on key order and float
+    formats, which is exactly why a production export pins the record
+    template. (This corpus is [a-z ]-only; a general corpus inserts a
+    JSON string-escape on ``text`` first — same plan.)
+
+    Scale: a pure projection — the export IS the scan, and the
+    byte-length column feeds the shard-size packing decision
+    (`text_pack_bin_stats`). Writing then streams through the
+    file sink with no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    jsonl = F.concat(
+        F.lit('{"text":"'),
+        F.col("text"),
+        F.lit('","meta":{"source":"'),
+        F.col("source"),
+        F.lit('","lang":"'),
+        F.col("lang"),
+        F.lit('","n_chars":'),
+        F.col("n_chars").cast("string"),
+        F.lit("}}"),
+    )
+    return d.select(
+        "doc_id",
+        jsonl.alias("jsonl"),
+        F.length(jsonl).alias("n_bytes"),
+    )
