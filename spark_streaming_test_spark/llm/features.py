@@ -511,3 +511,78 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("bigint").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+# --- leave-one-out target encoding ----------------------------------------
+
+TE_SMOOTH = 20  # prior weight for the smoothed variant
+
+
+@register(
+    "feature_target_encoding",
+    tags=("llm", "features", "encoding"),
+    oracle=f"""
+WITH labeled AS (
+  SELECT event_id, event_type,
+         CAST(value AS DECIMAL(12,2)) AS y
+  FROM events
+),
+grp AS (
+  SELECT event_type,
+         CAST(SUM(y) AS DECIMAL(18,2)) AS s,
+         COUNT(*) AS n
+  FROM labeled GROUP BY event_type
+),
+gstats AS (SELECT CAST(SUM(y) AS DECIMAL(20,2)) AS gs, COUNT(*) AS gn FROM labeled)
+SELECT l.event_id,
+       l.event_type,
+       CAST(g.s - l.y AS DOUBLE) / (g.n - 1) AS te_loo,
+       (CAST(g.s - l.y AS DOUBLE) + {TE_SMOOTH}.0 * (CAST(gb.gs AS DOUBLE) / gb.gn))
+         / (g.n - 1 + {TE_SMOOTH}) AS te_loo_smoothed
+FROM labeled l
+JOIN grp g ON l.event_type = g.event_type
+CROSS JOIN gstats gb
+""",
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with smoothing — the categorical
+    feature trick gradient-boosting pipelines live on, with its two
+    leakage controls built in: each row's OWN target is subtracted
+    from its category mean (otherwise the feature memorizes the
+    label), and a global-prior smoothing term keeps rare categories
+    from encoding noise.
+
+    Scale: one category reduce (decimal-exact sums) broadcast back
+    onto the rows — the encode pass is then a pure projection, no
+    per-row window or shuffle. (sum − own)/(n − 1) divides two EXACT
+    quantities, so the engines agree with zero rounding."""
+    ev = load(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("y"),
+    )
+    grp = labeled.groupBy("event_type").agg(
+        F.sum("y").cast("decimal(18,2)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    glob = labeled.agg(
+        F.sum("y").cast("decimal(20,2)").alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    prior = F.col("gs").cast("double") / F.col("gn")
+    return (
+        labeled.join(F.broadcast(grp), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_id",
+            "event_type",
+            (
+                (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1)
+            ).alias("te_loo"),
+            (
+                ((F.col("s") - F.col("y")).cast("double") + TE_SMOOTH * prior)
+                / (F.col("n") - 1 + TE_SMOOTH)
+            ).alias("te_loo_smoothed"),
+        )
+    )
