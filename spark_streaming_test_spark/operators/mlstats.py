@@ -1138,3 +1138,101 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
         F.round(F.exp("cum_log"), KM_DP).alias("survival"),
     )
+
+
+# --- sequential probability ratio test (SPRT) ------------------------------
+# H0: conversion = 0.20 vs H1: 0.25, alpha = beta = 0.05. All
+# transcendental constants are PRE-COMPUTED double literals inlined
+# identically into both engines (the Benford-probabilities convention).
+SPRT_LLR_CONV = 0.22314355131420976      # ln(0.25 / 0.20)
+SPRT_LLR_NOCONV = -0.06453852113757118   # ln(0.75 / 0.80)
+SPRT_BOUND = 2.9444389791664403          # ln(0.95 / 0.05)
+SPRT_STEP = 10                           # report every 10th observation
+
+
+@register(
+    "ab_test_sprt",
+    tags=("mlstats", "experimentation", "sequential"),
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         MIN(ts) AS first_seen,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+ordered AS (
+  SELECT variant, converted,
+         ROW_NUMBER() OVER (PARTITION BY variant
+                            ORDER BY first_seen, user_id) AS i,
+         SUM(converted) OVER (PARTITION BY variant
+                              ORDER BY first_seen, user_id
+                              ROWS UNBOUNDED PRECEDING) AS conv_cum
+  FROM users
+),
+scored AS (
+  SELECT variant, i, conv_cum,
+         conv_cum * CAST({SPRT_LLR_CONV} AS DOUBLE)
+           + (i - conv_cum) * CAST({SPRT_LLR_NOCONV} AS DOUBLE) AS llr
+  FROM ordered
+)
+SELECT variant, CAST(i AS BIGINT) AS n_observed,
+       CAST(conv_cum AS BIGINT) AS n_converted, llr,
+       CASE WHEN llr >= CAST({SPRT_BOUND} AS DOUBLE) THEN 'accept_H1'
+            WHEN llr <= -CAST({SPRT_BOUND} AS DOUBLE) THEN 'accept_H0'
+            ELSE 'continue' END AS decision
+FROM scored WHERE i % {SPRT_STEP} = 0
+""",
+)
+def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the conversion
+    experiment — the always-valid alternative to the fixed-horizon
+    z-test (`ab_test_zscore`): the log-likelihood ratio accumulates
+    in user-arrival order and the experiment STOPS the moment it
+    crosses ±ln((1−β)/α), typically far before the fixed sample size.
+    Output is the decision trajectory at every {SPRT_STEP}th
+    observation per variant.
+
+    Determinism: because the hypotheses are Bernoulli, the cumulative
+    LLR collapses to counts × two PRE-COMPUTED literal constants —
+    no per-row transcendental at all, so a window cumsum of integers
+    carries the whole test. One exchange on variant serves the
+    ordering window and the trajectory."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).withColumn(
+        "variant",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+            "A",
+        ).otherwise("B"),
+    )
+    w = Window.partitionBy("variant").orderBy("first_seen", "user_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = users.select(
+        "variant",
+        F.row_number().over(w).alias("i"),
+        F.sum("converted").over(run).alias("conv_cum"),
+    )
+    llr = F.col("conv_cum") * SPRT_LLR_CONV + (
+        F.col("i") - F.col("conv_cum")
+    ) * SPRT_LLR_NOCONV
+    return (
+        ordered.withColumn("llr", llr)
+        .filter(F.col("i") % SPRT_STEP == 0)
+        .select(
+            "variant",
+            F.col("i").cast("bigint").alias("n_observed"),
+            F.col("conv_cum").cast("bigint").alias("n_converted"),
+            "llr",
+            F.when(F.col("llr") >= SPRT_BOUND, "accept_H1")
+            .when(F.col("llr") <= -SPRT_BOUND, "accept_H0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+    )
