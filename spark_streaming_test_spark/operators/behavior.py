@@ -962,3 +962,62 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("mau")).alias("dau_mau"),
         )
     )
+
+
+DECAY_HALF_LIFE_D = 7      # engagement half-life, days
+DECAY_HORIZON = "2024-01-31"
+DECAY_DP = 8
+
+
+@register(
+    "events_decayed_engagement",
+    tags=("behavior", "scoring", "decay"),
+    oracle=f"""
+WITH scored AS (
+  SELECT user_id,
+         round(CAST(value AS DOUBLE)
+               * pow(2.0, -CAST(date_diff('day', ts,
+                                TIMESTAMP '{DECAY_HORIZON}') AS DOUBLE)
+                          / {DECAY_HALF_LIFE_D}.0), {DECAY_DP}) AS dv
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(dv AS DECIMAL(25,{DECAY_DP}))) AS DOUBLE)
+         AS decayed_score
+FROM scored GROUP BY user_id
+""",
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user
+    (half-life {DECAY_HALF_LIFE_D} days): yesterday's activity counts
+    ~full, last month's ~2%. The ranking signal behind churn models
+    and recency-aware recommendations that a plain lifetime SUM
+    (which never forgets) gets wrong — and, unlike a recency cutoff,
+    it degrades smoothly.
+
+    INCREMENTALLY maintainable at scale: the score re-ages by a
+    constant factor per day (`S_today = S_yesterday · 2^(-1/h) +
+    today's events`), so the daily job folds one delta instead of
+    rescanning history — the `agg_incremental_maintenance` pattern
+    with a decay twist. Per-row decay terms round at {DECAY_DP} dp
+    (pow is libm territory) then sum as decimals; one user reduce."""
+    ev = load(spark, sf_dir, "events")
+    age = F.datediff(
+        F.lit(DECAY_HORIZON).cast("timestamp"), F.col("ts")
+    ).cast("double")
+    dv = F.round(
+        F.col("value").cast("double")
+        * F.pow(F.lit(2.0), -age / float(DECAY_HALF_LIFE_D)),
+        DECAY_DP,
+    )
+    return (
+        ev.select("user_id", dv.alias("dv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("dv").cast(f"decimal(25,{DECAY_DP})"))
+            .cast("double")
+            .alias("decayed_score"),
+        )
+    )
