@@ -586,3 +586,111 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_loo_smoothed"),
         )
     )
+
+
+# --- weight of evidence / information value -------------------------------
+
+WOE_DP = 8  # ln of a smoothed count ratio — generic; round then decimal-sum
+
+
+@register(
+    "feature_woe_iv",
+    tags=("features", "encoding", "quality"),
+    oracle=f"""
+WITH labeled AS (
+  SELECT o_orderpriority AS category,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+cat AS (
+  SELECT category,
+         COUNT(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_good,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_bad
+  FROM labeled GROUP BY category
+),
+tot AS (
+  SELECT SUM(n_good) AS g_tot, SUM(n_bad) AS b_tot FROM cat
+),
+scored AS (
+  SELECT c.category, c.n, c.n_good, c.n_bad,
+         round(ln(((c.n_good + CAST(0.5 AS DOUBLE)) * (t.b_tot + CAST(0.5 AS DOUBLE)))
+                  / ((c.n_bad + CAST(0.5 AS DOUBLE)) * (t.g_tot + CAST(0.5 AS DOUBLE)))),
+               {WOE_DP}) AS woe,
+         (CAST(c.n_good AS DOUBLE) / t.g_tot
+          - CAST(c.n_bad AS DOUBLE) / t.b_tot) AS ddist
+  FROM cat c CROSS JOIN tot t
+),
+terms AS (
+  SELECT category, n, n_good, n_bad, woe,
+         CAST(round(ddist * woe, {WOE_DP}) AS DECIMAL(25,{WOE_DP}))
+           AS iv_dec
+  FROM scored
+)
+SELECT category, n, n_good, n_bad, woe,
+       CAST(iv_dec AS DOUBLE) AS iv_term,
+       CAST(SUM(iv_dec) OVER () AS DOUBLE) AS iv_total
+FROM terms
+""",
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value for a categorical
+    feature against a binary target (order priority vs. order-filled) —
+    the credit-scoring-style feature screen: WOE replaces the category
+    with ln(P(cat|good)/P(cat|bad)) and IV = Σ (Δdist · WOE) grades the
+    feature's predictive power before training.
+
+    One conditional-aggregate pass reduces the fact table to
+    O(categories) count rows; totals ride an unpartitioned window over
+    that tiny frame (never a rescan). Counts are smoothed +0.5 per cell
+    so empty cells stay finite; the ln runs on an exactly-representable
+    rational, rounds generically at {WOE_DP} dp, and IV terms accumulate
+    as exact decimals — bitwise stable across engines and partitionings."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cat = o.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_bad"),
+    )
+    wt = Window.partitionBy()
+    g_tot = F.sum("n_good").over(wt)
+    b_tot = F.sum("n_bad").over(wt)
+    scored = cat.select(
+        "category",
+        "n",
+        "n_good",
+        "n_bad",
+        F.round(
+            F.log(
+                ((F.col("n_good") + 0.5) * (b_tot + 0.5))
+                / ((F.col("n_bad") + 0.5) * (g_tot + 0.5))
+            ),
+            WOE_DP,
+        ).alias("woe"),
+        (
+            F.col("n_good").cast("double") / g_tot
+            - F.col("n_bad").cast("double") / b_tot
+        ).alias("ddist"),
+    )
+    terms = scored.select(
+        "category",
+        "n",
+        "n_good",
+        "n_bad",
+        "woe",
+        F.round(F.col("ddist") * F.col("woe"), WOE_DP)
+        .cast(f"decimal(25,{WOE_DP})")
+        .alias("iv_dec"),
+    )
+    return terms.select(
+        "category",
+        "n",
+        "n_good",
+        "n_bad",
+        "woe",
+        F.col("iv_dec").cast("double").alias("iv_term"),
+        F.sum("iv_dec").over(wt).cast("double").alias("iv_total"),
+    )

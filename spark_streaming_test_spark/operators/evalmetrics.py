@@ -288,3 +288,172 @@ def mlstats_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(2.0) * tp / (F.lit(2) * tp + fp + fn))
         .alias("f1"),
     )
+
+
+# --- ranking metrics: NDCG@k and MAP@k over the retrieval path ------------
+
+# Literal 10-dp discount weights 1/log2(rank+1) and their exact cumulative
+# sums (the ideal DCG for n relevant items in the top 10). Identical
+# literal strings are inlined in BOTH engines, so the transcendental
+# log2 never executes at query time and cannot diverge between libms.
+_DCG_W = [
+    "1.0000000000", "0.6309297536", "0.5000000000", "0.4306765581",
+    "0.3868528072", "0.3562071871", "0.3333333333", "0.3154648768",
+    "0.3010299957", "0.2890648263",
+]
+_IDCG = [
+    "1.0000000000", "1.6309297536", "2.1309297536", "2.5616063117",
+    "2.9484591189", "3.3046663060", "3.6379996393", "3.9534645161",
+    "4.2544945118", "4.5435593381",
+]
+# LCM(1..10): every precision@i term cum_rel/i becomes the integer
+# cum_rel * (2520 div i), so AP is pure int64 until ONE final division.
+_AP_LCM = 2520
+
+_DCG_CASE = (
+    "CASE rank "
+    + " ".join(
+        f"WHEN {i + 1} THEN CAST({w} AS DECIMAL(15,10))"
+        for i, w in enumerate(_DCG_W)
+    )
+    + " END"
+)
+_IDCG_CASE = (
+    "CASE n_rel "
+    + " ".join(
+        f"WHEN {i + 1} THEN CAST({c} AS DOUBLE)" for i, c in enumerate(_IDCG)
+    )
+    + " END"
+)
+
+
+@register(
+    "mlstats_ndcg_map",
+    tags=("mlstats", "ranking", "eval", "llm"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         e.vec_id AS neighbor_id, e.label AS n_label,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, q_label, n_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+topk AS (
+  SELECT query_id,
+         CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel,
+         rank
+  FROM ranked WHERE rank <= 10
+),
+cum AS (
+  SELECT query_id, rel, rank,
+         SUM(rel) OVER (PARTITION BY query_id ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM topk
+),
+agg AS (
+  SELECT query_id,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         SUM(CASE WHEN rel = 1 THEN {_DCG_CASE}
+                  ELSE CAST(0 AS DECIMAL(15,10)) END) AS dcg_dec,
+         SUM(CASE WHEN rel = 1 THEN cum_rel * ({_AP_LCM} // rank)
+                  ELSE 0 END) AS ap_num
+  FROM cum GROUP BY query_id
+)
+SELECT query_id, n_rel,
+       CAST(dcg_dec AS DOUBLE) AS dcg,
+       CASE WHEN n_rel > 0
+            THEN CAST(dcg_dec AS DOUBLE) / ({_IDCG_CASE})
+       END AS ndcg_10,
+       CASE WHEN n_rel > 0
+            THEN CAST(ap_num AS DOUBLE) / ({_AP_LCM}.0 * n_rel)
+       END AS ap_10
+FROM agg
+""",
+)
+def mlstats_ndcg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 and average precision@10 for the engine's own exact
+    retrieval path, graded by label agreement — the offline ranking
+    scorecard run before an embedding model or index change ships.
+
+    Everything after the top-k window runs on O(queries × k) rows.
+    The log2 discount weights and ideal-DCG ladder are shared literal
+    tables (no runtime transcendentals); DCG accumulates as exact
+    DECIMAL(15,10); AP is integer via the LCM(1..10) trick — so every
+    reported metric is bitwise identical across engines and partition
+    counts. At corpus scale the brute-force scorer swaps for the IVF
+    index with the metric stage unchanged."""
+    from ..catalog import spread
+    from ..llm.similarity import cosine
+
+    e = spread(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "q_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        cosine(
+            F.col("q_emb").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .withColumn(
+            "rel",
+            F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0),
+        )
+    )
+    wc = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = topk.withColumn("cum_rel", F.sum("rel").over(wc))
+    agg = cum.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.expr(_DCG_CASE)).otherwise(
+                F.lit(0).cast("decimal(15,10)")
+            )
+        ).alias("dcg_dec"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.col("cum_rel") * F.expr(f"{_AP_LCM} div rank"),
+            ).otherwise(F.lit(0))
+        ).alias("ap_num"),
+    )
+    n_rel = F.col("n_rel")
+    return agg.select(
+        "query_id",
+        "n_rel",
+        F.col("dcg_dec").cast("double").alias("dcg"),
+        F.when(
+            n_rel > 0,
+            F.col("dcg_dec").cast("double") / F.expr(_IDCG_CASE),
+        ).alias("ndcg_10"),
+        F.when(
+            n_rel > 0,
+            F.col("ap_num").cast("double") / (float(_AP_LCM) * n_rel),
+        ).alias("ap_10"),
+    )
