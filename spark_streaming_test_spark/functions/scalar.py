@@ -561,3 +561,44 @@ def fn_try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "elem_oob"
         ),
     )
+
+
+@register(
+    "fn_bitwise_suite",
+    tags=("functions", "bitwise"),
+    oracle="""
+WITH masked AS (
+  SELECT p_brand, p_partkey % 256 AS k FROM part
+)
+SELECT p_brand,
+       CAST(bit_and(k) AS BIGINT) AS band,
+       CAST(bit_or(k) AS BIGINT) AS bor,
+       CAST(bit_xor(k) AS BIGINT) AS bxor,
+       CAST(SUM(bit_count(k)) AS BIGINT) AS popcount_sum,
+       CAST(SUM(k << 2) AS BIGINT) AS shl_sum,
+       CAST(SUM(k >> 1) AS BIGINT) AS shr_sum,
+       CAST(SUM(xor(k, 170)) AS BIGINT) AS xor_mask_sum
+FROM masked
+GROUP BY p_brand
+""",
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation surface: bitwise AND/OR/XOR aggregates plus
+    popcount and shift scalars over a bounded non-negative key domain
+    (flag words, bitmap segments, hash buckets). All JVM-side integer
+    expressions inside one hash aggregate — exact in any engine, no
+    float surface at all. The % 256 mask keeps the domain far from the
+    int64 sign bit, where two's-complement semantics could differ."""
+    masked = load(spark, sf_dir, "part").select(
+        "p_brand", (F.col("p_partkey") % 256).alias("k")
+    )
+    k = F.col("k")
+    return masked.groupBy("p_brand").agg(
+        F.bit_and(k).cast("bigint").alias("band"),
+        F.bit_or(k).cast("bigint").alias("bor"),
+        F.bit_xor(k).cast("bigint").alias("bxor"),
+        F.sum(F.bit_count(k)).cast("bigint").alias("popcount_sum"),
+        F.sum(F.shiftleft(k, 2)).cast("bigint").alias("shl_sum"),
+        F.sum(F.shiftright(k, 1)).cast("bigint").alias("shr_sum"),
+        F.sum(k.bitwiseXOR(F.lit(170))).cast("bigint").alias("xor_mask_sum"),
+    )

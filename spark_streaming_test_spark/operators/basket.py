@@ -17,7 +17,7 @@ rounded at output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -103,5 +103,114 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
                 LIFT_DP,
             ).alias("lift"),
+        )
+    )
+
+
+# --- item-item collaborative filtering ------------------------------------
+
+REC_TOP_N = 5
+REC_MIN_PAIR = 2
+
+
+@register(
+    "rec_item_item_topn",
+    tags=("behavior", "recommendation", "topk"),
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+marg AS (
+  SELECT pk, COUNT(*) AS n_item FROM items GROUP BY pk
+),
+pairs AS (
+  SELECT a.pk AS u, b.pk AS v, COUNT(*) AS n_both
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING COUNT(*) >= {REC_MIN_PAIR}
+),
+sym AS (
+  SELECT u AS item, v AS rec, n_both FROM pairs
+  UNION ALL
+  SELECT v AS item, u AS rec, n_both FROM pairs
+),
+scored AS (
+  SELECT s.item, s.rec, s.n_both,
+         CAST(s.n_both AS DOUBLE)
+           / sqrt(CAST(mu.n_item AS DOUBLE) * CAST(mv.n_item AS DOUBLE))
+           AS cosine
+  FROM sym s
+  JOIN marg mu ON s.item = mu.pk
+  JOIN marg mv ON s.rec = mv.pk
+),
+ranked AS (
+  SELECT item, rec, n_both, cosine,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY cosine DESC, rec) AS rank
+  FROM scored
+)
+SELECT item, rec, CAST(n_both AS BIGINT) AS n_both, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {REC_TOP_N}
+""",
+)
+def rec_item_item_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-{REC_TOP_N} "customers who
+    bought X also bought" recommendations per part, scored by
+    co-occurrence cosine n_uv / sqrt(n_u · n_v).
+
+    Same bounded pair generation as ``basket_pair_lift`` (pairs only
+    within an order — quadratic in basket size, never catalog size;
+    ReusedExchange computes the item scan once), marginals are a
+    catalog-sized broadcast, and the per-item top-N is one
+    WindowGroupLimit. Cosine needs NO rounding: integer counts,
+    a correctly-rounded sqrt, one division — bitwise identical in any
+    engine. At 100 TB the pair table is the only large intermediate
+    and it shrinks with the support floor."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
+    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= REC_MIN_PAIR)
+    )
+    sym = pairs.select(
+        F.col("u").alias("item"), F.col("v").alias("rec"), "n_both"
+    ).unionAll(
+        pairs.select(F.col("v").alias("item"), F.col("u").alias("rec"), "n_both")
+    )
+    marg = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    mu = marg.select(F.col("pk").alias("item"), F.col("n_item").alias("n_u"))
+    mv = marg.select(F.col("pk").alias("rec"), F.col("n_item").alias("n_v"))
+    scored = (
+        sym.join(F.broadcast(mu), "item")
+        .join(F.broadcast(mv), "rec")
+        .select(
+            "item",
+            "rec",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / F.sqrt(F.col("n_u").cast("double") * F.col("n_v").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("rec"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= REC_TOP_N)
+        .select(
+            "item",
+            "rec",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
         )
     )

@@ -1148,3 +1148,143 @@ def ts_rolling_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_hours"),
         ((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))).alias("xcorr"),
     )
+
+
+# --- Theil–Sen robust trend -----------------------------------------------
+
+
+@register(
+    "ts_theil_sen_slope",
+    tags=("timeseries", "trend", "robust"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         {sql_dsum('value')} AS y
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM slopes
+),
+med AS (
+  SELECT event_type, MAX(np) AS n_pairs,
+         SUM(slope) / COUNT(*) AS slope_med
+  FROM ranked
+  WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+  GROUP BY event_type
+),
+resid AS (
+  SELECT d.event_type, d.y - m.slope_med * d.d AS r, d.d,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type
+                            ORDER BY d.y - m.slope_med * d.d, d.d) AS rn,
+         COUNT(*) OVER (PARTITION BY d.event_type) AS nd
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+icept AS (
+  SELECT event_type, MAX(nd) AS n_days,
+         SUM(r) / COUNT(*) AS intercept
+  FROM resid
+  WHERE rn IN ((nd + 1) // 2, (nd + 2) // 2)
+  GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(i.n_days AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       m.slope_med AS theil_sen_slope,
+       i.intercept AS theil_sen_intercept
+FROM med m JOIN icept i ON m.event_type = i.event_type
+""",
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event stream: the median of all
+    pairwise daily slopes (and the median-residual intercept) — the
+    estimator that shrugs off the outlier days that wreck OLS
+    (`agg_linreg_by_group`'s failure mode).
+
+    The quadratic step is bounded by the DAILY grain, not the corpus:
+    the fact table reduces to O(streams × days) exact-decimal totals
+    first, so the pair join is tiny at any corpus size (a year = ~66k
+    pairs per stream; cap the window for longer spans). Medians are
+    exact-rank selections — no interpolation — and every slope is a
+    difference-quotient of already-identical doubles, so the result is
+    bitwise stable with NO rounding anywhere."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(dsum("value").alias("y"))
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            (
+                (F.col("y2") - F.col("y1"))
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "np", F.count(F.lit(1)).over(wn)
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(np + 1) div 2"))
+            | (F.col("rn") == F.expr("(np + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("np").alias("n_pairs"),
+            (F.sum("slope") / F.count(F.lit(1))).alias("slope_med"),
+        )
+    )
+    resid = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "slope_med",
+        "d",
+        (F.col("y") - F.col("slope_med") * F.col("d")).alias("r"),
+    )
+    wrr = Window.partitionBy("event_type").orderBy("r", "d")
+    rr = resid.withColumn("rn", F.row_number().over(wrr)).withColumn(
+        "nd", F.count(F.lit(1)).over(wn)
+    )
+    icept = (
+        rr.filter(
+            (F.col("rn") == F.expr("(nd + 1) div 2"))
+            | (F.col("rn") == F.expr("(nd + 2) div 2"))
+        )
+        .groupBy("event_type", "n_pairs", "slope_med")
+        .agg(
+            F.max("nd").alias("n_days"),
+            (F.sum("r") / F.count(F.lit(1))).alias("intercept"),
+        )
+    )
+    return icept.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope_med").alias("theil_sen_slope"),
+        F.col("intercept").alias("theil_sen_intercept"),
+    )

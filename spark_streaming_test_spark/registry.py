@@ -73,6 +73,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.hierarchy",
     "spark_streaming_test_spark.operators.sqlsurface",
     "spark_streaming_test_spark.streaming.state_inspect",
+    "spark_streaming_test_spark.sources.jsonl_sink",
 ]
 
 # Round-3 driver verification window. The driver checks the FIRST ~50
@@ -164,7 +165,8 @@ _DRIVER_WINDOW = [
     "dq_l_diversity", "events_journey_paths", "dq_psi_drift", "ts_forecast_accuracy", "window_time_weighted_avg", "sim_mmr_diversify", "sim_binary_hamming_topk", "sample_epoch_shuffle", "graph_kcore", "fn_variant_suite", "scan_manifest_pruning", "text_rake_keyphrases", "scan_time_travel", "events_bot_detection", "window_drawdown", "join_set_similarity_prefix", "sim_recall_eval", "sim_two_stage_rerank", "scan_row_level_deletes", "graph_bfs_hops", "sample_group_kfold", "dq_categorical_drift", "emb_cluster_purity", "fn_try_arithmetic_suite", "text_jsd_source_similarity", "ts_interval_coverage", "events_stickiness", "agg_audience_overlap_estimate", "dedup_template_shape", "traffic_burst_alerts", "sample_neyman_allocation", "dq_reconcile_orders", "ts_rolling_cross_corr", "scan_tsv_quoted_roundtrip", "text_cooccurrence_pmi", "sim_ivfpq_topk", "sim_ivfpq_recall_eval", "events_survival_km", "export_jsonl_records", "feature_target_encoding", "ab_test_sprt", "events_decayed_engagement",
     "sql_recursive_cte", "fn_collation_suite", "join_lateral_topk",
     "stream_state_store_reader", "mlstats_ndcg_map", "graph_adamic_adar",
-    "feature_woe_iv",
+    "feature_woe_iv", "sink_python_datasource_roundtrip",
+    "rec_item_item_topn", "ts_theil_sen_slope", "fn_bitwise_suite",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",

@@ -4,6 +4,7 @@ streaming windowed agg == batch equivalent; custom packet DataSource."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pandas as pd
@@ -1238,3 +1239,58 @@ def test_stream_union_two_sources(spark, tmp_path):
     finally:
         q.stop()
     assert got == [("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 4.0)], got
+
+
+def test_jsonl_python_datasource_stream_sink(spark, sf_dir, tmp_path):
+    """The custom Python DataSource STREAM writer: each micro-batch's
+    tasks stage temp files, the epoch commit publishes them under
+    epoch=<batchId>/ with a _SUCCESS manifest, and the union of all
+    epochs equals the batch projection of the input — the
+    task-commit-protocol upgrade over the reference's at-least-once
+    foreach push (KafkaProducer.java:12-43)."""
+    import glob
+    import json as _json
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.sources.jsonl_sink import register_sink
+
+    register_sink(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src, mode="overwrite")
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.schema("event_id bigint, event_type string")
+        .parquet(src)
+        .writeStream.format("jsonl_dir")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "stream-sink query did not terminate"
+    finally:
+        q.stop()
+
+    epochs = sorted(glob.glob(os.path.join(out, "epoch=*")))
+    assert epochs, "no epoch directories published"
+    n_rows = 0
+    for edir in epochs:
+        manifest = os.path.join(edir, "_SUCCESS")
+        assert os.path.exists(manifest), f"missing manifest in {edir}"
+        listed = _json.load(open(manifest))
+        listed_rows = sum(p["rows"] for p in listed["parts"])
+        on_disk = 0
+        for part in glob.glob(os.path.join(edir, "*.jsonl")):
+            with open(part) as f:
+                for line in f:
+                    rec = _json.loads(line)
+                    assert set(rec) == {"event_id", "event_type"}
+                    on_disk += 1
+        assert on_disk == listed_rows, "manifest disagrees with files"
+        n_rows += on_disk
+    assert n_rows == ev.count()
+    # No stray temp files survive the commit.
+    assert not glob.glob(os.path.join(out, "**", "*.tmp"), recursive=True)
