@@ -964,3 +964,95 @@ def dedup_template_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --- line-level exact dedup (CCNet/Dolma shape) ---------------------------
+
+LINE_WORDS = 12  # sandbox line = 12-word span (corpus has no newlines;
+                 # production swaps split('\n') in, machinery unchanged)
+
+
+@register(
+    "text_line_dedup",
+    tags=("llm", "dedup", "lines"),
+    oracle=f"""
+WITH doc AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, greatest(CAST(ceil(len(string_split(text,' '))
+             / {LINE_WORDS}.0) AS INT), 1) - 1),
+           i -> array_to_string(
+                  string_split(text,' ')[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}],
+                  ' ')) AS lines
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, generate_subscripts(lines, 1) - 1 AS line_no,
+         unnest(lines) AS line
+  FROM doc
+),
+ranked AS (
+  SELECT doc_id, line_no, line,
+         ROW_NUMBER() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, line_no) AS rn
+  FROM ex
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ex GROUP BY doc_id),
+ktab AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY line_no) AS text_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.text_kept, '') AS text_kept
+FROM tot t LEFT JOIN ktab k ON t.doc_id = k.doc_id
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup with document reassembly — the
+    CCNet/Dolma pass that strips boilerplate lines (headers, cookie
+    banners, licence blocks) repeated across documents: every line
+    keeps only its FIRST global occurrence (smallest (doc_id, line_no))
+    and each document is rebuilt from its surviving lines in order.
+
+    Scale: the first-occurrence decision shuffles md5(line) keys (32
+    bytes, never bodies — ``dedup_exact``'s hash-first discipline at
+    the line grain); reassembly is one exchange on doc_id with the
+    in-order fold done by array_sort over (line_no, line) structs.
+    Lines here are {LINE_WORDS}-word spans because the sandbox corpus
+    has no newlines; production splits on '\\n' with the same plan."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(words) / float(LINE_WORDS)).cast("int"), F.lit(1)
+    )
+    doc = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * LINE_WORDS + 1, LINE_WORDS), " "
+            ),
+        ).alias("lines"),
+    )
+    ex = doc.select("doc_id", F.posexplode("lines").alias("line_no", "line"))
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "line_no")
+    kept = ex.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    tot = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    ktab = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_kept"),
+    )
+    return tot.join(ktab, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+    )

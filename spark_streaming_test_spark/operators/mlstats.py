@@ -1236,3 +1236,130 @@ def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# --- deterministic Poisson bootstrap --------------------------------------
+
+BOOT_B = 100          # resamples; CI = 3rd / 98th ranked resample mean
+BOOT_LO, BOOT_HI = 3, 98
+# Poisson(1) CDF at k = 0..5, 8-dp literals (inverse-CDF ladder for the
+# per-row resample weight). Identical literals inline in both engines —
+# no exp() executes at query time.
+_POIS_CDF = [
+    "0.36787944", "0.73575888", "0.91969860",
+    "0.98101184", "0.99634015", "0.99940582",
+]
+_W_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))
+    + " ELSE 6 END"
+)
+
+
+@register(
+    "agg_bootstrap_ci",
+    tags=("mlstats", "statistics", "bootstrap"),
+    oracle=f"""
+WITH fan AS (
+  SELECT e.event_type, e.value, bs.b,
+         ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+                             CAST(bs.b AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM events e
+  CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b) bs
+),
+weighted AS (
+  SELECT event_type, b, value, {_W_CASE} AS w FROM fan
+),
+per_b AS (
+  SELECT event_type, b,
+         {sql_dsum('w * value')} / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM weighted GROUP BY event_type, b
+  HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT event_type, mean_b,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mean_b, b) AS rn
+  FROM per_b
+),
+ci AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = {BOOT_LO} THEN mean_b END) AS ci_lo,
+         MIN(CASE WHEN rn = {BOOT_HI} THEN mean_b END) AS ci_hi,
+         COUNT(*) AS n_boot
+  FROM ranked GROUP BY event_type
+),
+fmean AS (
+  SELECT event_type, {sql_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS mean_full
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, f.mean_full, c.ci_lo, c.ci_hi,
+       CAST(c.n_boot AS BIGINT) AS n_boot
+FROM fmean f JOIN ci c ON f.event_type = c.event_type
+""",
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the per-stream mean via a
+    DETERMINISTIC Poisson bootstrap: each row's weight in resample b is
+    the Poisson(1) inverse-CDF of an md5(event_id:b)-derived uniform —
+    the replay-safe form of the resampling trick that works when the
+    data cannot be held, indexed, or shuffled per-resample (the
+    standard n-out-of-n bootstrap needs global indices; Poisson
+    weights need only the row itself).
+
+    Scale: the ×{BOOT_B} fan-out is immediately reduced by a map-side-
+    combined aggregate — the shuffle carries O(streams × {BOOT_B} ×
+    tasks) decimal partials, never the fanned rows. Resample means are
+    exact-decimal sums over identical weights, CI endpoints are
+    exact-rank selections among {BOOT_B} means — bitwise reproducible
+    across engines, partitionings, and reruns."""
+    ev = load(spark, sf_dir, "events")
+    fan = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("event_id").cast("string"),
+                                F.col("b").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0),
+    )
+    weighted = fan.withColumn("w", F.expr(_W_CASE))
+    per_b = (
+        weighted.groupBy("event_type", "b")
+        .agg(
+            dsum(F.col("w") * F.col("value")).alias("sw"),
+            F.sum("w").alias("nw"),
+        )
+        .filter(F.col("nw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("sw") / F.col("nw").cast("double")).alias("mean_b"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    ranked = per_b.withColumn("rn", F.row_number().over(wr))
+    ci = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == BOOT_LO, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == BOOT_HI, F.col("mean_b"))).alias("ci_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boot"),
+    )
+    full = ev.groupBy("event_type").agg(
+        (dsum("value") / F.count(F.lit(1)).cast("double")).alias("mean_full")
+    )
+    return full.join(ci, "event_type").select(
+        "event_type", "mean_full", "ci_lo", "ci_hi", "n_boot"
+    )

@@ -1288,3 +1288,141 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_med").alias("theil_sen_slope"),
         F.col("intercept").alias("theil_sen_intercept"),
     )
+
+
+# --- Pettitt change-point test --------------------------------------------
+
+PETTITT_DP = 8  # p-value: exp of a rational — generic, round once
+
+
+@register(
+    "ts_changepoint_pettitt",
+    tags=("timeseries", "changepoint", "robust"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         {sql_dsum('value')} AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.d AS di, b.d AS dj,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+fut AS (SELECT event_type, di AS d, SUM(s) AS a_t FROM pairs GROUP BY 1, 2),
+pst AS (SELECT event_type, dj AS d, SUM(s) AS b_t FROM pairs GROUP BY 1, 2),
+steps AS (
+  SELECT dd.event_type, dd.d,
+         COALESCE(f.a_t, 0) - COALESCE(p.b_t, 0) AS step
+  FROM daily dd
+  LEFT JOIN fut f ON dd.event_type = f.event_type AND dd.d = f.d
+  LEFT JOIN pst p ON dd.event_type = p.event_type AND dd.d = p.d
+),
+cum AS (
+  SELECT event_type, d,
+         SUM(step) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS u_t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM steps
+),
+best AS (
+  SELECT event_type, d, abs(u_t) AS k_abs, u_t, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(u_t) DESC, d) AS rk
+  FROM cum
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(k_abs AS BIGINT) AS k_stat,
+       CAST(d AS BIGINT) AS change_day,
+       round(2 * exp((-6.0 * k_abs * k_abs)
+                     / (CAST(n AS DOUBLE)*n*n + CAST(n AS DOUBLE)*n)),
+             {PETTITT_DP}) AS p_approx
+FROM best WHERE rk = 1
+""",
+)
+def ts_changepoint_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt nonparametric change-point test per event stream: find
+    the day t maximizing |U_t| = |Σ_{{i≤t<j}} sign(y_j − y_i)| over the
+    daily series — the rank-based mean-shift locator that needs no
+    distributional assumption (the WHERE of the shift CUSUM flags).
+
+    Quadratic work is bounded by the DAILY grain (the corpus reduces
+    to O(streams × days) decimal totals first). U_t comes from the
+    telescoping recurrence U_t − U_{{t−1}} = A_t − B_t with A/B the
+    future/past sign sums per day — two bounded aggregations + one
+    ordered window, not an O(n³) triple join. All-integer until the
+    single generically-rounded exp() of the approximate p-value."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(dsum("value").alias("y"))
+    )
+    a = daily.select("event_type", F.col("d").alias("di"), F.col("y").alias("yi"))
+    b = daily.select("event_type", F.col("d").alias("dj"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("di") < F.col("dj"))
+        .select(
+            "event_type",
+            "di",
+            "dj",
+            F.when(F.col("yj") > F.col("yi"), 1)
+            .when(F.col("yj") < F.col("yi"), -1)
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    fut = pairs.groupBy("event_type", F.col("di").alias("d")).agg(
+        F.sum("s").alias("a_t")
+    )
+    pst = pairs.groupBy("event_type", F.col("dj").alias("d")).agg(
+        F.sum("s").alias("b_t")
+    )
+    steps = (
+        daily.select("event_type", "d")
+        .join(fut, ["event_type", "d"], "left")
+        .join(pst, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            (F.coalesce("a_t", F.lit(0)) - F.coalesce("b_t", F.lit(0))).alias(
+                "step"
+            ),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = steps.withColumn("u_t", F.sum("step").over(wc)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs("u_t").desc(), "d"
+    )
+    best = cum.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") == 1)
+    n_d = F.col("n").cast("double")
+    return best.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.abs("u_t").cast("bigint").alias("k_stat"),
+        F.col("d").cast("bigint").alias("change_day"),
+        F.round(
+            2.0
+            * F.exp(
+                (-6.0 * F.abs("u_t") * F.abs("u_t"))
+                / (n_d * F.col("n") * F.col("n") + n_d * F.col("n"))
+            ),
+            PETTITT_DP,
+        ).alias("p_approx"),
+    )
