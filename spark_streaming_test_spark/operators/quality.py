@@ -699,3 +699,130 @@ def dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_abs_diff"),
         F.max("abs_diff").cast("double").alias("worst_abs_diff"),
     )
+
+
+# --- t-closeness ----------------------------------------------------------
+
+T_CLOSE = 0.2          # release threshold on the per-class EMD
+T_BAND = 1000.0        # sensitive attribute banded like dq_l_diversity
+
+
+@register(
+    "dq_t_closeness",
+    tags=("quality", "privacy", "aggregation"),
+    oracle=f"""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {T_BAND}) AS BIGINT) AS band
+  FROM customer
+),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_g
+  FROM banded GROUP BY 1, 2
+),
+gband AS (
+  SELECT band, COUNT(*) AS c_j FROM banded GROUP BY band
+),
+tot AS (SELECT COUNT(*) AS n FROM banded),
+cell AS (
+  SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS c_gj
+  FROM banded GROUP BY 1, 2, 3
+),
+lattice AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band, b.c_j,
+         COALESCE(c.c_gj, 0) AS c_gj
+  FROM grp g CROSS JOIN gband b
+  LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+   AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, n_g, band,
+         SUM(c_gj * (SELECT n FROM tot) - c_j * n_g)
+           OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+                 ROWS UNBOUNDED PRECEDING) AS cumnum,
+         COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS m
+  FROM lattice
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, MAX(n_g) AS class_size,
+         SUM(abs(cumnum)) AS absnum, MAX(m) AS m
+  FROM cum GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST(absnum AS DOUBLE)
+         / (CAST(class_size AS DOUBLE) * (SELECT n FROM tot) * (m - 1))
+         AS t_emd,
+       CAST(absnum AS DOUBLE)
+         / (CAST(class_size AS DOUBLE) * (SELECT n FROM tot) * (m - 1))
+         > {T_CLOSE} AS violates_t
+FROM emd
+""",
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the disclosure check k-anonymity AND
+    l-diversity both miss: a class can be large and diverse yet still
+    leak if its sensitive-value DISTRIBUTION differs from the table's
+    (skewness attack). Per equivalence class, the ordered-bin earth
+    mover's distance between the class and global band distributions,
+    flagged against t={T_CLOSE}.
+
+    Determinism: the EMD cumulative is kept as the INTEGER
+    cross-multiplied numerator Σ(c_gj·N − C_j·n_g) — window sums of
+    integers are order-free (a float cumsum through a segment-tree
+    window could re-associate differently per engine) — with ONE
+    double division at the end. Scale: one shuffle on the
+    quasi-identifier; the lattice is O(classes × bands), both
+    dimension-sized; the global band frame broadcasts."""
+    banded = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / T_BAND).cast("bigint").alias("band"),
+    )
+    grp = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    glob = banded.groupBy("band").agg(F.count(F.lit(1)).alias("c_j"))
+    n_total = banded.count()  # one scalar; the audit is a diagnostic job
+    cell = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("c_gj")
+    )
+    lattice = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "band",
+            "c_j",
+            F.coalesce("c_gj", F.lit(0)).alias("c_gj"),
+        )
+    )
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("c_nationkey", "c_mktsegment")
+    cum = lattice.withColumn(
+        "cumnum",
+        F.sum(F.col("c_gj") * F.lit(n_total) - F.col("c_j") * F.col("n_g")).over(
+            wc
+        ),
+    ).withColumn("m", F.count(F.lit(1)).over(wn))
+    emd = cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_g").alias("class_size"),
+        F.sum(F.abs("cumnum")).alias("absnum"),
+        F.max("m").alias("m"),
+    )
+    t_emd = F.col("absnum").cast("double") / (
+        F.col("class_size").cast("double") * F.lit(float(n_total)) * (F.col("m") - 1)
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("bigint").alias("class_size"),
+        t_emd.alias("t_emd"),
+        (t_emd > T_CLOSE).alias("violates_t"),
+    )

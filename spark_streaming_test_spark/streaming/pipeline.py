@@ -321,6 +321,30 @@ def interval_join_streams(
     return c.join(p, cond, "inner")
 
 
+def interval_join_streams_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: matched pairs emit
+    immediately; an UNMATCHED click emits once with NULL purchase
+    columns only after the watermark passes its interval end — the
+    engine must prove no future purchase can arrive before it declares
+    the click unconverted. Same state bound as the inner form (the
+    interval condition evicts buffered rows); the null-side emission is
+    what turns attribution into a complete outcome table rather than a
+    matches-only one."""
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(p, cond, "leftOuter")
+
+
 def dedup_within_watermark_stream(
     packets: DataFrame, keys: tuple[str, ...] = ("nif",), delay: str = "10 minutes"
 ) -> DataFrame:

@@ -1294,3 +1294,77 @@ def test_jsonl_python_datasource_stream_sink(spark, sf_dir, tmp_path):
     assert n_rows == ev.count()
     # No stray temp files survive the commit.
     assert not glob.glob(os.path.join(out, "**", "*.tmp"), recursive=True)
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER watermarked stream-stream join: matched click/purchase
+    pairs emit as data arrives, and a click with NO purchase in its
+    interval emits exactly once with NULL purchase columns after the
+    watermark passes its interval end — the completeness half of
+    attribution the inner join cannot express."""
+    from pyspark.sql import Row
+
+    from spark_streaming_test_spark.streaming.pipeline import (
+        interval_join_streams_outer,
+    )
+
+    def ts(h, m=0):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    c_schema = "click_id long, c_user long, click_ts timestamp"
+    p_schema = "p_id long, p_user long, p_ts timestamp"
+    spark.createDataFrame(
+        [Row(click_id=1, c_user=1, click_ts=ts(10)),
+         Row(click_id=2, c_user=2, click_ts=ts(10))],
+        c_schema,
+    ).write.parquet(csrc)
+    spark.createDataFrame(
+        [Row(p_id=101, p_user=1, p_ts=ts(10, 10))], p_schema
+    ).write.parquet(psrc)
+
+    cs = spark.readStream.schema(c_schema).parquet(csrc)
+    ps = spark.readStream.schema(p_schema).parquet(psrc)
+    joined = interval_join_streams_outer(cs, ps).select(
+        "click_id", "p_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Phase B: much-later rows on BOTH sides push each side's
+        # watermark past click 2's interval end (10:30 + 1h delay).
+        spark.createDataFrame(
+            [Row(click_id=3, c_user=9, click_ts=ts(13))], c_schema
+        ).write.mode("append").parquet(csrc)
+        spark.createDataFrame(
+            [Row(p_id=109, p_user=9, p_ts=ts(13))], p_schema
+        ).write.mode("append").parquet(psrc)
+        q.processAllAvailable()
+        # Phase C: one more batch so the post-watermark eviction pass
+        # emits the null-matched row.
+        spark.createDataFrame(
+            [Row(click_id=4, c_user=8, click_ts=ts(15))], c_schema
+        ).write.mode("append").parquet(csrc)
+        spark.createDataFrame(
+            [Row(p_id=108, p_user=8, p_ts=ts(15))], p_schema
+        ).write.mode("append").parquet(psrc)
+        q.processAllAvailable()
+        got = {
+            (r["click_id"], r["p_id"])
+            for r in spark.sql("SELECT * FROM ssj_outer_out").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, 101) in got, f"matched pair missing: {got}"
+    assert (3, 109) in got, f"late matched pair missing: {got}"
+    assert (2, None) in got, f"unmatched click never emitted: {got}"
+    # The unmatched click emits exactly once.
+    assert sum(1 for c, p in got if c == 2) == 1
