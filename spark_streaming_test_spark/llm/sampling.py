@@ -632,3 +632,87 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             NEYMAN_DP,
         ).alias("sampling_rate"),
     )
+
+
+# --- fractional-epoch oversampling ----------------------------------------
+
+# Per-source epoch factor in HUNDREDTHS (integer): {50, 105, 160, 215}
+# by source index mod 4 — stand-in for the mixture tuner's output
+# (corpus_mixture_weights / sample_temperature_mixture feed real
+# factors in the same shape).
+_EPOCH_CENTS = "50 + (CAST(substr(source, 4) AS INT) % 4) * 55"
+
+
+@register(
+    "sample_poisson_epochs",
+    tags=("llm", "sampling", "epochs"),
+    oracle=f"""
+WITH planned AS (
+  SELECT doc_id, source,
+         {_EPOCH_CENTS} AS cents,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep'), 1, 8))::BIGINT
+           AS h
+  FROM documents
+),
+copies AS (
+  SELECT doc_id, source, cents,
+         cents // 100
+           + CASE WHEN h % 100 < cents % 100 THEN 1 ELSE 0 END AS n_copies
+  FROM planned
+)
+SELECT doc_id, source,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+FROM copies
+WHERE n_copies > 0
+""",
+)
+def sample_poisson_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch oversampling — the step that realizes a mixture
+    plan like "src3 gets 1.6 epochs": every document materializes
+    floor(e) copies plus one more with probability frac(e), decided by
+    an md5(doc_id)-derived uniform. Deterministic and replay-safe (the
+    same doc makes the same copies on every run and engine — resumable
+    training without persisting the sampled corpus), and in expectation
+    each source contributes exactly e_s · n_s documents per pass.
+
+    Scale: a pure projection + bounded explode — no shuffle at all;
+    the epoch factors arrive as a broadcast plan in production. Integer
+    arithmetic end-to-end (factors kept in hundredths), so the
+    keep/copy decision can never waver."""
+    d = load(spark, sf_dir, "documents")
+    planned = d.select(
+        "doc_id",
+        "source",
+        F.expr(_EPOCH_CENTS).alias("cents"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ep"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    copies = planned.select(
+        "doc_id",
+        "source",
+        (
+            F.expr("cents div 100")
+            + F.when(F.col("h") % 100 < F.col("cents") % 100, 1).otherwise(0)
+        ).alias("n_copies"),
+    ).filter(F.col("n_copies") > 0)
+    return copies.select(
+        "doc_id",
+        "source",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("_ci"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_copies",
+        F.col("_ci").cast("bigint").alias("copy_idx"),
+    )

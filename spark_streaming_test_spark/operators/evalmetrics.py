@@ -457,3 +457,86 @@ def mlstats_ndcg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ap_num").cast("double") / (float(_AP_LCM) * n_rel),
         ).alias("ap_10"),
     )
+
+
+# --- exact fixed-point PR-AUC (average precision) -------------------------
+
+_AP_SCALE = 10_000_000_000  # precision terms in fixed-point 1e-10
+
+
+@register(
+    "mlstats_pr_auc",
+    tags=("mlstats", "evaluation", "rank"),
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(ts AS DATE) AS day, event_id,
+         {_Y_SQL} AS y, value AS score
+  FROM events
+),
+ranked AS (
+  SELECT day, y,
+         ROW_NUMBER() OVER (PARTITION BY day
+                            ORDER BY score DESC, event_id) AS k,
+         SUM(y) OVER (PARTITION BY day
+                      ORDER BY score DESC, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_pos
+  FROM scored
+),
+agg AS (
+  SELECT day,
+         SUM(CASE WHEN y = 1
+                  THEN (cum_pos * {_AP_SCALE}) // k ELSE 0 END) AS ap_fp,
+         SUM(y) AS pos,
+         COUNT(*) - SUM(y) AS neg
+  FROM ranked GROUP BY day
+)
+SELECT day, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+       CASE WHEN pos > 0
+            THEN CAST(ap_fp AS DOUBLE) / (CAST(pos AS DOUBLE) * {_AP_SCALE})
+       END AS pr_auc
+FROM agg
+""",
+)
+def mlstats_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step interpolation) per day — the imbalanced-classes companion to
+    ROC-AUC: AP = mean over positives of precision@their-rank under
+    the score ordering.
+
+    Determinism: each precision term is the FIXED-POINT integer
+    floor(cum_pos·10¹⁰ / k) — a 10-dp rounded rational can land
+    exactly on a .5 tie (cum/k = 1/2048 does), where engines round
+    apart; integer floor division cannot. One ordered window + one
+    aggregate; the shuffle carries day-partitioned rows once, bias is
+    < 10⁻¹⁰ per positive."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.col("value").alias("score"),
+    )
+    wo = Window.partitionBy("day").orderBy(F.col("score").desc(), "event_id")
+    ranked = ev.withColumn("k", F.row_number().over(wo)).withColumn(
+        "cum_pos",
+        F.sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = ranked.groupBy("day").agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.expr(f"(cum_pos * {_AP_SCALE}) div k"),
+            ).otherwise(F.lit(0))
+        ).alias("ap_fp"),
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    return agg.select(
+        "day",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("neg").cast("bigint").alias("neg"),
+        F.when(
+            F.col("pos") > 0,
+            F.col("ap_fp").cast("double")
+            / (F.col("pos").cast("double") * F.lit(float(_AP_SCALE))),
+        ).alias("pr_auc"),
+    )
