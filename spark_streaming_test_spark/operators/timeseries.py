@@ -266,3 +266,108 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("bigint").alias("covered_days"),
         F.max("len").cast("bigint").alias("longest_run"),
     )
+
+
+# --- M4 visualization downsampling ----------------------------------------
+
+
+@register(
+    "ts_downsample_m4",
+    tags=("timeseries", "downsample"),
+    oracle="""
+WITH pts AS (
+  SELECT event_type, ts, event_id, value,
+         time_bucket(INTERVAL '1 hour', ts) AS bucket
+  FROM events
+),
+r AS (
+  SELECT event_type, bucket, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts, event_id) AS r_first,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS r_last,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY value, ts, event_id) AS r_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY value DESC, ts, event_id) AS r_max
+  FROM pts
+)
+SELECT event_type, bucket, 'first' AS role, ts, value FROM r WHERE r_first = 1
+UNION ALL
+SELECT event_type, bucket, 'last' AS role, ts, value FROM r WHERE r_last = 1
+UNION ALL
+SELECT event_type, bucket, 'min' AS role, ts, value FROM r WHERE r_min = 1
+UNION ALL
+SELECT event_type, bucket, 'max' AS role, ts, value FROM r WHERE r_max = 1
+""",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per (series, time bucket) keep exactly the
+    first, last, min and max points — the lossless-for-rendering
+    reduction every monitoring UI runs before plotting (a pixel column
+    can only show those four), shrinking millions of points per series
+    to 4 per bucket with zero visual error.
+
+    One hash exchange on (series, bucket) feeds all four rank
+    orderings (same partitioning, re-sorted locally); ties are
+    total-ordered by (ts, event_id) so the kept points are unique and
+    engine-independent. The four roles emit via a union of filters
+    over the SAME ranked frame — Spark computes the ranked subtree
+    once (ReusedExchange), never four scans."""
+    pts = load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.window("ts", "1 hour").start.alias("bucket"),
+    )
+    part = ["event_type", "bucket"]
+    r = (
+        pts.withColumn(
+            "r_first",
+            F.row_number().over(Window.partitionBy(*part).orderBy("ts", "event_id")),
+        )
+        .withColumn(
+            "r_last",
+            F.row_number().over(
+                Window.partitionBy(*part).orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .withColumn(
+            "r_min",
+            F.row_number().over(
+                Window.partitionBy(*part).orderBy("value", "ts", "event_id")
+            ),
+        )
+        .withColumn(
+            "r_max",
+            F.row_number().over(
+                Window.partitionBy(*part).orderBy(
+                    F.col("value").desc(), "ts", "event_id"
+                )
+            ),
+        )
+    )
+    out_cols = ["event_type", "bucket", "role", "ts", "value"]
+    return (
+        r.filter(F.col("r_first") == 1)
+        .withColumn("role", F.lit("first"))
+        .select(*out_cols)
+        .unionAll(
+            r.filter(F.col("r_last") == 1)
+            .withColumn("role", F.lit("last"))
+            .select(*out_cols)
+        )
+        .unionAll(
+            r.filter(F.col("r_min") == 1)
+            .withColumn("role", F.lit("min"))
+            .select(*out_cols)
+        )
+        .unionAll(
+            r.filter(F.col("r_max") == 1)
+            .withColumn("role", F.lit("max"))
+            .select(*out_cols)
+        )
+    )

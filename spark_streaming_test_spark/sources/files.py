@@ -612,3 +612,42 @@ def scan_tsv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("escape", "\\")
         .csv(path)
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    tags=("source", "parquet", "pruning", "join"),
+    oracle="""
+SELECT e.event_id, e.user_id, e.value, e.event_type
+FROM events e
+WHERE length(e.event_type) <= 5
+""",
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact scan's partition filter is
+    not known at planning time — it is the RESULT of filtering a
+    dimension frame — so Catalyst injects a runtime subquery
+    (``PartitionFilters: [dynamicpruning#...]``) that evaluates the
+    dim side first and prunes fact partitions before the scan runs
+    (asserted in test_plans.py). Static IN-list pruning
+    (``scan_partitioned_pruning``) is the planning-time special case;
+    DPP is what saves the scan when the partition set comes from a
+    JOIN — the star-schema fact×dim shape at 100 TB."""
+    path = os.path.join(SCRATCH, "events_by_type_dpp")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .filter(F.length("event_type") <= 5)
+    )
+    return fact.join(F.broadcast(dim), "event_type").select(
+        "event_id", "user_id", "value", "event_type"
+    )

@@ -493,3 +493,44 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drop_rate",
         )
     )
+
+
+RATE_LIMIT_K = 3  # allowed events per user per hour
+
+
+@register(
+    "stream_rate_limit",
+    tags=("streaming", "state", "rate-limit"),
+    oracle=f"""
+SELECT event_id, user_id,
+       time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       CAST(rn AS INTEGER) AS rn,
+       rn <= {RATE_LIMIT_K} AS allowed
+FROM (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+""",
+)
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key token-bucket rate limiter in batch-checkable form: the
+    first {RATE_LIMIT_K} events per (user, hour) pass, the rest are
+    flagged throttled — the trust-and-safety / API-quota primitive. In
+    the live form the per-(key, window) counter is a
+    transformWithState ValueState whose window rollover resets it (the
+    edge-trigger processor's state shape with a counter instead of a
+    flag); this bounded twin IS the same computation on a finite input:
+    one shuffle on the key, one ordered rank, verdict projection."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    w = Window.partitionBy("user_id", win).orderBy("ts", "event_id")
+    return ev.withColumn("rn", F.row_number().over(w)).select(
+        "event_id",
+        "user_id",
+        win.start.alias("window_start"),
+        F.col("rn").cast("int").alias("rn"),
+        (F.col("rn") <= RATE_LIMIT_K).alias("allowed"),
+    )

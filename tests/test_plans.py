@@ -642,3 +642,17 @@ def test_burst_alerts_single_exchange(spark, qs):
     df = qs["traffic_burst_alerts"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_dynamic_partition_pruning_subquery(spark):
+    # DPP: joining the partitioned fact on its partition column against
+    # a filtered dim must inject a runtime pruning subquery into the
+    # fact scan (PartitionFilters: dynamicpruning#N) — partitions are
+    # eliminated by the dim's RESULT, not by a static literal.
+    from spark_streaming_test_spark.sources.files import (
+        scan_dynamic_partition_pruning,
+    )
+
+    df = scan_dynamic_partition_pruning(spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
