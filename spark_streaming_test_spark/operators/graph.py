@@ -28,7 +28,7 @@ where a data-dependent fixpoint would be rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -801,4 +801,112 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.col("n_shared").cast("bigint").alias("n_shared"),
         F.col("aa_dec").cast("double").alias("adamic_adar"),
+    )
+
+
+# --- seeded label propagation ---------------------------------------------
+
+LPA_ROUNDS = 3   # fixed synchronous rounds; oracle unrolls the same count
+LPA_SEED_MOD = 3  # node % 3 == 0 -> seeded with label node % 5
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""
+prop{i} AS MATERIALIZED (
+  SELECT u.node, l.lab, COUNT(*) AS c
+  FROM und u JOIN lab{i - 1} l ON u.nbr = l.node
+  WHERE l.lab IS NOT NULL
+  GROUP BY u.node, l.lab
+),
+pick{i} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM prop{i}) t WHERE rn = 1
+),
+lab{i} AS MATERIALIZED (
+  SELECT n.node, n.seed_label, COALESCE(n.seed_label, p.lab) AS lab
+  FROM nodes n LEFT JOIN pick{i} p ON n.node = p.node
+)"""
+
+
+@register(
+    "graph_label_propagation",
+    tags=("graph", "semi-supervised", "iterative"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+und AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node,
+         CASE WHEN node % {LPA_SEED_MOD} = 0 THEN node % 5 END AS seed_label
+  FROM und
+),
+lab0 AS MATERIALIZED (
+  SELECT node, seed_label, seed_label AS lab FROM nodes
+),
+{",".join(_lpa_round_sql(i) for i in range(1, LPA_ROUNDS + 1))}
+SELECT node,
+       CAST(seed_label AS INTEGER) AS seed_label,
+       CAST(lab AS INTEGER) AS label
+FROM lab{LPA_ROUNDS}
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (semi-supervised node classification):
+    a third of the co-purchase nodes carry seed labels; every
+    synchronous round each unseeded node adopts the MAJORITY label of
+    its neighbors (ties → smallest label), seeds stay clamped —
+    {LPA_ROUNDS} fixed rounds, the community/auto-labeling primitive
+    between one-shot kNN voting (``sim_knn_classify``) and full
+    connected components.
+
+    Deterministic: synchronous updates (each round reads only the
+    previous round's frame), integer labels, total-ordered majority
+    tie-break — which is what makes a fixed unrolling of the SAME
+    round count oracle-checkable (the ``graph_pagerank`` playbook).
+    Scale: each round = one inverted-index join + one rank window,
+    shuffle ~ O(edges) counts; rounds are few and fixed."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    nodes = (
+        und.select("node")
+        .distinct()
+        .withColumn(
+            "seed_label",
+            F.when(
+                F.col("node") % LPA_SEED_MOD == 0, F.col("node") % 5
+            ).cast("int"),
+        )
+    )
+    lab = nodes.select("node", F.col("seed_label").alias("lab"))
+    for _ in range(LPA_ROUNDS):
+        prop = (
+            und.join(
+                lab.select(F.col("node").alias("nbr"), "lab").filter(
+                    F.col("lab").isNotNull()
+                ),
+                "nbr",
+            )
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wp = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
+        pick = (
+            prop.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("p_lab"))
+        )
+        lab = nodes.join(pick, "node", "left").select(
+            "node", F.coalesce("seed_label", "p_lab").alias("lab")
+        )
+    return nodes.join(lab, "node").select(
+        "node",
+        F.col("seed_label").cast("int").alias("seed_label"),
+        F.col("lab").cast("int").alias("label"),
     )
