@@ -1363,3 +1363,67 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.join(ci, "event_type").select(
         "event_type", "mean_full", "ci_lo", "ci_hi", "n_boot"
     )
+
+
+# --- sample-ratio-mismatch guardrail --------------------------------------
+
+SRM_CRIT = 3.841  # chi-square(1 dof) critical value at alpha = 0.05
+
+
+@register(
+    "ab_test_srm_check",
+    tags=("mlstats", "experimentation", "guardrail"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events
+),
+counts AS (
+  SELECT
+    CAST(COUNT(CASE WHEN variant = 'A' THEN 1 END) AS BIGINT) AS n_a,
+    CAST(COUNT(CASE WHEN variant = 'B' THEN 1 END) AS BIGINT) AS n_b
+  FROM assigned
+)
+SELECT n_a, n_b,
+       CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) AS chi2,
+       CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > {SRM_CRIT}
+         AS srm_detected
+FROM counts
+""",
+)
+def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check of any A/B
+    readout: under a 50/50 hash split the user counts must match up to
+    chance; chi²(1) = (n_a − n_b)²/(n_a + n_b) above {SRM_CRIT} means
+    the assignment itself is broken (bot filtering, logging loss,
+    redirect bias) and every downstream metric is untrustworthy.
+
+    Same md5-bucket assignment as ``ab_test_zscore``; reduces to two
+    integer counts (one user-grain distinct + conditional count), the
+    statistic is one rational expression — exact cross-engine."""
+    assigned = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                <= "7",
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+        )
+    )
+    counts = assigned.agg(
+        F.count(F.when(F.col("variant") == "A", 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("variant") == "B", 1)).cast("bigint").alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    chi2 = diff.cast("double") * diff / (F.col("n_a") + F.col("n_b"))
+    return counts.select(
+        "n_a", "n_b", chi2.alias("chi2"), (chi2 > SRM_CRIT).alias("srm_detected")
+    )

@@ -826,3 +826,51 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_emd.alias("t_emd"),
         (t_emd > T_CLOSE).alias("violates_t"),
     )
+
+
+# --- freshness / ingest-lag audit -----------------------------------------
+
+FRESH_SLA_S = 3600  # stale when a stream trails the lake head by > 1 h
+
+
+@register(
+    "dq_freshness_lag",
+    tags=("quality", "freshness", "operations"),
+    oracle=f"""
+WITH per AS (
+  SELECT event_type, MAX(ts) AS latest_ts, COUNT(*) AS n_events
+  FROM events GROUP BY event_type
+),
+head AS (SELECT MAX(latest_ts) AS head_ts FROM per)
+SELECT p.event_type, p.latest_ts,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       CAST(date_diff('second', p.latest_ts, h.head_ts) AS BIGINT)
+         AS lag_seconds,
+       date_diff('second', p.latest_ts, h.head_ts) > {FRESH_SLA_S}
+         AS stale
+FROM per p CROSS JOIN head h
+""",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest freshness audit: each stream's newest event time against
+    the lake head, flagged when the lag exceeds the {FRESH_SLA_S}s SLA
+    — the "is a feed silently down?" pager check every ingest runs.
+    One partial-agg pass to O(streams) rows; the head is a 1-row
+    broadcast; lag is exact integer seconds (no float surface)."""
+    per = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("latest_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    head = per.agg(F.max("latest_ts").alias("head_ts"))
+    lag = F.unix_timestamp("head_ts") - F.unix_timestamp("latest_ts")
+    return per.crossJoin(F.broadcast(head)).select(
+        "event_type",
+        "latest_ts",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        lag.cast("bigint").alias("lag_seconds"),
+        (lag > FRESH_SLA_S).alias("stale"),
+    )

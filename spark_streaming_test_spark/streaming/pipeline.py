@@ -521,3 +521,60 @@ def merge_upsert_writer(state_path: str, key_cols: list[str]):
             shutil.rmtree(old)
 
     return write
+
+
+RATE_SCHEMA = (
+    "user_id bigint, ts timestamp, window_start timestamp, allowed boolean"
+)
+
+
+class RateLimitProcessor:
+    """Per-key token-bucket rate limiter as a Spark-4
+    ``StatefulProcessor``: ValueState holds (current_window, used)
+    per user; a row in a new hour window resets the budget, rows
+    beyond ``k`` inside one window are flagged throttled. The batch
+    twin (``batch_oracle.stream_rate_limit``) is the same verdict via
+    ROW_NUMBER on bounded input. Factory-shaped like
+    :class:`EdgeTriggerProcessor` (Spark-4-only import)."""
+
+    def __new__(cls, k: int):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Processor(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState(
+                    "bucket", "win timestamp, used int"
+                )
+
+            def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+                (user_id,) = key
+                pdf = pd.concat(list(rows)).sort_values("ts")
+                st = self._state.get()
+                win, used = (st[0], int(st[1])) if st is not None else (None, 0)
+                out = []
+                for ts in pdf["ts"]:
+                    w = ts.floor("h")
+                    if win is None or w != win:
+                        win, used = w, 0
+                    allowed = used < k
+                    used += 1
+                    out.append((user_id, ts, w, allowed))
+                self._state.update((win, used))
+                yield pd.DataFrame(
+                    out, columns=["user_id", "ts", "window_start", "allowed"]
+                )
+
+        return _Processor()
+
+
+def rate_limit_stream_tws(events: DataFrame, k: int) -> DataFrame:
+    """Streaming per-(user, hour) rate limiter via
+    ``transformWithStateInPandas``; expects (user_id, ts) columns.
+    State is O(active keys); windows reset the counter in place, so a
+    key's state never grows with history."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RateLimitProcessor(k),
+        outputStructType=RATE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

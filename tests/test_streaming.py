@@ -1368,3 +1368,113 @@ def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
     assert (2, None) in got, f"unmatched click never emitted: {got}"
     # The unmatched click emits exactly once.
     assert sum(1 for c, p in got if c == 2) == 1
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in this env)",
+)
+def test_rate_limit_stream_tws(spark, tmp_path):
+    """Live per-(user, hour) rate limiter through transformWithState:
+    first K events of a window pass, later ones are throttled, a new
+    window resets the budget — and the state survives across
+    micro-batches (the second batch continues the first's count)."""
+    from spark_streaming_test_spark.streaming.pipeline import rate_limit_stream_tws
+
+    def ts(h, m):
+        from datetime import datetime
+
+        return datetime(2024, 1, 1, h, m)
+
+    src = str(tmp_path / "src")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_batch(rows, name):
+        os.makedirs(src, exist_ok=True)
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        })
+        pq.write_table(t, f"{src}/{name}.parquet")
+
+    # batch 1: user 1 sends 3 events in hour 10 (K=2 -> TTT -> T,T,F)
+    write_batch([(1, ts(10, 0)), (1, ts(10, 5)), (1, ts(10, 10))], "b0")
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    limited = rate_limit_stream_tws(stream, k=2)
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("rl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: same hour (still throttled — state carried over),
+        # then next hour (budget resets)
+        write_batch([(1, ts(10, 20)), (1, ts(11, 0))], "b1")
+        q.processAllAvailable()
+        got = sorted(
+            (r["ts"], r["allowed"])
+            for r in spark.sql("SELECT * FROM rl_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [
+        (ts(10, 0), True),
+        (ts(10, 5), True),
+        (ts(10, 10), False),
+        (ts(10, 20), False),  # window budget already used in batch 1
+        (ts(11, 0), True),    # new hour resets
+    ]
+
+
+def test_foreach_writer_per_row_sink(spark, tmp_path):
+    """The per-element ForeachWriter contract (O15, the reference's
+    foreach Kafka push): open(partition, epoch) -> process(row) ->
+    close(err), one writer instance per partition per epoch. Rows land
+    in per-(partition, epoch) files; their union equals the input."""
+    import glob
+
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "rows")
+    os.makedirs(out, exist_ok=True)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(event_id=i, event_type=("click" if i % 2 else "view"))
+         for i in range(20)],
+        "event_id long, event_type string",
+    ).write.parquet(src)
+
+    class FileWriter:
+        def open(self, partition_id, epoch_id):
+            self.path = os.path.join(out, f"p{partition_id}-e{epoch_id}.txt")
+            self.fh = open(self.path, "a")
+            return True
+
+        def process(self, row):
+            self.fh.write(f"{row.event_id}:{row.event_type}\n")
+
+        def close(self, error):
+            self.fh.close()
+
+    q = (
+        spark.readStream.schema("event_id long, event_type string")
+        .parquet(src)
+        .writeStream.foreach(FileWriter())
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    lines = []
+    for f in glob.glob(os.path.join(out, "*.txt")):
+        lines += open(f).read().splitlines()
+    assert sorted(lines) == sorted(
+        f"{i}:{'click' if i % 2 else 'view'}" for i in range(20)
+    )
