@@ -74,6 +74,11 @@ HEADLINE = [
     "sim_binary_hamming_topk",   # sign-bit pack + XOR/popcount retrieval
     "dedup_incremental_exact",   # base-index probe + intra-delta window
     "text_rake_keyphrases",      # stopword runs + vocab-bounded scores
+    "text_line_dedup",           # line-hash shuffle + in-order reassembly
+    "agg_bootstrap_ci",          # x100 fan-out reduced map-side (resample means)
+    "rec_item_item_topn",        # bounded basket pair join + top-N window
+    "graph_label_propagation",   # 3-round majority message passing
+    "sql_recursive_cte",         # depth-bounded recursive CTE execution
 ]
 
 
