@@ -113,6 +113,25 @@ REC_TOP_N = 5
 REC_MIN_PAIR = 2
 
 
+# Materialized distinct (order, part) set, memoized per (session,
+# sf_dir): the basket/recommender operators all start from this frame
+# and the self-join reads it twice more — localCheckpoint truncates the
+# recompute instead of re-scanning lineitem per consumer.
+_ITEMS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _distinct_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _ITEMS_CACHE:
+        _ITEMS_CACHE[key] = (
+            load(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return _ITEMS_CACHE[key]
+
+
 @register(
     "rec_item_item_topn",
     tags=("behavior", "recommendation", "topk"),
@@ -167,17 +186,18 @@ def rec_item_item_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a correctly-rounded sqrt, one division — bitwise identical in any
     engine. At 100 TB the pair table is the only large intermediate
     and it shrinks with the support floor."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
-    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
+    items = _distinct_items(spark, sf_dir)
+    # The materialized item set feeds three consumers (both self-join
+    # sides and the marginals) — one scan+distinct, not three; the
+    # graph module's checkpointed-edges pattern.
+    a = items.alias("a").hint("shuffle_hash")
+    b = items.alias("b").hint("shuffle_hash")
     pairs = (
-        a.join(b, ["ok"])
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= REC_MIN_PAIR)
     )

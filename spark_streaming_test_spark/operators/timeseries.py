@@ -280,25 +280,21 @@ WITH pts AS (
          time_bucket(INTERVAL '1 hour', ts) AS bucket
   FROM events
 ),
-r AS (
-  SELECT event_type, bucket, ts, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                            ORDER BY ts, event_id) AS r_first,
-         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                            ORDER BY ts DESC, event_id DESC) AS r_last,
-         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                            ORDER BY value, ts, event_id) AS r_min,
-         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                            ORDER BY value DESC, ts, event_id) AS r_max
-  FROM pts
+m4 AS MATERIALIZED (
+  SELECT event_type, bucket,
+         min({'ts': ts, 'id': event_id, 'v': value}) AS fi,
+         max({'ts': ts, 'id': event_id, 'v': value}) AS la,
+         min({'v': value, 'ts': ts, 'id': event_id}) AS mn,
+         max({'v': value, 'ts': ts, 'id': event_id}) AS mx
+  FROM pts GROUP BY event_type, bucket
 )
-SELECT event_type, bucket, 'first' AS role, ts, value FROM r WHERE r_first = 1
+SELECT event_type, bucket, 'first' AS role, fi.ts AS ts, fi.v AS value FROM m4
 UNION ALL
-SELECT event_type, bucket, 'last' AS role, ts, value FROM r WHERE r_last = 1
+SELECT event_type, bucket, 'last' AS role, la.ts AS ts, la.v AS value FROM m4
 UNION ALL
-SELECT event_type, bucket, 'min' AS role, ts, value FROM r WHERE r_min = 1
+SELECT event_type, bucket, 'min' AS role, mn.ts AS ts, mn.v AS value FROM m4
 UNION ALL
-SELECT event_type, bucket, 'max' AS role, ts, value FROM r WHERE r_max = 1
+SELECT event_type, bucket, 'max' AS role, mx.ts AS ts, mx.v AS value FROM m4
 """,
 )
 def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,12 +304,13 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     can only show those four), shrinking millions of points per series
     to 4 per bucket with zero visual error.
 
-    One hash exchange on (series, bucket) feeds all four rank
-    orderings (same partitioning, re-sorted locally); ties are
-    total-ordered by (ts, event_id) so the kept points are unique and
-    engine-independent. The four roles emit via a union of filters
-    over the SAME ranked frame — Spark computes the ranked subtree
-    once (ReusedExchange), never four scans."""
+    Plan: ONE map-side-combined hash aggregate — the four extrema are
+    lexicographic struct min/max (identical semantics in both engines),
+    so there is no window, no sort, and the shuffle carries 4 structs
+    per (series, bucket) per task. Roles then unfold from the 4-struct
+    row via a bounded array explode (no rescan, no union of subtrees).
+    Ties are total-ordered by the struct's trailing (ts, event_id) /
+    (id) fields, so the kept points are unique and engine-independent."""
     pts = load(spark, sf_dir, "events").select(
         "event_type",
         "ts",
@@ -321,53 +318,25 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.window("ts", "1 hour").start.alias("bucket"),
     )
-    part = ["event_type", "bucket"]
-    r = (
-        pts.withColumn(
-            "r_first",
-            F.row_number().over(Window.partitionBy(*part).orderBy("ts", "event_id")),
-        )
-        .withColumn(
-            "r_last",
-            F.row_number().over(
-                Window.partitionBy(*part).orderBy(
-                    F.col("ts").desc(), F.col("event_id").desc()
-                )
-            ),
-        )
-        .withColumn(
-            "r_min",
-            F.row_number().over(
-                Window.partitionBy(*part).orderBy("value", "ts", "event_id")
-            ),
-        )
-        .withColumn(
-            "r_max",
-            F.row_number().over(
-                Window.partitionBy(*part).orderBy(
-                    F.col("value").desc(), "ts", "event_id"
-                )
-            ),
-        )
+    m4 = pts.groupBy("event_type", "bucket").agg(
+        F.min(F.struct("ts", F.col("event_id").alias("id"), F.col("value").alias("v"))).alias("fi"),
+        F.max(F.struct("ts", F.col("event_id").alias("id"), F.col("value").alias("v"))).alias("la"),
+        F.min(F.struct(F.col("value").alias("v"), "ts", F.col("event_id").alias("id"))).alias("mn"),
+        F.max(F.struct(F.col("value").alias("v"), "ts", F.col("event_id").alias("id"))).alias("mx"),
     )
-    out_cols = ["event_type", "bucket", "role", "ts", "value"]
+    roles = F.array(
+        F.struct(F.lit("first").alias("role"), F.col("fi.ts").alias("ts"), F.col("fi.v").alias("value")),
+        F.struct(F.lit("last").alias("role"), F.col("la.ts").alias("ts"), F.col("la.v").alias("value")),
+        F.struct(F.lit("min").alias("role"), F.col("mn.ts").alias("ts"), F.col("mn.v").alias("value")),
+        F.struct(F.lit("max").alias("role"), F.col("mx.ts").alias("ts"), F.col("mx.v").alias("value")),
+    )
     return (
-        r.filter(F.col("r_first") == 1)
-        .withColumn("role", F.lit("first"))
-        .select(*out_cols)
-        .unionAll(
-            r.filter(F.col("r_last") == 1)
-            .withColumn("role", F.lit("last"))
-            .select(*out_cols)
-        )
-        .unionAll(
-            r.filter(F.col("r_min") == 1)
-            .withColumn("role", F.lit("min"))
-            .select(*out_cols)
-        )
-        .unionAll(
-            r.filter(F.col("r_max") == 1)
-            .withColumn("role", F.lit("max"))
-            .select(*out_cols)
+        m4.select("event_type", "bucket", F.explode(roles).alias("r"))
+        .select(
+            "event_type",
+            "bucket",
+            F.col("r.role").alias("role"),
+            F.col("r.ts").alias("ts"),
+            F.col("r.value").alias("value"),
         )
     )
