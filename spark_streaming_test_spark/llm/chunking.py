@@ -345,3 +345,93 @@ def export_jsonl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         jsonl.alias("jsonl"),
         F.length(jsonl).alias("n_bytes"),
     )
+
+
+@register(
+    "export_dpo_pairs",
+    tags=("llm", "export", "preference"),
+    oracle="""
+WITH scored AS (
+  SELECT source, doc_id, text, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS r_best,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id) AS r_worst
+  FROM documents
+),
+best AS (
+  SELECT source, doc_id AS chosen_id, text AS chosen, n_chars AS chosen_score
+  FROM scored WHERE r_best = 1
+),
+worst AS (
+  SELECT source, doc_id AS rejected_id, text AS rejected,
+         n_chars AS rejected_score
+  FROM scored WHERE r_worst = 1
+)
+SELECT b.source, b.chosen_id, w.rejected_id,
+       CAST(b.chosen_score AS BIGINT) AS chosen_score,
+       CAST(w.rejected_score AS BIGINT) AS rejected_score,
+       concat('{"prompt":"', b.source,
+              '","chosen":"', b.chosen,
+              '","rejected":"', w.rejected, '"}') AS jsonl
+FROM best b JOIN worst w ON b.source = w.source
+WHERE b.chosen_id <> w.rejected_id
+""",
+)
+def export_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair export (DPO/RLHF shape): per prompt group — the
+    source stands in for the prompt — pair the best- and worst-scored
+    responses into the ``{"prompt", "chosen", "rejected"}`` JSONL
+    record preference-tuning loaders ingest. The score here is the
+    n_chars quality proxy; production swaps in a reward-model column
+    with the same plan.
+
+    One exchange on the group key feeds BOTH rank orderings; the
+    best/worst frames are group-sized and join back broadcast-small.
+    The record template is pinned string concatenation (the
+    ``export_jsonl_records`` rule) so output bytes hash-match across
+    engines; degenerate single-document groups are dropped rather
+    than emitting chosen == rejected."""
+    d = load(spark, sf_dir, "documents")
+    wb = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ww = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), "doc_id")
+    scored = d.select(
+        "source",
+        "doc_id",
+        "text",
+        "n_chars",
+        F.row_number().over(wb).alias("r_best"),
+        F.row_number().over(ww).alias("r_worst"),
+    )
+    best = scored.filter(F.col("r_best") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("text").alias("chosen"),
+        F.col("n_chars").alias("chosen_score"),
+    )
+    worst = scored.filter(F.col("r_worst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("text").alias("rejected"),
+        F.col("n_chars").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, "source")
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            F.col("chosen_score").cast("bigint").alias("chosen_score"),
+            F.col("rejected_score").cast("bigint").alias("rejected_score"),
+            F.concat(
+                F.lit('{"prompt":"'),
+                F.col("source"),
+                F.lit('","chosen":"'),
+                F.col("chosen"),
+                F.lit('","rejected":"'),
+                F.col("rejected"),
+                F.lit('"}'),
+            ).alias("jsonl"),
+        )
+    )
