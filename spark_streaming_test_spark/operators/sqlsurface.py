@@ -168,3 +168,70 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    tags=("sql", "pipe"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_quantity < 40
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, `|>`): the linear FROM-first dialect
+    — each stage names one operation in execution order, the shape
+    query UIs and LLM-generated SQL increasingly emit. Catalyst lowers
+    it to exactly the classical plan (the oracle runs the classical
+    form), so adopting the dialect costs nothing: same pushdown, same
+    partial aggregation, same codegen."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity < 40
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                       AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "sql_session_variables",
+    tags=("sql", "variables"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_high_value
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+""",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4.0 DECLARE / SET VARIABLE): the
+    threshold arrives as a typed session variable instead of a string-
+    interpolated literal — the parameterization path that keeps ad-hoc
+    SQL injectable-free and re-plannable (the variable folds to a
+    literal at planning, so pushdown still reaches the scan). The
+    reference's config surface (sysprops, O17) is this pattern's
+    JVM-flag ancestor."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE high_value_threshold DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VARIABLE high_value_threshold = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_high_value
+        FROM orders
+        WHERE o_totalprice > high_value_threshold
+        GROUP BY o_orderpriority
+        """
+    )
