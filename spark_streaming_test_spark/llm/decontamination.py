@@ -151,3 +151,77 @@ def decon_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- exact-substring contamination ----------------------------------------
+
+PROBE_SKIP, PROBE_WORDS = 5, 3  # probe = words 5..7 of each eval doc
+
+
+@register(
+    "decon_exact_substring",
+    tags=("llm", "decontamination", "strings"),
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id, source, text,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+  FROM documents
+),
+probes AS (
+  SELECT DISTINCT
+         array_to_string(string_split(text, ' ')[{PROBE_SKIP} : {PROBE_SKIP + PROBE_WORDS - 1}], ' ')
+           AS probe
+  FROM split WHERE is_eval
+),
+good_probes AS (SELECT probe FROM probes WHERE length(probe) >= 10),
+hits AS (
+  SELECT t.doc_id, t.source, p.probe
+  FROM split t JOIN good_probes p ON contains(t.text, p.probe)
+  WHERE NOT t.is_eval
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_probe_hits,
+       MIN(probe) AS example_probe
+FROM hits GROUP BY doc_id, source
+""",
+)
+def decon_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination check — the strict companion to
+    n-gram overlap (`decon_ngram_overlap`): flag training documents
+    that contain a VERBATIM probe string from the held-out eval split
+    (here a {PROBE_WORDS}-word span per eval doc; real benchmarks probe
+    with answers/canaries). Verbatim containment is the test-set-leak
+    smoking gun n-gram statistics can only suggest.
+
+    Plan: the probe set is tiny and BROADCASTS; the corpus side is one
+    scan with a broadcast nested-loop `contains` filter — O(corpus ×
+    probes) character scans, the honest shape for a benchmark-sized
+    probe list (hundreds). For probe sets beyond broadcast size the
+    n-gram postings path takes over (same module), trading exactness
+    for an equi-join."""
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "text",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias(
+            "is_eval"
+        ),
+    )
+    probes = (
+        docs.filter("is_eval")
+        .select(
+            F.array_join(
+                F.slice(F.split("text", " "), PROBE_SKIP, PROBE_WORDS), " "
+            ).alias("probe")
+        )
+        .distinct()
+        .filter(F.length("probe") >= 10)
+    )
+    hits = (
+        docs.filter(~F.col("is_eval"))
+        .join(F.broadcast(probes), F.col("text").contains(F.col("probe")))
+    )
+    return hits.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_hits"),
+        F.min("probe").alias("example_probe"),
+    )
