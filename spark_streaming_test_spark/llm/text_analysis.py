@@ -566,11 +566,10 @@ LOGPROB_DP = 8          # ln() may differ in the last ulp across libm builds
 LOW_QUALITY_LP = -7.0   # avg token logprob below this => out-of-vocab-heavy
 
 
-@register(
-    "text_unigram_logprob",
-    tags=("llm", "text", "quality", "lm"),
-    oracle=f"""
-WITH postings AS (
+# Shared unigram-LM scoring CTE chain (ends in `scores(doc_id,
+# n_tokens, avg_logprob)`), used by the logprob query and the CCNet
+# bucket assignment below.
+_SQL_UNIGRAM_SCORES = f"""postings AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
   FROM documents
 ),
@@ -582,15 +581,27 @@ total AS (SELECT SUM(n) AS t FROM vocab),
 lp AS (
   SELECT token, round(ln(CAST(n AS DOUBLE) / t), {LOGPROB_DP}) AS logp
   FROM vocab, total
-)
-SELECT c.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(CAST(lp.logp AS DECIMAL(25,{LOGPROB_DP}))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS avg_logprob,
-       CAST(SUM(CAST(lp.logp AS DECIMAL(25,{LOGPROB_DP}))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) < {LOW_QUALITY_LP} AS low_quality
-FROM clean c JOIN lp ON c.token = lp.token
-GROUP BY c.doc_id
+),
+scores AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(lp.logp AS DECIMAL(25,{LOGPROB_DP}))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+  FROM clean c JOIN lp ON c.token = lp.token
+  GROUP BY c.doc_id
+)"""
+
+
+@register(
+    "text_unigram_logprob",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=f"""
+WITH {_SQL_UNIGRAM_SCORES}
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       avg_logprob,
+       avg_logprob < {LOW_QUALITY_LP} AS low_quality
+FROM scores
 """,
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1184,4 +1195,52 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"), pmi.alias("pmi"))
+    )
+
+
+@register(
+    "text_quality_buckets_ccnet",
+    tags=("llm", "text", "quality", "curation"),
+    oracle=f"""
+WITH {_SQL_UNIGRAM_SCORES},
+langd AS (SELECT doc_id, lang FROM documents)
+SELECT s.doc_id, d.lang, s.avg_logprob,
+       CASE NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.avg_logprob DESC, s.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM scores s JOIN langd d ON s.doc_id = d.doc_id
+""",
+)
+def text_quality_buckets_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per language, rank documents by
+    LM score and cut into head / middle / tail terciles — the curation
+    scheme that keeps mixture decisions per-language (so low-resource
+    languages are not graded against English perplexity) and feeds
+    head-heavy sampling.
+
+    Composes the registered unigram-LM scorer (same broadcast-vocab
+    plan) with one per-language NTILE — total-ordered tie-breaks make
+    the cut deterministic, and the bucket column is exactly what
+    `sample_temperature_mixture` / `corpus_mixture_weights` consume
+    upstream."""
+    scores = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    langd = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    return (
+        scores.join(langd, "doc_id")
+        .withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
     )

@@ -1021,3 +1021,76 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decayed_score"),
         )
     )
+
+
+# --- point-in-time feature matrix -----------------------------------------
+
+
+@register(
+    "events_feature_matrix",
+    tags=("behavior", "features", "window"),
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS n_events,
+         {sql_dsum('value')} AS day_value,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, d AS day_index,
+       CAST(SUM(n_events) OVER w7 AS BIGINT) AS n_events_7d,
+       CAST(SUM(CAST(day_value AS DECIMAL(25,6))) OVER w7 AS DOUBLE)
+         AS sum_value_7d,
+       CAST(COUNT(*) OVER w7 AS BIGINT) AS n_active_days_7d,
+       CAST(d - lag(d) OVER (PARTITION BY user_id ORDER BY d) AS BIGINT)
+         AS days_since_prev
+FROM daily
+WINDOW w7 AS (PARTITION BY user_id ORDER BY d
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature materialization (the feature-store fill):
+    for every (user, active day), trailing-7-day activity features —
+    event count, exact-decimal value sum, active-day count, recency gap
+    — computed AS OF each day with no future leakage (the RANGE frame
+    ends at the current row).
+
+    The fact table reduces to the daily user grain first (one
+    map-side-combined exchange); every feature then rides a single
+    partition-ordered RANGE window over integer day indexes — adding
+    features adds columns, not passes. Decimal day sums keep re-fills
+    bitwise reproducible, which is what makes offline/online feature
+    parity checkable at all."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("day_value"),
+            F.count_distinct(F.col("event_type")).alias("n_types"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("user_id").orderBy("d").rangeBetween(-6, 0)
+    )
+    wl = Window.partitionBy("user_id").orderBy("d")
+    return daily.select(
+        "user_id",
+        F.col("d").alias("day_index"),
+        F.sum("n_events").over(w7).cast("bigint").alias("n_events_7d"),
+        F.sum(F.col("day_value").cast("decimal(25,6)"))
+        .over(w7)
+        .cast("double")
+        .alias("sum_value_7d"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("n_active_days_7d"),
+        (F.col("d") - F.lag("d").over(wl)).cast("bigint").alias(
+            "days_since_prev"
+        ),
+    )
