@@ -1056,3 +1056,72 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("text_kept", F.lit("")).alias("text_kept"),
     )
+
+
+# --- chunk-boundary overlap detection -------------------------------------
+
+EDGE_WORDS = 3  # boundary span; production uses ~50-token overlaps
+
+
+@register(
+    "dedup_boundary_overlap",
+    tags=("llm", "dedup", "crawl"),
+    oracle=f"""
+WITH edges_d AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1 : {EDGE_WORDS}], ' ')
+           AS head_span,
+         array_to_string(
+           string_split(text, ' ')[
+             greatest(len(string_split(text, ' ')) - {EDGE_WORDS - 1}, 1)
+             : len(string_split(text, ' '))], ' ') AS tail_span
+  FROM documents
+)
+SELECT a.doc_id AS prev_doc, b.doc_id AS next_doc,
+       a.tail_span AS overlap_span
+FROM edges_d a JOIN edges_d b
+  ON md5(a.tail_span) = md5(b.head_span)
+ AND a.doc_id <> b.doc_id
+WHERE a.tail_span = b.head_span
+""",
+)
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-boundary overlap detection: find document pairs where one
+    document's TAIL span verbatim-equals another's HEAD span — the
+    signature of re-crawled/re-chunked segments split at different
+    offsets (and of chunking pipelines that let context windows leak
+    across shard boundaries). Neither exact-hash nor shingle dedup
+    surfaces these: the documents differ, only their edges align.
+
+    Plan: each doc contributes ONE head and ONE tail fingerprint (a
+    pure projection), the join is equi on the md5 of the span (32-byte
+    shuffle keys), and the string equality re-check makes hash
+    collisions impossible. O(corpus) keys, never pairwise."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    edges = d.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, EDGE_WORDS), " ").alias("head_span"),
+        F.array_join(
+            F.slice(
+                words,
+                F.greatest(F.size(words) - (EDGE_WORDS - 1), F.lit(1)),
+                EDGE_WORDS,
+            ),
+            " ",
+        ).alias("tail_span"),
+    )
+    a = edges.select(
+        F.col("doc_id").alias("prev_doc"), F.col("tail_span")
+    ).withColumn("k", F.md5("tail_span"))
+    b = edges.select(
+        F.col("doc_id").alias("next_doc"), F.col("head_span")
+    ).withColumn("k", F.md5("head_span"))
+    return (
+        a.join(b, "k")
+        .filter(
+            (F.col("prev_doc") != F.col("next_doc"))
+            & (F.col("tail_span") == F.col("head_span"))
+        )
+        .select("prev_doc", "next_doc", F.col("tail_span").alias("overlap_span"))
+    )
