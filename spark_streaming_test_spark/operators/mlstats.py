@@ -1433,3 +1433,129 @@ def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "n_a", "n_b", chi2.alias("chi2"), (chi2 > SRM_CRIT).alias("srm_detected")
     )
+
+
+# --- delta-method CI for ratio metrics ------------------------------------
+
+
+@register(
+    "ab_test_ratio_delta_method",
+    tags=("mlstats", "experimentation", "ratio"),
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE) AS x,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT variant,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(x * y, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(y * y, 4) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+  FROM assigned GROUP BY variant
+),
+est AS (
+  SELECT variant, n, sx / sy AS ratio,
+         (sxx - sx * sx / n) / (n - 1) AS vx,
+         (syy - sy * sy / n) / (n - 1) AS vy,
+         (sxy - sx * sy / n) / (n - 1) AS cxy,
+         sy / n AS ybar
+  FROM mom
+),
+dm AS (
+  SELECT variant, CAST(n AS BIGINT) AS n_users, ratio,
+         (vx - 2 * ratio * cxy + ratio * ratio * vy)
+           / (n * ybar * ybar) AS var_ratio
+  FROM est
+)
+SELECT variant, n_users, ratio, var_ratio,
+       ratio - CAST(1.96 AS DOUBLE) * sqrt(var_ratio) AS ci_lo,
+       ratio + CAST(1.96 AS DOUBLE) * sqrt(var_ratio) AS ci_hi
+FROM dm
+""",
+)
+def ab_test_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue per
+    event) under the A/B hash split — the estimator experimentation
+    platforms need because ratio metrics violate the i.i.d.-per-row
+    assumption (numerator and denominator are correlated within a
+    user): Var(X̄/Ȳ) ≈ (s_x² − 2R·s_xy + R²·s_y²)/(n·ȳ²) from
+    user-grain moments.
+
+    Determinism: user totals are exact decimal sums; second moments
+    quantize the double products ONCE at scale 4 (the safe-scale rule
+    — the products are true multiples of 10⁻⁴, so rounding recovers
+    them exactly) and accumulate as decimals; everything after is IEEE
+    arithmetic on identical doubles, including the literal-cast 1.96.
+    Shape: user-grain reduce → O(variants) moment rows → closed form."""
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    dec6, dec4 = "decimal(25,6)", "decimal(30,4)"
+    mom = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec6)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec6)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast(dec4))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast(dec4))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("y") * F.col("y"), 4).cast(dec4))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    ratio = F.col("sx") / F.col("sy")
+    est = mom.select(
+        "variant",
+        n,
+        ratio.alias("ratio"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias("vx"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)).alias("vy"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias("cxy"),
+        (F.col("sy") / n).alias("ybar"),
+    )
+    var_ratio = (
+        F.col("vx")
+        - 2 * F.col("ratio") * F.col("cxy")
+        + F.col("ratio") * F.col("ratio") * F.col("vy")
+    ) / (F.col("n") * F.col("ybar") * F.col("ybar"))
+    dm = est.select(
+        "variant",
+        F.col("n").cast("bigint").alias("n_users"),
+        "ratio",
+        var_ratio.alias("var_ratio"),
+    )
+    z = F.lit(1.96)
+    return dm.select(
+        "variant",
+        "n_users",
+        "ratio",
+        "var_ratio",
+        (F.col("ratio") - z * F.sqrt("var_ratio")).alias("ci_lo"),
+        (F.col("ratio") + z * F.sqrt("var_ratio")).alias("ci_hi"),
+    )

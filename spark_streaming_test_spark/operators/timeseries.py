@@ -304,11 +304,13 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     can only show those four), shrinking millions of points per series
     to 4 per bucket with zero visual error.
 
-    Plan: ONE map-side-combined hash aggregate — the four extrema are
-    lexicographic struct min/max (identical semantics in both engines),
-    so there is no window, no sort, and the shuffle carries 4 structs
-    per (series, bucket) per task. Roles then unfold from the 4-struct
-    row via a bounded array explode (no rescan, no union of subtrees).
+    Plan: ONE aggregation pass — the four extrema are lexicographic
+    struct min/max (identical semantics in both engines), so there is
+    no window and the shuffle carries 4 structs per (series, bucket)
+    per task (struct-buffered min/max plans as a partial+final
+    SortAggregate; still a single exchange, versus the 4 windowed rank
+    passes it replaces). Roles then unfold from the 4-struct row via a
+    bounded array explode (no rescan, no union of subtrees).
     Ties are total-ordered by the struct's trailing (ts, event_id) /
     (id) fields, so the kept points are unique and engine-independent."""
     pts = load(spark, sf_dir, "events").select(

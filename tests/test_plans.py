@@ -656,3 +656,29 @@ def test_dynamic_partition_pruning_subquery(spark):
     df = scan_dynamic_partition_pruning(spark, SF_DIR)
     plan = checks.formatted_plan(df)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_m4_single_exchange_no_window(spark):
+    # The struct-extrema rewrite must keep M4 to ONE aggregation pass:
+    # a single exchange and no window operators. (Struct min/max is a
+    # declarative aggregate with a non-atomic buffer, so Spark plans a
+    # partial+final SortAggregate — still one exchange of 4 structs
+    # per group, versus the 4 windowed rank passes it replaced.)
+    q = registry.all_queries()["ts_downsample_m4"]
+    df = q.fn(spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    tree = plan.split("\n\n", 1)[0]  # the operator tree header
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree, tree
+    assert "Aggregate" in tree, tree
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    # The LATERAL ORDER BY/LIMIT subquery must decorrelate into a
+    # windowed rank plan (one pass over customer), not a per-nation
+    # re-execution loop.
+    q = registry.all_queries()["join_lateral_topk"]
+    df = q.fn(spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Window" in plan, plan[:1500]
+    checks.assert_no_cartesian(df)
