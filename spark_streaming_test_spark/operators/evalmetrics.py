@@ -540,3 +540,84 @@ def mlstats_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("pos").cast("double") * F.lit(float(_AP_SCALE))),
         ).alias("pr_auc"),
     )
+
+
+# --- cumulative gains / lift table ----------------------------------------
+
+LIFT_DECILES = 10
+
+
+@register(
+    "mlstats_lift_gains",
+    tags=("mlstats", "evaluation", "ranking"),
+    oracle=f"""
+WITH scored AS (
+  SELECT event_id, {_Y_SQL} AS y, value AS score FROM events
+),
+ranked AS (
+  SELECT y,
+         NTILE({LIFT_DECILES}) OVER (ORDER BY score DESC, event_id)
+           AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM ranked GROUP BY decile
+),
+tot AS (SELECT SUM(n) AS nt, SUM(pos) AS pt FROM per)
+SELECT p.decile,
+       CAST(p.n AS BIGINT) AS n,
+       p.pos,
+       CAST(SUM(p.pos) OVER (ORDER BY p.decile ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_pos,
+       CAST(SUM(p.pos) OVER (ORDER BY p.decile ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) / t.pt AS cum_capture,
+       (CAST(p.pos AS DOUBLE) / p.n) / (CAST(t.pt AS DOUBLE) / t.nt) AS lift
+FROM per p CROSS JOIN tot t
+""",
+)
+def mlstats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift table: rank the population by model
+    score, cut into {LIFT_DECILES} deciles, and report each decile's
+    positive capture and lift over base rate — the campaign-targeting
+    readout ("the top 20% of scores captures X% of converters") that
+    decides how deep to act on a model.
+
+    Total-ordered NTILE (score, id tie-break) makes decile membership
+    deterministic; everything after is integer counts over
+    {LIFT_DECILES} rows, cumulative as an integer window, with final
+    IEEE ratios. One global rank pass — at fleet scale the NTILE swaps
+    for pre-computed exact-rank decile edges (the dq_psi_drift
+    pattern) to avoid the single-ordering bottleneck."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.col("value").alias("score"),
+    )
+    wr = Window.orderBy(F.col("score").desc(), "event_id")
+    ranked = ev.withColumn("decile", F.ntile(LIFT_DECILES).over(wr))
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("pt")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("pos").over(wc))
+        .select(
+            "decile",
+            F.col("n").cast("bigint").alias("n"),
+            "pos",
+            F.col("cum_pos").cast("bigint").alias("cum_pos"),
+            (F.col("cum_pos").cast("double") / F.col("pt")).alias(
+                "cum_capture"
+            ),
+            (
+                (F.col("pos").cast("double") / F.col("n"))
+                / (F.col("pt").cast("double") / F.col("nt"))
+            ).alias("lift"),
+        )
+    )

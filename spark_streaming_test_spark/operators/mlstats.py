@@ -1559,3 +1559,127 @@ def ab_test_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ratio") - z * F.sqrt("var_ratio")).alias("ci_lo"),
         (F.col("ratio") + z * F.sqrt("var_ratio")).alias("ci_hi"),
     )
+
+
+# --- CUPED variance reduction ---------------------------------------------
+
+CUPED_SPLIT_TS = "2024-01-08"  # pre-period / experiment-period boundary
+
+
+@register(
+    "ab_test_cuped",
+    tags=("mlstats", "experimentation", "variance-reduction"),
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
+                            THEN value ELSE 0 END AS DECIMAL(25,6)))
+              AS DOUBLE) AS x,
+         CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT_TS}'
+                            THEN value ELSE 0 END AS DECIMAL(25,6)))
+              AS DOUBLE) AS y
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(x * y, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx / n AS xbar,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th
+  FROM pooled
+),
+adj AS (
+  SELECT u.variant,
+         COUNT(*) AS n_users,
+         CAST(SUM(CAST(round(u.y - t.th * (u.x - t.xbar), 6)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS s_adj,
+         CAST(SUM(CAST(u.y AS DECIMAL(25,6))) AS DOUBLE) AS s_raw
+  FROM per_user u CROSS JOIN theta t
+  GROUP BY u.variant
+)
+SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+       s_raw / n_users AS mean_raw,
+       s_adj / n_users AS mean_cuped
+FROM adj
+""",
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: adjust each user's experiment-period
+    metric by their PRE-period covariate, ŷ = y − θ(x − x̄) with
+    θ = cov(x,y)/var(x) — the industry-standard trick that shrinks A/B
+    confidence intervals ~30-50% for returning users without touching
+    the treatment effect (E[adjustment] = 0).
+
+    θ and x̄ come from pooled user-grain moments (one tiny frame,
+    broadcast back); adjusted values are generically rounded at 6 dp
+    (θ is an irrational ratio — tie-free) then decimal-summed, so the
+    adjusted means are bitwise stable. Two aggregate passes over the
+    user grain, zero extra fact-table scans."""
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT_TS).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        dsum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias(
+            "x"
+        ),
+        dsum(
+            F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    dec6, dec4 = "decimal(25,6)", "decimal(30,4)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec6)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec6)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast(dec4))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast(dec4))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    theta = pooled.select(
+        n,
+        (F.col("sx") / n).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        ).alias("th"),
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.round(
+                    F.col("y") - F.col("th") * (F.col("x") - F.col("xbar")), 6
+                ).cast(dec6)
+            )
+            .cast("double")
+            .alias("s_adj"),
+            F.sum(F.col("y").cast(dec6)).cast("double").alias("s_raw"),
+        )
+    )
+    return adj.select(
+        "variant",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        (F.col("s_raw") / F.col("n_users")).alias("mean_raw"),
+        (F.col("s_adj") / F.col("n_users")).alias("mean_cuped"),
+    )
