@@ -910,3 +910,100 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seed_label").cast("int").alias("seed_label"),
         F.col("lab").cast("int").alias("label"),
     )
+
+
+# --- modularity of the component partition --------------------------------
+
+
+@register(
+    "graph_modularity",
+    tags=("graph", "communities", "evaluation"),
+    oracle=f"""
+WITH RECURSIVE {_SQL_COPURCHASE},
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN und e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lab) AS c FROM reach GROUP BY node),
+m AS (SELECT COUNT(*) AS m_edges FROM edges),
+internal AS (
+  SELECT ca.c, COUNT(*) AS e_in
+  FROM edges e JOIN comp ca ON e.u = ca.node JOIN comp cb ON e.v = cb.node
+  WHERE ca.c = cb.c
+  GROUP BY ca.c
+),
+degsum AS (
+  SELECT cp.c, COUNT(*) AS d_tot, COUNT(DISTINCT u.src) AS n_nodes
+  FROM und u JOIN comp cp ON u.src = cp.node
+  GROUP BY cp.c
+)
+SELECT d.c AS community,
+       CAST(d.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(i.e_in, 0) AS BIGINT) AS internal_edges,
+       CAST(d.d_tot AS BIGINT) AS degree_sum,
+       CAST(COALESCE(i.e_in, 0) AS DOUBLE) / t.m_edges
+         - (CAST(d.d_tot AS DOUBLE) / (2 * t.m_edges))
+           * (CAST(d.d_tot AS DOUBLE) / (2 * t.m_edges)) AS q_term
+FROM degsum d
+LEFT JOIN internal i ON d.c = i.c
+CROSS JOIN m t
+""",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the connected-component partition —
+    Q_c = e_c/m − (d_c/2m)² per community — the quality score that
+    grades ANY clustering of the graph (components here; swap in the
+    label-propagation or k-core communities unchanged). Emitting the
+    per-community terms (sum = Q) names WHICH communities carry the
+    structure, what the single global number hides.
+
+    All inputs are integers (edge counts, degree sums from one
+    inverted-index join each); the two ratios divide identical doubles
+    — no rounding anywhere. The component labels come from the same
+    min-label loop the CC query proves against DuckDB's recursive
+    closure, so the whole composition stays hash-checkable."""
+    edges = _copurchase_edges(spark, sf_dir)
+    comp = min_label_components(edges).select(
+        "node", F.col("lab").alias("c")
+    )
+    und = edges.select(F.col("u").alias("src")).unionAll(
+        edges.select(F.col("v").alias("src"))
+    )
+    m_edges = edges.count()  # one scalar over the cached edge frame
+    ca = comp.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+    cb = comp.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+    internal = (
+        edges.join(F.broadcast(ca), "u")
+        .join(F.broadcast(cb), "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    degsum = (
+        und.join(
+            F.broadcast(comp.select(F.col("node").alias("src"), "c")), "src"
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("d_tot"),
+            F.count_distinct(F.col("src")).alias("n_nodes"),
+        )
+    )
+    md = float(m_edges)
+    return (
+        degsum.join(internal, "c", "left")
+        .select(
+            F.col("c").alias("community"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("internal_edges"),
+            F.col("d_tot").cast("bigint").alias("degree_sum"),
+            (
+                F.coalesce("e_in", F.lit(0)).cast("double") / F.lit(md)
+                - (F.col("d_tot").cast("double") / F.lit(2 * md))
+                * (F.col("d_tot").cast("double") / F.lit(2 * md))
+            ).alias("q_term"),
+        )
+    )
