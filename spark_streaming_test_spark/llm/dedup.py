@@ -1125,3 +1125,57 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("prev_doc", "next_doc", F.col("tail_span").alias("overlap_span"))
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    tags=("llm", "dedup", "normalization"),
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n_copies
+  FROM norm
+)
+SELECT doc_id, source, h AS content_key,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       rn = 1 AS keep
+FROM ranked
+""",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-first exact dedup: lowercase, collapse every
+    non-alphanumeric run to one space, trim, THEN hash — so case,
+    punctuation and whitespace variants of the same content collapse
+    to one key (the gap between raw-byte `dedup_exact` and the shingle
+    estimators; most real corpora dedup on exactly this normal form).
+    Keeps the smallest doc_id per key and reports copy counts.
+
+    Same hash-first scale shape as `dedup_exact`: the normalization is
+    a codegen'd projection, the shuffle carries 32-byte digests, and
+    the verdict is one ranked window over digest groups."""
+    d = spread(load(spark, sf_dir, "documents"))
+    norm = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    wn = Window.partitionBy("h")
+    return norm.select(
+        "doc_id",
+        "source",
+        F.col("h").alias("content_key"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_copies"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -235,3 +235,33 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_named_parameters",
+    tags=("sql", "parameters"),
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_acctbal > 1000.0 AND c_nationkey < 10
+GROUP BY c_mktsegment
+""",
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers (``spark.sql(sql, args=...)``): values
+    bind as TYPED literals through the API — no string interpolation,
+    no injection surface, and the literal folds at planning so
+    pushdown reaches the scan. The programmatic twin of the
+    DECLARE/SET session-variable path."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_acctbal > :min_bal AND c_nationkey < :max_nation
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "max_nation": 10},
+    )

@@ -176,7 +176,8 @@ _DRIVER_WINDOW = [
     "decon_exact_substring", "text_quality_buckets_ccnet",
     "events_feature_matrix", "dedup_boundary_overlap",
     "ab_test_ratio_delta_method", "ab_test_cuped", "mlstats_lift_gains",
-    "graph_modularity",
+    "graph_modularity", "scan_nested_struct_roundtrip",
+    "sql_named_parameters", "dedup_exact_normalized",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",

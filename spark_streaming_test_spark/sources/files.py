@@ -651,3 +651,57 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     return fact.join(F.broadcast(dim), "event_type").select(
         "event_id", "user_id", "value", "event_type"
     )
+
+
+@register(
+    "scan_nested_struct_roundtrip",
+    tags=("source", "parquet", "nested"),
+    oracle="""
+SELECT o.o_orderkey, o.o_orderpriority,
+       l.l_linenumber, l.l_partkey, l.l_quantity
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 100 = 0
+""",
+)
+def scan_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/document-model parquet: assemble each order as ONE record
+    — header struct + array<struct> of its line items (sorted, so the
+    document bytes are deterministic) — write, scan back, and flatten
+    by exploding the items array. Hash-matching the relational join
+    proves the whole nested path: struct/array writer, nested schema
+    read, and explode-based shredding. This is the log/event-document
+    shape (order-with-items, request-with-spans) that avoids the join
+    at read time by nesting it at write time; predicate pushdown on
+    the top-level filter column still reaches the scan."""
+    path = os.path.join(SCRATCH, "orders_nested")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_partkey", "l_quantity")
+                )
+            ).alias("items")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "o_orderpriority", "items")
+    )
+    nested.write.mode("overwrite").parquet(path)
+    doc = spark.read.parquet(path).filter(F.col("o_orderkey") % 100 == 0)
+    return doc.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode("items").alias("it"),
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("it.l_linenumber").alias("l_linenumber"),
+        F.col("it.l_partkey").alias("l_partkey"),
+        F.col("it.l_quantity").alias("l_quantity"),
+    )
