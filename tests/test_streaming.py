@@ -1478,3 +1478,67 @@ def test_foreach_writer_per_row_sink(spark, tmp_path):
     assert sorted(lines) == sorted(
         f"{i}:{'click' if i % 2 else 'view'}" for i in range(20)
     )
+
+
+def test_jsonl_stream_sink_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across restart for the custom Python DataSource
+    stream sink: a second query on the SAME checkpoint continues epoch
+    numbering, does not re-publish committed epochs, and the union of
+    all epochs equals the total input with no duplicates."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from spark_streaming_test_spark.sources.jsonl_sink import register_sink
+
+    register_sink(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    def write_rows(lo, hi, name):
+        spark.createDataFrame(
+            [Row(event_id=i) for i in range(lo, hi)], "event_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("jsonl_dir")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    write_rows(0, 10, "a")
+    write_rows(10, 20, "b")
+    run_once()
+    epochs_first = set(glob.glob(os.path.join(out, "epoch=*")))
+    manifests_first = {
+        e: os.path.getmtime(os.path.join(e, "_SUCCESS")) for e in epochs_first
+    }
+    assert len(epochs_first) >= 2, "maxFilesPerTrigger should split epochs"
+
+    write_rows(20, 30, "c")
+    run_once()
+    epochs_second = set(glob.glob(os.path.join(out, "epoch=*")))
+    assert epochs_second > epochs_first, "restart must add new epochs"
+    for e, mtime in manifests_first.items():
+        assert os.path.getmtime(os.path.join(e, "_SUCCESS")) == mtime, (
+            f"committed epoch {e} was re-published after restart"
+        )
+
+    seen = []
+    import json as _json
+
+    for part in glob.glob(os.path.join(out, "epoch=*", "*.jsonl")):
+        with open(part) as f:
+            seen += [_json.loads(line)["event_id"] for line in f]
+    assert sorted(seen) == list(range(30)), "rows lost or duplicated"
