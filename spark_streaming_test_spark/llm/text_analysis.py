@@ -1244,3 +1244,54 @@ def text_quality_buckets_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+@register(
+    "text_lexical_stats",
+    tags=("llm", "text", "quality"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         AS n_unique,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS ttr,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+         AS n_tokens_ws,
+       (CAST(length(replace(text, ' ', '')) AS DOUBLE))
+         / len(string_split(text, ' ')) AS avg_word_len,
+       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS syllables_per_word
+FROM documents
+""",
+)
+def text_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity and readability signals per document:
+    type-token ratio (repetition-heavy boilerplate scores low), average
+    word length, and vowel-run syllable density (the Flesch-family
+    complexity proxy). Together with `text_quality_score` and
+    `text_repetition_stats` these are the classic cheap columns a
+    quality classifier consumes.
+
+    Pure codegen projection — integer counts and ratios of identical
+    doubles, no shuffle, no Python, exact in any engine."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nu = F.size(F.array_distinct(words))
+    no_sp = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return d.select(
+        "doc_id",
+        nw.cast("bigint").alias("n_words"),
+        nu.cast("bigint").alias("n_unique"),
+        (nu.cast("double") / nw).alias("ttr"),
+        (F.length("text") - no_sp + F.lit(1))
+        .cast("bigint")
+        .alias("n_tokens_ws"),
+        (no_sp.cast("double") / nw).alias("avg_word_len"),
+        (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), 0))
+            .cast("double")
+            / nw
+        ).alias("syllables_per_word"),
+    )
