@@ -750,3 +750,92 @@ def agg_audience_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         [("click∩purchase", exact_a, exact_b, exact, bool(within))],
         "pair string, exact_a long, exact_b long, exact_overlap long, within_tol boolean",
     )
+
+
+# --- higher central moments: skewness / kurtosis --------------------------
+
+MOM_DP = 6  # centered powers are generic (mean is a non-terminating
+            # rational) — round then decimal-sum, the corr/KM rule
+
+
+@register(
+    "agg_skew_kurtosis",
+    tags=("agg", "statistics", "moments"),
+    oracle=f"""
+WITH mu AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM events GROUP BY event_type
+),
+centered AS (
+  SELECT e.event_type, mu.n, mu.m,
+         CAST(round((e.value - mu.m) * (e.value - mu.m), {MOM_DP})
+              AS DECIMAL(30,{MOM_DP})) AS d2,
+         CAST(round((e.value - mu.m) * (e.value - mu.m) * (e.value - mu.m),
+                    {MOM_DP}) AS DECIMAL(30,{MOM_DP})) AS d3,
+         CAST(round((e.value - mu.m) * (e.value - mu.m) * (e.value - mu.m)
+                    * (e.value - mu.m), {MOM_DP})
+              AS DECIMAL(30,{MOM_DP})) AS d4
+  FROM events e JOIN mu ON e.event_type = mu.event_type
+),
+moments AS (
+  SELECT event_type, MAX(n) AS n, MAX(m) AS mean,
+         CAST(SUM(d2) AS DOUBLE) / MAX(n) AS m2,
+         CAST(SUM(d3) AS DOUBLE) / MAX(n) AS m3,
+         CAST(SUM(d4) AS DOUBLE) / MAX(n) AS m4
+  FROM centered GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, mean, m2,
+       round(m3 / (m2 * sqrt(m2)), 8) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 8) AS excess_kurtosis
+FROM moments
+""",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per stream — the
+    distribution-shape diagnostics (heavy tails break z-score
+    thresholds; skew breaks symmetric CIs) that extend the
+    mean/variance profile of ``agg_stats_moments``.
+
+    Two passes: group means (exact decimal sums), then centered powers
+    — each (v−μ)^k is a GENERIC double (μ is a non-terminating
+    rational, so rounding ties are measure-zero) rounded at {MOM_DP}
+    dp and decimal-summed, making the central moments order-invariant
+    and bitwise cross-engine; the final shape ratios round generically
+    at 8 dp (the wide decimal sums can cast to double an ulp apart
+    between engines past 2^53 — see verify notes). Built-in skewness()/kurtosis() use
+    streaming update order and cannot guarantee that. The group-mean
+    frame is tiny and broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(25,6)")).cast("double") /
+         F.count(F.lit(1))).alias("m"),
+    )
+    d = F.col("value") - F.col("m")
+    dec = f"decimal(30,{MOM_DP})"
+    centered = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "n",
+        "m",
+        F.round(d * d, MOM_DP).cast(dec).alias("d2"),
+        F.round(d * d * d, MOM_DP).cast(dec).alias("d3"),
+        F.round(d * d * d * d, MOM_DP).cast(dec).alias("d4"),
+    )
+    moments = centered.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("mean"),
+        (F.sum("d2").cast("double") / F.max("n")).alias("m2"),
+        (F.sum("d3").cast("double") / F.max("n")).alias("m3"),
+        (F.sum("d4").cast("double") / F.max("n")).alias("m4"),
+    )
+    m2 = F.col("m2")
+    return moments.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "mean",
+        "m2",
+        F.round(F.col("m3") / (m2 * F.sqrt(m2)), 8).alias("skewness"),
+        F.round(F.col("m4") / (m2 * m2) - 3.0, 8).alias("excess_kurtosis"),
+    )
