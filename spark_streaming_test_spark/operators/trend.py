@@ -1426,3 +1426,138 @@ def ts_changepoint_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             PETTITT_DP,
         ).alias("p_approx"),
     )
+
+
+# --- seasonal strength ----------------------------------------------------
+
+STL_DP = 6   # centered squares are generic — round then decimal-sum
+STL_OUT_DP = 8
+
+
+@register(
+    "ts_seasonal_strength",
+    tags=("timeseries", "seasonality", "diagnostics"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+hod AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM h) AS INTEGER) AS hod,
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS nd,
+         CAST(SUM(hv) AS DECIMAL(24,2)) AS s_dec,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM hourly GROUP BY event_type, CAST(EXTRACT(hour FROM h) AS INTEGER)
+),
+resid AS (
+  SELECT h.event_type, CAST(h.hv AS DOUBLE) AS total,
+         CAST(p.nd * h.hv - p.s_dec AS DOUBLE) / p.n AS r
+  FROM hourly h
+  JOIN hod p ON h.event_type = p.event_type
+            AND CAST(EXTRACT(hour FROM h.h) AS INTEGER) = p.hod
+),
+mu AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(total, {STL_DP}) AS DECIMAL(25,{STL_DP})))
+              AS DOUBLE) / COUNT(*) AS mu_t,
+         CAST(SUM(CAST(round(r, {STL_DP}) AS DECIMAL(25,{STL_DP})))
+              AS DOUBLE) / COUNT(*) AS mu_r
+  FROM resid GROUP BY event_type
+),
+vv AS (
+  SELECT s.event_type, m.n,
+         CAST(SUM(CAST(round((s.total - m.mu_t) * (s.total - m.mu_t),
+                             {STL_DP}) AS DECIMAL(30,{STL_DP}))) AS DOUBLE)
+           / m.n AS var_t,
+         CAST(SUM(CAST(round((s.r - m.mu_r) * (s.r - m.mu_r),
+                             {STL_DP}) AS DECIMAL(30,{STL_DP}))) AS DOUBLE)
+           / m.n AS var_r
+  FROM resid s JOIN mu m ON s.event_type = m.event_type
+  GROUP BY s.event_type, m.n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       round(var_t, {STL_OUT_DP}) AS var_total,
+       round(var_r, {STL_OUT_DP}) AS var_resid,
+       round(greatest(CAST(0.0 AS DOUBLE), 1.0 - var_r / var_t),
+             {STL_OUT_DP}) AS seasonal_strength
+FROM vv
+""",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength diagnostic (the STL F_s statistic): per
+    stream, 1 − Var(residual)/Var(total) after the hour-of-day
+    decomposition — near 1 when the daily rhythm explains the series
+    (forecast with the seasonal model), near 0 when it doesn't (fall
+    back to EWMA/naive). The model-selection readout that decides
+    BETWEEN this engine's forecasting operators.
+
+    Builds on ``ts_seasonal_residual``'s exact scaled-through
+    residuals; variances use the centered-decimal pattern
+    (generic-round then exact sums) and the final ratios round at
+    {STL_OUT_DP} dp. Two small reduces over the hourly grain."""
+    hourly = _hourly_sum(spark, sf_dir)
+    hod = hourly.groupBy(
+        "event_type", F.hour("h").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("nd"),
+        F.sum("hv").cast("decimal(24,2)").alias("s_dec"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    resid = (
+        hourly.withColumn("hod", F.hour("h").cast("int"))
+        .join(F.broadcast(hod), ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.col("hv").cast("double").alias("total"),
+            (
+                (F.col("nd") * F.col("hv") - F.col("s_dec")).cast("double")
+                / F.col("n")
+            ).alias("r"),
+        )
+    )
+    dec = f"decimal(25,{STL_DP})"
+    dec30 = f"decimal(30,{STL_DP})"
+    mu = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round("total", STL_DP).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu_t"),
+        (
+            F.sum(F.round("r", STL_DP).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu_r"),
+    )
+    vv = (
+        resid.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("total") - F.col("mu_t"))
+                        * (F.col("total") - F.col("mu_t")),
+                        STL_DP,
+                    ).cast(dec30)
+                ).cast("double")
+                / F.first("n")
+            ).alias("var_t"),
+            (
+                F.sum(
+                    F.round(
+                        (F.col("r") - F.col("mu_r"))
+                        * (F.col("r") - F.col("mu_r")),
+                        STL_DP,
+                    ).cast(dec30)
+                ).cast("double")
+                / F.first("n")
+            ).alias("var_r"),
+        )
+    )
+    return vv.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round("var_t", STL_OUT_DP).alias("var_total"),
+        F.round("var_r", STL_OUT_DP).alias("var_resid"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("var_r") / F.col("var_t")),
+            STL_OUT_DP,
+        ).alias("seasonal_strength"),
+    )
