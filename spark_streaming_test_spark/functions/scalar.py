@@ -602,3 +602,51 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.shiftright(k, 1)).cast("bigint").alias("shr_sum"),
         F.sum(k.bitwiseXOR(F.lit(170))).cast("bigint").alias("xor_mask_sum"),
     )
+
+
+@register(
+    "fn_luhn_validate",
+    tags=("functions", "validation"),
+    oracle="""
+WITH ids AS (
+  SELECT o_orderkey,
+         lpad(CAST((o_orderkey * 7919) % 10000000000 AS VARCHAR), 10, '0')
+           AS acct
+  FROM orders
+),
+summed AS (
+  SELECT o_orderkey, acct,
+         list_sum(list_transform(generate_series(1, length(acct)),
+           i -> CASE WHEN (length(acct) - i) % 2 = 1
+                     THEN CASE WHEN 2 * CAST(acct[i] AS INTEGER) > 9
+                               THEN 2 * CAST(acct[i] AS INTEGER) - 9
+                               ELSE 2 * CAST(acct[i] AS INTEGER) END
+                     ELSE CAST(acct[i] AS INTEGER) END)) AS luhn_sum
+  FROM ids
+)
+SELECT o_orderkey, acct,
+       luhn_sum % 10 = 0 AS valid
+FROM summed
+""",
+)
+def fn_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation (``luhn_check``, Spark 4) over synthetic
+    10-digit account numbers — the card/account-number sanity gate a
+    PII scrubber runs to decide whether a digit run is a REAL payment
+    identifier (redact) or noise (keep); pairs with ``text_pii_redact``.
+    The oracle hand-rolls the double-every-second-digit checksum, so
+    the builtin's semantics are pinned cross-engine. Pure codegen
+    projection, no shuffle."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lpad(
+            ((F.col("o_orderkey") * 7919) % 10000000000).cast("string"),
+            10,
+            "0",
+        ).alias("acct"),
+    )
+    return o.select(
+        "o_orderkey",
+        "acct",
+        F.expr("luhn_check(acct)").alias("valid"),
+    )

@@ -534,3 +534,88 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("int").alias("rn"),
         (F.col("rn") <= RATE_LIMIT_K).alias("allowed"),
     )
+
+
+# Per-stream session gaps (seconds): bursty streams close fast, sparse
+# funnels stay open longer — the tuning dynamic session windows exist for.
+DYN_GAPS = {"click": 120, "view": 120, "purchase": 600, "signup": 1800}
+DYN_GAP_DEFAULT = 300
+
+_GAP_SECS_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in DYN_GAPS.items())
+    + f" ELSE {DYN_GAP_DEFAULT} END"
+)
+# session_window's dynamic gap must be CalendarIntervalType — a STRING
+# gap column ('120 seconds') casts there implicitly; the ANSI INTERVAL
+# literal would be DayTimeIntervalType and is rejected.
+_GAP_IVL_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN '{v} seconds'" for k, v in DYN_GAPS.items())
+    + f" ELSE '{DYN_GAP_DEFAULT} seconds' END"
+)
+
+
+@register(
+    "stream_session_dynamic_gap",
+    tags=("streaming", "window", "session"),
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, event_type, ts, value,
+         {_GAP_SECS_SQL} AS gap_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts, value, gap_s,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > gap_s * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM g
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+),
+islands AS (
+  SELECT user_id, event_type, ts, value, gap_s,
+         SUM(new_session) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ROWS UNBOUNDED PRECEDING)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, event_type,
+       MIN(ts) AS session_start,
+       MAX(ts) + to_microseconds(CAST(MAX(gap_s) AS BIGINT) * 1000000)
+         AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM islands
+GROUP BY user_id, event_type, session_id
+""",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-row gap expression
+    (``session_window(ts, CASE ...)``) — bursty click streams close
+    after {DYN_GAPS['click']}s of silence while sparse signup funnels
+    stay open {DYN_GAPS['signup']}s, in ONE operator. The fixed-gap
+    form is ``stream_session_window``; the gap column is what
+    Structured Streaming's session state actually supports per key.
+
+    Batch-checkable against the gaps-islands formulation (a session
+    breaks exactly when the microsecond gap strictly exceeds the
+    stream's gap — boundary semantics verified against the engine).
+    One exchange on the session key either way."""
+    ev = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", F.expr(_GAP_IVL_SQL))
+    return (
+        ev.groupBy(sw, "user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
