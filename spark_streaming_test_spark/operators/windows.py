@@ -398,3 +398,41 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("arr").cast("bigint").alias("frame_n"),
         )
     )
+
+
+@register(
+    "window_time_range_frame",
+    tags=("window", "range", "time"),
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+         AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+""",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame: each event aggregated with everything
+    its user did in the trailing HOUR — the frame is bounded by event
+    time, not row count, so bursty and sparse users get the same
+    semantic window (what a ROWS frame cannot express). This is the
+    SQL-window twin of the streaming sliding window, point-in-time
+    correct per row.
+
+    One exchange + one ordered frame; the boundary is inclusive at
+    exactly −1h in both engines (SQL-standard RANGE), and the decimal
+    sum keeps totals order-invariant."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                 AS sum_trailing_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
