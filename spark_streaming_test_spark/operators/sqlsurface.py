@@ -265,3 +265,53 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 1000.0, "max_nation": 10},
     )
+
+
+@register(
+    "fn_sql_udf",
+    tags=("sql", "udf", "functions"),
+    oracle="""
+WITH priced AS (
+  SELECT l_orderkey,
+         l_extendedprice * (1.0 - l_discount) AS disc_price,
+         CAST(l_quantity AS INTEGER) AS qty
+  FROM lineitem
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(disc_price, 4) AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue,
+       CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM priced
+GROUP BY l_orderkey
+""",
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (``CREATE FUNCTION ... RETURN expr``): the
+    declarative UDF path — the body is a SQL expression Catalyst
+    INLINES into the caller's plan, so unlike Python UDFs it costs
+    nothing (full codegen, pushdown through it, no serialization
+    boundary). The right default for shared business logic like
+    discount pricing; the reference's threshold routing would ship as
+    exactly this kind of function library.
+
+    The oracle runs the inlined expression directly, proving the
+    function boundary is semantically transparent."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(disc_price(l_extendedprice, l_discount), 4)
+                             AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        """
+    )

@@ -136,12 +136,44 @@ class SyntheticPacketStreamReader(DataSourceStreamReader):
 
 
 class SyntheticPacketBatchReader(DataSourceReader):
+    """Batch reader with FILTER PUSHDOWN (Spark 4.1 Python DataSource
+    API): equality filters on the partition-defining ``nif`` column
+    are accepted in :meth:`pushFilters` and applied at PLANNING time —
+    ``partitions()`` simply does not emit the pruned NICs, so filtered
+    scans schedule fewer tasks and generate zero dead rows (the
+    Python-source analogue of parquet partition pruning; the
+    capture-source equivalent of only opening the requested
+    interface). All other filters are returned to Spark to evaluate
+    post-scan, per the API contract."""
+
     def __init__(self, options):
         self.conf = _Conf(options)
+        self._nif_filter: set[int] | None = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo
+
+        accepted_nifs: set[int] = set()
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("nif",)
+                and isinstance(f.value, str)
+                and f.value.startswith("eth")
+                and f.value[3:].isdigit()
+            ):
+                accepted_nifs.add(int(f.value[3:]))
+            else:
+                yield f  # not handled here — Spark evaluates it
+        if accepted_nifs:
+            self._nif_filter = accepted_nifs
 
     def partitions(self):
         batches = self.conf.max_batches if self.conf.max_batches >= 0 else 1
-        return [NicPartition(nif_idx, 0, batches) for nif_idx in range(self.conf.nifs)]
+        nifs = range(self.conf.nifs)
+        if self._nif_filter is not None:
+            nifs = [i for i in nifs if i in self._nif_filter]
+        return [NicPartition(nif_idx, 0, batches) for nif_idx in nifs]
 
     def read(self, partition: NicPartition) -> Iterator[tuple]:
         for batch in range(partition.start_batch, partition.end_batch):
@@ -167,4 +199,9 @@ class SyntheticPacketDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # The batch reader implements pushFilters(); Spark refuses to plan a
+    # pushdown-capable Python source while the feature flag is off, so
+    # registration enables it (runtime-settable) for whichever session
+    # is handed in — including a driver's plain default session.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticPacketDataSource)

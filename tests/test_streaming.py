@@ -1542,3 +1542,42 @@ def test_jsonl_stream_sink_restart_exactly_once(spark, tmp_path):
         with open(part) as f:
             seen += [_json.loads(line)["event_id"] for line in f]
     assert sorted(seen) == list(range(30)), "rows lost or duplicated"
+
+
+def test_packet_source_filter_pushdown_prunes_partitions(spark):
+    """Python DataSource filter pushdown (Spark 4.1): an equality
+    filter on the partition-defining nif column is accepted by
+    pushFilters() and applied at planning — the filtered scan
+    schedules ONE task (per-NIC partition pruning) instead of one per
+    NIC, and non-pushable residual filters still evaluate correctly
+    post-scan."""
+    from spark_streaming_test_spark.sources import packets
+
+    saved = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        packets.register(spark)
+        df = (
+            spark.read.format("synthetic_packets")
+            .option("nifs", 4)
+            .option("packets_per_batch", 50)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 4
+        flt = df.filter(F.col("nif") == "eth2")
+        assert flt.rdd.getNumPartitions() == 1, "partition not pruned"
+        rows = flt.select("nif").distinct().collect()
+        assert [r["nif"] for r in rows] == ["eth2"]
+        assert flt.count() == 50
+        # residual (non-pushable) filter still applies after the scan
+        mixed = df.filter(
+            (F.col("nif") == "eth1") & (F.length("raw") > 1000)
+        )
+        assert mixed.rdd.getNumPartitions() == 1
+        got = mixed.select("nif").distinct().collect()
+        assert [r["nif"] for r in got] == ["eth1"]
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", saved)
