@@ -578,3 +578,55 @@ def rate_limit_stream_tws(events: DataFrame, k: int) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+SESSION_TIMEOUT_SCHEMA = (
+    "nif string, n_packets bigint, total_bytes double, closed_by string"
+)
+
+
+def session_close_on_timeout_stream(
+    packets: DataFrame, timeout_ms: int = 2000
+) -> DataFrame:
+    """Sessions that CLOSE ON SILENCE via processing-time state timeout
+    (``GroupStateTimeout.ProcessingTimeTimeout``): per NIC, packets
+    accumulate into open-session state; when a key sees no data for
+    ``timeout_ms`` the engine calls the function with
+    ``state.hasTimedOut`` and the session emits exactly once, closed by
+    'timeout'. This is the semantics the reference's capture loop
+    approximates with its bounded 300-packet cycle
+    (CaptureNetworkReceiver.java:97,110-126) — emit when the source
+    goes quiet — done with engine-managed timers instead of loop
+    bounds. State is O(open keys) and every timeout EVICTS its key."""
+    import pandas as pd  # noqa: F811
+
+    def fold(key, pdfs, state: GroupState):
+        (nif,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "nif": [nif],
+                    "n_packets": [int(n)],
+                    "total_bytes": [float(total)],
+                    "closed_by": ["timeout"],
+                }
+            )
+        else:
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["bytes"].sum())
+            state.update((int(n), float(total)))
+            state.setTimeoutDuration(timeout_ms)
+            return
+            yield  # pragma: no cover — generator form
+
+    return packets.groupBy("nif").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_TIMEOUT_SCHEMA,
+        stateStructType="n bigint, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1581,3 +1581,46 @@ def test_packet_source_filter_pushdown_prunes_partitions(spark):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", saved)
+
+
+
+def test_session_close_on_processing_timeout(spark, tmp_path):
+    """Processing-time state timeout: a NIC's open session emits
+    exactly once, closed by 'timeout', after the key goes silent for
+    the timeout duration. With a timeout configured the engine keeps
+    scheduling state-cleanup micro-batches even with no data — which
+    both fires the timer without needing new input AND means
+    processAllAvailable() can never be used as a barrier here; the
+    test paces batches with a 1s trigger and polls the sink."""
+    from spark_streaming_test_spark.streaming.pipeline import (
+        session_close_on_timeout_stream,
+    )
+
+    src = str(tmp_path / "in")
+    _write_packet_batch(spark, src, [("A", 10.0, _ts(0)), ("A", 5.0, _ts(1))], 0)
+    sessions = session_close_on_timeout_stream(
+        packet_stream_from_dir(spark, src), timeout_ms=1500
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_to_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sess_to_out").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {
+        (r["nif"], r["n_packets"], r["total_bytes"], r["closed_by"])
+        for r in rows
+    }
+    assert got == {("A", 2, 15.0, "timeout")}, got
