@@ -532,3 +532,189 @@ def sim_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= SPARSE_MIN_COS)
         .select("doc_a", "doc_b", "shared_terms", cos.alias("cos"))
     )
+
+
+# --- pseudo-relevance-feedback query expansion ----------------------------
+
+PRF_FEEDBACK_DOCS = 5   # top-F first-pass docs feed the expansion
+PRF_EXPAND_TERMS = 3    # new terms added to the query
+PRF_IDF_DP = 6          # expansion weights: generic ln, round then rank
+
+
+def _sql_bm25_scores(query_cte: str) -> str:
+    """BM25 per-doc scores for a dynamic term set CTE ``{query_cte}
+    (token)`` — shared by both retrieval passes of the PRF oracle."""
+    return f"""
+  SELECT tf.doc_id,
+         round(CAST(SUM(CAST(round(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.dl / stats.avgdl)),
+           {SCORE_DP}) AS DECIMAL(25,6))) AS DOUBLE), {SCORE_DP}) AS bm25
+  FROM (
+    SELECT t.doc_id, t.token, COUNT(*) AS tf
+    FROM tok t JOIN {query_cte} q ON t.token = q.token
+    GROUP BY t.doc_id, t.token
+  ) tf
+  JOIN (SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM tok WHERE token IN (SELECT token FROM {query_cte})
+        GROUP BY token) df USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "sim_query_expansion_prf",
+    tags=("llm", "retrieval", "expansion"),
+    oracle=f"""
+WITH {_SQL_TOKENS},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+seed(token) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY)}),
+pass1 AS ({_sql_bm25_scores('seed')}),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+    FROM pass1) t WHERE rn <= {PRF_FEEDBACK_DOCS}
+),
+cand AS (
+  SELECT t.token, COUNT(*) AS cnt_fb
+  FROM tok t JOIN fb ON t.doc_id = fb.doc_id
+  WHERE t.token NOT IN (SELECT token FROM seed)
+  GROUP BY t.token
+),
+cand_df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df_all FROM tok
+  WHERE token IN (SELECT token FROM cand) GROUP BY token
+),
+weighted AS (
+  SELECT c.token,
+         c.cnt_fb * round(ln((stats.n_docs + 1.0) / (d.df_all + 1.0)),
+                          {PRF_IDF_DP}) AS w
+  FROM cand c JOIN cand_df d USING (token) CROSS JOIN stats
+),
+expansion AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY w DESC, token) AS rn
+    FROM weighted) t WHERE rn <= {PRF_EXPAND_TERMS}
+),
+full_q(token) AS (
+  SELECT token FROM seed UNION SELECT token FROM expansion
+),
+pass2 AS ({_sql_bm25_scores('full_q')})
+SELECT doc_id, bm25 FROM pass2
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+""",
+)
+def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM-lite): run BM25
+    for the seed query, mine the top-{PRF_FEEDBACK_DOCS} documents for
+    the {PRF_EXPAND_TERMS} highest IDF-weighted new terms, and
+    re-retrieve with the expanded query — the classic recall booster
+    when the seed query undersamples the topic's vocabulary.
+
+    Both passes share the dl/avgdl statistics (computed once); the
+    candidate-term pool is bounded by the feedback docs' vocabulary
+    and every dynamic term set joins as a broadcast. Expansion
+    selection is deterministic (rounded-generic IDF weights,
+    total-ordered rank), which is what lets a TWO-pass adaptive
+    retrieval hash-match across engines."""
+
+    def bm25_for(query_df: DataFrame, toks, dl, stats) -> DataFrame:
+        tf = (
+            toks.join(F.broadcast(query_df), "token")
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        df = (
+            toks.join(F.broadcast(query_df), "token")
+            .groupBy("token")
+            .agg(F.count_distinct(F.col("doc_id")).alias("df"))
+        )
+        per_term = (
+            tf.join(F.broadcast(df), "token")
+            .join(dl, "doc_id")
+            .join(F.broadcast(stats), F.lit(True))
+            .select(
+                "doc_id",
+                F.round(
+                    F.log(
+                        1.0
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                    ),
+                    SCORE_DP,
+                ).alias("s"),
+            )
+        )
+        return per_term.groupBy("doc_id").agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(25,6)")).cast("double"),
+                SCORE_DP,
+            ).alias("bm25")
+        )
+
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    seed = spark.createDataFrame([(t,) for t in BM25_QUERY], "token string")
+    pass1 = bm25_for(seed, toks, dl, stats)
+    w1 = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    fb = (
+        pass1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    cand = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(seed), "token", "left_anti")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt_fb"))
+    )
+    cand_df = (
+        toks.join(F.broadcast(cand.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count_distinct(F.col("doc_id")).alias("df_all"))
+    )
+    weighted = (
+        cand.join(F.broadcast(cand_df), "token")
+        .join(F.broadcast(stats), F.lit(True))
+        .select(
+            "token",
+            (
+                F.col("cnt_fb")
+                * F.round(
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df_all") + 1.0)),
+                    PRF_IDF_DP,
+                )
+            ).alias("w"),
+        )
+    )
+    w2 = Window.orderBy(F.col("w").desc(), "token")
+    expansion = (
+        weighted.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= PRF_EXPAND_TERMS)
+        .select("token")
+    )
+    full_q = seed.unionAll(expansion).distinct()
+    pass2 = bm25_for(full_q, toks, dl, stats)
+    return pass2.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOPK)
