@@ -809,3 +809,118 @@ LEFT JOIN ({_registered_oracle('sim_ivf_topk')}) i
   ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
 GROUP BY e.query_id
 """
+
+
+# --- MIPS → cosine reduction ----------------------------------------------
+
+MIPS_TOPK = 10
+
+
+@register(
+    "sim_mips_transform_topk",
+    tags=("llm", "similarity", "mips"),
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x,
+         list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS s
+  FROM embeddings
+),
+cap AS (SELECT MAX(s) AS s_max FROM base),
+aug AS (
+  SELECT b.vec_id, list_append(b.x, sqrt(c.s_max - b.s)) AS xa
+  FROM base b CROSS JOIN cap c
+),
+q AS (
+  SELECT b.vec_id AS query_id, b.x AS qx,
+         list_append(b.x, CAST(0.0 AS DOUBLE)) AS qa
+  FROM base b WHERE b.vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_inner_product(q.qx, b.x) AS ip,
+         list_inner_product(q.qa, a.xa)
+           / (sqrt(list_inner_product(q.qa, q.qa))
+              * sqrt(list_inner_product(a.xa, a.xa))) AS cos_aug
+  FROM q
+  JOIN base b ON b.vec_id <> q.query_id
+  JOIN aug a ON a.vec_id = b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ip, cos_aug,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id) AS rank_ip,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_aug DESC, neighbor_id) AS rank_cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, ip, cos_aug,
+       CAST(rank_ip AS INTEGER) AS rank,
+       rank_ip = rank_cos AS agree
+FROM ranked WHERE rank_ip <= {MIPS_TOPK}
+""",
+)
+def sim_mips_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the cosine-index reduction
+    (Bachrach et al. / XBOX transform): append sqrt(S_max − ‖x‖²) to
+    every corpus vector and 0 to queries — inner-product ranking then
+    EQUALS cosine ranking on the augmented space, so the engine's
+    whole cosine/LSH/IVF index stack answers MIPS (recommendation
+    scoring, un-normalized rewards) with no new index type. The
+    emitted ``agree`` column verifies rank equality per neighbor — an
+    in-query proof of the reduction, hash-checked like everything
+    else.
+
+    The augmentation is one broadcast scalar (the corpus max norm²) +
+    a projection; both rankings ride the same scored frame."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    base = e.select(
+        "vec_id",
+        _as_double("embedding").alias("x"),
+    ).withColumn("s", dot(F.col("x"), F.col("x")))
+    cap = base.agg(F.max("s").alias("s_max"))
+    aug = base.crossJoin(F.broadcast(cap)).select(
+        "vec_id",
+        F.concat(
+            F.col("x"), F.array(F.sqrt(F.col("s_max") - F.col("s")))
+        ).alias("xa"),
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.concat(F.col("x"), F.array(F.lit(0.0))).alias("qa"),
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .join(aug, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qx"), F.col("x")).alias("ip"),
+            (
+                dot(F.col("qa"), F.col("xa"))
+                / (
+                    F.sqrt(dot(F.col("qa"), F.col("qa")))
+                    * F.sqrt(dot(F.col("xa"), F.col("xa")))
+                )
+            ).alias("cos_aug"),
+        )
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), "neighbor_id"
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_aug").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank_ip", F.row_number().over(w_ip))
+        .withColumn("rank_cos", F.row_number().over(w_cos))
+        .filter(F.col("rank_ip") <= MIPS_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "ip",
+            "cos_aug",
+            F.col("rank_ip").cast("int").alias("rank"),
+            (F.col("rank_ip") == F.col("rank_cos")).alias("agree"),
+        )
+    )
