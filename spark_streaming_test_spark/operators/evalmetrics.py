@@ -621,3 +621,79 @@ def mlstats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "mlstats_ece",
+    tags=("mlstats", "evaluation", "calibration"),
+    oracle=f"""
+WITH scored AS (
+  SELECT {_Y_SQL} AS y, {_P_SQL} AS p FROM events
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bin, y, p FROM scored
+),
+per_bin AS (
+  SELECT bin, COUNT(*) AS n,
+         CAST(SUM(CAST(p AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*) AS p_mean,
+         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS y_rate
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n) AS nt FROM per_bin)
+SELECT CAST(t.nt AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS INTEGER) AS n_bins,
+       round(CAST(SUM(CAST(round(p.n * abs(p.p_mean - p.y_rate), 8)
+                           AS DECIMAL(30,8))) AS DOUBLE) / t.nt, 8) AS ece,
+       round(MAX(abs(p.p_mean - p.y_rate)), 8) AS mce
+FROM per_bin p CROSS JOIN tot t
+GROUP BY t.nt
+""",
+)
+def mlstats_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error — the single-number
+    summary of the reliability diagram (`mlstats_calibration_bins`):
+    ECE = Σ (n_b/N)·|p̄_b − ȳ_b|, MCE = the worst bin. The headline
+    metric a model-card reports and a recalibration (Platt/isotonic)
+    job optimizes.
+
+    Same one-shuffle decile reduce as the diagram; per-bin terms are
+    generically rounded (the gap is a difference of rational means —
+    tie-free at 8 dp) and decimal-summed, so the weighted average is
+    order-invariant cross-engine."""
+    s = _scored(spark, sf_dir)
+    binned = s.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "y",
+        "p",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("p").cast("decimal(25,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("p_mean"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("y_rate"),
+    )
+    tot = per_bin.agg(F.sum("n").alias("nt"))
+    gap = F.abs(F.col("p_mean") - F.col("y_rate"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("nt")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bins"),
+            F.round(
+                F.sum(
+                    F.round(F.col("n") * gap, 8).cast("decimal(30,8)")
+                ).cast("double")
+                / F.col("nt"),
+                8,
+            ).alias("ece"),
+            F.round(F.max(gap), 8).alias("mce"),
+        )
+        .select(
+            F.col("nt").cast("bigint").alias("n_total"),
+            "n_bins",
+            "ece",
+            "mce",
+        )
+    )

@@ -132,3 +132,128 @@ def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("corr_qty_price"),
     )
+
+
+# --- foreign-key discovery ------------------------------------------------
+
+FK_MIN_CONTAINMENT = 0.99  # candidate FK: nearly every value resolves
+
+
+@register(
+    "dq_fk_discovery",
+    tags=("quality", "profiling", "metadata"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT 'orders.o_custkey->customer.c_custkey' AS pair,
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_fk,
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS n_hit,
+         (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS pk_distinct,
+         (SELECT COUNT(*) FROM customer) AS pk_rows
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders)),
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey',
+         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part)),
+         (SELECT COUNT(DISTINCT p_partkey) FROM part),
+         (SELECT COUNT(*) FROM part)
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation.n_nationkey',
+         (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+         (SELECT COUNT(DISTINCT s_nationkey) FROM supplier
+          WHERE s_nationkey IN (SELECT n_nationkey FROM nation)),
+         (SELECT COUNT(DISTINCT n_nationkey) FROM nation),
+         (SELECT COUNT(*) FROM nation)
+  UNION ALL
+  SELECT 'customer.c_custkey->part.p_partkey',
+         (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+         (SELECT COUNT(DISTINCT c_custkey) FROM customer
+          WHERE c_custkey IN (SELECT p_partkey FROM part)),
+         (SELECT COUNT(DISTINCT p_partkey) FROM part),
+         (SELECT COUNT(*) FROM part)
+)
+SELECT pair,
+       CAST(n_fk AS BIGINT) AS n_fk_distinct,
+       CAST(n_hit AS DOUBLE) / n_fk AS containment,
+       pk_distinct = pk_rows AS pk_unique,
+       (CAST(n_hit AS DOUBLE) / n_fk >= {FK_MIN_CONTAINMENT})
+         AND pk_distinct = pk_rows AS is_fk_candidate
+FROM pairs
+""",
+)
+def dq_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY (the Sindy/metadata-crawler shape): for
+    each candidate (column → key) pair, measure value containment and
+    referencee uniqueness and flag candidates where ≥{FK_MIN_CONTAINMENT:.0%}
+    of distinct values resolve against a unique key — how schema-less
+    lakes recover joinability metadata nobody declared. Includes a
+    deliberate negative pair (customer→part) the verdict must reject.
+
+    Each pair costs one distinct + broadcast-key LEFT probe and one
+    key-profile aggregate, all inside a single declarative union — no
+    driver-side actions; the result frame is O(pairs). At lake scale the
+    candidate pair list comes from column-profile sketches and the
+    same per-pair plan runs unchanged."""
+
+    def pair(name, fk_df, fk_col, pk_df, pk_col):
+        """One candidate pair as a 1-row DataFrame — declarative, no
+        driver-side counts: distinct FK values LEFT-join the broadcast
+        key column, one aggregate emits containment counts, and the
+        key side's uniqueness profile cross-joins on (1-row × 1-row)."""
+        probe = (
+            fk_df.select(F.col(fk_col).alias("fk"))
+            .distinct()
+            .join(
+                F.broadcast(
+                    pk_df.select(F.col(pk_col).alias("pk")).distinct()
+                ),
+                F.col("fk") == F.col("pk"),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_fk"),
+                F.count("pk").alias("n_hit"),
+            )
+        )
+        pk_prof = pk_df.agg(
+            F.count_distinct(F.col(pk_col)).alias("pk_distinct"),
+            F.count(F.lit(1)).alias("pk_rows"),
+        )
+        return probe.crossJoin(F.broadcast(pk_prof)).select(
+            F.lit(name).alias("pair"), "n_fk", "n_hit", "pk_distinct", "pk_rows"
+        )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    frames = [
+        pair("orders.o_custkey->customer.c_custkey", o, "o_custkey", c, "c_custkey"),
+        pair("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey", o, "o_orderkey"),
+        pair("lineitem.l_partkey->part.p_partkey", li, "l_partkey", p, "p_partkey"),
+        pair("supplier.s_nationkey->nation.n_nationkey", su, "s_nationkey", na, "n_nationkey"),
+        pair("customer.c_custkey->part.p_partkey", c, "c_custkey", p, "p_partkey"),
+    ]
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionAll(f)
+    containment = F.col("n_hit").cast("double") / F.col("n_fk")
+    pk_unique = F.col("pk_distinct") == F.col("pk_rows")
+    return res.select(
+        "pair",
+        F.col("n_fk").cast("bigint").alias("n_fk_distinct"),
+        containment.alias("containment"),
+        pk_unique.alias("pk_unique"),
+        ((containment >= FK_MIN_CONTAINMENT) & pk_unique).alias(
+            "is_fk_candidate"
+        ),
+    )
