@@ -1007,3 +1007,84 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
     )
+
+
+# --- degree assortativity -------------------------------------------------
+
+ASSORT_DP = 10  # final Pearson of integer sums — the agg_corr rule
+
+
+@register(
+    "graph_assortativity",
+    tags=("graph", "statistics"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+und AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY src),
+pairs AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM und e
+  JOIN deg du ON e.src = du.node
+  JOIN deg dv ON e.dst = dv.node
+),
+sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+             {ASSORT_DP}) AS assortativity
+FROM sums
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: the Pearson correlation of endpoint
+    degrees over the (symmetrized) edge list — positive means hubs
+    link to hubs (social-network structure), negative means hubs fan
+    out to leaves (star/catalog structure) — which decides whether
+    degree-based sampling or hub-removal strategies will work on this
+    graph.
+
+    Degrees join onto the edge list (node-sized frames, broadcast at
+    any realistic scale); the correlation reduces to six INTEGER power
+    sums with map-side combine — exact until one closed-form division,
+    rounded at {ASSORT_DP} dp per the corr rule."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("src").alias("s2"), F.col("d").alias("x"))
+    dv = deg.select(F.col("src").alias("d2"), F.col("d").alias("y"))
+    pairs = und.join(
+        F.broadcast(du), F.col("src") == F.col("s2")
+    ).join(F.broadcast(dv), F.col("dst") == F.col("d2"))
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    return sums.select(
+        n.cast("bigint").alias("n_directed_edges"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            ASSORT_DP,
+        ).alias("assortativity"),
+    )

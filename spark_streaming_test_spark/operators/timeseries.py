@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.deterministic import davg, sql_davg
+from ..functions.deterministic import davg, dsum, sql_davg
 from ..registry import register
 
 
@@ -341,4 +341,120 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.ts").alias("ts"),
             F.col("r.value").alias("value"),
         )
+    )
+
+
+# --- linear-interpolation gap fill ----------------------------------------
+
+
+@register(
+    "ts_interpolate_linear",
+    tags=("timeseries", "gapfill", "interpolation"),
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         {{dsum}} AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(d) AS d_lo, MAX(d) AS d_hi FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT s.user_id, unnest(generate_series(s.d_lo, s.d_hi)) AS d
+  FROM span s
+),
+joined AS (
+  SELECT g.user_id, g.d, dd.v
+  FROM grid g LEFT JOIN daily dd ON g.user_id = dd.user_id AND g.d = dd.d
+),
+bounded AS (
+  SELECT user_id, d, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS UNBOUNDED PRECEDING) AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS UNBOUNDED PRECEDING) AS prev_d,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM joined
+)
+SELECT user_id, CAST(d AS BIGINT) AS day_index,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(d - prev_d AS DOUBLE) / (next_d - prev_d))
+       END AS value,
+       v IS NULL AS interpolated
+FROM bounded
+""".format(
+        dsum="CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+    ),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: densify each user's daily series
+    over its own [first, last] span and fill missing days on the
+    straight line between the bracketing observations — the
+    level-estimating upgrade over forward fill (``ts_resample_ffill``)
+    for metrics that trend between samples.
+
+    One exchange on user_id carries grid generation (bounded sequence
+    explode), the known-value join, and BOTH bracketing windows
+    (last/first with IGNORE NULLS — no self-join, no as-of pass).
+    Interpolated values are IEEE expressions of exact-decimal
+    endpoints and integer day ratios — identical doubles cross-engine,
+    no rounding required."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(dsum("value").alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d_lo"), F.max("d").alias("d_hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d_lo"), F.col("d_hi"))).alias("d"),
+    )
+    joined = grid.join(daily, ["user_id", "d"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    bounded = joined.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(known_d, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(known_d, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("d") - F.col("prev_d")).cast("double")
+        / (F.col("next_d") - F.col("prev_d"))
+    )
+    return bounded.select(
+        "user_id",
+        F.col("d").cast("bigint").alias("day_index"),
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias(
+            "value"
+        ),
+        F.col("v").isNull().alias("interpolated"),
     )
