@@ -427,3 +427,66 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spend"),
         )
     )
+
+
+# --- schema drift between snapshots ---------------------------------------
+
+
+@register(
+    "dq_schema_drift",
+    tags=("quality", "cdc", "metadata"),
+    oracle="""
+SELECT * FROM (VALUES
+  ('event_id',   'unchanged',    'bigint', 'bigint'),
+  ('event_type', 'removed',      'string', NULL),
+  ('value',      'type_changed', 'double', 'float'),
+  ('user_id',    'unchanged',    'bigint', 'bigint'),
+  ('value_eur',  'added',        NULL,     'double')
+) AS t(column_name, status, type_v1, type_v2)
+""",
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift between two physical table versions: write snapshot
+    v1, write v2 with a dropped column, a narrowed type, and a new
+    column, then diff the schemas the PARQUET FOOTERS actually declare
+    (not what the writer intended) — the ingest-contract check that
+    catches upstream producers changing shape silently. The oracle is
+    the literal expected drift, so the row set verifies Spark's whole
+    write→footer→read type chain.
+
+    Pure metadata: the data writes are tiny here (and irrelevant —
+    only footers are read); at lake scale this runs against catalog
+    schemas with the same diff logic."""
+    import os as _os
+
+    base = "/root/repo/.scratch"
+    v1p = _os.path.join(base, "drift_v1")
+    v2p = _os.path.join(base, "drift_v2")
+    ev = load(spark, sf_dir, "events").limit(100)
+    ev.select("event_id", "event_type", "value", "user_id").write.mode(
+        "overwrite"
+    ).parquet(v1p)
+    ev.select(
+        "event_id",
+        F.col("value").cast("float").alias("value"),
+        "user_id",
+        (F.col("value") * 0.92).alias("value_eur"),
+    ).write.mode("overwrite").parquet(v2p)
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v1p).schema}
+    s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v2p).schema}
+    rows = []
+    for name in sorted(set(s1) | set(s2)):
+        t1, t2 = s1.get(name), s2.get(name)
+        status = (
+            "added"
+            if t1 is None
+            else "removed"
+            if t2 is None
+            else "unchanged"
+            if t1 == t2
+            else "type_changed"
+        )
+        rows.append((name, status, t1, t2))
+    return spark.createDataFrame(
+        rows, "column_name string, status string, type_v1 string, type_v2 string"
+    )
