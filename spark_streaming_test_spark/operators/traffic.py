@@ -254,3 +254,64 @@ def traffic_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_burst"),
     )
+
+
+@register(
+    "traffic_alerts_kafka_wire",
+    tags=("flagship", "streaming", "serialization"),
+    oracle=f"""
+WITH {_LIMITS_CTE},
+mx AS (
+  SELECT limit_value FROM limits WHERE limit_name = 'max'
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(user_id AS VARCHAR) AS nif,
+         {sql_dsum('value')} AS total_bytes
+  FROM events GROUP BY 1, 2
+)
+SELECT agg.nif, agg.window_start, agg.total_bytes,
+       agg.total_bytes > mx.limit_value AS is_alert,
+       CASE WHEN agg.total_bytes > mx.limit_value THEN '{ALERT_MSG}'
+            ELSE '{INFO_MSG}' END AS message
+FROM agg CROSS JOIN mx
+""",
+)
+def traffic_alerts_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka WIRE FORMAT roundtrip, broker-free: serialize every
+    alert exactly as ``write_alerts_kafka`` ships it — binary key =
+    the NIC, binary value = the JSON alert record (the reference sends
+    stringified alerts to the 'alerts' topic, KafkaProducer.java:29-32)
+    — then parse the bytes back through the consumer path
+    (``from_json`` under the alert schema) and emit the decoded
+    columns. Hash-matching the directly-computed oracle proves the
+    producer serialization and consumer schema agree byte-for-byte,
+    the half of O14 a missing broker cannot test (delivery semantics
+    stay documented at the writer).
+
+    Serialization is one codegen projection each way; no shuffle is
+    added to the flagship plan."""
+    alerts = traffic_alerts(spark, sf_dir)
+    wire = alerts.select(
+        F.col("nif").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("window_start", "total_bytes", "is_alert", "message")
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+    parsed = wire.select(
+        F.col("key").cast("string").alias("nif"),
+        F.from_json(
+            F.col("value").cast("string"),
+            "window_start timestamp, total_bytes double, is_alert boolean,"
+            " message string",
+        ).alias("r"),
+    )
+    return parsed.select(
+        "nif",
+        F.col("r.window_start").alias("window_start"),
+        F.col("r.total_bytes").alias("total_bytes"),
+        F.col("r.is_alert").alias("is_alert"),
+        F.col("r.message").alias("message"),
+    )
