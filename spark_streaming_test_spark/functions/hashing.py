@@ -75,3 +75,48 @@ def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("^[A-Z]").alias("starts_upper"),
         F.size(F.split("text", r"\s+")).alias("n_fields"),
     )
+
+
+@register(
+    "fn_uuid_surrogate_keys",
+    tags=("function", "hash", "keys"),
+    oracle="""
+WITH h AS (
+  SELECT o_orderkey, md5('order:' || CAST(o_orderkey AS VARCHAR)) AS hx
+  FROM orders
+)
+SELECT o_orderkey,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-5'
+         || substr(hx, 14, 3) || '-8' || substr(hx, 18, 3) || '-'
+         || substr(hx, 21, 12) AS surrogate_uuid,
+       length(substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-5'
+         || substr(hx, 14, 3) || '-8' || substr(hx, 18, 3) || '-'
+         || substr(hx, 21, 12)) AS n_chars
+FROM h
+""",
+)
+def fn_uuid_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based surrogate UUIDs (the UUIDv5 idea:
+    namespace + natural key → stable id): md5 of 'order:<key>'
+    formatted as a version-5/variant-1 UUID string. Unlike ``uuid()``
+    (random, breaks replays and joins), the same row gets the same id
+    on every run, engine, and backfill — the only kind of surrogate
+    key a deterministic pipeline can ship. Pure codegen projection."""
+    h = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.md5(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))).alias(
+            "hx"
+        ),
+    )
+    uuid_col = F.concat(
+        F.substring("hx", 1, 8), F.lit("-"),
+        F.substring("hx", 9, 4), F.lit("-5"),
+        F.substring("hx", 14, 3), F.lit("-8"),
+        F.substring("hx", 18, 3), F.lit("-"),
+        F.substring("hx", 21, 12),
+    )
+    return h.select(
+        "o_orderkey",
+        uuid_col.alias("surrogate_uuid"),
+        F.length(uuid_col).alias("n_chars"),
+    )
