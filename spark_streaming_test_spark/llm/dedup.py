@@ -1179,3 +1179,94 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wn).cast("bigint").alias("n_copies"),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# --- dedup threshold sweep ------------------------------------------------
+
+SWEEP_THRESHOLDS = ["0.5", "0.6", "0.7", "0.8", "0.9", "0.95"]
+
+
+@register(
+    "dedup_threshold_sweep",
+    tags=("llm", "dedup", "diagnostics"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < {PAIRWISE_CAP} AND b.vec_id < {PAIRWISE_CAP}
+),
+thresholds(thr) AS (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in SWEEP_THRESHOLDS)}),
+n_vec AS (
+  SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < {PAIRWISE_CAP}
+)
+SELECT t.thr,
+       CAST(COUNT(CASE WHEN p.cosine >= t.thr THEN 1 END) AS BIGINT)
+         AS n_dup_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN p.cosine >= t.thr THEN p.vec_b END)
+            AS BIGINT) AS n_docs_removed,
+       CAST(COUNT(DISTINCT CASE WHEN p.cosine >= t.thr THEN p.vec_b END)
+            AS DOUBLE) / v.n AS removal_rate
+FROM thresholds t
+CROSS JOIN n_vec v
+LEFT JOIN pairs p ON TRUE
+GROUP BY t.thr, v.n
+""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sweep — the dial-setting diagnostic run BEFORE
+    committing to a near-dup cutoff: for each candidate cosine
+    threshold, how many pairs fire and what fraction of the corpus a
+    keep-lowest-id policy would remove. The sweep is where the
+    precision/recall/yield trade-off becomes visible (0.95 removes
+    near-exact copies only; 0.5 would delete half the corpus).
+
+    ONE pass computes every threshold: the scored pair table joins a
+    broadcast literal threshold frame and reduces with conditional
+    aggregates — adding thresholds adds rows to the tiny frame, never
+    a rescan (the ``mlstats_threshold_sweep`` pattern applied to
+    dedup). Capped brute-force pairs keep it oracle-checkable; the
+    banded-LSH path supplies candidates at scale."""
+    e = spread(load(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < PAIRWISE_CAP
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    from .similarity import cosine
+
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(
+                F.col("ea").cast("array<double>"),
+                F.col("eb").cast("array<double>"),
+            ).alias("cosine"),
+        )
+    )
+    thresholds = spark.createDataFrame(
+        [(float(t),) for t in SWEEP_THRESHOLDS], "thr double"
+    )
+    n_vec = e.agg(F.count(F.lit(1)).alias("n"))
+    hit = F.col("cosine") >= F.col("thr")
+    return (
+        thresholds.crossJoin(F.broadcast(n_vec))
+        .join(pairs, F.lit(True), "left")
+        .groupBy("thr", "n")
+        .agg(
+            F.count(F.when(hit, 1)).cast("bigint").alias("n_dup_pairs"),
+            F.count_distinct(F.when(hit, F.col("vec_b")))
+            .cast("bigint")
+            .alias("n_docs_removed"),
+            (
+                F.count_distinct(F.when(hit, F.col("vec_b"))).cast("double")
+                / F.first("n")
+            ).alias("removal_rate"),
+        )
+        .drop("n")
+    )
