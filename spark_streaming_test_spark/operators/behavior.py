@@ -1094,3 +1094,72 @@ def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_prev"
         ),
     )
+
+
+@register(
+    "events_next_event_baseline",
+    tags=("behavior", "prediction", "evaluation"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+pred AS (
+  SELECT src, dst AS predicted_next, n AS n_correct FROM (
+    SELECT src, dst, n,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn
+    FROM trans) t WHERE rn = 1
+),
+marg AS (SELECT src, SUM(n) AS n_total FROM trans GROUP BY src)
+SELECT m.src, p.predicted_next,
+       CAST(m.n_total AS BIGINT) AS n_total,
+       CAST(p.n_correct AS BIGINT) AS n_correct,
+       CAST(p.n_correct AS DOUBLE) / m.n_total AS accuracy
+FROM marg m JOIN pred p ON m.src = p.src
+""",
+)
+def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority next-event baseline + its accuracy — the floor every
+    sequence model must beat: predict each state's most frequent
+    successor (from the same transition counts
+    ``events_markov_transitions`` reports) and measure how often
+    that single guess is right. Publishing the baseline WITH the
+    transition table is what keeps "the LSTM gets 41%" honest when
+    the majority edge alone gets 38%.
+
+    Transition counts reduce on one user_id exchange; prediction and
+    accuracy are O(states) arithmetic over the tiny transition
+    frame."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
+    pred = (
+        trans.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src",
+            F.col("dst").alias("predicted_next"),
+            F.col("n").alias("n_correct"),
+        )
+    )
+    marg = trans.groupBy("src").agg(F.sum("n").alias("n_total"))
+    return marg.join(pred, "src").select(
+        "src",
+        "predicted_next",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        (F.col("n_correct").cast("double") / F.col("n_total")).alias(
+            "accuracy"
+        ),
+    )
