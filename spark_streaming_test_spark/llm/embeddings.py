@@ -74,3 +74,92 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sumsq(unit).alias("unit_sumsq"),
         )
     )
+
+
+# --- embedding isotropy diagnostic ----------------------------------------
+
+ISO_DP = 8  # normalized components are generic (division by a norm)
+
+
+@register(
+    "emb_isotropy_score",
+    tags=("llm", "embeddings", "diagnostics"),
+    oracle=f"""
+WITH nrm AS (
+  SELECT vec_id,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nn,
+         embedding::DOUBLE[] AS x
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, generate_subscripts(x, 1) AS dim,
+         CAST(round(unnest(x) / nn, {ISO_DP}) AS DECIMAL(25,{ISO_DP})) AS u
+  FROM nrm
+),
+mu AS (
+  SELECT dim, CAST(SUM(u) AS DOUBLE) / COUNT(*) AS m
+  FROM comp GROUP BY dim
+),
+agg AS (
+  SELECT COUNT(*) AS d,
+         CAST(SUM(CAST(round(m * m, {ISO_DP}) AS DECIMAL(25,{ISO_DP})))
+              AS DOUBLE) AS mu_norm2
+  FROM mu
+),
+nv AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT CAST(nv.n AS BIGINT) AS n_vecs,
+       CAST(agg.d AS INTEGER) AS dim,
+       round(sqrt(agg.mu_norm2), {ISO_DP}) AS mean_vector_norm,
+       round(1.0 - sqrt(agg.mu_norm2), {ISO_DP}) AS isotropy_proxy
+FROM agg CROSS JOIN nv
+""",
+)
+def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy diagnostic: the norm of the mean DIRECTION
+    vector — anisotropic embedding spaces (all vectors share a common
+    direction, the known failure of contextual encoders) have
+    ‖mean(x/‖x‖)‖ near 1, killing cosine contrast; healthy spaces sit
+    near 0. The go/no-go check before trusting cosine thresholds for
+    dedup or retrieval (Ethayarajh 2019's first-order version).
+
+    One posexplode pass: normalized components round generically
+    (divisions by an irrational norm — tie-free) and average as exact
+    decimals per dimension; the D-row mean vector reduces to one
+    norm. Shuffle carries O(tasks × dims) partials only."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    x = F.col("embedding").cast("array<double>")
+    nrm = e.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(x, x, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        ).alias("nn"),
+        x.alias("x"),
+    )
+    dec = f"decimal(25,{ISO_DP})"
+    comp = nrm.select(
+        F.posexplode("x").alias("dim0", "v"), F.col("nn")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v") / F.col("nn"), ISO_DP).cast(dec).alias("u"),
+    )
+    mu = comp.groupBy("dim").agg(
+        (F.sum("u").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    agg = mu.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.round(F.col("m") * F.col("m"), ISO_DP).cast(dec))
+        .cast("double")
+        .alias("mu_norm2"),
+    )
+    nv = e.agg(F.count(F.lit(1)).alias("n"))
+    return agg.crossJoin(F.broadcast(nv)).select(
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.col("d").cast("int").alias("dim"),
+        F.round(F.sqrt("mu_norm2"), ISO_DP).alias("mean_vector_norm"),
+        F.round(1.0 - F.sqrt("mu_norm2"), ISO_DP).alias("isotropy_proxy"),
+    )
