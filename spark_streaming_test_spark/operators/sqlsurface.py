@@ -315,3 +315,34 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_orderkey
         """
     )
+
+
+@register(
+    "sql_identifier_clause",
+    tags=("sql", "parameters", "metadata"),
+    oracle="""
+SELECT o_orderpriority AS group_key,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER clause: table and column names arrive as TYPED
+    PARAMETERS (``IDENTIFIER(:tab)``) instead of f-string splices —
+    the safe way to write the generic per-table jobs (profilers,
+    compactors, exporters) this engine's dq_* family represents, with
+    the parser enforcing that a parameter can only ever be an
+    identifier, never an expression (no SQL injection through a table
+    name). Resolution happens at analysis; the plan is identical to
+    the hard-coded query, which the oracle proves."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS group_key,
+               COUNT(*) AS n
+        FROM IDENTIFIER(:tab)
+        GROUP BY IDENTIFIER(:col)
+        """,
+        args={"col": "o_orderpriority", "tab": "orders"},
+    )

@@ -458,3 +458,89 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+# --- Hampel outlier filter ------------------------------------------------
+
+HAMPEL_WIN = 21          # trailing frame (matches window_moving_median)
+HAMPEL_K = "4.4478"      # 3 sigma x 1.4826 MAD consistency, literal
+
+
+@register(
+    "ts_outlier_hampel",
+    tags=("timeseries", "robust", "anomaly"),
+    oracle=f"""
+WITH framed AS (
+  SELECT user_id, ts, event_id, value,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {HAMPEL_WIN - 1} PRECEDING AND CURRENT ROW)) AS arr
+  FROM events
+),
+med AS (
+  SELECT user_id, ts, event_id, value, arr,
+         arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS m
+  FROM framed
+),
+mad AS (
+  SELECT user_id, ts, event_id, value, m, len(arr) AS n,
+         list_sort(list_transform(arr, x -> abs(x - m)))
+           [CAST((len(arr) + 1) // 2 AS INTEGER)] AS mad
+  FROM med
+)
+SELECT user_id, ts, event_id, value, m AS rolling_median, mad,
+       CAST(n AS BIGINT) AS frame_n,
+       abs(value - m) > CAST({HAMPEL_K} AS DOUBLE) * mad AS is_outlier
+FROM mad
+WHERE n >= 5
+""",
+)
+def ts_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter: flag points farther than
+    {HAMPEL_K}·MAD (≈3σ under normality) from the trailing rolling
+    MEDIAN — the robust replacement for the z-score detector
+    (``ts_anomaly_zscore``) when the reference window itself contains
+    outliers that inflate the mean and stddev.
+
+    Pure structural arithmetic on the bounded frame: sort-and-index
+    median, sort-and-index MAD of absolute deviations, one literal
+    comparison — no accumulation, no rounding, identical in any
+    engine. Frame state is O({HAMPEL_WIN}) doubles per row on the one
+    user_id exchange."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(HAMPEL_WIN - 1), Window.currentRow)
+    )
+    framed = e.select("user_id", "ts", "event_id", "value").withColumn(
+        "arr", F.array_sort(F.collect_list("value").over(w))
+    )
+    med = framed.withColumn(
+        "m", F.expr("element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))")
+    )
+    mad = med.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "m",
+        F.size("arr").alias("n"),
+        F.expr(
+            "element_at(array_sort(transform(arr, x -> abs(x - m))),"
+            " CAST((size(arr) + 1) DIV 2 AS INT))"
+        ).alias("mad"),
+    )
+    return mad.filter(F.col("n") >= 5).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.col("m").alias("rolling_median"),
+        "mad",
+        F.col("n").cast("bigint").alias("frame_n"),
+        (
+            F.abs(F.col("value") - F.col("m"))
+            > F.expr(f"CAST({HAMPEL_K} AS DOUBLE)") * F.col("mad")
+        ).alias("is_outlier"),
+    )

@@ -185,7 +185,7 @@ _DRIVER_WINDOW = [
     "graph_assortativity", "ts_interpolate_linear", "dq_schema_drift",
     "traffic_alerts_kafka_wire", "fn_uuid_surrogate_keys",
     "dedup_threshold_sweep", "events_next_event_baseline",
-    "emb_isotropy_score",
+    "emb_isotropy_score", "sql_identifier_clause", "ts_outlier_hampel",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
