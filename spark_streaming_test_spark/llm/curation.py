@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 ENT_TERM_DP = 9  # per-char-count term rounding before exact decimal sum
@@ -289,4 +289,96 @@ def corpus_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_avg_token_len",
         "share_long_docs",
         verdict.alias("verdict"),
+    )
+
+
+# --- one-row corpus report card -------------------------------------------
+
+RC_DP = 8
+
+
+@register(
+    "corpus_report_card",
+    tags=("llm", "curation", "reporting"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(text) AS h,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+dup AS (
+  SELECT COUNT(*) - COUNT(DISTINCT h) AS n_dup_docs, COUNT(*) AS n FROM base
+),
+src AS (
+  SELECT source, COUNT(*) AS c FROM base GROUP BY source
+),
+src_h AS (
+  SELECT SUM(CAST(round(-(CAST(c AS DOUBLE) / t.n)
+                        * ln(CAST(c AS DOUBLE) / t.n), {RC_DP})
+                  AS DECIMAL(25,{RC_DP}))) AS h_acc
+  FROM src CROSS JOIN (SELECT COUNT(*) AS n FROM base) t
+)
+SELECT
+  CAST(d.n AS BIGINT) AS n_docs,
+  CAST((SELECT SUM(n_words) FROM base) AS BIGINT) AS total_words,
+  CAST((SELECT SUM(n_chars) FROM base) AS BIGINT) AS total_chars,
+  CAST((SELECT COUNT(DISTINCT lang) FROM base) AS BIGINT) AS n_langs,
+  CAST((SELECT COUNT(DISTINCT source) FROM base) AS BIGINT) AS n_sources,
+  CAST(d.n_dup_docs AS BIGINT) AS n_exact_dups,
+  CAST(d.n_dup_docs AS DOUBLE) / d.n AS dup_rate,
+  CAST((SELECT h_acc FROM src_h) AS DOUBLE) AS source_entropy_nats
+FROM dup d
+""",
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus report card — the summary a curation run
+    publishes with every snapshot: size (docs / words / chars),
+    language and source breadth, exact-duplicate burden, and the
+    source-distribution entropy (low entropy = the corpus is secretly
+    one website). Every number here is the headline of a deeper
+    operator in this engine (dedup_exact, corpus_mixture_weights,
+    text_token_count); the card is what goes in the dataset README.
+
+    One scan feeds all counters (conditional aggregates + two
+    dimension-sized sub-aggregates); entropy terms are generically
+    rounded and decimal-summed. Output is a single row regardless of
+    corpus size."""
+    base = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    dup = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("h"))).alias("n_dup_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+    src = base.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = base.agg(F.count(F.lit(1)).alias("tn"))
+    p = F.col("c").cast("double") / F.col("tn")
+    src_h = (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(-p * F.log(p), RC_DP)
+            .cast(f"decimal(25,{RC_DP})")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("h_acc"))
+    )
+    return dup.crossJoin(F.broadcast(src_h)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("total_words").cast("bigint").alias("total_words"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.col("n_dup_docs").cast("bigint").alias("n_exact_dups"),
+        (F.col("n_dup_docs").cast("double") / F.col("n")).alias("dup_rate"),
+        F.col("h_acc").alias("source_entropy_nats"),
     )
