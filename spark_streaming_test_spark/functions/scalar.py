@@ -650,3 +650,60 @@ def fn_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acct",
         F.expr("luhn_check(acct)").alias("valid"),
     )
+
+
+@register(
+    "fn_mask_suite",
+    tags=("functions", "privacy", "masking"),
+    oracle="""
+WITH s AS (
+  SELECT c_custkey,
+         'Cust' || CAST(c_custkey AS VARCHAR) || '-'
+           || upper(substr(c_mktsegment, 1, 3)) AS raw
+  FROM customer
+),
+m AS (
+  SELECT c_custkey, raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '[a-z]', 'x', 'g'),
+             '[A-Z]', 'X', 'g'),
+           '[0-9]', 'n', 'g') AS masked_default,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '[a-z]', 'x', 'g'),
+             '[A-Z]', 'U', 'g'),
+           '[0-9]', '#', 'g') AS masked_custom
+  FROM s
+)
+SELECT c_custkey, raw, masked_default, masked_custom,
+       length(raw) = length(masked_default) AS shape_preserved
+FROM m
+""",
+)
+def fn_mask_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mask()`` builtin — shape-preserving PII masking (upper→X,
+    lower→x, digit→n, custom replacement chars) that keeps length and
+    character-class structure for format validation while destroying
+    the value; the display-layer partner of ``text_pii_redact``'s
+    pattern removal. The oracle rebuilds the semantics from ordered
+    regexp passes (lowercase first, so the substituted class letters
+    are never re-masked), pinning the builtin's contract."""
+    s = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("Cust"),
+            F.col("c_custkey").cast("string"),
+            F.lit("-"),
+            F.upper(F.substring("c_mktsegment", 1, 3)),
+        ).alias("raw"),
+    )
+    return s.select(
+        "c_custkey",
+        "raw",
+        F.mask("raw").alias("masked_default"),
+        F.mask("raw", F.lit("U"), F.lit("x"), F.lit("#")).alias(
+            "masked_custom"
+        ),
+        (F.length("raw") == F.length(F.mask("raw"))).alias("shape_preserved"),
+    )

@@ -1163,3 +1163,70 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     )
+
+
+@register(
+    "events_user_lifecycle",
+    tags=("behavior", "lifecycle", "growth"),
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         date_diff('week', DATE '1970-01-05', CAST(ts AS DATE)) AS wk
+  FROM events
+),
+flagged AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY wk) AS rn
+  FROM weekly
+),
+states AS (
+  SELECT user_id, wk,
+         CASE WHEN rn = 1 THEN 'new'
+              WHEN wk - prev_wk = 1 THEN 'active'
+              WHEN wk - prev_wk <= 4 THEN 'returning'
+              ELSE 'resurrected' END AS state,
+         CAST(COALESCE(wk - prev_wk, 0) AS BIGINT) AS weeks_since_prev
+  FROM flagged
+)
+SELECT CAST(wk AS BIGINT) AS week_index, state,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM states
+GROUP BY wk, state
+""",
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifecycle states per week — the growth-accounting
+    classification (new / active / returning / resurrected) whose
+    weekly counts are the numerator and denominator of every retention
+    narrative: DAU can be flat while 'new' collapses and 'resurrected'
+    props it up, and only this split shows it.
+
+    One distinct to the (user, week) grain, one lag window on the same
+    user exchange, a CASE ladder, and a tiny week×state reduce — all
+    integer week arithmetic, no dates past the first truncation."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) / 7
+        ).alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    flagged = weekly.withColumn("prev_wk", F.lag("wk").over(w)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    gap = F.col("wk") - F.col("prev_wk")
+    states = flagged.select(
+        "wk",
+        F.when(F.col("rn") == 1, "new")
+        .when(gap == 1, "active")
+        .when(gap <= 4, "returning")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    return states.groupBy("wk", "state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(
+        F.col("wk").cast("bigint").alias("week_index"), "state", "n_users"
+    )

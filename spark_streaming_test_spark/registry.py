@@ -186,7 +186,7 @@ _DRIVER_WINDOW = [
     "traffic_alerts_kafka_wire", "fn_uuid_surrogate_keys",
     "dedup_threshold_sweep", "events_next_event_baseline",
     "emb_isotropy_score", "sql_identifier_clause", "ts_outlier_hampel",
-    "corpus_report_card",
+    "corpus_report_card", "events_user_lifecycle", "fn_mask_suite",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
