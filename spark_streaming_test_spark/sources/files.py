@@ -705,3 +705,43 @@ def scan_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.l_partkey").alias("l_partkey"),
         F.col("it.l_quantity").alias("l_quantity"),
     )
+
+
+@register(
+    "scan_compressed_roundtrip",
+    tags=("source", "compression"),
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, 'zstd_parquet' AS codec FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'gzip_csv' AS codec FROM nation
+""",
+)
+def scan_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec roundtrips: the same dimension written as
+    zstd parquet and gzip CSV, read back and unioned. Codec choice is
+    a first-order 100 TB cost lever (zstd ≈ gzip ratios at several
+    times the decode speed, and parquet+zstd is the lake default);
+    this proves the codec paths end-to-end — writer flag, file
+    extension routing, decode on scan. NOTE gzip CSV is a
+    NON-SPLITTABLE format: one file = one task, the classic ingest
+    bottleneck — production keeps gzip only at the landing zone and
+    rewrites to splittable zstd parquet immediately."""
+    zp = os.path.join(SCRATCH, "nation_zstd_parquet")
+    gc = os.path.join(SCRATCH, "nation_gzip_csv")
+    n = load(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("compression", "zstd").parquet(zp)
+    n.write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(gc)
+    pq = spark.read.parquet(zp).select(
+        "n_nationkey", "n_name", "n_regionkey", F.lit("zstd_parquet").alias("codec")
+    )
+    cs = (
+        spark.read.schema(NATION_DDL)
+        .option("header", True)
+        .csv(gc)
+        .select(
+            "n_nationkey", "n_name", "n_regionkey", F.lit("gzip_csv").alias("codec")
+        )
+    )
+    return pq.unionAll(cs)
