@@ -1624,3 +1624,46 @@ def test_session_close_on_processing_timeout(spark, tmp_path):
         for r in rows
     }
     assert got == {("A", 2, 15.0, "timeout")}, got
+
+
+def test_update_output_mode_emits_only_changed_windows(spark, tmp_path):
+    """Update output mode: after each micro-batch the sink receives
+    ONLY windows whose aggregate changed in that batch — unlike
+    complete (everything every time) or append (only finalized
+    windows). The low-latency dashboard mode: re-emission of window A
+    must not drag unchanged window B with it."""
+    src = str(tmp_path / "in")
+    _write_packet_batch(
+        spark, src, [("A", 10.0, _ts(1)), ("B", 5.0, _ts(40))], 0
+    )
+    packets = packet_stream_from_dir(spark, src)
+    totals = windowed_totals_stream(packets, window="30 minutes", watermark="2 hours")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("upd_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["nif"], r["window_start"].minute, r["total_bytes"])
+            for r in spark.sql("SELECT * FROM upd_out").collect()
+        }
+        assert first == {("A", 0, 10.0), ("B", 30, 5.0)}
+        # batch 1 touches ONLY window (A, minute 0)
+        _write_packet_batch(spark, src, [("A", 7.0, _ts(2))], 1)
+        q.processAllAvailable()
+        rows = [
+            (r["nif"], r["window_start"].minute, r["total_bytes"])
+            for r in spark.sql("SELECT * FROM upd_out").collect()
+        ]
+    finally:
+        q.stop()
+    # memory sink in update mode appends each batch's emissions: the
+    # second batch must have added exactly one row — the updated A
+    # window with its new total — and no re-emission of B.
+    assert sorted(rows) == sorted(
+        [("A", 0, 10.0), ("B", 30, 5.0), ("A", 0, 17.0)]
+    ), rows
