@@ -1270,3 +1270,125 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n")
     )
+
+
+# --- winnowing fingerprints (MOSS) ----------------------------------------
+
+WIN_K = 5   # shingle width (words)
+WIN_W = 4   # winnowing window: one fingerprint guaranteed per W shingles
+WIN_MIN_SHARED = 2
+
+
+@register(
+    "dedup_winnowing",
+    tags=("llm", "dedup", "fingerprint"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(w[i : i + {WIN_K} - 1], ' ')),
+                         1, 8))::BIGINT AS h
+  FROM words, LATERAL unnest(generate_series(1, len(w) - {WIN_K} + 1)) AS t(i)
+),
+winmin AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+           AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+           AS wn
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE wn = {WIN_W}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {WIN_MIN_SHARED}
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared_fps
+FROM pairs
+""",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    algorithm): hash every {WIN_K}-word shingle, keep the MINIMUM hash
+    of each {WIN_W}-shingle window, and flag document pairs sharing ≥
+    {WIN_MIN_SHARED} fingerprints. The guarantee MinHash lacks: any
+    shared run of at least {WIN_K + WIN_W - 1} words is DETECTED with
+    certainty (some window inside the run selects the same minimum),
+    while storage shrinks ~{WIN_W}× versus full shingling — the local
+    -plagiarism / partial-overlap detector beside the whole-document
+    estimators.
+
+    Shingle hashing is a positional projection, window minima ride one
+    doc-keyed ordered frame (O({WIN_W}) state), and candidate pairs
+    come from the fingerprint inverted index — candidates-only, never
+    doc-pairwise. md5-derived integer hashes keep both engines
+    bitwise identical."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    n_grams = F.size(words) - (WIN_K - 1)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                # docs shorter than the shingle width contribute no
+                # grams (when -> NULL -> explode emits nothing), the
+                # oracle's empty generate_series
+                F.when(
+                    n_grams >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_grams),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.array_join(F.slice(words, i, WIN_K), " ")
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("bigint")
+                        .alias("h"),
+                        ),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WIN_W - 1)
+    )
+    fps = (
+        grams.select(
+            "doc_id",
+            F.min("h").over(wf).alias("fp"),
+            F.count(F.lit(1)).over(wf).alias("wn"),
+        )
+        .filter(F.col("wn") == WIN_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp").hint("shuffle_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp").hint("shuffle_hash")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+        .select("doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared_fps"))
+    )
