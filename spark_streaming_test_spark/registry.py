@@ -187,7 +187,7 @@ _DRIVER_WINDOW = [
     "dedup_threshold_sweep", "events_next_event_baseline",
     "emb_isotropy_score", "sql_identifier_clause", "ts_outlier_hampel",
     "corpus_report_card", "events_user_lifecycle", "fn_mask_suite",
-    "scan_compressed_roundtrip", "dedup_winnowing",
+    "scan_compressed_roundtrip", "dedup_winnowing", "scan_ignore_corrupt_files",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",

@@ -745,3 +745,30 @@ def scan_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pq.unionAll(cs)
+
+
+@register(
+    "scan_ignore_corrupt_files",
+    tags=("source", "resilience"),
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience: a garbage ``.parquet`` file sits inside
+    the table directory (the torn upload / half-written object every
+    large lake accumulates) and the scan completes anyway under
+    ``spark.sql.files.ignoreCorruptFiles`` — returning exactly the
+    healthy files' rows, which the oracle verifies. Without the flag
+    the whole 100 TB job dies on one bad object; with it the loss is
+    quantified by reconciliation (``dq_reconcile_orders``-style
+    counts), not an outage."""
+    path = os.path.join(SCRATCH, "nation_with_corrupt")
+    load(spark, sf_dir, "nation").write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "part-corrupt-000.parquet"), "wb") as f:
+        f.write(b"NOT A PARQUET FILE \x00\x01\x02 torn upload")
+    # The flag must hold when the CALLER executes the returned frame,
+    # so it stays set for the session; healthy tables are unaffected
+    # (they have no corrupt files to skip).
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    return spark.read.parquet(path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
