@@ -1667,3 +1667,64 @@ def test_update_output_mode_emits_only_changed_windows(spark, tmp_path):
     assert sorted(rows) == sorted(
         [("A", 0, 10.0), ("B", 30, 5.0), ("A", 0, 17.0)]
     ), rows
+
+
+@pytest.mark.parametrize("policy,expect_late_row", [("min", True), ("max", False)])
+def test_multiple_watermark_policy(spark, tmp_path, policy, expect_late_row):
+    """Union of two watermarked sources: the GLOBAL watermark is the
+    min of the per-source watermarks by default — a lagging source
+    holds the clock back, so its old-but-honest rows stay accepted —
+    while multipleWatermarkPolicy=max lets the fastest source advance
+    the clock and drops them. The policy is the lever between
+    completeness (min) and state size/latency (max) in multi-source
+    topologies."""
+    saved = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+    try:
+        fast, slow = str(tmp_path / "fast"), str(tmp_path / "slow")
+        # fast source is hours ahead; slow source sits at 10:00
+        _write_packet_batch(spark, fast, [("F", 1.0, _ts(0).replace(hour=15))], 0)
+        _write_packet_batch(spark, slow, [("S", 1.0, _ts(0).replace(hour=10))], 0)
+
+        def src(path):
+            return (
+                spark.readStream.schema(PACKET_SCHEMA)
+                .parquet(path)
+                .withWatermark("ts", "10 minutes")
+            )
+
+        counts = (
+            src(fast).unionByName(src(slow))
+            .groupBy(F.window("ts", "30 minutes"), "nif")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(f"wm_{policy}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # late row on the SLOW source: 9:30, behind slow's own
+            # watermark head (10:00) by 30 min > the 10-min delay —
+            # but under the MIN policy the global clock is also held
+            # at ~9:50, window 9:30 is not yet closed... the row's
+            # window [9:30,10:00) ends at 10:00 > global watermark
+            # 9:50 -> accepted; under MAX the clock sits at ~14:50
+            # and the window is long closed -> dropped.
+            _write_packet_batch(
+                spark, slow, [("S", 1.0, _ts(30).replace(hour=9))], 1
+            )
+            q.processAllAvailable()
+            rows = {
+                (r["nif"], r["window"].start.hour, r["window"].start.minute)
+                for r in spark.sql(f"SELECT * FROM wm_{policy}").collect()
+            }
+        finally:
+            q.stop()
+        late_window_present = ("S", 9, 30) in rows
+        assert late_window_present == expect_late_row, (policy, rows)
+    finally:
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", saved)
