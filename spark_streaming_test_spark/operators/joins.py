@@ -705,3 +705,71 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "s_suppkey", overlap.alias("overlap_days"))
         .distinct()
     )
+
+
+@register(
+    "join_null_aware_anti",
+    tags=("join", "anti", "null-semantics"),
+    oracle="""
+WITH probe AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+),
+clean_keys AS (
+  SELECT o_custkey AS k FROM orders WHERE o_custkey % 3 = 0
+),
+poisoned_keys AS (
+  SELECT k FROM clean_keys
+  UNION ALL
+  SELECT NULL
+)
+SELECT
+  (SELECT COUNT(*) FROM probe
+   WHERE c_custkey NOT IN (SELECT k FROM clean_keys))
+    AS n_not_in_clean,
+  (SELECT COUNT(*) FROM probe
+   WHERE c_custkey NOT IN (SELECT k FROM poisoned_keys))
+    AS n_not_in_poisoned,
+  (SELECT COUNT(*) FROM probe p
+   WHERE NOT EXISTS (SELECT 1 FROM poisoned_keys s WHERE s.k = p.c_custkey))
+    AS n_not_exists_poisoned
+""",
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-aware anti-join semantics — the NOT IN landmine: one NULL
+    in the subquery makes ``NOT IN`` return ZERO rows (three-valued
+    logic: x <> NULL is unknown), while ``NOT EXISTS`` keeps the
+    intuitive answer. The three counts side by side are the regression
+    test every migration from a NULL-tolerant engine needs, and Spark
+    plans the poisoned NOT IN as the special null-aware anti join
+    (single-column NAAJ broadcast) rather than a naive nested loop.
+
+    All three probes are semi/anti joins with broadcastable key sides;
+    counts are exact integers."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT c_custkey, c_mktsegment FROM customer
+        ),
+        clean_keys AS (
+          SELECT o_custkey AS k FROM orders WHERE o_custkey % 3 = 0
+        ),
+        poisoned_keys AS (
+          SELECT k FROM clean_keys
+          UNION ALL
+          SELECT NULL
+        )
+        SELECT
+          (SELECT COUNT(*) FROM probe
+           WHERE c_custkey NOT IN (SELECT k FROM clean_keys))
+            AS n_not_in_clean,
+          (SELECT COUNT(*) FROM probe
+           WHERE c_custkey NOT IN (SELECT k FROM poisoned_keys))
+            AS n_not_in_poisoned,
+          (SELECT COUNT(*) FROM probe p
+           WHERE NOT EXISTS (SELECT 1 FROM poisoned_keys s
+                             WHERE s.k = p.c_custkey))
+            AS n_not_exists_poisoned
+        """
+    )
