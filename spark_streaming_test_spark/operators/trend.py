@@ -1561,3 +1561,109 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             STL_OUT_DP,
         ).alias("seasonal_strength"),
     )
+
+
+# --- literal-table spectral power (periodogram at fixed periods) ----------
+
+SPECT_DP = 6  # v x literal-trig products round generically, then decimal-sum
+# cos/sin literals for hour-of-day phases at the tested periods — inlined
+# identically into BOTH engines so no transcendental runs at query time.
+_COS_24 = ["1.0000000000", "0.9659258263", "0.8660254038", "0.7071067812", "0.5000000000", "0.2588190451", "0.0000000000", "-0.2588190451", "-0.5000000000", "-0.7071067812", "-0.8660254038", "-0.9659258263", "-1.0000000000", "-0.9659258263", "-0.8660254038", "-0.7071067812", "-0.5000000000", "-0.2588190451", "-0.0000000000", "0.2588190451", "0.5000000000", "0.7071067812", "0.8660254038", "0.9659258263"]
+_SIN_24 = ["0.0000000000", "0.2588190451", "0.5000000000", "0.7071067812", "0.8660254038", "0.9659258263", "1.0000000000", "0.9659258263", "0.8660254038", "0.7071067812", "0.5000000000", "0.2588190451", "0.0000000000", "-0.2588190451", "-0.5000000000", "-0.7071067812", "-0.8660254038", "-0.9659258263", "-1.0000000000", "-0.9659258263", "-0.8660254038", "-0.7071067812", "-0.5000000000", "-0.2588190451"]
+_COS_12 = ["1.0000000000", "0.8660254038", "0.5000000000", "0.0000000000", "-0.5000000000", "-0.8660254038", "-1.0000000000", "-0.8660254038", "-0.5000000000", "-0.0000000000", "0.5000000000", "0.8660254038", "1.0000000000", "0.8660254038", "0.5000000000", "0.0000000000", "-0.5000000000", "-0.8660254038", "-1.0000000000", "-0.8660254038", "-0.5000000000", "-0.0000000000", "0.5000000000", "0.8660254038"]
+_SIN_12 = ["0.0000000000", "0.5000000000", "0.8660254038", "1.0000000000", "0.8660254038", "0.5000000000", "0.0000000000", "-0.5000000000", "-0.8660254038", "-1.0000000000", "-0.8660254038", "-0.5000000000", "-0.0000000000", "0.5000000000", "0.8660254038", "1.0000000000", "0.8660254038", "0.5000000000", "0.0000000000", "-0.5000000000", "-0.8660254038", "-1.0000000000", "-0.8660254038", "-0.5000000000"]
+
+
+def _phase_case(tab: list[str], col: str) -> str:
+    return (
+        "CASE " + col + " "
+        + " ".join(f"WHEN {h} THEN CAST({v} AS DOUBLE)" for h, v in enumerate(tab))
+        + " END"
+    )
+
+
+@register(
+    "ts_spectral_power",
+    tags=("timeseries", "seasonality", "spectral"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+phased AS (
+  SELECT event_type, CAST(hv AS DOUBLE) AS v,
+         CAST(EXTRACT(hour FROM h) AS INTEGER) AS hod
+  FROM hourly
+),
+terms AS (
+  SELECT event_type,
+         CAST(round(v * ({_phase_case(_COS_24, 'hod')}), {SPECT_DP})
+              AS DECIMAL(30,{SPECT_DP})) AS c24,
+         CAST(round(v * ({_phase_case(_SIN_24, 'hod')}), {SPECT_DP})
+              AS DECIMAL(30,{SPECT_DP})) AS s24,
+         CAST(round(v * ({_phase_case(_COS_12, 'hod')}), {SPECT_DP})
+              AS DECIMAL(30,{SPECT_DP})) AS c12,
+         CAST(round(v * ({_phase_case(_SIN_12, 'hod')}), {SPECT_DP})
+              AS DECIMAL(30,{SPECT_DP})) AS s12
+  FROM phased
+),
+sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(c24) AS DOUBLE) AS sc24, CAST(SUM(s24) AS DOUBLE) AS ss24,
+         CAST(SUM(c12) AS DOUBLE) AS sc12, CAST(SUM(s12) AS DOUBLE) AS ss12
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       round((sc24 * sc24 + ss24 * ss24) / n, {SPECT_DP}) AS power_24h,
+       round((sc12 * sc12 + ss12 * ss12) / n, {SPECT_DP}) AS power_12h,
+       (sc24 * sc24 + ss24 * ss24) > (sc12 * sc12 + ss12 * ss12)
+         AS daily_dominates
+FROM sums
+""",
+)
+def ts_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power at the 24 h and 12 h periods per stream — the
+    spectral confirmation of WHICH cycle drives a series (the
+    seasonal-strength statistic says how much rhythm exists; this says
+    whether it is the daily cycle or its half-day harmonic, which
+    decides the decomposition period).
+
+    The trig basis is a 24-entry LITERAL phase table inlined into both
+    engines (the DCG-ladder trick applied to Fourier analysis) — no
+    cos/sin executes at query time; v×literal products round
+    generically and accumulate as exact decimals, so the DFT
+    coefficients are order-invariant and the powers bitwise equal.
+    One reduce over the hourly grain; adding test periods adds
+    columns, not passes."""
+    hourly = _hourly_sum(spark, sf_dir)
+    phased = hourly.select(
+        "event_type",
+        F.col("hv").cast("double").alias("v"),
+        F.hour("h").cast("int").alias("hod"),
+    )
+    dec = f"decimal(30,{SPECT_DP})"
+
+    def term(tab):
+        return F.round(
+            F.col("v") * F.expr(_phase_case(tab, "hod")), SPECT_DP
+        ).cast(dec)
+
+    sums = phased.select(
+        "event_type",
+        term(_COS_24).alias("c24"),
+        term(_SIN_24).alias("s24"),
+        term(_COS_12).alias("c12"),
+        term(_SIN_12).alias("s12"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c24").cast("double").alias("sc24"),
+        F.sum("s24").cast("double").alias("ss24"),
+        F.sum("c12").cast("double").alias("sc12"),
+        F.sum("s12").cast("double").alias("ss12"),
+    )
+    p24 = F.col("sc24") * F.col("sc24") + F.col("ss24") * F.col("ss24")
+    p12 = F.col("sc12") * F.col("sc12") + F.col("ss12") * F.col("ss12")
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(p24 / F.col("n"), SPECT_DP).alias("power_24h"),
+        F.round(p12 / F.col("n"), SPECT_DP).alias("power_12h"),
+        (p24 > p12).alias("daily_dominates"),
+    )
