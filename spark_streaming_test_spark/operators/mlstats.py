@@ -1683,3 +1683,94 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_raw") / F.col("n_users")).alias("mean_raw"),
         (F.col("s_adj") / F.col("n_users")).alias("mean_cuped"),
     )
+
+
+# --- one-way ANOVA --------------------------------------------------------
+
+ANOVA_DP = 6
+
+
+@register(
+    "agg_anova_oneway",
+    tags=("mlstats", "statistics", "anova"),
+    oracle=f"""
+WITH grp AS (
+  SELECT event_type,
+         COUNT(*) AS n_g,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s_g,
+         CAST(SUM(CAST(round(value * value, 4) AS DECIMAL(30,4)))
+              AS DOUBLE) AS ss_g
+  FROM events GROUP BY event_type
+),
+terms AS (
+  SELECT n_g, s_g, ss_g,
+         CAST(round(s_g * s_g / n_g, {ANOVA_DP})
+              AS DECIMAL(30,{ANOVA_DP})) AS mean_sq_term
+  FROM grp
+),
+tot AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(s_g, {ANOVA_DP})
+                       AS DECIMAL(30,{ANOVA_DP}))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(round(ss_g, {ANOVA_DP})
+                       AS DECIMAL(30,{ANOVA_DP}))) AS DOUBLE) AS ss,
+         CAST(SUM(mean_sq_term) AS DOUBLE) AS between_raw
+  FROM terms
+)
+SELECT CAST(k AS INTEGER) AS k_groups, n,
+       round(between_raw - s * s / n, {ANOVA_DP}) AS ss_between,
+       round(ss - between_raw, {ANOVA_DP}) AS ss_within,
+       round(((between_raw - s * s / n) / (k - 1))
+             / ((ss - between_raw) / (n - k)), {ANOVA_DP}) AS f_stat,
+       round((between_raw - s * s / n) / (ss - s * s / n), {ANOVA_DP})
+         AS eta_squared
+FROM tot
+""",
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event streams: does mean ``value`` differ
+    between groups more than within-group noise explains? F =
+    (SSB/(k−1))/(SSW/(N−k)) plus η² effect size — the k-group
+    generalization of the two-sample t/z tests already in this family,
+    and the screen run before per-group models are justified.
+
+    Everything reduces to per-group power sums (exact decimal s_g,
+    once-quantized ss_g); the k-row combination rounds each term
+    generically before decimal-summing so the tiny final aggregate is
+    order-invariant, and the closed forms divide identical doubles."""
+    grp = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("s_g"),
+        F.sum(F.round(F.col("value") * F.col("value"), 4).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("ss_g"),
+    )
+    dec = f"decimal(30,{ANOVA_DP})"
+    terms = grp.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), ANOVA_DP)
+        .cast(dec)
+        .alias("mean_sq_term"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.round("s_g", ANOVA_DP).cast(dec)).cast("double").alias("s"),
+        F.sum(F.round("ss_g", ANOVA_DP).cast(dec)).cast("double").alias("ss"),
+        F.sum("mean_sq_term").cast("double").alias("between_raw"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("between_raw") - F.col("s") * F.col("s") / n
+    ssw = F.col("ss") - F.col("between_raw")
+    sst = F.col("ss") - F.col("s") * F.col("s") / n
+    return tot.select(
+        k.cast("int").alias("k_groups"),
+        n,
+        F.round(ssb, ANOVA_DP).alias("ss_between"),
+        F.round(ssw, ANOVA_DP).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), ANOVA_DP).alias("f_stat"),
+        F.round(ssb / sst, ANOVA_DP).alias("eta_squared"),
+    )
