@@ -1774,3 +1774,162 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / (k - 1)) / (ssw / (n - k)), ANOVA_DP).alias("f_stat"),
         F.round(ssb / sst, ANOVA_DP).alias("eta_squared"),
     )
+
+
+# --- Benjamini–Hochberg FDR correction ------------------------------------
+
+BH_ALPHA = "0.05"
+
+
+@register(
+    "mlstats_fdr_bh",
+    tags=("mlstats", "statistics", "multiple-testing"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         {sql_dsum('value')} AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.d AS di, b.d AS dj,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+fut AS (SELECT event_type, di AS d, SUM(s) AS a_t FROM pairs GROUP BY 1, 2),
+pst AS (SELECT event_type, dj AS d, SUM(s) AS b_t FROM pairs GROUP BY 1, 2),
+steps AS (
+  SELECT dd.event_type, dd.d,
+         COALESCE(f.a_t, 0) - COALESCE(p.b_t, 0) AS step
+  FROM daily dd
+  LEFT JOIN fut f ON dd.event_type = f.event_type AND dd.d = f.d
+  LEFT JOIN pst p ON dd.event_type = p.event_type AND dd.d = p.d
+),
+cum AS (
+  SELECT event_type,
+         SUM(step) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS u_t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM steps
+),
+pvals AS (
+  SELECT event_type,
+         round(2 * exp((-6.0 * MAX(abs(u_t)) * MAX(abs(u_t)))
+               / (CAST(MAX(n) AS DOUBLE)*MAX(n)*MAX(n)
+                  + CAST(MAX(n) AS DOUBLE)*MAX(n))), 8) AS p
+  FROM cum GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, p,
+         ROW_NUMBER() OVER (ORDER BY p, event_type) AS i,
+         COUNT(*) OVER () AS m
+  FROM pvals
+),
+cutoff AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= CAST({BH_ALPHA} AS DOUBLE) * i / m
+                           THEN i END), 0) AS i_star
+  FROM ranked
+)
+SELECT r.event_type, r.p AS p_value,
+       CAST(r.i AS INTEGER) AS rank,
+       CAST(CAST({BH_ALPHA} AS DOUBLE) * r.i / r.m AS DOUBLE) AS bh_threshold,
+       r.i <= c.i_star AS significant_fdr
+FROM ranked r CROSS JOIN cutoff c
+""",
+)
+def mlstats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a FAMILY of hypothesis
+    tests — here the per-stream Pettitt change-point p-values — the
+    step every metrics platform needs once it runs dozens of tests per
+    release: reject the i smallest p-values up to the largest i with
+    p_(i) ≤ α·i/m, controlling the EXPECTED false-discovery fraction
+    instead of Bonferroni's family-wise overkill.
+
+    The p-value family reduces each stream to one row (the Pettitt
+    machinery); BH itself is a rank window + one cutoff scalar over
+    the m-row frame — free at any family size that fits a test
+    dashboard. All comparisons are between identical doubles."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(dsum("value").alias("y"))
+    )
+    a = daily.select("event_type", F.col("d").alias("di"), F.col("y").alias("yi"))
+    b = daily.select("event_type", F.col("d").alias("dj"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("di") < F.col("dj"))
+        .select(
+            "event_type",
+            "di",
+            "dj",
+            F.when(F.col("yj") > F.col("yi"), 1)
+            .when(F.col("yj") < F.col("yi"), -1)
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    fut = pairs.groupBy("event_type", F.col("di").alias("d")).agg(
+        F.sum("s").alias("a_t")
+    )
+    pst = pairs.groupBy("event_type", F.col("dj").alias("d")).agg(
+        F.sum("s").alias("b_t")
+    )
+    steps = (
+        daily.select("event_type", "d")
+        .join(fut, ["event_type", "d"], "left")
+        .join(pst, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            (F.coalesce("a_t", F.lit(0)) - F.coalesce("b_t", F.lit(0))).alias(
+                "step"
+            ),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = steps.withColumn("u_t", F.sum("step").over(wc)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    kmax = F.max(F.abs("u_t"))
+    n_d = F.max("n").cast("double")
+    pvals = cum.groupBy("event_type").agg(
+        F.round(
+            2.0
+            * F.exp(
+                (-6.0 * kmax * kmax)
+                / (n_d * F.max("n") * F.max("n") + n_d * F.max("n"))
+            ),
+            8,
+        ).alias("p")
+    )
+    wr = Window.orderBy("p", "event_type")
+    wm = Window.partitionBy()
+    ranked = pvals.withColumn("i", F.row_number().over(wr)).withColumn(
+        "m", F.count(F.lit(1)).over(wm)
+    )
+    alpha = F.expr(f"CAST({BH_ALPHA} AS DOUBLE)")
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") <= alpha * F.col("i") / F.col("m"), F.col("i"))),
+            F.lit(0),
+        ).alias("i_star")
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        F.col("p").alias("p_value"),
+        F.col("i").cast("int").alias("rank"),
+        (alpha * F.col("i") / F.col("m")).cast("double").alias("bh_threshold"),
+        (F.col("i") <= F.col("i_star")).alias("significant_fdr"),
+    )
