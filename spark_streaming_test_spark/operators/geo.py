@@ -225,3 +225,96 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias("n_suppliers"),
         )
     )
+
+
+# --- grid-DBSCAN clustering -----------------------------------------------
+
+DB_MINPTS = 5  # a cell is CORE when it holds >= this many points
+
+
+@register(
+    "geo_dbscan_grid",
+    tags=("geo", "clustering", "iterative"),
+    oracle=f"""
+WITH RECURSIVE c AS ({_sql_place('customer', 'c_custkey')}),
+cells AS (
+  SELECT (x // {RADIUS}) * 1000000 + (y // {RADIUS}) AS cell,
+         COUNT(*) AS n
+  FROM c GROUP BY 1
+),
+core AS (
+  SELECT cell, n, cell // 1000000 AS cx, cell % 1000000 AS cy
+  FROM cells WHERE n >= {DB_MINPTS}
+),
+edges AS (
+  SELECT a.cell AS u, b.cell AS v
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cell < b.cell
+),
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+reach(node, lab) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN und e ON e.src = r.node
+),
+labels AS (SELECT node AS cell, MIN(lab) AS cluster FROM reach GROUP BY node)
+SELECT l.cluster AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(co.n) AS BIGINT) AS n_points
+FROM core co JOIN labels l ON co.cell = l.cell
+GROUP BY l.cluster
+""",
+)
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN: density clustering without pairwise distances —
+    cells holding ≥ {DB_MINPTS} points are CORE, 8-adjacent core cells
+    merge, and connected groups of core cells are the clusters (the
+    GriT-DBSCAN-style reduction that keeps DBSCAN's density semantics
+    at a grid join's cost). The spatial twin of the LSH-bucket →
+    connected-components dedup pipeline, assembled from this engine's
+    existing pieces: the geo grid and the min-label component loop.
+
+    Cell aggregation is one corpus shuffle; everything after runs on
+    O(occupied core cells) rows — adjacency is a bounded 3×3
+    neighborhood self-join, components are integer min-label rounds
+    proven against DuckDB's recursive closure."""
+    from .graph import min_label_components
+
+    pts = _place(load(spark, sf_dir, "customer"), "c_custkey")
+    cells = (
+        pts.groupBy(
+            (
+                F.expr(f"(x div {RADIUS}) * 1000000 + (y div {RADIUS})")
+            ).alias("cell")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    core = cells.filter(F.col("n") >= DB_MINPTS).select(
+        "cell",
+        "n",
+        F.expr("cell div 1000000").alias("cx"),
+        (F.col("cell") % 1000000).alias("cy"),
+    )
+    a, b = core.alias("a"), core.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.cell") < F.col("b.cell")),
+    ).select(F.col("a.cell").alias("u"), F.col("b.cell").alias("v"))
+    labels = min_label_components(edges)
+    clustered = (
+        core.join(
+            labels.select(F.col("node").alias("cell"), F.col("lab")),
+            "cell",
+            "left",
+        )
+        # isolated core cells never appear in the edge list — they are
+        # their own single-cell clusters
+        .select("cell", "n", F.coalesce("lab", F.col("cell")).alias("cluster"))
+    )
+    return clustered.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_points"),
+    )

@@ -188,7 +188,7 @@ _DRIVER_WINDOW = [
     "emb_isotropy_score", "sql_identifier_clause", "ts_outlier_hampel",
     "corpus_report_card", "events_user_lifecycle", "fn_mask_suite",
     "scan_compressed_roundtrip", "dedup_winnowing", "scan_ignore_corrupt_files",
-    "join_null_aware_anti", "ts_spectral_power", "agg_anova_oneway", "mlstats_fdr_bh",
+    "join_null_aware_anti", "ts_spectral_power", "agg_anova_oneway", "mlstats_fdr_bh", "geo_dbscan_grid",
     # rows-only (no oracle) — deliberately after the oracle-backed block
     "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
     "mm_frame_sample_stub", "mm_resize_stub",
