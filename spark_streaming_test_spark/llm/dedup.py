@@ -23,6 +23,8 @@ identical candidates; nothing depends on partitioning or RNG state.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -154,38 +156,161 @@ MINHASH_HASHES = 32
 MINHASH_BANDS = 8
 MINHASH_ROWS = MINHASH_HASHES // MINHASH_BANDS
 
+# Universal-hash family over a Mersenne prime: h_i(x) = (A_i*x + B_i) mod P
+# applied to a 60-bit md5-derived base hash. Every piece (md5, hex->int,
+# modular arithmetic) exists identically in Spark AND DuckDB, which is what
+# makes the full LSH pipeline oracle-checkable (xxhash64 has no SQL twin —
+# round-2's dedup_minhash_lsh/dedup_simhash rows were `no_oracle` for
+# exactly that reason). All intermediates stay under 2^62, so signed-64
+# (Spark bigint) and UBIGINT (DuckDB) arithmetic agree bit-for-bit.
+MINHASH_P = 2147483647  # 2^31 - 1
+_BAND_MIX = 1000003  # polynomial band-bucket combiner; (P*MIX) < 2^52
+
+
+def _det_const(tag: str, i: int, lo: int, hi: int) -> int:
+    """Deterministic hash-family constant in [lo, hi): derived from md5 of
+    a fixed label, so both engines (and every run) see the same family."""
+    h = int(hashlib.md5(f"minhash:{tag}:{i}".encode()).hexdigest()[:15], 16)
+    return lo + h % (hi - lo)
+
+
+MINHASH_A = [_det_const("a", i, 1, MINHASH_P) for i in range(MINHASH_HASHES)]
+MINHASH_B = [_det_const("b", i, 0, MINHASH_P) for i in range(MINHASH_HASHES)]
+
+# Cross-engine 60-bit base hash: Spark conv(substr(md5(x),1,15),16,10)
+# == DuckDB CAST('0x' || substr(md5(x),1,15) AS UBIGINT). 15 hex chars =
+# 60 bits, safely inside signed bigint.
+_SQL_BASE_HASH = "CAST('0x' || substr(md5({x}), 1, 15) AS UBIGINT)"
+
+
+def _base_hash(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, signature array<long>[32]) via seeded xxhash64 min-hash.
+    """(doc_id, signature array<long>[32]) min-hash over the universal
+    family above.
 
-    A pure projection — ``signature[i] = array_min(transform(shingles,
-    s -> xxhash64(s, i)))`` — so signature computation needs NO shuffle
-    (the earlier explode+groupBy formulation shuffled every posting).
+    A pure projection — base-hash each shingle ONCE (one md5), then
+    ``signature[i] = array_min(transform(hs, h -> (A_i*h + B_i) % P))``
+    — so signature computation needs NO shuffle, and the 32 per-hash
+    passes are plain modular arithmetic, not 32 separate string hashes.
     Deterministic and partitioning-independent: min over a doc-local
-    array for 32 fixed seeds.
+    array for 32 fixed (A, B) pairs.
 
     The 32 array_min expressions are deliberately UNROLLED (not a nested
     transform over sequence(0,31)): the unrolled form stays in compiled
     codegen (~4x faster steady-state); the nested-lambda form evaluates
-    interpreted per element and only saves one-time JIT cost."""
+    interpreted per element and only saves one-time JIT cost. The base
+    hashes live in their own projection, which CollapseProject keeps
+    separate (non-cheap, multiply-referenced), so md5 runs once per
+    shingle, not 32 times."""
+    hs = F.transform(F.col("shingles"), lambda s: _base_hash(s) % MINHASH_P)
+    hashed = docs.select("doc_id", hs.alias("hs"))
+
+    def _hash_i(i: int):
+        # One-arg lambda per i (a two-arg lambda would make F.transform
+        # pass the element INDEX as the second argument).
+        return lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(F.col("hs"), _hash_i(i)))
             for i in range(MINHASH_HASHES)
         ]
     )
-    return docs.select("doc_id", sig.alias("signature"))
+    return hashed.select("doc_id", sig.alias("signature"))
+
+
+def _band_bucket(b: int) -> F.Column:
+    """Band bucket = polynomial mix of the band's 4 signature rows mod P
+    (acc = (acc*MIX + row) % P). Max intermediate < P*MIX + P < 2^52."""
+    acc = F.element_at("signature", b * MINHASH_ROWS + 1)
+    for r in range(1, MINHASH_ROWS):
+        acc = (acc * _BAND_MIX + F.element_at("signature", b * MINHASH_ROWS + r + 1)) % MINHASH_P
+    return acc
+
+
+# DuckDB twin of the document shingles (identical to dedup_ngram_jaccard's
+# oracle, which is hash-verified against _shingles by the driver).
+_SQL_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])
+         )) AS shingles
+  FROM documents
+"""
+
+
+def _minhash_pairs_sql() -> str:
+    """CTE chain computing the verified MinHash-LSH near-dup pairs in
+    DuckDB — the bitwise twin of :func:`dedup_minhash_lsh`. Ends with a
+    ``verified(doc_a, doc_b, jaccard)`` CTE (unfiltered; callers apply
+    the threshold)."""
+    sig_items = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(MINHASH_HASHES)
+    )
+
+    def bucket_expr(b: int) -> str:
+        e = f"sig[{b * MINHASH_ROWS + 1}]"
+        for r in range(1, MINHASH_ROWS):
+            e = f"(({e}) * {_BAND_MIX} + sig[{b * MINHASH_ROWS + r + 1}]) % {MINHASH_P}"
+        return e
+
+    band_structs = ",\n           ".join(
+        f"{{'band': {b}, 'bucket': {bucket_expr(b)}}}" for b in range(MINHASH_BANDS)
+    )
+    base = _SQL_BASE_HASH.format(x="s")
+    return f"""
+docs AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh,
+         list_transform(shingles, s -> {base} % {MINHASH_P}) AS hs
+  FROM docs
+),
+sigs AS (
+  SELECT doc_id,
+         [{sig_items}] AS sig
+  FROM hashed
+),
+bands AS (
+  SELECT doc_id,
+         unnest([{band_structs}], recursive := true)
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles)))
+           AS jaccard
+  FROM cand c
+  JOIN hashed sa ON sa.doc_id = c.doc_a
+  JOIN hashed sb ON sb.doc_id = c.doc_b
+)"""
 
 
 @register(
     "dedup_minhash_lsh",
     bench=True,
     tags=("llm", "dedup", "lsh"),
-    # No SQL oracle: xxhash64 seeds have no DuckDB twin. Correctness is
-    # gated by tests/test_llm.py: candidates are verified with exact
-    # Jaccard, and recall vs the exact pairwise query is asserted.
+    # Full-fidelity oracle: the md5-derived universal hash family (see
+    # minhash_signatures) exists identically in DuckDB, so the WHOLE
+    # pipeline — signatures, band buckets, candidate join, exact-Jaccard
+    # verification — is hash-compared, not rows-only. tests/test_llm.py
+    # additionally asserts recall vs the exact pairwise query.
+    oracle=f"""
+WITH {_minhash_pairs_sql()}
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, the 100 TB path:
@@ -214,12 +339,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * MINHASH_ROWS + r + 1)
-                                for r in range(MINHASH_ROWS)
-                            ]
-                        ).alias("bucket"),
+                        _band_bucket(b).alias("bucket"),
                     )
                     for b in range(MINHASH_BANDS)
                 ]
@@ -292,7 +412,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     sum +1/-1 across the doc; signature bit = sign of the sum.
 
     Expressed as 32 conditional-sum aggregates over one explode (one
-    shuffle; everything stays in whole-stage codegen)."""
+    shuffle; everything stays in whole-stage codegen). Token hash =
+    the md5-derived 60-bit base hash (bits 0..31 used), which DuckDB
+    reproduces exactly — that is what upgrades dedup_simhash from
+    rows-only to hash-compared."""
     # explode_outer + null-drop: sidesteps the size>0 pushdown filter
     # (would duplicate the split below the projection); the explicit
     # null filter on the GENERATED attribute cannot be pushed down and
@@ -300,7 +423,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     posts = (
         docs.select("doc_id", F.explode_outer("tokens").alias("token"))
         .filter(F.col("token").isNotNull())
-        .withColumn("h", F.xxhash64("token"))
+        .withColumn("h", _base_hash(F.col("token")))
     )
     bit_sums = [
         F.sum(
@@ -316,11 +439,65 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def _simhash_sql() -> str:
+    """DuckDB twin of simhash_signatures + banding: ends with a
+    ``cand(doc_a, doc_b, sig_a, sig_b)`` CTE."""
+    base = _SQL_BASE_HASH.format(x="token")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig_terms = "\n           + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    band_structs = ",\n           ".join(
+        f"{{'band': {b}, 'piece': (simhash >> {b * _SIMHASH_BAND_BITS}) & {mask}}}"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+posts AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+hs AS (SELECT doc_id, {base} AS h FROM posts),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hs GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {sig_terms} AS simhash
+  FROM sums
+),
+bands AS (
+  SELECT doc_id, simhash,
+         unnest([{band_structs}], recursive := true)
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.piece = b.piece AND a.doc_id < b.doc_id
+)"""
+
+
 @register(
     "dedup_simhash",
     tags=("llm", "dedup", "simhash"),
-    # rows-only: xxhash64-derived signatures have no SQL twin; the
-    # banded pair semantics are asserted in tests/test_llm.py.
+    # Hash-compared oracle: signatures, banding, and the exact Hamming
+    # filter all reproduce in DuckDB via the md5-derived base hash.
+    # The banded pair semantics are additionally asserted in
+    # tests/test_llm.py.
+    oracle=f"""
+WITH {_simhash_sql()}
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 6
+""",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: docs whose 32-bit signatures share
@@ -414,8 +591,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_canonical",
     tags=("llm", "dedup", "cluster"),
-    # No SQL oracle: iterative fixpoint. tests/test_llm.py checks the
-    # clustering against a driver-side union-find over the same pairs.
+    # Hash-compared oracle: the iterative min-label fixpoint equals the
+    # connected components of the near-dup graph, which DuckDB computes
+    # with a recursive CTE (transitive closure -> min reachable id;
+    # near-dup components are tiny cliques, so the closure stays small).
+    # tests/test_llm.py additionally checks against a driver-side
+    # union-find over the same pairs.
+    oracle=f"""
+WITH RECURSIVE {_minhash_pairs_sql()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+)
+SELECT doc_id, MIN(r) AS cluster_id, (doc_id = MIN(r)) AS keep
+FROM reach GROUP BY doc_id
+""",
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup graph — the

@@ -461,6 +461,7 @@ def sim_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF + PQ: the billion-vector index, both halves combined -------------
 
 from .similarity import (  # noqa: E402
+    IVF_MAX_CENTROIDS,
     IVF_NPROBE,
     IVF_STRIDE,
     _ivf_index,
@@ -477,7 +478,8 @@ def _sql_ivf_cells() -> str:
     return f"""
 ivf_cents AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
-  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+  FROM embeddings
+  WHERE vec_id % {IVF_STRIDE} = 0 AND vec_id < {IVF_STRIDE * IVF_MAX_CENTROIDS}
 ),
 ivf_scored AS (
   SELECT e.vec_id, c.cid,
