@@ -192,12 +192,7 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two retrieval passes + expansion mining read the token table ~7
     # times — materialize it once (the rec_item_item_topn pattern;
     # measured 7.9 s → ~3 s at sf0.1).
-    key = (id(spark), sf_dir)
-    if key not in _PRF_TOKS_CACHE:
-        _PRF_TOKS_CACHE[key] = _tokens(spark, sf_dir).localCheckpoint(
-            eager=True
-        )
-    toks = _PRF_TOKS_CACHE[key]
+    toks = _cached_tokens(spark, sf_dir)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -333,12 +328,7 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two retrieval passes + expansion mining read the token table ~7
     # times — materialize it once (the rec_item_item_topn pattern;
     # measured 7.9 s → ~3 s at sf0.1).
-    key = (id(spark), sf_dir)
-    if key not in _PRF_TOKS_CACHE:
-        _PRF_TOKS_CACHE[key] = _tokens(spark, sf_dir).localCheckpoint(
-            eager=True
-        )
-    toks = _PRF_TOKS_CACHE[key]
+    toks = _cached_tokens(spark, sf_dir)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -554,6 +544,21 @@ def sim_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRF_TOKS_CACHE: dict = {}
 
+
+def _cached_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized localCheckpoint of the token table, keyed by the
+    session's applicationId (stable, never reused after stop) + sf_dir —
+    keying by id(spark) could hand a new session a checkpoint bound to a
+    dead SparkContext after GC address reuse. Entries from other
+    applications are evicted on insert so checkpointed RDDs don't
+    accumulate for the process lifetime."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PRF_TOKS_CACHE:
+        for stale in [k for k in _PRF_TOKS_CACHE if k[0] != key[0]]:
+            del _PRF_TOKS_CACHE[stale]
+        _PRF_TOKS_CACHE[key] = _tokens(spark, sf_dir).localCheckpoint(eager=True)
+    return _PRF_TOKS_CACHE[key]
+
 PRF_FEEDBACK_DOCS = 5   # top-F first-pass docs feed the expansion
 PRF_EXPAND_TERMS = 3    # new terms added to the query
 PRF_IDF_DP = 6          # expansion weights: generic ln, round then rank
@@ -689,12 +694,7 @@ def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two retrieval passes + expansion mining read the token table ~7
     # times — materialize it once (the rec_item_item_topn pattern;
     # measured 7.9 s → ~3 s at sf0.1).
-    key = (id(spark), sf_dir)
-    if key not in _PRF_TOKS_CACHE:
-        _PRF_TOKS_CACHE[key] = _tokens(spark, sf_dir).localCheckpoint(
-            eager=True
-        )
-    toks = _PRF_TOKS_CACHE[key]
+    toks = _cached_tokens(spark, sf_dir)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

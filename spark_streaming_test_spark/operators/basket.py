@@ -117,12 +117,17 @@ REC_MIN_PAIR = 2
 # sf_dir): the basket/recommender operators all start from this frame
 # and the self-join reads it twice more — localCheckpoint truncates the
 # recompute instead of re-scanning lineitem per consumer.
-_ITEMS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ITEMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _distinct_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a stopped+GC'd session's id() can be
+    # reused, handing a fresh session a checkpoint on a dead context.
+    # Other applications' entries are evicted so checkpoints don't leak.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ITEMS_CACHE:
+        for stale in [k for k in _ITEMS_CACHE if k[0] != key[0]]:
+            del _ITEMS_CACHE[stale]
         _ITEMS_CACHE[key] = (
             load(spark, sf_dir, "lineitem")
             .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))

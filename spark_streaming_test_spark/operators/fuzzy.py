@@ -6,14 +6,13 @@ reference's limits-table lookup (``MainApp.java:32-36``): a big noisy
 stream joined against a small authoritative dimension — except the
 join predicate is edit distance, not equality.
 
-Scale shape: the dictionary is SMALL by definition (a vocabulary), so
-it broadcasts and the corpus streams through a broadcast nested-loop
-join scored with ``levenshtein`` — zero shuffles on the big side
-except the final per-probe top-1 window, which AQE plans over the
-probe key. For dictionaries too big to broadcast, the same verify
-step runs behind q-gram blocking instead (shared 3-gram candidates —
-the ``dedup_ngram_jaccard`` inverted-index pattern); the broadcast
-form is the right plan whenever the dictionary fits an executor.
+Scale shape: candidates come from a blocked EQUI-join on
+(end-kind, end-char, length-bucket) — provably complete for the
+top-1 here because the probe construction guarantees a dictionary
+entry within edit distance 1 (see join_fuzzy_dictionary) — so the
+plan is an ordinary hash join whose cost is sum-of-block-sizes, and
+the dictionary may grow without ever hitting a broadcast limit or an
+O(probes x |dict|) nested loop.
 
 Probes are manufactured deterministically from the dictionary itself
 (one character deleted at a key-dependent position), so the operator
@@ -64,13 +63,46 @@ def join_fuzzy_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     a key-dependent position) to the nearest canonical dictionary entry
     by Levenshtein distance; ties break alphabetically.
 
-    The DISTINCT dictionary is tiny and explicitly broadcast; the probe
-    stream never shuffles until the per-probe top-1 window. ``correct``
-    makes recall measurable in-line (deleting one char keeps the true
-    name at distance 1, so errors only occur between near-identical
-    vocabulary entries)."""
+    Scale shape — blocked EQUI-join, not a nested-loop scan: the true
+    source name is always in the dictionary at distance exactly 1, so
+    the global best match has dist <= 1, and EVERY string within one
+    edit of the probe (a) differs in length by at most 1 and (b) keeps
+    the probe's first character OR its last character (a single edit
+    cannot change both ends). Candidates therefore come from an
+    equi-join on (end-kind, end-char, length-bucket) — probes emit 6
+    keys (3 length buckets x first/last char), dictionary entries emit
+    2 — which AQE plans as broadcast-hash while the dictionary is small
+    and as a shuffle hash join when it outgrows the limit; compute is
+    sum-of-block-sizes, never O(probes x |dict|). The per-probe top-1
+    over the blocked candidates equals the global top-1 (same dist
+    ranking, same alphabetical ties) because all dist<=1 candidates are
+    blocked-in and the winner always has dist <= 1.
+
+    ``correct`` makes recall measurable in-line (errors only occur
+    between near-identical vocabulary entries)."""
     part = load(spark, sf_dir, "part")
-    dict_df = part.select("p_name").distinct()
+    dict_keys = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("cand"))
+        .distinct()
+        .select(
+            "cand",
+            F.length("cand").alias("blk_len"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("F").alias("kind"),
+                        F.substring("cand", 1, 1).alias("ch"),
+                    ),
+                    F.struct(
+                        F.lit("L").alias("kind"),
+                        F.expr("substr(cand, length(cand), 1)").alias("ch"),
+                    ),
+                )
+            ).alias("k"),
+        )
+        .select("cand", "blk_len", "k.kind", "k.ch")
+    )
     probes = part.filter(F.col("p_partkey") % PROBE_MOD == 0).select(
         F.col("p_partkey").alias("probe_id"),
         F.col("p_name").alias("src_name"),
@@ -79,9 +111,34 @@ def join_fuzzy_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(p_name, (p_partkey % (length(p_name) - 2)) + 3)"),
         ).alias("probe"),
     )
-    scored = probes.crossJoin(
-        F.broadcast(dict_df.withColumnRenamed("p_name", "cand"))
-    ).withColumn("dist", F.levenshtein("probe", "cand"))
+    probe_keys = probes.select(
+        "probe_id",
+        "src_name",
+        "probe",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(kind).alias("kind"),
+                        (
+                            F.substring("probe", 1, 1)
+                            if kind == "F"
+                            else F.expr("substr(probe, length(probe), 1)")
+                        ).alias("ch"),
+                        (F.length("probe") + dl).alias("blk_len"),
+                    )
+                    for kind in ("F", "L")
+                    for dl in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("probe_id", "src_name", "probe", "k.kind", "k.ch", "k.blk_len")
+    candidates = (
+        probe_keys.join(dict_keys, ["kind", "ch", "blk_len"])
+        .select("probe_id", "src_name", "probe", "cand")
+        .distinct()
+    )
+    scored = candidates.withColumn("dist", F.levenshtein("probe", "cand"))
     w = Window.partitionBy("probe_id").orderBy("dist", "cand")
     return (
         scored.withColumn("rk", F.row_number().over(w))

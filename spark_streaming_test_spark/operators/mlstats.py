@@ -1815,9 +1815,10 @@ cum AS (
 ),
 pvals AS (
   SELECT event_type,
-         round(2 * exp((-6.0 * MAX(abs(u_t)) * MAX(abs(u_t)))
+         round(least(CAST(1.0 AS DOUBLE),
+               2 * exp((-6.0 * MAX(abs(u_t)) * MAX(abs(u_t)))
                / (CAST(MAX(n) AS DOUBLE)*MAX(n)*MAX(n)
-                  + CAST(MAX(n) AS DOUBLE)*MAX(n))), 8) AS p
+                  + CAST(MAX(n) AS DOUBLE)*MAX(n)))), 8) AS p
   FROM cum GROUP BY event_type
 ),
 ranked AS (
@@ -1904,12 +1905,18 @@ def mlstats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kmax = F.max(F.abs("u_t"))
     n_d = F.max("n").cast("double")
+    # least(1, ...): the asymptotic approximation 2*exp(-6K^2/...) exceeds
+    # 1 for small K — clamp so BH ranks operate on valid p-values
+    # (mirrored in the oracle SQL).
     pvals = cum.groupBy("event_type").agg(
         F.round(
-            2.0
-            * F.exp(
-                (-6.0 * kmax * kmax)
-                / (n_d * F.max("n") * F.max("n") + n_d * F.max("n"))
+            F.least(
+                F.lit(1.0),
+                2.0
+                * F.exp(
+                    (-6.0 * kmax * kmax)
+                    / (n_d * F.max("n") * F.max("n") + n_d * F.max("n"))
+                ),
             ),
             8,
         ).alias("p")

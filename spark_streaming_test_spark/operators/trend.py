@@ -1337,8 +1337,9 @@ SELECT event_type,
        CAST(n AS BIGINT) AS n_days,
        CAST(k_abs AS BIGINT) AS k_stat,
        CAST(d AS BIGINT) AS change_day,
-       round(2 * exp((-6.0 * k_abs * k_abs)
-                     / (CAST(n AS DOUBLE)*n*n + CAST(n AS DOUBLE)*n)),
+       round(least(CAST(1.0 AS DOUBLE),
+                   2 * exp((-6.0 * k_abs * k_abs)
+                     / (CAST(n AS DOUBLE)*n*n + CAST(n AS DOUBLE)*n))),
              {PETTITT_DP}) AS p_approx
 FROM best WHERE rk = 1
 """,
@@ -1417,11 +1418,16 @@ def ts_changepoint_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.abs("u_t").cast("bigint").alias("k_stat"),
         F.col("d").cast("bigint").alias("change_day"),
+        # least(1, ...): the asymptotic 2*exp(-6K^2/...) exceeds 1 for
+        # small K — clamp to a valid p-value (mirrored in the oracle).
         F.round(
-            2.0
-            * F.exp(
-                (-6.0 * F.abs("u_t") * F.abs("u_t"))
-                / (n_d * F.col("n") * F.col("n") + n_d * F.col("n"))
+            F.least(
+                F.lit(1.0),
+                2.0
+                * F.exp(
+                    (-6.0 * F.abs("u_t") * F.abs("u_t"))
+                    / (n_d * F.col("n") * F.col("n") + n_d * F.col("n"))
+                ),
             ),
             PETTITT_DP,
         ).alias("p_approx"),

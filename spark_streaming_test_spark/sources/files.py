@@ -765,10 +765,13 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "nation").write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "part-corrupt-000.parquet"), "wb") as f:
         f.write(b"NOT A PARQUET FILE \x00\x01\x02 torn upload")
-    # The flag must hold when the CALLER executes the returned frame,
-    # so it stays set for the session; healthy tables are unaffected
-    # (they have no corrupt files to skip).
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-    return spark.read.parquet(path).select(
-        "n_nationkey", "n_name", "n_regionkey"
+    # Per-READ option, NOT a session conf: a session-level flag would
+    # outlive this query and make every later scan silently skip corrupt
+    # files — masking real data loss elsewhere. The read option is baked
+    # into this scan's plan, so it holds when the CALLER executes the
+    # returned frame while the session keeps its fail-loud default.
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
     )

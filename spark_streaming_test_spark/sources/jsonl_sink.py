@@ -130,6 +130,18 @@ class JsonlStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         edir = self._epoch_dir(batchId)
         os.makedirs(edir, exist_ok=True)
+        # Epoch replay after a crash mid-commit: part files are
+        # uuid-named, so a second attempt would otherwise publish a
+        # second set NEXT TO the stale ones and glob-readers would
+        # double-count. Clearing the epoch dir first makes commit
+        # idempotent regardless of where the previous attempt died
+        # (mirrors the batch writer's overwrite clearing).
+        for stale in os.listdir(edir):
+            if stale.endswith(".jsonl") or stale == "_SUCCESS":
+                try:
+                    os.remove(os.path.join(edir, stale))
+                except FileNotFoundError:
+                    pass
         parts = []
         for m in messages:
             final = os.path.join(edir, m.final_name)

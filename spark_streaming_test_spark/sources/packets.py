@@ -153,7 +153,11 @@ class SyntheticPacketBatchReader(DataSourceReader):
     def pushFilters(self, filters):
         from pyspark.sql.datasource import EqualTo
 
-        accepted_nifs: set[int] = set()
+        # The filter list is a CONJUNCTION: several EqualTo on nif must
+        # INTERSECT (nif='eth0' AND nif='eth1' selects nothing), not
+        # union — a union would claim the filters fully applied while
+        # emitting rows from both NICs.
+        nif_sets: list[set[int]] = []
         for f in filters:
             if (
                 isinstance(f, EqualTo)
@@ -162,11 +166,11 @@ class SyntheticPacketBatchReader(DataSourceReader):
                 and f.value.startswith("eth")
                 and f.value[3:].isdigit()
             ):
-                accepted_nifs.add(int(f.value[3:]))
+                nif_sets.append({int(f.value[3:])})
             else:
                 yield f  # not handled here — Spark evaluates it
-        if accepted_nifs:
-            self._nif_filter = accepted_nifs
+        if nif_sets:
+            self._nif_filter = set.intersection(*nif_sets)
 
     def partitions(self):
         batches = self.conf.max_batches if self.conf.max_batches >= 0 else 1
@@ -176,6 +180,10 @@ class SyntheticPacketBatchReader(DataSourceReader):
         return [NicPartition(nif_idx, 0, batches) for nif_idx in nifs]
 
     def read(self, partition: NicPartition) -> Iterator[tuple]:
+        if partition is None:
+            # Spark substitutes [None] for an empty partitions() list —
+            # reached when pushed filters contradict (empty nif set).
+            return
         for batch in range(partition.start_batch, partition.end_batch):
             yield from _gen_nif_batch(self.conf, partition.nif_idx, batch)
 

@@ -1728,3 +1728,52 @@ def test_multiple_watermark_policy(spark, tmp_path, policy, expect_late_row):
         assert late_window_present == expect_late_row, (policy, rows)
     finally:
         spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", saved)
+
+
+def test_jsonl_stream_commit_replay_idempotent(tmp_path):
+    """Crash-mid-commit replay: a second commit of the SAME epoch with
+    freshly-named (uuid) parts must replace the first attempt's files,
+    not publish next to them — glob readers would double-count
+    otherwise. Simulates the driver dying between the os.replace calls
+    and the commit-log entry, then replaying the batch."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from spark_streaming_test_spark.sources.jsonl_sink import (
+        JsonlCommit,
+        JsonlStreamWriter,
+    )
+
+    schema = StructType([StructField("v", LongType())])
+    out = str(tmp_path / "replay")
+    writer = JsonlStreamWriter({"path": out}, schema)
+
+    def fake_attempt(values):
+        os.makedirs(out, exist_ok=True)
+        msgs = []
+        for i, v in enumerate(values):
+            import uuid as _uuid
+
+            name = f"part-{i:05d}-{_uuid.uuid4().hex}.jsonl"
+            tmp = os.path.join(out, f".{name}.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(json.dumps({"v": v}) + "\n")
+            msgs.append(JsonlCommit(tmp_path=tmp, final_name=name, n_rows=1))
+        return msgs
+
+    writer.commit(fake_attempt([1, 2]), batchId=0)   # first (crashed) attempt
+    writer.commit(fake_attempt([1, 2]), batchId=0)   # replay of epoch 0
+    parts = glob.glob(os.path.join(out, "epoch=0", "*.jsonl"))
+    assert len(parts) == 2, parts  # replay replaced, not appended
+    rows = []
+    for p in parts:
+        with open(p, encoding="utf-8") as f:
+            rows += [json.loads(line)["v"] for line in f]
+    assert sorted(rows) == [1, 2]
+    manifest = json.load(open(os.path.join(out, "epoch=0", "_SUCCESS")))
+    assert {p["file"] for p in manifest["parts"]} == {
+        os.path.basename(p) for p in parts
+    }
