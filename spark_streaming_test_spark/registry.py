@@ -76,122 +76,169 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.sources.jsonl_sink",
 ]
 
-# Round-3 driver verification window. The driver checks the FIRST ~50
-# registered queries each round; rounds 1+2 verified 98 distinct queries
-# (CORRECTNESS_r01/r02), leaving 70 without a driver-grade row. This
-# list front-loads those, ordered for family diversity (at least one
-# representative of every still-unverified family inside the ~50-query
-# window; the TPC-H extended set and the rows-only queries spill into
-# the round-4 window). Names not listed keep registration order after
-# these; unknown names are ignored (safety for renames).
+# Round-4 driver verification window + full rotation plan. The driver
+# checks the FIRST ~50 registered queries each round; this list is the
+# complete planned rotation over all 376 queries (~50/round => driver
+# coverage completes around round 8). Round-4 priorities, per the
+# round-3 verdict: (1) the 10 queries with stale ERR/FAIL rows from
+# r1/r2 — all fixed (and the four previously rows-only LSH queries now
+# carry full hash-compared oracles), but a green DRIVER row is the
+# contract; (2) TPC-H q7-q22 (the canonical relational shapes, listed
+# in the r3 window but past the 50-cut); (3) the five streaming batch
+# oracles without rows + the O14 Kafka wire-format query; (4) the
+# round-3 additions that missed the cut. Sections below the round-4
+# window are the planned order for rounds 5-7 (never-checked first,
+# then already-green names, which only re-verify after everything has
+# a first row). Unknown names are ignored (safety for renames).
 _DRIVER_WINDOW = [
-    # scan connectors (8)
-    "scan_partitioned_pruning", "scan_compacted_write", "scan_orc_roundtrip",
-    "scan_text_lines", "scan_zorder_write", "scan_merge_schema",
-    "scan_bucketed_join", "scan_xml_roundtrip",
-    # UDF surface (4)
-    "udf_pandas_scalar", "udf_pandas_grouped_agg", "udf_apply_in_pandas",
-    "udf_python_udtf",
-    # scalar-function suites (7)
-    "fn_hash_suite", "fn_regexp_suite", "fn_map_from_json", "fn_higher_order",
-    "fn_struct_ops", "fn_conditional_suite", "fn_date_arithmetic",
-    # skew handling (2)
-    "agg_salted_sum", "join_salted_skew",
-    # behavioral analytics (5)
-    "window_sessionize", "events_funnel", "agg_mode_per_group",
-    "events_retention_cohorts", "events_markov_transitions",
-    # CDC / table maintenance (4)
-    "table_diff", "scd2_intervals", "agg_histogram", "cdc_merge_apply",
-    # profiling (2)
-    "profile_table", "agg_corr_manual",
-    # aggregates added in round 2 (3)
-    "agg_approx_percentile_check", "agg_heavy_hitters_claim",
-    "agg_bitmap_distinct",
-    # retrieval scoring (2)
-    "text_tfidf_topk", "text_bm25_retrieval",
-    # graph / entity-resolution / time-series (4)
-    "graph_pagerank", "er_blocked_match", "ts_resample_ffill",
-    "ts_anomaly_zscore",
-    # product quantization + embedding features (3)
-    "emb_pq_encode", "sim_pq_adc_topk", "emb_dim_standardize",
-    # market basket (1)
-    "basket_pair_lift",
-    # decontamination (2)
-    "decon_ngram_overlap", "decon_contamination_rate",
-    # clustering (2)
-    "emb_kmeans_assign", "dedup_semantic_cluster",
-    # TPC-H extended (16) — tail of the window; the rest roll to round 4
-    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q12_shipping_priority_class",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue", "tpch_q20_excess_supply",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
-    # round-3 additions (oracle-backed) — rotate into the round-4 window
+    # --- round-4 window (50) ------------------------------------------
+    # 10 stale ERR/FAIL rows to convert (fixed in r2/r3, re-verified
+    # locally; dedup_minhash_lsh/dedup_simhash/dedup_cluster_canonical/
+    # sim_lsh_topk additionally upgraded from rows-only to oracle-backed
+    # this round):
+    "agg_argminmax_condcount", "agg_rollup_hierarchical_time",
+    "agg_collect_sorted", "fn_array_suite", "agg_approx_count_distinct",
+    "agg_hll_sketch_rollup", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_cluster_canonical", "sim_lsh_topk",
+    # TPC-H q7-q22 (15):
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_class", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_supply", "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # streaming batch oracles without driver rows + O14 wire (6):
+    "stream_window_topk", "stream_late_data_accounting", "stream_rate_limit",
+    "stream_session_dynamic_gap", "stream_state_store_reader",
+    "traffic_alerts_kafka_wire",
+    # round-3 additions that missed the r3 cut (19):
     "dq_constraint_suite", "graph_triangle_count", "graph_degree_histogram",
-    "rfm_segmentation", "pareto_frontier", "sim_knn_classify",
-    "fn_url_suite", "text_bigram_logprob", "agg_countmin_claim",
-    "dedup_containment", "events_window_funnel", "text_bpe_encode",
-    "cdc_changelog_compact", "window_running_distinct",
-    "dq_k_anonymity", "emb_matryoshka_eval", "sample_temporal_split",
-    "agg_grouping_id", "fn_null_semantics", "text_rrf_fusion",
-    "join_asof_forward", "join_asof_nearest", "stream_window_topk",
-    "agg_weighted_avg", "window_gap_islands",
-    "agg_linreg_by_group", "ab_test_zscore", "agg_winsorize",
-    "ts_ewma_smooth", "ts_cusum_shift", "ts_rolling_autocorr",
-    "join_fuzzy_dictionary", "text_char_entropy", "corpus_curriculum_order",
-    "events_attribution", "ts_period_over_period", "agg_gini_hhi",
-    "sim_sparse_cosine_join", "window_moving_median", "emb_quantile_transform",
-    "agg_rate_wilson_ci", "ts_seasonal_residual", "scan_csv_badrecords",
-    "emb_covariance_matrix", "ab_test_welch_t", "sample_balanced_classes",
-    "emb_pca_power", "window_ohlc_bars", "join_scd2_pointintime",
-    "events_anomaly_mad", "ab_test_chi_square", "events_time_to_convert",
-    "ts_holt_linear", "window_donchian_band", "join_asof_tolerance",
-    "sample_importance_weights", "graph_jaccard_neighbors",
-    "agg_incremental_maintenance", "text_textrank_keywords",
-    "text_langid_confusion", "events_sequence_trigrams",
-    "emb_outlier_centroid_dist", "dq_benford_digits", "events_cohort_ltv",
-    "corpus_domain_quality_rollup", "text_ngram_novelty", "ts_mann_kendall", "ab_test_ks", "events_inter_arrival", "scan_dynamic_partition_overwrite", "text_zipf_fit",
-    "agg_spearman_corr", "dedup_soft_weights",
-    "agg_concentration_curve", "dedup_prefix_hash",
-    "mlstats_auc_roc", "mlstats_calibration_bins", "mlstats_logloss_brier",
+    "rfm_segmentation", "pareto_frontier", "sim_knn_classify", "fn_url_suite",
+    "text_bigram_logprob", "agg_countmin_claim", "dedup_containment",
+    "events_window_funnel", "text_bpe_encode", "cdc_changelog_compact",
+    "window_running_distinct", "dq_k_anonymity", "emb_matryoshka_eval",
+    "sample_temporal_split", "agg_grouping_id", "fn_null_semantics",
+    # --- round-5 window (next 50, never driver-checked) ---------------
+    "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
+    "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
+    "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",
+    "ts_rolling_autocorr", "join_fuzzy_dictionary", "text_char_entropy",
+    "corpus_curriculum_order", "events_attribution", "ts_period_over_period",
+    "agg_gini_hhi", "sim_sparse_cosine_join", "window_moving_median",
+    "emb_quantile_transform", "agg_rate_wilson_ci", "ts_seasonal_residual",
+    "scan_csv_badrecords", "emb_covariance_matrix", "ab_test_welch_t",
+    "sample_balanced_classes", "emb_pca_power", "window_ohlc_bars",
+    "join_scd2_pointintime", "events_anomaly_mad", "ab_test_chi_square",
+    "events_time_to_convert", "ts_holt_linear", "window_donchian_band",
+    "join_asof_tolerance", "sample_importance_weights",
+    "graph_jaccard_neighbors", "agg_incremental_maintenance",
+    "text_textrank_keywords", "text_langid_confusion",
+    "events_sequence_trigrams", "emb_outlier_centroid_dist",
+    "dq_benford_digits", "events_cohort_ltv", "corpus_domain_quality_rollup",
+    "text_ngram_novelty", "ts_mann_kendall", "ab_test_ks",
+    "events_inter_arrival", "scan_dynamic_partition_overwrite",
+    # --- round-6 window -----------------------------------------------
+    "text_zipf_fit", "agg_spearman_corr", "dedup_soft_weights",
+    "agg_concentration_curve", "dedup_prefix_hash", "mlstats_auc_roc",
+    "mlstats_calibration_bins", "mlstats_logloss_brier",
     "mlstats_threshold_sweep", "geo_radius_join", "geo_nearest_within_radius",
-    "geo_cell_density", "stream_late_data_accounting", "join_interval_overlap",
-    "sample_temperature_mixture", "graph_connected_components",
-    "mm_avg_hash_dedup", "feature_hashing_trick", "dedup_incremental_exact",
-    "er_entity_groups", "hierarchy_subtree_rollup", "dq_dup_rate_by_source",
-    "dq_l_diversity", "events_journey_paths", "dq_psi_drift", "ts_forecast_accuracy", "window_time_weighted_avg", "sim_mmr_diversify", "sim_binary_hamming_topk", "sample_epoch_shuffle", "graph_kcore", "fn_variant_suite", "scan_manifest_pruning", "text_rake_keyphrases", "scan_time_travel", "events_bot_detection", "window_drawdown", "join_set_similarity_prefix", "sim_recall_eval", "sim_two_stage_rerank", "scan_row_level_deletes", "graph_bfs_hops", "sample_group_kfold", "dq_categorical_drift", "emb_cluster_purity", "fn_try_arithmetic_suite", "text_jsd_source_similarity", "ts_interval_coverage", "events_stickiness", "agg_audience_overlap_estimate", "dedup_template_shape", "traffic_burst_alerts", "sample_neyman_allocation", "dq_reconcile_orders", "ts_rolling_cross_corr", "scan_tsv_quoted_roundtrip", "text_cooccurrence_pmi", "sim_ivfpq_topk", "sim_ivfpq_recall_eval", "events_survival_km", "export_jsonl_records", "feature_target_encoding", "ab_test_sprt", "events_decayed_engagement",
-    "sql_recursive_cte", "fn_collation_suite", "join_lateral_topk",
-    "stream_state_store_reader", "mlstats_ndcg_map", "graph_adamic_adar",
-    "feature_woe_iv", "sink_python_datasource_roundtrip",
+    "geo_cell_density", "join_interval_overlap", "sample_temperature_mixture",
+    "graph_connected_components", "mm_avg_hash_dedup", "feature_hashing_trick",
+    "dedup_incremental_exact", "er_entity_groups", "hierarchy_subtree_rollup",
+    "dq_dup_rate_by_source", "dq_l_diversity", "events_journey_paths",
+    "dq_psi_drift", "ts_forecast_accuracy", "window_time_weighted_avg",
+    "sim_mmr_diversify", "sim_binary_hamming_topk", "sample_epoch_shuffle",
+    "graph_kcore", "fn_variant_suite", "scan_manifest_pruning",
+    "text_rake_keyphrases", "scan_time_travel", "events_bot_detection",
+    "window_drawdown", "join_set_similarity_prefix", "sim_recall_eval",
+    "sim_two_stage_rerank", "scan_row_level_deletes", "graph_bfs_hops",
+    "sample_group_kfold", "dq_categorical_drift", "emb_cluster_purity",
+    "fn_try_arithmetic_suite", "text_jsd_source_similarity",
+    "ts_interval_coverage", "events_stickiness",
+    "agg_audience_overlap_estimate", "dedup_template_shape",
+    # --- round-7 window -----------------------------------------------
+    "traffic_burst_alerts", "sample_neyman_allocation", "dq_reconcile_orders",
+    "ts_rolling_cross_corr", "scan_tsv_quoted_roundtrip",
+    "text_cooccurrence_pmi", "sim_ivfpq_topk", "sim_ivfpq_recall_eval",
+    "events_survival_km", "export_jsonl_records", "feature_target_encoding",
+    "ab_test_sprt", "events_decayed_engagement", "sql_recursive_cte",
+    "fn_collation_suite", "join_lateral_topk", "mlstats_ndcg_map",
+    "graph_adamic_adar", "feature_woe_iv", "sink_python_datasource_roundtrip",
     "rec_item_item_topn", "ts_theil_sen_slope", "fn_bitwise_suite",
     "text_line_dedup", "agg_bootstrap_ci", "ts_changepoint_pettitt",
     "dq_t_closeness", "sample_poisson_epochs", "udf_pandas_iter",
     "udf_map_in_arrow", "mlstats_pr_auc", "scan_dynamic_partition_pruning",
-    "stream_rate_limit", "ts_downsample_m4", "graph_label_propagation",
-    "ab_test_srm_check", "dq_freshness_lag", "er_fellegi_sunter",
-    "export_dpo_pairs", "sql_pipe_syntax", "sql_session_variables",
-    "decon_exact_substring", "text_quality_buckets_ccnet",
-    "events_feature_matrix", "dedup_boundary_overlap",
-    "ab_test_ratio_delta_method", "ab_test_cuped", "mlstats_lift_gains",
-    "graph_modularity", "scan_nested_struct_roundtrip",
-    "sql_named_parameters", "dedup_exact_normalized", "text_lexical_stats",
-    "agg_skew_kurtosis", "ts_seasonal_strength",
-    "stream_session_dynamic_gap", "fn_luhn_validate",
-    "window_time_range_frame", "fn_sql_udf", "sim_query_expansion_prf",
-    "sim_mips_transform_topk", "dq_fk_discovery", "mlstats_ece",
-    "graph_assortativity", "ts_interpolate_linear", "dq_schema_drift",
-    "traffic_alerts_kafka_wire", "fn_uuid_surrogate_keys",
+    "ts_downsample_m4", "graph_label_propagation", "ab_test_srm_check",
+    "dq_freshness_lag", "er_fellegi_sunter", "export_dpo_pairs",
+    "sql_pipe_syntax", "sql_session_variables", "decon_exact_substring",
+    "text_quality_buckets_ccnet", "events_feature_matrix",
+    "dedup_boundary_overlap", "ab_test_ratio_delta_method", "ab_test_cuped",
+    "mlstats_lift_gains", "graph_modularity", "scan_nested_struct_roundtrip",
+    "sql_named_parameters",
+    # --- round-8 window (remainder of never-checked) ------------------
+    "dedup_exact_normalized", "text_lexical_stats", "agg_skew_kurtosis",
+    "ts_seasonal_strength", "fn_luhn_validate", "window_time_range_frame",
+    "fn_sql_udf", "sim_query_expansion_prf", "sim_mips_transform_topk",
+    "dq_fk_discovery", "mlstats_ece", "graph_assortativity",
+    "ts_interpolate_linear", "dq_schema_drift", "fn_uuid_surrogate_keys",
     "dedup_threshold_sweep", "events_next_event_baseline",
     "emb_isotropy_score", "sql_identifier_clause", "ts_outlier_hampel",
     "corpus_report_card", "events_user_lifecycle", "fn_mask_suite",
-    "scan_compressed_roundtrip", "dedup_winnowing", "scan_ignore_corrupt_files",
-    "join_null_aware_anti", "ts_spectral_power", "agg_anova_oneway", "mlstats_fdr_bh", "geo_dbscan_grid",
-    # rows-only (no oracle) — deliberately after the oracle-backed block
-    "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train", "mm_feature_extract_stub",
-    "mm_frame_sample_stub", "mm_resize_stub",
+    "scan_compressed_roundtrip", "dedup_winnowing",
+    "scan_ignore_corrupt_files", "join_null_aware_anti", "ts_spectral_power",
+    "agg_anova_oneway", "mlstats_fdr_bh", "geo_dbscan_grid",
+    "text_compress_ratio", "emb_kmeans_lloyd", "text_bpe_train",
+    "mm_feature_extract_stub", "mm_frame_sample_stub", "mm_resize_stub",
+    "mm_binary_metadata",
+    # --- already driver-green (r1-r3) — re-verify last ----------------
+    "scan_partitioned_pruning", "scan_compacted_write", "scan_orc_roundtrip",
+    "scan_text_lines", "scan_zorder_write", "scan_merge_schema",
+    "scan_bucketed_join", "scan_xml_roundtrip", "udf_pandas_scalar",
+    "udf_pandas_grouped_agg", "udf_apply_in_pandas", "udf_python_udtf",
+    "fn_hash_suite", "fn_regexp_suite", "fn_map_from_json", "fn_higher_order",
+    "fn_struct_ops", "fn_conditional_suite", "fn_date_arithmetic",
+    "agg_salted_sum", "join_salted_skew", "window_sessionize", "events_funnel",
+    "agg_mode_per_group", "events_retention_cohorts",
+    "events_markov_transitions", "table_diff", "scd2_intervals",
+    "agg_histogram", "cdc_merge_apply", "profile_table", "agg_corr_manual",
+    "agg_approx_percentile_check", "agg_heavy_hitters_claim",
+    "agg_bitmap_distinct", "text_tfidf_topk", "text_bm25_retrieval",
+    "graph_pagerank", "er_blocked_match", "ts_resample_ffill",
+    "ts_anomaly_zscore", "emb_pq_encode", "sim_pq_adc_topk",
+    "emb_dim_standardize", "basket_pair_lift", "decon_ngram_overlap",
+    "decon_contamination_rate", "emb_kmeans_assign", "dedup_semantic_cluster",
+    "tpch_q2_min_cost_supplier", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "sim_bruteforce_topk", "sim_ivf_topk",
+    "sim_pairwise_label_stats", "sim_hard_negatives", "text_language_id",
+    "text_quality_score", "text_token_count", "text_fingerprint",
+    "text_token_topk", "text_pii_redact", "text_quality_filter",
+    "text_bigram_pmi", "text_repetition_stats", "text_unigram_logprob",
+    "text_chunk_fixed", "text_pack_greedy", "text_pack_bin_stats",
+    "corpus_mixture_weights", "corpus_curation_funnel",
+    "sample_hash_deterministic", "split_train_test", "sample_stratified_hash",
+    "sample_token_budget", "sample_weighted_reservoir",
+    "emb_normalize_quantize", "traffic_alerts", "traffic_alerts_broadcast",
+    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    "stream_dedup_by_key", "stream_edge_trigger_alerts",
+    "stream_static_enrich", "stream_stream_join", "stream_dedup_windowed",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "scan_csv_roundtrip", "scan_json_roundtrip", "scan_project_filter",
+    "filter_like_null_routing", "sort_limit_topk", "distinct_values",
+    "set_union_distinct", "set_union_all", "set_intersect", "set_except",
+    "set_union_by_name", "fn_unpivot", "join_broadcast_dim", "join_sort_merge",
+    "join_shuffle_hash", "join_left_semi", "join_left_anti",
+    "join_left_outer_agg", "join_full_outer", "join_range_nonequi",
+    "join_asof", "join_null_safe", "window_topk_per_group",
+    "window_running_sum", "window_lag_lead", "window_rank_dense_ntile",
+    "window_sliding_frame", "window_first_last", "window_cume_percent",
+    "window_range_frame", "agg_sum_by_key", "agg_count_distinct", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_pivot", "agg_stats_moments",
+    "agg_percentile_median", "agg_bitwise", "fn_string_suite", "fn_date_suite",
+    "fn_math_suite", "fn_array_explode", "fn_json_suite",
 ]
 
 
