@@ -67,7 +67,7 @@ HEADLINE = [
     "sim_sparse_cosine_join",    # truncated TF-IDF inverted-index pair join
     "ts_cusum_shift",            # exact-decimal cumulative window over series
     "window_moving_median",      # bounded-frame sort-and-index rolling median
-    "join_fuzzy_dictionary",     # broadcast NLJ + levenshtein + top-1 window
+    "join_fuzzy_dictionary",     # blocked equi-join + levenshtein + top-1 window
     "mlstats_auc_roc",           # rank-statistic AUC: count-pair shuffle + window
     "geo_radius_join",           # grid-cell spatial candidate join
     "join_interval_overlap",     # 1-D binned interval-overlap candidates
