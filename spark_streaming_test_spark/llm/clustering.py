@@ -202,11 +202,68 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lloyd_oracle() -> str:
+    """DuckDB twin of the full Lloyd loop, UNROLLED: the iteration count
+    is a fixed hyperparameter ({LLOYD_ITERS}), so assign/update repeats
+    as MATERIALIZED CTE pairs (materialized per the round-3 lesson:
+    multi-referenced iterative chains inline exponentially otherwise).
+    Every float step mirrors the Spark side bitwise: distances are the
+    same (a - b) + c fold rounded at {DIST_DP} dp, means are exact
+    decimal sums over IEEE division, next-round inner products fold
+    left-to-right over identical doubles."""
+    parts = [
+        "corpus AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < {K})",
+    ]
+    n_assign = LLOYD_ITERS + 1  # 3 loop assigns + the final stats assign
+    for i in range(n_assign):
+        cent = f"c{i}"
+        parts.append(f"""a{i + 1} AS MATERIALIZED (
+  SELECT vec_id, x, cid, d2 FROM (
+    SELECT vec_id, x, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM (
+      SELECT corpus.vec_id, corpus.x, {cent}.cid,
+             round({_sql_dist2("corpus.x", cent + ".c")}, {DIST_DP}) AS d2
+      FROM corpus CROSS JOIN {cent}
+    ) s
+  ) r WHERE rn = 1
+)""")
+        if i < LLOYD_ITERS:
+            parts.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY dim) AS c FROM (
+    SELECT cid, dim,
+           CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM (SELECT cid, generate_subscripts(x, 1) AS dim, unnest(x) AS v
+          FROM a{i + 1}) dims
+    GROUP BY cid, dim
+  ) means GROUP BY cid
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+stats AS (
+  SELECT cid AS cluster_id, COUNT(*) AS n_members,
+         CAST(SUM(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE) AS inertia
+  FROM a{n_assign} GROUP BY cid
+),
+norms AS (
+  SELECT cid AS cluster_id,
+         round(sqrt(list_inner_product(c, c)), 6) AS centroid_norm
+  FROM c{LLOYD_ITERS}
+)
+SELECT s.cluster_id, s.n_members, s.inertia, n.centroid_norm
+FROM stats s JOIN norms n USING (cluster_id)
+"""
+
+
 @register(
     "emb_kmeans_lloyd",
     tags=("llm", "clustering", "iterative"),
-    doc="Iterative Lloyd k-means — rows-only per the driver contract "
-    "(genuinely non-SQL-expressible); convergence pytest-held.",
+    doc="Iterative Lloyd k-means — oracle-backed by unrolling the fixed "
+    "iteration count into materialized assign/update CTE pairs.",
+    oracle=_sql_lloyd_oracle(),
 )
 def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{LLOYD_ITERS} Lloyd iterations: assign (broadcast centroids) ->
