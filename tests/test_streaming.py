@@ -1777,3 +1777,26 @@ def test_jsonl_stream_commit_replay_idempotent(tmp_path):
     assert {p["file"] for p in manifest["parts"]} == {
         os.path.basename(p) for p in parts
     }
+
+
+def test_packet_source_contradictory_nif_filters_empty(spark):
+    """Pushed filters are a CONJUNCTION: nif='eth0' AND nif='eth1' must
+    select nothing (the source INTERSECTS accepted EqualTo values; a
+    union would return both NICs while claiming the filters applied)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.sources.packets import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_packets")
+        .option("nifs", "3")
+        .option("packets_per_batch", "4")
+        .load()
+    )
+    both = df.filter((F.col("nif") == "eth0") & (F.col("nif") == "eth1"))
+    assert both.count() == 0
+    # sanity: a single accepted filter still prunes to one NIC
+    one = df.filter(F.col("nif") == "eth1")
+    assert one.count() == 4
+    assert {r["nif"] for r in one.collect()} == {"eth1"}
