@@ -775,3 +775,60 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+BINFILE_DOCS = 25  # small deterministic corpus of binary payloads
+
+
+@register(
+    "scan_binary_files",
+    tags=("source", "binary", "multimodal"),
+    oracle=f"""
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       substr(text, 1, 12) AS head
+FROM documents WHERE doc_id < {BINFILE_DOCS}
+""",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` ingest — the built-in source every multimodal
+    pipeline starts from: each object lands as ONE row of
+    (path, modificationTime, length, content BinaryType), after which
+    the payload flows opaquely into the `mm_*` Arrow decode stages
+    (`llm/multimodal.py`) without ever passing through a string codec.
+
+    Round-trips {BINFILE_DOCS} deterministic payloads (documents' utf-8
+    bytes) through a scratch directory with `pathGlobFilter` applied at
+    the FILE LISTING, so non-matching objects (a stray .tmp here) are
+    never opened. Scale: listing is driver-side metadata; content reads
+    are split across tasks by `spark.sql.files.maxPartitionBytes` like
+    any scan, and the projection keeps only the verified fingerprint —
+    at 100 TB of images the pattern is identical, with the md5 swapped
+    for the real decode."""
+    path = os.path.join(SCRATCH, "binary_docs")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINFILE_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    os.makedirs(path, exist_ok=True)
+    for name in os.listdir(path):
+        os.remove(os.path.join(path, name))
+    for r in docs:
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    with open(os.path.join(path, "stray.tmp"), "wb") as f:
+        f.write(b"not part of the corpus")
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+            F.substring(F.col("content").cast("string"), 1, 12).alias("head"),
+        )
+    )
