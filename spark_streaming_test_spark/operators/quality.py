@@ -874,3 +874,58 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("bigint").alias("lag_seconds"),
         (lag > FRESH_SLA_S).alias("stale"),
     )
+
+
+@register(
+    "dq_observe_metrics",
+    tags=("quality", "observability", "metrics"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_value_nonnull,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(count_if(value < 0) AS BIGINT) AS n_negative
+FROM events
+""",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the `Observation` API — metrics ride
+    the SAME pass as the production query instead of a second audit
+    scan: `df.observe(obs, aggs...)` attaches named aggregates to the
+    plan, the action executes once, and the driver reads the metric
+    row from the listener (O(1) driver data — the same scalar-collect
+    shape as the reference's limits lookup, MainApp.java:44-49).
+
+    At 100 TB this halves audit cost versus a separate DQ query per
+    table, and it is the only way to meter a STREAMING pipeline without
+    a second subscription. Metrics here are the standard completeness/
+    domain checks (row count, null count, deterministic decimal sum,
+    min/max, negative-value count); observe() forbids distinct
+    aggregates, which is exactly the restriction that keeps the metric
+    pass mergeable at any parallelism."""
+    from pyspark.sql import Observation
+
+    from ..functions.deterministic import dsum
+
+    obs = Observation("dq_metrics")
+    ev = load(spark, sf_dir, "events")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value_nonnull"),
+        dsum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count_if(F.col("value") < 0).alias("n_negative"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(
+            m["n_rows"], m["n_value_nonnull"], m["sum_value"],
+            m["min_value"], m["max_value"], m["n_negative"],
+        )],
+        "n_rows bigint, n_value_nonnull bigint, sum_value double, "
+        "min_value double, max_value double, n_negative bigint",
+    )
