@@ -619,3 +619,54 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "stream_chained_windows",
+    tags=("streaming", "window", "multi-stateful"),
+    oracle=f"""
+WITH five AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS w5, event_type,
+         COUNT(*) AS n, {sql_dsum('value')} AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT time_bucket(INTERVAL '1 hour', w5) AS window_start, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_subwindows,
+       MAX(s) AS max_5m_sum
+FROM five GROUP BY 1, 2
+""",
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED time-window aggregations — the multi-stateful cascade
+    (Spark 3.4+ streaming capability): 5-minute pre-aggregates roll up
+    into 1-hour windows in the same pipeline, the standard downsample
+    topology that keeps the wide input shuffle at fine granularity
+    while serving coarse dashboards. In streaming both stages are
+    stateful operators chained in append mode (the live form is
+    exercised in tests/test_streaming.py); on bounded input the
+    cascade equals this batch twin. Scale: stage-2 input is one row
+    per (5-min window, key) — pre-aggregation bounds the second
+    shuffle at windows x keys regardless of event volume."""
+    ev = load(spark, sf_dir, "events")
+    five = ev.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("s"),
+    )
+    return (
+        five.groupBy(
+            F.window(F.col("window.start"), "1 hour").alias("hw"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+            F.max("s").alias("max_5m_sum"),
+        )
+        .select(
+            F.col("hw.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+            "max_5m_sum",
+        )
+    )

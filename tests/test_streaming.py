@@ -1800,3 +1800,64 @@ def test_packet_source_contradictory_nif_filters_empty(spark):
     one = df.filter(F.col("nif") == "eth1")
     assert one.count() == 4
     assert {r["nif"] for r in one.collect()} == {"eth1"}
+
+
+def test_chained_windowed_aggs_stream_equals_batch(spark, sf_dir, tmp_path):
+    """LIVE multi-stateful pipeline: two chained time-window aggregates
+    (5 min -> 1 hour) in append mode over a bounded stream must equal
+    the batch cascade (streaming/batch_oracle.py::stream_chained_windows
+    semantics). Chained stateful operators are the Spark-3.4+ capability
+    that replaced the old 'multiple streaming aggregations unsupported'
+    limitation."""
+    from spark_streaming_test_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src, mode="overwrite")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    five = stream.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hour = (
+        five.groupBy(
+            F.window(F.window_time("window"), "1 hour").alias("hw"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"))
+        .select(
+            F.col("hw.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    q = (
+        hour.writeStream.format("memory")
+        .queryName("chained_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM chained_out").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r["ws"], r["event_type"]): r["n_events"]
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").start.alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    # Append mode emits only watermark-closed windows; the open tail
+    # (max-event-time hour per key) may be absent.
+    assert len(got) >= len(expected) - 10, (len(got), len(expected))
+    assert got, "chained stateful pipeline emitted nothing"
+    for k, v in got.items():
+        assert expected[k] == v, k
