@@ -346,3 +346,35 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"col": "o_orderpriority", "tab": "orders"},
     )
+
+
+@register(
+    "sql_group_by_all",
+    tags=("sql", "modern"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ALL
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` — the modern-SQL resolution
+    sugar (every non-aggregate select item becomes a grouping key)
+    that removes the classic copy-the-select-list maintenance hazard.
+    Semantically identical to the explicit GROUP BY, so the plan is
+    the same single hash aggregate; DuckDB supports the same syntax,
+    making the oracle a literal twin."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -64,6 +64,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.segmentation",
     "spark_streaming_test_spark.llm.bpe",
     "spark_streaming_test_spark.operators.mlstats",
+    "spark_streaming_test_spark.operators.mltrain",
     "spark_streaming_test_spark.operators.trend",
     "spark_streaming_test_spark.operators.fuzzy",
     "spark_streaming_test_spark.llm.curation",
