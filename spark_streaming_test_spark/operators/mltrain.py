@@ -130,3 +130,142 @@ def ml_logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "iter int, loss double, w0 double, w1 double, w2 double"
     )
+
+
+# --- multinomial Naive Bayes text classifier -------------------------------
+
+NB_TEST_CEIL = "2"  # md5(doc_id) first hex <= this => test split (~3/16)
+
+
+def _sql_nb_oracle() -> str:
+    return f"""
+WITH split AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents
+),
+train AS (SELECT * FROM split WHERE h > '{NB_TEST_CEIL}'),
+test  AS (SELECT * FROM split WHERE h <= '{NB_TEST_CEIL}'),
+train_tok AS MATERIALIZED (SELECT lang, unnest(toks) AS token FROM train),
+class_tot AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS ct
+              FROM train_tok GROUP BY lang),
+vocab AS MATERIALIZED (SELECT DISTINCT token FROM train_tok),
+vsize AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+counts AS (SELECT lang, token, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM train_tok GROUP BY lang, token),
+ntrain AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM train),
+priors AS (
+  SELECT lang, ln(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM ntrain)) AS logprior
+  FROM train GROUP BY lang
+),
+logp AS MATERIALIZED (
+  SELECT ct.lang, vb.token,
+         ln((COALESCE(c.c, 0.0) + 1.0) / (ct.ct + (SELECT v FROM vsize))) AS lp
+  FROM vocab vb CROSS JOIN class_tot ct
+  LEFT JOIN counts c ON c.lang = ct.lang AND c.token = vb.token
+),
+test_tok AS (SELECT doc_id, lang AS true_lang, unnest(toks) AS token FROM test),
+doc_scores AS (
+  SELECT tt.doc_id, tt.true_lang, lp.lang AS cand_lang,
+         {sql_dsum('lp.lp')} AS token_ll
+  FROM test_tok tt JOIN logp lp ON lp.token = tt.token
+  GROUP BY tt.doc_id, tt.true_lang, lp.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand_lang AS pred_lang FROM (
+    SELECT doc_id, true_lang, cand_lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id
+             ORDER BY token_ll + p.logprior DESC, cand_lang) AS rn
+    FROM doc_scores ds JOIN priors p ON p.lang = ds.cand_lang
+  ) r WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register(
+    "ml_nb_train_score",
+    tags=("ml", "training", "text", "classifier"),
+    oracle=_sql_nb_oracle(),
+)
+def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    inside the engine: hash-deterministic train/test split (md5 prefix
+    — replayable on any partitioning), Laplace-smoothed per-class token
+    log-likelihoods from ONE training aggregation, arg-max scoring of
+    the held-out split, confusion-matrix output.
+
+    Scale shape: training is a (class, token) hash aggregate (shuffle =
+    distinct postings); the smoothed log-prob GRID materializes as
+    vocab x classes rows — classes are few, so the grid is a few times
+    the vocab and joins to test tokens on the token equi-key; scoring
+    shuffles one (doc, class) partial per pair. Nothing is ever
+    per-pair-of-docs, and no state leaves the cluster. Per-doc
+    log-likelihoods go through decimal sums so the arg-max compares
+    identical doubles on both engines (ties break alphabetically)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.split(F.lower("text"), " ").alias("toks"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h"),
+    )
+    train = d.filter(F.col("h") > NB_TEST_CEIL)
+    test = d.filter(F.col("h") <= NB_TEST_CEIL)
+    train_tok = train.select(
+        "lang", F.explode_outer("toks").alias("token")
+    ).filter(F.col("token").isNotNull())
+    class_tot = train_tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("ct")
+    )
+    vocab = train_tok.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    counts = train_tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ntrain = train.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    priors = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("nc"))
+        .crossJoin(F.broadcast(ntrain))
+        .select("lang", F.log(F.col("nc") / F.col("n")).alias("logprior"))
+    )
+    logp = (
+        vocab.crossJoin(F.broadcast(class_tot))
+        .join(counts, ["lang", "token"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "lang",
+            "token",
+            F.log(
+                (F.coalesce("c", F.lit(0.0)) + 1.0) / (F.col("ct") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    test_tok = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode_outer("toks").alias("token"),
+    ).filter(F.col("token").isNotNull())
+    doc_scores = (
+        test_tok.join(logp, "token")
+        .groupBy("doc_id", "true_lang", F.col("lang").alias("cand_lang"))
+        .agg(dsum("lp").alias("token_ll"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("token_ll") + F.col("logprior")).desc(), "cand_lang"
+    )
+    pred = (
+        doc_scores.join(
+            F.broadcast(priors.withColumnRenamed("lang", "cand_lang")),
+            "cand_lang",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return pred.groupBy("true_lang", F.col("cand_lang").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
