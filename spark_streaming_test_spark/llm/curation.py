@@ -382,3 +382,88 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_dup_docs").cast("double") / F.col("n")).alias("dup_rate"),
         F.col("h_acc").alias("source_entropy_nats"),
     )
+
+
+# --- domain blocklist filtering (Dolma/CCNet-style URL hygiene) ------------
+
+BLOCKLIST = ("ads.src1.example.com", "src2.example.com", "tracker.example.net")
+_BL_SQL = ", ".join(f"'{d}'" for d in BLOCKLIST)
+
+
+@register(
+    "corpus_blocklist_filter",
+    tags=("llm", "curation", "blocklist"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 0 THEN 'ads.' ELSE '' END)
+           || source || '.example.com' AS host
+  FROM documents
+),
+bl AS (SELECT unnest([{_BL_SQL}]) AS entry),
+sufs AS (
+  SELECT doc_id, host,
+         unnest(list_transform(
+           range(1, len(string_split(host, '.')) + 1),
+           i -> array_to_string(string_split(host, '.')[i:], '.')
+         )) AS suffix
+  FROM docs
+),
+hits AS (
+  SELECT s.doc_id, MIN(b.entry) AS matched_entry
+  FROM sufs s JOIN bl b ON s.suffix = b.entry
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, d.host,
+       (h.matched_entry IS NOT NULL) AS blocked,
+       h.matched_entry
+FROM docs d LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
+)
+def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist hygiene (the Dolma/CCNet URL-filter stage):
+    every document's host is checked against a blocklist with SUFFIX
+    semantics — an entry blocks the exact host and every subdomain of
+    it (`src2.example.com` blocks `ads.src2.example.com`), the rule
+    real blocklists (ut1, Dolma) use.
+
+    Scale shape: instead of a LIKE-any nested loop over the blocklist,
+    each host explodes into its O(#labels) dot-suffixes (bounded — DNS
+    names have <10 labels) and matches by EQUI-join against the
+    (broadcast) blocklist; at 100 TB the blocklist can grow to millions
+    of entries and the join simply switches from broadcast to shuffle
+    on the same key. Hosts here are synthesized deterministically from
+    `source` so the oracle predicts them exactly."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("ads.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    labels = F.split(F.col("host"), r"\.")
+    sufs = d.select(
+        "doc_id",
+        "host",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.size(labels)),
+                lambda i: F.concat_ws(
+                    ".", F.slice(labels, i, F.size(labels) - i + 1)
+                ),
+            )
+        ).alias("suffix"),
+    )
+    bl = spark.createDataFrame([(e,) for e in BLOCKLIST], "entry string")
+    hits = (
+        sufs.join(F.broadcast(bl), sufs.suffix == bl.entry)
+        .groupBy("doc_id")
+        .agg(F.min("entry").alias("matched_entry"))
+    )
+    return d.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        F.col("matched_entry").isNotNull().alias("blocked"),
+        "matched_entry",
+    )
