@@ -122,6 +122,11 @@ _DRIVER_WINDOW = [
     "window_running_distinct", "dq_k_anonymity", "emb_matryoshka_eval",
     "sample_temporal_split", "agg_grouping_id", "fn_null_semantics",
     # --- round-5 window (next 50, never driver-checked) ---------------
+    # round-4 session additions (all pre-verified bitwise at
+    # sf0.001/0.01/0.1 against the driver-style compare):
+    "ml_logreg_train_gd", "ml_nb_train_score", "stream_chained_windows",
+    "scan_binary_files", "dq_observe_metrics", "corpus_blocklist_filter",
+    "sql_group_by_all",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",
