@@ -1673,3 +1673,86 @@ def ts_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p12 / F.col("n"), SPECT_DP).alias("power_12h"),
         (p24 > p12).alias("daily_dominates"),
     )
+
+
+# --- time-series subsequence similarity search ------------------------------
+# (EDBT 2019 "Time Series Similarity Search for Streaming Data" shape —
+# PAPERS.md:6: match a query pattern against every sliding offset of
+# every series, rank by distance.)
+
+TSM_PATTERN = [120.0, 180.0, 240.0, 180.0, 120.0, 60.0]  # spike-and-decay
+TSM_L = len(TSM_PATTERN)
+TSM_TOPK = 3
+TSM_DP = 6
+_TSM_IPPP = 0.0
+for _p in TSM_PATTERN:
+    _TSM_IPPP = _TSM_IPPP + _p * _p  # left fold — both engines' ip order
+
+
+@register(
+    "ts_subsequence_match",
+    tags=("timeseries", "similarity", "search"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+win AS (
+  SELECT event_type, h,
+         list(CAST(hv AS DOUBLE)) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND {TSM_L - 1} FOLLOWING) AS xs
+  FROM hourly
+),
+scored AS (
+  SELECT event_type, h,
+         round(list_inner_product(xs, xs)
+               - 2 * list_inner_product(
+                   xs, CAST([{", ".join(repr(p) for p in TSM_PATTERN)}] AS DOUBLE[]))
+               + CAST({_TSM_IPPP!r} AS DOUBLE), {TSM_DP}) AS d2
+  FROM win WHERE len(xs) = {TSM_L}
+)
+SELECT event_type, h AS match_start, d2 FROM (
+  SELECT event_type, h, d2,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d2, h) AS rn
+  FROM scored
+) r WHERE rn <= {TSM_TOPK}
+""",
+)
+def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence similarity search: slide a literal {TSM_L}-hour query
+    pattern over every series and return each series' {TSM_TOPK} best-
+    matching offsets by squared Euclidean distance — the distributed
+    pattern-matching primitive behind "find me other incidents shaped
+    like this one".
+
+    Scale shape: ONE per-series window pass builds the length-{TSM_L}
+    sliding frames (no self-join over offsets, no explode of the
+    series x pattern cross product); the distance is the bitwise-
+    reproducible (ip(x,x) - 2*ip(x,p)) + ip(p,p) fold with the pattern
+    and its norm inlined as literals, and the per-series top-k is a
+    WindowGroupLimit. At 100 TB the pass stays shuffle-once per series
+    key, and longer patterns only widen the frame, never the plan."""
+    hourly = _hourly_sum(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, TSM_L - 1)
+    )
+    pat = F.array(*[F.lit(p) for p in TSM_PATTERN])
+    win = hourly.select(
+        "event_type", "h", F.collect_list("v").over(w).alias("xs")
+    ).filter(F.size("xs") == TSM_L)
+    ip = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    xs = F.col("xs")
+    d2 = F.round(
+        ip(xs, xs) - 2 * ip(xs, pat) + F.lit(_TSM_IPPP), TSM_DP
+    )
+    scored = win.select("event_type", "h", d2.alias("d2"))
+    wr = Window.partitionBy("event_type").orderBy("d2", "h")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TSM_TOPK)
+        .select("event_type", F.col("h").alias("match_start"), "d2")
+    )
