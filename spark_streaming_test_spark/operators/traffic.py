@@ -315,3 +315,68 @@ def traffic_alerts_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.is_alert").alias("is_alert"),
         F.col("r.message").alias("message"),
     )
+
+
+P95_RANK_PCT = 0.95  # burstable-billing percentile
+
+
+@register(
+    "traffic_p95_billing",
+    tags=("traffic", "percentile", "billing"),
+    oracle="""
+WITH totals AS (
+  SELECT CAST(user_id AS VARCHAR) AS nif,
+         time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+  FROM events GROUP BY user_id, time_bucket(INTERVAL '5 minutes', ts)
+),
+ranked AS (
+  SELECT nif, total,
+         ROW_NUMBER() OVER (PARTITION BY nif ORDER BY total, window_start) AS rk,
+         COUNT(*) OVER (PARTITION BY nif) AS n
+  FROM totals
+)
+SELECT nif,
+       CAST(MAX(n) AS BIGINT) AS n_windows,
+       CAST(MIN(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT) THEN total END)
+            AS DOUBLE) AS p95_total,
+       CAST(MAX(total) AS DOUBLE) AS peak_total
+FROM ranked GROUP BY nif
+""",
+)
+def traffic_p95_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95th-percentile (burstable) billing — THE network-ops metric the
+    reference's domain bills by: per NIC, rank the 5-minute byte totals
+    and charge the value at rank ceil(0.95 * n), discarding the top 5%
+    of bursts (the industry burstable-billing rule). Output also
+    carries the raw peak so the burst discount is visible.
+
+    Exact rank selection, not an approximate percentile: billing
+    disputes need a reproducible number, so the percentile is the
+    decimal total at a specific rank (ties broken by window start) —
+    identical on any engine/partitioning. One exchange on nif serves
+    the 5-minute reduce, the rank window, and the final rollup."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy(
+        F.col("user_id").cast("string").alias("nif"),
+        F.window("ts", "5 minutes").alias("w"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("total")
+    ).select("nif", F.col("w.start").alias("window_start"), "total")
+    wr = Window.partitionBy("nif").orderBy("total", "window_start")
+    wn = Window.partitionBy("nif")
+    ranked = totals.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return ranked.groupBy("nif").agg(
+        F.max("n").cast("bigint").alias("n_windows"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(P95_RANK_PCT * F.col("n")).cast("bigint"),
+                F.col("total"),
+            )
+        ).cast("double").alias("p95_total"),
+        F.max("total").cast("double").alias("peak_total"),
+    )
