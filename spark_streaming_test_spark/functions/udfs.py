@@ -242,3 +242,56 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         arrow_stats, "doc_id bigint, n_bytes bigint, n_tokens bigint"
     )
+
+
+@register(
+    "udf_apply_in_arrow",
+    tags=("udf", "arrow", "grouped"),
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` — the grouped twin of ``mapInArrow``: each group
+    arrives as one ``pyarrow.Table`` with ZERO pandas materialization,
+    the cheapest grouped-Python path (Spark 4 API). Integer min/max/sum
+    through Arrow compute kernels are exact, so the oracle is a plain
+    SQL GROUP BY. Scale note: a group must fit one task's memory —
+    here groups are per-language document sets; for unbounded groups
+    the pre-aggregating ``pandas_udf`` GROUPED_AGG form is the right
+    tool instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        n = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "min_chars": [pc.min(n).as_py()],
+                "max_chars": [pc.max(n).as_py()],
+                "total_chars": [pc.sum(n).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("min_chars", pa.int64()),
+                    ("max_chars", pa.int64()),
+                    ("total_chars", pa.int64()),
+                ]
+            ),
+        )
+
+    d = spread(load(spark, sf_dir, "documents")).select("lang", "n_chars")
+    return d.groupBy("lang").applyInArrow(
+        stats,
+        "lang string, n_docs bigint, min_chars bigint, "
+        "max_chars bigint, total_chars bigint",
+    )
