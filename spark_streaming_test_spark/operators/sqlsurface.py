@@ -378,3 +378,32 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "sql_execute_immediate",
+    tags=("sql", "dynamic"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4 dynamic SQL): a query template
+    executed with bound parameters — the safe form of string-built SQL
+    (parameters are BOUND, not spliced, so a value can never change the
+    statement's shape; the injection-proof dynamic-dashboard idiom).
+    The plan is identical to the static statement, so Catalyst
+    optimizes it the same way."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n_orders
+           FROM orders WHERE o_orderstatus = ? GROUP BY o_orderpriority'
+          USING 'F'
+        """
+    )
