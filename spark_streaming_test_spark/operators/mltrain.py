@@ -269,3 +269,125 @@ def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", F.col("cand_lang").alias("pred_lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --- decision stump (best single split by Gini gain) ------------------------
+
+
+@register(
+    "ml_decision_stump",
+    tags=("ml", "training", "tree"),
+    oracle=f"""
+WITH feat AS MATERIALIZED (
+  SELECT f.feature, f.x,
+         CASE WHEN event_type = '{LR_LABEL}' THEN 1 ELSE 0 END AS y
+  FROM events,
+  LATERAL (SELECT * FROM (VALUES
+     ('value', value),
+     ('hour', CAST(EXTRACT(hour FROM ts) AS DOUBLE))) AS t(feature, x)) f
+),
+grp AS (
+  SELECT feature, x, COUNT(*) AS cnt, SUM(y) AS pos
+  FROM feat GROUP BY feature, x
+),
+cum AS (
+  SELECT feature, x,
+         SUM(cnt) OVER w AS nl, SUM(pos) OVER w AS pl,
+         SUM(cnt) OVER t AS n,  SUM(pos) OVER t AS p
+  FROM grp
+  WINDOW w AS (PARTITION BY feature ORDER BY x ROWS UNBOUNDED PRECEDING),
+         t AS (PARTITION BY feature)
+),
+scored AS (
+  SELECT feature, x AS threshold,
+         CAST(nl AS BIGINT) AS n_left, CAST(n - nl AS BIGINT) AS n_right,
+         (1.0 - (CAST(p AS DOUBLE)/n)*(CAST(p AS DOUBLE)/n)
+              - (CAST(n - p AS DOUBLE)/n)*(CAST(n - p AS DOUBLE)/n))
+         - ((CAST(nl AS DOUBLE)/n) *
+            (1.0 - (CAST(pl AS DOUBLE)/nl)*(CAST(pl AS DOUBLE)/nl)
+                 - (CAST(nl - pl AS DOUBLE)/nl)*(CAST(nl - pl AS DOUBLE)/nl))
+          + (CAST(n - nl AS DOUBLE)/n) *
+            (1.0 - (CAST(p - pl AS DOUBLE)/(n - nl))*(CAST(p - pl AS DOUBLE)/(n - nl))
+                 - (CAST((n - nl) - (p - pl) AS DOUBLE)/(n - nl))
+                   *(CAST((n - nl) - (p - pl) AS DOUBLE)/(n - nl)))) AS gain
+  FROM cum WHERE n - nl > 0
+)
+SELECT feature, threshold, gain, n_left, n_right FROM (
+  SELECT feature, threshold, gain, n_left, n_right,
+         ROW_NUMBER() OVER (PARTITION BY feature
+                            ORDER BY gain DESC, threshold) AS rn
+  FROM scored
+) r WHERE rn = 1
+""",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training: for each feature, the threshold
+    maximizing Gini impurity gain for the '{LR_LABEL}' label — the
+    split-finding primitive inside every tree/GBDT trainer, run as
+    plain relational algebra: per-feature value histogram (one hash
+    aggregate), CUMULATIVE class counts over the sorted distinct
+    values (one window pass — every candidate threshold is scored
+    from the same cumsum, not rescanned), arg-max per feature.
+
+    Scale shape: the candidate set is DISTINCT feature values, so the
+    sort is per-feature on the histogram, never on raw rows; real GBDT
+    trainers quantize to ~256 bins first, which here would just be a
+    width_bucket on x before the same plan. Gain arithmetic is pure
+    ratios of exact int64 counts — bitwise identical cross-engine with
+    ties broken toward the smaller threshold."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == LR_LABEL, 1).otherwise(0).alias("y"),
+        F.col("value"),
+        F.hour("ts").cast("double").alias("hour"),
+    )
+    feat = ev.select(
+        "y",
+        F.explode(
+            F.create_map(
+                F.lit("value"), F.col("value"), F.lit("hour"), F.col("hour")
+            )
+        ).alias("feature", "x"),
+    )
+    grp = feat.groupBy("feature", "x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = Window.partitionBy("feature")
+    cum = grp.select(
+        "feature",
+        "x",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("cnt").over(t).alias("n"),
+        F.sum("pos").over(t).alias("p"),
+    ).filter((F.col("n") - F.col("nl")) > 0)
+    d = lambda c: c.cast("double")  # noqa: E731
+    n, p, nl, pl = F.col("n"), F.col("p"), F.col("nl"), F.col("pl")
+    nr, pr_ = n - nl, p - pl
+    parent = 1.0 - (d(p) / n) * (d(p) / n) - (d(n - p) / n) * (d(n - p) / n)
+    gini_l = (
+        1.0 - (d(pl) / nl) * (d(pl) / nl) - (d(nl - pl) / nl) * (d(nl - pl) / nl)
+    )
+    gini_r = (
+        1.0 - (d(pr_) / nr) * (d(pr_) / nr) - (d(nr - pr_) / nr) * (d(nr - pr_) / nr)
+    )
+    gain = parent - ((d(nl) / n) * gini_l + (d(nr) / n) * gini_r)
+    scored = cum.select(
+        "feature",
+        F.col("x").alias("threshold"),
+        nl.cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        gain.alias("gain"),
+    )
+    wr = Window.partitionBy("feature").orderBy(F.desc("gain"), "threshold")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("feature", "threshold", "gain", "n_left", "n_right")
+    )
