@@ -391,3 +391,110 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("feature", "threshold", "gain", "n_left", "n_right")
     )
+
+
+# --- closed-form OLS (normal equations, 2 features + intercept) -------------
+
+_OLS_MOMS = """
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sx1} AS sx1, {sx2} AS sx2, {sy} AS sy,
+         {sx1x1} AS sx1x1, {sx1x2} AS sx1x2, {sx2x2} AS sx2x2,
+         {sx1y} AS sx1y, {sx2y} AS sx2y, {syy} AS syy
+"""
+
+
+def _sql_ols_oracle() -> str:
+    m = _OLS_MOMS.format(
+        sx1=sql_dsum("x1"), sx2=sql_dsum("x2"), sy=sql_dsum("y"),
+        sx1x1=sql_dsum("x1*x1"), sx1x2=sql_dsum("x1*x2"),
+        sx2x2=sql_dsum("x2*x2"), sx1y=sql_dsum("x1*y"),
+        sx2y=sql_dsum("x2*y"), syy=sql_dsum("y*y"),
+    )
+    return f"""
+WITH feat AS MATERIALIZED (
+  SELECT value AS y,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) / 24.0 AS x1,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS x2
+  FROM events
+),
+m AS MATERIALIZED (SELECT {m} FROM feat),
+solved AS (
+  SELECT n, sy, syy,
+         -- Cramer's rule on the 3x3 normal matrix [[n,sx1,sx2],[sx1,sx1x1,sx1x2],[sx2,sx1x2,sx2x2]]
+         (n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx1x2 - sx1x1*sx2)) AS det,
+         (sy*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1y*sx2x2 - sx1x2*sx2y)
+            + sx2*(sx1y*sx1x2 - sx1x1*sx2y)) AS det0,
+         (n*(sx1y*sx2x2 - sx1x2*sx2y) - sy*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx2y - sx1y*sx2)) AS det1,
+         (n*(sx1x1*sx2y - sx1y*sx1x2) - sx1*(sx1*sx2y - sx1y*sx2)
+            + sy*(sx1*sx1x2 - sx1x1*sx2)) AS det2
+  FROM m
+)
+SELECT det0/det AS b0, det1/det AS b1, det2/det AS b2,
+       CAST(n AS BIGINT) AS n_rows
+FROM solved
+"""
+
+
+@register(
+    "ml_linreg_normal_eq",
+    tags=("ml", "training", "regression"),
+    oracle=_sql_ols_oracle(),
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression (value ~ hour/24 +
+    is_purchase) via the NORMAL EQUATIONS: one aggregation computes the
+    ten sufficient moments (decimal-exact sums — the shuffle carries
+    O(moments x tasks) partials), then the 3x3 system solves by
+    Cramer's rule as scalar arithmetic on the single moment row. The
+    closed-form counterpart of ml_logreg_train_gd: no iterations, one
+    pass, and the training cost at 100 TB is exactly one map-side-
+    combined scan regardless of rows. Determinants expand in the SAME
+    literal order on both engines, so every coefficient is an IEEE
+    expression over identical doubles."""
+    feat = load(spark, sf_dir, "events").select(
+        F.col("value").alias("y"),
+        (F.hour("ts").cast("double") / 24.0).alias("x1"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("x2"),
+    )
+    c = F.col
+    m = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x1").alias("sx1"), dsum("x2").alias("sx2"), dsum("y").alias("sy"),
+        dsum(c("x1") * c("x1")).alias("sx1x1"),
+        dsum(c("x1") * c("x2")).alias("sx1x2"),
+        dsum(c("x2") * c("x2")).alias("sx2x2"),
+        dsum(c("x1") * c("y")).alias("sx1y"),
+        dsum(c("x2") * c("y")).alias("sx2y"),
+        dsum(c("y") * c("y")).alias("syy"),
+    )
+    n, sx1, sx2, sy = c("n"), c("sx1"), c("sx2"), c("sy")
+    sx1x1, sx1x2, sx2x2 = c("sx1x1"), c("sx1x2"), c("sx2x2")
+    sx1y, sx2y = c("sx1y"), c("sx2y")
+    det = (
+        n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    det0 = (
+        sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+        + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx2x2 - sx1x2 * sx2y)
+        - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (sx1x1 * sx2y - sx1y * sx1x2)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    return m.select(
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+        n.cast("bigint").alias("n_rows"),
+    )

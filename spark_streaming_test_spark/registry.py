@@ -128,6 +128,7 @@ _DRIVER_WINDOW = [
     "scan_binary_files", "dq_observe_metrics", "corpus_blocklist_filter",
     "sql_group_by_all", "ts_subsequence_match", "traffic_p95_billing",
     "udf_apply_in_arrow", "sql_execute_immediate", "ml_decision_stump",
+    "ml_linreg_normal_eq",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",
