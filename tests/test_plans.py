@@ -727,3 +727,24 @@ def test_interval_overlap_bin_fanout_bounded(spark, qs):
     # and the candidate join itself must stay an equi-join on bin
     df = qs["join_interval_overlap"](spark, SF_DIR)
     checks.assert_operator(df, "BroadcastNestedLoopJoin", present=False)
+
+
+def test_subsequence_match_group_limit_no_join(spark, qs):
+    # Sliding-pattern search must be window passes over the series —
+    # never an offsets self-join — and the per-series top-k must push a
+    # WindowGroupLimit so only k rows per series survive per task.
+    df = qs["ts_subsequence_match"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+    checks.assert_operator(df, "WindowGroupLimit")
+
+
+def test_decision_stump_histogram_then_cumsum(spark, qs):
+    # Split finding must score candidates from the VALUE HISTOGRAM
+    # (groupBy feature,x) + one cumulative window — never a
+    # candidates x rows join.
+    df = qs["ml_decision_stump"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+    checks.assert_operator(df, "WindowGroupLimit")
