@@ -1088,3 +1088,146 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ASSORT_DP,
         ).alias("assortativity"),
     )
+
+
+# --- HITS hubs & authorities over the bipartite order graph ---------------
+#
+# The directed twin of graph_pagerank: customers POINT AT the suppliers
+# they buy from, so customers accumulate HUB scores (they point at good
+# authorities) and suppliers accumulate AUTHORITY scores (they are
+# pointed at by good hubs). In corpus curation this is the
+# link-analysis quality prior for a bipartite reference graph
+# (documents ↔ cited sources): authority ranks the sources, hub ranks
+# the documents that cite well.
+
+HITS_ITERS = 3
+HITS_FP = 10**6  # fixed-point unit for HITS scores (see overflow note)
+
+# Distinct (customer, supplier) pair list, persisted once per session —
+# scanned 2×HITS_ITERS times by the iteration. Keyed by applicationId
+# (stable; never reused after a session stops), stale sessions evicted.
+_HITS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _sql_hits_round(i: int) -> str:
+    """One unrolled HITS round: authority pull, max-normalize,
+    hub pull, max-normalize — all int64."""
+    prev_h = f"h{i - 1}"
+    return f"""
+a{i}r AS (
+  SELECT p.sk, CAST(SUM(h.h) AS BIGINT) AS raw
+  FROM pairs p JOIN {prev_h} h ON p.ck = h.ck GROUP BY p.sk
+),
+a{i} AS (
+  SELECT sk, (raw * {HITS_FP}) // (SELECT MAX(raw) FROM a{i}r) AS a FROM a{i}r
+),
+h{i}r AS (
+  SELECT p.ck, CAST(SUM(a.a) AS BIGINT) AS raw
+  FROM pairs p JOIN a{i} a ON p.sk = a.sk GROUP BY p.ck
+),
+h{i} AS (
+  SELECT ck, (raw * {HITS_FP}) // (SELECT MAX(raw) FROM h{i}r) AS h FROM h{i}r
+)"""
+
+
+@register(
+    "graph_hits",
+    tags=("graph", "iterative"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+cdeg AS (SELECT ck, COUNT(*) AS outdeg FROM pairs GROUP BY ck),
+sdeg AS (SELECT sk, COUNT(*) AS indeg FROM pairs GROUP BY sk),
+h0 AS (SELECT ck, CAST({HITS_FP} AS BIGINT) AS h FROM cdeg),
+{",".join(_sql_hits_round(i) for i in range(1, HITS_ITERS + 1))}
+SELECT 'c:' || CAST(c.ck AS VARCHAR) AS node_id, 'hub' AS role,
+       CAST(h.h AS DOUBLE) / {HITS_FP}.0 AS score,
+       CAST(c.outdeg AS BIGINT) AS degree
+FROM h{HITS_ITERS} h JOIN cdeg c ON h.ck = c.ck
+UNION ALL
+SELECT 's:' || CAST(s.sk AS VARCHAR) AS node_id, 'authority' AS role,
+       CAST(a.a AS DOUBLE) / {HITS_FP}.0 AS score,
+       CAST(s.indeg AS BIGINT) AS degree
+FROM a{HITS_ITERS} a JOIN sdeg s ON a.sk = s.sk
+""",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{HITS_ITERS} rounds of Kleinberg's HITS over the bipartite
+    customer→supplier purchase graph: authority(s) = Σ hub(c) over
+    buyers, hub(c) = Σ authority(s) over suppliers bought, each vector
+    max-normalized per round. Output: every node with its role, score
+    in [0, 1], and degree.
+
+    Arithmetic is FIXED-POINT int64 (1e-6 units): integer sums and
+    integer division have no rounding modes, so both engines agree
+    bitwise (the graph_pagerank playbook; float HITS diverges in the
+    last ulp under reassociation). Max-normalization IS the textbook
+    algorithm — and it also caps magnitudes so fixed-point stays in
+    range: scores ≤ FP, pulls ≤ deg_max·FP, and the normalizing
+    multiply raw·FP stays under 2^63 while deg_max < 9.2e6 (document
+    corpora with heavier hubs drop FP to 1e4 — scores just carry
+    fewer guaranteed digits).
+
+    Plan per round: the node-sized score frame BROADCASTS into the
+    persisted pair list (no edge-side exchange), partial-combine hash
+    agg shuffles O(nodes) int partials, and the max-normalizer is a
+    1-row broadcast cross join — the same partials-only contract as
+    graph_pagerank, with lineage truncated per round. At web scale
+    the broadcast becomes a co-hashed shuffle join on the key; the
+    O(nodes)-partials property is unchanged."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    key = (spark.sparkContext.applicationId, sf_dir, "hits_pairs")
+    if key not in _HITS_CACHE:
+        for stale in [k for k in _HITS_CACHE if k[0] != key[0]]:
+            del _HITS_CACHE[stale]
+        _HITS_CACHE[key] = (
+            F.broadcast(o)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+            .distinct()
+            .persist()
+        )
+    pairs = _HITS_CACHE[key]
+    cdeg = pairs.groupBy("ck").agg(F.count(F.lit(1)).alias("outdeg"))
+    sdeg = pairs.groupBy("sk").agg(F.count(F.lit(1)).alias("indeg"))
+    h = cdeg.select("ck", F.lit(HITS_FP).cast("bigint").alias("h"))
+    a = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            pairs.join(F.broadcast(h), "ck")
+            .groupBy("sk")
+            .agg(F.sum("h").cast("bigint").alias("raw"))
+        )
+        amax = a_raw.agg(F.max("raw").alias("m"))
+        a = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .select("sk", F.expr(f"(raw * {HITS_FP}) div m").alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            pairs.join(F.broadcast(a), "sk")
+            .groupBy("ck")
+            .agg(F.sum("a").cast("bigint").alias("raw"))
+        )
+        hmax = h_raw.agg(F.max("raw").alias("m"))
+        h = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .select("ck", F.expr(f"(raw * {HITS_FP}) div m").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    hubs = h.join(F.broadcast(cdeg), "ck").select(
+        F.concat(F.lit("c:"), F.col("ck").cast("string")).alias("node_id"),
+        F.lit("hub").alias("role"),
+        (F.col("h").cast("double") / F.lit(float(HITS_FP))).alias("score"),
+        F.col("outdeg").cast("bigint").alias("degree"),
+    )
+    auths = a.join(F.broadcast(sdeg), "sk").select(
+        F.concat(F.lit("s:"), F.col("sk").cast("string")).alias("node_id"),
+        F.lit("authority").alias("role"),
+        (F.col("a").cast("double") / F.lit(float(HITS_FP))).alias("score"),
+        F.col("indeg").cast("bigint").alias("degree"),
+    )
+    return hubs.unionAll(auths)

@@ -1,0 +1,366 @@
+"""Rank-based and agreement statistics: Kruskal–Wallis, Cohen's kappa,
+McNemar's test.
+
+Rounds out the statistical-testing family (``mlstats.py`` has z/t/chi²/
+KS/ANOVA; ``evalmetrics.py`` grades models): Kruskal–Wallis is the
+nonparametric k-group ANOVA (the distribution-free sibling of
+``agg_anova_oneway``), Cohen's kappa is the chance-corrected
+inter-annotator agreement every labeling pipeline reports before
+trusting its raters, and McNemar's test is the PAIRED classifier
+comparison — the correct test when two models are evaluated on the
+same examples (an unpaired z-test overstates significance because the
+per-example outcomes are correlated).
+
+Generalizes the reference's aggregate-then-decide shape
+(``MainApp.java:38-49``: sum-by-key → threshold verdict) to
+statistical verdicts over the same kind of grouped aggregates.
+
+Determinism, cross-engine: every statistic here is INTEGER counting
+until one (or two) final double divisions of bitwise-identical
+operands — ranks are exact rationals carried as twice-rank integers,
+agreement tables are plain counts — so Spark and DuckDB agree bitwise
+with no decimal routing needed.
+
+Scale notes: Kruskal–Wallis ranks live on the DISTINCT-VALUE table,
+not the row table — event values are bounded-domain money-style
+2-decimal numbers, so the global rank cumsum window runs over a
+domain-bounded frame (≤ ~56k rows at any corpus size; at 100 TB the
+row→(value, group) count aggregation is the only corpus-sized
+shuffle and it map-side combines). Kappa/McNemar reduce the corpus to
+a ≤ 9-cell contingency table in ONE conditional-aggregate pass.
+Int64 headroom: the squared twice-rank-sum term is computed in double
+(values ≤ 4e9 at sf0.1 would overflow int64 when squared; the double
+square is the same IEEE op on both engines), and the N³ tie-correction
+denominator is documented exact-in-double to N ≈ 2e5 — beyond that
+both engines still agree (same expression), the statistic just carries
+the usual float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# --- Kruskal–Wallis H across event types --------------------------------
+#
+# Average ranks with ties, kept exact: for a distinct value v with t_v
+# occurrences and c_v values strictly below it, each occurrence's
+# average rank is c_v + (t_v + 1)/2 — a half-integer, so TWICE the
+# rank, 2c_v + t_v + 1, is an integer. Group rank sums are carried as
+# twice-sums (TwoR_j); H uses R_j² = TwoR_j²/4, folded into the
+# constant: H = 3/(N(N+1)) · Σ TwoR_j²/n_j − 3(N+1).
+
+def _sql_kruskal_oracle() -> str:
+    return """
+WITH vg AS (
+  SELECT value AS v, event_type AS g, COUNT(*) AS n_vg
+  FROM events GROUP BY value, event_type
+),
+vt AS (
+  SELECT v, CAST(SUM(n_vg) AS BIGINT) AS t FROM vg GROUP BY v
+),
+ranked AS (
+  SELECT v, t,
+         SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t AS c
+  FROM vt
+),
+grp AS (
+  SELECT vg.g AS event_type,
+         CAST(SUM(vg.n_vg) AS BIGINT) AS n_j,
+         CAST(SUM(vg.n_vg * (2 * r.c + r.t + 1)) AS BIGINT) AS two_r
+  FROM vg JOIN ranked r ON vg.v = r.v
+  GROUP BY vg.g
+),
+tot AS (
+  SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+         list_reduce(
+           list(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+                / CAST(n_j AS DOUBLE) ORDER BY event_type),
+           (a, x) -> a + x) AS sum_sq
+  FROM grp
+),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum FROM vt
+),
+stat AS (
+  SELECT n,
+         3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * sum_sq
+           - 3.0 * CAST(n + 1 AS DOUBLE) AS h_raw,
+         1.0 - CAST(tie_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE)) AS tie_c
+  FROM tot, ties
+)
+SELECT g.event_type,
+       g.n_j,
+       CAST(g.two_r AS DOUBLE) / (2.0 * CAST(g.n_j AS DOUBLE)) AS mean_rank,
+       s.n AS n_total,
+       s.h_raw AS h_stat,
+       s.h_raw / s.tie_c AS h_adj
+FROM grp g CROSS JOIN stat s
+"""
+
+
+@register(
+    "agg_kruskal_wallis",
+    tags=("stats", "rank", "hypothesis-test"),
+    oracle=_sql_kruskal_oracle(),
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test: do the k event-type groups draw `value`
+    from the same distribution? Nonparametric — uses only ranks, so
+    it is immune to the heavy right tail that violates the ANOVA
+    normality assumption (`agg_anova_oneway` is the parametric twin;
+    reporting both is the standard robustness check).
+
+    Exact average ranks with ties via the twice-rank integer trick;
+    tie-corrected H_adj = H / (1 − Σ(t³−t)/(N³−N)). Output: one row
+    per group with its size and mean rank, plus the global H and
+    tie-corrected H (repeated per row, so the whole verdict is in the
+    hashed result).
+
+    Plan: corpus → (value, group) counts (ONE map-side-combined
+    shuffle of ≤ |domain|×k partials), a rank cumsum window over the
+    DOMAIN-BOUNDED distinct-value table, then a k-row reduce. The
+    global unpartitioned window is safe exactly because it never sees
+    rows — only distinct 2-decimal values (bounded-domain money
+    columns; at 100 TB still ≤ ~56k window rows)."""
+    e = load(spark, sf_dir, "events")
+    vg = e.groupBy(F.col("value").alias("v"), F.col("event_type").alias("g")).agg(
+        F.count(F.lit(1)).alias("n_vg")
+    )
+    vt = vg.groupBy("v").agg(F.sum("n_vg").cast("bigint").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = vt.select(
+        "v", "t", (F.sum("t").over(w) - F.col("t")).alias("c")
+    )
+    grp = (
+        vg.join(ranked, vg.v == ranked.v)
+        .groupBy(F.col("g").alias("event_type"))
+        .agg(
+            F.sum("n_vg").cast("bigint").alias("n_j"),
+            F.sum(
+                F.col("n_vg") * (2 * F.col("c") + F.col("t") + 1)
+            ).cast("bigint").alias("two_r"),
+        )
+    )
+    # The k per-group squared terms sum in a FIXED order (group-name
+    # sort, sequential left fold): a naive double SUM is
+    # order-dependent and diverged from the oracle in the 11th digit,
+    # and the usual decimal(25,6) routing is unsafe here — terms reach
+    # ~1e11, where DuckDB's double→decimal conversion (scaled through
+    # a double) drops low bits past 2^53. k is the group-type count,
+    # so the collect_list is bounded and driver-free.
+    tot = grp.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(event_type, "
+            "cast(two_r as double) * cast(two_r as double) "
+            "/ cast(n_j as double) as term))), s -> s.term), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("sum_sq"),
+    )
+    ties = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_sum")
+    )
+    nd = F.col("n").cast("double")
+    stat = tot.crossJoin(F.broadcast(ties)).select(
+        "n",
+        (
+            F.lit(3.0) / (nd * (F.col("n") + 1).cast("double")) * F.col("sum_sq")
+            - F.lit(3.0) * (F.col("n") + 1).cast("double")
+        ).alias("h_raw"),
+        (
+            F.lit(1.0)
+            - F.col("tie_sum").cast("double") / (nd * nd * nd - nd)
+        ).alias("tie_c"),
+    )
+    return grp.crossJoin(F.broadcast(stat)).select(
+        "event_type",
+        "n_j",
+        (
+            F.col("two_r").cast("double") / (F.lit(2.0) * F.col("n_j").cast("double"))
+        ).alias("mean_rank"),
+        F.col("n").alias("n_total"),
+        F.col("h_raw").alias("h_stat"),
+        (F.col("h_raw") / F.col("tie_c")).alias("h_adj"),
+    )
+
+
+# --- Cohen's kappa: inter-rater agreement on document quality -----------
+#
+# Two independent heuristic "raters" bucket every document into
+# short/mid/long quality tiers — rater A from raw character count,
+# rater B from whitespace token count (the two cheapest quality
+# proxies a curation pipeline actually runs). Kappa asks: do they
+# agree beyond what their marginal distributions force?
+
+_A_CHAR_LO, _A_CHAR_HI = 300, 800
+_B_TOK_LO, _B_TOK_HI = 50, 130
+
+_SQL_RATERS = f"""
+  SELECT CASE WHEN n_chars < {_A_CHAR_LO} THEN 'short'
+              WHEN n_chars < {_A_CHAR_HI} THEN 'mid'
+              ELSE 'long' END AS ra,
+         CASE WHEN len(string_split(text, ' ')) < {_B_TOK_LO} THEN 'short'
+              WHEN len(string_split(text, ' ')) < {_B_TOK_HI} THEN 'mid'
+              ELSE 'long' END AS rb
+  FROM documents
+"""
+
+
+@register(
+    "mlstats_cohens_kappa",
+    tags=("mlstats", "agreement", "labeling"),
+    oracle=f"""
+WITH raters AS ({_SQL_RATERS}),
+cells AS (
+  SELECT ra, rb, COUNT(*) AS c FROM raters GROUP BY ra, rb
+),
+margins AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS agree
+  FROM cells
+),
+chance AS (
+  SELECT CAST(SUM(rm.row_c * cm.col_c) AS BIGINT) AS exp_agree
+  FROM (SELECT ra AS k, SUM(c) AS row_c FROM cells GROUP BY ra) rm
+  JOIN (SELECT rb AS k, SUM(c) AS col_c FROM cells GROUP BY rb) cm
+    ON rm.k = cm.k
+)
+SELECT CAST(m.n AS BIGINT) AS n_docs,
+       CAST(m.agree AS BIGINT) AS n_agree,
+       CAST(m.agree AS DOUBLE) / CAST(m.n AS DOUBLE) AS po,
+       CAST(c.exp_agree AS DOUBLE)
+         / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) AS pe,
+       (CAST(m.agree AS DOUBLE) / CAST(m.n AS DOUBLE)
+        - CAST(c.exp_agree AS DOUBLE)
+          / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)))
+       / (1.0 - CAST(c.exp_agree AS DOUBLE)
+          / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))) AS kappa
+FROM margins m CROSS JOIN chance c
+""",
+)
+def mlstats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic document-quality raters
+    (character-count terciles vs token-count terciles). κ = (p_o −
+    p_e)/(1 − p_e) — chance-corrected agreement, the gate a labeling
+    pipeline applies to rater pairs before accepting their labels.
+
+    Plan: ONE corpus pass reduces to a ≤ 9-cell contingency table;
+    marginals, expected agreement, and κ are all driver-negligible
+    arithmetic on that table. Every input to the three final
+    divisions is an int64 count, so both engines divide identical
+    operands. (Σ row·col marginal products stays < 2^63 up to
+    n_docs ≈ 3e9; beyond that the product term moves to double with
+    both engines still agreeing on the shared expression.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ", -1))
+    raters = d.select(
+        F.when(F.col("n_chars") < _A_CHAR_LO, "short")
+        .when(F.col("n_chars") < _A_CHAR_HI, "mid")
+        .otherwise("long")
+        .alias("ra"),
+        F.when(toks < _B_TOK_LO, "short")
+        .when(toks < _B_TOK_HI, "mid")
+        .otherwise("long")
+        .alias("rb"),
+    )
+    cells = raters.groupBy("ra", "rb").agg(F.count(F.lit(1)).alias("c"))
+    margins = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rm = cells.groupBy(F.col("ra").alias("k")).agg(F.sum("c").alias("row_c"))
+    cm = cells.groupBy(F.col("rb").alias("k")).agg(F.sum("c").alias("col_c"))
+    chance = (
+        rm.join(cm, "k")
+        .agg(F.sum(F.col("row_c") * F.col("col_c")).cast("bigint").alias("exp_agree"))
+    )
+    nd = F.col("n").cast("double")
+    pe = F.col("exp_agree").cast("double") / (nd * nd)
+    po = F.col("agree").cast("double") / nd
+    return margins.crossJoin(F.broadcast(chance)).select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+# --- McNemar's test: paired comparison of two keep/drop classifiers -----
+
+_TRUTH_SQL = "lang = 'en'"
+_A_PRED_CHARS = 400  # classifier A: keep iff n_chars >= this
+_B_PRED_TOKS = 60    # classifier B: keep iff token count >= this
+
+
+@register(
+    "mlstats_mcnemar",
+    tags=("mlstats", "hypothesis-test", "paired"),
+    oracle=f"""
+WITH paired AS (
+  SELECT (CASE WHEN n_chars >= {_A_PRED_CHARS} THEN 1 ELSE 0 END)
+           = (CASE WHEN {_TRUTH_SQL} THEN 1 ELSE 0 END) AS a_ok,
+         (CASE WHEN len(string_split(text, ' ')) >= {_B_PRED_TOKS}
+               THEN 1 ELSE 0 END)
+           = (CASE WHEN {_TRUTH_SQL} THEN 1 ELSE 0 END) AS b_ok
+  FROM documents
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM paired
+)
+SELECT n11, b, c, n00,
+       CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+         / CAST(NULLIF(b + c, 0) AS DOUBLE) AS chi2_cc
+FROM cells
+""",
+)
+def mlstats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test with continuity correction: are classifier A
+    (n_chars ≥ {_A_PRED_CHARS}) and classifier B (tokens ≥
+    {_B_PRED_TOKS}) equally accurate at predicting lang='en' ON THE
+    SAME documents? Only the discordant pairs carry signal —
+    χ²_cc = (|b−c|−1)²/(b+c) — which is why the paired test, not an
+    unpaired proportion z-test, is correct for same-eval-set model
+    comparisons.
+
+    Plan: ONE conditional-aggregate corpus pass → a 4-cell table →
+    one integer-operand division. Nothing here grows with scale
+    except the map-side-combined scan."""
+    d = load(spark, sf_dir, "documents")
+    truth = (F.col("lang") == "en").cast("int")
+    a_ok = (F.col("n_chars") >= _A_PRED_CHARS).cast("int") == truth
+    b_ok = (
+        F.size(F.split(F.col("text"), " ", -1)) >= _B_PRED_TOKS
+    ).cast("int") == truth
+    paired = d.select(a_ok.alias("a_ok"), b_ok.alias("b_ok"))
+    cells = paired.agg(
+        F.sum((F.col("a_ok") & F.col("b_ok")).cast("int")).cast("bigint").alias("n11"),
+        F.sum((F.col("a_ok") & ~F.col("b_ok")).cast("int")).cast("bigint").alias("b"),
+        F.sum((~F.col("a_ok") & F.col("b_ok")).cast("int")).cast("bigint").alias("c"),
+        F.sum((~F.col("a_ok") & ~F.col("b_ok")).cast("int")).cast("bigint").alias("n00"),
+    )
+    diff = F.abs(F.col("b") - F.col("c")) - 1
+    return cells.select(
+        "n11",
+        "b",
+        "c",
+        "n00",
+        (
+            (diff * diff).cast("double")
+            / F.nullif(F.col("b") + F.col("c"), F.lit(0)).cast("double")
+        ).alias("chi2_cc"),
+    )

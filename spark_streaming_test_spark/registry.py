@@ -64,6 +64,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.operators.segmentation",
     "spark_streaming_test_spark.llm.bpe",
     "spark_streaming_test_spark.operators.mlstats",
+    "spark_streaming_test_spark.operators.rankstats",
     "spark_streaming_test_spark.operators.mltrain",
     "spark_streaming_test_spark.operators.trend",
     "spark_streaming_test_spark.operators.fuzzy",
@@ -128,7 +129,9 @@ _DRIVER_WINDOW = [
     "scan_binary_files", "dq_observe_metrics", "corpus_blocklist_filter",
     "sql_group_by_all", "ts_subsequence_match", "traffic_p95_billing",
     "udf_apply_in_arrow", "sql_execute_immediate", "ml_decision_stump",
-    "ml_linreg_normal_eq",
+    "ml_linreg_normal_eq", "agg_kruskal_wallis", "mlstats_cohens_kappa",
+    "mlstats_mcnemar", "graph_hits", "ml_ridge_path", "ts_monotone_streaks",
+    "text_bpe_apply", "dedup_lsh_recall_eval",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",
