@@ -185,3 +185,143 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
         )
     )
+
+
+# --- BPE APPLICATION (tokenize with a shipped merge table) ----------------
+#
+# `text_bpe_train` fits the merge table; this operator APPLIES one —
+# the pass that actually runs at corpus scale (train once on a sample,
+# encode 100 TB). The merge list here is a fixed literal vocabulary
+# (pre-trained; the engine treats it as model weights, like the PQ
+# codebooks in llm/pq.py), so the whole encode is oracle-checkable.
+#
+# Application semantics: merges apply IN PRIORITY ORDER; each merge is
+# one greedy LEFT-TO-RIGHT non-overlapping pass over the word's token
+# sequence (Sennrich et al. 2016 reference behavior). A naive
+# string-replace can't express that (the trailing boundary of one
+# match is the leading boundary of the next — 'ababa' loses the second
+# 'ab'), so each pass is an explicit sequential FOLD with a list
+# accumulator: merge when the accumulator's last token is `l` and the
+# incoming token is `r`, else append. Spark `aggregate` and DuckDB
+# `list_reduce` (with the single-element-list wrapping that gives
+# list_reduce a list-typed accumulator — the ts_holt_linear trick)
+# compute the identical fold.
+
+BPE_MERGES: list[tuple[str, str]] = [
+    ("s", "c"), ("a", "n"), ("sc", "an"), ("o", "r"), ("e", "r"),
+    ("or", "d"), ("ord", "er"), ("i", "n"), ("w", "in"), ("j", "o"),
+]
+
+
+def _spark_merge_fold(arr_expr: str, l: str, r: str) -> str:
+    m = l + r
+    return (
+        f"aggregate({arr_expr}, cast(array() as array<string>), "
+        f"(acc, x) -> CASE WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = '{l}' AND x = '{r}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{m}')) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def _duck_merge_fold(arr_expr: str, l: str, r: str) -> str:
+    m = l + r
+    return (
+        f"list_reduce(list_transform({arr_expr}, x -> [x]), "
+        f"(acc, x) -> CASE WHEN len(acc) > 0 "
+        f"AND acc[-1] = '{l}' AND x[1] = '{r}' "
+        f"THEN list_append(array_pop_back(acc), '{m}') "
+        f"ELSE list_append(acc, x[1]) END)"
+    )
+
+
+def _spark_encode_expr() -> str:
+    e = "split(word, '(?!^)(?=.)')"
+    for l, r in BPE_MERGES:
+        e = _spark_merge_fold(e, l, r)
+    return e
+
+
+def _duck_encode_expr() -> str:
+    e = "string_split(word, '')"
+    for l, r in BPE_MERGES:
+        e = _duck_merge_fold(e, l, r)
+    return e
+
+
+@register(
+    "text_bpe_apply",
+    tags=("llm", "text", "tokenizer"),
+    oracle=f"""
+WITH words AS (
+  SELECT source, w AS word, COUNT(*) AS n
+  FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) s
+  WHERE w <> ''
+  GROUP BY source, w
+),
+vocab AS (
+  SELECT word,
+         CAST(len({_duck_encode_expr()}) AS BIGINT) AS toks,
+         CAST(len(word) AS BIGINT) AS chars
+  FROM (SELECT DISTINCT word FROM words) v
+)
+SELECT w.source,
+       CAST(SUM(w.n) AS BIGINT) AS n_words,
+       CAST(SUM(w.n * v.chars) AS BIGINT) AS n_chars,
+       CAST(SUM(w.n * v.toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.n * v.toks) AS DOUBLE) / CAST(SUM(w.n) AS DOUBLE)
+         AS tokens_per_word,
+       CAST(SUM(w.n * v.chars) AS DOUBLE) / CAST(SUM(w.n * v.toks) AS DOUBLE)
+         AS chars_per_token
+FROM words w JOIN vocab v ON w.word = v.word
+GROUP BY w.source
+""",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the shipped {len(BPE_MERGES)}-merge BPE
+    vocabulary and report per-source token economics (token count,
+    tokens/word, chars/token — the numbers that size a training run
+    and price an API corpus).
+
+    Plan: ONE corpus-sized shuffle (the per-(source, word) count);
+    the fold chain — {len(BPE_MERGES)} sequential greedy merge passes —
+    runs only over the DISTINCT-WORD vocabulary (Heaps'-law bounded,
+    sublinear in corpus size), then the vocabulary joins back onto the
+    count table (broadcast at any realistic vocab size). Encoding is
+    pure JVM array folds — no UDF, no Python."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = (
+        d.select(
+            "source",
+            F.explode_outer(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.expr(f"cast(size({_spark_encode_expr()}) as bigint)").alias("toks"),
+            F.length("word").cast("bigint").alias("chars"),
+        )
+    )
+    joined = words.join(F.broadcast(vocab), "word")
+    return joined.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.col("n") * F.col("chars")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("n") * F.col("toks")).cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("n") * F.col("toks")).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("tokens_per_word"),
+        (
+            F.sum(F.col("n") * F.col("chars")).cast("double")
+            / F.sum(F.col("n") * F.col("toks")).cast("double")
+        ).alias("chars_per_token"),
+    )

@@ -1589,3 +1589,177 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= WIN_MIN_SHARED)
         .select("doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared_fps"))
     )
+
+
+# --- LSH quality gate: candidate recall vs exact ground truth -------------
+
+
+def _sql_bucket_expr(b: int) -> str:
+    """DuckDB band-bucket polynomial combiner (twin of _band_bucket)."""
+    e = f"sig[{b * MINHASH_ROWS + 1}]"
+    for r in range(1, MINHASH_ROWS):
+        e = f"(({e}) * {_BAND_MIX} + sig[{b * MINHASH_ROWS + r + 1}]) % {MINHASH_P}"
+    return e
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    tags=("llm", "dedup", "lsh", "evaluation"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])
+         )) AS shingles
+  FROM documents WHERE doc_id < {PAIRWISE_CAP}
+),
+postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM docs),
+truth AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(c.n_common AS DOUBLE)
+        / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.5
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> {_SQL_BASE_HASH.format(x="s")} % {MINHASH_P}) AS hs
+  FROM docs
+),
+sigs AS (
+  SELECT doc_id,
+         [{",".join(
+             f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+             for i in range(MINHASH_HASHES)
+         )}] AS sig
+  FROM hashed
+),
+bands AS (
+  SELECT doc_id, unnest([{",".join(
+      "{'band': %d, 'bucket': %s}" % (b, _sql_bucket_expr(b))
+      for b in range(MINHASH_BANDS)
+  )}], recursive := true)
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT t.doc_a FROM truth t
+  JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         / CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE) AS recall,
+       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         / CAST(NULLIF((SELECT COUNT(*) FROM cand), 0) AS DOUBLE)
+         AS precision_at_threshold
+""",
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grade the banded MinHash-LSH candidate generator against EXACT
+    3-shingle Jaccard ground truth (threshold 0.5) on the capped
+    pairwise range (doc_id < {PAIRWISE_CAP}) where the exact all-pairs
+    answer is computable: recall = truth pairs that land in some
+    shared (band, bucket); precision = candidate pairs that are truly
+    >= 0.5. The quality gate that justifies the banding parameters
+    (32 hashes x 8 bands: P(cand | s) = 1-(1-s^4)^8) before trusting
+    `dedup_minhash_lsh` at corpus scale — the dedup twin of
+    `sim_recall_eval` / `sim_ivfpq_recall_eval`.
+
+    Both sides are exact, deterministic set computations on the SAME
+    md5-derived hash family, so the whole scorecard hash-matches.
+    Plan: inverted-index exact pairs + band-bucket candidate join,
+    both bounded by the evaluation cap; counts reduce to one row."""
+    d = spread(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIRWISE_CAP)
+    )
+    docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    # exact ground truth >= 0.5 via the inverted shingle index
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
+    postings = docs.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+    pa, pb = postings.alias("a"), postings.alias("b")
+    common = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    truth = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    # LSH candidates from the same signature machinery
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_bucket(b).alias("bucket")
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    ba, bb2 = bands.alias("a").hint("shuffle_hash"), bands.alias("b").hint("shuffle_hash")
+    cand = (
+        ba.join(
+            bb2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    out = (
+        n_truth.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_hits))
+    )
+    return out.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_truth"), F.lit(0)).cast("double")
+        ).alias("recall"),
+        (
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")
+        ).alias("precision_at_threshold"),
+    )

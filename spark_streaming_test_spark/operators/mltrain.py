@@ -498,3 +498,121 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (det2 / det).alias("b2"),
         n.cast("bigint").alias("n_rows"),
     )
+
+
+# --- ridge regularization path from ONE moment pass -------------------------
+
+RIDGE_LAMBDAS = (0.0, 0.1, 1.0)  # relative strengths; scaled by n
+
+
+def _sql_ridge_oracle() -> str:
+    m = _OLS_MOMS.format(
+        sx1=sql_dsum("x1"), sx2=sql_dsum("x2"), sy=sql_dsum("y"),
+        sx1x1=sql_dsum("x1*x1"), sx1x2=sql_dsum("x1*x2"),
+        sx2x2=sql_dsum("x2*x2"), sx1y=sql_dsum("x1*y"),
+        sx2y=sql_dsum("x2*y"), syy=sql_dsum("y*y"),
+    )
+    lam_rows = " UNION ALL ".join(
+        f"SELECT CAST({l} AS DOUBLE) AS lam" for l in RIDGE_LAMBDAS
+    )
+    return f"""
+WITH feat AS MATERIALIZED (
+  SELECT value AS y,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) / 24.0 AS x1,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS x2
+  FROM events
+),
+m AS MATERIALIZED (SELECT {m} FROM feat),
+lams AS ({lam_rows}),
+aug AS (
+  SELECT l.lam, m.n, m.sx1, m.sx2, m.sy, m.sx1y, m.sx2y, m.sx1x2,
+         m.sx1x1 + l.lam * m.n AS a11,
+         m.sx2x2 + l.lam * m.n AS a22
+  FROM m CROSS JOIN lams l
+)
+SELECT lam AS lambda_rel,
+       (sy*(a11*a22 - sx1x2*sx1x2) - sx1*(sx1y*a22 - sx1x2*sx2y)
+          + sx2*(sx1y*sx1x2 - a11*sx2y))
+       / (n*(a11*a22 - sx1x2*sx1x2) - sx1*(sx1*a22 - sx1x2*sx2)
+          + sx2*(sx1*sx1x2 - a11*sx2)) AS b0,
+       (n*(sx1y*a22 - sx1x2*sx2y) - sy*(sx1*a22 - sx1x2*sx2)
+          + sx2*(sx1*sx2y - sx1y*sx2))
+       / (n*(a11*a22 - sx1x2*sx1x2) - sx1*(sx1*a22 - sx1x2*sx2)
+          + sx2*(sx1*sx1x2 - a11*sx2)) AS b1,
+       (n*(a11*sx2y - sx1y*sx1x2) - sx1*(sx1*sx2y - sx1y*sx2)
+          + sy*(sx1*sx1x2 - a11*sx2))
+       / (n*(a11*a22 - sx1x2*sx1x2) - sx1*(sx1*a22 - sx1x2*sx2)
+          + sx2*(sx1*sx1x2 - a11*sx2)) AS b2,
+       CAST(n AS BIGINT) AS n_rows
+FROM aug
+"""
+
+
+@register(
+    "ml_ridge_path",
+    tags=("ml", "training", "regression"),
+    oracle=_sql_ridge_oracle(),
+)
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RIDGE REGULARIZATION PATH (λ_rel ∈ {RIDGE_LAMBDAS}) from the
+    SAME single moment pass as `ml_linreg_normal_eq`: (X'X + λnI')β =
+    X'y with the intercept unpenalized (λ adds only to the x1/x2
+    diagonal) and λ scaled by n so the path is invariant to corpus
+    size. THE scale story of closed-form training: the data is scanned
+    ONCE for ten moments; every additional λ costs one more row of
+    O(1) scalar arithmetic — a 100-point path at 100 TB still costs
+    one scan. Cramer determinants expand in the same literal order on
+    both engines over identical doubles."""
+    feat = load(spark, sf_dir, "events").select(
+        F.col("value").alias("y"),
+        (F.hour("ts").cast("double") / 24.0).alias("x1"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("x2"),
+    )
+    c = F.col
+    m = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x1").alias("sx1"), dsum("x2").alias("sx2"), dsum("y").alias("sy"),
+        dsum(c("x1") * c("x1")).alias("sx1x1"),
+        dsum(c("x1") * c("x2")).alias("sx1x2"),
+        dsum(c("x2") * c("x2")).alias("sx2x2"),
+        dsum(c("x1") * c("y")).alias("sx1y"),
+        dsum(c("x2") * c("y")).alias("sx2y"),
+    )
+    lams = spark.createDataFrame(
+        [(float(l),) for l in RIDGE_LAMBDAS], "lam double"
+    )
+    aug = m.crossJoin(F.broadcast(lams)).select(
+        "lam", "n", "sx1", "sx2", "sy", "sx1y", "sx2y", "sx1x2",
+        (c("sx1x1") + c("lam") * c("n")).alias("a11"),
+        (c("sx2x2") + c("lam") * c("n")).alias("a22"),
+    )
+    n, sx1, sx2, sy = c("n"), c("sx1"), c("sx2"), c("sy")
+    a11, a22, sx1x2 = c("a11"), c("a22"), c("sx1x2")
+    sx1y, sx2y = c("sx1y"), c("sx2y")
+    det = (
+        n * (a11 * a22 - sx1x2 * sx1x2)
+        - sx1 * (sx1 * a22 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx1x2 - a11 * sx2)
+    )
+    det0 = (
+        sy * (a11 * a22 - sx1x2 * sx1x2)
+        - sx1 * (sx1y * a22 - sx1x2 * sx2y)
+        + sx2 * (sx1y * sx1x2 - a11 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * a22 - sx1x2 * sx2y)
+        - sy * (sx1 * a22 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (a11 * sx2y - sx1y * sx1x2)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx1x2 - a11 * sx2)
+    )
+    return aug.select(
+        c("lam").alias("lambda_rel"),
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+        n.cast("bigint").alias("n_rows"),
+    )

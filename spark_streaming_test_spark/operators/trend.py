@@ -1756,3 +1756,113 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TSM_TOPK)
         .select("event_type", F.col("h").alias("match_start"), "d2")
     )
+
+
+# --- longest monotone-increase streaks (gaps-and-islands on trend) --------
+
+
+@register(
+    "ts_monotone_streaks",
+    tags=("timeseries", "trend", "gaps-islands"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS dv
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+flagged AS (
+  SELECT event_type, d, dv,
+         CASE WHEN dv > lag(dv) OVER (PARTITION BY event_type ORDER BY d)
+              THEN 1 ELSE 0 END AS up
+  FROM daily
+),
+islands AS (
+  SELECT event_type, d, up,
+         SUM(1 - up) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+),
+runs AS (
+  -- an island is a maximal run of consecutive "up" days plus the
+  -- break day that started it; streak length counts the up-steps
+  SELECT event_type, isl,
+         CAST(SUM(up) AS BIGINT) AS streak_len,
+         MIN(d) AS streak_start
+  FROM islands GROUP BY event_type, isl
+),
+best AS (
+  SELECT event_type, streak_len, streak_start,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY streak_len DESC, streak_start) AS rn
+  FROM runs
+)
+SELECT f.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(f.up) AS BIGINT) AS n_up_days,
+       MAX(b.streak_len) AS longest_streak,
+       MAX(b.streak_start) AS longest_streak_start
+FROM flagged f
+JOIN (SELECT * FROM best WHERE rn = 1) b ON f.event_type = b.event_type
+GROUP BY f.event_type
+""",
+)
+def ts_monotone_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of strictly-increasing daily totals per event type
+    (gaps-and-islands over the trend direction): the "N days of
+    uninterrupted growth" readout product dashboards quote, and the
+    run-length statistic behind nonparametric runs tests.
+
+    Daily totals are EXACT decimals (2-decimal money summed
+    losslessly), so the strict ">" comparison — the entire semantic —
+    cannot waver between engines; everything downstream is integer
+    window arithmetic (up-flags, island ids via cumsum of breaks, run
+    lengths).
+
+    Plan: one corpus reduce to the per-(type, day) grain, then three
+    windows all partitioned by event_type over day-count-bounded
+    frames — the per-key state is O(days), never O(rows), so the
+    shape is unchanged at 100 TB. Output per type: days observed,
+    up-days, the longest streak and its start date."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("dv")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    flagged = daily.select(
+        "event_type",
+        "d",
+        F.when(F.col("dv") > F.lag("dv").over(wo), 1).otherwise(0).alias("up"),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum(1 - F.col("up")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = islands.groupBy("event_type", "isl").agg(
+        F.sum("up").cast("bigint").alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.desc("streak_len"), "streak_start"
+    )
+    best = (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "streak_len", "streak_start")
+    )
+    per_type = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("up").cast("bigint").alias("n_up_days"),
+    )
+    return per_type.join(F.broadcast(best), "event_type").select(
+        "event_type",
+        "n_days",
+        "n_up_days",
+        F.col("streak_len").alias("longest_streak"),
+        F.col("streak_start").alias("longest_streak_start"),
+    )
