@@ -707,3 +707,45 @@ def fn_mask_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.length("raw") == F.length(F.mask("raw"))).alias("shape_preserved"),
     )
+
+
+# --- calendar month-arithmetic edge semantics ----------------------------
+
+
+@register(
+    "fn_month_arithmetic_edges",
+    tags=("functions", "date", "edge-semantics"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 13 MONTH AS DATE) AS plus_13m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+         AS is_month_end,
+       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+         AS quarter_start
+FROM orders
+""",
+)
+def fn_month_arithmetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar month arithmetic at the EDGES — the billing/retention
+    bug factory: Jan 31 + 1 month must CLAMP to the short month's last
+    day (Feb 29 in a leap year, not Mar 2), +13 months must clamp
+    through the leap boundary (2024-01-31 → 2025-02-28), and month-end
+    membership must use `last_day`, not `day = 31`. Verified
+    cross-engine: Spark ``add_months`` and DuckDB ``+ INTERVAL n
+    MONTH`` implement the SAME clamping convention (measured on the
+    leap cases) — the pinned behavior contract subscription-billing
+    jobs rely on. Pure projection; no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 1).alias("plus_1m"),
+        F.add_months(d, 13).alias("plus_13m"),
+        F.last_day(d).alias("month_end"),
+        (d == F.last_day(d)).alias("is_month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+    )

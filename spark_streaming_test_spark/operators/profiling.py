@@ -257,3 +257,85 @@ def dq_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_fk_candidate"
         ),
     )
+
+
+# --- functional-dependency discovery --------------------------------------
+
+# Candidate FDs probed across the fixtures: a known-true dependency
+# (nation's key determines its region), two plausibly-violated ones
+# (does a customer always use one order priority? does a part always
+# ship from one supplier?), and a cross-domain one on documents.
+_FD_CANDIDATES = [
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("documents.doc_id->lang", "documents", "doc_id", "lang"),
+]
+
+
+def _sql_fd_one(fd: str, table: str, x: str, y: str) -> str:
+    return f"""
+SELECT '{fd}' AS fd,
+       CAST(SUM(tot) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(SUM(best) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE) AS strength
+FROM (
+  SELECT x, SUM(cnt) AS tot, MAX(cnt) AS best, COUNT(*) AS ny
+  FROM (
+    SELECT CAST({x} AS VARCHAR) AS x, CAST({y} AS VARCHAR) AS y,
+           COUNT(*) AS cnt
+    FROM {table} GROUP BY 1, 2
+  ) pairs
+  GROUP BY x
+) keys"""
+
+
+@register(
+    "dq_fd_discovery",
+    tags=("dq", "profiling", "discovery"),
+    oracle="\nUNION ALL\n".join(
+        _sql_fd_one(fd, t, x, y) for fd, t, x, y in _FD_CANDIDATES
+    ),
+)
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate FUNCTIONAL-DEPENDENCY discovery (the schema-
+    understanding pass beside `dq_fk_discovery`'s joinability probe):
+    for each candidate X→Y, strength = the fraction of rows consistent
+    with the best single mapping (Σ_x max_y count / N — the g₃-error
+    complement). strength = 1.0 certifies the dependency holds exactly;
+    n_violating_keys names how many keys break it.
+
+    Per candidate: one (X, Y) count aggregate, one X-grain reduce —
+    both map-side-combined, shuffles bounded by distinct pairs. All
+    integers to one final division."""
+    frames = []
+    for fd, table, x, y in _FD_CANDIDATES:
+        t = load(spark, sf_dir, table)
+        pairs = t.groupBy(
+            F.col(x).cast("string").alias("x"),
+            F.col(y).cast("string").alias("y"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        keys = pairs.groupBy("x").agg(
+            F.sum("cnt").alias("tot"),
+            F.max("cnt").alias("best"),
+            F.count(F.lit(1)).alias("ny"),
+        )
+        frames.append(
+            keys.agg(
+                F.lit(fd).alias("fd"),
+                F.sum("tot").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("ny") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_keys"),
+                (
+                    F.sum("best").cast("double") / F.sum("tot").cast("double")
+                ).alias("strength"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

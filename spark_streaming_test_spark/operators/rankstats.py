@@ -364,3 +364,117 @@ def mlstats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("b") + F.col("c"), F.lit(0)).cast("double")
         ).alias("chi2_cc"),
     )
+
+
+# --- Cramér's V: effect size for categorical association ----------------
+
+_CV_DP = 8  # chi-square rounding, matches CHI2_DP in mlstats.py
+
+
+@register(
+    "agg_cramers_v",
+    tags=("stats", "association", "categorical"),
+    oracle=f"""
+WITH dows AS (SELECT unnest(range(1, 8)) AS dow),
+types AS (SELECT DISTINCT event_type FROM events),
+obs AS (
+  SELECT event_type, CAST(EXTRACT(dow FROM ts) AS INTEGER) + 1 AS dow,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, d.dow,
+         CAST(COALESCE(o.c, 0) AS DOUBLE) AS o
+  FROM types t CROSS JOIN dows d
+  LEFT JOIN obs o ON o.event_type = t.event_type AND o.dow = d.dow
+),
+margins AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(o) OVER (PARTITION BY dow) AS col_tot,
+         SUM(o) OVER () AS n
+  FROM grid
+),
+terms AS (
+  SELECT CAST(round(
+           (o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+             / (row_tot * col_tot / n), {_CV_DP + 2})
+         AS DECIMAL(25,{_CV_DP + 2})) AS term,
+         n
+  FROM margins
+),
+agg AS (
+  SELECT round(CAST(SUM(term) AS DOUBLE), {_CV_DP}) AS chi2,
+         CAST(MAX(n) AS BIGINT) AS n,
+         (SELECT COUNT(*) FROM types) AS r,
+         7 AS c
+  FROM terms
+)
+SELECT n, CAST(r AS INTEGER) AS n_row_cats, CAST(c AS INTEGER) AS n_col_cats,
+       chi2,
+       sqrt(chi2 / (CAST(n AS DOUBLE)
+                    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+FROM agg
+""",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0, 1] effect size for the event-type ×
+    day-of-week association: V = √(χ²/(n·min(r−1, c−1))). The
+    chi-square TEST (ab_test_chi_square) answers "is there any
+    association"; V answers "how strong" on a scale comparable across
+    table shapes — the number a feature screen actually thresholds.
+
+    The contingency grid is COMPLETED (types × all 7 weekdays, zero
+    cells included) so expected counts are right even for empty cells.
+    Counts are integer-exact doubles, each (O−E)²/E term quantizes to
+    decimal before the order-free sum (the ab_test_chi_square rule),
+    and V is one sqrt of identical doubles. One corpus pass; the grid
+    is r×7 rows."""
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = e.select("event_type").distinct()
+    dows = spark.range(1, 8).select(F.col("id").cast("int").alias("dow"))
+    grid = (
+        types.crossJoin(F.broadcast(dows))
+        .join(F.broadcast(obs), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("o"),
+        )
+    )
+    margins = grid.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    term = F.round(
+        (F.col("o") - exp) * (F.col("o") - exp) / exp, _CV_DP + 2
+    ).cast(f"decimal(25,{_CV_DP + 2})")
+    r_cnt = types.agg(F.count(F.lit(1)).alias("r"))
+    agg = (
+        margins.select(term.alias("term"), "n")
+        .agg(
+            F.round(F.sum("term").cast("double"), _CV_DP).alias("chi2"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+        .crossJoin(F.broadcast(r_cnt))
+        .withColumn("c", F.lit(7))
+    )
+    return agg.select(
+        "n",
+        F.col("r").cast("int").alias("n_row_cats"),
+        F.col("c").cast("int").alias("n_col_cats"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+    )

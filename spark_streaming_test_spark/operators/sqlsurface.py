@@ -407,3 +407,109 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 'F'
         """
     )
+
+
+# --- DataFrame.transpose (Spark 4) ----------------------------------------
+
+_TR_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _sql_transpose_metric(metric: str, expr_tpl: str) -> str:
+    cols = ", ".join(expr_tpl.format(t=t) + f" AS {t}" for t in _TR_TYPES)
+    return f"SELECT '{metric}' AS key, {cols} FROM events"
+
+
+@register(
+    "sql_transpose",
+    tags=("sql-surface", "spark4"),
+    oracle="\nUNION ALL\n".join(
+        [
+            _sql_transpose_metric(
+                "n", "CAST(count_if(event_type = '{t}') AS DOUBLE)"
+            ),
+            _sql_transpose_metric(
+                "total",
+                "CAST(SUM(CASE WHEN event_type = '{t}' "
+                "THEN CAST(value AS DECIMAL(25,6)) END) AS DOUBLE)",
+            ),
+            _sql_transpose_metric(
+                "avg_val",
+                "(CAST(SUM(CASE WHEN event_type = '{t}' "
+                "THEN CAST(value AS DECIMAL(25,6)) END) AS DOUBLE)"
+                " / CAST(count_if(event_type = '{t}') AS DOUBLE))",
+            ),
+        ]
+    ),
+)
+def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.transpose()` (Spark 4): flip the per-event-type
+    metrics frame so metrics become rows and event types become
+    columns — the report-layout pivot analysts otherwise hand-roll
+    with a stack/pivot pair. Spark requires a uniform value type
+    (everything cast to double) and derives column names from the
+    index column's values; the oracle spells the transposed layout
+    with the known event-type enum.
+
+    The transposed input here is an already-reduced k-row aggregate —
+    transpose itself is a driver-cheap reshape of a tiny frame; the
+    corpus work is the ONE map-side-combined aggregation producing
+    it."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    stats = spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_val
+        FROM events GROUP BY event_type
+        """
+    )
+    return stats.transpose()
+
+
+# --- named WINDOW clause --------------------------------------------------
+
+
+@register(
+    "sql_window_clause",
+    tags=("sql-surface", "window"),
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE)
+         AS running_spend,
+       LAG(o_orderkey) OVER w AS prev_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+QUALIFY rn <= 3
+""",
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named ``WINDOW w AS (...)`` clause: three window functions
+    share ONE window definition — and, in the physical plan, one sort
+    — instead of three inline OVER specs that invite subtle drift
+    (and, mistyped, three separate sorts). Output keeps each
+    customer's first three orders with running decimal-exact spend.
+    DuckDB trims with QUALIFY; Spark (no QUALIFY) nests the same
+    predicate — identical semantics. (The rank filter does NOT become
+    a WindowGroupLimit here — that rewrite requires the rank function
+    to be the window's only member; sharing the spec with sum/lag
+    keeps one full WindowExec, which is still the single-sort win the
+    clause exists for — plan-asserted.)"""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_custkey,
+                 o_orderkey,
+                 ROW_NUMBER() OVER w AS rn,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w
+                      AS DOUBLE) AS running_spend,
+                 LAG(o_orderkey) OVER w AS prev_order
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) t WHERE rn <= 3
+        """
+    )

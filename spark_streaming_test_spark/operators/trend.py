@@ -1866,3 +1866,289 @@ def ts_monotone_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("streak_len").alias("longest_streak"),
         F.col("streak_start").alias("longest_streak_start"),
     )
+
+
+# --- sample autocorrelation function (correlogram) ------------------------
+
+ACF_MAX_LAG = 7
+_ACF_DP = 10  # final ratio rounding (the corr rule)
+
+
+def _sql_acf_oracle() -> str:
+    lag_structs = ",".join(
+        f"{{'lag': {k}, 'x': lag(c, {k}) OVER "
+        f"(PARTITION BY event_type ORDER BY d)}}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+gmom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM daily GROUP BY event_type
+),
+lagged AS (
+  SELECT event_type, c AS y,
+         unnest([{lag_structs}], recursive := true)
+  FROM daily
+),
+pairs AS (
+  SELECT event_type, lag AS k,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM lagged WHERE x IS NOT NULL
+  GROUP BY event_type, lag
+)
+SELECT p.event_type, p.k AS lag, p.nk AS n_pairs,
+       round(
+         (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+          - CAST(g.n AS DOUBLE) * CAST(g.s AS DOUBLE)
+            * (CAST(p.sx AS DOUBLE) + CAST(p.sy AS DOUBLE))
+          + CAST(p.nk AS DOUBLE) * CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))
+         / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(g.q AS DOUBLE)
+            - CAST(g.n AS DOUBLE) * CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)),
+         {_ACF_DP}) AS acf
+FROM pairs p JOIN gmom g ON p.event_type = g.event_type
+"""
+
+
+@register(
+    "ts_acf_correlogram",
+    tags=("timeseries", "trend", "autocorrelation"),
+    oracle=_sql_acf_oracle(),
+)
+def ts_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample AUTOCORRELATION FUNCTION at lags 1..{ACF_MAX_LAG} of
+    each event type's daily total series — the correlogram that picks
+    ARIMA orders and confirms the weekly cycle
+    (`ts_rolling_autocorr` tracks lag-1 locally; this is the global
+    multi-lag readout).
+
+    r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², expanded so every
+    moment is an exact INTEGER (daily totals in cents: S, Q, and the
+    per-lag ΣX, ΣY, ΣXY) and the mean never materializes — the whole
+    formula multiplies through by n². int64→double conversion is a
+    single correctly-rounded IEEE op, identical in both engines; the
+    final ratio rounds at {_ACF_DP} dp per the corr rule. Integer
+    headroom: Q = Σc² needs daily-total² × days < 2^63 — holds to
+    ~$10M-per-day-per-type series; beyond, drop to dollar units.
+
+    Plan: ONE corpus reduce to the daily grain; {ACF_MAX_LAG} lag
+    columns come from a single per-type window pass; the explode is
+    days×{ACF_MAX_LAG} rows (bounded by calendar, not corpus); global
+    moments broadcast back onto the per-lag aggregate."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    glob = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    # window lags materialize as plain columns first — Spark rejects
+    # window expressions nested inside a generator's array argument
+    with_lags = daily.select(
+        "event_type",
+        F.col("c").alias("y"),
+        *[
+            F.lag("c", k).over(wo).alias(f"x{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    lagged = with_lags.select(
+        "event_type",
+        "y",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"x{k}").alias("x")
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("lx"),
+    ).select("event_type", "y", "lx.lag", "lx.x")
+    pairs = (
+        lagged.filter(F.col("x").isNotNull())
+        .groupBy("event_type", F.col("lag").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    num = (
+        d("n") * d("n") * d("sxy")
+        - d("n") * d("s") * (d("sx") + d("sy"))
+        + d("nk") * d("s") * d("s")
+    )
+    den = d("n") * d("n") * d("q") - d("n") * d("s") * d("s")
+    return pairs.join(F.broadcast(glob), "event_type").select(
+        "event_type",
+        F.col("k").alias("lag"),
+        F.col("nk").alias("n_pairs"),
+        F.round(num / den, _ACF_DP).alias("acf"),
+    )
+
+
+# --- Holt-Winters additive seasonal forecasting ---------------------------
+
+HW_PERIOD = 24  # hour-of-day seasonality
+
+
+def _hw_spark_lambda() -> str:
+    """One Holt-Winters update as a Spark fold lambda over a 26-slot
+    array accumulator [level, trend, s_next, ..., s_last]; alpha =
+    beta = gamma = 1/2 so every smoothing step is an exact halving.
+    level' repeats inline (lambdas can't bind temporaries) — the
+    duplicated subexpression evaluates identically."""
+    lvl2 = (
+        "(x - element_at(a, 3) + element_at(a, 1) + element_at(a, 2)) / 2.0D"
+    )
+    return (
+        "(a, x) -> concat("
+        f"array({lvl2}, "
+        f"(({lvl2}) - element_at(a, 1) + element_at(a, 2)) / 2.0D), "
+        f"slice(a, 4, {HW_PERIOD - 1}), "
+        f"array((x - ({lvl2}) + element_at(a, 3)) / 2.0D))"
+    )
+
+
+def _hw_duck_lambda() -> str:
+    lvl2 = "(x[1] - a[3] + a[1] + a[2]) / 2.0"
+    return (
+        "(a, x) -> list_concat(list_concat("
+        f"[{lvl2}, (({lvl2}) - a[1] + a[2]) / 2.0], "
+        f"a[4:{HW_PERIOD + 2}]), "
+        f"[(x[1] - ({lvl2}) + a[3]) / 2.0])"
+    )
+
+
+@register(
+    "ts_holt_winters",
+    tags=("timeseries", "forecast", "seasonal"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS hv
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+ser AS (
+  SELECT event_type,
+         list(CAST(CAST(hv * 100 AS BIGINT) AS DOUBLE) ORDER BY h) AS arr
+  FROM hourly GROUP BY event_type
+),
+prep AS (
+  SELECT event_type, arr, CAST(len(arr) AS BIGINT) AS n,
+         list_reduce(arr[1:{HW_PERIOD}], (a, x) -> a + x)
+           / CAST(LEAST(len(arr), {HW_PERIOD}) AS DOUBLE) AS level0
+  FROM ser
+),
+seeded AS (
+  SELECT event_type, arr, n,
+         list_concat([level0, CAST(0.0 AS DOUBLE)],
+                     list_transform(arr[1:{HW_PERIOD}], x -> x - level0))
+           AS init_st
+  FROM prep
+),
+folded AS (
+  SELECT event_type, n,
+         list_reduce(
+           list_concat([init_st],
+                       list_transform(arr[{HW_PERIOD + 1}:], x -> [x])),
+           {_hw_duck_lambda()}) AS st
+  FROM seeded
+)
+SELECT event_type, n AS n_hours,
+       st[1] AS level, st[2] AS trend,
+       st[1] + st[2] + st[3] AS forecast_1,
+       st[1] + 2.0 * st[2] + st[4] AS forecast_2,
+       st[1] + 3.0 * st[2] + st[5] AS forecast_3
+FROM folded
+""",
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive HOLT-WINTERS (level + trend + {HW_PERIOD}-hour
+    seasonality, alpha = beta = gamma = 1/2) over each type's exact
+    hourly-total series, with 1/2/3-step-ahead forecasts — the
+    seasonal member of the forecasting family (`ts_ewma_smooth` has
+    no trend, `ts_holt_linear` no season; the M4 baselines).
+
+    State is a {HW_PERIOD + 2}-slot array [level, trend, s_next..]
+    that ROTATES: each step consumes the front seasonal factor and
+    appends its update, so slot 3 is always the NEXT hour's factor and
+    the h-step forecast reads level + h·trend + s_h directly.
+    Initialization: level = mean of the first cycle (exact — cents
+    are integers), seasonals = first-cycle deviations, trend 0.
+
+    Every smoothing constant is 1/2, so updates are additions and
+    EXACT halvings in identical expression shape on both engines
+    (the ts_holt_linear playbook, widened to 26 components); the fold
+    runs as one sequential pass per type (per-key state O(period), the
+    streaming-friendly shape). One corpus shuffle for hourly totals,
+    one per-type reduce; the fold list is calendar-bounded."""
+    hs = _hourly_sum(spark, sf_dir).select(
+        "event_type",
+        "h",
+        (F.col("hv") * 100).cast("bigint").cast("double").alias("x"),
+    )
+    ser = hs.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(h, x))), s -> s.x)"
+        ).alias("arr")
+    )
+    prep = ser.select(
+        "event_type",
+        "arr",
+        F.size("arr").cast("bigint").alias("n"),
+        F.expr(
+            f"aggregate(slice(arr, 1, {HW_PERIOD}), 0.0D, (a, x) -> a + x)"
+            f" / cast(least(size(arr), {HW_PERIOD}) as double)"
+        ).alias("level0"),
+    )
+    seeded = prep.select(
+        "event_type",
+        "arr",
+        "n",
+        F.expr(
+            f"concat(array(level0, 0.0D), "
+            f"transform(slice(arr, 1, {HW_PERIOD}), x -> x - level0))"
+        ).alias("init_st"),
+    )
+    folded = seeded.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"aggregate(slice(arr, {HW_PERIOD + 1}, "
+            f"greatest(size(arr) - {HW_PERIOD}, 0)), init_st, "
+            + _hw_spark_lambda()
+            + ")"
+        ).alias("st"),
+    )
+    st = lambda i: F.element_at("st", i)  # noqa: E731
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        st(1).alias("level"),
+        st(2).alias("trend"),
+        (st(1) + st(2) + st(3)).alias("forecast_1"),
+        (st(1) + F.lit(2.0) * st(2) + st(4)).alias("forecast_2"),
+        (st(1) + F.lit(3.0) * st(2) + st(5)).alias("forecast_3"),
+    )
