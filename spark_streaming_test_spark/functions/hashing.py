@@ -120,3 +120,58 @@ def fn_uuid_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         uuid_col.alias("surrogate_uuid"),
         F.length(uuid_col).alias("n_chars"),
     )
+
+
+# --- AES column encryption roundtrip --------------------------------------
+
+_AES_KEY = "0123456789abcdef"   # 16-byte demo key (AES-128)
+_AES_WRONG = "ffffffffffffffff"
+
+
+@register(
+    "fn_aes_roundtrip",
+    tags=("functions", "crypto"),
+    oracle="""
+SELECT doc_id,
+       CAST(((length(text) // 16) + 1) * 16 AS BIGINT) AS cipher_len,
+       length(text) = length(text) AS roundtrip_ok,
+       TRUE AS wrong_key_differs
+FROM documents
+""",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: `aes_encrypt`/`aes_decrypt`
+    (AES-128-ECB for determinism) with three verifiable claims per
+    document — the ciphertext length equals the PKCS7-padded block
+    count the oracle predicts from the plaintext length alone
+    ((len/16 + 1)·16), decrypting with the right key returns the exact
+    plaintext, and `try_aes_decrypt` with the WRONG key never
+    reproduces the plaintext — usually NULL (padding check fails), in
+    the ~1/256 of rows where PKCS7 happens to validate, garbage bytes
+    that differ from the input (measured at sf0.1: a pure "wrong key
+    ⇒ NULL" claim is falsified by those padding collisions).
+    The oracle can't run AES, but it can falsify every claim — the
+    `agg_heavy_hitters_claim` pattern applied to crypto.
+
+    Pure projection — no shuffle; encryption cost is per-row CPU at
+    scan time. ECB is used here for cross-run determinism of the
+    length claim; production column crypto uses GCM with random IVs
+    (same API surface, +28 bytes: 12 IV + 16 tag)."""
+    d = load(spark, sf_dir, "documents")
+    enc = F.expr(f"aes_encrypt(text, '{_AES_KEY}', 'ECB')")
+    dec = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(text, '{_AES_KEY}', 'ECB'), "
+        f"'{_AES_KEY}', 'ECB') as string)"
+    )
+    wrong = F.expr(
+        f"try_aes_decrypt(aes_encrypt(text, '{_AES_KEY}', 'ECB'), "
+        f"'{_AES_WRONG}', 'ECB')"
+    )
+    return d.select(
+        "doc_id",
+        F.length(enc).cast("bigint").alias("cipher_len"),
+        (dec == F.col("text")).alias("roundtrip_ok"),
+        (
+            wrong.isNull() | (wrong != F.col("text").cast("binary"))
+        ).alias("wrong_key_differs"),
+    )

@@ -1763,3 +1763,200 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")
         ).alias("precision_at_threshold"),
     )
+
+
+# --- LSH band-parameter tuning sweep --------------------------------------
+
+# Alternative layouts of the SAME 32 minhashes: (bands, rows) with
+# bands*rows = 32. Candidate probability at Jaccard s is
+# 1 - (1 - s^rows)^bands — more bands = higher recall, lower precision.
+LSH_TUNE_CONFIGS = ((16, 2), (8, 4), (4, 8))
+
+
+def _band_bucket_cfg(b: int, rows: int) -> F.Column:
+    """Band-bucket polynomial for band b of a (bands, rows) layout —
+    the generalized form of `_band_bucket` (which is rows=4)."""
+    acc = F.element_at("signature", b * rows + 1)
+    for r in range(1, rows):
+        acc = (
+            acc * _BAND_MIX + F.element_at("signature", b * rows + r + 1)
+        ) % MINHASH_P
+    return acc
+
+
+def _sql_bucket_expr_cfg(b: int, rows: int) -> str:
+    e = f"sig[{b * rows + 1}]"
+    for r in range(1, rows):
+        e = f"(({e}) * {_BAND_MIX} + sig[{b * rows + r + 1}]) % {MINHASH_P}"
+    return e
+
+
+def _sql_tune_config(bands: int, rows: int) -> str:
+    """Candidate pairs for one (bands, rows) layout as a CTE body."""
+    band_structs = ",".join(
+        f"{{'band': {b}, 'bucket': {_sql_bucket_expr_cfg(b, rows)}}}"
+        for b in range(bands)
+    )
+    return f"""
+  SELECT DISTINCT {bands} AS bands, {rows} AS rows_per_band,
+         a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, unnest([{band_structs}], recursive := true)
+        FROM sigs) a
+  JOIN (SELECT doc_id, unnest([{band_structs}], recursive := true)
+        FROM sigs) b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+@register(
+    "dedup_lsh_band_tuning",
+    tags=("llm", "dedup", "lsh", "evaluation"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])
+         )) AS shingles
+  FROM documents WHERE doc_id < {PAIRWISE_CAP}
+),
+postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM postings a JOIN postings b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM docs),
+truth AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(c.n_common AS DOUBLE)
+        / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.5
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> {_SQL_BASE_HASH.format(x="s")} % {MINHASH_P}) AS hs
+  FROM docs
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         [{",".join(
+             f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+             for i in range(MINHASH_HASHES)
+         )}] AS sig
+  FROM hashed
+),
+cand AS ({" UNION ALL ".join(_sql_tune_config(b, r) for b, r in LSH_TUNE_CONFIGS)})
+SELECT c.bands, c.rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE) AS recall,
+       CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS precision_at_threshold
+FROM cand c
+LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+GROUP BY c.bands, c.rows_per_band
+""",
+)
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH PARAMETER TUNING: re-band the SAME 32-hash signatures three
+    ways ({LSH_TUNE_CONFIGS}) and grade each layout's candidate recall
+    and precision against exact Jaccard-0.5 ground truth on the capped
+    range — the S-curve trade (P(cand|s) = 1-(1-s^r)^b) measured on
+    real data instead of assumed. This is how the production
+    `dedup_minhash_lsh` parameters (8×4) get justified; signatures are
+    computed ONCE and re-bucketed per config (re-banding costs one
+    projection, not a re-shingle).
+
+    Same exactness story as `dedup_lsh_recall_eval`; the sweep's
+    self-joins are per-config bucket equi-joins over the capped doc
+    set, never all-pairs."""
+    d = spread(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIRWISE_CAP)
+    )
+    docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
+    postings = docs.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+    pa, pb = postings.alias("a"), postings.alias("b")
+    common = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    truth = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    cands = None
+    for bands, rows in LSH_TUNE_CONFIGS:
+        b_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _band_bucket_cfg(b, rows).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        bandsdf = sig.select(
+            "doc_id", F.explode_outer(b_arr).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bucket")
+        ba = bandsdf.alias("a").hint("shuffle_hash")
+        bb2 = bandsdf.alias("b").hint("shuffle_hash")
+        c = (
+            ba.join(
+                bb2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    n_truth = truth.count()
+    tt = truth.select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    joined = cands.join(F.broadcast(tt), ["doc_a", "doc_b"], "left")
+    return joined.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.lit(n_truth).cast("bigint").alias("n_truth"),
+        (
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).cast("double")
+            / F.lit(float(n_truth) if n_truth else None)
+        ).alias("recall"),
+        (
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("precision_at_threshold"),
+    )

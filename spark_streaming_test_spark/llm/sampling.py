@@ -716,3 +716,97 @@ def sample_poisson_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.col("_ci").cast("bigint").alias("copy_idx"),
     )
+
+
+# --- probability-proportional-to-size systematic sampling -----------------
+
+PPS_PER_DAY = 5  # sampling budget per order-day
+
+
+@register(
+    "sample_pps_systematic",
+    tags=("sampling", "pps", "survey"),
+    oracle=f"""
+WITH orders_c AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cum AS (
+  SELECT o_orderkey, day, cents,
+         SUM(cents) OVER (PARTITION BY day ORDER BY o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS c_hi,
+         SUM(cents) OVER (PARTITION BY day) AS day_tot
+  FROM orders_c
+),
+stepped AS (
+  SELECT o_orderkey, day, cents, c_hi, c_hi - cents AS c_lo,
+         day_tot // {PPS_PER_DAY} AS step, day_tot
+  FROM cum
+)
+SELECT o_orderkey, day,
+       CAST(cents AS DOUBLE) / 100.0 AS totalprice,
+       CAST(cents AS DOUBLE) * {PPS_PER_DAY} / CAST(day_tot AS DOUBLE)
+         AS inclusion_prob
+FROM stepped
+WHERE step > 0 AND (c_hi // step) > (c_lo // step)
+  AND (c_hi // step) <= {PPS_PER_DAY}
+""",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling of orders —
+    {PPS_PER_DAY} per day, selection probability ∝ order value: walk
+    the day's cumulative value line in exact integer cents and take
+    the order under each step boundary (an order is selected iff a
+    multiple of step = day_total/{PPS_PER_DAY} falls inside its value
+    interval). The survey-sampling primitive behind value-weighted
+    audits: big orders are near-certain picks, the long tail is
+    sampled at known, reportable inclusion probabilities
+    (the Horvitz-Thompson input `sample_importance_weights` consumes).
+
+    Fully integer — cumulative cents, integer division per boundary —
+    so selection is bitwise identical on both engines; only the
+    reported inclusion_prob divides. Plan: one window pass PARTITIONED
+    BY DAY (per-partition state O(1), no global sort anywhere), then a
+    filter — scale-independent by construction."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("day"),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wp = Window.partitionBy("day")
+    wc = wp.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = o.select(
+        "o_orderkey",
+        "day",
+        "cents",
+        F.sum("cents").over(wc).alias("c_hi"),
+        F.sum("cents").over(wp).alias("day_tot"),
+    )
+    stepped = cum.select(
+        "o_orderkey",
+        "day",
+        "cents",
+        "c_hi",
+        (F.col("c_hi") - F.col("cents")).alias("c_lo"),
+        F.expr(f"day_tot div {PPS_PER_DAY}").alias("step"),
+        "day_tot",
+    )
+    return stepped.filter(
+        (F.col("step") > 0)
+        & (F.expr("c_hi div step") > F.expr("c_lo div step"))
+        & (F.expr("c_hi div step") <= PPS_PER_DAY)
+    ).select(
+        "o_orderkey",
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("totalprice"),
+        (
+            F.col("cents").cast("double")
+            * PPS_PER_DAY
+            / F.col("day_tot").cast("double")
+        ).alias("inclusion_prob"),
+    )

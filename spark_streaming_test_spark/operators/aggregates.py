@@ -12,7 +12,7 @@ decimal-cast determinism helpers (functions/deterministic.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -838,4 +838,82 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m2",
         F.round(F.col("m3") / (m2 * F.sqrt(m2)), 8).alias("skewness"),
         F.round(F.col("m4") / (m2 * m2) - 3.0, 8).alias("excess_kurtosis"),
+    )
+
+
+# --- exact weighted median ------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    tags=("agg", "percentile", "weighted"),
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+grp AS (
+  SELECT flag, price_c, CAST(SUM(wt) AS BIGINT) AS wt
+  FROM w GROUP BY flag, price_c
+),
+cum AS (
+  SELECT flag, price_c, wt,
+         SUM(wt) OVER (PARTITION BY flag ORDER BY price_c
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wt) OVER (PARTITION BY flag) AS tw
+  FROM grp
+)
+SELECT flag,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_c END) AS DOUBLE) / 100.0
+         AS weighted_median,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_prices
+FROM cum GROUP BY flag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median: the smallest price whose cumulative
+    quantity weight reaches half the group's total — the
+    quantity-weighted "typical unit price" per return flag, where the
+    unweighted median (`agg_percentile_median`) over-represents small
+    orders. The boundary test is the integer cross-multiplication
+    2·cw ≥ tw, so selection never divides and cannot waver.
+
+    Plan: corpus → (flag, price) weight aggregate (map-side combine),
+    a cumulative window over the DISTINCT-PRICE frame per flag
+    (domain-bounded, same argument as the rank-statistics family),
+    then one row per flag. At 100 TB this is the exact-selection
+    path; the sketch path (`agg_approx_percentile_check`) trades
+    exactness for a mergeable summary."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    grp = w.groupBy("flag", "price_c").agg(F.sum("wt").cast("bigint").alias("wt"))
+    wp = Window.partitionBy("flag")
+    wc = wp.orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "flag",
+        "price_c",
+        "wt",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wp).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        (
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))
+            ).cast("double")
+            / 100.0
+        ).alias("weighted_median"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_prices"),
     )

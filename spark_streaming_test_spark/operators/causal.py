@@ -1,0 +1,447 @@
+"""Causal-inference operators: Simpson's-paradox audit and inverse-
+propensity-weighted treatment effects.
+
+Experiment readouts (`mlstats.py`'s ab_test family) assume the pooled
+comparison tells the truth; these two operators guard and extend that:
+the Simpson check detects when segment-level effects contradict the
+pooled effect (aggregation reversal — the classic way a dashboard
+lies), and IPTW estimates a treatment effect from OBSERVATIONAL data
+by reweighting with a propensity model trained on the engine
+(`ml_logreg_train_gd`'s gradient-descent machinery at user grain).
+
+Determinism: the Simpson verdict never divides — effect signs come
+from cross-multiplied exact integer sums (sign(S_a·n_b − S_b·n_a)),
+so the flag cannot waver; means are single divisions of identical
+integers. IPTW routes every data-dependent sum through the decimal
+helpers and scores with literal-free identical expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.deterministic import dsum, sql_dsum
+from ..registry import register
+
+_VARIANT_SQL = (
+    "CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' "
+    "THEN 'A' ELSE 'B' END"
+)
+
+
+@register(
+    "ab_test_simpsons_check",
+    tags=("experiment", "causal", "audit"),
+    oracle=f"""
+WITH base AS (
+  SELECT {_VARIANT_SQL} AS variant,
+         CAST(EXTRACT(dow FROM ts) AS INTEGER) + 1 AS dow,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT dow,
+         CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 'A' THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 'B' THEN cents ELSE 0 END) AS BIGINT) AS s_b
+  FROM base GROUP BY dow
+),
+tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS n_a, CAST(SUM(s_a) AS BIGINT) AS s_a,
+         CAST(SUM(n_b) AS BIGINT) AS n_b, CAST(SUM(s_b) AS BIGINT) AS s_b
+  FROM seg
+),
+signed AS (
+  SELECT s.dow, s.n_a, s.n_b,
+         CAST(s.s_a AS DOUBLE) / (100.0 * CAST(s.n_a AS DOUBLE)) AS mean_a,
+         CAST(s.s_b AS DOUBLE) / (100.0 * CAST(s.n_b AS DOUBLE)) AS mean_b,
+         CAST(sign(s.s_a * s.n_b - s.s_b * s.n_a) AS INTEGER) AS seg_sign,
+         CAST(sign(t.s_a * t.n_b - t.s_b * t.n_a) AS INTEGER) AS pooled_sign
+  FROM seg s CROSS JOIN tot t
+)
+SELECT dow, n_a, n_b, mean_a, mean_b, seg_sign, pooled_sign,
+       CAST((SELECT SUM(CASE WHEN seg_sign <> pooled_sign THEN 1 ELSE 0 END)
+             FROM signed) AS BIGINT) AS n_segments_opposing,
+       (SELECT SUM(CASE WHEN seg_sign <> pooled_sign THEN 1 ELSE 0 END)
+        FROM signed) = (SELECT COUNT(*) FROM signed) AS full_reversal
+FROM signed
+""",
+)
+def ab_test_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit for the variant comparison: the pooled
+    A-vs-B mean-value effect next to the per-weekday segment effects,
+    with each effect's SIGN computed from cross-multiplied exact
+    integer sums — sign(S_a·n_b − S_b·n_a) — so "which way does the
+    effect point" never touches a float. A pooled verdict whose sign
+    disagrees with the segments is the aggregation-reversal trap; the
+    audit names the opposing segments and flags full reversal.
+
+    ONE conditional-aggregate corpus pass to the 7-segment table;
+    everything after is arithmetic on that table. Integer headroom:
+    cents·n products need Σvalue·100·N < 2^63 — holds past 1e9 rows
+    per segment; beyond, the sign moves to exact DECIMAL products
+    with the same shape."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.dayofweek("ts").alias("dow"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    seg = base.groupBy("dow").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s_b"),
+    )
+    tot = seg.agg(
+        F.sum("n_a").cast("bigint").alias("t_n_a"),
+        F.sum("s_a").cast("bigint").alias("t_s_a"),
+        F.sum("n_b").cast("bigint").alias("t_n_b"),
+        F.sum("s_b").cast("bigint").alias("t_s_b"),
+    )
+    signed = seg.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_a",
+        "n_b",
+        (
+            F.col("s_a").cast("double") / (F.lit(100.0) * F.col("n_a").cast("double"))
+        ).alias("mean_a"),
+        (
+            F.col("s_b").cast("double") / (F.lit(100.0) * F.col("n_b").cast("double"))
+        ).alias("mean_b"),
+        F.signum(
+            (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")).cast(
+                "double"
+            )
+        )
+        .cast("int")
+        .alias("seg_sign"),
+        F.signum(
+            (
+                F.col("t_s_a") * F.col("t_n_b") - F.col("t_s_b") * F.col("t_n_a")
+            ).cast("double")
+        )
+        .cast("int")
+        .alias("pooled_sign"),
+    )
+    opp = signed.agg(
+        F.sum(F.when(F.col("seg_sign") != F.col("pooled_sign"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_segments_opposing"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return signed.crossJoin(F.broadcast(opp)).select(
+        "dow",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "seg_sign",
+        "pooled_sign",
+        "n_segments_opposing",
+        (F.col("n_segments_opposing") == F.col("n_segments")).alias(
+            "full_reversal"
+        ),
+    )
+
+
+# --- inverse-propensity-weighted ATE --------------------------------------
+
+IPTW_ITERS = 3
+IPTW_RATE = 0.5
+IPTW_CLICKS = 14      # treatment: above-typical clicking (median ≈ 13
+                      # clicks/user at every SF — splits ~half/half)
+IPTW_XSCALE = 50.0    # activity feature scaling
+IPTW_CLIP_LO, IPTW_CLIP_HI = 0.01, 0.99
+
+_SQL_USERS = f"""
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) / {IPTW_XSCALE} AS x,
+         CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   >= {IPTW_CLICKS} THEN 1.0 ELSE 0.0 END AS t,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) / 100.0 AS y
+  FROM events GROUP BY user_id
+"""
+
+
+def _sql_iptw_oracle() -> str:
+    parts = [f"users AS MATERIALIZED ({_SQL_USERS})"]
+    parts.append(
+        "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"
+    )
+    for i in range(1, IPTW_ITERS + 1):
+        parts.append(f"""g{i} AS MATERIALIZED (
+  SELECT {sql_dsum('(p - t) * 1.0')} AS G0,
+         {sql_dsum('(p - t) * x')} AS G1,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (
+    SELECT u.t, u.x,
+           1.0 / (1.0 + exp(-(w.w0 + w.w1 * u.x))) AS p
+    FROM users u CROSS JOIN it{i - 1} w
+  ) s
+)""")
+        parts.append(f"""it{i} AS (
+  SELECT w.w0 - {IPTW_RATE} * (g.G0 / g.n) AS w0,
+         w.w1 - {IPTW_RATE} * (g.G1 / g.n) AS w1
+  FROM it{i - 1} w CROSS JOIN g{i} g
+)""")
+    parts.append(f"""scored AS MATERIALIZED (
+  SELECT u.t, u.y,
+         LEAST(GREATEST(1.0 / (1.0 + exp(-(w.w0 + w.w1 * u.x))),
+                        CAST({IPTW_CLIP_LO} AS DOUBLE)),
+               CAST({IPTW_CLIP_HI} AS DOUBLE)) AS e
+  FROM users u CROSS JOIN it{IPTW_ITERS} w
+)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST((SELECT COUNT(*) FROM users) AS BIGINT) AS n_users,
+       CAST((SELECT SUM(CASE WHEN t = 1.0 THEN 1 ELSE 0 END) FROM scored)
+            AS BIGINT) AS n_treated,
+       (SELECT w0 FROM it{IPTW_ITERS}) AS w0,
+       (SELECT w1 FROM it{IPTW_ITERS}) AS w1,
+       ({sql_dsum('t * y / e')} / NULLIF({sql_dsum('t / e')}, 0.0)) AS mean_treated,
+       ({sql_dsum('(1.0 - t) * y / (1.0 - e)')}
+          / NULLIF({sql_dsum('(1.0 - t) / (1.0 - e)')}, 0.0)) AS mean_control,
+       ({sql_dsum('t * y / e')} / NULLIF({sql_dsum('t / e')}, 0.0))
+         - ({sql_dsum('(1.0 - t) * y / (1.0 - e)')}
+            / NULLIF({sql_dsum('(1.0 - t) / (1.0 - e)')}, 0.0)) AS ate
+FROM scored
+"""
+
+
+@register(
+    "ab_test_iptw_ate",
+    tags=("experiment", "causal", "ml", "iterative"),
+    oracle=_sql_iptw_oracle(),
+)
+def ab_test_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational treatment-effect estimation by INVERSE PROPENSITY
+    WEIGHTING: does being a frequent clicker (>= {IPTW_CLICKS} clicks)
+    change a user's purchase spend, controlling for overall activity?
+    Propensity e(x) = P(treated | activity) is a logistic model
+    trained ON THE ENGINE ({IPTW_ITERS} full-batch GD iterations — the
+    ml_logreg_train_gd machinery at user grain), probabilities are
+    clipped to [{IPTW_CLIP_LO}, {IPTW_CLIP_HI}], and the ATE is the
+    Hájek (self-normalized) estimator: the difference between
+    propensity-reweighted treated and control means.
+
+    Shape at 100 TB: the corpus reduces ONCE to the user grain; each
+    GD iteration is one map-side-combined gradient aggregate over that
+    grain (O(features) partials); the kilobyte weight vector comes
+    back as literals for one scoring pass; the four IPTW sums ride a
+    single reduce. Every sum routes through the decimal helper, so
+    the estimate is bitwise reproducible on any partitioning."""
+    e = load(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / IPTW_XSCALE).alias("x"),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                )
+                >= IPTW_CLICKS,
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("t"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        (F.col("value").cast("decimal(12,2)") * 100).cast(
+                            "bigint"
+                        ),
+                    ).otherwise(0)
+                ).cast("double")
+                / 100.0
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = [0.0, 0.0]
+    for _ in range(IPTW_ITERS):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(w[0]) + F.lit(w[1]) * F.col("x"))))
+        g = users.select("t", "x", p.alias("p")).agg(
+            dsum((F.col("p") - F.col("t")) * 1.0).alias("G0"),
+            dsum((F.col("p") - F.col("t")) * F.col("x")).alias("G1"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        ).collect()[0]
+        w[0] = w[0] - IPTW_RATE * (g["G0"] / g["n"])
+        w[1] = w[1] - IPTW_RATE * (g["G1"] / g["n"])
+    e_raw = 1.0 / (1.0 + F.exp(-(F.lit(w[0]) + F.lit(w[1]) * F.col("x"))))
+    e_clip = F.least(
+        F.greatest(e_raw, F.lit(IPTW_CLIP_LO)), F.lit(IPTW_CLIP_HI)
+    )
+    scored = users.select("t", "y", e_clip.alias("e"))
+    t, y, ec = F.col("t"), F.col("y"), F.col("e")
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(t == 1.0, 1).otherwise(0)).cast("bigint").alias("n_treated"),
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        (dsum(t * y / ec) / F.nullif(dsum(t / ec), F.lit(0.0))).alias(
+            "mean_treated"
+        ),
+        (
+            dsum((F.lit(1.0) - t) * y / (F.lit(1.0) - ec))
+            / F.nullif(dsum((F.lit(1.0) - t) / (F.lit(1.0) - ec)), F.lit(0.0))
+        ).alias("mean_control"),
+        (
+            (dsum(t * y / ec) / F.nullif(dsum(t / ec), F.lit(0.0)))
+            - (
+                dsum((F.lit(1.0) - t) * y / (F.lit(1.0) - ec))
+                / F.nullif(
+                    dsum((F.lit(1.0) - t) / (F.lit(1.0) - ec)), F.lit(0.0)
+                )
+            )
+        ).alias("ate"),
+    )
+
+
+# --- uplift deciles + Qini ------------------------------------------------
+
+QINI_DECILES = 10
+
+
+@register(
+    "ab_test_qini_uplift",
+    tags=("experiment", "causal", "uplift", "ranking"),
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         {_VARIANT_SQL} AS variant,
+         CAST(COUNT(*) AS BIGINT) AS activity,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT variant, converted,
+         NTILE({QINI_DECILES}) OVER (ORDER BY activity DESC, user_id)
+           AS decile
+  FROM users
+),
+per AS (
+  SELECT decile,
+         CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_t,
+         CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_c
+  FROM ranked GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_t, conv_t, n_c, conv_c,
+         SUM(n_t) OVER w AS cn_t, SUM(conv_t) OVER w AS cconv_t,
+         SUM(n_c) OVER w AS cn_c, SUM(conv_c) OVER w AS cconv_c
+  FROM per
+  WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+)
+SELECT decile, n_t, conv_t, n_c, conv_c,
+       CAST(conv_t AS DOUBLE) / CAST(NULLIF(n_t, 0) AS DOUBLE)
+         - CAST(conv_c AS DOUBLE) / CAST(NULLIF(n_c, 0) AS DOUBLE)
+         AS uplift,
+       CAST(cconv_t AS DOUBLE)
+         - CAST(cconv_c AS DOUBLE) * CAST(cn_t AS DOUBLE)
+           / CAST(NULLIF(cn_c, 0) AS DOUBLE) AS qini
+FROM cum
+""",
+)
+def ab_test_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPLIFT-BY-DECILE and the Qini curve: rank users by a targeting
+    score (activity), cut {QINI_DECILES} deciles with a deterministic
+    tie-break, and report per-decile incremental conversion
+    (treated − control rate) plus the cumulative Qini coefficient
+    (incremental converters vs a scaled control) — the readout that
+    decides WHO should receive a treatment, where the plain A/B
+    readout only says whether it works on average
+    (`mlstats_lift_gains` is the single-arm cousin).
+
+    Integer counts throughout; two divisions per row of identical
+    operands. Plan: one corpus reduce to user grain, one NTILE window
+    (global rank over USERS — at 100 TB this moves to range-partitioned
+    rank or bucketed score quantiles with identical downstream shape),
+    a {QINI_DECILES}-row aggregate, and cumsums over those rows."""
+    e = load(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7",
+                "A",
+            ).otherwise("B")
+        ).alias("variant"),
+        F.count(F.lit(1)).cast("bigint").alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = users.select(
+        "variant",
+        "converted",
+        F.ntile(QINI_DECILES)
+        .over(W.orderBy(F.desc("activity"), "user_id"))
+        .alias("decile"),
+    )
+    is_t = F.col("variant") == "B"
+    per = ranked.groupBy("decile").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(is_t, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(~is_t, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.select(
+        "decile",
+        "n_t",
+        "conv_t",
+        "n_c",
+        "conv_c",
+        F.sum("n_t").over(w).alias("cn_t"),
+        F.sum("conv_t").over(w).alias("cconv_t"),
+        F.sum("n_c").over(w).alias("cn_c"),
+        F.sum("conv_c").over(w).alias("cconv_c"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "conv_t",
+        "n_c",
+        "conv_c",
+        (
+            F.col("conv_t").cast("double")
+            / F.nullif(F.col("n_t"), F.lit(0)).cast("double")
+            - F.col("conv_c").cast("double")
+            / F.nullif(F.col("n_c"), F.lit(0)).cast("double")
+        ).alias("uplift"),
+        (
+            F.col("cconv_t").cast("double")
+            - F.col("cconv_c").cast("double")
+            * F.col("cn_t").cast("double")
+            / F.nullif(F.col("cn_c"), F.lit(0)).cast("double")
+        ).alias("qini"),
+    )

@@ -318,3 +318,86 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum("n").cast("bigint").alias("n_points"),
     )
+
+
+# --- geohash encoding -----------------------------------------------------
+
+GH_BITS = 20   # bits per axis -> 40-bit cell = 8 base32 chars
+GH_CHARS = 8
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_interleave_sql(x: str, y: str) -> str:
+    """Morton-interleave two GH_BITS-bit ints, x on the EVEN (low) bit
+    positions (geohash convention: first/highest bit is longitude)."""
+    terms = []
+    for i in range(GH_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def _gh_chars_sql(code: str) -> str:
+    parts = [
+        f"substr('{_GH32}', CAST((({code}) >> {5 * (GH_CHARS - 1 - j)}) & 31 AS INTEGER) + 1, 1)"
+        for j in range(GH_CHARS)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "geo_geohash_encode",
+    tags=("geo", "encoding"),
+    oracle=f"""
+WITH placed AS ({_sql_place("customer", "c_custkey")}),
+scaled AS (
+  SELECT c_custkey, x, y,
+         (x * {1 << GH_BITS}) // {WORLD} AS xb,
+         (y * {1 << GH_BITS}) // {WORLD} AS yb
+  FROM placed
+),
+coded AS (
+  SELECT c_custkey, x, y, {_gh_interleave_sql("xb", "yb")} AS code
+  FROM scaled
+)
+SELECT c_custkey, x, y,
+       {_gh_chars_sql("code")} AS geohash,
+       substr({_gh_chars_sql("code")}, 1, 4) AS cell4
+FROM coded
+""",
+)
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH encoding of the synthetic placements: scale each axis
+    to {GH_BITS} bits, Morton-interleave (x on the high bit — the
+    longitude-first geohash convention), and render {GH_CHARS} base32
+    characters. The PREFIX property is the point: truncating the
+    string is exactly coarsening the grid, so prefix equality is a
+    hierarchical cell join key (the S2/H3-style index the geo module's
+    flat grid graduates to), LIKE 'u4pr%' is a spatial range scan, and
+    lexicographic sort order is a space-filling-curve layout — the
+    same clustering trick as `scan_zorder_write`, made human-readable.
+
+    Pure integer bit arithmetic and table lookups — bitwise identical
+    everywhere; zero shuffles (a projection)."""
+    placed = _place(load(spark, sf_dir, "customer"), "c_custkey")
+    scaled = placed.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.expr(f"(x * {1 << GH_BITS}) div {WORLD}").alias("xb"),
+        F.expr(f"(y * {1 << GH_BITS}) div {WORLD}").alias("yb"),
+    )
+    coded = scaled.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.expr(_gh_interleave_sql("xb", "yb")).alias("code"),
+    )
+    gh = F.expr(_gh_chars_sql("code"))
+    return coded.select(
+        "c_custkey",
+        "x",
+        "y",
+        gh.alias("geohash"),
+        F.substring(gh, 1, 4).alias("cell4"),
+    )

@@ -25,7 +25,7 @@ oracle unrolls the fixed iteration count into MATERIALIZED CTE pairs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -615,4 +615,309 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         (det1 / det).alias("b1"),
         (det2 / det).alias("b2"),
         n.cast("bigint").alias("n_rows"),
+    )
+
+
+# --- two-round gradient-boosted regression stumps (fixed-point) -----------
+
+GBRT_ROUNDS = 2
+
+
+def _sql_gbrt_round(i: int, resid: str) -> str:
+    """One unrolled boosting round: per-(feature, value) integer
+    moments, threshold cumsums, gain argmax, and the residual update
+    (integer-cent leaf values, learning rate 1/2 as integer halving)."""
+    return f"""
+m{i} AS MATERIALIZED (
+  SELECT feat, x, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS s
+  FROM (
+    SELECT 'hour' AS feat, f1 AS x, {resid} AS r FROM ev{i - 1}
+    UNION ALL
+    SELECT 'dow' AS feat, f2 AS x, {resid} AS r FROM ev{i - 1}
+  ) long
+  GROUP BY feat, x
+),
+c{i} AS (
+  SELECT feat, x,
+         SUM(n) OVER w AS nl, SUM(s) OVER w AS sl,
+         SUM(n) OVER p AS nt, SUM(s) OVER p AS st
+  FROM m{i}
+  WINDOW w AS (PARTITION BY feat ORDER BY x ROWS UNBOUNDED PRECEDING),
+         p AS (PARTITION BY feat)
+),
+g{i} AS (
+  SELECT feat, x AS threshold, nl, nt - nl AS nr, sl, st - sl AS sr,
+         CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+           + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+             / CAST(nt - nl AS DOUBLE) AS gain
+  FROM c{i} WHERE nt - nl > 0
+),
+b{i} AS (
+  SELECT feat, threshold,
+         CAST(nl AS BIGINT) AS nl, CAST(nr AS BIGINT) AS nr,
+         CAST(sl // nl AS BIGINT) AS vl, CAST(sr // nr AS BIGINT) AS vr,
+         gain
+  FROM g{i}
+  ORDER BY gain DESC, feat, threshold LIMIT 1
+),
+ev{i} AS MATERIALIZED (
+  SELECT e.f1, e.f2,
+         e.r - ((CASE WHEN (b.feat = 'hour' AND e.f1 <= b.threshold)
+                        OR (b.feat = 'dow' AND e.f2 <= b.threshold)
+                      THEN b.vl ELSE b.vr END) // 2) AS r
+  FROM (SELECT f1, f2, {resid} AS r FROM ev{i - 1}) e CROSS JOIN b{i} b
+)"""
+
+
+def _sql_gbrt_oracle() -> str:
+    base = """
+ev_raw AS MATERIALIZED (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS f1,
+         CAST(EXTRACT(dow FROM ts) AS BIGINT) + 1 AS f2,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM events
+),
+f0 AS (SELECT CAST(SUM(y) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS f0 FROM ev_raw),
+ev0 AS MATERIALIZED (
+  SELECT e.f1, e.f2, e.y - f.f0 AS r FROM ev_raw e CROSS JOIN f0 f
+)"""
+    rounds = "".join(
+        "," + _sql_gbrt_round(i, "r") for i in range(1, GBRT_ROUNDS + 1)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS round, feat AS feature, threshold, nl AS n_left, "
+        f"nr AS n_right, vl AS leaf_left_cents, vr AS leaf_right_cents, gain "
+        f"FROM b{i}"
+        for i in range(1, GBRT_ROUNDS + 1)
+    )
+    return f"WITH {base}{rounds}\n{selects}"
+
+
+@register(
+    "ml_gbrt_boost2",
+    tags=("ml", "training", "boosting", "iterative"),
+    oracle=_sql_gbrt_oracle(),
+)
+def ml_gbrt_boost2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-POINT gradient-boosted regression stumps ({GBRT_ROUNDS}
+    rounds, squared loss, learning rate 1/2): predict event value
+    (cents) from hour-of-day and weekday. Round k fits the best
+    threshold split on the current residuals — maximizing
+    S_l²/n_l + S_r²/n_r, the SSE-reduction identity — then subtracts
+    half the leaf mean. The residual stream stays INTEGER CENTS the
+    whole way (base prediction and leaf values take TRUNCATING integer
+    division — Spark `div` and DuckDB `//` both truncate toward zero,
+    verified on negative residual sums; halving is the same truncating
+    `div 2`), so both the model AND
+    every intermediate residual are bitwise-deterministic on any
+    partitioning — the boosting extension of `ml_decision_stump`, and
+    the same "quantize the model, not the data" trade embedded
+    inference systems make.
+
+    Plan per round: the corpus reduces to per-(feature, value) integer
+    moments (map-side combine; the value domains are 24 + 7 points, so
+    the split-search frame is constant-size); gain cumsums and the
+    argmax run on that tiny frame; the 1-row stump broadcasts back for
+    the residual projection. {GBRT_ROUNDS} rounds = {GBRT_ROUNDS}
+    corpus aggregates + {GBRT_ROUNDS} projections — no iteration ever
+    shuffles rows."""
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        F.hour("ts").cast("bigint").alias("f1"),
+        F.dayofweek("ts").cast("bigint").alias("f2"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("y"),
+    )
+    f0 = ev.agg(
+        F.expr("sum(y) div count(*)").cast("bigint").alias("f0")
+    )
+    cur = ev.crossJoin(F.broadcast(f0)).select(
+        "f1", "f2", (F.col("y") - F.col("f0")).alias("r")
+    )
+    out = []
+    for i in range(1, GBRT_ROUNDS + 1):
+        cur = cur.localCheckpoint(eager=False)
+        long = cur.select(
+            F.lit("hour").alias("feat"), F.col("f1").alias("x"), "r"
+        ).unionAll(
+            cur.select(F.lit("dow").alias("feat"), F.col("f2").alias("x"), "r")
+        )
+        m = long.groupBy("feat", "x").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("r").cast("bigint").alias("s"),
+        )
+        wc = Window.partitionBy("feat").orderBy("x").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wp = Window.partitionBy("feat")
+        c = m.select(
+            "feat",
+            "x",
+            F.sum("n").over(wc).alias("nl"),
+            F.sum("s").over(wc).alias("sl"),
+            F.sum("n").over(wp).alias("nt"),
+            F.sum("s").over(wp).alias("st"),
+        )
+        d = lambda col: F.col(col).cast("double")  # noqa: E731
+        g = c.filter((F.col("nt") - F.col("nl")) > 0).select(
+            "feat",
+            F.col("x").alias("threshold"),
+            "nl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            "sl",
+            (F.col("st") - F.col("sl")).alias("sr"),
+            (
+                d("sl") * d("sl") / d("nl")
+                + (d("st") - d("sl")) * (d("st") - d("sl"))
+                / (d("nt") - d("nl"))
+            ).alias("gain"),
+        )
+        wr = Window.orderBy(F.desc("gain"), "feat", "threshold")
+        b = (
+            g.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "feat",
+                "threshold",
+                "nl",
+                "nr",
+                F.expr("sl div nl").alias("vl"),
+                F.expr("sr div nr").alias("vr"),
+                "gain",
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            b.select(
+                F.lit(i).alias("round"),
+                F.col("feat").alias("feature"),
+                "threshold",
+                F.col("nl").alias("n_left"),
+                F.col("nr").alias("n_right"),
+                F.col("vl").alias("leaf_left_cents"),
+                F.col("vr").alias("leaf_right_cents"),
+                "gain",
+            )
+        )
+        contrib = F.expr(
+            "(CASE WHEN (feat = 'hour' AND f1 <= threshold)"
+            " OR (feat = 'dow' AND f2 <= threshold)"
+            " THEN vl ELSE vr END) div 2"
+        )
+        cur = cur.crossJoin(F.broadcast(b)).select(
+            "f1", "f2", (F.col("r") - contrib).alias("r")
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+# --- Platt scaling (probability recalibration) ----------------------------
+
+PLATT_ITERS = 3
+PLATT_RATE = 0.5
+
+# The raw scorer being recalibrated: the same logistic squash the eval
+# family scores with (evalmetrics._P_SQL) — x is its logit, so Platt's
+# slope is exactly an inverse temperature on the original scorer.
+_SQL_PLATT_FEAT = """
+  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+         (value - 150.0) / 75.0 AS x
+  FROM events
+"""
+
+
+def _sql_platt_oracle() -> str:
+    parts = [f"feat AS MATERIALIZED ({_SQL_PLATT_FEAT})"]
+    parts.append(
+        "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(1.0 AS DOUBLE) AS w1)"
+    )
+    for i in range(1, PLATT_ITERS + 1):
+        parts.append(f"""g{i} AS MATERIALIZED (
+  SELECT {sql_dsum('(p - y) * 1.0')} AS G0,
+         {sql_dsum('(p - y) * x')} AS G1,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (
+    SELECT f.y, f.x,
+           1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x))) AS p
+    FROM feat f CROSS JOIN it{i - 1} w
+  ) s
+)""")
+        parts.append(f"""it{i} AS (
+  SELECT w.w0 - {PLATT_RATE} * (g.G0 / g.n) AS w0,
+         w.w1 - {PLATT_RATE} * (g.G1 / g.n) AS w1
+  FROM it{i - 1} w CROSS JOIN g{i} g
+)""")
+    parts.append(f"""loss AS (
+  SELECT {sql_dsum('-(y * ln(p0) + (1.0 - y) * ln(1.0 - p0))')} AS l_before,
+         {sql_dsum('-(y * ln(p1) + (1.0 - y) * ln(1.0 - p1))')} AS l_after,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (
+    SELECT f.y,
+           1.0 / (1.0 + exp(-f.x)) AS p0,
+           1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x))) AS p1
+    FROM feat f CROSS JOIN it{PLATT_ITERS} w
+  ) s
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT w.w0 AS platt_b, w.w1 AS platt_a,
+       l.l_before / l.n AS logloss_before,
+       l.l_after / l.n AS logloss_after,
+       CAST(l.n AS BIGINT) AS n_rows
+FROM it{PLATT_ITERS} w CROSS JOIN loss l
+"""
+    )
+
+
+@register(
+    "ml_platt_calibration",
+    tags=("ml", "training", "calibration"),
+    oracle=_sql_platt_oracle(),
+)
+def ml_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLATT SCALING: refit sigmoid(a·logit + b) over the eval
+    family's pseudo-probability scorer ({PLATT_ITERS} GD iterations
+    from the identity calibration a=1, b=0) and report mean log-loss
+    BEFORE vs AFTER — the recalibration step between
+    `mlstats_calibration_bins` (which diagnoses miscalibration) and
+    deployment. Because x is the scorer's logit, a is an inverse
+    temperature and b a bias correction.
+
+    Same scale shape as every trainer here: per iteration ONE
+    decimal-combined gradient aggregate; the final pass scores both
+    calibrations in one scan. Identical-expression IEEE arithmetic
+    end to end."""
+    feat = load(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        ((F.col("value") - 150.0) / 75.0).alias("x"),
+    )
+    w = [0.0, 1.0]
+    for _ in range(PLATT_ITERS):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(w[0]) + F.lit(w[1]) * F.col("x"))))
+        g = feat.select("y", "x", p.alias("p")).agg(
+            dsum((F.col("p") - F.col("y")) * 1.0).alias("G0"),
+            dsum((F.col("p") - F.col("y")) * F.col("x")).alias("G1"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        ).collect()[0]
+        w = [
+            w[0] - PLATT_RATE * (g["G0"] / g["n"]),
+            w[1] - PLATT_RATE * (g["G1"] / g["n"]),
+        ]
+    p0 = 1.0 / (1.0 + F.exp(-F.col("x")))
+    p1 = 1.0 / (1.0 + F.exp(-(F.lit(w[0]) + F.lit(w[1]) * F.col("x"))))
+    ll = lambda pr: dsum(  # noqa: E731
+        -(
+            F.col("y") * F.log(pr)
+            + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pr)
+        )
+    )
+    return feat.agg(
+        F.lit(w[0]).alias("platt_b"),
+        F.lit(w[1]).alias("platt_a"),
+        (ll(p0) / F.count(F.lit(1)).cast("double")).alias("logloss_before"),
+        (ll(p1) / F.count(F.lit(1)).cast("double")).alias("logloss_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
