@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.llm.bpe",
     "spark_streaming_test_spark.operators.mlstats",
     "spark_streaming_test_spark.operators.rankstats",
+    "spark_streaming_test_spark.operators.causal",
     "spark_streaming_test_spark.operators.mltrain",
     "spark_streaming_test_spark.operators.trend",
     "spark_streaming_test_spark.operators.fuzzy",
@@ -131,7 +132,13 @@ _DRIVER_WINDOW = [
     "udf_apply_in_arrow", "sql_execute_immediate", "ml_decision_stump",
     "ml_linreg_normal_eq", "agg_kruskal_wallis", "mlstats_cohens_kappa",
     "mlstats_mcnemar", "graph_hits", "ml_ridge_path", "ts_monotone_streaks",
-    "text_bpe_apply", "dedup_lsh_recall_eval",
+    "text_bpe_apply", "dedup_lsh_recall_eval", "agg_cramers_v",
+    "ts_acf_correlogram", "dq_fd_discovery", "sql_transpose",
+    "ts_holt_winters", "ab_test_simpsons_check", "ab_test_iptw_ate",
+    "ab_test_qini_uplift", "sample_pps_systematic", "fn_aes_roundtrip",
+    "ml_gbrt_boost2", "agg_weighted_median", "geo_geohash_encode",
+    "sql_window_clause", "fn_month_arithmetic_edges", "ml_platt_calibration",
+    "dedup_lsh_band_tuning",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",

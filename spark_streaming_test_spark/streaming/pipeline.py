@@ -630,3 +630,100 @@ def session_close_on_timeout_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+HW_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("nif", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("forecast_1", T.DoubleType()),
+    ]
+)
+
+
+def _hw_fold_fn(period: int) -> Callable[..., Iterator[pd.DataFrame]]:
+    """applyInPandasWithState fold for :func:`holt_winters_stream` —
+    the live twin of the batch ``ts_holt_winters`` operator, identical
+    recurrence (alpha = beta = gamma = 1/2, exact halvings).
+
+    Per-key state is O(period): the rotating seasonal vector plus
+    level/trend, and during warm-up the first-cycle buffer. A given
+    arrival order reproduces the batch fold bitwise — the checkpoint
+    carries the full seed, so restarts continue the exact sequence."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (nif,) = key
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["ts", "total_bytes"])
+        if state.exists:
+            n, buf, lvl, tr, seas = state.get
+            buf = list(buf or [])
+            seas = list(seas or [])
+        else:
+            n, buf, lvl, tr, seas = 0, [], None, None, []
+        for x in pdf["total_bytes"]:
+            x = float(x)
+            n += 1
+            if lvl is None:
+                buf.append(x)
+                if len(buf) == period:
+                    lvl = sum(buf) / float(period)
+                    tr = 0.0
+                    seas = [v - lvl for v in buf]
+                    buf = []
+            else:
+                sc = seas[0]
+                lvl2 = (x - sc + lvl + tr) / 2.0
+                tr = (lvl2 - lvl + tr) / 2.0
+                sc2 = (x - lvl2 + sc) / 2.0
+                seas = seas[1:] + [sc2]
+                lvl = lvl2
+        state.update(
+            (
+                int(n),
+                [float(v) for v in buf],
+                None if lvl is None else float(lvl),
+                None if tr is None else float(tr),
+                [float(v) for v in seas],
+            )
+        )
+        f1 = None if lvl is None else lvl + tr + seas[0]
+        yield pd.DataFrame(
+            {
+                "nif": [nif],
+                "n": [n],
+                "level": [lvl],
+                "trend": [tr],
+                "forecast_1": [f1],
+            }
+        )
+
+    return fn
+
+
+def holt_winters_stream(values: DataFrame, period: int = 24) -> DataFrame:
+    """Per-key streaming Holt-Winters over (nif, total_bytes, ts) rows:
+    level + trend + rotating seasonal vector maintained incrementally,
+    one (level, trend, forecast) emission per key per micro-batch.
+    State is O(period) per key — the incremental form of the batch
+    ``ts_holt_winters`` fold, for the always-on forecast the batch
+    recompute can't serve cheaply."""
+    return values.groupBy("nif").applyInPandasWithState(
+        _hw_fold_fn(period),
+        outputStructType=HW_STREAM_SCHEMA,
+        stateStructType=T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("buf", T.ArrayType(T.DoubleType())),
+                T.StructField("level", T.DoubleType()),
+                T.StructField("trend", T.DoubleType()),
+                T.StructField("seas", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -86,3 +86,61 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
     for coef, r in (("b0", ref[0]), ("b1", ref[1]), ("b2", ref[2])):
         assert abs(got[coef] - r) <= 1e-4 * max(1.0, abs(r)), (coef, got[coef], r)
     assert got["n_rows"] == len(feat)
+
+
+def test_gbrt_round1_matches_python_argmax(spark, sf_dir):
+    """Recompute round-1's best stump in plain Python (integer-cent
+    residuals, SSE-reduction gain, same tie-break) and compare."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators import mltrain
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.hour("ts").cast("bigint").alias("f1"),
+            F.dayofweek("ts").cast("bigint").alias("f2"),
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("y"),
+        )
+        .collect()
+    )
+    def tdiv(a, b):
+        # both engines' integer division TRUNCATES toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    f0 = tdiv(sum(r["y"] for r in rows), len(rows))
+    moments = collections.defaultdict(lambda: [0, 0])  # (feat,x) -> [n, s]
+    for r in rows:
+        res = r["y"] - f0
+        for feat, x in (("hour", r["f1"]), ("dow", r["f2"])):
+            m = moments[(feat, x)]
+            m[0] += 1
+            m[1] += res
+    best = None
+    for feat in ("dow", "hour"):
+        xs = sorted(x for f, x in moments if f == feat)
+        nt = sum(moments[(feat, x)][0] for x in xs)
+        st = sum(moments[(feat, x)][1] for x in xs)
+        nl = sl = 0
+        for x in xs:
+            nl += moments[(feat, x)][0]
+            sl += moments[(feat, x)][1]
+            nr, sr = nt - nl, st - sl
+            if nr <= 0:
+                continue
+            gain = sl * sl / nl + sr * sr / nr
+            key = (-gain, feat, x)
+            if best is None or key < best[0]:
+                best = (key, feat, x, nl, nr, tdiv(sl, nl), tdiv(sr, nr))
+    got = {r["round"]: r for r in mltrain.ml_gbrt_boost2(spark, sf_dir).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1["feature"], r1["threshold"]) == (best[1], best[2])
+    assert (r1["n_left"], r1["n_right"]) == (best[3], best[4])
+    assert (r1["leaf_left_cents"], r1["leaf_right_cents"]) == (best[5], best[6])
+    # boosting makes progress: both rounds found splits with positive
+    # explained sum-of-squares
+    assert got[1]["gain"] > 0 and got[2]["gain"] > 0

@@ -748,3 +748,48 @@ def test_decision_stump_histogram_then_cumsum(spark, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:1500]
     checks.assert_operator(df, "WindowGroupLimit")
+
+
+def test_bpe_apply_vocab_broadcasts_no_udf(spark, qs):
+    # The fold chain must stay JVM-side (no Python evaluation) and the
+    # Heaps-bounded vocabulary must broadcast back onto the count table.
+    df = qs["text_bpe_apply"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    checks.assert_broadcast_join(df)
+    checks.assert_no_cartesian(df)
+
+
+def test_acf_single_window_pass(spark, qs):
+    # All 7 lag columns must come from ONE WindowExec over the daily
+    # frame (one sort, one exchange) — not one window per lag.
+    df = qs["ts_acf_correlogram"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    checks.assert_no_cartesian(df)
+
+
+def test_kruskal_rank_window_sees_distinct_values_only(spark, qs):
+    # The global rank cumsum must run AFTER the (value, group) reduce:
+    # exactly one unpartitioned WindowExec, fed by an aggregate, and the
+    # corpus scan reaches it only through hash aggregates.
+    df = qs["agg_kruskal_wallis"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("Window") >= 1
+    assert "HashAggregate" in plan
+
+
+def test_fd_discovery_no_cartesian(spark, qs):
+    df = qs["dq_fd_discovery"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
+
+
+def test_holt_winters_two_aggregates_no_join(spark, qs):
+    # hourly reduce + per-type collect: no join anywhere; the fold is
+    # a projection over the aggregated array.
+    df = qs["ts_holt_winters"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan

@@ -1861,3 +1861,64 @@ def test_chained_windowed_aggs_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got, "chained stateful pipeline emitted nothing"
     for k, v in got.items():
         assert expected[k] == v, k
+
+
+def test_streaming_holt_winters_matches_batch_fold(spark, tmp_path):
+    """Streaming Holt-Winters (period 4) across three micro-batches
+    must reproduce the batch recurrence bitwise: warm-up mean + cycle
+    deviations, then exact-halving level/trend/seasonal updates, with
+    state carrying the fold across batches."""
+    from spark_streaming_test_spark.streaming.pipeline import (
+        holt_winters_stream,
+        packet_stream_from_dir,
+    )
+
+    period = 4
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    xs = [100.0, 50.0, 75.0, 10.0, 80.0, 60.0, 90.0]
+    batches = [
+        [("A", x, _ts(i)) for i, x in enumerate(xs[:3])],
+        [("A", x, _ts(3 + i)) for i, x in enumerate(xs[3:5])],
+        [("A", x, _ts(5 + i)) for i, x in enumerate(xs[5:])],
+    ]
+    _write_packet_batch(spark, src, batches[0], 0)
+    packets = packet_stream_from_dir(spark, src)
+    values = packets.select("nif", F.col("bytes").alias("total_bytes"), "ts")
+    q = (
+        holt_winters_stream(values, period=period)
+        .writeStream.format("memory")
+        .queryName("hw_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_packet_batch(spark, src, rows, i)
+            q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT n, level, trend, forecast_1 FROM hw_out"
+        ).collect()
+    finally:
+        q.stop()
+
+    # Python replay of the identical recurrence
+    lvl = sum(xs[:period]) / float(period)
+    tr = 0.0
+    seas = [v - lvl for v in xs[:period]]
+    for x in xs[period:]:
+        sc = seas[0]
+        lvl2 = (x - sc + lvl + tr) / 2.0
+        tr = (lvl2 - lvl + tr) / 2.0
+        seas = seas[1:] + [(x - lvl2 + sc) / 2.0]
+        lvl = lvl2
+    final = max((r["n"], r) for r in rows)[1]
+    assert final["n"] == len(xs)
+    assert final["level"] == lvl
+    assert final["trend"] == tr
+    assert final["forecast_1"] == lvl + tr + seas[0]
+    # batch-1 emission is still warming up (n=3 < period): null state
+    warm = min((r["n"], r) for r in rows)[1]
+    assert warm["n"] == 3 and warm["level"] is None

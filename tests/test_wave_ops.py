@@ -107,3 +107,336 @@ def test_lsh_recall_counts_consistent(spark, sf_dir):
             abs(r["precision_at_threshold"] - r["n_hits"] / r["n_candidates"])
             < 1e-12
         )
+
+
+def test_cramers_v_bounds_and_recompute(spark, sf_dir):
+    """V ∈ [0, 1]; recompute chi² from raw counts in Python."""
+    from spark_streaming_test_spark.operators import rankstats
+
+    r = rankstats.agg_cramers_v(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["n_col_cats"] == 7
+    from spark_streaming_test_spark.catalog import load
+    import collections
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.dayofweek("ts").alias("dow"))
+        .collect()
+    )
+    cells = collections.Counter((x["event_type"], x["dow"]) for x in rows)
+    types = sorted({x["event_type"] for x in rows})
+    n = len(rows)
+    chi2 = 0.0
+    for t in types:
+        for d in range(1, 8):
+            o = cells.get((t, d), 0)
+            row_tot = sum(cells.get((t, dd), 0) for dd in range(1, 8))
+            col_tot = sum(cells.get((tt, d), 0) for tt in types)
+            e = row_tot * col_tot / n
+            if e:
+                chi2 += (o - e) ** 2 / e
+    assert abs(r["chi2"] - chi2) < 1e-6 * max(1.0, chi2)
+
+
+def test_acf_lag_zero_property_and_numpy(spark, sf_dir):
+    """ACF values lie in [-1, 1]; recompute lag-1 ACF for one type with
+    numpy and compare to 1e-9."""
+    import numpy as np
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import trend
+
+    out = trend.ts_acf_correlogram(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+    g = out[0]["event_type"]
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == g)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg((F.sum(F.col("value").cast("decimal(12,2)")) * 100).cast("bigint").alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    x = np.array([r["c"] for r in daily], dtype=np.float64)
+    xc = x - x.mean()
+    r1 = float((xc[1:] * xc[:-1]).sum() / (xc * xc).sum())
+    got = {(r["event_type"], r["lag"]): r["acf"] for r in out}
+    assert abs(got[(g, 1)] - r1) < 1e-9
+
+
+def test_fd_discovery_known_truths(spark, sf_dir):
+    """nation.n_nationkey→n_regionkey must hold exactly (strength 1,
+    zero violating keys); doc_id→lang is a key so it must too."""
+    from spark_streaming_test_spark.operators import profiling
+
+    rows = {r["fd"]: r for r in profiling.dq_fd_discovery(spark, sf_dir).collect()}
+    nat = rows["nation.n_nationkey->n_regionkey"]
+    assert nat["strength"] == 1.0 and nat["n_violating_keys"] == 0
+    doc = rows["documents.doc_id->lang"]
+    assert doc["strength"] == 1.0 and doc["n_keys"] == doc["n_rows"]
+    for r in rows.values():
+        assert 0.0 < r["strength"] <= 1.0
+
+
+def test_transpose_shape(spark, sf_dir):
+    """Transposed stats frame: 3 metric rows, one column per event
+    type plus the key column; values match the straight aggregate."""
+    from spark_streaming_test_spark.operators import sqlsurface
+    from spark_streaming_test_spark.catalog import load
+
+    t = sqlsurface.sql_transpose(spark, sf_dir)
+    rows = {r["key"]: r for r in t.collect()}
+    assert set(rows) == {"n", "total", "avg_val"}
+    n_click = (
+        load(spark, sf_dir, "events").filter(F.col("event_type") == "click").count()
+    )
+    assert rows["n"]["click"] == float(n_click)
+
+
+def test_holt_winters_python_reference(spark, sf_dir):
+    """Replay the exact fold in plain Python from the raw hourly cents
+    series and compare level/trend/forecasts bitwise."""
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import trend
+
+    P = trend.HW_PERIOD
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    )
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["h"], float(r["c"])))
+    got = {r["event_type"]: r for r in trend.ts_holt_winters(spark, sf_dir).collect()}
+    for g, pts in series.items():
+        pts.sort()
+        xs = [v for _, v in pts]
+        m = min(len(xs), P)
+        level = sum(xs[:P]) / float(m)
+        state = [level, 0.0] + [x - level for x in xs[:P]]
+        for x in xs[P:]:
+            lvl, tr, sc = state[0], state[1], state[2]
+            lvl2 = (x - sc + lvl + tr) / 2.0
+            tr2 = (lvl2 - lvl + tr) / 2.0
+            sc2 = (x - lvl2 + sc) / 2.0
+            state = [lvl2, tr2] + state[3:] + [sc2]
+        r = got[g]
+        assert r["n_hours"] == len(xs)
+        assert r["level"] == state[0]
+        assert r["trend"] == state[1]
+        assert r["forecast_1"] == state[0] + state[1] + state[2]
+        assert r["forecast_2"] == state[0] + 2.0 * state[1] + state[3]
+        assert r["forecast_3"] == state[0] + 3.0 * state[1] + state[4]
+
+
+def test_simpsons_check_consistency(spark, sf_dir):
+    """Segment counts partition the corpus; signs match the sign of
+    the reported mean differences."""
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import causal
+
+    rows = causal.ab_test_simpsons_check(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "events").count()
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n_total
+    for r in rows:
+        d = r["mean_a"] - r["mean_b"]
+        if r["seg_sign"] != 0:
+            assert (d > 0) == (r["seg_sign"] > 0)
+        opposing = sum(
+            1 for x in rows if x["seg_sign"] != x["pooled_sign"]
+        )
+        assert r["n_segments_opposing"] == opposing
+        assert r["full_reversal"] == (opposing == len(rows))
+
+
+def test_iptw_python_replay(spark, sf_dir):
+    """Replay the full IPTW pipeline (user grain → 3 GD iterations →
+    clipped scoring → Hájek ATE) in plain Python from the raw events
+    and compare the weights and the estimate."""
+    import collections
+    import math
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import causal
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    ).collect()
+    acc = collections.defaultdict(lambda: [0, 0, 0])  # n, clicks, purchase cents
+    for r in ev:
+        a = acc[r["user_id"]]
+        a[0] += 1
+        if r["event_type"] == "click":
+            a[1] += 1
+        if r["event_type"] == "purchase":
+            a[2] += r["cents"]
+    users = [
+        (n / causal.IPTW_XSCALE,
+         1.0 if clicks >= causal.IPTW_CLICKS else 0.0,
+         cents / 100.0)
+        for n, clicks, cents in acc.values()
+    ]
+    w0 = w1 = 0.0
+    nd = float(len(users))
+    from decimal import Decimal
+
+    def dsum6(vals):
+        return float(sum(Decimal(f"{v:.6f}") for v in vals))
+
+    for _ in range(causal.IPTW_ITERS):
+        ps = [1.0 / (1.0 + math.exp(-(w0 + w1 * x))) for x, _, _ in users]
+        g0 = dsum6([(p - t) * 1.0 for p, (_, t, _) in zip(ps, users)])
+        g1 = dsum6([(p - t) * x for p, (x, t, _) in zip(ps, users)])
+        w0 -= causal.IPTW_RATE * (g0 / nd)
+        w1 -= causal.IPTW_RATE * (g1 / nd)
+    got = causal.ab_test_iptw_ate(spark, sf_dir).collect()[0]
+    assert abs(got["w0"] - w0) < 1e-12 and abs(got["w1"] - w1) < 1e-12
+    es = [
+        min(max(1.0 / (1.0 + math.exp(-(w0 + w1 * x))), causal.IPTW_CLIP_LO),
+            causal.IPTW_CLIP_HI)
+        for x, _, _ in users
+    ]
+    mt = dsum6([t * y / e for (_, t, y), e in zip(users, es)]) / dsum6(
+        [t / e for (_, t, _), e in zip(users, es)]
+    )
+    mc = dsum6(
+        [(1 - t) * y / (1 - e) for (_, t, y), e in zip(users, es)]
+    ) / dsum6([(1 - t) / (1 - e) for (_, t, _), e in zip(users, es)])
+    assert abs(got["mean_treated"] - mt) < 1e-9 * max(1.0, abs(mt))
+    assert abs(got["mean_control"] - mc) < 1e-9 * max(1.0, abs(mc))
+    assert abs(got["ate"] - (mt - mc)) < 1e-9 * max(1.0, abs(mt - mc))
+
+
+def test_qini_partitions_users_and_final_row(spark, sf_dir):
+    """Deciles partition the user set; the final cumulative Qini row
+    equals total incremental conversions vs the scaled control."""
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import causal
+
+    rows = sorted(
+        causal.ab_test_qini_uplift(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == n_users
+    tot_t = sum(r["conv_t"] for r in rows)
+    tot_c = sum(r["conv_c"] for r in rows)
+    cn_t = sum(r["n_t"] for r in rows)
+    cn_c = sum(r["n_c"] for r in rows)
+    expect_final = tot_t - tot_c * cn_t / cn_c
+    assert abs(rows[-1]["qini"] - expect_final) < 1e-9
+
+
+def test_pps_per_day_counts_and_big_orders(spark, sf_dir):
+    """Each day selects at most the budget; any order worth >= one
+    step is always selected (the PPS certainty property)."""
+    import collections
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.llm import sampling
+
+    sel = sampling.sample_pps_systematic(spark, sf_dir).collect()
+    per_day = collections.Counter(r["day"] for r in sel)
+    assert per_day and max(per_day.values()) <= sampling.PPS_PER_DAY
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("day"),
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    day_tot = collections.Counter()
+    for r in orders:
+        day_tot[r["day"]] += r["cents"]
+    selected = {r["o_orderkey"] for r in sel}
+    for r in orders:
+        step = day_tot[r["day"]] // sampling.PPS_PER_DAY
+        if step > 0 and r["cents"] >= step:
+            assert r["o_orderkey"] in selected, (r["o_orderkey"], r["cents"], step)
+
+
+def test_aes_roundtrip_all_rows_hold(spark, sf_dir):
+    from spark_streaming_test_spark.functions import hashing
+
+    for r in hashing.fn_aes_roundtrip(spark, sf_dir).collect():
+        assert r["roundtrip_ok"] and r["wrong_key_differs"]
+        assert r["cipher_len"] % 16 == 0
+
+
+def test_platt_improves_logloss(spark, sf_dir):
+    """Recalibration from the identity init must not worsen training
+    log-loss (convex objective, small rate), and the learned inverse
+    temperature stays positive (orientation preserved)."""
+    from spark_streaming_test_spark.operators import mltrain
+
+    r = mltrain.ml_platt_calibration(spark, sf_dir).collect()[0]
+    assert r["logloss_after"] <= r["logloss_before"] + 1e-12
+    assert r["platt_a"] > 0
+
+
+def test_window_clause_single_shared_window(spark, sf_dir):
+    """All three functions over the named window must land in ONE
+    WindowExec (one sort, one exchange) — the point of the clause."""
+    import re
+
+    from spark_streaming_test_spark.operators import sqlsurface
+    from spark_streaming_test_spark.plans import checks
+
+    df = sqlsurface.sql_window_clause(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    import collections
+
+    per = collections.Counter(r["o_custkey"] for r in df.collect())
+    assert max(per.values()) <= 3
+
+
+def test_month_edges_clamp(spark, sf_dir):
+    """Python-calendar recompute of the clamping convention."""
+    import calendar
+    import datetime as dt
+
+    from spark_streaming_test_spark.functions import scalar as fns
+
+    def add_months(d, m):
+        y = d.year + (d.month - 1 + m) // 12
+        mo = (d.month - 1 + m) % 12 + 1
+        return dt.date(y, mo, min(d.day, calendar.monthrange(y, mo)[1]))
+
+    for r in fns.fn_month_arithmetic_edges(spark, sf_dir).limit(500).collect():
+        assert r["plus_1m"] == add_months(r["d"], 1)
+        assert r["plus_13m"] == add_months(r["d"], 13)
+        assert r["month_end"].day == calendar.monthrange(r["d"].year, r["d"].month)[1]
+        assert r["is_month_end"] == (r["d"] == r["month_end"])
+
+
+def test_lsh_band_tuning_monotone_tradeoff(spark, sf_dir):
+    """More bands (fewer rows per band) can only widen the candidate
+    set: n_candidates and recall are monotone in bands; the 8x4
+    production layout's numbers must match dedup_lsh_recall_eval."""
+    from spark_streaming_test_spark.llm import dedup
+
+    rows = {r["bands"]: r for r in dedup.dedup_lsh_band_tuning(spark, sf_dir).collect()}
+    assert set(rows) == {b for b, _ in dedup.LSH_TUNE_CONFIGS}
+    assert rows[16]["n_candidates"] >= rows[8]["n_candidates"] >= rows[4]["n_candidates"]
+    assert rows[16]["n_hits"] >= rows[8]["n_hits"] >= rows[4]["n_hits"]
+    ref = dedup.dedup_lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert rows[8]["n_candidates"] == ref["n_candidates"]
+    assert rows[8]["n_hits"] == ref["n_hits"]
+    assert rows[8]["n_truth"] == ref["n_truth"]
