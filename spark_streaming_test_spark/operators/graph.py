@@ -60,17 +60,22 @@ _TELEPORT_FP = (DAMP_DEN - DAMP_NUM) * FP_ONE // DAMP_DEN
 # so repeated query construction (bench warm runs, the parity suite)
 # reuses the materialized edge cache. Same pattern as the IVF index in
 # ``llm/similarity.py``.
-# Keyed by (session id, sf_dir): cached DataFrames are bound to the
-# session that created them — a fresh session (e.g. the Hive-enabled
-# test session, or a driver that recycles sessions) must rebuild rather
-# than touch another session's plan. The seed/IVF caches hold plain
-# Python lists and don't need this.
-_EDGE_CACHE: dict[tuple[int, str], tuple] = {}
+# Keyed by (applicationId, sf_dir): cached DataFrames are bound to the
+# application that created them — a fresh session (e.g. the
+# Hive-enabled test session, or a driver that recycles sessions) must
+# rebuild rather than touch another context's plan. The seed/IVF
+# caches hold plain Python lists and don't need this.
+_EDGE_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _edge_index(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a stopped+GC'd session's id() can be
+    # reused, handing a fresh session another context's plan. Stale
+    # applications evict on insert (same policy as the retrieval cache).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGE_CACHE:
+        for stale in [k for k in _EDGE_CACHE if k[0] != key[0]]:
+            del _EDGE_CACHE[stale]
         o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_suppkey"
@@ -239,7 +244,7 @@ edges AS (
 # Materialized co-purchase edge cache, keyed like _EDGE_CACHE: the edge
 # list is a pure function of lineitem and shared by the triangle and
 # degree-histogram queries (and by warm bench re-runs).
-_COPURCHASE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,8 +259,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
     )
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _COPURCHASE_CACHE:
+        for stale in [k for k in _COPURCHASE_CACHE if k[0] != key[0]]:
+            del _COPURCHASE_CACHE[stale]
         a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
         b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
         _COPURCHASE_CACHE[key] = (
