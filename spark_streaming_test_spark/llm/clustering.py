@@ -559,3 +559,65 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity"
         ),
     )
+
+
+# --- elbow curve (model selection over K) ---------------------------------
+
+ELBOW_KS = (4, 8, 16)
+
+
+def _sql_elbow_k(k: int) -> str:
+    return f"""
+  SELECT {k} AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE) AS inertia,
+         CAST(SUM(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_dist2
+  FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM (
+      SELECT corpus.vec_id, cent.cid,
+             round({_sql_dist2('x', 'c')}, {DIST_DP}) AS d2
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings) corpus
+      CROSS JOIN (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+                  FROM embeddings WHERE vec_id < {k}) cent
+    ) scored
+  ) best WHERE rn = 1"""
+
+
+@register(
+    "ml_kmeans_elbow",
+    tags=("ml", "clustering", "model-selection"),
+    oracle=" UNION ALL ".join(_sql_elbow_k(k) for k in ELBOW_KS),
+)
+def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ELBOW CURVE for choosing K: total within-cluster inertia at
+    K ∈ {ELBOW_KS} from the same deterministic seed scheme as
+    `emb_kmeans_assign` — the model-selection readout that justifies
+    the production K before `emb_kmeans_lloyd` spends iterations on
+    it. Inertia is monotonically nonincreasing in K (seed sets are
+    nested: vec_id < 4 ⊂ < 8 ⊂ < 16), which the semantic test pins.
+
+    Per K: ONE map-only assignment scan (centroid literals inlined,
+    zero shuffles — `_assign`'s plan) and a decimal-combined inertia
+    reduce. The sweep costs |Ks| scans of the embedding table, each
+    independent — at 100 TB the Ks run concurrently over one cached
+    scan."""
+    e = _embeddings(spark, sf_dir)
+    out = None
+    for k in ELBOW_KS:
+        a = _assign(e, _seed_centroids(spark, sf_dir, k))
+        row = a.agg(
+            F.lit(k).alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(F.col("d2").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("inertia"),
+            (
+                F.sum(F.col("d2").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_dist2"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

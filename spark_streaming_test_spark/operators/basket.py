@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
 
 MIN_PAIR_SUPPORT = 2  # emit pairs seen in >= this many orders
@@ -239,3 +240,104 @@ def rec_item_item_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- rank-1 ALS collaborative filtering -----------------------------------
+
+
+@register(
+    "rec_als_rank1",
+    tags=("recsys", "ml", "training", "iterative"),
+    oracle=f"""
+WITH ratings AS MATERIALIZED (
+  SELECT o_custkey AS c, l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS r
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_partkey
+),
+u1 AS MATERIALIZED (
+  -- v0 = 1 for every item: u_c = sum(r*v)/sum(v^2) = sum(r)/n_obs
+  SELECT c, CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS u
+  FROM ratings GROUP BY c
+),
+v1 AS MATERIALIZED (
+  SELECT p,
+         {sql_dsum('rt.r * u1.u')} / {sql_dsum('u1.u * u1.u')} AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM ratings rt JOIN u1 ON rt.c = u1.c
+  GROUP BY p
+),
+u2 AS (
+  SELECT rt.c,
+         {sql_dsum('rt.r * v1.v')} / {sql_dsum('v1.v * v1.v')} AS u,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM ratings rt JOIN v1 ON rt.p = v1.p
+  GROUP BY rt.c
+)
+SELECT 'item' AS kind, p AS id, v AS factor, n_obs FROM v1
+UNION ALL
+SELECT 'user' AS kind, c AS id, u AS factor, n_obs FROM u2
+""",
+)
+def rec_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-1 ALTERNATING LEAST SQUARES on the customer × part
+    purchase-count matrix — one full alternation (v₀=1 → u₁ closed
+    form → v₁ → u₂), the minimal real matrix-factorization trainer:
+    u_c·v_p approximates r_cp, item factors rank catalog pull, user
+    factors rank intensity (the direction recommenders and
+    embedding-free retrieval baselines start from; rank-k stacks k of
+    these passes on residuals).
+
+    Each half-step is EXACTLY the per-key least-squares closed form
+    Σr·v/Σv², computed as ONE join + map-side-combined aggregate over
+    the observed ratings — never the dense matrix. First step is an
+    integer ratio; later steps route their float sums through the
+    decimal helper so factor vectors are bitwise reproducible on any
+    partitioning. Shuffles: ratings once per half-step on its join
+    key — the standard ALS data layout (at scale, ratings pre-bucket
+    by c and p and each half-step reads its layout)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = (
+        F.broadcast(o)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    u1 = ratings.groupBy("c").agg(
+        (F.sum("r").cast("double") / F.count(F.lit(1)).cast("double")).alias("u")
+    )
+    v1 = (
+        ratings.join(u1, "c")
+        .groupBy("p")
+        .agg(
+            (
+                dsum(F.col("r") * F.col("u")) / dsum(F.col("u") * F.col("u"))
+            ).alias("v"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    u2 = (
+        ratings.join(v1.select("p", "v"), "p")
+        .groupBy("c")
+        .agg(
+            (
+                dsum(F.col("r") * F.col("v")) / dsum(F.col("v") * F.col("v"))
+            ).alias("u"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        )
+    )
+    items = v1.select(
+        F.lit("item").alias("kind"),
+        F.col("p").alias("id"),
+        F.col("v").alias("factor"),
+        "n_obs",
+    )
+    users = u2.select(
+        F.lit("user").alias("kind"),
+        F.col("c").alias("id"),
+        F.col("u").alias("factor"),
+        "n_obs",
+    )
+    return items.unionAll(users)

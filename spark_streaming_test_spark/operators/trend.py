@@ -2152,3 +2152,135 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (st(1) + F.lit(2.0) * st(2) + st(4)).alias("forecast_2"),
         (st(1) + F.lit(3.0) * st(2) + st(5)).alias("forecast_3"),
     )
+
+
+# --- V-shape reversal pattern mining (MATCH_RECOGNIZE-style) --------------
+
+VSHAPE_MIN_LEG = 2  # both the down leg and the up leg need >= this many steps
+
+
+@register(
+    "window_vshape_patterns",
+    tags=("timeseries", "pattern", "gaps-islands"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS dv
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+dirs AS (
+  SELECT event_type, d, dv,
+         CASE WHEN dv > lag(dv) OVER w THEN 1
+              WHEN dv < lag(dv) OVER w THEN -1
+              ELSE 0 END AS dir
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+steps AS (SELECT * FROM dirs WHERE dir <> 0),
+runs AS (
+  SELECT event_type, d, dv, dir,
+         SUM(CASE WHEN dir = prev_dir THEN 0 ELSE 1 END)
+           OVER (PARTITION BY event_type ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (
+    SELECT event_type, d, dv, dir,
+           lag(dir) OVER (PARTITION BY event_type ORDER BY d) AS prev_dir
+    FROM steps
+  ) s
+),
+run_stats AS (
+  SELECT event_type, run_id, MAX(dir) AS dir,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(d) AS first_step, MAX(d) AS last_step,
+         MIN(dv) AS low_val
+  FROM runs GROUP BY event_type, run_id
+),
+paired AS (
+  SELECT event_type,
+         lag(dir) OVER w AS dir_a, lag(len) OVER w AS len_a,
+         lag(first_step) OVER w AS down_start, lag(low_val) OVER w AS low_a,
+         dir AS dir_b, len AS len_b, first_step AS bottom_day,
+         last_step AS up_end
+  FROM run_stats
+  WINDOW w AS (PARTITION BY event_type ORDER BY run_id)
+)
+SELECT event_type, down_start,
+       CAST(bottom_day - INTERVAL 1 DAY AS DATE) AS approx_bottom,
+       up_end,
+       len_a AS down_steps, len_b AS up_steps,
+       CAST(low_a AS DOUBLE) AS bottom_value
+FROM paired
+WHERE dir_a = -1 AND dir_b = 1
+  AND len_a >= {VSHAPE_MIN_LEG} AND len_b >= {VSHAPE_MIN_LEG}
+""",
+)
+def window_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-SHAPE REVERSAL detection on exact daily totals — what SQL's
+    MATCH_RECOGNIZE (absent from both engines) would express as
+    DOWN{{2,}} UP{{2,}}: a run of ≥ {VSHAPE_MIN_LEG} strictly-down
+    steps immediately followed by ≥ {VSHAPE_MIN_LEG} strictly-up
+    steps. Flat days break runs (direction 0 steps are removed before
+    run-length encoding, so a plateau ends both legs — the strict
+    form). Run-length encoding via gaps-islands (direction-change
+    cumsum), then each run pairs with its predecessor through one
+    lag — pattern matching as TWO window passes, no self-join.
+
+    Strict comparisons sit on exact decimals, so run boundaries cannot
+    waver; everything else is integer. All windows partition by
+    event_type with O(days) frames — corpus-size-independent."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("dv")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    dirs = daily.select(
+        "event_type",
+        "d",
+        "dv",
+        F.when(F.col("dv") > F.lag("dv").over(wo), 1)
+        .when(F.col("dv") < F.lag("dv").over(wo), -1)
+        .otherwise(0)
+        .alias("dir"),
+    )
+    steps = dirs.filter(F.col("dir") != 0)
+    runs = steps.withColumn("prev_dir", F.lag("dir").over(wo)).withColumn(
+        "run_id",
+        F.sum(
+            F.when(F.col("dir") == F.col("prev_dir"), 0).otherwise(1)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    run_stats = runs.groupBy("event_type", "run_id").agg(
+        F.max("dir").alias("dir"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").alias("first_step"),
+        F.max("d").alias("last_step"),
+        F.min("dv").alias("low_val"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("run_id")
+    paired = run_stats.select(
+        "event_type",
+        F.lag("dir").over(wr).alias("dir_a"),
+        F.lag("len").over(wr).alias("len_a"),
+        F.lag("first_step").over(wr).alias("down_start"),
+        F.lag("low_val").over(wr).alias("low_a"),
+        F.col("dir").alias("dir_b"),
+        F.col("len").alias("len_b"),
+        F.col("first_step").alias("bottom_day"),
+        F.col("last_step").alias("up_end"),
+    )
+    return paired.filter(
+        (F.col("dir_a") == -1)
+        & (F.col("dir_b") == 1)
+        & (F.col("len_a") >= VSHAPE_MIN_LEG)
+        & (F.col("len_b") >= VSHAPE_MIN_LEG)
+    ).select(
+        "event_type",
+        "down_start",
+        F.date_sub("bottom_day", 1).alias("approx_bottom"),
+        "up_end",
+        F.col("len_a").alias("down_steps"),
+        F.col("len_b").alias("up_steps"),
+        F.col("low_a").cast("double").alias("bottom_value"),
+    )

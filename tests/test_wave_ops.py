@@ -440,3 +440,88 @@ def test_lsh_band_tuning_monotone_tradeoff(spark, sf_dir):
     assert rows[8]["n_candidates"] == ref["n_candidates"]
     assert rows[8]["n_hits"] == ref["n_hits"]
     assert rows[8]["n_truth"] == ref["n_truth"]
+
+
+def test_kmeans_elbow_monotone(spark, sf_dir):
+    """Nested seed sets ⇒ inertia is nonincreasing in K."""
+    from spark_streaming_test_spark.llm import clustering
+
+    rows = sorted(
+        clustering.ml_kmeans_elbow(spark, sf_dir).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in rows] == sorted(clustering.ELBOW_KS)
+    inertias = [r["inertia"] for r in rows]
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
+    assert len({r["n_points"] for r in rows}) == 1
+
+
+def test_als_rank1_objective_decreases(spark, sf_dir):
+    """Each ALS half-step is an exact per-key least-squares solve, so
+    the squared error must be monotone: SSE(u1, 1) >= SSE(u1, v1) >=
+    SSE(u2, v1). Verified in Python from collected ratings/factors."""
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import basket
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .count()
+        .collect()
+    )
+    out = basket.rec_als_rank1(spark, sf_dir).collect()
+    v = {r["id"]: r["factor"] for r in out if r["kind"] == "item"}
+    u2 = {r["id"]: r["factor"] for r in out if r["kind"] == "user"}
+    import collections
+
+    su = collections.defaultdict(lambda: [0.0, 0])
+    for r in ratings:
+        su[r["c"]][0] += r["count"]
+        su[r["c"]][1] += 1
+    u1 = {c: s / n for c, (s, n) in su.items()}
+    sse_a = sum((r["count"] - u1[r["c"]] * 1.0) ** 2 for r in ratings)
+    sse_b = sum((r["count"] - u1[r["c"]] * v[r["p"]]) ** 2 for r in ratings)
+    sse_c = sum((r["count"] - u2[r["c"]] * v[r["p"]]) ** 2 for r in ratings)
+    assert sse_b <= sse_a + 1e-6
+    assert sse_c <= sse_b + 1e-6
+
+
+def test_vshape_python_replay(spark, sf_dir):
+    """Replay run-length V detection from the daily totals."""
+    import collections
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import trend
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("dv"))
+        .collect()
+    )
+    series = collections.defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["d"], r["dv"]))
+    expect = set()
+    for g, pts in series.items():
+        pts.sort()
+        steps = []
+        for (d0, v0), (d1, v1) in zip(pts, pts[1:]):
+            if v1 != v0:
+                steps.append((d1, 1 if v1 > v0 else -1))
+        runs = []
+        for d, dr in steps:
+            if runs and runs[-1][0] == dr:
+                runs[-1][2] += 1
+                runs[-1][3] = d
+            else:
+                runs.append([dr, d, 1, d])  # dir, first, len, last
+        for a, b in zip(runs, runs[1:]):
+            if a[0] == -1 and b[0] == 1 and a[2] >= trend.VSHAPE_MIN_LEG and b[2] >= trend.VSHAPE_MIN_LEG:
+                expect.add((g, a[1], b[3], a[2], b[2]))
+    got = {
+        (r["event_type"], r["down_start"], r["up_end"], r["down_steps"], r["up_steps"])
+        for r in trend.window_vshape_patterns(spark, sf_dir).collect()
+    }
+    assert got == expect
