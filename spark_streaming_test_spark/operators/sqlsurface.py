@@ -513,3 +513,49 @@ def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t WHERE rn <= 3
         """
     )
+
+
+# --- SQL table function (CREATE FUNCTION ... RETURNS TABLE) ---------------
+
+
+@register(
+    "sql_table_function",
+    tags=("sql-surface", "spark4"),
+    oracle="""
+SELECT '1-URGENT' AS pri, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+UNION ALL
+SELECT '5-LOW' AS pri, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_orderstatus
+""",
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL-defined TABLE FUNCTION (Spark 4 ``CREATE FUNCTION ...
+    RETURNS TABLE``): a parameterized view invoked like a table —
+    the reusable-report primitive (`fn_sql_udf` is the scalar
+    sibling). The body is a plain declarative query, so Catalyst
+    inlines each invocation and pushes the parameter down as an
+    ordinary filter. Two pinned restrictions: a parameter may only be
+    referenced from WHERE/HAVING (not the SELECT list — tag constants
+    belong at the call site), and never as a LIMIT. The oracle is the
+    macro-expanded union."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION priority_profile(pri STRING)
+        RETURNS TABLE (o_orderstatus STRING, n_orders BIGINT, revenue DOUBLE)
+        RETURN SELECT o_orderstatus,
+                      CAST(COUNT(*) AS BIGINT),
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               FROM orders WHERE o_orderpriority = pri
+               GROUP BY o_orderstatus
+        """
+    )
+    return spark.sql(
+        "SELECT '1-URGENT' AS pri, * FROM priority_profile('1-URGENT') "
+        "UNION ALL SELECT '5-LOW' AS pri, * FROM priority_profile('5-LOW')"
+    )

@@ -525,3 +525,21 @@ def test_vshape_python_replay(spark, sf_dir):
         for r in trend.window_vshape_patterns(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_sql_table_function_restrictions(spark, sf_dir):
+    """A parameterized LIMIT in a SQL table function is rejected at
+    CREATE time (the foldability rule the docstring pins), and the
+    function output matches the inlined query."""
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.operators import sqlsurface
+
+    rows = sqlsurface.sql_table_function(spark, sf_dir).collect()
+    assert {r["pri"] for r in rows} == {"1-URGENT", "5-LOW"}
+    with _pytest.raises(Exception, match="INVALID_LIMIT_LIKE_EXPRESSION"):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION bad_tvf(k INT) "
+            "RETURNS TABLE (o BIGINT) "
+            "RETURN SELECT id AS o FROM range(10) LIMIT k"
+        )
