@@ -543,3 +543,41 @@ def test_sql_table_function_restrictions(spark, sf_dir):
             "RETURNS TABLE (o BIGINT) "
             "RETURN SELECT id AS o FROM range(10) LIMIT k"
         )
+
+
+def test_bpe_fold_randomized_cross_check(spark):
+    """200 seeded pseudo-random words over a 3-letter alphabet, pushed
+    through a 4-merge chain on the JVM, must match a plain-Python
+    greedy left-to-right merger word for word — including merges whose
+    output feeds later merges and self-overlapping runs."""
+    import random
+
+    rng = random.Random(20260814)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    merges = [("a", "b"), ("ab", "a"), ("b", "c"), ("c", "a")]
+
+    def py_apply(word):
+        toks = list(word)
+        for l, r in merges:
+            out = []
+            for t in toks:
+                if out and out[-1] == l and t == r:
+                    out[-1] = l + r
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    expr = "split(word, '(?!^)(?=.)')"
+    for l, r in merges:
+        expr = bpe._spark_merge_fold(expr, l, r)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["toks"]
+        for r in df.select("word", F.expr(expr).alias("toks")).collect()
+    }
+    for w in words:
+        assert got[w] == py_apply(w), (w, got[w], py_apply(w))
