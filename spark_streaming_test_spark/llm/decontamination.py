@@ -225,3 +225,156 @@ def decon_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_probe_hits"),
         F.min("probe").alias("example_probe"),
     )
+
+
+# --- near-duplicate contamination via MinHash LSH -------------------------
+
+from .dedup import (  # noqa: E402  (shared signature machinery)
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_HASHES,
+    MINHASH_P,
+    MINHASH_ROWS,
+    _band_bucket,
+    _SQL_BASE_HASH,
+    _sql_bucket_expr,
+    minhash_signatures,
+)
+
+NEARDUP_J = 0.5  # contamination threshold on exact 3-shingle Jaccard
+
+
+@register(
+    "decon_near_dup_lsh",
+    tags=("llm", "decontamination", "lsh"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{EVAL_PREFIX}'
+           AS is_eval,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+           i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i+1],
+                               string_split(lower(text), ' ')[i+2])
+         )) AS shingles
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, is_eval, shingles, len(shingles) AS n_sh,
+         list_transform(shingles,
+                        s -> {_SQL_BASE_HASH.format(x="s")} % {MINHASH_P}) AS hs
+  FROM docs
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, is_eval,
+         [{",".join(
+             f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+             for i in range(MINHASH_HASHES)
+         )}] AS sig
+  FROM hashed
+),
+bands AS (
+  SELECT doc_id, is_eval, unnest([{",".join(
+      "{'band': %d, 'bucket': %s}" % (b, _sql_bucket_expr(b))
+      for b in range(MINHASH_BANDS)
+  )}], recursive := true)
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+  FROM (SELECT * FROM bands WHERE NOT is_eval) t
+  JOIN (SELECT * FROM bands WHERE is_eval) e
+    ON t.band = e.band AND t.bucket = e.bucket
+)
+SELECT c.train_doc, c.eval_doc,
+       CAST(len(list_intersect(ht.shingles, he.shingles)) AS DOUBLE)
+         / (ht.n_sh + he.n_sh - len(list_intersect(ht.shingles, he.shingles)))
+         AS jaccard
+FROM cand c
+JOIN hashed ht ON ht.doc_id = c.train_doc
+JOIN hashed he ON he.doc_id = c.eval_doc
+WHERE CAST(len(list_intersect(ht.shingles, he.shingles)) AS DOUBLE)
+      / (ht.n_sh + he.n_sh - len(list_intersect(ht.shingles, he.shingles)))
+      >= {NEARDUP_J}
+""",
+)
+def decon_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE decontamination: training documents that are
+    MinHash-LSH near-dups (exact 3-shingle Jaccard ≥ {NEARDUP_J}) of
+    a held-out eval document — the contamination exact n-gram
+    filtering misses (paraphrases, light edits, whitespace variants;
+    the published post-hoc audits of web corpora find exactly this
+    class). Same md5 hash family and banding as `dedup_minhash_lsh`,
+    pointed ACROSS the train/eval split instead of within the corpus.
+
+    Scale shape BETTER than the self-join dedup: the eval side is a
+    ~1/16 hash split (real benchmarks are vastly smaller), so its
+    band table BROADCASTS and candidate generation is a map-side
+    join on the training side's single band scan — no self-join at
+    all; exact verification touches candidate pairs only."""
+    d = spread(load(spark, sf_dir, "documents"))
+    docs = d.select(
+        "doc_id",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            == EVAL_PREFIX
+        ).alias("is_eval"),
+        _shingles(F.col("text")).alias("shingles"),
+    )
+    sig = minhash_signatures(docs.select("doc_id", "shingles")).join(
+        docs.select("doc_id", "is_eval"), "doc_id"
+    )
+    bands = sig.select(
+        "doc_id",
+        "is_eval",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_bucket(b).alias("bucket")
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "is_eval", "bb.band", "bb.bucket")
+    train_b = bands.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"), "band", "bucket"
+    )
+    eval_b = bands.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc"), "band", "bucket"
+    )
+    cand = (
+        train_b.join(F.broadcast(eval_b), ["band", "bucket"])
+        .select("train_doc", "eval_doc")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        cand.select(F.col("train_doc").alias("doc_id"))
+        .unionAll(cand.select(F.col("eval_doc").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+        "doc_id", "shingles"
+    )
+    st = cand_sh.select(
+        F.col("doc_id").alias("train_doc"), F.col("shingles").alias("sh_t")
+    )
+    se = cand_sh.select(
+        F.col("doc_id").alias("eval_doc"), F.col("shingles").alias("sh_e")
+    )
+    inter = F.size(F.array_intersect("sh_t", "sh_e"))
+    union = F.size("sh_t") + F.size("sh_e") - inter
+    return (
+        cand.join(st, "train_doc")
+        .join(F.broadcast(se), "eval_doc")
+        .select(
+            "train_doc",
+            "eval_doc",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NEARDUP_J)
+    )

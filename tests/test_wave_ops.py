@@ -581,3 +581,28 @@ def test_bpe_fold_randomized_cross_check(spark):
     }
     for w in words:
         assert got[w] == py_apply(w), (w, got[w], py_apply(w))
+
+
+def test_near_dup_decon_split_discipline(spark, sf_dir):
+    """Every reported pair crosses the split (train on the left, eval
+    on the right) and clears the Jaccard threshold; pairs found by
+    the within-corpus dedup across the split must be found here too."""
+    from spark_streaming_test_spark.llm import decontamination as dc
+    from spark_streaming_test_spark.llm import dedup
+
+    rows = dc.decon_near_dup_lsh(spark, sf_dir).collect()
+    import hashlib
+
+    def is_eval(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0] == dc.EVAL_PREFIX
+
+    for r in rows:
+        assert not is_eval(r["train_doc"])
+        assert is_eval(r["eval_doc"])
+        assert r["jaccard"] >= dc.NEARDUP_J
+    got = {(r["train_doc"], r["eval_doc"]) for r in rows}
+    for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if is_eval(a) != is_eval(b):
+            t, e = (b, a) if is_eval(a) else (a, b)
+            assert (t, e) in got, (t, e)
