@@ -467,3 +467,107 @@ def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_entry").isNotNull().alias("blocked"),
         "matched_entry",
     )
+
+
+# --- final corpus selection manifest --------------------------------------
+
+from .dedup import _minhash_pairs_sql, dedup_minhash_lsh  # noqa: E402
+
+SEL_MIN_CHARS = 200
+SEL_MIN_TOKENS = 30
+SEL_BUDGET_TOKENS = 15_000  # per-source token budget
+
+
+@register(
+    "corpus_select_final",
+    tags=("llm", "curation", "composition"),
+    oracle=f"""
+WITH {_minhash_pairs_sql()},
+neardup_drop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5
+),
+q AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         length(text) AS n_chars_txt
+  FROM documents
+  WHERE length(text) >= {SEL_MIN_CHARS}
+    AND len(string_split(text, ' ')) >= {SEL_MIN_TOKENS}
+),
+ex AS (
+  SELECT q.*, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+  FROM q
+),
+nd AS (
+  SELECT doc_id, source, lang, n_tokens, n_chars_txt
+  FROM ex
+  WHERE doc_id = keep_id
+    AND doc_id NOT IN (SELECT doc_id FROM neardup_drop)
+),
+budgeted AS (
+  SELECT doc_id, source, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY n_chars_txt DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM nd
+)
+SELECT doc_id, source, lang, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM budgeted WHERE cum_tokens <= {SEL_BUDGET_TOKENS}
+""",
+)
+def corpus_select_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL SELECTED-CORPUS MANIFEST — the whole curation pipeline
+    composed into one verified artifact: quality gate (≥
+    {SEL_MIN_CHARS} chars, ≥ {SEL_MIN_TOKENS} tokens) → exact dedup
+    (min-id survivor per sha256) → NEAR-DUP removal (higher-id member
+    of every MinHash-LSH pair at Jaccard ≥ 0.5 drops — the canonical-
+    keeper rule, reusing `dedup_minhash_lsh`'s verified pairs) →
+    per-source token budget in quality order. Where
+    `corpus_curation_funnel` reports attrition COUNTS, this emits the
+    actual doc ids a training run would read — the artifact the
+    export step (`export_jsonl_records`) serializes.
+
+    Composition shape: the gates are scan filters; exact-dedup
+    shuffles 32-byte hashes; the near-dup drop set is LSH-bounded and
+    broadcasts as a semi-join filter; the budget is one per-source
+    window over survivors. Every stage is individually proven
+    elsewhere; this query proves the COMPOSITION end-to-end (the
+    whole manifest hash-matches the oracle)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.size(F.split(F.col("text"), " ", -1))
+    q = d.filter(
+        (F.length("text") >= SEL_MIN_CHARS) & (toks >= SEL_MIN_TOKENS)
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        toks.cast("bigint").alias("n_tokens"),
+        F.length("text").alias("n_chars_txt"),
+    )
+    w = Window.partitionBy(F.sha2("text", 256))
+    ex = q.withColumn("keep_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    drops = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "source", "lang", "n_tokens", "n_chars_txt"
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars_txt"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = nd.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(wb).cast("bigint").alias("cum_tokens"),
+    )
+    return budgeted.filter(F.col("cum_tokens") <= SEL_BUDGET_TOKENS)

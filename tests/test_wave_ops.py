@@ -606,3 +606,33 @@ def test_near_dup_decon_split_discipline(spark, sf_dir):
         if is_eval(a) != is_eval(b):
             t, e = (b, a) if is_eval(a) else (a, b)
             assert (t, e) in got, (t, e)
+
+
+def test_corpus_select_final_invariants(spark, sf_dir):
+    """The manifest respects every gate: budget per source, quality
+    floors, no exact duplicates, no higher-id near-dup members."""
+    import collections
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.llm import curation, dedup
+
+    rows = curation.corpus_select_final(spark, sf_dir).collect()
+    assert rows
+    per_src = collections.Counter()
+    for r in rows:
+        per_src[r["source"]] += r["n_tokens"]
+        assert r["n_tokens"] >= curation.SEL_MIN_TOKENS
+        assert r["cum_tokens"] <= curation.SEL_BUDGET_TOKENS
+    for s, tot in per_src.items():
+        assert tot <= curation.SEL_BUDGET_TOKENS
+    ids = {r["doc_id"] for r in rows}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r["doc_id"] in ids
+    }
+    assert len(set(texts.values())) == len(texts)  # no exact dups survive
+    dropped = {r["doc_b"] for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert not (ids & dropped)
