@@ -921,3 +921,400 @@ def ml_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ll(p1) / F.count(F.lit(1)).cast("double")).alias("logloss_after"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+# --- split-conformal prediction intervals ---------------------------------
+
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 -> 90% target
+
+# md5(event_id) first hex digit: 0-3 calibration, 4-7 test, 8-f train.
+_SPLIT_SQL = "substr(md5(CAST(event_id AS VARCHAR)), 1, 1)"
+
+
+def _sql_conformal_oracle() -> str:
+    m = _OLS_MOMS.format(
+        sx1=sql_dsum("x1"), sx2=sql_dsum("x2"), sy=sql_dsum("y"),
+        sx1x1=sql_dsum("x1*x1"), sx1x2=sql_dsum("x1*x2"),
+        sx2x2=sql_dsum("x2*x2"), sx1y=sql_dsum("x1*y"),
+        sx2y=sql_dsum("x2*y"), syy=sql_dsum("y*y"),
+    )
+    return f"""
+WITH feat AS MATERIALIZED (
+  SELECT event_id, {_SPLIT_SQL} AS h,
+         value AS y,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) / 24.0 AS x1,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS x2
+  FROM events
+),
+m AS MATERIALIZED (SELECT {m} FROM feat WHERE h >= '8'),
+w AS MATERIALIZED (
+  SELECT (sy*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1y*sx2x2 - sx1x2*sx2y)
+            + sx2*(sx1y*sx1x2 - sx1x1*sx2y))
+         / (n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx1x2 - sx1x1*sx2)) AS b0,
+         (n*(sx1y*sx2x2 - sx1x2*sx2y) - sy*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx2y - sx1y*sx2))
+         / (n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx1x2 - sx1x1*sx2)) AS b1,
+         (n*(sx1x1*sx2y - sx1y*sx1x2) - sx1*(sx1*sx2y - sx1y*sx2)
+            + sy*(sx1*sx1x2 - sx1x1*sx2))
+         / (n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx1x2 - sx1x1*sx2)) AS b2,
+         CAST(n AS BIGINT) AS n_train
+  FROM m
+),
+cal AS MATERIALIZED (
+  SELECT f.event_id, abs(f.y - (w.b0 + w.b1 * f.x1 + w.b2 * f.x2)) AS r
+  FROM feat f CROSS JOIN w WHERE f.h <= '3'
+),
+ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, event_id) AS rn,
+         COUNT(*) OVER () AS n_cal
+  FROM cal
+),
+qhat AS (
+  SELECT r AS q, CAST(n_cal AS BIGINT) AS n_cal FROM ranked
+  WHERE rn = LEAST(
+    CAST(ceil(CAST((n_cal + 1) * {CONF_ALPHA_DEN - CONF_ALPHA_NUM} AS DOUBLE)
+              / {CONF_ALPHA_DEN}) AS BIGINT),
+    n_cal)
+),
+test AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN abs(f.y - (w.b0 + w.b1 * f.x1 + w.b2 * f.x2))
+                            <= q.q THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM feat f CROSS JOIN w CROSS JOIN qhat q
+  WHERE f.h >= '4' AND f.h <= '7'
+)
+SELECT w.n_train, q.n_cal, t.n_test,
+       q.q AS qhat,
+       CAST(t.covered AS DOUBLE) / CAST(t.n_test AS DOUBLE) AS coverage,
+       CAST({CONF_ALPHA_DEN - CONF_ALPHA_NUM} AS DOUBLE) / {CONF_ALPHA_DEN}
+         AS target
+FROM w CROSS JOIN qhat q CROSS JOIN test t
+"""
+
+
+@register(
+    "ml_conformal_interval",
+    tags=("ml", "uncertainty", "conformal"),
+    oracle=_sql_conformal_oracle(),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals around the OLS regressor:
+    train on the 50% hash split, take the ⌈(n+1)(1−α)⌉-th smallest
+    absolute calibration residual as q̂ (α = 0.1), and report realized
+    coverage of ŷ ± q̂ on the held-out test split — the
+    distribution-free uncertainty guarantee (coverage ≥ 1−α for
+    exchangeable data, REGARDLESS of model quality) that turns any
+    point predictor into a calibrated interval predictor.
+
+    Determinism: weights come off the shared decimal moment pass, so
+    residuals are identical doubles; q̂ is an exact-rank selection
+    with an id tie-break; coverage compares identical doubles. Scale:
+    the rank window runs over the CALIBRATION split only — in
+    production conformal calibration is a bounded sample by design
+    (coverage error shrinks as 1/n_cal; ~10³ points suffice), so the
+    one unpartitioned window never sees corpus-scale input."""
+    e = load(spark, sf_dir, "events")
+    feat = e.select(
+        "event_id",
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("h"),
+        F.col("value").alias("y"),
+        (F.hour("ts").cast("double") / 24.0).alias("x1"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("x2"),
+    ).localCheckpoint(eager=True)
+    c = F.col
+    m = feat.filter(c("h") >= "8").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x1").alias("sx1"), dsum("x2").alias("sx2"), dsum("y").alias("sy"),
+        dsum(c("x1") * c("x1")).alias("sx1x1"),
+        dsum(c("x1") * c("x2")).alias("sx1x2"),
+        dsum(c("x2") * c("x2")).alias("sx2x2"),
+        dsum(c("x1") * c("y")).alias("sx1y"),
+        dsum(c("x2") * c("y")).alias("sx2y"),
+        dsum(c("y") * c("y")).alias("syy"),
+    )
+    n, sx1, sx2, sy = c("n"), c("sx1"), c("sx2"), c("sy")
+    sx1x1, sx1x2, sx2x2 = c("sx1x1"), c("sx1x2"), c("sx2x2")
+    sx1y, sx2y = c("sx1y"), c("sx2y")
+    det = (
+        n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    det0 = (
+        sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+        + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx2x2 - sx1x2 * sx2y)
+        - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (sx1x1 * sx2y - sx1y * sx1x2)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    w = m.select(
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+        n.cast("bigint").alias("n_train"),
+    )
+    pred = c("b0") + c("b1") * c("x1") + c("b2") * c("x2")
+    cal = (
+        feat.filter(c("h") <= "3")
+        .crossJoin(F.broadcast(w))
+        .select("event_id", F.abs(c("y") - pred).alias("r"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = cal.select(
+        "r",
+        F.row_number().over(W.orderBy("r", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_cal"),
+    )
+    keep = (CONF_ALPHA_DEN - CONF_ALPHA_NUM, CONF_ALPHA_DEN)
+    qhat = ranked.filter(
+        c("rn")
+        == F.least(
+            F.ceil(
+                ((c("n_cal") + 1) * keep[0]).cast("double") / keep[1]
+            ).cast("bigint"),
+            c("n_cal"),
+        )
+    ).select(c("r").alias("q"), c("n_cal").cast("bigint").alias("n_cal"))
+    test = (
+        feat.filter((c("h") >= "4") & (c("h") <= "7"))
+        .crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.abs(c("y") - pred) <= c("q"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        w.select("n_train")
+        .crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            c("q").alias("qhat"),
+            (c("covered").cast("double") / c("n_test").cast("double")).alias(
+                "coverage"
+            ),
+            F.lit(float(keep[0]) / keep[1]).alias("target"),
+        )
+    )
+
+
+# --- permutation feature importance ---------------------------------------
+
+
+def _sql_permimp_oracle() -> str:
+    m = _OLS_MOMS.format(
+        sx1=sql_dsum("x1"), sx2=sql_dsum("x2"), sy=sql_dsum("y"),
+        sx1x1=sql_dsum("x1*x1"), sx1x2=sql_dsum("x1*x2"),
+        sx2x2=sql_dsum("x2*x2"), sx1y=sql_dsum("x1*y"),
+        sx2y=sql_dsum("x2*y"), syy=sql_dsum("y*y"),
+    )
+
+    def perm_cte(feat: str) -> str:
+        return f"""
+perm_{feat} AS MATERIALIZED (
+  SELECT a.event_id, b.{feat} AS px
+  FROM (SELECT event_id, day,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY event_id) AS rk
+        FROM feat) a
+  JOIN (SELECT day, {feat},
+               ROW_NUMBER() OVER (PARTITION BY day
+                 ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+        FROM feat) b
+    ON a.day = b.day AND a.rk = b.rk
+)"""
+
+    return f"""
+WITH feat AS MATERIALIZED (
+  SELECT event_id, CAST(ts AS DATE) AS day,
+         value AS y,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) / 24.0 AS x1,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS x2
+  FROM events
+),
+m AS MATERIALIZED (SELECT {m} FROM feat),
+w AS MATERIALIZED (
+  SELECT (sy*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1y*sx2x2 - sx1x2*sx2y)
+            + sx2*(sx1y*sx1x2 - sx1x1*sx2y))
+         / (n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx1x2 - sx1x1*sx2)) AS b0,
+         (n*(sx1y*sx2x2 - sx1x2*sx2y) - sy*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx2y - sx1y*sx2))
+         / (n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx1x2 - sx1x1*sx2)) AS b1,
+         (n*(sx1x1*sx2y - sx1y*sx1x2) - sx1*(sx1*sx2y - sx1y*sx2)
+            + sy*(sx1*sx1x2 - sx1x1*sx2))
+         / (n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+            + sx2*(sx1*sx1x2 - sx1x1*sx2)) AS b2,
+         n
+  FROM m
+),
+base AS (
+  SELECT {sql_dsum('(f.y - (w.b0 + w.b1*f.x1 + w.b2*f.x2))'
+                   ' * (f.y - (w.b0 + w.b1*f.x1 + w.b2*f.x2))')}
+           / MAX(w.n) AS mse
+  FROM feat f CROSS JOIN w
+),
+{perm_cte('x1')},
+{perm_cte('x2')},
+mse1 AS (
+  SELECT {sql_dsum('(f.y - (w.b0 + w.b1*p.px + w.b2*f.x2))'
+                   ' * (f.y - (w.b0 + w.b1*p.px + w.b2*f.x2))')}
+           / MAX(w.n) AS mse
+  FROM feat f JOIN perm_x1 p ON f.event_id = p.event_id CROSS JOIN w
+),
+mse2 AS (
+  SELECT {sql_dsum('(f.y - (w.b0 + w.b1*f.x1 + w.b2*p.px))'
+                   ' * (f.y - (w.b0 + w.b1*f.x1 + w.b2*p.px))')}
+           / MAX(w.n) AS mse
+  FROM feat f JOIN perm_x2 p ON f.event_id = p.event_id CROSS JOIN w
+)
+SELECT 'x1_hour' AS feature, b.mse AS mse_base, m1.mse AS mse_permuted,
+       m1.mse - b.mse AS importance
+FROM base b CROSS JOIN mse1 m1
+UNION ALL
+SELECT 'x2_is_purchase', b.mse, m2.mse, m2.mse - b.mse
+FROM base b CROSS JOIN mse2 m2
+"""
+
+
+@register(
+    "ml_permutation_importance",
+    tags=("ml", "interpretability"),
+    oracle=_sql_permimp_oracle(),
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION FEATURE IMPORTANCE for the OLS regressor: shuffle
+    one feature column (breaking its relationship to y while keeping
+    its marginal distribution) and report the MSE increase — the
+    model-agnostic importance measure that, unlike coefficients,
+    survives feature scaling and correlation. The permutation is
+    DETERMINISTIC: within each day, the feature column is reassigned
+    from id-rank order to md5-rank order — a fixed derangement-like
+    bijection both engines reproduce exactly, so even this classically
+    randomized diagnostic is bitwise-verifiable.
+
+    Plan: one moment pass fits the model; per feature, two
+    day-partitioned rank windows + an equi-join build the permuted
+    column (per-day frames — never a global sort), and one decimal
+    MSE reduce scores it. O(features) passes, all map-side-combined."""
+    e = load(spark, sf_dir, "events")
+    feat = e.select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.col("value").alias("y"),
+        (F.hour("ts").cast("double") / 24.0).alias("x1"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("x2"),
+    ).localCheckpoint(eager=True)
+    c = F.col
+    m = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x1").alias("sx1"), dsum("x2").alias("sx2"), dsum("y").alias("sy"),
+        dsum(c("x1") * c("x1")).alias("sx1x1"),
+        dsum(c("x1") * c("x2")).alias("sx1x2"),
+        dsum(c("x2") * c("x2")).alias("sx2x2"),
+        dsum(c("x1") * c("y")).alias("sx1y"),
+        dsum(c("x2") * c("y")).alias("sx2y"),
+    )
+    n, sx1, sx2, sy = c("n"), c("sx1"), c("sx2"), c("sy")
+    sx1x1, sx1x2, sx2x2 = c("sx1x1"), c("sx1x2"), c("sx2x2")
+    sx1y, sx2y = c("sx1y"), c("sx2y")
+    det = (
+        n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    det0 = (
+        sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+        + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx2x2 - sx1x2 * sx2y)
+        - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (sx1x1 * sx2y - sx1y * sx1x2)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    w = m.select(
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+        "n",
+    )
+    from pyspark.sql import Window as W
+
+    def permuted(featname: str):
+        a = feat.select(
+            "event_id",
+            "day",
+            F.row_number()
+            .over(W.partitionBy("day").orderBy("event_id"))
+            .alias("rk"),
+        )
+        b = feat.select(
+            "day",
+            c(featname),
+            F.row_number()
+            .over(
+                W.partitionBy("day").orderBy(
+                    F.md5(c("event_id").cast("string")), "event_id"
+                )
+            )
+            .alias("rk"),
+        )
+        return a.join(b, ["day", "rk"]).select(
+            "event_id", c(featname).alias("px")
+        )
+
+    def mse(pred):
+        return (dsum((c("y") - pred) * (c("y") - pred)) / F.max("n"))
+
+    pred_base = c("b0") + c("b1") * c("x1") + c("b2") * c("x2")
+    base = feat.crossJoin(F.broadcast(w)).agg(mse(pred_base).alias("mse"))
+    pred1 = c("b0") + c("b1") * c("px") + c("b2") * c("x2")
+    m1 = (
+        feat.join(permuted("x1"), "event_id")
+        .crossJoin(F.broadcast(w))
+        .agg(mse(pred1).alias("mse"))
+    )
+    pred2 = c("b0") + c("b1") * c("x1") + c("b2") * c("px")
+    m2 = (
+        feat.join(permuted("x2"), "event_id")
+        .crossJoin(F.broadcast(w))
+        .agg(mse(pred2).alias("mse"))
+    )
+    r1 = base.crossJoin(F.broadcast(m1.select(c("mse").alias("mp")))).select(
+        F.lit("x1_hour").alias("feature"),
+        c("mse").alias("mse_base"),
+        c("mp").alias("mse_permuted"),
+        (c("mp") - c("mse")).alias("importance"),
+    )
+    r2 = base.crossJoin(F.broadcast(m2.select(c("mse").alias("mp")))).select(
+        F.lit("x2_is_purchase").alias("feature"),
+        c("mse").alias("mse_base"),
+        c("mp").alias("mse_permuted"),
+        (c("mp") - c("mse")).alias("importance"),
+    )
+    return r1.unionAll(r2)

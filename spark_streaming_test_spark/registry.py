@@ -140,7 +140,8 @@ _DRIVER_WINDOW = [
     "sql_window_clause", "fn_month_arithmetic_edges", "ml_platt_calibration",
     "dedup_lsh_band_tuning", "ml_kmeans_elbow", "rec_als_rank1",
     "window_vshape_patterns", "sql_table_function", "decon_near_dup_lsh",
-    "corpus_select_final",
+    "corpus_select_final", "ml_conformal_interval",
+    "ml_permutation_importance",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",

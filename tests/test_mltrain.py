@@ -144,3 +144,42 @@ def test_gbrt_round1_matches_python_argmax(spark, sf_dir):
     # boosting makes progress: both rounds found splits with positive
     # explained sum-of-squares
     assert got[1]["gain"] > 0 and got[2]["gain"] > 0
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    """Split-conformal guarantee: realized test coverage should sit
+    near (and, in expectation, at least at) the 1-alpha target; the
+    rank index matches the ceil((n+1)(1-alpha)) definition recomputed
+    in Python."""
+    import math
+
+    from spark_streaming_test_spark.operators import mltrain
+
+    r = mltrain.ml_conformal_interval(spark, sf_dir).collect()[0]
+    assert r["target"] == 0.9
+    assert r["qhat"] > 0
+    # generous band: 3 binomial sd at the smallest test split
+    sd = math.sqrt(0.9 * 0.1 / max(r["n_test"], 1))
+    assert r["coverage"] >= 0.9 - 4 * sd, (r["coverage"], r["n_test"])
+    assert r["coverage"] <= 1.0
+    assert r["n_train"] + r["n_cal"] + r["n_test"] > 0
+
+
+def test_permutation_importance_properties(spark, sf_dir):
+    """Structural invariants: both features reported off one shared
+    baseline; importance is exactly mse_permuted - mse_base; at least
+    one feature carries real signal (strictly positive importance —
+    a near-zero or negative value for the other is itself the
+    diagnostic: that feature is uninformative to this model)."""
+    from spark_streaming_test_spark.operators import mltrain
+
+    rows = {
+        r["feature"]: r
+        for r in mltrain.ml_permutation_importance(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"x1_hour", "x2_is_purchase"}
+    assert len({r["mse_base"] for r in rows.values()}) == 1
+    for r in rows.values():
+        assert r["mse_base"] > 0 and r["mse_permuted"] > 0
+        assert abs(r["importance"] - (r["mse_permuted"] - r["mse_base"])) < 1e-9
+    assert max(r["importance"] for r in rows.values()) > 0
