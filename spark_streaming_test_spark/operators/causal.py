@@ -445,3 +445,94 @@ def ab_test_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("cn_c"), F.lit(0)).cast("double")
         ).alias("qini"),
     )
+
+
+# --- difference-in-differences --------------------------------------------
+
+DID_POST_DOM = 15  # "post" period: day-of-month > this
+
+
+@register(
+    "ab_test_diff_in_diff",
+    tags=("experiment", "causal"),
+    oracle=f"""
+WITH base AS (
+  SELECT {_VARIANT_SQL} AS variant,
+         CAST(EXTRACT(day FROM ts) AS INTEGER) > {DID_POST_DOM} AS post,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+cells AS (
+  SELECT variant, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM base GROUP BY variant, post
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 'B' AND post THEN CAST(s AS DOUBLE) / (100.0 * n) END) AS t_post,
+    MAX(CASE WHEN variant = 'B' AND NOT post THEN CAST(s AS DOUBLE) / (100.0 * n) END) AS t_pre,
+    MAX(CASE WHEN variant = 'A' AND post THEN CAST(s AS DOUBLE) / (100.0 * n) END) AS c_post,
+    MAX(CASE WHEN variant = 'A' AND NOT post THEN CAST(s AS DOUBLE) / (100.0 * n) END) AS c_pre,
+    CAST(SUM(n) AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT t_pre, t_post, c_pre, c_post, n_total,
+       (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+FROM wide
+""",
+)
+def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: the treated group's pre→post change
+    minus the control group's — the parallel-trends estimator that
+    nets out seasonality and shared shocks a naive post-period
+    comparison absorbs (variant = hash split, post = day-of-month >
+    {DID_POST_DOM}). Completes the causal family: randomized readouts
+    (z/t/chi²), reweighting (IPTW), targeting (Qini), aggregation
+    audit (Simpson) — and now the panel-data workhorse.
+
+    ONE conditional-aggregate pass to a 4-cell table; every mean is a
+    single division of exact integer cents by an exact count, and the
+    estimate combines four identical doubles in fixed expression
+    order. Nothing scales but the scan."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        (F.dayofmonth("ts") > DID_POST_DOM).alias("post"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    cells = base.groupBy("variant", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    mean = F.col("s").cast("double") / (F.lit(100.0) * F.col("n"))
+    wide = cells.agg(
+        F.max(
+            F.when((F.col("variant") == "B") & F.col("post"), mean)
+        ).alias("t_post"),
+        F.max(
+            F.when((F.col("variant") == "B") & ~F.col("post"), mean)
+        ).alias("t_pre"),
+        F.max(
+            F.when((F.col("variant") == "A") & F.col("post"), mean)
+        ).alias("c_post"),
+        F.max(
+            F.when((F.col("variant") == "A") & ~F.col("post"), mean)
+        ).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        "n_total",
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )

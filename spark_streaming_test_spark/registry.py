@@ -141,7 +141,7 @@ _DRIVER_WINDOW = [
     "dedup_lsh_band_tuning", "ml_kmeans_elbow", "rec_als_rank1",
     "window_vshape_patterns", "sql_table_function", "decon_near_dup_lsh",
     "corpus_select_final", "ml_conformal_interval",
-    "ml_permutation_importance",
+    "ml_permutation_importance", "ab_test_diff_in_diff",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",

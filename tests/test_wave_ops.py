@@ -636,3 +636,36 @@ def test_corpus_select_final_invariants(spark, sf_dir):
     assert len(set(texts.values())) == len(texts)  # no exact dups survive
     dropped = {r["doc_b"] for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()}
     assert not (ids & dropped)
+
+
+def test_did_recompute(spark, sf_dir):
+    """Recompute the four cell means and the DiD estimate in Python."""
+    import collections
+    import hashlib
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import causal
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.dayofmonth("ts").alias("dom"),
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    acc = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        v = "A" if hashlib.md5(str(r["user_id"]).encode()).hexdigest()[0] <= "7" else "B"
+        post = r["dom"] > causal.DID_POST_DOM
+        a = acc[(v, post)]
+        a[0] += r["c"]
+        a[1] += 1
+    mean = {k: s / (100.0 * n) for k, (s, n) in acc.items()}
+    expect = (mean[("B", True)] - mean[("B", False)]) - (
+        mean[("A", True)] - mean[("A", False)]
+    )
+    got = causal.ab_test_diff_in_diff(spark, sf_dir).collect()[0]
+    assert got["n_total"] == len(rows)
+    assert abs(got["did_estimate"] - expect) < 1e-9
