@@ -793,3 +793,45 @@ def test_holt_winters_two_aggregates_no_join(spark, qs):
     plan = checks.formatted_plan(df)
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pps_windows_are_day_partitioned(spark, qs):
+    # The cumulative-value walk must never collapse to a single
+    # partition: no SinglePartition exchange anywhere in the plan.
+    df = qs["sample_pps_systematic"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_corpus_select_final_broadcast_drops(spark, qs):
+    # The LSH near-dup drop set must reach the survivors as a
+    # broadcast anti-join, never a shuffled join of the corpus.
+    df = qs["corpus_select_final"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_near_dup_decon_eval_side_broadcasts(spark, qs):
+    # Candidate generation joins the training band scan against a
+    # BROADCAST eval band table — no self-join, no shuffled band join.
+    df = qs["decon_near_dup_lsh"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_als_rank1_no_cartesian(spark, qs):
+    df = qs["rec_als_rank1"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
+
+
+def test_permutation_importance_day_partitioned(spark, qs):
+    # Permutation rank windows partition by day — no global sort of
+    # the corpus anywhere.
+    df = qs["ml_permutation_importance"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    # the only single-partition frames are the 1-row weight/mse
+    # aggregates; the corpus-sized windows must carry a partition key
+    import re
+
+    for m in re.finditer(r"\(\d+\) Window\b.*?Arguments: (.*)", plan):
+        assert "day" in m.group(1), m.group(1)
