@@ -1238,3 +1238,126 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("indeg").cast("bigint").alias("degree"),
     )
     return hubs.unionAll(auths)
+
+
+# --- personalized PageRank ------------------------------------------------
+
+PPR_SEED_MAX_CUST = 20  # seed set: customers with custkey < this
+
+
+def _sql_ppr_iter(prev: str, out: str) -> str:
+    """One unrolled personalized-PageRank iteration: teleport mass goes
+    ONLY to seed nodes (customer ids are even, custkey = node/2)."""
+    return f"""
+{out} AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst % 2 = 0 AND e.dst // 2 < {PPR_SEED_MAX_CUST}
+                   THEN {_TELEPORT_FP} ELSE 0 END
+              + ({DAMP_NUM} * SUM(r.r // d.outdeg)) // {DAMP_DEN}
+              AS BIGINT) AS r
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+
+
+_SQL_PPR_ITERS = ",".join(
+    _sql_ppr_iter(f"p{i}", f"p{i + 1}") for i in range(PR_ITERS)
+)
+
+_SQL_INT_EDGES = """
+pairs AS (
+  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+"""
+
+
+@register(
+    "graph_pagerank_personalized",
+    tags=("graph", "iterative"),
+    oracle=f"""
+WITH {_SQL_INT_EDGES},
+p0 AS (
+  SELECT src AS node,
+         CAST(CASE WHEN src % 2 = 0 AND src // 2 < {PPR_SEED_MAX_CUST}
+                   THEN {FP_ONE} ELSE 0 END AS BIGINT) AS r
+  FROM deg
+),
+{_SQL_PPR_ITERS}
+SELECT CASE WHEN p.node % 2 = 0 THEN 'c:' || CAST(p.node // 2 AS VARCHAR)
+            ELSE 's:' || CAST((p.node - 1) // 2 AS VARCHAR) END AS node_id,
+       CAST(p.r AS DOUBLE) / {FP_ONE}.0 AS rank,
+       p.node % 2 = 0 AND p.node // 2 < {PPR_SEED_MAX_CUST} AS is_seed
+FROM p{PR_ITERS} p
+WHERE p.r > 0
+""",
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from a seed set (customers with key <
+    {PPR_SEED_MAX_CUST}): teleport mass returns ONLY to the seeds, so
+    rank measures proximity TO THE SEED NEIGHBORHOOD rather than
+    global importance — the recommendation/expansion primitive ("rank
+    everything by relevance to these accounts") and the
+    seed-expansion step of graph-based curation. Zero-rank nodes
+    (unreached within {PR_ITERS} hops) are filtered — at scale PPR
+    frontiers stay sparse, which is why it beats global PageRank for
+    per-query work.
+
+    Same fixed-point int64 machinery, persisted edge cache, and
+    broadcast-rank iteration as `graph_pagerank` — the ONLY change is
+    the teleport term's seed condition (an integer predicate on the
+    node id). Bitwise oracle via the same unrolled-CTE technique."""
+    edges, deg = _edge_index(spark, sf_dir)
+    is_seed = (F.col("node") % 2 == 0) & (
+        F.expr("node div 2") < PPR_SEED_MAX_CUST
+    )
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.when(
+            (F.col("src") % 2 == 0)
+            & (F.expr("src div 2") < PPR_SEED_MAX_CUST),
+            F.lit(FP_ONE),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        rd = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
+            "node", "r", "outdeg"
+        )
+        contrib = edges.join(
+            F.broadcast(rd), edges.src == rd.node
+        ).select("dst", F.expr("r div outdeg").alias("w"))
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.when(
+                    (F.col("dst") % 2 == 0)
+                    & (F.expr("dst div 2") < PPR_SEED_MAX_CUST),
+                    F.lit(_TELEPORT_FP),
+                )
+                .otherwise(0)
+                .cast("bigint")
+                + F.expr(f"({DAMP_NUM} * sum(w)) div {DAMP_DEN}")
+            ).alias("r")
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c:"), F.expr("node div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s:"), F.expr("(node - 1) div 2").cast("string"))
+    )
+    return ranks.filter(F.col("r") > 0).select(
+        label.alias("node_id"),
+        (F.col("r").cast("double") / F.lit(float(FP_ONE))).alias("rank"),
+        is_seed.alias("is_seed"),
+    )

@@ -98,3 +98,33 @@ def test_hits_normalization_and_coverage(spark, sf_dir):
     pairs = o.join(li, o.o_orderkey == li.l_orderkey)
     assert len(hubs) == pairs.select("o_custkey").distinct().count()
     assert len(auths) == pairs.select("l_suppkey").distinct().count()
+
+
+def test_ppr_concentrates_on_seed_neighborhood(spark, sf_dir):
+    """Personalized ranks must concentrate near the seeds: every seed
+    outranks the global-PageRank-normalized typical node, total mass
+    is far below the global variant's sum-to-N, and every emitted
+    node is within reach of a seed (rank > 0 by construction)."""
+    rows = graph_ops.graph_pagerank_personalized(spark, sf_dir).collect()
+    assert rows
+    seeds = [r for r in rows if r["is_seed"]]
+    others = [r for r in rows if not r["is_seed"]]
+    assert seeds
+    assert all(r["rank"] > 0 for r in rows)
+    # seeds hold teleport mass: min seed rank >= the teleport floor
+    assert min(r["rank"] for r in seeds) >= 0.15 - 1e-9
+    # mass is bounded by the seed count (sum-to-|seeds| convention,
+    # minus truncation and 3-hop leakage)
+    total = sum(r["rank"] for r in rows)
+    assert total <= graph_ops.PPR_SEED_MAX_CUST + 1e-6
+    # the seed flag is exactly the id predicate
+    for r in rows:
+        kind, key = r["node_id"].split(":")
+        assert r["is_seed"] == (
+            kind == "c" and int(key) < graph_ops.PPR_SEED_MAX_CUST
+        )
+    # on a bipartite graph the seeds' pushed mass accumulates at their
+    # supplier intermediaries: the top-ranked non-seed is a supplier
+    if others:
+        top = max(others, key=lambda r: r["rank"])
+        assert top["node_id"].startswith("s:")
