@@ -917,3 +917,49 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tw").cast("bigint").alias("total_weight"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_prices"),
     )
+
+
+# --- pre-aggregate cascade routing ----------------------------------------
+
+
+@register(
+    "agg_preagg_routing",
+    tags=("agg", "rollup", "olap-serving"),
+    oracle="""
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+""",
+)
+def agg_preagg_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-AGGREGATE CASCADE: the monthly readout is answered from the
+    DAILY rollup, which is itself the only thing built from raw rows —
+    the OLAP-serving pattern where dashboards never touch the fact
+    table (raw → daily → monthly → ...; each level is built from the
+    level below, never from raw again). The oracle computes the SAME
+    answer straight from raw events, so the hash match IS the proof
+    that the cascade is lossless — which it is exactly because the
+    additive measures are decimal-exact sums and counts (averages and
+    distincts do NOT cascade; they must be carried as sum/count pairs
+    and sketches, which is why the engine's HLL rollup exists).
+
+    At 100 TB: raw→daily runs once per ingest window over new
+    partitions only; every further level aggregates the tiny level
+    below. The serving query here shuffles O(days × types) rows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("total_d"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("total_d").cast("double").alias("total"),
+    )
+    return monthly

@@ -142,7 +142,8 @@ _DRIVER_WINDOW = [
     "window_vshape_patterns", "sql_table_function", "decon_near_dup_lsh",
     "corpus_select_final", "ml_conformal_interval",
     "ml_permutation_importance", "ab_test_diff_in_diff",
-    "graph_pagerank_personalized",
+    "graph_pagerank_personalized", "scan_posting_index",
+    "agg_preagg_routing",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",

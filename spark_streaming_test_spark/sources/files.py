@@ -832,3 +832,66 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("content").cast("string"), 1, 12).alias("head"),
         )
     )
+
+
+# --- posting-list secondary index -----------------------------------------
+
+PIDX_BUCKETS = 8
+PIDX_USERS = (3, 7, 11)  # the point-lookup key set
+
+
+@register(
+    "scan_posting_index",
+    tags=("source", "parquet", "index", "lakehouse"),
+    oracle=f"""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE user_id IN {PIDX_USERS}
+""",
+)
+def scan_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A POSTING-LIST secondary index over a key column — the
+    point-lookup complement to `scan_manifest_pruning`'s min/max
+    skipping (min/max stats are useless when keys interleave; a
+    posting list is exact): (1) cluster the table so each file holds
+    few distinct users, (2) derive the index — one (user_id, file)
+    row per distinct key per file via ``input_file_name`` — the
+    value-level entry Hudi's record index / DB secondary indexes
+    keep, (3) answer a key IN-list by consulting the index and
+    scanning ONLY the posted files, residual filter on top.
+
+    The index is O(Σ per-file distinct keys) and queries it with a
+    key predicate before any data file opens; a point lookup on a
+    100 TB table touches the handful of files that actually contain
+    the key. Row-identical to the full-scan filter (the oracle); the
+    files-skipped assertion lives in tests/test_plans.py."""
+    path = os.path.join(SCRATCH, "events_pidx")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    (
+        ev.repartition(PIDX_BUCKETS, F.col("user_id") % PIDX_BUCKETS)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    posting = (
+        spark.read.parquet(path)
+        .select(F.col("user_id"), F.input_file_name().alias("file"))
+        .distinct()
+        .filter(F.col("user_id").isin(*PIDX_USERS))
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    keep = [r["file"] for r in posting]
+    total = len(
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    scan_posting_index.last_file_counts = (len(keep), total)
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("user_id").isin(*PIDX_USERS))
+        .select("event_id", "user_id", "event_type", "value")
+    )

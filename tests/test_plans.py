@@ -835,3 +835,20 @@ def test_permutation_importance_day_partitioned(spark, qs):
 
     for m in re.finditer(r"\(\d+\) Window\b.*?Arguments: (.*)", plan):
         assert "day" in m.group(1), m.group(1)
+
+
+def test_posting_index_skips_files(spark, qs):
+    # A 3-key IN-list must scan only the posted files — with 8 user
+    # buckets the lookup touches at most 3 of 8.
+    from spark_streaming_test_spark.sources import files as src_files
+
+    # repartition(n, expr) HASH-partitions the bucket expression, so
+    # bucket values can collide into one partition and empty partitions
+    # write no file — file count <= bucket count. The invariant is the
+    # lookup's: at most one file per looked-up key, strictly fewer than
+    # the table's files.
+    qs["scan_posting_index"](spark, SF_DIR).count()
+    kept, total = src_files.scan_posting_index.last_file_counts
+    assert total >= 2
+    assert kept < total, (kept, total)
+    assert kept <= len(src_files.PIDX_USERS)
