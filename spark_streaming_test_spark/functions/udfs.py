@@ -295,3 +295,37 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, n_docs bigint, min_chars bigint, "
         "max_chars bigint, total_chars bigint",
     )
+
+
+# --- Arrow-optimized scalar Python UDF ------------------------------------
+
+
+@register(
+    "udf_arrow_scalar",
+    tags=("udf", "arrow", "spark4"),
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) * 31 % 1000 + len(string_split(text, ' '))
+            AS BIGINT) AS sig
+FROM documents
+""",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW-OPTIMIZED scalar Python UDF (``useArrow=True``,
+    Spark 3.5+/4): row-at-a-time Python signature, Arrow-batched
+    transfer — the migration path for legacy ``F.udf`` code that
+    can't be rewritten as a pandas_udf (10-100x serialization win
+    over pickled rows, same per-element semantics). The function is
+    a deterministic integer signature, so the oracle recomputes it
+    in SQL exactly. (The vectorized pandas_udf and mapInArrow paths
+    are the preferred forms — `udf_pandas_scalar`, `udf_map_in_arrow`;
+    this pins the drop-in-upgrade path.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def sig(text: str) -> int:
+        return len(text) * 31 % 1000 + len(text.split(" "))
+
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", sig("text").alias("sig"))
