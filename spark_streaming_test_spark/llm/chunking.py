@@ -435,3 +435,67 @@ def export_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsonl"),
         )
     )
+
+
+# --- SFT conversation export ----------------------------------------------
+
+SFT_PROMPT_TOKENS = 12  # first N whitespace tokens become the "user" turn
+
+
+@register(
+    "export_sft_messages",
+    tags=("llm", "export", "serialization", "sft"),
+    oracle=f"""
+SELECT doc_id,
+       concat(
+         '{{"messages":[',
+         '{{"role":"user","content":"',
+         array_to_string(string_split(text, ' ')[1:{SFT_PROMPT_TOKENS}], ' '),
+         '"}},',
+         '{{"role":"assistant","content":"',
+         array_to_string(
+           string_split(text, ' ')[{SFT_PROMPT_TOKENS + 1}:], ' '),
+         '"}}]}}'
+       ) AS sft_jsonl,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE len(string_split(text, ' ')) > {SFT_PROMPT_TOKENS}
+""",
+)
+def export_sft_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT CONVERSATION export — the chat-format training artifact
+    (OpenAI/HF messages schema): each document splits into a "user"
+    turn (the first {SFT_PROMPT_TOKENS} tokens, standing in for the
+    prompt) and an "assistant" turn (the continuation), serialized
+    with a PINNED string template, not a native JSON writer — the
+    `export_jsonl_records` rule: field order, spacing, and escaping
+    are part of the artifact contract, and native writers differ
+    across engines where a template is byte-identical. Completes the
+    export trio: pretraining JSONL, DPO preference pairs, and now
+    SFT conversations.
+
+    Pure projection over the corpus (token split + two slices + one
+    concat); documents too short to split are filtered with the same
+    predicate on both engines."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ", -1)
+    n = F.size(toks)
+    prompt = F.concat_ws(" ", F.slice(toks, 1, SFT_PROMPT_TOKENS))
+    completion = F.concat_ws(
+        " ", F.expr(f"slice(split(text, ' ', -1), {SFT_PROMPT_TOKENS + 1}, 2147483647)")
+    )
+    jsonl = F.concat(
+        F.lit('{"messages":[{"role":"user","content":"'),
+        prompt,
+        F.lit('"},{"role":"assistant","content":"'),
+        completion,
+        F.lit('"}]}'),
+    )
+    return (
+        d.filter(n > SFT_PROMPT_TOKENS)
+        .select(
+            "doc_id",
+            jsonl.alias("sft_jsonl"),
+            n.cast("bigint").alias("n_tokens"),
+        )
+    )
