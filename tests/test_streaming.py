@@ -1922,3 +1922,86 @@ def test_streaming_holt_winters_matches_batch_fold(spark, tmp_path):
     # batch-1 emission is still warming up (n=3 < period): null state
     warm = min((r["n"], r) for r in rows)[1]
     assert warm["n"] == 3 and warm["level"] is None
+
+
+def test_reference_pipeline_composed_end_to_end(spark, tmp_path):
+    """The WHOLE reference pipeline composed live — packet file source
+    → per-batch totals → edge-triggered alert state → custom JSONL
+    stream sink — with a RESTART in the middle: alert emissions across
+    both runs must equal the Python truth-table replay of the
+    per-batch totals (state survives the checkpoint), and the sink
+    must hold exactly one copy of each emission."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from spark_streaming_test_spark.sources.jsonl_sink import register_sink
+    from spark_streaming_test_spark.streaming.pipeline import (
+        ALERT_MSG,
+        INFO_MSG,
+        edge_trigger_stream,
+        packet_stream_from_dir,
+    )
+
+    register_sink(spark)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "alerts")
+    chk = str(tmp_path / "chk")
+    limit = 100.0
+    # batch -> (nif, bytes): designed to flip A's alert state twice and
+    # B's once, with suppressed repeats in between
+    batches = [
+        [("A", 150.0, _ts(0)), ("B", 10.0, _ts(0))],   # A: alert, B: info
+        [("A", 160.0, _ts(5)), ("B", 20.0, _ts(5))],   # both suppressed
+        [("A", 30.0, _ts(10)), ("B", 200.0, _ts(10))], # A: info, B: alert
+        [("A", 20.0, _ts(15)), ("B", 220.0, _ts(15))], # both suppressed
+    ]
+
+    def run_available(n_batches_written):
+        packets = packet_stream_from_dir(spark, src)
+        totals = packets.select("nif", F.col("bytes").alias("total_bytes"))
+        q = (
+            edge_trigger_stream(totals, limit)
+            .writeStream.format("jsonl_dir")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    # run 1: first two batches
+    for i, rows in enumerate(batches[:2]):
+        _write_packet_batch(spark, src, rows, i)
+    run_available(2)
+    # RESTART: feed the remaining batches through a fresh query on the
+    # same checkpoint — the edge-trigger state must carry over
+    for i, rows in enumerate(batches[2:], start=2):
+        _write_packet_batch(spark, src, rows, i)
+    run_available(4)
+
+    emitted = []
+    for part in glob.glob(_os.path.join(out, "epoch=*", "*.jsonl")):
+        with open(part) as f:
+            emitted += [_json.loads(line) for line in f]
+    got = sorted(
+        (e["nif"], e["is_alert"], e["message"]) for e in emitted
+    )
+    # Python truth-table replay over per-batch totals
+    state: dict = {}
+    expect = []
+    for rows in batches:
+        per_key: dict = {}
+        for nif, b, _t in rows:
+            per_key[nif] = per_key.get(nif, 0.0) + b
+        for nif, total in per_key.items():
+            is_alert = total > limit
+            if nif not in state or state[nif] != is_alert:
+                expect.append(
+                    (nif, is_alert, ALERT_MSG if is_alert else INFO_MSG)
+                )
+            state[nif] = is_alert
+    assert got == sorted(expect), (got, expect)
