@@ -810,3 +810,160 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("day_tot").cast("double")
         ).alias("inclusion_prob"),
     )
+
+
+# --- survey raking (iterative proportional fitting) -----------------------
+
+IPF_ITERS = 3
+# Design targets the reweighted sample must hit: even variant split,
+# calendar-share day-type split.
+IPF_ROW_NUM, IPF_ROW_DEN = 1, 2    # target P(variant = A) = 1/2
+IPF_COL_NUM, IPF_COL_DEN = 5, 7    # target P(weekday) = 5/7
+
+
+def _sql_ipf_oracle() -> str:
+    # One row carries all four cells; every IPF step is explicit
+    # column arithmetic — no SUM over variable-order doubles anywhere.
+    steps = []
+    prev = "it0"
+    steps.append("""
+it0 AS (
+  SELECT CAST(n_aw AS DOUBLE) AS w_aw, CAST(n_ae AS DOUBLE) AS w_ae,
+         CAST(n_bw AS DOUBLE) AS w_bw, CAST(n_be AS DOUBLE) AS w_be,
+         CAST(n_aw + n_ae + n_bw + n_be AS DOUBLE) AS n
+  FROM cells
+)""")
+    for i in range(1, IPF_ITERS + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT (w_aw * (n * {IPF_ROW_NUM}.0 / {IPF_ROW_DEN}) / (w_aw + w_ae)) AS w_aw,
+         (w_ae * (n * {IPF_ROW_NUM}.0 / {IPF_ROW_DEN}) / (w_aw + w_ae)) AS w_ae,
+         (w_bw * (n * (1.0 - {IPF_ROW_NUM}.0 / {IPF_ROW_DEN})) / (w_bw + w_be)) AS w_bw,
+         (w_be * (n * (1.0 - {IPF_ROW_NUM}.0 / {IPF_ROW_DEN})) / (w_bw + w_be)) AS w_be,
+         n
+  FROM {prev}
+),
+it{i} AS (
+  SELECT (w_aw * (n * {IPF_COL_NUM}.0 / {IPF_COL_DEN}) / (w_aw + w_bw)) AS w_aw,
+         (w_ae * (n * (1.0 - {IPF_COL_NUM}.0 / {IPF_COL_DEN})) / (w_ae + w_be)) AS w_ae,
+         (w_bw * (n * {IPF_COL_NUM}.0 / {IPF_COL_DEN}) / (w_aw + w_bw)) AS w_bw,
+         (w_be * (n * (1.0 - {IPF_COL_NUM}.0 / {IPF_COL_DEN})) / (w_ae + w_be)) AS w_be,
+         n
+  FROM r{i}
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(EXTRACT(dow FROM ts) AS INTEGER) BETWEEN 1 AND 5 AS weekday
+  FROM events
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'A' AND weekday THEN 1 ELSE 0 END) AS BIGINT) AS n_aw,
+         CAST(SUM(CASE WHEN variant = 'A' AND NOT weekday THEN 1 ELSE 0 END) AS BIGINT) AS n_ae,
+         CAST(SUM(CASE WHEN variant = 'B' AND weekday THEN 1 ELSE 0 END) AS BIGINT) AS n_bw,
+         CAST(SUM(CASE WHEN variant = 'B' AND NOT weekday THEN 1 ELSE 0 END) AS BIGINT) AS n_be
+  FROM base
+),
+{",".join(steps)}
+SELECT c.n_aw, c.n_ae, c.n_bw, c.n_be,
+       f.w_aw, f.w_ae, f.w_bw, f.w_be,
+       f.w_aw / c.n_aw AS rake_aw,
+       f.w_ae / c.n_ae AS rake_ae,
+       f.w_bw / c.n_bw AS rake_bw,
+       f.w_be / c.n_be AS rake_be,
+       (f.w_aw + f.w_ae) / f.n AS row_a_share,
+       (f.w_aw + f.w_bw) / f.n AS col_weekday_share
+FROM cells c CROSS JOIN {prev} f
+"""
+
+
+@register(
+    "sample_raking_ipf",
+    tags=("sampling", "survey", "weights", "iterative"),
+    oracle=_sql_ipf_oracle(),
+)
+def sample_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY RAKING (iterative proportional fitting): reweight the
+    variant × day-type cells so BOTH margins hit their design targets
+    (even variant split, 5/7 weekday share) — the post-stratification
+    weighting every survey/panel pipeline applies when the collected
+    sample's margins drift from the population's, and the classical
+    IPF algorithm behind it ({IPF_ITERS} row/column scaling rounds).
+    Output: raw cells, fitted weights, per-cell rake factors, and the
+    achieved margins (the convergence evidence, in the verified
+    result).
+
+    ONE corpus pass reduces to the 2×2 table PIVOTED ONTO A SINGLE
+    ROW; every IPF step is then explicit column arithmetic — there is
+    no SUM over a variable-order float collection anywhere, so the
+    whole fit is bitwise identical on both engines by construction."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.dayofweek("ts").isin(2, 3, 4, 5, 6).alias("weekday"),
+    )
+    cells = base.agg(
+        F.sum(F.when((F.col("variant") == "A") & F.col("weekday"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_aw"),
+        F.sum(
+            F.when((F.col("variant") == "A") & ~F.col("weekday"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_ae"),
+        F.sum(F.when((F.col("variant") == "B") & F.col("weekday"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bw"),
+        F.sum(
+            F.when((F.col("variant") == "B") & ~F.col("weekday"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_be"),
+    )
+    c = F.col
+    cur = cells.select(
+        "n_aw",
+        "n_ae",
+        "n_bw",
+        "n_be",
+        c("n_aw").cast("double").alias("w_aw"),
+        c("n_ae").cast("double").alias("w_ae"),
+        c("n_bw").cast("double").alias("w_bw"),
+        c("n_be").cast("double").alias("w_be"),
+        (c("n_aw") + c("n_ae") + c("n_bw") + c("n_be"))
+        .cast("double")
+        .alias("n"),
+    )
+    row_t = IPF_ROW_NUM / IPF_ROW_DEN
+    col_t = IPF_COL_NUM / IPF_COL_DEN
+    for _ in range(IPF_ITERS):
+        cur = cur.select(
+            "n_aw", "n_ae", "n_bw", "n_be", "n",
+            (c("w_aw") * (c("n") * F.lit(row_t)) / (c("w_aw") + c("w_ae"))).alias("w_aw"),
+            (c("w_ae") * (c("n") * F.lit(row_t)) / (c("w_aw") + c("w_ae"))).alias("w_ae"),
+            (c("w_bw") * (c("n") * (1.0 - F.lit(row_t))) / (c("w_bw") + c("w_be"))).alias("w_bw"),
+            (c("w_be") * (c("n") * (1.0 - F.lit(row_t))) / (c("w_bw") + c("w_be"))).alias("w_be"),
+        )
+        cur = cur.select(
+            "n_aw", "n_ae", "n_bw", "n_be", "n",
+            (c("w_aw") * (c("n") * F.lit(col_t)) / (c("w_aw") + c("w_bw"))).alias("w_aw"),
+            (c("w_ae") * (c("n") * (1.0 - F.lit(col_t))) / (c("w_ae") + c("w_be"))).alias("w_ae"),
+            (c("w_bw") * (c("n") * F.lit(col_t)) / (c("w_aw") + c("w_bw"))).alias("w_bw"),
+            (c("w_be") * (c("n") * (1.0 - F.lit(col_t))) / (c("w_ae") + c("w_be"))).alias("w_be"),
+        )
+    return cur.select(
+        "n_aw", "n_ae", "n_bw", "n_be",
+        "w_aw", "w_ae", "w_bw", "w_be",
+        (c("w_aw") / c("n_aw")).alias("rake_aw"),
+        (c("w_ae") / c("n_ae")).alias("rake_ae"),
+        (c("w_bw") / c("n_bw")).alias("rake_bw"),
+        (c("w_be") / c("n_be")).alias("rake_be"),
+        ((c("w_aw") + c("w_ae")) / c("n")).alias("row_a_share"),
+        ((c("w_aw") + c("w_bw")) / c("n")).alias("col_weekday_share"),
+    )

@@ -669,3 +669,21 @@ def test_did_recompute(spark, sf_dir):
     got = causal.ab_test_diff_in_diff(spark, sf_dir).collect()[0]
     assert got["n_total"] == len(rows)
     assert abs(got["did_estimate"] - expect) < 1e-9
+
+
+def test_raking_margins_converge(spark, sf_dir):
+    """After 3 IPF rounds the column margin is hit exactly (it scales
+    last) and the row margin is near-target; total weight mass is
+    conserved at n; rake factors are positive."""
+    from spark_streaming_test_spark.llm import sampling
+
+    r = sampling.sample_raking_ipf(spark, sf_dir).collect()[0]
+    n = r["n_aw"] + r["n_ae"] + r["n_bw"] + r["n_be"]
+    w_total = r["w_aw"] + r["w_ae"] + r["w_bw"] + r["w_be"]
+    assert abs(w_total - n) < 1e-6 * n
+    col_t = sampling.IPF_COL_NUM / sampling.IPF_COL_DEN
+    row_t = sampling.IPF_ROW_NUM / sampling.IPF_ROW_DEN
+    assert abs(r["col_weekday_share"] - col_t) < 1e-9
+    assert abs(r["row_a_share"] - row_t) < 5e-3  # converging, scaled first
+    for k in ("rake_aw", "rake_ae", "rake_bw", "rake_be"):
+        assert r[k] > 0
