@@ -1318,3 +1318,160 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c("mp") - c("mse")).alias("importance"),
     )
     return r1.unionAll(r2)
+
+
+# --- isotonic calibration (pool-adjacent-violators) -----------------------
+
+ISO_BINS = 10
+
+
+def _sql_pav_pass(prev: str, out: str) -> str:
+    """One PAV pass: find the FIRST adjacent violation (block mean
+    decreasing — tested by exact integer cross-multiplication) and
+    merge that pair; everything else carries through with re-numbered
+    indices. No violation -> identity pass."""
+    return f"""
+l_{out} AS (
+  SELECT idx, lo, hi, n, pos,
+         lead(n) OVER (ORDER BY idx) AS n_nx,
+         lead(pos) OVER (ORDER BY idx) AS pos_nx,
+         lead(hi) OVER (ORDER BY idx) AS hi_nx
+  FROM {prev}
+),
+v_{out} AS (
+  SELECT COALESCE(MIN(CASE WHEN pos * n_nx > pos_nx * n THEN idx END),
+                  {ISO_BINS + 1}) AS v
+  FROM l_{out}
+),
+{out} AS (
+  SELECT CASE WHEN l.idx <= s.v THEN l.idx ELSE l.idx - 1 END AS idx,
+         l.lo,
+         CASE WHEN l.idx = s.v THEN l.hi_nx ELSE l.hi END AS hi,
+         CASE WHEN l.idx = s.v THEN l.n + l.n_nx ELSE l.n END AS n,
+         CASE WHEN l.idx = s.v THEN l.pos + l.pos_nx ELSE l.pos END AS pos
+  FROM l_{out} l CROSS JOIN v_{out} s
+  WHERE l.idx <> s.v + 1
+)"""
+
+
+def _sql_isotonic_oracle() -> str:
+    passes = ",".join(
+        _sql_pav_pass(f"b{i}", f"b{i + 1}") for i in range(ISO_BINS - 1)
+    )
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         value AS score,
+         event_id
+  FROM events
+),
+binned AS (
+  SELECT NTILE({ISO_BINS}) OVER (ORDER BY score, event_id) AS idx, y
+  FROM scored
+),
+b0 AS (
+  SELECT idx, idx AS lo, idx AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM binned GROUP BY idx
+),
+{passes}
+SELECT idx AS block, CAST(lo AS INTEGER) AS lo_bin, CAST(hi AS INTEGER) AS hi_bin,
+       CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS calibrated_p
+FROM b{ISO_BINS - 1}
+"""
+
+
+@register(
+    "ml_isotonic_calibration",
+    tags=("ml", "calibration", "iterative"),
+    oracle=_sql_isotonic_oracle(),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION by pool-adjacent-violators over
+    {ISO_BINS} score deciles: merge adjacent blocks until empirical
+    positive rates are nondecreasing in score — the nonparametric
+    calibrator (sklearn's IsotonicRegression) that beats Platt when
+    miscalibration isn't sigmoid-shaped. PAV's data-dependent merge
+    loop is still ORACLE-EXPRESSIBLE because {ISO_BINS} bins bound it:
+    each pass merges at most the first violating pair, so
+    {ISO_BINS - 1} unrolled passes reach the fixpoint unconditionally
+    (identity passes after convergence).
+
+    Violations are tested by INTEGER cross-multiplication
+    (pos_i·n_j > pos_j·n_i) — block means never materialize as floats
+    until the final calibrated_p division, so both the merge sequence
+    and the result are bitwise-deterministic. The corpus reduces to
+    {ISO_BINS} rows in one NTILE + aggregate; the nine PAV passes are
+    window/merge steps over that constant-size frame (driver-free)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.col("value").alias("score"),
+        "event_id",
+    )
+    binned = scored.select(
+        F.ntile(ISO_BINS).over(W.orderBy("score", "event_id")).alias("idx"),
+        "y",
+    )
+    blocks = binned.groupBy("idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    ).select("idx", F.col("idx").alias("lo"), F.col("idx").alias("hi"), "n", "pos")
+    for _ in range(ISO_BINS - 1):
+        wl = W.orderBy("idx")
+        led = blocks.select(
+            "idx",
+            "lo",
+            "hi",
+            "n",
+            "pos",
+            F.lead("n").over(wl).alias("n_nx"),
+            F.lead("pos").over(wl).alias("pos_nx"),
+            F.lead("hi").over(wl).alias("hi_nx"),
+        )
+        viol = led.agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("pos") * F.col("n_nx")
+                        > F.col("pos_nx") * F.col("n"),
+                        F.col("idx"),
+                    )
+                ),
+                F.lit(ISO_BINS + 1),
+            ).alias("v")
+        )
+        blocks = (
+            led.crossJoin(F.broadcast(viol))
+            .filter(F.col("idx") != F.col("v") + 1)
+            .select(
+                F.when(F.col("idx") <= F.col("v"), F.col("idx"))
+                .otherwise(F.col("idx") - 1)
+                .alias("idx"),
+                "lo",
+                F.when(F.col("idx") == F.col("v"), F.col("hi_nx"))
+                .otherwise(F.col("hi"))
+                .alias("hi"),
+                F.when(F.col("idx") == F.col("v"), F.col("n") + F.col("n_nx"))
+                .otherwise(F.col("n"))
+                .alias("n"),
+                F.when(
+                    F.col("idx") == F.col("v"), F.col("pos") + F.col("pos_nx")
+                )
+                .otherwise(F.col("pos"))
+                .alias("pos"),
+            )
+        )
+    return blocks.select(
+        F.col("idx").alias("block"),
+        F.col("lo").cast("int").alias("lo_bin"),
+        F.col("hi").cast("int").alias("hi_bin"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("pos"),
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+            "calibrated_p"
+        ),
+    )

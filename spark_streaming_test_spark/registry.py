@@ -144,7 +144,7 @@ _DRIVER_WINDOW = [
     "ml_permutation_importance", "ab_test_diff_in_diff",
     "graph_pagerank_personalized", "scan_posting_index",
     "agg_preagg_routing", "udf_arrow_scalar", "export_sft_messages",
-    "sample_raking_ipf",
+    "sample_raking_ipf", "ml_isotonic_calibration",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",

@@ -183,3 +183,55 @@ def test_permutation_importance_properties(spark, sf_dir):
         assert r["mse_base"] > 0 and r["mse_permuted"] > 0
         assert abs(r["importance"] - (r["mse_permuted"] - r["mse_base"])) < 1e-9
     assert max(r["importance"] for r in rows.values()) > 0
+
+
+def test_isotonic_pav_python_replay(spark, sf_dir):
+    """Replay PAV in Python with exact fractions over the same decile
+    bins; the block structure and pooled rates must match, and the
+    output must be monotone with conserved mass."""
+    from fractions import Fraction
+
+    from spark_streaming_test_spark.operators import mltrain
+
+    scored = sorted(
+        (
+            (r["value"], r["event_id"], 1 if r["event_type"] == "purchase" else 0)
+            for r in load(spark, sf_dir, "events")
+            .select("value", "event_id", "event_type")
+            .collect()
+        )
+    )
+    n = len(scored)
+    B = mltrain.ISO_BINS
+    # NTILE semantics: first (n % B) tiles get ceil(n/B)
+    sizes = [(n // B) + (1 if i < n % B else 0) for i in range(B)]
+    bins = []
+    k = 0
+    for i, sz in enumerate(sizes, start=1):
+        ys = [y for _, _, y in scored[k : k + sz]]
+        bins.append([i, i, len(ys), sum(ys)])
+        k += sz
+    # classic PAV: merge while any adjacent violation exists
+    out = []
+    for b in bins:
+        out.append(list(b))
+        while len(out) >= 2 and Fraction(out[-2][3], out[-2][2]) > Fraction(
+            out[-1][3], out[-1][2]
+        ):
+            lo2, hi2, n2, p2 = out.pop()
+            out[-1][1] = hi2
+            out[-1][2] += n2
+            out[-1][3] += p2
+    got = sorted(
+        (r["lo_bin"], r["hi_bin"], r["n"], r["pos"])
+        for r in mltrain.ml_isotonic_calibration(spark, sf_dir).collect()
+    )
+    expect = sorted((lo, hi, nn, pp) for lo, hi, nn, pp in out)
+    assert got == expect, (got, expect)
+    rows = sorted(
+        mltrain.ml_isotonic_calibration(spark, sf_dir).collect(),
+        key=lambda r: r["block"],
+    )
+    ps = [r["calibrated_p"] for r in rows]
+    assert all(b >= a for a, b in zip(ps, ps[1:])), ps
+    assert sum(r["n"] for r in rows) == n
