@@ -536,3 +536,164 @@ def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("c_post") - F.col("c_pre"))
         ).alias("did_estimate"),
     )
+
+
+# --- experiment power analysis --------------------------------------------
+
+POWER_Z_ALPHA = 1.959963984540054  # two-sided 5%
+POWER_Z_BETA = 0.8416212335729143  # 80% power
+POWER_MDE_PCT = 5  # minimum detectable effect, % of the current mean
+
+
+@register(
+    "ab_test_power_analysis",
+    tags=("experiment", "planning"),
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_dsum('value')} AS s,
+         {sql_dsum('value * value')} AS q
+  FROM events
+),
+stats AS (
+  SELECT n, s / CAST(n AS DOUBLE) AS mean,
+         q / CAST(n AS DOUBLE)
+           - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) AS var
+  FROM m
+)
+SELECT n AS n_observed, mean, var,
+       mean * CAST({POWER_MDE_PCT} AS DOUBLE) / 100.0 AS mde_abs,
+       2.0 * (CAST({POWER_Z_ALPHA} AS DOUBLE) + CAST({POWER_Z_BETA} AS DOUBLE))
+           * (CAST({POWER_Z_ALPHA} AS DOUBLE) + CAST({POWER_Z_BETA} AS DOUBLE))
+           * var
+         / ((mean * CAST({POWER_MDE_PCT} AS DOUBLE) / 100.0)
+            * (mean * CAST({POWER_MDE_PCT} AS DOUBLE) / 100.0))
+         AS n_required_per_arm
+FROM stats
+""",
+)
+def ab_test_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPERIMENT POWER ANALYSIS: from the metric's observed mean and
+    variance, the per-arm sample size needed to detect a
+    {POWER_MDE_PCT}% lift at two-sided α = 0.05 with 80% power —
+    n = 2(z_α + z_β)²σ²/δ². The planning step that runs BEFORE
+    ab_test_zscore ever should: an underpowered experiment's "no
+    effect" is noise, and this query prices the detection up front
+    from one moment pass.
+
+    Moments are decimal-exact; z constants enter as DOUBLE-cast
+    literals (the Wilson-CI rule — bare decimal literals fold exactly
+    in DuckDB and would diverge); everything downstream is identical
+    IEEE arithmetic."""
+    e = load(spark, sf_dir, "events")
+    m = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("value").alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s") / nd
+    var = F.col("q") / nd - mean * mean
+    zsum = F.lit(POWER_Z_ALPHA) + F.lit(POWER_Z_BETA)
+    mde = mean * F.lit(float(POWER_MDE_PCT)) / 100.0
+    return m.select(
+        F.col("n").alias("n_observed"),
+        mean.alias("mean"),
+        var.alias("var"),
+        mde.alias("mde_abs"),
+        (F.lit(2.0) * zsum * zsum * var / (mde * mde)).alias(
+            "n_required_per_arm"
+        ),
+    )
+
+
+# --- metric-tree growth decomposition -------------------------------------
+
+
+@register(
+    "events_metric_tree_decomposition",
+    tags=("analytics", "decomposition"),
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) > {DID_POST_DOM} AS post,
+         user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+              ELSE 0 END AS cents
+  FROM events
+),
+per AS (
+  SELECT post,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+         CAST(SUM(is_p) AS BIGINT) AS purchases,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM base GROUP BY post
+),
+wide AS (
+  SELECT MAX(CASE WHEN post THEN users END) AS u1,
+         MAX(CASE WHEN NOT post THEN users END) AS u0,
+         MAX(CASE WHEN post THEN purchases END) AS p1,
+         MAX(CASE WHEN NOT post THEN purchases END) AS p0,
+         MAX(CASE WHEN post THEN cents END) AS c1,
+         MAX(CASE WHEN NOT post THEN cents END) AS c0
+  FROM per
+)
+SELECT CAST(c1 AS DOUBLE) / 100.0 AS revenue_post,
+       CAST(c0 AS DOUBLE) / 100.0 AS revenue_pre,
+       ln(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)) AS dln_revenue,
+       ln(CAST(u1 AS DOUBLE) / CAST(u0 AS DOUBLE)) AS dln_users,
+       ln((CAST(p1 AS DOUBLE) / CAST(u1 AS DOUBLE))
+          / (CAST(p0 AS DOUBLE) / CAST(u0 AS DOUBLE))) AS dln_freq,
+       ln((CAST(c1 AS DOUBLE) / CAST(p1 AS DOUBLE))
+          / (CAST(c0 AS DOUBLE) / CAST(p0 AS DOUBLE))) AS dln_aov
+FROM wide
+""",
+)
+def events_metric_tree_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METRIC-TREE decomposition of revenue growth: revenue ≡ users ×
+    purchases/user × revenue/purchase, so Δln(revenue) = Δln(users) +
+    Δln(frequency) + Δln(AOV) EXACTLY — the north-star-metric
+    factorization that tells a growth team WHICH lever moved
+    (acquisition, engagement, or basket size) instead of just that
+    the top line did. Periods split at day-of-month {DID_POST_DOM}
+    (the ab_test_diff_in_diff convention).
+
+    One conditional-aggregate pass to two period rows pivoted onto
+    one; counts and cents are exact integers, each ln sees a ratio of
+    identical doubles, and the identity Δln_users + Δln_freq +
+    Δln_aov = Δln_revenue holds to float addition (test-pinned)."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        (F.dayofmonth("ts") > DID_POST_DOM).alias("post"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    per = base.groupBy("post").agg(
+        F.countDistinct("user_id").cast("bigint").alias("users"),
+        F.sum("is_p").cast("bigint").alias("purchases"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    w = per.agg(
+        F.max(F.when(F.col("post"), F.col("users"))).alias("u1"),
+        F.max(F.when(~F.col("post"), F.col("users"))).alias("u0"),
+        F.max(F.when(F.col("post"), F.col("purchases"))).alias("p1"),
+        F.max(F.when(~F.col("post"), F.col("purchases"))).alias("p0"),
+        F.max(F.when(F.col("post"), F.col("cents"))).alias("c1"),
+        F.max(F.when(~F.col("post"), F.col("cents"))).alias("c0"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    return w.select(
+        (d("c1") / 100.0).alias("revenue_post"),
+        (d("c0") / 100.0).alias("revenue_pre"),
+        F.log(d("c1") / d("c0")).alias("dln_revenue"),
+        F.log(d("u1") / d("u0")).alias("dln_users"),
+        F.log((d("p1") / d("u1")) / (d("p0") / d("u0"))).alias("dln_freq"),
+        F.log((d("c1") / d("p1")) / (d("c0") / d("p0"))).alias("dln_aov"),
+    )

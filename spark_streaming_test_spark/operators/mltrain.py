@@ -1475,3 +1475,114 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "calibrated_p"
         ),
     )
+
+
+# --- learning curve from ONE pass -----------------------------------------
+
+# Nested hash subsets: md5 first hex <= '3' (25%), <= '7' (50%), all.
+LC_FRACS = (("25pct", "3"), ("50pct", "7"), ("100pct", "f"))
+
+
+def _sql_lc_oracle() -> str:
+    def mom(ceil: str) -> str:
+        cond = f"substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '{ceil}'"
+        g = lambda e: (  # noqa: E731
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(({e}) AS DECIMAL(25,6)) END)"
+            f" AS DOUBLE)"
+        )
+        return (
+            f"CAST(count_if({cond}) AS DOUBLE) AS n, {g('x1')} AS sx1,"
+            f" {g('y')} AS sy, {g('x1*x1')} AS sxx, {g('x1*y')} AS sxy,"
+            f" {g('y*y')} AS syy"
+        )
+
+    parts = []
+    for label, ceil in LC_FRACS:
+        parts.append(f"""
+SELECT '{label}' AS subset, CAST(n AS BIGINT) AS n_rows,
+       (n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1) AS slope,
+       (sy - (n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1) * sx1) / n
+         AS intercept,
+       (syy - 2.0 * ((sy - (n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1) * sx1) / n) * sy
+            - 2.0 * ((n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1)) * sxy
+            + n * ((sy - (n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1) * sx1) / n)
+                * ((sy - (n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1) * sx1) / n)
+            + 2.0 * ((n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1))
+                  * ((sy - (n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1) * sx1) / n) * sx1
+            + ((n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1))
+              * ((n * sxy - sx1 * sy) / (n * sxx - sx1 * sx1)) * sxx) / n
+         AS mse_train
+FROM (SELECT {mom(ceil)} FROM feat) m""")
+    return f"""
+WITH feat AS MATERIALIZED (
+  SELECT event_id, value AS y,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) / 24.0 AS x1
+  FROM events
+)
+{" UNION ALL ".join(parts)}
+"""
+
+
+@register(
+    "ml_learning_curve",
+    tags=("ml", "training", "diagnostics"),
+    oracle=_sql_lc_oracle(),
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE LEARNING CURVE from ONE pass: fit simple linear regression
+    (value ~ hour/24) on NESTED hash subsets (25% ⊂ 50% ⊂ 100%) and
+    report each fit's training MSE — "will more data help?" answered
+    without re-scanning (the subsets share one conditional-moment
+    aggregation, the sufficient-statistics trick stretched across
+    sample sizes; hash nesting means the 25% rows are literally inside
+    the 50%, a real growth curve rather than three random draws).
+
+    MSE expands algebraically in the moments — syy − 2b·sy − 2m·sxy +
+    n·b² + 2mb·sx + m²·sxx, all over n — in the SAME literal order on
+    both engines. Decimal-combined sums; one corpus scan total."""
+    e = load(spark, sf_dir, "events")
+    feat = e.select(
+        "event_id",
+        F.col("value").alias("y"),
+        (F.hour("ts").cast("double") / 24.0).alias("x1"),
+    )
+    h = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    out = None
+    for label, ceil in LC_FRACS:
+        cond = h <= ceil
+
+        def g(col):
+            return F.sum(
+                F.when(cond, col.cast("decimal(25,6)"))
+            ).cast("double")
+
+        m = feat.agg(
+            F.count_if(cond).cast("double").alias("n"),
+            g(F.col("x1")).alias("sx1"),
+            g(F.col("y")).alias("sy"),
+            g(F.col("x1") * F.col("x1")).alias("sxx"),
+            g(F.col("x1") * F.col("y")).alias("sxy"),
+            g(F.col("y") * F.col("y")).alias("syy"),
+        )
+        c = F.col
+        slope = (c("n") * c("sxy") - c("sx1") * c("sy")) / (
+            c("n") * c("sxx") - c("sx1") * c("sx1")
+        )
+        intercept = (c("sy") - slope * c("sx1")) / c("n")
+        mse = (
+            c("syy")
+            - 2.0 * intercept * c("sy")
+            - 2.0 * slope * c("sxy")
+            + c("n") * intercept * intercept
+            + 2.0 * slope * intercept * c("sx1")
+            + slope * slope * c("sxx")
+        ) / c("n")
+        row = m.select(
+            F.lit(label).alias("subset"),
+            c("n").cast("bigint").alias("n_rows"),
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+            mse.alias("mse_train"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -145,6 +145,8 @@ _DRIVER_WINDOW = [
     "graph_pagerank_personalized", "scan_posting_index",
     "agg_preagg_routing", "udf_arrow_scalar", "export_sft_messages",
     "sample_raking_ipf", "ml_isotonic_calibration",
+    "ab_test_power_analysis", "events_metric_tree_decomposition",
+    "ml_learning_curve",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",

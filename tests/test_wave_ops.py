@@ -687,3 +687,53 @@ def test_raking_margins_converge(spark, sf_dir):
     assert abs(r["row_a_share"] - row_t) < 5e-3  # converging, scaled first
     for k in ("rake_aw", "rake_ae", "rake_bw", "rake_be"):
         assert r[k] > 0
+
+
+def test_power_analysis_formula(spark, sf_dir):
+    """n_required must satisfy the textbook identity on the emitted
+    mean/var columns, and shrink quadratically with the MDE."""
+    from spark_streaming_test_spark.operators import causal
+
+    r = causal.ab_test_power_analysis(spark, sf_dir).collect()[0]
+    z = causal.POWER_Z_ALPHA + causal.POWER_Z_BETA
+    expect = 2 * z * z * r["var"] / (r["mde_abs"] ** 2)
+    assert abs(r["n_required_per_arm"] - expect) < 1e-9 * expect
+    assert r["mde_abs"] == r["mean"] * causal.POWER_MDE_PCT / 100.0
+    assert r["var"] > 0
+
+
+def test_metric_tree_identity(spark, sf_dir):
+    """The log-decomposition is exact: dln_users + dln_freq + dln_aov
+    must reconstruct dln_revenue to float addition error."""
+    from spark_streaming_test_spark.operators import causal
+
+    r = causal.events_metric_tree_decomposition(spark, sf_dir).collect()[0]
+    assert (
+        abs(r["dln_users"] + r["dln_freq"] + r["dln_aov"] - r["dln_revenue"])
+        < 1e-12
+    )
+    assert r["revenue_post"] > 0 and r["revenue_pre"] > 0
+
+
+def test_learning_curve_nested_subsets(spark, sf_dir):
+    """Subset sizes are nested and roughly 25/50/100%; the full-data
+    fit must agree with numpy lstsq on the same design."""
+    import numpy as np
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators import mltrain
+
+    rows = {r["subset"]: r for r in mltrain.ml_learning_curve(spark, sf_dir).collect()}
+    assert rows["25pct"]["n_rows"] < rows["50pct"]["n_rows"] < rows["100pct"]["n_rows"]
+    feat = (
+        load(spark, sf_dir, "events")
+        .select(F.col("value").alias("y"), (F.hour("ts").cast("double") / 24.0).alias("x1"))
+        .collect()
+    )
+    X = np.array([[1.0, r["x1"]] for r in feat])
+    y = np.array([r["y"] for r in feat])
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    full = rows["100pct"]
+    assert abs(full["intercept"] - ref[0]) < 1e-3 * max(1.0, abs(ref[0]))
+    assert abs(full["slope"] - ref[1]) < 1e-3 * max(1.0, abs(ref[1]))
+    assert full["mse_train"] > 0
