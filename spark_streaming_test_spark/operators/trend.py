@@ -2284,3 +2284,167 @@ def window_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len_b").alias("up_steps"),
         F.col("low_a").cast("double").alias("bottom_value"),
     )
+
+
+# --- forecast ensemble (inverse-MAPE weighted) ----------------------------
+
+ENS_DP = 10  # final weight/forecast display rounding (corr rule)
+
+
+@register(
+    "ts_forecast_ensemble",
+    tags=("timeseries", "forecast", "ensemble"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+              AS DOUBLE) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+fc AS (
+  SELECT event_type, d, v,
+         lag(v) OVER w AS f_naive,
+         lag(v, 7) OVER w AS f_snaive,
+         list_reduce(
+           list_transform(list(v) OVER (PARTITION BY event_type ORDER BY d
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING),
+                          x -> CAST(x AS DOUBLE)),
+           (a, x) -> (a + x) / 2.0) AS f_ewma
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+err AS (
+  SELECT event_type,
+         {sql_davg('abs(v - f_naive) / v')} AS mape_naive,
+         {sql_davg('abs(v - f_ewma) / v')} AS mape_ewma,
+         {sql_davg('abs(v - f_snaive) / v')} AS mape_snaive
+  FROM fc
+  WHERE f_naive IS NOT NULL AND f_ewma IS NOT NULL AND f_snaive IS NOT NULL
+  GROUP BY event_type
+),
+lastf AS (
+  SELECT event_type, v AS last_naive,
+         list_reduce(
+           list_transform(arr, x -> CAST(x AS DOUBLE)),
+           (a, x) -> (a + x) / 2.0) AS last_ewma,
+         snv AS last_snaive
+  FROM (
+    SELECT event_type, d, v,
+           list(v) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS arr,
+           lag(v, 6) OVER (PARTITION BY event_type ORDER BY d) AS snv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC) AS rn
+    FROM daily
+  ) t WHERE rn = 1
+)
+SELECT e.event_type,
+       round(e.mape_naive, {ENS_DP}) AS mape_naive,
+       round(e.mape_ewma, {ENS_DP}) AS mape_ewma,
+       round(e.mape_snaive, {ENS_DP}) AS mape_snaive,
+       round((1.0 / e.mape_naive)
+             / (1.0 / e.mape_naive + 1.0 / e.mape_ewma + 1.0 / e.mape_snaive),
+             {ENS_DP}) AS w_naive,
+       round(((1.0 / e.mape_naive) * l.last_naive
+              + (1.0 / e.mape_ewma) * l.last_ewma
+              + (1.0 / e.mape_snaive) * l.last_snaive)
+             / (1.0 / e.mape_naive + 1.0 / e.mape_ewma + 1.0 / e.mape_snaive)
+             / 100.0, {ENS_DP}) AS ensemble_next
+FROM err e JOIN lastf l ON e.event_type = l.event_type
+""",
+)
+def ts_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST ENSEMBLE: blend naive (yesterday), EWMA (exact-halving
+    fold over the full prefix), and seasonal-naive (same weekday last
+    week) with INVERSE-MAPE weights — the "combine simple models"
+    result that routinely beats any single method (the M-competitions'
+    headline finding), with the weights learned from each method's own
+    one-step backtest on the type's history. Output per type: the
+    three MAPEs, the winner's weight, and the blended next-day
+    forecast in dollars.
+
+    MAPE uses RELATIVE errors — |v − f|/v is non-dyadic even when the
+    EWMA error is an exact dyadic rational, dodging the decimal
+    .5-tie rounding divergence (`ts_forecast_accuracy`'s hard-won
+    rule). Folds and lags sit in per-type calendar-bounded windows;
+    the prefix-fold costs O(days²) per type — bounded by calendar,
+    never by corpus."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("v")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wprefix = wo.rowsBetween(Window.unboundedPreceding, -1)
+    fc = (
+        daily.withColumn("_prefix", F.collect_list("v").over(wprefix))
+        .select(
+            "event_type",
+            "d",
+            "v",
+            F.lag("v").over(wo).alias("f_naive"),
+            F.lag("v", 7).over(wo).alias("f_snaive"),
+            F.expr(
+                "CASE WHEN size(_prefix) = 0 THEN NULL ELSE "
+                "aggregate(slice(_prefix, 2, size(_prefix) - 1), "
+                "element_at(_prefix, 1), (a, x) -> (a + x) / 2.0D) END"
+            ).alias("f_ewma"),
+        )
+    )
+    rel = lambda f: F.abs(F.col("v") - F.col(f)) / F.col("v")  # noqa: E731
+    err = (
+        fc.filter(
+            F.col("f_naive").isNotNull()
+            & F.col("f_ewma").isNotNull()
+            & F.col("f_snaive").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            davg(rel("f_naive")).alias("mape_naive"),
+            davg(rel("f_ewma")).alias("mape_ewma"),
+            davg(rel("f_snaive")).alias("mape_snaive"),
+        )
+    )
+    wlast = Window.partitionBy("event_type").orderBy(F.desc("d"))
+    lastf = (
+        daily.withColumn(
+            "arr",
+            F.collect_list("v").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("snv", F.lag("v", 6).over(wo))
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("v").alias("last_naive"),
+            F.expr(
+                "aggregate(slice(arr, 2, size(arr) - 1), "
+                "element_at(arr, 1), (a, x) -> (a + x) / 2.0D)"
+            ).alias("last_ewma"),
+            F.col("snv").alias("last_snaive"),
+        )
+    )
+    c = F.col
+    inv = lambda m: F.lit(1.0) / c(m)  # noqa: E731
+    wsum = inv("mape_naive") + inv("mape_ewma") + inv("mape_snaive")
+    return err.join(lastf, "event_type").select(
+        "event_type",
+        F.round(c("mape_naive"), ENS_DP).alias("mape_naive"),
+        F.round(c("mape_ewma"), ENS_DP).alias("mape_ewma"),
+        F.round(c("mape_snaive"), ENS_DP).alias("mape_snaive"),
+        F.round(inv("mape_naive") / wsum, ENS_DP).alias("w_naive"),
+        F.round(
+            (
+                inv("mape_naive") * c("last_naive")
+                + inv("mape_ewma") * c("last_ewma")
+                + inv("mape_snaive") * c("last_snaive")
+            )
+            / wsum
+            / 100.0,
+            ENS_DP,
+        ).alias("ensemble_next"),
+    )

