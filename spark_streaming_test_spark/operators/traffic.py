@@ -380,3 +380,129 @@ def traffic_p95_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("p95_total"),
         F.max("total").cast("double").alias("peak_total"),
     )
+
+
+# --- capacity-planning forecast -------------------------------------------
+
+CAP_LIMIT_CENTS = 100_000  # per-5-min capacity ceiling being planned for
+
+
+@register(
+    "traffic_capacity_forecast",
+    tags=("traffic", "forecast", "capacity"),
+    oracle=f"""
+WITH totals AS (
+  SELECT CAST(user_id AS VARCHAR) AS nif,
+         CAST(ts AS DATE) AS day,
+         time_bucket(INTERVAL '5 minutes', ts) AS w,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2, 3
+),
+peaks AS (
+  SELECT nif, day, CAST(MAX(cents) AS BIGINT) AS peak
+  FROM totals GROUP BY nif, day
+),
+idx AS (
+  SELECT nif, peak,
+         CAST(day - CAST('2020-01-01' AS DATE) AS BIGINT) AS x
+  FROM peaks
+),
+mom AS (
+  SELECT nif,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(peak) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * peak) AS DOUBLE) AS sxy
+  FROM idx GROUP BY nif
+),
+lastp AS (
+  SELECT nif, peak AS current_peak FROM (
+    SELECT nif, peak, ROW_NUMBER() OVER (PARTITION BY nif ORDER BY day DESC) AS rn
+    FROM peaks
+  ) t WHERE rn = 1
+)
+SELECT m.nif,
+       CAST(m.n AS BIGINT) AS n_days,
+       (m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)
+         AS slope_cents_per_day,
+       CAST(l.current_peak AS BIGINT) AS current_peak_cents,
+       CASE WHEN (m.n * m.sxy - m.sx * m.sy) > 0 AND l.current_peak < {CAP_LIMIT_CENTS}
+            THEN (CAST({CAP_LIMIT_CENTS} AS DOUBLE) - CAST(l.current_peak AS DOUBLE))
+                 / ((m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx))
+            END AS days_to_capacity
+FROM mom m JOIN lastp l ON m.nif = l.nif
+WHERE m.n >= 3
+""",
+)
+def traffic_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPACITY PLANNING for the reference's domain: per NIF, fit the
+    trend of DAILY PEAK 5-minute load (OLS on exact integer moments)
+    and extrapolate days until the {CAP_LIMIT_CENTS}-cent ceiling —
+    the "when do we upgrade this link" readout that turns the
+    monitoring pipeline's data into a procurement date. NIFs already
+    at/over capacity or trending flat/down report NULL (no crossing).
+
+    Daily peaks are exact integers (lexicographic MAX of decimal
+    cents); the slope is the closed-form OLS ratio of integer moments
+    (identical literal order both engines); day indices are integer
+    date differences from a fixed epoch. Shuffles: the 5-minute
+    bucket aggregate (map-side combined), a per-(nif, day) MAX, a
+    per-nif reduce — all key-partitioned."""
+    e = load(spark, sf_dir, "events")
+    totals = e.groupBy(
+        F.col("user_id").cast("string").alias("nif"),
+        F.to_date("ts").alias("day"),
+        F.window("ts", "5 minutes").alias("w"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    peaks = totals.groupBy("nif", "day").agg(
+        F.max("cents").cast("bigint").alias("peak")
+    )
+    idx = peaks.select(
+        "nif",
+        "peak",
+        F.datediff(F.col("day"), F.lit("2020-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    mom = idx.groupBy("nif").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("peak").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("peak")).cast("double").alias("sxy"),
+    )
+    from pyspark.sql import Window as W
+
+    lastp = (
+        peaks.withColumn(
+            "rn", F.row_number().over(W.partitionBy("nif").orderBy(F.desc("day")))
+        )
+        .filter(F.col("rn") == 1)
+        .select("nif", F.col("peak").alias("current_peak"))
+    )
+    c = F.col
+    num = c("n") * c("sxy") - c("sx") * c("sy")
+    slope = num / (c("n") * c("sxx") - c("sx") * c("sx"))
+    return (
+        mom.join(lastp, "nif")
+        .filter(c("n") >= 3)
+        .select(
+            "nif",
+            c("n").cast("bigint").alias("n_days"),
+            slope.alias("slope_cents_per_day"),
+            c("current_peak").cast("bigint").alias("current_peak_cents"),
+            F.when(
+                (num > 0) & (c("current_peak") < CAP_LIMIT_CENTS),
+                (
+                    F.lit(float(CAP_LIMIT_CENTS))
+                    - c("current_peak").cast("double")
+                )
+                / slope,
+            ).alias("days_to_capacity"),
+        )
+    )

@@ -146,7 +146,7 @@ _DRIVER_WINDOW = [
     "agg_preagg_routing", "udf_arrow_scalar", "export_sft_messages",
     "sample_raking_ipf", "ml_isotonic_calibration",
     "ab_test_power_analysis", "events_metric_tree_decomposition",
-    "ml_learning_curve", "ts_forecast_ensemble",
+    "ml_learning_curve", "ts_forecast_ensemble", "traffic_capacity_forecast",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
     "agg_weighted_avg", "window_gap_islands", "agg_linreg_by_group",
     "ab_test_zscore", "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",

@@ -758,3 +758,21 @@ def test_forecast_ensemble_weights_and_blend(spark, sf_dir):
         best = min(mapes, key=mapes.get)
         assert inv[best] / tot == max(v / tot for v in inv.values())
         assert r["ensemble_next"] > 0
+
+
+def test_capacity_forecast_sanity(spark, sf_dir):
+    """days_to_capacity is present only for rising, under-capacity
+    NIFs and is consistent with (limit - current)/slope."""
+    from spark_streaming_test_spark.operators import traffic
+
+    rows = traffic.traffic_capacity_forecast(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days"] >= 3
+        if r["days_to_capacity"] is not None:
+            assert r["slope_cents_per_day"] > 0
+            assert r["current_peak_cents"] < traffic.CAP_LIMIT_CENTS
+            expect = (
+                traffic.CAP_LIMIT_CENTS - r["current_peak_cents"]
+            ) / r["slope_cents_per_day"]
+            assert abs(r["days_to_capacity"] - expect) < 1e-9 * max(1.0, expect)
