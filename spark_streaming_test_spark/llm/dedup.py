@@ -1960,3 +1960,131 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("precision_at_threshold"),
     )
+
+
+# --- content-defined chunking dedup (FastCDC/LBFS shape) ------------------
+
+CDC_W = 3    # rolling window (words) feeding the boundary hash
+CDC_MOD = 4  # boundary when hash % MOD == 0 => mean chunk ~MOD words
+
+
+@register(
+    "dedup_cdc_chunks",
+    tags=("llm", "dedup", "chunking"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, w[i] AS word,
+         CASE WHEN i >= {CDC_W} AND
+              ('0x' || substr(md5(array_to_string(w[i - {CDC_W - 1} : i], ' ')),
+                              1, 8))::BIGINT % {CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM words, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+),
+chunked AS (
+  SELECT doc_id, pos, word,
+         COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM pos
+),
+chunks AS (
+  SELECT doc_id, chunk_id, md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+  FROM chunked GROUP BY doc_id, chunk_id
+),
+shared AS (
+  SELECT ch FROM chunks GROUP BY ch HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(s.ch) AS BIGINT) AS n_dup_chunks,
+       CAST(COUNT(s.ch) AS DOUBLE) / COUNT(*) AS dup_chunk_ratio
+FROM chunks c LEFT JOIN shared s ON c.ch = s.ch
+GROUP BY c.doc_id
+""",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the LBFS/FastCDC shape, at word
+    granularity): a boundary falls AFTER word i whenever the rolling
+    hash of the last {CDC_W} words is ≡ 0 (mod {CDC_MOD}), each doc
+    splits into variable-size chunks at those boundaries, and a chunk
+    is a duplicate when its hash also occurs in another document. The
+    property fixed-width chunking lacks: inserting one word shifts
+    every downstream fixed window, but content-defined boundaries
+    re-align within ~{CDC_W} words, so shared runs between revisions
+    still dedup. Output is the per-doc duplicate-chunk ratio — the
+    storage-dedup / near-revision signal beside the whole-document
+    estimators.
+
+    Scale shape: boundary detection is a positional projection (the
+    winnowing gram pattern) + ONE doc-keyed window with O(1) running
+    state for the chunk-id prefix sum; chunk assembly is a (doc,
+    chunk_id) hash aggregate; cross-doc dedup groups by chunk HASH —
+    shuffle bounded by the distinct-chunk count, never doc-pairwise —
+    and the shared-set probe is an equi-join on that same hash.
+    md5-derived integers keep both engines bitwise identical."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    gram_h = lambda i: (
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(words, i - (CDC_W - 1), CDC_W), " ")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    positions = F.transform(
+        F.sequence(F.lit(1), F.size(words)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(words, i).alias("word"),
+            F.when((i >= CDC_W) & (gram_h(i) % CDC_MOD == 0), 1)
+            .otherwise(0)
+            .alias("boundary"),
+        ),
+    )
+    exploded = d.select("doc_id", F.explode(positions).alias("p")).select(
+        "doc_id", "p.pos", "p.word", "p.boundary"
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = exploded.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(wc), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("ch")
+    )
+    shared = (
+        chunks.groupBy("ch")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ch", F.lit(1).alias("is_dup"))
+    )
+    return (
+        chunks.join(shared, "ch", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count("is_dup").cast("bigint").alias("n_dup_chunks"),
+            (
+                F.count("is_dup").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_chunk_ratio"),
+        )
+    )

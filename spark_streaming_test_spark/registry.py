@@ -144,7 +144,7 @@ _DRIVER_WINDOW = [
     "ml_permutation_importance", "ab_test_diff_in_diff",
     "graph_pagerank_personalized", "scan_posting_index",
     "agg_preagg_routing", "udf_arrow_scalar", "export_sft_messages",
-    "sample_raking_ipf", "ml_isotonic_calibration",
+    "sample_raking_ipf", "ml_isotonic_calibration", "dedup_cdc_chunks",
     "ab_test_power_analysis", "events_metric_tree_decomposition",
     "ml_learning_curve", "ts_forecast_ensemble", "traffic_capacity_forecast",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
