@@ -621,3 +621,103 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- distance-weighted coreset sampling (k-means|| shape) ------------------
+
+CORESET_OVERSAMPLE = 64  # expected sample ~ OVERSAMPLE vectors per pass
+
+
+@register(
+    "sample_kmeans_coreset",
+    tags=("llm", "clustering", "sampling", "coreset"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < {K}
+),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+scored AS (
+  SELECT corpus.vec_id, cent.cid,
+         round({_sql_dist2('x', 'c')}, {DIST_DP}) AS d2
+  FROM corpus CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+),
+tot AS (
+  SELECT CAST(SUM(CAST(d2 AS DECIMAL(25,{DIST_DP}))) AS DOUBLE) AS total
+  FROM best
+),
+probed AS (
+  SELECT b.vec_id, b.cid, b.d2,
+         least(CAST(1.0 AS DOUBLE), {CORESET_OVERSAMPLE} * b.d2 / t.total)
+           AS p_include,
+         CAST(('0x' || substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 8))::BIGINT
+              AS DOUBLE) / CAST(4294967296.0 AS DOUBLE) AS u
+  FROM best b CROSS JOIN tot t
+)
+SELECT vec_id, cid AS cluster_id, d2, p_include,
+       CAST(1.0 AS DOUBLE) / p_include AS weight
+FROM probed WHERE u < p_include
+""",
+)
+def sample_kmeans_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-weighted coreset sampling — the k-means|| / sensitivity
+    -sampling step: after one assignment pass against the seed
+    centroids, each vector is kept with probability proportional to
+    its squared distance to its nearest centroid (p_i = min(1, L*d2_i
+    / sum d2)), and kept vectors carry inverse-probability weights so
+    weighted statistics over the coreset are unbiased for the corpus.
+    This is how a 100 TB embedding table shrinks to a driver-size set
+    that still "sees" the outlying regions uniform sampling misses —
+    the seeding step of scalable k-means and the standard compression
+    before any quadratic clustering.
+
+    Scale shape: assignment is the broadcast-centroid zero-shuffle
+    projection shared with ``emb_kmeans_assign``; the normalizer is
+    ONE decimal-summed scalar broadcast back; inclusion is a
+    content-hash Bernoulli draw (same row on any cluster size, any
+    retry — no RNG), so the output is a deterministic filter over the
+    scan. Determinism: d2 is rounded at {DIST_DP} dp before the
+    decimal sum; p and weight are single double ops over identical
+    inputs; the hash draw compares exact integers scaled by 2^-32."""
+    e = _embeddings(spark, sf_dir)
+    assigned = _assign(e, _seed_centroids(spark, sf_dir, K))
+    tot = assigned.agg(
+        F.sum(F.col("d2").cast(f"decimal(25,{DIST_DP})"))
+        .cast("double")
+        .alias("total")
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(CORESET_OVERSAMPLE) * F.col("d2") / F.col("total"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            "d2",
+            p.alias("p_include"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("p_include"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "d2",
+            "p_include",
+            (F.lit(1.0) / F.col("p_include")).alias("weight"),
+        )
+    )

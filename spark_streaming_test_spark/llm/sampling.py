@@ -967,3 +967,105 @@ def sample_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((c("w_aw") + c("w_ae")) / c("n")).alias("row_a_share"),
         ((c("w_aw") + c("w_bw")) / c("n")).alias("col_weekday_share"),
     )
+
+
+# --- shuffle-quality audit -------------------------------------------------
+
+SHUFFLE_SHARDS = 8  # writer shards of the shuffled epoch layout
+
+
+@register(
+    "sample_shuffle_quality",
+    tags=("llm", "sampling", "shuffle", "audit"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {SHUFFLE_SHARDS} AS shard
+  FROM documents
+),
+adj AS (
+  SELECT source,
+         LAG(source) OVER (PARTITION BY shard ORDER BY h) AS prev_source
+  FROM keyed
+),
+obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_adj,
+         CAST(COUNT(CASE WHEN source = prev_source THEN 1 END) AS BIGINT)
+           AS n_same
+  FROM adj WHERE prev_source IS NOT NULL
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+bysrc AS (
+  SELECT CAST(SUM(ns * (ns - 1)) AS BIGINT) AS same_pairs
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ns
+        FROM documents GROUP BY source) g
+)
+SELECT t.n_docs, o.n_adj, o.n_same AS n_same_source_adj,
+       CAST(o.n_same AS DOUBLE) / o.n_adj AS obs_adjacent_rate,
+       CAST(b.same_pairs AS DOUBLE) / (t.n_docs * (t.n_docs - 1))
+         AS exp_adjacent_rate
+FROM tot t, obs o, bysrc b
+""",
+)
+def sample_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit for the epoch layout: a training epoch is
+    only as good as its global shuffle, and the cheap detector for a
+    bad one is SERIAL CORRELATION — adjacent examples sharing a
+    `source` more often than a random order would produce. Orders the
+    corpus by its content-hash shuffle key (the ``sample_epoch_shuffle``
+    layout), counts adjacent same-source pairs within each writer
+    shard, and compares against the exact finite-population expectation
+    sum_s n_s(n_s-1) / (n(n-1)). obs ~ exp means the shuffle destroyed
+    source runs; obs >> exp means readers will see correlated batches
+    (loss-spike fuel) even though every doc is present exactly once.
+
+    Scale shape: the adjacency scan is {SHUFFLE_SHARDS} shard-local
+    ordered windows with O(1) lag state — the shard IS the production
+    writer partition, so adjacency-within-shard is exactly what a
+    sequential reader consumes, and the (shards-1) cross-boundary pairs
+    are excluded identically in both engines. The expectation side is
+    one source-keyed aggregate. Nothing global is ordered; no driver
+    state."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    keyed = d.withColumn(
+        "shard",
+        F.conv(F.substring("h", 1, 4), 16, 10).cast("bigint")
+        % SHUFFLE_SHARDS,
+    )
+    w = Window.partitionBy("shard").orderBy("h")
+    adj = keyed.withColumn("prev_source", F.lag("source").over(w))
+    obs = adj.filter(F.col("prev_source").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adj"),
+        F.count(F.when(F.col("source") == F.col("prev_source"), 1))
+        .cast("bigint")
+        .alias("n_same_source_adj"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    bysrc = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+        .agg(
+            F.sum(F.col("ns") * (F.col("ns") - 1))
+            .cast("bigint")
+            .alias("same_pairs")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(bysrc))
+        .select(
+            "n_docs",
+            "n_adj",
+            "n_same_source_adj",
+            (
+                F.col("n_same_source_adj").cast("double") / F.col("n_adj")
+            ).alias("obs_adjacent_rate"),
+            (
+                F.col("same_pairs").cast("double")
+                / (F.col("n_docs") * (F.col("n_docs") - F.lit(1)))
+            ).alias("exp_adjacent_rate"),
+        )
+    )

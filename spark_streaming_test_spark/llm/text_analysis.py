@@ -1295,3 +1295,64 @@ def text_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / nw
         ).alias("syllables_per_word"),
     )
+
+
+@register(
+    "text_token_fertility",
+    tags=("llm", "text", "tokens", "fertility"),
+    oracle="""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS bpe_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens_total,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens_total,
+       CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens) AS corpus_fertility,
+       MIN(CAST(bpe_tokens AS DOUBLE) / ws_tokens) AS min_doc_fertility,
+       MAX(CAST(bpe_tokens AS DOUBLE) / ws_tokens) AS max_doc_fertility
+FROM per_doc
+GROUP BY lang
+""",
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — tokens emitted per whitespace
+    word, the standard multilingual-tokenizer health metric: a BPE
+    vocabulary trained English-heavy shows fertility near 1 on English
+    and 2-4x on underrepresented scripts, which silently taxes those
+    languages' effective context length and training share. Reports
+    per-language corpus fertility (ratio of exact token totals) plus
+    the per-doc min/max spread under the same BPE-ish regex tokenizer
+    used by ``text_token_count``.
+
+    Scale shape: tokenization is a zero-shuffle projection on the
+    scan; the rollup is one hash aggregate on `lang` with map-side
+    partials. Determinism: corpus fertility divides two exact BIGINT
+    sums once; per-doc extremes use min/max of doubles (order-free) —
+    no float summation anywhere."""
+    d = spread(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(t, " ")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+        )
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+    fert = F.col("bpe_tokens").cast("double") / F.col("ws_tokens")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("ws_tokens_total"),
+        F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens_total"),
+        (
+            F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens")
+        ).alias("corpus_fertility"),
+        F.min(fert).alias("min_doc_fertility"),
+        F.max(fert).alias("max_doc_fertility"),
+    )
