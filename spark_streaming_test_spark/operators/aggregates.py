@@ -12,7 +12,7 @@ decimal-cast determinism helpers (functions/deterministic.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -963,3 +963,175 @@ def agg_preagg_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_d").cast("double").alias("total"),
     )
     return monthly
+
+
+# --- KMV (theta-sketch) set operations -------------------------------------
+
+KMV_K = 64
+KMV_SET_A = "purchase"
+KMV_SET_B = "click"
+_KMV_U01 = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+    " AS DOUBLE) / CAST(4294967296.0 AS DOUBLE)"
+)
+
+
+@register(
+    "agg_kmv_set_ops",
+    tags=("agg", "sketch", "kmv", "set-ops"),
+    oracle=f"""
+WITH ua AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = '{KMV_SET_A}'),
+ub AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = '{KMV_SET_B}'),
+ha AS (SELECT user_id, {_KMV_U01} AS u01 FROM ua),
+hb AS (SELECT user_id, {_KMV_U01} AS u01 FROM ub),
+uni AS (
+  SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+         COALESCE(a.u01, b.u01) AS u01,
+         CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+              THEN 1 ELSE 0 END AS in_both
+  FROM ha a FULL OUTER JOIN hb b ON a.user_id = b.user_id
+),
+ka AS (SELECT u01, ROW_NUMBER() OVER (ORDER BY u01) AS rn FROM ha),
+kb AS (SELECT u01, ROW_NUMBER() OVER (ORDER BY u01) AS rn FROM hb),
+ku AS (SELECT u01, in_both, ROW_NUMBER() OVER (ORDER BY u01) AS rn FROM uni),
+sa AS (SELECT MAX(u01) AS theta, CAST(COUNT(*) AS BIGINT) AS k_eff
+       FROM ka WHERE rn <= {KMV_K}),
+sb AS (SELECT MAX(u01) AS theta, CAST(COUNT(*) AS BIGINT) AS k_eff
+       FROM kb WHERE rn <= {KMV_K}),
+su AS (SELECT MAX(u01) AS theta, CAST(COUNT(*) AS BIGINT) AS k_eff,
+              CAST(SUM(in_both) AS BIGINT) AS n_both_in_sample
+       FROM ku WHERE rn <= {KMV_K}),
+ex AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ua) AS exact_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ub) AS exact_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS exact_union,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM uni WHERE in_both = 1)
+           AS exact_intersection
+)
+SELECT ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersection,
+       CASE WHEN ex.exact_a < {KMV_K} THEN CAST(ex.exact_a AS DOUBLE)
+            ELSE ({KMV_K} - 1) / sa.theta END AS est_a,
+       CASE WHEN ex.exact_b < {KMV_K} THEN CAST(ex.exact_b AS DOUBLE)
+            ELSE ({KMV_K} - 1) / sb.theta END AS est_b,
+       CASE WHEN ex.exact_union < {KMV_K} THEN CAST(ex.exact_union AS DOUBLE)
+            ELSE ({KMV_K} - 1) / su.theta END AS est_union,
+       CAST(su.n_both_in_sample AS DOUBLE) / su.k_eff AS jaccard_kmv,
+       (CAST(su.n_both_in_sample AS DOUBLE) / su.k_eff)
+         * (CASE WHEN ex.exact_union < {KMV_K}
+                 THEN CAST(ex.exact_union AS DOUBLE)
+                 ELSE ({KMV_K} - 1) / su.theta END) AS est_intersection
+FROM ex CROSS JOIN sa CROSS JOIN sb CROSS JOIN su
+""",
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch set operations: estimate |A|, |B|, |A∪B| AND
+    |A∩B| from K-minimum-values sketches — the mergeable-sketch family
+    member HLL cannot supply (HLL unions are lossless but it has no
+    intersection). Keep the K smallest content-hash values of each
+    set; the Kth value θ estimates cardinality as (K-1)/θ, the union
+    sketch is the K smallest of the merged hashes, and the fraction of
+    that sample present in both sets is an unbiased Jaccard estimate,
+    so |A∩B| ≈ ρ·|A∪B|. Sets are the distinct '{KMV_SET_A}' vs
+    '{KMV_SET_B}' user populations. Exact counts ride along as the
+    audit columns.
+
+    Scale shape: each sketch is a distributed top-K on the hash
+    (TakeOrdered partial per partition — never a global sort), i.e.
+    O(K) state per task and O(K) rows moved; sketches from shards
+    merge by keeping the K smallest of the concatenation, which is
+    what makes KMV a one-pass streaming/partitioned structure.
+    Under-full sketches (n < K) fall back to the exact count on both
+    engines identically. Hash draws are md5-derived integers scaled by
+    2^-32 — no RNG, bitwise identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    u01 = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+    def users(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id")
+            .distinct()
+            .select("user_id", u01.alias("u01"))
+        )
+
+    ha, hb = users(KMV_SET_A), users(KMV_SET_B)
+    uni = (
+        ha.withColumnRenamed("u01", "ua01")
+        .join(hb.withColumnRenamed("u01", "ub01"), "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce(F.col("ua01"), F.col("ub01")).alias("u01"),
+            F.when(
+                F.col("ua01").isNotNull() & F.col("ub01").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("in_both"),
+        )
+    )
+
+    def sketch(df: DataFrame, extra: list = ()) -> DataFrame:
+        return (
+            df.orderBy("u01")
+            .limit(KMV_K)
+            .agg(
+                F.max("u01").alias("theta"),
+                F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+                *extra,
+            )
+        )
+
+    sa = sketch(ha).select(
+        F.col("theta").alias("theta_a"), F.col("k_eff").alias("keff_a")
+    )
+    sb = sketch(hb).select(
+        F.col("theta").alias("theta_b"), F.col("k_eff").alias("keff_b")
+    )
+    su = sketch(
+        uni, [F.sum("in_both").cast("bigint").alias("n_both_in_sample")]
+    ).select(
+        F.col("theta").alias("theta_u"),
+        F.col("k_eff").alias("keff_u"),
+        "n_both_in_sample",
+    )
+    ex = (
+        uni.agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum("in_both").cast("bigint").alias("exact_intersection"),
+        )
+        .crossJoin(
+            F.broadcast(ha.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a")))
+        )
+        .crossJoin(
+            F.broadcast(hb.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b")))
+        )
+    )
+
+    def est(exact: str, theta: str) -> Column:
+        return F.when(
+            F.col(exact) < KMV_K, F.col(exact).cast("double")
+        ).otherwise(F.lit(KMV_K - 1) / F.col(theta))
+
+    rho = F.col("n_both_in_sample").cast("double") / F.col("keff_u")
+    return (
+        ex.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(su))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+            est("exact_a", "theta_a").alias("est_a"),
+            est("exact_b", "theta_b").alias("est_b"),
+            est("exact_union", "theta_u").alias("est_union"),
+            rho.alias("jaccard_kmv"),
+            (rho * est("exact_union", "theta_u")).alias("est_intersection"),
+        )
+    )

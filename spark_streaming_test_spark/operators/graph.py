@@ -1361,3 +1361,88 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r").cast("double") / F.lit(float(FP_ONE))).alias("rank"),
         is_seed.alias("is_seed"),
     )
+
+
+@register(
+    "graph_local_clustering",
+    tags=("graph", "joins", "triangles", "clustering"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) t GROUP BY node
+),
+und AS (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * COALESCE(p.n_tri, 0) / (d.degree * (d.degree - 1)), 8)
+         AS local_clustering
+FROM deg d LEFT JOIN pernode p ON d.node = p.node
+WHERE d.degree >= 2
+""",
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient — the LOCAL counterpart of
+    ``graph_triangle_count``'s global statistic: for every node with
+    degree >= 2, the fraction of its neighbor pairs that are themselves
+    connected (2*tri_n / deg_n*(deg_n-1)). The node-level signal is
+    what community detection and spam/bot analysis actually consume:
+    high-degree low-clustering nodes are hubs/aggregators, high-
+    clustering nodes sit inside tight communities.
+
+    Scale shape: the oriented wedge-closure join is shared with the
+    global query (each triangle materializes ONCE as (a<b<c)); the
+    per-node attribution is a 3-way unpivot of the closed-triangle
+    frame + one hash aggregate, and degrees reuse the same edge
+    unpivot. The edge list rides the shared localCheckpoint cache, so
+    the basket self-join is not re-derived."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e1 = edges.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = edges.select(F.col("u"), F.col("v").alias("v2"))
+    closed = (
+        e1.join(e2, ["u"])
+        .filter(F.col("v1") < F.col("v2"))
+        .join(
+            edges.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+            ["v1", "v2"],
+        )
+    )
+    pernode = (
+        closed.select(F.col("u").alias("node"))
+        .unionAll(closed.select(F.col("v1").alias("node")))
+        .unionAll(closed.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    und = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(pernode, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            n_tri.cast("bigint").alias("n_triangles"),
+            F.round(
+                2.0
+                * n_tri
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                8,
+            ).alias("local_clustering"),
+        )
+    )

@@ -146,6 +146,7 @@ _DRIVER_WINDOW = [
     "agg_preagg_routing", "udf_arrow_scalar", "export_sft_messages",
     "sample_raking_ipf", "ml_isotonic_calibration", "dedup_cdc_chunks",
     "sample_shuffle_quality", "text_token_fertility", "sample_kmeans_coreset",
+    "graph_local_clustering", "emb_random_projection_jl", "agg_kmv_set_ops",
     "ab_test_power_analysis", "events_metric_tree_decomposition",
     "ml_learning_curve", "ts_forecast_ensemble", "traffic_capacity_forecast",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
