@@ -401,3 +401,118 @@ def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         gh.alias("geohash"),
         F.substring(gh, 1, 4).alias("cell4"),
     )
+
+
+# --- point-in-polygon geofencing -------------------------------------------
+
+# Literal fence polygons (centi-units): a convex quad, a non-convex
+# pentagon, and a triangle. Vertices are ordered; the edge list closes
+# each ring.
+POLYGONS: dict[int, list[tuple[int, int]]] = {
+    1: [(10000, 10000), (40000, 15000), (35000, 45000), (12000, 38000)],
+    2: [(50000, 50000), (90000, 55000), (60000, 70000), (85000, 90000),
+        (52000, 85000)],
+    3: [(20000, 60000), (45000, 95000), (5000, 90000)],
+}
+
+
+def _polygon_edges() -> list[tuple[int, int, int, int, int]]:
+    """(polygon_id, x1, y1, x2, y2) per edge, ring-closed."""
+    rows = []
+    for pid, verts in POLYGONS.items():
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            rows.append((pid, x1, y1, x2, y2))
+    return rows
+
+
+_SQL_EDGE_VALUES = ", ".join(
+    f"({pid}, {x1}, {y1}, {x2}, {y2})" for pid, x1, y1, x2, y2 in _polygon_edges()
+)
+_SQL_NVERTS = ", ".join(f"({pid}, {len(v)})" for pid, v in POLYGONS.items())
+
+
+@register(
+    "geo_point_in_polygon",
+    tags=("geo", "joins", "polygon"),
+    oracle=f"""
+WITH pts AS ({_sql_place('customer', 'c_custkey')}),
+edges(pid, x1, y1, x2, y2) AS (VALUES {_SQL_EDGE_VALUES}),
+nv(pid, n_vertices) AS (VALUES {_SQL_NVERTS}),
+crossings AS (
+  SELECT p.c_custkey, e.pid,
+         CASE WHEN (e.y1 > p.y) <> (e.y2 > p.y)
+              AND ((e.y2 - e.y1 > 0 AND
+                    (p.x - e.x1) * (e.y2 - e.y1)
+                      < (e.x2 - e.x1) * (p.y - e.y1))
+                OR (e.y2 - e.y1 < 0 AND
+                    (p.x - e.x1) * (e.y2 - e.y1)
+                      > (e.x2 - e.x1) * (p.y - e.y1)))
+              THEN 1 ELSE 0 END AS hit
+  FROM pts p CROSS JOIN edges e
+),
+inside AS (
+  SELECT c_custkey, pid FROM crossings
+  GROUP BY c_custkey, pid HAVING SUM(hit) % 2 = 1
+),
+npts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM pts)
+SELECT nv.pid AS polygon_id,
+       CAST(nv.n_vertices AS BIGINT) AS n_vertices,
+       CAST(COUNT(i.c_custkey) AS BIGINT) AS n_inside,
+       CAST(COUNT(i.c_custkey) AS DOUBLE) / ANY_VALUE(np.n_points)
+         AS frac_inside
+FROM nv CROSS JOIN npts np
+LEFT JOIN inside i ON i.pid = nv.pid
+GROUP BY nv.pid, nv.n_vertices
+""",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon geofencing by ray casting, in EXACT int64
+    arithmetic: a point is inside when a horizontal ray crosses the
+    ring an odd number of times, and the crossing test cross-multiplies
+    instead of dividing ((px-x1)(y2-y1) vs (x2-x1)(py-y1), sign-
+    adjusted) so no float ever appears — nothing for two engines to
+    round apart. Fences are literal rings (convex, non-convex, and
+    triangle cases); points are the deterministic customer placement
+    shared by the whole geo family.
+
+    Scale shape: the edge table is O(total vertices) and BROADCASTS to
+    every task (a fence set is always tiny next to the point corpus);
+    each point evaluates all edges map-side and reduces by (point,
+    polygon) parity with map-side partial aggregation. At planetary
+    fence counts the broadcast swaps for a grid-cell pre-join (only
+    polygons whose bbox cell matches the point's cell) — the same
+    candidates-from-buckets reduction as ``geo_radius_join``."""
+    pts = _place(load(spark, sf_dir, "customer"), "c_custkey")
+    edges = spark.createDataFrame(
+        _polygon_edges(), "pid int, x1 long, y1 long, x2 long, y2 long"
+    )
+    nv = spark.createDataFrame(
+        [(pid, len(v)) for pid, v in POLYGONS.items()], "pid int, n_vertices long"
+    )
+    dy = F.col("y2") - F.col("y1")
+    lhs = (F.col("x") - F.col("x1")) * dy
+    rhs = (F.col("x2") - F.col("x1")) * (F.col("y") - F.col("y1"))
+    straddles = (F.col("y1") > F.col("y")) != (F.col("y2") > F.col("y"))
+    hit = F.when(
+        straddles & (((dy > 0) & (lhs < rhs)) | ((dy < 0) & (lhs > rhs))), 1
+    ).otherwise(0)
+    inside = (
+        pts.crossJoin(F.broadcast(edges))
+        .select("c_custkey", "pid", hit.alias("hit"))
+        .groupBy("c_custkey", "pid")
+        .agg(F.sum("hit").alias("n_cross"))
+        .filter(F.col("n_cross") % 2 == 1)
+    )
+    npts = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    return (
+        nv.crossJoin(F.broadcast(npts))
+        .join(inside, "pid", "left")
+        .groupBy(F.col("pid").alias("polygon_id"), "n_vertices")
+        .agg(
+            F.count("c_custkey").cast("bigint").alias("n_inside"),
+            (
+                F.count("c_custkey").cast("double") / F.first("n_points")
+            ).alias("frac_inside"),
+        )
+    )

@@ -2448,3 +2448,135 @@ def ts_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             ENS_DP,
         ).alias("ensemble_next"),
     )
+
+
+# --- SAX symbolic approximation -------------------------------------------
+
+SAX_SEGS = 8   # PAA segments per series
+SAX_DP = 8     # z-score rounding before the decimal-summed PAA mean
+# Gaussian breakpoints for alphabet size 4: P(Z < b) = 1/4, 1/2, 3/4.
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@register(
+    "ts_sax_symbolize",
+    tags=("timeseries", "sax", "symbolic"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(hv) AS DOUBLE) AS s,
+         CAST(CAST(SUM(hv * hv) AS DECIMAL(30,4)) AS DOUBLE) AS s2
+  FROM hourly GROUP BY event_type
+),
+mom AS (
+  SELECT event_type, n, s / n AS mu,
+         sqrt(s2 / n - (s / n) * (s / n)) AS sigma
+  FROM stats WHERE s2 / n - (s / n) * (s / n) > 0
+),
+z AS (
+  SELECT h.event_type, m.n,
+         ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.h) AS rn,
+         round((CAST(h.hv AS DOUBLE) - m.mu) / m.sigma, {SAX_DP}) AS zr
+  FROM hourly h JOIN mom m ON h.event_type = m.event_type
+),
+segs AS (
+  SELECT event_type, n, ((rn - 1) * {SAX_SEGS}) // n AS seg,
+         CAST(SUM(CAST(zr AS DECIMAL(25,{SAX_DP}))) AS DOUBLE) / COUNT(*)
+           AS paa
+  FROM z GROUP BY event_type, n, ((rn - 1) * {SAX_SEGS}) // n
+),
+sym AS (
+  SELECT event_type, n, seg,
+         CASE WHEN paa < CAST({SAX_BREAKS[0]} AS DOUBLE) THEN 'a'
+              WHEN paa < CAST({SAX_BREAKS[1]} AS DOUBLE) THEN 'b'
+              WHEN paa < CAST({SAX_BREAKS[2]} AS DOUBLE) THEN 'c'
+              ELSE 'd' END AS s
+  FROM segs
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       string_agg(s, '' ORDER BY seg) AS sax_word
+FROM sym GROUP BY event_type, n
+""",
+)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of each event-type's
+    hourly series: z-normalize, compress to {SAX_SEGS} PAA segment
+    means, and quantize each mean against the Gaussian quartile
+    breakpoints into letters a-d. The resulting "word" (e.g.
+    'bbcaddcb') is the classic symbolic index for motif discovery,
+    anomaly lookup, and cheap series similarity — distance on words
+    lower-bounds Euclidean distance on the raw series, which is what
+    makes SAX a pruning index at scale.
+
+    Scale shape: per-series moments are one hash aggregate; z-scores
+    are a projection against the broadcast 5-row moment frame; PAA is
+    a second hash aggregate on (series, segment) with map-side
+    partials; the word assembly is O(segments) per series. Determinism:
+    moments divide exact decimal sums once (products of 2-decimal
+    values carry scale 4, inside the 2^53 margin at sf0.1); z-scores
+    are generic doubles rounded at {SAX_DP} dp before the decimal-
+    summed PAA mean; breakpoints compare as identical double
+    literals."""
+    hs = _hourly_sum(spark, sf_dir)
+    stats = hs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hv").cast("double").alias("s"),
+        F.sum(F.col("hv") * F.col("hv"))
+        .cast("decimal(30,4)")
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    mom = (
+        stats.filter(var > 0)
+        .select("event_type", "n", mu.alias("mu"), F.sqrt(var).alias("sigma"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("h")
+    z = (
+        hs.join(F.broadcast(mom), "event_type")
+        .withColumn("rn", F.row_number().over(wo))
+        .select(
+            "event_type",
+            "n",
+            "rn",
+            F.round(
+                (F.col("hv").cast("double") - F.col("mu")) / F.col("sigma"),
+                SAX_DP,
+            ).alias("zr"),
+        )
+    )
+    segs = (
+        z.withColumn("seg", F.expr(f"((rn - 1) * {SAX_SEGS}) div n"))
+        .groupBy("event_type", "n", "seg")
+        .agg(
+            (
+                F.sum(F.col("zr").cast(f"decimal(25,{SAX_DP})")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("paa")
+        )
+    )
+    paa = F.col("paa")
+    sym = (
+        F.when(paa < F.lit(SAX_BREAKS[0]), "a")
+        .when(paa < F.lit(SAX_BREAKS[1]), "b")
+        .when(paa < F.lit(SAX_BREAKS[2]), "c")
+        .otherwise("d")
+    )
+    return (
+        segs.select("event_type", "n", "seg", sym.alias("s"))
+        .groupBy("event_type", F.col("n").cast("bigint").alias("n_points"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "s"))),
+                    lambda r: r["s"],
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+    )
