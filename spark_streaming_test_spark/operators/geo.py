@@ -505,14 +505,23 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_cross") % 2 == 1)
     )
     npts = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    # Reduce BEFORE the final join: per-polygon counts are O(#polygons)
+    # rows after map-side partials, so the tiny fence frame joins a
+    # broadcast 3-row aggregate instead of shuffling every inside-point
+    # row through a 3-key (maximally skewed) join.
+    per_poly = inside.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in")
+    )
     return (
         nv.crossJoin(F.broadcast(npts))
-        .join(inside, "pid", "left")
-        .groupBy(F.col("pid").alias("polygon_id"), "n_vertices")
-        .agg(
-            F.count("c_custkey").cast("bigint").alias("n_inside"),
+        .join(F.broadcast(per_poly), "pid", "left")
+        .select(
+            F.col("pid").alias("polygon_id"),
+            "n_vertices",
+            F.coalesce(F.col("n_in"), F.lit(0)).cast("bigint").alias("n_inside"),
             (
-                F.count("c_custkey").cast("double") / F.first("n_points")
+                F.coalesce(F.col("n_in"), F.lit(0)).cast("double")
+                / F.col("n_points")
             ).alias("frac_inside"),
         )
     )

