@@ -2580,3 +2580,179 @@ def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sax_word"),
         )
     )
+
+
+# --- SAX motif discovery ---------------------------------------------------
+
+MOTIF_W = 24   # sliding window length (hours)
+MOTIF_S = 12   # hop (50% overlap => every point is in exactly W/S windows)
+MOTIF_SEGS = 4
+MOTIF_MIN = 2  # a word is a motif when >= MOTIF_MIN windows share it
+
+
+@register(
+    "ts_sax_motifs",
+    tags=("timeseries", "sax", "motif"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(hv) AS DOUBLE) AS s,
+         CAST(CAST(SUM(hv * hv) AS DECIMAL(30,4)) AS DOUBLE) AS s2
+  FROM hourly GROUP BY event_type
+),
+mom AS (
+  SELECT event_type, n, s / n AS mu,
+         sqrt(s2 / n - (s / n) * (s / n)) AS sigma
+  FROM stats WHERE s2 / n - (s / n) * (s / n) > 0
+),
+z AS (
+  SELECT h.event_type,
+         ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.h) AS rn,
+         round((CAST(h.hv AS DOUBLE) - m.mu) / m.sigma, {SAX_DP}) AS zr
+  FROM hourly h JOIN mom m ON h.event_type = m.event_type
+),
+pts AS (
+  SELECT event_type, rn, zr, ((rn - 1) // {MOTIF_S}) - k AS w
+  FROM z, LATERAL unnest(generate_series(0, {MOTIF_W // MOTIF_S - 1}))
+            AS t(k)
+  WHERE ((rn - 1) // {MOTIF_S}) - k >= 0
+    AND rn <= (((rn - 1) // {MOTIF_S}) - k) * {MOTIF_S} + {MOTIF_W}
+),
+paa AS (
+  SELECT event_type, w,
+         ((rn - w * {MOTIF_S}) - 1) * {MOTIF_SEGS} // {MOTIF_W} AS seg,
+         CAST(SUM(CAST(zr AS DECIMAL(25,{SAX_DP}))) AS DOUBLE) / COUNT(*)
+           AS m,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type, w) AS BIGINT)
+           AS wn
+  FROM pts
+  GROUP BY event_type, w, ((rn - w * {MOTIF_S}) - 1) * {MOTIF_SEGS} // {MOTIF_W}
+),
+words AS (
+  SELECT event_type, w,
+         string_agg(CASE WHEN m < CAST({SAX_BREAKS[0]} AS DOUBLE) THEN 'a'
+                         WHEN m < CAST({SAX_BREAKS[1]} AS DOUBLE) THEN 'b'
+                         WHEN m < CAST({SAX_BREAKS[2]} AS DOUBLE) THEN 'c'
+                         ELSE 'd' END, '' ORDER BY seg) AS word
+  FROM paa WHERE wn = {MOTIF_W}
+  GROUP BY event_type, w
+)
+SELECT event_type, word AS sax_word,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MIN(w) AS BIGINT) AS first_window,
+       CAST(MAX(w) AS BIGINT) AS last_window
+FROM words
+GROUP BY event_type, word
+HAVING COUNT(*) >= {MOTIF_MIN}
+""",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery: slide a {MOTIF_W}-hour window (hop
+    {MOTIF_S}) over each z-scored series, compress every full window to
+    a {MOTIF_SEGS}-letter SAX word, and report words recurring in >=
+    {MOTIF_MIN} windows — the repeated-shape (motif) detector that
+    turns "find similar subsequences" from an O(n²) subsequence scan
+    into a GROUP BY on symbolic words. Recurring daily/weekly load
+    shapes surface as high-count words; a word seen once is a
+    potential discord (anomaly) — the same index answers both.
+
+    Scale shape: the only fan-out is the window explode, bounded at
+    W/S = {MOTIF_W // MOTIF_S}x regardless of data volume; PAA and
+    word assembly are hash aggregates on (series, window) with
+    map-side partials; motif grouping keys on the word. Window
+    completeness (wn = {MOTIF_W}) is enforced identically in both
+    engines via a windowed point count. Z-scores reuse the
+    ``ts_sax_symbolize`` moment/rounding discipline."""
+    hs = _hourly_sum(spark, sf_dir)
+    stats = hs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hv").cast("double").alias("s"),
+        F.sum(F.col("hv") * F.col("hv"))
+        .cast("decimal(30,4)")
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    mom = (
+        stats.filter(var > 0)
+        .select("event_type", mu.alias("mu"), F.sqrt(var).alias("sigma"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("h")
+    z = (
+        hs.join(F.broadcast(mom), "event_type")
+        .withColumn("rn", F.row_number().over(wo))
+        .select(
+            "event_type",
+            "rn",
+            F.round(
+                (F.col("hv").cast("double") - F.col("mu")) / F.col("sigma"),
+                SAX_DP,
+            ).alias("zr"),
+        )
+    )
+    base_w = F.expr(f"(rn - 1) div {MOTIF_S}")
+    pts = (
+        z.select(
+            "event_type",
+            "rn",
+            "zr",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(MOTIF_W // MOTIF_S - 1))
+            ).alias("k"),
+        )
+        .withColumn("w", base_w - F.col("k"))
+        .filter(
+            (F.col("w") >= 0)
+            & (F.col("rn") <= F.col("w") * MOTIF_S + MOTIF_W)
+        )
+        .drop("k")
+    )
+    seg = F.expr(f"((rn - w * {MOTIF_S}) - 1) * {MOTIF_SEGS} div {MOTIF_W}")
+    paa = (
+        pts.withColumn("seg", seg)
+        .groupBy("event_type", "w", "seg")
+        .agg(
+            (
+                F.sum(F.col("zr").cast(f"decimal(25,{SAX_DP})")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        .withColumn(
+            "wn",
+            F.sum("np").over(Window.partitionBy("event_type", "w")),
+        )
+    )
+    m = F.col("m")
+    sym = (
+        F.when(m < F.lit(SAX_BREAKS[0]), "a")
+        .when(m < F.lit(SAX_BREAKS[1]), "b")
+        .when(m < F.lit(SAX_BREAKS[2]), "c")
+        .otherwise("d")
+    )
+    words = (
+        paa.filter(F.col("wn") == MOTIF_W)
+        .select("event_type", "w", "seg", sym.alias("s"))
+        .groupBy("event_type", "w")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "s"))),
+                    lambda r: r["s"],
+                ),
+                "",
+            ).alias("sax_word")
+        )
+    )
+    return (
+        words.groupBy("event_type", "sax_word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.min("w").cast("bigint").alias("first_window"),
+            F.max("w").cast("bigint").alias("last_window"),
+        )
+        .filter(F.col("n_windows") >= MOTIF_MIN)
+    )
