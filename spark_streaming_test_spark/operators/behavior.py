@@ -1230,3 +1230,102 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("wk").cast("bigint").alias("week_index"), "state", "n_users"
     )
+
+
+# --- sweep-line peak concurrency ------------------------------------------
+
+
+@register(
+    "events_concurrency_sweep",
+    tags=("events", "sweep-line", "intervals"),
+    oracle="""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS t0,
+         epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS t1
+  FROM events
+),
+deltas AS (
+  SELECT event_type, t0 AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, t1 AS t, -1 AS d FROM iv
+),
+swept AS (
+  SELECT event_type, t, d,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM deltas
+),
+peak AS (
+  SELECT event_type, MAX(conc) AS peak_concurrency FROM swept
+  GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+       CAST(MIN(s.t) AS BIGINT) AS peak_t_us,
+       CAST((SELECT COUNT(*) FROM iv i WHERE i.event_type = p.event_type)
+            AS BIGINT) AS n_intervals
+FROM peak p JOIN swept s
+  ON s.event_type = p.event_type AND s.conc = p.peak_concurrency
+GROUP BY p.event_type, p.peak_concurrency
+""",
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: treat each event as an interval
+    [ts, ts + value minutes] (value = session/stream duration), unpivot
+    into +1/-1 boundary deltas, and a running sum over the time-ordered
+    deltas IS the live-concurrency curve — max concurrent streams per
+    event_type plus the first instant the peak is reached. The classic
+    capacity-planning question ("how many simultaneous X at worst?")
+    answered without materializing any pairwise overlap join.
+
+    Tie discipline: deltas order by (t, d) so a -1 (interval end)
+    sweeps before a +1 at the identical microsecond — touching
+    intervals don't count as concurrent — identically in both engines.
+    Interval ends use floor(value*60) on the same IEEE product, exact.
+
+    Scale shape: the unpivot is a fixed 2x projection; the running sum
+    is one series-keyed ordered window with O(1) state. At planetary
+    cardinality the single per-series window becomes the two-level
+    form (per-shard sweep + carry-in offsets — the documented
+    ``window_running_*`` scale path); the peak extraction joins a
+    5-row broadcast aggregate back onto the curve."""
+    ev = load(spark, sf_dir, "events")
+    t0 = F.unix_micros(F.col("ts"))
+    t1 = t0 + (
+        F.floor(F.col("value") * 60).cast("bigint") * F.lit(1000000)
+    )
+    iv = ev.select("event_type", t0.alias("t0"), t1.alias("t1"))
+    deltas = iv.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("event_type", F.col("t1").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.withColumn("conc", F.sum("d").over(w))
+    peak = swept.groupBy("event_type").agg(
+        F.max("conc").alias("peak_concurrency")
+    )
+    n_iv = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals")
+    )
+    return (
+        swept.join(
+            F.broadcast(peak),
+            ["event_type"],
+        )
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("t").cast("bigint").alias("peak_t_us"))
+        .join(F.broadcast(n_iv), "event_type")
+        .select(
+            "event_type",
+            F.col("peak_concurrency").cast("bigint").alias("peak_concurrency"),
+            "peak_t_us",
+            "n_intervals",
+        )
+    )
