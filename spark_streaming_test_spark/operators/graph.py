@@ -1446,3 +1446,120 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("local_clustering"),
         )
     )
+
+
+# --- deterministic random walks -------------------------------------------
+
+WALK_STEPS = 3
+
+
+def _sql_walk_hash(seed: str, k: int, cur: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({seed} AS VARCHAR) || '_' || {k} || '_'"
+        f" || CAST({cur} AS VARCHAR)), 1, 8))::BIGINT"
+    )
+
+
+@register(
+    "graph_random_walks",
+    tags=("graph", "walks", "sampling"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+adj AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL SELECT v AS src, u AS dst FROM edges
+),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM adj
+),
+seeds AS (SELECT DISTINCT src AS s FROM adj),
+w1 AS (
+  SELECT s, r.dst AS c
+  FROM seeds JOIN ranked r
+    ON r.src = s AND r.rn = {_sql_walk_hash('s', 1, 's')} % r.deg + 1
+),
+w2 AS (
+  SELECT w1.s, r.dst AS c
+  FROM w1 JOIN ranked r
+    ON r.src = w1.c AND r.rn = {_sql_walk_hash('w1.s', 2, 'w1.c')} % r.deg + 1
+),
+w3 AS (
+  SELECT w2.s, r.dst AS c
+  FROM w2 JOIN ranked r
+    ON r.src = w2.c AND r.rn = {_sql_walk_hash('w2.s', 3, 'w2.c')} % r.deg + 1
+),
+visits AS (
+  SELECT c FROM w1 UNION ALL SELECT c FROM w2 UNION ALL SELECT c FROM w3
+)
+SELECT c AS node, CAST(COUNT(*) AS BIGINT) AS n_visits
+FROM visits GROUP BY c
+""",
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks ({WALK_STEPS} steps from every node)
+    over the co-purchase graph — the node2vec/DeepWalk sampling step
+    that feeds graph embeddings, done WITHOUT an RNG: step k from node
+    c in seed s's walk picks neighbor rank md5(s,k,c) mod degree(c), so
+    every engine, retry, and partitioning produces the identical walk
+    corpus (the same content-hash discipline as the sampling family).
+    Output is the visit histogram — stationary-ish visit mass that
+    correlates with PageRank but costs {WALK_STEPS} equi-joins instead
+    of iteration to convergence.
+
+    Scale shape: the neighbor index (rank within src by dst) is one
+    edge-keyed window; each step is an equi-join of the walk frontier
+    against that index on (src, rank) — frontier size stays exactly
+    |nodes| rows per step, never fans out; the histogram is a final
+    hash aggregate. The edge list rides the shared localCheckpoint
+    cache."""
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    wsrc = Window.partitionBy("src")
+    ranked = adj.select(
+        "src",
+        "dst",
+        F.row_number().over(wsrc.orderBy("dst")).alias("rn"),
+        F.count(F.lit(1)).over(wsrc).alias("deg"),
+    )
+
+    def walk_hash(seed: Column, k: int, cur: Column) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        seed.cast("string"),
+                        F.lit(f"_{k}_"),
+                        cur.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    frontier = adj.select(F.col("src").alias("s")).distinct().withColumn(
+        "c", F.col("s")
+    )
+    visits = None
+    for k in range(1, WALK_STEPS + 1):
+        nxt = (
+            frontier.join(ranked, frontier["c"] == ranked["src"])
+            .filter(
+                F.col("rn")
+                == walk_hash(F.col("s"), k, frontier["c"]) % F.col("deg") + 1
+            )
+            .select("s", F.col("dst").alias("c"))
+        )
+        step_visits = nxt.select(F.col("c"))
+        visits = step_visits if visits is None else visits.unionAll(step_visits)
+        frontier = nxt
+    return visits.groupBy(F.col("c").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_visits")
+    )
