@@ -2756,3 +2756,85 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_windows") >= MOTIF_MIN)
     )
+
+
+# --- Bollinger bands -------------------------------------------------------
+
+BOLL_WIN = 24  # trailing frame (hours)
+BOLL_K = 2.0   # band half-width in sigmas
+
+
+@register(
+    "window_bollinger_bands",
+    tags=("timeseries", "window", "bands"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+framed AS (
+  SELECT event_type, h, CAST(hv AS DOUBLE) AS v,
+         CAST(SUM(hv) OVER w AS DOUBLE) AS s,
+         CAST(CAST(SUM(hv * hv) OVER w AS DECIMAL(30,4)) AS DOUBLE) AS s2,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, h, v,
+       s / n AS ma,
+       s / n + CAST({BOLL_K} AS DOUBLE) * sqrt(s2 / n - (s / n) * (s / n))
+         AS upper_band,
+       s / n - CAST({BOLL_K} AS DOUBLE) * sqrt(s2 / n - (s / n) * (s / n))
+         AS lower_band,
+       v > s / n + CAST({BOLL_K} AS DOUBLE)
+             * sqrt(s2 / n - (s / n) * (s / n))
+         OR v < s / n - CAST({BOLL_K} AS DOUBLE)
+             * sqrt(s2 / n - (s / n) * (s / n)) AS breakout
+FROM framed WHERE n = {BOLL_WIN}
+""",
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the hourly series: trailing {BOLL_WIN}-hour
+    mean ± {BOLL_K}σ, with a breakout flag when the current value
+    leaves the band — the volatility-adaptive complement of the
+    fixed-range Donchian channel (``window_donchian_band``) and the
+    z-score detector (``ts_anomaly_zscore``), here with a FINITE frame
+    so regime changes age out of the statistics.
+
+    Determinism: the frame carries exact DECIMAL power sums (2-decimal
+    values; squares at scale 4, inside the 2^53 margin at sf0.1) cast
+    to double once, and every downstream op (divide, sqrt, ±) is the
+    identical IEEE expression on both engines — no rounding anywhere,
+    so the band edges and the breakout comparison match bitwise.
+
+    Scale shape: ONE series-keyed ordered window with O(frame) state;
+    warm-up rows (n < {BOLL_WIN}) are excluded identically in both
+    engines."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(BOLL_WIN - 1), Window.currentRow)
+    )
+    framed = _hourly_sum(spark, sf_dir).select(
+        "event_type",
+        "h",
+        F.col("hv").cast("double").alias("v"),
+        F.sum("hv").over(w).cast("double").alias("s"),
+        F.sum(F.col("hv") * F.col("hv"))
+        .over(w)
+        .cast("decimal(30,4)")
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    )
+    ma = F.col("s") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - ma * ma)
+    upper = ma + F.lit(BOLL_K) * sd
+    lower = ma - F.lit(BOLL_K) * sd
+    return framed.filter(F.col("n") == BOLL_WIN).select(
+        "event_type",
+        "h",
+        "v",
+        ma.alias("ma"),
+        upper.alias("upper_band"),
+        lower.alias("lower_band"),
+        ((F.col("v") > upper) | (F.col("v") < lower)).alias("breakout"),
+    )
