@@ -929,3 +929,67 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_value_nonnull bigint, sum_value double, "
         "min_value double, max_value double, n_negative bigint",
     )
+
+
+# --- order-insensitive table checksums -------------------------------------
+
+
+@register(
+    "dq_table_checksum",
+    tags=("dq", "checksum", "reconciliation"),
+    oracle="""
+WITH rows_h AS (
+  SELECT o_orderpriority,
+         ('0x' || substr(md5(concat_ws('|',
+             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+             o_orderstatus, CAST(o_orderdate AS VARCHAR))), 1, 15))::BIGINT
+           AS rh
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(rh) AS BIGINT) AS checksum
+FROM rows_h GROUP BY o_orderpriority
+""",
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive partition checksums — the cross-system
+    reconciliation primitive: hash each row's canonical string form,
+    XOR-aggregate per partition key. XOR is commutative/associative
+    and overflow-free, so the checksum is identical regardless of row
+    order, partitioning, engine, or retry — two systems holding the
+    same data produce the same (n_rows, checksum) pairs, and a
+    migration/replication diff localizes to the partitions whose pair
+    mismatches WITHOUT moving any row data (this is how you reconcile
+    a 100 TB copy over a WAN: ship checksums, not rows).
+
+    Row canonicalization sticks to integer/string/date columns whose
+    string rendering is engine-stable; the 15-hex-char md5 prefix
+    keeps the value positive in an int64. One hash aggregate with
+    map-side XOR partials — shuffle is O(partition keys)."""
+    o = load(spark, sf_dir, "orders")
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_orderdate").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        o.select("o_orderpriority", rh.alias("rh"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(rh)").cast("bigint").alias("checksum"),
+        )
+    )

@@ -478,3 +478,134 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+# --- rank-biased overlap ----------------------------------------------------
+
+RBO_K = 20
+RBO_P = 0.9
+# Precompute the geometric weights in Python and inline them as literals
+# so both engines consume the IDENTICAL doubles (pow() may differ by an
+# ulp between libm and the JVM).
+_RBO_W = []
+_acc = 1.0
+for _d in range(1, RBO_K + 1):
+    _RBO_W.append((_d, (1.0 - RBO_P) * _acc))
+    _acc = _acc * RBO_P
+_SQL_RBO_DEPTHS = ", ".join(f"({d}, {w!r})" for d, w in _RBO_W)
+
+
+@register(
+    "mlstats_rbo_ranking",
+    tags=("mlstats", "ranking", "rbo"),
+    oracle=f"""
+WITH tot AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+           AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS qty
+  FROM lineitem GROUP BY l_partkey
+),
+ra AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rank_a
+  FROM tot
+),
+rb AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey) AS rank_b
+  FROM tot
+),
+j AS (
+  SELECT ra.l_partkey, ra.rank_a, rb.rank_b
+  FROM ra JOIN rb ON ra.l_partkey = rb.l_partkey
+  WHERE ra.rank_a <= {RBO_K} OR rb.rank_b <= {RBO_K}
+),
+depths(d, w) AS (VALUES {_SQL_RBO_DEPTHS}),
+ov AS (
+  SELECT depths.d, depths.w,
+         COUNT(CASE WHEN j.rank_a <= depths.d AND j.rank_b <= depths.d
+                    THEN 1 END) AS o
+  FROM depths LEFT JOIN j ON TRUE
+  GROUP BY depths.d, depths.w
+)
+SELECT {RBO_K} AS k, CAST({RBO_P} AS DOUBLE) AS p,
+       CAST(SUM(CAST(round(w * o / d, 10) AS DECIMAL(20,10))) AS DOUBLE)
+         AS rbo,
+       CAST(MAX(CASE WHEN d = {RBO_K} THEN o END) AS BIGINT) AS overlap_at_k,
+       CAST(MAX(CASE WHEN d = {RBO_K} THEN o END) AS DOUBLE) / {RBO_K}
+         AS agreement_at_k
+FROM ov
+""",
+)
+def mlstats_rbo_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between two rankings of the
+    same items — parts by revenue vs parts by quantity: RBO@{RBO_K} =
+    Σ_d (1-p)p^(d-1) · |A_d ∩ B_d|/d, the top-weighted agreement
+    measure that (unlike Kendall/Spearman) handles the only-top-k-
+    matters case and indefinite rankings. The standard answer to "did
+    the ranking change materially?" for search/reco regression gates
+    and feature-ablation comparisons.
+
+    Determinism: geometric weights are Python-precomputed literals
+    (identical doubles in both engines — pow() is not trusted across
+    libms); per-depth terms are rounded at 10 dp and decimal-summed.
+    Prefix overlaps are exact integer counts off each item's two
+    ranks; ranking ties break on the item key.
+
+    Scale shape: the two rankings are top-{RBO_K} problems — the
+    filter keeps only items ranked ≤ k in either list, so the depth
+    cross-join touches ≤ 2k rows against a {RBO_K}-row broadcast
+    literal frame. The per-item rank windows run on the part-level
+    aggregate (map-side combined), and at planetary part counts they
+    swap for TakeOrdered top-k extraction — same output, no global
+    sort."""
+    li = load(spark, sf_dir, "lineitem")
+    tot = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(24,2)")
+        .alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(24,2)")
+        .alias("qty"),
+    )
+    ra = tot.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("l_partkey")))
+        .alias("rank_a"),
+    )
+    rb = tot.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("qty").desc(), F.col("l_partkey")))
+        .alias("rank_b"),
+    )
+    j = (
+        ra.join(rb, "l_partkey")
+        .filter((F.col("rank_a") <= RBO_K) | (F.col("rank_b") <= RBO_K))
+    )
+    depths = spark.createDataFrame(_RBO_W, "d int, w double")
+    ov = (
+        F.broadcast(depths)
+        .join(j, F.lit(True), "left")
+        .groupBy("d", "w")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("rank_a") <= F.col("d"))
+                    & (F.col("rank_b") <= F.col("d")),
+                    1,
+                )
+            ).alias("o")
+        )
+    )
+    term = F.round(F.col("w") * F.col("o") / F.col("d"), 10)
+    at_k = F.when(F.col("d") == RBO_K, F.col("o"))
+    return ov.agg(
+        F.lit(RBO_K).alias("k"),
+        F.lit(RBO_P).alias("p"),
+        F.sum(term.cast("decimal(20,10)")).cast("double").alias("rbo"),
+        F.max(at_k).cast("bigint").alias("overlap_at_k"),
+        (F.max(at_k).cast("double") / RBO_K).alias("agreement_at_k"),
+    )
