@@ -150,6 +150,7 @@ _DRIVER_WINDOW = [
     "geo_point_in_polygon", "ts_sax_symbolize", "ts_sax_motifs",
     "events_concurrency_sweep", "graph_random_walks",
     "window_bollinger_bands", "dq_table_checksum", "mlstats_rbo_ranking",
+    "er_survivorship_golden",
     "ab_test_power_analysis", "events_metric_tree_decomposition",
     "ml_learning_curve", "ts_forecast_ensemble", "traffic_capacity_forecast",
     "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
