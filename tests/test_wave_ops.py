@@ -776,3 +776,137 @@ def test_capacity_forecast_sanity(spark, sf_dir):
                 traffic.CAP_LIMIT_CENTS - r["current_peak_cents"]
             ) / r["slope_cents_per_day"]
             assert abs(r["days_to_capacity"] - expect) < 1e-9 * max(1.0, expect)
+
+
+# --- closing-wave semantic tests -------------------------------------------
+
+
+def test_cdc_chunks_realign_after_insertion(spark, sf_dir):
+    """THE content-defined-chunking property: inserting one word shifts
+    every fixed window downstream, but CDC boundaries re-align, so a
+    doc and its one-word-insertion revision still share most chunks."""
+    import pandas as pd
+
+    from spark_streaming_test_spark.llm import dedup as D
+
+    base = " ".join(f"tok{i % 23}x{(i * 7) % 11}" for i in range(200))
+    words = base.split(" ")
+    revised = " ".join(words[:97] + ["INSERTED"] + words[97:])
+    df = spark.createDataFrame(
+        [(0, base), (1, revised)], "doc_id long, text string"
+    )
+
+    def fake_load(s, d, name):
+        assert name == "documents"
+        return df
+
+    D.load_backup = D.load
+    D.load = fake_load  # type: ignore[assignment]
+    try:
+        out = {r["doc_id"]: r for r in D.dedup_cdc_chunks(spark, sf_dir).collect()}
+    finally:
+        D.load = D.load_backup
+        del D.load_backup
+    # both docs must share a large fraction of chunks despite the shift
+    for did in (0, 1):
+        assert out[did]["dup_chunk_ratio"] > 0.5, out[did]
+
+
+def test_kmv_estimates_within_relative_error(spark, sf_dir):
+    """KMV cardinality estimates must land within the theoretical
+    ~1/sqrt(K-2) relative error band (x3 slack) of the exact counts,
+    and the Jaccard-derived intersection must be sane."""
+    from spark_streaming_test_spark.operators import aggregates as A
+
+    r = A.agg_kmv_set_ops(spark, sf_dir).collect()[0]
+    import math
+
+    tol = 3.0 / math.sqrt(A.KMV_K - 2)
+    for est, exact in (
+        (r["est_a"], r["exact_a"]),
+        (r["est_b"], r["exact_b"]),
+        (r["est_union"], r["exact_union"]),
+    ):
+        if exact >= A.KMV_K:
+            assert abs(est - exact) <= tol * exact, (est, exact, tol)
+        else:
+            assert est == float(exact)
+    assert 0.0 <= r["jaccard_kmv"] <= 1.0
+    assert r["est_intersection"] <= r["est_union"] + 1e-9
+
+
+def test_jl_distortion_concentrates_around_one(spark, sf_dir):
+    """JL: mean pairwise distance-ratio must sit near 1 and the bulk of
+    pairs inside the +/-50% band at m=16."""
+    from spark_streaming_test_spark.llm import embeddings as EM
+
+    r = EM.emb_random_projection_jl(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] > 1000
+    assert 0.7 < r["mean_ratio"] < 1.3, r["mean_ratio"]
+    assert r["frac_within_50pct"] > 0.8, r["frac_within_50pct"]
+
+
+def test_concurrency_sweep_peak_vs_bruteforce(spark, sf_dir):
+    """Sweep-line peak must equal the brute-force interval-stabbing
+    maximum recomputed in pandas on a sampled event_type."""
+    from spark_streaming_test_spark.operators import behavior as B
+
+    out = {
+        r["event_type"]: r for r in B.events_concurrency_sweep(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("ts", "value")
+        .toPandas()
+    )
+    import math
+
+    starts = ev["ts"].astype("int64") // 1000  # ns -> us
+    ends = starts + (ev["value"] * 60).apply(math.floor).astype("int64") * 1_000_000
+    deltas = sorted(
+        [(t, 1) for t in starts] + [(t, -1) for t in ends],
+        key=lambda x: (x[0], x[1]),
+    )
+    peak, cur = 0, 0
+    for _, d in deltas:
+        cur += d
+        peak = max(peak, cur)
+    assert out["purchase"]["peak_concurrency"] == peak
+
+
+def test_random_walks_respect_adjacency(spark, sf_dir):
+    """Every visited node must be reachable: visit counts total exactly
+    3 x |seeds| (each walk takes all 3 steps — no dead ends in the
+    undirected co-purchase graph)."""
+    from spark_streaming_test_spark.operators import graph as G
+
+    edges = G._copurchase_edges(spark, sf_dir)
+    n_seeds = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    visits = G.graph_random_walks(spark, sf_dir)
+    total = visits.agg(F.sum("n_visits")).collect()[0][0]
+    assert total == G.WALK_STEPS * n_seeds, (total, n_seeds)
+
+
+def test_survivorship_golden_name_longest(spark, sf_dir):
+    """Golden name must be the longest (lexicographically smallest on
+    ties) member name within each multi-member entity."""
+    from spark_streaming_test_spark.operators import entity as E
+
+    groups = E.er_entity_groups(spark, sf_dir)
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    m = groups.join(parts, "p_partkey").toPandas()
+    golden = {
+        r["entity_id"]: r["golden_name"]
+        for r in E.er_survivorship_golden(spark, sf_dir).collect()
+    }
+    for eid, grp in m.groupby("entity_id"):
+        names = sorted(grp["p_name"], key=lambda s: (-len(s), s))
+        assert golden[int(eid)] == names[0]
