@@ -945,3 +945,13 @@ def test_sax_two_hash_aggregates_no_global_sort(spark, qs):
     import re
     assert len(re.findall(r"\(\d+\) Window", plan)) <= 1
     checks.assert_no_cartesian(df)
+
+
+def test_sorted_neighborhood_equi_join_no_cartesian(spark, qs):
+    # The rank-gap theta join (0 < rn_b - rn_a < W) must come from the
+    # block equi-join, never a cartesian/BNLJ: each row is replicated to
+    # exactly 2 blocks, so candidate volume is 2n rows joined hash-wise.
+    df = qs["er_sorted_neighborhood"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
