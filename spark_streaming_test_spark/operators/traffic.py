@@ -506,3 +506,95 @@ def traffic_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("days_to_capacity"),
         )
     )
+
+
+# --- flap detection (alert-storm suppression) ------------------------------
+
+FLAP_LIMIT = 150   # the 'max' traffic limit (LIMITS_ROWS), inlined as int
+FLAP_K = 3         # flips per hour at/above which a NIC is "flapping"
+
+
+@register(
+    "traffic_flap_detection",
+    tags=("traffic", "streaming", "state", "anomaly"),
+    oracle=f"""
+WITH totals AS (
+  SELECT CAST(user_id AS VARCHAR) AS nif,
+         time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+  FROM events GROUP BY 1, 2
+),
+flags AS (
+  SELECT nif, window_start,
+         total > {FLAP_LIMIT} AS is_alert,
+         lag(total > {FLAP_LIMIT}) OVER (PARTITION BY nif ORDER BY window_start)
+           AS prev_alert
+  FROM totals
+),
+flips AS (
+  SELECT nif,
+         time_bucket(INTERVAL '1 hour', window_start) AS hour_start,
+         COUNT(*) AS n_windows,
+         COUNT(*) FILTER (WHERE prev_alert IS NOT NULL
+                            AND is_alert <> prev_alert) AS n_flips
+  FROM flags GROUP BY 1, 2
+)
+SELECT nif, hour_start,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_flips AS BIGINT) AS n_flips,
+       n_flips >= {FLAP_K} AS is_flapping
+FROM flips
+""",
+)
+def traffic_flap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-storm (flap) detection — the operational layer ABOVE the
+    reference's edge-trigger: KafkaProducer.java:34-41 emits on every
+    alert-flag flip, so a NIC oscillating around the limit still pages
+    on every crossing. This query counts the flips themselves per NIC
+    per hour and flags NICs with >= {FLAP_K} flips/hour as flapping —
+    the signal an operator uses to mute the edge-trigger (or widen the
+    threshold into a hysteresis band) for that interface.
+
+    Determinism: 5-minute totals are exact decimals compared against an
+    integer limit, so the alert booleans — and therefore the flip
+    counts — are partitioning-independent. Scale shape: ONE exchange on
+    nif serves the lag window; the 5-minute reduce is map-side combined
+    on (nif, window) first, so the per-nif sequence the lag scans is
+    windows-long, not events-long; the hourly rollup then combines
+    locally on the already-nif-partitioned stream."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy(
+        F.col("user_id").cast("string").alias("nif"),
+        F.window("ts", "5 minutes").alias("w"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("total")
+    ).select("nif", F.col("w.start").alias("window_start"), "total")
+    seq = Window.partitionBy("nif").orderBy("window_start")
+    flags = totals.select(
+        "nif",
+        "window_start",
+        (F.col("total") > FLAP_LIMIT).alias("is_alert"),
+        F.lag(F.col("total") > FLAP_LIMIT).over(seq).alias("prev_alert"),
+    )
+    flips = flags.groupBy(
+        "nif",
+        F.window("window_start", "1 hour").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.count(
+            F.when(
+                F.col("prev_alert").isNotNull()
+                & (F.col("is_alert") != F.col("prev_alert")),
+                1,
+            )
+        ).cast("bigint").alias("n_flips"),
+    )
+    return flips.select(
+        "nif",
+        F.col("h.start").alias("hour_start"),
+        "n_windows",
+        "n_flips",
+        (F.col("n_flips") >= FLAP_K).alias("is_flapping"),
+    )
