@@ -993,3 +993,94 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(rh)").cast("bigint").alias("checksum"),
         )
     )
+
+
+# --- local differential privacy: randomized response ----------------------
+
+RR_FLIP_MOD = 4          # flip with probability 1/4 => keep prob 3/4
+RR_SENSITIVE_VALUE = 100  # "sensitive" bit: event value above this
+# epsilon = ln(keep/flip) = ln(3) for a 1/4 flip probability — emitted as
+# the same literal on both engines (never computed via ln(), whose last
+# ulp is libm-dependent).
+RR_EPSILON = "1.0986122886681098"
+
+
+@register(
+    "dq_randomized_response",
+    tags=("privacy", "dq", "sketch"),
+    oracle=f"""
+WITH r AS (
+  SELECT event_type,
+         value > {RR_SENSITIVE_VALUE} AS s,
+         CAST('0x' || substr(md5('rr:' || CAST(event_id AS VARCHAR)), 1, 15)
+              AS UBIGINT) % {RR_FLIP_MOD} = 0 AS flip
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE s <> flip) AS nr,
+         COUNT(*) FILTER (WHERE s) AS t
+  FROM r GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(nr AS BIGINT) AS n_reported_sensitive,
+       CAST(4 * nr - n AS DOUBLE) / 2 AS est_sensitive,
+       CAST(t AS BIGINT) AS true_sensitive,
+       CAST(abs(4 * nr - n - 2 * t) AS DOUBLE) / 2 AS est_abs_error,
+       CAST({RR_EPSILON} AS DOUBLE) AS epsilon
+FROM g
+""",
+)
+def dq_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy via randomized response (Warner 1965;
+    the RAPPOR building block): each record reports its sensitive bit
+    (value > {RR_SENSITIVE_VALUE}) truthfully with probability 3/4 and
+    flipped with probability 1/4 — epsilon = ln(3) local DP — and the
+    per-group sensitive-count is recovered with the unbiased estimator
+    (4*reported - n)/2. The true count rides along as the harness's
+    ground truth so the estimator's error is auditable.
+
+    The flip decision is a keyed PRF (the md5-derived 60-bit hash of
+    the record id — exactly how production DP pipelines make noise
+    reproducible for replay/debugging), so both engines randomize
+    identically and the whole query is integer-exact: the estimate and
+    its error are dyadic rationals (integer / 2), which IEEE doubles
+    represent exactly. One map-side-combined count aggregate — the
+    mechanism itself is a pure scan-level projection, the natural shape
+    for privatizing 100 TB at ingest."""
+    ev = load(spark, sf_dir, "events")
+    prf = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rr:"), F.col("event_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    r = ev.select(
+        "event_type",
+        (F.col("value") > RR_SENSITIVE_VALUE).alias("s"),
+        ((prf % RR_FLIP_MOD) == 0).alias("flip"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("s") != F.col("flip"), 1)).alias("nr"),
+        F.count(F.when(F.col("s"), 1)).alias("t"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("nr").cast("bigint").alias("n_reported_sensitive"),
+        ((4 * F.col("nr") - F.col("n")).cast("double") / 2).alias(
+            "est_sensitive"
+        ),
+        F.col("t").cast("bigint").alias("true_sensitive"),
+        (
+            F.abs(4 * F.col("nr") - F.col("n") - 2 * F.col("t")).cast("double")
+            / 2
+        ).alias("est_abs_error"),
+        F.lit(float(RR_EPSILON)).alias("epsilon"),
+    )
