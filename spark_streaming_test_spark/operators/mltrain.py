@@ -1586,3 +1586,150 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- k-fold cross-validation from ONE moment pass ---------------------------
+
+KFOLD_K = 5
+
+
+@register(
+    "ml_kfold_cv",
+    tags=("ml", "training", "evaluation"),
+    oracle=f"""
+WITH feat AS MATERIALIZED (
+  SELECT value AS y,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) / 24.0 AS x,
+         CAST(CAST('0x' || substr(md5('kf:' || CAST(event_id AS VARCHAR)), 1, 15)
+                   AS UBIGINT) % {KFOLD_K} AS INTEGER) AS fold
+  FROM events
+),
+fm AS MATERIALIZED (
+  SELECT fold,
+         COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(25,6))) AS sx,
+         SUM(CAST(y AS DECIMAL(25,6))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(25,6))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(25,6))) AS sxy,
+         SUM(CAST(y * y AS DECIMAL(25,6))) AS syy
+  FROM feat GROUP BY fold
+),
+tot AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+  FROM fm
+),
+tr AS (
+  SELECT f.fold,
+         CAST(t.n - f.n AS DOUBLE) AS n,
+         CAST(t.sx - f.sx AS DOUBLE) AS sx,
+         CAST(t.sy - f.sy AS DOUBLE) AS sy,
+         CAST(t.sxx - f.sxx AS DOUBLE) AS sxx,
+         CAST(t.sxy - f.sxy AS DOUBLE) AS sxy,
+         CAST(f.n AS DOUBLE) AS hn,
+         CAST(f.sx AS DOUBLE) AS hsx,
+         CAST(f.sy AS DOUBLE) AS hsy,
+         CAST(f.sxx AS DOUBLE) AS hsxx,
+         CAST(f.sxy AS DOUBLE) AS hsxy,
+         CAST(f.syy AS DOUBLE) AS hsyy
+  FROM fm f CROSS JOIN tot t
+),
+coef AS (
+  SELECT *,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b
+  FROM tr
+),
+coef2 AS (
+  SELECT *, (sy - b * sx) / n AS a FROM coef
+)
+SELECT fold,
+       CAST(n AS BIGINT) AS n_train,
+       CAST(hn AS BIGINT) AS n_test,
+       b AS slope,
+       a AS intercept,
+       sqrt((hsyy - 2 * a * hsy - 2 * b * hsxy
+             + a * a * hn + 2 * a * b * hsx + b * b * hsxx) / hn)
+         AS test_rmse
+FROM coef2
+""",
+)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KFOLD_K}-fold cross-validated simple regression (value ~
+    hour/24) where BOTH training and evaluation come from ONE scan:
+    per-fold sufficient moments are aggregated once (decimal-exact);
+    each fold's training moments are the exact-decimal difference
+    total - fold (never a re-scan of the other {KFOLD_K}-1 folds); and
+    the held-out RMSE expands algebraically from the held-out fold's
+    OWN moments — SSE = syy - 2a*sy - 2b*sxy + a^2 n + 2ab*sx + b^2
+    sxx — so scoring needs no second pass either. K-fold CV at 100 TB
+    for the price of one map-side-combined aggregate.
+
+    Fold assignment is the md5-derived PRF of the row id (deterministic
+    split, same device on both engines). All doubles derive from
+    identical exact decimals through identical literal-order IEEE
+    expressions, so coefficients and RMSEs match bitwise."""
+    dec = "decimal(25,6)"
+    c = F.col
+    prf = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kf:"), c("event_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    feat = load(spark, sf_dir, "events").select(
+        c("value").alias("y"),
+        (F.hour("ts").cast("double") / 24.0).alias("x"),
+        (prf % KFOLD_K).cast("int").alias("fold"),
+    )
+    fm = feat.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c("x").cast(dec)).alias("sx"),
+        F.sum(c("y").cast(dec)).alias("sy"),
+        F.sum((c("x") * c("x")).cast(dec)).alias("sxx"),
+        F.sum((c("x") * c("y")).cast(dec)).alias("sxy"),
+        F.sum((c("y") * c("y")).cast(dec)).alias("syy"),
+    )
+    tot = fm.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("syy").alias("tsyy"),
+    )
+    tr = fm.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (c("tn") - c("n")).cast("double").alias("n"),
+        (c("tsx") - c("sx")).cast("double").alias("sx"),
+        (c("tsy") - c("sy")).cast("double").alias("sy"),
+        (c("tsxx") - c("sxx")).cast("double").alias("sxx"),
+        (c("tsxy") - c("sxy")).cast("double").alias("sxy"),
+        c("n").cast("double").alias("hn"),
+        c("sx").cast("double").alias("hsx"),
+        c("sy").cast("double").alias("hsy"),
+        c("sxx").cast("double").alias("hsxx"),
+        c("sxy").cast("double").alias("hsxy"),
+        c("syy").cast("double").alias("hsyy"),
+    )
+    b = (c("n") * c("sxy") - c("sx") * c("sy")) / (
+        c("n") * c("sxx") - c("sx") * c("sx")
+    )
+    withb = tr.withColumn("b", b)
+    witha = withb.withColumn("a", (c("sy") - c("b") * c("sx")) / c("n"))
+    sse = (
+        c("hsyy")
+        - 2 * c("a") * c("hsy")
+        - 2 * c("b") * c("hsxy")
+        + c("a") * c("a") * c("hn")
+        + 2 * c("a") * c("b") * c("hsx")
+        + c("b") * c("b") * c("hsxx")
+    )
+    return witha.select(
+        "fold",
+        c("n").cast("bigint").alias("n_train"),
+        c("hn").cast("bigint").alias("n_test"),
+        c("b").alias("slope"),
+        c("a").alias("intercept"),
+        F.sqrt(sse / c("hn")).alias("test_rmse"),
+    )
