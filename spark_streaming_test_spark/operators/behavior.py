@@ -1329,3 +1329,66 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intervals",
         )
     )
+
+
+# --- regex sequence patterns (MATCH_RECOGNIZE in miniature) ---------------
+
+FUNNEL_PATTERN = "vc+p"   # view, 1+ clicks, purchase — with nothing between
+ERROR_BURST = "eee"       # 3 consecutive errors
+
+
+@register(
+    "events_pattern_regex_match",
+    tags=("behavior", "sequence", "regexp"),
+    oracle=f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, seq,
+       CAST(len(seq) AS INTEGER) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{FUNNEL_PATTERN}')) AS INTEGER)
+         AS n_funnels,
+       nullif(regexp_extract(seq, '{FUNNEL_PATTERN}'), '') AS first_funnel,
+       seq LIKE '%{ERROR_BURST}%' AS has_error_burst
+FROM seqs
+""",
+)
+def events_pattern_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection, the MATCH_RECOGNIZE shape: each
+    user's event history becomes a compact symbol string (one char per
+    event, order pinned by (ts, event_id)), and patterns are plain
+    regexes over it — '{FUNNEL_PATTERN}' counts strict view->clicks->
+    purchase funnels (no intervening events, which the set-based funnel
+    queries cannot express), and '{ERROR_BURST}' flags 3 consecutive
+    errors. Regex-over-symbol-string turns arbitrary event grammars
+    into one codegen'd projection; new patterns cost zero new shuffles.
+
+    One exchange on user_id builds the per-user string (sessions-long
+    strings, events-long input); every pattern then evaluates map-side.
+    Non-overlapping leftmost match semantics agree between Java regex
+    and RE2 for these patterns, so counts and first-match extractions
+    are engine-exact (empty-match NULL normalized via nullif)."""
+    ev = load(spark, sf_dir, "events")
+    seqs = (
+        ev.select("user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "seq",
+        F.length("seq").cast("int").alias("seq_len"),
+        F.regexp_count("seq", F.lit(FUNNEL_PATTERN)).cast("int").alias("n_funnels"),
+        F.regexp_substr("seq", F.lit(FUNNEL_PATTERN)).alias("first_funnel"),
+        F.col("seq").contains(ERROR_BURST).alias("has_error_burst"),
+    )
