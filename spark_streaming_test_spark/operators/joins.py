@@ -773,3 +773,81 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_exists_poisoned
         """
     )
+
+
+# --- runtime bloom-filter semi-join reduction ------------------------------
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the urgent-orders x lineitem join under the conf regime
+    where Spark's InjectRuntimeFilter fires (see query docstring);
+    caller must restore the session confs after materializing."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # At 100 TB the fact scan is far over the 10 GiB application-side
+    # threshold and the filtered dim far over the broadcast threshold;
+    # at test scale both conditions are simulated (threshold 0 /
+    # broadcast off) so the plan exercised HERE is the plan you get at
+    # scale for free.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    tags=("join", "runtime-filter", "scale"),
+    oracle=f"""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderstatus
+""",
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction — THE shuffle-volume
+    optimization for selective fact-fact joins at 100 TB: Spark's
+    InjectRuntimeFilter builds a bloom filter over the filtered dim
+    keys (urgent orders, ~20% selectivity) as a scalar subquery and
+    pushes ``might_contain(bloom, xxhash64(l_orderkey))`` beneath the
+    fact-side shuffle, so ~80% of lineitem rows are dropped BEFORE they
+    are ever exchanged — the declarative equivalent of a hand-built
+    semi-join pre-filter, chosen and sized by the optimizer.
+
+    The conf regime that triggers injection (shuffle join + large
+    application side) is simulated at test scale and materialized
+    eagerly via localCheckpoint, then the session confs are restored —
+    so the bloom-filtered plan is what actually executes, while every
+    other query in the session keeps stock planning. Results are
+    bloom-false-positive-proof by construction: the filter only prunes
+    rows the join would drop anyway."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thr,
+        )

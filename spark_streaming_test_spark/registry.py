@@ -128,6 +128,7 @@ _DRIVER_WINDOW = [
     # sf0.001/0.01/0.1 against the driver-style compare):
     "er_sorted_neighborhood", "traffic_flap_detection",
     "dq_randomized_response", "ml_kfold_cv", "events_pattern_regex_match",
+    "join_runtime_bloom_filter",
     "ml_logreg_train_gd", "ml_nb_train_score", "stream_chained_windows",
     "scan_binary_files", "dq_observe_metrics", "corpus_blocklist_filter",
     "sql_group_by_all", "ts_subsequence_match", "traffic_p95_billing",

@@ -955,3 +955,24 @@ def test_sorted_neighborhood_equi_join_no_cartesian(spark, qs):
     checks.assert_no_cartesian(df)
     plan = checks.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injected(spark, qs):
+    # The semi-join reduction must actually fire: the fact-side scan
+    # carries might_contain(bloom) under the shuffle-join conf regime.
+    from spark_streaming_test_spark.operators.joins import _bloom_join_frame
+
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(thr_key)
+    try:
+        df = _bloom_join_frame(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(thr_key, prev_thr)
