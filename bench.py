@@ -104,17 +104,27 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    # Each query runs twice: the first execution pays one-time JIT/codegen
-    # compilation (seconds for the wide unrolled expressions, amortized to
-    # zero over any real workload); the second run is the steady-state
-    # throughput number BASELINE.md tracks.
+    # Each query runs 1 warm-up + 3 timed repeats. The warm-up pays the
+    # one-time JIT/codegen compilation (seconds for wide unrolled
+    # expressions, amortized to zero over any real workload); the MEDIAN
+    # of the repeats is the steady-state number BASELINE.md tracks — on a
+    # shared local[32] box single runs of sub-3-second queries jitter
+    # ±2×, and the r4 verdict flagged four such phantom "regressions".
+    # The raw repeats ship in the JSON so noise is separable from plan
+    # regressions without re-running.
     timings: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
+    n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        repeats[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -122,6 +132,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "repeats": repeats,
         "sf": sf,
     }))
 

@@ -669,7 +669,7 @@ SELECT l_returnflag,
                  AS DOUBLE)
             / CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
             AS DOUBLE) AS qty_weighted_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DECIMAL(25,2))
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
          AS total_weight
 FROM lineitem
 GROUP BY l_returnflag
@@ -688,7 +688,9 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.sum(F.col("l_quantity").cast("decimal(25,2)"))
     return li.groupBy("l_returnflag").agg(
         (wsum.cast("double") / w.cast("double")).alias("qty_weighted_price"),
-        w.cast("decimal(25,2)").alias("total_weight"),
+        # exact decimal sum exported as double: decimal OUTPUT columns
+        # canonicalize engine-dependently downstream (Decimal vs float64)
+        w.cast("double").alias("total_weight"),
     )
 
 

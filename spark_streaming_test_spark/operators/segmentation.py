@@ -45,8 +45,8 @@ scored AS (
   FROM rfm
 )
 SELECT r_score, f_score, m_score,
-       COUNT(*) AS n_customers,
-       CAST(SUM(monetary) AS DECIMAL(18,2)) AS total_monetary
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(monetary) AS DECIMAL(18,2)) AS DOUBLE) AS total_monetary
 FROM scored
 GROUP BY r_score, f_score, m_score
 ORDER BY r_score, f_score, m_score
@@ -58,7 +58,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fully deterministic order (metric, custkey), segment cells
     aggregated back to counts. Score 5 = most recent / most frequent /
     highest spend. Monetary sums run in DECIMAL(18,2) — associative,
-    so Spark and the oracle agree bitwise under any partitioning.
+    so Spark and the oracle agree bitwise under any partitioning; the
+    exported total is that exact decimal cast to DOUBLE (both engines),
+    the repo-wide deterministic-money convention, because decimal
+    OUTPUT columns canonicalize engine-dependently downstream (Python
+    Decimal vs float64) while a correctly-rounded double is identical.
 
     Scale note: the three NTILEs are global windows — fine here
     because they run on the per-CUSTOMER frame (orders of magnitude
@@ -88,8 +92,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("r_score", "f_score", "m_score")
         .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum("monetary").cast("decimal(18,2)").alias("total_monetary"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
