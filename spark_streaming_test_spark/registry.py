@@ -98,7 +98,8 @@ _DRIVER_WINDOW = [
     # 5), then never-driver-checked queries in stable order. Driver
     # union after r4 = 188/457; windows below drain the remaining 269
     # never-checked first, greens re-verify last.
-    "rfm_segmentation", "agg_weighted_avg", "mm_avg_hash_dedup",
+    "rfm_segmentation", "agg_weighted_avg", "dedup_lsh_bucket_audit",
+    "mm_avg_hash_dedup",
     "sim_ivfpq_topk", "sim_ivfpq_recall_eval", "export_jsonl_records",
     "ml_isotonic_calibration", "sql_recursive_cte",
     "sink_python_datasource_roundtrip",

@@ -540,3 +540,59 @@ def test_ivf_index_collect_is_bounded(spark, sf_dir):
         and cid < similarity.IVF_STRIDE * similarity.IVF_MAX_CENTROIDS
         for cid, _ in cents
     )
+
+
+def test_lsh_hot_bucket_guard_bounds_candidates(spark):
+    """Adversarial near-identical corpus: N clones of one document put
+    all N docs in the SAME bucket of every band. Unguarded banding
+    would emit N*(N-1)/2 candidate pairs (quadratic inside one bucket);
+    the LSH_BUCKET_CAP star-edge guard must emit exactly N-1 distinct
+    pairs, all anchored at the bucket's min doc_id — which still keeps
+    the duplicate cluster connected for downstream components."""
+    n = dedup.LSH_BUCKET_CAP + 36  # 100: decisively over the cap
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    ).select("doc_id", dedup._shingles(F.col("text")).alias("shingles"))
+    pairs = dedup.lsh_band_candidates(docs).collect()
+    assert len(pairs) == n - 1, f"expected {n-1} star edges, got {len(pairs)}"
+    assert all(r["doc_a"] == 0 for r in pairs)
+    assert {r["doc_b"] for r in pairs} == set(range(1, n))
+
+
+def test_lsh_cold_buckets_unchanged_by_guard(spark):
+    """Below the cap the guard is dormant: distinct documents that share
+    no shingles produce no candidates, and a small clone cluster still
+    produces its full quadratic pair set."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(5)] + [
+        (100 + i, f"totally different document number {i} " * 3)
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).select("doc_id", dedup._shingles(F.col("text")).alias("shingles"))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_band_candidates(docs).collect()
+    }
+    clone_pairs = {(a, b) for a in range(5) for b in range(5) if a < b}
+    assert clone_pairs <= pairs, "full pair set of the small clone cluster"
+    assert all(a < 100 and b < 100 or a >= 100 for a, b in pairs)
+
+
+def test_simhash_hot_piece_guard_star_edges(spark, tmp_path):
+    """Adversarial corpus above SIMHASH_BUCKET_CAP: clones of one
+    document land in the same piece bucket of every band; the guard
+    must emit N-1 star edges (all hamming 0, anchored at the min
+    doc_id), not N*(N-1)/2 quadratic pairs."""
+    n = dedup.SIMHASH_BUCKET_CAP + 76  # 1100: decisively over the cap
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    sf = str(tmp_path / "sfx")
+    spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = dedup.dedup_simhash(spark, sf).collect()
+    assert len(rows) == n - 1, f"expected {n-1} star edges, got {len(rows)}"
+    assert all(r["doc_a"] == 0 and r["hamming"] == 0 for r in rows)
+    assert {r["doc_b"] for r in rows} == set(range(1, n))
