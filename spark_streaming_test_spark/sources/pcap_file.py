@@ -1,0 +1,395 @@
+"""Batch reader for REAL ``.pcap`` capture files (O1 fidelity path).
+
+The reference ingests live packets via pcap4j and stores each frame's
+raw bytes (``CaptureNetworkReceiver.java:99`` — ``packet.getRawData()``).
+The sandbox has no libpcap and no NICs, so live capture is covered by
+the synthetic DataSource twin (``sources/packets.py``); what a real
+user replays instead is capture FILES — and those are a fully public,
+stable byte format (the classic libpcap format: 24-byte global header,
+then per-record 16-byte headers + raw frame bytes). This module parses
+that format from Spark ``binaryFile`` scans, closing the last O1
+fidelity gap: the engine consumes actual pcap bytes, not just synth
+frames.
+
+Format (pcap file format, public spec):
+
+    global header: magic u32 | ver_major u16 | ver_minor u16 |
+                   thiszone i32 | sigfigs u32 | snaplen u32 | network u32
+    per record:    ts_sec u32 | ts_usec u32 | incl_len u32 | orig_len u32
+                   followed by incl_len raw bytes
+
+Magic 0xa1b2c3d4 read back as-written means native byte order matched
+the writer; 0xd4c3b2a1 means the file was written on the opposite
+endianness — both are handled (the nanosecond-precision 0xa1b23c4d
+variant maps ts_usec to nanos/1000 so the schema stays microseconds).
+
+Scale posture: ``binaryFile`` yields one row per capture file, so the
+parse parallelizes across FILES (the unit capture hardware rotates at —
+one file per NIC per interval). A single record stream is inherently
+sequential (variable-length records chain off each other), so a
+monolithic multi-GB pcap should be rotated at capture time; the parser
+streams each file's records out in bounded Arrow batches rather than
+materializing one giant row list.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+PCAP_SCHEMA = (
+    "path string, pkt_index bigint, ts_sec bigint, ts_usec bigint, "
+    "incl_len int, orig_len int, data binary"
+)
+
+_MAGIC_USEC = 0xA1B2C3D4
+_MAGIC_NSEC = 0xA1B23C4D
+_GLOBAL_HDR = 24
+_REC_HDR = 16
+_BATCH_ROWS = 2048  # rows per emitted Arrow batch
+
+
+def _detect(buf: bytes) -> tuple[str, int]:
+    """Return (struct endian prefix, nanos divisor) for the file magic."""
+    if len(buf) < _GLOBAL_HDR:
+        raise ValueError("pcap file shorter than global header")
+    for endian in ("<", ">"):
+        magic = struct.unpack(endian + "I", buf[:4])[0]
+        if magic == _MAGIC_USEC:
+            return endian, 1
+        if magic == _MAGIC_NSEC:
+            return endian, 1000
+    raise ValueError(f"not a pcap file (magic {buf[:4].hex()})")
+
+
+def parse_pcap_bytes(path: str, buf: bytes) -> Iterator[tuple]:
+    """Yield (path, pkt_index, ts_sec, ts_usec, incl_len, orig_len, data)
+    for every complete record; a truncated trailing record (torn
+    capture) is dropped, mirroring what tcpdump tolerates."""
+    endian, nsdiv = _detect(buf)
+    unpack = struct.Struct(endian + "IIII").unpack_from
+    off, idx, n = _GLOBAL_HDR, 0, len(buf)
+    while off + _REC_HDR <= n:
+        ts_sec, ts_frac, incl, orig = unpack(buf, off)
+        if off + _REC_HDR + incl > n:
+            break  # torn final record
+        data = buf[off + _REC_HDR : off + _REC_HDR + incl]
+        yield (path, idx, ts_sec, ts_frac // nsdiv, incl, orig, data)
+        off += _REC_HDR + incl
+        idx += 1
+
+
+def read_pcap(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ``path`` (file, dir, or glob of ``.pcap``) into one row per
+    captured packet. One parse task per file via ``binaryFile``; records
+    stream out in bounded batches."""
+
+    def _parse(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_pcap_bytes(path_, bytes(content)):
+                    rows.append(rec)
+                    if len(rows) >= _BATCH_ROWS:
+                        yield pd.DataFrame(rows, columns=_COLS)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=_COLS)
+
+    _COLS = [
+        "path", "pkt_index", "ts_sec", "ts_usec",
+        "incl_len", "orig_len", "data",
+    ]
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(_parse, PCAP_SCHEMA)
+    )
+
+
+def write_pcap(path: str, packets, *, nanos: bool = False, big_endian: bool = False) -> None:
+    """Write a standard pcap file from (ts_sec, ts_frac, incl_len,
+    orig_len, data) tuples — the fixture generator for tests/oracles
+    (and a usable mini-writer: tcpdump/wireshark open its output)."""
+    endian = ">" if big_endian else "<"
+    magic = _MAGIC_NSEC if nanos else _MAGIC_USEC
+    with open(path, "wb") as f:
+        f.write(struct.pack(endian + "IHHiIII", magic, 2, 4, 0, 0, 65535, 1))
+        for ts_sec, ts_frac, incl, orig, data in packets:
+            f.write(struct.pack(endian + "IIII", ts_sec, ts_frac, incl, orig))
+            f.write(data)
+
+
+# --- oracle-checked fixture query ------------------------------------------
+
+SCRATCH = "/root/repo/.scratch"
+PCAP_N = 200
+
+
+def _fixture_packets():
+    """Deterministic capture: packet i is (1700000000+3i, i^2 mod 1e6)
+    with a printable single-byte payload pattern — every field is a
+    closed-form function of i, which is what lets DuckDB recompute the
+    expected parse output from range() without reading the binary."""
+    for i in range(PCAP_N):
+        plen = 20 + (i * 7) % 200
+        data = bytes([33 + i % 94]) * plen
+        yield (1700000000 + 3 * i, (i * i) % 1000000, plen, plen + i % 3, data)
+
+
+def _fixture_path(tag: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, f"capture_{tag}.pcap")
+    if not os.path.exists(path):
+        write_pcap(path, _fixture_packets())
+    return path
+
+
+@register(
+    "scan_pcap_file",
+    tags=("source", "pcap", "binary"),
+    oracle=f"""
+SELECT CAST(i AS BIGINT) AS pkt_index,
+       CAST(1700000000 + 3 * i AS BIGINT) AS ts_sec,
+       CAST((i * i) % 1000000 AS BIGINT) AS ts_usec,
+       CAST(20 + (i * 7) % 200 AS INTEGER) AS incl_len,
+       CAST(20 + (i * 7) % 200 + i % 3 AS INTEGER) AS orig_len,
+       md5(repeat(chr(CAST(33 + i % 94 AS INTEGER)),
+                  CAST(20 + (i * 7) % 200 AS INTEGER))) AS payload_md5
+FROM range({PCAP_N}) t(i)
+""",
+)
+def scan_pcap_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse REAL pcap bytes (standard libpcap file format: 24-byte
+    global header, 16-byte record headers, raw frame bytes — the format
+    the reference's pcap4j capture would be replayed from,
+    CaptureNetworkReceiver.java:99) into one row per packet, then
+    md5-fingerprint each payload. The fixture file is generated once
+    from a closed-form formula, so the DuckDB oracle reconstructs every
+    header field and payload hash from range() — the parse is verified
+    against independently recomputed bytes, not against itself."""
+    path = _fixture_path("fixture")
+    df = read_pcap(spark, path)
+    return df.select(
+        "pkt_index",
+        "ts_sec",
+        "ts_usec",
+        "incl_len",
+        "orig_len",
+        F.md5("data").alias("payload_md5"),
+    )
+
+
+# --- reference pipeline over real pcap bytes --------------------------------
+
+PCAP_NIFS = 3
+PCAP_TRAFFIC_N = 300
+
+
+def _traffic_packets(nif_idx: int):
+    """Per-NIC capture with bursty sizes: both routing branches of the
+    reference's threshold (150) are reachable (85 alert / 101 info
+    windows across the 3 NICs)."""
+    for i in range(PCAP_TRAFFIC_N):
+        plen = 1 + (13 * i + 5 * nif_idx) % 60
+        data = bytes([65 + nif_idx]) * plen
+        yield (1700000000 + 61 * i, (i * 37) % 1000000, plen, plen, data)
+
+
+def _traffic_fixture_dir() -> str:
+    d = os.path.join(SCRATCH, "pcap_traffic")
+    os.makedirs(d, exist_ok=True)
+    for n in range(PCAP_NIFS):
+        path = os.path.join(d, f"eth{n}.pcap")
+        if not os.path.exists(path):
+            write_pcap(path, _traffic_packets(n))
+    return d
+
+
+@register(
+    "traffic_pcap_pipeline",
+    tags=("flagship", "pcap", "routing", "source"),
+    oracle=f"""
+WITH limits(limit_name, limit_value) AS (VALUES ('min', 50), ('max', 150)),
+mx AS (
+  SELECT limit_value FROM (
+    SELECT limit_name, limit_value FROM limits
+    WHERE limit_name IN ('min','max') ORDER BY limit_value LIMIT 2
+  ) t ORDER BY limit_value DESC LIMIT 1
+),
+pk AS (
+  SELECT 'eth' || CAST(n AS VARCHAR) AS nif,
+         (1700000000 + 61 * i) - (1700000000 + 61 * i) % 300
+           AS window_start_epoch,
+         1 + (13 * i + 5 * n) % 60 AS len
+  FROM range({PCAP_TRAFFIC_N}) t(i) CROSS JOIN range({PCAP_NIFS}) u(n)
+),
+agg AS (
+  SELECT nif, CAST(window_start_epoch AS BIGINT) AS window_start_epoch,
+         CAST(SUM(len) AS BIGINT) AS total_bytes
+  FROM pk GROUP BY 1, 2
+)
+SELECT agg.nif, agg.window_start_epoch, agg.total_bytes,
+       agg.total_bytes > mx.limit_value AS is_alert,
+       CASE WHEN agg.total_bytes > mx.limit_value
+            THEN 'Alert: the amount of data suppressed the limit'
+            ELSE 'Info: the amount of data is under the limit'
+       END AS message
+FROM agg, mx
+""",
+)
+def traffic_pcap_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL pipeline (O1 source -> O3 projection -> O11
+    sum-by-key -> O4-O8 limits lookup -> O12 threshold routing) running
+    over REAL pcap bytes: one capture file per NIC (the rotation layout
+    live capture produces), parsed by the standard-format reader, byte
+    totals per NIC per 5-minute tumbling window (epoch-floor arithmetic
+    — timezone-free), routed against the traffic_limits max exactly as
+    MainApp.java:51-64. The DuckDB oracle recomputes everything from
+    the fixture's closed-form formula, so the parse, the per-file NIC
+    attribution, the window arithmetic, and both routing branches are
+    all independently verified (85 alert / 101 info windows).
+
+    Scale: parse parallelism = capture files; the one shuffle is the
+    (nif, window) aggregate, partial-combined map-side. Identical plan
+    shape to the events-table flagship, fed by bytes instead of rows."""
+    from ..operators.traffic import ALERT_MSG, INFO_MSG, lookup_max_limit
+
+    d = _traffic_fixture_dir()
+    max_limit = lookup_max_limit(spark)
+    pk = read_pcap(spark, os.path.join(d, "*.pcap")).select(
+        F.regexp_extract("path", r"(eth\d+)\.pcap$", 1).alias("nif"),
+        (F.col("ts_sec") - F.col("ts_sec") % 300).alias("window_start_epoch"),
+        F.col("incl_len").cast("bigint").alias("len"),
+    )
+    agg = pk.groupBy("nif", "window_start_epoch").agg(
+        F.sum("len").alias("total_bytes")
+    )
+    is_alert = F.col("total_bytes") > F.lit(max_limit)
+    return agg.select(
+        "nif",
+        "window_start_epoch",
+        "total_bytes",
+        is_alert.alias("is_alert"),
+        F.when(is_alert, ALERT_MSG).otherwise(INFO_MSG).alias("message"),
+    )
+
+
+# --- pcap directory source (batch + stream) ---------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+@dataclass
+class PcapFilePartition(InputPartition):
+    """One capture file = one Spark task (picklable; shipped to
+    executors by the Python data-source harness)."""
+
+    path: str
+
+
+def _read_file(path: str) -> Iterator[tuple]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    yield from parse_pcap_bytes(path, buf)
+
+
+class PcapDirBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("pcap_dir requires a 'path' option")
+
+    def _files(self) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(os.path.join(self.dir, "*.pcap")))
+
+    def partitions(self):
+        return [PcapFilePartition(p) for p in self._files()]
+
+    def read(self, partition: PcapFilePartition | None) -> Iterator[tuple]:
+        if partition is None:  # empty dir: Spark substitutes [None]
+            return
+        yield from _read_file(partition.path)
+
+
+class PcapDirStreamReader(DataSourceStreamReader):
+    """Tail a directory of ROTATED capture files — the layout live
+    capture produces (tcpdump -G / -C writes a complete file, then the
+    next): offset = how many files of the sorted listing have been
+    consumed. Rotation names files monotonically, so lexicographic
+    order is arrival order, and the write-then-rename rotation contract
+    means a listed file is complete. Replay of an offset range re-reads
+    exactly the same files — a RELIABLE source (exactly-once with a
+    checkpointed sink), which the reference's in-memory receiver was
+    not (CaptureNetworkReceiver.java:97-102 drops frames on restart).
+
+    One file per partition: each micro-batch parses its new files in
+    parallel tasks, the same work unit as the batch reader."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("pcap_dir requires a 'path' option")
+
+    def _files(self) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(os.path.join(self.dir, "*.pcap")))
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_files": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["n_files"] : end["n_files"]]
+        return [PcapFilePartition(p) for p in files]
+
+    def read(self, partition: PcapFilePartition | None) -> Iterator[tuple]:
+        if partition is None:
+            return
+        yield from _read_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # files stay on disk; offsets alone define progress
+
+
+class PcapDirDataSource(DataSource):
+    """format('pcap_dir') — register with
+    ``spark.dataSource.register(PcapDirDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pcap_dir"
+
+    def schema(self) -> str:
+        return PCAP_SCHEMA
+
+    def reader(self, schema):
+        return PcapDirBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return PcapDirStreamReader(self.options)
+
+
+def register_pcap_source(spark: SparkSession) -> None:
+    spark.dataSource.register(PcapDirDataSource)

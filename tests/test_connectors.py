@@ -4,6 +4,8 @@ a million-file drop must quarantine rows, not kill the job)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -68,3 +70,182 @@ def test_parquet_merge_schema_conflict_fails_loudly(spark, tmp_path):
     assert "merge" in str(exc.value).lower() or "incompatible" in str(
         exc.value
     ).lower()
+
+
+# --- real pcap-file reader (O1 fidelity) -----------------------------------
+
+
+def _golden_pcap_bytes(big_endian=False, nanos=False):
+    """Hand-assembled from the public pcap spec (not via write_pcap), so
+    the writer and parser can't share a bug: 2 packets, payloads b'AB'
+    and b'XYZ', the second truncated (orig_len 600 > incl_len 3)."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    magic = 0xA1B23C4D if nanos else 0xA1B2C3D4
+    hdr = struct.pack(e + "IHHiIII", magic, 2, 4, 0, 0, 65535, 1)
+    frac1 = 500000000 if nanos else 500000  # both mean 0.5 s
+    r1 = struct.pack(e + "IIII", 1000, frac1, 2, 2) + b"AB"
+    r2 = struct.pack(e + "IIII", 2000, 0, 3, 600) + b"XYZ"
+    return hdr + r1 + r2
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("nanos", [False, True])
+def test_pcap_parse_golden_bytes(big_endian, nanos):
+    from spark_streaming_test_spark.sources.pcap_file import parse_pcap_bytes
+
+    rows = list(
+        parse_pcap_bytes("f", _golden_pcap_bytes(big_endian, nanos))
+    )
+    assert rows == [
+        ("f", 0, 1000, 500000, 2, 2, b"AB"),
+        ("f", 1, 2000, 0, 3, 600, b"XYZ"),
+    ]
+
+
+def test_pcap_parse_torn_tail_and_bad_magic():
+    from spark_streaming_test_spark.sources.pcap_file import parse_pcap_bytes
+
+    buf = _golden_pcap_bytes()
+    # cut mid-way through the second record's payload: torn capture
+    rows = list(parse_pcap_bytes("f", buf[:-2]))
+    assert [r[1] for r in rows] == [0]
+    with pytest.raises(ValueError, match="not a pcap"):
+        list(parse_pcap_bytes("f", b"\x00" * 64))
+
+
+def test_pcap_reader_roundtrip_spark(spark, tmp_path):
+    """write_pcap -> binaryFile scan -> mapInPandas parse recovers every
+    header field and payload byte-for-byte, across two files (one per
+    endianness) parsed in parallel tasks."""
+    from spark_streaming_test_spark.sources.pcap_file import (
+        read_pcap,
+        write_pcap,
+    )
+
+    pkts = [
+        (10 + i, i * 7, 4 + i, 4 + i, bytes([65 + i]) * (4 + i))
+        for i in range(5)
+    ]
+    write_pcap(str(tmp_path / "le.pcap"), pkts)
+    write_pcap(str(tmp_path / "be.pcap"), pkts, big_endian=True)
+    df = read_pcap(spark, str(tmp_path / "*.pcap"))
+    got = sorted(
+        (r["path"].rsplit("/", 1)[-1], r["pkt_index"], r["ts_sec"],
+         r["ts_usec"], r["incl_len"], r["orig_len"], bytes(r["data"]))
+        for r in df.collect()
+    )
+    want = sorted(
+        (name, i, p[0], p[1], p[2], p[3], p[4])
+        for name in ("be.pcap", "le.pcap")
+        for i, p in enumerate(pkts)
+    )
+    assert got == want
+
+
+def test_pcap_dir_batch_source(spark, tmp_path):
+    from spark_streaming_test_spark.sources.pcap_file import (
+        register_pcap_source,
+        write_pcap,
+    )
+
+    register_pcap_source(spark)
+    d = tmp_path / "caps"
+    d.mkdir()
+    write_pcap(str(d / "a.pcap"), [(1, 0, 2, 2, b"AA"), (2, 0, 1, 1, b"B")])
+    write_pcap(str(d / "b.pcap"), [(3, 0, 3, 3, b"CCC")])
+    df = spark.read.format("pcap_dir").option("path", str(d)).load()
+    rows = sorted((r["ts_sec"], bytes(r["data"])) for r in df.collect())
+    assert rows == [(1, b"AA"), (2, b"B"), (3, b"CCC")]
+
+
+def test_pcap_dir_stream_exactly_once_across_restart(spark, tmp_path):
+    """Rotated-capture tailing: a restarted query resumes from the
+    checkpointed file offset — files consumed before the stop are NOT
+    re-emitted, files rotated in during the downtime are."""
+    from spark_streaming_test_spark.sources.pcap_file import (
+        register_pcap_source,
+        write_pcap,
+    )
+
+    register_pcap_source(spark)
+    d = tmp_path / "caps"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_pcap(str(d / "cap-0001.pcap"), [(10, 0, 2, 2, b"AA")])
+    write_pcap(str(d / "cap-0002.pcap"), [(20, 0, 3, 3, b"BBB")])
+
+    def run_once():
+        q = (
+            spark.readStream.format("pcap_dir")
+            .option("path", str(d))
+            .load()
+            .select("ts_sec", "incl_len")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = sorted(r["ts_sec"] for r in spark.read.parquet(out).collect())
+    assert first == [10, 20]
+    # rotation continues while the query is down
+    write_pcap(str(d / "cap-0003.pcap"), [(30, 0, 1, 1, b"C")])
+    run_once()
+    second = sorted(r["ts_sec"] for r in spark.read.parquet(out).collect())
+    assert second == [10, 20, 30], "old files replayed or new file missed"
+
+
+def test_pcap_stream_windowed_totals_equal_batch(spark, tmp_path):
+    """Event-time windowed byte totals over the STREAMING pcap source
+    must equal the batch pipeline's aggregation — the streaming twin of
+    traffic_pcap_pipeline (same fixture, same 5-minute windows)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.sources.pcap_file import (
+        _traffic_fixture_dir,
+        register_pcap_source,
+        traffic_pcap_pipeline,
+    )
+
+    register_pcap_source(spark)
+    d = _traffic_fixture_dir()
+    # complete-mode memory sink: every window is visible at termination
+    # (append mode would hold back windows the watermark never passed
+    # on this bounded fixture).
+    q = (
+        spark.readStream.format("pcap_dir")
+        .option("path", d)
+        .load()
+        .withColumn("ts", F.timestamp_seconds("ts_sec"))
+        .groupBy(
+            F.window("ts", "5 minutes"),
+            F.regexp_extract("path", r"(eth\d+)\.pcap$", 1).alias("nif"),
+        )
+        .agg(F.sum(F.col("incl_len").cast("bigint")).alias("total_bytes"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_epoch"),
+            "nif",
+            "total_bytes",
+        )
+        .writeStream.format("memory")
+        .queryName("pcap_windowed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["nif"], r["window_start_epoch"]): r["total_bytes"]
+        for r in spark.sql("SELECT * FROM pcap_windowed").collect()
+    }
+    want = {
+        (r["nif"], r["window_start_epoch"]): r["total_bytes"]
+        for r in traffic_pcap_pipeline(spark, "unused").collect()
+    }
+    assert got == want
