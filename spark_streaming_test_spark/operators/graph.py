@@ -1563,3 +1563,118 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visits.groupBy(F.col("c").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_visits")
     )
+
+
+# --- connected components, alternating-star (large-diameter scale path) ----
+
+CC_STAR_MAX_ROUNDS = 12  # O(log^2 n) bound; random graphs converge in 3-4
+
+
+@register(
+    "graph_cc_alternating_star",
+    tags=("graph", "iterative", "components", "scale-path"),
+    oracle=f"""
+WITH RECURSIVE {_SQL_COPURCHASE},
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN und e ON e.src = r.node
+)
+SELECT node AS part_id, MIN(lab) AS component,
+       (node = MIN(lab)) AS is_root
+FROM reach GROUP BY node
+""",
+)
+def graph_cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
+    published MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) and the scale path
+    min-label propagation defers to: label propagation needs
+    O(diameter) rounds (a 10^6-hop chain = 10^6 shuffles), while star
+    operations contract the graph toward rooted stars in O(log^2 n)
+    rounds REGARDLESS of diameter.
+
+      large-star(u): every neighbor v > u re-points to
+                     m = min(N(u) + {{u}});
+      small-star(u): every neighbor v <= u (and u itself) re-points
+                     to m.
+
+    Per round: one symmetrize (projection), one groupBy(node) min
+    (map-side combined), one join of the edge list against the
+    node-sized min frame — edge-linear, no step grows beyond |E|.
+    Lineage truncates per round via localCheckpoint; convergence is an
+    order-insensitive (count, xor of row hashes) fingerprint — one
+    2-value collect per round, no edge-set comparison join. The oracle
+    is the SAME recursive-CTE closure that verifies
+    graph_connected_components, so both algorithms are pinned to one
+    ground truth (and transitively to each other)."""
+    return alternating_star_components(_copurchase_edges(spark, sf_dir))
+
+
+def alternating_star_components(raw: DataFrame) -> DataFrame:
+    """(u, v) edge frame -> (part_id, component, is_root) by alternating
+    large-star/small-star contraction (see graph_cc_alternating_star)."""
+    E = raw.select(
+        F.col("u").alias("child"), F.col("v").alias("parent")
+    ).localCheckpoint(eager=True)
+
+    def star(frame: DataFrame, large: bool) -> DataFrame:
+        sym = frame.unionAll(
+            frame.select(
+                F.col("parent").alias("child"), F.col("child").alias("parent")
+            )
+        )
+        mins = (
+            sym.groupBy("child")
+            .agg(F.min("parent").alias("mn"))
+            .select("child", F.least("mn", F.col("child")).alias("m"))
+        )
+        j = sym.join(mins, "child")
+        if large:
+            out = j.filter(F.col("parent") > F.col("child")).select(
+                F.col("parent").alias("child"), F.col("m").alias("parent")
+            )
+        else:
+            out = (
+                j.filter(
+                    (F.col("parent") <= F.col("child"))
+                    & (F.col("parent") != F.col("m"))
+                )
+                .select(
+                    F.col("parent").alias("child"), F.col("m").alias("parent")
+                )
+                .unionAll(mins.select("child", F.col("m").alias("parent")))
+            )
+        return out.filter(F.col("child") != F.col("parent")).distinct()
+
+    def fingerprint(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("child", "parent")).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    fp = fingerprint(E)
+    for _ in range(CC_STAR_MAX_ROUNDS):
+        E = star(star(E, large=True), large=False).localCheckpoint(eager=True)
+        nfp = fingerprint(E)
+        if nfp == fp:
+            break
+        fp = nfp
+    # Converged: E holds (node -> component min) for every non-root;
+    # roots self-labelled via the left join against the node universe.
+    parents = E.groupBy(F.col("child").alias("node")).agg(
+        F.min("parent").alias("lab")
+    )
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return nodes.join(parents, "node", "left").select(
+        F.col("node").alias("part_id"),
+        F.coalesce("lab", F.col("node")).alias("component"),
+        (F.coalesce("lab", F.col("node")) == F.col("node")).alias("is_root"),
+    )

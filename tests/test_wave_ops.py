@@ -910,3 +910,26 @@ def test_survivorship_golden_name_longest(spark, sf_dir):
     for eid, grp in m.groupby("entity_id"):
         names = sorted(grp["p_name"], key=lambda s: (-len(s), s))
         assert golden[int(eid)] == names[0]
+
+
+def test_alternating_star_handles_long_chain(spark):
+    """The pathological case the algorithm exists for: a 2000-node CHAIN
+    (diameter 1999). Min-label propagation would need ~2000 rounds; the
+    alternating-star loop must produce the correct single component
+    within its CC_STAR_MAX_ROUNDS=12 cap — plus a second disjoint
+    triangle to prove components don't bleed."""
+    from spark_streaming_test_spark.operators.graph import (
+        alternating_star_components,
+    )
+
+    n = 2000
+    chain = [(i, i + 1) for i in range(1, n)]          # nodes 1..n
+    tri = [(5000, 5001), (5001, 5002), (5000, 5002)]    # disjoint triangle
+    edges = spark.createDataFrame(chain + tri, "u long, v long")
+    got = {
+        r["part_id"]: (r["component"], r["is_root"])
+        for r in alternating_star_components(edges).collect()
+    }
+    assert len(got) == n + 3
+    assert all(got[i] == (1, i == 1) for i in range(1, n + 1))
+    assert all(got[i] == (5000, i == 5000) for i in (5000, 5001, 5002))
