@@ -976,3 +976,27 @@ def test_runtime_bloom_filter_injected(spark, qs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set(thr_key, prev_thr)
+
+
+def test_fuzzy_dictionary_min_agg_not_window(spark, qs):
+    # Top-1 per probe is a min(struct(dist, cand)) HASH AGGREGATE with
+    # map-side partials, not a sort window; edit distance is the
+    # BOUNDED levenshtein (O(len) per pair, winner provably dist<=1).
+    df = qs["join_fuzzy_dictionary"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Window" not in plan, "top-1 regressed to a sort window"
+    assert "levenshtein(probe" in plan and ", 1)" in plan, (
+        "bounded levenshtein threshold lost"
+    )
+
+
+def test_minhash_guard_keeps_exchange_reuse(spark, qs):
+    # The hot-bucket window partitions on exactly the self-join keys
+    # (band, bucket): both join sides remain the identical windowed
+    # subtree and AQE must still replay one exchange for the other
+    # side, or the signature pass runs twice.
+    df = qs["dedup_minhash_lsh"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[:2000]
