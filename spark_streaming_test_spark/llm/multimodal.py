@@ -280,3 +280,291 @@ def mm_avg_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_same_hash"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+# --- REAL decodes: lib-free container formats (BMP pixels, WAV PCM) --------
+#
+# The PIL/ffmpeg decode stubs above are env-gated because those FORMATS
+# need external codecs. BMP (24-bit uncompressed) and WAV (16-bit PCM)
+# do not: both are public fixed-layout structs, decodable with
+# struct+numpy alone — so the engine's "decode opaque binary into
+# features" path gets REAL end-to-end coverage: real files on disk,
+# real header parsing, real pixel/sample math, verified against a
+# DuckDB oracle that recomputes everything from the fixture formula.
+
+import os as _os
+import struct as _struct
+
+SCRATCH = "/root/repo/.scratch"
+BMP_N = 60
+WAV_N = 40
+WAV_SAMPLES = 500
+
+
+def write_bmp24(path: str, width: int, height: int, pixel) -> None:
+    """Minimal 24-bit uncompressed BMP writer (BITMAPINFOHEADER):
+    rows stored bottom-up, BGR byte order, each row padded to a 4-byte
+    boundary — the layout every BMP reader must honor. ``pixel(x, y)``
+    returns (r, g, b) with (0, 0) the TOP-LEFT of the image."""
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    img_size = (row_raw + pad) * height
+    with open(path, "wb") as f:
+        f.write(b"BM")
+        f.write(_struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40))
+        f.write(
+            _struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+                2835, 2835, 0, 0,
+            )
+        )
+        for y in range(height - 1, -1, -1):  # bottom row first
+            row = bytearray()
+            for x in range(width):
+                r, g, b = pixel(x, y)
+                row += bytes((b, g, r))
+            f.write(bytes(row) + b"\x00" * pad)
+
+
+def decode_bmp24(buf: bytes):
+    """(width, height, pixels) from 24-bit BMP bytes; pixels is an
+    H x W x 3 numpy uint8 array in RGB order, row 0 = top."""
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (pix_off,) = _struct.unpack_from("<I", buf, 10)
+    hdr_size, width, height = _struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = _struct.unpack_from("<HHI", buf, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=pix_off
+    ).reshape(height, stride)[:, :row_raw].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return width, height, rows[:, :, ::-1]  # BGR -> RGB
+
+
+def write_wav16(path: str, rate: int, samples) -> None:
+    """Minimal RIFF/WAVE writer: 16-bit little-endian PCM, mono."""
+    data = b"".join(_struct.pack("<h", s) for s in samples)
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(_struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVEfmt ")
+        f.write(_struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16))
+        f.write(b"data")
+        f.write(_struct.pack("<I", len(data)))
+        f.write(data)
+
+
+def decode_wav16(buf: bytes):
+    """(sample_rate, channels, samples int16 numpy array) from RIFF/WAVE
+    bytes — walks the chunk list (fmt / data may be preceded by LIST or
+    other chunks in real files)."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    off, rate, channels, bits, data = 12, None, None, None, None
+    while off + 8 <= len(buf):
+        cid, size = buf[off : off + 4], _struct.unpack_from("<I", buf, off + 4)[0]
+        body = buf[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = _struct.unpack_from("<HHI", body, 0)
+            bits = _struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAVE (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def _bmp_pixel(i: int):
+    return lambda x, y: (
+        (x + y + 3 * i) % 256,
+        (3 * x + 5 * y + 2 * i) % 256,
+        (7 * x + 11 * y + i) % 256,
+    )
+
+
+def _bmp_fixture_dir() -> str:
+    d = _os.path.join(SCRATCH, "bmp_images")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(BMP_N):
+        p = _os.path.join(d, f"img_{i:04d}.bmp")
+        if not _os.path.exists(p):
+            write_bmp24(p, 8 + i % 9, 4 + i % 5, _bmp_pixel(i))
+    return d
+
+
+def _wav_fixture_dir() -> str:
+    d = _os.path.join(SCRATCH, "wav_audio")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(WAV_N):
+        p = _os.path.join(d, f"clip_{i:04d}.wav")
+        if not _os.path.exists(p):
+            samples = [
+                ((t * t + 7 * i * t) % 20001) - 10000
+                for t in range(WAV_SAMPLES)
+            ]
+            write_wav16(p, 8000 + (i % 3) * 4000, samples)
+    return d
+
+
+@register(
+    "mm_decode_bmp",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 8 + i % 9 AS w, 4 + i % 5 AS h FROM range({BMP_N}) t(i)
+),
+px AS (
+  SELECT i, w, h, xx.x AS x, yy.y AS y
+  FROM imgs,
+       LATERAL unnest(range(0, w)) AS xx(x),
+       LATERAL unnest(range(0, h)) AS yy(y)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+       CAST(SUM((x + y + 3 * i) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((3 * x + 5 * y + 2 * i) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((7 * x + 11 * y + i) % 256) AS BIGINT) AS sum_b,
+       CAST((3 * i) % 256 AS INTEGER) AS topleft_r,
+       CAST((7 * (MAX(w) - 1) + 11 * (MAX(h) - 1) + i) % 256 AS INTEGER)
+         AS bottomright_b
+FROM px GROUP BY i
+""",
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no media libs required: 24-bit uncompressed
+    BMP files (public fixed-layout struct: 14-byte file header, 40-byte
+    info header, bottom-up BGR rows padded to 4 bytes) scanned via
+    binaryFile and decoded to numpy pixel arrays inside mapInPandas,
+    emitting per-image dimensions, exact per-channel pixel sums, and
+    POSITION-SENSITIVE corner pixels — topleft_r and bottomright_b
+    catch a forgotten bottom-up row flip or a BGR/RGB swap that the
+    order-insensitive sums would miss. The DuckDB oracle recomputes
+    every value from the fixture's closed-form pixel formula, so the
+    byte-level decode is verified against independent arithmetic.
+    Scale: one decode task per file; pixels never leave the Arrow
+    batch — only O(1) features shuffle."""
+    import numpy as np
+
+    d = _bmp_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.bmp"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, px = decode_bmp24(bytes(content))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        img_id, w, h, w * h,
+                        int(s[0]), int(s[1]), int(s[2]),
+                        int(px[0, 0, 0]), int(px[h - 1, w - 1, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                    "topleft_r", "bottomright_b",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, width int, height int, n_pixels bigint, "
+            "sum_r bigint, sum_g bigint, sum_b bigint, "
+            "topleft_r int, bottomright_b int"
+        ),
+    )
+
+
+@register(
+    "mm_decode_wav",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    oracle=f"""
+WITH clips AS (SELECT i FROM range({WAV_N}) t(i)),
+s AS (
+  SELECT i, tt.t AS t,
+         ((tt.t * tt.t + 7 * i * tt.t) % 20001) - 10000 AS v
+  FROM clips, LATERAL unnest(range(0, {WAV_SAMPLES})) AS tt(t)
+)
+SELECT CAST(i AS BIGINT) AS clip_id,
+       CAST(8000 + (i % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+       CAST(MIN(CASE WHEN t = 0 THEN v END) AS INTEGER) AS first_sample,
+       CAST(MIN(CASE WHEN t = {WAV_SAMPLES - 1} THEN v END) AS INTEGER)
+         AS last_sample
+FROM s GROUP BY i
+""",
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no media libs required: RIFF/WAVE 16-bit PCM
+    files parsed by walking the chunk list (fmt /data, word-aligned)
+    and reading samples as little-endian int16 numpy — emitting rate,
+    exact absolute-amplitude sum, peak, and POSITION-SENSITIVE first/
+    last samples (catch an offset or endianness bug that aggregate sums
+    would mask). Oracle recomputes all of it from the sample formula.
+    Same scale shape as mm_decode_bmp: decode parallelism = files,
+    samples stay inside the Arrow batch."""
+    import numpy as np
+
+    d = _wav_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.wav"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                clip_id = int(path.rsplit("clip_", 1)[1][:4])
+                rate, _ch, samples = decode_wav16(bytes(content))
+                a = np.abs(samples.astype(np.int64))
+                rows.append(
+                    (
+                        clip_id, rate, len(samples), int(a.sum()),
+                        int(a.max()), int(samples[0]), int(samples[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "sample_rate", "n_samples",
+                    "sum_abs", "peak", "first_sample", "last_sample",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "clip_id bigint, sample_rate int, n_samples bigint, "
+            "sum_abs bigint, peak int, first_sample int, last_sample int"
+        ),
+    )

@@ -596,3 +596,61 @@ def test_simhash_hot_piece_guard_star_edges(spark, tmp_path):
     assert len(rows) == n - 1, f"expected {n-1} star edges, got {len(rows)}"
     assert all(r["doc_a"] == 0 and r["hamming"] == 0 for r in rows)
     assert {r["doc_b"] for r in rows} == set(range(1, n))
+
+
+def test_bmp_decode_golden_bytes():
+    """Hand-assembled 2x2 24-bit BMP (spec bytes, not via the writer):
+    distinct corner colors prove the bottom-up flip and BGR->RGB swap."""
+    import struct
+
+    import numpy as np
+
+    # pixels (RGB): topleft=(1,2,3) topright=(4,5,6)
+    #               botleft=(7,8,9) botright=(10,11,12)
+    # stored bottom-up, BGR, rows padded 6->8 bytes
+    rows = [
+        bytes((9, 8, 7)) + bytes((12, 11, 10)) + b"\x00\x00",   # bottom row
+        bytes((3, 2, 1)) + bytes((6, 5, 4)) + b"\x00\x00",      # top row
+    ]
+    img = b"".join(rows)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(img), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(img),
+                       0, 0, 0, 0)
+    w, h, px = multimodal.decode_bmp24(hdr + info + img)
+    assert (w, h) == (2, 2)
+    assert px.tolist() == [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]]
+    assert px.dtype == np.uint8
+
+
+def test_wav_decode_walks_extra_chunks():
+    """A LIST chunk between fmt and data (common in real recorders)
+    must be skipped by the chunk walker; odd-sized chunks are
+    word-aligned per the RIFF spec."""
+    import struct
+
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    data = b"data" + struct.pack("<I", 6) + struct.pack("<hhh", -5, 0, 7)
+    body = b"WAVE" + fmt + lst + data
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, samples = multimodal.decode_wav16(buf)
+    assert (rate, ch) == (8000, 1)
+    assert samples.tolist() == [-5, 0, 7]
+
+
+def test_bmp_wav_writers_roundtrip():
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.bmp")
+        multimodal.write_bmp24(p, 3, 2, lambda x, y: (x, y, x + y))
+        w, h, px = multimodal.decode_bmp24(open(p, "rb").read())
+        assert (w, h) == (3, 2)
+        assert px[0, 2].tolist() == [2, 0, 2]  # top-right: x=2,y=0
+        assert px[1, 0].tolist() == [0, 1, 1]  # bottom-left: x=0,y=1
+        q = os.path.join(d, "x.wav")
+        multimodal.write_wav16(q, 44100, [1, -32768, 32767])
+        rate, ch, s = multimodal.decode_wav16(open(q, "rb").read())
+        assert rate == 44100 and s.tolist() == [1, -32768, 32767]
