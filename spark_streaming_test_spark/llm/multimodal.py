@@ -568,3 +568,153 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_abs bigint, peak int, first_sample int, last_sample int"
         ),
     )
+
+
+RESIZE_W, RESIZE_H = 4, 3
+
+
+@register(
+    "mm_resize_bmp",
+    tags=("llm", "multimodal", "decode", "resize", "pandas-udf"),
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 8 + i % 9 AS w, 4 + i % 5 AS h FROM range({BMP_N}) t(i)
+),
+tgt AS (
+  SELECT i, w, h, xx.x AS xo, yy.y AS yo,
+         (xx.x * w) // {RESIZE_W} AS xs,
+         (yy.y * h) // {RESIZE_H} AS ys
+  FROM imgs,
+       LATERAL unnest(range(0, {RESIZE_W})) AS xx(x),
+       LATERAL unnest(range(0, {RESIZE_H})) AS yy(y)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(SUM((xs + ys + 3 * i) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((3 * xs + 5 * ys + 2 * i) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((7 * xs + 11 * ys + i) % 256) AS BIGINT) AS sum_b,
+       CAST(MIN(CASE WHEN xo = 0 AND yo = 0
+                THEN (xs + ys + 3 * i) % 256 END) AS INTEGER) AS topleft_r,
+       CAST(MIN(CASE WHEN xo = {RESIZE_W - 1} AND yo = {RESIZE_H - 1}
+                THEN (7 * xs + 11 * ys + i) % 256 END) AS INTEGER)
+         AS bottomright_b
+FROM tgt GROUP BY i
+""",
+)
+def mm_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize on REAL decoded pixels: every BMP is
+    nearest-neighbor resampled to {RESIZE_W}x{RESIZE_H} with numpy
+    index arithmetic (source pixel (x*W//W', y*H//H') — the standard
+    NN mapping), then fingerprinted by channel sums + corner pixels.
+    The oracle recomputes the SAME sampling arithmetic symbolically
+    from the pixel formula, so the decode AND the resample are both
+    verified — this is the non-stub upgrade of mm_resize_stub for a
+    format that needs no codec. Scale: identical to mm_decode_bmp
+    (per-file tasks, O(1) features out)."""
+    import numpy as np
+
+    d = _bmp_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.bmp"))
+        .select("path", "content")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, px = decode_bmp24(bytes(content))
+                xs = (np.arange(RESIZE_W) * w) // RESIZE_W
+                ys = (np.arange(RESIZE_H) * h) // RESIZE_H
+                small = px[np.ix_(ys, xs)].astype(np.int64)
+                s = small.sum(axis=(0, 1))
+                rows.append(
+                    (
+                        img_id, int(s[0]), int(s[1]), int(s[2]),
+                        int(small[0, 0, 0]), int(small[-1, -1, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "sum_r", "sum_g", "sum_b",
+                    "topleft_r", "bottomright_b",
+                ],
+            )
+
+    return src.mapInPandas(
+        resize,
+        schema=(
+            "img_id bigint, sum_r bigint, sum_g bigint, sum_b bigint, "
+            "topleft_r int, bottomright_b int"
+        ),
+    )
+
+
+AUDIO_FRAME = 100  # samples per analysis frame
+
+
+@register(
+    "mm_audio_frames",
+    tags=("llm", "multimodal", "decode", "frames", "pandas-udf"),
+    oracle=f"""
+WITH clips AS (SELECT i FROM range({WAV_N}) t(i)),
+s AS (
+  SELECT i, tt.t AS t, tt.t // {AUDIO_FRAME} AS frame,
+         ((tt.t * tt.t + 7 * i * tt.t) % 20001) - 10000 AS v
+  FROM clips, LATERAL unnest(range(0, {WAV_SAMPLES})) AS tt(t)
+)
+SELECT CAST(i AS BIGINT) AS clip_id,
+       CAST(frame AS INTEGER) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+FROM s GROUP BY i, frame
+""",
+)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling on REAL decoded audio: PCM samples split
+    into fixed {AUDIO_FRAME}-sample analysis frames (the 1->N generator
+    shape a real feature extractor uses), per-frame exact integer
+    energy (sum v^2) and peak — the non-stub upgrade of
+    mm_frame_sample_stub. numpy reshape does the framing; the ragged
+    tail frame is kept (COUNT exposes it). Oracle recomputes from the
+    sample formula."""
+    import numpy as np
+
+    d = _wav_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.wav"))
+        .select("path", "content")
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                clip_id = int(path.rsplit("clip_", 1)[1][:4])
+                _rate, _ch, samples = decode_wav16(bytes(content))
+                v = samples.astype(np.int64)
+                for f in range(0, len(v), AUDIO_FRAME):
+                    chunk = v[f : f + AUDIO_FRAME]
+                    rows.append(
+                        (
+                            clip_id, f // AUDIO_FRAME, len(chunk),
+                            int((chunk * chunk).sum()),
+                            int(np.abs(chunk).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "frame_idx", "n_samples", "energy", "peak"],
+            )
+
+    return src.mapInPandas(
+        frames,
+        schema=(
+            "clip_id bigint, frame_idx int, n_samples bigint, "
+            "energy bigint, peak int"
+        ),
+    )
