@@ -259,17 +259,14 @@ _SQL_SHINGLES = """
 LSH_BUCKET_CAP = 64
 
 
-def lsh_band_candidates(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles) -> distinct LSH candidate pairs (doc_a, doc_b)
-    with the hot-bucket star-edge guard above. The banded self-join runs
-    only inside buckets at or under ``LSH_BUCKET_CAP``; hot buckets emit
-    one edge per member to the bucket's min doc_id."""
+def lsh_band_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) -> one (doc_id, band, bucket) row per band."""
     sig = minhash_signatures(docs)
     # explode_outer: avoids the implicit size>0 pushdown filter, which
     # would re-derive the whole 32-hash signature expression a second
     # time below this projection (see postings note above). The band
     # array is a literal 8-element construction — never empty.
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode_outer(
             F.array(
@@ -283,6 +280,19 @@ def lsh_band_candidates(docs: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_band_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) -> distinct LSH candidate pairs (doc_a, doc_b)
+    with the hot-bucket star-edge guard above. The banded self-join runs
+    only inside buckets at or under ``LSH_BUCKET_CAP``; hot buckets emit
+    one edge per member to the bucket's min doc_id."""
+    return lsh_guarded_pairs(lsh_band_frame(docs))
+
+
+def lsh_guarded_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) -> guarded candidate pairs (doc_a, doc_b);
+    the star-edge cap logic shared by full and incremental dedup."""
     # Bucket size + min via one window over (band, bucket): the window's
     # exchange hash-partitions on exactly the self-join keys, so the
     # join below adds no further shuffle of this subtree.
@@ -1276,6 +1286,139 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.withColumn("overlap", overlap.cast("bigint"))
         .filter(F.col("overlap") >= PREFIX_OVERLAP_T)
         .select("doc_a", "doc_b", "overlap")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    tags=("llm", "dedup", "incremental", "lsh"),
+    oracle=f"""
+WITH {_minhash_pairs_sql()},
+flagged AS (
+  SELECT doc_id, band, bucket, doc_id % {DELTA_MOD} = 0 AS is_delta
+  FROM bands
+),
+base_sz AS (
+  SELECT band, bucket, COUNT(*) AS bsz, MIN(doc_id) AS mn
+  FROM flagged WHERE NOT is_delta GROUP BY band, bucket
+),
+probe AS (
+  SELECT DISTINCT d.doc_id AS doc_id, b.doc_id AS match_id
+  FROM flagged d
+  JOIN flagged b ON d.band = b.band AND d.bucket = b.bucket
+  JOIN base_sz s ON s.band = b.band AND s.bucket = b.bucket
+  WHERE d.is_delta AND NOT b.is_delta
+    AND (s.bsz <= {LSH_BUCKET_CAP} OR b.doc_id = s.mn)
+),
+delta_sized AS (
+  SELECT doc_id, band, bucket,
+         COUNT(*) OVER (PARTITION BY band, bucket) AS bsz,
+         MIN(doc_id) OVER (PARTITION BY band, bucket) AS mn
+  FROM flagged WHERE is_delta
+),
+intra AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM delta_sized a JOIN delta_sized b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {LSH_BUCKET_CAP}
+    UNION ALL
+    SELECT mn AS doc_a, doc_id AS doc_b FROM delta_sized
+    WHERE bsz > {LSH_BUCKET_CAP} AND doc_id <> mn
+  )
+),
+cand2 AS (
+  SELECT doc_id, match_id, 'base' AS match_src FROM probe
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS match_id, 'delta' AS match_src FROM intra
+),
+ver AS (
+  SELECT c.doc_id, c.match_id, c.match_src,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (sa.n_sh + sb.n_sh
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand2 c
+  JOIN hashed sa ON sa.doc_id = c.doc_id
+  JOIN hashed sb ON sb.doc_id = c.match_id
+)
+SELECT doc_id, match_id, match_src, jaccard FROM ver WHERE jaccard >= 0.5
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the daily-ingest twin of
+    ``dedup_incremental_exact`` for fuzzy duplicates: only today's
+    DELTA batch is banded and (a) probed against the immutable base
+    corpus's (band, bucket) index — an equi-join touching O(delta x
+    bucket) rows, never the base corpus — and (b) banded against
+    itself (earliest arrival wins the canonical slot downstream).
+    Candidates from both paths are verified by exact shingle Jaccard
+    (>= 0.5); output is (delta doc, matched doc, base/delta source,
+    jaccard).
+
+    Hot buckets are guarded on BOTH paths: base buckets over
+    LSH_BUCKET_CAP contribute only their min doc as a representative
+    (a delta clone of mass-duplicated base content still links, in
+    O(1) per delta row), and the intra-delta join applies the standard
+    star-edge guard. At 100 TB the base band index is a stored table
+    (bucketed by (band, bucket), so the probe is a co-located join);
+    this query computes it in-line because the fixture has no
+    pre-materialized index, but only DELTA + matched-candidate
+    documents are ever re-shingled for verification."""
+    d = spread(load(spark, sf_dir, "documents"))
+    docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    bands = lsh_band_frame(docs).withColumn("is_delta", is_delta)
+    delta_b = bands.filter("is_delta").select("doc_id", "band", "bucket")
+    wb = Window.partitionBy("band", "bucket")
+    base_sized = bands.filter(~F.col("is_delta")).select(
+        "doc_id",
+        "band",
+        "bucket",
+        F.count(F.lit(1)).over(wb).alias("bsz"),
+        F.min("doc_id").over(wb).alias("mn"),
+    )
+    base_repr = base_sized.filter(
+        (F.col("bsz") <= LSH_BUCKET_CAP) | (F.col("doc_id") == F.col("mn"))
+    ).select("band", "bucket", F.col("doc_id").alias("match_id"))
+    probe = (
+        delta_b.hint("shuffle_hash")
+        .join(base_repr.hint("shuffle_hash"), ["band", "bucket"])
+        .select("doc_id", "match_id")
+        .distinct()
+        .withColumn("match_src", F.lit("base"))
+    )
+    intra = lsh_guarded_pairs(delta_b).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("match_id"),
+        F.lit("delta").alias("match_src"),
+    )
+    candidates = probe.unionAll(intra).localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select("doc_id")
+        .unionAll(candidates.select(F.col("match_id").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = d.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    )
+    sh_a = cand_docs.select(
+        F.col("doc_id").alias("doc_id"), F.col("shingles").alias("sh_a")
+    ).hint("shuffle_hash")
+    sh_b = cand_docs.select(
+        F.col("doc_id").alias("match_id"), F.col("shingles").alias("sh_b")
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sh_a, "doc_id")
+        .join(sh_b, "match_id")
+        .select(
+            "doc_id",
+            "match_id",
+            "match_src",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 

@@ -5,11 +5,13 @@ feature-extract / resize / frame-sample stages.
 Contract (SURVEY.md §2.1 north star): image/audio/video travel as
 ``binary`` columns with sibling metadata columns; all heavy per-item
 work runs in ``mapInPandas`` over Arrow batches so Python touches each
-byte once per batch, never per row. The actual media decoding libraries
-(PIL/ffmpeg/torchaudio) are NOT in this container — the decode step is
-a clearly-marked stub (deterministic fake behind an import-try), but
-the Spark-side plumbing (schema, batch iteration, partitioning, UDF
-signatures) is real and tested.
+byte once per batch, never per row. Codec-backed formats (JPEG/PNG/
+MP4) need PIL/ffmpeg, which are NOT in this container — those decode
+steps are clearly-marked stubs (deterministic fakes behind an
+import-try). Codec-FREE formats are decoded for real: 24-bit BMP and
+16-bit PCM WAV (mm_decode_bmp / mm_decode_wav / mm_resize_bmp /
+mm_audio_frames below) parse actual file bytes with struct+numpy and
+are verified against closed-form DuckDB oracles.
 
 The ``documents`` table stands in as the payload source: text bytes ==
 the opaque blob. At 100 TB the payload column dominates storage — the

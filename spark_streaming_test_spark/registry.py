@@ -102,7 +102,7 @@ _DRIVER_WINDOW = [
     "rfm_segmentation", "agg_weighted_avg", "dedup_lsh_bucket_audit",
     "scan_pcap_file", "traffic_pcap_pipeline", "graph_cc_alternating_star",
     "mm_decode_bmp", "mm_decode_wav", "mm_resize_bmp", "mm_audio_frames",
-    "mm_avg_hash_dedup",
+    "dedup_incremental_minhash", "mm_avg_hash_dedup",
     "sim_ivfpq_topk", "sim_ivfpq_recall_eval", "export_jsonl_records",
     "ml_isotonic_calibration", "sql_recursive_cte",
     "sink_python_datasource_roundtrip",
