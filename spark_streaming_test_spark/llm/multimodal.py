@@ -404,7 +404,9 @@ def _bmp_fixture_dir() -> str:
     for i in range(BMP_N):
         p = _os.path.join(d, f"img_{i:04d}.bmp")
         if not _os.path.exists(p):
-            write_bmp24(p, 8 + i % 9, 4 + i % 5, _bmp_pixel(i))
+            tmp = p + ".tmp"  # write-then-rename: no torn fixture on crash
+            write_bmp24(tmp, 8 + i % 9, 4 + i % 5, _bmp_pixel(i))
+            _os.replace(tmp, p)
     return d
 
 
@@ -418,7 +420,9 @@ def _wav_fixture_dir() -> str:
                 ((t * t + 7 * i * t) % 20001) - 10000
                 for t in range(WAV_SAMPLES)
             ]
-            write_wav16(p, 8000 + (i % 3) * 4000, samples)
+            tmp = p + ".tmp"
+            write_wav16(tmp, 8000 + (i % 3) * 4000, samples)
+            _os.replace(tmp, p)
     return d
 
 

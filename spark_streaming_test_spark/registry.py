@@ -100,7 +100,8 @@ _DRIVER_WINDOW = [
     # union after r4 = 188/457; windows below drain the remaining 269
     # never-checked first, greens re-verify last.
     "rfm_segmentation", "agg_weighted_avg", "dedup_lsh_bucket_audit",
-    "scan_pcap_file", "traffic_pcap_pipeline", "graph_cc_alternating_star",
+    "scan_pcap_file", "traffic_pcap_pipeline", "traffic_pcap_flows",
+    "graph_cc_alternating_star",
     "mm_decode_bmp", "mm_decode_wav", "mm_resize_bmp", "mm_audio_frames",
     "dedup_incremental_minhash", "mm_avg_hash_dedup",
     "sim_ivfpq_topk", "sim_ivfpq_recall_eval", "export_jsonl_records",

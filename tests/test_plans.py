@@ -1000,3 +1000,14 @@ def test_minhash_guard_keeps_exchange_reuse(spark, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_pcap_flows_header_parse_is_jvm_side(spark, qs):
+    # Ethernet/IPv4/TCP field extraction must run as built-in
+    # substring/hex/conv expressions (whole-stage codegen), not Python:
+    # exactly ONE Python boundary (the file-level pcap record parse)
+    # and no row-wise BatchEvalPython anywhere.
+    df = qs["traffic_pcap_flows"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("MapInPandas") == 1, plan[:1500]
+    assert "BatchEvalPython" not in plan
