@@ -1009,5 +1009,7 @@ def test_pcap_flows_header_parse_is_jvm_side(spark, qs):
     # and no row-wise BatchEvalPython anywhere.
     df = qs["traffic_pcap_flows"](spark, SF_DIR)
     plan = checks.formatted_plan(df)
-    assert plan.count("MapInPandas") == 1, plan[:1500]
+    # tree line is "MapInPandas (n)"; the details section repeats the
+    # node as "(n) MapInPandas", so count the tree form only
+    assert plan.count("MapInPandas (") == 1, plan[:1500]
     assert "BatchEvalPython" not in plan
