@@ -987,3 +987,88 @@ def sim_mips_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank_ip") == F.col("rank_cos")).alias("agree"),
         )
     )
+
+
+INC_DELTA_MOD = 5  # vec_id % 5 == 0 -> newly ingested vectors
+
+
+@register(
+    "sim_incremental_topk",
+    tags=("llm", "similarity", "topk", "incremental"),
+    # Oracle recomputes the GLOBAL top-k over base+delta directly: the
+    # hash match proves the incremental merge identity (global top-k is
+    # contained in the union of per-partition top-ks).
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def sim_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the EDBT-2020 interactive-session
+    shape, PAPERS.md): when the corpus grows by a DELTA batch, a cached
+    per-query top-k over the BASE does not need recomputing — score the
+    delta alone, take its per-query top-k, and re-rank the union of the
+    two k-sized lists. Correct because the global top-k is always
+    contained in the union of per-partition top-ks (rank is monotone
+    under set union). This query executes exactly that plan — base
+    top-k and delta top-k as separate subtrees, then a k x 2 merge —
+    and the oracle recomputes the global top-k directly, so the hash
+    match PROVES the merge identity on real data.
+
+    Scale: the delta scan is O(delta x queries); the merge re-ranks
+    2k rows per query. The base top-k stands in for the cached result
+    a session store would hold — at 100 TB that cache turns every
+    incremental refresh into a delta-only scan."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        (F.col("vec_id") % INC_DELTA_MOD == 0).alias("is_delta"),
+    )
+
+    def part_topk(part: DataFrame) -> DataFrame:
+        scored = (
+            q.join(part, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(
+                    F.col("q_emb").cast("array<double>"),
+                    F.col("n_emb").cast("array<double>"),
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), "neighbor_id"
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .drop("rank")
+        )
+
+    base_topk = part_topk(corpus.filter(~F.col("is_delta")))
+    delta_topk = part_topk(corpus.filter("is_delta"))
+    merged = base_topk.unionAll(delta_topk)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -1356,3 +1356,99 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(fert).alias("min_doc_fertility"),
         F.max(fert).alias("max_doc_fertility"),
     )
+
+
+# Small inline valence lexicon (own list, AFINN-style scoring scheme:
+# integer word scores in [-5, 5]). At production scale the lexicon is
+# still a broadcast dictionary — sentiment scoring never shuffles text.
+SENTIMENT_LEXICON = {
+    "good": 3, "great": 4, "excellent": 5, "amazing": 4, "love": 3,
+    "happy": 3, "best": 3, "win": 2, "nice": 2, "fast": 1,
+    "improved": 2, "success": 3, "stable": 1, "clean": 1, "easy": 2,
+    "bad": -3, "terrible": -4, "awful": -4, "hate": -3, "worst": -4,
+    "slow": -1, "broken": -3, "fail": -3, "bug": -2, "crash": -4,
+    "error": -2, "wrong": -2, "poor": -2, "hard": -1, "problem": -2,
+}
+
+
+def _sentiment_lexicon_values() -> str:
+    return ", ".join(
+        f"('{w}', {s})" for w, s in sorted(SENTIMENT_LEXICON.items())
+    )
+
+
+@register(
+    "text_sentiment_lexicon",
+    tags=("llm", "text", "sentiment"),
+    oracle=f"""
+WITH lex(word, score) AS (VALUES {_sentiment_lexicon_values()}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+hits AS (
+  SELECT t.doc_id, CAST(SUM(l.score) AS BIGINT) AS score,
+         CAST(SUM(CASE WHEN l.score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(SUM(CASE WHEN l.score < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg
+  FROM toks t JOIN lex l ON t.word = l.word
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.score, 0) AS score,
+       COALESCE(h.n_pos, 0) AS n_pos,
+       COALESCE(h.n_neg, 0) AS n_neg,
+       CASE WHEN COALESCE(h.score, 0) > 0 THEN 'positive'
+            WHEN COALESCE(h.score, 0) < 0 THEN 'negative'
+            ELSE 'neutral' END AS label
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring — the distributed-Spark shape of
+    the EDBT-2016 Twitter sentiment study (PAPERS.md): tokenize, join
+    tokens against a BROADCAST valence lexicon (integer word scores),
+    sum per document, label by sign. Docs with no lexicon hits stay in
+    the output as neutral via the left join back to the corpus.
+
+    Scale: the lexicon broadcasts (a few KB; real ones are a few MB),
+    so the only corpus-sized shuffle is the per-doc partial-summed
+    aggregation of matched tokens — text bodies never move for the
+    join, and a million-doc-per-minute stream scores with the same
+    plan under foreachBatch."""
+    d = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        sorted(SENTIMENT_LEXICON.items()), "word string, score int"
+    )
+    toks = d.select(
+        "doc_id", F.explode_outer(F.split(F.lower("text"), " ")).alias("word")
+    )
+    hits = (
+        toks.join(F.broadcast(lex), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("score").cast("bigint").alias("score"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("score") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+    )
+    score = F.coalesce("score", F.lit(0).cast("bigint"))
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            score.alias("score"),
+            F.coalesce("n_pos", F.lit(0).cast("bigint")).alias("n_pos"),
+            F.coalesce("n_neg", F.lit(0).cast("bigint")).alias("n_neg"),
+            F.when(score > 0, "positive")
+            .when(score < 0, "negative")
+            .otherwise("neutral")
+            .alias("label"),
+        )
+    )

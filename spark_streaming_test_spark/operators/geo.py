@@ -525,3 +525,112 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_inside"),
         )
     )
+
+
+# --- trajectory similarity (grid-signature candidates) ---------------------
+
+TRAJ_CELL = 5_000       # grid cell edge, centi-units
+TRAJ_USER_CAP = 400     # evaluation range (PAIRWISE_CAP idiom)
+TRAJ_TOP_K = 20
+_TM1, _TM2 = 731, 977   # per-minute path step primes
+_TB1, _TB2 = 12_345, 54_321  # per-class base offsets
+
+
+@register(
+    "geo_trajectory_similarity",
+    tags=("geo", "trajectory", "similarity", "topk"),
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id,
+         ((user_id % 7) * {_TB1}
+          + (CAST(floor(epoch(ts)) AS BIGINT) // 60) * {_TM1}) % {WORLD} AS x,
+         ((user_id % 7) * {_TB2}
+          + (CAST(floor(epoch(ts)) AS BIGINT) // 60) * {_TM2}) % {WORLD} AS y
+  FROM events WHERE user_id < {TRAJ_USER_CAP}
+),
+cells AS (
+  SELECT DISTINCT user_id, x // {TRAJ_CELL} AS cx, y // {TRAJ_CELL} AS cy
+  FROM pts
+),
+sizes AS (SELECT user_id, COUNT(*) AS n_cells FROM cells GROUP BY user_id),
+common AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_common
+  FROM cells a JOIN cells b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT user_a, user_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE)
+         / (sa.n_cells + sb.n_cells - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.user_id = user_a
+JOIN sizes sb ON sb.user_id = user_b
+ORDER BY jaccard DESC, user_a, user_b
+LIMIT {TRAJ_TOP_K}
+""",
+)
+def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k trajectory similarity via GRID SIGNATURES — the
+    candidates-from-buckets reduction of distributed trajectory search
+    (REPOSE, ICDE 2021, PAPERS.md — reference-point tries play the role
+    our grid cells play here): each user's event-time path becomes the
+    SET of grid cells it visits; pair candidates come from an equi-join
+    on shared cells (never all user pairs); similarity is exact cell-set
+    Jaccard; top-k by (jaccard, pair) is fully ordered. Trajectories
+    derive deterministically from (user class, event minute) — int64
+    arithmetic both engines reproduce bitwise — and the evaluation
+    range is capped (the PAIRWISE_CAP idiom) because users in one path
+    class share most cells: at corpus scale the cap is replaced by
+    REPOSE-style per-cell reference pruning plus the hot-bucket
+    star-edge guard this repo applies to its LSH banding (same
+    degenerate-bucket problem, same fix).
+
+    Scale shape: one distinct over (user, cell) — O(events) —, one
+    shared-cell equi-join bounded by cell occupancy, one pair-keyed
+    count with map-side partials, and a global TOP_K TakeOrdered."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id") < TRAJ_USER_CAP
+    )
+    minute = F.expr("div(CAST(floor(unix_timestamp(ts)) AS BIGINT), 60)")
+    cls = F.col("user_id") % 7
+    pts = ev.select(
+        "user_id",
+        ((cls * _TB1 + minute * _TM1) % WORLD).alias("x"),
+        ((cls * _TB2 + minute * _TM2) % WORLD).alias("y"),
+    )
+    cells = pts.select(
+        "user_id",
+        F.expr(f"div(x, {TRAJ_CELL})").alias("cx"),
+        F.expr(f"div(y, {TRAJ_CELL})").alias("cy"),
+    ).distinct()
+    sizes = cells.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_cells"))
+    a = cells.select(
+        F.col("user_id").alias("user_a"), "cx", "cy"
+    ).hint("shuffle_hash")
+    b = cells.select(
+        F.col("user_id").alias("user_b"), "cx", "cy"
+    ).hint("shuffle_hash")
+    common = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_cells").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_cells").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "user_a", "user_b")
+        .limit(TRAJ_TOP_K)
+    )
