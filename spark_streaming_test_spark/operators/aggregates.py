@@ -1137,3 +1137,39 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rho * est("exact_union", "theta_u")).alias("est_intersection"),
         )
     )
+
+
+@register(
+    "agg_listagg_within_group",
+    tags=("agg", "sql2023", "collect"),
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS keys_csv,
+       string_agg(DISTINCT o_orderstatus, '' ORDER BY o_orderstatus)
+         AS statuses
+FROM orders
+WHERE o_custkey % 311 = 0
+GROUP BY o_orderpriority
+""",
+)
+def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` — the
+    Spark-4 BUILT-IN ordered string aggregation (both plain and
+    DISTINCT forms), distinct from the collect_list+sort_array
+    composition in agg_collect_sorted: the within-group sort happens
+    inside the aggregate operator, so there is no intermediate array
+    allocation and the partial aggregation still combines map-side.
+    DuckDB's ``string_agg(... ORDER BY ...)`` is the same SQL:2023
+    feature, which is what makes the ordered concatenation
+    hash-comparable across engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_la")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+               listagg(DISTINCT o_orderstatus, '')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM orders_la
+        WHERE o_custkey % 311 = 0
+        GROUP BY o_orderpriority
+    """)
