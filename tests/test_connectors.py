@@ -249,3 +249,44 @@ def test_pcap_stream_windowed_totals_equal_batch(spark, tmp_path):
         for r in traffic_pcap_pipeline(spark, "unused").collect()
     }
     assert got == want
+
+
+def test_pcap_roundtrip_property():
+    """Property: any packet list roundtrips byte-exactly through
+    write_pcap/parse_pcap_bytes in all four format variants."""
+    from hypothesis import given, settings, strategies as st
+
+    from spark_streaming_test_spark.sources.pcap_file import (
+        parse_pcap_bytes,
+        write_pcap,
+    )
+
+    packet = st.tuples(
+        st.integers(0, 2**32 - 1),            # ts_sec
+        st.integers(0, 999_999),              # ts_usec
+        st.binary(min_size=0, max_size=200),  # payload
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        pkts=st.lists(packet, max_size=8),
+        big_endian=st.booleans(),
+        nanos=st.booleans(),
+    )
+    def check(pkts, big_endian, nanos):
+        import tempfile, os
+
+        frac_scale = 1000 if nanos else 1
+        rows = [
+            (ts, us * frac_scale, len(data), len(data), data)
+            for ts, us, data in pkts
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "x.pcap")
+            write_pcap(p, rows, nanos=nanos, big_endian=big_endian)
+            got = list(parse_pcap_bytes(p, open(p, "rb").read()))
+        assert [(g[2], g[3], g[6]) for g in got] == [
+            (ts, us, data) for ts, us, data in pkts
+        ]
+
+    check()
