@@ -329,3 +329,50 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", sig("text").alias("sig"))
+
+
+@register(
+    "udf_udtf_polymorphic",
+    tags=("udf", "udtf", "polymorphic"),
+    oracle="""
+SELECT o_orderkey AS key,
+       upper(o_orderpriority) AS prio,
+       o_totalprice > 150000 AS big
+FROM orders
+WHERE o_custkey % 211 = 0
+""",
+)
+def udf_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is computed
+    at plan time by the static ``analyze`` method from the ARGUMENT
+    TYPE — here a struct-flattener whose columns mirror whatever struct
+    the caller passes, with no schema hardcoded in the UDTF. This is
+    the API for table functions whose shape depends on their input
+    (dynamic pivots, config-driven expansions); the basic fixed-schema
+    form is ``udf_python_udtf``. Execution is still the Arrow-batched
+    UDTF path — one Python boundary, schema resolved before any data
+    moves."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FlattenStruct:
+        @staticmethod
+        def analyze(arg: AnalyzeArgument) -> AnalyzeResult:
+            # schema IS the argument's struct type — pure polymorphism
+            return AnalyzeResult(schema=arg.dataType)
+
+        def eval(self, s):
+            if s is not None:
+                yield tuple(s)
+
+    spark.udtf.register("flatten_struct_poly", udtf(FlattenStruct))
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_poly")
+    return spark.sql("""
+        SELECT f.* FROM orders_poly o,
+        LATERAL flatten_struct_poly(struct(
+            o.o_orderkey AS key,
+            upper(o.o_orderpriority) AS prio,
+            o.o_totalprice > 150000 AS big
+        )) f
+        WHERE o.o_custkey % 211 = 0
+    """)
