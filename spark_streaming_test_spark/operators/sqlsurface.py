@@ -559,3 +559,55 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT '1-URGENT' AS pri, * FROM priority_profile('1-URGENT') "
         "UNION ALL SELECT '5-LOW' AS pri, * FROM priority_profile('5-LOW')"
     )
+
+
+@register(
+    "sql_scripting_control_flow",
+    tags=("sql", "spark4", "scripting"),
+    oracle="""
+WITH it AS (
+  SELECT i AS iteration,
+         CAST((SELECT COUNT(*) FROM orders
+               WHERE o_totalprice > 100000 * i) AS BIGINT) AS n_above
+  FROM range(1, 5) t(i)
+)
+SELECT CAST(iteration AS INTEGER) AS iteration, n_above,
+       CASE WHEN n_above > 1000 THEN 'wide' ELSE 'narrow' END AS band
+FROM it
+""",
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (SQL/PSM compound statements, Spark 4): DECLARE'd
+    variables, a WHILE loop that runs a parameterized aggregate per
+    iteration, IF/ELSE routing, and an ARRAY<STRUCT> accumulator
+    variable exploded into the final result — procedural orchestration
+    expressed IN SQL, where the reference hand-rolled the same loop in
+    driver Java (MainApp.java:51-64). Each loop iteration is still a
+    full distributed query; scripting only sequences them, so nothing
+    here trades away cluster parallelism. The oracle computes the same
+    iteration table declaratively."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_scr")
+    return spark.sql("""
+    BEGIN
+      DECLARE i INT DEFAULT 1;
+      DECLARE n BIGINT DEFAULT 0;
+      DECLARE band STRING DEFAULT '';
+      DECLARE acc ARRAY<STRUCT<iteration: INT, n_above: BIGINT,
+                               band: STRING>> DEFAULT array();
+      WHILE i <= 4 DO
+        SET n = (SELECT COUNT(*) FROM orders_scr
+                 WHERE o_totalprice > 100000 * i);
+        IF n > 1000 THEN
+          SET band = 'wide';
+        ELSE
+          SET band = 'narrow';
+        END IF;
+        SET acc = array_append(acc, named_struct(
+          'iteration', i, 'n_above', n, 'band', band));
+        SET i = i + 1;
+      END WHILE;
+      SELECT t.iteration, t.n_above, t.band
+      FROM (SELECT explode(acc) AS t);
+    END
+    """)
