@@ -933,3 +933,98 @@ def test_alternating_star_handles_long_chain(spark):
     assert len(got) == n + 3
     assert all(got[i] == (1, i == 1) for i in range(1, n + 1))
     assert all(got[i] == (5000, i == 5000) for i in (5000, 5001, 5002))
+
+
+def test_sentiment_lexicon_known_docs(spark, tmp_path):
+    """Known-answer sentiment: score is the exact lexicon sum, repeated
+    words count every occurrence, unknown words contribute nothing,
+    no-hit docs come back neutral with zeroes."""
+    from spark_streaming_test_spark.llm.text_analysis import (
+        text_sentiment_lexicon,
+    )
+
+    sf = str(tmp_path / "sfx")
+    rows = [
+        (1, "good good bad"),            # 3 + 3 - 3 = +3
+        (2, "terrible broken crash"),    # -4 -3 -4 = -11
+        (3, "the quick brown fox"),      # no lexicon hits
+        (4, "love xyzzy hate"),          # 3 - 3 = 0 -> neutral
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["n_pos"], r["n_neg"], r["label"])
+        for r in text_sentiment_lexicon(spark, sf).collect()
+    }
+    assert got == {
+        1: (3, 2, 1, "positive"),
+        2: (-11, 0, 3, "negative"),
+        3: (0, 0, 0, "neutral"),
+        4: (0, 1, 1, "neutral"),
+    }
+
+
+def test_trajectory_similarity_matches_bruteforce(spark, sf_dir):
+    """Independent ground truth: recompute every pairwise cell-set
+    Jaccard in plain Python from the collected per-user cell sets (the
+    capped user range keeps this small) and check the distributed
+    shared-cell-join top-20 equals the exhaustive top-20."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators.geo import (
+        _TB1, _TB2, _TM1, _TM2, TRAJ_CELL, TRAJ_TOP_K, TRAJ_USER_CAP, WORLD,
+        geo_trajectory_similarity,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < TRAJ_USER_CAP)
+        .select("user_id", F.unix_timestamp("ts").alias("sec"))
+        .collect()
+    )
+    cells: dict[int, set] = {}
+    for r in ev:
+        m = r["sec"] // 60
+        c = r["user_id"] % 7
+        x = (c * _TB1 + m * _TM1) % WORLD
+        y = (c * _TB2 + m * _TM2) % WORLD
+        cells.setdefault(r["user_id"], set()).add(
+            (x // TRAJ_CELL, y // TRAJ_CELL)
+        )
+    users = sorted(cells)
+    exact = []
+    for i, a in enumerate(users):
+        for b in users[i + 1 :]:
+            common = len(cells[a] & cells[b])
+            if common:
+                j = common / len(cells[a] | cells[b])
+                exact.append((-j, a, b, common))
+    exact.sort()
+    want = [(a, b, c, -nj) for nj, a, b, c in exact[:TRAJ_TOP_K]]
+    got = [
+        (r["user_a"], r["user_b"], r["n_common"], r["jaccard"])
+        for r in geo_trajectory_similarity(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_incremental_topk_equals_full_recompute(spark, sf_dir):
+    """The merge identity end-to-end in Spark (independent of the SQL
+    oracle): incremental base+delta merge == brute-force top-k over the
+    full corpus for every query."""
+    from spark_streaming_test_spark.llm.similarity import (
+        sim_bruteforce_topk,
+        sim_incremental_topk,
+    )
+
+    inc = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim_incremental_topk(spark, sf_dir).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    assert inc == full
