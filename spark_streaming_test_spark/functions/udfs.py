@@ -25,6 +25,7 @@ import pandas as pd
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load, spread
@@ -376,3 +377,73 @@ def udf_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )) f
         WHERE o.o_custkey % 211 = 0
     """)
+
+
+@register(
+    "udf_cogroup_apply_in_pandas",
+    tags=("udf", "cogroup", "pandas"),
+    oracle="""
+SELECT c.c_custkey AS custkey,
+       c.c_mktsegment AS mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 97 = 0
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().cogroup(...).applyInPandas`` — the two-sided grouped
+    map: both inputs shuffle ONCE on the key and arrive as a pair of
+    pandas frames per key, the API for custom per-key merges (as-of
+    logic, per-entity reconciliation) that a SQL join can't express.
+    Here each customer's orders meet the customer row and reduce to
+    (count, exact cent total) — all-integer arithmetic inside Python so
+    the result is partition-order-independent and the LEFT-join oracle
+    is exact, including customers with zero orders (an empty left
+    cogroup side).
+
+    Scale: same exchange shape as a shuffle join on the key; each key's
+    pair of frames must fit one task — the standard cogroup contract."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # right = the customer side (cogroup preserves declaration
+        # order: caller .cogroup(other) => (caller_pdf, other_pdf))
+        if right.empty:
+            return pd.DataFrame(
+                columns=["custkey", "mktsegment", "n_orders", "total_cents"]
+            )
+        cents = (
+            (left["o_totalprice"] * 100).round().astype("int64").sum()
+            if not left.empty
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [int(right["c_custkey"].iloc[0])],
+                "mktsegment": [right["c_mktsegment"].iloc[0]],
+                "n_orders": [len(left)],
+                "total_cents": [int(cents)],
+            }
+        )
+
+    return (
+        orders.groupby("o_custkey")
+        .cogroup(cust.groupby("c_custkey"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "custkey bigint, mktsegment string, "
+                "n_orders bigint, total_cents bigint"
+            ),
+        )
+    )
