@@ -411,8 +411,13 @@ def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 97 == 0)
         .select("c_custkey", "c_mktsegment")
     )
-    orders = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_totalprice"
+    # mirror the key predicate on the fact side: without it every
+    # order key rides the cogroup shuffle just to meet an empty
+    # customer frame and produce nothing
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 97 == 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
