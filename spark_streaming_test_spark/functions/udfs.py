@@ -148,7 +148,7 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``explode(split(...))``, which is what the oracle uses). UDTFs run
     row-at-a-time in Python — reserve them for logic ``explode`` can't
     express; this query exists to prove the plumbing end-to-end."""
-    from pyspark.sql.functions import col, lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="piece_idx int, piece string, piece_len int")
     class SentenceSplit:

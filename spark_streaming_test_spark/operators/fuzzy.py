@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load, spread
+from ..catalog import load
 from ..registry import register
 
 PROBE_MOD = 7  # 1-in-7 parts become noisy probes
