@@ -2005,3 +2005,68 @@ def test_reference_pipeline_composed_end_to_end(spark, tmp_path):
                 )
             state[nif] = is_alert
     assert got == sorted(expect), (got, expect)
+
+
+def test_streaming_query_listener_and_observed_metrics(spark, tmp_path):
+    """Monitoring surface: a StreamingQueryListener must receive
+    progress events whose observedMetrics carry the df.observe()
+    aggregates — the hook a production deployment uses for row-count /
+    data-quality alerting without a second query."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"progress": [], "terminated": []}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            events["progress"].append(e.progress)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"].append(e.id)
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(100)], "id long, v double"
+        ).write.parquet(src)
+        q = (
+            spark.readStream.schema("id long, v double")
+            .parquet(src)
+            .observe(
+                "ingest_qa",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0)).alias(
+                    "n_zero"
+                ),
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async; poll briefly
+        for _ in range(40):
+            if events["progress"] and events["terminated"]:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    assert events["terminated"], "no termination event delivered"
+    obs = {}
+    for p in events["progress"]:
+        obs.update(p.observedMetrics or {})
+    assert "ingest_qa" in obs, [list((p.observedMetrics or {}).keys())
+                                for p in events["progress"]]
+    row = obs["ingest_qa"]
+    assert row["n_rows"] == 100 and row["n_zero"] == 15
