@@ -1013,3 +1013,84 @@ def test_pcap_flows_header_parse_is_jvm_side(spark, qs):
     # node as "(n) MapInPandas", so count the tree form only
     assert plan.count("MapInPandas (") == 1, plan[:1500]
     assert "BatchEvalPython" not in plan
+
+
+def test_cbo_column_stats_flip_join_to_broadcast(spark, qs):
+    # Cost-based optimization end-to-end: without statistics a filtered
+    # dimension subquery keeps its FULL table size estimate (the basic
+    # visitor passes Filter stats through), so under a threshold
+    # between filtered and full size the planner picks a shuffle join;
+    # ANALYZE TABLE ... FOR ALL COLUMNS + spark.sql.cbo.enabled lets
+    # FilterEstimation shrink the estimate from the o_custkey
+    # min/max, flipping the SAME query to broadcast-hash. This is the
+    # stats pipeline a 100 TB deployment relies on for every selective
+    # dim filter AQE can't see until runtime.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load
+
+    import shutil
+
+    saved_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.sql("DROP TABLE IF EXISTS cbo_dim_orders")
+    # a stale warehouse dir without a metastore entry blocks saveAsTable
+    shutil.rmtree("/root/repo/spark-warehouse/cbo_dim_orders", True)
+    try:
+        # sf0.01 orders: the filtered+column-pruned dim subquery
+        # estimates ~99 KB WITHOUT stats (Filter passes size through;
+        # Project scales by column width) and ~19 KB WITH column stats
+        # (FilterEstimation uses o_custkey min/max) — a 50 KB threshold
+        # separates the two regimes. sf0.001 sits under any useful
+        # threshold unfiltered and broadcasts regardless.
+        load(spark, "/root/testdata/sf0.01", "orders").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_dim_orders")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "50000")
+
+        def plan():
+            # sf0.01 fact side too: at sf0.001 lineitem itself fits the
+            # threshold and gets broadcast as BuildLeft instead
+            li = load(spark, "/root/testdata/sf0.01", "lineitem").select(
+                "l_orderkey", "l_quantity"
+            )
+            dim = spark.table("cbo_dim_orders").filter(
+                F.col("o_custkey") < 50
+            )
+            df = li.join(dim, li.l_orderkey == dim.o_orderkey).groupBy(
+                "o_orderpriority"
+            ).agg(F.sum("l_quantity").alias("q"))
+            return checks.formatted_plan(df)
+
+        before = plan()
+        assert "BroadcastHashJoin" not in before, before[:1200]
+        spark.sql(
+            "ANALYZE TABLE cbo_dim_orders COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        after = plan()
+        assert "BroadcastHashJoin" in after, after[:1200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thr)
+        spark.conf.set("spark.sql.cbo.enabled", saved_cbo)
+        spark.sql("DROP TABLE IF EXISTS cbo_dim_orders")
+
+
+def test_cached_subtree_scans_once(spark):
+    # df.cache(): both consumers of the cached dimension must read the
+    # InMemoryRelation (InMemoryTableScan in the plan), not re-run the
+    # source scan.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load
+
+    dim = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name").cache()
+    try:
+        a = dim.filter(F.col("n_nationkey") < 10)
+        b = dim.filter(F.col("n_nationkey") >= 10)
+        both = a.unionAll(b)
+        plan = checks.formatted_plan(both)
+        assert plan.count("InMemoryTableScan") >= 2, plan[:1200]
+        assert both.count() == dim.count()
+    finally:
+        dim.unpersist()
