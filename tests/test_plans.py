@@ -1094,3 +1094,23 @@ def test_cached_subtree_scans_once(spark):
         assert both.count() == dim.count()
     finally:
         dim.unpersist()
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    # AQE must merge the 32 tiny post-shuffle partitions of a small
+    # aggregate into few coalesced reads (AQEShuffleRead) — at scale
+    # this is what keeps reducer counts proportional to DATA rather
+    # than to spark.sql.shuffle.partitions.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load
+
+    df = (
+        load(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan, plan[:1500]
