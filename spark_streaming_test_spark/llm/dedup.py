@@ -1367,7 +1367,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     docs = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     is_delta = F.col("doc_id") % DELTA_MOD == 0
-    bands = lsh_band_frame(docs).withColumn("is_delta", is_delta)
+    # Materialize the band frame ONCE: three consumers below (base
+    # index, delta probe side, intra-delta pairs) would each re-derive
+    # the md5/minhash signature pass otherwise. In production this
+    # frame IS the stored band index; localCheckpoint is its in-session
+    # stand-in.
+    bands = (
+        lsh_band_frame(docs)
+        .withColumn("is_delta", is_delta)
+        .localCheckpoint(eager=True)
+    )
     delta_b = bands.filter("is_delta").select("doc_id", "band", "bucket")
     wb = Window.partitionBy("band", "bucket")
     base_sized = bands.filter(~F.col("is_delta")).select(
