@@ -337,13 +337,20 @@ class PcapDirBatchReader(DataSourceReader):
 class PcapDirStreamReader(DataSourceStreamReader):
     """Tail a directory of ROTATED capture files — the layout live
     capture produces (tcpdump -G / -C writes a complete file, then the
-    next): offset = how many files of the sorted listing have been
-    consumed. Rotation names files monotonically, so lexicographic
-    order is arrival order, and the write-then-rename rotation contract
-    means a listed file is complete. Replay of an offset range re-reads
-    exactly the same files — a RELIABLE source (exactly-once with a
-    checkpointed sink), which the reference's in-memory receiver was
-    not (CaptureNetworkReceiver.java:97-102 drops frames on restart).
+    next): the offset is the NAME of the last consumed file, and a
+    batch is every listed file lexicographically after it. Rotation
+    names files monotonically, so lexicographic order is arrival
+    order, and the write-then-rename rotation contract means a listed
+    file is complete. Replay of an offset range re-reads exactly the
+    same files — a RELIABLE source (exactly-once with a checkpointed
+    sink), which the reference's in-memory receiver was not
+    (CaptureNetworkReceiver.java:97-102 drops frames on restart).
+
+    Name-anchored (not count-anchored) on purpose: capture RETENTION
+    deletes old files, and a consumed-prefix COUNT shifts when the
+    listing shrinks — replaying wrong files or re-reading consumed
+    ones. A name comparison is monotone under deletion of anything
+    already consumed, so retention cleanup and offsets never interact.
 
     One file per partition: each micro-batch parses its new files in
     parallel tasks, the same work unit as the batch reader."""
@@ -352,21 +359,32 @@ class PcapDirStreamReader(DataSourceStreamReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("pcap_dir requires a 'path' option")
+        self._high = ""  # latest name ever observed (keeps offsets monotone)
 
-    def _files(self) -> list[str]:
+    def _names(self) -> list[str]:
         import glob
 
-        return sorted(glob.glob(os.path.join(self.dir, "*.pcap")))
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self.dir, "*.pcap"))
+        )
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
-        return {"n_files": len(self._files())}
+        names = self._names()
+        if names:
+            self._high = max(self._high, names[-1])
+        return {"last": self._high}
 
     def partitions(self, start: dict, end: dict):
-        files = self._files()[start["n_files"] : end["n_files"]]
-        return [PcapFilePartition(p) for p in files]
+        self._high = max(self._high, end["last"])
+        return [
+            PcapFilePartition(os.path.join(self.dir, n))
+            for n in self._names()
+            if start["last"] < n <= end["last"]
+        ]
 
     def read(self, partition: PcapFilePartition | None) -> Iterator[tuple]:
         if partition is None:

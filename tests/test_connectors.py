@@ -290,3 +290,51 @@ def test_pcap_roundtrip_property():
         ]
 
     check()
+
+
+def test_pcap_dir_stream_survives_retention_cleanup(spark, tmp_path):
+    """Name-anchored offsets: deleting already-consumed capture files
+    (retention) between restarts must not shift the offset — the
+    restarted query reads ONLY the newly rotated file, never re-reads
+    survivors or skips new data (a consumed-prefix COUNT offset fails
+    exactly here)."""
+    import os
+
+    from spark_streaming_test_spark.sources.pcap_file import (
+        register_pcap_source,
+        write_pcap,
+    )
+
+    register_pcap_source(spark)
+    d = tmp_path / "caps"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_pcap(str(d / "cap-0001.pcap"), [(10, 0, 2, 2, b"AA")])
+    write_pcap(str(d / "cap-0002.pcap"), [(20, 0, 3, 3, b"BBB")])
+
+    def run_once():
+        q = (
+            spark.readStream.format("pcap_dir")
+            .option("path", str(d))
+            .load()
+            .select("ts_sec", "incl_len")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        r["ts_sec"] for r in spark.read.parquet(out).collect()
+    ) == [10, 20]
+    # retention deletes the OLDEST consumed file; capture rotates a new one
+    os.remove(str(d / "cap-0001.pcap"))
+    write_pcap(str(d / "cap-0003.pcap"), [(30, 0, 1, 1, b"C")])
+    run_once()
+    assert sorted(
+        r["ts_sec"] for r in spark.read.parquet(out).collect()
+    ) == [10, 20, 30], "retention shifted the stream offset"
