@@ -338,3 +338,33 @@ def test_pcap_dir_stream_survives_retention_cleanup(spark, tmp_path):
     assert sorted(
         r["ts_sec"] for r in spark.read.parquet(out).collect()
     ) == [10, 20, 30], "retention shifted the stream offset"
+
+
+def test_multi_rowgroup_parquet_scan_splits(spark, tmp_path):
+    """The premise behind catalog.spread(): single-row-group test files
+    scan as ONE partition, but a production file with many row groups
+    splits by spark.sql.files.maxPartitionBytes — scan parallelism
+    comes free from the layout. Write one file with small row groups
+    and verify the scan yields multiple input partitions."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "big")
+    (
+        spark.range(200_000)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)  # tiny row groups
+        .parquet(p)
+    )
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        df = spark.read.parquet(p)
+        n_parts = df.rdd.getNumPartitions()
+        assert n_parts > 4, f"scan did not split: {n_parts} partition(s)"
+        assert df.count() == 200_000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
