@@ -359,7 +359,12 @@ class PcapDirStreamReader(DataSourceStreamReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("pcap_dir requires a 'path' option")
-        self._high = ""  # latest name ever observed (keeps offsets monotone)
+        # back-pressure: at most N new files per micro-batch (<=0 =
+        # unbounded) — the maxFilesPerTrigger analogue, so a backlog of
+        # thousands of rotated files drains in bounded batches instead
+        # of one giant catch-up batch
+        self._cap = int(options.get("max_files_per_trigger", -1) or -1)
+        self._high = ""  # latest name ever offered (keeps offsets monotone)
 
     def _names(self) -> list[str]:
         import glob
@@ -373,9 +378,10 @@ class PcapDirStreamReader(DataSourceStreamReader):
         return {"last": ""}
 
     def latestOffset(self) -> dict:
-        names = self._names()
-        if names:
-            self._high = max(self._high, names[-1])
+        newer = [n for n in self._names() if n > self._high]
+        if newer:
+            take = len(newer) if self._cap <= 0 else min(self._cap, len(newer))
+            self._high = newer[take - 1]
         return {"last": self._high}
 
     def partitions(self, start: dict, end: dict):

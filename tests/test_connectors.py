@@ -368,3 +368,45 @@ def test_multi_rowgroup_parquet_scan_splits(spark, tmp_path):
         assert df.count() == 200_000
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+
+
+def test_pcap_dir_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """Back-pressure: with max_files_per_trigger=2 a 5-file backlog
+    must arrive in bounded steps of at most 2 files per offered offset
+    (for the Python stream API, availableNow snapshots ONE capped
+    offset per run — so the backlog drains across runs: 2, 2, 1),
+    delivering every packet exactly once with no skips."""
+    from spark_streaming_test_spark.sources.pcap_file import (
+        register_pcap_source,
+        write_pcap,
+    )
+
+    register_pcap_source(spark)
+    d = tmp_path / "caps"
+    d.mkdir()
+    for i in range(5):
+        write_pcap(
+            str(d / f"cap-{i:04d}.pcap"), [(100 + i, 0, 1, 1, bytes([65 + i]))]
+        )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("pcap_dir")
+            .option("path", str(d))
+            .option("max_files_per_trigger", "2")
+            .load()
+            .select("ts_sec")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["ts_sec"] for r in spark.read.parquet(out).collect())
+
+    assert run_once() == [100, 101]                  # capped at 2
+    assert run_once() == [100, 101, 102, 103]        # next 2, no re-read
+    assert run_once() == [100, 101, 102, 103, 104]   # remainder
