@@ -611,3 +611,61 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT explode(acc) AS t);
     END
     """)
+
+
+@register(
+    "sql_scripting_error_handler",
+    tags=("sql", "spark4", "scripting", "error-handling"),
+    oracle="""
+SELECT p AS priority,
+       CASE WHEN p = '3-MEDIUM' THEN 'error' ELSE 'ok' END AS status,
+       CASE WHEN p = '3-MEDIUM' THEN NULL
+            ELSE (SELECT CAST(COUNT(*) AS INTEGER) FROM orders o
+                  WHERE o.o_orderpriority = p) END AS n_orders
+FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) t
+ORDER BY p
+""",
+)
+def sql_scripting_error_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting ERROR RECOVERY: each loop iteration wraps its
+    risky statement in a nested compound with its own
+    ``DECLARE EXIT HANDLER FOR SQLEXCEPTION`` — the handler exits only
+    the INNER block, records the failure, and the loop continues, so
+    one poisoned partition-validation step doesn't abort the sweep
+    (here the '3-MEDIUM' iteration strict-casts a non-numeric string
+    under ANSI and is caught; every other priority records its order
+    count). The procedural twin of the PERMISSIVE/quarantine pattern
+    the connectors use for bad rows — per-UNIT-of-work error routing,
+    expressed in SQL."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_eh")
+    return spark.sql("""
+    BEGIN
+      DECLARE prios ARRAY<STRING> DEFAULT array();
+      DECLARE i INT DEFAULT 1;
+      DECLARE p STRING DEFAULT '';
+      DECLARE n INT DEFAULT 0;
+      DECLARE acc ARRAY<STRUCT<priority: STRING, status: STRING,
+                               n_orders: INT>> DEFAULT array();
+      SET prios = (SELECT array_sort(collect_set(o_orderpriority))
+                   FROM orders_eh);
+      WHILE i <= size(prios) DO
+        BEGIN
+          DECLARE EXIT HANDLER FOR SQLEXCEPTION
+            SET acc = array_append(acc, named_struct(
+              'priority', p, 'status', 'error',
+              'n_orders', CAST(NULL AS INT)));
+          SET p = element_at(prios, i);
+          -- strict ANSI cast: the 3-MEDIUM probe value is non-numeric
+          SET n = CAST(CASE WHEN p = '3-MEDIUM' THEN p ELSE CAST(
+                    (SELECT COUNT(*) FROM orders_eh
+                     WHERE o_orderpriority = p) AS STRING) END AS INT);
+          SET acc = array_append(acc, named_struct(
+            'priority', p, 'status', 'ok', 'n_orders', n));
+        END;
+        SET i = i + 1;
+      END WHILE;
+      SELECT t.priority, t.status, t.n_orders
+      FROM (SELECT explode(acc) AS t) ORDER BY t.priority;
+    END
+    """)

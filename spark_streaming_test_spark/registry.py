@@ -106,8 +106,8 @@ _DRIVER_WINDOW = [
     "dedup_incremental_minhash", "sim_incremental_topk",
     "text_sentiment_lexicon", "geo_trajectory_similarity",
     "agg_listagg_within_group", "udf_udtf_polymorphic",
-    "sql_scripting_control_flow", "udf_cogroup_apply_in_pandas",
-    "mm_avg_hash_dedup",
+    "sql_scripting_control_flow", "sql_scripting_error_handler",
+    "udf_cogroup_apply_in_pandas", "mm_avg_hash_dedup",
     "sim_ivfpq_topk", "sim_ivfpq_recall_eval", "export_jsonl_records",
     "ml_isotonic_calibration", "sql_recursive_cte",
     "sink_python_datasource_roundtrip",
