@@ -561,6 +561,23 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_scripting(spark: SparkSession, script: str) -> DataFrame:
+    """Run a SQL script with scripting enabled ONLY for the parse/plan:
+    the flag is restored immediately (parsing happens inside
+    ``spark.sql``; lazy execution never re-parses), so the session-
+    scoped conf doesn't leak into later queries — the same hygiene the
+    file connectors apply to ignoreCorruptFiles."""
+    saved = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(script)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", saved)
+
+
 @register(
     "sql_scripting_control_flow",
     tags=("sql", "spark4", "scripting"),
@@ -586,9 +603,8 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     full distributed query; scripting only sequences them, so nothing
     here trades away cluster parallelism. The oracle computes the same
     iteration table declaratively."""
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_scr")
-    return spark.sql("""
+    return _with_scripting(spark, """
     BEGIN
       DECLARE i INT DEFAULT 1;
       DECLARE n BIGINT DEFAULT 0;
@@ -637,9 +653,8 @@ def sql_scripting_error_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
     count). The procedural twin of the PERMISSIVE/quarantine pattern
     the connectors use for bad rows — per-UNIT-of-work error routing,
     expressed in SQL."""
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_eh")
-    return spark.sql("""
+    return _with_scripting(spark, """
     BEGIN
       DECLARE prios ARRAY<STRING> DEFAULT array();
       DECLARE i INT DEFAULT 1;
