@@ -403,7 +403,14 @@ class PcapDirStreamReader(DataSourceStreamReader):
 
 class PcapDirDataSource(DataSource):
     """format('pcap_dir') — register with
-    ``spark.dataSource.register(PcapDirDataSource)``."""
+    ``spark.dataSource.register(PcapDirDataSource)``.
+
+    Options:
+        path                   capture directory (required)
+        max_files_per_trigger  back-pressure cap on new files offered
+                               per micro-batch offset (<=0 = unbounded;
+                               stream reader only)
+    """
 
     @classmethod
     def name(cls) -> str:

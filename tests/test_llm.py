@@ -654,3 +654,27 @@ def test_bmp_wav_writers_roundtrip():
         multimodal.write_wav16(q, 44100, [1, -32768, 32767])
         rate, ch, s = multimodal.decode_wav16(open(q, "rb").read())
         assert rate == 44100 and s.tolist() == [1, -32768, 32767]
+
+
+def test_lsh_guard_partitioning_invariant(spark):
+    """The guarded candidate set must be identical under any input
+    partitioning — window counts, star anchors, and the self-join all
+    depend only on values, never on physical layout."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(80)] + [
+        (200 + i, f"other doc number {i} with different words {i}") for i in range(20)
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for parts in (1, 7, 32):
+        docs = base.repartition(parts).select(
+            "doc_id", dedup._shingles(F.col("text")).alias("shingles")
+        )
+        outs.append(
+            sorted(
+                (r["doc_a"], r["doc_b"])
+                for r in dedup.lsh_band_candidates(docs).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0], "no candidates produced"
