@@ -114,7 +114,7 @@ def main() -> None:
     # regressions without re-running.
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
-    n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    n_repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -127,12 +127,26 @@ def main() -> None:
         timings[name] = sorted(runs)[len(runs) // 2]
 
     total = round(sum(timings.values()), 3)
+    # The per-run raw repeats are diagnostics, not part of the driver
+    # contract; inlining them in r5 grew the stdout line past the
+    # driver's tail buffer and truncated the medians (the round lost its
+    # official bench record). Ship them to a sidecar file + stderr and
+    # keep the final stdout line compact (<4KB): metric/value/queries/sf
+    # ONLY, printed LAST.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_REPEATS.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"repeats": repeats, "sf": sf}, f)
+    except OSError as e:  # read-only checkout: stderr still has the data
+        print(f"bench: could not write {sidecar}: {e}", file=sys.stderr)
+    print(json.dumps({"repeats": repeats}), file=sys.stderr)
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "repeats": repeats,
         "sf": sf,
     }))
 

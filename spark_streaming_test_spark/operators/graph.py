@@ -1567,7 +1567,14 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- connected components, alternating-star (large-diameter scale path) ----
 
-CC_STAR_MAX_ROUNDS = 12  # O(log^2 n) bound; random graphs converge in 3-4
+# Backstop round cap: alternating star converges in O(log^2 n) rounds
+# (Kiveris et al. SoCC'14) — random graphs in 3-4, a 2000-node chain in 6.
+# 50 rounds covers any graph whose node ids fit in an int64; hitting the
+# cap unconverged therefore indicates a bug (or adversarial input) and
+# RAISES rather than returning silently-wrong labels (a partially
+# contracted chain would mislabel c->b instead of c->a) — the repo's
+# no-silent-caps convention.
+CC_STAR_MAX_ROUNDS = 50
 
 
 @register(
@@ -1657,12 +1664,20 @@ def alternating_star_components(raw: DataFrame) -> DataFrame:
         return (row["n"], row["x"])
 
     fp = fingerprint(E)
+    converged = False
     for _ in range(CC_STAR_MAX_ROUNDS):
         E = star(star(E, large=True), large=False).localCheckpoint(eager=True)
         nfp = fingerprint(E)
         if nfp == fp:
+            converged = True
             break
         fp = nfp
+    if not converged:
+        raise RuntimeError(
+            f"alternating_star_components: fingerprint still moving after "
+            f"{CC_STAR_MAX_ROUNDS} rounds — refusing to emit possibly "
+            f"partially-contracted component labels"
+        )
     # Converged: E holds (node -> component min) for every non-root;
     # roots self-labelled via the left join against the node universe.
     parents = E.groupBy(F.col("child").alias("node")).agg(

@@ -80,106 +80,86 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.sources.pcap_file",
 ]
 
-# Round-5 driver verification window + full rotation plan. The driver
-# checks the FIRST ~50 registered queries each round; this list is the
-# complete planned rotation over all 457 registered queries. Driver
-# union after r4 = 188 distinct hash-verified names (49/50 green in r4;
-# the one red, rfm_segmentation, was a DECIMAL-typed output column that
-# canonicalizes engine-dependently — now exported as double like every
-# other money column, and re-listed FIRST for re-verification along
-# with agg_weighted_avg, the only other decimal-output query). The rest
-# of the head is never-driver-checked queries, hardest-determinism
-# first (VERDICT r4 item 5), draining the 269-name backlog over rounds
-# 5-7; already-green names re-verify last. Unknown names are ignored
-# (safety for renames).
+# Driver verification window + full rotation plan. The driver checks the
+# FIRST ~50 registered queries each round; this list is the complete
+# planned rotation over all registered queries (all_queries() orders the
+# registry by rank in this list). Regenerated each round from the union
+# of CORRECTNESS_r*.json: never-driver-verified names first, greens last.
 _DRIVER_WINDOW = [
-    # --- round-5 window (first 50; driver samples registry head) -------
-    # Re-verify the two hash-hardened queries (decimal output -> double),
-    # then the hardest-determinism never-sampled picks (VERDICT r4 item
-    # 5), then never-driver-checked queries in stable order. Driver
-    # union after r4 = 188/457; windows below drain the remaining 269
-    # never-checked first, greens re-verify last.
-    "rfm_segmentation", "agg_weighted_avg", "dedup_lsh_bucket_audit",
-    "scan_pcap_file", "traffic_pcap_pipeline", "traffic_pcap_flows",
-    "graph_cc_alternating_star",
-    "mm_decode_bmp", "mm_decode_wav", "mm_resize_bmp", "mm_audio_frames",
-    "dedup_incremental_minhash", "sim_incremental_topk",
-    "text_sentiment_lexicon", "geo_trajectory_similarity",
-    "agg_listagg_within_group", "udf_udtf_polymorphic",
-    "sql_scripting_control_flow", "sql_scripting_error_handler",
-    "udf_cogroup_apply_in_pandas", "mm_avg_hash_dedup",
-    "sim_ivfpq_topk", "sim_ivfpq_recall_eval", "export_jsonl_records",
-    "ml_isotonic_calibration", "sql_recursive_cte",
-    "sink_python_datasource_roundtrip",
-    # --- never driver-checked (r5 tail + r6/r7 windows) ----------------
-    "er_sorted_neighborhood", "traffic_flap_detection",
-    "dq_randomized_response", "ml_kfold_cv", "events_pattern_regex_match",
-    "join_runtime_bloom_filter", "ml_logreg_train_gd", "ml_nb_train_score",
-    "stream_chained_windows", "scan_binary_files", "dq_observe_metrics",
-    "corpus_blocklist_filter", "sql_group_by_all", "ts_subsequence_match",
-    "traffic_p95_billing", "udf_apply_in_arrow", "sql_execute_immediate",
-    "ml_decision_stump", "ml_linreg_normal_eq", "agg_kruskal_wallis",
-    "mlstats_cohens_kappa", "mlstats_mcnemar", "graph_hits", "ml_ridge_path",
-    "ts_monotone_streaks", "text_bpe_apply", "dedup_lsh_recall_eval",
-    "agg_cramers_v", "ts_acf_correlogram", "dq_fd_discovery", "sql_transpose",
-    "ts_holt_winters", "ab_test_simpsons_check", "ab_test_iptw_ate",
-    "ab_test_qini_uplift", "sample_pps_systematic", "fn_aes_roundtrip",
-    "ml_gbrt_boost2", "agg_weighted_median", "geo_geohash_encode",
-    "sql_window_clause", "fn_month_arithmetic_edges", "ml_platt_calibration",
+    # --- round-6 window (first 50; driver samples registry head) -------
+    # Rotation state after r5: driver union r1-r5 = 237 distinct
+    # hash-verified names (r5 was 50/50 green, incl. the rfm/weighted_avg
+    # re-verifies). 238 registered queries remain never-driver-sampled;
+    # they are listed FIRST below in the stable planned order (hardest-
+    # determinism first, per VERDICT r4 item 5), so the driver's ~50-query
+    # head drains the backlog each round (union completes ~= r9-r10).
+    # Already-green names re-verify last. Unknown names are ignored
+    # (safety for renames).
+    "ml_ridge_path", "ts_monotone_streaks", "text_bpe_apply",
+    "dedup_lsh_recall_eval", "agg_cramers_v", "ts_acf_correlogram",
+    "dq_fd_discovery", "sql_transpose", "ts_holt_winters",
+    "ab_test_simpsons_check", "ab_test_iptw_ate", "ab_test_qini_uplift",
+    "sample_pps_systematic", "fn_aes_roundtrip", "ml_gbrt_boost2",
+    "agg_weighted_median", "geo_geohash_encode", "sql_window_clause",
+    "fn_month_arithmetic_edges", "ml_platt_calibration",
     "dedup_lsh_band_tuning", "ml_kmeans_elbow", "rec_als_rank1",
     "window_vshape_patterns", "sql_table_function", "decon_near_dup_lsh",
     "corpus_select_final", "ml_conformal_interval",
     "ml_permutation_importance", "ab_test_diff_in_diff",
-    "graph_pagerank_personalized", "scan_posting_index", "agg_preagg_routing",
-    "udf_arrow_scalar", "export_sft_messages", "sample_raking_ipf",
-    "dedup_cdc_chunks", "sample_shuffle_quality", "text_token_fertility",
-    "sample_kmeans_coreset", "graph_local_clustering",
-    "emb_random_projection_jl", "agg_kmv_set_ops", "geo_point_in_polygon",
-    "ts_sax_symbolize", "ts_sax_motifs", "events_concurrency_sweep",
-    "graph_random_walks", "window_bollinger_bands", "dq_table_checksum",
-    "mlstats_rbo_ranking", "er_survivorship_golden", "ab_test_power_analysis",
+    "graph_pagerank_personalized", "scan_posting_index",
+    "agg_preagg_routing", "udf_arrow_scalar", "export_sft_messages",
+    "sample_raking_ipf", "dedup_cdc_chunks", "sample_shuffle_quality",
+    "text_token_fertility", "sample_kmeans_coreset",
+    "graph_local_clustering", "emb_random_projection_jl",
+    "agg_kmv_set_ops", "geo_point_in_polygon", "ts_sax_symbolize",
+    "ts_sax_motifs", "events_concurrency_sweep", "graph_random_walks",
+    "window_bollinger_bands", "dq_table_checksum", "mlstats_rbo_ranking",
+    "er_survivorship_golden", "ab_test_power_analysis",
     "events_metric_tree_decomposition", "ml_learning_curve",
-    "ts_forecast_ensemble", "traffic_capacity_forecast", "text_rrf_fusion",
-    "join_asof_forward", "join_asof_nearest", "window_gap_islands",
-    "agg_linreg_by_group", "ab_test_zscore", "agg_winsorize",
-    "ts_ewma_smooth", "ts_cusum_shift", "ts_rolling_autocorr",
-    "join_fuzzy_dictionary", "text_char_entropy", "corpus_curriculum_order",
-    "events_attribution", "ts_period_over_period", "agg_gini_hhi",
-    "sim_sparse_cosine_join", "window_moving_median",
-    "emb_quantile_transform", "agg_rate_wilson_ci", "ts_seasonal_residual",
-    "scan_csv_badrecords", "emb_covariance_matrix", "ab_test_welch_t",
-    "sample_balanced_classes", "emb_pca_power", "window_ohlc_bars",
-    "join_scd2_pointintime", "events_anomaly_mad", "ab_test_chi_square",
-    "events_time_to_convert", "ts_holt_linear", "window_donchian_band",
-    "join_asof_tolerance", "sample_importance_weights",
-    "graph_jaccard_neighbors", "agg_incremental_maintenance",
-    "text_textrank_keywords", "text_langid_confusion",
-    "events_sequence_trigrams", "emb_outlier_centroid_dist",
-    "dq_benford_digits", "events_cohort_ltv", "corpus_domain_quality_rollup",
-    "text_ngram_novelty", "ts_mann_kendall", "ab_test_ks",
-    "events_inter_arrival", "scan_dynamic_partition_overwrite",
-    "text_zipf_fit", "agg_spearman_corr", "dedup_soft_weights",
-    "agg_concentration_curve", "dedup_prefix_hash", "mlstats_auc_roc",
-    "mlstats_calibration_bins", "mlstats_logloss_brier",
-    "mlstats_threshold_sweep", "geo_radius_join", "geo_nearest_within_radius",
-    "geo_cell_density", "join_interval_overlap", "sample_temperature_mixture",
+    "ts_forecast_ensemble", "traffic_capacity_forecast",
+    "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
+    "window_gap_islands", "agg_linreg_by_group", "ab_test_zscore",
+    "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",
+    "ts_rolling_autocorr", "join_fuzzy_dictionary", "text_char_entropy",
+    "corpus_curriculum_order", "events_attribution",
+    "ts_period_over_period", "agg_gini_hhi", "sim_sparse_cosine_join",
+    "window_moving_median", "emb_quantile_transform",
+    "agg_rate_wilson_ci", "ts_seasonal_residual", "scan_csv_badrecords",
+    "emb_covariance_matrix", "ab_test_welch_t", "sample_balanced_classes",
+    "emb_pca_power", "window_ohlc_bars", "join_scd2_pointintime",
+    "events_anomaly_mad", "ab_test_chi_square", "events_time_to_convert",
+    "ts_holt_linear", "window_donchian_band", "join_asof_tolerance",
+    "sample_importance_weights", "graph_jaccard_neighbors",
+    "agg_incremental_maintenance", "text_textrank_keywords",
+    "text_langid_confusion", "events_sequence_trigrams",
+    "emb_outlier_centroid_dist", "dq_benford_digits", "events_cohort_ltv",
+    "corpus_domain_quality_rollup", "text_ngram_novelty",
+    "ts_mann_kendall", "ab_test_ks", "events_inter_arrival",
+    "scan_dynamic_partition_overwrite", "text_zipf_fit",
+    "agg_spearman_corr", "dedup_soft_weights", "agg_concentration_curve",
+    "dedup_prefix_hash", "mlstats_auc_roc", "mlstats_calibration_bins",
+    "mlstats_logloss_brier", "mlstats_threshold_sweep", "geo_radius_join",
+    "geo_nearest_within_radius", "geo_cell_density",
+    "join_interval_overlap", "sample_temperature_mixture",
     "graph_connected_components", "feature_hashing_trick",
-    "dedup_incremental_exact", "er_entity_groups", "hierarchy_subtree_rollup",
-    "dq_dup_rate_by_source", "dq_l_diversity", "events_journey_paths",
-    "dq_psi_drift", "ts_forecast_accuracy", "window_time_weighted_avg",
-    "sim_mmr_diversify", "sim_binary_hamming_topk", "sample_epoch_shuffle",
-    "graph_kcore", "fn_variant_suite", "scan_manifest_pruning",
-    "text_rake_keyphrases", "scan_time_travel", "events_bot_detection",
-    "window_drawdown", "join_set_similarity_prefix", "sim_recall_eval",
+    "dedup_incremental_exact", "er_entity_groups",
+    "hierarchy_subtree_rollup", "dq_dup_rate_by_source", "dq_l_diversity",
+    "events_journey_paths", "dq_psi_drift", "ts_forecast_accuracy",
+    "window_time_weighted_avg", "sim_mmr_diversify",
+    "sim_binary_hamming_topk", "sample_epoch_shuffle", "graph_kcore",
+    "fn_variant_suite", "scan_manifest_pruning", "text_rake_keyphrases",
+    "scan_time_travel", "events_bot_detection", "window_drawdown",
+    "join_set_similarity_prefix", "sim_recall_eval",
     "sim_two_stage_rerank", "scan_row_level_deletes", "graph_bfs_hops",
     "sample_group_kfold", "dq_categorical_drift", "emb_cluster_purity",
     "fn_try_arithmetic_suite", "text_jsd_source_similarity",
     "ts_interval_coverage", "events_stickiness",
     "agg_audience_overlap_estimate", "dedup_template_shape",
-    "traffic_burst_alerts", "sample_neyman_allocation", "dq_reconcile_orders",
-    "ts_rolling_cross_corr", "scan_tsv_quoted_roundtrip",
-    "text_cooccurrence_pmi", "events_survival_km", "feature_target_encoding",
-    "ab_test_sprt", "events_decayed_engagement", "fn_collation_suite",
+    "traffic_burst_alerts", "sample_neyman_allocation",
+    "dq_reconcile_orders", "ts_rolling_cross_corr",
+    "scan_tsv_quoted_roundtrip", "text_cooccurrence_pmi",
+    "events_survival_km", "feature_target_encoding", "ab_test_sprt",
+    "events_decayed_engagement", "fn_collation_suite",
     "join_lateral_topk", "mlstats_ndcg_map", "graph_adamic_adar",
     "feature_woe_iv", "rec_item_item_topn", "ts_theil_sen_slope",
     "fn_bitwise_suite", "text_line_dedup", "agg_bootstrap_ci",
@@ -190,25 +170,46 @@ _DRIVER_WINDOW = [
     "er_fellegi_sunter", "export_dpo_pairs", "sql_pipe_syntax",
     "sql_session_variables", "decon_exact_substring",
     "text_quality_buckets_ccnet", "events_feature_matrix",
-    "dedup_boundary_overlap", "ab_test_ratio_delta_method", "ab_test_cuped",
-    "mlstats_lift_gains", "graph_modularity", "scan_nested_struct_roundtrip",
-    "sql_named_parameters", "dedup_exact_normalized", "text_lexical_stats",
-    "agg_skew_kurtosis", "ts_seasonal_strength", "fn_luhn_validate",
-    "window_time_range_frame", "fn_sql_udf", "sim_query_expansion_prf",
-    "sim_mips_transform_topk", "dq_fk_discovery", "mlstats_ece",
-    "graph_assortativity", "ts_interpolate_linear", "dq_schema_drift",
-    "fn_uuid_surrogate_keys", "dedup_threshold_sweep",
-    "events_next_event_baseline", "emb_isotropy_score",
-    "sql_identifier_clause", "ts_outlier_hampel", "corpus_report_card",
-    "events_user_lifecycle", "fn_mask_suite", "scan_compressed_roundtrip",
-    "dedup_winnowing", "scan_ignore_corrupt_files", "join_null_aware_anti",
+    "dedup_boundary_overlap", "ab_test_ratio_delta_method",
+    "ab_test_cuped", "mlstats_lift_gains", "graph_modularity",
+    "scan_nested_struct_roundtrip", "sql_named_parameters",
+    "dedup_exact_normalized", "text_lexical_stats", "agg_skew_kurtosis",
+    "ts_seasonal_strength", "fn_luhn_validate", "window_time_range_frame",
+    "fn_sql_udf", "sim_query_expansion_prf", "sim_mips_transform_topk",
+    "dq_fk_discovery", "mlstats_ece", "graph_assortativity",
+    "ts_interpolate_linear", "dq_schema_drift", "fn_uuid_surrogate_keys",
+    "dedup_threshold_sweep", "events_next_event_baseline",
+    "emb_isotropy_score", "sql_identifier_clause", "ts_outlier_hampel",
+    "corpus_report_card", "events_user_lifecycle", "fn_mask_suite",
+    "scan_compressed_roundtrip", "dedup_winnowing",
+    "scan_ignore_corrupt_files", "join_null_aware_anti",
     "ts_spectral_power", "agg_anova_oneway", "mlstats_fdr_bh",
     "geo_dbscan_grid", "text_compress_ratio", "emb_kmeans_lloyd",
     "text_bpe_train", "mm_feature_extract_stub", "mm_frame_sample_stub",
     "mm_resize_stub", "mm_binary_metadata",
-    # --- already driver-green (r1-r4) — re-verify last -----------------
-    "agg_argminmax_condcount", "agg_rollup_hierarchical_time",
-    "agg_collect_sorted", "fn_array_suite", "agg_approx_count_distinct",
+    # --- already driver-green (r1-r5) — re-verify last -----------------
+    "rfm_segmentation", "agg_weighted_avg", "dedup_lsh_bucket_audit",
+    "scan_pcap_file", "traffic_pcap_pipeline", "traffic_pcap_flows",
+    "graph_cc_alternating_star", "mm_decode_bmp", "mm_decode_wav",
+    "mm_resize_bmp", "mm_audio_frames", "dedup_incremental_minhash",
+    "sim_incremental_topk", "text_sentiment_lexicon",
+    "geo_trajectory_similarity", "agg_listagg_within_group",
+    "udf_udtf_polymorphic", "sql_scripting_control_flow",
+    "sql_scripting_error_handler", "udf_cogroup_apply_in_pandas",
+    "mm_avg_hash_dedup", "sim_ivfpq_topk", "sim_ivfpq_recall_eval",
+    "export_jsonl_records", "ml_isotonic_calibration",
+    "sql_recursive_cte", "sink_python_datasource_roundtrip",
+    "er_sorted_neighborhood", "traffic_flap_detection",
+    "dq_randomized_response", "ml_kfold_cv", "events_pattern_regex_match",
+    "join_runtime_bloom_filter", "ml_logreg_train_gd",
+    "ml_nb_train_score", "stream_chained_windows", "scan_binary_files",
+    "dq_observe_metrics", "corpus_blocklist_filter", "sql_group_by_all",
+    "ts_subsequence_match", "traffic_p95_billing", "udf_apply_in_arrow",
+    "sql_execute_immediate", "ml_decision_stump", "ml_linreg_normal_eq",
+    "agg_kruskal_wallis", "mlstats_cohens_kappa", "mlstats_mcnemar",
+    "graph_hits", "agg_argminmax_condcount",
+    "agg_rollup_hierarchical_time", "agg_collect_sorted",
+    "fn_array_suite", "agg_approx_count_distinct",
     "agg_hll_sketch_rollup", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_cluster_canonical", "sim_lsh_topk", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
@@ -218,31 +219,33 @@ _DRIVER_WINDOW = [
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue", "tpch_q20_excess_supply",
     "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
-    "stream_window_topk", "stream_late_data_accounting", "stream_rate_limit",
-    "stream_session_dynamic_gap", "stream_state_store_reader",
-    "traffic_alerts_kafka_wire", "dq_constraint_suite",
-    "graph_triangle_count", "graph_degree_histogram", "pareto_frontier",
-    "sim_knn_classify", "fn_url_suite", "text_bigram_logprob",
-    "agg_countmin_claim", "dedup_containment", "events_window_funnel",
-    "text_bpe_encode", "cdc_changelog_compact", "window_running_distinct",
-    "dq_k_anonymity", "emb_matryoshka_eval", "sample_temporal_split",
-    "agg_grouping_id", "fn_null_semantics", "scan_partitioned_pruning",
+    "stream_window_topk", "stream_late_data_accounting",
+    "stream_rate_limit", "stream_session_dynamic_gap",
+    "stream_state_store_reader", "traffic_alerts_kafka_wire",
+    "dq_constraint_suite", "graph_triangle_count",
+    "graph_degree_histogram", "pareto_frontier", "sim_knn_classify",
+    "fn_url_suite", "text_bigram_logprob", "agg_countmin_claim",
+    "dedup_containment", "events_window_funnel", "text_bpe_encode",
+    "cdc_changelog_compact", "window_running_distinct", "dq_k_anonymity",
+    "emb_matryoshka_eval", "sample_temporal_split", "agg_grouping_id",
+    "fn_null_semantics", "scan_partitioned_pruning",
     "scan_compacted_write", "scan_orc_roundtrip", "scan_text_lines",
     "scan_zorder_write", "scan_merge_schema", "scan_bucketed_join",
     "scan_xml_roundtrip", "udf_pandas_scalar", "udf_pandas_grouped_agg",
     "udf_apply_in_pandas", "udf_python_udtf", "fn_hash_suite",
-    "fn_regexp_suite", "fn_map_from_json", "fn_higher_order", "fn_struct_ops",
-    "fn_conditional_suite", "fn_date_arithmetic", "agg_salted_sum",
-    "join_salted_skew", "window_sessionize", "events_funnel",
-    "agg_mode_per_group", "events_retention_cohorts",
+    "fn_regexp_suite", "fn_map_from_json", "fn_higher_order",
+    "fn_struct_ops", "fn_conditional_suite", "fn_date_arithmetic",
+    "agg_salted_sum", "join_salted_skew", "window_sessionize",
+    "events_funnel", "agg_mode_per_group", "events_retention_cohorts",
     "events_markov_transitions", "table_diff", "scd2_intervals",
-    "agg_histogram", "cdc_merge_apply", "profile_table", "agg_corr_manual",
-    "agg_approx_percentile_check", "agg_heavy_hitters_claim",
-    "agg_bitmap_distinct", "text_tfidf_topk", "text_bm25_retrieval",
-    "graph_pagerank", "er_blocked_match", "ts_resample_ffill",
-    "ts_anomaly_zscore", "emb_pq_encode", "sim_pq_adc_topk",
-    "emb_dim_standardize", "basket_pair_lift", "decon_ngram_overlap",
-    "decon_contamination_rate", "emb_kmeans_assign", "dedup_semantic_cluster",
+    "agg_histogram", "cdc_merge_apply", "profile_table",
+    "agg_corr_manual", "agg_approx_percentile_check",
+    "agg_heavy_hitters_claim", "agg_bitmap_distinct", "text_tfidf_topk",
+    "text_bm25_retrieval", "graph_pagerank", "er_blocked_match",
+    "ts_resample_ffill", "ts_anomaly_zscore", "emb_pq_encode",
+    "sim_pq_adc_topk", "emb_dim_standardize", "basket_pair_lift",
+    "decon_ngram_overlap", "decon_contamination_rate",
+    "emb_kmeans_assign", "dedup_semantic_cluster",
     "tpch_q2_min_cost_supplier", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "sim_bruteforce_topk", "sim_ivf_topk",
     "sim_pairwise_label_stats", "sim_hard_negatives", "text_language_id",
@@ -251,29 +254,31 @@ _DRIVER_WINDOW = [
     "text_bigram_pmi", "text_repetition_stats", "text_unigram_logprob",
     "text_chunk_fixed", "text_pack_greedy", "text_pack_bin_stats",
     "corpus_mixture_weights", "corpus_curation_funnel",
-    "sample_hash_deterministic", "split_train_test", "sample_stratified_hash",
-    "sample_token_budget", "sample_weighted_reservoir",
-    "emb_normalize_quantize", "traffic_alerts", "traffic_alerts_broadcast",
+    "sample_hash_deterministic", "split_train_test",
+    "sample_stratified_hash", "sample_token_budget",
+    "sample_weighted_reservoir", "emb_normalize_quantize",
+    "traffic_alerts", "traffic_alerts_broadcast",
     "stream_tumbling_window", "stream_sliding_window",
     "stream_session_window", "stream_dedup_by_key",
     "stream_edge_trigger_alerts", "stream_static_enrich",
-    "stream_stream_join", "stream_dedup_windowed", "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items", "scan_csv_roundtrip", "scan_json_roundtrip",
-    "scan_project_filter", "filter_like_null_routing", "sort_limit_topk",
-    "distinct_values", "set_union_distinct", "set_union_all", "set_intersect",
-    "set_except", "set_union_by_name", "fn_unpivot", "join_broadcast_dim",
+    "stream_stream_join", "stream_dedup_windowed",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "scan_csv_roundtrip", "scan_json_roundtrip", "scan_project_filter",
+    "filter_like_null_routing", "sort_limit_topk", "distinct_values",
+    "set_union_distinct", "set_union_all", "set_intersect", "set_except",
+    "set_union_by_name", "fn_unpivot", "join_broadcast_dim",
     "join_sort_merge", "join_shuffle_hash", "join_left_semi",
     "join_left_anti", "join_left_outer_agg", "join_full_outer",
     "join_range_nonequi", "join_asof", "join_null_safe",
     "window_topk_per_group", "window_running_sum", "window_lag_lead",
-    "window_rank_dense_ntile", "window_sliding_frame", "window_first_last",
-    "window_cume_percent", "window_range_frame", "agg_sum_by_key",
-    "agg_count_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_pivot", "agg_stats_moments", "agg_percentile_median", "agg_bitwise",
-    "fn_string_suite", "fn_date_suite", "fn_math_suite", "fn_array_explode",
-    "fn_json_suite",
+    "window_rank_dense_ntile", "window_sliding_frame",
+    "window_first_last", "window_cume_percent", "window_range_frame",
+    "agg_sum_by_key", "agg_count_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_pivot", "agg_stats_moments",
+    "agg_percentile_median", "agg_bitwise", "fn_string_suite",
+    "fn_date_suite", "fn_math_suite", "fn_array_explode", "fn_json_suite",
 ]
 
 

@@ -916,7 +916,7 @@ def test_alternating_star_handles_long_chain(spark):
     """The pathological case the algorithm exists for: a 2000-node CHAIN
     (diameter 1999). Min-label propagation would need ~2000 rounds; the
     alternating-star loop must produce the correct single component
-    within its CC_STAR_MAX_ROUNDS=12 cap — plus a second disjoint
+    well within its CC_STAR_MAX_ROUNDS backstop — plus a second disjoint
     triangle to prove components don't bleed."""
     from spark_streaming_test_spark.operators.graph import (
         alternating_star_components,
@@ -933,6 +933,24 @@ def test_alternating_star_handles_long_chain(spark):
     assert len(got) == n + 3
     assert all(got[i] == (1, i == 1) for i in range(1, n + 1))
     assert all(got[i] == (5000, i == 5000) for i in (5000, 5001, 5002))
+
+
+def test_alternating_star_raises_on_unconverged_cap(spark, monkeypatch):
+    """Hitting the round backstop UNCONVERGED must raise, not return
+    partially-contracted (wrong) labels — ADVICE r5 medium item. A
+    16-node chain needs >1 alternating round, so a cap of 1 triggers
+    the guard; the same graph under the real cap converges fine (the
+    long-chain test above)."""
+    from spark_streaming_test_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "CC_STAR_MAX_ROUNDS", 1)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "u long, v long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="still moving"):
+        G.alternating_star_components(edges).collect()
 
 
 def test_sentiment_lexicon_known_docs(spark, tmp_path):
