@@ -399,7 +399,12 @@ def _bmp_pixel(i: int):
 
 
 def _bmp_fixture_dir() -> str:
-    d = _os.path.join(SCRATCH, "bmp_images")
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    # Recipe hash in the dir name: formula/constant edits regenerate
+    # instead of silently reusing stale binaries (fixtures.py rationale).
+    rev = fixture_rev(_bmp_pixel, write_bmp24, BMP_N)
+    d = _os.path.join(SCRATCH, f"bmp_images_{rev}")
     _os.makedirs(d, exist_ok=True)
     for i in range(BMP_N):
         p = _os.path.join(d, f"img_{i:04d}.bmp")
@@ -410,18 +415,21 @@ def _bmp_fixture_dir() -> str:
     return d
 
 
+def _wav_samples(i: int) -> list[int]:
+    return [((t * t + 7 * i * t) % 20001) - 10000 for t in range(WAV_SAMPLES)]
+
+
 def _wav_fixture_dir() -> str:
-    d = _os.path.join(SCRATCH, "wav_audio")
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_wav_samples, write_wav16, WAV_N, WAV_SAMPLES)
+    d = _os.path.join(SCRATCH, f"wav_audio_{rev}")
     _os.makedirs(d, exist_ok=True)
     for i in range(WAV_N):
         p = _os.path.join(d, f"clip_{i:04d}.wav")
         if not _os.path.exists(p):
-            samples = [
-                ((t * t + 7 * i * t) % 20001) - 10000
-                for t in range(WAV_SAMPLES)
-            ]
             tmp = p + ".tmp"
-            write_wav16(tmp, 8000 + (i % 3) * 4000, samples)
+            write_wav16(tmp, 8000 + (i % 3) * 4000, _wav_samples(i))
             _os.replace(tmp, p)
     return d
 

@@ -147,8 +147,13 @@ def _fixture_packets():
 
 
 def _fixture_path(tag: str) -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
     os.makedirs(SCRATCH, exist_ok=True)
-    path = os.path.join(SCRATCH, f"capture_{tag}.pcap")
+    # Recipe hash in the name: changing the formula or PCAP_N can't
+    # silently reuse a stale binary (fixtures.py rationale).
+    rev = fixture_rev(_fixture_packets, write_pcap, PCAP_N)
+    path = os.path.join(SCRATCH, f"capture_{tag}_{rev}.pcap")
     if not os.path.exists(path):
         tmp = path + ".tmp"  # write-then-rename: no torn fixture on crash
         write_pcap(tmp, _fixture_packets())
@@ -208,7 +213,10 @@ def _traffic_packets(nif_idx: int):
 
 
 def _traffic_fixture_dir() -> str:
-    d = os.path.join(SCRATCH, "pcap_traffic")
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_traffic_packets, write_pcap, PCAP_NIFS, PCAP_TRAFFIC_N)
+    d = os.path.join(SCRATCH, f"pcap_traffic_{rev}")
     os.makedirs(d, exist_ok=True)
     for n in range(PCAP_NIFS):
         path = os.path.join(d, f"eth{n}.pcap")
@@ -364,7 +372,20 @@ class PcapDirStreamReader(DataSourceStreamReader):
         # thousands of rotated files drains in bounded batches instead
         # of one giant catch-up batch
         self._cap = int(options.get("max_files_per_trigger", -1) or -1)
-        self._high = ""  # latest name ever offered (keeps offsets monotone)
+        # Latest name ever OFFERED (not consumed). Mutating reader state
+        # here is safe only because of the Python streaming API's
+        # lifecycle contract, which the exactly-once tests pin: Spark
+        # constructs exactly ONE stream-reader instance per run on the
+        # driver, and calls latestOffset()/partitions() serially on it.
+        # After a driver bounce a FRESH instance starts with _high=""
+        # but partitions(start, end) re-seeds it from the CHECKPOINTED
+        # end offset (max below) before the next latestOffset() call, so
+        # consumed files are never re-offered even when retention has
+        # deleted everything below the checkpoint. Any refactor that
+        # caches offsets elsewhere or constructs extra reader instances
+        # breaks exactly-once — see
+        # test_pcap_stream_restart_retention_no_rereads.
+        self._high = ""
 
     def _names(self) -> list[str]:
         import glob
@@ -457,8 +478,11 @@ def _flow_frame(i: int) -> bytes:
 
 
 def _flow_fixture_path() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
     os.makedirs(SCRATCH, exist_ok=True)
-    path = os.path.join(SCRATCH, "capture_flows.pcap")
+    rev = fixture_rev(_flow_frame, write_pcap, FLOW_N)
+    path = os.path.join(SCRATCH, f"capture_flows_{rev}.pcap")
     if not os.path.exists(path):
         # write-then-rename: a crash mid-write must not leave a torn
         # file that the exists-check would then treat as the fixture

@@ -340,6 +340,58 @@ def test_pcap_dir_stream_survives_retention_cleanup(spark, tmp_path):
     ) == [10, 20, 30], "retention shifted the stream offset"
 
 
+def test_pcap_stream_restart_retention_no_rereads(spark, tmp_path):
+    """Driver-bounce + aggressive retention: EVERY consumed file is
+    deleted — including cap-0002, the file whose NAME is the
+    checkpointed offset. The fresh reader instance starts with
+    _high='' and must re-seed from the checkpointed end offset via
+    partitions() (the lifecycle contract documented on
+    PcapDirStreamReader.latestOffset); the offset name compares fine
+    even though the file it names no longer exists, so the restarted
+    query emits ONLY the newly rotated file."""
+    import os
+
+    from spark_streaming_test_spark.sources.pcap_file import (
+        register_pcap_source,
+        write_pcap,
+    )
+
+    register_pcap_source(spark)
+    d = tmp_path / "caps"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_pcap(str(d / "cap-0001.pcap"), [(10, 0, 2, 2, b"AA")])
+    write_pcap(str(d / "cap-0002.pcap"), [(20, 0, 3, 3, b"BBB")])
+
+    def run_once():
+        q = (
+            spark.readStream.format("pcap_dir")
+            .option("path", str(d))
+            .load()
+            .select("ts_sec", "incl_len")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        r["ts_sec"] for r in spark.read.parquet(out).collect()
+    ) == [10, 20]
+    # retention wipes ALL consumed files — the offset-anchor included
+    os.remove(str(d / "cap-0001.pcap"))
+    os.remove(str(d / "cap-0002.pcap"))
+    write_pcap(str(d / "cap-0003.pcap"), [(30, 0, 1, 1, b"C")])
+    run_once()
+    assert sorted(
+        r["ts_sec"] for r in spark.read.parquet(out).collect()
+    ) == [10, 20, 30], "offset-anchor deletion broke exactly-once"
+
+
 def test_multi_rowgroup_parquet_scan_splits(spark, tmp_path):
     """The premise behind catalog.spread(): single-row-group test files
     scan as ONE partition, but a production file with many row groups
