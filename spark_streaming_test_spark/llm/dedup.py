@@ -304,12 +304,20 @@ def lsh_guarded_pairs(bands: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(wb).alias("bsz"),
         F.min("doc_id").over(wb).alias("mn"),
     )
+    # Materialize the sized band frame ONCE (tiny rows: id + band +
+    # bucket + 2 int64s, ~8 rows/doc — nothing like the corpus). The
+    # three consumers below (both self-join sides + the star filter)
+    # would otherwise each re-run the scan→shingle→signature→window
+    # subtree: AQE's ReusedExchange can NOT merge them because the
+    # window sits ABOVE the only common exchange, so the r5 guard paid
+    # ~3 signature passes (plan-verified; VERDICT r5 item 5). The
+    # LogicalRDD keeps the (band, bucket) output partitioning, so the
+    # self-join consumes it with no further exchange.
+    sized = sized.localCheckpoint(eager=True)
     cold = sized.filter(F.col("bsz") <= LSH_BUCKET_CAP)
-    # Shuffle-hash self-join (not broadcast): both sides are the SAME
-    # scan→shingle→signature subtree, so with identical hash-partitioned
-    # exchanges AQE's ReusedExchange computes the signature pass ONCE and
-    # replays the shuffle files for the other side — a broadcast join
-    # would execute the expensive subtree twice.
+    # Shuffle-hash self-join (not broadcast): both sides are the same
+    # checkpointed frame; a broadcast would ship every band row to every
+    # task for no benefit.
     ba, bb = cold.alias("a").hint("shuffle_hash"), cold.alias("b").hint("shuffle_hash")
     all_pairs = ba.join(
         bb,

@@ -1002,6 +1002,33 @@ def test_minhash_guard_keeps_exchange_reuse(spark, qs):
     assert "ReusedExchange" in plan, plan[:2000]
 
 
+def test_lsh_guard_single_band_frame_pass(spark, qs):
+    # The guard's three consumers (both self-join sides + the star
+    # filter) must read the ONE materialized sized-band frame, not each
+    # re-run the scan→shingle→signature→window subtree (AQE can't merge
+    # them: the window sits above the only common exchange — the exact
+    # 3x signature pass VERDICT r5 item 5 flagged). The candidate plan
+    # therefore contains zero FileScans and three ExistingRDD scans of
+    # the checkpointed frame, and its preserved (band, bucket)
+    # partitioning means no exchange is ENSURE_REQUIREMENTS-inserted
+    # below the self-join.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load, spread
+    from spark_streaming_test_spark.llm.dedup import (
+        _shingles,
+        lsh_band_candidates,
+    )
+
+    docs = spread(load(spark, SF_DIR, "documents")).select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    )
+    plan = lsh_band_candidates(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0, plan[:2000]
+    assert plan.count("Scan ExistingRDD") == 3, plan[:2000]
+    assert plan.count("Window [") == 0, "band window re-evaluated above the checkpoint"
+
+
 def test_pcap_flows_header_parse_is_jvm_side(spark, qs):
     # Ethernet/IPv4/TCP field extraction must run as built-in
     # substring/hex/conv expressions (whole-stage codegen), not Python:
