@@ -684,3 +684,186 @@ def sql_scripting_error_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT explode(acc) AS t) ORDER BY t.priority;
     END
     """)
+
+
+@register(
+    "sql_scripting_repeat_for",
+    tags=("sql", "spark4", "scripting"),
+    oracle="""
+WITH st AS (
+  SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus
+),
+k AS (SELECT CAST(i AS INT) AS k, 1000.0 * power(2, i) AS t
+      FROM range(1, 41) r(i)),
+cand AS (
+  SELECT st.st, st.n, k.k, k.t,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+          WHERE o.o_orderstatus = st.st AND o.o_totalprice < k.t) AS c
+  FROM st CROSS JOIN k
+),
+hit AS (
+  SELECT st, n, t, c,
+         ROW_NUMBER() OVER (PARTITION BY st ORDER BY k) AS rn
+  FROM cand WHERE c * 2 >= n
+)
+SELECT st AS o_orderstatus, n AS n_orders, t AS threshold, c AS n_below
+FROM hit WHERE rn = 1 ORDER BY st
+""",
+)
+def sql_scripting_repeat_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting REPEAT + FOR (SQL/PSM, Spark 4.1): a FOR statement
+    iterates a query result (one row variable per order status), and
+    for each status a REPEAT loop doubles a price threshold UNTIL it
+    covers at least half that status's orders — a post-tested loop, so
+    the first doubling always runs (the 1000.0 seed itself is never
+    tested). Powers of two times 1000 are exactly representable, so
+    the threshold column hash-matches DuckDB, whose oracle finds the
+    same fixed point declaratively with a ROW_NUMBER over the doubling
+    schedule."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rf")
+    return _with_scripting(spark, """
+    BEGIN
+      DECLARE t DOUBLE DEFAULT 0;
+      DECLARE c BIGINT DEFAULT 0;
+      DECLARE acc ARRAY<STRUCT<o_orderstatus: STRING, n_orders: BIGINT,
+                               threshold: DOUBLE, n_below: BIGINT>>
+        DEFAULT array();
+      FOR r AS SELECT o_orderstatus AS st, COUNT(*) AS n
+               FROM orders_rf GROUP BY o_orderstatus
+               ORDER BY o_orderstatus DO
+        SET t = 1000.0;
+        REPEAT
+          SET t = t * 2;
+          SET c = (SELECT COUNT(*) FROM orders_rf
+                   WHERE o_orderstatus = r.st AND o_totalprice < t);
+        UNTIL c * 2 >= r.n
+        END REPEAT;
+        SET acc = array_append(acc, named_struct(
+          'o_orderstatus', r.st, 'n_orders', r.n,
+          'threshold', t, 'n_below', c));
+      END FOR;
+      SELECT x.o_orderstatus, x.n_orders, x.threshold, x.n_below
+      FROM (SELECT explode(acc) AS x) ORDER BY x.o_orderstatus;
+    END
+    """)
+
+
+@register(
+    "sql_scripting_loop_labels",
+    tags=("sql", "spark4", "scripting"),
+    oracle="""
+WITH yr AS (
+  SELECT y, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE EXTRACT(year FROM o_orderdate) = y) AS n
+  FROM (SELECT CAST(1991 + 2 * i AS INT) AS y FROM range(4) t(i))
+),
+run AS (SELECT y, n, SUM(n) OVER (ORDER BY y) AS running FROM yr)
+SELECT y AS yr, n AS n_orders, CAST(running AS BIGINT) AS running
+FROM run WHERE running - n <= 3000 ORDER BY y
+""",
+)
+def sql_scripting_loop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting labeled LOOPs with ITERATE/LEAVE: the outer
+    ``years`` loop skips even years via ``ITERATE years`` (a labeled
+    continue), an inner ``months`` loop accumulates that year's
+    monthly order counts and exits itself with ``LEAVE months``, and
+    the sweep stops early with ``LEAVE years`` once the running total
+    passes 3000 — the row that crosses the cap is still appended
+    (leave is tested AFTER the append), which the oracle mirrors with
+    ``running - n <= 3000`` over the odd-year running sum. At sf0.001
+    the cap never trips and all four odd years emit; at larger SFs the
+    early exit is exercised — both shapes hash-match."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ll")
+    return _with_scripting(spark, """
+    BEGIN
+      DECLARE y INT DEFAULT 1990;
+      DECLARE m INT DEFAULT 0;
+      DECLARE s BIGINT DEFAULT 0;
+      DECLARE total BIGINT DEFAULT 0;
+      DECLARE acc ARRAY<STRUCT<yr: INT, n_orders: BIGINT,
+                               running: BIGINT>> DEFAULT array();
+      years: LOOP
+        SET y = y + 1;
+        IF y > 1998 THEN LEAVE years; END IF;
+        IF y % 2 = 0 THEN ITERATE years; END IF;
+        SET s = 0;
+        SET m = 0;
+        months: LOOP
+          SET m = m + 1;
+          IF m > 12 THEN LEAVE months; END IF;
+          SET s = s + (SELECT COUNT(*) FROM orders_ll
+                       WHERE year(o_orderdate) = y
+                         AND month(o_orderdate) = m);
+        END LOOP months;
+        SET total = total + s;
+        SET acc = array_append(acc, named_struct(
+          'yr', y, 'n_orders', s, 'running', total));
+        IF total > 3000 THEN LEAVE years; END IF;
+      END LOOP years;
+      SELECT t.yr, t.n_orders, t.running
+      FROM (SELECT explode(acc) AS t) ORDER BY t.yr;
+    END
+    """)
+
+
+@register(
+    "sql_scripting_condition_handler",
+    tags=("sql", "spark4", "scripting", "error-handling"),
+    oracle="""
+SELECT probe, outcome FROM (VALUES
+  ('cast_bad', 'generic_handler'),
+  ('div_zero', 'div0_handler'),
+  ('ok', 'ok:' || CAST((SELECT COUNT(*) FROM orders) AS VARCHAR))
+) t(probe, outcome) ORDER BY probe
+""",
+)
+def sql_scripting_condition_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITION-SPECIFIC handlers (SQL/PSM handler resolution): the
+    inner block declares a handler for the named condition
+    ``DIVIDE_BY_ZERO`` only; the outer per-iteration block declares the
+    generic ``SQLEXCEPTION`` catch-all. A division by zero is caught by
+    the INNER handler (most-specific, innermost scope wins); an ANSI
+    cast failure (CAST_INVALID_INPUT) does NOT match the named
+    condition, escapes the inner block, and lands in the outer generic
+    handler; the clean probe records its value. This is the routing
+    table real error recovery needs — retry-able conditions handled
+    close to the statement, everything else escalating — and each
+    outcome is pinned by the oracle's literal truth table."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ch")
+    return _with_scripting(spark, """
+    BEGIN
+      DECLARE acc ARRAY<STRUCT<probe: STRING, outcome: STRING>>
+        DEFAULT array();
+      DECLARE probes ARRAY<STRING>
+        DEFAULT array('cast_bad', 'div_zero', 'ok');
+      DECLARE i INT DEFAULT 1;
+      DECLARE p STRING DEFAULT '';
+      DECLARE v BIGINT DEFAULT 0;
+      WHILE i <= size(probes) DO
+        SET p = element_at(probes, i);
+        BEGIN
+          DECLARE EXIT HANDLER FOR SQLEXCEPTION
+            SET acc = array_append(acc, named_struct(
+              'probe', p, 'outcome', 'generic_handler'));
+          BEGIN
+            DECLARE EXIT HANDLER FOR DIVIDE_BY_ZERO
+              SET acc = array_append(acc, named_struct(
+                'probe', p, 'outcome', 'div0_handler'));
+            IF p = 'div_zero' THEN
+              SET v = 1 / 0;
+            ELSEIF p = 'cast_bad' THEN
+              SET v = CAST('nope' AS BIGINT);
+            ELSE
+              SET v = (SELECT COUNT(*) FROM orders_ch);
+            END IF;
+            SET acc = array_append(acc, named_struct(
+              'probe', p, 'outcome', concat('ok:', CAST(v AS STRING))));
+          END;
+        END;
+        SET i = i + 1;
+      END WHILE;
+      SELECT t.probe, t.outcome
+      FROM (SELECT explode(acc) AS t) ORDER BY t.probe;
+    END
+    """)

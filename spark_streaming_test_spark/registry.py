@@ -86,6 +86,9 @@ _QUERY_MODULES = [
 # registry by rank in this list). Regenerated each round from the union
 # of CORRECTNESS_r*.json: never-driver-verified names first, greens last.
 _DRIVER_WINDOW = [
+    # --- round-6 additions (never sampled; verify first) ---------------
+    "sql_scripting_repeat_for", "sql_scripting_loop_labels",
+    "sql_scripting_condition_handler",
     # --- round-6 window (first 50; driver samples registry head) -------
     # Rotation state after r5: driver union r1-r5 = 237 distinct
     # hash-verified names (r5 was 50/50 green, incl. the rfm/weighted_avg
