@@ -2142,3 +2142,72 @@ def test_windowed_agg_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", saved
             )
+
+
+def test_rocksdb_changelog_checkpointing_restart(spark, tmp_path):
+    """RocksDB CHANGELOG checkpointing (the low-latency commit path for
+    large state: per-batch uploads ship the batch's changelog instead
+    of a full SST snapshot): a stateful dedup stream commits with
+    changelogCheckpointing enabled, restarts from the checkpoint with
+    a second batch of files, and (a) dedup state demonstrably survived
+    the bounce — re-sent keys stay deduped, (b) the checkpoint holds
+    .changelog artifacts, the observable difference vs snapshot-only
+    mode."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": provider,
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("k string, v long")
+            .parquet(src)
+            .dropDuplicates(["k"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v long"
+        ).write.mode("append").parquet(src)
+        run_once()
+        # second batch: one duplicate key (a) + one new key (c); the
+        # duplicate only stays suppressed if RocksDB state survived the
+        # restart via snapshot + changelog replay
+        spark.createDataFrame(
+            [("a", 99), ("c", 3)], "k string, v long"
+        ).write.mode("append").parquet(src)
+        run_once()
+        got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+        assert got == {"a": 1, "b": 2, "c": 3}, got
+        state_files = glob.glob(f"{ckpt}/state/**/*", recursive=True)
+        assert any(f.endswith(".changelog") for f in state_files), (
+            "changelog checkpointing did not engage",
+            state_files[:10],
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
