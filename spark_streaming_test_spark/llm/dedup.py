@@ -2416,3 +2416,184 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chunk_ratio"),
         )
     )
+
+
+# --- exact-substring duplication (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL'22 — PAPERS.md) -------------------
+#
+# The published pipeline finds exact token runs >= 50 tokens shared across
+# documents with a suffix array. A suffix array is a single-machine
+# structure; the Spark-first equivalent ANCHORS on token L-grams: any
+# shared run of >= L tokens contains a shared L-gram, so hashing every
+# L-gram and equi-joining on the gram key finds every such run with ONE
+# shuffle — then a gaps-and-islands pass over matched (posA, posB)
+# diagonals recovers the exact run lengths (a run of c consecutive
+# matched anchors = a common substring of c + L - 1 tokens). L is the
+# minimum run length detected; the fixture corpus uses L=6 (vocab ~25
+# words, docs 10-99 tokens) where the reference setting would be 50.
+SUBSTR_L = 6
+# Hot-gram guard, same convention as LSH_BUCKET_CAP: a gram occurring
+# more than this many times (degenerate boilerplate) would go quadratic
+# in the gram self-join; occurrences above the cap are excluded and
+# PRICED by dedup_substring_gram_audit — never silently.
+SUBSTR_GRAM_CAP = 64
+
+_SQL_TOKEN_GRAMS = f"""
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5]) AS g
+  FROM toks,
+       LATERAL unnest(range(1, greatest(len(t) - {SUBSTR_L} + 2, 1))) r(i)
+)
+"""
+
+
+def _token_gram_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, g): every L-token gram with its 1-based position."""
+    t = F.split(F.lower(F.col("text")), " ")
+    n = F.size(t) - (SUBSTR_L - 1)
+    pg = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.concat_ws(" ", F.slice(t, i, SUBSTR_L)).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,g:string>>"))
+    return docs.select("doc_id", F.explode(pg).alias("pg")).select(
+        "doc_id", "pg.pos", "pg.g"
+    )
+
+
+@register(
+    "dedup_exact_substring_pairs",
+    tags=("llm", "dedup", "substring", "scale-path"),
+    oracle=f"""
+WITH {_SQL_TOKEN_GRAMS},
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY g) AS occ FROM grams),
+kept AS (SELECT * FROM sized WHERE occ <= {SUBSTR_GRAM_CAP}),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, b.pos AS pb, a.g
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, island, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_a, doc_b, pa - pb AS diag,
+           pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                   ORDER BY pa) AS island
+    FROM m
+  ) GROUP BY doc_a, doc_b, diag, island
+),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(MAX(c) + {SUBSTR_L - 1} AS BIGINT) AS max_run_tokens
+  FROM isl GROUP BY doc_a, doc_b
+),
+shared AS (
+  SELECT doc_a, doc_b, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared_grams
+  FROM m GROUP BY doc_a, doc_b
+)
+SELECT s.doc_a, s.doc_b, s.n_shared_grams, r.max_run_tokens
+FROM shared s JOIN runs r USING (doc_a, doc_b)
+""",
+)
+def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detection (the ACL'22 suffix-array
+    dedup re-expressed Spark-first; see the anchor-gram rationale
+    above): document pairs sharing an exact run of >= SUBSTR_L
+    consecutive tokens, with the LONGEST shared run recovered exactly
+    via a gaps-and-islands window over matched anchor diagonals
+    (constant pa - pb + consecutive pa = one contiguous common
+    substring).
+
+    Shuffles: one window + self-join on the gram key (the same
+    guarded-bucket shape as the LSH band join — hot grams above
+    SUBSTR_GRAM_CAP are excluded and priced by
+    dedup_substring_gram_audit), then two aggregates over the tiny
+    matched-anchor frame (localCheckpointed: its subtree is the
+    expensive part, its rows are pair-bounded). At 100 TB the gram
+    frame shuffles 8-byte hashes + positions, never document bodies."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    grams = _token_gram_frame(docs)
+    wg = Window.partitionBy("g")
+    sized = grams.select(
+        "doc_id", "pos", "g", F.count(F.lit(1)).over(wg).alias("occ")
+    ).localCheckpoint(eager=True)
+    kept = sized.filter(F.col("occ") <= SUBSTR_GRAM_CAP)
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    ).hint("shuffle_hash")
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
+    ).hint("shuffle_hash")
+    m = (
+        a.join(b, ["g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", "g")
+        .localCheckpoint(eager=True)
+    )
+    wd = Window.partitionBy(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb"))
+    ).orderBy("pa")
+    isl = (
+        m.select(
+            "doc_a",
+            "doc_b",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+            (F.col("pa") - F.row_number().over(wd)).alias("island"),
+        )
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    runs = isl.groupBy("doc_a", "doc_b").agg(
+        (F.max("c") + F.lit(SUBSTR_L - 1)).cast("bigint").alias("max_run_tokens")
+    )
+    shared = m.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("g").cast("bigint").alias("n_shared_grams")
+    )
+    return shared.join(runs, ["doc_a", "doc_b"])
+
+
+@register(
+    "dedup_substring_gram_audit",
+    tags=("llm", "dedup", "substring", "audit"),
+    oracle=f"""
+WITH {_SQL_TOKEN_GRAMS},
+per_g AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS occ FROM grams GROUP BY g)
+SELECT CAST(SUM(occ) AS BIGINT) AS total_grams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       CAST(COUNT(*) FILTER (occ > {SUBSTR_GRAM_CAP}) AS BIGINT)
+         AS hot_grams,
+       CAST(COALESCE(SUM(occ) FILTER (occ > {SUBSTR_GRAM_CAP}), 0)
+            AS BIGINT) AS dropped_occurrences
+FROM per_g
+""",
+)
+def dedup_substring_gram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps companion of dedup_exact_substring_pairs
+    (same convention as dedup_lsh_bucket_audit): how many anchor grams
+    exist, how many are hot (above SUBSTR_GRAM_CAP), and how many gram
+    occurrences the guard excluded from the pair join — so a corpus
+    whose boilerplate swamps the anchor index is VISIBLE, not silently
+    under-deduped. Map-side-combining groupBy (per-gram counts), then
+    an O(1) rollup."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    per_g = _token_gram_frame(docs).groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    hot = F.col("occ") > SUBSTR_GRAM_CAP
+    return per_g.agg(
+        F.sum("occ").cast("bigint").alias("total_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_grams"),
+        F.count(F.when(hot, 1)).cast("bigint").alias("hot_grams"),
+        F.coalesce(F.sum(F.when(hot, F.col("occ")).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("dropped_occurrences"),
+    )
