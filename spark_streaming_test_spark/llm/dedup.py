@@ -2597,3 +2597,60 @@ def dedup_substring_gram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dropped_occurrences"),
     )
+
+
+@register(
+    "split_leakage_safe",
+    tags=("llm", "dedup", "split"),
+    oracle=f"""
+WITH RECURSIVE {_minhash_pairs_sql()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+),
+comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+sz AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       CASE WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 1) <= 'b'
+              THEN 'train'
+            WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 1) <= 'd'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM comp c JOIN sz s USING (cluster_id)
+""",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash-bucket assignment of
+    ``split_train_test`` keyed on the NEAR-DUP CLUSTER id instead of the
+    document id, so near-duplicates can never straddle a split boundary
+    (the classic eval-contamination bug: a test document whose 0.9-
+    Jaccard twin sits in train). Every member of a MinHash-LSH connected
+    component (dedup_cluster_canonical's labels) hashes to the same
+    split by construction; singleton clusters behave exactly like the
+    per-doc split.
+
+    Scale: the component labels come from the guarded LSH + min-label
+    pipeline (hash-only shuffles); the split itself is a projection over
+    the label frame — md5 of the cluster id, no extra shuffle beyond
+    the cluster-size audit aggregate."""
+    labels = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    first = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    split = (
+        F.when(first <= "b", "train").when(first <= "d", "val").otherwise("test")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size", split.alias("split")
+    )

@@ -1452,3 +1452,91 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label"),
         )
     )
+
+
+# --- interpolated Kneser-Ney bigram model ----------------------------------
+
+KN_D = 0.75  # the standard absolute-discount constant (Chen & Goodman '99)
+
+
+@register(
+    "text_kneser_ney_bigram",
+    tags=("llm", "text", "quality", "lm"),
+    oracle=f"""
+WITH {_SQL_LM_PAIRS},
+big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM doc_pairs GROUP BY w1, w2
+),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM big)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       greatest(CAST(c12 AS DOUBLE) - CAST({KN_D} AS DOUBLE),
+                CAST(0 AS DOUBLE))
+         / CAST(SUM(c12) OVER (PARTITION BY w1) AS DOUBLE)
+       + ((CAST({KN_D} AS DOUBLE)
+           * CAST(COUNT(*) OVER (PARTITION BY w1) AS DOUBLE))
+          / CAST(SUM(c12) OVER (PARTITION BY w1) AS DOUBLE))
+         * (CAST(COUNT(*) OVER (PARTITION BY w2) AS DOUBLE) / t.nt)
+         AS p_kn
+FROM big, t
+""",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (Chen & Goodman, "An
+    Empirical Study of Smoothing Techniques for Language Modeling" —
+    the smoothing KenLM uses, and KenLM perplexity is the canonical
+    corpus-quality filter):
+
+      P_KN(w2|w1) = max(c12 - D, 0)/c1
+                    + (D * N1+(w1,.)/c1) * (N1+(.,w2)/N1+(.,.))
+
+    The continuation weight N1+(.,w2) — how many DISTINCT predecessors
+    w2 follows — is what distinguishes KN from plain absolute
+    discounting: "francisco" is frequent but follows only "san", so its
+    continuation probability is tiny. Every term is a window aggregate
+    over the observed-bigram model table (c1 and N1+(w1,.) partition by
+    w1, N1+(.,w2) by w2), so the model builds in ONE corpus pass plus
+    vocabulary-bounded window shuffles; N1+(.,.) is a single scalar off
+    the checkpointed model frame.
+
+    Determinism: no ln(), no rounding — every factor is a ratio of
+    exact-integer-valued doubles and the expression tree is mirrored
+    IEEE op-for-op in the oracle, so the doubles match bitwise."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    pairs = (
+        d.select("doc_id", toks.alias("tk"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.col("tk"),
+                        F.slice(F.col("tk"), 2, 2_000_000),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                    lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    n_tot = float(big.count())  # scalar over the checkpointed model table
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    c1 = F.sum("c12").over(w1w).cast("double")
+    n1_fwd = F.count(F.lit(1)).over(w1w).cast("double")
+    n1_bwd = F.count(F.lit(1)).over(w2w).cast("double")
+    p_kn = (
+        F.greatest(
+            F.col("c12").cast("double") - F.lit(KN_D), F.lit(0.0)
+        )
+        / c1
+        + ((F.lit(KN_D) * n1_fwd) / c1) * (n1_bwd / F.lit(n_tot))
+    )
+    return big.select(
+        "w1", "w2", F.col("c12").cast("bigint").alias("c12"), p_kn.alias("p_kn")
+    )

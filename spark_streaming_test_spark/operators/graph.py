@@ -1693,3 +1693,157 @@ def alternating_star_components(raw: DataFrame) -> DataFrame:
         F.coalesce("lab", F.col("node")).alias("component"),
         (F.coalesce("lab", F.col("node")) == F.col("node")).alias("is_root"),
     )
+
+
+# --- Louvain local-moving phase --------------------------------------------
+
+LOUVAIN_BINS = 16  # deterministic initial partition: community = node % BINS
+
+
+@register(
+    "graph_louvain_move_phase",
+    tags=("graph", "communities", "iterative"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY src),
+comm AS (SELECT node, CAST(node % {LOUVAIN_BINS} AS BIGINT) AS cid FROM deg),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges),
+sig AS (
+  SELECT c.cid, CAST(SUM(d.k) AS BIGINT) AS sigma
+  FROM comm c JOIN deg d ON c.node = d.node GROUP BY c.cid
+),
+eic AS (
+  SELECT u.src AS node, c.cid, CAST(COUNT(*) AS BIGINT) AS e_ic
+  FROM und u JOIN comm c ON u.dst = c.node GROUP BY u.src, c.cid
+),
+own AS (
+  SELECT c.node, c.cid, d.k, sa.sigma AS sigma_a,
+         COALESCE(e.e_ic, 0) AS e_own
+  FROM comm c
+  JOIN deg d ON c.node = d.node
+  JOIN sig sa ON c.cid = sa.cid
+  LEFT JOIN eic e ON e.node = c.node AND e.cid = c.cid
+),
+cand AS (
+  SELECT o.node, o.cid AS comm_from, e.cid AS cand_cid,
+         2 * t.m_edges * (e.e_ic - o.e_own)
+           - o.k * (sb.sigma - o.sigma_a + o.k) AS gain,
+         ROW_NUMBER() OVER (
+           PARTITION BY o.node
+           ORDER BY 2 * t.m_edges * (e.e_ic - o.e_own)
+                      - o.k * (sb.sigma - o.sigma_a + o.k) DESC,
+                    e.cid ASC
+         ) AS rn
+  FROM own o
+  JOIN eic e ON e.node = o.node AND e.cid <> o.cid
+  JOIN sig sb ON e.cid = sb.cid
+  CROSS JOIN m t
+),
+best AS (SELECT * FROM cand WHERE rn = 1 AND gain > 0)
+SELECT o.node, o.cid AS comm_from,
+       CAST(COALESCE(b.cand_cid, o.cid) AS BIGINT) AS comm_to,
+       CAST(COALESCE(b.gain, 0) AS BIGINT) AS gain_x2m2,
+       (b.node IS NOT NULL) AS moved
+FROM own o LEFT JOIN best b ON o.node = b.node
+""",
+)
+def graph_louvain_move_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain local-moving pass (Blondel et al. 2008,
+    "Fast unfolding of communities in large networks" — PAPERS.md) over
+    the co-purchase graph: every node evaluates, against the FIXED
+    initial partition (community = node % LOUVAIN_BINS), the modularity
+    gain of relocating into each neighboring community and takes the
+    best strictly-positive move (ties broken by smallest community id).
+    Synchronous evaluation is what makes the pass deterministic and
+    oracle-checkable — classic Louvain scans nodes sequentially, which
+    is order-dependent and single-machine; the synchronous variant is
+    the standard distributed formulation (one pass of it is also one
+    round of Gemini/GraphX-style Louvain).
+
+    Determinism: the gain is emitted SCALED by 2m^2 —
+    ``gain_x2m2 = 2m(e_ib - e_ia) - k_i(sigma_b - sigma_a + k_i)`` —
+    which is an exact BIGINT (every term an integer count), so the
+    argmax and the emitted values hash-match bitwise with no float
+    anywhere. The 2^63 margin holds to ~2e9 edges; past that, drop the
+    shared 1/(2m^2) factor's exactness and compare gains as doubles.
+
+    Shuffles: degree agg, one edge->community join + (node, cid) agg
+    (both map-side combined, O(edges)), a community-degree rollup
+    (O(nodes)), then a node-partitioned window over the candidate
+    frame (O(edges) rows worst case). Nothing quadratic; the sigma
+    frame (<= BINS rows) and m broadcast."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    comm = deg.select(
+        "node", (F.col("node") % LOUVAIN_BINS).cast("bigint").alias("cid")
+    )
+    m_edges = edges.count()  # one scalar over the cached edge frame
+    sig = (
+        comm.join(deg, "node")
+        .groupBy("cid")
+        .agg(F.sum("k").cast("bigint").alias("sigma"))
+    )
+    eic = (
+        und.join(
+            comm.select(F.col("node").alias("dst"), "cid").hint("shuffle_hash"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_ic"))
+        .localCheckpoint(eager=True)
+    )
+    own = (
+        comm.join(deg, "node")
+        .join(F.broadcast(sig.withColumnRenamed("sigma", "sigma_a")), "cid")
+        .join(
+            eic.select("node", "cid", F.col("e_ic").alias("e_own")),
+            ["node", "cid"],
+            "left",
+        )
+        .select(
+            "node", "cid", "k", "sigma_a", F.coalesce("e_own", F.lit(0)).alias("e_own")
+        )
+    )
+    two_m = F.lit(2 * m_edges).cast("bigint")
+    cand = (
+        own.join(
+            eic.select("node", F.col("cid").alias("cand_cid"), "e_ic"), "node"
+        )
+        .filter(F.col("cand_cid") != F.col("cid"))
+        .join(
+            F.broadcast(
+                sig.select(F.col("cid").alias("cand_cid"), F.col("sigma").alias("sigma_b"))
+            ),
+            "cand_cid",
+        )
+        .select(
+            "node",
+            F.col("cid").alias("comm_from"),
+            "cand_cid",
+            (
+                two_m * (F.col("e_ic") - F.col("e_own"))
+                - F.col("k") * (F.col("sigma_b") - F.col("sigma_a") + F.col("k"))
+            ).alias("gain"),
+        )
+    )
+    wn = Window.partitionBy("node").orderBy(
+        F.col("gain").desc(), F.col("cand_cid").asc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(wn))
+        .filter((F.col("rn") == 1) & (F.col("gain") > 0))
+        .select("node", "cand_cid", "gain")
+    )
+    return own.join(best, "node", "left").select(
+        "node",
+        F.col("cid").alias("comm_from"),
+        F.coalesce("cand_cid", F.col("cid")).cast("bigint").alias("comm_to"),
+        F.coalesce("gain", F.lit(0)).cast("bigint").alias("gain_x2m2"),
+        F.col("cand_cid").isNotNull().alias("moved"),
+    )

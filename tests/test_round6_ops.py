@@ -1,0 +1,164 @@
+"""Semantic tests for the round-6 wave: exact-substring dedup, Louvain
+move phase, leakage-safe split, Kneser-Ney bigram — ground-truth
+properties the cross-engine hash can't see (both engines could share a
+formula bug; these replay the math independently in plain Python)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from spark_streaming_test_spark.llm import dedup, text_analysis
+from spark_streaming_test_spark.operators import graph
+
+
+def _lcr(ta: list[str], tb: list[str]) -> int:
+    """Longest common token run between two token lists (O(n*m) DP)."""
+    best = 0
+    prev = [0] * (len(tb) + 1)
+    for a in ta:
+        cur = [0] * (len(tb) + 1)
+        for j, b in enumerate(tb, 1):
+            if a == b:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def test_exact_substring_matches_python_lcs(spark, sf_dir):
+    """max_run_tokens must equal the true longest common token run
+    (python DP) for every emitted pair, and sampled non-emitted pairs
+    must have no run >= SUBSTR_L. Valid because the fixture corpus has
+    ZERO hot grams (asserted), so the guard excludes nothing."""
+    audit = dedup.dedup_substring_gram_audit(spark, sf_dir).collect()[0]
+    assert audit["hot_grams"] == 0, "precondition: guard must be inactive"
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["max_run_tokens"]
+        for r in dedup.dedup_exact_substring_pairs(spark, sf_dir).collect()
+    }
+    assert pairs, "fixture corpus must contain shared substrings"
+    for (a, b), run in pairs.items():
+        true_run = _lcr(docs[a], docs[b])
+        assert true_run == run >= dedup.SUBSTR_L, (a, b, run, true_run)
+
+    # Sampled completeness: deterministic md5-ordered non-emitted pairs.
+    ids = sorted(docs)
+    sampled = 0
+    for a in ids:
+        for b in ids:
+            if a < b and (a, b) not in pairs:
+                if int(hashlib.md5(f"{a}:{b}".encode()).hexdigest(), 16) % 97:
+                    continue
+                assert _lcr(docs[a], docs[b]) < dedup.SUBSTR_L, (a, b)
+                sampled += 1
+    assert sampled >= 100
+
+
+def test_louvain_gain_python_replay(spark, sf_dir):
+    """Every emitted move must match an independent pure-Python replay
+    of the synchronous Louvain pass: same target community, same scaled
+    gain, and unmoved nodes must have no strictly positive candidate."""
+    edges = [
+        (r["u"], r["v"])
+        for r in graph._copurchase_edges(spark, sf_dir).collect()
+    ]
+    m = len(edges)
+    nbrs = defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    k = {n: len(vs) for n, vs in nbrs.items()}
+    cid = {n: n % graph.LOUVAIN_BINS for n in nbrs}
+    sigma = defaultdict(int)
+    for n in nbrs:
+        sigma[cid[n]] += k[n]
+
+    expected = {}
+    for n in nbrs:
+        e_ic = defaultdict(int)
+        for v in nbrs[n]:
+            e_ic[cid[v]] += 1
+        e_own = e_ic.get(cid[n], 0)
+        best = None
+        for c, e in sorted(e_ic.items()):
+            if c == cid[n]:
+                continue
+            gain = 2 * m * (e - e_own) - k[n] * (sigma[c] - sigma[cid[n]] + k[n])
+            if gain > 0 and (best is None or gain > best[0]):
+                best = (gain, c)
+        expected[n] = best
+
+    out = {
+        r["node"]: r for r in graph.graph_louvain_move_phase(spark, sf_dir).collect()
+    }
+    assert set(out) == set(nbrs)
+    for n, r in out.items():
+        assert r["comm_from"] == cid[n]
+        if expected[n] is None:
+            assert not r["moved"] and r["comm_to"] == cid[n] and r["gain_x2m2"] == 0
+        else:
+            gain, c = expected[n]
+            assert r["moved"] and (r["gain_x2m2"], r["comm_to"]) == (gain, c), (
+                n, (r["gain_x2m2"], r["comm_to"]), (gain, c),
+            )
+
+
+def test_leakage_safe_split_no_straddle(spark, sf_dir):
+    """The property the oracle can't see: no near-dup PAIR straddles a
+    split boundary, every cluster lands in exactly one split, and
+    singleton docs get the same bucket split_train_test would give."""
+    split = {
+        r["doc_id"]: r
+        for r in dedup.split_leakage_safe(spark, sf_dir).collect()
+    }
+    for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect():
+        a, b = split[r["doc_a"]], split[r["doc_b"]]
+        assert a["split"] == b["split"], (r["doc_a"], r["doc_b"])
+        assert a["cluster_id"] == b["cluster_id"]
+    by_cluster = defaultdict(set)
+    for r in split.values():
+        by_cluster[r["cluster_id"]].add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r["split"] for r in split.values()} == {"train", "val", "test"}
+    for r in split.values():
+        if r["cluster_size"] == 1:
+            first = hashlib.md5(str(r["cluster_id"]).encode()).hexdigest()[0]
+            want = "train" if first <= "b" else ("val" if first <= "d" else "test")
+            assert r["split"] == want
+
+
+def test_kneser_ney_python_replay(spark, sf_dir):
+    """p_kn must match the textbook formula recomputed in Python from
+    the emitted counts, and the model must conserve probability mass:
+    per w1, sum(discounted ML part) + lambda(w1) == 1 exactly (the
+    continuation distribution sums to 1 over the full vocabulary)."""
+    rows = text_analysis.text_kneser_ney_bigram(spark, sf_dir).collect()
+    c1 = defaultdict(int)
+    n1_fwd = defaultdict(int)
+    n1_bwd = defaultdict(int)
+    for r in rows:
+        c1[r["w1"]] += r["c12"]
+        n1_fwd[r["w1"]] += 1
+        n1_bwd[r["w2"]] += 1
+    n_tot = float(len(rows))
+    D = text_analysis.KN_D
+    for r in rows:
+        want = max(r["c12"] - D, 0.0) / c1[r["w1"]] + (
+            (D * n1_fwd[r["w1"]]) / c1[r["w1"]]
+        ) * (n1_bwd[r["w2"]] / n_tot)
+        assert abs(r["p_kn"] - want) < 1e-12, (r["w1"], r["w2"])
+    for w1 in c1:
+        lam = D * n1_fwd[w1] / c1[w1]
+        ml_mass = sum(
+            max(r["c12"] - D, 0.0) / c1[w1] for r in rows if r["w1"] == w1
+        )
+        assert abs(ml_mass + lam - 1.0) < 1e-9, w1
