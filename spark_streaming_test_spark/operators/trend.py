@@ -2838,3 +2838,170 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower.alias("lower_band"),
         ((F.col("v") > upper) | (F.col("v") < lower)).alias("breakout"),
     )
+
+
+# --- matrix profile (exact, blocked pairwise) -------------------------------
+
+MP_W = 12    # subsequence length (hours of observed series)
+MP_EXCL = 6  # trivial-match exclusion zone (w/2, the standard choice)
+MP_DP = 8    # round z-norm distances before the argmin tie-break
+
+
+@register(
+    "ts_matrix_profile",
+    tags=("timeseries", "similarity", "motif"),
+    oracle=f"""
+WITH hourly AS ({_SQL_HOURLY_SUM}),
+idxd AS (
+  SELECT event_type, h, CAST(hv AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+  FROM hourly
+),
+win AS (
+  SELECT event_type, i, h,
+         list(v) OVER (PARTITION BY event_type ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {MP_W - 1} FOLLOWING)
+           AS xs
+  FROM idxd
+),
+subs AS (
+  SELECT event_type, i, h, xs,
+         list_sum(xs) / CAST({MP_W} AS DOUBLE) AS mu,
+         list_inner_product(xs, xs) AS q
+  FROM win WHERE len(xs) = {MP_W}
+),
+zs AS (
+  SELECT event_type, i, h, xs, mu,
+         sqrt(q / CAST({MP_W} AS DOUBLE) - mu * mu) AS sig
+  FROM subs
+  WHERE q / CAST({MP_W} AS DOUBLE) - mu * mu > CAST(0 AS DOUBLE)
+),
+pairs AS (
+  SELECT a.event_type, a.i, a.h, b.i AS j,
+         round(CAST({2 * MP_W} AS DOUBLE)
+               * (CAST(1 AS DOUBLE)
+                  - (list_inner_product(a.xs, b.xs) / CAST({MP_W} AS DOUBLE)
+                     - a.mu * b.mu) / (a.sig * b.sig)),
+               {MP_DP}) AS d2
+  FROM zs a JOIN zs b
+    ON a.event_type = b.event_type AND abs(a.i - b.i) >= {MP_EXCL}
+)
+SELECT event_type, CAST(i AS BIGINT) AS idx, h AS window_start,
+       CAST(j AS BIGINT) AS nn_idx, d2 AS mp_dist2
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, i
+                               ORDER BY d2, j) AS rn
+  FROM pairs
+) r WHERE rn = 1
+""",
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact matrix profile (Yeh et al., "Matrix Profile I", ICDM'16):
+    for every length-{MP_W} subsequence of each hourly series, the
+    z-normalized distance to its nearest non-trivial neighbor
+    (|i-j| >= {MP_EXCL} exclusion) and that neighbor's index. The
+    global minimum is the series' top MOTIF pair, the maximum its top
+    DISCORD (anomaly) — this is the exact counterpart of the symbolic
+    ts_sax_motifs screen.
+
+    z-norm distance via the correlation identity
+    d2 = 2w(1 - (ip(xi,xj)/w - mu_i mu_j)/(sig_i sig_j)), every factor
+    a row-local fold over the two subsequence arrays carried in the
+    pair row — no cross-row float aggregation anywhere, so engine
+    partial-agg order can't perturb anything and the doubles match
+    bitwise (the ts_subsequence_match argument, extended to pairs).
+    Constant subsequences (sig = 0) are excluded exactly.
+
+    Scale posture: the published scale path (STOMP/SCAMP) is an FFT +
+    O(1) dot-product recurrence, inherently sequential per series; the
+    DISTRIBUTED formulation is blocked pairwise within each series
+    (series are independent — the real parallelism axis at 100 TB is
+    millions of series sharded by key) with the exclusion-zone filter
+    pushed into the self-join. One window pass builds subsequences;
+    the pair join shuffles only (i, 12-float array, 2 moments) rows,
+    O(n^2/series) bounded by per-series length, never corpus-sized."""
+    hourly = _hourly_sum(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("v")
+    )
+    wi = Window.partitionBy("event_type").orderBy("h")
+    idxd = hourly.select(
+        "event_type", "h", "v", F.row_number().over(wi).alias("i")
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, MP_W - 1)
+    )
+    ip = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    wD = F.lit(float(MP_W))
+    win = idxd.select(
+        "event_type", "i", "h", F.collect_list("v").over(wf).alias("xs")
+    ).filter(F.size("xs") == MP_W)
+    subs = win.select(
+        "event_type",
+        "i",
+        "h",
+        "xs",
+        (
+            F.aggregate(F.col("xs"), F.lit(0.0), lambda s, v: s + v) / wD
+        ).alias("mu"),
+        ip(F.col("xs"), F.col("xs")).alias("q"),
+    )
+    zs = (
+        subs.filter(F.col("q") / wD - F.col("mu") * F.col("mu") > F.lit(0.0))
+        .select(
+            "event_type",
+            "i",
+            "h",
+            "xs",
+            "mu",
+            F.sqrt(F.col("q") / wD - F.col("mu") * F.col("mu")).alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = zs.select(
+        "event_type",
+        "i",
+        "h",
+        F.col("xs").alias("xa"),
+        F.col("mu").alias("mua"),
+        F.col("sig").alias("siga"),
+    )
+    b = zs.select(
+        F.col("event_type").alias("et_b"),
+        F.col("i").alias("j"),
+        F.col("xs").alias("xb"),
+        F.col("mu").alias("mub"),
+        F.col("sig").alias("sigb"),
+    )
+    d2 = F.round(
+        F.lit(float(2 * MP_W))
+        * (
+            F.lit(1.0)
+            - (ip(F.col("xa"), F.col("xb")) / wD - F.col("mua") * F.col("mub"))
+            / (F.col("siga") * F.col("sigb"))
+        ),
+        MP_DP,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.abs(F.col("i") - F.col("j")) >= MP_EXCL),
+        )
+        .select("event_type", "i", "h", "j", d2.alias("d2"))
+    )
+    rn = Window.partitionBy("event_type", "i").orderBy("d2", "j")
+    return (
+        pairs.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("i").cast("bigint").alias("idx"),
+            F.col("h").alias("window_start"),
+            F.col("j").cast("bigint").alias("nn_idx"),
+            F.col("d2").alias("mp_dist2"),
+        )
+    )

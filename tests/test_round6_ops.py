@@ -162,3 +162,117 @@ def test_kneser_ney_python_replay(spark, sf_dir):
             max(r["c12"] - D, 0.0) / c1[w1] for r in rows if r["w1"] == w1
         )
         assert abs(ml_mass + lam - 1.0) < 1e-9, w1
+
+
+def test_hist_gbdt_split_numpy_replay(spark, sf_dir):
+    """Best split per feature must match a NumPy replay of the full
+    histogram pipeline (per-user prior, 9-dp gradient quantization,
+    fixed-width binning, second-order gain)."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from spark_streaming_test_spark.operators import mltrain
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(CASE WHEN event_type = "
+            f"'{mltrain.LR_LABEL}' THEN 1 ELSE 0 END AS DOUBLE) AS y",
+            "value AS f_value",
+            "CAST(hour(ts) AS DOUBLE) AS f_hour",
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        n, p = by_user.get(r["user_id"], (0, 0))
+        by_user[r["user_id"]] = (n + 1, p + int(r["y"]))
+    # Spark's double->decimal cast rounds the exact binary value HALF_UP.
+    q9 = lambda x: float(  # noqa: E731
+        Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    )
+    out = {
+        r["feature"]: r
+        for r in mltrain.ml_hist_gbdt_split(spark, sf_dir).collect()
+    }
+    for feature, key in (("value", "f_value"), ("hour", "f_hour")):
+        xs = np.array([r[key] for r in rows])
+        p0 = np.array(
+            [by_user[r["user_id"]][1] / by_user[r["user_id"]][0] for r in rows]
+        )
+        y = np.array([r["y"] for r in rows])
+        g = np.array([q9(v) for v in (p0 - y)])
+        h = np.array([q9(v) for v in (p0 * (1 - p0))])
+        mn, mx = xs.min(), xs.max()
+        bins = np.minimum(
+            np.floor((xs - mn) * float(mltrain.HIST_BINS) / (mx - mn)),
+            mltrain.HIST_BINS - 1,
+        ).astype(int)
+        G = np.zeros(mltrain.HIST_BINS)
+        H = np.zeros(mltrain.HIST_BINS)
+        for b, gi, hi in zip(bins, g, h):
+            G[b] += gi
+            H[b] += hi
+        lam = mltrain.GBDT_LAMBDA
+        gt, ht = G.sum(), H.sum()
+        best = None
+        present = sorted(set(bins))
+        for b in present:
+            gl = G[: b + 1].sum()
+            hl = H[: b + 1].sum()
+            nl = int((bins <= b).sum())
+            if nl == len(rows):
+                continue
+            gain = 0.5 * (
+                gl * gl / (hl + lam)
+                + (gt - gl) ** 2 / ((ht - hl) + lam)
+                - gt * gt / (ht + lam)
+            )
+            if best is None or gain > best[0] + 1e-12:
+                best = (gain, b, nl)
+        r = out[feature]
+        assert r["split_bin"] == best[1], (feature, r["split_bin"], best)
+        assert abs(r["gain"] - best[0]) < 1e-9, (feature, r["gain"], best[0])
+        assert r["n_left"] == best[2]
+
+
+def test_matrix_profile_numpy_replay(spark, sf_dir):
+    """The matrix profile must match a NumPy all-pairs z-normalized
+    distance computation for one series (same exclusion zone)."""
+    import numpy as np
+
+    from spark_streaming_test_spark.operators import trend
+
+    hourly = {
+        r["h"]: float(r["hv"])
+        for r in trend._hourly_sum(spark, sf_dir)
+        .filter("event_type = 'click'")
+        .collect()
+    }
+    v = np.array([hourly[h] for h in sorted(hourly)])
+    w, excl = trend.MP_W, trend.MP_EXCL
+    n = len(v) - w + 1
+    subs = np.lib.stride_tricks.sliding_window_view(v, w)
+    mu = subs.mean(axis=1)
+    sig = np.sqrt((subs * subs).sum(axis=1) / w - mu * mu)
+    out = {
+        r["idx"]: r
+        for r in trend.ts_matrix_profile(spark, sf_dir)
+        .filter("event_type = 'click'")
+        .collect()
+    }
+    assert len(out) == n  # no constant subsequences in the fixture
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if abs(i - j) < excl:
+                continue
+            rho = ((subs[i] * subs[j]).sum() / w - mu[i] * mu[j]) / (
+                sig[i] * sig[j]
+            )
+            d2 = round(2 * w * (1 - rho), trend.MP_DP)
+            if best is None or d2 < best[0] - 1e-9:
+                best = (d2, j + 1)  # row_number is 1-based
+        r = out[i + 1]
+        assert abs(r["mp_dist2"] - best[0]) < 1e-6, (i, r["mp_dist2"], best)
