@@ -1141,3 +1141,62 @@ def test_aqe_coalesces_small_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan, plan[:1500]
+
+
+def test_matrix_profile_equi_join_no_cartesian(spark, qs):
+    # The exclusion-zone theta condition (abs(i - j) >= EXCL) must ride
+    # as a residual on the event_type EQUI-join, never force a
+    # cartesian/BNLJ: candidate volume is bounded per series, and at
+    # scale the series key is the hash-partitioning axis.
+    df = qs["ts_matrix_profile"](spark, SF_DIR)
+    checks.assert_no_cartesian(df)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hist_gbdt_histogram_partial_agg(spark, qs):
+    # The G/H histogram must partial-aggregate below its exchange
+    # (map-side combine): the shuffle carries O(features x bins)
+    # decimal pairs per task, not per-row gradients — the property that
+    # makes histogram split finding the 100 TB path.
+    df = qs["ml_hist_gbdt_split"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    import re
+    # at least one partial aggregate keyed by (feature, bin)
+    assert re.search(r"partial_sum", plan) or "partial" in plan.lower(), plan[:1200]
+
+
+def test_exact_substring_guarded_join_shuffle_hash(spark, qs):
+    # The anchor-gram self-join must honor the shuffle_hash hint (band-
+    # join convention: no sort of the gram frame) and the hot-gram
+    # guard must filter BEFORE the join, so capped grams never reach
+    # it. The operator localCheckpoints the matched frame (its plan is
+    # opaque downstream), so assert on the pre-checkpoint subtree,
+    # rebuilt exactly as dedup_exact_substring_pairs builds it.
+    from pyspark.sql import Window, functions as F
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.llm import dedup as dd
+
+    grams = dd._token_gram_frame(load(spark, SF_DIR, "documents"))
+    sized = grams.select(
+        "doc_id", "pos", "g",
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("occ"),
+    )
+    kept = sized.filter(F.col("occ") <= dd.SUBSTR_GRAM_CAP)
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    ).hint("shuffle_hash")
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
+    ).hint("shuffle_hash")
+    m = a.join(b, ["g"]).filter(F.col("doc_a") < F.col("doc_b"))
+    plan = checks.formatted_plan(m)
+    assert "ShuffledHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan
+    # the occ <= CAP guard sits below the join on both inputs
+    assert plan.count(f"(occ#") >= 2 or f"{dd.SUBSTR_GRAM_CAP}" in plan
+    checks.assert_no_cartesian(m)
+    # and the full operator never degrades to a cartesian downstream
+    checks.assert_no_cartesian(qs["dedup_exact_substring_pairs"](spark, SF_DIR))
