@@ -1847,3 +1847,103 @@ def graph_louvain_move_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("gain", F.lit(0)).cast("bigint").alias("gain_x2m2"),
         F.col("cand_cid").isNotNull().alias("moved"),
     )
+
+
+# --- k-truss decomposition --------------------------------------------------
+
+KTRUSS_K = 3       # every surviving edge sits in >= K-2 triangles
+KTRUSS_ROUNDS = 8  # unroll cap; the loop raises rather than diverge silently
+
+
+def _sql_ktruss_rounds() -> str:
+    rounds = []
+    for i in range(1, KTRUSS_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""
+t{i} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM te{p} e1
+  JOIN te{p} e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN te{p} e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+s{i} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM t{i}
+    UNION ALL SELECT a, c FROM t{i}
+    UNION ALL SELECT b, c FROM t{i}
+  ) GROUP BY u, v
+),
+te{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM te{p} e
+  JOIN s{i} s ON e.u = s.u AND e.v = s.v
+  WHERE s.sup >= {KTRUSS_K - 2}
+)""")
+    return ",".join(rounds)
+
+
+@register(
+    "graph_ktruss",
+    tags=("graph", "iterative", "truss"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+te0 AS MATERIALIZED (SELECT u, v FROM edges),
+{_sql_ktruss_rounds()}
+SELECT e.u, e.v, CAST(s.sup AS BIGINT) AS support
+FROM te{KTRUSS_ROUNDS} e
+JOIN s{KTRUSS_ROUNDS} s ON e.u = s.u AND e.v = s.v
+""",
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KTRUSS_K}-truss of the co-purchase graph (Cohen 2008, "Trusses:
+    cohesive subgraphs for social network analysis"): iteratively delete
+    every edge supported by fewer than {KTRUSS_K - 2} triangles until
+    the remaining subgraph is everywhere triangle-supported — the
+    EDGE-level strengthening of k-core (cores bound degrees, trusses
+    bound shared neighborhoods, so trusses can't be faked by hub
+    spokes). Emits the surviving edges with their final support.
+
+    Per round: one triangle enumeration (two hash self-joins of the
+    canonical u<v edge list — the graph_triangle_count shape), one
+    support aggregate over the 3 edge-roles of each triangle (map-side
+    combined), one semi-join filter; each round localCheckpoints to
+    truncate lineage, and convergence is an O(1) count comparison.
+    Peeling that exceeds the {KTRUSS_ROUNDS}-round unroll raises
+    rather than silently disagreeing with the oracle's replay (the
+    k-core convention)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+
+    def support(e: DataFrame) -> DataFrame:
+        e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        e3 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        tri = (
+            e1.join(e2, ["a"])
+            .filter(F.col("b") < F.col("c"))
+            .join(e3, ["b", "c"])
+        )
+        roles = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        )
+        return roles.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
+
+    for _ in range(KTRUSS_ROUNDS):
+        sup = support(edges)
+        pruned = (
+            edges.join(sup, ["u", "v"])
+            .filter(F.col("sup") >= KTRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == edges.count():
+            edges = pruned
+            break
+        edges = pruned
+    else:
+        raise RuntimeError(
+            f"k-truss peeling did not converge in {KTRUSS_ROUNDS} rounds"
+        )
+    return edges.join(support(edges), ["u", "v"]).select(
+        "u", "v", F.col("sup").cast("bigint").alias("support")
+    )

@@ -276,3 +276,42 @@ def test_matrix_profile_numpy_replay(spark, sf_dir):
                 best = (d2, j + 1)  # row_number is 1-based
         r = out[i + 1]
         assert abs(r["mp_dist2"] - best[0]) < 1e-6, (i, r["mp_dist2"], best)
+
+
+def test_ktruss_python_peeling_replay(spark, sf_dir):
+    """The k-truss must equal an independent Python peeling replay:
+    same surviving edge set, same per-edge triangle support."""
+    edges = {
+        (r["u"], r["v"])
+        for r in graph._copurchase_edges(spark, sf_dir).collect()
+    }
+
+    def supports(es):
+        nbr = defaultdict(set)
+        for u, v in es:
+            nbr[u].add(v)
+            nbr[v].add(u)
+        return {
+            (u, v): len(nbr[u] & nbr[v])  # common neighbors = triangles
+            for u, v in es
+        }
+
+    cur = set(edges)
+    for _ in range(graph.KTRUSS_ROUNDS):
+        sup = supports(cur)
+        nxt = {e for e in cur if sup[e] >= graph.KTRUSS_K - 2}
+        if nxt == cur:
+            break
+        cur = nxt
+    else:
+        raise AssertionError("python peeling did not converge")
+
+    out = {
+        (r["u"], r["v"]): r["support"]
+        for r in graph.graph_ktruss(spark, sf_dir).collect()
+    }
+    assert set(out) == cur
+    final_sup = supports(cur)
+    for e, s in out.items():
+        assert s == final_sup[e], (e, s, final_sup[e])
+    assert out, "fixture truss must be non-empty"
