@@ -3005,3 +3005,160 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").alias("mp_dist2"),
         )
     )
+
+
+# --- dynamic time warping ---------------------------------------------------
+
+DTW_BIG = 9e18  # finite +inf stand-in for the DP boundary (hash-friendly)
+DTW_DP = 8
+
+
+@register(
+    "ts_dtw_distance",
+    tags=("timeseries", "similarity", "dtw"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS dv
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(dv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         sqrt(CAST(SUM(dv * dv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              - (CAST(SUM(dv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                * (CAST(SUM(dv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS sig
+  FROM daily GROUP BY event_type
+),
+series AS (
+  SELECT d.event_type,
+         list((CAST(dv AS DOUBLE) - mu) / sig ORDER BY d.d) AS zs
+  FROM daily d JOIN stats USING (event_type)
+  GROUP BY d.event_type, mu, sig
+),
+pairs AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         a.zs AS za, b.zs AS zb
+  FROM series a JOIN series b ON a.event_type < b.event_type
+)
+SELECT et_a, et_b,
+       CAST(len(za) AS BIGINT) AS n_a, CAST(len(zb) AS BIGINT) AS n_b,
+       round(sqrt(
+         list_reduce(
+           [CAST([0.0] AS DOUBLE[]) || list_transform(zb, b -> CAST({DTW_BIG} AS DOUBLE))]
+             || list_transform(za, a -> [a]),
+           (prev, a) -> list_reduce(
+             [CAST([{DTW_BIG}] AS DOUBLE[])] || list_transform(zb, b -> [b]),
+             (acc2, bb) -> list_append(
+               acc2,
+               (a[1] - bb[1]) * (a[1] - bb[1])
+                 + least(prev[len(acc2) + 1], prev[len(acc2)],
+                         acc2[len(acc2)])
+             )
+           )
+         )[len(zb) + 1]
+       ), {DTW_DP}) AS dtw
+FROM pairs
+""",
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping distance between every pair of z-normalized
+    daily series (Sakoe & Chiba 1978; the canonical elastic similarity
+    for misaligned time series — two series with the same shape shifted
+    by a day score near zero where Euclidean distance explodes).
+
+    The full DP runs as ONE row-local nested fold: the outer
+    fold walks series A carrying the previous DP row as an
+    array<double> accumulator, the inner fold walks series B building
+    the next row (cost + min of the three predecessors), with a finite
+    {DTW_BIG} sentinel as the DP boundary. No UDF, no driver loop, no
+    cross-row aggregation — the whole recurrence is a Catalyst
+    expression evaluated independently per pair row, and DuckDB
+    replays it with the same 2-arg list_reduce fold (init row
+    prepended as the first element; scalars wrapped in 1-element
+    lists so the accumulator and element types unify). Identical
+    IEEE op order => bitwise-equal distances.
+
+    Scale posture: at 100 TB the parallelism axis is PAIRS (millions
+    of bounded-length series): building the series arrays is one
+    groupBy per series key, the candidate pair join is the only
+    shuffle, and each DP is O(len_a x len_b) inside one task with no
+    memory beyond two DP rows. Long series want the banded
+    (Sakoe-Chiba) variant — same fold with a windowed inner list —
+    or the grid-signature candidate pruning of geo_trajectory_
+    similarity in front."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("dv")
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        (
+            F.sum("dv").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("dv") * F.col("dv")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            - (F.sum("dv").cast("double") / F.count(F.lit(1)).cast("double"))
+            * (F.sum("dv").cast("double") / F.count(F.lit(1)).cast("double"))
+        ).alias("sig"),
+    )
+    series = (
+        daily.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "d",
+                            (
+                                (F.col("dv").cast("double") - F.col("mu"))
+                                / F.col("sig")
+                            ).alias("z"),
+                        )
+                    )
+                ),
+                lambda s: s["z"],
+            ).alias("zs")
+        )
+    )
+    a = series.select(F.col("event_type").alias("et_a"), F.col("zs").alias("za"))
+    b = series.select(F.col("event_type").alias("et_b"), F.col("zs").alias("zb"))
+    za, zb = F.col("za"), F.col("zb")
+    big = F.lit(DTW_BIG)
+    prev0 = F.concat(F.array(F.lit(0.0)), F.transform(zb, lambda _: big))
+    final_row = F.aggregate(
+        za,
+        prev0,
+        lambda prev, av: F.aggregate(
+            zb,
+            F.array(big),
+            lambda acc2, bv: F.concat(
+                acc2,
+                F.array(
+                    (av - bv) * (av - bv)
+                    + F.least(
+                        F.element_at(prev, F.size(acc2) + 1),
+                        F.element_at(prev, F.size(acc2)),
+                        F.element_at(acc2, F.size(acc2)),
+                    )
+                ),
+            ),
+        ),
+    )
+    dtw = F.round(F.sqrt(F.element_at(final_row, F.size(zb) + 1)), DTW_DP)
+    return (
+        a.join(b, F.col("et_a") < F.col("et_b"))
+        .select(
+            "et_a",
+            "et_b",
+            F.size(za).cast("bigint").alias("n_a"),
+            F.size(zb).cast("bigint").alias("n_b"),
+            dtw.alias("dtw"),
+        )
+    )

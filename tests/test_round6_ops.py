@@ -315,3 +315,50 @@ def test_ktruss_python_peeling_replay(spark, sf_dir):
     for e, s in out.items():
         assert s == final_sup[e], (e, s, final_sup[e])
     assert out, "fixture truss must be non-empty"
+
+
+def test_dtw_numpy_dp_replay(spark, sf_dir):
+    """Every pairwise DTW must match a classic NumPy DP replay on the
+    same z-normalized daily series, and be <= the rigid diagonal
+    alignment cost (warping can only help)."""
+    import numpy as np
+
+    from spark_streaming_test_spark.operators import trend
+
+    daily = defaultdict(dict)
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "ev_dtw_test"
+    )
+    for r in spark.sql(
+        "SELECT event_type, CAST(ts AS DATE) AS d, "
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS dv "
+        "FROM ev_dtw_test GROUP BY event_type, CAST(ts AS DATE)"
+    ).collect():
+        daily[r["event_type"]][r["d"]] = float(r["dv"])
+
+    z = {}
+    for et, m in daily.items():
+        v = np.array([m[d] for d in sorted(m)])
+        mu = v.sum() / len(v)
+        sig = np.sqrt((v * v).sum() / len(v) - mu * mu)
+        z[et] = (v - mu) / sig
+
+    def dtw(a, b):
+        n, m = len(a), len(b)
+        D = np.full((n + 1, m + 1), np.inf)
+        D[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                c = (a[i - 1] - b[j - 1]) ** 2
+                D[i, j] = c + min(D[i - 1, j], D[i - 1, j - 1], D[i, j - 1])
+        return np.sqrt(D[n, m])
+
+    out = trend.ts_dtw_distance(spark, sf_dir).collect()
+    assert len(out) == 10  # C(5,2) event-type pairs
+    for r in out:
+        a, b = z[r["et_a"]], z[r["et_b"]]
+        want = dtw(a, b)
+        assert abs(r["dtw"] - want) < 1e-6, (r["et_a"], r["et_b"], r["dtw"], want)
+        if len(a) == len(b):
+            rigid = np.sqrt(((a - b) ** 2).sum())
+            assert r["dtw"] <= rigid + 1e-9
