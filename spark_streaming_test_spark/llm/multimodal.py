@@ -732,3 +732,104 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy bigint, peak int"
         ),
     )
+
+
+# --- exact integer band power (DFT at the rational-angle bins) --------------
+
+# DFT power is computable EXACTLY (integer arithmetic, no trig) at the
+# three bins whose twiddle factors are in {-1, 0, 1}: DC (k=0), the
+# quarter-rate bin (k=N/4, phase pi*n/2) and Nyquist (k=N/2, phase
+# pi*n). Those are the classic low/mid/high band-energy features — and
+# the only bins where a cross-engine bitwise oracle needs no inlined
+# trig tables (libm cos/sin differ in the last ulp across engines).
+
+
+@register(
+    "mm_audio_band_power",
+    tags=("llm", "multimodal", "decode", "dsp", "pandas-udf"),
+    oracle=f"""
+WITH clips AS (SELECT i FROM range({WAV_N}) t(i)),
+s AS (
+  SELECT i, tt.t // {AUDIO_FRAME} AS frame,
+         tt.t % {AUDIO_FRAME} AS n,
+         CAST(((tt.t * tt.t + 7 * i * tt.t) % 20001) - 10000 AS BIGINT) AS v
+  FROM clips, LATERAL unnest(range(0, {WAV_SAMPLES})) AS tt(t)
+),
+b AS (
+  SELECT i, frame,
+         SUM(v) AS dc,
+         SUM(CASE WHEN n % 4 = 0 THEN v
+                  WHEN n % 4 = 2 THEN -v ELSE 0 END) AS qc,
+         SUM(CASE WHEN n % 4 = 1 THEN v
+                  WHEN n % 4 = 3 THEN -v ELSE 0 END) AS qs,
+         SUM(CASE WHEN n % 2 = 0 THEN v ELSE -v END) AS ny,
+         SUM(v * v) AS energy
+  FROM s GROUP BY i, frame
+)
+SELECT CAST(i AS BIGINT) AS clip_id, CAST(frame AS INTEGER) AS frame_idx,
+       CAST(dc * dc AS BIGINT) AS p_dc,
+       CAST(qc * qc + qs * qs AS BIGINT) AS p_quarter,
+       CAST(ny * ny AS BIGINT) AS p_nyquist,
+       CAST(energy AS BIGINT) AS energy
+FROM b
+""",
+)
+def mm_audio_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral features on REAL decoded audio: per analysis frame,
+    exact DFT power at the DC / quarter-rate / Nyquist bins — the three
+    frequencies whose twiddle factors are integers, so the whole
+    "spectrogram slice" is BIGINT arithmetic end-to-end (sum, signed
+    alternating sums, squares) and hash-matches the closed-form oracle
+    bitwise with no trig anywhere. General mel-bin spectrograms are the
+    same mapInPandas shape with a numpy rFFT per frame; they stay off
+    the oracle gate only because libm trig is not ulp-identical across
+    engines (the mlstats_rbo_ranking lesson, which inlining can't fix
+    at spectrogram scale).
+
+    Scale: 1->N generator over binary files in Arrow batches; only
+    O(frames x 4) integers leave the executor, never samples."""
+    import numpy as np
+
+    d = _wav_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.wav"))
+        .select("path", "content")
+    )
+
+    def bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                clip_id = int(path.rsplit("clip_", 1)[1][:4])
+                _rate, _ch, samples = decode_wav16(bytes(content))
+                v = samples.astype(np.int64)
+                for f in range(0, len(v), AUDIO_FRAME):
+                    c = v[f : f + AUDIO_FRAME]
+                    n = np.arange(len(c))
+                    qc = int(c[n % 4 == 0].sum() - c[n % 4 == 2].sum())
+                    qs = int(c[n % 4 == 1].sum() - c[n % 4 == 3].sum())
+                    ny = int(c[n % 2 == 0].sum() - c[n % 2 == 1].sum())
+                    dc = int(c.sum())
+                    rows.append(
+                        (
+                            clip_id, f // AUDIO_FRAME,
+                            dc * dc, qc * qc + qs * qs, ny * ny,
+                            int((c * c).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "frame_idx", "p_dc", "p_quarter",
+                    "p_nyquist", "energy",
+                ],
+            )
+
+    return src.mapInPandas(
+        bands,
+        schema=(
+            "clip_id bigint, frame_idx int, p_dc bigint, p_quarter bigint, "
+            "p_nyquist bigint, energy bigint"
+        ),
+    )

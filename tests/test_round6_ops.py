@@ -362,3 +362,30 @@ def test_dtw_numpy_dp_replay(spark, sf_dir):
         if len(a) == len(b):
             rigid = np.sqrt(((a - b) ** 2).sum())
             assert r["dtw"] <= rigid + 1e-9
+
+
+def test_audio_band_power_fft_crosscheck(spark, sf_dir):
+    """The exact integer band powers must equal |rFFT|^2 at bins
+    {{0, N/4, N/2}} computed by numpy's FFT — a genuinely different
+    algorithm (butterflies + floating twiddles) whose result at these
+    bins is integral up to float rounding. Also Parseval's bound:
+    each bin power <= N * frame energy."""
+    import numpy as np
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    out = mm.mm_audio_band_power(spark, sf_dir).collect()
+    assert out
+    for r in out[:200]:
+        i, f = r["clip_id"], r["frame_idx"]
+        t = np.arange(f * mm.AUDIO_FRAME, min((f + 1) * mm.AUDIO_FRAME, mm.WAV_SAMPLES))
+        v = ((t * t + 7 * i * t) % 20001) - 10000
+        n = len(v)
+        X = np.fft.rfft(v)
+        assert round(abs(X[0]) ** 2) == r["p_dc"]
+        if n % 4 == 0:
+            assert round(abs(X[n // 4]) ** 2) == r["p_quarter"], (i, f)
+        if n % 2 == 0:
+            assert round(abs(X[n // 2]) ** 2) == r["p_nyquist"], (i, f)
+        for p in (r["p_dc"], r["p_quarter"], r["p_nyquist"]):
+            assert p <= n * r["energy"] + 1e-9
