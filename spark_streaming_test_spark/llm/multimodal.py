@@ -833,3 +833,107 @@ def mm_audio_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_nyquist bigint, energy bigint"
         ),
     )
+
+
+# --- integer gradient-orientation histogram (HOG-lite) ----------------------
+
+
+@register(
+    "mm_image_gradient_hist",
+    tags=("llm", "multimodal", "decode", "vision", "pandas-udf"),
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 8 + i % 9 AS w, 4 + i % 5 AS h FROM range({BMP_N}) t(i)
+),
+px AS (
+  SELECT i, xx.x AS x, yy.y AS y,
+         ((x + y + 3*i) % 256) + ((3*x + 5*y + 2*i) % 256)
+           + ((7*x + 11*y + i) % 256) AS g00,
+         (((x+1) + y + 3*i) % 256) + ((3*(x+1) + 5*y + 2*i) % 256)
+           + ((7*(x+1) + 11*y + i) % 256) AS g10,
+         ((x + (y+1) + 3*i) % 256) + ((3*x + 5*(y+1) + 2*i) % 256)
+           + ((7*x + 11*(y+1) + i) % 256) AS g01
+  FROM imgs,
+       LATERAL unnest(range(0, w - 1)) AS xx(x),
+       LATERAL unnest(range(0, h - 1)) AS yy(y)
+),
+grad AS (
+  SELECT i, CAST(g10 - g00 AS BIGINT) AS dx, CAST(g01 - g00 AS BIGINT) AS dy
+  FROM px
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(ABS(dx)) AS BIGINT) AS sum_abs_dx,
+       CAST(SUM(ABS(dy)) AS BIGINT) AS sum_abs_dy,
+       CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS grad_energy,
+       CAST(COUNT(*) FILTER (dx > 0 AND dy >= 0) AS BIGINT) AS q1,
+       CAST(COUNT(*) FILTER (dx <= 0 AND dy > 0) AS BIGINT) AS q2,
+       CAST(COUNT(*) FILTER (dx < 0 AND dy <= 0) AS BIGINT) AS q3,
+       CAST(COUNT(*) FILTER (dx >= 0 AND dy < 0) AS BIGINT) AS q4,
+       CAST(COUNT(*) FILTER (dx = 0 AND dy = 0) AS BIGINT) AS n_flat
+FROM grad GROUP BY i
+""",
+)
+def mm_image_gradient_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL gradient features on REAL decoded pixels (HOG-lite): per
+    image, forward-difference gradients of the integer gray value
+    (r+g+b — no division, stays exact) over the interior, bucketed
+    into the four sign QUADRANTS of gradient orientation plus a flat
+    bucket — the orientation histogram without atan2, so the whole
+    feature is BIGINT arithmetic and the closed-form oracle matches
+    bitwise (the band-power convention, applied to vision). Total
+    variation (sum |dx|, sum |dy|) and gradient energy ride along.
+
+    Quadrant boundaries are half-open ((+,>=0) / (<=0,+) / (-,<=0) /
+    (>=0,-)), which partitions every nonzero gradient exactly once —
+    asserted against a numpy replay in tests. Scale: one decode per
+    file in Arrow batches, O(1) features out, pixels never shuffle."""
+    import numpy as np
+
+    d = _bmp_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.bmp"))
+        .select("path", "content")
+    )
+
+    def hog(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, px = decode_bmp24(bytes(content))
+                gray = px.astype(np.int64).sum(axis=2)  # (h, w) r+g+b
+                core = gray[:-1, :-1]
+                dx = gray[:-1, 1:] - core
+                dy = gray[1:, :-1] - core
+                rows.append(
+                    (
+                        img_id,
+                        int(dx.size),
+                        int(np.abs(dx).sum()),
+                        int(np.abs(dy).sum()),
+                        int((dx * dx + dy * dy).sum()),
+                        int(((dx > 0) & (dy >= 0)).sum()),
+                        int(((dx <= 0) & (dy > 0)).sum()),
+                        int(((dx < 0) & (dy <= 0)).sum()),
+                        int(((dx >= 0) & (dy < 0)).sum()),
+                        int(((dx == 0) & (dy == 0)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "n_interior", "sum_abs_dx", "sum_abs_dy",
+                    "grad_energy", "q1", "q2", "q3", "q4", "n_flat",
+                ],
+            )
+
+    return src.mapInPandas(
+        hog,
+        schema=(
+            "img_id bigint, n_interior bigint, sum_abs_dx bigint, "
+            "sum_abs_dy bigint, grad_energy bigint, q1 bigint, q2 bigint, "
+            "q3 bigint, q4 bigint, n_flat bigint"
+        ),
+    )

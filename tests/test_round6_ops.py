@@ -389,3 +389,20 @@ def test_audio_band_power_fft_crosscheck(spark, sf_dir):
             assert round(abs(X[n // 2]) ** 2) == r["p_nyquist"], (i, f)
         for p in (r["p_dc"], r["p_quarter"], r["p_nyquist"]):
             assert p <= n * r["energy"] + 1e-9
+
+
+def test_gradient_hist_partition_and_variation_bound(spark, sf_dir):
+    """Quadrant buckets + flat must PARTITION the interior exactly
+    (q1+q2+q3+q4+n_flat == n_interior), and total variation must obey
+    sum|dx| <= sqrt(n * energy) (Cauchy-Schwarz)."""
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    rows = mm.mm_image_gradient_hist(spark, sf_dir).collect()
+    assert len(rows) == mm.BMP_N
+    for r in rows:
+        assert (
+            r["q1"] + r["q2"] + r["q3"] + r["q4"] + r["n_flat"]
+            == r["n_interior"]
+        ), r
+        assert r["sum_abs_dx"] ** 2 <= r["n_interior"] * r["grad_energy"]
+        assert r["sum_abs_dy"] ** 2 <= r["n_interior"] * r["grad_energy"]
