@@ -1540,3 +1540,157 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return big.select(
         "w1", "w2", F.col("c12").cast("bigint").alias("c12"), p_kn.alias("p_kn")
     )
+
+
+# --- Kneser-Ney document scoring (train-fit LM over held-out docs) ----------
+
+KN_OOV_LOGP = -16.11809565  # round(ln(1e-7), 8), inlined: no ln at eval time
+
+
+@register(
+    "text_kneser_ney_doc_score",
+    tags=("llm", "text", "quality", "lm", "perplexity-filter"),
+    oracle=f"""
+WITH {_SQL_LM_PAIRS},
+tagged AS (
+  SELECT p.*,
+         substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 1) <= 'b' AS is_train
+  FROM doc_pairs p
+),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM tagged WHERE is_train GROUP BY w1, w2
+),
+w1m AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1_fwd FROM big GROUP BY w1
+),
+w2m AS (SELECT w2, COUNT(*) AS n1_bwd FROM big GROUP BY w2),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM big),
+scorepairs AS (
+  SELECT s.doc_id, s.w1, s.w2, b.c12, m1.c1, m1.n1_fwd, m2.n1_bwd
+  FROM tagged s
+  LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN w1m m1 ON s.w1 = m1.w1
+  LEFT JOIN w2m m2 ON s.w2 = m2.w2
+  WHERE NOT s.is_train
+),
+lp AS (
+  SELECT doc_id,
+         CASE WHEN c12 IS NOT NULL THEN 0 ELSE 1 END AS unseen,
+         CASE WHEN c1 IS NULL OR n1_bwd IS NULL THEN 1 ELSE 0 END AS oov,
+         CASE
+           WHEN c12 IS NOT NULL THEN round(ln(
+             greatest(CAST(c12 AS DOUBLE) - CAST({KN_D} AS DOUBLE),
+                      CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+             + ((CAST({KN_D} AS DOUBLE) * CAST(n1_fwd AS DOUBLE))
+                / CAST(c1 AS DOUBLE))
+               * (CAST(n1_bwd AS DOUBLE) / t.nt)), {LOGPROB_DP})
+           WHEN c1 IS NOT NULL AND n1_bwd IS NOT NULL THEN round(ln(
+             ((CAST({KN_D} AS DOUBLE) * CAST(n1_fwd AS DOUBLE))
+              / CAST(c1 AS DOUBLE))
+               * (CAST(n1_bwd AS DOUBLE) / t.nt)), {LOGPROB_DP})
+           ELSE CAST({KN_OOV_LOGP} AS DOUBLE)
+         END AS logp
+  FROM scorepairs, t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(CAST(logp AS DECIMAL(25,{LOGPROB_DP}))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+FROM lp GROUP BY doc_id
+""",
+)
+def text_kneser_ney_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KenLM-style perplexity filter proper: fit the interpolated
+    Kneser-Ney bigram model (text_kneser_ney_bigram) on the TRAIN hash
+    split only, then score every held-out document's bigrams under it —
+    seen bigrams take the full interpolated probability, unseen
+    bigrams with in-vocabulary parts back off to the continuation term
+    lambda(w1) * P_cont(w2) (the case a same-corpus model never
+    exercises), and out-of-vocabulary pairs take an inlined ln(1e-7)
+    floor (no runtime ln for the constant). n_unseen / n_oov ride
+    along so the filter's backoff pressure is visible per document.
+
+    Scale: model tables are vocabulary-bounded (Heaps' law) and
+    broadcast onto the scoring pass; per-bigram logprobs round at
+    {LOGPROB_DP} dp then decimal-sum (partition-order invariant) — the
+    text_bigram_logprob discipline with the KN model swapped in."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    pairs = (
+        d.select("doc_id", toks.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.col("tk"),
+                        F.slice(F.col("tk"), 2, 2_000_000),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                    lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "bg.w1",
+            "bg.w2",
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b"
+            ).alias("is_train"),
+        )
+    )
+    big = (
+        pairs.filter("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    w1m = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    w2m = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    nt = float(big.count())  # scalar over the checkpointed model table
+    kd = F.lit(KN_D)
+    c1d = F.col("c1").cast("double")
+    seen_p = (
+        F.greatest(F.col("c12").cast("double") - kd, F.lit(0.0)) / c1d
+        + ((kd * F.col("n1_fwd").cast("double")) / c1d)
+        * (F.col("n1_bwd").cast("double") / F.lit(nt))
+    )
+    backoff_p = ((kd * F.col("n1_fwd").cast("double")) / c1d) * (
+        F.col("n1_bwd").cast("double") / F.lit(nt)
+    )
+    logp = (
+        F.when(F.col("c12").isNotNull(), F.round(F.log(seen_p), LOGPROB_DP))
+        .when(
+            F.col("c1").isNotNull() & F.col("n1_bwd").isNotNull(),
+            F.round(F.log(backoff_p), LOGPROB_DP),
+        )
+        .otherwise(F.lit(KN_OOV_LOGP))
+    )
+    scored = (
+        pairs.filter(~F.col("is_train"))
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(w1m), "w1", "left")
+        .join(F.broadcast(w2m), "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("c12").isNotNull(), 0).otherwise(1).alias("unseen"),
+            F.when(
+                F.col("c1").isNull() | F.col("n1_bwd").isNull(), 1
+            ).otherwise(0).alias("oov"),
+            logp.alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("unseen").cast("bigint").alias("n_unseen"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        (
+            F.sum(F.col("logp").cast(f"decimal(25,{LOGPROB_DP})")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_logprob"),
+    )

@@ -406,3 +406,45 @@ def test_gradient_hist_partition_and_variation_bound(spark, sf_dir):
         ), r
         assert r["sum_abs_dx"] ** 2 <= r["n_interior"] * r["grad_energy"]
         assert r["sum_abs_dy"] ** 2 <= r["n_interior"] * r["grad_energy"]
+
+
+def test_kn_doc_score_split_discipline(spark, sf_dir):
+    """Scored docs must be exactly the non-train hash split, scores
+    negative, and the unseen counter must agree with a Python recount
+    of bigrams absent from the train-split bigram set."""
+    import re
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def bigrams(text):
+        toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+        return list(zip(toks, toks[1:]))
+
+    train = {
+        d for d in docs
+        if hashlib.md5(str(d).encode()).hexdigest()[0] <= "b"
+    }
+    model = set()
+    for d in train:
+        model.update(bigrams(docs[d]))
+
+    out = {
+        r["doc_id"]: r
+        for r in text_analysis.text_kneser_ney_doc_score(spark, sf_dir).collect()
+    }
+    expect_scored = {d for d in docs if d not in train and bigrams(docs[d])}
+    assert set(out) == expect_scored
+    total_unseen = 0
+    for d, r in out.items():
+        bgs = bigrams(docs[d])
+        assert r["n_bigrams"] == len(bgs)
+        unseen = sum(1 for b in bgs if b not in model)
+        assert r["n_unseen"] == unseen, (d, r["n_unseen"], unseen)
+        assert r["avg_logprob"] < 0
+        total_unseen += unseen
+    assert total_unseen > 0, "fixture must exercise the backoff branch"
