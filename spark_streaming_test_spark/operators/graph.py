@@ -1699,12 +1699,9 @@ def alternating_star_components(raw: DataFrame) -> DataFrame:
 
 LOUVAIN_BINS = 16  # deterministic initial partition: community = node % BINS
 
-
-@register(
-    "graph_louvain_move_phase",
-    tags=("graph", "communities", "iterative"),
-    oracle=f"""
-WITH {_SQL_COPURCHASE},
+# Shared CTE chain: the synchronous move pass (und .. best) — used by
+# the move-phase oracle's final SELECT and by the coarsening oracle.
+_SQL_LOUVAIN_MOVE = f"""
 und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
 deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY src),
 comm AS (SELECT node, CAST(node % {LOUVAIN_BINS} AS BIGINT) AS cid FROM deg),
@@ -1740,7 +1737,19 @@ cand AS (
   JOIN sig sb ON e.cid = sb.cid
   CROSS JOIN m t
 ),
-best AS (SELECT * FROM cand WHERE rn = 1 AND gain > 0)
+best AS (SELECT * FROM cand WHERE rn = 1 AND gain > 0),
+newcomm AS (
+  SELECT o.node, CAST(COALESCE(b.cand_cid, o.cid) AS BIGINT) AS nc
+  FROM own o LEFT JOIN best b ON o.node = b.node
+)"""
+
+
+@register(
+    "graph_louvain_move_phase",
+    tags=("graph", "communities", "iterative"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+{_SQL_LOUVAIN_MOVE}
 SELECT o.node, o.cid AS comm_from,
        CAST(COALESCE(b.cand_cid, o.cid) AS BIGINT) AS comm_to,
        CAST(COALESCE(b.gain, 0) AS BIGINT) AS gain_x2m2,
@@ -1946,4 +1955,48 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return edges.join(support(edges), ["u", "v"]).select(
         "u", "v", F.col("sup").cast("bigint").alias("support")
+    )
+
+
+@register(
+    "graph_louvain_coarsen",
+    tags=("graph", "communities", "iterative"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+{_SQL_LOUVAIN_MOVE}
+SELECT least(ca.nc, cb.nc) AS comm_a, greatest(ca.nc, cb.nc) AS comm_b,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM edges e
+JOIN newcomm ca ON e.u = ca.node
+JOIN newcomm cb ON e.v = cb.node
+GROUP BY least(ca.nc, cb.nc), greatest(ca.nc, cb.nc)
+""",
+)
+def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase 2: contract the moved partition into the weighted
+    SUPERGRAPH the next level runs on — one row per community pair
+    (comm_a <= comm_b) with the inter-community edge count as weight;
+    the diagonal rows (comm_a = comm_b) carry each community's internal
+    edge count (the self-loop weight of classic Louvain coarsening).
+    Composing move-phase -> coarsen -> move-phase is the full
+    multi-level loop; each level shrinks the graph by the community
+    count, which is why Louvain scales to billions of edges.
+
+    One node->community broadcast join per edge endpoint + one
+    map-side-combined aggregate — edge-linear, and the supergraph
+    (<= communities^2 rows, here <= {LOUVAIN_BINS}^2) is tiny."""
+    moves = graph_louvain_move_phase(spark, sf_dir).select(
+        "node", F.col("comm_to").alias("nc")
+    ).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir)
+    ca = moves.select(F.col("node").alias("u"), F.col("nc").alias("nc_a"))
+    cb = moves.select(F.col("node").alias("v"), F.col("nc").alias("nc_b"))
+    return (
+        edges.join(F.broadcast(ca), "u")
+        .join(F.broadcast(cb), "v")
+        .groupBy(
+            F.least("nc_a", "nc_b").alias("comm_a"),
+            F.greatest("nc_a", "nc_b").alias("comm_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
     )

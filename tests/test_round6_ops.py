@@ -448,3 +448,26 @@ def test_kn_doc_score_split_discipline(spark, sf_dir):
         assert r["avg_logprob"] < 0
         total_unseen += unseen
     assert total_unseen > 0, "fixture must exercise the backoff branch"
+
+
+def test_louvain_coarsen_conserves_edges(spark, sf_dir):
+    """Coarsening must conserve the edge count exactly (every original
+    edge lands in exactly one supergraph cell) and agree with a Python
+    recount from the move-phase labels."""
+    moves = {
+        r["node"]: r["comm_to"]
+        for r in graph.graph_louvain_move_phase(spark, sf_dir).collect()
+    }
+    want = defaultdict(int)
+    total = 0
+    for r in graph._copurchase_edges(spark, sf_dir).collect():
+        a, b = moves[r["u"]], moves[r["v"]]
+        want[(min(a, b), max(a, b))] += 1
+        total += 1
+    out = {
+        (r["comm_a"], r["comm_b"]): r["weight"]
+        for r in graph.graph_louvain_coarsen(spark, sf_dir).collect()
+    }
+    assert out == dict(want)
+    assert sum(out.values()) == total
+    assert any(a == b for a, b in out), "diagonal self-loop cells expected"
