@@ -2654,3 +2654,89 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size", split.alias("split")
     )
+
+
+@register(
+    "dedup_incremental_substring",
+    tags=("llm", "dedup", "substring", "incremental"),
+    oracle=f"""
+WITH {_SQL_TOKEN_GRAMS},
+tagged AS (
+  SELECT g.*, g.doc_id % {DELTA_MOD} = 0 AS is_delta FROM grams g
+),
+base_occ AS (
+  SELECT g, COUNT(*) AS occ FROM tagged WHERE NOT is_delta GROUP BY g
+),
+base_idx AS (SELECT g FROM base_occ WHERE occ <= {SUBSTR_GRAM_CAP}),
+delta_g AS (
+  SELECT DISTINCT doc_id, g FROM tagged WHERE is_delta
+),
+probe AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(b.g) AS BIGINT) AS n_in_base
+  FROM delta_g d LEFT JOIN base_idx b ON d.g = b.g
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_grams, n_in_base,
+       CAST(n_in_base AS DOUBLE) / CAST(n_grams AS DOUBLE) AS base_hit_ratio,
+       CASE
+         WHEN CAST(n_in_base AS DOUBLE) / CAST(n_grams AS DOUBLE)
+              >= CAST(0.8 AS DOUBLE) THEN 'dup_like'
+         WHEN CAST(n_in_base AS DOUBLE) / CAST(n_grams AS DOUBLE)
+              >= CAST(0.2 AS DOUBLE) THEN 'partial'
+         ELSE 'new'
+       END AS verdict
+FROM probe
+""",
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring screening — the O(delta) form of
+    dedup_exact_substring_pairs, completing the incremental family
+    (exact / minhash / substring): only today's DELTA docs probe the
+    immutable BASE corpus's anchor-gram index (distinct grams, hot
+    grams above SUBSTR_GRAM_CAP excluded — the same guard as the full
+    pair query), emitting per-delta-doc gram coverage and a
+    dup_like / partial / new verdict. No pair materialization at all:
+    the probe is one semi-index left join + per-doc aggregate, so a
+    daily run costs O(delta grams), never O(corpus).
+
+    Scale: the base index is 8-byte gram hashes stored pre-bucketed in
+    production (no base-side shuffle on probe); verdict thresholds
+    compare identical doubles against identical cast literals on both
+    engines."""
+    docs = load(spark, sf_dir, "documents")
+    grams = _token_gram_frame(docs).withColumn(
+        "is_delta", F.col("doc_id") % DELTA_MOD == 0
+    )
+    base_idx = (
+        grams.filter(~F.col("is_delta"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= SUBSTR_GRAM_CAP)
+        .select("g")
+        .withColumn("in_base", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
+    delta_g = (
+        grams.filter("is_delta").select("doc_id", "g").distinct()
+    )
+    probe = (
+        delta_g.join(base_idx, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("in_base").cast("bigint").alias("n_in_base"),
+        )
+    )
+    ratio = F.col("n_in_base").cast("double") / F.col("n_grams").cast("double")
+    return probe.select(
+        "doc_id",
+        "n_grams",
+        "n_in_base",
+        ratio.alias("base_hit_ratio"),
+        F.when(ratio >= F.lit(0.8), "dup_like")
+        .when(ratio >= F.lit(0.2), "partial")
+        .otherwise("new")
+        .alias("verdict"),
+    )

@@ -471,3 +471,41 @@ def test_louvain_coarsen_conserves_edges(spark, sf_dir):
     assert out == dict(want)
     assert sum(out.values()) == total
     assert any(a == b for a, b in out), "diagonal self-loop cells expected"
+
+
+def test_incremental_substring_python_replay(spark, sf_dir):
+    """Per-delta-doc gram coverage must match a Python rebuild of the
+    base gram index (same L, same hot-gram cap), and every verdict
+    must follow its threshold."""
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    L = dedup.SUBSTR_L
+
+    def grams(toks):
+        return [
+            " ".join(toks[i : i + L]) for i in range(len(toks) - L + 1)
+        ]
+
+    base_occ = defaultdict(int)
+    for d, toks in docs.items():
+        if d % 5 != 0:  # DELTA_MOD
+            for g in grams(toks):
+                base_occ[g] += 1
+    base_idx = {g for g, o in base_occ.items() if o <= dedup.SUBSTR_GRAM_CAP}
+
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_incremental_substring(spark, sf_dir).collect()
+    }
+    assert set(out) == {d for d in docs if d % 5 == 0}
+    for d, r in out.items():
+        gs = set(grams(docs[d]))
+        hits = len(gs & base_idx)
+        assert (r["n_grams"], r["n_in_base"]) == (len(gs), hits), d
+        ratio = hits / len(gs)
+        want = "dup_like" if ratio >= 0.8 else ("partial" if ratio >= 0.2 else "new")
+        assert r["verdict"] == want, (d, r["verdict"], want, ratio)
