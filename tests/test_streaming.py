@@ -2211,3 +2211,92 @@ def test_rocksdb_changelog_checkpointing_restart(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaming_incremental_substring_index(spark, tmp_path):
+    """Streaming form of dedup_incremental_substring: a foreachBatch
+    pipeline keeps a growing anchor-gram index on disk; each micro-batch
+    of documents is screened against the index built from every PRIOR
+    batch, then its own grams are merged in. A doc repeating a prior
+    batch's text must screen dup_like (hit ratio 1.0); unseen text must
+    screen new; and the index equals the batch-recomputed gram set."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.llm.dedup import (
+        SUBSTR_L,
+        _token_gram_frame,
+    )
+
+    src = str(tmp_path / "docs_in")
+    chk = str(tmp_path / "chk")
+    idx = str(tmp_path / "gram_index")
+    out = str(tmp_path / "verdicts")
+    os.makedirs(src)
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh_text = "one two three four five six seven eight nine ten eleven"
+
+    def write_batch(i, rows):
+        with open(f"{src}/batch_{i}.json", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def screen_and_merge(batch_df, _bid):
+        sp = batch_df.sparkSession
+        grams = _token_gram_frame(batch_df).select("doc_id", "g").distinct()
+        grams.localCheckpoint(eager=True)
+        if os.path.exists(f"{idx}/_SUCCESS"):
+            base = sp.read.parquet(idx).withColumn("in_base", F.lit(True))
+        else:
+            base = sp.createDataFrame([], "g string").withColumn(
+                "in_base", F.lit(True)
+            )
+        probe = (
+            grams.join(base, "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.count("in_base").alias("n_in_base"),
+            )
+        )
+        probe.write.mode("append").parquet(out)
+        merged = (
+            base.select("g").unionByName(grams.select("g")).distinct()
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(idx)
+
+    write_batch(0, [(1, base_text)])
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .json(src)
+        .writeStream.foreachBatch(screen_and_merge)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 2 repeats batch-1 text verbatim, doc 3 is unseen
+        write_batch(1, [(2, base_text), (3, fresh_text)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_in_base"])
+        for r in spark.read.parquet(out).collect()
+    }
+    n1 = len(base_text.split()) - SUBSTR_L + 1
+    n3 = len(fresh_text.split()) - SUBSTR_L + 1
+    assert got[1] == (n1, 0)      # first batch probes an empty index
+    assert got[2] == (n1, n1)     # verbatim repeat: hit ratio 1.0
+    assert got[3] == (n3, 0)      # unseen text: hit ratio 0.0
+    # index == batch recompute over everything ingested
+    idx_grams = {r["g"] for r in spark.read.parquet(idx).collect()}
+    toks = base_text.split()
+    want = {" ".join(toks[i : i + SUBSTR_L]) for i in range(n1)}
+    toks = fresh_text.split()
+    want |= {" ".join(toks[i : i + SUBSTR_L]) for i in range(n3)}
+    assert idx_grams == want
