@@ -1940,3 +1940,107 @@ def mlstats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (alpha * F.col("i") / F.col("m")).cast("double").alias("bh_threshold"),
         (F.col("i") <= F.col("i_star")).alias("significant_fdr"),
     )
+
+
+# --- Mahalanobis outliers (closed-form 2x2 precision matrix) ----------------
+
+MAHA_TOPK = 20
+MAHA_DP = 8
+
+
+@register(
+    "ml_mahalanobis_outliers",
+    tags=("ml", "outliers", "stats"),
+    oracle=f"""
+WITH feat AS (
+  SELECT event_id, value AS x1,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x2
+  FROM events
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('x1')} AS s1, {sql_dsum('x2')} AS s2,
+         {sql_dsum('x1 * x1')} AS s11,
+         {sql_dsum('x2 * x2')} AS s22,
+         {sql_dsum('x1 * x2')} AS s12
+  FROM feat
+),
+cov AS (
+  SELECT n, s1 / n AS mu1, s2 / n AS mu2,
+         s11 / n - (s1 / n) * (s1 / n) AS c11,
+         s22 / n - (s2 / n) * (s2 / n) AS c22,
+         s12 / n - (s1 / n) * (s2 / n) AS c12
+  FROM mom
+),
+scored AS (
+  SELECT f.event_id,
+         round(((f.x1 - mu1) * (f.x1 - mu1) * c22
+                - 2 * (f.x1 - mu1) * (f.x2 - mu2) * c12
+                + (f.x2 - mu2) * (f.x2 - mu2) * c11)
+               / (c11 * c22 - c12 * c12), {MAHA_DP}) AS d2
+  FROM feat f CROSS JOIN cov
+)
+SELECT event_id, d2 FROM (
+  SELECT event_id, d2,
+         ROW_NUMBER() OVER (ORDER BY d2 DESC, event_id) AS rn
+  FROM scored
+) r WHERE rn <= {MAHA_TOPK}
+""",
+)
+def ml_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outliers by Mahalanobis distance over (value,
+    hour-of-day) with the 2x2 precision matrix in CLOSED FORM —
+    d^2 = [(dx1)^2 c22 - 2 dx1 dx2 c12 + (dx2)^2 c11] / det(C) — so
+    no matrix inversion library is needed and the whole score is one
+    mirrored IEEE expression. This is the correlation-aware upgrade of
+    per-column z-scores: a point can be ordinary in each marginal but
+    extreme against the joint ellipse (and vice versa).
+
+    Scale: ONE decimal-exact moment aggregate (map-side combined,
+    6 numbers) broadcast onto the scoring scan; top-{MAHA_TOPK} fuses
+    to TakeOrderedAndProject. Moments quantize through the fixed-point
+    decimal path so the covariance is identical on both engines;
+    d^2 rounds at {MAHA_DP} dp before the rank so tie order can't
+    diverge. Higher dimensions follow the same shape with the
+    precision matrix solved driver-side on the broadcast O(d^2)
+    moment frame (bounded sufficient statistic)."""
+    feat = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("x1"),
+        F.hour("ts").cast("double").alias("x2"),
+    )
+    mom = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x1").alias("s1"),
+        dsum("x2").alias("s2"),
+        dsum(F.col("x1") * F.col("x1")).alias("s11"),
+        dsum(F.col("x2") * F.col("x2")).alias("s22"),
+        dsum(F.col("x1") * F.col("x2")).alias("s12"),
+    )
+    cov = mom.select(
+        (F.col("s1") / F.col("n")).alias("mu1"),
+        (F.col("s2") / F.col("n")).alias("mu2"),
+        (F.col("s11") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))).alias("c11"),
+        (F.col("s22") / F.col("n") - (F.col("s2") / F.col("n")) * (F.col("s2") / F.col("n"))).alias("c22"),
+        (F.col("s12") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s2") / F.col("n"))).alias("c12"),
+    )
+    dx1 = F.col("x1") - F.col("mu1")
+    dx2 = F.col("x2") - F.col("mu2")
+    d2 = F.round(
+        (
+            dx1 * dx1 * F.col("c22")
+            - F.lit(2) * dx1 * dx2 * F.col("c12")
+            + dx2 * dx2 * F.col("c11")
+        )
+        / (F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")),
+        MAHA_DP,
+    )
+    scored = feat.crossJoin(F.broadcast(cov)).select(
+        "event_id", d2.alias("d2")
+    )
+    w = Window.orderBy(F.col("d2").desc(), F.col("event_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAHA_TOPK)
+        .select("event_id", "d2")
+    )

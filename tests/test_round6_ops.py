@@ -509,3 +509,36 @@ def test_incremental_substring_python_replay(spark, sf_dir):
         ratio = hits / len(gs)
         want = "dup_like" if ratio >= 0.8 else ("partial" if ratio >= 0.2 else "new")
         assert r["verdict"] == want, (d, r["verdict"], want, ratio)
+
+
+def test_mahalanobis_numpy_replay(spark, sf_dir):
+    """Top-K Mahalanobis outliers must match a NumPy replay using the
+    library covariance path (np.cov + explicit 2x2 inverse), modulo the
+    decimal quantization of the moment sums."""
+    import numpy as np
+
+    from spark_streaming_test_spark.operators import mlstats
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_id", "value AS x1", "CAST(hour(ts) AS DOUBLE) AS x2")
+        .collect()
+    )
+    ids = np.array([r["event_id"] for r in rows])
+    X = np.array([[r["x1"], r["x2"]] for r in rows])
+    mu = X.mean(axis=0)
+    d = X - mu
+    c11, c22 = (d[:, 0] ** 2).mean(), (d[:, 1] ** 2).mean()
+    c12 = (d[:, 0] * d[:, 1]).mean()
+    det = c11 * c22 - c12 * c12
+    d2 = (d[:, 0] ** 2 * c22 - 2 * d[:, 0] * d[:, 1] * c12 + d[:, 1] ** 2 * c11) / det
+    order = sorted(zip(np.round(d2, 8), ids), key=lambda t: (-t[0], t[1]))
+    want = {int(i): float(v) for v, i in order[: mlstats.MAHA_TOPK]}
+
+    out = {
+        r["event_id"]: r["d2"]
+        for r in mlstats.ml_mahalanobis_outliers(spark, sf_dir).collect()
+    }
+    assert set(out) == set(want)
+    for i, v in out.items():
+        assert abs(v - want[i]) < 1e-6, (i, v, want[i])
