@@ -78,6 +78,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.streaming.state_inspect",
     "spark_streaming_test_spark.sources.jsonl_sink",
     "spark_streaming_test_spark.sources.pcap_file",
+    "spark_streaming_test_spark.sources.warc",
 ]
 
 # Driver verification window + full rotation plan. The driver checks the
@@ -95,7 +96,7 @@ _DRIVER_WINDOW = [
     "graph_ktruss", "ts_dtw_distance", "mm_audio_band_power",
     "mm_image_gradient_hist", "text_kneser_ney_doc_score",
     "graph_louvain_coarsen", "dedup_incremental_substring",
-    "ml_mahalanobis_outliers",
+    "ml_mahalanobis_outliers", "scan_warc_records", "warc_text_pipeline",
     # --- round-6 window (first 50; driver samples registry head) -------
     # Rotation state after r5: driver union r1-r5 = 237 distinct
     # hash-verified names (r5 was 50/50 green, incl. the rfm/weighted_avg

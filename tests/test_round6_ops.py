@@ -542,3 +542,39 @@ def test_mahalanobis_numpy_replay(spark, sf_dir):
     assert set(out) == set(want)
     for i, v in out.items():
         assert abs(v - want[i]) < 1e-6, (i, v, want[i])
+
+
+def test_warc_parser_torn_tail_and_extra_headers(spark, tmp_path):
+    """Byte-level robustness of the WARC parser: unknown headers are
+    carried over, a torn trailing record is dropped (pcap convention),
+    and a record missing Content-Length stops the parse cleanly."""
+    from spark_streaming_test_spark.sources import warc as W
+
+    p = str(tmp_path / "seg.warc")
+    W.write_warc(
+        p,
+        [
+            ("response", "<urn:a>", "http://x.test/1", b"hello world"),
+            ("metadata", "<urn:b>", "", b"k=v"),
+        ],
+    )
+    # append an extra-header record and then a torn record
+    with open(p, "ab") as f:
+        f.write(b"WARC/1.0\r\n")
+        f.write(b"WARC-Type: response\r\n")
+        f.write(b"X-Custom-Header: whatever\r\n")
+        f.write(b"WARC-Record-ID: <urn:c>\r\n")
+        f.write(b"Content-Length: 3\r\n\r\nabc\r\n\r\n")
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n")
+        f.write(b"Content-Length: 100\r\n\r\nonly-ten-b")  # torn payload
+    rows = list(W.parse_warc_bytes(p, open(p, "rb").read()))
+    assert [r[2] for r in rows] == ["response", "metadata", "response"]
+    assert rows[0][6] == b"hello world"
+    assert rows[1][4] == ""          # no Target-URI header
+    assert rows[2][3] == "<urn:c>"   # extra header didn't derail parsing
+    # missing Content-Length stops cleanly (no exception, no rows after)
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nxx\r\n\r\n"
+    assert list(W.parse_warc_bytes("m", bad)) == []
+    # and the Spark reader sees the same three records
+    got = W.read_warc(spark, p).count()
+    assert got == 3
