@@ -323,15 +323,21 @@ def _read_file(path: str) -> Iterator[tuple]:
 
 
 class PcapDirBatchReader(DataSourceReader):
+    # Subclass hooks: the rotated-dir reading/offset machinery is format-
+    # agnostic (sources/warc.py reuses it for WARC segments) — only the
+    # glob and the per-file parser vary.
+    _GLOB = "*.pcap"
+    _parse_file = staticmethod(_read_file)
+
     def __init__(self, options):
         self.dir = options.get("path")
         if not self.dir:
-            raise ValueError("pcap_dir requires a 'path' option")
+            raise ValueError(f"{type(self).__name__} requires a 'path' option")
 
     def _files(self) -> list[str]:
         import glob
 
-        return sorted(glob.glob(os.path.join(self.dir, "*.pcap")))
+        return sorted(glob.glob(os.path.join(self.dir, self._GLOB)))
 
     def partitions(self):
         return [PcapFilePartition(p) for p in self._files()]
@@ -339,7 +345,7 @@ class PcapDirBatchReader(DataSourceReader):
     def read(self, partition: PcapFilePartition | None) -> Iterator[tuple]:
         if partition is None:  # empty dir: Spark substitutes [None]
             return
-        yield from _read_file(partition.path)
+        yield from self._parse_file(partition.path)
 
 
 class PcapDirStreamReader(DataSourceStreamReader):
@@ -363,10 +369,15 @@ class PcapDirStreamReader(DataSourceStreamReader):
     One file per partition: each micro-batch parses its new files in
     parallel tasks, the same work unit as the batch reader."""
 
+    # Same subclass hooks as PcapDirBatchReader (warc_dir reuses the
+    # whole name-anchored offset machinery with only these two swapped).
+    _GLOB = "*.pcap"
+    _parse_file = staticmethod(_read_file)
+
     def __init__(self, options):
         self.dir = options.get("path")
         if not self.dir:
-            raise ValueError("pcap_dir requires a 'path' option")
+            raise ValueError(f"{type(self).__name__} requires a 'path' option")
         # back-pressure: at most N new files per micro-batch (<=0 =
         # unbounded) — the maxFilesPerTrigger analogue, so a backlog of
         # thousands of rotated files drains in bounded batches instead
@@ -392,7 +403,7 @@ class PcapDirStreamReader(DataSourceStreamReader):
 
         return sorted(
             os.path.basename(p)
-            for p in glob.glob(os.path.join(self.dir, "*.pcap"))
+            for p in glob.glob(os.path.join(self.dir, self._GLOB))
         )
 
     def initialOffset(self) -> dict:
@@ -416,7 +427,7 @@ class PcapDirStreamReader(DataSourceStreamReader):
     def read(self, partition: PcapFilePartition | None) -> Iterator[tuple]:
         if partition is None:
             return
-        yield from _read_file(partition.path)
+        yield from self._parse_file(partition.path)
 
     def commit(self, end: dict) -> None:
         pass  # files stay on disk; offsets alone define progress

@@ -277,3 +277,67 @@ def warc_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_distinct").cast("bigint").alias("total_distinct_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_page_tokens"),
     )
+
+
+# --- warc_dir DataSource (batch + stream over rotated crawl segments) -------
+#
+# Crawlers land complete segment files into a directory (the CommonCrawl
+# layout); tailing that directory is the streaming ingestion path. The
+# name-anchored offset machinery is format-agnostic and lives in
+# sources/pcap_file.py — only the glob and the per-file parser differ.
+
+from pyspark.sql.datasource import DataSource  # noqa: E402
+
+from .pcap_file import (  # noqa: E402
+    PcapDirBatchReader,
+    PcapDirStreamReader,
+)
+
+
+def _read_warc_file(path: str) -> Iterator[tuple]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    yield from parse_warc_bytes(path, buf)
+
+
+class WarcDirBatchReader(PcapDirBatchReader):
+    _GLOB = "*.warc"
+    _parse_file = staticmethod(_read_warc_file)
+
+
+class WarcDirStreamReader(PcapDirStreamReader):
+    _GLOB = "*.warc"
+    _parse_file = staticmethod(_read_warc_file)
+
+
+class WarcDirDataSource(DataSource):
+    """format('warc_dir') — register with
+    ``spark.dataSource.register(WarcDirDataSource)``.
+
+    Options:
+        path                   segment directory (required)
+        max_files_per_trigger  back-pressure cap on new files offered
+                               per micro-batch offset (<=0 = unbounded;
+                               stream reader only)
+
+    Inherits the pcap_dir contract: offsets are the NAME of the last
+    consumed file (retention-safe), one file per partition, replay of
+    an offset range re-reads exactly the same files (reliable source —
+    exactly-once with a checkpointed sink)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc_dir"
+
+    def schema(self) -> str:
+        return WARC_SCHEMA
+
+    def reader(self, schema):
+        return WarcDirBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return WarcDirStreamReader(self.options)
+
+
+def register_warc_source(spark: SparkSession) -> None:
+    spark.dataSource.register(WarcDirDataSource)

@@ -578,3 +578,57 @@ def test_warc_parser_torn_tail_and_extra_headers(spark, tmp_path):
     # and the Spark reader sees the same three records
     got = W.read_warc(spark, p).count()
     assert got == 3
+
+
+def test_warc_dir_stream_exactly_once(spark, tmp_path):
+    """warc_dir streaming source: rotated segments land in two waves;
+    the stream must consume each record exactly once across
+    micro-batches (name-anchored offsets, one file per partition)."""
+    import os
+
+    from spark_streaming_test_spark.sources.warc import (
+        register_warc_source,
+        write_warc,
+    )
+
+    register_warc_source(spark)
+    src = str(tmp_path / "segs")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "got")
+    os.makedirs(src)
+
+    def land(name, recs):
+        tmp = os.path.join(src, name + ".tmp")
+        write_warc(tmp, recs)
+        os.replace(tmp, os.path.join(src, name))
+
+    land("seg_000.warc", [("response", "<urn:0>", "http://a.test/0", b"aa bb")])
+    q = (
+        spark.readStream.format("warc_dir")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land(
+            "seg_001.warc",
+            [
+                ("response", "<urn:1>", "http://b.test/1", b"cc dd ee"),
+                ("request", "<urn:2>", "http://b.test/1", b""),
+            ],
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()  # idle trigger must not re-read
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["record_id"] for r in rows)
+    assert ids == ["<urn:0>", "<urn:1>", "<urn:2>"]
+    by_id = {r["record_id"]: r for r in rows}
+    assert bytes(by_id["<urn:1>"]["payload"]) == b"cc dd ee"
+    assert by_id["<urn:2>"]["content_length"] == 0
