@@ -341,3 +341,136 @@ class WarcDirDataSource(DataSource):
 
 def register_warc_source(spark: SparkSession) -> None:
     spark.dataSource.register(WarcDirDataSource)
+
+
+# --- .warc.gz: one gzip member per record (the actual CommonCrawl layout) ---
+#
+# Record-level gzip members are what make a multi-GB segment seekable:
+# an index of member offsets lets a reader fetch ONE record without
+# decompressing the file. Members concatenate legally (RFC 1952 allows
+# multi-member streams), so `gunzip` on the whole file also works.
+
+
+def write_warc_gz(path: str, records) -> None:
+    """Write a .warc.gz segment: each record is its own gzip member
+    (wrapping the exact bytes write_warc would emit for it)."""
+    import gzip
+    import io
+
+    with open(path, "wb") as f:
+        for warc_type, rec_id, uri, payload in records:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(b"WARC/1.0\r\n")
+                gz.write(f"WARC-Type: {warc_type}\r\n".encode())
+                gz.write(f"WARC-Record-ID: {rec_id}\r\n".encode())
+                if uri:
+                    gz.write(f"WARC-Target-URI: {uri}\r\n".encode())
+                gz.write(f"Content-Length: {len(payload)}\r\n".encode())
+                gz.write(b"\r\n")
+                gz.write(payload)
+                gz.write(b"\r\n\r\n")
+            f.write(buf.getvalue())
+
+
+def parse_warc_gz_bytes(path: str, buf: bytes) -> Iterator[tuple]:
+    """Split the RFC 1952 multi-member stream (zlib's unused_data gives
+    the member boundary without any heuristic header scan), then parse
+    each member's decompressed bytes with the plain-WARC parser.
+    rec_index restarts at the FILE level (continuous across members); a
+    torn final member is dropped."""
+    import zlib
+
+    idx = 0
+    rest = buf
+    while rest:
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        try:
+            raw = d.decompress(rest)
+            raw += d.flush()
+        except zlib.error:
+            break  # torn final member
+        if not d.eof:
+            break  # member truncated mid-stream
+        for rec in parse_warc_bytes(path, raw):
+            yield (path, idx, *rec[2:])
+            idx += 1
+        rest = d.unused_data
+
+
+WARC_GZ_RECS = 60
+
+
+def _warc_gz_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_warc_records, write_warc_gz, WARC_FILES, WARC_GZ_RECS)
+    d = os.path.join(SCRATCH, f"warcgz_{rev}")
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        for f in range(WARC_FILES):
+            recs = list(_warc_records(f))[:WARC_GZ_RECS]
+            tmp = os.path.join(d, f"seg_{f:04d}.warc.gz.tmp")
+            write_warc_gz(tmp, recs)
+            os.replace(tmp, os.path.join(d, f"seg_{f:04d}.warc.gz"))
+        open(os.path.join(d, "_DONE"), "w").close()
+    return d
+
+
+@register(
+    "scan_warc_gz_records",
+    tags=("source", "warc", "binary", "gzip"),
+    oracle=f"""
+WITH {_SQL_WARC}
+SELECT CAST(f AS BIGINT) AS file_id, CAST(j AS BIGINT) AS rec_index,
+       warc_type, target_uri,
+       CAST(length(body) AS BIGINT) AS content_length,
+       md5(body) AS payload_md5
+FROM recs WHERE j < {WARC_GZ_RECS}
+""",
+)
+def scan_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the REAL CommonCrawl container: ``.warc.gz`` with one gzip
+    member per record (RFC 1952 multi-member). Member boundaries come
+    from zlib's ``unused_data`` — no header-scan heuristic — and each
+    member's bytes go through the same plain-WARC parser, so the two
+    container forms are pinned to one record grammar. The oracle is the
+    identical closed form as scan_warc_records: compression must be
+    perfectly invisible to the parse.
+
+    Scale: per-record members are what make crawl segments seekable
+    (offset index -> fetch one record without touching the rest); the
+    batch scan stays one task per segment file."""
+    import pandas as pd  # noqa: F401
+
+    d = _warc_gz_fixture_dir()
+
+    def _parse(iterator):
+        import pandas as pd
+
+        cols = [
+            "path", "rec_index", "warc_type", "record_id",
+            "target_uri", "content_length", "payload",
+        ]
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_gz_bytes(path_, bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(d, "*.warc.gz"))
+        .select("path", "content")
+        .mapInPandas(_parse, WARC_SCHEMA)
+    )
+    return df.select(
+        F.regexp_extract("path", r"seg_(\d+)\.warc\.gz", 1)
+        .cast("bigint")
+        .alias("file_id"),
+        "rec_index",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )

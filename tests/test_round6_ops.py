@@ -632,3 +632,36 @@ def test_warc_dir_stream_exactly_once(spark, tmp_path):
     by_id = {r["record_id"]: r for r in rows}
     assert bytes(by_id["<urn:1>"]["payload"]) == b"cc dd ee"
     assert by_id["<urn:2>"]["content_length"] == 0
+
+
+def test_warc_gz_member_roundtrip_and_gunzip_compat(spark, tmp_path):
+    """The .warc.gz writer/parser must roundtrip records exactly,
+    tolerate a torn final member, and produce a stream that plain
+    gzip.decompress-as-multistream also accepts (RFC 1952 compat)."""
+    import gzip
+    import os
+
+    from spark_streaming_test_spark.sources import warc as W
+
+    recs = [
+        ("response", "<urn:x1>", "http://h.test/1", b"hello gz"),
+        ("request", "<urn:x2>", "http://h.test/1", b""),
+        ("response", "<urn:x3>", "http://h.test/2", b"bye " * 50),
+    ]
+    p = str(tmp_path / "seg.warc.gz")
+    W.write_warc_gz(p, recs)
+    buf = open(p, "rb").read()
+    got = list(W.parse_warc_gz_bytes(p, buf))
+    assert [(r[2], r[3], r[4], r[6]) for r in got] == [
+        (t, i, u, b) for t, i, u, b in recs
+    ]
+    assert [r[1] for r in got] == [0, 1, 2]  # file-level rec_index
+    # gunzip-compatibility: the whole file is a legal multi-member
+    # stream whose concatenated plaintext is plain WARC
+    plain = gzip.decompress(buf)
+    assert len(list(W.parse_warc_bytes(p, plain))) == 3
+    # torn final member: drop it, keep the complete ones
+    torn = buf[:-7]
+    got2 = list(W.parse_warc_gz_bytes(p, torn))
+    assert [r[3] for r in got2] == ["<urn:x1>", "<urn:x2>"]
+    os.remove(p)
