@@ -665,3 +665,46 @@ def test_warc_gz_member_roundtrip_and_gunzip_compat(spark, tmp_path):
     got2 = list(W.parse_warc_gz_bytes(p, torn))
     assert [r[3] for r in got2] == ["<urn:x1>", "<urn:x2>"]
     os.remove(p)
+
+
+def test_warc_roundtrip_property():
+    """Property: ANY record list roundtrips through write_warc ->
+    parse_warc_bytes and write_warc_gz -> parse_warc_gz_bytes — in
+    particular payloads containing CRLFs and the record terminator
+    itself (Content-Length framing must win over delimiter scanning)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_test_spark.sources import warc as W
+
+    rec = st.tuples(
+        st.sampled_from(["response", "request", "metadata", "warcinfo"]),
+        st.from_regex(r"<urn:[a-z0-9]{1,12}>", fullmatch=True),
+        st.one_of(st.just(""), st.from_regex(r"http://[a-z]{1,8}\.test/[a-z0-9]{0,6}", fullmatch=True)),
+        st.binary(max_size=64),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec, max_size=6))
+    def check(records):
+        import io
+        import os
+        import tempfile
+
+        fd, p = tempfile.mkstemp(suffix=".warc")
+        os.close(fd)
+        try:
+            W.write_warc(p, records)
+            got = list(W.parse_warc_bytes(p, open(p, "rb").read()))
+            assert [(r[2], r[3], r[4], r[6]) for r in got] == [
+                (t, i, u, b) for t, i, u, b in records
+            ]
+            W.write_warc_gz(p, records)
+            got = list(W.parse_warc_gz_bytes(p, open(p, "rb").read()))
+            assert [(r[2], r[3], r[4], r[6]) for r in got] == [
+                (t, i, u, b) for t, i, u, b in records
+            ]
+        finally:
+            os.remove(p)
+
+    check()
