@@ -155,7 +155,11 @@ def _warc_records(f: int):
     for j in range(WARC_RECS):
         warc_type = "request" if j % 5 == 0 else "response"
         uri = f"http://site{(3 * j + f) % 7}.test/page/{j}"
-        words = " ".join(f"w{(j * k + f) % 13}" for k in range(5 + j % 11))
+        # every 9th page mirrors the previous one verbatim (jj = j-1), so
+        # the corpus carries exact-duplicate pressure for the dedup and
+        # curation queries to detect
+        jj = j - 1 if j % 9 == 8 else j
+        words = " ".join(f"w{(jj * k + f) % 13}" for k in range(5 + jj % 11))
         yield (
             warc_type,
             f"<urn:uuid:{f:04d}-{j:04d}>",
@@ -186,10 +190,11 @@ recs AS (
          CASE WHEN j.j % 5 = 0 THEN 'request' ELSE 'response' END AS warc_type,
          'http://site' || CAST((3 * j.j + f.f) % 7 AS VARCHAR)
            || '.test/page/' || CAST(j.j AS VARCHAR) AS target_uri,
-         array_to_string(list_transform(range(0, 5 + j.j % 11),
-                                        k -> 'w' || CAST((j.j * k + f.f) % 13
-                                                         AS VARCHAR)),
-                         ' ') AS body
+         array_to_string(list_transform(
+             range(0, 5 + (CASE WHEN j.j % 9 = 8 THEN j.j - 1 ELSE j.j END) % 11),
+             k -> 'w' || CAST(((CASE WHEN j.j % 9 = 8 THEN j.j - 1 ELSE j.j END)
+                                 * k + f.f) % 13 AS VARCHAR)),
+             ' ') AS body
   FROM range({WARC_FILES}) f(f), range({WARC_RECS}) j(j)
 )
 """
@@ -473,4 +478,92 @@ def scan_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_uri",
         "content_length",
         F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "corpus_warc_ingest_report",
+    tags=("source", "warc", "llm", "curation", "flagship"),
+    oracle=f"""
+WITH {_SQL_WARC},
+resp AS (
+  SELECT regexp_extract(target_uri, 'http://([^/]+)/', 1) AS host,
+         body, md5(body) AS h
+  FROM recs WHERE warc_type = 'response'
+),
+pages AS (
+  SELECT host, h,
+         len(string_split(body, ' ')) AS n_tokens,
+         COUNT(*) OVER (PARTITION BY h) AS copies
+  FROM resp
+),
+hosts AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(COUNT(*) FILTER (copies > 1) AS BIGINT) AS dup_pages,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS distinct_pages,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM pages GROUP BY host
+)
+SELECT host, n_pages, dup_pages, distinct_pages, total_tokens,
+       CAST(dup_pages AS DOUBLE) / CAST(n_pages AS DOUBLE) AS dup_ratio,
+       (CAST(dup_pages AS DOUBLE) / CAST(n_pages AS DOUBLE)
+          < CAST(0.5 AS DOUBLE)
+        AND CAST(total_tokens AS DOUBLE) / CAST(n_pages AS DOUBLE)
+          >= CAST(8 AS DOUBLE)) AS keep
+FROM hosts
+""",
+)
+def corpus_warc_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-curation report card, end to end from segment BYTES:
+    parse real WARC, keep responses, fingerprint each page (md5 of
+    payload), and roll up per host the page counts, exact-duplicate
+    pressure, and token volume, ending in the keep/drop verdict a
+    domain-sampling stage consumes (drop hosts that are mostly mirrors
+    or too thin). This is the composition a training-data team runs
+    FIRST on a new crawl — source parse, dedup signal, and curation
+    decision in one declarative plan.
+
+    Scale: the only shuffles are the page-hash window (32-byte keys)
+    and the per-host aggregate (map-side combined, O(hosts) out);
+    payload bodies never leave the parse stage — only hashes and
+    counts."""
+    d = _warc_fixture_dir()
+    df = read_warc(spark, os.path.join(d, "*.warc"))
+    toks = F.split(F.col("payload").cast("string"), " ")
+    resp = df.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"http://([^/]+)/", 1).alias("host"),
+        F.md5("payload").alias("h"),
+        F.size(toks).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    pages = resp.select(
+        "host",
+        "h",
+        "n_tokens",
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("copies"),
+    )
+    hosts = pages.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.count(F.when(F.col("copies") > 1, 1)).cast("bigint").alias("dup_pages"),
+        F.count_distinct("h").cast("bigint").alias("distinct_pages"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    dup_ratio = F.col("dup_pages").cast("double") / F.col("n_pages").cast("double")
+    return hosts.select(
+        "host",
+        "n_pages",
+        "dup_pages",
+        "distinct_pages",
+        "total_tokens",
+        dup_ratio.alias("dup_ratio"),
+        (
+            (dup_ratio < F.lit(0.5))
+            & (
+                F.col("total_tokens").cast("double")
+                / F.col("n_pages").cast("double")
+                >= F.lit(8.0)
+            )
+        ).alias("keep"),
     )
