@@ -1200,3 +1200,22 @@ def test_exact_substring_guarded_join_shuffle_hash(spark, qs):
     checks.assert_no_cartesian(m)
     # and the full operator never degrades to a cartesian downstream
     checks.assert_no_cartesian(qs["dedup_exact_substring_pairs"](spark, SF_DIR))
+
+
+def test_kn_doc_score_model_tables_broadcast(spark, qs):
+    # The KN scoring pass must join all three vocabulary-bounded model
+    # tables (bigram, w1 moments, w2 continuation counts) as BROADCASTS
+    # onto the held-out scan — a shuffle join on the corpus-sized
+    # scoring side would be the 100 TB regression.
+    df = qs["text_kneser_ney_doc_score"](spark, SF_DIR)
+    checks.assert_broadcast_join(df, min_count=3)
+    checks.assert_no_cartesian(df)
+
+
+def test_louvain_sigma_frames_broadcast(spark, qs):
+    # The community-degree frame (<= LOUVAIN_BINS rows) must broadcast
+    # onto the node/candidate frames; the edge->community join and both
+    # aggregates stay edge-linear.
+    df = qs["graph_louvain_move_phase"](spark, SF_DIR)
+    checks.assert_broadcast_join(df, min_count=2)
+    checks.assert_no_cartesian(df)
