@@ -2000,3 +2000,123 @@ def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
     )
+
+
+@register(
+    "graph_louvain_level2_move",
+    tags=("graph", "communities", "iterative"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+{_SQL_LOUVAIN_MOVE},
+super_e AS (
+  SELECT least(ca.nc, cb.nc) AS a, greatest(ca.nc, cb.nc) AS b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM edges e
+  JOIN newcomm ca ON e.u = ca.node
+  JOIN newcomm cb ON e.v = cb.node
+  GROUP BY least(ca.nc, cb.nc), greatest(ca.nc, cb.nc)
+),
+m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS mw FROM super_e),
+kdeg AS (
+  SELECT node, CAST(SUM(wk) AS BIGINT) AS k FROM (
+    SELECT a AS node, CASE WHEN a = b THEN 2 * w ELSE w END AS wk
+    FROM super_e
+    UNION ALL
+    SELECT b, w FROM super_e WHERE a <> b
+  ) GROUP BY node
+),
+cand2 AS (
+  SELECT c.node, c.cand, c.w,
+         2 * t.mw * c.w - ka.k * kb.k AS gain,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.node
+           ORDER BY 2 * t.mw * c.w - ka.k * kb.k DESC, c.cand ASC
+         ) AS rn
+  FROM (
+    SELECT a AS node, b AS cand, w FROM super_e WHERE a <> b
+    UNION ALL
+    SELECT b, a, w FROM super_e WHERE a <> b
+  ) c
+  JOIN kdeg ka ON c.node = ka.node
+  JOIN kdeg kb ON c.cand = kb.node
+  CROSS JOIN m2 t
+),
+best2 AS (SELECT * FROM cand2 WHERE rn = 1 AND gain > 0)
+SELECT d.node AS supernode, d.k AS weighted_degree,
+       CAST(COALESCE(b.cand, d.node) AS BIGINT) AS merge_into,
+       CAST(COALESCE(b.gain, 0) AS BIGINT) AS gain_x2m2,
+       (b.node IS NOT NULL) AS moved
+FROM kdeg d LEFT JOIN best2 b ON d.node = b.node
+""",
+)
+def graph_louvain_level2_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain LEVEL 2: the synchronous move pass re-run on the
+    coarsened WEIGHTED supergraph (each level-1 community a supernode,
+    each starting in its own singleton community — the classic
+    multi-level restart). Extracting a singleton leaves nothing behind,
+    so the weighted gain collapses to
+    ``gain_x2m2 = 2m w(c,d) - k_c k_d`` (m = total edge weight, k =
+    weighted degree with self-loops counted twice) — still exact
+    BIGINT, still a bitwise argmax. Composing move -> coarsen -> move
+    is the loop that climbs the dendrogram; each level runs on a graph
+    shrunk by the previous level's community count.
+
+    Scale: the supergraph is community-bounded (here <= LOUVAIN_BINS
+    nodes), so this level is a broadcast-sized computation — the
+    point of coarsening is that level cost DROPS geometrically."""
+    coars = graph_louvain_coarsen(spark, sf_dir).localCheckpoint(eager=True)
+    mw = coars.agg(F.sum("weight")).collect()[0][0]  # O(1) scalar
+    kdeg = (
+        coars.select(
+            F.col("comm_a").alias("node"),
+            F.when(F.col("comm_a") == F.col("comm_b"), 2 * F.col("weight"))
+            .otherwise(F.col("weight"))
+            .alias("wk"),
+        )
+        .unionAll(
+            coars.filter(F.col("comm_a") != F.col("comm_b")).select(
+                F.col("comm_b").alias("node"), F.col("weight").alias("wk")
+            )
+        )
+        .groupBy("node")
+        .agg(F.sum("wk").cast("bigint").alias("k"))
+    )
+    cross = coars.filter(F.col("comm_a") != F.col("comm_b"))
+    cand = (
+        cross.select(
+            F.col("comm_a").alias("node"), F.col("comm_b").alias("cand"), "weight"
+        )
+        .unionAll(
+            cross.select(
+                F.col("comm_b").alias("node"), F.col("comm_a").alias("cand"), "weight"
+            )
+        )
+        .join(F.broadcast(kdeg.withColumnRenamed("k", "k_node")), "node")
+        .join(
+            F.broadcast(
+                kdeg.select(F.col("node").alias("cand"), F.col("k").alias("k_cand"))
+            ),
+            "cand",
+        )
+        .select(
+            "node",
+            "cand",
+            (
+                F.lit(2 * mw).cast("bigint") * F.col("weight")
+                - F.col("k_node") * F.col("k_cand")
+            ).alias("gain"),
+        )
+    )
+    wn = Window.partitionBy("node").orderBy(F.col("gain").desc(), F.col("cand").asc())
+    best = (
+        cand.withColumn("rn", F.row_number().over(wn))
+        .filter((F.col("rn") == 1) & (F.col("gain") > 0))
+        .select("node", "cand", "gain")
+    )
+    return kdeg.join(best, "node", "left").select(
+        F.col("node").alias("supernode"),
+        F.col("k").alias("weighted_degree"),
+        F.coalesce("cand", F.col("node")).cast("bigint").alias("merge_into"),
+        F.coalesce("gain", F.lit(0)).cast("bigint").alias("gain_x2m2"),
+        F.col("cand").isNotNull().alias("moved"),
+    )

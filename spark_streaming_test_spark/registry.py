@@ -98,6 +98,7 @@ _DRIVER_WINDOW = [
     "graph_louvain_coarsen", "dedup_incremental_substring",
     "ml_mahalanobis_outliers", "scan_warc_records", "warc_text_pipeline",
     "scan_warc_gz_records", "corpus_warc_ingest_report",
+    "graph_louvain_level2_move",
     # --- round-6 window (first 50; driver samples registry head) -------
     # Rotation state after r5: driver union r1-r5 = 237 distinct
     # hash-verified names (r5 was 50/50 green, incl. the rfm/weighted_avg

@@ -708,3 +708,49 @@ def test_warc_roundtrip_property():
             os.remove(p)
 
     check()
+
+
+def test_louvain_level2_python_replay(spark, sf_dir):
+    """The weighted level-2 move must match a Python replay over the
+    collected supergraph: singleton-extraction gain 2m*w(c,d) - k_c*k_d,
+    argmax with min-id tie-break, positive gains only."""
+    sup = {
+        (r["comm_a"], r["comm_b"]): r["weight"]
+        for r in graph.graph_louvain_coarsen(spark, sf_dir).collect()
+    }
+    mw = sum(sup.values())
+    k = defaultdict(int)
+    for (a, b), w in sup.items():
+        if a == b:
+            k[a] += 2 * w
+        else:
+            k[a] += w
+            k[b] += w
+    best = {}
+    for n in k:
+        cands = []
+        for (a, b), w in sup.items():
+            if a == b:
+                continue
+            if a == n:
+                cands.append((b, w))
+            elif b == n:
+                cands.append((a, w))
+        choice = None
+        for c, w in sorted(cands):
+            g = 2 * mw * w - k[n] * k[c]
+            if g > 0 and (choice is None or g > choice[0]):
+                choice = (g, c)
+        best[n] = choice
+    out = {
+        r["supernode"]: r
+        for r in graph.graph_louvain_level2_move(spark, sf_dir).collect()
+    }
+    assert set(out) == set(k)
+    for n, r in out.items():
+        assert r["weighted_degree"] == k[n]
+        if best[n] is None:
+            assert not r["moved"] and r["merge_into"] == n
+        else:
+            g, c = best[n]
+            assert r["moved"] and (r["gain_x2m2"], r["merge_into"]) == (g, c)
