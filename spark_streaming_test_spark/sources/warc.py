@@ -510,7 +510,7 @@ SELECT host, n_pages, dup_pages, distinct_pages, total_tokens,
        (CAST(dup_pages AS DOUBLE) / CAST(n_pages AS DOUBLE)
           < CAST(0.5 AS DOUBLE)
         AND CAST(total_tokens AS DOUBLE) / CAST(n_pages AS DOUBLE)
-          >= CAST(8 AS DOUBLE)) AS keep
+          >= CAST(9.9 AS DOUBLE)) AS keep
 FROM hosts
 """,
 )
@@ -563,7 +563,7 @@ def corpus_warc_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.col("total_tokens").cast("double")
                 / F.col("n_pages").cast("double")
-                >= F.lit(8.0)
+                >= F.lit(9.9)
             )
         ).alias("keep"),
     )
