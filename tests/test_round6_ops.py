@@ -754,3 +754,43 @@ def test_louvain_level2_python_replay(spark, sf_dir):
         else:
             g, c = best[n]
             assert r["moved"] and (r["gain_x2m2"], r["merge_into"]) == (g, c)
+
+
+def test_warc_gz_member_seekability(tmp_path):
+    """The property per-record gzip members exist for: an offset index
+    (a CDX sidecar) lets a reader decompress ONE record from a byte
+    slice without touching the rest of the segment."""
+    import gzip
+    import zlib
+
+    from spark_streaming_test_spark.sources import warc as W
+
+    recs = [
+        ("response", f"<urn:s{j}>", f"http://s.test/{j}", f"body {j} ".encode() * (j + 1))
+        for j in range(8)
+    ]
+    p = str(tmp_path / "seg.warc.gz")
+    W.write_warc_gz(p, recs)
+    buf = open(p, "rb").read()
+
+    # Build the offset index the way a CDX writer does: walk members
+    # tracking consumed compressed bytes via zlib's unused_data.
+    index = []
+    pos, rest = 0, buf
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(rest)
+        d.flush()
+        consumed = len(rest) - len(d.unused_data)
+        index.append((pos, consumed))
+        pos += consumed
+        rest = d.unused_data
+    assert len(index) == len(recs)
+
+    # Random access: decompress ONLY record 5's slice.
+    off, length = index[5]
+    one = gzip.decompress(buf[off : off + length])
+    got = list(W.parse_warc_bytes("slice", one))
+    assert len(got) == 1
+    assert got[0][3] == "<urn:s5>"
+    assert got[0][6] == recs[5][3]
