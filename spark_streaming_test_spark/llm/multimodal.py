@@ -5,13 +5,15 @@ feature-extract / resize / frame-sample stages.
 Contract (SURVEY.md §2.1 north star): image/audio/video travel as
 ``binary`` columns with sibling metadata columns; all heavy per-item
 work runs in ``mapInPandas`` over Arrow batches so Python touches each
-byte once per batch, never per row. Codec-backed formats (JPEG/PNG/
-MP4) need PIL/ffmpeg, which are NOT in this container — those decode
-steps are clearly-marked stubs (deterministic fakes behind an
-import-try). Codec-FREE formats are decoded for real: 24-bit BMP and
-16-bit PCM WAV (mm_decode_bmp / mm_decode_wav / mm_resize_bmp /
-mm_audio_frames below) parse actual file bytes with struct+numpy and
-are verified against closed-form DuckDB oracles.
+byte once per batch, never per row. Codec-backed formats (JPEG/MP4)
+need PIL/ffmpeg, which are NOT in this container — those decode steps
+are clearly-marked stubs (deterministic fakes behind an import-try).
+Formats decodable with the stdlib are decoded for real: 24-bit BMP,
+16-bit PCM WAV, and 8-bit truecolor PNG (whose only compression is
+DEFLATE — stdlib zlib) via mm_decode_bmp / mm_decode_wav /
+mm_resize_bmp / mm_audio_frames / mm_decode_png below, parsing actual
+file bytes with struct+zlib+numpy, verified against closed-form
+DuckDB oracles.
 
 The ``documents`` table stands in as the payload source: text bytes ==
 the opaque blob. At 100 TB the payload column dominates storage — the
@@ -935,5 +937,279 @@ def mm_image_gradient_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "img_id bigint, n_interior bigint, sum_abs_dx bigint, "
             "sum_abs_dy bigint, grad_energy bigint, q1 bigint, q2 bigint, "
             "q3 bigint, q4 bigint, n_flat bigint"
+        ),
+    )
+
+
+# --- REAL PNG decode (stdlib zlib — no codec libs needed) --------------------
+#
+# PNG looked codec-gated (the module docstring above groups it with JPEG
+# behind PIL), but its only compression is DEFLATE — and zlib is in the
+# Python stdlib. Everything else in the format (RFC 2083 / ISO 15948) is
+# fixed-layout chunks plus five per-scanline prediction filters, so an
+# 8-bit truecolor non-interlaced PNG decodes for real with zlib + numpy:
+# signature check, per-chunk CRC-32 verification, IDAT concatenation,
+# inflate, and Sub/Up/Average/Paeth unfiltering. The fixture writer
+# cycles the filter type per scanline (y % 5) so every file exercises
+# all five filters, and splits IDAT mid-deflate-stream into two chunks
+# (real encoders emit many) so the reader's concatenation is load-
+# bearing, not decorative.
+
+PNG_N = 50
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def write_png_rgb8(path: str, width: int, height: int, pixel) -> None:
+    """Minimal REAL PNG writer: 8-bit/channel truecolor (color type 2),
+    non-interlaced. Scanline y uses filter type y % 5, so None, Sub,
+    Up, Average and Paeth all appear in any image of height >= 5;
+    ``pixel(x, y)`` returns (r, g, b) with (0, 0) the top-left."""
+    import binascii
+    import zlib
+
+    bpp = 3
+    stream = bytearray()
+    prior = bytes(width * bpp)
+    for y in range(height):
+        raw = bytes(v for x in range(width) for v in pixel(x, y))
+        f = y % 5
+        stream.append(f)
+        if f == 0:
+            stream += raw
+        elif f == 1:  # Sub: left neighbor
+            stream += bytes(
+                (raw[i] - (raw[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(len(raw))
+            )
+        elif f == 2:  # Up: prior scanline
+            stream += bytes((raw[i] - prior[i]) % 256 for i in range(len(raw)))
+        elif f == 3:  # Average: floor mean of left and up
+            stream += bytes(
+                (raw[i] - ((raw[i - bpp] if i >= bpp else 0) + prior[i]) // 2) % 256
+                for i in range(len(raw))
+            )
+        else:  # Paeth
+            stream += bytes(
+                (
+                    raw[i]
+                    - _paeth(
+                        raw[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                % 256
+                for i in range(len(raw))
+            )
+        prior = raw
+    comp = zlib.compress(bytes(stream), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    mid = max(1, len(comp) // 2)  # two IDAT chunks: reader must concat
+    with open(path, "wb") as f_out:
+        f_out.write(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp[:mid])
+            + chunk(b"IDAT", comp[mid:])
+            + chunk(b"IEND", b"")
+        )
+
+
+def decode_png_rgb8(buf: bytes):
+    """(width, height, pixels) from PNG bytes; pixels is an H x W x 3
+    numpy uint8 array in RGB order, row 0 = top. Verifies the 8-byte
+    signature and EVERY chunk's CRC-32, concatenates all IDAT chunks,
+    inflates with stdlib zlib, and reverses the scanline filters. The
+    Up filter is vectorized; Sub/Average/Paeth carry a left-neighbor
+    dependency, so those lanes reconstruct byte-sequentially within the
+    row — true of every PNG decoder ever written, which is why PNG rows
+    (not pixels) are the natural unit of decode parallelism. Supported
+    profile: bit depth 8, color type 2 (truecolor), non-interlaced;
+    anything else raises rather than guessing."""
+    import binascii
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    off, idat, w, h = 8, bytearray(), None, None
+    while off + 12 <= len(buf):
+        (ln,) = _struct.unpack_from(">I", buf, off)
+        ctype = buf[off + 4 : off + 8]
+        data = buf[off + 8 : off + 8 + ln]
+        (crc,) = _struct.unpack_from(">I", buf, off + 8 + ln)
+        if binascii.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails CRC-32")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = _struct.unpack(">IIBBBBB", data)
+            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG profile (depth={depth}, color={color}, "
+                    f"interlace={inter}) — this decoder covers 8-bit "
+                    "truecolor non-interlaced"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        off += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG decompressed stream has the wrong length")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        prior = img[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prior) % 256
+        elif f in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                up = int(prior[i])
+                ul = int(prior[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:
+                    pred = _paeth(a, up, ul)
+                rec[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"PNG scanline has invalid filter type {f}")
+        img[y] = rec.astype(np.uint8)
+    return w, h, img.reshape(h, w, bpp)
+
+
+def _png_pixel(i: int):
+    return lambda x, y: (
+        (2 * x + 3 * y + 5 * i) % 256,
+        (x + 4 * y + 7 * i) % 256,
+        (5 * x + y + 2 * i) % 256,
+    )
+
+
+def _png_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_png_pixel, write_png_rgb8, _paeth, PNG_N)
+    d = _os.path.join(SCRATCH, f"png_images_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(PNG_N):
+        p = _os.path.join(d, f"img_{i:04d}.png")
+        if not _os.path.exists(p):
+            tmp = p + ".tmp"
+            write_png_rgb8(tmp, 6 + i % 8, 5 + i % 6, _png_pixel(i))
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_decode_png",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 6 + i % 8 AS w, 5 + i % 6 AS h FROM range({PNG_N}) t(i)
+),
+px AS (
+  SELECT i, w, h, xx.x AS x, yy.y AS y
+  FROM imgs,
+       LATERAL unnest(range(0, w)) AS xx(x),
+       LATERAL unnest(range(0, h)) AS yy(y)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+       CAST(SUM((2 * x + 3 * y + 5 * i) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((x + 4 * y + 7 * i) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((5 * x + y + 2 * i) % 256) AS BIGINT) AS sum_b,
+       CAST((7 * i) % 256 AS INTEGER) AS topleft_g,
+       CAST((2 * (MAX(w) - 1) + 3 * (MAX(h) - 1) + 5 * i) % 256 AS INTEGER)
+         AS bottomright_r
+FROM px GROUP BY i
+""",
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode with no media libs: stdlib zlib inflates the
+    IDAT stream and numpy reverses the five scanline filters — the
+    fixture writer cycles filter types per row, so Sub/Up/Average/Paeth
+    unfiltering is all load-bearing, and every chunk CRC is verified on
+    the way in. Emits per-image dimensions, exact per-channel sums, and
+    POSITION-SENSITIVE corners (topleft_g, bottomright_r) that catch a
+    row-order or channel-order bug the sums would mask (the BMP decode
+    convention). The DuckDB oracle recomputes everything from the
+    closed-form pixel formula, so signature walk + CRC + inflate +
+    unfilter are verified against independent arithmetic end-to-end.
+    Scale: decode parallelism = files via binaryFile + mapInPandas;
+    pixels never leave the Arrow batch — only O(1) features shuffle."""
+    import numpy as np
+
+    d = _png_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.png"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, px = decode_png_rgb8(bytes(content))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        img_id, w, h, w * h,
+                        int(s[0]), int(s[1]), int(s[2]),
+                        int(px[0, 0, 1]), int(px[h - 1, w - 1, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                    "topleft_g", "bottomright_r",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, width int, height int, n_pixels bigint, "
+            "sum_r bigint, sum_g bigint, sum_b bigint, "
+            "topleft_g int, bottomright_r int"
         ),
     )

@@ -794,3 +794,122 @@ def test_warc_gz_member_seekability(tmp_path):
     assert len(got) == 1
     assert got[0][3] == "<urn:s5>"
     assert got[0][6] == recs[5][3]
+
+
+# --- real PNG decode (zlib + unfilter) ---------------------------------------
+
+
+def test_png_roundtrip_property():
+    """Property: ANY small RGB image roundtrips through write_png_rgb8
+    -> decode_png_rgb8 pixel-exactly. Heights >= 5 guarantee all five
+    scanline filters (None/Sub/Up/Average/Paeth) are exercised, since
+    the writer assigns filter y % 5; widths down to 1 hit the
+    no-left-neighbor edge of Sub/Average/Paeth."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=5, max_value=11),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        import os
+        import tempfile
+
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fd, p = tempfile.mkstemp(suffix=".png")
+        os.close(fd)
+        try:
+            mm.write_png_rgb8(p, w, h, lambda x, y: tuple(int(v) for v in img[y, x]))
+            W, H, px = mm.decode_png_rgb8(open(p, "rb").read())
+            assert (W, H) == (w, h)
+            assert np.array_equal(px, img)
+        finally:
+            os.remove(p)
+
+    check()
+
+
+def test_png_crc_and_profile_guards(tmp_path):
+    """A flipped byte anywhere in a chunk body must fail the CRC-32
+    check (never decode garbage silently), and an unsupported profile
+    (16-bit depth in IHDR) must raise, not misparse."""
+    import struct
+
+    import pytest
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    p = str(tmp_path / "t.png")
+    mm.write_png_rgb8(p, 4, 6, mm._png_pixel(1))
+    buf = bytearray(open(p, "rb").read())
+    buf[20] ^= 0x01  # inside IHDR body
+    with pytest.raises(ValueError, match="CRC-32"):
+        mm.decode_png_rgb8(bytes(buf))
+
+    # 16-bit IHDR with a VALID CRC: profile guard, not CRC, must fire.
+    import binascii
+
+    good = open(p, "rb").read()
+    ihdr = struct.pack(">IIBBBBB", 4, 6, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", binascii.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    forged = good[:8] + chunk + good[8 + 12 + 13 :]
+    with pytest.raises(ValueError, match="unsupported PNG profile"):
+        mm.decode_png_rgb8(forged)
+
+
+def test_png_fixture_filters_all_present_and_idat_split():
+    """Every fixture PNG must contain >= 2 IDAT chunks (concatenation
+    is load-bearing) and its decompressed stream must use all five
+    filter types across files — the property that makes the oracle
+    hash a real test of the unfilter code."""
+    import os
+    import struct
+    import zlib
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    d = mm._png_fixture_dir()
+    seen_filters = set()
+    for name in sorted(os.listdir(d))[:10]:
+        buf = open(os.path.join(d, name), "rb").read()
+        dims, n_idat = None, 0
+        for off in _png_chunk_offsets(buf):
+            ctype = buf[off + 4 : off + 8]
+            if ctype == b"IHDR":
+                dims = struct.unpack_from(">II", buf, off + 8)
+            elif ctype == b"IDAT":
+                n_idat += 1
+        assert n_idat >= 2, name
+        w, h = dims
+        raw = zlib.decompress(
+            b"".join(
+                buf[o + 8 : o + 8 + struct.unpack_from(">I", buf, o)[0]]
+                for o in _png_chunk_offsets(buf)
+                if buf[o + 4 : o + 8] == b"IDAT"
+            )
+        )
+        stride = w * 3 + 1
+        for y in range(h):
+            seen_filters.add(raw[y * stride])
+    assert seen_filters == {0, 1, 2, 3, 4}
+
+
+def _png_chunk_offsets(buf):
+    import struct
+
+    off = 8
+    while off + 12 <= len(buf):
+        yield off
+        off += 12 + struct.unpack_from(">I", buf, off)[0]
