@@ -1072,3 +1072,126 @@ def sim_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# --- scalar quantization (SQ8): the remaining FAISS-family index ------------
+#
+# PQ compresses by codebook lookup; SQ8 compresses by per-DIMENSION
+# affine quantization: each component is mapped to one byte via the
+# dimension's [min, max] range learned from the corpus (FAISS
+# IndexScalarQuantizer QT_8bit convention). 4x smaller than float32
+# with near-exact recall on most embedding distributions, and — unlike
+# PQ — encode/decode is pure elementwise arithmetic, no codebook join.
+# Scoring is ASYMMETRIC (ADC-style): the full-precision query against
+# reconstructed corpus vectors, which preserves ranking far better
+# than code-vs-code. Determinism: the quantization bounds are exact
+# MIN/MAX aggregates (no FP-sum order anywhere), the code is a floor()
+# of an identically-parenthesized double expression on both engines,
+# and the score is the same left-fold inner product every other sim_*
+# oracle uses (list_inner_product == F.aggregate fold, proven bitwise
+# since round 2).
+
+SQ_LEVELS = 255  # byte codes 0..255
+
+
+@register(
+    "sim_sq8_topk",
+    tags=("llm", "similarity", "ann", "quantization", "topk"),
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dims AS (
+  SELECT t.i AS dim, MIN(emb[t.i]) AS lo, MAX(emb[t.i]) AS hi
+  FROM e, LATERAL unnest(range(1, len(emb) + 1)) AS t(i)
+  GROUP BY t.i
+),
+stats AS (
+  SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+  FROM dims
+),
+recon AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(emb) + 1), i ->
+           CASE WHEN s.his[i] = s.los[i] THEN s.los[i]
+                ELSE s.los[i]
+                     + (LEAST(CAST({SQ_LEVELS} AS DOUBLE),
+                              floor(((emb[i] - s.los[i]) * CAST({SQ_LEVELS} AS DOUBLE))
+                                    / (s.his[i] - s.los[i])))
+                        + CAST(0.5 AS DOUBLE))
+                       * (s.his[i] - s.los[i]) / CAST({SQ_LEVELS} AS DOUBLE)
+           END) AS rvec
+  FROM e CROSS JOIN stats s
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         list_inner_product(q.q_emb, r.rvec) AS sq_score
+  FROM q JOIN recon r ON r.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sq_score, rank FROM (
+  SELECT query_id, neighbor_id, sq_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sq_score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN: per-dimension [min, max] bounds from
+    one statistics pass (map-side-combined MIN/MAX, 64 groups), each
+    corpus component encoded to a byte code ``floor((v-lo)*255/(hi-lo))``
+    and reconstructed at the bin midpoint; full-precision queries score
+    against reconstructed vectors (asymmetric, ADC-style) and take the
+    per-query top-k through the WindowGroupLimit pushdown. At 100 TB
+    the byte codes are what you STORE (4x smaller scan than float32)
+    while the stats row is a broadcast — no join, no codebook, encode
+    and decode stay elementwise inside whole-stage codegen. Constant-
+    range dimensions degrade to code 0 / exact reconstruction rather
+    than dividing by zero."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    emb = F.col("embedding").cast("array<double>")
+    corpus = e.select("vec_id", emb.alias("emb"))
+
+    dims = (
+        corpus.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    stats = dims.agg(
+        F.sort_array(F.collect_list(F.struct("dim", "lo", "hi"))).alias("dlh")
+    ).select(
+        F.transform("dlh", lambda s: s["lo"]).alias("los"),
+        F.transform("dlh", lambda s: s["hi"]).alias("his"),
+    )
+
+    lvl = F.lit(float(SQ_LEVELS))
+
+    def recon_at(v, i):
+        lo = F.element_at(F.col("los"), i + F.lit(1))
+        hi = F.element_at(F.col("his"), i + F.lit(1))
+        code = F.least(lvl, F.floor(((v - lo) * lvl) / (hi - lo)))
+        return F.when(hi == lo, lo).otherwise(
+            lo + (code + F.lit(0.5)) * (hi - lo) / lvl
+        )
+
+    recon = corpus.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.transform("emb", recon_at).alias("rvec")
+    )
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = recon.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot(F.col("q_emb"), F.col("rvec")).alias("sq_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -913,3 +913,59 @@ def _png_chunk_offsets(buf):
     while off + 12 <= len(buf):
         yield off
         off += 12 + struct.unpack_from(">I", buf, off)[0]
+
+
+# --- SQ8 scalar-quantized ANN ------------------------------------------------
+
+
+def test_sq8_reconstruction_bound_and_recall(spark, sf_dir):
+    """Defining property of SQ8 midpoint reconstruction: every
+    reconstructed component is within half a quantization bin of the
+    original ((hi-lo)/255/2 per dimension, + float eps), so the SQ8
+    score of the TRUE exact top-1 neighbor is within dim * qmax * |q|_inf
+    of its exact score — and on this corpus the SQ8 top-10 must recall
+    most of the exact top-10 (numpy replay computes both)."""
+    import numpy as np
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.llm import similarity as S
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    span = hi - lo
+    nz = span > 0
+    codes = np.zeros_like(X)
+    codes[:, nz] = np.minimum(255, np.floor((X - lo)[:, nz] * 255.0 / span[nz]))
+    R = np.where(nz, lo + (codes + 0.5) * span / 255.0, lo)
+    assert np.all(np.abs(R - X)[:, nz] <= (span[nz] / 255.0) / 2 + 1e-12)
+
+    out = S.sim_sq8_topk(spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sq_score"]))
+    idmap = {int(v): i for i, v in enumerate(ids)}
+    hits = total = 0
+    for qid in range(S.N_QUERIES):
+        q = X[idmap[qid]]
+        scores = R @ q
+        scores[idmap[qid]] = -np.inf
+        # numpy replay of the Spark ranking (score desc, neighbor asc)
+        rank_keys = sorted(
+            ((float(-scores[i]), int(ids[i])) for i in range(len(ids))),
+        )[: S.TOP_K]
+        want = [nid for _, nid in rank_keys]
+        rows_q = sorted(got[qid])
+        assert [n for _, n, _ in rows_q] == want, qid
+        # recall vs EXACT inner-product top-k
+        exact = X @ q
+        exact[idmap[qid]] = -np.inf
+        top_exact = {int(ids[i]) for i in np.argsort(-exact)[: S.TOP_K]}
+        hits += len(top_exact & set(want))
+        total += S.TOP_K
+    assert hits / total >= 0.8, f"SQ8 recall@10 collapsed: {hits}/{total}"
