@@ -2120,3 +2120,188 @@ def graph_louvain_level2_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("gain", F.lit(0)).cast("bigint").alias("gain_x2m2"),
         F.col("cand").isNotNull().alias("moved"),
     )
+
+
+# --- strongly connected components (directed; forward-backward min-label) ---
+#
+# The directed twin of connected components. One min-label pass is NOT
+# enough for SCCs: reachability must hold BOTH ways. The classic
+# distributed decomposition (FW-BW / Orzan's OBF coloring; same family
+# as Hong et al.'s MultiStep) runs per phase, within each refinement
+# class:
+#   f(u) = min node id REACHABLE FROM u   (forward min-label fixpoint)
+#   b(u) = min node id THAT REACHES u     (backward min-label fixpoint)
+# If f(u) = b(u) = m then u and m reach each other, so u is in SCC(m) —
+# and the whole SCC of each class-minimum settles this way every phase
+# (the class minimum always has f = b = itself). Unsettled nodes can
+# never share an SCC across different (f, b) pairs (mutual reachability
+# forces equal pairs), so (f, b) becomes the next phase's refinement
+# class and edges crossing classes are dropped. Every collect in the
+# loop is O(1) (a monotone label-sum fingerprint); per-phase work is
+# O(E) join-aggregates with map-side combine, so the shape survives a
+# 1000-executor graph. Both loop caps RAISE on exhaustion rather than
+# emitting partial labels (repo no-silent-caps convention).
+
+SCC_N = 200
+SCC_MAX_PHASES = 12
+SCC_MAX_PROP_ROUNDS = 64
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed fixture graph over customer-key residues:
+    two affine successor rules per node (a doubled functional graph —
+    cycles with in-trees, the classic nontrivial SCC structure). Both
+    the Spark side and the DuckDB oracle derive it from the customer
+    table with the same arithmetic."""
+    nodes = (
+        load(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % SCC_N).alias("id"))
+        .distinct()
+    )
+    return nodes.select(
+        F.col("id").alias("u"), ((F.col("id") * 17 + 3) % SCC_N).alias("v")
+    ).unionAll(
+        nodes.select(
+            F.col("id").alias("u"), ((F.col("id") * 89 + 7) % SCC_N).alias("v")
+        )
+    )
+
+
+def _min_label_fixpoint(nodes: DataFrame, edges: DataFrame, forward: bool) -> DataFrame:
+    """(id) frame + class-restricted (u, v) edges -> (id, lab) where lab
+    is the min node id in the forward (u -> reachable) or backward
+    (reaches u) direction, by pull-style min propagation to fixpoint.
+    Convergence probe is the label SUM — labels only ever decrease, so
+    the sum is strictly monotone and one O(1) collect per round detects
+    the fixpoint."""
+    src, dst = ("u", "v") if forward else ("v", "u")
+    lab = nodes.select("id", F.col("id").alias("lab")).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(SCC_MAX_PROP_ROUNDS):
+        msgs = (
+            edges.join(
+                lab.select(F.col("id").alias(dst), F.col("lab").alias("nlab")), dst
+            )
+            .groupBy(F.col(src).alias("id"))
+            .agg(F.min("nlab").alias("mn"))
+        )
+        lab = (
+            lab.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least("lab", F.coalesce("mn", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = lab.agg(F.sum("lab")).collect()[0][0]
+        if cur == prev_sum:
+            return lab
+        prev_sum = cur
+    raise RuntimeError(
+        f"scc min-label propagation still moving after {SCC_MAX_PROP_ROUNDS} "
+        "rounds — refusing to emit labels from an unconverged fixpoint"
+    )
+
+
+def strongly_connected_components(raw: DataFrame) -> DataFrame:
+    """(u, v) directed edge frame -> (node, scc_id) via per-phase
+    forward/backward min-label settling with (f, b) class refinement."""
+    all_nodes = (
+        raw.select(F.col("u").alias("id"))
+        .unionAll(raw.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    E0 = raw.localCheckpoint(eager=True)
+    remaining = all_nodes.select(
+        "id", F.lit(0).cast("long").alias("ca"), F.lit(0).cast("long").alias("cb")
+    ).localCheckpoint(eager=True)
+    settled: DataFrame | None = None
+    for _ in range(SCC_MAX_PHASES):
+        if remaining.isEmpty():
+            break
+        # Edges whose endpoints share the refinement class (SCCs never
+        # straddle classes, so cross-class edges are dead weight).
+        cu = remaining.select(
+            F.col("id").alias("u"), F.col("ca").alias("ua"), F.col("cb").alias("ub")
+        )
+        cv = remaining.select(
+            F.col("id").alias("v"), F.col("ca").alias("va"), F.col("cb").alias("vb")
+        )
+        e = (
+            E0.join(cu, "u")
+            .join(cv, "v")
+            .filter((F.col("ua") == F.col("va")) & (F.col("ub") == F.col("vb")))
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        ids = remaining.select("id")
+        f = _min_label_fixpoint(ids, e, forward=True).withColumnRenamed("lab", "f")
+        b = _min_label_fixpoint(ids, e, forward=False).withColumnRenamed("lab", "b")
+        fb = f.join(b, "id").localCheckpoint(eager=True)
+        newly = fb.filter(F.col("f") == F.col("b")).select(
+            "id", F.col("f").alias("scc_id")
+        )
+        settled = newly if settled is None else settled.unionAll(newly)
+        settled = settled.localCheckpoint(eager=True)
+        remaining = (
+            fb.filter(F.col("f") != F.col("b"))
+            .select("id", F.col("f").alias("ca"), F.col("b").alias("cb"))
+            .localCheckpoint(eager=True)
+        )
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"strongly_connected_components: nodes still unsettled after "
+            f"{SCC_MAX_PHASES} phases — refusing to emit partial SCC labels"
+        )
+    return settled.select(F.col("id").alias("node"), "scc_id")
+
+
+@register(
+    "graph_scc",
+    tags=("graph", "iterative", "directed"),
+    oracle=f"""
+WITH RECURSIVE
+nodes0 AS (SELECT DISTINCT c_custkey % {SCC_N} AS id FROM customer),
+base AS (
+  SELECT id AS u, (id * 17 + 3) % {SCC_N} AS v FROM nodes0
+  UNION ALL
+  SELECT id, (id * 89 + 7) % {SCC_N} FROM nodes0
+),
+allnodes AS (SELECT u AS id FROM base UNION SELECT v FROM base),
+r(u, v) AS (
+  SELECT u, v FROM base
+  UNION
+  SELECT r.u, b.v FROM r JOIN base b ON r.v = b.u
+),
+mutual AS (
+  SELECT r1.u, r1.v FROM r r1 JOIN r r2 ON r1.u = r2.v AND r1.v = r2.u
+),
+scc AS (
+  SELECT n.id AS node,
+         LEAST(n.id, COALESCE(MIN(m.v), n.id)) AS scc_id
+  FROM allnodes n LEFT JOIN mutual m ON m.u = n.id
+  GROUP BY n.id
+),
+sizes AS (SELECT scc_id, COUNT(*) AS scc_size FROM scc GROUP BY scc_id)
+SELECT CAST(s.node AS BIGINT) AS node,
+       CAST(s.scc_id AS BIGINT) AS scc_id,
+       CAST(z.scc_size AS BIGINT) AS scc_size
+FROM scc s JOIN sizes z USING (scc_id)
+""",
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed fixture graph by
+    distributed forward-backward min-label settling (see
+    strongly_connected_components). The oracle computes the ground
+    truth a completely different way — full recursive-CTE transitive
+    closure, mutual-reachability pairs, min-id per SCC — so the
+    iterative decomposition is verified against independent semantics,
+    not a mirrored implementation. scc_size rides along (cycle nodes
+    of the doubled functional graph form the nontrivial SCCs)."""
+    labels = strongly_connected_components(_scc_edges(spark, sf_dir))
+    sizes = labels.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return labels.join(sizes, "scc_id").select(
+        F.col("node").cast("bigint"),
+        F.col("scc_id").cast("bigint"),
+        F.col("scc_size").cast("bigint"),
+    )

@@ -969,3 +969,76 @@ def test_sq8_reconstruction_bound_and_recall(spark, sf_dir):
         hits += len(top_exact & set(want))
         total += S.TOP_K
     assert hits / total >= 0.8, f"SQ8 recall@10 collapsed: {hits}/{total}"
+
+
+# --- strongly connected components -------------------------------------------
+
+
+def test_scc_matches_tarjan_replay(spark, sf_dir):
+    """SCC labels must equal an independent iterative-Tarjan replay in
+    pure Python (third algorithm family after the Spark FB-decomposition
+    and the oracle's closure) — same partition AND the same min-id
+    labeling; plus structure sanity: every node in a size>1 SCC lies on
+    a directed cycle of the doubled functional graph."""
+    out = graph.graph_scc(spark, sf_dir).collect()
+    edges = [(r["u"], r["v"]) for r in graph._scc_edges(spark, sf_dir).collect()]
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+
+    # Iterative Tarjan.
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comps = []
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            n, pi = work[-1]
+            if pi == 0:
+                index[n] = low[n] = counter[0]
+                counter[0] += 1
+                stack.append(n)
+                on_stack.add(n)
+            advanced = False
+            for i in range(pi, len(adj[n])):
+                w = adj[n][i]
+                if w not in index:
+                    work[-1] = (n, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[n] = min(low[n], index[w])
+            if advanced:
+                continue
+            if low[n] == index[n]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == n:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[n])
+
+    for n in nodes:
+        if n not in index:
+            strongconnect(n)
+
+    want = {}
+    for comp in comps:
+        m = min(comp)
+        for n in comp:
+            want[n] = (m, len(comp))
+    got = {r["node"]: (r["scc_id"], r["scc_size"]) for r in out}
+    assert got == want
+    assert any(sz > 1 for _, sz in got.values()), "fixture must have real cycles"
