@@ -1213,3 +1213,300 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             "topleft_g int, bottomright_r int"
         ),
     )
+
+
+# --- REAL GIF decode (hand-written LZW — no codec libs, no zlib) ------------
+#
+# Third real image codec. GIF87a's only nontrivial part is LZW with
+# variable-width codes (CompuServe spec, public since 1987): the
+# decoder below implements the real thing — growing dictionary,
+# code-size bumps at 2^n boundaries, CLEAR/END control codes, the
+# "code == next dictionary slot" KwKwK special case — and the fixture
+# writer implements a real LZW COMPRESSOR (greedy longest-prefix
+# emission), so the decode path sees genuinely compressed streams with
+# growing code widths, not a degenerate uncompressed encoding.
+
+GIF_N = 40
+
+
+def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """Real GIF-flavor LZW: greedy longest-known-prefix emission with
+    variable code width, CLEAR emitted first and whenever the table
+    fills at 4096 (the spec's hard cap). Returns the packed
+    little-endian bitstream (no sub-block framing)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh_table():
+        return {bytes([i]): i for i in range(1 << min_code_size)}
+
+    table = fresh_table()
+    next_code = end + 1
+    width = min_code_size + 1
+    out_bits.append((clear, width))
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        out_bits.append((table[prefix], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = fresh_table()
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = bytes([byte])
+    if prefix:
+        out_bits.append((table[prefix], width))
+    out_bits.append((end, width))
+
+    buf, acc, nbits = bytearray(), 0, 0
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decompress(stream: bytes, min_code_size: int) -> bytes:
+    """GIF LZW decoder: variable-width little-endian codes, CLEAR
+    resets, KwKwK case (code equals the not-yet-entered next slot)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: bytes([i]) for i in range(1 << min_code_size)}
+    table = dict(base)
+    width = min_code_size + 1
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(stream):
+                raise ValueError("LZW stream ended without END code")
+            acc |= stream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            width = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK: the spec's special case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # The decoder's table lags the encoder's by ONE entry at
+            # read time (the encoder adds its entry as it emits, the
+            # decoder one code later), so the decoder widens at
+            # next_code == 2^width where the encoder widens at
+            # next_code == 2^width + 1 — both take effect on the same
+            # absolute code index. Getting this off by one desyncs the
+            # bitstream exactly at code 2^width (caught by the
+            # roundtrip property test).
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def write_gif87a(path: str, width: int, height: int, palette, index_at) -> None:
+    """Minimal REAL GIF87a writer: 256-entry global color table,
+    single image, non-interlaced, LZW-compressed via _lzw_compress,
+    pixel stream chopped into <=255-byte sub-blocks per the spec.
+    ``palette(j)`` returns (r, g, b); ``index_at(x, y)`` the palette
+    index with (0, 0) top-left."""
+    data = bytes(index_at(x, y) for y in range(height) for x in range(width))
+    comp = _lzw_compress(data, 8)
+    with open(path, "wb") as f:
+        f.write(b"GIF87a")
+        f.write(_struct.pack("<HHBBB", width, height, 0xF7, 0, 0))  # GCT, 256
+        for j in range(256):
+            f.write(bytes(palette(j)))
+        f.write(b"\x2c" + _struct.pack("<HHHHB", 0, 0, width, height, 0))
+        f.write(bytes([8]))  # LZW minimum code size
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            f.write(bytes([len(block)]) + block)
+        f.write(b"\x00\x3b")  # block terminator + trailer
+
+
+def decode_gif87a(buf: bytes):
+    """(width, height, pixels) from GIF87a bytes; pixels is an
+    H x W x 3 numpy uint8 RGB array, row 0 = top — global color table
+    lookup after hand-rolled LZW decode. Supported profile: GIF87a,
+    global color table, single non-interlaced image, no local color
+    table; anything else raises."""
+    import numpy as np
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    w, h, packed, _bg, _ar = _struct.unpack_from("<HHBBB", buf, 6)
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table is unsupported")
+    gct_len = 2 << (packed & 0x07)
+    off = 13
+    gct = np.frombuffer(buf, np.uint8, gct_len * 3, off).reshape(gct_len, 3)
+    off += gct_len * 3
+    while off < len(buf):
+        b0 = buf[off]
+        if b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih, ipacked = _struct.unpack_from("<HHHHB", buf, off + 1)
+            if ipacked & 0x80:
+                raise ValueError("local color tables are unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIFs are unsupported")
+            if (ix, iy, iw, ih) != (0, 0, w, h):
+                raise ValueError("sub-rectangle images are unsupported")
+            off += 10
+            min_code = buf[off]
+            off += 1
+            stream = bytearray()
+            while True:
+                n = buf[off]
+                off += 1
+                if n == 0:
+                    break
+                stream += buf[off : off + n]
+                off += n
+            data = _lzw_decompress(bytes(stream), min_code)
+            if len(data) != w * h:
+                raise ValueError(
+                    f"LZW pixel stream is {len(data)} bytes, expected {w * h}"
+                )
+            idx = np.frombuffer(data, np.uint8).reshape(h, w)
+            return w, h, gct[idx]
+        elif b0 == 0x21:  # extension: skip sub-blocks
+            off += 2
+            while buf[off]:
+                off += 1 + buf[off]
+            off += 1
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contained no image data")
+
+
+def _gif_palette(j: int):
+    return ((3 * j) % 256, (5 * j) % 256, (7 * j) % 256)
+
+
+def _gif_index(i: int):
+    return lambda x, y: (7 * x + 11 * y + 13 * i) % 256
+
+
+def _gif_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_gif_palette, _gif_index, write_gif87a, _lzw_compress, GIF_N)
+    d = _os.path.join(SCRATCH, f"gif_images_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(GIF_N):
+        p = _os.path.join(d, f"img_{i:04d}.gif")
+        if not _os.path.exists(p):
+            tmp = p + ".tmp"
+            write_gif87a(tmp, 10 + i % 7, 6 + i % 5, _gif_palette, _gif_index(i))
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_decode_gif",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 10 + i % 7 AS w, 6 + i % 5 AS h FROM range({GIF_N}) t(i)
+),
+px AS (
+  SELECT i, w, h, xx.x AS x, yy.y AS y,
+         (7 * xx.x + 11 * yy.y + 13 * i) % 256 AS j
+  FROM imgs,
+       LATERAL unnest(range(0, w)) AS xx(x),
+       LATERAL unnest(range(0, h)) AS yy(y)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+       CAST(SUM((3 * j) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((5 * j) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((7 * j) % 256) AS BIGINT) AS sum_b,
+       CAST((5 * ((13 * i) % 256)) % 256 AS INTEGER) AS topleft_g,
+       CAST((3 * ((7 * (MAX(w) - 1) + 11 * (MAX(h) - 1) + 13 * i) % 256)) % 256
+            AS INTEGER) AS bottomright_r
+FROM px GROUP BY i
+""",
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode with a HAND-WRITTEN LZW codec (no zlib, no
+    media libs): variable-width codes, dictionary growth, CLEAR/END,
+    KwKwK — the fixture files are genuinely LZW-compressed by the twin
+    encoder, so the decoder's table reconstruction is load-bearing for
+    every pixel. Emits dimensions, exact per-channel sums through the
+    256-entry global color table, and position-sensitive corners; the
+    DuckDB oracle recomputes all of it from the index/palette formulas,
+    verifying header walk + sub-block reassembly + LZW + palette lookup
+    against independent arithmetic. Scale: same shape as the other
+    decodes — one file per Arrow row, O(1) features shuffle."""
+    import numpy as np
+
+    d = _gif_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.gif"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, px = decode_gif87a(bytes(content))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        img_id, w, h, w * h,
+                        int(s[0]), int(s[1]), int(s[2]),
+                        int(px[0, 0, 1]), int(px[h - 1, w - 1, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                    "topleft_g", "bottomright_r",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, width int, height int, n_pixels bigint, "
+            "sum_r bigint, sum_g bigint, sum_b bigint, "
+            "topleft_g int, bottomright_r int"
+        ),
+    )

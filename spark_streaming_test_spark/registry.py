@@ -88,7 +88,7 @@ _QUERY_MODULES = [
 # of CORRECTNESS_r*.json: never-driver-verified names first, greens last.
 _DRIVER_WINDOW = [
     # --- round-6 additions (never sampled; verify first) ---------------
-    "mm_decode_png", "sim_sq8_topk", "graph_scc",
+    "mm_decode_png", "sim_sq8_topk", "graph_scc", "mm_decode_gif",
     "sql_scripting_repeat_for", "sql_scripting_loop_labels",
     "sql_scripting_condition_handler",
     "dedup_exact_substring_pairs", "dedup_substring_gram_audit",

@@ -1042,3 +1042,77 @@ def test_scc_matches_tarjan_replay(spark, sf_dir):
     got = {r["node"]: (r["scc_id"], r["scc_size"]) for r in out}
     assert got == want
     assert any(sz > 1 for _, sz in got.values()), "fixture must have real cycles"
+
+
+# --- GIF / hand-written LZW ---------------------------------------------------
+
+
+def test_lzw_roundtrip_property():
+    """Property: ANY byte string roundtrips through the hand-written
+    GIF LZW codec at any min code size 2..8 — including highly
+    repetitive inputs (KwKwK special case fires constantly) and long
+    random inputs (dictionary fills to 4096 -> CLEAR/reset path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8),
+        st.one_of(
+            st.binary(max_size=300),
+            st.builds(
+                lambda b, n: b * n,
+                st.binary(min_size=1, max_size=4),
+                st.integers(min_value=1, max_value=2000),
+            ),
+        ),
+    )
+    def check(mcs, data):
+        data = bytes(v % (1 << mcs) for v in data)  # valid symbol range
+        assert mm._lzw_decompress(mm._lzw_compress(data, mcs), mcs) == data
+
+    check()
+
+
+def test_lzw_width_bump_exactness():
+    """The encoder/decoder width handshake is exact at every 2^n
+    boundary: a stream engineered to add one dictionary entry per code
+    must survive each width bump (the off-by-one that desyncs at code
+    512 is the classic GIF decoder bug)."""
+    import os
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    rng_bytes = os.urandom(30000)  # enough to cross 512/1024/2048/4096
+    assert mm._lzw_decompress(mm._lzw_compress(rng_bytes, 8), 8) == rng_bytes
+
+
+def test_gif_profile_guards(tmp_path):
+    """Unsupported GIF features must raise, not misdecode: missing
+    global color table, interlace flag, truncated LZW stream."""
+    import struct
+
+    import pytest
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    p = str(tmp_path / "t.gif")
+    mm.write_gif87a(p, 8, 6, mm._gif_palette, mm._gif_index(2))
+    buf = bytearray(open(p, "rb").read())
+
+    no_gct = bytes(buf[:10]) + bytes([buf[10] & 0x7F]) + bytes(buf[11:])
+    with pytest.raises(ValueError, match="global color table"):
+        mm.decode_gif87a(no_gct)
+
+    # set interlace bit in the image descriptor's packed byte
+    desc_off = 13 + 256 * 3
+    assert buf[desc_off] == 0x2C
+    interlaced = bytearray(buf)
+    interlaced[desc_off + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        mm.decode_gif87a(bytes(interlaced))
+
+    with pytest.raises(ValueError):
+        mm.decode_gif87a(bytes(buf[: len(buf) // 2]))
