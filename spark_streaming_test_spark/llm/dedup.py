@@ -2740,3 +2740,82 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("verdict"),
     )
+
+
+# --- Unicode normalization dedup (NFC) ---------------------------------------
+#
+# Real-corpus near-identical text frequently differs only in Unicode
+# encoding form: "café" appears both precomposed (U+00E9) and
+# decomposed (e + U+0301) depending on the source OS/editor, and
+# byte-level hashing treats them as distinct documents. Production
+# pipelines (CCNet, Dolma) NFC-normalize BEFORE hashing. Spark has no
+# normalization builtin, so this is a legitimate Arrow-batched Python
+# step (stdlib unicodedata, UAX #15); the oracle uses DuckDB's
+# independent nfc_normalize — two unrelated UAX #15 implementations
+# agreeing on the hash is the verification.
+
+NFC_BUCKETS = 50
+
+
+@register(
+    "dedup_unicode_nfc",
+    tags=("llm", "dedup", "unicode", "pandas-udf"),
+    oracle=f"""
+WITH v AS (
+  SELECT doc_id, doc_id % {NFC_BUCKETS} AS bucket,
+         'résumé template ' || CAST(doc_id % {NFC_BUCKETS} AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN ' café Å'
+              ELSE ' cafe' || chr(769) || ' A' || chr(778) END AS msg
+  FROM documents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT msg) AS n_raw_forms,
+       COUNT(DISTINCT nfc_normalize(msg)) AS n_nfc_forms,
+       md5(MIN(nfc_normalize(msg))) AS nfc_md5
+FROM v GROUP BY bucket
+""",
+)
+def dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalization dedup: per collision bucket, the raw byte
+    forms (precomposed vs combining-mark spellings of the SAME string)
+    count as distinct until NFC normalization folds them together —
+    n_raw_forms is 2 where both encoding forms occur, n_nfc_forms must
+    be 1 everywhere, and the md5 of the normalized form is compared
+    cross-engine (Python unicodedata vs DuckDB nfc_normalize, two
+    independent UAX #15 implementations). Scale: normalization is a
+    stateless Arrow-batched map before the hash — it adds no shuffle,
+    and downstream exact/MinHash dedup operate on the normalized
+    hash exactly as before."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: dedup.py postpones annotations (PEP 563), which the
+    # decorator form can't resolve for a function-local `pd` alias
+    nfc = pandas_udf(
+        lambda s: s.map(lambda x: unicodedata.normalize("NFC", x)), "string"
+    )
+
+    d = load(spark, sf_dir, "documents")
+    msg = F.concat(
+        F.lit("résumé template "),
+        (F.col("doc_id") % NFC_BUCKETS).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit(" caf\u00e9 \u00c5")
+        ).otherwise(
+            # decomposed spelling: e + COMBINING ACUTE, A + COMBINING
+            # RING ABOVE -- NFC folds it onto the even branch's form
+            F.lit(" cafe\u0301 A\u030a")
+        ),
+    )
+    v = d.select(
+        (F.col("doc_id") % NFC_BUCKETS).alias("bucket"),
+        msg.alias("msg"),
+    ).withColumn("nmsg", nfc("msg"))
+    return v.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("msg").alias("n_raw_forms"),
+        F.countDistinct("nmsg").alias("n_nfc_forms"),
+        F.md5(F.encode(F.min("nmsg"), "UTF-8")).alias("nfc_md5"),
+    )

@@ -1116,3 +1116,37 @@ def test_gif_profile_guards(tmp_path):
 
     with pytest.raises(ValueError):
         mm.decode_gif87a(bytes(buf[: len(buf) // 2]))
+
+
+# --- unicode NFC dedup ---------------------------------------------------------
+
+
+def test_unicode_nfc_folds_encoding_forms(spark, sf_dir):
+    """Every bucket with docs of both parities must show exactly 2 raw
+    byte forms folding to exactly 1 NFC form, and the normalized md5
+    must equal a direct Python unicodedata replay of the bucket's
+    canonical string."""
+    import hashlib as hl
+    import unicodedata
+
+    from spark_streaming_test_spark.llm import dedup as dd
+
+    rows = dd.dedup_unicode_nfc(spark, sf_dir).collect()
+    assert rows
+    parities = defaultdict(set)
+    n_docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(f"doc_id % {dd.NFC_BUCKETS} AS b", "doc_id % 2 AS p")
+        .collect()
+    ):
+        parities[r["b"]].add(r["p"])
+    assert sum(r["n_docs"] for r in rows) == n_docs_tbl
+    for r in rows:
+        want_forms = len(parities[r["bucket"]])
+        assert r["n_raw_forms"] == want_forms, r
+        assert r["n_nfc_forms"] == 1, r
+        canon = unicodedata.normalize(
+            "NFC", f"résumé template {r['bucket']} café Å"
+        )
+        assert r["nfc_md5"] == hl.md5(canon.encode()).hexdigest(), r
