@@ -544,3 +544,229 @@ def ts_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.expr(f"CAST({HAMPEL_K} AS DOUBLE)") * F.col("mad")
         ).alias("is_outlier"),
     )
+
+
+# --- LTTB visualization downsampling ----------------------------------------
+
+LTTB_B = 24  # target interior buckets (selected points = B + first + last)
+
+
+@register(
+    "ts_lttb_downsample",
+    tags=("timeseries", "downsample", "lttb"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+),
+ser AS (
+  SELECT event_type, h, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         MIN(h) OVER (PARTITION BY event_type) AS h0
+  FROM hourly
+),
+sized AS (
+  SELECT *, LEAST({LTTB_B}, n - 2) AS beff, h - h0 AS tr
+  FROM ser WHERE n >= 3
+),
+firstlast AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = 1 THEN tr END) AS tf,
+         MIN(CASE WHEN rn = 1 THEN v END) AS vf,
+         MIN(CASE WHEN rn = n THEN tr END) AS tl,
+         MIN(CASE WHEN rn = n THEN v END) AS vl,
+         MIN(h0) AS h0
+  FROM sized GROUP BY event_type
+),
+interior AS (
+  SELECT event_type,
+         CAST(floor(((rn - 2) * beff) / CAST(n - 2 AS DOUBLE)) AS BIGINT) AS k,
+         tr, v
+  FROM sized WHERE rn > 1 AND rn < n
+),
+bkt AS MATERIALIZED (
+  SELECT event_type, k,
+         list([tr, v] ORDER BY tr) AS cands,
+         CAST(SUM(tr) AS BIGINT) AS st, CAST(SUM(v) AS BIGINT) AS sv,
+         COUNT(*) AS cnt
+  FROM interior GROUP BY event_type, k
+),
+bkt2 AS (
+  SELECT b.event_type, b.k,
+         [[COALESCE(LEAD(b.st) OVER w, f.tl),
+           COALESCE(LEAD(b.sv) OVER w, f.vl),
+           COALESCE(LEAD(b.cnt) OVER w, 1)]] || b.cands AS enc
+  FROM bkt b JOIN firstlast f USING (event_type)
+  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.k)
+),
+folded AS (
+  SELECT b.event_type,
+         list_reduce(
+           [[[f.tf, f.vf]]] || list(b.enc ORDER BY b.k),
+           (acc, bb) -> list_append(acc,
+             list_reduce(
+               list_transform(bb[2:len(bb)], p ->
+                 [abs( (acc[len(acc)][1] * bb[1][3] - bb[1][1])
+                         * (p[2] - acc[len(acc)][2])
+                     - (acc[len(acc)][1] - p[1])
+                         * (bb[1][2] - acc[len(acc)][2] * bb[1][3]) ),
+                  p[1], p[2]]),
+               (x, y) -> CASE WHEN y[1] > x[1] THEN y ELSE x END
+             )[2:3])
+         ) || [[f.tl, f.vl]] AS sel
+  FROM bkt2 b JOIN firstlast f USING (event_type)
+  GROUP BY b.event_type, f.tf, f.vf, f.tl, f.vl
+)
+SELECT fo.event_type,
+       CAST(t.i AS INTEGER) AS sel_rank,
+       fo.sel[t.i][1] + f.h0 AS t_hour,
+       fo.sel[t.i][2] AS v_scaled
+FROM folded fo JOIN firstlast f USING (event_type),
+     LATERAL unnest(range(1, len(fo.sel) + 1)) AS t(i)
+""",
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — the de-facto standard for shape-preserving chart decimation,
+    complementing ts_downsample_m4's per-pixel-column extrema: LTTB
+    keeps the {LTTB_B}+2 points that maximize the effective triangle
+    area with the PREVIOUSLY kept point and the NEXT bucket's centroid,
+    so single-point spikes and trend turns survive where min/max alone
+    distorts slopes.
+
+    LTTB's selection is inherently SEQUENTIAL per series (each bucket's
+    choice depends on the previous choice), so the recurrence runs as
+    one row-local Catalyst fold over the per-series bucket array — the
+    ts_dtw_distance pattern — with buckets encoded as
+    [[next_sum_t, next_sum_v, next_cnt], cand_1, ..., cand_m] and the
+    accumulator the list of chosen [t, v] points. All arithmetic stays
+    in BIGINT: the triangle area is cross-multiplied by the next
+    bucket's count instead of dividing to a fractional centroid
+    (|.(ta*cnt - sum_t)(vp - va) - (ta - tp)(sum_v - va*cnt)|), and
+    hour indexes are made series-relative to keep every product far
+    below 2^63 — bitwise-exact cross-engine with zero rounding steps.
+    Ties take the earliest candidate (strict > in the argmax fold) in
+    both engines. Degenerate series: beff = min(B, n-2) shrinks the
+    bucket count (the floor mapping is then surjective, so no bucket
+    is empty and the fold never sees an empty candidate list); series
+    with n < 3 are excluded.
+
+    Scale posture: the parallelism axis is SERIES — the hourly rollup
+    is one map-side-combined aggregation, each series folds inside a
+    single task over an O(hours) array, and only the B+2 selected
+    points leave the task. The ranking compares only candidates within
+    one bucket against one running point, never point-to-point across
+    the corpus."""
+    hourly = load(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    wseq = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    ser = hourly.select(
+        "event_type", "h", "v",
+        F.row_number().over(wseq).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.min("h").over(wall).alias("h0"),
+    ).filter(F.col("n") >= 3)
+    sized = ser.select(
+        "*",
+        F.least(F.lit(LTTB_B).cast("bigint"), F.col("n") - 2).alias("beff"),
+        (F.col("h") - F.col("h0")).alias("tr"),
+    )
+    firstlast = sized.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("tr"))).alias("tf"),
+        F.min(F.when(F.col("rn") == 1, F.col("v"))).alias("vf"),
+        F.min(F.when(F.col("rn") == F.col("n"), F.col("tr"))).alias("tl"),
+        F.min(F.when(F.col("rn") == F.col("n"), F.col("v"))).alias("vl"),
+        F.min("h0").alias("h0"),
+    )
+    interior = sized.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).select(
+        "event_type",
+        F.floor(
+            ((F.col("rn") - 2) * F.col("beff")) / (F.col("n") - 2).cast("double")
+        )
+        .cast("bigint")
+        .alias("k"),
+        "tr",
+        "v",
+    )
+    bkt = interior.groupBy("event_type", "k").agg(
+        F.sort_array(F.collect_list(F.array("tr", "v"))).alias("cands"),
+        F.sum("tr").alias("st"),
+        F.sum("v").alias("sv"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    wk = Window.partitionBy("event_type").orderBy("k")
+    bkt2 = bkt.join(firstlast, "event_type").select(
+        "event_type",
+        "k",
+        F.concat(
+            F.array(
+                F.array(
+                    F.coalesce(F.lead("st").over(wk), F.col("tl")),
+                    F.coalesce(F.lead("sv").over(wk), F.col("vl")),
+                    F.coalesce(F.lead("cnt").over(wk), F.lit(1).cast("bigint")),
+                )
+            ),
+            F.col("cands"),
+        ).alias("enc"),
+    )
+    per_series = bkt2.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("k", "enc"))),
+            lambda s: s["enc"],
+        ).alias("bs")
+    )
+
+    def step(acc, bb):
+        last = F.element_at(acc, F.size(acc))
+        nxt = F.element_at(bb, 1)
+        ta, va = F.element_at(last, 1), F.element_at(last, 2)
+        st, sv = F.element_at(nxt, 1), F.element_at(nxt, 2)
+        cnt = F.element_at(nxt, 3)
+        scored = F.transform(
+            F.slice(bb, 2, F.size(bb) - 1),
+            lambda p: F.array(
+                F.abs(
+                    (ta * cnt - st) * (F.element_at(p, 2) - va)
+                    - (ta - F.element_at(p, 1)) * (sv - va * cnt)
+                ),
+                F.element_at(p, 1),
+                F.element_at(p, 2),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.element_at(scored, 1),
+            lambda x, y: F.when(
+                F.element_at(y, 1) > F.element_at(x, 1), y
+            ).otherwise(x),
+        )
+        return F.concat(acc, F.array(F.slice(best, 2, 2)))
+
+    folded = per_series.join(firstlast, "event_type").select(
+        "event_type",
+        "h0",
+        F.concat(
+            F.aggregate(
+                "bs", F.array(F.array(F.col("tf"), F.col("vf"))), step
+            ),
+            F.array(F.array(F.col("tl"), F.col("vl"))),
+        ).alias("sel"),
+    )
+    return folded.select(
+        "event_type", "h0", F.posexplode("sel").alias("pos", "p")
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).cast("int").alias("sel_rank"),
+        (F.element_at("p", 1) + F.col("h0")).alias("t_hour"),
+        F.element_at("p", 2).alias("v_scaled"),
+    )

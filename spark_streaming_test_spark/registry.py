@@ -89,7 +89,7 @@ _QUERY_MODULES = [
 _DRIVER_WINDOW = [
     # --- round-6 additions (never sampled; verify first) ---------------
     "mm_decode_png", "sim_sq8_topk", "graph_scc", "mm_decode_gif",
-    "dedup_unicode_nfc",
+    "dedup_unicode_nfc", "ts_lttb_downsample",
     "sql_scripting_repeat_for", "sql_scripting_loop_labels",
     "sql_scripting_condition_handler",
     "dedup_exact_substring_pairs", "dedup_substring_gram_audit",

@@ -1150,3 +1150,77 @@ def test_unicode_nfc_folds_encoding_forms(spark, sf_dir):
             "NFC", f"résumé template {r['bucket']} café Å"
         )
         assert r["nfc_md5"] == hl.md5(canon.encode()).hexdigest(), r
+
+
+# --- LTTB downsampling ---------------------------------------------------------
+
+
+def test_lttb_python_replay(spark, sf_dir):
+    """Selected points must equal a pure-Python replay of textbook LTTB
+    (Steinarsson 2013) on the same hourly series — previous-point
+    dependence, next-bucket centroid, earliest-tie argmax — and the
+    endpoints must always be kept verbatim."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators import timeseries as tsm
+
+    hourly = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["h"], r["v"]))
+    for s in series.values():
+        s.sort()
+
+    def lttb(pts, B):
+        n = len(pts)
+        h0 = pts[0][0]
+        rel = [(h - h0, v) for h, v in pts]
+        beff = min(B, n - 2)
+        sel = [rel[0]]
+        buckets = [[] for _ in range(beff)]
+        for idx in range(1, n - 1):
+            k = int(math.floor(((idx - 1) * beff) / float(n - 2)))
+            buckets[k].append(rel[idx])
+        for k in range(beff):
+            if k + 1 < beff:
+                nxt = buckets[k + 1]
+                st = sum(t for t, _ in nxt)
+                sv = sum(v for _, v in nxt)
+                cnt = len(nxt)
+            else:
+                st, sv, cnt = rel[-1][0], rel[-1][1], 1
+            ta, va = sel[-1]
+            best = None
+            for tp, vp in buckets[k]:
+                a2 = abs((ta * cnt - st) * (vp - va) - (ta - tp) * (sv - va * cnt))
+                if best is None or a2 > best[0]:
+                    best = (a2, tp, vp)
+            sel.append((best[1], best[2]))
+        sel.append(rel[-1])
+        return [(t + h0, v) for t, v in sel]
+
+    got = defaultdict(dict)
+    for r in tsm.ts_lttb_downsample(spark, sf_dir).collect():
+        got[r["event_type"]][r["sel_rank"]] = (r["t_hour"], r["v_scaled"])
+    assert set(got) == {et for et, s in series.items() if len(s) >= 3}
+    for et, pts in series.items():
+        if len(pts) < 3:
+            continue
+        want = lttb(pts, tsm.LTTB_B)
+        ranked = [got[et][i] for i in sorted(got[et])]
+        assert ranked == want, et
+        assert ranked[0] == pts[0] and ranked[-1] == pts[-1]
