@@ -79,6 +79,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.sources.jsonl_sink",
     "spark_streaming_test_spark.sources.pcap_file",
     "spark_streaming_test_spark.sources.warc",
+    "spark_streaming_test_spark.sources.tar_webdataset",
 ]
 
 # Driver verification window + full rotation plan. The driver checks the
@@ -89,7 +90,8 @@ _QUERY_MODULES = [
 _DRIVER_WINDOW = [
     # --- round-6 additions (never sampled; verify first) ---------------
     "mm_decode_png", "sim_sq8_topk", "graph_scc", "mm_decode_gif",
-    "dedup_unicode_nfc", "ts_lttb_downsample",
+    "dedup_unicode_nfc", "ts_lttb_downsample", "scan_tar_members",
+    "mm_webdataset_pairs",
     "sql_scripting_repeat_for", "sql_scripting_loop_labels",
     "sql_scripting_condition_handler",
     "dedup_exact_substring_pairs", "dedup_substring_gram_audit",

@@ -1224,3 +1224,136 @@ def test_lttb_python_replay(spark, sf_dir):
         ranked = [got[et][i] for i in sorted(got[et])]
         assert ranked == want, et
         assert ranked[0] == pts[0] and ranked[-1] == pts[-1]
+
+
+# --- tar / WebDataset source ---------------------------------------------------
+
+
+def test_tar_interop_with_stdlib_tarfile(tmp_path):
+    """Bidirectional interop with the stdlib tarfile module (an
+    independent ustar implementation): our files parse with tarfile,
+    tarfile's files parse with us — names, sizes, mtimes, payloads."""
+    import io
+    import tarfile
+
+    from spark_streaming_test_spark.sources import tar_webdataset as T
+
+    members = [
+        ("a.txt", 1700000001, b"hello tar"),
+        ("dir/b.bin", 1700000002, bytes(range(256)) * 3),
+        ("empty.bin", 1700000003, b""),
+    ]
+    p = str(tmp_path / "ours.tar")
+    T.write_tar(p, members)
+    with tarfile.open(p) as tf:
+        got = [
+            (m.name, m.mtime, tf.extractfile(m).read())
+            for m in tf.getmembers()
+        ]
+    assert got == members
+
+    p2 = str(tmp_path / "theirs.tar")
+    with tarfile.open(p2, "w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, mtime, payload in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = mtime
+            tf.addfile(info, io.BytesIO(payload))
+    parsed = [
+        (r[2], r[5], r[6]) for r in T.parse_tar_bytes(p2, open(p2, "rb").read())
+    ]
+    assert parsed == members
+
+
+def test_tar_roundtrip_property():
+    """Property: ANY member list (weird names, empty/byte payloads,
+    block-boundary sizes) roundtrips write_tar -> parse_tar_bytes, and
+    a flipped header byte fails the checksum."""
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_test_spark.sources import tar_webdataset as T
+
+    member = st.tuples(
+        st.from_regex(r"[a-z][a-z0-9_./-]{0,40}", fullmatch=True),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.one_of(
+            st.binary(max_size=1300),
+            st.binary(min_size=511, max_size=513),  # block-boundary sizes
+        ),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(member, max_size=5))
+    def check(members):
+        import os
+        import tempfile
+
+        fd, p = tempfile.mkstemp(suffix=".tar")
+        os.close(fd)
+        try:
+            T.write_tar(p, members)
+            buf = open(p, "rb").read()
+            got = [(r[2], r[5], r[6]) for r in T.parse_tar_bytes(p, buf)]
+            assert got == [(n, m, b) for n, m, b in members]
+            if members:
+                bad = bytearray(buf)
+                bad[32] ^= 0x01  # inside the first header's mode field
+                with pytest.raises(ValueError, match="checksum"):
+                    list(T.parse_tar_bytes(p, bytes(bad)))
+        finally:
+            os.remove(p)
+
+    check()
+
+
+def test_tar_dir_stream_exactly_once(spark, tmp_path):
+    """tar_dir streaming source: shards land in two waves; every member
+    is consumed exactly once across micro-batches (the name-anchored
+    offset contract shared with pcap_dir/warc_dir)."""
+    import os
+
+    from spark_streaming_test_spark.sources.tar_webdataset import (
+        register_tar_source,
+        write_tar,
+    )
+
+    register_tar_source(spark)
+    src = str(tmp_path / "shards")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "got")
+    os.makedirs(src)
+
+    def land(name, members):
+        tmp = os.path.join(src, name + ".tmp")
+        write_tar(tmp, members)
+        os.replace(tmp, os.path.join(src, name))
+
+    land("shard_000.tar", [("s0.txt", 1700000000, b"first")])
+    q = (
+        spark.readStream.format("tar_dir")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land(
+            "shard_001.tar",
+            [("s1.txt", 1700000001, b"second"), ("s1.bin", 1700000001, b"\x01\x02")],
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()  # idle trigger must not re-read
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    names = sorted(r["name"] for r in rows)
+    assert names == ["s0.txt", "s1.bin", "s1.txt"]
+    by_name = {r["name"]: r for r in rows}
+    assert bytes(by_name["s1.bin"]["payload"]) == b"\x01\x02"
+    assert by_name["s0.txt"]["member_index"] == 0
