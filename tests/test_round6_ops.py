@@ -1357,3 +1357,64 @@ def test_tar_dir_stream_exactly_once(spark, tmp_path):
     by_name = {r["name"]: r for r in rows}
     assert bytes(by_name["s1.bin"]["payload"]) == b"\x01\x02"
     assert by_name["s0.txt"]["member_index"] == 0
+
+
+# --- zip source ------------------------------------------------------------------
+
+
+def test_zip_interop_with_stdlib_zipfile(tmp_path):
+    """Bidirectional interop with the stdlib zipfile module: our
+    archives open with zipfile (both methods), zipfile's archives parse
+    with us, and the name-predicate skip never inflates skipped
+    members."""
+    import zipfile
+
+    from spark_streaming_test_spark.sources import zip_archive as Z
+
+    entries = [
+        ("a.txt", b"hello zip", "stored"),
+        ("b/c.bin", bytes(range(256)) * 4, "deflate"),
+        ("empty", b"", "stored"),
+    ]
+    p = str(tmp_path / "ours.zip")
+    Z.write_zip(p, entries)
+    with zipfile.ZipFile(p) as zf:
+        got = [(n, zf.read(n)) for n in zf.namelist()]
+        assert zf.testzip() is None  # CRC pass from the independent impl
+    assert got == [(n, b) for n, b, _ in entries]
+
+    p2 = str(tmp_path / "theirs.zip")
+    with zipfile.ZipFile(p2, "w") as zf:
+        zf.writestr("x.txt", b"stored by zipfile", zipfile.ZIP_STORED)
+        zf.writestr("y.bin", b"deflated " * 50, zipfile.ZIP_DEFLATED)
+    parsed = {
+        r[2]: (r[3], r[5])
+        for r in Z.parse_zip_bytes(p2, open(p2, "rb").read())
+    }
+    assert parsed["x.txt"] == ("stored", b"stored by zipfile")
+    assert parsed["y.bin"] == ("deflate", b"deflated " * 50)
+
+    only = [
+        r[2]
+        for r in Z.parse_zip_bytes(
+            p, open(p, "rb").read(), want=lambda n: n == "a.txt"
+        )
+    ]
+    assert only == ["a.txt"]
+
+
+def test_zip_corruption_guards(tmp_path):
+    """A flipped payload byte must fail CRC-32; a truncated tail must
+    fail the EOCD scan — never silent garbage."""
+    import pytest
+
+    from spark_streaming_test_spark.sources import zip_archive as Z
+
+    p = str(tmp_path / "t.zip")
+    Z.write_zip(p, [("d.bin", b"abcdefgh" * 10, "stored")])
+    buf = bytearray(open(p, "rb").read())
+    buf[40] ^= 0xFF  # inside the stored payload
+    with pytest.raises(ValueError, match="CRC-32"):
+        list(Z.parse_zip_bytes(p, bytes(buf)))
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        list(Z.parse_zip_bytes(p, bytes(buf[:30])))
