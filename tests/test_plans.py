@@ -1219,3 +1219,71 @@ def test_louvain_sigma_frames_broadcast(spark, qs):
     df = qs["graph_louvain_move_phase"](spark, SF_DIR)
     checks.assert_broadcast_join(df, min_count=2)
     checks.assert_no_cartesian(df)
+
+
+def test_sq8_stats_broadcast_single_corpus_scan_per_side(spark, qs):
+    # SQ8's [min,max] stats row must reach the corpus as a BROADCAST
+    # nested-loop (1-row frame), never a shuffle; the query set joins
+    # as a broadcast hash join; and no cartesian product appears. The
+    # byte-code encode/reconstruct must stay in codegen (no Python).
+    df = qs["sim_sq8_topk"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    # Both joins are broadcast NESTED-LOOP by construction: the stats
+    # side is ONE row (cross) and the query join is non-equi
+    # (vec_id != query_id) — broadcast is what makes each acceptable;
+    # a CartesianProduct (no broadcast) would be the scale bug.
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:1500]
+    checks.assert_no_cartesian(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # pure-Catalyst quantization
+    checks.assert_operator(df, "WindowGroupLimit")  # top-k never global-sorts
+
+
+def test_lttb_single_python_free_fold(spark, qs):
+    # LTTB's recurrence is a row-local Catalyst fold: the plan must be
+    # Python-free end-to-end, and the only wide operations are the
+    # hourly rollup + per-series collects — no join back to the raw
+    # events (the bucket array carries everything).
+    df = qs["ts_lttb_downsample"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    checks.assert_no_cartesian(df)
+
+
+def test_tar_and_zip_parse_once_in_python(spark, qs):
+    # Container parsing is the single Python boundary (mapInPandas over
+    # binaryFile); the byte-sum probes run as Catalyst aggregates over
+    # the payload column, not a second Python pass.
+    for name in ("scan_tar_members", "scan_zip_entries"):
+        df = qs[name](spark, SF_DIR)
+        plan = checks.formatted_plan(df)
+        assert plan.count("MapInPandas (") == 1, (name, plan[:1200])
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_scc_phase_plan_is_join_aggregate(spark):
+    # One SCC propagation round compiles to a shuffle-hash/sort-merge
+    # join + partial-aggregated min (map-side combine before the
+    # exchange) — the shape whose cost is O(E) per round at any scale.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators.graph import _scc_edges
+
+    edges = _scc_edges(spark, SF_DIR)
+    lab = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    )
+    msgs = (
+        edges.join(lab.select(F.col("id").alias("v"), F.col("lab").alias("nlab")), "v")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("nlab").alias("mn"))
+    )
+    plan = checks.formatted_plan(msgs)
+    assert "HashAggregate" in plan
+    checks.assert_no_cartesian(msgs)
+    # partial agg below the exchange: first HashAggregate appears
+    # before the last Exchange in the tree walk
+    tree = plan.split("\n\n")[0]
+    first_agg = tree.find("HashAggregate")
+    assert first_agg >= 0 and "Exchange" in tree[first_agg:], tree[:1200]
