@@ -1232,7 +1232,9 @@ def test_sq8_stats_broadcast_single_corpus_scan_per_side(spark, qs):
     # side is ONE row (cross) and the query join is non-equi
     # (vec_id != query_id) — broadcast is what makes each acceptable;
     # a CartesianProduct (no broadcast) would be the scale bug.
-    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:1500]
+    # tree line is "BroadcastNestedLoopJoin (n)"; details repeat it as
+    # "(n) BroadcastNestedLoopJoin" — count the tree form only
+    assert plan.count("BroadcastNestedLoopJoin (") == 2, plan[:1500]
     checks.assert_no_cartesian(df)
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan  # pure-Catalyst quantization
