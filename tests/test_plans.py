@@ -1232,9 +1232,12 @@ def test_sq8_stats_broadcast_single_corpus_scan_per_side(spark, qs):
     # side is ONE row (cross) and the query join is non-equi
     # (vec_id != query_id) — broadcast is what makes each acceptable;
     # a CartesianProduct (no broadcast) would be the scale bug.
-    # tree line is "BroadcastNestedLoopJoin (n)"; details repeat it as
-    # "(n) BroadcastNestedLoopJoin" — count the tree form only
-    assert plan.count("BroadcastNestedLoopJoin (") == 2, plan[:1500]
+    # tree lines read "BroadcastNestedLoopJoin <type> BuildRight (n)";
+    # the details section repeats the bare node name — count tree forms
+    import re
+
+    n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin \w+ Build\w+ \(\d+\)", plan))
+    assert n_bnlj == 2, plan[:1500]
     checks.assert_no_cartesian(df)
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan  # pure-Catalyst quantization
