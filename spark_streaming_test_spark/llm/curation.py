@@ -571,3 +571,168 @@ def corpus_select_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(wb).cast("bigint").alias("cum_tokens"),
     )
     return budgeted.filter(F.col("cum_tokens") <= SEL_BUDGET_TOKENS)
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+#
+# Crawl dedup's FIRST line of defense is the URL, not the content: the
+# same page is fetched as http/HTTPS, with and without :443, with
+# tracking params, with reordered query strings, with a trailing
+# slash. Canonicalize-then-group removes those refetches before any
+# byte of content is hashed (the Common Crawl / Dolma URL-dedup step).
+# Every normalization rule below is a deterministic string expression
+# mirrored exactly in the DuckDB oracle: lowercase scheme+host, strip
+# the scheme's default port, drop utm_* tracking params, SORT the
+# remaining query params, and strip a trailing slash off non-root
+# paths.
+
+URL_BUCKETS = 37  # coprime with the 4 variant forms: buckets mix variants
+
+
+@register(
+    "corpus_url_canonical_dedup",
+    tags=("llm", "curation", "dedup", "url"),
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id,
+         doc_id % {URL_BUCKETS} AS b,
+         doc_id % 4 AS v,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTPS://WWW.Site.COM:443/items/'
+                       || CAST(doc_id % {URL_BUCKETS} AS VARCHAR) || '?b=2&a=1'
+           WHEN 1 THEN 'https://www.site.com/items/'
+                       || CAST(doc_id % {URL_BUCKETS} AS VARCHAR)
+                       || '?a=1&b=2&utm_source=feed'
+           WHEN 2 THEN 'https://www.site.com/items/'
+                       || CAST(doc_id % {URL_BUCKETS} AS VARCHAR) || '/?a=1&b=2'
+           ELSE 'https://www.site.com:443/items/'
+                       || CAST(doc_id % {URL_BUCKETS} AS VARCHAR)
+                       || '?utm_campaign=x&b=2&a=1'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)) AS hostport,
+         COALESCE(nullif(regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1), ''), '/') AS path,
+         nullif(regexp_extract(url, '\\?(.*)$', 1), '') AS query
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+                THEN left(hostport, length(hostport) - 4)
+              WHEN scheme = 'http' AND hostport LIKE '%:80'
+                THEN left(hostport, length(hostport) - 3)
+              ELSE hostport END AS host,
+         CASE WHEN path <> '/' AND path LIKE '%/'
+                THEN left(path, length(path) - 1)
+              ELSE path END AS npath,
+         CASE WHEN query IS NULL THEN ''
+              ELSE array_to_string(
+                     list_sort(list_filter(string_split(query, '&'),
+                                           p -> NOT starts_with(p, 'utm_'))),
+                     '&')
+         END AS nquery
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || npath
+           || CASE WHEN nquery = '' THEN '' ELSE '?' || nquery END AS curl
+  FROM norm
+)
+SELECT curl AS canonical_url,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT url) AS n_raw_forms,
+       MIN(doc_id) AS example_doc
+FROM canon GROUP BY curl
+""",
+)
+def corpus_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: four raw spellings of each logical
+    URL (case/port, tracking params, reordered query, trailing slash)
+    must collapse to ONE canonical form per bucket — n_raw_forms counts
+    the spellings observed, the canonical string itself is part of the
+    hash, and the oracle replays every rule with DuckDB string
+    functions. Scale: pure string expressions in whole-stage codegen
+    ahead of the group-by — the shuffle carries canonical URLs, and
+    content hashing downstream runs once per canonical URL instead of
+    once per refetch."""
+    d = load(spark, sf_dir, "documents")
+    b = (F.col("doc_id") % URL_BUCKETS).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://WWW.Site.COM:443/items/"), b, F.lit("?b=2&a=1")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://www.site.com/items/"), b,
+                F.lit("?a=1&b=2&utm_source=feed"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://www.site.com/items/"), b, F.lit("/?a=1&b=2")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site.com:443/items/"), b,
+                F.lit("?utm_campaign=x&b=2&a=1"),
+            )
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?]+)", 1))
+    path = F.coalesce(
+        F.nullif(F.regexp_extract("url", r"^[A-Za-z]+://[^/?]+([^?]*)", 1), F.lit("")),
+        F.lit("/"),
+    )
+    query = F.nullif(F.regexp_extract("url", r"\?(.*)$", 1), F.lit(""))
+    parts = raw.select(
+        "doc_id", "url",
+        scheme.alias("scheme"), hostport.alias("hostport"),
+        path.alias("path"), query.alias("query"),
+    )
+    host = (
+        F.when(
+            (F.col("scheme") == "https") & F.col("hostport").endswith(":443"),
+            F.expr("left(hostport, length(hostport) - 4)"),
+        )
+        .when(
+            (F.col("scheme") == "http") & F.col("hostport").endswith(":80"),
+            F.expr("left(hostport, length(hostport) - 3)"),
+        )
+        .otherwise(F.col("hostport"))
+    )
+    npath = F.when(
+        (F.col("path") != "/") & F.col("path").endswith("/"),
+        F.expr("left(path, length(path) - 1)"),
+    ).otherwise(F.col("path"))
+    nquery = F.when(F.col("query").isNull(), F.lit("")).otherwise(
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split("query", "&"),
+                    lambda p: ~p.startswith("utm_"),
+                )
+            ),
+            "&",
+        )
+    )
+    canon = parts.select(
+        "doc_id", "url",
+        F.concat(
+            F.col("scheme"), F.lit("://"), host, npath,
+            F.when(nquery == "", F.lit("")).otherwise(F.concat(F.lit("?"), nquery)),
+        ).alias("curl"),
+    )
+    return canon.groupBy(F.col("curl").alias("canonical_url")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("url").alias("n_raw_forms"),
+        F.min("doc_id").alias("example_doc"),
+    )

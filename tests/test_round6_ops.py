@@ -1418,3 +1418,63 @@ def test_zip_corruption_guards(tmp_path):
         list(Z.parse_zip_bytes(p, bytes(buf)))
     with pytest.raises(ValueError, match="end-of-central-directory"):
         list(Z.parse_zip_bytes(p, bytes(buf[:30])))
+
+
+# --- URL canonicalization dedup --------------------------------------------------
+
+
+def test_url_canonical_folds_all_variants(spark, sf_dir):
+    """Every canonical URL must (a) collapse all raw spellings present
+    for its bucket (up to 4), (b) equal the Python-urllib replay of the
+    same normalization rules, and (c) never keep a port, utm param,
+    unsorted query, or trailing slash."""
+    from urllib.parse import urlsplit
+
+    from spark_streaming_test_spark.llm import curation as cu
+
+    rows = cu.corpus_url_canonical_dedup(spark, sf_dir).collect()
+    assert rows
+    n_docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_tbl
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    variants_per_bucket = defaultdict(set)
+    for i in doc_ids:
+        variants_per_bucket[i % cu.URL_BUCKETS].add(i % 4)
+
+    def python_canon(b: int) -> str:
+        # independent replay with urllib parsing
+        raws = {
+            0: f"HTTPS://WWW.Site.COM:443/items/{b}?b=2&a=1",
+            1: f"https://www.site.com/items/{b}?a=1&b=2&utm_source=feed",
+            2: f"https://www.site.com/items/{b}/?a=1&b=2",
+            3: f"https://www.site.com:443/items/{b}?utm_campaign=x&b=2&a=1",
+        }
+        canon = set()
+        for u in raws.values():
+            sp = urlsplit(u)
+            host = sp.hostname
+            path = sp.path or "/"
+            if path != "/" and path.endswith("/"):
+                path = path[:-1]
+            q = sorted(
+                p for p in sp.query.split("&") if p and not p.startswith("utm_")
+            )
+            canon.add(
+                f"{sp.scheme.lower()}://{host}{path}"
+                + ("?" + "&".join(q) if q else "")
+            )
+        assert len(canon) == 1, canon
+        return canon.pop()
+
+    for r in rows:
+        cu_url = r["canonical_url"]
+        assert "utm_" not in cu_url and ":443" not in cu_url
+        assert not cu_url.endswith("/")
+        b = int(cu_url.rsplit("/", 1)[1].split("?")[0])
+        assert cu_url == python_canon(b)
+        assert r["n_raw_forms"] == len(variants_per_bucket[b])
