@@ -1233,7 +1233,16 @@ def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
     """Real GIF-flavor LZW: greedy longest-known-prefix emission with
     variable code width, CLEAR emitted first and whenever the table
     fills at 4096 (the spec's hard cap). Returns the packed
-    little-endian bitstream (no sub-block framing)."""
+    little-endian bitstream (no sub-block framing).
+
+    Width tracking simulates the DECODER's table, not the encoder's
+    (giflib's approach): the decoder adds exactly one entry per data
+    code read after the first in a segment, while the encoder's own
+    hash table grows on every emit EXCEPT the final prefix flush — so
+    an encoder that widens off its own table desyncs by one code at
+    any 2^n boundary the tail emit crosses (hypothesis found this with
+    a 56-zero-byte input at min code size 2: the decoder widened for
+    the END code, the encoder didn't)."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
 
     out_bits: list[tuple[int, int]] = []  # (code, width)
@@ -1244,26 +1253,44 @@ def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
     table = fresh_table()
     next_code = end + 1
     width = min_code_size + 1
+    dec_next = end + 1  # the decoder's next_code, mirrored
+    first_in_segment = True  # decoder adds nothing on its first read
     out_bits.append((clear, width))
+
+    def emit_data(code: int) -> None:
+        nonlocal dec_next, width, first_in_segment
+        out_bits.append((code, width))
+        if first_in_segment:
+            first_in_segment = False
+        elif dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    def emit_clear() -> None:
+        nonlocal table, next_code, width, dec_next, first_in_segment
+        out_bits.append((clear, width))
+        table = fresh_table()
+        next_code = end + 1
+        width = min_code_size + 1
+        dec_next = end + 1
+        first_in_segment = True
+
     prefix = b""
     for byte in data:
         cand = prefix + bytes([byte])
         if cand in table:
             prefix = cand
             continue
-        out_bits.append((table[prefix], width))
-        table[cand] = next_code
-        next_code += 1
-        if next_code > (1 << width) and width < 12:
-            width += 1
-        if next_code >= 4096:
-            out_bits.append((clear, width))
-            table = fresh_table()
-            next_code = end + 1
-            width = min_code_size + 1
+        emit_data(table[prefix])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            emit_clear()  # table full: reset both sides in lockstep
         prefix = bytes([byte])
     if prefix:
-        out_bits.append((table[prefix], width))
+        emit_data(table[prefix])
     out_bits.append((end, width))
 
     buf, acc, nbits = bytearray(), 0, 0
