@@ -436,3 +436,81 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+# --- RSI (relative strength index) -------------------------------------------
+
+RSI_N = 14  # Wilder's period
+
+
+@register(
+    "window_rsi",
+    tags=("windows", "timeseries", "finance"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+),
+deltas AS (
+  SELECT event_type, h, v,
+         v - LAG(v) OVER w AS d,
+         ROW_NUMBER() OVER w AS rn
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+sums AS (
+  SELECT event_type, h, rn,
+         CAST(SUM(GREATEST(d, 0)) OVER s AS BIGINT) AS g,
+         CAST(SUM(GREATEST(-d, 0)) OVER s AS BIGINT) AS l
+  FROM deltas
+  WINDOW s AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {RSI_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, h,
+       g AS gain_sum, l AS loss_sum,
+       CASE WHEN g + l = 0 THEN CAST(50 AS DOUBLE)
+            ELSE CAST(100 AS DOUBLE) * g / (g + l) END AS rsi
+FROM sums WHERE rn > {RSI_N}
+""",
+)
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index over hourly exact-decimal series (SMA
+    form): per-period deltas split into gain/loss, {RSI_N}-period
+    rolling sums, RSI = 100*G/(G+L) — algebraically identical to
+    100 - 100/(1+RS) with the SMA denominators cancelled, which keeps
+    the whole pipeline in BIGINT until ONE final division (identical
+    IEEE op in both engines; no rounding step, no dyadic-tie hazard).
+    Flat windows (G+L=0) pin RSI to 50 by convention rather than
+    dividing by zero. Scale: one bounded-frame window pass per series
+    — the same partitioned-window shape as bollinger/donchian, linear
+    in rows, no self-join."""
+    hourly = load(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    deltas = hourly.select(
+        "event_type", "h",
+        (F.col("v") - F.lag("v").over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    s = w.rowsBetween(-(RSI_N - 1), 0)
+    sums = deltas.select(
+        "event_type", "h", "rn",
+        F.sum(F.greatest("d", F.lit(0))).over(s).cast("bigint").alias("g"),
+        F.sum(F.greatest(-F.col("d"), F.lit(0))).over(s).cast("bigint").alias("l"),
+    )
+    return sums.filter(F.col("rn") > RSI_N).select(
+        "event_type", "h",
+        F.col("g").alias("gain_sum"),
+        F.col("l").alias("loss_sum"),
+        F.when(F.col("g") + F.col("l") == 0, F.lit(50.0)).otherwise(
+            F.lit(100.0) * F.col("g") / (F.col("g") + F.col("l"))
+        ).alias("rsi"),
+    )

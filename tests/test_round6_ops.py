@@ -1478,3 +1478,54 @@ def test_url_canonical_folds_all_variants(spark, sf_dir):
         b = int(cu_url.rsplit("/", 1)[1].split("?")[0])
         assert cu_url == python_canon(b)
         assert r["n_raw_forms"] == len(variants_per_bucket[b])
+
+
+# --- RSI -------------------------------------------------------------------------
+
+
+def test_rsi_python_replay_and_bounds(spark, sf_dir):
+    """RSI must equal a textbook pandas-free Python replay (delta
+    split, 14-period sums, 100*G/(G+L)), always lie in [0, 100], hit
+    100 only when the window had no losses and 0 only when no gains."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators import windows as W
+
+    hourly = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["h"], r["v"]))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        deltas = [b[1] - a[1] for a, b in zip(pts, pts[1:])]
+        for i in range(W.RSI_N, len(deltas) + 1):
+            wnd = deltas[i - W.RSI_N : i]
+            g = sum(d for d in wnd if d > 0)
+            l = sum(-d for d in wnd if d < 0)
+            rsi = 50.0 if g + l == 0 else 100.0 * g / (g + l)
+            want[(et, pts[i][0])] = (g, l, rsi)
+
+    rows = W.window_rsi(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        g, l, rsi = want[(r["event_type"], r["h"])]
+        assert (r["gain_sum"], r["loss_sum"]) == (g, l)
+        assert r["rsi"] == rsi
+        assert 0.0 <= r["rsi"] <= 100.0
+        if r["rsi"] == 100.0:
+            assert l == 0
+        if r["rsi"] == 0.0:
+            assert g == 0
