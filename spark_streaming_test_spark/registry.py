@@ -81,6 +81,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.sources.warc",
     "spark_streaming_test_spark.sources.tar_webdataset",
     "spark_streaming_test_spark.sources.zip_archive",
+    "spark_streaming_test_spark.sources.protobuf_frames",
 ]
 
 # Driver verification window + full rotation plan. The driver checks the
@@ -92,7 +93,7 @@ _DRIVER_WINDOW = [
     # --- round-6 additions (never sampled; verify first) ---------------
     "mm_decode_png", "sim_sq8_topk", "graph_scc", "mm_decode_gif",
     "dedup_unicode_nfc", "ts_lttb_downsample", "scan_tar_members",
-    "mm_webdataset_pairs", "scan_zip_entries", "corpus_url_canonical_dedup", "window_rsi",
+    "mm_webdataset_pairs", "scan_zip_entries", "corpus_url_canonical_dedup", "window_rsi", "scan_protobuf_records",
     "sql_scripting_repeat_for", "sql_scripting_loop_labels",
     "sql_scripting_condition_handler",
     "dedup_exact_substring_pairs", "dedup_substring_gram_audit",

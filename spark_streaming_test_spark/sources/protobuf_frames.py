@@ -1,0 +1,242 @@
+"""Batch reader for REAL length-delimited protobuf frames.
+
+Protocol-buffer messages with a varint length prefix are the standard
+framing for event logs, metrics exports and ML feature records (the
+"delimited" convention of every protobuf SDK). The wire format is a
+tiny public spec (LEB128 varints + 3-bit wire types), so this module
+parses the ACTUAL bytes with no protobuf library — which also makes it
+honest about the container constraint (google.protobuf is absent here,
+recorded in COVERAGE.md; the wire format needs none of it).
+
+Wire-format features exercised for real:
+  - base-128 varints (wire type 0), multi-byte values
+  - ZigZag-encoded signed ints (sint64 semantics: (n << 1) ^ (n >> 63))
+  - fixed64 little-endian (wire type 1)
+  - length-delimited fields (wire type 2) for strings
+  - UNKNOWN-field skipping by wire type — the forward-compatibility
+    contract real parsers must honor (the fixture plants a field the
+    schema doesn't know)
+
+Scale posture: one parse task per frame file via ``binaryFile``;
+messages stream out of Arrow batches. The framing is splittable only
+at file granularity (varint frames carry no sync marker), which is why
+production pipelines shard protobuf logs into many files — exactly the
+layout this reader parallelizes over."""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+PB_SCHEMA = (
+    "path string, msg_index bigint, record_id bigint, value bigint, "
+    "delta bigint, name string, ts bigint"
+)
+
+PB_FILES = 5
+PB_MSGS = 80
+PB_TS0 = 1700000000
+
+
+def _varint(v: int) -> bytes:
+    if v < 0:
+        raise ValueError("varint encodes non-negative ints; zigzag first")
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, off: int) -> tuple[int, int]:
+    val = shift = 0
+    while True:
+        if off >= len(buf):
+            raise ValueError("varint runs past end of buffer")
+        b = buf[off]
+        off += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, off
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 64 bits")
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def write_pb_frames(path: str, messages) -> None:
+    """Write length-delimited messages from (record_id, value, delta,
+    name, ts) tuples. Plants an extra UNKNOWN varint field (number 9)
+    in every message so readers must skip fields they don't know."""
+    with open(path, "wb") as f:
+        for record_id, value, delta, name, ts in messages:
+            body = bytearray()
+            body += _varint(1 << 3 | 0) + _varint(record_id)
+            body += _varint(2 << 3 | 0) + _varint(value)
+            body += _varint(3 << 3 | 0) + _varint(_zigzag(delta))
+            nb = name.encode("utf-8")
+            body += _varint(4 << 3 | 2) + _varint(len(nb)) + nb
+            body += _varint(5 << 3 | 1) + struct.pack("<Q", ts)
+            body += _varint(9 << 3 | 0) + _varint(record_id % 7)  # unknown
+            f.write(_varint(len(body)) + bytes(body))
+
+
+def parse_pb_frames(path: str, buf: bytes) -> Iterator[tuple]:
+    """Yield (path, msg_index, record_id, value, delta, name, ts) per
+    frame: varint length prefix, then tag-dispatched fields. Unknown
+    fields are SKIPPED by wire type (0: varint, 1: 8 bytes, 2: length
+    + payload, 5: 4 bytes) — the protobuf forward-compat rule. A torn
+    trailing frame is dropped (the pcap convention); a wire type this
+    schema can't skip (3/4 group markers) raises."""
+    off, idx, n = 0, 0, len(buf)
+    while off < n:
+        try:
+            mlen, body_off = _read_varint(buf, off)
+        except ValueError:
+            break  # torn length prefix
+        if body_off + mlen > n:
+            break  # torn frame
+        body = buf[body_off : body_off + mlen]
+        off = body_off + mlen
+        record_id = value = delta = ts = None
+        name = None
+        p = 0
+        while p < len(body):
+            tag, p = _read_varint(body, p)
+            field, wire = tag >> 3, tag & 7
+            if wire == 0:
+                raw, p = _read_varint(body, p)
+                if field == 1:
+                    record_id = raw
+                elif field == 2:
+                    value = raw
+                elif field == 3:
+                    delta = _unzigzag(raw)
+                # else: unknown varint field — skipped by having read it
+            elif wire == 1:
+                if field == 5:
+                    (ts,) = struct.unpack_from("<Q", body, p)
+                p += 8
+            elif wire == 2:
+                ln, p = _read_varint(body, p)
+                if field == 4:
+                    name = body[p : p + ln].decode("utf-8")
+                p += ln
+            elif wire == 5:
+                p += 4
+            else:
+                raise ValueError(f"frame {idx}: unskippable wire type {wire}")
+        yield (path, idx, record_id, value, delta, name, ts)
+        idx += 1
+
+
+def read_pb_frames(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ``path`` (file, dir, or glob) into one row per message."""
+
+    _COLS = ["path", "msg_index", "record_id", "value", "delta", "name", "ts"]
+
+    def _parse(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_pb_frames(path_, bytes(content)))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(_parse, PB_SCHEMA)
+    )
+
+
+# --- fixture frames ----------------------------------------------------------
+
+
+def _pb_message(i: int) -> tuple:
+    return (
+        i,
+        (i * i) % 100000,  # multi-byte varints
+        (i % 1000) if i % 2 == 0 else -(i % 1000),  # zigzag both signs
+        f"rec-{i}",
+        PB_TS0 + i,
+    )
+
+
+def _pb_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+    from spark_streaming_test_spark.llm.multimodal import SCRATCH
+
+    rev = fixture_rev(_pb_message, write_pb_frames, PB_FILES, PB_MSGS, PB_TS0)
+    d = os.path.join(SCRATCH, f"pb_frames_{rev}")
+    os.makedirs(d, exist_ok=True)
+    for fidx in range(PB_FILES):
+        p = os.path.join(d, f"frames_{fidx:04d}.pb")
+        if not os.path.exists(p):
+            msgs = [_pb_message(fidx * PB_MSGS + j) for j in range(PB_MSGS)]
+            tmp = p + ".tmp"
+            write_pb_frames(tmp, msgs)
+            os.replace(tmp, p)
+    return d
+
+
+@register(
+    "scan_protobuf_records",
+    tags=("source", "protobuf", "real-bytes"),
+    oracle=f"""
+WITH msgs AS (
+  SELECT f.f AS file_id, j.j AS j, f.f * {PB_MSGS} + j.j AS i
+  FROM range({PB_FILES}) f(f), LATERAL unnest(range({PB_MSGS})) AS j(j)
+)
+SELECT CAST(file_id AS INTEGER) AS file_id,
+       CAST(j AS BIGINT) AS msg_index,
+       CAST(i AS BIGINT) AS record_id,
+       CAST((i * i) % 100000 AS BIGINT) AS value,
+       CAST(CASE WHEN i % 2 = 0 THEN i % 1000 ELSE -(i % 1000) END AS BIGINT)
+         AS delta,
+       'rec-' || CAST(i AS VARCHAR) AS name,
+       CAST({PB_TS0} + i AS BIGINT) AS ts
+FROM msgs
+""",
+)
+def scan_protobuf_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL protobuf wire-format parsing end-to-end: length-delimited
+    frames re-parsed byte-for-byte — LEB128 varints, ZigZag sint64
+    (both signs in the fixture), fixed64 timestamps, length-delimited
+    strings, and a planted UNKNOWN field every message that the parser
+    must skip by wire type. The DuckDB oracle recomputes every field
+    from the fixture formulas. Scale: one parse task per frame file;
+    only the decoded columns shuffle."""
+    d = _pb_fixture_dir()
+    frames = read_pb_frames(spark, os.path.join(d, "*.pb"))
+    file_id = (
+        F.regexp_extract(F.col("path"), r"frames_(\d{4})\.pb", 1).cast("int")
+    )
+    return frames.select(
+        file_id.alias("file_id"),
+        "msg_index",
+        "record_id",
+        "value",
+        "delta",
+        "name",
+        "ts",
+    )

@@ -1529,3 +1529,77 @@ def test_rsi_python_replay_and_bounds(spark, sf_dir):
             assert l == 0
         if r["rsi"] == 0.0:
             assert g == 0
+
+
+# --- protobuf wire format ---------------------------------------------------------
+
+
+def test_protobuf_roundtrip_property():
+    """Property: ANY message list (64-bit ids, both-sign deltas,
+    unicode names) roundtrips write_pb_frames -> parse_pb_frames; torn
+    tails drop the last frame only; zigzag is its own inverse."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_test_spark.sources import protobuf_frames as P
+
+    msg = st.tuples(
+        st.integers(min_value=0, max_value=2**63 - 1),
+        st.integers(min_value=0, max_value=2**63 - 1),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(max_size=20),
+        st.integers(min_value=0, max_value=2**63 - 1),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(msg, max_size=6))
+    def check(msgs):
+        import os
+        import tempfile
+
+        fd, p = tempfile.mkstemp(suffix=".pb")
+        os.close(fd)
+        try:
+            P.write_pb_frames(p, msgs)
+            buf = open(p, "rb").read()
+            got = [r[2:] for r in P.parse_pb_frames(p, buf)]
+            assert got == msgs
+            if len(buf) > 2:
+                torn = [r[2:] for r in P.parse_pb_frames(p, buf[:-2])]
+                assert torn == msgs[: len(torn)] and len(torn) >= len(msgs) - 1
+        finally:
+            os.remove(p)
+
+    check()
+
+    for n in (0, -1, 1, -(2**62), 2**62, 7, -8):
+        assert P._unzigzag(P._zigzag(n)) == n
+
+
+def test_protobuf_unknown_field_skipping(tmp_path):
+    """A message carrying unknown fields of EVERY skippable wire type
+    (varint, fixed64, length-delimited, fixed32) must parse to the same
+    known fields; a group marker (wire 3) must raise."""
+    import struct
+
+    import pytest
+
+    from spark_streaming_test_spark.sources import protobuf_frames as P
+
+    body = bytearray()
+    body += P._varint(1 << 3 | 0) + P._varint(42)  # known record_id
+    body += P._varint(11 << 3 | 0) + P._varint(999)  # unknown varint
+    body += P._varint(12 << 3 | 1) + struct.pack("<Q", 7)  # unknown fixed64
+    body += P._varint(13 << 3 | 2) + P._varint(3) + b"xyz"  # unknown bytes
+    body += P._varint(14 << 3 | 5) + struct.pack("<I", 5)  # unknown fixed32
+    body += P._varint(4 << 3 | 2) + P._varint(2) + b"ok"  # known name
+    frame = P._varint(len(body)) + bytes(body)
+    rows = list(P.parse_pb_frames("t", frame))
+    assert len(rows) == 1
+    assert rows[0][2] == 42 and rows[0][5] == "ok"
+
+    bad = bytearray()
+    bad += P._varint(15 << 3 | 3)  # start-group: unskippable
+    frame2 = P._varint(len(bad)) + bytes(bad)
+    with pytest.raises(ValueError, match="wire type 3"):
+        list(P.parse_pb_frames("t", frame2))
