@@ -1195,3 +1195,82 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# --- SQ8 recall pricing ------------------------------------------------------
+
+
+@register(
+    "sim_sq8_recall_eval",
+    tags=("llm", "similarity", "evaluation", "quantization"),
+    oracle=None,  # composed below from the registered SQ8 oracle
+)
+def sim_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of SQ8 retrieval against the EXACT inner-product top-k
+    on the same full-precision vectors — pricing what one byte per
+    dimension costs, the way sim_recall_eval prices IVF cell routing
+    and sim_ivfpq_recall_eval prices the product quantizer. Ground
+    truth is computed inline (exact IP, same broadcast scan shape), so
+    both sides share metric and tie rule and the recall number itself
+    is oracle-checkable."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    corpus = e.select("vec_id", _as_double("embedding").alias("emb"))
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot(F.col("q_emb"), F.col("emb")).alias("ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = sim_sq8_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("recall"),
+    )
+
+
+_REG["sim_sq8_recall_eval"].oracle = f"""
+WITH exact AS (
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}),
+  scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_inner_product(q.q_emb, e.emb) AS ip
+    FROM q JOIN e ON e.vec_id <> q.query_id
+  )
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ip DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT x.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM exact x
+LEFT JOIN ({{SQ8}}) a
+  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+GROUP BY x.query_id
+""".replace("{SQ8}", _registered_oracle("sim_sq8_topk"))
