@@ -2305,3 +2305,108 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("scc_id").cast("bigint"),
         F.col("scc_size").cast("bigint"),
     )
+
+
+# --- harmonic closeness centrality (landmark BFS) ----------------------------
+#
+# Closeness ranks nodes by how near they sit to everything else;
+# harmonic form (sum of 1/d) handles disconnected graphs gracefully
+# (unreachable contributes 0, no infinity). Exact all-pairs is O(n*E)
+# — the standard scale posture is LANDMARK sampling: BFS from K
+# deterministic sources, rank by the sampled harmonic sum (Eppstein &
+# Wang's estimator shape). Determinism across engines: 1/d terms are
+# summed as EXACT integers scaled by lcm(1..CAP) — float 1/d sums
+# would hash-differ by addition order under partitioning.
+
+CLOSENESS_K = 16  # landmark sources (md5-ranked node ids)
+CLOSENESS_CAP = 20  # BFS depth cap; raise-on-cap, no silent truncation
+_CLOSENESS_LCM = 232792560  # lcm(1..20): 1/d terms stay integral
+
+
+@register(
+    "graph_harmonic_closeness",
+    tags=("graph", "iterative", "centrality"),
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_COPURCHASE},
+und AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS id FROM und),
+srcs AS (
+  SELECT id AS src FROM nodes
+  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {CLOSENESS_K}
+),
+walk(src, node, d) AS (
+  SELECT src, src AS node, 0 FROM srcs
+  UNION
+  SELECT w.src, e.v AS node, w.d + 1
+  FROM walk w JOIN und e ON e.u = w.node
+  WHERE w.d < {CLOSENESS_CAP}
+),
+dist AS (
+  SELECT src, node, MIN(d) AS d FROM walk GROUP BY src, node
+)
+SELECT node,
+       CAST(COUNT(*) AS BIGINT) AS n_sources_reached,
+       CAST(SUM({_CLOSENESS_LCM} / d) AS BIGINT) AS harmonic_x_lcm
+FROM dist WHERE d > 0
+GROUP BY node
+""",
+)
+def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness from {CLOSENESS_K} md5-ranked landmark
+    sources: one multi-source BFS (frontier join + min-distance merge
+    per round, lineage truncated per round, O(1) frontier-size collect
+    as the convergence probe, RAISE if the diameter cap is hit), then
+    per-node SUM of lcm/d — an exact BIGINT, so the hash can't flake
+    on float addition order. The oracle recomputes distances through a
+    depth-capped recursive closure (different algorithm: exhaustive
+    path enumeration with dedup vs frontier BFS). Scale: landmark
+    count is the knob — state is O(K * nodes), each round is one
+    join-aggregate over edges, and ranking quality degrades gracefully
+    with K (Eppstein-Wang)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = und.select(F.col("u").alias("id")).distinct()
+    srcs = (
+        nodes.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(CLOSENESS_K)
+        .select(F.col("id").alias("src"))
+    )
+    # dist: (src, node, d) settled min distances; frontier: last ring
+    dist = srcs.select("src", F.col("src").alias("node"), F.lit(0).alias("d"))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for depth in range(1, CLOSENESS_CAP + 2):
+        if depth > CLOSENESS_CAP:
+            raise RuntimeError(
+                f"graph_harmonic_closeness: BFS still expanding past the "
+                f"{CLOSENESS_CAP}-hop cap — refusing to emit truncated "
+                "harmonic sums"
+            )
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("src", "node", F.lit(1).alias("seen")),
+                  ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(depth).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        dist.filter(F.col("d") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources_reached"),
+            F.sum(F.lit(_CLOSENESS_LCM) / F.col("d"))
+            .cast("bigint")
+            .alias("harmonic_x_lcm"),
+        )
+    )

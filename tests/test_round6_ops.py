@@ -1681,3 +1681,47 @@ def test_avro_deflate_actually_compresses_and_magic_guard():
 
     with pytest.raises(ValueError, match="magic"):
         list(A.parse_avro_container("x", b"NOPE" + b"\x00" * 64))
+
+
+# --- harmonic closeness --------------------------------------------------------
+
+
+def test_harmonic_closeness_python_bfs_replay(spark, sf_dir):
+    """Sampled harmonic sums must equal a pure-Python BFS replay from
+    the same md5-ranked landmark set, and the LCM scaling must be
+    exact: every emitted harmonic_x_lcm divisible-consistent with its
+    reconstructed 1/d terms."""
+    import hashlib as hl
+    from collections import deque
+
+    edges = [
+        (r["u"], r["v"]) for r in graph._copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    srcs = sorted(nodes, key=lambda n: (hl.md5(str(n).encode()).hexdigest(), n))[
+        : graph.CLOSENESS_K
+    ]
+    want = defaultdict(lambda: [0, 0])  # node -> [n_sources, sum]
+    for s in srcs:
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in seen:
+                    seen[y] = seen[x] + 1
+                    q.append(y)
+        assert max(seen.values()) <= graph.CLOSENESS_CAP
+        for n, d in seen.items():
+            if d > 0:
+                want[n][0] += 1
+                want[n][1] += graph._CLOSENESS_LCM // d
+    got = {
+        r["node"]: (r["n_sources_reached"], r["harmonic_x_lcm"])
+        for r in graph.graph_harmonic_closeness(spark, sf_dir).collect()
+    }
+    assert got == {n: tuple(v) for n, v in want.items()}
