@@ -2410,3 +2410,112 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("harmonic_x_lcm"),
         )
     )
+
+
+# --- shortest-path counts from landmarks (the sigma pass of Brandes) --------
+#
+# sigma(s, v) = number of distinct shortest s->v paths — the integer
+# core of Brandes' betweenness (the dependency pass divides sigmas, so
+# it goes rational; sigma itself stays BIGINT-exact, which is what
+# makes a value-hash oracle possible). Computed by level-synchronous
+# BFS: a node at distance k accumulates the sigma-sum of its
+# distance-(k-1) predecessors, which in DataFrame terms is ONE
+# join-aggregate per level. The oracle UNROLLS the same recurrence as
+# machine-generated level CTEs (recursive CTEs can't aggregate in the
+# recursive term) — a genuinely different evaluation strategy.
+
+SPC_K = 8  # landmark sources
+SPC_CAP = 14  # level cap; measured landmark eccentricity is <= 11
+
+
+def _spc_oracle() -> str:
+    lines = [
+        "WITH",
+        _SQL_COPURCHASE + ",",
+        "und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),",
+        "nodes AS (SELECT DISTINCT u AS id FROM und),",
+        "srcs AS (SELECT id AS src FROM nodes",
+        f"  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {SPC_K}),",
+        "s0 AS (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM srcs),",
+        "seen0 AS (SELECT src, node FROM s0),",
+    ]
+    for k in range(1, SPC_CAP + 1):
+        lines += [
+            f"s{k} AS MATERIALIZED (",
+            f"  SELECT c.src, c.node, c.sigma FROM (",
+            f"    SELECT p.src, e.v AS node,",
+            f"           CAST(SUM(p.sigma) AS BIGINT) AS sigma",
+            f"    FROM s{k - 1} p JOIN und e ON e.u = p.node",
+            f"    GROUP BY p.src, e.v) c",
+            f"  LEFT JOIN seen{k - 1} sn",
+            f"    ON sn.src = c.src AND sn.node = c.node",
+            f"  WHERE sn.node IS NULL),",
+            f"seen{k} AS MATERIALIZED (",
+            f"  SELECT * FROM seen{k - 1}",
+            f"  UNION ALL SELECT src, node FROM s{k}),",
+        ]
+    selects = [
+        f"SELECT src, node, CAST({k} AS INTEGER) AS d, sigma FROM s{k}"
+        for k in range(0, SPC_CAP + 1)
+    ]
+    # trim the trailing comma of the last CTE
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "graph_shortest_path_counts",
+    tags=("graph", "iterative", "centrality"),
+    oracle=_spc_oracle(),
+)
+def graph_shortest_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, node, d, sigma) for {SPC_K} landmark sources by
+    level-synchronous BFS with path-count accumulation — one
+    join + map-side-combined SUM per level, settled levels anti-join
+    the candidate ring, lineage truncated per round, RAISE if the
+    {SPC_CAP}-level cap is hit (no silent truncation). All-integer, so
+    the cross-engine hash is exact. Scale: state is O(K x nodes),
+    per-level work O(K x E) with combine-before-shuffle; K is the
+    accuracy/cost knob exactly as in graph_harmonic_closeness."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = und.select(F.col("u").alias("id")).distinct()
+    srcs = (
+        nodes.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(SPC_K)
+        .select(F.col("id").alias("src"))
+    )
+    level = srcs.select(
+        "src", F.col("src").alias("node"), F.lit(1).cast("bigint").alias("sigma")
+    ).localCheckpoint(eager=True)
+    seen = level.select("src", "node").localCheckpoint(eager=True)
+    out = level.select("src", "node", F.lit(0).alias("d"), "sigma")
+    out = out.localCheckpoint(eager=True)
+    for depth in range(1, SPC_CAP + 2):
+        if depth > SPC_CAP:
+            raise RuntimeError(
+                f"graph_shortest_path_counts: BFS still expanding past "
+                f"{SPC_CAP} levels — refusing to emit truncated sigmas"
+            )
+        cand = (
+            level.join(und, level["node"] == und["u"])
+            .groupBy("src", F.col("v").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = cand.join(seen, ["src", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionAll(
+            nxt.select("src", "node", F.lit(depth).alias("d"), "sigma")
+        ).localCheckpoint(eager=True)
+        seen = seen.unionAll(nxt.select("src", "node")).localCheckpoint(
+            eager=True
+        )
+        level = nxt
+    return out.select(
+        "src", "node", F.col("d").cast("int"), F.col("sigma").cast("bigint")
+    )

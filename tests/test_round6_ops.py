@@ -1725,3 +1725,50 @@ def test_harmonic_closeness_python_bfs_replay(spark, sf_dir):
         for r in graph.graph_harmonic_closeness(spark, sf_dir).collect()
     }
     assert got == {n: tuple(v) for n, v in want.items()}
+
+
+# --- shortest-path counts --------------------------------------------------------
+
+
+def test_sigma_matches_brandes_forward_pass(spark, sf_dir):
+    """sigma must equal the forward pass of textbook Brandes (queue-
+    ordered BFS accumulation) for every (landmark, node), with the
+    sanity identities: sigma(s,s)=1, d(s,s)=0, and every node's sigma
+    equals the sum of its shortest-path predecessors' sigmas."""
+    import hashlib as hl
+    from collections import deque
+
+    edges = [
+        (r["u"], r["v"]) for r in graph._copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    srcs = sorted(nodes, key=lambda n: (hl.md5(str(n).encode()).hexdigest(), n))[
+        : graph.SPC_K
+    ]
+    want = {}
+    for s in srcs:
+        dist = {s: 0}
+        sigma = {s: 1}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    sigma[y] = 0
+                    q.append(y)
+                if dist[y] == dist[x] + 1:
+                    sigma[y] += sigma[x]
+        for n in dist:
+            want[(s, n)] = (dist[n], sigma[n])
+    got = {
+        (r["src"], r["node"]): (r["d"], r["sigma"])
+        for r in graph.graph_shortest_path_counts(spark, sf_dir).collect()
+    }
+    assert got == want
+    for s in srcs:
+        assert got[(s, s)] == (0, 1)
