@@ -1537,3 +1537,192 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "topleft_g int, bottomright_r int"
         ),
     )
+
+
+# --- REAL EXIF/TIFF metadata parse -------------------------------------------
+#
+# The metadata half of the multimodal contract, done for real: TIFF's
+# IFD structure (TIFF 6.0, public since 1992) is what EXIF rides in —
+# a 2-byte endianness marker ('II' little / 'MM' big), magic 42, and a
+# chain of 12-byte tag entries whose values live INLINE when they fit
+# in 4 bytes and at a file offset otherwise. Both endiannesses and
+# both value placements are exercised by the fixture (half II, half
+# MM; ASCII values spill to offsets, SHORT/LONG stay inline).
+
+EXIF_N = 60
+
+_TIFF_TAGS = {256: "width", 257: "height", 271: "make", 274: "orientation", 306: "datetime"}
+_TIFF_SHORT, _TIFF_LONG, _TIFF_ASCII = 3, 4, 2
+
+
+def write_tiff_exif(
+    path: str, big_endian: bool, width: int, height: int,
+    make: str, orientation: int, datetime_s: str,
+) -> None:
+    """Minimal real TIFF/EXIF writer: header, one IFD0 with
+    ImageWidth/ImageLength (LONG, inline), Orientation (SHORT, inline),
+    Make and DateTime (ASCII, stored at offsets past the IFD)."""
+    e = ">" if big_endian else "<"
+    entries = []  # (tag, type, count, inline_bytes or ('ptr', payload))
+    entries.append((256, _TIFF_LONG, 1, _struct.pack(e + "I", width)))
+    entries.append((257, _TIFF_LONG, 1, _struct.pack(e + "I", height)))
+
+    def ascii_val(payload: bytes):
+        # TIFF 6.0 value-placement rule: values that FIT in the 4-byte
+        # field are stored inline (zero-padded); only larger ones get
+        # an offset. A writer that spills small values breaks readers
+        # that honor the rule (caught by the roundtrip test).
+        if len(payload) <= 4:
+            return payload + b"\0" * (4 - len(payload))
+        return ("ptr", payload)
+
+    mk = make.encode("ascii") + b"\0"
+    entries.append((271, _TIFF_ASCII, len(mk), ascii_val(mk)))
+    entries.append(
+        (274, _TIFF_SHORT, 1, _struct.pack(e + "H", orientation) + b"\0\0")
+    )
+    dt = datetime_s.encode("ascii") + b"\0"
+    entries.append((306, _TIFF_ASCII, len(dt), ascii_val(dt)))
+    entries.sort()  # TIFF requires ascending tag order
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    body = bytearray()
+    tail = bytearray()
+    body += _struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        body += _struct.pack(e + "HHI", tag, typ, cnt)
+        if isinstance(val, tuple):
+            payload = val[1]
+            body += _struct.pack(e + "I", data_off + len(tail))
+            tail += payload
+        else:
+            body += val
+    body += _struct.pack(e + "I", 0)  # no next IFD
+    with open(path, "wb") as f:
+        f.write((b"MM" if big_endian else b"II"))
+        f.write(_struct.pack(e + "HI", 42, ifd_off))
+        f.write(bytes(body) + bytes(tail))
+
+
+def parse_tiff_exif(buf: bytes) -> dict:
+    """Parse IFD0 of a TIFF/EXIF blob into {name: value} for the tags
+    this reader knows (unknown tags are skipped — the TIFF forward-
+    compat rule). Honors the inline-if-<=4-bytes value placement and
+    both byte orders; raises on a bad magic."""
+    if buf[:2] == b"II":
+        e = "<"
+    elif buf[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF/EXIF blob (no II/MM marker)")
+    magic, ifd_off = _struct.unpack_from(e + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    (n,) = _struct.unpack_from(e + "H", buf, ifd_off)
+    out: dict = {"endian": "big" if e == ">" else "little"}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = _struct.unpack_from(e + "HHI", buf, off)
+        name = _TIFF_TAGS.get(tag)
+        size = {_TIFF_SHORT: 2, _TIFF_LONG: 4, _TIFF_ASCII: 1}.get(typ)
+        if name is None or size is None:
+            continue  # unknown tag or type: skip (12-byte stride anyway)
+        total = size * cnt
+        if total <= 4:
+            voff = off + 8
+        else:
+            (voff,) = _struct.unpack_from(e + "I", buf, off + 8)
+        if typ == _TIFF_ASCII:
+            out[name] = buf[voff : voff + cnt].split(b"\0", 1)[0].decode("ascii")
+        elif typ == _TIFF_SHORT:
+            out[name] = _struct.unpack_from(e + "H", buf, voff)[0]
+        else:
+            out[name] = _struct.unpack_from(e + "I", buf, voff)[0]
+    return out
+
+
+def _exif_params(i: int) -> tuple:
+    return (
+        i % 2 == 1,  # big-endian for odd ids
+        640 + i % 32,
+        480 + i % 24,
+        f"Cam-{i % 7}",
+        1 + i % 8,
+        f"2024:01:{1 + i % 28:02d} 12:{i % 60:02d}:00",
+    )
+
+
+def _exif_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_exif_params, write_tiff_exif, EXIF_N)
+    d = _os.path.join(SCRATCH, f"exif_blobs_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(EXIF_N):
+        p = _os.path.join(d, f"img_{i:04d}.tif")
+        if not _os.path.exists(p):
+            tmp = p + ".tmp"
+            write_tiff_exif(tmp, *_exif_params(i))
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_exif_metadata",
+    tags=("llm", "multimodal", "metadata", "pandas-udf"),
+    oracle=f"""
+SELECT CAST(i AS BIGINT) AS img_id,
+       CASE WHEN i % 2 = 1 THEN 'big' ELSE 'little' END AS endian,
+       CAST(640 + i % 32 AS BIGINT) AS width,
+       CAST(480 + i % 24 AS BIGINT) AS height,
+       'Cam-' || CAST(i % 7 AS VARCHAR) AS make,
+       CAST(1 + i % 8 AS INTEGER) AS orientation,
+       '2024:01:' || lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0')
+         || ' 12:' || lpad(CAST(i % 60 AS VARCHAR), 2, '0') || ':00'
+         AS taken_at
+FROM range({EXIF_N}) t(i)
+""",
+)
+def mm_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF/TIFF metadata extraction: fixture blobs written in
+    BOTH byte orders are re-parsed from bytes — endianness marker,
+    magic 42, IFD0 walk, inline vs offset value placement, unknown-tag
+    skipping — and every field checked against the closed-form oracle.
+    This is the typed-metadata side of the multimodal column contract:
+    at 100 TB the interesting projection is usually (dimensions,
+    camera, timestamp), which this computes WITHOUT decoding pixels.
+    Scale: one parse per file in Arrow batches; O(1) columns out."""
+    d = _exif_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.tif"))
+        .select("path", "content")
+    )
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                m = parse_tiff_exif(bytes(content))
+                rows.append(
+                    (
+                        img_id, m["endian"], m["width"], m["height"],
+                        m["make"], m["orientation"], m["datetime"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "endian", "width", "height",
+                    "make", "orientation", "taken_at",
+                ],
+            )
+
+    return src.mapInPandas(
+        meta,
+        schema=(
+            "img_id bigint, endian string, width bigint, height bigint, "
+            "make string, orientation int, taken_at string"
+        ),
+    )

@@ -1772,3 +1772,63 @@ def test_sigma_matches_brandes_forward_pass(spark, sf_dir):
     assert got == want
     for s in srcs:
         assert got[(s, s)] == (0, 1)
+
+
+# --- EXIF/TIFF metadata -----------------------------------------------------------
+
+
+def test_exif_roundtrip_both_endians_and_guards(tmp_path):
+    """Property-ish roundtrip across both byte orders and value
+    placements, plus: unknown tags are skipped, a bad magic raises."""
+    import struct
+
+    import pytest
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    for big in (False, True):
+        p = str(tmp_path / f"t_{big}.tif")
+        mm.write_tiff_exif(p, big, 1234, 77, "XCam", 6, "2023:12:31 23:59:59")
+        m = mm.parse_tiff_exif(open(p, "rb").read())
+        assert m == {
+            "endian": "big" if big else "little",
+            "width": 1234,
+            "height": 77,
+            "make": "XCam",
+            "orientation": 6,
+            "datetime": "2023:12:31 23:59:59",
+        }
+
+    # inject an UNKNOWN tag (0x9999, SHORT) before Make: parser skips it
+    p = str(tmp_path / "u.tif")
+    mm.write_tiff_exif(p, False, 10, 20, "A", 1, "2024:01:01 00:00:00")
+    buf = bytearray(open(p, "rb").read())
+    (n,) = struct.unpack_from("<H", buf, 8)
+    entry = struct.pack("<HHI", 0x9999, 3, 1) + struct.pack("<H", 5) + b"\0\0"
+    # splice a new entry at the END of the IFD (tags ascending holds),
+    # bump count, shift the next-IFD pointer and offsets by 12
+    ifd_end = 8 + 2 + 12 * n
+    patched = bytearray()
+    patched += buf[:8]
+    patched += struct.pack("<H", n + 1)
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", buf, off)
+        val = bytes(buf[off + 8 : off + 12])
+        size = {3: 2, 4: 4, 2: 1}[typ] * cnt
+        if size > 4:
+            (voff,) = struct.unpack_from("<I", buf, off + 8)
+            val = struct.pack("<I", voff + 12)
+        patched += struct.pack("<HHI", tag, typ, cnt) + val
+    patched += entry
+    patched += buf[ifd_end : ifd_end + 4]  # next-IFD pointer
+    patched += buf[ifd_end + 4 :]
+    m = mm.parse_tiff_exif(bytes(patched))
+    assert m["make"] == "A" and m["width"] == 10
+
+    with pytest.raises(ValueError, match="II/MM"):
+        mm.parse_tiff_exif(b"XX" + bytes(20))
+    bad = bytearray(open(p, "rb").read())
+    bad[2] = 43
+    with pytest.raises(ValueError, match="magic"):
+        mm.parse_tiff_exif(bytes(bad))
