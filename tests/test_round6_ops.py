@@ -1832,3 +1832,55 @@ def test_exif_roundtrip_both_endians_and_guards(tmp_path):
     bad[2] = 43
     with pytest.raises(ValueError, match="magic"):
         mm.parse_tiff_exif(bytes(bad))
+
+
+def test_avro_dir_stream_exactly_once(spark, tmp_path):
+    """avro_dir streaming source: containers land in two waves; every
+    record is consumed exactly once (name-anchored offset contract),
+    across BOTH codecs."""
+    import hashlib
+    import os
+
+    from spark_streaming_test_spark.sources.avro_container import (
+        register_avro_source,
+        write_avro_container,
+    )
+
+    register_avro_source(spark)
+    src = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "got")
+    os.makedirs(src)
+
+    def land(name, recs, codec):
+        tmp = os.path.join(src, name + ".tmp")
+        write_avro_container(tmp, recs, codec, hashlib.md5(name.encode()).digest())
+        os.replace(tmp, os.path.join(src, name))
+
+    land("a_000.avro", [(1, "x", 0.5)], "null")
+    q = (
+        spark.readStream.format("avro_dir")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land("a_001.avro", [(2, "y", 1.5), (3, "z", -2.0)], "deflate")
+        q.processAllAvailable()
+        q.processAllAvailable()  # idle trigger must not re-read
+    finally:
+        q.stop()
+
+    rows = sorted(
+        (r["id"], r["name"], r["score"], r["codec"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (1, "x", 0.5, "null"),
+        (2, "y", 1.5, "deflate"),
+        (3, "z", -2.0, "deflate"),
+    ]
