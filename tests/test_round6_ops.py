@@ -1884,3 +1884,31 @@ def test_avro_dir_stream_exactly_once(spark, tmp_path):
         (2, "y", 1.5, "deflate"),
         (3, "z", -2.0, "deflate"),
     ]
+
+
+# --- parquet footer (thrift compact) ----------------------------------------------
+
+
+def test_thrift_footer_matches_pyarrow(spark, sf_dir):
+    """Third implementation check: the hand-rolled thrift reader must
+    agree with pyarrow's parquet metadata (DuckDB is the oracle's
+    second opinion; pyarrow is a third, from the library that WROTE
+    the files) for every testdata table — and the generic struct
+    reader must reject a truncated footer."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spark_streaming_test_spark.sources import parquet_footer as PF
+
+    for t in PF.FOOTER_TABLES:
+        p = f"{PF.FOOTER_SF_DIR}/{t}.parquet"
+        buf = open(p, "rb").read()
+        got = PF.parse_parquet_footer(buf)
+        md = pq.ParquetFile(p).metadata
+        assert got["num_rows"] == md.num_rows, t
+        assert got["num_row_groups"] == md.num_row_groups, t
+        assert got["n_column_chunks"] == md.num_row_groups * md.num_columns, t
+        assert got["created_by"] == md.created_by, t
+
+    with pytest.raises(ValueError):
+        PF.parse_parquet_footer(buf[: len(buf) // 2])
