@@ -240,3 +240,49 @@ def scan_protobuf_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         "ts",
     )
+
+
+# --- streaming/batch DataSource: frame files landing in a directory ---------
+
+from pyspark.sql.datasource import DataSource  # noqa: E402
+
+from .pcap_file import PcapDirBatchReader, PcapDirStreamReader  # noqa: E402
+
+
+def _read_pb_file(path: str) -> Iterator[tuple]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    yield from parse_pb_frames(path, buf)
+
+
+class PbDirBatchReader(PcapDirBatchReader):
+    _GLOB = "*.pb"
+    _parse_file = staticmethod(_read_pb_file)
+
+
+class PbDirStreamReader(PcapDirStreamReader):
+    _GLOB = "*.pb"
+    _parse_file = staticmethod(_read_pb_file)
+
+
+class PbDirDataSource(DataSource):
+    """format('pb_dir') — the pcap_dir contract for protobuf frame
+    files landing in a directory (the log-shipper drop layout):
+    name-anchored offsets, one file per partition, exactly-once."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pb_dir"
+
+    def schema(self) -> str:
+        return PB_SCHEMA
+
+    def reader(self, schema):
+        return PbDirBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return PbDirStreamReader(self.options)
+
+
+def register_pb_source(spark: SparkSession) -> None:
+    spark.dataSource.register(PbDirDataSource)

@@ -252,3 +252,50 @@ def scan_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_at(F.lit(1)).cast("int").alias("first_byte"),
         byte_at(F.col("size").cast("int")).cast("int").alias("last_byte"),
     )
+
+
+# --- streaming/batch DataSource: archives landing in a directory ------------
+
+from pyspark.sql.datasource import DataSource  # noqa: E402
+
+from .pcap_file import PcapDirBatchReader, PcapDirStreamReader  # noqa: E402
+
+
+def _read_zip_file(path: str) -> Iterator[tuple]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    yield from parse_zip_bytes(path, buf)
+
+
+class ZipDirBatchReader(PcapDirBatchReader):
+    _GLOB = "*.zip"
+    _parse_file = staticmethod(_read_zip_file)
+
+
+class ZipDirStreamReader(PcapDirStreamReader):
+    _GLOB = "*.zip"
+    _parse_file = staticmethod(_read_zip_file)
+
+
+class ZipDirDataSource(DataSource):
+    """format('zip_dir') — the pcap_dir contract (name-anchored
+    offsets, one archive per partition, max_files_per_trigger) for zip
+    archives landing in a directory: each dataset drop is consumed
+    exactly once, CRC-gated."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zip_dir"
+
+    def schema(self) -> str:
+        return ZIP_SCHEMA
+
+    def reader(self, schema):
+        return ZipDirBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return ZipDirStreamReader(self.options)
+
+
+def register_zip_source(spark: SparkSession) -> None:
+    spark.dataSource.register(ZipDirDataSource)

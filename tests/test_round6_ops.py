@@ -1912,3 +1912,77 @@ def test_thrift_footer_matches_pyarrow(spark, sf_dir):
 
     with pytest.raises(ValueError):
         PF.parse_parquet_footer(buf[: len(buf) // 2])
+
+
+def test_zip_and_pb_dir_streams_exactly_once(spark, tmp_path):
+    """zip_dir and pb_dir streaming sources (shared name-anchored
+    offset machinery): two landing waves each, every entry/message
+    consumed exactly once."""
+    import os
+
+    from spark_streaming_test_spark.sources.protobuf_frames import (
+        register_pb_source,
+        write_pb_frames,
+    )
+    from spark_streaming_test_spark.sources.zip_archive import (
+        register_zip_source,
+        write_zip,
+    )
+
+    register_zip_source(spark)
+    register_pb_source(spark)
+
+    for fmt, writer, waves, key in (
+        (
+            "zip_dir",
+            write_zip,
+            [
+                ("z_000.zip", [("a.txt", b"one", "stored")]),
+                ("z_001.zip", [("b.txt", b"two", "deflate"), ("c", b"", "stored")]),
+            ],
+            "name",
+        ),
+        (
+            "pb_dir",
+            write_pb_frames,
+            [
+                ("f_000.pb", [(1, 10, -5, "m1", 100)]),
+                ("f_001.pb", [(2, 20, 5, "m2", 200), (3, 30, 0, "m3", 300)]),
+            ],
+            "name",
+        ),
+    ):
+        src = str(tmp_path / f"{fmt}_landing")
+        chk = str(tmp_path / f"{fmt}_chk")
+        out = str(tmp_path / f"{fmt}_out")
+        os.makedirs(src)
+
+        def land(name, payload, writer=writer, src=src):
+            tmp = os.path.join(src, name + ".tmp")
+            writer(tmp, payload)
+            os.replace(tmp, os.path.join(src, name))
+
+        land(*waves[0])
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            land(*waves[1])
+            q.processAllAvailable()
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        names = sorted(r[key] for r in spark.read.parquet(out).collect())
+        want = sorted(
+            (e[0] if fmt == "zip_dir" else e[3])
+            for _, entries in waves
+            for e in entries
+        )
+        assert names == want, (fmt, names, want)
