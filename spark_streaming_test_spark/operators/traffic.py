@@ -598,3 +598,114 @@ def traffic_flap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_flips",
         (F.col("n_flips") >= FLAP_K).alias("is_flapping"),
     )
+
+
+# --- CIDR longest-prefix matching ---------------------------------------------
+#
+# The traffic pipeline's real-world filter stage: route every flow to
+# the most specific matching prefix of a bogon/private-range table
+# (RFC 1918 + friends). IPv4 addresses and CIDR prefixes are plain
+# integer arithmetic (octets -> uint32, match = equal high bits), so
+# the whole operator is exact and engine-portable; longest-prefix wins
+# via a per-flow window over the (few) matching prefixes.
+
+CIDR_BLOCKS = [
+    "10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "100.64.0.0/10",
+    "127.0.0.0/8", "169.254.0.0/16", "198.18.0.0/15", "224.0.0.0/4",
+    "0.0.0.0/5",
+]
+_IP_MIX = 2654435761  # Knuth multiplicative hash: spread user ids over IPv4
+
+
+@register(
+    "traffic_cidr_match",
+    tags=("traffic", "joins", "cidr"),
+    oracle=f"""
+WITH flows AS (
+  SELECT event_id, user_id,
+         CAST(value AS DECIMAL(12,2)) AS bytes,
+         CASE user_id % 4
+           WHEN 0 THEN 167772160 + (user_id * {_IP_MIX}) % 16777216
+           WHEN 1 THEN 2886729728 + (user_id * {_IP_MIX}) % 1048576
+           WHEN 2 THEN 3232235520 + (user_id * {_IP_MIX}) % 65536
+           ELSE (user_id * {_IP_MIX}) % 4294967296
+         END AS ip
+  FROM events
+),
+blocks AS (
+  SELECT cidr,
+         CAST(string_split(cidr, '/')[2] AS INTEGER) AS plen,
+         CAST(string_split(string_split(cidr, '/')[1], '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(string_split(cidr, '/')[1], '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(string_split(cidr, '/')[1], '.')[3] AS BIGINT) * 256
+           + CAST(string_split(string_split(cidr, '/')[1], '.')[4] AS BIGINT) AS net
+  FROM (SELECT unnest({CIDR_BLOCKS!r}) AS cidr)
+),
+matched AS (
+  SELECT f.event_id, f.user_id, f.bytes, b.cidr, b.plen,
+         ROW_NUMBER() OVER (PARTITION BY f.event_id
+                            ORDER BY b.plen DESC, b.cidr) AS rnk
+  FROM flows f JOIN blocks b
+    ON (f.ip >> (32 - b.plen)) = (b.net >> (32 - b.plen))
+)
+SELECT cidr,
+       CAST(COUNT(*) AS BIGINT) AS n_flows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST({sql_dsum('bytes')} AS DOUBLE) AS total_bytes
+FROM matched WHERE rnk = 1
+GROUP BY cidr
+""",
+)
+def traffic_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix CIDR routing of synthetic flows (user ids spread
+    over IPv4 by a Knuth multiplicative hash) against a broadcast
+    bogon table: octets parse to uint32 with pure arithmetic, a flow
+    matches a block iff the high ``plen`` bits agree (shift-compare —
+    no string ops on the hot path), overlapping blocks resolve to the
+    MOST SPECIFIC prefix per flow (window over the handful of matches),
+    and per-block rollups stay exact (decimal byte sums). Scale: the
+    prefix table is O(100) rows broadcast everywhere; the non-equi
+    shift-join is a broadcast nested loop over that tiny side; at real
+    routing-table scale (~1M prefixes) the same query switches to an
+    equi-join on (ip >> k) per distinct prefix length — the classic
+    LPM decomposition, one broadcast equi-join per length bucket."""
+    h = F.col("user_id") * _IP_MIX
+    f = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("bytes"),
+        # a quarter of users each in 10/8, 172.16/12, 192.168/16; the
+        # rest anywhere in IPv4 -- so several blocks (and the no-match
+        # path) are all exercised at every scale factor
+        F.when(F.col("user_id") % 4 == 0, 167772160 + h % 16777216)
+        .when(F.col("user_id") % 4 == 1, 2886729728 + h % 1048576)
+        .when(F.col("user_id") % 4 == 2, 3232235520 + h % 65536)
+        .otherwise(h % F.lit(4294967296))
+        .alias("ip"),
+    )
+    b = spark.createDataFrame(
+        [(c,) for c in CIDR_BLOCKS], "cidr string"
+    ).select(
+        "cidr",
+        F.split(F.col("cidr"), "/")[1].cast("int").alias("plen"),
+        (
+            F.split(F.split(F.col("cidr"), "/")[0], r"\.")[0].cast("bigint") * 16777216
+            + F.split(F.split(F.col("cidr"), "/")[0], r"\.")[1].cast("bigint") * 65536
+            + F.split(F.split(F.col("cidr"), "/")[0], r"\.")[2].cast("bigint") * 256
+            + F.split(F.split(F.col("cidr"), "/")[0], r"\.")[3].cast("bigint")
+        ).alias("net"),
+    )
+    matched = f.join(
+        F.broadcast(b),
+        F.expr("shiftrightunsigned(ip, 32 - plen)")
+        == F.expr("shiftrightunsigned(net, 32 - plen)"),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("plen").desc(), "cidr")
+    best = matched.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return best.groupBy("cidr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dsum(F.col("bytes")).cast("double").alias("total_bytes"),
+    )

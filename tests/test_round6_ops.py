@@ -1986,3 +1986,50 @@ def test_zip_and_pb_dir_streams_exactly_once(spark, tmp_path):
             for e in entries
         )
         assert names == want, (fmt, names, want)
+
+
+# --- CIDR longest-prefix match ------------------------------------------------------
+
+
+def test_cidr_match_ipaddress_replay(spark, sf_dir):
+    """Longest-prefix routing must agree with the stdlib ipaddress
+    module (an independent CIDR implementation): per flow, the chosen
+    block equals the most specific ip_network containing the address,
+    and block rollups sum exactly."""
+    import ipaddress
+
+    from spark_streaming_test_spark.operators import traffic as T
+
+    nets = [ipaddress.ip_network(c) for c in T.CIDR_BLOCKS]
+    flows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_id", "user_id",
+            f"""CASE user_id % 4
+                WHEN 0 THEN 167772160 + (user_id * {T._IP_MIX}) % 16777216
+                WHEN 1 THEN 2886729728 + (user_id * {T._IP_MIX}) % 1048576
+                WHEN 2 THEN 3232235520 + (user_id * {T._IP_MIX}) % 65536
+                ELSE (user_id * {T._IP_MIX}) % 4294967296 END AS ip""",
+        )
+        .collect()
+    )
+    want = defaultdict(lambda: [0, set()])
+    n_matched = 0
+    for r in flows:
+        addr = ipaddress.ip_address(r["ip"])
+        best = None
+        for net in nets:
+            if addr in net:
+                if best is None or net.prefixlen > best.prefixlen:
+                    best = net
+        if best is not None:
+            n_matched += 1
+            k = str(best)
+            want[k][0] += 1
+            want[k][1].add(r["user_id"])
+    got = {
+        r["cidr"]: (r["n_flows"], r["n_users"])
+        for r in T.traffic_cidr_match(spark, sf_dir).collect()
+    }
+    assert got == {k: (v[0], len(v[1])) for k, v in want.items()}
+    assert n_matched > 0 and len(got) >= 3  # fixture hits several blocks
