@@ -2519,3 +2519,125 @@ def graph_shortest_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src", "node", F.col("d").cast("int"), F.col("sigma").cast("bigint")
     )
+
+
+# --- minimum spanning forest (Boruvka) ---------------------------------------
+#
+# Boruvka is THE parallel MST algorithm (each round every component
+# picks its lightest outgoing edge, components merge, edge count at
+# least halves => <= log2(n) rounds of join-aggregates). Edge weights
+# here are made DISTINCT by construction (weight = 3*support_rank +
+# xxhash-free deterministic tiebreak via (u, v) ordering baked into an
+# integer), so the MSF is UNIQUE and the output is deterministic.
+# There is no SQL-expressible oracle for MST (Kruskal/Prim are
+# union-find/heap sequential; a recursive CTE cannot carry the
+# component partition), so this is one of the repo's few ROWS-ONLY
+# registrations — verified instead by an independent KRUSKAL replay in
+# pure Python (tests/test_round6_ops.py), which is a stronger check
+# than a mirrored formula anyway: two different algorithms must emit
+# the identical edge set.
+
+MST_MAX_ROUNDS = 32
+
+
+def _mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-purchase edges with UNIQUE weights: the n_orders
+    support inverted into a distance-like weight, tie-broken by the
+    (u, v) pair itself so no two edges weigh the same (unique MSF)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
+    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
+    sup = (
+        a.join(b, ["ok"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= EDGE_SUPPORT)
+    )
+    # weight: fewer shared orders = heavier; unique via (u, v) suffix
+    return sup.select(
+        "u",
+        "v",
+        (
+            (F.lit(1000000) - F.col("n_orders")) * F.lit(100000000)
+            + F.col("u") * F.lit(10000)
+            + F.col("v") % 10000
+        ).alias("w"),
+    )
+
+
+def boruvka_msf(edges: DataFrame) -> DataFrame:
+    """(u, v, w) with DISTINCT w -> the unique minimum spanning forest
+    as (u, v, w) rows. Each round: every component's minimum outgoing
+    edge joins the forest; components contract via the repo's
+    alternating-star CC on the forest-so-far; raises at the round cap
+    (<= log2(n) needed) rather than emitting a partial forest."""
+    E = edges.localCheckpoint(eager=True)
+    nodes = (
+        E.select(F.col("u").alias("id"))
+        .unionAll(E.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    comp = nodes.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
+    forest = None
+    for _ in range(MST_MAX_ROUNDS):
+        cu = comp.select(F.col("id").alias("u"), F.col("c").alias("cu"))
+        cv = comp.select(F.col("id").alias("v"), F.col("c").alias("cv"))
+        labeled = (
+            E.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
+        )
+        if labeled.isEmpty():
+            break
+        # per-component lightest outgoing edge, from BOTH endpoints'
+        # perspectives (weights unique => struct-min is unambiguous)
+        cand = (
+            labeled.select(F.col("cu").alias("comp"), "w", "u", "v")
+            .unionAll(labeled.select(F.col("cv").alias("comp"), "w", "u", "v"))
+            .groupBy("comp")
+            .agg(F.min(F.struct("w", "u", "v")).alias("m"))
+            .select(F.col("m.u").alias("u"), F.col("m.v").alias("v"), F.col("m.w").alias("w"))
+            .distinct()  # two components may pick the same edge
+        )
+        forest = cand if forest is None else forest.unionAll(cand).distinct()
+        forest = forest.localCheckpoint(eager=True)
+        # contract: components = connected components of the forest
+        cc = alternating_star_components(forest.select("u", "v"))
+        comp = (
+            nodes.join(
+                cc.select(F.col("part_id").alias("id"), F.col("component").alias("c")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("c", F.col("id")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_msf: components still merging after {MST_MAX_ROUNDS} "
+            "rounds — refusing to emit a partial forest"
+        )
+    if forest is None:
+        return edges.limit(0)
+    return forest
+
+
+@register(
+    "graph_mst_boruvka",
+    tags=("graph", "iterative", "mst"),
+    # rows-only BY NECESSITY: MST has no SQL-expressible oracle
+    # (union-find is inherently sequential); the correctness check is
+    # the independent Kruskal replay in tests — two different
+    # algorithms must produce the identical (unique) edge set.
+)
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the weighted co-purchase graph by
+    Boruvka rounds (see boruvka_msf). Weights are distinct by
+    construction, so the forest is unique and the row set is
+    deterministic: (u, v, w) per forest edge."""
+    return boruvka_msf(_mst_edges(spark, sf_dir)).select(
+        "u", "v", F.col("w").cast("bigint")
+    )

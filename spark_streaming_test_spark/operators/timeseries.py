@@ -770,3 +770,96 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at("p", 1) + F.col("h0")).alias("t_hour"),
         F.element_at("p", 2).alias("v_scaled"),
     )
+
+
+# --- 1-D Kalman filter --------------------------------------------------------
+
+KALMAN_Q = 0.5  # process noise (random-walk drift per step)
+KALMAN_R = 4.0  # observation noise
+
+
+@register(
+    "ts_kalman_1d",
+    tags=("timeseries", "filter", "kalman"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+              AS DOUBLE) AS z
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+),
+series AS (
+  SELECT event_type, list(z ORDER BY h) AS zs FROM hourly GROUP BY event_type
+),
+filtered AS (
+  SELECT event_type, len(zs) AS n_obs,
+         list_reduce(
+           [[zs[1], CAST(1.0 AS DOUBLE)]]
+             || list_transform(zs[2:len(zs)], z -> [z, CAST(0.0 AS DOUBLE)]),
+           (acc, ob) -> [
+             acc[1] + ((acc[2] + CAST({KALMAN_Q} AS DOUBLE))
+                       / (acc[2] + CAST({KALMAN_Q} AS DOUBLE)
+                          + CAST({KALMAN_R} AS DOUBLE)))
+                       * (ob[1] - acc[1]),
+             (CAST(1.0 AS DOUBLE)
+              - ((acc[2] + CAST({KALMAN_Q} AS DOUBLE))
+                 / (acc[2] + CAST({KALMAN_Q} AS DOUBLE)
+                    + CAST({KALMAN_R} AS DOUBLE))))
+               * (acc[2] + CAST({KALMAN_Q} AS DOUBLE))
+           ]
+         ) AS st
+  FROM series
+)
+SELECT event_type,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       round(st[1], 8) AS kalman_x,
+       round(st[2], 10) AS kalman_p
+FROM filtered
+""",
+)
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (random-walk state, Q={KALMAN_Q}, R={KALMAN_R})
+    over each hourly series, as ONE row-local fold — the DTW/LTTB
+    pattern applied to the classic sequential filter: accumulator
+    [x, P], per step K = (P+Q)/(P+Q+R), x += K(z - x),
+    P = (1-K)(P+Q). Both engines run the IDENTICAL IEEE expression
+    tree in frame order (Spark F.aggregate == DuckDB list_reduce with
+    the init wrapped as the first element), so the filtered state
+    matches to the last ulp; the final 8/10-dp rounds are safety on
+    generic doubles (ties measure-zero), not a determinism crutch.
+    Scale: parallelism = series; the fold is O(n) inside one task and
+    only (x, P) leaves it. Steady state: P converges to the positive
+    root of P^2 + QP - QR = 0 — asserted in tests."""
+    hourly = load(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("z")
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "z"))), lambda s: s["z"]
+        ).alias("zs")
+    )
+    q, r = F.lit(float(KALMAN_Q)), F.lit(float(KALMAN_R))
+
+    def step(acc, z):
+        x, p = F.element_at(acc, 1), F.element_at(acc, 2)
+        k = (p + q) / (p + q + r)
+        return F.array(x + k * (z - x), (F.lit(1.0) - k) * (p + q))
+
+    st = F.aggregate(
+        F.slice(F.col("zs"), 2, F.greatest(F.size("zs") - 1, F.lit(0))),
+        F.array(F.element_at(F.col("zs"), 1), F.lit(1.0)),
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.size("zs").cast("bigint").alias("n_obs"),
+        F.round(F.element_at(st, 1), 8).alias("kalman_x"),
+        F.round(F.element_at(st, 2), 10).alias("kalman_p"),
+    )

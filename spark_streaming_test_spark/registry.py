@@ -96,7 +96,8 @@ _DRIVER_WINDOW = [
     "mm_decode_png", "sim_sq8_topk", "graph_scc", "mm_decode_gif",
     "dedup_unicode_nfc", "ts_lttb_downsample", "scan_tar_members",
     "mm_webdataset_pairs", "scan_zip_entries", "corpus_url_canonical_dedup", "window_rsi", "scan_protobuf_records", "sim_sq8_recall_eval", "scan_avro_records", "graph_harmonic_closeness",
-    "graph_shortest_path_counts", "mm_exif_metadata", "scan_parquet_footer", "traffic_cidr_match",
+    "graph_shortest_path_counts", "mm_exif_metadata", "scan_parquet_footer", "traffic_cidr_match", "ts_kalman_1d",
+    "graph_mst_boruvka",
     "sql_scripting_repeat_for", "sql_scripting_loop_labels",
     "sql_scripting_condition_handler",
     "dedup_exact_substring_pairs", "dedup_substring_gram_audit",

@@ -2033,3 +2033,128 @@ def test_cidr_match_ipaddress_replay(spark, sf_dir):
     }
     assert got == {k: (v[0], len(v[1])) for k, v in want.items()}
     assert n_matched > 0 and len(got) >= 3  # fixture hits several blocks
+
+
+# --- 1-D Kalman filter ----------------------------------------------------------
+
+
+def test_kalman_python_replay_and_steady_state(spark, sf_dir):
+    """Filtered state must equal a textbook Python Kalman replay to
+    ~1e-8, and the posterior variance must converge to the positive
+    root of P^2 + Q*P - Q*R = 0 (the scalar Riccati fixed point) on
+    every series long enough to settle."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators import timeseries as tsm
+
+    hourly = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("z")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["h"], r["z"]))
+    Q, R = tsm.KALMAN_Q, tsm.KALMAN_R
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        x, p = pts[0][1], 1.0
+        for _, z in pts[1:]:
+            k = (p + Q) / (p + Q + R)
+            x = x + k * (z - x)
+            p = (1.0 - k) * (p + Q)
+        want[et] = (len(pts), x, p)
+
+    p_star = (-Q + math.sqrt(Q * Q + 4 * Q * R)) / 2.0
+    rows = tsm.ts_kalman_1d(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == set(want)
+    for r in rows:
+        n, x, p = want[r["event_type"]]
+        assert r["n_obs"] == n
+        assert abs(r["kalman_x"] - x) < 1e-7, r["event_type"]
+        if n > 50:
+            assert abs(r["kalman_p"] - p_star) < 1e-9, (r["kalman_p"], p_star)
+
+
+# --- Boruvka MSF ------------------------------------------------------------------
+
+
+def test_boruvka_equals_kruskal_replay(spark, sf_dir):
+    """The Boruvka forest must equal an independent KRUSKAL (sort +
+    union-find) replay edge-for-edge — valid because weights are
+    distinct by construction, making the MSF unique. Also: forest
+    size == n_nodes - n_components, and total weight is minimal among
+    spanning forests (spot-checked by edge-swap: every non-tree edge
+    closes a cycle whose tree path has no heavier edge)."""
+    from spark_streaming_test_spark.operators import graph
+
+    edges = [
+        (r["u"], r["v"], r["w"])
+        for r in graph._mst_edges(spark, sf_dir).collect()
+    ]
+    assert len({w for _, _, w in edges}) == len(edges), "weights must be unique"
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal = set()
+    for u, v, w in sorted(edges, key=lambda e: e[2]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            kruskal.add((u, v, w))
+
+    got = {
+        (r["u"], r["v"], r["w"])
+        for r in graph.graph_mst_boruvka(spark, sf_dir).collect()
+    }
+    assert got == kruskal
+
+    nodes = {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    n_comp = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - n_comp
+
+    # cycle property spot-check: for sampled non-tree edges, the tree
+    # path between endpoints uses only lighter edges
+    tree_adj = defaultdict(list)
+    for u, v, w in got:
+        tree_adj[u].append((v, w))
+        tree_adj[v].append((u, w))
+
+    def path_max_w(a, b):
+        from collections import deque
+
+        q = deque([(a, -1)])
+        prev = {a: None}
+        while q:
+            x, mx = q.popleft()
+            if x == b:
+                return mx
+            for y, w in tree_adj[x]:
+                if y not in prev:
+                    prev[y] = x
+                    q.append((y, max(mx, w)))
+        return None
+
+    non_tree = [e for e in edges if e not in kruskal][:25]
+    for u, v, w in non_tree:
+        mx = path_max_w(u, v)
+        if mx is not None:
+            assert mx < w, (u, v, w, mx)
