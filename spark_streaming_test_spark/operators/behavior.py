@@ -1392,3 +1392,174 @@ def events_pattern_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_substr("seq", F.lit(FUNNEL_PATTERN)).alias("first_funnel"),
         F.col("seq").contains(ERROR_BURST).alias("has_error_burst"),
     )
+
+
+# --- Shapley-value attribution ------------------------------------------------
+#
+# First/last-touch (events_attribution) credit single touches; the
+# Shapley model credits each channel its AVERAGE MARGINAL LIFT over
+# all orderings of the user's touch coalition (Shapley 1953, applied
+# to conversion attribution a la Zhao et al. 2018). With 4 channels
+# the characteristic function v(S) = conversion rate of users whose
+# touch set is exactly S has 16 values, and each channel's credit is
+# a FIXED 8-term closed form: phi_i = sum_S w(|S|) (v(S+i) - v(S)),
+# w = |S|!(n-|S|-1)!/n!. Both engines evaluate the IDENTICAL generated
+# expression tree over the same 16 pivoted values, so the doubles
+# match bitwise with no rounding step.
+
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]  # bit order
+SHAPLEY_CONVERSION = "purchase"
+
+
+def _shapley_sql() -> tuple[str, str]:
+    """(v_defs, phi_stack): the v{m} CASE definitions over the pivoted
+    u{m}/c{m} columns, and the per-channel phi expressions — one shared
+    generator so Spark and DuckDB run the same expression text."""
+    from math import factorial
+
+    n = len(SHAPLEY_CHANNELS)
+    v_defs = ", ".join(
+        f"CASE WHEN u{m} > 0 THEN CAST(c{m} AS DOUBLE) / u{m} "
+        f"ELSE CAST(0 AS DOUBLE) END AS v{m}"
+        for m in range(1 << n)
+    )
+    phis = []
+    for i in range(n):
+        others = [j for j in range(n) if j != i]
+        terms = []
+        for s in range(1 << (n - 1)):
+            mask = 0
+            bits = [others[k] for k in range(n - 1) if s >> k & 1]
+            for b in bits:
+                mask |= 1 << b
+            w = factorial(len(bits)) * factorial(n - len(bits) - 1) / factorial(n)
+            terms.append(
+                f"CAST({w!r} AS DOUBLE) * (v{mask | (1 << i)} - v{mask})"
+            )
+        phis.append(" + ".join(terms))
+    return v_defs, phis
+
+
+@register(
+    "events_attribution_shapley",
+    tags=("events", "attribution", "shapley"),
+    oracle=None,  # assembled below from the shared generator
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley conversion credit per channel: users reduce to a touch-
+    set bitmask + converted flag (one aggregation), the 16 coalition
+    conversion rates pivot to a single row, and each channel's credit
+    is the closed-form 8-term marginal-lift sum — all downstream of
+    ONE shuffle on user_id; the combinatorics run on a 1-row frame.
+    Scale: channel-set size n is the only exponential knob (2^n
+    coalition stats); marketing stacks cap n <= ~10, and the coalition
+    stats frame stays tiny at any row scale."""
+    e = load(spark, sf_dir, "events")
+    bits = [
+        F.max((F.col("event_type") == c).cast("int")) * (1 << i)
+        for i, c in enumerate(SHAPLEY_CHANNELS)
+    ]
+    per_user = e.groupBy("user_id").agg(
+        sum(bits[1:], bits[0]).alias("mask"),
+        F.max(
+            (F.col("event_type") == SHAPLEY_CONVERSION).cast("int")
+        ).alias("conv"),
+    )
+    stats = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("conv").alias("n_conv")
+    )
+    n = len(SHAPLEY_CHANNELS)
+    pivot = stats.agg(
+        *[
+            F.max(
+                F.when(F.col("mask") == m, F.col("n_users"))
+            ).alias(f"raw_u{m}")
+            for m in range(1 << n)
+        ],
+        *[
+            F.max(F.when(F.col("mask") == m, F.col("n_conv"))).alias(
+                f"raw_c{m}"
+            )
+            for m in range(1 << n)
+        ],
+    ).select(
+        *[
+            F.coalesce(f"raw_u{m}", F.lit(0)).alias(f"u{m}")
+            for m in range(1 << n)
+        ],
+        *[
+            F.coalesce(f"raw_c{m}", F.lit(0)).alias(f"c{m}")
+            for m in range(1 << n)
+        ],
+    )
+    v_defs, phis = _shapley_sql()
+    with_v = pivot.selectExpr("*", *_split_top_level(v_defs))
+    stack_args = ", ".join(
+        f"'{c}', phi{i}" for i, c in enumerate(SHAPLEY_CHANNELS)
+    )
+    return (
+        with_v.selectExpr(
+            "*", *[f"{p} AS phi{i}" for i, p in enumerate(phis)]
+        )
+        .selectExpr(f"stack({len(SHAPLEY_CHANNELS)}, {stack_args}) AS (channel, shapley_credit)")
+    )
+
+
+def _split_top_level(defs: str) -> list[str]:
+    """Split the generated 'a AS v0, b AS v1, ...' on TOP-LEVEL commas
+    (CASE bodies contain no commas here, but keep it robust)."""
+    out, depth, cur = [], 0, []
+    for ch in defs:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _shapley_oracle() -> str:
+    v_defs, phis = _shapley_sql()
+    n = len(SHAPLEY_CHANNELS)
+    bit_sum = " + ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) * {1 << i}"
+        for i, c in enumerate(SHAPLEY_CHANNELS)
+    )
+    u_defs = ", ".join(
+        f"COALESCE(MAX(CASE WHEN mask = {m} THEN n_users END), 0) AS u{m}"
+        for m in range(1 << n)
+    )
+    c_defs = ", ".join(
+        f"COALESCE(MAX(CASE WHEN mask = {m} THEN n_conv END), 0) AS c{m}"
+        for m in range(1 << n)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS channel, phi{i} AS shapley_credit FROM phi"
+        for i, c in enumerate(SHAPLEY_CHANNELS)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, {bit_sum} AS mask,
+         MAX(CASE WHEN event_type = '{SHAPLEY_CONVERSION}' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT mask, COUNT(*) AS n_users, SUM(conv) AS n_conv
+  FROM per_user GROUP BY mask
+),
+pvt AS (SELECT {u_defs}, {c_defs} FROM stats),
+vals AS (SELECT *, {v_defs} FROM pvt),
+phi AS (SELECT *, {", ".join(f"{p} AS phi{i}" for i, p in enumerate(phis))} FROM vals)
+{selects}
+"""
+
+
+from ..registry import _REGISTRY as _BREG  # noqa: E402
+
+_BREG["events_attribution_shapley"].oracle = _shapley_oracle()

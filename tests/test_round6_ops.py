@@ -2158,3 +2158,64 @@ def test_boruvka_equals_kruskal_replay(spark, sf_dir):
         mx = path_max_w(u, v)
         if mx is not None:
             assert mx < w, (u, v, w, mx)
+
+
+# --- Shapley attribution ------------------------------------------------------------
+
+
+def test_shapley_axioms_and_python_replay(spark, sf_dir):
+    """Credits must match an independent itertools-permutation replay
+    of the Shapley definition (average marginal contribution over all
+    4! channel orderings), and satisfy the EFFICIENCY axiom: credits
+    sum to v(full set) - v(empty set)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators import behavior as B
+
+    per_user = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max((F.col("event_type") == c).cast("int")).alias(f"b{i}")
+                for i, c in enumerate(B.SHAPLEY_CHANNELS)
+            ],
+            F.max(
+                (F.col("event_type") == B.SHAPLEY_CONVERSION).cast("int")
+            ).alias("conv"),
+        )
+        .collect()
+    )
+    n = len(B.SHAPLEY_CHANNELS)
+    users = defaultdict(lambda: [0, 0])
+    for r in per_user:
+        mask = sum(r[f"b{i}"] << i for i in range(n))
+        users[mask][0] += 1
+        users[mask][1] += r["conv"]
+
+    def v(mask):
+        u, c = users.get(mask, (0, 0))
+        return c / u if u else 0.0
+
+    # permutation-definition replay (different evaluation than the
+    # closed-form subset weights the query uses)
+    want = [0.0] * n
+    perms = list(itertools.permutations(range(n)))
+    for perm in perms:
+        m = 0
+        for ch in perm:
+            want[ch] += v(m | 1 << ch) - v(m)
+            m |= 1 << ch
+    want = [w / len(perms) for w in want]
+
+    got = {
+        r["channel"]: r["shapley_credit"]
+        for r in B.events_attribution_shapley(spark, sf_dir).collect()
+    }
+    assert set(got) == set(B.SHAPLEY_CHANNELS)
+    for i, c in enumerate(B.SHAPLEY_CHANNELS):
+        assert abs(got[c] - want[i]) < 1e-12, (c, got[c], want[i])
+    # efficiency axiom
+    assert abs(sum(got.values()) - (v((1 << n) - 1) - v(0))) < 1e-12
