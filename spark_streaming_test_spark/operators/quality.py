@@ -1084,3 +1084,126 @@ def dq_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_abs_error"),
         F.lit(float(RR_EPSILON)).alias("epsilon"),
     )
+
+
+# --- Merkle tree reconciliation ------------------------------------------------
+#
+# dq_table_checksum localizes a diff to a PARTITION in one round;
+# the Merkle form localizes it in O(log P) COMPARISONS: leaf hashes
+# roll up pairwise-grouped levels to a single root, so two replicas
+# first compare roots (one hash over the WAN), then walk down only
+# the mismatching subtree. This is the Cassandra/Dynamo anti-entropy
+# structure expressed as log2(P) tiny self-aggregations above one
+# full-table hash pass.
+
+MERKLE_LEAVES = 16  # power of two; tree has 5 levels (16-8-4-2-1)
+MERKLE_FANOUT = 2
+
+
+@register(
+    "dq_merkle_tree",
+    tags=("quality", "reconciliation", "merkle"),
+    oracle=f"""
+WITH rows_h AS (
+  SELECT CAST(o_orderkey % {MERKLE_LEAVES} AS INTEGER) AS leaf,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(o_custkey AS VARCHAR) || '|'
+             || CAST(o_orderdate AS VARCHAR)) AS rh
+  FROM orders
+),
+l0 AS (
+  SELECT leaf AS idx, md5(string_agg(rh, '' ORDER BY rh)) AS h,
+         COUNT(*) AS n_rows
+  FROM rows_h GROUP BY leaf
+),
+l1 AS (
+  SELECT CAST(idx // {MERKLE_FANOUT} AS INTEGER) AS idx,
+         md5(string_agg(h, '' ORDER BY idx)) AS h,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows
+  FROM l0 GROUP BY CAST(idx // {MERKLE_FANOUT} AS INTEGER)
+),
+l2 AS (
+  SELECT CAST(idx // {MERKLE_FANOUT} AS INTEGER) AS idx,
+         md5(string_agg(h, '' ORDER BY idx)) AS h,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows
+  FROM l1 GROUP BY CAST(idx // {MERKLE_FANOUT} AS INTEGER)
+),
+l3 AS (
+  SELECT CAST(idx // {MERKLE_FANOUT} AS INTEGER) AS idx,
+         md5(string_agg(h, '' ORDER BY idx)) AS h,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows
+  FROM l2 GROUP BY CAST(idx // {MERKLE_FANOUT} AS INTEGER)
+),
+l4 AS (
+  SELECT CAST(idx // {MERKLE_FANOUT} AS INTEGER) AS idx,
+         md5(string_agg(h, '' ORDER BY idx)) AS h,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows
+  FROM l3 GROUP BY CAST(idx // {MERKLE_FANOUT} AS INTEGER)
+)
+SELECT 0 AS level, idx, h AS node_hash, CAST(n_rows AS BIGINT) AS n_rows FROM l0
+UNION ALL SELECT 1, idx, h, n_rows FROM l1
+UNION ALL SELECT 2, idx, h, n_rows FROM l2
+UNION ALL SELECT 3, idx, h, n_rows FROM l3
+UNION ALL SELECT 4, idx, h, n_rows FROM l4
+""",
+)
+def dq_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle tree over the orders table: {MERKLE_LEAVES} key-hashed
+    leaves (md5 of the ORDER-canonicalized row-hash concatenation, so
+    the leaf hash is partitioning-independent), rolled up pairwise to
+    the root; emits every (level, idx, node_hash, n_rows) node. Only
+    the leaf level touches table rows — the 4 upper levels aggregate
+    16 -> 1 rows, so reconciliation cost above the scan is nil, and
+    two replicas diff by comparing roots then walking mismatched
+    subtrees. Within-leaf ordering is BY HASH (not by key), making the
+    structure stable under resharding."""
+    rows_h = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % MERKLE_LEAVES).cast("int").alias("leaf"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                "o_orderstatus",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderdate").cast("string"),
+            )
+        ).alias("rh"),
+    )
+    level = rows_h.groupBy(F.col("leaf").alias("idx")).agg(
+        F.md5(F.concat_ws("", F.array_join(F.sort_array(F.collect_list("rh")), ""))).alias("h"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    out = level.select(F.lit(0).alias("level"), "idx", F.col("h").alias("node_hash"), F.col("n_rows").cast("bigint"))
+    lvl = 0
+    n = MERKLE_LEAVES
+    while n > 1:
+        lvl += 1
+        n //= MERKLE_FANOUT
+        level = (
+            level.groupBy(
+                (F.col("idx") / MERKLE_FANOUT).cast("int").alias("idx")
+            )
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.array_join(
+                            F.transform(
+                                F.sort_array(F.collect_list(F.struct("idx", "h"))),
+                                lambda s: s["h"],
+                            ),
+                            "",
+                        ),
+                    )
+                ).alias("h"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+        out = out.unionAll(
+            level.select(
+                F.lit(lvl).alias("level"), "idx",
+                F.col("h").alias("node_hash"),
+                F.col("n_rows").cast("bigint"),
+            )
+        )
+    return out

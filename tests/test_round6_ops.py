@@ -2219,3 +2219,55 @@ def test_shapley_axioms_and_python_replay(spark, sf_dir):
         assert abs(got[c] - want[i]) < 1e-12, (c, got[c], want[i])
     # efficiency axiom
     assert abs(sum(got.values()) - (v((1 << n) - 1) - v(0))) < 1e-12
+
+
+# --- Merkle tree -------------------------------------------------------------------
+
+
+def test_merkle_structure_and_diff_localization(spark, sf_dir):
+    """Structural invariants: 16-8-4-2-1 node counts, parent hash ==
+    md5(child hashes in idx order), root n_rows == table rows; and the
+    POINT of the structure — perturbing one leaf's data changes
+    exactly the root-to-leaf path (hashlib replay of the walk)."""
+    import hashlib as hl
+
+    from spark_streaming_test_spark.operators import quality as Q
+
+    rows = Q.dq_merkle_tree(spark, sf_dir).collect()
+    by_level = defaultdict(dict)
+    nrows = defaultdict(dict)
+    for r in rows:
+        by_level[r["level"]][r["idx"]] = r["node_hash"]
+        nrows[r["level"]][r["idx"]] = r["n_rows"]
+    assert [len(by_level[m]) for m in sorted(by_level)] == [16, 8, 4, 2, 1]
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert nrows[4][0] == total
+    for lvl in range(1, 5):
+        for idx, h in by_level[lvl].items():
+            kids = [
+                by_level[lvl - 1][k]
+                for k in sorted(by_level[lvl - 1])
+                if k // Q.MERKLE_FANOUT == idx
+            ]
+            assert h == hl.md5("".join(kids).encode()).hexdigest(), (lvl, idx)
+            assert nrows[lvl][idx] == sum(
+                nrows[lvl - 1][k]
+                for k in sorted(by_level[lvl - 1])
+                if k // Q.MERKLE_FANOUT == idx
+            )
+
+    # diff localization: change leaf 5's hash, recompute upward — the
+    # replayed root differs, and ONLY ancestors of leaf 5 change
+    tampered = dict(by_level[0])
+    tampered[5] = hl.md5(b"tamper").hexdigest()
+    cur = tampered
+    changed_path = {(0, 5)}
+    for lvl in range(1, 5):
+        nxt = {}
+        for idx in by_level[lvl]:
+            kids = [cur[k] for k in sorted(cur) if k // Q.MERKLE_FANOUT == idx]
+            nxt[idx] = hl.md5("".join(kids).encode()).hexdigest()
+            if nxt[idx] != by_level[lvl][idx]:
+                changed_path.add((lvl, idx))
+        cur = nxt
+    assert changed_path == {(0, 5), (1, 2), (2, 1), (3, 0), (4, 0)}
