@@ -634,3 +634,92 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "user_a", "user_b")
         .limit(TRAJ_TOP_K)
     )
+
+
+# --- hexagonal binning (H3-style cube rounding) --------------------------------
+
+HEX_SIZE = 700.0  # hex circumradius, centi-units
+_SQRT3_3 = 0.5773502691896257  # sqrt(3)/3, shared literal both engines
+_THIRD = 0.3333333333333333
+_TWO_THIRDS = 0.6666666666666666
+
+
+@register(
+    "geo_hex_binning",
+    tags=("geo", "binning", "hex"),
+    oracle=f"""
+WITH pts AS ({{PLACE}}),
+ax AS (
+  SELECT c_custkey,
+         (CAST({_SQRT3_3} AS DOUBLE) * x - CAST({_THIRD} AS DOUBLE) * y)
+           / CAST({HEX_SIZE} AS DOUBLE) AS qf,
+         (CAST({_TWO_THIRDS} AS DOUBLE) * y) / CAST({HEX_SIZE} AS DOUBLE) AS rf
+  FROM pts
+),
+cube AS (
+  SELECT c_custkey, qf, rf, -qf - rf AS yf,
+         round(qf, 0) AS rx, round(-qf - rf, 0) AS ry, round(rf, 0) AS rz
+  FROM ax
+),
+fixed AS (
+  SELECT c_custkey,
+         CASE WHEN abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf)
+              THEN -(ry + rz) ELSE rx END AS fq,
+         CASE WHEN abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf)
+              THEN rz
+              WHEN abs(ry - yf) > abs(rz - rf) THEN rz
+              ELSE -(rx + ry) END AS fr
+  FROM cube
+)
+SELECT CAST(fq AS BIGINT) AS q, CAST(fr AS BIGINT) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM fixed GROUP BY fq, fr
+""".replace("{PLACE}", _sql_place("customer", "c_custkey")),
+)
+def geo_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal spatial binning (the H3/Uber cell shape, flat grid's
+    superior cousin: equidistant neighbors, ~13% lower quantization
+    error): points map to fractional axial coordinates, then CUBE
+    ROUNDING (round all three cube components, re-fix the one with the
+    largest rounding error so x+y+z=0 — the exact algorithm from the
+    hex-grid literature) assigns the containing hex. Both engines
+    evaluate the identical double expression tree with shared literal
+    constants, so cell ids match exactly. Scale: pure codegen
+    expressions ahead of one count aggregate — same shape as the flat
+    geo_cell_density, so everything said there about O(occupied cells)
+    carries over."""
+    import math
+
+    assert abs(_SQRT3_3 - math.sqrt(3.0) / 3.0) < 1e-16
+    pts = _place(load(spark, sf_dir, "customer"), "c_custkey")
+    size = F.lit(HEX_SIZE)
+    qf = (F.lit(_SQRT3_3) * F.col("x") - F.lit(_THIRD) * F.col("y")) / size
+    rf = (F.lit(_TWO_THIRDS) * F.col("y")) / size
+    ax = pts.select("c_custkey", qf.alias("qf"), rf.alias("rf"))
+    cube = ax.select(
+        "c_custkey", "qf", "rf",
+        (-F.col("qf") - F.col("rf")).alias("yf"),
+        F.round(F.col("qf"), 0).alias("rx"),
+        F.round(-F.col("qf") - F.col("rf"), 0).alias("ry"),
+        F.round(F.col("rf"), 0).alias("rz"),
+    )
+    dx = F.abs(F.col("rx") - F.col("qf"))
+    dy = F.abs(F.col("ry") - F.col("yf"))
+    dz = F.abs(F.col("rz") - F.col("rf"))
+    x_bad = (dx > dy) & (dx > dz)
+    fixed = cube.select(
+        "c_custkey",
+        F.when(x_bad, -(F.col("ry") + F.col("rz"))).otherwise(F.col("rx")).alias("fq"),
+        F.when(x_bad, F.col("rz"))
+        .when(dy > dz, F.col("rz"))
+        .otherwise(-(F.col("rx") + F.col("ry")))
+        .alias("fr"),
+    )
+    return fixed.groupBy(
+        F.col("fq").cast("bigint").alias("q"),
+        F.col("fr").cast("bigint").alias("r"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("c_custkey").cast("bigint").alias("min_key"),
+    )
