@@ -1955,3 +1955,110 @@ def ml_hist_gbdt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nr").cast("bigint").alias("n_right"),
         )
     )
+
+
+# --- 1-D Gaussian mixture via EM ----------------------------------------------
+#
+# Two-component 1-D GMM, EM_GMM_ITERS synchronous EM iterations. The
+# cross-engine determinism recipe is the hist-GBDT one: E-step
+# responsibilities are generic doubles computed by IDENTICAL expression
+# text (a shared generator feeds Spark selectExpr and the DuckDB
+# oracle), then QUANTIZED to DECIMAL(18,7) so every M-step sum is
+# exact integer arithmetic regardless of partitioning; the scaled sums
+# stay far below 2^53, so the final decimal->double casts are exact
+# too. sqrt/exp agree bitwise across engines (both fdlibm-derived —
+# the property ml_logreg_train_gd's sigmoid already relies on).
+
+EM_GMM_ITERS = 3
+_EM_INIT = "SELECT CAST(1.0 AS DOUBLE) AS mu1, CAST(3.5 AS DOUBLE) AS mu2, " \
+           "CAST(1.0 AS DOUBLE) AS v1, CAST(1.0 AS DOUBLE) AS v2, " \
+           "CAST(0.5 AS DOUBLE) AS w1, CAST(0.5 AS DOUBLE) AS w2"
+
+_EM_X = ("CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) / CAST(100 AS DOUBLE)"
+         " AS x")
+
+_EM_ESTEP = [
+    "w1 * exp(-((x - mu1) * (x - mu1)) / (CAST(2 AS DOUBLE) * v1)) / sqrt(v1)"
+    " AS p1",
+    "w2 * exp(-((x - mu2) * (x - mu2)) / (CAST(2 AS DOUBLE) * v2)) / sqrt(v2)"
+    " AS p2",
+]
+_EM_RESP = [
+    "CAST(p1 / (p1 + p2) AS DECIMAL(18,7)) AS r1q",
+    "CAST(p2 / (p1 + p2) AS DECIMAL(18,7)) AS r2q",
+]
+_EM_MSTEP = [
+    "SUM(r1q) AS s1", "SUM(r2q) AS s2",
+    "SUM(CAST(CAST(r1q AS DOUBLE) * x AS DECIMAL(20,7))) AS sx1",
+    "SUM(CAST(CAST(r2q AS DOUBLE) * x AS DECIMAL(20,7))) AS sx2",
+    "SUM(CAST(CAST(r1q AS DOUBLE) * x * x AS DECIMAL(20,7))) AS sxx1",
+    "SUM(CAST(CAST(r2q AS DOUBLE) * x * x AS DECIMAL(20,7))) AS sxx2",
+    "COUNT(*) AS n",
+]
+_EM_MU = [
+    "CAST(sx1 AS DOUBLE) / CAST(s1 AS DOUBLE) AS mu1",
+    "CAST(sx2 AS DOUBLE) / CAST(s2 AS DOUBLE) AS mu2",
+]
+_EM_REST = [
+    "CAST(sxx1 AS DOUBLE) / CAST(s1 AS DOUBLE) - mu1 * mu1 AS v1",
+    "CAST(sxx2 AS DOUBLE) / CAST(s2 AS DOUBLE) - mu2 * mu2 AS v2",
+    "CAST(s1 AS DOUBLE) / n AS w1",
+    "CAST(s2 AS DOUBLE) / n AS w2",
+]
+
+
+def _em_oracle() -> str:
+    lines = [
+        "WITH data AS (SELECT " + _EM_X + " FROM events),",
+        "params0 AS (" + _EM_INIT + "),",
+    ]
+    for k in range(1, EM_GMM_ITERS + 1):
+        lines += [
+            f"e{k} AS (SELECT x, {', '.join(_EM_ESTEP)} "
+            f"FROM data CROSS JOIN params{k - 1}),",
+            f"r{k} AS (SELECT x, {', '.join(_EM_RESP)} FROM e{k}),",
+            f"m{k} AS (SELECT {', '.join(_EM_MSTEP)} FROM r{k}),",
+            f"mu{k} AS (SELECT *, {', '.join(_EM_MU)} FROM m{k}),",
+            f"params{k} AS (SELECT {', '.join(_EM_REST)}, mu1, mu2 "
+            f"FROM mu{k}),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    last = f"params{EM_GMM_ITERS}"
+    return "\n".join(lines) + f"""
+SELECT 1 AS component, round(w1, 6) AS weight, round(mu1, 6) AS mu,
+       round(v1, 6) AS variance FROM {last}
+UNION ALL
+SELECT 2, round(w2, 6), round(mu2, 6), round(v2, 6) FROM {last}
+"""
+
+
+@register(
+    "ml_em_gmm_1d",
+    tags=("mltrain", "em", "gmm"),
+    oracle=_em_oracle(),
+)
+def ml_em_gmm_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fit by {EM_GMM_ITERS} EM
+    iterations over event values (scaled to [0, ~5]): E-step
+    responsibilities from the current (w, mu, v) via a broadcast 1-row
+    params frame, quantized to DECIMAL(18,7); M-step moments as exact
+    decimal sums; new params by the standard closed forms. Every
+    iteration is one crossJoin-broadcast + one aggregation — the plan
+    a 100 TB EM actually runs (params are KBs, data never re-shuffles,
+    map-side partial aggregation carries the moments). Emits each
+    component's (weight, mu, variance) after the final iteration."""
+    data = load(spark, sf_dir, "events").selectExpr(_EM_X)
+    params = spark.sql("SELECT * FROM (VALUES (1)) t(z)").selectExpr(
+        *_EM_INIT.replace("SELECT ", "").split(", ")
+    )
+    for _ in range(EM_GMM_ITERS):
+        e = data.crossJoin(F.broadcast(params)).selectExpr("x", *_EM_ESTEP)
+        r = e.selectExpr("x", *_EM_RESP)
+        m = r.agg(*[F.expr(s) for s in _EM_MSTEP])
+        mu = m.selectExpr("*", *_EM_MU)
+        params = mu.selectExpr(*_EM_REST, "mu1", "mu2")
+    return params.selectExpr(
+        "stack(2, 1, round(w1, 6), round(mu1, 6), round(v1, 6), "
+        "2, round(w2, 6), round(mu2, 6), round(v2, 6)) "
+        "AS (component, weight, mu, variance)"
+    )

@@ -2343,3 +2343,74 @@ def test_hex_binning_nearest_center_property(spark, sf_dir):
         1 for cell, n in replay.items() if got.get(cell, 0) < n
     )
     assert mismatch == 0
+
+
+# --- EM GMM ----------------------------------------------------------------------
+
+
+def test_em_gmm_python_replay_and_likelihood_ascent(spark, sf_dir):
+    """Fitted params must match a pure-Python EM replay (same init,
+    same 7-dp responsibility quantization) to 1e-6, weights must sum
+    to 1, variances stay positive, and the data log-likelihood must be
+    NON-DECREASING across the replayed iterations (EM's defining
+    guarantee)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from spark_streaming_test_spark.operators import mltrain as M
+
+    xs = [
+        float(Decimal(str(round(r["value"], 2))) / 100)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("value")
+        .collect()
+    ]
+    q7 = lambda v: float(  # noqa: E731
+        Decimal(v).quantize(Decimal("1e-7"), rounding=ROUND_HALF_UP)
+    )
+    mu1, mu2, v1, v2, w1, w2 = 1.0, 3.5, 1.0, 1.0, 0.5, 0.5
+
+    def loglik():
+        tot = 0.0
+        for x in xs:
+            n1 = w1 * math.exp(-((x - mu1) ** 2) / (2 * v1)) / math.sqrt(
+                2 * math.pi * v1
+            )
+            n2 = w2 * math.exp(-((x - mu2) ** 2) / (2 * v2)) / math.sqrt(
+                2 * math.pi * v2
+            )
+            tot += math.log(n1 + n2)
+        return tot
+
+    lls = [loglik()]
+    for _ in range(M.EM_GMM_ITERS):
+        s1 = s2 = sx1 = sx2 = sxx1 = sxx2 = 0.0
+        for x in xs:
+            p1 = w1 * math.exp(-((x - mu1) ** 2) / (2 * v1)) / math.sqrt(v1)
+            p2 = w2 * math.exp(-((x - mu2) ** 2) / (2 * v2)) / math.sqrt(v2)
+            r1 = q7(p1 / (p1 + p2))
+            r2 = q7(p2 / (p1 + p2))
+            s1 += r1
+            s2 += r2
+            sx1 += q7(r1 * x)
+            sx2 += q7(r2 * x)
+            sxx1 += q7(r1 * x * x)
+            sxx2 += q7(r2 * x * x)
+        n = len(xs)
+        mu1, mu2 = sx1 / s1, sx2 / s2
+        v1 = sxx1 / s1 - mu1 * mu1
+        v2 = sxx2 / s2 - mu2 * mu2
+        w1, w2 = s1 / n, s2 / n
+        lls.append(loglik())
+
+    got = {
+        r["component"]: r
+        for r in M.ml_em_gmm_1d(spark, sf_dir).collect()
+    }
+    assert abs(got[1]["mu"] - mu1) < 1e-6 and abs(got[2]["mu"] - mu2) < 1e-6
+    assert abs(got[1]["variance"] - v1) < 1e-6
+    assert abs(got[2]["variance"] - v2) < 1e-6
+    assert abs(got[1]["weight"] + got[2]["weight"] - 1.0) < 1e-9
+    assert got[1]["variance"] > 0 and got[2]["variance"] > 0
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, lls  # monotone ascent (quantization slack)
