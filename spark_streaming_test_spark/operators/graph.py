@@ -2641,3 +2641,182 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_msf(_mst_edges(spark, sf_dir)).select(
         "u", "v", F.col("w").cast("bigint")
     )
+
+
+# --- landmark betweenness (full Brandes: sigma pass + dependency pass) ------
+#
+# The dependency pass divides sigmas, so unlike the integer sigma pass
+# it is rational-valued. Decimal quantization is a TRAP here: deltas
+# become exact 9-dp decimals, and a sigma ratio like 1/2 then puts the
+# next message EXACTLY on a decimal rounding tie — the one case where
+# Spark's and DuckDB's double->decimal casts disagree (verify-skill
+# gotcha; observed as systematic 1e-9 diffs). Determinism instead
+# comes from ORDER-CANONICAL FOLDS: each per-node sum collects its
+# (few) messages sorted by the unique neighbor id and left-folds them
+# as doubles — both engines add the identical doubles in the identical
+# order, so delta stays bitwise-equal with NO rounding anywhere.
+# Levels process strictly descending (a node's delta is final before
+# it messages its predecessors — Brandes' invariant); the oracle
+# unrolls the same backward recurrence as machine-generated level CTEs
+# with mirrored list(... ORDER BY) || fold sums.
+
+def _betweenness_oracle() -> str:
+    head = _spc_oracle()
+    cte_part = head.split("\nSELECT src, node,")[0]
+    lines = [cte_part + ","]
+    lines.append(
+        f"d{SPC_CAP} AS (SELECT src, node, CAST(0 AS DOUBLE) AS delta "
+        f"FROM s{SPC_CAP}),"
+    )
+    for k in range(SPC_CAP - 1, 0, -1):
+        lines += [
+            f"d{k} AS MATERIALIZED (",
+            f"  SELECT sk.src, sk.node,",
+            f"         list_reduce([CAST(0 AS DOUBLE)] ||",
+            f"           COALESCE(list(",
+            f"             (CAST(sk.sigma AS DOUBLE) / wk.sigma)",
+            f"               * (CAST(1 AS DOUBLE) + dk1.delta)",
+            f"             ORDER BY e.v) FILTER (wk.node IS NOT NULL), []),",
+            f"           (a, x) -> a + x) AS delta",
+            f"  FROM s{k} sk",
+            f"  LEFT JOIN und e ON e.u = sk.node",
+            f"  LEFT JOIN s{k + 1} wk ON wk.src = sk.src AND wk.node = e.v",
+            f"  LEFT JOIN d{k + 1} dk1 ON dk1.src = wk.src AND dk1.node = wk.node",
+            f"  GROUP BY sk.src, sk.node),",
+        ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT src, node, {k} AS lvl, delta FROM d{k}"
+        for k in range(1, SPC_CAP + 1)
+    )
+    lines.append(f"alld AS ({unions})")
+    return "\n".join(lines) + """
+SELECT node,
+       list_reduce([CAST(0 AS DOUBLE)] || list(delta ORDER BY src, lvl),
+                   (a, x) -> a + x) AS betweenness
+FROM alld GROUP BY node
+"""
+
+
+@register(
+    "graph_betweenness_landmark",
+    tags=("graph", "iterative", "centrality", "brandes"),
+    oracle=_betweenness_oracle(),
+)
+def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality from {SPC_K} landmark sources — the FULL
+    Brandes algorithm: the forward sigma pass (level-synchronous BFS
+    with path counting, as in graph_shortest_path_counts) followed by
+    the backward dependency accumulation, one join-aggregate per level
+    in each direction, every floating sum an order-canonical fold (see
+    module comment — decimal quantization TIES here, folds don't).
+    Per-node betweenness sums each source's dependency; endpoints are
+    excluded by construction (level-0 sources never accumulate).
+    Scale: O(K x E) per level; the fold lists are per-node NEIGHBOR
+    message sets (bounded by degree), not global collects; K is the
+    Riondato-Kornaropoulos-style sampling knob — exact betweenness
+    sets K = n."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = und.select(F.col("u").alias("id")).distinct()
+    srcs = (
+        nodes.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(SPC_K)
+        .select(F.col("id").alias("src"))
+    )
+    level = srcs.select(
+        "src", F.col("src").alias("node"), F.lit(1).cast("bigint").alias("sigma")
+    ).localCheckpoint(eager=True)
+    seen = level.select("src", "node").localCheckpoint(eager=True)
+    levels = [level]
+    for depth in range(1, SPC_CAP + 2):
+        if depth > SPC_CAP:
+            raise RuntimeError(
+                f"graph_betweenness_landmark: BFS past {SPC_CAP} levels"
+            )
+        cand = (
+            level.join(und, level["node"] == und["u"])
+            .groupBy("src", F.col("v").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = cand.join(seen, ["src", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        seen = seen.unionAll(nxt.select("src", "node")).localCheckpoint(
+            eager=True
+        )
+        level = nxt
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    deltas: list[DataFrame] = [None] * len(levels)
+    top = len(levels) - 1
+    deltas[top] = levels[top].select(
+        "src", "node", F.lit(0.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    for k in range(top - 1, 0, -1):
+        sk = levels[k].select("src", "node", "sigma")
+        wk = levels[k + 1].select(
+            F.col("src").alias("wsrc"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+        )
+        dk1 = deltas[k + 1].select(
+            F.col("src").alias("dsrc"),
+            F.col("node").alias("dnode"),
+            F.col("delta").alias("wdelta"),
+        )
+        msg = (
+            (F.col("sigma").cast("double") / F.col("wsigma"))
+            * (F.lit(1.0) + F.col("wdelta"))
+        )
+        joined = (
+            sk.join(und, sk["node"] == und["u"], "left")
+            .join(
+                wk,
+                (F.col("wsrc") == F.col("src")) & (F.col("wnode") == F.col("v")),
+                "left",
+            )
+            .join(
+                dk1,
+                (F.col("dsrc") == F.col("wsrc"))
+                & (F.col("dnode") == F.col("wnode")),
+                "left",
+            )
+            .groupBy("src", "node")
+            .agg(
+                fold_sum(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("wsigma").isNotNull(),
+                                    F.struct(F.col("v").alias("o"), msg.alias("m")),
+                                )
+                            )
+                        ),
+                        lambda s: s["m"],
+                    )
+                ).alias("delta")
+            )
+        )
+        deltas[k] = joined.localCheckpoint(eager=True)
+    alld = None
+    for k in range(1, len(levels)):
+        part = deltas[k].select("src", "node", F.lit(k).alias("lvl"), "delta")
+        alld = part if alld is None else alld.unionAll(part)
+    return alld.groupBy("node").agg(
+        fold_sum(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("src", "lvl", F.col("delta").alias("d")))
+                ),
+                lambda s: s["d"],
+            )
+        ).alias("betweenness")
+    )

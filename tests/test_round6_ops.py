@@ -2414,3 +2414,59 @@ def test_em_gmm_python_replay_and_likelihood_ascent(spark, sf_dir):
     assert got[1]["variance"] > 0 and got[2]["variance"] > 0
     for a, b in zip(lls, lls[1:]):
         assert b >= a - 1e-9, lls  # monotone ascent (quantization slack)
+
+
+# --- landmark betweenness -------------------------------------------------------
+
+
+def test_betweenness_matches_full_brandes_replay(spark, sf_dir):
+    """Per-node landmark betweenness must equal the textbook Brandes
+    replay (stack-based dependency accumulation) from the same landmark
+    set to 1e-9, and nodes on NO landmark shortest path must be absent
+    or zero."""
+    import hashlib as hl
+    from collections import deque
+
+    edges = [
+        (r["u"], r["v"]) for r in graph._copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    srcs = sorted(nodes, key=lambda n: (hl.md5(str(n).encode()).hexdigest(), n))[
+        : graph.SPC_K
+    ]
+    bc = defaultdict(float)
+    for s in srcs:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            order.append(x)
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    sigma[y] = 0
+                    q.append(y)
+                if dist[y] == dist[x] + 1:
+                    sigma[y] += sigma[x]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    got = {
+        r["node"]: r["betweenness"]
+        for r in graph.graph_betweenness_landmark(spark, sf_dir).collect()
+    }
+    for n, v in bc.items():
+        if v > 0:
+            assert n in got and abs(got[n] - v) < 1e-9 * max(1.0, v), n
+    for n, v in got.items():
+        assert abs(v - bc.get(n, 0.0)) < 1e-9 * max(1.0, v), n
