@@ -1169,10 +1169,14 @@ def dq_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rh"),
     )
+    # localCheckpoint per level: each Union branch below reuses the
+    # PREVIOUS level's frame — without lineage truncation every branch
+    # re-derives from the table scan (5 full scans at 100 TB; caught by
+    # test_merkle_single_table_scan).
     level = rows_h.groupBy(F.col("leaf").alias("idx")).agg(
         F.md5(F.concat_ws("", F.array_join(F.sort_array(F.collect_list("rh")), ""))).alias("h"),
         F.count(F.lit(1)).alias("n_rows"),
-    )
+    ).localCheckpoint(eager=True)
     out = level.select(F.lit(0).alias("level"), "idx", F.col("h").alias("node_hash"), F.col("n_rows").cast("bigint"))
     lvl = 0
     n = MERKLE_LEAVES
@@ -1198,7 +1202,7 @@ def dq_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("h"),
                 F.sum("n_rows").alias("n_rows"),
             )
-        )
+        ).localCheckpoint(eager=True)
         out = out.unionAll(
             level.select(
                 F.lit(lvl).alias("level"), "idx",

@@ -1292,3 +1292,46 @@ def test_scc_phase_plan_is_join_aggregate(spark):
     tree = plan.split("\n\n")[0]
     first_agg = tree.find("HashAggregate")
     assert first_agg >= 0 and "Exchange" in tree[first_agg:], tree[:1200]
+
+
+def test_merkle_single_table_scan(spark, qs):
+    # The Merkle tree must scan orders ONCE (the leaf pass): levels are
+    # localCheckpoint-ed, so every Union branch reads a materialized
+    # RDD and the FINAL plan contains NO parquet scan at all — without
+    # the truncation each of the 5 branches re-derived from the table
+    # scan (5 full scans at 100 TB; this test caught it). No Python.
+    df = qs["dq_merkle_tree"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("Scan parquet ") == 0, plan[:1200]
+    assert "ExistingRDD" in plan  # checkpointed levels, not re-derivation
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_em_gmm_broadcasts_params_each_iteration(spark, qs):
+    # Every EM iteration joins the 1-row params frame as a BROADCAST
+    # nested loop (Cross BuildRight); the data side must appear exactly
+    # EM_GMM_ITERS times (one scan per iteration's aggregation), with
+    # no shuffle of the raw rows beyond the final single-row aggregates.
+    import re
+
+    from spark_streaming_test_spark.operators.mltrain import EM_GMM_ITERS
+
+    df = qs["ml_em_gmm_1d"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin \w+ Build\w+ \(\d+\)", plan))
+    assert n_bnlj == EM_GMM_ITERS, plan[:1500]
+    checks.assert_no_cartesian(df)
+    assert "BatchEvalPython" not in plan
+
+
+def test_cidr_match_broadcasts_prefix_table(spark, qs):
+    # The bogon table is tiny and non-equi — must be a broadcast
+    # nested loop, never a CartesianProduct; the flow side's IP
+    # arithmetic stays in codegen.
+    import re
+
+    df = qs["traffic_cidr_match"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert re.search(r"BroadcastNestedLoopJoin \w+ Build\w+ \(\d+\)", plan), plan[:1200]
+    checks.assert_no_cartesian(df)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
