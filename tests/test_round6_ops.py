@@ -2470,3 +2470,24 @@ def test_betweenness_matches_full_brandes_replay(spark, sf_dir):
             assert n in got and abs(got[n] - v) < 1e-9 * max(1.0, v), n
     for n, v in got.items():
         assert abs(v - bc.get(n, 0.0)) < 1e-9 * max(1.0, v), n
+
+
+def test_betweenness_partitioning_invariance(spark, sf_dir):
+    """The order-canonical folds must make betweenness EXACTLY equal
+    under a different shuffle-partition count — the property that the
+    per-node message sums don't leak accumulation order (the reason
+    the operator folds sorted lists instead of SUM-ing doubles)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {
+        r["node"]: r["betweenness"]
+        for r in graph.graph_betweenness_landmark(spark, sf_dir).collect()
+    }
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = {
+            r["node"]: r["betweenness"]
+            for r in graph.graph_betweenness_landmark(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt  # bitwise, not approximately
