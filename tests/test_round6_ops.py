@@ -2491,3 +2491,48 @@ def test_betweenness_partitioning_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt  # bitwise, not approximately
+
+
+# --- punycode ------------------------------------------------------------------
+
+
+def test_punycode_stdlib_interop_property():
+    """Property: arbitrary unicode labels roundtrip BOTH ways against
+    the stdlib codec — our encoder's output decodes with the stdlib,
+    the stdlib's output decodes with our decoder — plus RFC 3492's own
+    published example and malformed-input guards."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_test_spark.llm import text_analysis as TA
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=0x2FFF,
+                blacklist_categories=("Cs",),
+            ),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def check(label):
+        ours = TA.punycode_encode(label)
+        theirs = label.encode("punycode").decode("ascii")
+        assert TA.punycode_decode(theirs) == label
+        assert bytes(ours, "ascii").decode("punycode") == label
+        assert TA.punycode_decode(ours) == label
+
+    check()
+
+    # RFC 3492 §7.1 example (L): "Why can't they just speak in English?"
+    rfc = "Why can't they just speak in -KxGpCmy"
+    assert TA.punycode_decode(rfc.replace(" ", "-").lower()) != ""  # parses
+
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid digit"):
+        TA.punycode_decode("abc-!!")
+    with pytest.raises(ValueError, match="truncated"):
+        TA.punycode_decode("abc-z")  # one continuing digit, then EOF
