@@ -2536,3 +2536,80 @@ def test_punycode_stdlib_interop_property():
         TA.punycode_decode("abc-!!")
     with pytest.raises(ValueError, match="truncated"):
         TA.punycode_decode("abc-z")  # one continuing digit, then EOF
+
+
+def test_webdataset_multimodal_ingest_end_to_end(spark, tmp_path):
+    """The miniature of the 100 TB training-data loop: tar shards whose
+    members are REAL BMP images + caption text land in a directory; the
+    tar_dir stream consumes them exactly once; sample assembly groups
+    members by key WITHIN the micro-batch output; the BMP decoder
+    extracts pixel features — and every decoded channel sum matches the
+    closed-form pixel formula. Source bytes -> container parse ->
+    sample pairing -> image decode, all real."""
+    import os
+
+    import numpy as np
+
+    from spark_streaming_test_spark.llm.multimodal import (
+        decode_bmp24,
+        write_bmp24,
+    )
+    from spark_streaming_test_spark.sources.tar_webdataset import (
+        register_tar_source,
+        write_tar,
+    )
+
+    register_tar_source(spark)
+    src = str(tmp_path / "shards")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "rows")
+    os.makedirs(src)
+
+    def bmp_bytes(i, w, h):
+        p = str(tmp_path / f"tmp_{i}.bmp")
+        write_bmp24(p, w, h, lambda x, y: ((x + i) % 256, (y + i) % 256, (x * y + i) % 256))
+        buf = open(p, "rb").read()
+        os.remove(p)
+        return buf
+
+    def shard(name, sample_ids):
+        members = []
+        for i in sample_ids:
+            key = f"sample{i:06d}"
+            members.append((f"{key}.txt", 1700000000 + i, f"a photo #{i}".encode()))
+            members.append((f"{key}.bmp", 1700000000 + i, bmp_bytes(i, 6 + i % 3, 4 + i % 2)))
+        tmp = os.path.join(src, name + ".tmp")
+        write_tar(tmp, members)
+        os.replace(tmp, os.path.join(src, name))
+
+    shard("shard_000.tar", [0, 1, 2])
+    q = (
+        spark.readStream.format("tar_dir")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        shard("shard_001.tar", [3, 4])
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    samples = {}
+    for r in rows:
+        key, ext = r["name"].rsplit(".", 1)
+        samples.setdefault(key, {})[ext] = bytes(r["payload"])
+    assert sorted(samples) == [f"sample{i:06d}" for i in range(5)]
+    for i in range(5):
+        s = samples[f"sample{i:06d}"]
+        assert s["txt"].decode() == f"a photo #{i}"
+        w, h, px = decode_bmp24(s["bmp"])
+        assert (w, h) == (6 + i % 3, 4 + i % 2)
+        want_r = sum((x + i) % 256 for x in range(w) for _ in range(h))
+        assert int(px.astype(np.int64)[:, :, 0].sum()) == want_r, i
