@@ -895,3 +895,138 @@ def scan_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isin(*PIDX_USERS))
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+# --- git loose objects (the code-dataset ingestion format) -------------------
+#
+# Code LLM corpora start life as git repositories; the on-disk unit is
+# the LOOSE OBJECT: zlib-compressed "<type> <size>\\0<content>" stored
+# at .git/objects/<sha1[:2]>/<sha1[2:]>, where sha1 is the digest of
+# the UNCOMPRESSED framed bytes (content-addressed storage — the name
+# IS the checksum). Parsing needs only stdlib zlib + hashlib; this
+# reader decompresses each object, validates the header frame, the
+# declared size, AND the content address against the file path —
+# corrupted or mislabeled objects raise, exactly like the zip CRC
+# gate.
+
+GIT_OBJECTS = 90
+
+
+def write_loose_object(objects_dir: str, content: bytes, otype: str = "blob") -> str:
+    """Write a git loose object; returns its sha1 hex name."""
+    import hashlib
+    import zlib
+
+    framed = f"{otype} {len(content)}".encode() + b"\x00" + content
+    sha = hashlib.sha1(framed).hexdigest()
+    d = os.path.join(objects_dir, sha[:2])
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, sha[2:])
+    if not os.path.exists(p):
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(zlib.compress(framed, 1))
+        os.replace(tmp, p)
+    return sha
+
+
+def parse_loose_object(path: str, buf: bytes) -> tuple:
+    """(sha1, otype, size, content) from loose-object bytes; validates
+    the frame, the declared size, and the path-embedded address."""
+    import hashlib
+    import zlib
+
+    framed = zlib.decompress(buf)
+    nul = framed.index(b"\x00")
+    otype, _, size_s = framed[:nul].partition(b" ")
+    content = framed[nul + 1 :]
+    if int(size_s) != len(content):
+        raise ValueError(
+            f"git object declares {int(size_s)} bytes, carries {len(content)}"
+        )
+    sha = hashlib.sha1(framed).hexdigest()
+    tail = path.rstrip("/").split("/")
+    want = tail[-2] + tail[-1] if len(tail) >= 2 else ""
+    if want and len(want) == 40 and want != sha:
+        raise ValueError(f"git object at {path} hashes to {sha}, not {want}")
+    return sha, otype.decode(), len(content), content
+
+
+def _git_blob(i: int) -> bytes:
+    return (
+        f"def fn_{i}(x):\n    return x * {i % 17} + {i % 5}\n".encode()
+        * (1 + i % 3)
+    )
+
+
+def _git_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_git_blob, write_loose_object, GIT_OBJECTS)
+    d = os.path.join(SCRATCH, f"git_objects_{rev}")
+    os.makedirs(d, exist_ok=True)
+    for i in range(GIT_OBJECTS):
+        write_loose_object(d, _git_blob(i))
+    return d
+
+
+@register(
+    "scan_git_loose_objects",
+    tags=("source", "git", "real-bytes"),
+    oracle=f"""
+WITH blobs AS (
+  SELECT i,
+         repeat('def fn_' || CAST(i AS VARCHAR) || '(x):' || chr(10)
+                || '    return x * ' || CAST(i % 17 AS VARCHAR)
+                || ' + ' || CAST(i % 5 AS VARCHAR) || chr(10),
+                1 + i % 3) AS content
+  FROM range({GIT_OBJECTS}) t(i)
+)
+SELECT 'blob' AS otype,
+       CAST(octet_length(encode(content)) AS BIGINT) AS size,
+       md5(content) AS content_md5,
+       CAST(length(content) - length(replace(content, chr(10), ''))
+            AS BIGINT) AS n_lines
+FROM blobs
+""",
+)
+def scan_git_loose_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL git loose-object parsing: fixture blobs written in the
+    content-addressed layout, re-read from bytes (zlib inflate, header
+    frame, size check, sha1-vs-path verification) and reduced to the
+    code-corpus features a pipeline keeps (type, size, content md5,
+    line count). The oracle recomputes everything from the blob
+    formula; the sha1 gate is exercised separately in tests (DuckDB
+    has no sha1). Scale: one task per object file via binaryFile —
+    and real pipelines pack loose objects into packfiles precisely
+    because million-file layouts stress listings, which is the
+    documented next step, not this reader's concern."""
+    d = _git_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(d, "*", "*"))
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                sha, otype, size, body = parse_loose_object(path, bytes(content))
+                rows.append((sha, otype, size, body.decode("utf-8")))
+            yield pd.DataFrame(rows, columns=["sha1", "otype", "size", "body"])
+
+    parsed = src.mapInPandas(
+        parse, "sha1 string, otype string, size bigint, body string"
+    )
+    return parsed.select(
+        "otype",
+        "size",
+        F.md5(F.encode("body", "UTF-8")).alias("content_md5"),
+        (
+            F.length("body")
+            - F.length(F.regexp_replace("body", "\n", ""))
+        ).cast("bigint").alias("n_lines"),
+    )

@@ -2659,3 +2659,35 @@ def test_sqlite_parse_matches_sqlite3_readback(spark, tmp_path):
     buf = open(os.path.join(d, sorted(os.listdir(d))[0]), "rb").read()
     with pytest.raises(ValueError, match="not found in schema"):
         list(SQ.parse_sqlite_table(buf, "missing_table"))
+
+
+# --- git loose objects --------------------------------------------------------------
+
+
+def test_git_loose_objects_content_addressing(tmp_path):
+    """The path-embedded sha1 must gate parsing: a valid object parses
+    and its name equals hashlib's digest of the framed bytes; the same
+    bytes under a WRONG name raise; a size-lying frame raises."""
+    import hashlib
+    import os
+    import zlib
+
+    import pytest
+
+    from spark_streaming_test_spark.sources import files as FS
+
+    d = str(tmp_path / "objects")
+    sha = FS.write_loose_object(d, b"hello git\n")
+    p = os.path.join(d, sha[:2], sha[2:])
+    buf = open(p, "rb").read()
+    got_sha, otype, size, content = FS.parse_loose_object(p, buf)
+    assert got_sha == sha == hashlib.sha1(b"blob 10\x00hello git\n").hexdigest()
+    assert (otype, size, content) == ("blob", 10, b"hello git\n")
+
+    wrong = os.path.join(d, "00", "0" * 38)
+    with pytest.raises(ValueError, match="hashes to"):
+        FS.parse_loose_object(wrong, buf)
+
+    lying = zlib.compress(b"blob 99\x00hello git\n")
+    with pytest.raises(ValueError, match="declares 99"):
+        FS.parse_loose_object(p, lying)
