@@ -863,3 +863,110 @@ def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(st, 1), 8).alias("kalman_x"),
         F.round(F.element_at(st, 2), 10).alias("kalman_p"),
     )
+
+
+# --- irregular-gap EWMA --------------------------------------------------------
+
+EWMA_IRR_TAU = 6.0  # decay time constant, hours
+
+
+@register(
+    "ts_ewma_irregular",
+    tags=("timeseries", "smoothing", "ewma"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+              AS DOUBLE) AS v
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+),
+series AS (
+  SELECT event_type,
+         list([CAST(h AS DOUBLE), v] ORDER BY h) AS pts
+  FROM hourly GROUP BY event_type
+),
+folded AS (
+  SELECT event_type,
+         list_reduce(
+           [[[pts[1][1], pts[1][2], pts[1][2]]]]
+             || list_transform(pts[2:len(pts)],
+                               p -> [[p[1], p[2], CAST(0 AS DOUBLE)]]),
+           (acc, pp) -> list_append(acc, [
+             pp[1][1], pp[1][2],
+             pp[1][2] + exp(-(pp[1][1] - acc[len(acc)][1])
+                            / CAST({EWMA_IRR_TAU} AS DOUBLE))
+                        * (acc[len(acc)][3] - pp[1][2])
+           ])
+         ) AS sm
+  FROM series
+)
+SELECT event_type,
+       CAST(sm[t.i][1] AS BIGINT) AS h,
+       sm[t.i][2] AS v,
+       round(sm[t.i][3], 8) AS smoothed
+FROM folded, LATERAL unnest(range(1, len(sm) + 1)) AS t(i)
+""",
+)
+def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular-gap exponential smoothing: s_t = v_t +
+    exp(-dt/tau) * (s_prev - v_t), the continuous-time EWMA used when
+    observations are NOT evenly spaced (sparse series, sensor dropouts)
+    — the fixed-alpha ts_ewma_smooth is wrong there because a 5-hour
+    gap should forget five times more than a 1-hour gap. Runs as one
+    row-local fold per series carrying [t, v, s] triples (the
+    Kalman/LTTB pattern); both engines evaluate the identical exp()
+    expression in frame order, and the FINAL 8-dp round absorbs the
+    one-ulp exp() divergence measured between JVM Math.exp and
+    DuckDB's libm (the fold itself stays unrounded, so the drift never
+    compounds past ~1e-12). Scale: parallelism = series, O(n)
+    per task, the whole smoothed series exits as one array explode."""
+    hourly = load(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("v")
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "v"))),
+            lambda s: F.array(s["h"].cast("double"), s["v"]),
+        ).alias("pts")
+    )
+    tau = F.lit(float(EWMA_IRR_TAU))
+
+    def step(acc, p):
+        last = F.element_at(acc, F.size(acc))
+        t_prev, s_prev = F.element_at(last, 1), F.element_at(last, 3)
+        t, v = F.element_at(p, 1), F.element_at(p, 2)
+        s = v + F.exp(-(t - t_prev) / tau) * (s_prev - v)
+        return F.concat(acc, F.array(F.array(t, v, s)))
+
+    first = F.element_at(F.col("pts"), 1)
+    folded = series.select(
+        "event_type",
+        F.aggregate(
+            F.slice(F.col("pts"), 2, F.greatest(F.size("pts") - 1, F.lit(0))),
+            F.array(
+                F.array(
+                    F.element_at(first, 1),
+                    F.element_at(first, 2),
+                    F.element_at(first, 2),
+                )
+            ),
+            step,
+        ).alias("sm"),
+    )
+    return folded.select("event_type", F.posexplode("sm").alias("i", "p")).select(
+        "event_type",
+        F.element_at("p", 1).cast("bigint").alias("h"),
+        F.element_at("p", 2).alias("v"),
+        # exp() differs by one ulp between JVM Math.exp and DuckDB's
+        # libm on some arguments (measured); 8-dp rounding of these
+        # generic doubles absorbs it (ties are measure-zero — the
+        # round-3 safety rule)
+        F.round(F.element_at("p", 3), 8).alias("smoothed"),
+    )

@@ -2691,3 +2691,58 @@ def test_git_loose_objects_content_addressing(tmp_path):
     lying = zlib.compress(b"blob 99\x00hello git\n")
     with pytest.raises(ValueError, match="declares 99"):
         FS.parse_loose_object(p, lying)
+
+
+# --- irregular-gap EWMA --------------------------------------------------------------
+
+
+def test_ewma_irregular_python_replay_and_gap_semantics(spark, sf_dir):
+    """Smoothed values must match the continuous-time EWMA replay in
+    Python to the emitted 8-dp precision, with the defining gap
+    property: a larger time gap moves the smoothed value strictly
+    closer to the raw observation (exp decay monotone in dt)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators import timeseries as tsm
+
+    hourly = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("v")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["h"], r["v"]))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        t0, v0 = pts[0]
+        s, tp = v0, t0
+        want[(et, t0)] = s
+        for t, v in pts[1:]:
+            s = v + math.exp(-(t - tp) / tsm.EWMA_IRR_TAU) * (s - v)
+            tp = t
+            want[(et, t)] = s
+    rows = tsm.ts_ewma_irregular(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert abs(r["smoothed"] - want[(r["event_type"], r["h"])]) < 5e-8
+
+    # gap semantics: with s_prev fixed, larger dt -> closer to v
+    s_prev, v = 100.0, 0.0
+    dists = [
+        abs(v + math.exp(-dt / tsm.EWMA_IRR_TAU) * (s_prev - v) - v)
+        for dt in (1, 3, 9, 27)
+    ]
+    assert dists == sorted(dists, reverse=True)
