@@ -1966,8 +1966,13 @@ def ml_hist_gbdt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle), then QUANTIZED to DECIMAL(18,7) so every M-step sum is
 # exact integer arithmetic regardless of partitioning; the scaled sums
 # stay far below 2^53, so the final decimal->double casts are exact
-# too. sqrt/exp agree bitwise across engines (both fdlibm-derived —
-# the property ml_logreg_train_gd's sigmoid already relies on).
+# too. exp() can differ by ONE ULP across engines on some arguments
+# (measured while building ts_ewma_irregular); a 1-ulp responsibility
+# difference flips the 7-dp quantization only within ~1e-16 of a tie,
+# bounding the per-run divergence probability at ~1e-4 even at sf1 —
+# and any flip would surface as a loud hash mismatch, not silent
+# error. The 6-dp rounding of the EMITTED params absorbs everything
+# short of a flipped quantization.
 
 EM_GMM_ITERS = 3
 _EM_INIT = "SELECT CAST(1.0 AS DOUBLE) AS mu1, CAST(3.5 AS DOUBLE) AS mu2, " \
