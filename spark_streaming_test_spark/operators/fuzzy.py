@@ -168,3 +168,117 @@ def join_fuzzy_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.dist").cast("int").alias("dist"),
         (F.col("best.cand") == F.col("src_name")).alias("correct"),
     )
+
+
+# --- Jaro-Winkler similarity ---------------------------------------------------
+#
+# The record-linkage similarity (Winkler 1990, Census Bureau): Jaro's
+# windowed match/transposition count plus a common-prefix boost,
+# applied only above the 0.7 threshold (the Census convention — DuckDB
+# follows it, probed: jw('ab','ax') == jaro('ab','ax')). Spark has no
+# built-in, so the engine side is a HAND implementation in Arrow
+# batches, verified against DuckDB's NATIVE jaro_winkler_similarity —
+# the two-independent-implementations pattern (NFC, tarfile, zipfile,
+# punycode) applied to a string metric. 8-dp rounding both sides
+# absorbs any last-ulp division-order difference.
+
+JW_PREFIX_CAP = 4
+JW_BOOST = 0.1
+JW_THRESHOLD = 0.7
+
+
+def jaro_winkler(a: str, b: str) -> float:
+    """Textbook Jaro-Winkler with the 0.7 boost threshold."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro <= JW_THRESHOLD:
+        return jaro
+    prefix = 0
+    for ca, cb in zip(a, b):
+        if ca != cb or prefix >= JW_PREFIX_CAP:
+            break
+        prefix += 1
+    return jaro + prefix * JW_BOOST * (1.0 - jaro)
+
+
+@register(
+    "fuzzy_jaro_winkler",
+    tags=("fuzzy", "entity", "similarity", "pandas-udf"),
+    oracle="""
+WITH pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         a.p_name AS name_a, b.p_name AS name_b
+  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+)
+SELECT key_a, key_b,
+       round(jaro_winkler_similarity(name_a, name_b), 8) AS jw,
+       jaro_winkler_similarity(name_a, name_b) > 0.85 AS is_match
+FROM pairs
+""",
+)
+def fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler scores over adjacent-key part-name pairs: the hand
+    implementation (windowed matches, half-transpositions, thresholded
+    prefix boost) runs in an Arrow-batched map and must reproduce
+    DuckDB's NATIVE implementation to 8 dp for every pair — a genuine
+    cross-implementation oracle, not a mirrored formula. Scale: the
+    metric is a per-pair map; candidate generation is the equi-join
+    (here adjacent keys; in production a blocking key, as in
+    er_blocked_match), never all-pairs."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            F.col("b.p_partkey") == F.col("a.p_partkey") + 1,
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+    )
+    jw_udf = pandas_udf(
+        lambda a, b: pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        ),
+        "double",
+    )
+    scored = pairs.withColumn("raw", jw_udf("name_a", "name_b"))
+    return scored.select(
+        "key_a",
+        "key_b",
+        F.round("raw", 8).alias("jw"),
+        (F.col("raw") > 0.85).alias("is_match"),
+    )

@@ -2746,3 +2746,30 @@ def test_ewma_irregular_python_replay_and_gap_semantics(spark, sf_dir):
         for dt in (1, 3, 9, 27)
     ]
     assert dists == sorted(dists, reverse=True)
+
+
+# --- Jaro-Winkler -------------------------------------------------------------------
+
+
+def test_jaro_winkler_reference_values_and_axioms():
+    """Hand implementation must hit the published reference values
+    (Winkler's MARTHA/MARHTA etc.), obey the metric axioms (symmetry,
+    identity, [0,1] range), and apply the prefix boost only above the
+    0.7 threshold."""
+    from spark_streaming_test_spark.operators.fuzzy import jaro_winkler as jw
+
+    assert abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12
+    assert abs(jw("duane", "dwayne") - 0.8400000000000001) < 1e-12
+    assert jw("abc", "abc") == 1.0
+    assert jw("", "abc") == 0.0 and jw("abc", "") == 0.0
+    assert jw("xyz", "abc") == 0.0  # no matches
+    # boost threshold: jaro('ab','ax') = 2/3 <= 0.7 -> no prefix boost
+    assert abs(jw("ab", "ax") - 2 / 3) < 1e-12
+    import itertools
+
+    for a, b in itertools.combinations(
+        ["prefix one", "prefix two", "wholly other", "pre", ""], 2
+    ):
+        assert abs(jw(a, b) - jw(b, a)) < 1e-15
+        assert 0.0 <= jw(a, b) <= 1.0
