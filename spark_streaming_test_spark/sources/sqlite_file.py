@@ -270,3 +270,58 @@ def scan_sqlite_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "rowid", "file_id", "name", "score", "tag_len", "tag_sum", "flag"
     )
+
+
+# --- streaming/batch DataSource: .db files landing in a directory -----------
+
+from pyspark.sql.datasource import DataSource  # noqa: E402
+
+from .pcap_file import PcapDirBatchReader, PcapDirStreamReader  # noqa: E402
+
+SQLITE_STREAM_SCHEMA = (
+    "path string, rowid bigint, name string, score double, "
+    "tag binary, flag bigint"
+)
+SQLITE_STREAM_TABLE = "events_log"
+
+
+def _read_sqlite_file(path: str) -> Iterator[tuple]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    for rowid, vals in parse_sqlite_table(buf, SQLITE_STREAM_TABLE):
+        _id, name, score, tag, flag = vals
+        yield (path, rowid, name, score, tag, flag)
+
+
+class SqliteDirBatchReader(PcapDirBatchReader):
+    _GLOB = "*.db"
+    _parse_file = staticmethod(_read_sqlite_file)
+
+
+class SqliteDirStreamReader(PcapDirStreamReader):
+    _GLOB = "*.db"
+    _parse_file = staticmethod(_read_sqlite_file)
+
+
+class SqliteDirDataSource(DataSource):
+    """format('sqlite_dir') — the pcap_dir contract (name-anchored
+    offsets, one database per partition, max_files_per_trigger) for
+    SQLite telemetry drops landing in a directory. Reads the fixed
+    ``events_log`` table of each arriving file."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite_dir"
+
+    def schema(self) -> str:
+        return SQLITE_STREAM_SCHEMA
+
+    def reader(self, schema):
+        return SqliteDirBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return SqliteDirStreamReader(self.options)
+
+
+def register_sqlite_source(spark: SparkSession) -> None:
+    spark.dataSource.register(SqliteDirDataSource)

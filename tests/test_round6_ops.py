@@ -2773,3 +2773,65 @@ def test_jaro_winkler_reference_values_and_axioms():
     ):
         assert abs(jw(a, b) - jw(b, a)) < 1e-15
         assert 0.0 <= jw(a, b) <= 1.0
+
+
+def test_sqlite_dir_stream_exactly_once(spark, tmp_path):
+    """sqlite_dir streaming source: database files land in two waves;
+    every row is consumed exactly once via the shared name-anchored
+    offsets — the telemetry-drop ingestion loop."""
+    import os
+    import sqlite3
+
+    from spark_streaming_test_spark.sources.sqlite_file import (
+        register_sqlite_source,
+    )
+
+    register_sqlite_source(spark)
+    src = str(tmp_path / "drops")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "rows")
+    os.makedirs(src)
+
+    def land(fname, rows):
+        tmp = os.path.join(src, fname + ".tmp")
+        con = sqlite3.connect(tmp)
+        con.execute("PRAGMA page_size = 512")
+        con.execute(
+            "CREATE TABLE events_log (id INTEGER PRIMARY KEY, name TEXT, "
+            "score REAL, tag BLOB, flag INTEGER)"
+        )
+        con.executemany("INSERT INTO events_log VALUES (?,?,?,?,?)", rows)
+        con.commit()
+        con.close()
+        os.replace(tmp, os.path.join(src, fname))
+
+    land("drop_000.db", [(1, "a", 0.5, b"\x01", 0)])
+    q = (
+        spark.readStream.format("sqlite_dir")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land(
+            "drop_001.db",
+            [(2, "b", 1.5, b"\x02\x03", 1), (3, "c", -2.0, b"", 0)],
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        (r["rowid"], r["name"], r["score"], bytes(r["tag"]), r["flag"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (1, "a", 0.5, b"\x01", 0),
+        (2, "b", 1.5, b"\x02\x03", 1),
+        (3, "c", -2.0, b"", 0),
+    ]
