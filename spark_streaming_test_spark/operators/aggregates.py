@@ -1173,3 +1173,92 @@ def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_custkey % 311 = 0
         GROUP BY o_orderpriority
     """)
+
+
+# --- HDR-style log-linear histogram -------------------------------------------
+#
+# The observability-grade latency histogram (HdrHistogram's layout):
+# one OCTAVE per power of two, HDR_SUBBUCKETS linear sub-buckets per
+# octave — constant relative error at every magnitude where a
+# fixed-width histogram wastes all its resolution on one end. Bucket
+# assignment is pure INTEGER bit arithmetic (bit length via bin(),
+# shifts for the sub-bucket), so both engines agree exactly and the
+# aggregation is a plain map-side-combined count.
+
+HDR_SUBBUCKETS = 8  # power of two; 3 shift bits
+
+
+@register(
+    "agg_hdr_histogram",
+    tags=("aggregates", "histogram", "observability"),
+    oracle=f"""
+WITH vals AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+bucketed AS (
+  SELECT v,
+         length(bin(v)) - 1 AS major,
+         ((v << 3) >> (length(bin(v)) - 1)) - {HDR_SUBBUCKETS} AS sub
+  FROM vals
+),
+counts AS (
+  SELECT major, sub,
+         CAST(major * {HDR_SUBBUCKETS} + sub AS BIGINT) AS bucket_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(v) AS BIGINT) AS min_v,
+         CAST(MAX(v) AS BIGINT) AS max_v
+  FROM bucketed GROUP BY major, sub
+)
+SELECT bucket_id,
+       CAST(major AS INTEGER) AS major,
+       CAST(sub AS INTEGER) AS sub,
+       CAST((1 << major) + sub * ((1 << major) / {HDR_SUBBUCKETS}) AS BIGINT)
+         AS lo_bound,
+       n, min_v, max_v,
+       CAST(SUM(n) OVER (ORDER BY bucket_id) AS BIGINT) AS cum_n
+FROM counts
+""",
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR histogram of event values (centi-unit ints): bucket = octave
+    (bit length) x {HDR_SUBBUCKETS} linear sub-buckets, assigned with
+    bin()/shift integer arithmetic identical in both engines; emits
+    per-bucket counts, observed min/max, the bucket's lower bound
+    (2^major + sub * 2^major/{HDR_SUBBUCKETS}; zero width below the
+    sub-bucket resolution collapses degenerately and is covered by the
+    fixture's small octaves), and the cumulative count — the
+    percentile-lookup table every latency dashboard reads. Scale: a
+    single count aggregate over O(70) buckets regardless of row count;
+    merging histograms across shards is count addition."""
+    vals = load(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("v")
+    )
+    major = F.length(F.bin("v")) - 1
+    sub = F.expr(f"((v << 3) >> (length(bin(v)) - 1)) - {HDR_SUBBUCKETS}")
+    counts = (
+        vals.select(major.alias("major"), sub.alias("sub"), "v")
+        .groupBy("major", "sub")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v").cast("bigint").alias("min_v"),
+            F.max("v").cast("bigint").alias("max_v"),
+        )
+        .withColumn(
+            "bucket_id",
+            (F.col("major") * HDR_SUBBUCKETS + F.col("sub")).cast("bigint"),
+        )
+    )
+    w = Window.orderBy("bucket_id")
+    return counts.select(
+        "bucket_id",
+        F.col("major").cast("int"),
+        F.col("sub").cast("int"),
+        F.expr(
+            f"CAST((1 << major) + sub * ((1 << major) / {HDR_SUBBUCKETS}) AS BIGINT)"
+        ).alias("lo_bound"),
+        "n",
+        "min_v",
+        "max_v",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    )

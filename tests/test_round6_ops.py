@@ -2835,3 +2835,33 @@ def test_sqlite_dir_stream_exactly_once(spark, tmp_path):
         (2, "b", 1.5, b"\x02\x03", 1),
         (3, "c", -2.0, b"", 0),
     ]
+
+
+# --- HDR histogram -----------------------------------------------------------------
+
+
+def test_hdr_histogram_invariants(spark, sf_dir):
+    """Bucket invariants: every observed min/max lies inside
+    [lo_bound, next bucket's lo_bound); counts sum to the table size;
+    cum_n is monotone; relative bucket width is bounded by 1/8 (the
+    HDR constant-relative-error property)."""
+    from spark_streaming_test_spark.operators import aggregates as AG
+
+    rows = sorted(
+        AG.agg_hdr_histogram(spark, sf_dir).collect(),
+        key=lambda r: r["bucket_id"],
+    )
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n"] for r in rows) == total
+    assert rows[-1]["cum_n"] == total
+    cums = [r["cum_n"] for r in rows]
+    assert cums == sorted(cums)
+    for r in rows:
+        width = max(1, (1 << r["major"]) // AG.HDR_SUBBUCKETS)
+        assert r["lo_bound"] <= r["min_v"] <= r["max_v"] < r["lo_bound"] + width + (
+            0 if (1 << r["major"]) >= AG.HDR_SUBBUCKETS else 1
+        ), r
+        # constant relative error holds once the octave is wide enough
+        # to split into all 8 sub-buckets (2^major >= HDR_SUBBUCKETS)
+        if (1 << r["major"]) >= AG.HDR_SUBBUCKETS:
+            assert width / r["lo_bound"] <= 1 / AG.HDR_SUBBUCKETS * 2, r
