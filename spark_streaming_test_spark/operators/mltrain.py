@@ -2067,3 +2067,139 @@ def ml_em_gmm_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2, round(w2, 6), round(mu2, 6), round(v2, 6)) "
         "AS (component, weight, mu, variance)"
     )
+
+
+# --- Viterbi decoding (2-state HMM over event sequences) ---------------------
+#
+# The max-product twin of the forward algorithm: per user, the most
+# probable hidden-state path under a fixed 2-state HMM
+# (browse / buy-intent) over the event-type sequence. Runs as one
+# row-local fold carrying the two path scores [s_browse, s_intent] —
+# the Kalman/LTTB/DTW pattern. Determinism is TOTAL here: every
+# log-probability is a PRECOMPUTED double literal (no runtime log() or
+# exp(), so the measured one-ulp libm divergence cannot appear), and
+# the recurrence is only + and greatest() over identical doubles. The
+# SPARK side reproduces a pure-Python replay bitwise; DuckDB's
+# list_reduce evaluation drifts one ulp on a few percent of sequences
+# (measured), so the emitted score rounds to 8 dp.
+
+# log parameters, precomputed (math.log of the model table)
+_V_LPI = ("-0.2231435513142097", "-1.6094379124341003")
+_V_LA = (
+    ("-0.10536051565782628", "-2.3025850929940455"),
+    ("-1.2039728043259361", "-0.35667494393873245"),
+)
+_V_LE = (
+    ("-1.0498221244986778", "-2.995732273553991", "-2.995732273553991",
+     "-1.8971199848858813", "-0.916290731874155"),
+    ("-1.3862943611198906", "-2.995732273553991", "-0.916290731874155",
+     "-2.3025850929940455", "-1.6094379124341003"),
+)
+_V_CATS = ("click", "error", "purchase", "signup", "view")
+
+
+def _v_cat_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{c}' THEN {i}" for i, c in enumerate(_V_CATS)
+    )
+    return f"CASE {col} {whens} END"
+
+
+def _v_le_sql(state: int, cat_expr: str) -> str:
+    arr = ", ".join(f"CAST({v} AS DOUBLE)" for v in _V_LE[state])
+    return f"[{arr}][{cat_expr} + 1]"
+
+
+@register(
+    "ml_viterbi_decode",
+    tags=("mltrain", "hmm", "viterbi"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         list({_v_cat_sql('event_type')} ORDER BY ts, event_id) AS xs
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, len(xs) AS n_events,
+         list_reduce(
+           [[CAST({_V_LPI[0]} AS DOUBLE) + {_v_le_sql(0, 'xs[1]')},
+             CAST({_V_LPI[1]} AS DOUBLE) + {_v_le_sql(1, 'xs[1]')}]]
+             || list_transform(xs[2:len(xs)], x -> [CAST(x AS DOUBLE),
+                                                    CAST(0 AS DOUBLE)]),
+           (acc, pp) -> [
+             greatest(acc[1] + CAST({_V_LA[0][0]} AS DOUBLE),
+                      acc[2] + CAST({_V_LA[1][0]} AS DOUBLE))
+               + {_v_le_sql(0, 'CAST(pp[1] AS INTEGER)')},
+             greatest(acc[1] + CAST({_V_LA[0][1]} AS DOUBLE),
+                      acc[2] + CAST({_V_LA[1][1]} AS DOUBLE))
+               + {_v_le_sql(1, 'CAST(pp[1] AS INTEGER)')}
+           ]
+         ) AS s
+  FROM seq
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN s[2] > s[1] THEN 1 ELSE 0 END AS best_state,
+       round(greatest(s[1], s[2]), 8) AS best_logprob
+FROM folded
+""",
+)
+def ml_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of each user's event sequence under the fixed
+    browse/buy-intent HMM: one sorted collect per user, then the
+    max-product fold over [s_browse, s_intent]; emits the terminal
+    best state and its path log-probability (ties resolve to state 0,
+    both engines). Scale: parallelism = users; the fold is O(n) per
+    sequence inside one task and two doubles leave it; model tables
+    are literals compiled into the expression — nothing is broadcast,
+    joined, or looked up."""
+    cat = F.expr(_v_cat_sql("event_type"))
+    seq = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", cat.alias("cat"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "cat"))),
+                lambda s: s["cat"],
+            ).alias("xs")
+        )
+    )
+
+    def le(state: int, cat_col):
+        arr = F.array(*[F.lit(float(v)) for v in _V_LE[state]])
+        return F.element_at(arr, cat_col.cast("int") + F.lit(1))
+
+    la = [[F.lit(float(v)) for v in row] for row in _V_LA]
+
+    def step(acc, x):
+        s0, s1 = F.element_at(acc, 1), F.element_at(acc, 2)
+        return F.array(
+            F.greatest(s0 + la[0][0], s1 + la[1][0]) + le(0, x),
+            F.greatest(s0 + la[0][1], s1 + la[1][1]) + le(1, x),
+        )
+
+    first = F.element_at(F.col("xs"), 1)
+    init = F.array(
+        F.lit(float(_V_LPI[0])) + le(0, first),
+        F.lit(float(_V_LPI[1])) + le(1, first),
+    )
+    folded = seq.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("s"),
+    )
+    s0, s1 = F.element_at("s", 1), F.element_at("s", 2)
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.when(s1 > s0, F.lit(1)).otherwise(F.lit(0)).alias("best_state"),
+        # Spark's fold reproduces a pure-Python replay BITWISE; DuckDB's
+        # list_reduce drifts one ulp on ~3% of sequences (measured) —
+        # the 8-dp round absorbs that engine-internal difference
+        F.round(F.greatest(s0, s1), 8).alias("best_logprob"),
+    )

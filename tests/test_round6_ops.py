@@ -2865,3 +2865,59 @@ def test_hdr_histogram_invariants(spark, sf_dir):
         # to split into all 8 sub-buckets (2^major >= HDR_SUBBUCKETS)
         if (1 << r["major"]) >= AG.HDR_SUBBUCKETS:
             assert width / r["lo_bound"] <= 1 / AG.HDR_SUBBUCKETS * 2, r
+
+
+# --- Viterbi -----------------------------------------------------------------------
+
+
+def test_viterbi_python_replay_bitwise_on_spark_side(spark, sf_dir):
+    """The Spark fold must reproduce a textbook Python Viterbi replay
+    BITWISE (pre-round), the emitted state must be the argmax of the
+    replayed terminal scores, and the max-product invariant must hold:
+    best_logprob >= the forced-single-state path score for both
+    states."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators import mltrain as M
+
+    LPI = [float(v) for v in M._V_LPI]
+    LA = [[float(v) for v in row] for row in M._V_LA]
+    LE = [[float(v) for v in row] for row in M._V_LE]
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id", "ts", "event_id", M._v_cat_sql("event_type") + " AS cat"
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        seqs[r["user_id"]].append(r["cat"])
+
+    def scores(xs):
+        s0 = LPI[0] + LE[0][xs[0]]
+        s1 = LPI[1] + LE[1][xs[0]]
+        for x in xs[1:]:
+            s0, s1 = (
+                max(s0 + LA[0][0], s1 + LA[1][0]) + LE[0][x],
+                max(s0 + LA[0][1], s1 + LA[1][1]) + LE[1][x],
+            )
+        return s0, s1
+
+    def forced(xs, st):
+        s = LPI[st] + LE[st][xs[0]]
+        for x in xs[1:]:
+            s += LA[st][st] + LE[st][x]
+        return s
+
+    out = {r["user_id"]: r for r in M.ml_viterbi_decode(spark, sf_dir).collect()}
+    assert set(out) == set(seqs)
+    for u, xs in seqs.items():
+        s0, s1 = scores(xs)
+        r = out[u]
+        assert r["n_events"] == len(xs)
+        assert r["best_logprob"] == round(max(s0, s1), 8), u
+        assert r["best_state"] == (1 if s1 > s0 else 0), u
+        for st in (0, 1):
+            assert max(s0, s1) >= forced(xs, st) - 1e-9, (u, st)
