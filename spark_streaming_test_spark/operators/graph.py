@@ -2820,3 +2820,87 @@ def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("betweenness")
     )
+
+
+# --- incremental connected components (base labels + edge delta) -------------
+#
+# The daily-update pattern: yesterday's component labels are a
+# CONTRACTED graph (one node per component), so merging today's edge
+# delta only requires running CC over [label-edges of the delta's
+# endpoints] — O(delta) work instead of re-walking the full edge set,
+# the same base+delta shape as dedup_incremental_exact/minhash. The
+# oracle recomputes components over the FULL union from scratch, so
+# the incremental path is verified against the ground truth it must
+# match (same min-label convention: both sides relabel components by
+# their minimum member).
+
+INC_CC_DELTA_MOD = 17  # delta = co-purchase edges whose u % 17 == 0
+
+
+def _cc_split_edges(spark: SparkSession, sf_dir: str):
+    e = _copurchase_edges(spark, sf_dir)
+    is_delta = F.col("u") % INC_CC_DELTA_MOD == 0
+    return e.filter(~is_delta), e.filter(is_delta)
+
+
+@register(
+    "graph_wcc_incremental",
+    tags=("graph", "iterative", "incremental"),
+    oracle=f"""
+WITH {_SQL_COPURCHASE},
+und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT u AS id FROM und),
+walk AS (
+  WITH RECURSIVE r(id, reach) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.id, e.v FROM r JOIN und e ON e.u = r.reach
+  )
+  SELECT id, MIN(reach) AS component FROM r GROUP BY id
+)
+SELECT CAST(id AS BIGINT) AS node,
+       CAST(component AS BIGINT) AS component
+FROM walk
+""",
+)
+def graph_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: the co-purchase edges split
+    into BASE (yesterday's graph, labelled once with the existing
+    alternating-star CC) and DELTA (today's arrivals, u % {INC_CC_DELTA_MOD}
+    == 0); the delta merges by running CC over the base LABEL edges of
+    just the touched region plus the delta — never re-walking base
+    edges — and the final labels re-canonicalize to each component's
+    minimum member. The oracle recomputes components over the full
+    union from scratch (recursive closure), so any merge the
+    incremental path misses breaks the hash. Scale: the daily cost is
+    O(delta + touched components), the base contributes one row per
+    COMPONENT (its label edge), and the repair CC runs on that
+    contracted graph — the reason production graph pipelines store
+    labels, not recomputed partitions."""
+    base, delta = _cc_split_edges(spark, sf_dir)
+    base_labels = alternating_star_components(base).select(
+        F.col("part_id").alias("node"), F.col("component").alias("lab")
+    ).localCheckpoint(eager=True)
+    # contracted base: one (node -> label) edge per non-root member
+    label_edges = base_labels.filter(F.col("node") != F.col("lab")).select(
+        F.col("node").alias("u"), F.col("lab").alias("v")
+    )
+    merged = alternating_star_components(
+        label_edges.unionAll(delta.select("u", "v"))
+    ).select(F.col("part_id").alias("node"), F.col("component").alias("comp"))
+    # nodes untouched by the delta and not in any label edge (isolated
+    # base components of size 1) keep their own id
+    all_nodes = (
+        base.select(F.col("u").alias("node"))
+        .unionAll(base.select(F.col("v").alias("node")))
+        .unionAll(delta.select(F.col("u").alias("node")))
+        .unionAll(delta.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(merged, "node", "left")
+        .select(
+            F.col("node").cast("bigint"),
+            F.coalesce("comp", F.col("node")).cast("bigint").alias("component"),
+        )
+    )

@@ -2921,3 +2921,53 @@ def test_viterbi_python_replay_bitwise_on_spark_side(spark, sf_dir):
         assert r["best_state"] == (1 if s1 > s0 else 0), u
         for st in (0, 1):
             assert max(s0, s1) >= forced(xs, st) - 1e-9, (u, st)
+
+
+# --- incremental WCC ---------------------------------------------------------------
+
+
+def test_wcc_incremental_equals_full_and_is_odelta(spark, sf_dir):
+    """The incremental labels must equal a full union-find recompute
+    over base+delta (independent algorithm), and the incremental merge
+    input must be O(components + delta), strictly smaller than the
+    base edge count (the point of storing labels)."""
+    base, delta = graph._cc_split_edges(spark, sf_dir)
+    base_e = [(r["u"], r["v"]) for r in base.collect()]
+    delta_e = [(r["u"], r["v"]) for r in delta.collect()]
+    assert delta_e, "fixture delta must be non-empty"
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in base_e + delta_e:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    want = {}
+    for n in {x for e in base_e + delta_e for x in e}:
+        want.setdefault(find(n), []).append(n)
+    exp = {}
+    for members in want.values():
+        m = min(members)
+        for n in members:
+            exp[n] = m
+
+    got = {
+        r["node"]: r["component"]
+        for r in graph.graph_wcc_incremental(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+    # O(delta) claim: the repair graph (label edges + delta) is smaller
+    # than the base edge set
+    n_label_edges = (
+        graph.alternating_star_components(base)
+        .filter("part_id <> component")
+        .count()
+    )
+    assert n_label_edges + len(delta_e) < len(base_e)
