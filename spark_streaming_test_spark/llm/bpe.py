@@ -98,13 +98,55 @@ def bpe_train(words: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
     return merges
 
 
+def _bpe_train_oracle(n_merges: int = N_MERGES) -> str:
+    """Round-6 upgrade: the merge loop IS single-SQL-expressible after
+    all — each data-dependent argmax becomes a MATERIALIZED 1-row CTE
+    consumed by scalar subqueries in the next rewrite round (the
+    unrolled-level technique of graph_shortest_path_counts). The
+    separator is chr(1) (DuckDB varchars reject NUL); replace() is
+    left-to-right non-overlapping in both engines, which is exactly
+    the Spark side's F.replace semantics."""
+    lines = [
+        """WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),
+words AS (SELECT w, COUNT(*) AS n FROM toks WHERE w <> '' GROUP BY w),
+w0 AS MATERIALIZED (
+  SELECT n, array_to_string(string_split_regex(w, ''), chr(1)) AS s
+  FROM words
+),"""
+    ]
+    for k in range(1, n_merges + 1):
+        lines.append(
+            f"""p{k} AS (
+  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT n, unnest(list_zip(a, a[2:len(a)])) AS pr FROM (
+      SELECT n, string_split(s, chr(1)) AS a FROM w{k - 1})
+  ) WHERE pr[2] IS NOT NULL GROUP BY pr[1], pr[2]
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT n, replace(s, (SELECT l FROM b{k}) || chr(1) || (SELECT r FROM b{k}),
+                    (SELECT l || r FROM b{k})) AS s
+  FROM w{k - 1}
+),"""
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({k - 1} AS INTEGER) AS iteration, l AS "left", '
+        f'r AS "right", l || r AS merged, cnt AS pair_count FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return "\n".join(lines) + "\n" + sel
+
+
 @register(
     "text_bpe_train",
     tags=("llm", "text", "tokenizer", "iterative"),
-    # No SQL oracle: the merge loop is an iterative fixpoint with a
-    # data-dependent argmax per level — not single-SQL-expressible.
-    # Driver records rows-only; semantics are pinned by the classic
-    # unit corpus + determinism tests in tests/test_llm.py.
+    oracle=_bpe_train_oracle(),
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE merge table on the corpus: one word-count shuffle,
