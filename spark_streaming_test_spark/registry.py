@@ -100,6 +100,7 @@ _DRIVER_WINDOW = [
     "graph_shortest_path_counts", "mm_exif_metadata", "scan_parquet_footer", "traffic_cidr_match", "ts_kalman_1d",
     "events_attribution_shapley", "dq_merkle_tree", "geo_hex_binning", "ml_em_gmm_1d",
     "graph_betweenness_landmark", "text_punycode_decode", "scan_sqlite_table", "scan_git_loose_objects", "ts_ewma_irregular", "fuzzy_jaro_winkler", "agg_hdr_histogram", "ml_viterbi_decode", "graph_wcc_incremental",
+    "text_bpe_train",
     "graph_mst_boruvka",
     "sql_scripting_repeat_for", "sql_scripting_loop_labels",
     "sql_scripting_condition_handler",
