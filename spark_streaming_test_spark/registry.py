@@ -212,7 +212,7 @@ _DRIVER_WINDOW = [
     "scan_ignore_corrupt_files", "join_null_aware_anti",
     "ts_spectral_power", "agg_anova_oneway", "mlstats_fdr_bh",
     "geo_dbscan_grid", "text_compress_ratio", "emb_kmeans_lloyd",
-    "text_bpe_train", "mm_feature_extract_stub", "mm_frame_sample_stub",
+    "mm_feature_extract_stub", "mm_frame_sample_stub",
     "mm_resize_stub", "mm_binary_metadata",
     # --- already driver-green (r1-r5) — re-verify last -----------------
     "rfm_segmentation", "agg_weighted_avg", "dedup_lsh_bucket_audit",
