@@ -2529,15 +2529,28 @@ def graph_shortest_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here are made DISTINCT by construction (weight = 3*support_rank +
 # xxhash-free deterministic tiebreak via (u, v) ordering baked into an
 # integer), so the MSF is UNIQUE and the output is deterministic.
-# There is no SQL-expressible oracle for MST (Kruskal/Prim are
-# union-find/heap sequential; a recursive CTE cannot carry the
-# component partition), so this is one of the repo's few ROWS-ONLY
-# registrations — verified instead by an independent KRUSKAL replay in
-# pure Python (tests/test_round6_ops.py), which is a stronger check
-# than a mirrored formula anyway: two different algorithms must emit
-# the identical edge set.
+# Kruskal/Prim are union-find/heap sequential and have no SQL oracle,
+# but BORUVKA ITSELF does: each round is (a) a min-per-component
+# group-by and (b) a contraction, and the contraction is connected
+# components of the per-round CANDIDATE graph — a graph over component
+# labels whose size at least halves every round. The oracle below
+# unrolls MST_ORACLE_ROUNDS such rounds as machine-generated CTEs,
+# with one recursive min-label closure per round running over the
+# CONTRACTED component graph (never the full node set), so the driver
+# hash-compares the forest edge-for-edge. The independent KRUSKAL
+# replay in tests/test_round6_ops.py remains as the cross-algorithm
+# check (two different algorithms must emit the identical edge set).
 
 MST_MAX_ROUNDS = 32
+# Tiebreak radix: weights encode (inverted support, u, v) in base
+# MST_P with u, v < MST_P, so weights are injective in (support, u, v)
+# and the MSF is unique. 2^21 > max partkey up to ~sf10 (200k parts at
+# sf1); the high digit (1e6 - n_orders) keeps |w| < 1e6 * MST_P^2
+# ~= 4.4e18 < 2^63. The old u*10000 + v%10000 form collided once
+# partkeys crossed 10000 (sf >= 0.05) — a lossy modulus is not a
+# tiebreak.
+MST_P = 1 << 21
+MST_ORACLE_ROUNDS = 16  # components halve per round: covers n <= 65536
 
 
 def _mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2558,14 +2571,15 @@ def _mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= EDGE_SUPPORT)
     )
-    # weight: fewer shared orders = heavier; unique via (u, v) suffix
+    # weight: fewer shared orders = heavier; unique via the base-MST_P
+    # (u, v) suffix — injective for u, v < MST_P, no lossy modulus
     return sup.select(
         "u",
         "v",
         (
-            (F.lit(1000000) - F.col("n_orders")) * F.lit(100000000)
-            + F.col("u") * F.lit(10000)
-            + F.col("v") % 10000
+            (F.lit(1000000) - F.col("n_orders")) * F.lit(MST_P * MST_P)
+            + F.col("u") * F.lit(MST_P)
+            + F.col("v")
         ).alias("w"),
     )
 
@@ -2625,13 +2639,83 @@ def boruvka_msf(edges: DataFrame) -> DataFrame:
     return forest
 
 
+def _mst_oracle() -> str:
+    """Machine-generated DuckDB oracle: Boruvka itself, unrolled.
+
+    Round k has four steps, each plain SQL:
+      lab{k}   — edges whose endpoints sit in different components,
+                 labeled with both component ids;
+      minw{k}  — per-component minimum crossing weight (weights are
+                 globally unique, so min-w IS min-struct(w, u, v));
+      cand{k}  — the chosen edges, deduped (two components may pick
+                 the same edge) with their (cu, cv) component pair;
+      comp{k+1}— contraction: connected components of the CANDIDATE
+                 graph over component labels (a graph that halves in
+                 size every round), via one recursive min-label
+                 closure, then relabel the node-level partition.
+    After convergence every subsequent round is a no-op (lab empty,
+    closure seeds = identity), so unrolling a fixed
+    MST_ORACLE_ROUNDS is safe. Labels stay the component-minimum node
+    id (min of mins = min), mirroring the Spark side's alternating-
+    star contraction; only the forest edges are emitted, so label
+    parity is not even required — forest uniqueness (distinct
+    weights) is."""
+    lines = [
+        "WITH RECURSIVE",
+        "items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk"
+        " FROM lineitem),",
+        "mste AS MATERIALIZED (",
+        "  SELECT a.pk AS u, b.pk AS v,",
+        f"         (1000000 - COUNT(*)) * {MST_P * MST_P}",
+        f"           + a.pk * {MST_P} + b.pk AS w",
+        "  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk",
+        f"  GROUP BY a.pk, b.pk HAVING COUNT(*) >= {EDGE_SUPPORT}),",
+        "mnodes AS (SELECT u AS id FROM mste UNION SELECT v FROM mste),",
+        "comp0 AS (SELECT id, id AS c FROM mnodes),",
+        "forest0 AS (SELECT u, v, w FROM mste WHERE FALSE),",
+    ]
+    for k in range(MST_ORACLE_ROUNDS):
+        lines += [
+            f"lab{k} AS MATERIALIZED (",
+            "  SELECT e.u, e.v, e.w, cu.c AS cu, cv.c AS cv",
+            f"  FROM mste e JOIN comp{k} cu ON cu.id = e.u",
+            f"              JOIN comp{k} cv ON cv.id = e.v",
+            "  WHERE cu.c <> cv.c),",
+            f"minw{k} AS (SELECT c, MIN(w) AS w FROM (",
+            f"  SELECT cu AS c, w FROM lab{k}",
+            f"  UNION ALL SELECT cv AS c, w FROM lab{k}) GROUP BY c),",
+            f"cand{k} AS MATERIALIZED (SELECT DISTINCT e.u, e.v, e.w,"
+            f" e.cu, e.cv FROM lab{k} e JOIN minw{k} m ON m.w = e.w),",
+            f"forest{k + 1} AS (SELECT u, v, w FROM forest{k}"
+            f" UNION SELECT u, v, w FROM cand{k}),",
+            f"cg{k} AS (SELECT cu AS src, cv AS dst FROM cand{k}"
+            f" UNION SELECT cv, cu FROM cand{k}),",
+            f"cr{k}(node, lab) AS (",
+            f"  SELECT DISTINCT c, c FROM comp{k}",
+            "  UNION",
+            f"  SELECT g.dst, r.lab FROM cr{k} r"
+            f" JOIN cg{k} g ON g.src = r.node),",
+            f"nl{k} AS (SELECT node AS c_old, MIN(lab) AS c_new"
+            f" FROM cr{k} GROUP BY node),",
+            f"comp{k + 1} AS MATERIALIZED (",
+            f"  SELECT p.id, COALESCE(n.c_new, p.c) AS c",
+            f"  FROM comp{k} p LEFT JOIN nl{k} n ON n.c_old = p.c),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    lines.append(
+        f"SELECT u, v, CAST(w AS BIGINT) AS w FROM forest{MST_ORACLE_ROUNDS}"
+    )
+    return "\n".join(lines)
+
+
 @register(
     "graph_mst_boruvka",
     tags=("graph", "iterative", "mst"),
-    # rows-only BY NECESSITY: MST has no SQL-expressible oracle
-    # (union-find is inherently sequential); the correctness check is
-    # the independent Kruskal replay in tests — two different
-    # algorithms must produce the identical (unique) edge set.
+    # FULL hash-compared oracle (upgraded from rows-only in r7):
+    # Boruvka unrolled as machine-generated CTEs — see _mst_oracle.
+    # The independent Kruskal replay in tests remains as the stronger
+    # cross-algorithm check.
+    oracle=_mst_oracle(),
 )
 def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest of the weighted co-purchase graph by
