@@ -11,8 +11,9 @@ aggregate + argmax + string rewrite on O(vocab) rows, checkpointed like
 the PageRank loop (`operators/graph.py`).
 
 Symbols are '\\x00'-delimited inside a word string, so a merge is a
-plain `replace('a\\0b' -> 'ab')` — left-to-right, non-overlapping,
-exactly the reference BPE merge semantics — and stays a JVM string op.
+separator-wrapped `replace('\\0a\\0b\\0' -> '\\0ab\\0')` (applied twice —
+see the guard comment in bpe_train) — left-to-right, non-overlapping,
+whole symbols only — and stays a JVM string op.
 
 The merge choice ties break by (count DESC, left ASC, right ASC), so
 training is fully deterministic on any partitioning. The merge table is
@@ -89,11 +90,30 @@ def bpe_train(words: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
                 "pair_count": b.cnt,
             }
         )
+        # WHOLE-SYMBOL boundary guard (advisor r6): a bare
+        # replace('l<SEP>r') also fuses symbol pairs whose suffix/
+        # prefix merely END/START with l/r (('st','he') under merge
+        # ('t','h') would fuse as 's'+'th'). Wrapping the string in
+        # SEP and matching SEP+l+SEP+r+SEP restricts the rewrite to
+        # whole symbols. The guarded pattern consumes the trailing
+        # separator, so back-to-back occurrences ('abab' under
+        # ('a','b')) need a SECOND pass — after pass one the missed
+        # occurrences are isolated (their neighbors merged), so two
+        # passes always reach the fixpoint. Residual deviation from
+        # Sennrich: inside runs of one repeated symbol ('aaaaa'),
+        # pass one can pick occurrences right-to-left where Sennrich
+        # scans left-to-right — same merge multiset, possibly
+        # different adjacency for LATER iterations; pinned by the
+        # unit-corpus tests.
+        pat = F.lit(SEP + b.l + SEP + b.r + SEP)
+        rep = F.lit(SEP + b.l + b.r + SEP)
+        guarded = F.replace(
+            F.replace(F.concat(F.lit(SEP), F.col("s"), F.lit(SEP)), pat, rep),
+            pat,
+            rep,
+        )
         syms = syms.select(
-            "n",
-            F.replace(
-                F.col("s"), F.lit(b.l + SEP + b.r), F.lit(b.l + b.r)
-            ).alias("s"),
+            "n", F.btrim(guarded, F.lit(SEP)).alias("s")
         ).localCheckpoint(eager=True)
     return merges
 
@@ -105,7 +125,12 @@ def _bpe_train_oracle(n_merges: int = N_MERGES) -> str:
     unrolled-level technique of graph_shortest_path_counts). The
     separator is chr(1) (DuckDB varchars reject NUL); replace() is
     left-to-right non-overlapping in both engines, which is exactly
-    the Spark side's F.replace semantics."""
+    the Spark side's F.replace semantics. The rewrite mirrors the
+    Spark side's whole-symbol guard (wrap in the separator, guarded
+    replace TWICE, trim) — note the oracle is a MIRROR of the rewrite
+    rule, not an independent BPE: the symbol-boundary semantics are
+    pinned independently by the unit-corpus tests in tests/test_llm.py,
+    while this oracle pins the distributed aggregation/argmax path."""
     lines = [
         """WITH toks AS (
   SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
@@ -129,8 +154,14 @@ b{k} AS MATERIALIZED (
   SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 w{k} AS MATERIALIZED (
-  SELECT n, replace(s, (SELECT l FROM b{k}) || chr(1) || (SELECT r FROM b{k}),
-                    (SELECT l || r FROM b{k})) AS s
+  SELECT n, trim(
+    replace(
+      replace(chr(1) || s || chr(1),
+              (SELECT chr(1) || l || chr(1) || r || chr(1) FROM b{k}),
+              (SELECT chr(1) || l || r || chr(1) FROM b{k})),
+      (SELECT chr(1) || l || chr(1) || r || chr(1) FROM b{k}),
+      (SELECT chr(1) || l || r || chr(1) FROM b{k})),
+    chr(1)) AS s
   FROM w{k - 1}
 ),"""
         )
@@ -176,6 +207,21 @@ PRETRAINED_MERGES = [
 ]
 
 
+def _bpe_encode_oracle_expr() -> str:
+    """Mirror of the Spark-side guarded rule chain: per rule, wrap in
+    chr(1), whole-symbol replace TWICE (back-to-back occurrences), and
+    trim — see the guard comment in bpe_train for why."""
+    e = "array_to_string(string_split_regex(w, ''), chr(1))"
+    for l, r in PRETRAINED_MERGES:
+        pat = f"chr(1) || '{l}' || chr(1) || '{r}' || chr(1)"
+        rep = f"chr(1) || '{l}{r}' || chr(1)"
+        e = (
+            f"trim(replace(replace(chr(1) || {e} || chr(1), {pat}, {rep}),"
+            f" {pat}, {rep}), chr(1))"
+        )
+    return e
+
+
 @register(
     "text_bpe_encode",
     tags=("llm", "text", "tokenizer"),
@@ -186,11 +232,7 @@ WITH toks AS (
 ),
 clean AS (SELECT doc_id, w FROM toks WHERE w <> ''),
 encoded AS (
-  SELECT doc_id,
-         {"".join(f"replace(" for _ in PRETRAINED_MERGES)}
-           array_to_string(string_split_regex(w, ''), chr(1))
-         {"".join(f", '{l}' || chr(1) || '{r}', '{l}{r}')" for l, r in PRETRAINED_MERGES)}
-           AS s
+  SELECT doc_id, {_bpe_encode_oracle_expr()} AS s
   FROM clean
 )
 SELECT doc_id,
@@ -203,11 +245,13 @@ GROUP BY doc_id
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with a fixed pretrained BPE merge table:
     per word, split to characters and apply the merge rules IN ORDER
-    (each rule is one left-to-right non-overlapping string replace on
-    the symbol-delimited form — reference BPE apply semantics). The
-    whole rule chain compiles into one codegen'd projection of nested
-    JVM `replace` calls: zero shuffles besides the final per-doc count,
-    zero Python, and token counts the oracle replays rule-for-rule."""
+    (each rule is a whole-symbol-guarded left-to-right non-overlapping
+    string replace on the separator-wrapped form, applied twice — the
+    same guard as bpe_train, so a rule like ('e','r') cannot fuse the
+    symbol pair (the, r) into 'ther'). The whole rule chain compiles
+    into one codegen'd projection of nested JVM `replace` calls: zero
+    shuffles besides the final per-doc count, zero Python, and token
+    counts the oracle replays rule-for-rule."""
     d = spread(load(spark, sf_dir, "documents"))
     words = (
         d.select(
@@ -218,7 +262,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = F.concat_ws(SEP, F.split(F.col("w"), "(?!^)(?=.)"))
     for l, r in PRETRAINED_MERGES:
-        s = F.replace(s, F.lit(l + SEP + r), F.lit(l + r))
+        pat = F.lit(SEP + l + SEP + r + SEP)
+        rep = F.lit(SEP + l + r + SEP)
+        wrapped = F.concat(F.lit(SEP), s, F.lit(SEP))
+        s = F.btrim(
+            F.replace(F.replace(wrapped, pat, rep), pat, rep), F.lit(SEP)
+        )
     return (
         words.select("doc_id", s.alias("s"))
         .groupBy("doc_id")

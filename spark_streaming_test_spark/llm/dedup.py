@@ -2754,7 +2754,11 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # independent nfc_normalize — two unrelated UAX #15 implementations
 # agreeing on the hash is the verification.
 
-NFC_BUCKETS = 50
+# ODD on purpose: the encoding-form branch keys on doc_id % 2, so an
+# even bucket count would fix doc_id parity per bucket and no bucket
+# would ever mix the precomposed and decomposed spellings — the NFC
+# fold (n_raw_forms 2 -> n_nfc_forms 1) would never be load-bearing.
+NFC_BUCKETS = 49
 
 
 @register(

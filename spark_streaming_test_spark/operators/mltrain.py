@@ -1988,9 +1988,17 @@ _EM_ESTEP = [
     "w2 * exp(-((x - mu2) * (x - mu2)) / (CAST(2 AS DOUBLE) * v2)) / sqrt(v2)"
     " AS p2",
 ]
+# round(x, 7) BEFORE the decimal cast: both engines' round() uses the
+# same half-up rule, and the rounded double then sits (within half an
+# ulp) ON a 7-dp grid point, so the double->decimal cast that follows
+# never lands on a tie — removing the one spot where Spark's and
+# DuckDB's cast tie-breaking is known to disagree (advisor r6 catch).
+# The residual risk is only the ~1-ulp exp() drift already documented
+# above, now confined to round()'s own boundary instead of compounding
+# with a divergent cast rule.
 _EM_RESP = [
-    "CAST(p1 / (p1 + p2) AS DECIMAL(18,7)) AS r1q",
-    "CAST(p2 / (p1 + p2) AS DECIMAL(18,7)) AS r2q",
+    "CAST(round(p1 / (p1 + p2), 7) AS DECIMAL(18,7)) AS r1q",
+    "CAST(round(p2 / (p1 + p2), 7) AS DECIMAL(18,7)) AS r2q",
 ]
 _EM_MSTEP = [
     "SUM(r1q) AS s1", "SUM(r2q) AS s2",
@@ -2139,7 +2147,8 @@ folded AS (
 )
 SELECT user_id,
        CAST(n_events AS BIGINT) AS n_events,
-       CASE WHEN s[2] > s[1] THEN 1 ELSE 0 END AS best_state,
+       CASE WHEN round(s[2], 8) > round(s[1], 8) THEN 1 ELSE 0
+         END AS best_state,
        round(greatest(s[1], s[2]), 8) AS best_logprob
 FROM folded
 """,
@@ -2197,7 +2206,12 @@ def ml_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "user_id",
         "n_events",
-        F.when(s1 > s0, F.lit(1)).otherwise(F.lit(0)).alias("best_state"),
+        # compare ROUNDED scores: the same 1-ulp list_reduce drift that
+        # the 8-dp round absorbs for best_logprob could otherwise flip
+        # a near-tied argmax cross-engine (advisor r6 catch)
+        F.when(F.round(s1, 8) > F.round(s0, 8), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("best_state"),
         # Spark's fold reproduces a pure-Python replay BITWISE; DuckDB's
         # list_reduce drifts one ulp on ~3% of sequences (measured) —
         # the 8-dp round absorbs that engine-internal difference

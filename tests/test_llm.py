@@ -410,6 +410,63 @@ def test_bpe_train_classic_corpus(spark):
     assert all(m["pair_count"] > 0 for m in merges)
 
 
+def test_bpe_train_whole_symbol_guard(spark):
+    """The merge rewrite must fuse WHOLE symbols only (advisor r6): a
+    corpus engineered so that after merging ('s','t') the word 'sthe'
+    holds symbols [st, h, e] — a later ('t','h') merge must NOT strip
+    the 't' out of 'st'. We drive the merges by frequency and then
+    assert the pair counts never see a phantom ('t','h') pair born
+    from inside the 'st' symbol."""
+    from spark_streaming_test_spark.llm import bpe
+
+    # 'st' dominates -> merge 1 = (s,t). Then in 'sthe' the symbols
+    # are [st, h, e]; the unguarded rewrite would have let a (t,h)
+    # merge fuse across the st|h boundary. (h,e) dominates round 2.
+    words = spark.createDataFrame(
+        [("st", 50), ("sthe", 10), ("the", 3)],
+        "word string, n bigint",
+    )
+    merges = bpe.bpe_train(words, n_merges=3)
+    got = [(m["left"], m["right"]) for m in merges]
+    assert got[0] == ("s", "t"), got
+    # after (s,t): 'sthe' = [st,h,e], 'the' = [t,h,e]
+    # pairs: (st,h):10, (h,e):13, (t,h):3 -> round 2 merges (h,e)
+    assert got[1] == ("h", "e"), got
+    counts = {(m["left"], m["right"]): m["pair_count"] for m in merges}
+    assert counts[("h", "e")] == 13, counts
+    # round 3: (st,he):10 beats (t,he):3 — the guard keeps 'st' whole
+    assert got[2] == ("st", "he"), got
+    assert counts[("st", "he")] == 10, counts
+
+
+def test_bpe_encode_no_cross_symbol_fusion(spark):
+    """text_bpe_encode rule ('e','r') must not fuse the symbol pair
+    (the, r): 'ther' tokenizes as [th, er]? No — as [the, r]: after
+    (t,h) and (th,e) the word is [the, r], and no later rule merges
+    that pair, so the token count is exactly 2 (the unguarded rewrite
+    produced 1)."""
+    import pandas as pd
+
+    from spark_streaming_test_spark.llm import bpe
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "source": ["t"], "text": ["ther"]})
+    )
+    d = df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    )
+    s = F.concat_ws(bpe.SEP, F.split(F.col("w"), "(?!^)(?=.)"))
+    for l, r in bpe.PRETRAINED_MERGES:
+        pat = F.lit(bpe.SEP + l + bpe.SEP + r + bpe.SEP)
+        rep = F.lit(bpe.SEP + l + r + bpe.SEP)
+        wrapped = F.concat(F.lit(bpe.SEP), s, F.lit(bpe.SEP))
+        s = F.btrim(
+            F.replace(F.replace(wrapped, pat, rep), pat, rep), F.lit(bpe.SEP)
+        )
+    [row] = d.select(F.split(s, bpe.SEP).alias("toks")).collect()
+    assert row["toks"] == ["the", "r"], row["toks"]
+
+
 def test_bpe_train_deterministic_under_partitioning(spark):
     from spark_streaming_test_spark.llm import bpe
 

@@ -1142,6 +1142,11 @@ def test_unicode_nfc_folds_encoding_forms(spark, sf_dir):
     ):
         parities[r["b"]].add(r["p"])
     assert sum(r["n_docs"] for r in rows) == n_docs_tbl
+    # the fold must actually be load-bearing somewhere: with an ODD
+    # bucket count every bucket with >= 2 docs mixes both parities
+    assert any(len(p) == 2 for p in parities.values()), (
+        "no bucket mixes encoding forms — NFC fold never exercised"
+    )
     for r in rows:
         want_forms = len(parities[r["bucket"]])
         assert r["n_raw_forms"] == want_forms, r
