@@ -126,7 +126,6 @@ def main() -> None:
         repeats[name] = runs
         timings[name] = sorted(runs)[len(runs) // 2]
 
-    total = round(sum(timings.values()), 3)
     # The per-run raw repeats are diagnostics, not part of the driver
     # contract; inlining them in r5 grew the stdout line past the
     # driver's tail buffer and truncated the medians (the round lost its
@@ -142,13 +141,25 @@ def main() -> None:
     except OSError as e:  # read-only checkout: stderr still has the data
         print(f"bench: could not write {sidecar}: {e}", file=sys.stderr)
     print(json.dumps({"repeats": repeats}), file=sys.stderr)
-    print(json.dumps({
-        "metric": "headline_suite_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    print(final_line(timings, sf))
+
+
+def final_line(timings: dict[str, float], sf) -> str:
+    """The ONE stdout line the driver records. Kept as a pure function
+    so tests/test_entry.py can pin the protocol (compact JSON, exact
+    key set, < 4 KB) without running the suite — the r5 regression
+    class was raw repeats inlined here growing the line past the
+    driver's tail buffer and truncating the medians."""
+    return json.dumps(
+        {
+            "metric": "headline_suite_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
 
 
 if __name__ == "__main__":

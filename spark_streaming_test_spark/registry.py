@@ -93,35 +93,24 @@ _QUERY_MODULES = [
 # registry by rank in this list). Regenerated each round from the union
 # of CORRECTNESS_r*.json: never-driver-verified names first, greens last.
 _DRIVER_WINDOW = [
-    # --- round-6 additions (never sampled; verify first) ---------------
-    "mm_decode_png", "sim_sq8_topk", "graph_scc", "mm_decode_gif",
-    "dedup_unicode_nfc", "ts_lttb_downsample", "scan_tar_members",
-    "mm_webdataset_pairs", "scan_zip_entries", "corpus_url_canonical_dedup", "window_rsi", "scan_protobuf_records", "sim_sq8_recall_eval", "scan_avro_records", "graph_harmonic_closeness",
-    "graph_shortest_path_counts", "mm_exif_metadata", "scan_parquet_footer", "traffic_cidr_match", "ts_kalman_1d",
-    "events_attribution_shapley", "dq_merkle_tree", "geo_hex_binning", "ml_em_gmm_1d",
-    "graph_betweenness_landmark", "text_punycode_decode", "scan_sqlite_table", "scan_git_loose_objects", "ts_ewma_irregular", "fuzzy_jaro_winkler", "agg_hdr_histogram", "ml_viterbi_decode", "graph_wcc_incremental",
-    "text_bpe_train",
+    # --- round-7 head (driver samples the first ~50) -------------------
+    # graph_mst_boruvka leads: it was r6's only red (err: no_oracle, a
+    # window-composition miss) and now carries a FULL unrolled-Boruvka
+    # DuckDB oracle — its green closes the r6 verdict's #1 ask.
     "graph_mst_boruvka",
-    "sql_scripting_repeat_for", "sql_scripting_loop_labels",
-    "sql_scripting_condition_handler",
-    "dedup_exact_substring_pairs", "dedup_substring_gram_audit",
-    "graph_louvain_move_phase", "split_leakage_safe",
-    "text_kneser_ney_bigram", "ml_hist_gbdt_split", "ts_matrix_profile",
-    "graph_ktruss", "ts_dtw_distance", "mm_audio_band_power",
-    "mm_image_gradient_hist", "text_kneser_ney_doc_score",
+    # round-7 additions (new queries this round; never sampled)
+    # never-sampled backlog continues (planned rotation order)
     "graph_louvain_coarsen", "dedup_incremental_substring",
     "ml_mahalanobis_outliers", "scan_warc_records", "warc_text_pipeline",
     "scan_warc_gz_records", "corpus_warc_ingest_report",
     "graph_louvain_level2_move",
-    # --- round-6 window (first 50; driver samples registry head) -------
-    # Rotation state after r5: driver union r1-r5 = 237 distinct
-    # hash-verified names (r5 was 50/50 green, incl. the rfm/weighted_avg
-    # re-verifies). 238 registered queries remain never-driver-sampled;
-    # they are listed FIRST below in the stable planned order (hardest-
-    # determinism first, per VERDICT r4 item 5), so the driver's ~50-query
-    # head drains the backlog each round (union completes ~= r9-r10).
-    # Already-green names re-verify last. Unknown names are ignored
-    # (safety for renames).
+    # Rotation state after r6: driver union r1-r6 = 286 distinct
+    # hash-verified names (r6 was 49/50 green; the 49 greens moved to
+    # the re-verify tail below). Remaining never-driver-sampled names
+    # are listed FIRST in the stable planned order (hardest-determinism
+    # first, per VERDICT r4 item 5), so the driver's ~50-query head
+    # drains the backlog each round. Already-green names re-verify
+    # last. Unknown names are ignored (safety for renames).
     "ml_ridge_path", "ts_monotone_streaks", "text_bpe_apply",
     "dedup_lsh_recall_eval", "agg_cramers_v", "ts_acf_correlogram",
     "dq_fd_discovery", "sql_transpose", "ts_holt_winters",
@@ -214,7 +203,28 @@ _DRIVER_WINDOW = [
     "geo_dbscan_grid", "text_compress_ratio", "emb_kmeans_lloyd",
     "mm_feature_extract_stub", "mm_frame_sample_stub",
     "mm_resize_stub", "mm_binary_metadata",
-    # --- already driver-green (r1-r5) — re-verify last -----------------
+    # --- already driver-green (r1-r6) — re-verify last -----------------
+    # r6 greens (demoted from the r6 head after CORRECTNESS_r06)
+    "mm_decode_png", "sim_sq8_topk", "graph_scc", "mm_decode_gif",
+    "dedup_unicode_nfc", "ts_lttb_downsample", "scan_tar_members",
+    "mm_webdataset_pairs", "scan_zip_entries",
+    "corpus_url_canonical_dedup", "window_rsi", "scan_protobuf_records",
+    "sim_sq8_recall_eval", "scan_avro_records",
+    "graph_harmonic_closeness", "graph_shortest_path_counts",
+    "mm_exif_metadata", "scan_parquet_footer", "traffic_cidr_match",
+    "ts_kalman_1d", "events_attribution_shapley", "dq_merkle_tree",
+    "geo_hex_binning", "ml_em_gmm_1d", "graph_betweenness_landmark",
+    "text_punycode_decode", "scan_sqlite_table", "scan_git_loose_objects",
+    "ts_ewma_irregular", "fuzzy_jaro_winkler", "agg_hdr_histogram",
+    "ml_viterbi_decode", "graph_wcc_incremental", "text_bpe_train",
+    "sql_scripting_repeat_for", "sql_scripting_loop_labels",
+    "sql_scripting_condition_handler", "dedup_exact_substring_pairs",
+    "dedup_substring_gram_audit", "graph_louvain_move_phase",
+    "split_leakage_safe", "text_kneser_ney_bigram", "ml_hist_gbdt_split",
+    "ts_matrix_profile", "graph_ktruss", "ts_dtw_distance",
+    "mm_audio_band_power", "mm_image_gradient_hist",
+    "text_kneser_ney_doc_score",
+    # r1-r5 greens
     "rfm_segmentation", "agg_weighted_avg", "dedup_lsh_bucket_audit",
     "scan_pcap_file", "traffic_pcap_pipeline", "traffic_pcap_flows",
     "graph_cc_alternating_star", "mm_decode_bmp", "mm_decode_wav",

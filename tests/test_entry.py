@@ -32,6 +32,27 @@ def test_contract_shapes():
         assert callable(fn), name
 
 
+def test_bench_final_line_protocol():
+    """The driver records bench.py's LAST stdout line; r5 lost its
+    bench record when that line outgrew the driver's tail buffer.
+    Pin the protocol: for the real headline list with worst-case-width
+    timings, final_line() must be one compact JSON object with exactly
+    the contract keys, every headline query present, and < 4 KB."""
+    import json
+
+    import bench
+
+    fake = {name: 9999.999 for name in bench.HEADLINE}
+    line = bench.final_line(fake, 0.1)
+    assert "\n" not in line
+    assert len(line.encode()) < 4096, f"final line {len(line)}B >= 4KB"
+    obj = json.loads(line)
+    assert set(obj) == {"metric", "value", "unit", "queries", "sf"}
+    assert obj["unit"] == "sec"
+    assert set(obj["queries"]) == set(bench.HEADLINE)
+    assert obj["value"] == round(sum(fake.values()), 3)
+
+
 def test_docs_match_registry_counts():
     """README/COVERAGE query counts must equal the live registry.
 
