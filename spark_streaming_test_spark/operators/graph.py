@@ -3068,6 +3068,133 @@ def graph_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brandes_betweenness(und, srcs, BW_EXACT_CAP, "graph_betweenness_exact")
 
 
+# --- maximal independent set (Luby) ------------------------------------------
+#
+# Luby's algorithm is the OTHER canonical parallel graph primitive
+# (with Boruvka): each round every node with a priority strictly
+# smaller than all its ACTIVE neighbors' joins the MIS; it and its
+# neighbors deactivate. With priorities fixed up front (md5-derived —
+# the repo's standard engine-reproducible randomness) the result is
+# exactly the lexicographically-first MIS of that permutation, fully
+# deterministic, and the round count is O(log n) w.h.p. because the
+# longest priority-decreasing path under a random permutation is
+# logarithmic. MIS is the scheduling/locking primitive behind
+# graph-coloring passes and conflict-free parallel updates; at 100 TB
+# each round is one equi-join + aggregate over edges — no collects,
+# no sequential scan.
+
+MIS_MAX_ROUNDS = 24  # >> measured rounds (<= 6 at sf0.01); raise-on-cap
+
+
+def _mis_priority_sql(col: str) -> str:
+    return (
+        f"md5(CAST({col} AS VARCHAR)) || '-' || "
+        f"lpad(CAST({col} AS VARCHAR), 12, '0')"
+    )
+
+
+def _mis_oracle() -> str:
+    lines = [
+        "WITH",
+        _SQL_COPURCHASE + ",",
+        "und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),",
+        f"pr AS (SELECT DISTINCT u AS id, {_mis_priority_sql('u')} AS p"
+        " FROM und),",
+        "act0 AS (SELECT id, p FROM pr),",
+        "mis0 AS (SELECT id, 0 AS r FROM pr WHERE FALSE),",
+    ]
+    for k in range(MIS_MAX_ROUNDS):
+        lines += [
+            f"sel{k} AS MATERIALIZED (",
+            f"  SELECT a.id FROM act{k} a",
+            f"  WHERE NOT EXISTS (",
+            f"    SELECT 1 FROM und e JOIN act{k} b ON b.id = e.v",
+            f"    WHERE e.u = a.id AND b.p < a.p)),",
+            f"mis{k + 1} AS (SELECT id, r FROM mis{k}",
+            f"  UNION ALL SELECT id, {k} AS r FROM sel{k}),",
+            f"kill{k} AS (SELECT id FROM sel{k}",
+            f"  UNION SELECT e.v FROM und e JOIN sel{k} s ON s.id = e.u),",
+            f"act{k + 1} AS MATERIALIZED (",
+            f"  SELECT a.id, a.p FROM act{k} a",
+            f"  LEFT JOIN kill{k} x ON x.id = a.id WHERE x.id IS NULL),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"""
+SELECT CAST(id AS BIGINT) AS node, CAST(r AS INTEGER) AS mis_round
+FROM mis{MIS_MAX_ROUNDS}
+"""
+
+
+@register(
+    "graph_mis_luby",
+    tags=("graph", "iterative", "mis"),
+    oracle=_mis_oracle(),
+)
+def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set of the co-purchase graph by Luby
+    rounds under a fixed md5 priority permutation: per round, a node
+    joins the MIS iff its priority beats every ACTIVE neighbor's
+    (min-aggregate over the active edge frame), then winners and
+    their neighborhoods deactivate. Emits (node, mis_round).
+    Independence + maximality are pinned by tests; the oracle unrolls
+    the identical rounds (NOT EXISTS vs min-aggregate — different
+    evaluation, same fixpoint). Raises at the round cap rather than
+    emitting a partial set."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    p = F.concat(
+        F.md5(F.col("id").cast("string")),
+        F.lit("-"),
+        F.lpad(F.col("id").cast("string"), 12, "0"),
+    )
+    act = (
+        und.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", p.alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    mis: DataFrame | None = None
+    for k in range(MIS_MAX_ROUNDS + 1):
+        if act.isEmpty():
+            break
+        if k == MIS_MAX_ROUNDS:
+            raise RuntimeError(
+                f"graph_mis_luby: still active after {MIS_MAX_ROUNDS} "
+                "rounds — refusing to emit a partial MIS"
+            )
+        act_nb = und.join(
+            act.select(F.col("id").alias("v"), F.col("p").alias("vp")), "v"
+        )
+        nbmin = act_nb.groupBy(F.col("u").alias("id")).agg(
+            F.min("vp").alias("minp")
+        )
+        sel = (
+            act.join(nbmin, "id", "left")
+            .filter(F.col("minp").isNull() | (F.col("p") < F.col("minp")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        round_mis = sel.select("id", F.lit(k).alias("r"))
+        mis = round_mis if mis is None else mis.unionAll(round_mis)
+        kill = sel.unionAll(
+            und.join(sel.select(F.col("id").alias("u")), "u").select(
+                F.col("v").alias("id")
+            )
+        ).distinct()
+        act = act.join(kill, "id", "left_anti").localCheckpoint(eager=True)
+    if mis is None:
+        return und.select(
+            F.col("u").cast("bigint").alias("node"),
+            F.lit(0).cast("int").alias("mis_round"),
+        ).limit(0)
+    return mis.select(
+        F.col("id").cast("bigint").alias("node"),
+        F.col("r").cast("int").alias("mis_round"),
+    )
+
+
 # --- incremental connected components (base labels + edge delta) -------------
 #
 # The daily-update pattern: yesterday's component labels are a

@@ -79,3 +79,55 @@ def test_betweenness_exact_equals_python_brandes(spark, sf_dir):
         assert abs(v - want) <= 1e-9 * max(1.0, abs(want)), (n, v, want)
     # centrality must be non-trivial somewhere on the dense core
     assert max(got.values()) > 0
+
+
+# --- Luby maximal independent set -------------------------------------------
+
+
+def test_mis_luby_independent_and_maximal(spark, sf_dir):
+    """The defining MIS properties, checked against the raw edge set:
+    (a) INDEPENDENCE — no co-purchase edge joins two MIS members;
+    (b) MAXIMALITY — every non-member has at least one MIS neighbor;
+    (c) the fixed-permutation result equals the SEQUENTIAL greedy MIS
+    over md5-priority order (Luby with static priorities computes the
+    lexicographically-first MIS — a genuinely independent sequential
+    replay of the parallel rounds)."""
+    from spark_streaming_test_spark.operators import graph
+
+    rows = graph.graph_mis_luby(spark, sf_dir).collect()
+    mis = {r["node"] for r in rows}
+    assert mis
+
+    edges = [
+        (r["u"], r["v"])
+        for r in graph._copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    for u, v in edges:
+        assert not (u in mis and v in mis), f"edge ({u},{v}) inside MIS"
+    for n in adj:
+        if n not in mis:
+            assert adj[n] & mis, f"non-member {n} has no MIS neighbor"
+
+    import hashlib
+
+    def prio(n):
+        return (hashlib.md5(str(n).encode()).hexdigest(), n)
+
+    greedy = set()
+    blocked = set()
+    for n in sorted(adj, key=prio):
+        if n not in blocked:
+            greedy.add(n)
+            blocked.add(n)
+            blocked |= adj[n]
+    assert mis == greedy
+
+    # round numbers are consistent: round 0 == the local priority minima
+    r0 = {r["node"] for r in rows if r["mis_round"] == 0}
+    local_min = {n for n in adj if all(prio(n) < prio(w) for w in adj[n])}
+    assert r0 == local_min
