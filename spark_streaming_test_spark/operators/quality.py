@@ -1211,3 +1211,214 @@ def dq_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+# --- per-column Merkle trees (schema-evolution diff localization) -------------
+#
+# dq_merkle_tree localizes WHICH SHARD diverged; replicated per
+# column, the same structure localizes WHICH COLUMN — the
+# reconciliation shape for schema evolution: an ADDED column
+# mismatches at EVERY leaf (the pre-evolution replica has no values
+# at all), while value drift in an existing column mismatches only at
+# the leaves holding drifted keys. Comparing per-column roots costs
+# O(#columns) hashes over the WAN; only mismatching columns walk
+# down. The "evolved" replica is derived deterministically in-query
+# (md5-keyed drift + one synthetic added column) so both engines
+# build both replicas from the same scan.
+
+MERKLE_COL_DRIFT_MOD = 97  # ~1% of orderkeys drift in o_custkey
+
+
+def _merkle_cols_duck() -> str:
+    melt = " UNION ALL ".join(
+        f"SELECT o_orderkey AS k, CAST(o_orderkey % {MERKLE_LEAVES} AS"
+        f" INTEGER) AS leaf, '{name}' AS col, {base} AS bv, {evo} AS ev"
+        " FROM orders"
+        for name, base, evo in [
+            ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+            (
+                "o_custkey",
+                "CAST(o_custkey AS VARCHAR)",
+                f"CAST(o_custkey + CASE WHEN ('0x' ||"
+                f" substr(md5('mc:' || CAST(o_orderkey AS VARCHAR)), 1,"
+                f" 15))::BIGINT % {MERKLE_COL_DRIFT_MOD} = 0 THEN 1 ELSE 0"
+                f" END AS VARCHAR)",
+            ),
+            (
+                "o_orderdate",
+                "CAST(o_orderdate AS VARCHAR)",
+                "CAST(o_orderdate AS VARCHAR)",
+            ),
+            ("o_orderpriority", "'<absent>'", "o_orderpriority"),
+        ]
+    )
+    lines = [
+        f"WITH melt AS ({melt}),",
+        "rows_h AS (",
+        "  SELECT col, leaf,",
+        "         md5(CAST(k AS VARCHAR) || '|' || col || '|' || bv) AS bh,",
+        "         md5(CAST(k AS VARCHAR) || '|' || col || '|' || ev) AS eh,",
+        "         CASE WHEN bv <> ev THEN 1 ELSE 0 END AS drift",
+        "  FROM melt),",
+        "l0 AS (SELECT col, leaf AS idx,",
+        "  md5(string_agg(bh, '' ORDER BY bh)) AS hb,",
+        "  md5(string_agg(eh, '' ORDER BY eh)) AS he,",
+        "  COUNT(*) AS n_rows, SUM(drift) AS n_diverged",
+        "  FROM rows_h GROUP BY col, leaf),",
+    ]
+    lvl, n = 0, MERKLE_LEAVES
+    while n > 1:
+        lvl += 1
+        n //= MERKLE_FANOUT
+        lines.append(
+            f"l{lvl} AS (SELECT col,"
+            f" CAST(idx // {MERKLE_FANOUT} AS INTEGER) AS idx,"
+            f" md5(string_agg(hb, '' ORDER BY idx)) AS hb,"
+            f" md5(string_agg(he, '' ORDER BY idx)) AS he,"
+            f" CAST(SUM(n_rows) AS BIGINT) AS n_rows,"
+            f" CAST(SUM(n_diverged) AS BIGINT) AS n_diverged"
+            f" FROM l{lvl - 1}"
+            f" GROUP BY col, CAST(idx // {MERKLE_FANOUT} AS INTEGER)),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT col AS col_name, {i} AS level, idx, hb AS base_hash,"
+        f" he AS evolved_hash, (hb = he) AS is_match,"
+        f" CAST(n_rows AS BIGINT) AS n_rows,"
+        f" CAST(n_diverged AS BIGINT) AS n_diverged FROM l{i}"
+        for i in range(lvl + 1)
+    )
+    return "\n".join(lines) + "\n" + sel
+
+
+@register(
+    "dq_merkle_columns",
+    tags=("quality", "reconciliation", "merkle", "schema-evolution"),
+    oracle=_merkle_cols_duck(),
+)
+def dq_merkle_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN Merkle trees diffing a base snapshot against a
+    deterministically 'evolved' replica of orders: o_custkey drifts
+    on ~1% of md5-selected keys (mismatch localizes to a few leaves),
+    o_orderpriority is schema-ADDED (base hashes '<absent>' — every
+    leaf mismatches, the added-column signature), o_orderstatus and
+    o_orderdate are clean (roots match, no walk-down). One table scan
+    melts all tracked columns into (col, leaf, base-hash, evo-hash)
+    rows; each level above is an O(#cols x leaves) self-aggregate.
+    Emits every (col_name, level, idx) node with both hashes,
+    is_match, and the diverged-row count the walk-down would find."""
+    o = load(spark, sf_dir, "orders")
+    prf = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mc:"), F.col("o_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    evo_ck = (
+        F.col("o_custkey")
+        + F.when(prf % MERKLE_COL_DRIFT_MOD == 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("string")
+    melt = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % MERKLE_LEAVES).cast("int").alias("leaf"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("bv"),
+                    F.col("o_orderstatus").alias("ev"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("o_custkey").cast("string").alias("bv"),
+                    evo_ck.alias("ev"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate").alias("col"),
+                    F.col("o_orderdate").cast("string").alias("bv"),
+                    F.col("o_orderdate").cast("string").alias("ev"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.lit("<absent>").alias("bv"),
+                    F.col("o_orderpriority").alias("ev"),
+                ),
+            )
+        ).alias("c"),
+    )
+    rows_h = melt.select(
+        F.col("c.col").alias("col"),
+        "leaf",
+        F.md5(
+            F.concat_ws("|", F.col("k").cast("string"), "c.col", "c.bv")
+        ).alias("bh"),
+        F.md5(
+            F.concat_ws("|", F.col("k").cast("string"), "c.col", "c.ev")
+        ).alias("eh"),
+        F.when(F.col("c.bv") != F.col("c.ev"), 1).otherwise(0).alias("drift"),
+    )
+    level = (
+        rows_h.groupBy("col", F.col("leaf").alias("idx"))
+        .agg(
+            F.md5(
+                F.array_join(F.sort_array(F.collect_list("bh")), "")
+            ).alias("hb"),
+            F.md5(
+                F.array_join(F.sort_array(F.collect_list("eh")), "")
+            ).alias("he"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("drift").alias("n_diverged"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def emit(lv: int, frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col("col").alias("col_name"),
+            F.lit(lv).alias("level"),
+            "idx",
+            F.col("hb").alias("base_hash"),
+            F.col("he").alias("evolved_hash"),
+            (F.col("hb") == F.col("he")).alias("is_match"),
+            F.col("n_rows").cast("bigint"),
+            F.col("n_diverged").cast("bigint"),
+        )
+
+    out = emit(0, level)
+    lvl, n = 0, MERKLE_LEAVES
+    while n > 1:
+        lvl += 1
+        n //= MERKLE_FANOUT
+        level = (
+            level.groupBy(
+                "col", (F.col("idx") / MERKLE_FANOUT).cast("int").alias("idx")
+            )
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("idx", "hb"))),
+                            lambda s: s["hb"],
+                        ),
+                        "",
+                    )
+                ).alias("hb"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("idx", "he"))),
+                            lambda s: s["he"],
+                        ),
+                        "",
+                    )
+                ).alias("he"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_diverged").alias("n_diverged"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(emit(lvl, level))
+    return out

@@ -99,7 +99,7 @@ _DRIVER_WINDOW = [
     # DuckDB oracle — its green closes the r6 verdict's #1 ask.
     "graph_mst_boruvka",
     # round-7 additions (new queries this round; never sampled)
-    "graph_betweenness_exact", "graph_mis_luby",
+    "graph_betweenness_exact", "graph_mis_luby", "dq_merkle_columns",
     # never-sampled backlog continues (planned rotation order)
     "graph_louvain_coarsen", "dedup_incremental_substring",
     "ml_mahalanobis_outliers", "scan_warc_records", "warc_text_pipeline",

@@ -131,3 +131,57 @@ def test_mis_luby_independent_and_maximal(spark, sf_dir):
     r0 = {r["node"] for r in rows if r["mis_round"] == 0}
     local_min = {n for n in adj if all(prio(n) < prio(w) for w in adj[n])}
     assert r0 == local_min
+
+
+# --- per-column Merkle trees -------------------------------------------------
+
+
+def test_merkle_columns_localization(spark, sf_dir):
+    """The schema-evolution diff signatures: clean columns match at
+    EVERY node (roots included, so reconciliation stops at one hash);
+    the schema-ADDED column mismatches at every leaf; the drifted
+    column mismatches exactly at the leaves holding drifted keys, and
+    each node's is_match is consistent with its subtree's diverged
+    count plus parent hashes recompose from children."""
+    from spark_streaming_test_spark.operators import quality
+
+    rows = quality.dq_merkle_columns(spark, sf_dir).collect()
+    by = {(r["col_name"], r["level"], r["idx"]): r for r in rows}
+    leaves = quality.MERKLE_LEAVES
+
+    for col in ("o_orderstatus", "o_orderdate"):
+        assert all(
+            r["is_match"] for r in rows if r["col_name"] == col
+        ), f"clean column {col} shows a mismatch"
+    # added column: every populated leaf mismatches, root mismatches
+    added = [
+        r for r in rows if r["col_name"] == "o_orderpriority" and r["level"] == 0
+    ]
+    assert added and all(not r["is_match"] for r in added)
+    # drifted column: mismatching leaves are exactly those with
+    # n_diverged > 0, and at least one leaf is clean (sparse drift)
+    ck = [r for r in rows if r["col_name"] == "o_custkey" and r["level"] == 0]
+    assert any(r["n_diverged"] > 0 for r in ck), "no drift generated"
+    assert any(r["n_diverged"] == 0 for r in ck), "drift is not sparse"
+    for r in ck:
+        assert r["is_match"] == (r["n_diverged"] == 0), r
+    # an internal node matches iff all its children match
+    for col in {r["col_name"] for r in rows}:
+        lvl, n = 0, leaves
+        while n > 1:
+            lvl += 1
+            n //= quality.MERKLE_FANOUT
+            for idx in range(n):
+                kids = [
+                    by[(col, lvl - 1, c)]
+                    for c in range(
+                        idx * quality.MERKLE_FANOUT,
+                        (idx + 1) * quality.MERKLE_FANOUT,
+                    )
+                    if (col, lvl - 1, c) in by
+                ]
+                node = by.get((col, lvl, idx))
+                if node is None:
+                    continue
+                assert node["is_match"] == all(k["is_match"] for k in kids)
+                assert node["n_rows"] == sum(k["n_rows"] for k in kids)
