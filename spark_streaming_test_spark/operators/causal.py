@@ -697,3 +697,145 @@ def events_metric_tree_decomposition(spark: SparkSession, sf_dir: str) -> DataFr
         F.log((d("p1") / d("u1")) / (d("p0") / d("u0"))).alias("dln_freq"),
         F.log((d("c1") / d("p1")) / (d("c0") / d("p0"))).alias("dln_aov"),
     )
+
+
+# --- instrumental variables (two-stage least squares) ------------------------
+#
+# When treatment is self-selected (confounded), a randomized
+# INSTRUMENT that shifts treatment uptake but touches the outcome only
+# through treatment identifies the causal effect: with one binary
+# instrument and one endogenous binary treatment, 2SLS collapses to
+# the Wald ratio Cov(Z,Y)/Cov(Z,T), and the OLS slope Cov(T,Y)/Var(T)
+# rides along to EXHIBIT the confounding bias the IV removes. Derived
+# here over user-grain events: Z is the md5 encouragement arm, T is an
+# engagement rule whose threshold Z shifts (compliers exist by
+# construction) but which also depends on activity (the confounder —
+# active users both engage more AND spend more), Y is total spend.
+#
+# Determinism: every moment is an exact BIGINT sum of integer products
+# (cents x {0,1}); covariances cross-multiply as integers (n*Sxy -
+# Sx*Sy) and the ONLY floating ops are the final divisions of
+# identical int64s — bitwise cross-engine, partition-independent. At
+# true 100 TB scale the cross-products approach int64 range; the
+# docstring'd posture is widening the sums to DECIMAL(38,0), same
+# plan shape.
+
+IV_BASE_THRESHOLD = 68  # median user has ~66 events at every SF
+IV_SHIFT = 6  # encouragement lowers the engagement bar: compliers exist
+_IV_Z_SQL = (
+    "CASE WHEN substr(md5('iv:' || CAST(user_id AS VARCHAR)), 1, 1) <= '7' "
+    "THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "ab_test_iv_2sls",
+    tags=("experiment", "causal", "iv"),
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         {_IV_Z_SQL} AS z,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+ut AS (
+  SELECT user_id, z, y,
+         CASE WHEN n_events >= {IV_BASE_THRESHOLD} - {IV_SHIFT} * z
+              THEN 1 ELSE 0 END AS t
+  FROM users
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z * t) AS BIGINT) AS szt,
+         CAST(SUM(z * y) AS BIGINT) AS szy,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM ut
+)
+SELECT n AS n_users,
+       CAST(st AS DOUBLE) / n AS treated_share,
+       CAST(n * szt - sz * st AS DOUBLE)
+         / CAST(n * sz - sz * sz AS DOUBLE) AS first_stage,
+       CAST(n * szy - sz * sy AS DOUBLE)
+         / CAST(n * szt - sz * st AS DOUBLE) / 100.0 AS iv_beta,
+       CAST(n * sty - st * sy AS DOUBLE)
+         / CAST(n * st - st * st AS DOUBLE) / 100.0 AS ols_beta,
+       CAST(n * sty - st * sy AS DOUBLE)
+         / CAST(n * st - st * st AS DOUBLE) / 100.0
+         - CAST(n * szy - sz * sy AS DOUBLE)
+         / CAST(n * szt - sz * st AS DOUBLE) / 100.0 AS ols_bias
+FROM m
+""",
+)
+def ab_test_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables effect of 'engagement' on spend via the
+    md5 encouragement arm: first stage Cov(Z,T)/Var(Z) (complier
+    share), Wald/2SLS slope Cov(Z,Y)/Cov(Z,T), naive OLS slope
+    Cov(T,Y)/Var(T), and their gap (the confounding bias — activity
+    drives both T and Y by construction, so OLS over-credits). One
+    user-grain aggregate then one 1-row moment aggregate; every moment
+    an exact BIGINT, divisions only in the final projection (bitwise
+    cross-engine)."""
+    ev = load(spark, sf_dir, "events")
+    z = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("iv:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        <= "7",
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("y"),
+    ).select(
+        "user_id",
+        z.alias("z"),
+        "n_events",
+        "y",
+    )
+    ut = users.select(
+        "z",
+        "y",
+        F.when(
+            F.col("n_events")
+            >= F.lit(IV_BASE_THRESHOLD) - F.lit(IV_SHIFT) * F.col("z"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("t"),
+    )
+    m = ut.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("z") * F.col("t")).alias("szt"),
+        F.sum(F.col("z") * F.col("y")).alias("szy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    n, sz, st = F.col("n"), F.col("sz"), F.col("st")
+    sy, szt, szy, sty = F.col("sy"), F.col("szt"), F.col("szy"), F.col("sty")
+    iv = (n * szy - sz * sy).cast("double") / (n * szt - sz * st).cast(
+        "double"
+    ) / F.lit(100.0)
+    ols = (n * sty - st * sy).cast("double") / (n * st - st * st).cast(
+        "double"
+    ) / F.lit(100.0)
+    return m.select(
+        n.cast("bigint").alias("n_users"),
+        (st.cast("double") / n).alias("treated_share"),
+        (
+            (n * szt - sz * st).cast("double")
+            / (n * sz - sz * sz).cast("double")
+        ).alias("first_stage"),
+        iv.alias("iv_beta"),
+        ols.alias("ols_beta"),
+        (ols - iv).alias("ols_bias"),
+    )

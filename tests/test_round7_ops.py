@@ -185,3 +185,43 @@ def test_merkle_columns_localization(spark, sf_dir):
                     continue
                 assert node["is_match"] == all(k["is_match"] for k in kids)
                 assert node["n_rows"] == sum(k["n_rows"] for k in kids)
+
+
+# --- instrumental variables 2SLS --------------------------------------------
+
+
+def test_iv_2sls_wald_replay(spark, sf_dir):
+    """The IV slope must equal a direct Wald-ratio replay
+    (diff of outcome means over diff of treatment means across
+    instrument arms) computed in pure Python from the same user-grain
+    frame, and the first stage must be positive (the encouragement
+    actually shifts uptake: compliers exist at this SF)."""
+    import hashlib
+
+    from spark_streaming_test_spark.operators import causal
+
+    [r] = causal.ab_test_iv_2sls(spark, sf_dir).collect()
+    assert 0 < r["treated_share"] < 1
+    assert r["first_stage"] > 0
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+            .alias("y"),
+        )
+        .collect()
+    )
+    arm = {0: [], 1: []}
+    for row in ev:
+        z = 1 if hashlib.md5(f"iv:{row['user_id']}".encode()).hexdigest()[0] <= "7" else 0
+        t = 1 if row["n"] >= causal.IV_BASE_THRESHOLD - causal.IV_SHIFT * z else 0
+        arm[z].append((t, row["y"]))
+    my = {z: sum(y for _, y in v) / len(v) for z, v in arm.items()}
+    mt = {z: sum(t for t, _ in v) / len(v) for z, v in arm.items()}
+    wald = (my[1] - my[0]) / (mt[1] - mt[0]) / 100.0
+    assert abs(r["iv_beta"] - wald) < 1e-6 * max(1.0, abs(wald))
+    # the constructed confounding inflates OLS above IV
+    assert r["ols_bias"] > 0
