@@ -697,3 +697,137 @@ def mlstats_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mce",
         )
     )
+
+
+# --- DeLong variance / CI for AUC --------------------------------------------
+#
+# A point AUC without an interval can't gate a model rollout. DeLong's
+# nonparametric variance uses PLACEMENT VALUES: each positive's V10 =
+# fraction of negatives it outranks (ties half), each negative's V01
+# symmetric; Var(AUC) = S10/n_pos + S01/n_neg with S the sample
+# variances (Sun & Xu's midrank formulation). The placements reduce to
+# the SAME per-(day, score) count frame as mlstats_auc_roc — each
+# positive at score s has doubled placement 2*neg_below + neg_at, each
+# negative 2*pos_above + pos_at — so the whole estimator is two
+# cumulative windows over O(distinct scores) counts, never a row-level
+# pairwise pass. Doubled placements are exact int64; S1/S2 moment sums
+# stay integer until the final double divisions (identical operands
+# cross-engine; int64 headroom holds through ~sf1, the 100 TB posture
+# is widening the moment sums to DECIMAL(38,0)).
+
+@register(
+    "mlstats_auc_delong_ci",
+    tags=("mlstats", "evaluation", "rank", "ci"),
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(ts AS DATE) AS day, {_Y_SQL} AS y, value AS score FROM events
+),
+by_score AS (
+  SELECT day, score,
+         SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM scored GROUP BY day, score
+),
+cum AS (
+  SELECT day, score, pos, neg,
+         SUM(neg) OVER (PARTITION BY day ORDER BY score
+                        ROWS UNBOUNDED PRECEDING) - neg AS neg_below,
+         SUM(pos) OVER (PARTITION BY day ORDER BY score DESC
+                        ROWS UNBOUNDED PRECEDING) - pos AS pos_above
+  FROM by_score
+),
+m AS (
+  SELECT day,
+         CAST(SUM(pos) AS BIGINT) AS np,
+         CAST(SUM(neg) AS BIGINT) AS nn,
+         CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS s1p,
+         CAST(SUM(pos * (2 * neg_below + neg) * (2 * neg_below + neg))
+              AS BIGINT) AS s2p,
+         CAST(SUM(neg * (2 * pos_above + pos)) AS BIGINT) AS s1n,
+         CAST(SUM(neg * (2 * pos_above + pos) * (2 * pos_above + pos))
+              AS BIGINT) AS s2n
+  FROM cum GROUP BY day
+),
+v AS (
+  SELECT day, np, nn,
+         CAST(s1p AS DOUBLE) / (2.0 * np * nn) AS auc,
+         ((CAST(s2p AS DOUBLE)
+            - CAST(s1p AS DOUBLE) * CAST(s1p AS DOUBLE) / np)
+           / (np - 1) / (4.0 * nn * nn)) / np
+         + ((CAST(s2n AS DOUBLE)
+            - CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) / nn)
+           / (nn - 1) / (4.0 * np * np)) / nn AS var_auc
+  FROM m
+)
+SELECT day, np AS n_pos, nn AS n_neg, auc,
+       sqrt(var_auc) AS auc_se,
+       auc - 1.959963985 * sqrt(var_auc) AS ci_lo,
+       auc + 1.959963985 * sqrt(var_auc) AS ci_hi
+FROM v
+""",
+)
+def mlstats_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day AUC with DeLong 95% CI from doubled placement values:
+    one count frame per (day, score), an ascending window for each
+    positive's negatives-below and a descending one for each
+    negative's positives-above, then exact int64 moment sums (S1, S2
+    per class) feed the two placement variances and
+    Var(AUC) = S10/n_pos + S01/n_neg. Bitwise deterministic: all
+    moments integer, the variance/sqrt are identical double ops on
+    identical operands in both engines."""
+    s = _scored(spark, sf_dir)
+    by_score = s.groupBy("day", "score").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    wu = Window.partitionBy("day").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wd = Window.partitionBy("day").orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = by_score.select(
+        "day",
+        "pos",
+        "neg",
+        (F.sum("neg").over(wu) - F.col("neg")).alias("neg_below"),
+        (F.sum("pos").over(wd) - F.col("pos")).alias("pos_above"),
+    )
+    dp = F.lit(2) * F.col("neg_below") + F.col("neg")
+    dn = F.lit(2) * F.col("pos_above") + F.col("pos")
+    m = cum.groupBy("day").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum("neg").cast("bigint").alias("nn"),
+        F.sum(F.col("pos") * dp).cast("bigint").alias("s1p"),
+        F.sum(F.col("pos") * dp * dp).cast("bigint").alias("s2p"),
+        F.sum(F.col("neg") * dn).cast("bigint").alias("s1n"),
+        F.sum(F.col("neg") * dn * dn).cast("bigint").alias("s2n"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    auc = F.col("s1p").cast("double") / (F.lit(2.0) * np_ * nn_)
+    var10 = (
+        (
+            F.col("s2p").cast("double")
+            - F.col("s1p").cast("double") * F.col("s1p").cast("double") / np_
+        )
+        / (np_ - F.lit(1))
+        / (F.lit(4.0) * nn_ * nn_)
+    )
+    var01 = (
+        (
+            F.col("s2n").cast("double")
+            - F.col("s1n").cast("double") * F.col("s1n").cast("double") / nn_
+        )
+        / (nn_ - F.lit(1))
+        / (F.lit(4.0) * np_ * np_)
+    )
+    var_auc = var10 / np_ + var01 / nn_
+    z = F.lit(1.959963985)
+    return m.select(
+        "day",
+        np_.alias("n_pos"),
+        nn_.alias("n_neg"),
+        auc.alias("auc"),
+        F.sqrt(var_auc).alias("auc_se"),
+        (auc - z * F.sqrt(var_auc)).alias("ci_lo"),
+        (auc + z * F.sqrt(var_auc)).alias("ci_hi"),
+    )

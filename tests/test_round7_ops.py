@@ -225,3 +225,56 @@ def test_iv_2sls_wald_replay(spark, sf_dir):
     assert abs(r["iv_beta"] - wald) < 1e-6 * max(1.0, abs(wald))
     # the constructed confounding inflates OLS above IV
     assert r["ols_bias"] > 0
+
+
+# --- DeLong AUC confidence interval ------------------------------------------
+
+
+def test_auc_delong_python_replay(spark, sf_dir):
+    """Textbook DeLong replay (per-row placement values, sample
+    variances) on every day — the O(n log n) midrank form in the
+    query must equal the direct per-row computation, the point AUC
+    must match mlstats_auc_roc, and the CI must bracket the AUC with
+    positive width."""
+    from spark_streaming_test_spark.operators import evalmetrics
+
+    rows = evalmetrics.mlstats_auc_delong_ci(spark, sf_dir).collect()
+    auc_rows = {
+        r["day"]: r["auc"]
+        for r in evalmetrics.mlstats_auc_roc(spark, sf_dir).collect()
+    }
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "cast(ts as date) AS day",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+            "value AS score",
+        )
+        .collect()
+    )
+    by_day = defaultdict(list)
+    for r in raw:
+        by_day[r["day"]].append((r["y"], r["score"]))
+
+    for r in rows:
+        assert abs(r["auc"] - auc_rows[r["day"]]) < 1e-12
+        assert r["ci_lo"] < r["auc"] < r["ci_hi"]
+        data = by_day[r["day"]]
+        pos = sorted(s for y, s in data if y == 1)
+        neg = sorted(s for y, s in data if y == 0)
+        import bisect
+
+        def place(s, arr):
+            lo = bisect.bisect_left(arr, s)
+            hi = bisect.bisect_right(arr, s)
+            return lo + (hi - lo) / 2.0
+
+        v10 = [place(s, neg) / len(neg) for s in pos]
+        v01 = [1.0 - place(s, pos) / len(pos) for s in neg]
+
+        def svar(v):
+            m = sum(v) / len(v)
+            return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+        var = svar(v10) / len(v10) + svar(v01) / len(v01)
+        assert abs(r["auc_se"] - var**0.5) < 1e-9, (r["day"], r["auc_se"], var**0.5)
