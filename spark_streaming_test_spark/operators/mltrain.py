@@ -2217,3 +2217,124 @@ def ml_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the 8-dp round absorbs that engine-internal difference
         F.round(F.greatest(s0, s1), 8).alias("best_logprob"),
     )
+
+
+# --- HMM forward algorithm (sum-product twin of Viterbi) ----------------------
+#
+# Viterbi answers "best single path"; the forward algorithm answers
+# "how likely is this sequence AT ALL under the model" (the quantity
+# behind HMM-based scoring/filtering) plus the filtered posterior of
+# the final hidden state. Same fold shape as ml_viterbi_decode, but
+# in PROBABILITY space with + instead of max — the parameters are the
+# exact exp() of the Viterbi log tables, written as clean decimal
+# literals so the fold is pure {*, +} over identical doubles (no
+# runtime transcendental anywhere in the recurrence). Sequences here
+# are ~70 steps so unscaled alphas sit around 1e-40 — comfortably
+# inside double range; the production posture for unbounded sequences
+# is per-step renormalization (same plan, one extra division per
+# step). The single end-of-fold ln() and the posterior division round
+# to 8 dp to absorb the measured one-ulp list_reduce / libm drift
+# (same guard as ml_viterbi_decode).
+
+_F_PI = ("0.8", "0.2")
+_F_A = (("0.9", "0.1"), ("0.3", "0.7"))
+_F_E = (
+    ("0.35", "0.05", "0.05", "0.15", "0.4"),
+    ("0.25", "0.05", "0.4", "0.1", "0.2"),
+)
+
+
+def _f_e_sql(state: int, cat_expr: str) -> str:
+    arr = ", ".join(f"CAST({v} AS DOUBLE)" for v in _F_E[state])
+    return f"[{arr}][{cat_expr} + 1]"
+
+
+@register(
+    "ml_hmm_forward",
+    tags=("mltrain", "hmm", "forward"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         list({_v_cat_sql('event_type')} ORDER BY ts, event_id) AS xs
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, len(xs) AS n_events,
+         list_reduce(
+           [[CAST({_F_PI[0]} AS DOUBLE) * {_f_e_sql(0, 'xs[1]')},
+             CAST({_F_PI[1]} AS DOUBLE) * {_f_e_sql(1, 'xs[1]')}]]
+             || list_transform(xs[2:len(xs)], x -> [CAST(x AS DOUBLE), 0.0]),
+           (acc, pp) -> [
+             (acc[1] * CAST({_F_A[0][0]} AS DOUBLE)
+              + acc[2] * CAST({_F_A[1][0]} AS DOUBLE))
+               * {_f_e_sql(0, 'CAST(pp[1] AS INTEGER)')},
+             (acc[1] * CAST({_F_A[0][1]} AS DOUBLE)
+              + acc[2] * CAST({_F_A[1][1]} AS DOUBLE))
+               * {_f_e_sql(1, 'CAST(pp[1] AS INTEGER)')}
+           ]
+         ) AS a
+  FROM seq
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(ln(a[1] + a[2]), 8) AS forward_loglik,
+       round(a[2] / (a[1] + a[2]), 8) AS p_intent_final
+FROM folded
+""",
+)
+def ml_hmm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-algorithm sequence likelihood per user under the fixed
+    browse/buy-intent HMM: one sorted collect per user, then the
+    sum-product fold over [a_browse, a_intent]; emits the sequence
+    log-likelihood and the filtered posterior P(intent | full
+    sequence) — the score an HMM-based session classifier thresholds.
+    Scale: parallelism = users, O(n) per sequence inside one task, two
+    doubles leave the fold; model tables are literals compiled into
+    the expression."""
+    cat = F.expr(_v_cat_sql("event_type"))
+    seq = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", cat.alias("cat"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "cat"))),
+                lambda s: s["cat"],
+            ).alias("xs")
+        )
+    )
+
+    def e(state: int, cat_col):
+        arr = F.array(*[F.lit(float(v)) for v in _F_E[state]])
+        return F.element_at(arr, cat_col.cast("int") + F.lit(1))
+
+    a = [[F.lit(float(v)) for v in row] for row in _F_A]
+
+    def step(acc, x):
+        a0, a1 = F.element_at(acc, 1), F.element_at(acc, 2)
+        return F.array(
+            (a0 * a[0][0] + a1 * a[1][0]) * e(0, x),
+            (a0 * a[0][1] + a1 * a[1][1]) * e(1, x),
+        )
+
+    first = F.element_at(F.col("xs"), 1)
+    init = F.array(
+        F.lit(float(_F_PI[0])) * e(0, first),
+        F.lit(float(_F_PI[1])) * e(1, first),
+    )
+    folded = seq.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("a"),
+    )
+    a0, a1 = F.element_at("a", 1), F.element_at("a", 2)
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.round(F.log(a0 + a1), 8).alias("forward_loglik"),
+        F.round(a1 / (a0 + a1), 8).alias("p_intent_final"),
+    )

@@ -278,3 +278,50 @@ def test_auc_delong_python_replay(spark, sf_dir):
 
         var = svar(v10) / len(v10) + svar(v01) / len(v01)
         assert abs(r["auc_se"] - var**0.5) < 1e-9, (r["day"], r["auc_se"], var**0.5)
+
+
+# --- HMM forward algorithm ---------------------------------------------------
+
+
+def test_hmm_forward_python_replay(spark, sf_dir):
+    """Pure-Python forward-algorithm replay over every user's sorted
+    event-type sequence must match bitwise at the 8-dp rounding, the
+    forward likelihood must upper-bound the Viterbi best-path
+    likelihood (a sum over paths can't be below its max term), and
+    the posterior must be a probability."""
+    import math
+
+    from spark_streaming_test_spark.operators import mltrain
+
+    rows = mltrain.ml_hmm_forward(spark, sf_dir).collect()
+    vit = {
+        r["user_id"]: r["best_logprob"]
+        for r in mltrain.ml_viterbi_decode(spark, sf_dir).collect()
+    }
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seq = defaultdict(list)
+    cats = {c: i for i, c in enumerate(mltrain._V_CATS)}
+    for r in raw:
+        seq[r["user_id"]].append((r["ts"], r["event_id"], cats[r["event_type"]]))
+    pi = [float(x) for x in mltrain._F_PI]
+    A = [[float(x) for x in row] for row in mltrain._F_A]
+    E = [[float(x) for x in row] for row in mltrain._F_E]
+
+    assert rows
+    for r in rows:
+        xs = [c for _, _, c in sorted(seq[r["user_id"]])]
+        assert r["n_events"] == len(xs)
+        a = [pi[0] * E[0][xs[0]], pi[1] * E[1][xs[0]]]
+        for x in xs[1:]:
+            a = [
+                (a[0] * A[0][0] + a[1] * A[1][0]) * E[0][x],
+                (a[0] * A[0][1] + a[1] * A[1][1]) * E[1][x],
+            ]
+        assert abs(r["forward_loglik"] - round(math.log(a[0] + a[1]), 8)) <= 1e-8
+        assert abs(r["p_intent_final"] - round(a[1] / (a[0] + a[1]), 8)) <= 1e-8
+        assert 0.0 <= r["p_intent_final"] <= 1.0
+        assert r["forward_loglik"] >= vit[r["user_id"]] - 1e-8
