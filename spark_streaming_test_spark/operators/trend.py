@@ -3162,3 +3162,320 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dtw.alias("dtw"),
         )
     )
+
+
+# --- Ljung-Box portmanteau test ---------------------------------------------
+#
+# The correlogram's decision rule: Q = n(n+2) * sum_k rho_k^2 / (n-k)
+# over lags 1..h is chi-square(h) under IID — the standard residual
+# whiteness gate after fitting a forecast model. Reuses the exact
+# integer moment expansion of ts_acf_correlogram (rho_k from int64
+# S/Q/SX/SY/SXY, mean never materializes); the h-term sum runs as an
+# ORDER-CANONICAL fold over the lag index so partial-aggregation
+# order can't flake the hash. chi2 critical value at h dof is a
+# literal — both engines compare identical doubles.
+
+LJUNG_BOX_CHI2_95_DF7 = "14.067140449340169"  # qchisq(0.95, df=7)
+
+
+def _sql_ljung_box_oracle() -> str:
+    lag_structs = ",".join(
+        f"{{'lag': {k}, 'x': lag(c, {k}) OVER "
+        f"(PARTITION BY event_type ORDER BY d)}}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+gmom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM daily GROUP BY event_type
+),
+lagged AS (
+  SELECT event_type, c AS y,
+         unnest([{lag_structs}], recursive := true)
+  FROM daily
+),
+pairs AS (
+  SELECT event_type, lag AS k,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM lagged WHERE x IS NOT NULL
+  GROUP BY event_type, lag
+),
+rho AS (
+  SELECT p.event_type, p.k, g.n,
+         (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+          - CAST(g.n AS DOUBLE) * CAST(g.s AS DOUBLE)
+            * (CAST(p.sx AS DOUBLE) + CAST(p.sy AS DOUBLE))
+          + CAST(p.nk AS DOUBLE) * CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))
+         / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(g.q AS DOUBLE)
+            - CAST(g.n AS DOUBLE) * CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))
+           AS r
+  FROM pairs p JOIN gmom g ON p.event_type = g.event_type
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST({ACF_MAX_LAG} AS INTEGER) AS df,
+       round(CAST(MAX(n) AS DOUBLE) * (MAX(n) + 2)
+             * list_reduce([CAST(0 AS DOUBLE)] ||
+                 list(r * r / (n - k) ORDER BY k),
+                 (a, x) -> a + x), 8) AS q_stat,
+       (round(CAST(MAX(n) AS DOUBLE) * (MAX(n) + 2)
+             * list_reduce([CAST(0 AS DOUBLE)] ||
+                 list(r * r / (n - k) ORDER BY k),
+                 (a, x) -> a + x), 8)
+          > CAST({LJUNG_BOX_CHI2_95_DF7} AS DOUBLE)) AS reject_iid
+FROM rho GROUP BY event_type
+"""
+
+
+@register(
+    "ts_ljung_box",
+    tags=("timeseries", "trend", "autocorrelation", "test"),
+    oracle=_sql_ljung_box_oracle(),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test at lags 1..{ACF_MAX_LAG} of each event
+    type's daily-cents series: Q = n(n+2) sum rho_k^2/(n-k) vs the
+    chi-square 95% critical value (literal). rho_k uses the exact
+    integer-moment expansion of the correlogram; the lag sum is a
+    sorted fold — bitwise deterministic. One daily reduce, one window
+    pass, O(types x lags) rows after."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    glob = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    with_lags = daily.select(
+        "event_type",
+        F.col("c").alias("y"),
+        *[
+            F.lag("c", k).over(wo).alias(f"x{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    lagged = with_lags.select(
+        "event_type",
+        "y",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lag"), F.col(f"x{k}").alias("x"))
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("lx"),
+    ).select("event_type", "y", "lx.lag", "lx.x")
+    pairs = (
+        lagged.filter(F.col("x").isNotNull())
+        .groupBy("event_type", F.col("lag").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    rho = pairs.join(F.broadcast(glob), "event_type").select(
+        "event_type",
+        "k",
+        "n",
+        (
+            (
+                nd * nd * F.col("sxy").cast("double")
+                - nd * sd * (F.col("sx") + F.col("sy")).cast("double")
+                + F.col("nk").cast("double") * sd * sd
+            )
+            / (nd * nd * F.col("q").cast("double") - nd * sd * sd)
+        ).alias("r"),
+    )
+    folded = rho.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "k",
+                            (
+                                F.col("r")
+                                * F.col("r")
+                                / (F.col("n") - F.col("k")).cast("double")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("acc"),
+    )
+    qstat = F.round(
+        F.col("n_days").cast("double")
+        * (F.col("n_days") + 2).cast("double")
+        * F.col("acc"),
+        8,
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.lit(ACF_MAX_LAG).cast("int").alias("df"),
+        qstat.alias("q_stat"),
+        (qstat > F.lit(float(LJUNG_BOX_CHI2_95_DF7))).alias("reject_iid"),
+    )
+
+
+# --- Croston's method (intermittent demand) ----------------------------------
+#
+# Holt/Winters-style smoothing collapses on series that are mostly
+# zeros; Croston (1972) is THE method for intermittent demand: SES
+# over the nonzero demand SIZES and SES over the INTER-ARRIVAL
+# intervals, forecast = size_hat / interval_hat. The intermittent
+# unit here is the USER's daily purchase count (~0.15 demand days per
+# day at every SF — per-type daily totals densify with SF and stop
+# being intermittent). The fold walks each user's demand epochs in
+# day order carrying [z, p, prev_day, n_seen]: first epoch seeds z,
+# second seeds p with the first interval, later epochs SES-update
+# both. Pure {*, +} over identical doubles in identical order —
+# deterministic; emitted smoothed values round at 8 dp (list_reduce
+# ulp guard). Scale: parallelism = users, one sorted collect per user
+# of its DEMAND DAYS only (zeros never materialize).
+
+CROSTON_ALPHA = "0.1"
+CROSTON_MIN_EPOCHS = 3
+
+
+@register(
+    "ts_croston",
+    tags=("timeseries", "trend", "intermittent", "forecast"),
+    oracle=f"""
+WITH demand AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS q
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+seq AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_epochs,
+         CAST(SUM(q) AS BIGINT) AS total_demand,
+         list([CAST(datediff('day', DATE '1970-01-01', d) AS DOUBLE),
+               CAST(q AS DOUBLE)] ORDER BY d) AS xs
+  FROM demand GROUP BY user_id
+  HAVING COUNT(*) >= {CROSTON_MIN_EPOCHS}
+),
+folded AS (
+  SELECT user_id, n_epochs, total_demand,
+         list_reduce(
+           [[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]] || xs,
+           (acc, x) -> CASE
+             WHEN acc[4] = 0 THEN [x[2], CAST(0 AS DOUBLE), x[1],
+                                   CAST(1 AS DOUBLE)]
+             WHEN acc[4] = 1 THEN [
+               acc[1] + CAST({CROSTON_ALPHA} AS DOUBLE) * (x[2] - acc[1]),
+               x[1] - acc[3], x[1], CAST(2 AS DOUBLE)]
+             ELSE [
+               acc[1] + CAST({CROSTON_ALPHA} AS DOUBLE) * (x[2] - acc[1]),
+               acc[2] + CAST({CROSTON_ALPHA} AS DOUBLE)
+                 * (x[1] - acc[3] - acc[2]),
+               x[1], acc[4] + 1]
+           END) AS s
+  FROM seq
+)
+SELECT user_id, n_epochs, total_demand,
+       round(s[1], 8) AS croston_size,
+       round(s[2], 8) AS croston_interval,
+       round(s[1] / s[2], 8) AS croston_forecast
+FROM folded
+""",
+)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per user over daily
+    purchase-count demand epochs: SES(size) and SES(interval) with
+    alpha={CROSTON_ALPHA}, forecast = size_hat/interval_hat (expected
+    demand per day). Users with fewer than {CROSTON_MIN_EPOCHS}
+    demand days are excluded (no interval to smooth)."""
+    alpha = F.lit(float(CROSTON_ALPHA))
+    demand = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("q"))
+    )
+    seq = (
+        demand.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_epochs"),
+            F.sum("q").cast("bigint").alias("total_demand"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "q"))),
+                lambda s: F.array(
+                    F.datediff(s["d"], F.lit("1970-01-01")).cast("double"),
+                    s["q"].cast("double"),
+                ),
+            ).alias("xs"),
+        )
+        .filter(F.col("n_epochs") >= CROSTON_MIN_EPOCHS)
+    )
+
+    def step(acc, x):
+        z, p, prev, seen = (
+            F.element_at(acc, 1),
+            F.element_at(acc, 2),
+            F.element_at(acc, 3),
+            F.element_at(acc, 4),
+        )
+        d, q = F.element_at(x, 1), F.element_at(x, 2)
+        return (
+            F.when(seen == 0.0, F.array(q, F.lit(0.0), d, F.lit(1.0)))
+            .when(
+                seen == 1.0,
+                F.array(z + alpha * (q - z), d - prev, d, F.lit(2.0)),
+            )
+            .otherwise(
+                F.array(
+                    z + alpha * (q - z),
+                    p + alpha * (d - prev - p),
+                    d,
+                    seen + F.lit(1.0),
+                )
+            )
+        )
+
+    folded = seq.select(
+        "user_id",
+        "n_epochs",
+        "total_demand",
+        F.aggregate(
+            F.col("xs"),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            step,
+        ).alias("s"),
+    )
+    s1, s2 = F.element_at("s", 1), F.element_at("s", 2)
+    return folded.select(
+        "user_id",
+        "n_epochs",
+        "total_demand",
+        F.round(s1, 8).alias("croston_size"),
+        F.round(s2, 8).alias("croston_interval"),
+        F.round(s1 / s2, 8).alias("croston_forecast"),
+    )

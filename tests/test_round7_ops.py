@@ -325,3 +325,86 @@ def test_hmm_forward_python_replay(spark, sf_dir):
         assert abs(r["p_intent_final"] - round(a[1] / (a[0] + a[1]), 8)) <= 1e-8
         assert 0.0 <= r["p_intent_final"] <= 1.0
         assert r["forward_loglik"] >= vit[r["user_id"]] - 1e-8
+
+
+# --- Ljung-Box + Croston replays ---------------------------------------------
+
+
+def test_ljung_box_python_replay(spark, sf_dir):
+    """statsmodels-style textbook replay: daily cents per type,
+    standard acf with global mean, Q = n(n+2) sum rho_k^2/(n-k)."""
+    from spark_streaming_test_spark.operators import trend
+
+    rows = trend.ts_ljung_box(spark, sf_dir).collect()
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "cast(ts as date) AS d",
+            "cast(cast(value as decimal(12,2)) * 100 as bigint) AS c",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in daily:
+        series[r["event_type"]][r["d"]] = r["c"]
+    assert rows
+    for r in rows:
+        xs = [v for _, v in sorted(series[r["event_type"]].items())]
+        n = len(xs)
+        assert r["n_days"] == n
+        mu = sum(xs) / n
+        den = sum((x - mu) ** 2 for x in xs)
+        q = 0.0
+        for k in range(1, trend.ACF_MAX_LAG + 1):
+            num = sum((xs[t] - mu) * (xs[t - k] - mu) for t in range(k, n))
+            rho = num / den
+            q += rho * rho / (n - k)
+        q *= n * (n + 2)
+        assert abs(r["q_stat"] - q) < 1e-5 * max(1.0, abs(q)), (r["q_stat"], q)
+        assert r["reject_iid"] == (
+            r["q_stat"] > float(trend.LJUNG_BOX_CHI2_95_DF7)
+        )
+
+
+def test_croston_python_replay(spark, sf_dir):
+    """Croston replay from raw purchase events: SES over demand sizes
+    and inter-arrival gaps in day order, seeded (z=q1, p=first gap)."""
+    from spark_streaming_test_spark.operators import trend
+
+    rows = trend.ts_croston(spark, sf_dir).collect()
+    assert rows
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .selectExpr("user_id", "cast(ts as date) AS d")
+        .collect()
+    )
+    per = defaultdict(lambda: defaultdict(int))
+    for r in raw:
+        per[r["user_id"]][r["d"]] += 1
+    alpha = float(trend.CROSTON_ALPHA)
+    for r in rows:
+        epochs = sorted(per[r["user_id"]].items())
+        assert r["n_epochs"] == len(epochs) >= trend.CROSTON_MIN_EPOCHS
+        z = p = prev = None
+        for i, (d, q) in enumerate(epochs):
+            dd = d.toordinal()
+            if i == 0:
+                z, prev = float(q), dd
+            elif i == 1:
+                z, p, prev = z + alpha * (q - z), float(dd - prev), dd
+            else:
+                z = z + alpha * (q - z)
+                p = p + alpha * ((dd - prev) - p)
+                prev = dd
+        assert abs(r["croston_size"] - z) < 1e-7
+        assert abs(r["croston_interval"] - p) < 1e-7
+        assert abs(r["croston_forecast"] - z / p) < 1e-7
+    # excluded users really have < CROSTON_MIN_EPOCHS demand days
+    emitted = {r["user_id"] for r in rows}
+    for u, days in per.items():
+        if u not in emitted:
+            assert len(days) < trend.CROSTON_MIN_EPOCHS
