@@ -1871,3 +1871,126 @@ def text_punycode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode("encoded").alias("decoded"),
         F.length(decode("encoded")).cast("bigint").alias("n_codepoints"),
     )
+
+
+# --- Gopher quality rules ------------------------------------------------------
+#
+# The Gopher/MassiveText rule set (Rae et al. 2021, App. A) is the
+# reference heuristic filter most open pipelines (RefinedWeb, Dolma,
+# FineWeb) start from. The subset expressible over this corpus's
+# single-line documents: word-count bounds, mean-word-length bounds,
+# >= 2 distinct stop words, and >= 80% alphabetic words. Everything is
+# array arithmetic over the split word list — integer counts and one
+# final division per metric, no explode (the per-doc word list stays
+# inside one row), no Python. The CCNet-style perplexity bucketing
+# (text_quality_buckets_ccnet) and repetition rules
+# (text_repetition_stats) are separate registrations; together they
+# cover the standard quality-filter stack.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = "3.0"
+GOPHER_MAX_MEAN_LEN = "10.0"
+# Gopher's English list is {the,be,to,of,and,that,have,with}; the rule
+# is ">= 2 distinct stop words for the corpus language", so the list
+# adapts to the synthetic vocabulary's function words — with the
+# canonical list the rule rejects 100%% of docs (not load-bearing).
+GOPHER_STOPWORDS = ("the", "a", "data", "key", "with")
+GOPHER_MIN_STOPS = 2
+GOPHER_MIN_ALPHA_FRAC = "0.8"
+
+
+@register(
+    "text_gopher_rules",
+    tags=("llm", "text", "quality", "gopher"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(list_reduce([0] || list_transform(ws, x -> len(x)),
+                          (a, b) -> a + b) AS BIGINT) AS total_chars,
+         CAST(len(list_distinct(list_filter(ws,
+           x -> list_contains({list(GOPHER_STOPWORDS)}, x)))) AS BIGINT)
+           AS distinct_stops,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '^[a-z]+$')))
+              AS BIGINT) AS alpha_words
+  FROM w
+)
+SELECT doc_id, source, n_words,
+       CAST(total_chars AS DOUBLE) / n_words AS mean_word_len,
+       distinct_stops,
+       CAST(alpha_words AS DOUBLE) / n_words AS alpha_frac,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AS pass_word_count,
+       (CAST(total_chars AS DOUBLE) / n_words
+          BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+         AS pass_mean_len,
+       (distinct_stops >= {GOPHER_MIN_STOPS}) AS pass_stopwords,
+       (CAST(alpha_words AS DOUBLE) / n_words >= {GOPHER_MIN_ALPHA_FRAC})
+         AS pass_alpha,
+       ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND (CAST(total_chars AS DOUBLE) / n_words
+               BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+        AND (distinct_stops >= {GOPHER_MIN_STOPS})
+        AND (CAST(alpha_words AS DOUBLE) / n_words
+               >= {GOPHER_MIN_ALPHA_FRAC})) AS gopher_pass
+FROM m
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule evaluation: word-count bounds
+    [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in
+    [3, 10], >= {GOPHER_MIN_STOPS} distinct stop words, >= 80%%
+    alphabetic words — each metric, each flag, and the conjunction.
+    All array ops on the in-row word list (no explode, no shuffle
+    beyond the scan); at 100 TB this is a pure map stage that fuses
+    into the ingest scan."""
+    d = spread(load(spark, sf_dir, "documents"))
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(ws, F.length), F.lit(0), lambda a, x: a + x
+        )
+        .cast("bigint")
+        .alias("total_chars"),
+        F.size(
+            F.array_distinct(
+                F.filter(ws, lambda x: F.array_contains(stops, x))
+            )
+        )
+        .cast("bigint")
+        .alias("distinct_stops"),
+        F.size(F.filter(ws, lambda x: x.rlike("^[a-z]+$")))
+        .cast("bigint")
+        .alias("alpha_words"),
+    )
+    mean_len = F.col("total_chars").cast("double") / F.col("n_words")
+    alpha_frac = F.col("alpha_words").cast("double") / F.col("n_words")
+    p_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    p_ml = mean_len.between(
+        float(GOPHER_MIN_MEAN_LEN), float(GOPHER_MAX_MEAN_LEN)
+    )
+    p_st = F.col("distinct_stops") >= GOPHER_MIN_STOPS
+    p_al = alpha_frac >= float(GOPHER_MIN_ALPHA_FRAC)
+    return m.select(
+        "doc_id",
+        "source",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        "distinct_stops",
+        alpha_frac.alias("alpha_frac"),
+        p_wc.alias("pass_word_count"),
+        p_ml.alias("pass_mean_len"),
+        p_st.alias("pass_stopwords"),
+        p_al.alias("pass_alpha"),
+        (p_wc & p_ml & p_st & p_al).alias("gopher_pass"),
+    )
