@@ -31,7 +31,7 @@ import glob  # noqa: F401  (parity with sibling source modules)
 import os
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource
 
@@ -358,4 +358,79 @@ def mm_webdataset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("caption"),
         F.max(F.when(F.col("kind") == "bin", F.col("size"))).alias("bin_size"),
         F.max(F.when(F.col("kind") == "bin", byte_sum)).alias("bin_sum"),
+    )
+
+
+# --- WebDataset epoch ordering (tar shards -> reproducible training order) ----
+#
+# The piece between ingest and the data loader: assembled samples get
+# the sample_epoch_shuffle treatment — a DETERMINISTIC per-epoch
+# permutation keyed md5(epoch:key) — so a preempted training run
+# resumes mid-epoch in the identical order, with the tar shard as the
+# unit of ingest and the sample key as the unit of shuffling. The
+# oracle recomputes assembly AND ordering from the closed-form fixture
+# formulas. Scale: the permutation key is a projection; each epoch
+# sorts independently (range partition by epoch); payload columns
+# never enter the sort — only keys and O(1) probe columns.
+
+WDS_EPOCHS = 3
+
+
+@register(
+    "mm_webdataset_epoch",
+    tags=("llm", "multimodal", "tar", "webdataset", "ordering"),
+    oracle=f"""
+WITH {_SQL_WDS},
+keys AS (
+  SELECT 'sample' || lpad(CAST(i AS VARCHAR), 6, '0') AS key,
+         CAST(shard AS INTEGER) AS shard_id, caption, bsum
+  FROM caps JOIN binsum USING (i)
+),
+epochs AS (SELECT CAST(t.i AS INTEGER) AS epoch
+           FROM unnest(range(0, {WDS_EPOCHS})) AS t(i)),
+keyed AS (
+  SELECT epoch, key, shard_id, caption, bsum,
+         md5(CAST(epoch AS VARCHAR) || ':' || key) AS shuffle_key
+  FROM keys CROSS JOIN epochs
+)
+SELECT epoch, key, shard_id, shuffle_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                               ORDER BY shuffle_key, key) AS BIGINT)
+         AS position,
+       caption, bsum AS bin_sum
+FROM keyed
+""",
+)
+def mm_webdataset_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{WDS_EPOCHS} reproducible training epochs over the assembled
+    WebDataset samples: each epoch re-permutes every sample by
+    md5(epoch:key) and assigns its position; captions and binary byte
+    sums ride along so the oracle pins both the ORDER and that the
+    ordered rows still carry the right sample content (an off-by-one
+    in assembly or a stale shard would break the hash)."""
+    pairs = mm_webdataset_pairs(spark, sf_dir).select(
+        "key", "shard_id", "caption", "bin_sum"
+    )
+    epochs = spark.range(WDS_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    keyed = pairs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "key",
+        "shard_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("key"))
+        ).alias("shuffle_key"),
+        "caption",
+        "bin_sum",
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "key")
+    return keyed.select(
+        "epoch",
+        "key",
+        "shard_id",
+        "shuffle_key",
+        F.row_number().over(w).cast("bigint").alias("position"),
+        "caption",
+        "bin_sum",
     )

@@ -408,3 +408,98 @@ def test_croston_python_replay(spark, sf_dir):
     for u, days in per.items():
         if u not in emitted:
             assert len(days) < trend.CROSTON_MIN_EPOCHS
+
+
+# --- WebDataset epoch stream -------------------------------------------------
+
+
+def test_webdataset_epoch_stream_matches_batch(spark, tmp_path):
+    """tar_dir stream + sample_epoch_shuffle end-to-end: the fixture
+    shards land in two waves, the stream consumes members exactly
+    once, samples assemble from the STREAMED sink, and the epoch
+    permutation over the streamed corpus equals mm_webdataset_epoch's
+    batch answer row-for-row — a preempted ingest must yield the
+    identical training order."""
+    import os
+    import shutil
+
+    from spark_streaming_test_spark.sources import tar_webdataset as T
+
+    T.register_tar_source(spark)
+    fixture = T._tar_fixture_dir()
+    shards = sorted(os.listdir(fixture))
+    src = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "sink")
+    os.makedirs(src)
+
+    def land(names):
+        for n in names:
+            shutil.copyfile(os.path.join(fixture, n), os.path.join(src, n + ".tmp"))
+            os.replace(os.path.join(src, n + ".tmp"), os.path.join(src, n))
+
+    land(shards[:2])
+    q = (
+        spark.readStream.format("tar_dir")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land(shards[2:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = spark.read.parquet(out)
+    # exactly-once: one row per member
+    assert streamed.count() == T.TAR_SHARDS * T.TAR_SAMPLES * 2
+    split = F.split(F.col("name"), r"\.")
+    parts = streamed.select(
+        F.regexp_extract(F.col("path"), r"shard_(\d{4})\.tar", 1)
+        .cast("int")
+        .alias("shard_id"),
+        F.element_at(split, 1).alias("key"),
+        F.element_at(split, 2).alias("kind"),
+        "payload",
+    )
+    pairs = parts.groupBy("key", "shard_id").agg(
+        F.max(
+            F.when(F.col("kind") == "txt", F.decode(F.col("payload"), "UTF-8"))
+        ).alias("caption")
+    )
+    epochs = spark.range(T.WDS_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "key")
+    got = (
+        pairs.crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "key",
+            "shard_id",
+            F.md5(
+                F.concat_ws(":", F.col("epoch").cast("string"), F.col("key"))
+            ).alias("shuffle_key"),
+            "caption",
+        )
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        .collect()
+    )
+    want = {
+        (r["epoch"], r["key"]): (r["position"], r["shard_id"], r["caption"])
+        for r in T.mm_webdataset_epoch(spark, "unused").collect()
+    }
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r["epoch"], r["key"])] == (
+            r["position"],
+            r["shard_id"],
+            r["caption"],
+        )
