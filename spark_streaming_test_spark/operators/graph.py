@@ -3277,3 +3277,142 @@ def graph_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("comp", F.col("node")).cast("bigint").alias("component"),
         )
     )
+
+
+# --- eccentricity / diameter / graph center on the top-degree core -----------
+#
+# Eccentricity needs all-pairs BFS — the same bounded-core posture as
+# exact betweenness (exactness on the dense core where the question
+# matters, estimators elsewhere). ecc(v) = max hop-distance to the
+# nodes v reaches; radius/diameter are the min/max eccentricity, the
+# center/periphery the argmins/argmaxes — the facility-location
+# readout. One multi-source BFS (frontier join per level over the
+# core edge frame), per-source max at the end; the oracle recomputes
+# distances by depth-capped recursive closure (exhaustive-path dedup
+# vs frontier BFS — different algorithms, same fixpoint).
+
+ECC_CAP = 32  # measured core eccentricity <= 10 through sf0.1
+
+
+def _ecc_core_sql() -> str:
+    return (
+        "bwitems AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk"
+        " FROM lineitem),\n"
+        "bwedges AS (SELECT a.pk AS u, b.pk AS v FROM bwitems a"
+        " JOIN bwitems b ON a.ok = b.ok AND a.pk < b.pk"
+        " GROUP BY a.pk, b.pk),\n"
+        "undall AS (SELECT u, v FROM bwedges"
+        " UNION ALL SELECT v, u FROM bwedges),\n"
+        "deg AS (SELECT u AS id, COUNT(*) AS d FROM undall GROUP BY u),\n"
+        f"core AS (SELECT id FROM deg ORDER BY d DESC, id"
+        f" LIMIT {BW_EXACT_N}),\n"
+        "und AS MATERIALIZED (SELECT e.u, e.v FROM undall e"
+        " JOIN core a ON a.id = e.u JOIN core b ON b.id = e.v)"
+    )
+
+
+@register(
+    "graph_eccentricity",
+    tags=("graph", "iterative", "centrality", "distance"),
+    oracle=f"""
+WITH RECURSIVE
+{_ecc_core_sql()},
+walk(src, node, d) AS (
+  SELECT id, id, 0 FROM core
+  UNION
+  SELECT w.src, e.v, w.d + 1
+  FROM walk w JOIN und e ON e.u = w.node
+  WHERE w.d < {ECC_CAP}
+),
+dist AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY src, node),
+ecc AS (
+  SELECT src AS node, CAST(MAX(d) AS INTEGER) AS ecc,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
+  FROM dist GROUP BY src
+),
+g AS (SELECT MIN(ecc) AS radius, MAX(ecc) AS diameter FROM ecc)
+SELECT e.node, e.ecc, e.n_reached,
+       CAST(g.radius AS INTEGER) AS radius,
+       CAST(g.diameter AS INTEGER) AS diameter,
+       (e.ecc = g.radius) AS is_center,
+       (e.ecc = g.diameter) AS is_periphery
+FROM ecc e CROSS JOIN g
+""",
+)
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact eccentricity of every node of the {BW_EXACT_N}-node
+    top-degree core (unthresholded co-purchase projection, the
+    graph_betweenness_exact fixture), with the core's radius,
+    diameter, and center/periphery flags. Multi-source frontier BFS:
+    per level one join + anti-join against settled pairs, lineage
+    truncated per level, RAISE at the {ECC_CAP} cap rather than
+    emitting truncated distances. Unreached pairs (disconnected core
+    at some SFs) simply don't contribute — ecc is per-component."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
+    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
+    edges = (
+        a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+    )
+    undall = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = undall.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    core = (
+        deg.orderBy(F.col("d").desc(), F.col("id"))
+        .limit(BW_EXACT_N)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        undall.join(
+            F.broadcast(core.select(F.col("id").alias("u"))), "u", "left_semi"
+        )
+        .join(F.broadcast(core.select(F.col("id").alias("v"))), "v", "left_semi")
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    dist = core.select(
+        F.col("id").alias("src"), F.col("id").alias("node"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for depth in range(1, ECC_CAP + 2):
+        if depth > ECC_CAP:
+            raise RuntimeError(
+                f"graph_eccentricity: BFS past the {ECC_CAP}-hop cap"
+            )
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(depth).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    ecc = dist.groupBy(F.col("src").alias("node")).agg(
+        F.max("d").cast("int").alias("ecc"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+    )
+    g = ecc.agg(
+        F.min("ecc").alias("radius"), F.max("ecc").alias("diameter")
+    )
+    return ecc.crossJoin(F.broadcast(g)).select(
+        "node",
+        "ecc",
+        "n_reached",
+        F.col("radius").cast("int"),
+        F.col("diameter").cast("int"),
+        (F.col("ecc") == F.col("radius")).alias("is_center"),
+        (F.col("ecc") == F.col("diameter")).alias("is_periphery"),
+    )

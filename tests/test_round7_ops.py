@@ -410,6 +410,62 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- eccentricity / diameter -------------------------------------------------
+
+
+def test_eccentricity_python_bfs_replay(spark, sf_dir):
+    """Per-node eccentricity must equal a plain-Python BFS from every
+    core node over the same induced subgraph; radius/diameter are the
+    min/max and the flags mark their argsets."""
+    from spark_streaming_test_spark.operators import graph
+
+    rows = graph.graph_eccentricity(spark, sf_dir).collect()
+    got = {r["node"]: r for r in rows}
+
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("pk").alias("u"))
+    b = items.select("ok", F.col("pk").alias("v"))
+    edges = (
+        a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+        .collect()
+    )
+    adj_all = defaultdict(set)
+    for r in edges:
+        adj_all[r["u"]].add(r["v"])
+        adj_all[r["v"]].add(r["u"])
+    core = sorted(adj_all, key=lambda n: (-len(adj_all[n]), n))[
+        : graph.BW_EXACT_N
+    ]
+    core_set = set(core)
+    adj = {n: [x for x in adj_all[n] if x in core_set] for n in core}
+
+    eccs = {}
+    for s in core:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        eccs[s] = (max(dist.values()), len(dist) - 1)
+    radius = min(e for e, _ in eccs.values())
+    diameter = max(e for e, _ in eccs.values())
+    assert set(got) == set(eccs)
+    for n, (e, nr) in eccs.items():
+        r = got[n]
+        assert (r["ecc"], r["n_reached"]) == (e, nr), (n, r, e, nr)
+        assert r["radius"] == radius and r["diameter"] == diameter
+        assert r["is_center"] == (e == radius)
+        assert r["is_periphery"] == (e == diameter)
+
+
 # --- NN-Descent k-NN graph ---------------------------------------------------
 
 
