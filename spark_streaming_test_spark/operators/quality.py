@@ -1422,3 +1422,114 @@ def dq_merkle_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(emit(lvl, level))
     return out
+
+
+# --- differentially-private histogram ----------------------------------------
+#
+# The release shape privacy teams actually ship: per-cell counts plus
+# two-sided geometric (discrete Laplace) noise — the integer-valued
+# epsilon-DP mechanism for counting queries. Reproducibility recipe
+# matches dq_randomized_response: the noise draw is a KEYED PRF
+# (md5-derived 60-bit uniform per released CELL), mapped through the
+# inverse CDF of the +-DP_NOISE_B-truncated geometric as PRECOMPUTED
+# DECIMAL LITERALS — noise = #(cdf entries <= u) - B is pure integer
+# comparison arithmetic, zero runtime transcendentals, bitwise equal
+# in both engines. Truncation at +-8 (> 4 sigma for eps=0.5) is the
+# standard bounded-noise variant; the true count rides along as the
+# harness's ground truth so the mechanism's error is auditable (in a
+# real release you would drop it).
+
+DP_HIST_EPSILON = 0.5
+DP_NOISE_B = 8
+# CDF of truncated discrete Laplace, p = exp(-eps), support -8..8
+_DP_CDF = (
+    "0.004548750068", "0.012048371061", "0.024413155714", "0.044799239178",
+    "0.078410208613", "0.133825328848", "0.225189416298", "0.375823330655",
+    "0.624176669345", "0.774810583702", "0.866174671152", "0.921589791387",
+    "0.955200760822", "0.975586844286", "0.987951628939", "0.995451249932",
+)  # 16 boundaries; noise = #(boundaries <= u) - 8 in [-8, 8]
+
+_DP_U_SQL = (
+    "(CAST(('0x' || substr(md5('dp:' || event_type || ':' ||"
+    " CAST(vb AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
+    " / 1152921504606846976.0)"
+)
+
+
+@register(
+    "dq_dp_histogram",
+    tags=("quality", "privacy", "dp", "histogram"),
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 50.0) AS INTEGER), 9) AS vb
+  FROM events
+),
+cells AS (
+  SELECT event_type, vb, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM b GROUP BY event_type, vb
+),
+noised AS (
+  SELECT event_type, vb, true_count,
+         CAST({" + ".join(f"CASE WHEN {_DP_U_SQL} >= {c} THEN 1 ELSE 0 END"
+                          for c in _DP_CDF)}
+              - {DP_NOISE_B} AS BIGINT) AS noise
+  FROM cells
+)
+SELECT event_type, CAST(vb AS INTEGER) AS value_bucket, true_count,
+       noise, true_count + noise AS dp_count,
+       CAST({DP_HIST_EPSILON} AS DOUBLE) AS epsilon
+FROM noised
+""",
+)
+def dq_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon={DP_HIST_EPSILON} DP histogram of events per
+    (event_type, value bucket): keyed-PRF uniform per cell, inverse-CDF
+    lookup through {2 * DP_NOISE_B} decimal literals, integer noise in
+    [-{DP_NOISE_B}, {DP_NOISE_B}] added to the exact count. One count
+    aggregate + a pure projection — the mechanism adds nothing to the
+    shuffle, which is what makes it deployable at ingest scale."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)
+        ).alias("vb"),
+    )
+    cells = b.groupBy("event_type", "vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp:"),
+                        F.col("event_type"),
+                        F.lit(":"),
+                        F.col("vb").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    noise = (
+        sum(
+            F.when(u >= F.lit(float(c)), 1).otherwise(0) for c in _DP_CDF
+        )
+        - F.lit(DP_NOISE_B)
+    ).cast("bigint")
+    return cells.select(
+        "event_type",
+        F.col("vb").cast("int").alias("value_bucket"),
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).alias("dp_count"),
+        F.lit(float(DP_HIST_EPSILON)).alias("epsilon"),
+    )

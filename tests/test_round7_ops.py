@@ -410,6 +410,52 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- DP histogram ------------------------------------------------------------
+
+
+def test_dp_histogram_mechanism_properties(spark, sf_dir):
+    """The noise must (a) replay exactly from a Python PRF + CDF
+    lookup, (b) stay within the truncation bound, (c) vary across
+    cells (the PRF is per-cell, not global), and (d) the CDF literals
+    must match a fresh computation of the truncated discrete Laplace
+    for the declared epsilon."""
+    import hashlib
+    import math
+
+    from spark_streaming_test_spark.operators import quality
+
+    # (d) CDF literals are what they claim to be
+    eps, B = quality.DP_HIST_EPSILON, quality.DP_NOISE_B
+    p = math.exp(-eps)
+    w = [p ** abs(k) for k in range(-B, B + 1)]
+    Z = sum(w)
+    acc, want = 0.0, []
+    for i in range(2 * B):
+        acc += w[i] / Z
+        want.append(round(acc, 12))
+    assert [float(c) for c in quality._DP_CDF] == want
+
+    rows = quality.dq_dp_histogram(spark, sf_dir).collect()
+    assert rows
+    noises = set()
+    for r in rows:
+        assert -B <= r["noise"] <= B
+        assert r["dp_count"] == r["true_count"] + r["noise"]
+        u = (
+            int(
+                hashlib.md5(
+                    f"dp:{r['event_type']}:{r['value_bucket']}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            / 1152921504606846976.0
+        )
+        expect = sum(1 for c in quality._DP_CDF if u >= float(c)) - B
+        assert r["noise"] == expect, r
+        noises.add(r["noise"])
+    assert len(noises) > 1, "noise is constant across cells"
+
+
 # --- Western Electric control rules ------------------------------------------
 
 
