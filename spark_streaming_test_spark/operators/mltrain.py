@@ -2338,3 +2338,174 @@ def ml_hmm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(a0 + a1), 8).alias("forward_loglik"),
         F.round(a1 / (a0 + a1), 8).alias("p_intent_final"),
     )
+
+
+# --- bagged decision stumps (random-forest building block) --------------------
+#
+# ml_decision_stump fits ONE stump; the forest primitive is B bagged
+# replicates — each trained on a Poisson(1)-bootstrap reweighting of
+# the data (agg_bootstrap_ci's replay-safe resampling: one md5 per
+# row, odd-multiplier scramble per replicate, inverse-CDF ladder of
+# DECIMAL literals — no runtime exp()). Each replicate's best split
+# over the bucketed-value grid maximizes weighted Gini gain computed
+# from EXACT integer (weight, weight*label) sums via one cumulative
+# window; the divisions happen on identical int64s in both engines.
+# The spread of chosen thresholds across replicates is the bagging
+# readout (split stability), which is what the forest actually buys.
+
+_RF_POIS_CDF = [
+    "0.36787944", "0.73575888", "0.91969860",
+    "0.98101184", "0.99634015", "0.99940582",
+]
+_RF_W_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(_RF_POIS_CDF))
+    + " ELSE 6 END"
+)
+RF_B = 16  # bagged replicates
+RF_BINS = 10  # value buckets (grid thresholds at bucket edges)
+
+
+@register(
+    "ml_rf_stumps",
+    tags=("mltrain", "forest", "bootstrap"),
+    oracle=f"""
+WITH hashed AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         LEAST(CAST(FLOOR(value / 50.0) AS INTEGER), {RF_BINS - 1}) AS g,
+         ('0x' || substr(md5('rf:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           AS h0
+  FROM events
+),
+fan AS (
+  SELECT h.y, h.g, bs.b,
+         ((h.h0 * (2 * bs.b + 1)) % 4294967296) / 4294967296.0 AS u
+  FROM hashed h CROSS JOIN (SELECT unnest(range(0, {RF_B})) AS b) bs
+),
+weighted AS (SELECT b, g, y, {_RF_W_CASE} AS w FROM fan),
+cells AS (
+  SELECT b, g, CAST(SUM(w) AS BIGINT) AS nw,
+         CAST(SUM(w * y) AS BIGINT) AS yw
+  FROM weighted GROUP BY b, g
+),
+cum AS (
+  SELECT b, g,
+         SUM(nw) OVER (PARTITION BY b ORDER BY g
+                       ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(yw) OVER (PARTITION BY b ORDER BY g
+                       ROWS UNBOUNDED PRECEDING) AS yl,
+         SUM(nw) OVER (PARTITION BY b) AS n,
+         SUM(yw) OVER (PARTITION BY b) AS y1
+  FROM cells
+),
+gains AS (
+  SELECT b, g AS t, nl, n - nl AS nr, yl, y1 - yl AS yr, n, y1,
+         (1.0 - (CAST(y1 AS DOUBLE)/n)*(CAST(y1 AS DOUBLE)/n)
+              - (CAST(n - y1 AS DOUBLE)/n)*(CAST(n - y1 AS DOUBLE)/n))
+         - (CAST(nl AS DOUBLE)/n) *
+             (1.0 - (CAST(yl AS DOUBLE)/nl)*(CAST(yl AS DOUBLE)/nl)
+                  - (CAST(nl - yl AS DOUBLE)/nl)*(CAST(nl - yl AS DOUBLE)/nl))
+         - (CAST(n - nl AS DOUBLE)/n) *
+             (1.0 - (CAST(y1 - yl AS DOUBLE)/(n - nl))
+                      *(CAST(y1 - yl AS DOUBLE)/(n - nl))
+                  - (CAST((n - nl) - (y1 - yl) AS DOUBLE)/(n - nl))
+                      *(CAST((n - nl) - (y1 - yl) AS DOUBLE)/(n - nl)))
+           AS gain
+  FROM cum WHERE g < {RF_BINS - 1} AND nl > 0 AND n - nl > 0
+),
+best AS (
+  SELECT b, t, gain, n, ROW_NUMBER() OVER (
+    PARTITION BY b ORDER BY gain DESC, t) AS rk
+  FROM gains
+)
+SELECT CAST(b AS INTEGER) AS replicate,
+       CAST(t AS INTEGER) AS best_bucket,
+       CAST((t + 1) * 50.0 AS DOUBLE) AS best_threshold,
+       round(gain, 8) AS gini_gain,
+       CAST(n AS BIGINT) AS n_weighted
+FROM best WHERE rk = 1
+""",
+)
+def ml_rf_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{RF_B} bagged decision stumps predicting 'purchase' from the
+    bucketed event value: deterministic Poisson bootstrap per
+    replicate, exact integer (weight, weight*label) cells, one
+    cumulative window per replicate for every candidate split, argmax
+    by (gain DESC, bucket). Emits each replicate's chosen split —
+    the across-replicate threshold spread IS the forest's stability
+    readout. Scale: the x{RF_B} fan-out collapses into a map-side
+    combined (b, bucket) cell aggregate; the window runs over
+    O(B x bins) rows."""
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("int"), F.lit(RF_BINS - 1)
+        ).alias("g"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rf:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h0"),
+    )
+    fan = hashed.select(
+        "y",
+        "g",
+        F.explode(F.sequence(F.lit(0), F.lit(RF_B - 1))).alias("b"),
+        "h0",
+    ).withColumn(
+        "u",
+        ((F.col("h0") * (2 * F.col("b") + 1)) % F.lit(4294967296))
+        / F.lit(4294967296.0),
+    )
+    weighted = fan.withColumn("w", F.expr(_RF_W_CASE))
+    cells = weighted.groupBy("b", "g").agg(
+        F.sum("w").cast("bigint").alias("nw"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("yw"),
+    )
+    wc = Window.partitionBy("b").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = Window.partitionBy("b")
+    cum = cells.select(
+        "b",
+        "g",
+        F.sum("nw").over(wc).alias("nl"),
+        F.sum("yw").over(wc).alias("yl"),
+        F.sum("nw").over(wb).alias("n"),
+        F.sum("yw").over(wb).alias("y1"),
+    )
+
+    def gini(y, n):
+        py = y.cast("double") / n
+        pn = (n - y).cast("double") / n
+        return F.lit(1.0) - py * py - pn * pn
+
+    nl, n, yl, y1 = F.col("nl"), F.col("n"), F.col("yl"), F.col("y1")
+    nr, yr = n - nl, y1 - yl
+    gain = (
+        gini(y1, n)
+        - (nl.cast("double") / n) * gini(yl, nl)
+        - (nr.cast("double") / n) * gini(yr, nr)
+    )
+    gains = cum.filter(
+        (F.col("g") < RF_BINS - 1) & (nl > 0) & (nr > 0)
+    ).select("b", F.col("g").alias("t"), "n", gain.alias("gain"))
+    wr = Window.partitionBy("b").orderBy(F.col("gain").desc(), "t")
+    return (
+        gains.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("b").cast("int").alias("replicate"),
+            F.col("t").cast("int").alias("best_bucket"),
+            ((F.col("t") + 1) * F.lit(50.0)).alias("best_threshold"),
+            F.round("gain", 8).alias("gini_gain"),
+            F.col("n").cast("bigint").alias("n_weighted"),
+        )
+    )

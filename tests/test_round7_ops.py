@@ -410,6 +410,68 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- bagged decision stumps --------------------------------------------------
+
+
+def test_rf_stumps_python_replay(spark, sf_dir):
+    """Every replicate's chosen split must equal a pure-Python replay:
+    same PRF weights, same Gini argmax with (gain DESC, bucket)
+    tie-break; all replicates present; and the stump must beat the
+    no-split baseline (positive gain)."""
+    import hashlib
+
+    from spark_streaming_test_spark.operators import mltrain
+
+    rows = {r["replicate"]: r for r in mltrain.ml_rf_stumps(spark, sf_dir).collect()}
+    assert set(rows) == set(range(mltrain.RF_B))
+    assert all(r["gini_gain"] > 0 for r in rows.values())
+
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+            f"LEAST(CAST(FLOOR(value / 50.0) AS INT), {mltrain.RF_BINS - 1}) AS g",
+            "event_id",
+        )
+        .collect()
+    )
+    cdf = [float(c) for c in mltrain._RF_POIS_CDF]
+    for b in range(mltrain.RF_B):
+        cells_n = [0] * mltrain.RF_BINS
+        cells_y = [0] * mltrain.RF_BINS
+        for r in raw:
+            h0 = int(
+                hashlib.md5(f"rf:{r['event_id']}".encode()).hexdigest()[:8], 16
+            )
+            u = (h0 * (2 * b + 1)) % 4294967296 / 4294967296.0
+            w = next((k for k, c in enumerate(cdf) if u < c), 6)
+            cells_n[r["g"]] += w
+            cells_y[r["g"]] += w * r["y"]
+        n, y1 = sum(cells_n), sum(cells_y)
+
+        def gini(y, n):
+            return 1.0 - (y / n) ** 2 - ((n - y) / n) ** 2
+
+        best = None
+        nl = yl = 0
+        for t in range(mltrain.RF_BINS - 1):
+            nl += cells_n[t]
+            yl += cells_y[t]
+            if nl == 0 or n - nl == 0:
+                continue
+            gain = (
+                gini(y1, n)
+                - nl / n * gini(yl, nl)
+                - (n - nl) / n * gini(y1 - yl, n - nl)
+            )
+            if best is None or gain > best[1] + 1e-15:
+                best = (t, gain)
+        r = rows[b]
+        assert r["best_bucket"] == best[0], (b, r, best)
+        assert abs(r["gini_gain"] - round(best[1], 8)) <= 1e-8
+        assert r["n_weighted"] == n
+
+
 # --- DP histogram ------------------------------------------------------------
 
 
