@@ -3416,3 +3416,230 @@ def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ecc") == F.col("radius")).alias("is_center"),
         (F.col("ecc") == F.col("diameter")).alias("is_periphery"),
     )
+
+
+# --- spectral bisection (Fiedler vector by deflated power iteration) ----------
+#
+# The classic graph-partitioning primitive: the sign pattern of the
+# Laplacian's second eigenvector bisects the graph along its sparsest
+# natural cut. On the bounded top-degree core (the exact-betweenness
+# fixture) we run FIXED-COUNT deflated power iteration on the shifted
+# operator B = dmax*I - L (PSD, top eigenvector = all-ones — deflated
+# away by mean-subtraction each step): y = (dmax - deg)x + SUM_nbr x,
+# z = y - mean(y), x' = z / ||z||. Determinism is the betweenness
+# recipe end-to-end: the neighbor sum folds messages sorted by
+# neighbor id, the global mean/norm fold the node vector sorted by
+# node id — both engines add identical doubles in identical order, so
+# after SPECTRAL_ITERS iterations the vectors are bitwise equal and
+# the 8-dp rounded emission cannot flake. No convergence probe (a
+# data-dependent stop would make iteration count partition-dependent);
+# a fixed count is the reproducible-training-job posture.
+
+SPECTRAL_ITERS = 16
+
+
+def _spectral_oracle() -> str:
+    lines = [
+        "WITH",
+        _ecc_core_sql() + ",",
+        "cdeg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS dg"
+        " FROM und GROUP BY u),",
+        "dmx AS (SELECT MAX(dg) AS dmax FROM cdeg),",
+        "x0 AS (SELECT id AS node,"
+        " CAST(('0x' || substr(md5('sb:' || CAST(id AS VARCHAR)), 1, 15))"
+        "::BIGINT AS DOUBLE) / 1152921504606846976.0 - 0.5 AS x"
+        " FROM core),",
+    ]
+    for k in range(SPECTRAL_ITERS):
+        lines += [
+            f"m{k} AS MATERIALIZED (",
+            "  SELECT c.id AS node,",
+            "         list_reduce([CAST(0 AS DOUBLE)] ||",
+            f"           COALESCE(list(xx.x ORDER BY e.v)"
+            " FILTER (xx.node IS NOT NULL), []),",
+            "           (a, b) -> a + b) AS s",
+            "  FROM core c",
+            "  LEFT JOIN und e ON e.u = c.id",
+            f"  LEFT JOIN x{k} xx ON xx.node = e.v",
+            "  GROUP BY c.id),",
+            f"y{k} AS (",
+            "  SELECT m.node,",
+            "         (CAST((SELECT dmax FROM dmx) AS DOUBLE)"
+            " - COALESCE(d.dg, 0)) * xx.x + m.s AS y",
+            f"  FROM m{k} m",
+            f"  JOIN x{k} xx ON xx.node = m.node",
+            "  LEFT JOIN cdeg d ON d.id = m.node),",
+            f"mu{k} AS (SELECT list_reduce([CAST(0 AS DOUBLE)] ||"
+            f" list(y ORDER BY node), (a, b) -> a + b)"
+            f" / (SELECT COUNT(*) FROM core) AS mu FROM y{k}),",
+            f"z{k} AS (SELECT node, y - (SELECT mu FROM mu{k}) AS z"
+            f" FROM y{k}),",
+            f"nr{k} AS (SELECT sqrt(list_reduce([CAST(0 AS DOUBLE)] ||"
+            f" list(z * z ORDER BY node), (a, b) -> a + b)) AS nr"
+            f" FROM z{k}),",
+            f"x{k + 1} AS MATERIALIZED (SELECT node,"
+            f" z / (SELECT nr FROM nr{k}) AS x FROM z{k}),",
+        ]
+    last = f"x{SPECTRAL_ITERS}"
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"""
+SELECT x.node, round(x.x, 8) AS fiedler, (round(x.x, 8) > 0) AS side,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bwedges e
+        JOIN core a ON a.id = e.u JOIN core b ON b.id = e.v
+        JOIN {last} xu ON xu.node = e.u JOIN {last} xv ON xv.node = e.v
+        WHERE (round(xu.x, 8) > 0) <> (round(xv.x, 8) > 0)) AS cut_edges
+FROM {last} x
+"""
+
+
+@register(
+    "graph_spectral_bisection",
+    tags=("graph", "iterative", "spectral", "partitioning"),
+    oracle=_spectral_oracle(),
+)
+def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiedler-vector bisection of the {BW_EXACT_N}-node top-degree
+    core by {SPECTRAL_ITERS} deflated power iterations on
+    B = dmax*I - L (see section comment for the bitwise-determinism
+    recipe). Emits each node's 8-dp Fiedler coordinate, its side of
+    the cut, and the resulting cut size. Scale: one edge-frame
+    join-aggregate per iteration (the PageRank shape), two O(nodes)
+    folds for mean/norm; nothing quadratic, nothing collected."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
+    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
+    edges = (
+        a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+    )
+    undall = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg0 = undall.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    core = (
+        deg0.orderBy(F.col("d").desc(), F.col("id"))
+        .limit(BW_EXACT_N)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        undall.join(
+            F.broadcast(core.select(F.col("id").alias("u"))), "u", "left_semi"
+        )
+        .join(F.broadcast(core.select(F.col("id").alias("v"))), "v", "left_semi")
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    cdeg = und.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dg")
+    ).localCheckpoint(eager=True)
+    dmax = cdeg.agg(F.max("dg").alias("m")).collect()[0]["m"]  # O(1) scalar
+    n_core = core.count()
+
+    x = core.select(
+        "id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sb:"), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1152921504606846976.0)
+            - F.lit(0.5)
+        ).alias("x"),
+    ).select(F.col("id").alias("node"), "x").localCheckpoint(eager=True)
+
+    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda s, v: s + v)
+    for _ in range(SPECTRAL_ITERS):
+        msg = (
+            core.select(F.col("id").alias("node"))
+            .join(und.select(F.col("u").alias("node"), "v"), "node", "left")
+            .join(
+                x.select(F.col("node").alias("v"), F.col("x").alias("xv")),
+                "v",
+                "left",
+            )
+            .groupBy("node")
+            .agg(
+                fold_sum(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("xv").isNotNull(),
+                                    F.struct(F.col("v").alias("o"), F.col("xv").alias("m")),
+                                )
+                            )
+                        ),
+                        lambda s: s["m"],
+                    )
+                ).alias("s")
+            )
+        )
+        y = (
+            msg.join(x, "node")
+            .join(cdeg.select(F.col("id").alias("node"), "dg"), "node", "left")
+            .select(
+                "node",
+                (
+                    (F.lit(float(dmax)) - F.coalesce(F.col("dg"), F.lit(0)).cast("double"))
+                    * F.col("x")
+                    + F.col("s")
+                ).alias("y"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        mu = y.agg(
+            (
+                fold_sum(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("node", "y"))),
+                        lambda s: s["y"],
+                    )
+                )
+                / F.lit(float(n_core))
+            ).alias("mu")
+        )
+        z = y.crossJoin(F.broadcast(mu)).select(
+            "node", (F.col("y") - F.col("mu")).alias("z")
+        )
+        nr = z.agg(
+            F.sqrt(
+                fold_sum(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("node", (F.col("z") * F.col("z")).alias("zz")))),
+                        lambda s: s["zz"],
+                    )
+                )
+            ).alias("nr")
+        )
+        x = (
+            z.crossJoin(F.broadcast(nr))
+            .select("node", (F.col("z") / F.col("nr")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    side = F.round("x", 8) > 0
+    sides = x.select("node", F.round("x", 8).alias("fiedler"), side.alias("side"))
+    cut = (
+        edges.join(F.broadcast(core.select(F.col("id").alias("u"))), "u", "left_semi")
+        .join(F.broadcast(core.select(F.col("id").alias("v"))), "v", "left_semi")
+        .join(sides.select(F.col("node").alias("u"), F.col("side").alias("su")), "u")
+        .join(sides.select(F.col("node").alias("v"), F.col("side").alias("sv")), "v")
+        .filter(F.col("su") != F.col("sv"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cut_edges"))
+    )
+    return sides.crossJoin(F.broadcast(cut)).select(
+        "node", "fiedler", "side", "cut_edges"
+    )

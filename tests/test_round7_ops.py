@@ -410,6 +410,85 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- spectral bisection ------------------------------------------------------
+
+
+def test_spectral_bisection_replay_and_cut_quality(spark, sf_dir):
+    """(a) The Fiedler coordinates must match a numpy replay of the
+    identical deflated power iteration (same init PRF, same update
+    equations) to 1e-6; (b) both sides populated; (c) the spectral
+    cut must not exceed the expected random-cut size for the same
+    side-balance (the bisection finds structure, not noise);
+    (d) cut_edges matches a direct recount."""
+    import hashlib
+
+    import numpy as np
+
+    from spark_streaming_test_spark.operators import graph
+
+    rows = graph.graph_spectral_bisection(spark, sf_dir).collect()
+    got = {r["node"]: r for r in rows}
+    sides = {r["node"]: r["side"] for r in rows}
+    assert {True, False} == set(sides.values())
+
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("pk").alias("u"))
+    b = items.select("ok", F.col("pk").alias("v"))
+    edges = (
+        a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+        .collect()
+    )
+    adj_all = defaultdict(set)
+    for r in edges:
+        adj_all[r["u"]].add(r["v"])
+        adj_all[r["v"]].add(r["u"])
+    core = sorted(adj_all, key=lambda n: (-len(adj_all[n]), n))[
+        : graph.BW_EXACT_N
+    ]
+    core_set = set(core)
+    nodes = sorted(core_set)
+    idx = {n: i for i, n in enumerate(nodes)}
+    nn = len(nodes)
+    A = np.zeros((nn, nn))
+    for u, vs in adj_all.items():
+        if u in core_set:
+            for v in vs:
+                if v in core_set:
+                    A[idx[u], idx[v]] = 1.0
+    deg = A.sum(axis=1)
+    dmax = deg.max()
+
+    x = np.array(
+        [
+            int(hashlib.md5(f"sb:{n}".encode()).hexdigest()[:15], 16)
+            / 1152921504606846976.0
+            - 0.5
+            for n in nodes
+        ]
+    )
+    for _ in range(graph.SPECTRAL_ITERS):
+        y = (dmax - deg) * x + A @ x
+        z = y - y.sum() / nn
+        x = z / np.sqrt((z * z).sum())
+    for n in nodes:
+        assert abs(got[n]["fiedler"] - round(x[idx[n]], 8)) < 1e-6, n
+
+    core_edges = [
+        (u, v) for u, vs in adj_all.items() for v in vs
+        if u < v and u in core_set and v in core_set
+    ]
+    cut = sum(1 for u, v in core_edges if sides[u] != sides[v])
+    assert rows[0]["cut_edges"] == cut
+    p = sum(sides.values()) / len(sides)
+    expected_random = 2 * p * (1 - p) * len(core_edges)
+    assert cut <= expected_random + 1e-9, (cut, expected_random)
+
+
 # --- bagged decision stumps --------------------------------------------------
 
 
