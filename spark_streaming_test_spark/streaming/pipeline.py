@@ -727,3 +727,89 @@ def holt_winters_stream(values: DataFrame, period: int = 24) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming HMM filter (scaled forward algorithm with state) ---------------
+
+HMM_FILTER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("forward_loglik", T.DoubleType()),
+        T.StructField("p_intent", T.DoubleType()),
+    ]
+)
+
+
+def _hmm_filter_fn() -> Callable[..., Iterator[pd.DataFrame]]:
+    """applyInPandasWithState fold for :func:`hmm_filter_stream`: the
+    SCALED forward recurrence (normalize alphas each step, accumulate
+    log of the scale) — the numerically-unbounded-stream form whose
+    batch twin is ``ml_hmm_forward`` (which can stay unscaled because
+    corpus sequences are ~70 steps). State per user is O(1):
+    (a0, a1, loglik, n)."""
+    import math
+
+    from ..operators.mltrain import _F_A, _F_E, _F_PI, _V_CATS
+
+    cats = {c: i for i, c in enumerate(_V_CATS)}
+    pi = [float(v) for v in _F_PI]
+    A = [[float(v) for v in row] for row in _F_A]
+    E = [[float(v) for v in row] for row in _F_E]
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            a0, a1, ll, n = state.get
+        else:
+            a0, a1, ll, n = None, None, 0.0, 0
+        for et in pdf["event_type"]:
+            x = cats[et]
+            if a0 is None:
+                b0, b1 = pi[0] * E[0][x], pi[1] * E[1][x]
+            else:
+                b0 = (a0 * A[0][0] + a1 * A[1][0]) * E[0][x]
+                b1 = (a0 * A[0][1] + a1 * A[1][1]) * E[1][x]
+            c = b0 + b1
+            ll += math.log(c)
+            a0, a1 = b0 / c, b1 / c
+            n += 1
+        state.update((float(a0), float(a1), float(ll), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user],
+                "n_events": [n],
+                "forward_loglik": [ll],
+                "p_intent": [a1],
+            }
+        )
+
+    return fn
+
+
+def hmm_filter_stream(events: DataFrame) -> DataFrame:
+    """Per-user streaming HMM posterior: every micro-batch advances
+    the scaled forward recurrence from checkpointed state and emits
+    the running sequence log-likelihood and filtered P(intent). The
+    session-scoring shape: state is two doubles per user regardless
+    of stream length, each batch costs O(batch events), and a
+    restart resumes mid-sequence from the checkpoint (exactly the
+    mid-epoch-resume property tests pin). Input needs columns
+    (user_id, ts, event_id, event_type)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _hmm_filter_fn(),
+        outputStructType=HMM_FILTER_SCHEMA,
+        stateStructType=T.StructType(
+            [
+                T.StructField("a0", T.DoubleType()),
+                T.StructField("a1", T.DoubleType()),
+                T.StructField("ll", T.DoubleType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -410,6 +410,126 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- streaming HMM filter ----------------------------------------------------
+
+
+def test_hmm_filter_stream_restart_matches_full_fold(spark, tmp_path):
+    """The streaming scaled-forward filter must resume from the
+    checkpoint across a restart and, after all batches, equal (a) a
+    pure-Python scaled fold over the FULL concatenated sequence and
+    (b) the unscaled batch formula ln(a0+a1) — the scaling identity —
+    to 1e-8. A fresh fold over only the second wave would get both
+    the count and the likelihood wrong."""
+    import glob as _glob
+    import math
+
+    from spark_streaming_test_spark.operators import mltrain
+    from spark_streaming_test_spark.streaming.pipeline import (
+        hmm_filter_stream,
+    )
+
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+
+    waves = [
+        [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (1, "2024-01-01 00:01:00", 2, "click"),
+            (2, "2024-01-01 00:02:00", 3, "purchase"),
+        ],
+        [
+            (1, "2024-01-01 00:03:00", 4, "purchase"),
+            (2, "2024-01-01 00:04:00", 5, "error"),
+            (2, "2024-01-01 00:05:00", 6, "purchase"),
+        ],
+    ]
+
+    def write_wave(i):
+        spark.createDataFrame(
+            [(u, __import__("datetime").datetime.fromisoformat(t), e, c)
+             for u, t, e, c in waves[i]],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        ev = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        return (
+            hmm_filter_stream(ev)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    write_wave(0)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    write_wave(1)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _glob.glob(f"{out}/*.parquet")
+    rows = spark.read.parquet(out).collect()
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+
+    cats = {c: i for i, c in enumerate(mltrain._V_CATS)}
+    pi = [float(v) for v in mltrain._F_PI]
+    A = [[float(v) for v in row] for row in mltrain._F_A]
+    E = [[float(v) for v in row] for row in mltrain._F_E]
+    seqs = defaultdict(list)
+    for wave in waves:
+        for u, t, e, c in wave:
+            seqs[u].append((t, e, cats[c]))
+    for u, seq in seqs.items():
+        xs = [c for _, _, c in sorted(seq)]
+        # scaled replay
+        a = None
+        ll = 0.0
+        ua = [pi[0], pi[1]]
+        for x in xs:
+            if a is None:
+                b = [pi[0] * E[0][x], pi[1] * E[1][x]]
+            else:
+                b = [
+                    (a[0] * A[0][0] + a[1] * A[1][0]) * E[0][x],
+                    (a[0] * A[0][1] + a[1] * A[1][1]) * E[1][x],
+                ]
+            c0 = b[0] + b[1]
+            ll += math.log(c0)
+            a = [b[0] / c0, b[1] / c0]
+        # unscaled identity
+        ua = [pi[0] * E[0][xs[0]], pi[1] * E[1][xs[0]]]
+        for x in xs[1:]:
+            ua = [
+                (ua[0] * A[0][0] + ua[1] * A[1][0]) * E[0][x],
+                (ua[0] * A[0][1] + ua[1] * A[1][1]) * E[1][x],
+            ]
+        r = final[u]
+        assert r["n_events"] == len(xs)
+        assert abs(r["forward_loglik"] - ll) < 1e-12
+        assert abs(r["forward_loglik"] - math.log(ua[0] + ua[1])) < 1e-8
+        assert abs(r["p_intent"] - ua[1] / (ua[0] + ua[1])) < 1e-8
+    # restart really resumed: user 1's wave-1 row shows n_events=2,
+    # the final row n_events=3 (cumulative, not re-folded)
+    u1 = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
+    assert u1 == [2, 3], u1
+
+
 # --- spectral bisection ------------------------------------------------------
 
 
