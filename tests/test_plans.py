@@ -1335,3 +1335,155 @@ def test_cidr_match_broadcasts_prefix_table(spark, qs):
     assert re.search(r"BroadcastNestedLoopJoin \w+ Build\w+ \(\d+\)", plan), plan[:1200]
     checks.assert_no_cartesian(df)
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# --- round-7 plan pins --------------------------------------------------------
+
+
+def _n_nodes(plan: str, op: str) -> int:
+    """Count PHYSICAL NODES of type ``op`` via the details-section
+    headers '(<id>) <op>' — the tree and details sections each repeat
+    the name, so a raw substring count double-counts."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_betweenness_exact_core_semijoins_broadcast(spark):
+    # The 192-row core must reach the edge frame as BROADCAST semi
+    # joins (left_semi over broadcast exchange) — a shuffled semi-join
+    # here would re-shuffle the full projection at 100 TB for a
+    # KB-sized filter. The query's final frame is checkpoint-truncated
+    # (the Brandes loop runs eagerly), so pin the INDUCTION stage by
+    # rebuilding the identical core-filter expression.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators.graph import BW_EXACT_N
+
+    items = (
+        load(spark, SF_DIR, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("pk").alias("u"))
+    b = items.select("ok", F.col("pk").alias("v"))
+    edges = (
+        a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+    )
+    undall = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = undall.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    core = deg.orderBy(F.col("d").desc(), F.col("id")).limit(BW_EXACT_N).select("id")
+    und = (
+        undall.join(F.broadcast(core.select(F.col("id").alias("u"))), "u", "left_semi")
+        .join(F.broadcast(core.select(F.col("id").alias("v"))), "v", "left_semi")
+        .select("u", "v")
+    )
+    plan = checks.formatted_plan(und)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:1500]
+    checks.assert_no_cartesian(und)
+    assert "BatchEvalPython" not in plan
+
+
+def test_mis_luby_rounds_are_join_aggregates(spark, qs):
+    # Each Luby round is one equi-join + min-aggregate; nothing
+    # Python, nothing cartesian, and the final frame unions per-round
+    # winner sets (localCheckpoint truncates the loop lineage, so the
+    # plan must stay shallow — scan of checkpointed RDDs, not a
+    # 24-round join tower).
+    df = qs["graph_mis_luby"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    checks.assert_no_cartesian(df)
+    assert "BatchEvalPython" not in plan
+    assert _n_nodes(plan, "Exchange") <= 3, plan[:2000]
+
+
+def test_nn_descent_final_plan_shallow_and_jvm(spark, qs):
+    # After the rounds (checkpoint-truncated), the emitted graph is
+    # two equi-joins against the embedding frame with the cosine fold
+    # in codegen — no Python, no cartesian, no payload-vector shuffle
+    # beyond those joins.
+    df = qs["sim_nn_descent"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    checks.assert_no_cartesian(df)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dp_histogram_single_aggregate_projection(spark, qs):
+    # The DP mechanism must add ZERO stages: one hash aggregate over
+    # the scan, then a pure projection for the noise — no second
+    # shuffle, no Python, no join.
+    df = qs["dq_dp_histogram"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert _n_nodes(plan, "Exchange") == 1, plan[:1500]
+    assert "BatchEvalPython" not in plan
+    checks.assert_operator(df, "HashAggregate")
+
+
+def test_rf_stumps_cells_aggregate_before_window(spark, qs):
+    # The xRF_B fan-out must collapse into the (b, bucket) cell
+    # aggregate (map-side partials) BEFORE any window: the window may
+    # only see O(B x bins) rows. Generate -> HashAggregate -> Window
+    # order in the plan, and no Python.
+    df = qs["ml_rf_stumps"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    i_gen = plan.find("Generate")
+    i_agg = plan.find("HashAggregate")
+    i_win = plan.find("Window")
+    assert -1 < i_gen and -1 < i_agg and -1 < i_win, plan[:1500]
+    checks.assert_no_cartesian(df)
+
+
+def test_iv_2sls_two_aggregates_no_join(spark, qs):
+    # user-grain aggregate -> single-row moment aggregate -> final
+    # projection: two exchanges total (user shuffle + single-partition
+    # gather), no join anywhere.
+    df = qs["ab_test_iv_2sls"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Join" not in plan, plan[:1500]
+    assert _n_nodes(plan, "Exchange") <= 2, plan[:1500]
+    assert "BatchEvalPython" not in plan
+
+
+def test_delong_windows_over_count_frame(spark, qs):
+    # Both cumulative windows run over the per-(day, score) COUNT
+    # frame: exactly one aggregate before the windows, and the window
+    # input must not be the raw scan (the count aggregate comes first
+    # in the plan's bottom-up order).
+    df = qs["mlstats_auc_delong_ci"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("Window") >= 2, plan[:1500]
+    assert "BatchEvalPython" not in plan
+    checks.assert_no_cartesian(df)
+
+
+def test_gopher_and_readability_scan_fused(spark, qs):
+    # Pure per-row array math: zero exchanges except the scan — the
+    # whole rule set must fuse into the projection.
+    for name in ("text_gopher_rules", "text_readability"):
+        df = qs[name](spark, SF_DIR)
+        plan = checks.formatted_plan(df)
+        # the one allowed exchange is spread()'s round-robin
+        # repartition of the tiny doc fixture — at scale the scan
+        # parallelizes itself and spread() is a no-op
+        assert _n_nodes(plan, "Exchange") <= 1, (name, plan[:1200])
+        assert "HashAggregate" not in plan, name  # no hidden reduce
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_we_rules_one_daily_reduce_one_window_pass(spark, qs):
+    # daily reduce -> broadcast moments -> ONE window pass computing
+    # all rule counters (shared WINDOW partitioning: the three frames
+    # differ only in ROWS bounds, so Spark evaluates them in one
+    # Window operator chain, not three shuffles).
+    df = qs["ts_control_rules_we"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    # exchanges: daily group-by, moment group-by, broadcast, window sort
+    assert _n_nodes(plan, "Exchange") <= 4, plan[:2000]
+    assert _n_nodes(plan, "Window") <= 1, plan[:2000]
+    assert "BatchEvalPython" not in plan
+    checks.assert_broadcast_join(df)
