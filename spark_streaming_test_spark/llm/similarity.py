@@ -1366,27 +1366,42 @@ def _nnd_oracle() -> str:
         " e2.embedding::DOUBLE[])))"
     )
     lines = [
-        "WITH n AS (SELECT COUNT(*) AS n FROM embeddings),",
-        "g0 AS (",
+        # ONE materialized scan: the unrolled rounds reference the
+        # embedding frame ~4x per round, and DuckDB re-opens the
+        # parquet file per view reference — enough to exhaust the fd
+        # limit inside a long driver session (observed); MATERIALIZED
+        # pins a single scan.
+        "WITH embm AS MATERIALIZED (SELECT vec_id, embedding"
+        " FROM embeddings),",
+        "n AS (SELECT COUNT(*) AS n FROM embm),",
+        "g0 AS MATERIALIZED (",
         "  SELECT v.vec_id AS v,",
         f"         CAST((v.vec_id + j.j * {NND_STEP}) % (SELECT n FROM n)"
         "           AS BIGINT) AS u",
-        f"  FROM embeddings v, LATERAL unnest(range(1, {NND_K} + 1)) AS j(j)",
+        f"  FROM embm v, LATERAL unnest(range(1, {NND_K} + 1)) AS j(j)",
         "  WHERE (v.vec_id + j.j * 17) % (SELECT n FROM n) <> v.vec_id),",
     ]
+    # EVERY per-round CTE is MATERIALIZED: und is referenced 3x by
+    # cand, so un-materialized CTEs inline ~6x per round — an
+    # exponential 6^rounds expansion that multiplies the parquet scan
+    # thousands of times ("too many open files") or hangs the
+    # optimizer outright (observed both). Materialization makes each
+    # round evaluate exactly once, mirroring the Spark side's
+    # localCheckpoint-per-round.
     for r in range(NND_ROUNDS):
         lines += [
-            f"und{r} AS (SELECT v, u FROM g{r} UNION SELECT u, v FROM g{r}),",
-            f"cand{r} AS (",
+            f"und{r} AS MATERIALIZED (SELECT v, u FROM g{r}"
+            f" UNION SELECT u, v FROM g{r}),",
+            f"cand{r} AS MATERIALIZED (",
             f"  SELECT DISTINCT a.v, b.u AS w",
             f"  FROM und{r} a JOIN und{r} b ON a.u = b.v WHERE b.u <> a.v",
             f"  UNION SELECT v, u FROM und{r}),",
-            f"sc{r} AS (",
+            f"sc{r} AS MATERIALIZED (",
             f"  SELECT c.v, c.w, {cos} AS cosine",
             f"  FROM cand{r} c",
-            f"  JOIN embeddings e1 ON e1.vec_id = c.v",
-            f"  JOIN embeddings e2 ON e2.vec_id = c.w),",
-            f"g{r + 1} AS (",
+            f"  JOIN embm e1 ON e1.vec_id = c.v",
+            f"  JOIN embm e2 ON e2.vec_id = c.w),",
+            f"g{r + 1} AS MATERIALIZED (",
             f"  SELECT v, w AS u FROM (",
             f"    SELECT v, w, ROW_NUMBER() OVER (PARTITION BY v",
             f"      ORDER BY cosine DESC, w) AS rk FROM sc{r})",
@@ -1402,8 +1417,8 @@ SELECT gg.v AS vec_id, gg.u AS neighbor_id,
             * sqrt(list_inner_product(e2.embedding::DOUBLE[],
                    e2.embedding::DOUBLE[]))) AS cosine
 FROM {g} gg
-JOIN embeddings e1 ON e1.vec_id = gg.v
-JOIN embeddings e2 ON e2.vec_id = gg.u
+JOIN embm e1 ON e1.vec_id = gg.v
+JOIN embm e2 ON e2.vec_id = gg.u
 """
 
 

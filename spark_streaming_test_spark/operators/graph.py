@@ -3462,7 +3462,7 @@ def _spectral_oracle() -> str:
             "  LEFT JOIN und e ON e.u = c.id",
             f"  LEFT JOIN x{k} xx ON xx.node = e.v",
             "  GROUP BY c.id),",
-            f"y{k} AS (",
+            f"y{k} AS MATERIALIZED (",
             "  SELECT m.node,",
             "         (CAST((SELECT dmax FROM dmx) AS DOUBLE)"
             " - COALESCE(d.dg, 0)) * xx.x + m.s AS y",
@@ -3472,7 +3472,7 @@ def _spectral_oracle() -> str:
             f"mu{k} AS (SELECT list_reduce([CAST(0 AS DOUBLE)] ||"
             f" list(y ORDER BY node), (a, b) -> a + b)"
             f" / (SELECT COUNT(*) FROM core) AS mu FROM y{k}),",
-            f"z{k} AS (SELECT node, y - (SELECT mu FROM mu{k}) AS z"
+            f"z{k} AS MATERIALIZED (SELECT node, y - (SELECT mu FROM mu{k}) AS z"
             f" FROM y{k}),",
             f"nr{k} AS (SELECT sqrt(list_reduce([CAST(0 AS DOUBLE)] ||"
             f" list(z * z ORDER BY node), (a, b) -> a + b)) AS nr"
