@@ -2823,3 +2823,153 @@ def dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("nmsg").alias("n_nfc_forms"),
         F.md5(F.encode(F.min("nmsg"), "UTF-8")).alias("nfc_md5"),
     )
+
+
+# --- Bloom-filter dedup prescreen ---------------------------------------------
+#
+# At 100 TB the exact-dedup shuffle moves every content hash; the
+# standard cheapening is a BLOOM PRESCREEN — broadcast a bit array
+# built from the base corpus, drop the (majority) definitely-new
+# delta docs before anything shuffles, send only bloom-hits to the
+# exact check. Built here entirely in int64 bit arithmetic: the
+# filter is BLOOM_WORDS 64-bit words aggregated by bit_or (a
+# map-side-combinable, order-free reduction), the K probe positions
+# are md5-derived, and two's-complement shifts behave identically in
+# both engines — so even the "probabilistic" structure is bitwise
+# oracle-checkable. The exact-membership join rides along as ground
+# truth, making the false-positive rate an ASSERTED quantity rather
+# than a hoped one.
+
+BLOOM_BITS = 4096  # m
+BLOOM_WORDS = BLOOM_BITS // 32  # 32 bits/word: DuckDB rejects 1<<63
+BLOOM_K = 3
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('b{j}:' || h), 1, 15))::BIGINT"
+        f" % {BLOOM_BITS} AS INTEGER)"
+    )
+
+
+@register(
+    "dedup_bloom_prescreen",
+    tags=("llm", "dedup", "bloom", "incremental"),
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h, doc_id % {DELTA_MOD} = 0 AS is_delta
+  FROM documents
+),
+base_bits AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+  FROM (
+    SELECT unnest([{", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))}])
+             AS pos
+    FROM hashed WHERE NOT is_delta
+  ) GROUP BY pos // 32
+),
+probe AS (
+  SELECT doc_id, h,
+         [{", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))}] AS ps
+  FROM hashed WHERE is_delta
+),
+checked AS (
+  SELECT p.doc_id, p.h,
+         CAST(SUM(CASE WHEN (b.bits >> (pos % 32)) & 1 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+  FROM (SELECT doc_id, h, unnest(ps) AS pos FROM probe) p
+  LEFT JOIN base_bits b ON b.word_idx = pos // 32
+  GROUP BY p.doc_id, p.h
+),
+truth AS (
+  SELECT DISTINCT h FROM hashed WHERE NOT is_delta
+)
+SELECT c.doc_id,
+       (c.n_set = {BLOOM_K}) AS bloom_hit,
+       (t.h IS NOT NULL) AS in_base,
+       ((c.n_set = {BLOOM_K}) AND t.h IS NULL) AS false_positive
+FROM checked c LEFT JOIN truth t ON t.h = c.h
+""",
+)
+def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-base Bloom prescreen over content md5s: base docs
+    set {BLOOM_K} md5-derived positions in a {BLOOM_BITS}-bit filter
+    (64-bit words, bit_or aggregate — order-free, mergeable), delta
+    docs probe it, exact membership rides along to label false
+    positives. No false NEGATIVES by construction (asserted in
+    tests); the FP rate at this load factor is a few percent —
+    exactly the fraction that still pays the exact-check shuffle.
+    Scale: the filter is O({BLOOM_WORDS}) words broadcast to every
+    probe task; the probe is a projection + tiny-table join."""
+    d = spread(load(spark, sf_dir, "documents"))
+    hashed = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (F.col("doc_id") % DELTA_MOD == 0).alias("is_delta"),
+    ).localCheckpoint(eager=True)
+
+    def pos(j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{j}:"), F.col("h"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_BITS
+        ).cast("int")
+
+    base_bits = (
+        hashed.filter(~F.col("is_delta"))
+        .select(
+            F.explode(F.array(*[pos(j) for j in range(BLOOM_K)])).alias("pos")
+        )
+        .groupBy((F.col("pos") / 32).cast("int").alias("word_idx"))
+        .agg(
+            # shiftleft's python signature takes a literal bit count;
+            # a column count needs the SQL form
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), pos % 32)")
+            ).alias("bits")
+        )
+    )
+    probe = hashed.filter("is_delta").select(
+        "doc_id",
+        "h",
+        F.explode(F.array(*[pos(j) for j in range(BLOOM_K)])).alias("pos"),
+    )
+    checked = (
+        probe.join(
+            F.broadcast(base_bits),
+            (F.col("pos") / 32).cast("int") == F.col("word_idx"),
+            "left",
+        )
+        .groupBy("doc_id", "h")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("shiftright(bits, pos % 32) & 1") == 1, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_set")
+        )
+    )
+    truth = (
+        hashed.filter(~F.col("is_delta"))
+        .select("h")
+        .distinct()
+        .withColumn("in_b", F.lit(True))
+    )
+    hit = F.col("n_set") == BLOOM_K
+    return (
+        checked.join(F.broadcast(truth), "h", "left")
+        .select(
+            "doc_id",
+            hit.alias("bloom_hit"),
+            F.coalesce("in_b", F.lit(False)).alias("in_base"),
+            (hit & F.col("in_b").isNull()).alias("false_positive"),
+        )
+    )

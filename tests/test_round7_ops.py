@@ -410,6 +410,32 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- Bloom prescreen ---------------------------------------------------------
+
+
+def test_bloom_prescreen_properties(spark, sf_dir):
+    """The Bloom guarantees, asserted: zero false NEGATIVES (every
+    delta doc whose content hash exists in base must bloom-hit), the
+    false-positive rate stays under the theoretical bound with slack
+    (k=3, m=4096 at this base load), and false_positive labeling is
+    consistent with (bloom_hit, in_base)."""
+    from spark_streaming_test_spark.llm import dedup as dd
+
+    rows = dd.dedup_bloom_prescreen(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["false_positive"] == (r["bloom_hit"] and not r["in_base"])
+        if r["in_base"]:
+            assert r["bloom_hit"], f"FALSE NEGATIVE at doc {r['doc_id']}"
+    n = len(rows)
+    fp = sum(r["false_positive"] for r in rows)
+    not_in_base = sum(1 for r in rows if not r["in_base"])
+    if not_in_base:
+        # theoretical fp ~ (1 - e^{-kn/m})^k; with base <= 500 docs,
+        # k=3, m=4096 that is < 0.05 — allow generous slack
+        assert fp / not_in_base < 0.2, (fp, not_in_base)
+
+
 # --- streaming HMM filter ----------------------------------------------------
 
 
