@@ -1462,3 +1462,158 @@ def sim_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --- beam search over the k-NN graph (the graph-ANN query path) ---------------
+#
+# sim_nn_descent BUILDS the k-NN graph; this is the other half of a
+# graph-ANN index: answering a query by GREEDY BEAM SEARCH over that
+# graph (the HNSW/NSG search procedure, single-layer form). Per hop,
+# the beam's out-neighbors become candidates, are scored against the
+# query, and the top BEAM_W survive; a fixed hop budget replaces the
+# usual converged-when-no-improvement stop so the whole search is a
+# deterministic unrollable pipeline (and at 100 TB, a BATCH of
+# queries runs as one frame — per-hop: one join + one window — not a
+# per-query loop). Entry points are the ring-seed neighbors of node 0
+# plus node 0 itself, deterministic. Recall vs exact top-k is the
+# quality readout and is asserted in tests.
+
+BEAM_W = 12
+BEAM_HOPS = 4
+
+
+def _beam_oracle() -> str:
+    cos = (
+        "list_inner_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[])"
+        " / (sqrt(list_inner_product(eq.embedding::DOUBLE[],"
+        " eq.embedding::DOUBLE[]))"
+        " * sqrt(list_inner_product(ec.embedding::DOUBLE[],"
+        " ec.embedding::DOUBLE[])))"
+    )
+    # the k-NN graph: reuse the full NN-Descent unroll, then search it
+    g = _nnd_oracle()
+    head, tail = g.split("\nSELECT gg.v AS vec_id,", 1)
+    lines = [
+        head + ",",
+        f"knn AS MATERIALIZED (SELECT v, u FROM g{NND_ROUNDS}),",
+        f"queries AS (SELECT vec_id AS q FROM embm WHERE vec_id <"
+        f" {N_QUERIES}),",
+        # DuckDB disallows subqueries inside lambdas, so the ring
+        # entries come from a LATERAL range cross-joined with n
+        "beam0 AS MATERIALIZED (",
+        "  SELECT DISTINCT qq.q,"
+        f" CAST((j.j * {NND_STEP}) % nn.n AS BIGINT) AS c",
+        "  FROM queries qq CROSS JOIN n nn,",
+        f"  LATERAL unnest(range(0, {NND_K} + 1)) AS j(j)",
+        f"  WHERE CAST((j.j * {NND_STEP}) % nn.n AS BIGINT) <> qq.q),",
+    ]
+    for h in range(BEAM_HOPS):
+        lines += [
+            f"bcand{h} AS MATERIALIZED (",
+            f"  SELECT DISTINCT b.q, k.u AS c FROM beam{h} b",
+            f"  JOIN knn k ON k.v = b.c",
+            f"  WHERE k.u <> b.q",
+            f"  UNION SELECT q, c FROM beam{h}),",
+            f"bsc{h} AS MATERIALIZED (",
+            f"  SELECT c.q, c.c, {cos} AS cosine",
+            f"  FROM bcand{h} c",
+            f"  JOIN embm eq ON eq.vec_id = c.q",
+            f"  JOIN embm ec ON ec.vec_id = c.c),",
+            f"beam{h + 1} AS MATERIALIZED (",
+            f"  SELECT q, c FROM (",
+            f"    SELECT q, c, ROW_NUMBER() OVER (PARTITION BY q",
+            f"      ORDER BY cosine DESC, c) AS rk FROM bsc{h})",
+            f"  WHERE rk <= {BEAM_W}),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"""
+SELECT b.q AS query_id, b.c AS neighbor_id,
+       list_inner_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[])
+         / (sqrt(list_inner_product(eq.embedding::DOUBLE[],
+                 eq.embedding::DOUBLE[]))
+            * sqrt(list_inner_product(ec.embedding::DOUBLE[],
+                   ec.embedding::DOUBLE[]))) AS cosine
+FROM beam{BEAM_HOPS} b
+JOIN embm eq ON eq.vec_id = b.q
+JOIN embm ec ON ec.vec_id = b.c
+"""
+
+
+@register(
+    "sim_knn_graph_search",
+    tags=("llm", "similarity", "knn-graph", "search"),
+    oracle=_beam_oracle(),
+)
+def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch beam search ({BEAM_HOPS} hops, width {BEAM_W}) over the
+    NN-Descent k-NN graph for the {N_QUERIES} standard query vectors:
+    per hop, expand the beam through the graph's out-edges, score
+    against the query (bitwise cosine fold), keep the top beam per
+    query (ties by id). Emits the final beam with scores — the
+    graph-ANN answer set whose recall the tests grade against exact
+    top-k. Scale: queries batch into ONE frame; each hop is an
+    equi-join against the O(N*k) edge list + a per-query window —
+    candidate ids shuffle, payload vectors only enter the score join."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    emb = e.select("vec_id", _as_double("embedding").alias("x")).localCheckpoint(
+        eager=True
+    )
+    knn = nn_descent(spark, emb, n, NND_K, NND_ROUNDS)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("x").alias("xq")
+    ).localCheckpoint(eager=True)
+    entries = [0] + [(0 + j * NND_STEP) % n for j in range(1, NND_K + 1)]
+    beam = (
+        queries.select("q")
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(int(c),) for c in entries], "c bigint"
+                ).distinct()
+            )
+        )
+        .filter(F.col("c") != F.col("q"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BEAM_HOPS):
+        expand = (
+            beam.join(knn.withColumnRenamed("v", "c"), "c")
+            .filter(F.col("u") != F.col("q"))
+            .select("q", F.col("u").alias("c"))
+        )
+        cand = expand.union(beam.select("q", "c")).distinct()
+        sc = (
+            cand.join(queries, "q")
+            .join(
+                emb.select(F.col("vec_id").alias("c"), F.col("x").alias("xc")),
+                "c",
+            )
+            .select(
+                "q",
+                "c",
+                (
+                    dot(F.col("xq"), F.col("xc"))
+                    / (norm(F.col("xq")) * norm(F.col("xc")))
+                ).alias("cosine"),
+            )
+        )
+        wnd = Window.partitionBy("q").orderBy(F.col("cosine").desc(), "c")
+        beam = (
+            sc.withColumn("rk", F.row_number().over(wnd))
+            .filter(F.col("rk") <= BEAM_W)
+            .select("q", "c")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        beam.join(queries, "q")
+        .join(emb.select(F.col("vec_id").alias("c"), F.col("x").alias("xc")), "c")
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("c").alias("neighbor_id"),
+            (
+                dot(F.col("xq"), F.col("xc"))
+                / (norm(F.col("xq")) * norm(F.col("xc")))
+            ).alias("cosine"),
+        )
+    )

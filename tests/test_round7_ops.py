@@ -410,6 +410,47 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- k-NN graph beam search --------------------------------------------------
+
+
+def test_knn_graph_search_recall(spark, sf_dir):
+    """The beam's top results must recover a solid share of the exact
+    top-5 neighbors for each query (well above the ~BEAM_W/N random
+    baseline), the beam must be exactly BEAM_W wide per query, and
+    beam members must never include the query itself."""
+    import numpy as np
+
+    from spark_streaming_test_spark.llm import similarity as S
+
+    rows = S.sim_knn_graph_search(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q[r["query_id"]].append((r["cosine"], r["neighbor_id"]))
+    assert set(by_q) == set(range(S.N_QUERIES))
+    assert all(len(v) == S.BEAM_W for v in by_q.values())
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    hits = total = 0
+    for q in range(S.N_QUERIES):
+        sims = Xn @ Xn[q]
+        sims[q] = -np.inf
+        exact5 = set(np.argsort(-sims, kind="stable")[:5].tolist())
+        got = {c for _, c in by_q[q]}
+        hits += len(got & exact5)
+        total += 5
+    recall = hits / total
+    # random baseline = BEAM_W/N ~= 0.024; the graph walk must do far
+    # better even on the weak-locality corpus fixture
+    assert recall >= 0.3, recall
+
+
 # --- Bloom prescreen ---------------------------------------------------------
 
 
