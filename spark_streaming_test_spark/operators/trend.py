@@ -3651,3 +3651,150 @@ def ts_control_rules_we(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule4.alias("rule4"),
         (rule1 | rule2 | rule3 | rule4).alias("any_signal"),
     )
+
+
+# --- Theta-method forecast ----------------------------------------------------
+#
+# The M3-competition winner and still the default strong baseline:
+# decompose the series into theta-lines — theta=0 is the linear trend
+# (long-run signal), theta=2 doubles the local curvature
+# (2*x - trend) — forecast the theta=2 line by SES and average it
+# with the extrapolated trend. Trend coefficients come from EXACT
+# integer moments (cents grain: n, St, Sx, Stx with t = 0..n-1), the
+# SES is the one ordered fold every engine pair reproduces bitwise,
+# and the final blend is literal arithmetic — rounded at 8 dp.
+
+THETA_ALPHA = "0.3"
+
+
+@register(
+    "ts_theta_forecast",
+    tags=("timeseries", "trend", "forecast"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, d, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1
+              AS BIGINT) AS t
+  FROM daily
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(t * c) AS BIGINT) AS stx
+  FROM idx GROUP BY event_type
+),
+fit AS (
+  SELECT event_type, n,
+         CAST(n * stx - st * sx AS DOUBLE)
+           / CAST(n * stt - st * st AS DOUBLE) AS b,
+         (CAST(sx AS DOUBLE) - CAST(n * stx - st * sx AS DOUBLE)
+              / CAST(n * stt - st * st AS DOUBLE) * st) / n AS a
+  FROM mom
+),
+theta2 AS (
+  SELECT i.event_type, i.t,
+         2.0 * i.c - (f.a + f.b * i.t) AS z
+  FROM idx i JOIN fit f USING (event_type)
+),
+ses AS (
+  SELECT event_type,
+         list_reduce(list(z ORDER BY t),
+           (acc, x) -> acc + CAST({THETA_ALPHA} AS DOUBLE) * (x - acc))
+           AS level
+  FROM theta2 GROUP BY event_type
+)
+SELECT f.event_type,
+       f.n AS n_days,
+       round(f.a / 100.0, 8) AS trend_intercept,
+       round(f.b / 100.0, 8) AS trend_slope,
+       round(s.level / 100.0, 8) AS ses_theta2,
+       round((0.5 * (f.a + f.b * f.n) + 0.5 * s.level) / 100.0, 8)
+         AS theta_forecast
+FROM fit f JOIN ses s USING (event_type)
+""",
+)
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead Theta forecast of each event type's daily total
+    (dollars): OLS trend from exact integer moments, SES (alpha
+    {THETA_ALPHA}, seeded with the first theta2 value — the
+    list_reduce convention) over the theta=2 line, blend 50/50 with
+    the trend extrapolated to t=n. One daily reduce, one window for
+    the index, one ordered fold per type."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type",
+        "c",
+        (F.row_number().over(wo) - 1).cast("bigint").alias("t"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("c")).cast("bigint").alias("stx"),
+    )
+    b = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")).cast(
+        "double"
+    ) / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    a = (F.col("sx").cast("double") - b * F.col("st")) / F.col("n")
+    fit = mom.select("event_type", "n", b.alias("b"), a.alias("a"))
+    theta2 = idx.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "t",
+        (F.lit(2.0) * F.col("c") - (F.col("a") + F.col("b") * F.col("t"))).alias(
+            "z"
+        ),
+    )
+    alpha = F.lit(float(THETA_ALPHA))
+    ses = theta2.groupBy("event_type").agg(
+        F.aggregate(
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("t", "z"))),
+                    lambda s: s["z"],
+                ),
+                2,
+                1_000_000,
+            ),
+            F.element_at(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("t", "z"))),
+                    lambda s: s["z"],
+                ),
+                1,
+            ),
+            lambda acc, x: acc + alpha * (x - acc),
+        ).alias("level")
+    )
+    return (
+        fit.join(ses, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(F.col("a") / 100.0, 8).alias("trend_intercept"),
+            F.round(F.col("b") / 100.0, 8).alias("trend_slope"),
+            F.round(F.col("level") / 100.0, 8).alias("ses_theta2"),
+            F.round(
+                (
+                    F.lit(0.5) * (F.col("a") + F.col("b") * F.col("n"))
+                    + F.lit(0.5) * F.col("level")
+                )
+                / 100.0,
+                8,
+            ).alias("theta_forecast"),
+        )
+    )

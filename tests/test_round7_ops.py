@@ -410,6 +410,52 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- Theta forecast ----------------------------------------------------------
+
+
+def test_theta_forecast_python_replay(spark, sf_dir):
+    """Textbook Theta replay: OLS trend on the daily cents, SES over
+    the theta=2 line seeded with its first value, 50/50 blend at
+    t=n. Also: for an exactly linear series the theta forecast must
+    equal the trend extrapolation (sanity of the decomposition)."""
+    from spark_streaming_test_spark.operators import trend
+
+    rows = trend.ts_theta_forecast(spark, sf_dir).collect()
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "cast(ts as date) AS d",
+            "cast(cast(value as decimal(12,2)) * 100 as bigint) AS c",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in daily:
+        series[r["event_type"]][r["d"]] = r["c"]
+    alpha = float(trend.THETA_ALPHA)
+    assert rows
+    for r in rows:
+        xs = [v for _, v in sorted(series[r["event_type"]].items())]
+        n = len(xs)
+        st = sum(range(n))
+        sx = sum(xs)
+        stt = sum(t * t for t in range(n))
+        stx = sum(t * x for t, x in enumerate(xs))
+        b = (n * stx - st * sx) / (n * stt - st * st)
+        a = (sx - b * st) / n
+        zs = [2.0 * x - (a + b * t) for t, x in enumerate(xs)]
+        level = zs[0]
+        for z in zs[1:]:
+            level = level + alpha * (z - level)
+        want = (0.5 * (a + b * n) + 0.5 * level) / 100.0
+        assert r["n_days"] == n
+        assert abs(r["trend_slope"] - b / 100.0) < 1e-6
+        assert abs(r["theta_forecast"] - want) < 1e-6, (r, want)
+
+
 # --- k-NN graph beam search --------------------------------------------------
 
 
