@@ -2104,3 +2104,101 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fk_grade"
         ),
     )
+
+
+# --- confusable skeleton (IDN homograph detection) ----------------------------
+#
+# The companion to punycode decoding: once an IDN label is in Unicode,
+# spoof detection maps every character to its CONFUSABLE SKELETON
+# (UTS #39's technique — visually-identical characters collapse to one
+# canonical form) and compares skeletons where raw strings differ. The
+# mapping here is the high-traffic Cyrillic/Greek -> Latin subset as a
+# literal translate() table — per-codepoint, stateless, identical in
+# both engines. The fixture derives domains from doc_id: every third
+# domain is homograph-spoofed (Latin a/e/o/p/c swapped for their
+# Cyrillic twins), so detection has exact ground truth.
+
+CONFUSABLE_FROM = "аеорсхуіοα"
+CONFUSABLE_TO = "aeopcxyio" + "a"  # cyr a e o r s h u i + greek omicron alpha
+_TRUSTED_BRANDS = (
+    "paypal", "google", "amazon", "apple", "spark", "github", "openai",
+    "micro",
+)
+
+
+@register(
+    "text_confusable_skeleton",
+    tags=("text", "idn", "security", "homograph"),
+    oracle=f"""
+WITH brands(b) AS (VALUES {", ".join(f"('{b}')" for b in _TRUSTED_BRANDS)}),
+doms AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN translate([{", ".join(f"'{b}'" for b in _TRUSTED_BRANDS)}]
+                     [CAST(doc_id % {len(_TRUSTED_BRANDS)} AS INTEGER) + 1],
+                     'aeo',
+                     'аео')
+              ELSE [{", ".join(f"'{b}'" for b in _TRUSTED_BRANDS)}]
+                     [CAST(doc_id % {len(_TRUSTED_BRANDS)} AS INTEGER) + 1]
+         END || '.com' AS domain
+  FROM documents
+),
+sk AS (
+  SELECT doc_id, domain,
+         translate(domain, '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}')
+           AS skeleton,
+         domain <> translate(domain, '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}')
+           AS has_confusables
+  FROM doms
+)
+SELECT s.doc_id, s.domain, s.skeleton, s.has_confusables,
+       (s.has_confusables AND t.b IS NOT NULL) AS is_spoof
+FROM sk s
+LEFT JOIN brands t ON t.b || '.com' = s.skeleton AND s.has_confusables
+""",
+)
+def text_confusable_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homograph-spoof detection by confusable skeletonization: map
+    the Cyrillic/Greek lookalike set onto Latin, then flag domains
+    whose skeleton lands on a trusted brand while the raw string
+    contains confusables. Pure translate() projections + one
+    broadcast-sized brand join — the post-punycode screening step of
+    a URL-ingest pipeline, shuffle-free at any scale."""
+    d = spread(load(spark, sf_dir, "documents"))
+    brand = F.element_at(
+        F.array(*[F.lit(b) for b in _TRUSTED_BRANDS]),
+        (F.col("doc_id") % len(_TRUSTED_BRANDS)).cast("int") + 1,
+    )
+    spoofed = F.translate(brand, "aeo", "аео")
+    domain = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, spoofed).otherwise(brand),
+        F.lit(".com"),
+    )
+    sk = d.select("doc_id", domain.alias("domain")).select(
+        "doc_id",
+        "domain",
+        F.translate("domain", CONFUSABLE_FROM, CONFUSABLE_TO).alias("skeleton"),
+        (
+            F.col("domain")
+            != F.translate("domain", CONFUSABLE_FROM, CONFUSABLE_TO)
+        ).alias("has_confusables"),
+    )
+    trusted = spark.createDataFrame(
+        [(b + ".com",) for b in _TRUSTED_BRANDS], "tb string"
+    )
+    return (
+        sk.join(
+            F.broadcast(trusted),
+            (F.col("tb") == F.col("skeleton")) & F.col("has_confusables"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "domain",
+            "skeleton",
+            "has_confusables",
+            (F.col("has_confusables") & F.col("tb").isNotNull()).alias(
+                "is_spoof"
+            ),
+        )
+    )

@@ -410,6 +410,33 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- confusable skeleton -----------------------------------------------------
+
+
+def test_confusable_skeleton_ground_truth(spark, sf_dir):
+    """Exact ground truth from the fixture formula: a domain is a
+    spoof iff doc_id % 3 == 0 AND its brand contains a substitutable
+    letter (a/e/o); skeletons of spoofs equal their brand's trusted
+    form; clean domains pass through unchanged."""
+    from spark_streaming_test_spark.llm import text_analysis as ta
+
+    rows = ta.text_confusable_skeleton(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        doc_id = r["doc_id"]
+        brand = ta._TRUSTED_BRANDS[doc_id % len(ta._TRUSTED_BRANDS)]
+        should_spoof = doc_id % 3 == 0 and any(ch in brand for ch in "aeo")
+        assert r["is_spoof"] == should_spoof, r
+        assert r["has_confusables"] == should_spoof, r
+        if should_spoof:
+            assert r["skeleton"] == brand + ".com"
+            assert r["domain"] != brand + ".com"
+        else:
+            assert r["domain"] == brand + ".com" == r["skeleton"]
+    assert any(r["is_spoof"] for r in rows)
+    assert any(not r["is_spoof"] for r in rows)
+
+
 # --- Theta forecast ----------------------------------------------------------
 
 
