@@ -1726,3 +1726,170 @@ def mm_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "make string, orientation int, taken_at string"
         ),
     )
+
+
+# --- netpbm (PPM P6 / PGM P5) decode -------------------------------------------
+#
+# The third codec-free raster family after BMP and PNG: netpbm binary
+# formats are the lingua franca of imaging pipelines (every converter
+# speaks them) and exercise a DIFFERENT parsing skill than BMP's fixed
+# struct — a free-form ASCII header (magic, whitespace, '#' comments,
+# width/height/maxval tokens) in front of raw big-row-major samples.
+# The fixture mixes P6 (RGB) and P5 (grayscale) files, with a comment
+# line injected into every third header so the tokenizer's
+# comment-skipping is load-bearing. Closed-form pixel formulas give
+# the DuckDB oracle independent arithmetic for every emitted value.
+
+PNM_N = 30
+
+
+def _pnm_pixel(i: int):
+    return lambda x, y, c: (2 * x + 3 * y + 5 * i + 17 * c) % 256
+
+
+def write_pnm(path: str, magic: str, w: int, h: int, px) -> None:
+    """P6 (3 channels) or P5 (1 channel) with maxval 255; every third
+    image gets a comment line in the header."""
+    i = int(path.rsplit("pnm_", 1)[1][:4])
+    chans = 3 if magic == "P6" else 1
+    hdr = magic + "\n"
+    if i % 3 == 0:
+        hdr += f"# synthetic fixture {i}\n"
+    hdr += f"{w} {h}\n255\n"
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            for c in range(chans):
+                body.append(px(x, y, c))
+    with open(path, "wb") as f:
+        f.write(hdr.encode("ascii"))
+        f.write(bytes(body))
+
+
+def decode_pnm(buf: bytes):
+    """(magic, width, height, maxval, samples ndarray) from P5/P6
+    bytes — tokenizing the header with '#'-comment skipping."""
+    import numpy as np
+
+    magic = buf[:2].decode("ascii")
+    if magic not in ("P5", "P6"):
+        raise ValueError(f"not a binary netpbm file: {magic!r}")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        ch = buf[pos : pos + 1]
+        if ch == b"#":
+            while buf[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while not buf[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval, per spec
+    w, h, maxval = tokens
+    chans = 3 if magic == "P6" else 1
+    data = np.frombuffer(buf, dtype=np.uint8, count=w * h * chans, offset=pos)
+    return magic, w, h, maxval, data.reshape(h, w, chans)
+
+
+def _pnm_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_pnm_pixel, write_pnm, PNM_N)
+    d = _os.path.join(SCRATCH, f"pnm_images_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(PNM_N):
+        p = _os.path.join(d, f"pnm_{i:04d}.pnm")
+        if not _os.path.exists(p):
+            tmp = _os.path.join(d, f"pnm_{i:04d}.pnm.tmp")
+            magic = "P6" if i % 2 == 0 else "P5"
+            # the writer re-derives i from the path for the comment
+            # rule; the tmp name keeps the pnm_NNNN prefix
+            write_pnm(tmp, magic, 6 + i % 7, 3 + i % 4, _pnm_pixel(i))
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_decode_pnm",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 6 + i % 7 AS w, 3 + i % 4 AS h,
+         CASE WHEN i % 2 = 0 THEN 'P6' ELSE 'P5' END AS magic,
+         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS chans
+  FROM range({PNM_N}) t(i)
+),
+px AS (
+  SELECT i, w, h, magic, chans, xx.x AS x, yy.y AS y, cc.c AS c
+  FROM imgs,
+       LATERAL unnest(range(0, w)) AS xx(x),
+       LATERAL unnest(range(0, h)) AS yy(y),
+       LATERAL unnest(range(0, chans)) AS cc(c)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       MAX(magic) AS magic,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(MAX(chans) AS INTEGER) AS channels,
+       CAST(SUM((2 * x + 3 * y + 5 * i + 17 * c) % 256) AS BIGINT)
+         AS sum_all,
+       CAST(SUM(CASE WHEN c = 0
+                THEN (2 * x + 3 * y + 5 * i) % 256 ELSE 0 END) AS BIGINT)
+         AS sum_c0,
+       CAST((5 * i) % 256 AS INTEGER) AS topleft_c0,
+       CAST((2 * (MAX(w) - 1) + 3 * (MAX(h) - 1) + 5 * i
+             + 17 * (MAX(chans) - 1)) % 256 AS INTEGER)
+         AS bottomright_clast
+FROM px GROUP BY i
+""",
+)
+def mm_decode_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL netpbm decode: binaryFile scan -> header tokenizer
+    (magic / comments / dimension tokens) -> raw sample reshape inside
+    mapInPandas; emits per-image dims, channel count, exact sample
+    sums and position-sensitive corners (a row-major mix-up or an
+    off-by-one after the comment line breaks the hash). One decode
+    task per file; samples never leave the Arrow batch."""
+    import numpy as np
+
+    d = _pnm_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.pnm"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("pnm_", 1)[1][:4])
+                magic, w, h, maxval, px = decode_pnm(bytes(content))
+                assert maxval == 255
+                chans = px.shape[2]
+                rows.append(
+                    (
+                        img_id, magic, w, h, chans,
+                        int(px.astype(np.int64).sum()),
+                        int(px[:, :, 0].astype(np.int64).sum()),
+                        int(px[0, 0, 0]),
+                        int(px[h - 1, w - 1, chans - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "magic", "width", "height", "channels",
+                    "sum_all", "sum_c0", "topleft_c0", "bottomright_clast",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        "img_id bigint, magic string, width int, height int, channels int,"
+        " sum_all bigint, sum_c0 bigint, topleft_c0 int,"
+        " bottomright_clast int",
+    )

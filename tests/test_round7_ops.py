@@ -410,6 +410,48 @@ def test_croston_python_replay(spark, sf_dir):
             assert len(days) < trend.CROSTON_MIN_EPOCHS
 
 
+# --- netpbm decode -----------------------------------------------------------
+
+
+def test_pnm_decoder_roundtrip_and_comment_handling(spark):
+    """Unit decode checks independent of the fixture: a hand-built P6
+    with a comment and multi-space separators parses to the exact
+    pixels; a P5 without comments too; non-netpbm bytes raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    buf = b"P6\n# a comment\n# another\n 2  2\n255\n" + bytes(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+    )
+    magic, w, h, maxval, px = mm.decode_pnm(buf)
+    assert (magic, w, h, maxval) == ("P6", 2, 2, 255)
+    assert px.tolist() == [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]]
+
+    buf5 = b"P5\n3 1\n255\n" + bytes([9, 8, 7])
+    magic, w, h, maxval, px = mm.decode_pnm(buf5)
+    assert (magic, w, h) == ("P5", 3, 1)
+    assert px.reshape(-1).tolist() == [9, 8, 7]
+
+    with _pytest.raises(ValueError):
+        mm.decode_pnm(b"BM\x00\x00")
+
+    # fixture round-trip: write then decode equals the formula
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/pnm_0007.pnm"
+        mm.write_pnm(p, "P6", 4, 3, mm._pnm_pixel(7))
+        magic, w, h, _, px = mm.decode_pnm(open(p, "rb").read())
+        f = mm._pnm_pixel(7)
+        for y in range(3):
+            for x in range(4):
+                for c in range(3):
+                    assert px[y, x, c] == f(x, y, c)
+    assert np is not None
+
+
 # --- confusable skeleton -----------------------------------------------------
 
 
