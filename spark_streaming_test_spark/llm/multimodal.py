@@ -1893,3 +1893,71 @@ def mm_decode_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
         " sum_all bigint, sum_c0 bigint, topleft_c0 int,"
         " bottomright_clast int",
     )
+
+
+# --- streaming/batch DataSource: netpbm files landing in a directory ----------
+
+from pyspark.sql.datasource import DataSource  # noqa: E402
+
+from ..sources.pcap_file import (  # noqa: E402
+    PcapDirBatchReader,
+    PcapDirStreamReader,
+)
+
+PNM_DIR_SCHEMA = (
+    "path string, img_id int, magic string, width int, height int,"
+    " channels int, sum_all bigint, topleft_c0 int"
+)
+
+
+def _read_pnm_file(path: str) -> "Iterator[tuple]":
+    import numpy as np
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic, w, h, _maxval, px = decode_pnm(buf)
+    img_id = int(path.rsplit("pnm_", 1)[1][:4]) if "pnm_" in path else -1
+    yield (
+        path,
+        img_id,
+        magic,
+        w,
+        h,
+        px.shape[2],
+        int(px.astype(np.int64).sum()),
+        int(px[0, 0, 0]),
+    )
+
+
+class PnmDirBatchReader(PcapDirBatchReader):
+    _GLOB = "*.pnm"
+    _parse_file = staticmethod(_read_pnm_file)
+
+
+class PnmDirStreamReader(PcapDirStreamReader):
+    _GLOB = "*.pnm"
+    _parse_file = staticmethod(_read_pnm_file)
+
+
+class PnmDirDataSource(DataSource):
+    """format('pnm_dir') — the pcap_dir landing contract for netpbm
+    images dropped in a directory: name-anchored offsets, one file per
+    partition, exactly-once; each file decodes to its O(1) feature row
+    at ingest (pixels never enter the stream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pnm_dir"
+
+    def schema(self) -> str:
+        return PNM_DIR_SCHEMA
+
+    def reader(self, schema):
+        return PnmDirBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return PnmDirStreamReader(self.options)
+
+
+def register_pnm_source(spark: SparkSession) -> None:
+    spark.dataSource.register(PnmDirDataSource)

@@ -452,6 +452,59 @@ def test_pnm_decoder_roundtrip_and_comment_handling(spark):
     assert np is not None
 
 
+def test_pnm_dir_stream_exactly_once(spark, tmp_path):
+    """pnm_dir landing stream: images arrive in two waves; every file
+    decodes exactly once (name-anchored offsets), idle triggers re-read
+    nothing, and the streamed feature rows equal direct decodes."""
+    import os
+    import shutil
+
+    from spark_streaming_test_spark.llm import multimodal as mm
+
+    mm.register_pnm_source(spark)
+    fixture = mm._pnm_fixture_dir()
+    files = sorted(os.listdir(fixture))
+    src = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def land(names):
+        for n in names:
+            shutil.copyfile(os.path.join(fixture, n), os.path.join(src, n + ".tmp"))
+            os.replace(os.path.join(src, n + ".tmp"), os.path.join(src, n))
+
+    land(files[:10])
+    q = (
+        spark.readStream.format("pnm_dir")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land(files[10:])
+        q.processAllAvailable()
+        q.processAllAvailable()  # idle trigger: no re-reads
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == mm.PNM_N
+    assert sorted(r["img_id"] for r in rows) == list(range(mm.PNM_N))
+    for r in rows:
+        [(path, img_id, magic, w, h, chans, sum_all, tl)] = list(
+            mm._read_pnm_file(os.path.join(fixture, f"pnm_{r['img_id']:04d}.pnm"))
+        )
+        assert (r["magic"], r["width"], r["height"], r["channels"]) == (
+            magic, w, h, chans,
+        )
+        assert (r["sum_all"], r["topleft_c0"]) == (sum_all, tl)
+
+
 # --- confusable skeleton -----------------------------------------------------
 
 
