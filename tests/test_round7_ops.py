@@ -452,6 +452,53 @@ def test_pnm_decoder_roundtrip_and_comment_handling(spark):
     assert np is not None
 
 
+def test_coreness_equals_peeling_replay(spark, sf_dir):
+    """The H-index fixpoint must equal sequential min-degree PEELING
+    (the textbook coreness algorithm — a genuinely different,
+    priority-queue computation), and the k-core consistency property
+    must hold: within the subgraph of nodes with coreness >= k, every
+    node keeps >= k neighbors (spot-checked at the max shell)."""
+    import heapq
+
+    from spark_streaming_test_spark.operators import graph
+
+    rows = graph.graph_coreness(spark, sf_dir).collect()
+    got = {r["node"]: r["coreness"] for r in rows}
+    degs = {r["node"]: r["degree"] for r in rows}
+
+    edges = [
+        (r["u"], r["v"])
+        for r in graph._copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    assert degs == {n: len(adj[n]) for n in adj}
+
+    deg = {n: len(adj[n]) for n in adj}
+    core, seen, cur = {}, set(), 0
+    heap = [(d, n) for n, d in deg.items()]
+    heapq.heapify(heap)
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in seen or d > deg[n]:
+            continue
+        seen.add(n)
+        cur = max(cur, deg[n])
+        core[n] = cur
+        for w in adj[n]:
+            if w not in seen:
+                deg[w] -= 1
+                heapq.heappush(heap, (deg[w], w))
+    assert got == core
+
+    kmax = max(got.values())
+    shell = {n for n, c in got.items() if c >= kmax}
+    for n in shell:
+        assert len(adj[n] & shell) >= kmax, n
+
+
 def test_pnm_dir_stream_exactly_once(spark, tmp_path):
     """pnm_dir landing stream: images arrive in two waves; every file
     decodes exactly once (name-anchored offsets), idle triggers re-read
