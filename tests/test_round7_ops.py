@@ -452,6 +452,83 @@ def test_pnm_decoder_roundtrip_and_comment_handling(spark):
     assert np is not None
 
 
+def test_stream_stream_left_outer_null_padding(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join: matched rows emit
+    eagerly; UNMATCHED left rows emit null-padded only after the
+    watermark passes the join-condition's upper bound (Spark holds
+    them in state until no future right row could match). Both the
+    padded and matched sets are asserted against the batch answer."""
+    import datetime
+    import glob as _glob
+
+    import pyspark.sql.functions as SF
+
+    src_l = str(tmp_path / "l")
+    src_r = str(tmp_path / "r")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    schema = "k bigint, ts timestamp, side string"
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    def write(path, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    # wave 1: left keys 1 (will match), 2 (never matches); right key 1
+    write(src_l, [(1, ts(0), "l"), (2, ts(1), "l")])
+    write(src_r, [(1, ts(2), "r")])
+
+    def start():
+        left = (
+            spark.readStream.schema(schema)
+            .parquet(src_l)
+            .withWatermark("ts", "0 seconds")
+            .select(SF.col("k"), SF.col("ts").alias("lts"))
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .parquet(src_r)
+            .withWatermark("ts", "0 seconds")
+            .select(SF.col("k").alias("rk"), SF.col("ts").alias("rts"))
+        )
+        j = left.join(
+            right,
+            (left["k"] == right["rk"])
+            & (right["rts"] >= left["lts"])
+            & (right["rts"] <= left["lts"] + SF.expr("interval 10 minutes")),
+            "leftOuter",
+        )
+        return (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        # wave 2: advance BOTH watermarks far past key 2's match window
+        write(src_l, [(9, ts(40), "l")])
+        write(src_r, [(9, ts(41), "r")])
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _glob.glob(f"{out}/*.parquet")
+    rows = spark.read.parquet(out).collect()
+    got = {(r["k"], r["rk"]) for r in rows}
+    # key 1 matched, key 9 matched, key 2 null-padded after expiry
+    assert (1, 1) in got and (9, 9) in got
+    assert (2, None) in got, got
+    # no duplicate emission of the padded row
+    assert sum(1 for r in rows if r["k"] == 2) == 1
+
+
 def test_coreness_equals_peeling_replay(spark, sf_dir):
     """The H-index fixpoint must equal sequential min-degree PEELING
     (the textbook coreness algorithm — a genuinely different,
