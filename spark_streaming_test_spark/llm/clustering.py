@@ -721,3 +721,131 @@ def sample_kmeans_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.col("p_include")).alias("weight"),
         )
     )
+
+
+# --- k-center greedy (farthest-point) initialization --------------------------
+#
+# The deterministic cousin of k-means++ and the textbook 2-approximation
+# for the k-center objective (Gonzalez 1985): start from a fixed seed,
+# repeatedly pick the point FARTHEST from the chosen set. It is also
+# the standard coreset/diversity seed for embedding clustering. Each
+# of the K-1 selection rounds is one distance projection + one global
+# argmax — a data-dependent scalar, which the oracle unrolls as
+# materialized 1-row CTEs consumed by the next round (the BPE-train
+# technique). Distances are squared-L2 via the module's fold-exact dot
+# products; argmax ties break by vec_id, and the shrinking COVERAGE
+# RADIUS per round (the 2-approx guarantee curve) is emitted alongside
+# each chosen center.
+
+KCENTER_K = 8
+
+
+def _kc_dist_sql(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}::DOUBLE[], {a}::DOUBLE[])"
+        f" + list_inner_product({b}::DOUBLE[], {b}::DOUBLE[])"
+        f" - 2 * list_inner_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    )
+
+
+def _kcenter_oracle() -> str:
+    lines = [
+        "WITH embm AS MATERIALIZED (SELECT vec_id, embedding"
+        " FROM embeddings),",
+        # round 0: the fixed seed is vec_id 0; its radius = max dist
+        "d0 AS MATERIALIZED (",
+        "  SELECT e.vec_id,",
+        f"  {_kc_dist_sql('e.embedding', 'c.embedding')} AS d",
+        "  FROM embm e JOIN embm c ON c.vec_id = 0),",
+        "c0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS center_id,",
+        "  (SELECT MAX(d) FROM d0) AS radius2),",
+    ]
+    for j in range(1, KCENTER_K):
+        lines += [
+            # next center = argmax of current min-distance (ties by id)
+            f"pick{j} AS MATERIALIZED (SELECT vec_id AS center_id, d",
+            f"  FROM d{j - 1} ORDER BY d DESC, vec_id LIMIT 1),",
+            f"d{j} AS MATERIALIZED (",
+            "  SELECT e.vec_id,",
+            f"  LEAST(p.d2, {_kc_dist_sql('e.embedding', 'c.embedding')})"
+            " AS d",
+            f"  FROM embm e",
+            f"  JOIN (SELECT vec_id, d AS d2 FROM d{j - 1}) p"
+            " ON p.vec_id = e.vec_id",
+            f"  JOIN embm c ON c.vec_id = (SELECT center_id FROM pick{j})),",
+            f"c{j} AS MATERIALIZED (",
+            f"  SELECT (SELECT center_id FROM pick{j}) AS center_id,",
+            f"  (SELECT MAX(d) FROM d{j}) AS radius2),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {j} AS round, center_id, round(radius2, 8) AS radius2"
+        f" FROM c{j}"
+        for j in range(KCENTER_K)
+    )
+    return "\n".join(lines) + "\n" + sel
+
+
+@register(
+    "emb_kcenter_greedy",
+    tags=("llm", "clustering", "coreset", "iterative"),
+    oracle=_kcenter_oracle(),
+)
+def emb_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCENTER_K} k-center seeds by farthest-point traversal from
+    vec_id 0, with the post-selection coverage radius (max min-dist^2)
+    per round — a NON-INCREASING curve (asserted in tests) that is the
+    algorithm's 2-approximation certificate. Per round: one LEAST()
+    distance update over the corpus (the chosen center broadcasts as
+    a 1-row frame) and one top-1 argmax — no pairwise stage, state is
+    one double per vector. The same loop at 100 TB seeds coreset
+    construction and diversity sampling."""
+    from ..llm.similarity import dot
+
+    e = load(spark, sf_dir, "embeddings")
+    emb = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).localCheckpoint(eager=True)
+
+    def dist2(xa, xb):
+        return dot(xa, xa) + dot(xb, xb) - 2 * dot(xa, xb)
+
+    seed = emb.filter(F.col("vec_id") == 0).select(
+        F.col("x").alias("cx")
+    )
+    d = (
+        emb.crossJoin(F.broadcast(seed))
+        .select("vec_id", dist2(F.col("x"), F.col("cx")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    out_rows = [(0, 0)]
+    radii = [d.agg(F.max("d").alias("m")).collect()[0]["m"]]  # O(1) scalar
+    for j in range(1, KCENTER_K):
+        pick = (
+            d.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
+        )  # 1-row argmax — the reference-style bounded collect
+        cid = pick["vec_id"]
+        out_rows.append((j, cid))
+        cx = emb.filter(F.col("vec_id") == cid).select(
+            F.col("x").alias("cx")
+        )
+        d = (
+            emb.join(d, "vec_id")
+            .crossJoin(F.broadcast(cx))
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("d"), dist2(F.col("x"), F.col("cx"))
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        radii.append(d.agg(F.max("d").alias("m")).collect()[0]["m"])
+    res = spark.createDataFrame(
+        [
+            (r, int(c), float(rad))
+            for (r, c), rad in zip(out_rows, radii)
+        ],
+        "round int, center_id bigint, radius2 double",
+    )
+    return res.select("round", "center_id", F.round("radius2", 8).alias("radius2"))

@@ -452,6 +452,44 @@ def test_pnm_decoder_roundtrip_and_comment_handling(spark):
     assert np is not None
 
 
+def test_kcenter_greedy_properties(spark, sf_dir):
+    """Gonzalez farthest-point invariants: the radius curve is
+    non-increasing; every chosen center (after the seed) was the
+    farthest point at its round (numpy replay); centers are distinct;
+    and the final radius is at most the round-1 radius (trivial) and
+    strictly below the seed's (the selection actually covers)."""
+    import numpy as np
+
+    from spark_streaming_test_spark.llm import clustering as C
+
+    rows = sorted(
+        C.emb_kcenter_greedy(spark, sf_dir).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(C.KCENTER_K))
+    centers = [r["center_id"] for r in rows]
+    assert len(set(centers)) == C.KCENTER_K
+    radii = [r["radius2"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:])), radii
+    assert radii[-1] < radii[0]
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    picked = [0]
+    for j in range(1, C.KCENTER_K):
+        # argmax with id tie-break
+        m = d.max()
+        cand = min(i for i in range(len(d)) if d[i] >= m - 0.0)
+        assert centers[j] == cand, (j, centers[j], cand)
+        d = np.minimum(d, ((X - X[cand]) ** 2).sum(axis=1))
+        picked.append(cand)
+        assert abs(radii[j] - round(d.max(), 8)) < 1e-6
+
+
 def test_stream_stream_left_outer_null_padding(spark, tmp_path):
     """Watermarked stream-stream LEFT OUTER join: matched rows emit
     eagerly; UNMATCHED left rows emit null-padded only after the
