@@ -1487,3 +1487,42 @@ def test_we_rules_one_daily_reduce_one_window_pass(spark, qs):
     assert _n_nodes(plan, "Window") <= 1, plan[:2000]
     assert "BatchEvalPython" not in plan
     checks.assert_broadcast_join(df)
+
+
+def test_theta_single_daily_reduce_then_tiny_frames(spark, qs):
+    # One corpus-sized reduce (the daily grain); everything after runs
+    # on O(types x days) rows with the fit broadcast back.
+    df = qs["ts_theta_forecast"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    checks.assert_broadcast_join(df)
+    assert "BatchEvalPython" not in plan
+    checks.assert_no_cartesian(df)
+
+
+def test_confusable_skeleton_broadcast_brandlist(spark, qs):
+    # The trusted-brand list joins broadcast; the skeleton itself is
+    # a pure translate() projection (no Python, no extra exchange
+    # beyond spread()'s round-robin).
+    df = qs["text_confusable_skeleton"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    checks.assert_broadcast_join(df)
+    assert "BatchEvalPython" not in plan
+    assert _n_nodes(plan, "Exchange") <= 1, plan[:1500]
+
+
+def test_bloom_prescreen_filter_broadcast(spark, qs):
+    # Both the 128-word bit array and the truth set reach the probe as
+    # broadcasts — the probe side never shuffles.
+    df = qs["dedup_bloom_prescreen"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1 or "BroadcastNestedLoopJoin" in plan
+    checks.assert_no_cartesian(df)
+
+
+def test_pnm_decode_single_python_stage(spark, qs):
+    # Exactly one Arrow-batched Python stage (the decoder); pixels
+    # never shuffle — the plan above MapInPandas is scan-only.
+    df = qs["mm_decode_pnm"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert _n_nodes(plan, "MapInPandas") == 1, plan[:1500]
+    assert "BatchEvalPython" not in plan
