@@ -3798,3 +3798,141 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theta_forecast"),
         )
     )
+
+
+# --- Haar wavelet decomposition -----------------------------------------------
+#
+# The multiresolution twin of the spectral-power query: unnormalized
+# Haar DWT is pairwise sums (approximation) and differences (detail),
+# repeated log2(n) times — every coefficient an exact INTEGER on the
+# cents grain, so per-level detail ENERGIES (sum of squared details,
+# the standard change/burst localization readout) hash exactly with
+# zero float anywhere. The 30-day series zero-pads to 32; each level
+# is one group-by on t//2 — five tiny aggregates after the one daily
+# reduce. Int64 headroom: approx coefficients reach 32x the daily
+# total and energies square them — fine through ~sf1, DECIMAL(38)
+# beyond.
+
+HAAR_LEN = 32  # 30 days zero-padded to 2^5
+HAAR_LEVELS = 5
+
+
+def _haar_oracle() -> str:
+    lines = [
+        """WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+t0 AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', d) AS BIGINT) AS t,
+         c
+  FROM daily
+),
+types AS (SELECT DISTINCT event_type FROM t0),
+grid AS (
+  SELECT ty.event_type, g.t FROM types ty,
+  LATERAL unnest(range(0, %d)) AS g(t)
+),
+x0 AS (
+  SELECT g.event_type, g.t, COALESCE(t0.c, 0) AS x
+  FROM grid g LEFT JOIN t0 ON t0.event_type = g.event_type AND t0.t = g.t
+),"""
+        % HAAR_LEN
+    ]
+    for lv in range(1, HAAR_LEVELS + 1):
+        lines.append(
+            f"""x{lv} AS MATERIALIZED (
+  SELECT event_type, t // 2 AS t,
+         CAST(SUM(x) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN t % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS dd
+  FROM x{lv - 1} GROUP BY event_type, t // 2
+),
+e{lv} AS (
+  SELECT event_type, {lv} AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+         CAST(SUM(dd * dd) AS BIGINT) AS detail_energy
+  FROM x{lv} GROUP BY event_type
+),"""
+        )
+    lines.append(
+        f"approx AS (SELECT event_type, x AS approx_total FROM"
+        f" x{HAAR_LEVELS})"
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT event_type, level, n_coeffs, detail_energy FROM e{lv}"
+        for lv in range(1, HAAR_LEVELS + 1)
+    )
+    return (
+        "\n".join(lines)
+        + f"""
+SELECT u.event_type, CAST(u.level AS INTEGER) AS level, u.n_coeffs,
+       u.detail_energy, a.approx_total
+FROM ({unions}) u JOIN approx a USING (event_type)
+"""
+    )
+
+
+@register(
+    "ts_haar_dwt",
+    tags=("timeseries", "trend", "wavelet"),
+    oracle=_haar_oracle(),
+)
+def ts_haar_dwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Haar detail energies at levels 1..{HAAR_LEVELS} (day
+    pairs up to 16-day blocks) plus the final approximation (= the
+    series total — asserted by tests as the transform's invariant,
+    along with Parseval-style energy accounting). All-integer pairwise
+    arithmetic; one corpus reduce then five O(types x 32) folds."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    t0 = daily.select(
+        "event_type",
+        F.datediff("d", F.lit("2024-01-01")).cast("bigint").alias("t"),
+        "c",
+    )
+    types = t0.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(spark.range(HAAR_LEN).select(F.col("id").alias("t")))
+    )
+    x = grid.join(t0, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    energies = []
+    for lv in range(1, HAAR_LEVELS + 1):
+        nxt = x.groupBy(
+            "event_type", (F.col("t") / 2).cast("bigint").alias("t2")
+        ).agg(
+            F.sum("x").cast("bigint").alias("x"),
+            F.sum(
+                F.when(F.col("t") % 2 == 0, F.col("x")).otherwise(-F.col("x"))
+            )
+            .cast("bigint")
+            .alias("dd"),
+        )
+        energies.append(
+            nxt.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+                F.sum(F.col("dd") * F.col("dd"))
+                .cast("bigint")
+                .alias("detail_energy"),
+            ).select(
+                "event_type",
+                F.lit(lv).cast("int").alias("level"),
+                "n_coeffs",
+                "detail_energy",
+            )
+        )
+        x = nxt.select("event_type", F.col("t2").alias("t"), "x")
+    approx = x.select("event_type", F.col("x").alias("approx_total"))
+    out = energies[0]
+    for ee in energies[1:]:
+        out = out.unionAll(ee)
+    return out.join(approx, "event_type").select(
+        "event_type", "level", "n_coeffs", "detail_energy", "approx_total"
+    )

@@ -452,6 +452,55 @@ def test_pnm_decoder_roundtrip_and_comment_handling(spark):
     assert np is not None
 
 
+def test_haar_dwt_invariants_and_replay(spark, sf_dir):
+    """Haar invariants on the exact integers: (a) the final
+    approximation equals the series total; (b) Parseval for the
+    unnormalized transform — sum over levels of detail_energy/2^level
+    plus approx^2/2^L equals the raw energy sum x^2; (c) a numpy
+    pairwise replay matches every level energy."""
+    import numpy as np
+
+    from spark_streaming_test_spark.operators import trend
+
+    rows = trend.ts_haar_dwt(spark, sf_dir).collect()
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "datediff(cast(ts as date), date'2024-01-01') AS t",
+            "cast(cast(value as decimal(12,2)) * 100 as bigint) AS c",
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    series = defaultdict(lambda: [0] * trend.HAAR_LEN)
+    for r in daily:
+        series[r["event_type"]][r["t"]] = r["c"]
+    by_type = defaultdict(dict)
+    approx = {}
+    for r in rows:
+        by_type[r["event_type"]][r["level"]] = (
+            r["n_coeffs"], r["detail_energy"],
+        )
+        approx[r["event_type"]] = r["approx_total"]
+    assert by_type
+    for et, x0 in series.items():
+        x = np.array(x0, dtype=np.int64)
+        raw_energy = int((x * x).sum())
+        parseval = 0.0
+        for lv in range(1, trend.HAAR_LEVELS + 1):
+            a = x[0::2] + x[1::2]
+            d = x[0::2] - x[1::2]
+            want = (len(d), int((d.astype(object) ** 2).sum()))
+            assert by_type[et][lv] == want, (et, lv, by_type[et][lv], want)
+            parseval += want[1] / 2.0**lv
+            x = a
+        assert approx[et] == int(x[0]) == sum(x0)
+        parseval += x[0] ** 2 / 2.0 ** trend.HAAR_LEVELS
+        assert abs(parseval - raw_energy) < 1e-6 * max(1, raw_energy)
+
+
 def test_kcenter_greedy_properties(spark, sf_dir):
     """Gonzalez farthest-point invariants: the radius curve is
     non-increasing; every chosen center (after the seed) was the
