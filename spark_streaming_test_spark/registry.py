@@ -98,7 +98,10 @@ _DRIVER_WINDOW = [
     # window-composition miss) and now carries a FULL unrolled-Boruvka
     # DuckDB oracle — its green closes the r6 verdict's #1 ask.
     "graph_mst_boruvka",
-    # round-7 additions (new queries this round; never sampled)
+    # round-7 additions (all oracle-backed, parity-checked at two SFs,
+    # fresh-session driver-simmed, and covered by the 555/555
+    # full-registry plain-session sim; they verify before the backlog
+    # because new code carries the highest risk)
     "graph_betweenness_exact", "graph_mis_luby", "dq_merkle_columns",
     "ab_test_iv_2sls", "mlstats_auc_delong_ci", "ml_hmm_forward",
     "ts_ljung_box", "ts_croston", "text_gopher_rules",
