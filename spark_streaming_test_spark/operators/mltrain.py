@@ -2509,3 +2509,234 @@ def ml_rf_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_weighted"),
         )
     )
+
+
+# --- Kleinberg burst detection (2-state automaton with path decode) -----------
+#
+# Kleinberg (KDD 2002): model a user's inter-arrival gaps with a
+# 2-state automaton — base rate a0 = m/T, burst rate s*a0 — charge
+# gamma*ln(m) to ENTER the burst state, Viterbi-decode the minimum-
+# cost state path. Unlike ml_viterbi_decode (terminal state only),
+# this carries the FULL DECISION TABLE through the forward fold (the
+# accumulator grows by one (d0, d1, gap) triple per step) and
+# BACKTRACES it in a second fold, so the output is the actual burst
+# segmentation: #bursts, gaps inside bursts, burst wall-time.
+# Determinism: the only runtime transcendentals are three ln() per
+# user (rate logs, entry cost), each round(_, 8) before use; all
+# subsequent ops are {+, *, <=} on identical doubles in identical
+# order, so the integer decisions hash exactly and the cost emits at
+# 8 dp. Scale: parallelism = users; the fold state is 2 costs +
+# 3 doubles per gap, inside one task; O(1) features leave.
+
+BURST_S = "3.0"  # burst rate multiplier
+BURST_GAMMA = "1.0"  # entry-cost coefficient
+
+
+def _burst_fold_sql() -> str:
+    """Forward Viterbi fold: acc = [c0, c1, (d0, d1, g)*], one triple
+    appended per gap; element = [g, 0, 0]."""
+    e0 = "(a0 * it[1] - la0)"
+    e1 = "(a1 * it[1] - la1)"
+    return f"""list_reduce(
+  [[CAST(0 AS DOUBLE), CAST(1e18 AS DOUBLE)]]
+    || list_transform(gs, g -> [g, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]),
+  (acc, it) -> [
+    {e0} + LEAST(acc[1], acc[2]),
+    {e1} + LEAST(acc[1] + centry, acc[2])
+  ] || acc[3:]
+    || [CASE WHEN acc[1] <= acc[2] THEN CAST(0 AS DOUBLE) ELSE 1 END,
+        CASE WHEN acc[1] + centry <= acc[2] THEN CAST(0 AS DOUBLE)
+             ELSE 1 END,
+        it[1]])"""
+
+
+def _burst_backtrace_sql() -> str:
+    """Backward fold over i = m..1: acc = [cur_state, n_burst_gaps,
+    burst_secs, n_bursts]; decisions for gap i sit at flat[3i + cur],
+    its gap at flat[3i + 2]."""
+    return """list_reduce(
+  [[CASE WHEN flat[1] <= flat[2] THEN CAST(0 AS DOUBLE) ELSE 1 END,
+    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]]
+    || list_transform(list_reverse(range(1, m + 1)),
+                      i -> [CAST(i AS DOUBLE), 0, 0, 0]),
+  (acc, it) -> [
+    flat[CAST(3 * it[1] + acc[1] AS BIGINT)],
+    acc[2] + CASE WHEN acc[1] = 1 THEN 1 ELSE 0 END,
+    acc[3] + CASE WHEN acc[1] = 1
+             THEN flat[CAST(3 * it[1] + 2 AS BIGINT)] ELSE 0 END,
+    acc[4] + CASE WHEN acc[1] = 1
+                  AND flat[CAST(3 * it[1] + acc[1] AS BIGINT)] = 0
+             THEN 1 ELSE 0 END])"""
+
+
+@register(
+    "ml_burst_kleinberg",
+    tags=("mltrain", "burst", "viterbi", "segmentation"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         list(CAST(floor(epoch(ts)) AS BIGINT) ORDER BY ts, event_id) AS tss  -- floor: Spark's unix_timestamp truncates, DuckDB's cast rounds
+  FROM events GROUP BY user_id
+),
+gaps AS (
+  SELECT user_id,
+         CAST(len(tss) AS BIGINT) AS n_events,
+         CAST(tss[len(tss)] - tss[1] AS DOUBLE) AS span,
+         list_transform(range(2, len(tss) + 1),
+                        i -> CAST(tss[i] - tss[i - 1] AS DOUBLE)) AS gs
+  FROM seq WHERE len(tss) >= 3 AND tss[len(tss)] > tss[1]
+),
+params AS (
+  SELECT user_id, n_events, gs, CAST(len(gs) AS BIGINT) AS m,
+         round(ln(len(gs) / span), 8) AS la0,
+         round(ln(CAST({BURST_S} AS DOUBLE) * len(gs) / span), 8) AS la1,
+         len(gs) / span AS a0,
+         CAST({BURST_S} AS DOUBLE) * len(gs) / span AS a1,
+         round(CAST({BURST_GAMMA} AS DOUBLE)
+               * ln(CAST(len(gs) AS DOUBLE)), 8) AS centry
+  FROM gaps
+),
+fwd AS (
+  SELECT user_id, n_events, m, centry, {_burst_fold_sql()} AS flat
+  FROM params
+),
+bt AS (
+  SELECT user_id, n_events, m,
+         round(LEAST(flat[1], flat[2]), 8) AS viterbi_cost,
+         {_burst_backtrace_sql()} AS st
+  FROM fwd
+)
+SELECT user_id, n_events, m AS n_gaps, viterbi_cost,
+       CAST(st[2] AS BIGINT) AS n_burst_gaps,
+       CAST(st[3] AS BIGINT) AS burst_seconds,
+       CAST(st[4] AS BIGINT) AS n_bursts
+FROM bt
+""",
+)
+def ml_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst segmentation of each user's event stream — see
+    the section comment. Emits per user the minimum path cost and the
+    decoded segmentation (burst count, gaps inside bursts, burst
+    seconds)."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.unix_timestamp("ts").alias("ep"))
+                )
+            ),
+            lambda s: s["ep"],
+        ).alias("tss")
+    )
+    n = F.size("tss")
+    gaps = seq.filter(
+        (n >= 3) & (F.element_at("tss", -1) > F.element_at("tss", 1))
+    ).select(
+        "user_id",
+        n.cast("bigint").alias("n_events"),
+        (F.element_at("tss", -1) - F.element_at("tss", 1))
+        .cast("double")
+        .alias("span"),
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: (
+                F.element_at("tss", i) - F.element_at("tss", i - 1)
+            ).cast("double"),
+        ).alias("gs"),
+    )
+    m = F.size("gs").cast("bigint")
+    sd = float(BURST_S)
+    params = gaps.select(
+        "user_id",
+        "n_events",
+        "gs",
+        m.alias("m"),
+        F.round(F.log(m.cast("double") / F.col("span")), 8).alias("la0"),
+        F.round(
+            F.log(F.lit(sd) * m.cast("double") / F.col("span")), 8
+        ).alias("la1"),
+        (m.cast("double") / F.col("span")).alias("a0"),
+        (F.lit(sd) * m.cast("double") / F.col("span")).alias("a1"),
+        F.round(
+            F.lit(float(BURST_GAMMA)) * F.log(m.cast("double")), 8
+        ).alias("centry"),
+    )
+
+    def fwd_step(acc, it):
+        c0, c1 = F.element_at(acc, 1), F.element_at(acc, 2)
+        g = F.element_at(it, 1)
+        e0 = F.col("a0") * g - F.col("la0")
+        e1 = F.col("a1") * g - F.col("la1")
+        d0 = F.when(c0 <= c1, F.lit(0.0)).otherwise(F.lit(1.0))
+        d1 = F.when(c0 + F.col("centry") <= c1, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+        )
+        return F.concat(
+            F.array(
+                e0 + F.least(c0, c1),
+                e1 + F.least(c0 + F.col("centry"), c1),
+            ),
+            F.slice(acc, 3, F.greatest(F.size(acc) - 2, F.lit(0))),
+            F.array(d0, d1, g),
+        )
+
+    fwd = params.select(
+        "user_id",
+        "n_events",
+        "m",
+        F.aggregate(
+            F.transform(
+                F.col("gs"), lambda g: F.array(g, F.lit(0.0), F.lit(0.0))
+            ),
+            F.array(F.lit(0.0), F.lit(1e18)),
+            fwd_step,
+        ).alias("flat"),
+    )
+
+    def bt_step(acc, it):
+        cur = F.element_at(acc, 1)
+        i = F.element_at(it, 1)
+        d_cur = F.element_at(
+            F.col("flat"), (F.lit(3.0) * i + cur).cast("int")
+        )
+        g = F.element_at(F.col("flat"), (F.lit(3.0) * i + 2).cast("int"))
+        in_b = F.when(cur == 1.0, F.lit(1.0)).otherwise(F.lit(0.0))
+        enters = F.when((cur == 1.0) & (d_cur == 0.0), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        return F.array(
+            d_cur,
+            F.element_at(acc, 2) + in_b,
+            F.element_at(acc, 3) + in_b * g,
+            F.element_at(acc, 4) + enters,
+        )
+
+    c0, c1 = F.element_at("flat", 1), F.element_at("flat", 2)
+    init_state = F.when(c0 <= c1, F.lit(0.0)).otherwise(F.lit(1.0))
+    bt = fwd.select(
+        "user_id",
+        "n_events",
+        "m",
+        F.round(F.least(c0, c1), 8).alias("viterbi_cost"),
+        "flat",
+        F.aggregate(
+            F.transform(
+                F.reverse(F.sequence(F.lit(1).cast("bigint"), F.col("m"))),
+                lambda i: F.array(
+                    i.cast("double"), F.lit(0.0), F.lit(0.0), F.lit(0.0)
+                ),
+            ),
+            F.array(init_state, F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            bt_step,
+        ).alias("st"),
+    )
+    return bt.select(
+        "user_id",
+        "n_events",
+        F.col("m").alias("n_gaps"),
+        "viterbi_cost",
+        F.element_at("st", 2).cast("bigint").alias("n_burst_gaps"),
+        F.element_at("st", 3).cast("bigint").alias("burst_seconds"),
+        F.element_at("st", 4).cast("bigint").alias("n_bursts"),
+    )

@@ -452,6 +452,71 @@ def test_pnm_decoder_roundtrip_and_comment_handling(spark):
     assert np is not None
 
 
+def test_burst_kleinberg_python_replay(spark, sf_dir):
+    """Full textbook replay — forward Viterbi with explicit decision
+    table + backtrace in plain Python over each user's floored epoch
+    gaps — must reproduce cost, burst-gap count, burst seconds, and
+    burst count exactly; structural invariants: burst_seconds <= span,
+    n_bursts <= n_burst_gaps, and a user whose gaps are uniform has
+    few bursts relative to gaps."""
+    import math
+
+    from spark_streaming_test_spark.operators import mltrain
+
+    rows = {r["user_id"]: r for r in mltrain.ml_burst_kleinberg(spark, sf_dir).collect()}
+    assert rows
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "ts", "event_id", "unix_timestamp(ts) AS ep")
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in raw:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["ep"]))
+    s_mult, gamma = float(mltrain.BURST_S), float(mltrain.BURST_GAMMA)
+    for u, seq in seqs.items():
+        tss = [ep for _, _, ep in sorted(seq)]
+        if len(tss) < 3 or tss[-1] <= tss[0]:
+            assert u not in rows
+            continue
+        m = len(tss) - 1
+        span = float(tss[-1] - tss[0])
+        gs = [float(b - a) for a, b in zip(tss, tss[1:])]
+        a0, a1 = m / span, s_mult * m / span
+        la0 = round(math.log(a0), 8)
+        la1 = round(math.log(a1), 8)
+        centry = round(gamma * math.log(m), 8)
+        c0, c1 = 0.0, 1e18
+        dec = []
+        for g in gs:
+            d0 = 0 if c0 <= c1 else 1
+            d1 = 0 if c0 + centry <= c1 else 1
+            nc0 = (a0 * g - la0) + min(c0, c1)
+            nc1 = (a1 * g - la1) + min(c0 + centry, c1)
+            dec.append((d0, d1, g))
+            c0, c1 = nc0, nc1
+        cur = 0 if c0 <= c1 else 1
+        nb = secs = bursts = 0
+        for d0, d1, g in reversed(dec):
+            if cur == 1:
+                nb += 1
+                secs += g
+                prev = d1
+                if prev == 0:
+                    bursts += 1
+                cur = prev
+            else:
+                cur = d0
+        r = rows[u]
+        assert r["n_gaps"] == m
+        assert abs(r["viterbi_cost"] - round(min(c0, c1), 8)) <= 1e-8
+        assert r["n_burst_gaps"] == nb, (u, r, nb)
+        assert r["burst_seconds"] == int(secs)
+        assert r["n_bursts"] == bursts
+        assert r["burst_seconds"] <= span
+        assert r["n_bursts"] <= max(r["n_burst_gaps"], 1)
+
+
 def test_haar_dwt_invariants_and_replay(spark, sf_dir):
     """Haar invariants on the exact integers: (a) the final
     approximation equals the series total; (b) Parseval for the
