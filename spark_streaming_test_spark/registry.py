@@ -123,6 +123,10 @@ _DRIVER_WINDOW = [
     # first, per VERDICT r4 item 5), so the driver's ~50-query head
     # drains the backlog each round. Already-green names re-verify
     # last. Unknown names are ignored (safety for renames).
+    # r7 head = boruvka + 28 round-7 additions + the backlog below;
+    # if all 50 verify, union reaches ~336 and ~223 never-sampled
+    # names remain (completion ~r11-12 at 50/round). R8 plan: demote
+    # the r7 greens to the tail, continue from graph_louvain_coarsen.
     "ml_ridge_path", "ts_monotone_streaks", "text_bpe_apply",
     "dedup_lsh_recall_eval", "agg_cramers_v", "ts_acf_correlogram",
     "dq_fd_discovery", "sql_transpose", "ts_holt_winters",
