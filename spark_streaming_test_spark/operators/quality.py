@@ -1533,3 +1533,147 @@ def dq_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("true_count") + noise).alias("dp_count"),
         F.lit(float(DP_HIST_EPSILON)).alias("epsilon"),
     )
+
+
+# --- differentially-private quantiles (from the DP histogram) -----------------
+#
+# The post-processing theorem in action: any function of an
+# epsilon-DP release is still epsilon-DP at no extra budget, so
+# quantiles come FREE from dq_dp_histogram's noisy counts — walk the
+# noisy CDF and report the first bucket covering q*N_noisy. Exact
+# integer arithmetic end-to-end (noisy counts clamp at 0 for the CDF
+# so a negative noise draw cannot run the walk backwards); the true
+# quantile bucket rides along as the auditable ground truth. One
+# window pass over the O(types x buckets) histogram — post-processing
+# adds nothing to the corpus-sized plan.
+
+DP_QUANTILES = ("0.25", "0.5", "0.9")
+
+
+@register(
+    "dq_dp_quantile",
+    tags=("quality", "privacy", "dp", "quantile"),
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 50.0) AS INTEGER), 9) AS vb
+  FROM events
+),
+cells AS (
+  SELECT event_type, vb, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM b GROUP BY event_type, vb
+),
+noised AS (
+  SELECT event_type, vb, true_count,
+         GREATEST(true_count +
+           CAST({" + ".join(f"CASE WHEN {_DP_U_SQL} >= {c} THEN 1 ELSE 0 END"
+                            for c in _DP_CDF)}
+                - {DP_NOISE_B} AS BIGINT), 0) AS dp_count
+  FROM cells
+),
+cum AS (
+  SELECT event_type, vb, true_count, dp_count,
+         SUM(dp_count) OVER (PARTITION BY event_type ORDER BY vb
+                             ROWS UNBOUNDED PRECEDING) AS dp_cdf,
+         SUM(dp_count) OVER (PARTITION BY event_type) AS dp_n,
+         SUM(true_count) OVER (PARTITION BY event_type ORDER BY vb
+                               ROWS UNBOUNDED PRECEDING) AS true_cdf,
+         SUM(true_count) OVER (PARTITION BY event_type) AS true_n
+  FROM noised
+),
+qs AS (SELECT CAST(t.q AS DOUBLE) AS q
+       FROM unnest([{", ".join(DP_QUANTILES)}]) AS t(q))
+SELECT c.event_type, qs.q,
+       CAST(MIN(CASE WHEN c.dp_cdf * 1.0 >= qs.q * c.dp_n
+                THEN c.vb END) AS INTEGER) AS dp_bucket,
+       CAST(MIN(CASE WHEN c.true_cdf * 1.0 >= qs.q * c.true_n
+                THEN c.vb END) AS INTEGER) AS true_bucket,
+       CAST({DP_HIST_EPSILON} AS DOUBLE) AS epsilon
+FROM cum c CROSS JOIN qs
+GROUP BY c.event_type, qs.q
+""",
+)
+def dq_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{len(DP_QUANTILES)} DP quantile buckets per event type by
+    post-processing dq_dp_histogram's noisy counts (clamped at 0):
+    the first bucket whose noisy CDF reaches q * N_noisy, with the
+    true-count quantile bucket as the audit column. The comparison
+    dp_cdf >= q * dp_n multiplies integers by literal q — exact on
+    both engines (q has one or two decimal digits; dp_n bounded)."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)
+        ).alias("vb"),
+    )
+    cells = b.groupBy("event_type", "vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp:"),
+                        F.col("event_type"),
+                        F.lit(":"),
+                        F.col("vb").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    noise = (
+        sum(F.when(u >= F.lit(float(c)), 1).otherwise(0) for c in _DP_CDF)
+        - F.lit(DP_NOISE_B)
+    ).cast("bigint")
+    noised = cells.select(
+        "event_type",
+        "vb",
+        "true_count",
+        F.greatest(F.col("true_count") + noise, F.lit(0).cast("bigint")).alias(
+            "dp_count"
+        ),
+    )
+    wo = Window.partitionBy("event_type").orderBy("vb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    cum = noised.select(
+        "event_type",
+        "vb",
+        F.sum("dp_count").over(wo).alias("dp_cdf"),
+        F.sum("dp_count").over(wall).alias("dp_n"),
+        F.sum("true_count").over(wo).alias("true_cdf"),
+        F.sum("true_count").over(wall).alias("true_n"),
+    )
+    qs = spark.createDataFrame(
+        [(float(q),) for q in DP_QUANTILES], "q double"
+    )
+    j = cum.crossJoin(F.broadcast(qs))
+    return j.groupBy("event_type", "q").agg(
+        F.min(
+            F.when(
+                F.col("dp_cdf") * 1.0 >= F.col("q") * F.col("dp_n"),
+                F.col("vb"),
+            )
+        )
+        .cast("int")
+        .alias("dp_bucket"),
+        F.min(
+            F.when(
+                F.col("true_cdf") * 1.0 >= F.col("q") * F.col("true_n"),
+                F.col("vb"),
+            )
+        )
+        .cast("int")
+        .alias("true_bucket"),
+        F.first(F.lit(float(DP_HIST_EPSILON))).alias("epsilon"),
+    )

@@ -1291,6 +1291,63 @@ def test_dp_histogram_mechanism_properties(spark, sf_dir):
     assert len(noises) > 1, "noise is constant across cells"
 
 
+# --- DP quantile -------------------------------------------------------------
+
+
+def test_dp_quantile_postprocessing_replay(spark, sf_dir):
+    """Python replay: rebuild the noisy histogram from the same PRF,
+    clamp at zero, walk the CDF — buckets must match; the DP bucket
+    may differ from the true bucket only where noise moved mass
+    across the q threshold, and quantiles are monotone in q."""
+    import hashlib
+
+    from spark_streaming_test_spark.operators import quality
+
+    rows = quality.dq_dp_quantile(spark, sf_dir).collect()
+    assert rows
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS vb",
+        )
+        .groupBy("event_type", "vb")
+        .count()
+        .collect()
+    )
+    hist = defaultdict(dict)
+    for r in raw:
+        hist[r["event_type"]][r["vb"]] = r["count"]
+    B = quality.DP_NOISE_B
+    by_et = defaultdict(dict)
+    for r in rows:
+        by_et[r["event_type"]][r["q"]] = r
+    for et, cells in hist.items():
+        noisy = {}
+        for vb, c in cells.items():
+            u = (
+                int(hashlib.md5(f"dp:{et}:{vb}".encode()).hexdigest()[:15], 16)
+                / 1152921504606846976.0
+            )
+            nz = sum(1 for cd in quality._DP_CDF if u >= float(cd)) - B
+            noisy[vb] = max(c + nz, 0)
+        for which, h in (("dp_bucket", noisy), ("true_bucket", cells)):
+            n = sum(h.values())
+            prev = -1
+            for q in sorted(float(x) for x in quality.DP_QUANTILES):
+                acc = 0
+                bucket = None
+                for vb in sorted(h):
+                    acc += h[vb]
+                    if acc >= q * n:
+                        bucket = vb
+                        break
+                got = by_et[et][q][which]
+                assert got == bucket, (et, q, which, got, bucket)
+                assert bucket >= prev  # monotone in q
+                prev = bucket
+
+
 # --- Western Electric control rules ------------------------------------------
 
 
