@@ -3743,3 +3743,145 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.select(F.col("id").alias("node"), F.col("h").alias("coreness")),
         "node",
     )
+
+
+# --- maximal matching (parallel greedy by edge priority) ----------------------
+#
+# The edge-space sibling of Luby's MIS: fix an md5 priority per EDGE;
+# each round, an edge joins the matching iff its priority is strictly
+# smallest among all edges sharing an endpoint with it; matched
+# endpoints retire their remaining edges. With static priorities the
+# fixpoint equals the SEQUENTIAL greedy matching in priority order
+# (the 2-approximation to maximum matching) — the cross-algorithm
+# test — and rounds are O(log m) w.h.p. Each round: one self-join of
+# the live edge list on shared endpoints + a min-aggregate; the
+# matching primitive behind parallel entity-pairing and task
+# assignment.
+
+MATCH_MAX_ROUNDS = 24
+
+
+def _match_priority_sql(u: str, v: str) -> str:
+    return (
+        f"md5(CAST({u} AS VARCHAR) || ':' || CAST({v} AS VARCHAR)) || '-' ||"
+        f" lpad(CAST({u} AS VARCHAR), 12, '0') || lpad(CAST({v} AS VARCHAR),"
+        " 12, '0')"
+    )
+
+
+def _matching_oracle() -> str:
+    lines = [
+        "WITH",
+        _SQL_COPURCHASE + ",",
+        f"pe AS (SELECT u, v, {_match_priority_sql('u', 'v')} AS p"
+        " FROM edges),",
+        "live0 AS (SELECT u, v, p FROM pe),",
+        "m0 AS (SELECT u, v, 0 AS r FROM pe WHERE FALSE),",
+    ]
+    for k in range(MATCH_MAX_ROUNDS):
+        lines += [
+            # an edge survives if NO live edge sharing an endpoint has
+            # smaller priority
+            f"sel{k} AS MATERIALIZED (",
+            f"  SELECT a.u, a.v FROM live{k} a",
+            f"  WHERE NOT EXISTS (",
+            f"    SELECT 1 FROM live{k} b",
+            f"    WHERE b.p < a.p AND (b.u = a.u OR b.v = a.u",
+            f"          OR b.u = a.v OR b.v = a.v))),",
+            f"m{k + 1} AS (SELECT u, v, r FROM m{k}",
+            f"  UNION ALL SELECT u, v, {k} AS r FROM sel{k}),",
+            f"matched{k} AS (SELECT u AS id FROM sel{k}",
+            f"  UNION SELECT v FROM sel{k}),",
+            f"live{k + 1} AS MATERIALIZED (",
+            f"  SELECT a.u, a.v, a.p FROM live{k} a",
+            f"  LEFT JOIN matched{k} x ON x.id = a.u",
+            f"  LEFT JOIN matched{k} y ON y.id = a.v",
+            f"  WHERE x.id IS NULL AND y.id IS NULL),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"""
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(r AS INTEGER) AS match_round
+FROM m{MATCH_MAX_ROUNDS}
+"""
+
+
+@register(
+    "graph_matching_greedy",
+    tags=("graph", "iterative", "matching"),
+    oracle=_matching_oracle(),
+)
+def graph_matching_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching of the co-purchase graph by parallel greedy
+    rounds under a fixed md5 edge-priority permutation — locally-
+    minimal edges enter the matching, their endpoints retire. Emits
+    (u, v, match_round). Validity (vertex-disjoint), maximality
+    (every live edge touches a matched vertex), and equality with the
+    sequential greedy replay are pinned by tests; the oracle unrolls
+    the identical rounds with NOT EXISTS instead of min-aggregates.
+    Raises at the round cap rather than emitting a partial matching."""
+    edges = _copurchase_edges(spark, sf_dir)
+    p = F.concat(
+        F.md5(
+            F.concat(
+                F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+            )
+        ),
+        F.lit("-"),
+        F.lpad(F.col("u").cast("string"), 12, "0"),
+        F.lpad(F.col("v").cast("string"), 12, "0"),
+    )
+    live = edges.select("u", "v", p.alias("p")).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for k in range(MATCH_MAX_ROUNDS + 1):
+        if live.isEmpty():
+            break
+        if k == MATCH_MAX_ROUNDS:
+            raise RuntimeError(
+                f"graph_matching_greedy: live edges after {MATCH_MAX_ROUNDS}"
+                " rounds — refusing to emit a partial matching"
+            )
+        # per-ENDPOINT minimum priority among live edges
+        epmin = (
+            live.select(F.col("u").alias("id"), "p")
+            .unionAll(live.select(F.col("v").alias("id"), "p"))
+            .groupBy("id")
+            .agg(F.min("p").alias("mp"))
+        )
+        sel = (
+            live.join(
+                epmin.select(F.col("id").alias("u"), F.col("mp").alias("mu")),
+                "u",
+            )
+            .join(
+                epmin.select(F.col("id").alias("v"), F.col("mp").alias("mv")),
+                "v",
+            )
+            .filter((F.col("p") <= F.col("mu")) & (F.col("p") <= F.col("mv")))
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        rmatch = sel.select("u", "v", F.lit(k).alias("r"))
+        out = rmatch if out is None else out.unionAll(rmatch)
+        matched = (
+            sel.select(F.col("u").alias("id"))
+            .unionAll(sel.select(F.col("v").alias("id")))
+            .distinct()
+        )
+        live = (
+            live.join(matched.select(F.col("id").alias("u")), "u", "left_anti")
+            .join(matched.select(F.col("id").alias("v")), "v", "left_anti")
+            .select("u", "v", "p")
+            .localCheckpoint(eager=True)
+        )
+    if out is None:
+        return edges.select(
+            F.col("u").cast("bigint"),
+            F.col("v").cast("bigint"),
+            F.lit(0).cast("int").alias("match_round"),
+        ).limit(0)
+    return out.select(
+        F.col("u").cast("bigint"),
+        F.col("v").cast("bigint"),
+        F.col("r").cast("int").alias("match_round"),
+    )

@@ -1291,6 +1291,54 @@ def test_dp_histogram_mechanism_properties(spark, sf_dir):
     assert len(noises) > 1, "noise is constant across cells"
 
 
+# --- greedy maximal matching -------------------------------------------------
+
+
+def test_matching_greedy_valid_maximal_sequential(spark, sf_dir):
+    """The matching invariants against the raw edge set: (a) VALID —
+    no two matched edges share a vertex; (b) MAXIMAL — every
+    non-matched edge touches a matched vertex; (c) equals the
+    SEQUENTIAL greedy matching in md5-priority order (the independent
+    replay of the parallel rounds)."""
+    import hashlib
+
+    from spark_streaming_test_spark.operators import graph
+
+    rows = graph.graph_matching_greedy(spark, sf_dir).collect()
+    matching = {(r["u"], r["v"]) for r in rows}
+    assert matching
+
+    edges = [
+        (r["u"], r["v"])
+        for r in graph._copurchase_edges(spark, sf_dir).collect()
+    ]
+    used = set()
+    for u, v in matching:
+        assert u not in used and v not in used, (u, v)
+        used.add(u)
+        used.add(v)
+    for u, v in edges:
+        if (u, v) not in matching:
+            assert u in used or v in used, (u, v)
+
+    def prio(u, v):
+        return (
+            hashlib.md5(f"{u}:{v}".encode()).hexdigest()
+            + "-"
+            + str(u).zfill(12)
+            + str(v).zfill(12)
+        )
+
+    greedy = set()
+    taken = set()
+    for u, v in sorted(edges, key=lambda e: prio(*e)):
+        if u not in taken and v not in taken:
+            greedy.add((u, v))
+            taken.add(u)
+            taken.add(v)
+    assert matching == greedy
+
+
 # --- DP quantile -------------------------------------------------------------
 
 
