@@ -111,7 +111,7 @@ _DRIVER_WINDOW = [
     "sim_knn_graph_search", "ts_theta_forecast", "text_confusable_skeleton",
     "mm_decode_pnm", "graph_coreness", "emb_kcenter_greedy",
     "ts_haar_dwt", "ml_burst_kleinberg", "ts_changepoint_binseg",
-    "dq_dp_quantile", "graph_matching_greedy",
+    "dq_dp_quantile", "graph_matching_greedy", "er_blocking_eval",
     # never-sampled backlog continues (planned rotation order)
     "graph_louvain_coarsen", "dedup_incremental_substring",
     "ml_mahalanobis_outliers", "scan_warc_records", "warc_text_pipeline",

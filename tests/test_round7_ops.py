@@ -1291,6 +1291,57 @@ def test_dp_histogram_mechanism_properties(spark, sf_dir):
     assert len(noises) > 1, "noise is constant across cells"
 
 
+# --- blocking-scheme evaluation ----------------------------------------------
+
+
+def test_blocking_eval_count_algebra_replay(spark, sf_dir):
+    """Brute-force pair replay on the (small) part table: for each
+    scheme, the count-algebra candidate/covered numbers must equal an
+    explicit pair enumeration; brand blocking (a coarsening of the
+    truth key) must have pair_completeness exactly 1.0; all reduction
+    ratios in (0, 1); the refined scheme never has MORE candidates
+    than its coarsening."""
+    from itertools import combinations
+
+    from spark_streaming_test_spark.operators import entity
+
+    rows = {r["scheme"]: r for r in entity.er_blocking_eval(spark, sf_dir).collect()}
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+        .collect()
+    )
+    n = len(parts)
+    truth = lambda p: (p["p_brand"], p["p_type"])
+    keys = {
+        "brand": lambda p: p["p_brand"],
+        "size": lambda p: str(p["p_size"]),
+        "brand_size": lambda p: f"{p['p_brand']}|{p['p_size']}",
+    }
+    true_pairs = sum(
+        1 for a, b in combinations(parts, 2) if truth(a) == truth(b)
+    )
+    for scheme, key in keys.items():
+        cand = covered = 0
+        for a, b in combinations(parts, 2):
+            if key(a) == key(b):
+                cand += 1
+                if truth(a) == truth(b):
+                    covered += 1
+        r = rows[scheme]
+        assert r["candidate_pairs"] == cand, (scheme, r, cand)
+        assert abs(r["pair_completeness"] - covered / true_pairs) < 1e-12
+        assert abs(
+            r["reduction_ratio"] - (1 - cand / (n * (n - 1) / 2))
+        ) < 1e-12
+        assert 0 < r["reduction_ratio"] < 1
+    assert rows["brand"]["pair_completeness"] == 1.0
+    assert (
+        rows["brand_size"]["candidate_pairs"]
+        <= rows["brand"]["candidate_pairs"]
+    )
+
+
 # --- greedy maximal matching -------------------------------------------------
 
 
