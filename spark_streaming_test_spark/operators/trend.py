@@ -4188,3 +4188,96 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "denom",
     )
     return out1.unionAll(out2)
+
+
+# --- partial autocorrelation (Durbin-Levinson) --------------------------------
+#
+# The correlogram's companion: PACF at lag k is the correlation after
+# removing the shorter-lag structure — the readout that picks AR
+# order. Durbin-Levinson turns the exact-integer ACF into phi_{k,k}
+# through a level-by-level recursion; each level materializes as
+# NAMED COLUMNS (CTE chain / chained selects) because substituting
+# the recursion textually grows 3^k and OOMs the parser (measured).
+# The per-level expression STRINGS are generated once and fed
+# verbatim to both engines, so every double op has identical shape
+# and the 8-dp emit cannot flake.
+
+
+def _dl_level_items(k: int) -> tuple[str, list[str]]:
+    """(phi_{k,k} expression, [phi_{k,j} expressions]) over columns
+    r1..rK and p{k-1}_1..p{k-1}_{k-1} (+ pkk{k} for the coefficient
+    stage)."""
+    if k == 1:
+        return "r1", []
+    num = " - ".join([f"r{k}"] + [f"p{k - 1}_{j} * r{k - j}" for j in range(1, k)])
+    den = " - ".join(["1.0"] + [f"p{k - 1}_{j} * r{j}" for j in range(1, k)])
+    phi = f"(({num}) / ({den}))"
+    coefs = [
+        f"p{k - 1}_{j} - pkk{k} * p{k - 1}_{k - j} AS p{k}_{j}"
+        for j in range(1, k)
+    ]
+    return phi, coefs
+
+
+def _pacf_oracle() -> str:
+    lines = [
+        f"WITH acf AS ({_sql_acf_oracle().strip()}),",
+        "piv AS (",
+        "  SELECT event_type,",
+        "  "
+        + ", ".join(
+            f"MAX(CASE WHEN lag = {k} THEN acf END) AS r{k}"
+            for k in range(1, ACF_MAX_LAG + 1)
+        ),
+        "  FROM acf GROUP BY event_type),",
+        "dl1 AS (SELECT *, r1 AS pkk1, r1 AS p1_1 FROM piv),",
+    ]
+    for k in range(2, ACF_MAX_LAG + 1):
+        phi, coefs = _dl_level_items(k)
+        lines.append(f"a{k} AS (SELECT *, {phi} AS pkk{k} FROM dl{k - 1}),")
+        lines.append(
+            f"dl{k} AS (SELECT *, {', '.join(coefs)}, pkk{k} AS p{k}_{k}"
+            f" FROM a{k}),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    sel = " UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, pkk{k} AS pacf FROM dl{ACF_MAX_LAG}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return "\n".join(lines) + f"""
+SELECT event_type, CAST(lag AS INTEGER) AS lag, round(pacf, 8) AS pacf
+FROM ({sel})
+"""
+
+
+@register(
+    "ts_pacf_durbin_levinson",
+    tags=("timeseries", "trend", "autocorrelation"),
+    oracle=_pacf_oracle(),
+)
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF at lags 1..{ACF_MAX_LAG} per event type by level-wise
+    Durbin-Levinson over the exact-integer ACF — the AR order-selection
+    readout. The Spark side chains selectExpr stages evaluating the
+    SAME generated expression strings as the oracle's CTE chain."""
+    acf = ts_acf_correlogram(spark, sf_dir)
+    piv = acf.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ]
+    )
+    dl = piv.selectExpr("*", "r1 AS pkk1", "r1 AS p1_1")
+    for k in range(2, ACF_MAX_LAG + 1):
+        phi, coefs = _dl_level_items(k)
+        dl = dl.selectExpr("*", f"{phi} AS pkk{k}")
+        dl = dl.selectExpr("*", *coefs, f"pkk{k} AS p{k}_{k}")
+    out = None
+    for k in range(1, ACF_MAX_LAG + 1):
+        part = dl.select(
+            "event_type",
+            F.lit(k).cast("int").alias("lag"),
+            F.round(F.col(f"pkk{k}"), 8).alias("pacf"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

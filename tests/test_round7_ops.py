@@ -1291,6 +1291,44 @@ def test_dp_histogram_mechanism_properties(spark, sf_dir):
     assert len(noises) > 1, "noise is constant across cells"
 
 
+# --- PACF (Durbin-Levinson) --------------------------------------------------
+
+
+def test_pacf_statsmodels_style_replay(spark, sf_dir):
+    """Durbin-Levinson replay in Python from the query's own ACF
+    values: identical phi_{k,k} at 8 dp, lag-1 PACF equals lag-1 ACF,
+    and |pacf| <= 1 + tolerance at every lag."""
+    from spark_streaming_test_spark.operators import trend
+
+    pacf_rows = trend.ts_pacf_durbin_levinson(spark, sf_dir).collect()
+    acf_rows = trend.ts_acf_correlogram(spark, sf_dir).collect()
+    acf = defaultdict(dict)
+    for r in acf_rows:
+        acf[r["event_type"]][r["lag"]] = r["acf"]
+    got = defaultdict(dict)
+    for r in pacf_rows:
+        got[r["event_type"]][r["lag"]] = r["pacf"]
+    assert got
+    for et, rs in acf.items():
+        r = [rs[k] for k in range(1, trend.ACF_MAX_LAG + 1)]
+        phi_prev = {1: r[0]}
+        want = {1: r[0]}
+        for k in range(2, trend.ACF_MAX_LAG + 1):
+            num = r[k - 1] - sum(
+                phi_prev[j] * r[k - j - 1] for j in range(1, k)
+            )
+            den = 1.0 - sum(phi_prev[j] * r[j - 1] for j in range(1, k))
+            pkk = num / den
+            want[k] = pkk
+            phi_prev = {
+                j: phi_prev[j] - pkk * phi_prev[k - j] for j in range(1, k)
+            } | {k: pkk}
+        for k in range(1, trend.ACF_MAX_LAG + 1):
+            assert abs(got[et][k] - round(want[k], 8)) <= 1e-8, (et, k)
+            assert abs(got[et][k]) <= 1.0 + 1e-6
+        assert got[et][1] == round(acf[et][1], 8)
+
+
 # --- blocking-scheme evaluation ----------------------------------------------
 
 
