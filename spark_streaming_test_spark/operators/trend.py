@@ -4281,3 +4281,112 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# --- moving-average crossover signals -----------------------------------------
+#
+# The classic trend-following signal: a fast moving average crossing
+# a slow one. Comparing the AVERAGES invites float ties; comparing
+# CROSS-MULTIPLIED WINDOW SUMS does not — sma_fast > sma_slow iff
+# sum_fast * SLOW_W > sum_slow * FAST_W, all exact int64 on the cents
+# grain — so the signal flags (and the crossover edge detection via
+# lag) are pure integer logic that cannot flake. Emitted only once
+# both windows are FULL (no partial-frame pseudo-signals).
+
+SMA_FAST, SMA_SLOW = 5, 20
+
+
+@register(
+    "ts_sma_crossover",
+    tags=("timeseries", "trend", "signal"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+w AS (
+  SELECT event_type, d, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS {SMA_FAST - 1} PRECEDING) AS BIGINT) AS sf,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS {SMA_SLOW - 1} PRECEDING) AS BIGINT) AS ss,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS t
+  FROM daily
+),
+sig AS (
+  SELECT event_type, d, sf, ss,
+         CASE WHEN sf * {SMA_SLOW} > ss * {SMA_FAST} THEN 1
+              WHEN sf * {SMA_SLOW} < ss * {SMA_FAST} THEN -1
+              ELSE 0 END AS pos
+  FROM w WHERE t >= {SMA_SLOW}
+),
+edges AS (
+  SELECT event_type, d, pos,
+         LAG(pos) OVER (PARTITION BY event_type ORDER BY d) AS prev,
+         CAST(sf AS DOUBLE) / ({SMA_FAST} * 100.0) AS sma_fast,
+         CAST(ss AS DOUBLE) / ({SMA_SLOW} * 100.0) AS sma_slow
+  FROM sig
+)
+SELECT event_type, d AS day, CAST(pos AS INTEGER) AS position,
+       sma_fast, sma_slow,
+       (prev IS NOT NULL AND prev <= 0 AND pos = 1) AS golden_cross,
+       (prev IS NOT NULL AND prev >= 0 AND pos = -1) AS death_cross
+FROM edges
+""",
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA({SMA_FAST})/SMA({SMA_SLOW}) crossover signals per event
+    type over daily dollars: position sign and golden/death-cross
+    edges from exact cross-multiplied integer window sums (see
+    section comment), averages emitted as doubles for the human. One
+    daily reduce + one window pass."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    w = daily.select(
+        "event_type",
+        "d",
+        F.sum("c").over(wo.rowsBetween(-(SMA_FAST - 1), 0)).cast("bigint").alias("sf"),
+        F.sum("c").over(wo.rowsBetween(-(SMA_SLOW - 1), 0)).cast("bigint").alias("ss"),
+        F.row_number().over(wo).cast("bigint").alias("t"),
+    )
+    pos = (
+        F.when(F.col("sf") * SMA_SLOW > F.col("ss") * SMA_FAST, 1)
+        .when(F.col("sf") * SMA_SLOW < F.col("ss") * SMA_FAST, -1)
+        .otherwise(0)
+    )
+    sig = w.filter(F.col("t") >= SMA_SLOW).select(
+        "event_type", "d", "sf", "ss", pos.alias("pos")
+    )
+    prev = F.lag("pos").over(wo)
+    edges = sig.select(
+        "event_type",
+        "d",
+        "pos",
+        prev.alias("prev"),
+        (F.col("sf").cast("double") / (SMA_FAST * 100.0)).alias("sma_fast"),
+        (F.col("ss").cast("double") / (SMA_SLOW * 100.0)).alias("sma_slow"),
+    )
+    return edges.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("pos").cast("int").alias("position"),
+        "sma_fast",
+        "sma_slow",
+        (
+            F.col("prev").isNotNull()
+            & (F.col("prev") <= 0)
+            & (F.col("pos") == 1)
+        ).alias("golden_cross"),
+        (
+            F.col("prev").isNotNull()
+            & (F.col("prev") >= 0)
+            & (F.col("pos") == -1)
+        ).alias("death_cross"),
+    )

@@ -1291,6 +1291,64 @@ def test_dp_histogram_mechanism_properties(spark, sf_dir):
     assert len(noises) > 1, "noise is constant across cells"
 
 
+# --- SMA crossover -----------------------------------------------------------
+
+
+def test_sma_crossover_python_replay(spark, sf_dir):
+    """Python replay over the daily series: positions and cross edges
+    match; rows start only once the slow window is full; a golden
+    cross always lands on position=+1 with previous <= 0."""
+    from spark_streaming_test_spark.operators import trend
+
+    rows = sorted(
+        trend.ts_sma_crossover(spark, sf_dir).collect(),
+        key=lambda r: (r["event_type"], r["day"]),
+    )
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "cast(ts as date) AS d",
+            "cast(cast(value as decimal(12,2)) * 100 as bigint) AS c",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in daily:
+        series[r["event_type"]][r["d"]] = r["c"]
+    got = defaultdict(list)
+    for r in rows:
+        got[r["event_type"]].append(r)
+    F_, S_ = trend.SMA_FAST, trend.SMA_SLOW
+    for et, dd in series.items():
+        xs = [v for _, v in sorted(dd.items())]
+        want = []
+        prev = None
+        for i in range(S_ - 1, len(xs)):
+            sf = sum(xs[i - F_ + 1 : i + 1])
+            ss = sum(xs[i - S_ + 1 : i + 1])
+            pos = 1 if sf * S_ > ss * F_ else (-1 if sf * S_ < ss * F_ else 0)
+            want.append(
+                (
+                    pos,
+                    prev is not None and prev <= 0 and pos == 1,
+                    prev is not None and prev >= 0 and pos == -1,
+                    sf / (F_ * 100.0),
+                    ss / (S_ * 100.0),
+                )
+            )
+            prev = pos
+        have = got[et]
+        assert len(have) == len(want), (et, len(have), len(want))
+        for r, (pos, gc, dc, smf, sms) in zip(have, want):
+            assert r["position"] == pos
+            assert r["golden_cross"] == gc and r["death_cross"] == dc
+            assert abs(r["sma_fast"] - smf) < 1e-9
+            assert abs(r["sma_slow"] - sms) < 1e-9
+
+
 # --- PACF (Durbin-Levinson) --------------------------------------------------
 
 
