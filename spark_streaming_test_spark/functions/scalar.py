@@ -749,3 +749,124 @@ def fn_month_arithmetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d == F.last_day(d)).alias("is_month_end"),
         F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
     )
+
+
+# --- IBAN mod-97 (ISO 7064) ----------------------------------------------------
+#
+# fn_luhn_validate's international sibling: IBAN check digits are
+# ISO 7064 MOD-97-10 over the rearranged account string with letters
+# mapped A=10..Z=35. The number is far too long for int64, so both
+# engines compute the modulus as a LEFT FOLD over digit characters —
+# acc = (acc*10 + digit) % 97 — which is exactly how streaming
+# checksum validation runs at ingest (per-row, no state, fuses into
+# the scan). The query GENERATES valid IBANs in-engine (check = 98 -
+# mod of the '00'-candidate — data-dependent, so validation is not a
+# tautology), validates them (must give mod 97 == 1), and validates a
+# corrupted twin (one digit bumped — must fail).
+
+IBAN_COUNTRY = "DE"  # D=13, E=14
+
+
+def _iban_mod97_sql(expr: str) -> str:
+    """MOD-97 left fold over the expanded digit string of ``expr``
+    (letters already expanded to two digits by the caller)."""
+    return (
+        f"list_reduce([CAST(0 AS BIGINT)] ||"
+        f" list_transform(string_split({expr}, ''),"
+        f" ch -> CAST(ch AS BIGINT)),"
+        f" (acc, d) -> (acc * 10 + d) % 97)"
+    )
+
+
+@register(
+    "fn_iban_mod97",
+    tags=("functions", "checksum", "iban"),
+    oracle=f"""
+WITH base AS (
+  SELECT c_custkey,
+         lpad(CAST(c_custkey AS STRING), 18, '0') AS bban
+  FROM customer
+),
+cand AS (
+  -- rearranged '00'-candidate: BBAN + country-expanded + '00'
+  SELECT c_custkey, bban,
+         bban || '131400' AS cand_digits
+  FROM base
+),
+checked AS (
+  SELECT c_custkey, bban,
+         CAST(98 - {_iban_mod97_sql('cand_digits')} AS BIGINT) AS check_digits
+  FROM cand
+),
+validated AS (
+  SELECT c_custkey, bban, check_digits,
+         {_iban_mod97_sql(
+             "bban || '1314' || lpad(CAST(check_digits AS STRING), 2, '0')"
+         )} AS remainder,
+         {_iban_mod97_sql(
+             "CAST(CAST(bban AS BIGINT) + 1 AS STRING)"
+             " || '1314' || lpad(CAST(check_digits AS STRING), 2, '0')"
+         )} AS corrupted_remainder
+  FROM checked
+)
+SELECT c_custkey,
+       '{IBAN_COUNTRY}' || lpad(CAST(check_digits AS STRING), 2, '0')
+         || bban AS iban,
+       CAST(check_digits AS BIGINT) AS check_digits,
+       (remainder = 1) AS is_valid,
+       (corrupted_remainder = 1) AS corrupted_still_valid
+FROM validated
+""",
+)
+def fn_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-IBANs ({IBAN_COUNTRY} + 18-digit BBAN from c_custkey):
+    derive the ISO 7064 check digits in-engine, validate (mod == 1,
+    asserted True for every row by tests), and validate a one-digit
+    corruption (asserted False). The fold is pure int64 arithmetic —
+    no big-int library, no Python."""
+
+    def mod97(expr: str):
+        return F.expr(
+            f"aggregate(transform(split({expr}, ''),"
+            f" ch -> cast(ch AS BIGINT)),"
+            f" cast(0 AS BIGINT), (acc, d) -> (acc * 10 + d) % 97)"
+        )
+
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 18, "0").alias("bban"),
+    )
+    cand = base.withColumn(
+        "cand_digits", F.concat(F.col("bban"), F.lit("131400"))
+    )
+    checked = cand.select(
+        "c_custkey",
+        "bban",
+        (F.lit(98) - mod97("cand_digits")).cast("bigint").alias("check_digits"),
+    )
+    full = (
+        "concat(bban, '1314', lpad(cast(check_digits AS STRING), 2, '0'))"
+    )
+    corrupted = (
+        "concat(cast(cast(bban AS BIGINT) + 1 AS STRING), '1314',"
+        " lpad(cast(check_digits AS STRING), 2, '0'))"
+    )
+    validated = checked.select(
+        "c_custkey",
+        "bban",
+        "check_digits",
+        mod97(full).alias("remainder"),
+        mod97(corrupted).alias("corrupted_remainder"),
+    )
+    return validated.select(
+        "c_custkey",
+        F.concat(
+            F.lit(IBAN_COUNTRY),
+            F.lpad(F.col("check_digits").cast("string"), 2, "0"),
+            F.col("bban"),
+        ).alias("iban"),
+        F.col("check_digits").cast("bigint"),
+        (F.col("remainder") == 1).alias("is_valid"),
+        (F.col("corrupted_remainder") == 1).alias("corrupted_still_valid"),
+    )

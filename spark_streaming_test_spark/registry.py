@@ -112,7 +112,7 @@ _DRIVER_WINDOW = [
     "mm_decode_pnm", "graph_coreness", "emb_kcenter_greedy",
     "ts_haar_dwt", "ml_burst_kleinberg", "ts_changepoint_binseg",
     "dq_dp_quantile", "graph_matching_greedy", "er_blocking_eval",
-    "ts_pacf_durbin_levinson", "ts_sma_crossover",
+    "ts_pacf_durbin_levinson", "ts_sma_crossover", "fn_iban_mod97",
     # never-sampled backlog continues (planned rotation order)
     "graph_louvain_coarsen", "dedup_incremental_substring",
     "ml_mahalanobis_outliers", "scan_warc_records", "warc_text_pipeline",

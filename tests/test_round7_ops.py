@@ -1291,6 +1291,35 @@ def test_dp_histogram_mechanism_properties(spark, sf_dir):
     assert len(noises) > 1, "noise is constant across cells"
 
 
+# --- IBAN mod-97 -------------------------------------------------------------
+
+
+def test_iban_mod97_stdlib_replay(spark, sf_dir):
+    """Every generated IBAN must validate under an independent Python
+    int() big-integer mod-97 check (the textbook ISO 13616 algorithm
+    with letter expansion), every corrupted twin must fail, and the
+    in-engine validation flags must agree with both."""
+    from spark_streaming_test_spark.functions import scalar as sc
+
+    rows = sc.fn_iban_mod97(spark, sf_dir).collect()
+    assert rows
+
+    def iban_ok(iban: str) -> bool:
+        rearranged = iban[4:] + iban[:4]
+        digits = "".join(
+            str(ord(ch) - 55) if ch.isalpha() else ch for ch in rearranged
+        )
+        return int(digits) % 97 == 1
+
+    for r in rows:
+        assert r["is_valid"], r
+        assert iban_ok(r["iban"]), r["iban"]
+        assert not r["corrupted_still_valid"], r
+        assert 2 <= r["check_digits"] <= 98
+        assert r["iban"].startswith(sc.IBAN_COUNTRY)
+        assert len(r["iban"]) == 22
+
+
 # --- SMA crossover -----------------------------------------------------------
 
 
