@@ -2832,7 +2832,8 @@ def dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # built from the base corpus, drop the (majority) definitely-new
 # delta docs before anything shuffles, send only bloom-hits to the
 # exact check. Built here entirely in int64 bit arithmetic: the
-# filter is BLOOM_WORDS 64-bit words aggregated by bit_or (a
+# filter is BLOOM_WORDS words of 32 usable bits each (stored in
+# BIGINTs — DuckDB rejects 1<<63) aggregated by bit_or (a
 # map-side-combinable, order-free reduction), the K probe positions
 # are md5-derived, and two's-complement shifts behave identically in
 # both engines — so even the "probabilistic" structure is bitwise

@@ -1379,7 +1379,8 @@ def _nnd_oracle() -> str:
         f"         CAST((v.vec_id + j.j * {NND_STEP}) % (SELECT n FROM n)"
         "           AS BIGINT) AS u",
         f"  FROM embm v, LATERAL unnest(range(1, {NND_K} + 1)) AS j(j)",
-        "  WHERE (v.vec_id + j.j * 17) % (SELECT n FROM n) <> v.vec_id),",
+        f"  WHERE (v.vec_id + j.j * {NND_STEP}) % (SELECT n FROM n)"
+        "    <> v.vec_id),",
     ]
     # EVERY per-round CTE is MATERIALIZED: und is referenced 3x by
     # cand, so un-materialized CTEs inline ~6x per round — an

@@ -2550,7 +2550,13 @@ MST_MAX_ROUNDS = 32
 # partkeys crossed 10000 (sf >= 0.05) — a lossy modulus is not a
 # tiebreak.
 MST_P = 1 << 21
-MST_ORACLE_ROUNDS = 16  # components halve per round: covers n <= 65536
+# Derived from MST_MAX_ROUNDS so the oracle can NEVER under-unroll
+# relative to the implementation (ADVICE r7): if the Spark side is
+# allowed k merge rounds, the unrolled DuckDB forest gets the same k.
+# Components halve per round, so 32 rounds covers components up to
+# 2^32 nodes; post-convergence rounds are no-ops over the (small)
+# converged forest, so the extra unrolled CTEs cost little at test SFs.
+MST_ORACLE_ROUNDS = MST_MAX_ROUNDS
 
 
 def _mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3726,13 +3732,13 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
+        converged = (
             nh.join(h.withColumnRenamed("h", "hp"), "id")
             .filter(F.col("h") != F.col("hp"))
             .isEmpty()
         )
         h = nh
-        if changed:
+        if converged:
             break
         if r == CORENESS_MAX_ROUNDS:
             raise RuntimeError(

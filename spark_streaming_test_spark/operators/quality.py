@@ -1438,6 +1438,15 @@ def dq_merkle_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standard bounded-noise variant; the true count rides along as the
 # harness's ground truth so the mechanism's error is auditable (in a
 # real release you would drop it).
+#
+# NOT A PRIVACY GUARANTEE (ADVICE r7): because the noise is a
+# deterministic PUBLIC keyed PRF of the released cell name, anyone
+# can recompute the noise term and recover the exact count. These
+# queries are a mechanism *replay* — they reproduce the exact
+# arithmetic an epsilon-DP release would perform, cross-engine
+# hash-checkable — not a privacy-preserving release. A real
+# deployment replaces the PRF draw with a secret, non-reproducible
+# RNG; everything downstream of the draw is unchanged.
 
 DP_HIST_EPSILON = 0.5
 DP_NOISE_B = 8
@@ -1488,7 +1497,9 @@ def dq_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup through {2 * DP_NOISE_B} decimal literals, integer noise in
     [-{DP_NOISE_B}, {DP_NOISE_B}] added to the exact count. One count
     aggregate + a pure projection — the mechanism adds nothing to the
-    shuffle, which is what makes it deployable at ingest scale."""
+    shuffle, which is what makes it deployable at ingest scale.
+    Mechanism REPLAY, not a private release: the PRF noise is
+    recomputable from the cell name (see section comment)."""
     ev = load(spark, sf_dir, "events")
     b = ev.select(
         "event_type",
@@ -1599,7 +1610,9 @@ def dq_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first bucket whose noisy CDF reaches q * N_noisy, with the
     true-count quantile bucket as the audit column. The comparison
     dp_cdf >= q * dp_n multiplies integers by literal q — exact on
-    both engines (q has one or two decimal digits; dp_n bounded)."""
+    both engines (q has one or two decimal digits; dp_n bounded).
+    Mechanism REPLAY, not a private release: the PRF noise is
+    recomputable from the cell name (see section comment)."""
     ev = load(spark, sf_dir, "events")
     b = ev.select(
         "event_type",
