@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Regenerate ``_DRIVER_WINDOW`` in registry.py from driver evidence.
+
+The driver hash-verifies the FIRST ~50 names of ``all_queries()`` each
+round and records the results in ``CORRECTNESS_r*.json``. This tool
+derives the rotation order from that evidence instead of a hand-kept
+list (VERDICT r7 item 2 — a hand-edit rename silently dropped names
+from verification because unknown names were ignored):
+
+    1. RED     — latest sampled round failed (hash/schema/row mismatch,
+                 error, or a ``no_oracle`` record for a query that DOES
+                 declare an oracle in the registry). Re-verify first.
+    2. NEW     — registered but absent from the current window (fresh
+                 code this round carries the highest risk). Registry
+                 order.
+    3. BACKLOG — never driver-sampled. Keeps the current window's
+                 relative order (the stable planned rotation).
+    4. GREEN   — latest sampled round passed. Re-verify last, stalest
+                 green first (ascending round of last verification).
+
+Classification of one CORRECTNESS entry:
+    pass  = rows+schema+hash all true, OR err == 'no_oracle' for a
+            query whose registry entry has oracle=None (rows-only is
+            that query's best achievable check).
+    fail  = anything else.
+
+Unlike the old hand-kept list, a window name that no longer exists in
+the registry is a HARD ERROR (renames must be resolved consciously),
+and a registered query missing from the window is impossible by
+construction (the window is generated from the registry).
+
+Usage:
+    python tools/gen_driver_window.py            # rewrite registry.py
+    python tools/gen_driver_window.py --check    # exit 1 if stale
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import textwrap
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+REGISTRY_PY = os.path.join(ROOT, "spark_streaming_test_spark", "registry.py")
+
+BEGIN = "_DRIVER_WINDOW = ["
+# The closing bracket of the window list, at column 0.
+END = "]"
+
+
+def load_evidence(root: str = ROOT) -> dict[str, tuple[int, dict]]:
+    """name -> (latest round number, that round's record)."""
+    latest: dict[str, tuple[int, dict]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        for name, rec in json.load(open(path)).items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, rec)
+    return latest
+
+
+def entry_passes(rec: dict, has_oracle: bool) -> bool:
+    if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
+        return True
+    if (
+        rec.get("err") == "no_oracle"
+        and not has_oracle
+        and rec.get("spark_rows") is not None
+    ):
+        # Rows-only queries (stubs, live-streaming shapes): the driver's
+        # weaker rows-run check is their best achievable verification.
+        return True
+    return False
+
+
+def build_window() -> tuple[list[str], dict[str, list[str]]]:
+    """Return (ordered names, section map) derived from the registry +
+    CORRECTNESS evidence + the current window's relative order."""
+    from spark_streaming_test_spark import registry
+
+    registry._load()
+    reg_names = list(registry._REGISTRY)
+    reg_set = set(reg_names)
+    oracles = {n: registry._REGISTRY[n].oracle is not None for n in reg_names}
+
+    old = list(registry._DRIVER_WINDOW)
+    stale = [n for n in old if n not in reg_set]
+    if stale:
+        raise SystemExit(
+            "gen_driver_window: window names missing from the registry "
+            f"(rename or removal must be resolved here): {stale}"
+        )
+    old_rank = {n: i for i, n in enumerate(old)}
+
+    evidence = load_evidence()
+    reds, news, backlog, greens = [], [], [], []
+    for n in reg_names:
+        if n in evidence:
+            rnd, rec = evidence[n]
+            (greens if entry_passes(rec, oracles[n]) else reds).append(n)
+        elif n in old_rank:
+            backlog.append(n)
+        else:
+            news.append(n)
+
+    reds.sort(key=lambda n: old_rank.get(n, -1))
+    backlog.sort(key=lambda n: old_rank[n])
+    # Stalest green first so long-unverified names cycle back sooner.
+    greens.sort(key=lambda n: (evidence[n][0], old_rank.get(n, -1)))
+    sections = {"red": reds, "new": news, "backlog": backlog, "green": greens}
+    return reds + news + backlog + greens, sections
+
+
+def render_block(sections: dict[str, list[str]]) -> str:
+    """The generated source text for the _DRIVER_WINDOW assignment."""
+    headers = {
+        "red": "failed in their latest driver sample — re-verify FIRST",
+        "new": "registered since the last regeneration — verify before backlog",
+        "backlog": "never driver-sampled — planned rotation order",
+        "green": "driver-green — re-verify last, stalest first",
+    }
+    out = [BEGIN]
+    out.append(
+        "    # GENERATED by tools/gen_driver_window.py — do not hand-edit."
+    )
+    out.append(
+        "    # Derived from CORRECTNESS_r*.json: reds, then new names, then"
+    )
+    out.append(
+        "    # the never-sampled backlog, then greens (stalest first)."
+    )
+    for key in ("red", "new", "backlog", "green"):
+        names = sections[key]
+        out.append(f"    # --- {headers[key]} ({len(names)}) ---")
+        if not names:
+            continue
+        body = ", ".join(f'"{n}"' for n in names) + ","
+        out.extend(
+            textwrap.wrap(
+                body,
+                width=78,
+                initial_indent="    ",
+                subsequent_indent="    ",
+                break_long_words=False,
+                break_on_hyphens=False,
+            )
+        )
+    out.append(END)
+    return "\n".join(out)
+
+
+def splice(src: str, block: str) -> str:
+    start = src.index(BEGIN)
+    end = src.index("\n" + END + "\n", start) + 1 + len(END)
+    return src[:start] + block + src[end:]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    _, sections = build_window()
+    block = render_block(sections)
+    src = open(REGISTRY_PY).read()
+    new_src = splice(src, block)
+    if args.check:
+        if new_src != src:
+            print("gen_driver_window: registry.py window is STALE — rerun the tool")
+            return 1
+        print("gen_driver_window: window up to date")
+        return 0
+    if new_src == src:
+        print("gen_driver_window: no change")
+        return 0
+    open(REGISTRY_PY, "w").write(new_src)
+    counts = {k: len(v) for k, v in sections.items()}
+    print(f"gen_driver_window: rewrote window {counts}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
