@@ -21,6 +21,12 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "spark_streaming_test_spark") -> SparkSession:
     """Build (or reuse) the tuned SparkSession."""
+    # Before the JVM launches: make google.protobuf importable (vendored
+    # shim if the real wheel is absent) so transformWithStateInPandas
+    # workers can speak the state-server protocol. No-op afterwards.
+    from spark_streaming_test_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 
 import pandas as pd
 import pytest
@@ -100,22 +101,53 @@ def test_edge_trigger_truth_table(spark, tmp_path):
 
 
 def _has_protobuf() -> bool:
-    # transformWithStateInPandas spawns a streaming python runner that
-    # requires a working google.protobuf; gate rather than fail where the
-    # environment lacks it.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    # transformWithStateInPandas needs a working google.protobuf in both
+    # the driver and the python workers. The vendored mini-runtime
+    # (spark_streaming_test_spark/vendor/protoshim) supplies it when the
+    # real wheel is absent; conftest activates it before the JVM starts
+    # so PYTHONPATH reaches the workers. Gate only on genuine failure.
+    from spark_streaming_test_spark.protoshim import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def _rocksdb_state_store(spark):
+    """transformWithStateInPandas requires a state store with column
+    families — RocksDB (rocksdbjni ships in the pyspark distribution),
+    not the default HDFSBackedStateStoreProvider. Scoped set/restore so
+    the session-wide fixture keeps its default for every other test."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
+@pytest.fixture
+def tws_rocksdb(spark):
+    """Hold the RocksDB provider for the duration of a TWS test (the
+    provider class is resolved from session conf when the streaming
+    query plans its state stores)."""
+    with _rocksdb_state_store(spark):
+        yield
 
 
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf (not in this env)",
 )
-def test_edge_trigger_truth_table_tws(spark, tmp_path):
+def test_edge_trigger_truth_table_tws(spark, tmp_path, tws_rocksdb):
     """Same truth table through the Spark-4 transformWithStateInPandas
     path (EdgeTriggerProcessor) — both stateful APIs must agree."""
     from spark_streaming_test_spark.streaming.pipeline import edge_trigger_stream_tws
@@ -753,7 +785,7 @@ def test_idempotent_sink_replay_safe(spark, sf_dir, tmp_path):
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf (not in this env)",
 )
-def test_edge_trigger_tws_with_ttl_wiring(spark, tmp_path):
+def test_edge_trigger_tws_with_ttl_wiring(spark, tmp_path, tws_rocksdb):
     """TTL-enabled state: same edge-trigger truth table on a single
     batch (TTL far in the future), proving the ttlDurationMs +
     processing-time-mode wiring end-to-end."""
@@ -772,23 +804,31 @@ def test_edge_trigger_tws_with_ttl_wiring(spark, tmp_path):
         PACKET_SCHEMA,
     )
     df.write.parquet(src, mode="overwrite")
+    # One packet per NIC: feed sizes straight into the stateful op (an
+    # unwatermarked streaming agg upstream of TWS is rejected in append
+    # mode; aggregation-composition is covered by the truth-table test).
     totals = (
         spark.readStream.schema(PACKET_SCHEMA)
         .parquet(src)
-        .groupBy("nif")
-        .agg(F.sum("bytes").alias("total_bytes"))
+        .select("nif", F.col("bytes").alias("total_bytes"))
     )
     alerts = edge_trigger_stream_tws(totals, max_limit=150.0, ttl_ms=3_600_000)
+    # No availableNow here: in processing-time mode the engine keeps
+    # scheduling no-data batches to advance the TTL clock, so the query
+    # never self-terminates — poll the sink for both rows, then stop.
     q = (
         alerts.writeStream.format("memory")
         .queryName("ttl_out")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "chk"))
-        .trigger(availableNow=True)
         .start()
     )
     try:
-        assert q.awaitTermination(120)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM ttl_out").count() >= 2:
+                break
+            time.sleep(0.5)
     finally:
         q.stop()
     got = {
@@ -1033,7 +1073,7 @@ def test_streaming_query_listener_reports_progress(spark, tmp_path):
 
 
 @pytest.mark.parametrize("api", ["apply", "tws"])
-def test_streaming_ewma_matches_batch_fold(spark, tmp_path, api):
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path, api, tws_rocksdb):
     """Three micro-batches of per-key values; the final streaming EWMA
     must equal a plain Python left fold s -> (s+x)/2 over the full
     arrival-ordered sequence — state carries the fold seed across
@@ -1374,7 +1414,7 @@ def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf (not in this env)",
 )
-def test_rate_limit_stream_tws(spark, tmp_path):
+def test_rate_limit_stream_tws(spark, tmp_path, tws_rocksdb):
     """Live per-(user, hour) rate limiter through transformWithState:
     first K events of a window pass, later ones are throttled, a new
     window resets the budget — and the state survives across
