@@ -1,0 +1,490 @@
+"""Kafka produce-path WIRE PROTOCOL, pure stdlib — real bytes over a
+real socket (O14, KafkaProducer.java:38-39).
+
+The pyspark distribution ships no spark-sql-kafka connector jar and the
+sandbox has no broker, so the built-in ``format("kafka")`` sink can
+never run here (recorded in COVERAGE.md). The wire protocol itself,
+though, is a small public spec (kafka.apache.org/protocol): framed
+request/response, big-endian primitives, and for the produce path a
+MessageSet of CRC-checked messages. This module implements that slice
+from the spec:
+
+* ``KafkaWireProducer`` — a minimal producer client: framed
+  ProduceRequest v2 (message format v1, magic=1, CreateTime, plain
+  CRC-32 over the message body), correlation-id matching, acks=0
+  fire-and-forget (the reference's semantics, KafkaProducer.java:39)
+  or acks=1 with retry-on-retriable-error (the at-least-once upgrade
+  SURVEY §4.3 documents).
+* ``MiniKafkaBroker`` — an in-process validating broker stub: accepts
+  connections, parses produce requests INDEPENDENTLY of the producer's
+  encoder, verifies every message CRC, appends to an in-memory log,
+  and acks with a ProduceResponse v2 carrying real base offsets. A
+  failure-injection knob nacks the first N requests with a RETRIABLE
+  error code so tests can prove the producer's at-least-once retry.
+
+Scale posture: the Spark-facing sink (``streaming/pipeline.py::
+kafka_wire_sink``) produces from ``foreachPartition`` — one socket per
+task, records never collected to the driver — exactly how real Kafka
+clients are deployed under foreachBatch. The stub broker is for tests;
+the producer speaks the same bytes to a real broker.
+
+Wire layout used (all big-endian, spec names):
+
+  request  := INT32 size, INT16 api_key, INT16 api_version,
+              INT32 correlation_id, NULLABLE_STRING client_id, body
+  produce v2 body := INT16 acks, INT32 timeout_ms,
+              ARRAY[topic STRING, ARRAY[partition INT32,
+                                        BYTES record_set]]
+  message set     := repeat(INT64 offset, INT32 size, message)
+  message (v1)    := INT32 crc32(rest), INT8 magic=1, INT8 attrs,
+              INT64 timestamp_ms, BYTES key, BYTES value
+  produce v2 resp := INT32 correlation_id,
+              ARRAY[topic STRING, ARRAY[partition INT32,
+                    INT16 error, INT64 base_offset, INT64 append_time]],
+              INT32 throttle_ms
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+import zlib
+from dataclasses import dataclass, field
+
+API_PRODUCE = 0
+PRODUCE_VERSION = 2
+MAGIC_V1 = 1
+
+ERR_NONE = 0
+ERR_REQUEST_TIMED_OUT = 7  # retriable per the protocol error table
+
+# Retriable error codes a producer must retry on (subset we exercise).
+RETRIABLE_ERRORS = frozenset({7, 5, 6})  # timeout, not-ready, not-leader
+
+
+# --- primitive encoders ---------------------------------------------------
+
+
+def _i8(v: int) -> bytes:
+    return struct.pack(">b", v)
+
+
+def _i16(v: int) -> bytes:
+    return struct.pack(">h", v)
+
+
+def _i32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def _i64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return _i16(-1)
+    b = s.encode("utf-8")
+    return _i16(len(b)) + b
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return _i32(-1)
+    return _i32(len(b)) + b
+
+
+class _Reader:
+    """Cursor over one framed payload; raises on truncation so a
+    malformed request is a loud protocol error, never a silent one."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("truncated kafka frame")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def i8(self) -> int:
+        return struct.unpack(">b", self.take(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack(">h", self.take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self.take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self.take(8))[0]
+
+    def string(self) -> str | None:
+        n = self.i16()
+        return None if n < 0 else self.take(n).decode("utf-8")
+
+    def nbytes(self) -> bytes | None:
+        n = self.i32()
+        return None if n < 0 else self.take(n)
+
+
+# --- message set (format v1) ---------------------------------------------
+
+
+def encode_message(
+    key: bytes | None, value: bytes | None, timestamp_ms: int
+) -> bytes:
+    """One v1 message: crc over (magic..value), CreateTime attrs."""
+    body = (
+        _i8(MAGIC_V1)
+        + _i8(0)  # attributes: no compression, CreateTime
+        + _i64(timestamp_ms)
+        + _bytes(key)
+        + _bytes(value)
+    )
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    return struct.pack(">I", crc) + body
+
+
+def encode_message_set(
+    records: list[tuple[bytes | None, bytes | None, int]],
+) -> bytes:
+    """records = [(key, value, timestamp_ms)]. Producer-side offsets in
+    a message set are placeholders (the broker assigns real ones)."""
+    out = bytearray()
+    for i, (key, value, ts) in enumerate(records):
+        msg = encode_message(key, value, ts)
+        out += _i64(i) + _i32(len(msg)) + msg
+    return bytes(out)
+
+
+def decode_message_set(buf: bytes) -> list[tuple[bytes | None, bytes | None, int]]:
+    """Broker-side parse + CRC verify. Returns [(key, value, ts_ms)]."""
+    r = _Reader(buf)
+    out: list[tuple[bytes | None, bytes | None, int]] = []
+    while r.pos < len(r.buf):
+        r.i64()  # producer-side placeholder offset
+        size = r.i32()
+        msg = _Reader(r.take(size))
+        crc = struct.unpack(">I", msg.take(4))[0]
+        rest = msg.buf[msg.pos :]
+        if zlib.crc32(rest) & 0xFFFFFFFF != crc:
+            raise ValueError("message CRC mismatch")
+        magic = msg.i8()
+        if magic != MAGIC_V1:
+            raise ValueError(f"unsupported message magic {magic}")
+        attrs = msg.i8()
+        if attrs & 0x07:
+            raise ValueError("compressed message sets not supported")
+        ts = msg.i64()
+        key = msg.nbytes()
+        value = msg.nbytes()
+        out.append((key, value, ts))
+    return out
+
+
+# --- produce request / response ------------------------------------------
+
+
+def encode_produce_request(
+    correlation_id: int,
+    client_id: str,
+    topic: str,
+    partition: int,
+    records: list[tuple[bytes | None, bytes | None, int]],
+    acks: int = 1,
+    timeout_ms: int = 30_000,
+) -> bytes:
+    record_set = encode_message_set(records)
+    payload = (
+        _i16(API_PRODUCE)
+        + _i16(PRODUCE_VERSION)
+        + _i32(correlation_id)
+        + _string(client_id)
+        + _i16(acks)
+        + _i32(timeout_ms)
+        + _i32(1)  # one topic
+        + _string(topic)
+        + _i32(1)  # one partition
+        + _i32(partition)
+        + _bytes(record_set)
+    )
+    return _i32(len(payload)) + payload
+
+
+@dataclass
+class ProduceRequest:
+    correlation_id: int
+    client_id: str | None
+    acks: int
+    timeout_ms: int
+    # [(topic, partition, [(key, value, ts_ms)])]
+    batches: list[tuple[str, int, list[tuple[bytes | None, bytes | None, int]]]]
+
+
+def decode_produce_request(frame: bytes) -> ProduceRequest:
+    r = _Reader(frame)
+    api_key = r.i16()
+    api_version = r.i16()
+    if api_key != API_PRODUCE or api_version != PRODUCE_VERSION:
+        raise ValueError(f"unsupported api {api_key} v{api_version}")
+    corr = r.i32()
+    client = r.string()
+    acks = r.i16()
+    timeout_ms = r.i32()
+    batches = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            partition = r.i32()
+            record_set = r.nbytes() or b""
+            batches.append((topic, partition, decode_message_set(record_set)))
+    return ProduceRequest(corr, client, acks, timeout_ms, batches)
+
+
+def encode_produce_response(
+    correlation_id: int,
+    results: list[tuple[str, int, int, int]],  # (topic, partition, err, base_off)
+) -> bytes:
+    by_topic: dict[str, list[tuple[int, int, int]]] = {}
+    for topic, part, err, off in results:
+        by_topic.setdefault(topic, []).append((part, err, off))
+    payload = _i32(correlation_id) + _i32(len(by_topic))
+    for topic, parts in by_topic.items():
+        payload += _string(topic) + _i32(len(parts))
+        for part, err, off in parts:
+            payload += _i32(part) + _i16(err) + _i64(off) + _i64(-1)
+    payload += _i32(0)  # throttle_time_ms
+    return _i32(len(payload)) + payload
+
+
+def decode_produce_response(frame: bytes) -> tuple[int, list[tuple[str, int, int, int]]]:
+    r = _Reader(frame)
+    corr = r.i32()
+    results = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            part = r.i32()
+            err = r.i16()
+            base = r.i64()
+            r.i64()  # log_append_time
+            results.append((topic, part, err, base))
+    r.i32()  # throttle_time_ms
+    return corr, results
+
+
+# --- socket helpers -------------------------------------------------------
+
+
+def _recv_exactly(sock: socket.socket, n: int) -> bytes | None:
+    """None on clean EOF at a frame boundary; raises mid-frame."""
+    chunks = bytearray()
+    while len(chunks) < n:
+        part = sock.recv(n - len(chunks))
+        if not part:
+            if not chunks:
+                return None
+            raise ConnectionError("socket closed mid-frame")
+        chunks += part
+    return bytes(chunks)
+
+
+def read_frame(sock: socket.socket) -> bytes | None:
+    head = _recv_exactly(sock, 4)
+    if head is None:
+        return None
+    (size,) = struct.unpack(">i", head)
+    if size < 0 or size > 64 << 20:
+        raise ValueError(f"implausible frame size {size}")
+    return _recv_exactly(sock, size)
+
+
+# --- producer client ------------------------------------------------------
+
+
+class KafkaWireProducer:
+    """Minimal produce-path client. acks=0 is the reference's
+    fire-and-forget (KafkaProducer.java:39 — send and never look);
+    acks=1 waits for the broker ack and retries retriable errors,
+    which is the at-least-once contract the foreachBatch sink relies
+    on (a replayed batch re-produces; consumers must dedup on key)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "spark-streaming-test",
+        timeout_s: float = 30.0,
+    ):
+        self.host = host
+        self.port = port
+        self.client_id = client_id
+        self.timeout_s = timeout_s
+        self._sock: socket.socket | None = None
+        self._corr = 0
+
+    def _connect(self) -> socket.socket:
+        if self._sock is None:
+            self._sock = socket.create_connection(
+                (self.host, self.port), timeout=self.timeout_s
+            )
+        return self._sock
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def produce(
+        self,
+        topic: str,
+        records: list[tuple[bytes | None, bytes | None, int]],
+        partition: int = 0,
+        acks: int = 1,
+        retries: int = 3,
+    ) -> int:
+        """Send one produce request; returns the broker-assigned base
+        offset (acks=1) or -1 (acks=0). Retries retriable broker errors
+        and connection failures up to ``retries`` times."""
+        if not records:
+            return -1
+        last_err: Exception | None = None
+        for _attempt in range(retries + 1):
+            try:
+                self._corr += 1
+                corr = self._corr
+                sock = self._connect()
+                sock.sendall(
+                    encode_produce_request(
+                        corr, self.client_id, topic, partition, records, acks=acks
+                    )
+                )
+                if acks == 0:
+                    return -1
+                frame = read_frame(sock)
+                if frame is None:
+                    raise ConnectionError("broker closed before ack")
+                got_corr, results = decode_produce_response(frame)
+                if got_corr != corr:
+                    raise ValueError(
+                        f"correlation mismatch: sent {corr} got {got_corr}"
+                    )
+                (rtopic, rpart, err, base) = results[0]
+                if err == ERR_NONE:
+                    return base
+                if err in RETRIABLE_ERRORS:
+                    last_err = RuntimeError(f"retriable broker error {err}")
+                    continue
+                raise RuntimeError(f"fatal broker error {err} for {rtopic}/{rpart}")
+            except (ConnectionError, socket.timeout, OSError) as e:
+                last_err = e
+                self.close()
+        raise RuntimeError(f"produce failed after {retries + 1} attempts") from last_err
+
+
+# --- in-process validating broker stub ------------------------------------
+
+
+@dataclass
+class _BrokerLog:
+    """In-memory topic-partition logs + failure injection counter."""
+
+    records: dict[tuple[str, int], list[tuple[bytes | None, bytes | None, int]]] = (
+        field(default_factory=dict)
+    )
+    requests_seen: int = 0
+    fail_first: int = 0
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class MiniKafkaBroker:
+    """Threaded in-process broker stub: independently parses each
+    produce request per the public spec, CRC-verifies every message,
+    appends to an in-memory log, and acks with real base offsets.
+
+    ``fail_first=N`` nacks the first N produce requests with the
+    retriable REQUEST_TIMED_OUT error — the records are NOT appended —
+    so a test can prove the producer retries and the sink is
+    at-least-once (the replay may double-append; that duplication is
+    the documented contract, SURVEY §4.3)."""
+
+    def __init__(self, host: str = "127.0.0.1", fail_first: int = 0):
+        self._log = _BrokerLog(fail_first=fail_first)
+        log = self._log
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                while True:
+                    try:
+                        frame = read_frame(self.request)
+                    except (ConnectionError, ValueError, OSError):
+                        return
+                    if frame is None:
+                        return
+                    req = decode_produce_request(frame)
+                    with log.lock:
+                        log.requests_seen += 1
+                        inject_fail = log.requests_seen <= log.fail_first
+                        results = []
+                        for topic, part, recs in req.batches:
+                            if inject_fail:
+                                results.append(
+                                    (topic, part, ERR_REQUEST_TIMED_OUT, -1)
+                                )
+                                continue
+                            dest = log.records.setdefault((topic, part), [])
+                            base = len(dest)
+                            dest.extend(recs)
+                            results.append((topic, part, ERR_NONE, base))
+                    if req.acks != 0:
+                        self.request.sendall(
+                            encode_produce_response(req.correlation_id, results)
+                        )
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, 0), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    def start(self) -> "MiniKafkaBroker":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def fetch(
+        self, topic: str, partition: int = 0
+    ) -> list[tuple[bytes | None, bytes | None, int]]:
+        with self._log.lock:
+            return list(self._log.records.get((topic, partition), []))
+
+    @property
+    def requests_seen(self) -> int:
+        with self._log.lock:
+            return self._log.requests_seen

@@ -288,6 +288,67 @@ def write_alerts_kafka(
     return writer.start()
 
 
+def kafka_wire_batch_sink(
+    host: str, port: int, topic: str, acks: int = 1
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` hook that ships each micro-batch's alerts to a
+    Kafka broker over the ACTUAL produce wire protocol — pure-stdlib
+    sockets, no connector jar (the pyspark distribution ships none;
+    COVERAGE.md). Record shape matches the reference producer exactly:
+    null key, the alert message string as the value
+    (KafkaProducer.java:17,38 — ``new ProducerRecord<>(topic, alert)``).
+
+    Scale posture: produced from ``foreachPartition`` — one socket per
+    task, rows never collected to the driver, the standard
+    Kafka-client-under-foreachBatch deployment. Delivery is
+    at-least-once with acks=1 (foreachBatch replays a failed batch and
+    the producer retries retriable errors); acks=0 reproduces the
+    reference's fire-and-forget at-most-once (SURVEY §4.3)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        def send_partition(rows) -> None:
+            import time as _time
+
+            from spark_streaming_test_spark.sources.kafka_wire import (
+                KafkaWireProducer,
+            )
+
+            now_ms = int(_time.time() * 1000)
+            records = [
+                (None, row["message"].encode("utf-8"), now_ms) for row in rows
+            ]
+            if not records:
+                return
+            with KafkaWireProducer(host, port) as producer:
+                producer.produce(topic, records, acks=acks)
+
+        batch_df.select("message").foreachPartition(send_partition)
+
+    return write
+
+
+def write_alerts_kafka_wire(
+    alerts: DataFrame,
+    host: str,
+    port: int,
+    topic: str = "alerts",
+    checkpoint: str | None = None,
+    acks: int = 1,
+):
+    """O14 with real bytes on a real socket: the edge-triggered alert
+    stream produced to a broker speaking the public Kafka protocol
+    (framed ProduceRequest v2, CRC-checked v1 messages) via
+    :func:`kafka_wire_batch_sink`. The declarative ``format("kafka")``
+    form stays in :func:`write_alerts_kafka` for clusters that ship the
+    connector jar."""
+    writer = alerts.writeStream.foreachBatch(
+        kafka_wire_batch_sink(host, port, topic, acks=acks)
+    ).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, join_expr) -> DataFrame:
     """Stream-static join: enrich a live stream against a batch
     dimension. The static side is broadcast into every micro-batch —

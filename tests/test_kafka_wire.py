@@ -1,0 +1,213 @@
+"""O14 live delivery: alert bytes over a REAL socket speaking the
+public Kafka produce wire protocol (KafkaProducer.java:38-39), against
+an in-process validating broker stub — the half of the Kafka sink a
+missing connector jar + broker could never exercise before. The wire
+FORMAT half stays oracle-pinned by ``traffic_alerts_kafka_wire``."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_test_spark.sources.kafka_wire import (
+    KafkaWireProducer,
+    MiniKafkaBroker,
+    decode_message_set,
+    decode_produce_request,
+    encode_message_set,
+    encode_produce_request,
+)
+from spark_streaming_test_spark.streaming.pipeline import (
+    ALERT_MSG,
+    INFO_MSG,
+    edge_trigger_stream,
+    packet_stream_from_dir,
+    write_alerts_kafka_wire,
+)
+
+RECS = [
+    (None, b"Alert: over", 1_700_000_000_000),
+    (b"eth0", b"Info: under", 1_700_000_001_000),
+]
+
+
+# --- wire layer, no Spark --------------------------------------------------
+
+
+def test_produce_request_roundtrip():
+    req = encode_produce_request(7, "cid", "alerts", 0, RECS, acks=1)
+    parsed = decode_produce_request(req[4:])
+    assert parsed.correlation_id == 7
+    assert parsed.acks == 1
+    assert parsed.batches == [("alerts", 0, RECS)]
+
+
+def test_crc_tamper_rejected():
+    buf = bytearray(encode_message_set(RECS))
+    buf[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_message_set(bytes(buf))
+
+
+def test_producer_acks1_offsets_and_log():
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            assert producer.produce("alerts", RECS) == 0
+            assert producer.produce("alerts", RECS) == 2
+        assert broker.fetch("alerts") == RECS + RECS
+
+
+def test_producer_retries_retriable_nacks():
+    """First two produce attempts get a retriable REQUEST_TIMED_OUT and
+    are NOT appended; the third succeeds — at-least-once in action."""
+    with MiniKafkaBroker(fail_first=2) as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            assert producer.produce("alerts", RECS, retries=3) == 0
+        assert broker.fetch("alerts") == RECS
+        assert broker.requests_seen == 3
+
+
+def test_producer_acks0_fire_and_forget():
+    """The reference's at-most-once send (KafkaProducer.java:39): no
+    ack awaited; bytes still land."""
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            assert producer.produce("alerts", RECS, acks=0) == -1
+        deadline = time.time() + 5
+        while time.time() < deadline and not broker.fetch("alerts"):
+            time.sleep(0.05)
+        assert broker.fetch("alerts") == RECS
+
+
+# --- Spark end-to-end ------------------------------------------------------
+
+
+def _write_packet_batch(spark, path: str, rows, batch_id: int) -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "nif": [r[0] for r in rows],
+                "bytes": [r[1] for r in rows],
+                "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            }
+        ),
+        f"{path}/b{batch_id}.parquet",
+    )
+
+
+def _ts(minute: int):
+    from datetime import datetime
+
+    return datetime(2024, 1, 1, 0, minute, 0)
+
+
+def test_kafka_wire_live_edge_trigger_delivery(spark, tmp_path):
+    """Full reference pipeline with LIVE Kafka delivery: packet batches
+    -> edge-triggered alerts -> foreachPartition producer -> socket ->
+    broker stub CRC-verifies and logs. The delivered value multiset
+    must equal the edge-trigger truth table's emissions."""
+    src = str(tmp_path / "in")
+    batches = [
+        [("A", 200.0, _ts(0)), ("B", 100.0, _ts(0))],
+        [("A", 220.0, _ts(5)), ("B", 400.0, _ts(5))],
+        [("A", 80.0, _ts(10)), ("B", 90.0, _ts(10))],
+    ]
+    _write_packet_batch(spark, src, batches[0], 0)
+    totals = packet_stream_from_dir(spark, src).select(
+        "nif", F.col("bytes").alias("total_bytes")
+    )
+    alerts = edge_trigger_stream(totals, max_limit=150.0)
+    with MiniKafkaBroker() as broker:
+        q = write_alerts_kafka_wire(
+            alerts,
+            broker.host,
+            broker.port,
+            checkpoint=str(tmp_path / "chk"),
+        )
+        try:
+            q.processAllAvailable()
+            for i, rows in enumerate(batches[1:], start=1):
+                _write_packet_batch(spark, src, rows, i)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(v.decode() for k, v, _ in broker.fetch("alerts"))
+        keys = {k for k, _, _ in broker.fetch("alerts")}
+    # Emissions: A 200(alert) 80(info); B 100(info) 400(alert) 90(info)
+    assert got == sorted([ALERT_MSG, INFO_MSG, INFO_MSG, ALERT_MSG, INFO_MSG])
+    assert keys == {None}  # reference sends null keys (KafkaProducer.java:38)
+
+
+def test_kafka_wire_delivery_survives_retriable_nack(spark, tmp_path):
+    """The broker nacks the first produce request (retriable); the
+    foreachPartition producer retries within the same batch and every
+    alert still lands exactly once in the broker log."""
+    src = str(tmp_path / "in")
+    _write_packet_batch(
+        spark, src, [("A", 200.0, _ts(0)), ("B", 100.0, _ts(0))], 0
+    )
+    totals = packet_stream_from_dir(spark, src).select(
+        "nif", F.col("bytes").alias("total_bytes")
+    )
+    alerts = edge_trigger_stream(totals, max_limit=150.0)
+    with MiniKafkaBroker(fail_first=1) as broker:
+        q = write_alerts_kafka_wire(
+            alerts,
+            broker.host,
+            broker.port,
+            checkpoint=str(tmp_path / "chk"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        values = sorted(v.decode() for _, v, _ in broker.fetch("alerts"))
+        assert broker.requests_seen >= 2  # nack + successful retry
+    assert values == sorted([ALERT_MSG, INFO_MSG])
+
+
+def test_kafka_wire_exact_bytes_parity_with_oracle_format(spark, sf_dir):
+    """The oracle-pinned wire format (``traffic_alerts_kafka_wire``:
+    key = nif bytes, value = JSON alert record) shipped over the real
+    socket: broker-received (key, value) byte pairs must equal the
+    DataFrame-computed serialization exactly — byte-for-byte parity
+    between the declarative wire query and the socket producer."""
+    from spark_streaming_test_spark.operators.traffic import traffic_alerts
+
+    alerts = traffic_alerts(spark, sf_dir)
+    wire = alerts.select(
+        F.col("nif").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("window_start", "total_bytes", "is_alert", "message")
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+    expected = sorted(
+        (bytes(r["key"]), bytes(r["value"])) for r in wire.collect()
+    )
+    with MiniKafkaBroker() as broker:
+        host, port = broker.host, broker.port
+
+        def send_partition(rows):
+            records = [
+                (bytes(row["key"]), bytes(row["value"]), 0) for row in rows
+            ]
+            if not records:
+                return
+            with KafkaWireProducer(host, port) as producer:
+                producer.produce("alerts-wire", records)
+
+        wire.foreachPartition(send_partition)
+        got = sorted((k, v) for k, v, _ in broker.fetch("alerts-wire"))
+    assert got == expected
+    assert len(got) > 0
