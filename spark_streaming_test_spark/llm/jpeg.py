@@ -1,0 +1,655 @@
+"""REAL baseline JPEG (JFIF) decode — pure stdlib + numpy, no codec libs.
+
+JPEG looked codec-gated behind PIL (module docstring of
+``multimodal.py``), but baseline sequential JPEG (ITU-T T.81 / ISO
+10918-1, a public spec) needs no library at all: marker segments,
+quantization + Huffman tables, an entropy-coded segment with byte
+stuffing, zigzag ordering, dequantization, an 8x8 inverse DCT, and a
+level shift. This module implements the full baseline decode path:
+
+* marker walk: SOI / APPn / COM / DQT / DHT / DRI / SOF0 / SOS / EOI,
+* DQT 8- and 16-bit precision tables, zigzag order,
+* DHT canonical Huffman reconstruction (BITS/HUFFVAL, Annex C),
+* entropy decode: DC size-category + difference coding with per-
+  component predictors, AC run/size symbols, ZRL (16-zero runs), EOB,
+  0xFF00 byte unstuffing, RSTn restart markers (predictor reset +
+  byte alignment),
+* dequantize -> de-zigzag -> float64 separable IDCT -> +128 level
+  shift -> clamp, and JFIF YCbCr->RGB for 3-component scans.
+
+Supported profile (everything else raises, like the PNG decoder):
+8-bit baseline SOF0, 1 or 3 components, no chroma subsampling (all
+sampling factors 1). Progressive (SOF2), 12-bit, and subsampled scans
+are out of scope here.
+
+The ORACLE trick: JPEG is lossy in general, but two DCT coefficient
+families survive quantize->IDCT->round EXACTLY, making a closed-form
+DuckDB oracle possible on real compressed bytes:
+
+* a flat 8x8 block of value v has exactly one nonzero coefficient,
+  DC = 8*(v-128) — an integer, unchanged by an all-ones quant table;
+  IDCT reproduces v bitwise after rounding;
+* the (4,4) basis function has entries +-1/8, so coefficient 8k adds
+  +-k with sign pattern s(x)*s(y), s(x) = +1 for x in {0,3,4,7} else
+  -1 — integers again. Its zigzag position is 39, so encoding it
+  exercises TWO ZRL symbols before the run/size code.
+
+Fixture images are built from such blocks: v and k come from
+closed-form formulas of (block_x, block_y, img_id), so the DuckDB
+oracle recomputes per-image pixel sums, a checkerboard-weighted sum
+(which isolates the AC path: the +-k pattern cancels in the plain sum)
+and position-sensitive corners from pure arithmetic — while the Spark
+side must parse real markers, real Huffman codes, real stuffed bytes
+and real restart markers to reproduce them.
+
+Scale posture: decode parallelism = files via ``binaryFile`` +
+``mapInPandas``; pixels never leave the Arrow batch — only O(1)
+features per image shuffle. Reference parity: the reference engine has
+no image path at all; this is part of the §2.1 multimodal family
+(SURVEY.md) the 100 TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import struct as _struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+
+# zigzag position -> raster index (T.81 Figure A.6, public constant)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3.1 luminance DC table: BITS (codes per length 1..16), HUFFVAL.
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+
+# s(x) for the (4,4) basis: cos((2x+1)*pi/4) sign, x = 0..7.
+AC44_SIGN = [1, -1, -1, 1, 1, -1, -1, 1]
+AC44_ZZ = ZIGZAG.index(36)  # zigzag position of raster (4,4) == 39
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    a = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+# --- canonical Huffman ------------------------------------------------------
+
+
+def build_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per Annex C code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def uniform_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A valid (BITS, HUFFVAL) giving every symbol the same code length
+    L = ceil(log2(n+1)) — the +1 keeps the all-ones code unassigned,
+    matching the reference table-building algorithm's invariant."""
+    n = len(symbols)
+    # 2^bit_length(n) >= n + 1 always, so the all-ones code stays free
+    length = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, sorted(symbols)
+
+
+# --- bit-level writer (encoder side) ----------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def byte_align_ones(self) -> None:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _size_cat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _amplitude_bits(v: int, size: int) -> int:
+    # negative amplitudes are stored one's-complement style (T.81 F.1.4)
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+# --- encoder (fixture writer) ------------------------------------------------
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    coeff_blocks: list[list[int]],
+    ncomp: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a real baseline JFIF byte stream from per-block DCT
+    coefficient vectors (raster order, 64 ints each; quant table = all
+    ones so the values are stored verbatim). ``ncomp=1`` grayscale or
+    3 for interleaved 4:4:4 (then ``coeff_blocks`` holds Y,Cb,Cr
+    triples per MCU). Huffman tables are built from the symbols the
+    data actually uses — how optimizing encoders work."""
+    assert width % 8 == 0 and height % 8 == 0
+    n_mcu = (width // 8) * (height // 8)
+    assert len(coeff_blocks) == n_mcu * ncomp
+
+    # ---- first pass: collect symbols, so tables cover exactly the data
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = {0x00}
+    preds = [0] * ncomp
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            preds = [0] * ncomp
+        for c in range(ncomp):
+            blk = coeff_blocks[m * ncomp + c]
+            diff = blk[0] - preds[c]
+            preds[c] = blk[0]
+            dc_syms.add(_size_cat(diff))
+            run = 0
+            for zz in range(1, 64):
+                v = blk[ZIGZAG[zz]]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    run -= 16
+                ac_syms.add((run << 4) | _size_cat(v))
+                run = 0
+    dc_bits, dc_vals = uniform_table(sorted(dc_syms))
+    ac_bits, ac_vals = uniform_table(sorted(ac_syms))
+    dc_codes = build_canonical_codes(dc_bits, dc_vals)
+    ac_codes = build_canonical_codes(ac_bits, ac_vals)
+
+    # ---- entropy-coded segment
+    w = _BitWriter()
+    preds = [0] * ncomp
+    rst_inserts: list[tuple[int, int]] = []  # (byte offset, marker index)
+    rst_n = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            w.byte_align_ones()
+            rst_inserts.append((len(w.out), rst_n & 7))
+            rst_n += 1
+            preds = [0] * ncomp
+        for c in range(ncomp):
+            blk = coeff_blocks[m * ncomp + c]
+            diff = blk[0] - preds[c]
+            preds[c] = blk[0]
+            s = _size_cat(diff)
+            code, ln = dc_codes[s]
+            w.put(code, ln)
+            if s:
+                w.put(_amplitude_bits(diff, s), s)
+            run = 0
+            for zz in range(1, 64):
+                v = blk[ZIGZAG[zz]]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.put(code, ln)
+                    run -= 16
+                s = _size_cat(v)
+                code, ln = ac_codes[(run << 4) | s]
+                w.put(code, ln)
+                w.put(_amplitude_bits(v, s), s)
+                run = 0
+            if blk[ZIGZAG[63]] == 0:  # EOB unless block ends at 63
+                code, ln = ac_codes[0x00]
+                w.put(code, ln)
+    w.byte_align_ones()
+    scan = bytearray(w.out)
+    for off, idx in reversed(rst_inserts):
+        scan[off:off] = bytes([0xFF, 0xD0 + idx])
+
+    # ---- marker segments
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
+    if restart_interval:
+        out += seg(0xDD, _struct.pack(">H", restart_interval))  # DRI
+    comp_specs = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+    )  # sampling 1x1, quant table 0
+    out += seg(
+        0xC0, bytes([8]) + _struct.pack(">HH", height, width) + bytes([ncomp]) + comp_specs
+    )  # SOF0
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))  # DHT DC 0
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))  # DHT AC 0
+    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+    out += seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))  # SOS
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def flat_ac44_blocks(v: int, k: int) -> list[int]:
+    """Coefficient vector (raster order) for a block that decodes to
+    pixel(x, y) = v + k*s(x)*s(y): DC = 8*(v-128), coeff(4,4) = 8*k."""
+    blk = [0] * 64
+    blk[0] = 8 * (v - 128)
+    blk[36] = 8 * k  # raster (4,4)
+    return blk
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over an UNSTUFFED entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy segment exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_baseline(buf: bytes):
+    """(width, height, ncomp, pixels) from baseline JFIF bytes; pixels
+    is H x W (grayscale) or H x W x 3 RGB uint8, row 0 = top. Supported
+    profile: 8-bit SOF0, 1 or 3 components, all sampling factors 1;
+    anything else raises rather than guessing."""
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    ncomp = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    restart_interval = 0
+    pos = 2
+    scan_data = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = _struct.unpack_from(">H", buf, pos + 2)
+        body = buf[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = list(body[i : i + 64])
+                    i += 64
+                elif pq == 1:
+                    vals = [
+                        _struct.unpack_from(">H", body, i + 2 * j)[0] for j in range(64)
+                    ]
+                    i += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                table = [0] * 64
+                for zz in range(64):
+                    table[ZIGZAG[zz]] = vals[zz]
+                qt[tq] = table
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            height, width = _struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled scans unsupported (sampling factors must be 1x1)"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = _struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(i for i, (cc, _) in enumerate(comps) if cc == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+            # collect entropy bytes up to the next non-RST marker
+            start = pos
+            i = start
+            while i + 1 < len(buf):
+                if buf[i] == 0xFF and buf[i + 1] not in (0x00, *range(0xD0, 0xD8)):
+                    break
+                i += 1
+            scan_data = buf[start:i]
+            pos = i
+        # APPn / COM / others: skipped by the generic segment advance
+    if width is None or scan_data is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+
+    # split on restart markers, unstuff each interval
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan_data):
+        b = scan_data[i]
+        if b == 0xFF:
+            nxt = scan_data[i + 1] if i + 1 < len(scan_data) else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside scan")
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+
+    blocks_w, blocks_h = (width + 7) // 8, (height + 7) // 8
+    n_mcu = blocks_w * blocks_h
+    dct = _dct_matrix()
+    planes = [
+        np.zeros((blocks_h * 8, blocks_w * 8), dtype=np.float64) for _ in range(ncomp)
+    ]
+    reader = _BitReader(intervals[0])
+    interval_idx = 0
+    preds = [0] * ncomp
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise ValueError("missing restart marker in scan")
+            reader = _BitReader(intervals[interval_idx])
+            preds = [0] * ncomp
+        by, bx = divmod(m, blocks_w)
+        for comp_idx, dc_id, ac_id in scan_comps:
+            coeffs = np.zeros(64, dtype=np.float64)
+            s = _read_symbol(reader, huff[(0, dc_id)])
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            preds[comp_idx] += diff
+            coeffs[0] = preds[comp_idx]
+            zz = 1
+            while zz < 64:
+                sym = _read_symbol(reader, huff[(1, ac_id)])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    zz += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                zz += run
+                if zz > 63:
+                    raise ValueError("AC coefficient index out of range")
+                coeffs[ZIGZAG[zz]] = _extend(reader.read_bits(size), size)
+                zz += 1
+            q = qt[comps[comp_idx][1]]
+            block = (coeffs * np.asarray(q, dtype=np.float64)).reshape(8, 8)
+            pixels = dct.T @ block @ dct + 128.0
+            planes[comp_idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
+    planes = [np.clip(np.rint(p[:height, :width]), 0, 255) for p in planes]
+    if ncomp == 1:
+        return width, height, 1, planes[0].astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return width, height, 3, rgb
+
+
+# --- fixtures + registered query ---------------------------------------------
+
+JPEG_N = 50
+
+
+def _jpeg_block_v(bx: int, by: int, i: int) -> int:
+    # flat level in [8, 247]: +-k (k <= 7) can never clip
+    return 8 + (37 * bx + 59 * by + 11 * i) % 240
+
+
+def _jpeg_block_k(bx: int, by: int, i: int) -> int:
+    return 1 + (bx + by + i) % 7
+
+
+def _jpeg_dims(i: int) -> tuple[int, int]:
+    return 2 + i % 3, 1 + i % 2  # blocks wide, blocks high
+
+
+def write_jpeg_fixture(path: str, i: int) -> None:
+    wb, hb = _jpeg_dims(i)
+    blocks = [
+        flat_ac44_blocks(_jpeg_block_v(bx, by, i), _jpeg_block_k(bx, by, i))
+        for by in range(hb)
+        for bx in range(wb)
+    ]
+    # every 5th file uses restart markers (interval 2): RST handling +
+    # predictor reset are load-bearing in the driver-facing query
+    data = encode_jpeg_baseline(
+        wb * 8, hb * 8, blocks, restart_interval=2 if i % 5 == 0 else 0
+    )
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _jpeg_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+    from spark_streaming_test_spark.llm.multimodal import SCRATCH
+
+    rev = fixture_rev(
+        write_jpeg_fixture,
+        encode_jpeg_baseline,
+        flat_ac44_blocks,
+        _jpeg_block_v,
+        _jpeg_block_k,
+        _jpeg_dims,
+        JPEG_N,
+    )
+    d = _os.path.join(SCRATCH, f"jpeg_images_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(JPEG_N):
+        p = _os.path.join(d, f"img_{i:04d}.jpg")
+        if not _os.path.exists(p):
+            tmp = p + ".tmp"
+            write_jpeg_fixture(tmp, i)
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_decode_jpeg",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 2 + i % 3 AS wb, 1 + i % 2 AS hb FROM range({JPEG_N}) t(i)
+),
+blk AS (
+  SELECT i, wb, hb, bxx.bx AS bx, byy.by AS by,
+         8 + (37 * bxx.bx + 59 * byy.by + 11 * i) % 240 AS v,
+         1 + (bxx.bx + byy.by + i) % 7 AS k
+  FROM imgs,
+       LATERAL unnest(range(0, wb)) AS bxx(bx),
+       LATERAL unnest(range(0, hb)) AS byy(by)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(wb) * 8 AS INTEGER) AS width,
+       CAST(MAX(hb) * 8 AS INTEGER) AS height,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_lum,
+       CAST(SUM(64 * k) AS BIGINT) AS checker_sum,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN v + k END) AS INTEGER)
+         AS topleft,
+       CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN v + k END)
+            AS INTEGER) AS bottomright
+FROM blk GROUP BY i
+""",
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, no codec libs: marker walk, DHT
+    canonical Huffman, DC-difference + AC run/size entropy decode with
+    ZRL and EOB, byte unstuffing, restart markers (every 5th fixture),
+    dequantize, float IDCT, level shift. Emits per-image dimensions,
+    the plain luminance sum, a CHECKERBOARD-WEIGHTED sum s(x%8)s(y%8)
+    that isolates the AC-coefficient path (the +-k pattern cancels out
+    of the plain sum by design), and position-sensitive corners. The
+    DuckDB oracle recomputes all of it from the closed-form block
+    formulas — possible on lossy JPEG because flat-block DC and the
+    (4,4) basis survive quantize->IDCT->round exactly (see module
+    docstring). Scale: files parallelize via binaryFile + mapInPandas;
+    only O(1) features per image leave the Arrow batch."""
+    import numpy as np
+
+    d = _jpeg_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.jpg"))
+        .select("path", "content")
+    )
+    sign = np.asarray(AC44_SIGN, dtype=np.int64)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, nc, px = decode_jpeg_baseline(bytes(content))
+                assert nc == 1
+                p = px.astype(np.int64)
+                weights = np.outer(
+                    np.tile(sign, h // 8), np.tile(sign, w // 8)
+                )
+                rows.append(
+                    (
+                        img_id, w, h,
+                        int(p.sum()),
+                        int((p * weights).sum()),
+                        int(p[0, 0]), int(p[h - 1, w - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "sum_lum",
+                    "checker_sum", "topleft", "bottomright",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, width int, height int, sum_lum bigint, "
+            "checker_sum bigint, topleft int, bottomright int"
+        ),
+    )

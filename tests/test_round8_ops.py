@@ -1,0 +1,176 @@
+"""Round-8 operator tests: the pure-stdlib baseline JPEG codec
+(llm/jpeg.py) — the one mainstream image codec still stubbed after
+round 6's PNG/GIF/BMP/WAV/PNM. Decode correctness is pinned three
+independent ways: closed-form flat+AC44 fixtures (also the DuckDB
+oracle's basis), an independent float IDCT reference for arbitrary
+coefficients, and protocol-level cases (byte stuffing, restart
+markers, unsupported profiles)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from spark_streaming_test_spark.llm.jpeg import (
+    AC44_SIGN,
+    AC44_ZZ,
+    JPEG_N,
+    ZIGZAG,
+    _jpeg_block_k,
+    _jpeg_block_v,
+    _jpeg_dims,
+    build_canonical_codes,
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+    flat_ac44_blocks,
+    uniform_table,
+)
+
+
+def _idct_reference(blk: list[int]) -> np.ndarray:
+    """Independent inverse DCT straight from the T.81 definition."""
+    a = np.array(
+        [
+            [
+                0.5
+                * ((1 / math.sqrt(2)) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    return np.clip(np.rint(a.T @ np.array(blk, float).reshape(8, 8) @ a + 128), 0, 255)
+
+
+def test_zigzag_is_a_permutation_and_ac44_position():
+    assert sorted(ZIGZAG) == list(range(64))
+    assert ZIGZAG[AC44_ZZ] == 36  # raster (4,4)
+    assert AC44_ZZ == 39  # run of 38 zeros -> exercises two ZRL symbols
+
+
+def test_canonical_codes_are_prefix_free():
+    bits, vals = uniform_table([0x00, 0xF0, 0x64, 0x65, 0x66])
+    codes = build_canonical_codes(bits, vals)
+    assert len(codes) == 5
+    items = list(codes.values())
+    for i, (c1, l1) in enumerate(items):
+        for c2, l2 in items[i + 1 :]:
+            if l1 <= l2:
+                assert (c2 >> (l2 - l1)) != c1  # no prefix collision
+    # the all-ones code of each length stays unassigned (T.81 invariant)
+    for code, length in items:
+        assert code != (1 << length) - 1
+
+
+def test_flat_ac44_block_roundtrip_exact():
+    v, k = 100, 5
+    w, h, nc, px = decode_jpeg_baseline(
+        encode_jpeg_baseline(8, 8, [flat_ac44_blocks(v, k)])
+    )
+    s = np.array(AC44_SIGN)
+    assert (w, h, nc) == (8, 8, 1)
+    assert np.array_equal(px.astype(int), v + k * np.outer(s, s))
+
+
+@pytest.mark.parametrize("i", [0, 1, 5, 17, 35, 49])
+def test_fixture_images_decode_to_closed_form(i):
+    """Fixture i (including i%5==0 restart-marker files) decodes to the
+    exact closed-form pixel grid the DuckDB oracle integrates over."""
+    wb, hb = _jpeg_dims(i)
+    blocks = [
+        flat_ac44_blocks(_jpeg_block_v(bx, by, i), _jpeg_block_k(bx, by, i))
+        for by in range(hb)
+        for bx in range(wb)
+    ]
+    data = encode_jpeg_baseline(
+        wb * 8, hb * 8, blocks, restart_interval=2 if i % 5 == 0 else 0
+    )
+    w, h, nc, px = decode_jpeg_baseline(data)
+    assert (w, h, nc) == (wb * 8, hb * 8, 1)
+    s = np.array(AC44_SIGN)
+    exp = np.zeros((h, w), dtype=int)
+    for by in range(hb):
+        for bx in range(wb):
+            v, k = _jpeg_block_v(bx, by, i), _jpeg_block_k(bx, by, i)
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v + k * np.outer(s, s)
+    assert np.array_equal(px.astype(int), exp)
+
+
+def test_restart_markers_present_and_reset_predictors():
+    """i%5==0 fixtures carry DRI + RSTn; a decoder that fails to reset
+    the DC predictor at a restart produces shifted levels, so exact
+    pixel equality (previous test) plus marker presence pins both."""
+    wb, hb = _jpeg_dims(5 * 3)  # any i % 5 == 0 with >= 3 MCUs
+    i = 15
+    blocks = [
+        flat_ac44_blocks(_jpeg_block_v(bx, by, i), _jpeg_block_k(bx, by, i))
+        for by in range(hb)
+        for bx in range(wb)
+    ]
+    data = encode_jpeg_baseline(wb * 8, hb * 8, blocks, restart_interval=2)
+    scan = data.split(b"\xff\xda")[1]
+    assert any(bytes([0xFF, 0xD0 + j]) in scan for j in range(8))
+    assert b"\xff\xdd" in data  # DRI segment
+
+
+def test_arbitrary_coefficients_match_independent_idct():
+    blk = [0] * 64
+    blk[0], blk[1], blk[8], blk[36], blk[50], blk[63] = -300, 45, -17, 24, -9, 3
+    w, h, nc, px = decode_jpeg_baseline(encode_jpeg_baseline(8, 8, [blk]))
+    assert np.array_equal(px.astype(float), _idct_reference(blk))
+
+
+def test_byte_stuffing_roundtrip():
+    """Dense +-255 coefficients force 0xFF bytes in the entropy stream;
+    the encoder must stuff them and the decoder must unstuff — and the
+    result still matches the independent IDCT bit-for-bit."""
+    blk = [0] * 64
+    blk[0] = 1016
+    for j in range(1, 64):
+        blk[j] = 255 if j % 2 else -255
+    data = encode_jpeg_baseline(8, 8, [blk])
+    scan = data.split(b"\xff\xda")[1]
+    assert scan.count(b"\xff\x00") >= 1
+    w, h, nc, px = decode_jpeg_baseline(data)
+    assert np.array_equal(px.astype(float), _idct_reference(blk))
+
+
+def test_color_ycbcr_conversion():
+    """3-component 4:4:4 scan: flat Y/Cb/Cr planes through the JFIF
+    conversion; expected RGB computed independently here."""
+    y0, cb0, cr0 = 120, 90, 200
+    data = encode_jpeg_baseline(
+        8,
+        8,
+        [flat_ac44_blocks(y0, 0), flat_ac44_blocks(cb0, 0), flat_ac44_blocks(cr0, 0)],
+        ncomp=3,
+    )
+    w, h, nc, px = decode_jpeg_baseline(data)
+    assert nc == 3 and px.shape == (8, 8, 3)
+    exp = (
+        int(np.clip(round(y0 + 1.402 * (cr0 - 128)), 0, 255)),
+        int(np.clip(round(y0 - 0.344136 * (cb0 - 128) - 0.714136 * (cr0 - 128)), 0, 255)),
+        int(np.clip(round(y0 + 1.772 * (cb0 - 128)), 0, 255)),
+    )
+    assert np.array_equal(px, np.tile(np.array(exp, np.uint8), (8, 8, 1)))
+
+
+def test_unsupported_profiles_raise():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"\x00\x00\x00\x00")
+    # progressive SOF2 rejected explicitly
+    data = bytearray(encode_jpeg_baseline(8, 8, [flat_ac44_blocks(100, 0)]))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_baseline(bytes(data))
+
+
+def test_fixture_count_and_dims_formula():
+    assert JPEG_N == 50
+    for i in (0, 1, 2, 3, 49):
+        wb, hb = _jpeg_dims(i)
+        assert (wb, hb) == (2 + i % 3, 1 + i % 2)

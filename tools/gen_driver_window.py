@@ -80,6 +80,19 @@ def entry_passes(rec: dict, has_oracle: bool) -> bool:
     return False
 
 
+def _window_from_source() -> list[str]:
+    """Parse the committed _DRIVER_WINDOW straight from registry.py —
+    NOT from the imported module, so the convergence loop in main()
+    sees each rewrite without reloading (a reload would wipe the
+    populated _REGISTRY: query modules only register on first import)."""
+    import ast
+
+    src = open(REGISTRY_PY).read()
+    start = src.index(BEGIN) + len(BEGIN) - 1  # keep the '['
+    end = src.index("\n" + END + "\n", start) + 1 + len(END)
+    return list(ast.literal_eval(src[start:end]))
+
+
 def build_window() -> tuple[list[str], dict[str, list[str]]]:
     """Return (ordered names, section map) derived from the registry +
     CORRECTNESS evidence + the current window's relative order."""
@@ -90,7 +103,7 @@ def build_window() -> tuple[list[str], dict[str, list[str]]]:
     reg_set = set(reg_names)
     oracles = {n: registry._REGISTRY[n].oracle is not None for n in reg_names}
 
-    old = list(registry._DRIVER_WINDOW)
+    old = _window_from_source()
     stale = [n for n in old if n not in reg_set]
     if stale:
         raise SystemExit(
@@ -183,7 +196,20 @@ def main() -> int:
     open(REGISTRY_PY, "w").write(new_src)
     counts = {k: len(v) for k, v in sections.items()}
     print(f"gen_driver_window: rewrote window {counts}")
-    return 0
+    # A name classified "new" becomes "backlog" once it's in the window,
+    # so one rewrite may not be a fixed point — iterate until it is
+    # (same order, only section labels move; bounded by construction).
+    for _ in range(3):
+        _, sections = build_window()
+        block = render_block(sections)
+        src = open(REGISTRY_PY).read()
+        new_src = splice(src, block)
+        if new_src == src:
+            return 0
+        open(REGISTRY_PY, "w").write(new_src)
+        counts = {k: len(v) for k, v in sections.items()}
+        print(f"gen_driver_window: converging, rewrote again {counts}")
+    raise SystemExit("gen_driver_window: window failed to converge")
 
 
 if __name__ == "__main__":
