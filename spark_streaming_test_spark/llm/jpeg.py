@@ -653,3 +653,162 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checker_sum bigint, topleft int, bottomright int"
         ),
     )
+
+
+# --- color (3-component 4:4:4) ------------------------------------------------
+
+JPEG_COLOR_N = 40
+
+
+def _jc_y(bx: int, by: int, i: int) -> int:
+    return 16 + (29 * bx + 31 * by + 7 * i) % 220
+
+
+def _jc_cb(bx: int, by: int, i: int) -> int:
+    return 16 + (13 * bx + 17 * by + 5 * i) % 220
+
+
+def _jc_cr(bx: int, by: int, i: int) -> int:
+    return 16 + (11 * bx + 23 * by + 3 * i) % 220
+
+
+def _jc_dims(i: int) -> tuple[int, int]:
+    return 2 + i % 2, 1 + i % 2
+
+
+def write_jpeg_color_fixture(path: str, i: int) -> None:
+    """Flat Y/Cb/Cr per block (AC coverage lives in the grayscale
+    query); interleaved 4:4:4 MCUs."""
+    wb, hb = _jc_dims(i)
+    blocks: list[list[int]] = []
+    for by in range(hb):
+        for bx in range(wb):
+            blocks.append(flat_ac44_blocks(_jc_y(bx, by, i), 0))
+            blocks.append(flat_ac44_blocks(_jc_cb(bx, by, i), 0))
+            blocks.append(flat_ac44_blocks(_jc_cr(bx, by, i), 0))
+    data = encode_jpeg_baseline(wb * 8, hb * 8, blocks, ncomp=3)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _jpeg_color_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+    from spark_streaming_test_spark.llm.multimodal import SCRATCH
+
+    rev = fixture_rev(
+        write_jpeg_color_fixture,
+        encode_jpeg_baseline,
+        flat_ac44_blocks,
+        _jc_y,
+        _jc_cb,
+        _jc_cr,
+        _jc_dims,
+        JPEG_COLOR_N,
+    )
+    d = _os.path.join(SCRATCH, f"jpeg_color_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(JPEG_COLOR_N):
+        p = _os.path.join(d, f"img_{i:04d}.jpg")
+        if not _os.path.exists(p):
+            tmp = p + ".tmp"
+            write_jpeg_color_fixture(tmp, i)
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_decode_jpeg_color",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    # The JFIF YCbCr->RGB conversion is mirrored FLOAT-FOR-FLOAT: the
+    # decoder rounds each plane to exact integers before converting, so
+    # both engines evaluate the same IEEE expression on the same
+    # integers; test_round8_ops enumerates the whole fixture domain and
+    # proves no channel value lands on an exact .5 tie (where numpy's
+    # half-to-even and SQL's half-away would split). Constants must be
+    # CAST AS DOUBLE — bare literals parse DECIMAL in DuckDB.
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 2 + i % 2 AS wb, 1 + i % 2 AS hb FROM range({JPEG_COLOR_N}) t(i)
+),
+blk AS (
+  SELECT i, wb, hb, bxx.bx AS bx, byy.by AS by,
+         CAST(16 + (29 * bxx.bx + 31 * byy.by + 7 * i) % 220 AS DOUBLE) AS y,
+         CAST(16 + (13 * bxx.bx + 17 * byy.by + 5 * i) % 220 AS DOUBLE) AS cb,
+         CAST(16 + (11 * bxx.bx + 23 * byy.by + 3 * i) % 220 AS DOUBLE) AS cr
+  FROM imgs,
+       LATERAL unnest(range(0, wb)) AS bxx(bx),
+       LATERAL unnest(range(0, hb)) AS byy(by)
+),
+rgb AS (
+  SELECT i, wb, hb, bx, by,
+         LEAST(255.0, GREATEST(0.0,
+           round(y + CAST(1.402 AS DOUBLE) * (cr - 128.0)))) AS r,
+         LEAST(255.0, GREATEST(0.0,
+           round(y - CAST(0.344136 AS DOUBLE) * (cb - 128.0)
+                   - CAST(0.714136 AS DOUBLE) * (cr - 128.0)))) AS g,
+         LEAST(255.0, GREATEST(0.0,
+           round(y + CAST(1.772 AS DOUBLE) * (cb - 128.0)))) AS b
+  FROM blk
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(wb) * 8 AS INTEGER) AS width,
+       CAST(MAX(hb) * 8 AS INTEGER) AS height,
+       CAST(SUM(64 * r) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * g) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * b) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN r END) AS INTEGER)
+         AS topleft_r,
+       CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN b END) AS INTEGER)
+         AS bottomright_b
+FROM rgb GROUP BY i
+""",
+)
+def mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline JPEG decode: interleaved 4:4:4 YCbCr MCUs through
+    the full entropy path, then the JFIF color conversion — per-image
+    RGB channel sums and corners vs a closed-form oracle that mirrors
+    the conversion float-for-float (flat blocks decode to exact
+    integers first, so both engines round the identical IEEE doubles;
+    the fixture domain is enumerated tie-free in tests). Scale: same
+    binaryFile + mapInPandas shape as the grayscale query."""
+    import numpy as np
+
+    d = _jpeg_color_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.jpg"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, nc, px = decode_jpeg_baseline(bytes(content))
+                assert nc == 3
+                p = px.astype(np.int64)
+                rows.append(
+                    (
+                        img_id, w, h,
+                        int(p[:, :, 0].sum()),
+                        int(p[:, :, 1].sum()),
+                        int(p[:, :, 2].sum()),
+                        int(p[0, 0, 0]), int(p[h - 1, w - 1, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "sum_r", "sum_g",
+                    "sum_b", "topleft_r", "bottomright_b",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, width int, height int, sum_r bigint, "
+            "sum_g bigint, sum_b bigint, topleft_r int, bottomright_b int"
+        ),
+    )

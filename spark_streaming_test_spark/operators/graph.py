@@ -927,14 +927,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "communities", "evaluation"),
     oracle=f"""
 WITH RECURSIVE {_SQL_COPURCHASE},
-und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+und AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges
+),
 nodes AS (SELECT DISTINCT src AS node FROM und),
 reach(node, lab) AS (
   SELECT node, node FROM nodes
   UNION
   SELECT e.dst, r.lab FROM reach r JOIN und e ON e.src = r.node
 ),
-comp AS (SELECT node, MIN(lab) AS c FROM reach GROUP BY node),
+comp AS MATERIALIZED (SELECT node, MIN(lab) AS c FROM reach GROUP BY node),
 m AS (SELECT COUNT(*) AS m_edges FROM edges),
 internal AS (
   SELECT ca.c, COUNT(*) AS e_in
@@ -1121,18 +1123,18 @@ def _sql_hits_round(i: int) -> str:
     hub pull, max-normalize — all int64."""
     prev_h = f"h{i - 1}"
     return f"""
-a{i}r AS (
+a{i}r AS MATERIALIZED (
   SELECT p.sk, CAST(SUM(h.h) AS BIGINT) AS raw
   FROM pairs p JOIN {prev_h} h ON p.ck = h.ck GROUP BY p.sk
 ),
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT sk, (raw * {HITS_FP}) // (SELECT MAX(raw) FROM a{i}r) AS a FROM a{i}r
 ),
-h{i}r AS (
+h{i}r AS MATERIALIZED (
   SELECT p.ck, CAST(SUM(a.a) AS BIGINT) AS raw
   FROM pairs p JOIN a{i} a ON p.sk = a.sk GROUP BY p.ck
 ),
-h{i} AS (
+h{i} AS MATERIALIZED (
   SELECT ck, (raw * {HITS_FP}) // (SELECT MAX(raw) FROM h{i}r) AS h FROM h{i}r
 )"""
 
@@ -1141,7 +1143,7 @@ h{i} AS (
     "graph_hits",
     tags=("graph", "iterative"),
     oracle=f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
@@ -1702,19 +1704,19 @@ LOUVAIN_BINS = 16  # deterministic initial partition: community = node % BINS
 # Shared CTE chain: the synchronous move pass (und .. best) — used by
 # the move-phase oracle's final SELECT and by the coarsening oracle.
 _SQL_LOUVAIN_MOVE = f"""
-und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
-deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY src),
-comm AS (SELECT node, CAST(node % {LOUVAIN_BINS} AS BIGINT) AS cid FROM deg),
+und AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY src),
+comm AS MATERIALIZED (SELECT node, CAST(node % {LOUVAIN_BINS} AS BIGINT) AS cid FROM deg),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges),
-sig AS (
+sig AS MATERIALIZED (
   SELECT c.cid, CAST(SUM(d.k) AS BIGINT) AS sigma
   FROM comm c JOIN deg d ON c.node = d.node GROUP BY c.cid
 ),
-eic AS (
+eic AS MATERIALIZED (
   SELECT u.src AS node, c.cid, CAST(COUNT(*) AS BIGINT) AS e_ic
   FROM und u JOIN comm c ON u.dst = c.node GROUP BY u.src, c.cid
 ),
-own AS (
+own AS MATERIALIZED (
   SELECT c.node, c.cid, d.k, sa.sigma AS sigma_a,
          COALESCE(e.e_ic, 0) AS e_own
   FROM comm c
@@ -1738,7 +1740,7 @@ cand AS (
   CROSS JOIN m t
 ),
 best AS (SELECT * FROM cand WHERE rn = 1 AND gain > 0),
-newcomm AS (
+newcomm AS MATERIALIZED (
   SELECT o.node, CAST(COALESCE(b.cand_cid, o.cid) AS BIGINT) AS nc
   FROM own o LEFT JOIN best b ON o.node = b.node
 )"""
@@ -2008,7 +2010,7 @@ def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_SQL_COPURCHASE},
 {_SQL_LOUVAIN_MOVE},
-super_e AS (
+super_e AS MATERIALIZED (
   SELECT least(ca.nc, cb.nc) AS a, greatest(ca.nc, cb.nc) AS b,
          CAST(COUNT(*) AS BIGINT) AS w
   FROM edges e
@@ -2017,7 +2019,7 @@ super_e AS (
   GROUP BY least(ca.nc, cb.nc), greatest(ca.nc, cb.nc)
 ),
 m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS mw FROM super_e),
-kdeg AS (
+kdeg AS MATERIALIZED (
   SELECT node, CAST(SUM(wk) AS BIGINT) AS k FROM (
     SELECT a AS node, CASE WHEN a = b THEN 2 * w ELSE w END AS wk
     FROM super_e

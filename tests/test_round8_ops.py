@@ -174,3 +174,190 @@ def test_fixture_count_and_dims_formula():
     for i in (0, 1, 2, 3, 49):
         wb, hb = _jpeg_dims(i)
         assert (wb, hb) == (2 + i % 3, 1 + i % 2)
+
+
+# --- MJPEG-in-AVI video container (sources/avi_mjpeg.py) --------------------
+
+
+def _fixture_frames(i: int) -> list[bytes]:
+    from spark_streaming_test_spark.sources.avi_mjpeg import (
+        FRAME_HB,
+        FRAME_WB,
+        _avi_n_frames,
+        _frame_k,
+        _frame_v,
+    )
+
+    return [
+        encode_jpeg_baseline(
+            FRAME_WB * 8,
+            FRAME_HB * 8,
+            [
+                flat_ac44_blocks(_frame_v(bx, f, i), _frame_k(bx, f, i))
+                for bx in range(FRAME_WB)
+            ],
+        )
+        for f in range(_avi_n_frames(i))
+    ]
+
+
+def test_avi_container_roundtrip(tmp_path):
+    """Writer -> reader roundtrip: headers (dims/fps/frame count) and
+    every frame's exact JPEG bytes survive the RIFF container."""
+    from spark_streaming_test_spark.sources.avi_mjpeg import (
+        _avi_fps,
+        _avi_n_frames,
+        read_avi_mjpeg,
+        write_avi_mjpeg,
+    )
+
+    i = 7
+    frames = _fixture_frames(i)
+    p = str(tmp_path / "v.avi")
+    write_avi_mjpeg(p, frames, 16, 8, _avi_fps(i))
+    w, h, fps, declared, got = read_avi_mjpeg(open(p, "rb").read())
+    assert (w, h, fps, declared) == (16, 8, _avi_fps(i), _avi_n_frames(i))
+    assert got == frames
+
+
+def test_avi_frames_decode_to_closed_form(tmp_path):
+    """Container walk + per-frame JPEG decode reproduces the closed-form
+    pixel grid the video oracles integrate over."""
+    from spark_streaming_test_spark.sources.avi_mjpeg import (
+        _avi_fps,
+        _frame_k,
+        _frame_v,
+        read_avi_mjpeg,
+        write_avi_mjpeg,
+    )
+
+    i = 4
+    frames = _fixture_frames(i)
+    p = str(tmp_path / "v.avi")
+    write_avi_mjpeg(p, frames, 16, 8, _avi_fps(i))
+    _, _, _, _, got = read_avi_mjpeg(open(p, "rb").read())
+    s = np.array(AC44_SIGN)
+    for f, jpeg in enumerate(got):
+        fw, fh, nc, px = decode_jpeg_baseline(jpeg)
+        exp = np.zeros((8, 16), int)
+        for bx in range(2):
+            v, k = _frame_v(bx, f, i), _frame_k(bx, f, i)
+            exp[:, bx * 8 : bx * 8 + 8] = v + k * np.outer(s, s)
+        assert np.array_equal(px.astype(int), exp)
+
+
+def test_avi_idx1_cross_validation(tmp_path):
+    """A corrupted idx1 entry (wrong size) raises instead of decoding
+    from a lying index — the container-level analogue of PNG's CRC."""
+    import struct
+
+    from spark_streaming_test_spark.sources.avi_mjpeg import (
+        read_avi_mjpeg,
+        write_avi_mjpeg,
+    )
+
+    p = str(tmp_path / "v.avi")
+    write_avi_mjpeg(p, _fixture_frames(0), 16, 8, 10)
+    buf = bytearray(open(p, "rb").read())
+    pos = buf.find(b"idx1")
+    struct.pack_into("<I", buf, pos + 8 + 8, 12345)  # first entry's size
+    with pytest.raises(ValueError, match="idx1"):
+        read_avi_mjpeg(bytes(buf))
+
+
+def test_avi_declared_frame_count_enforced(tmp_path):
+    """avih totalframes must equal the movi chunk count."""
+    import struct
+
+    from spark_streaming_test_spark.sources.avi_mjpeg import (
+        read_avi_mjpeg,
+        write_avi_mjpeg,
+    )
+
+    p = str(tmp_path / "v.avi")
+    write_avi_mjpeg(p, _fixture_frames(0), 16, 8, 10)
+    buf = bytearray(open(p, "rb").read())
+    pos = buf.find(b"avih")
+    struct.pack_into("<I", buf, pos + 8 + 16, 99)  # dwTotalFrames
+    with pytest.raises(ValueError, match="declares"):
+        read_avi_mjpeg(bytes(buf))
+
+
+def test_avi_not_riff_raises():
+    from spark_streaming_test_spark.sources.avi_mjpeg import read_avi_mjpeg
+
+    with pytest.raises(ValueError, match="AVI"):
+        read_avi_mjpeg(b"JUNKJUNKJUNKJUNK")
+
+
+# --- color JPEG oracle safety ------------------------------------------------
+
+
+def test_color_fixture_domain_is_tie_free():
+    """The mm_decode_jpeg_color oracle mirrors the JFIF conversion
+    float-for-float and both engines round — np.rint (half-even) vs SQL
+    round (half-away) agree ONLY when no channel value lands exactly on
+    .5. Enumerate the entire fixture (Y, Cb, Cr) domain and prove it."""
+    from spark_streaming_test_spark.llm.jpeg import (
+        JPEG_COLOR_N,
+        _jc_cb,
+        _jc_cr,
+        _jc_dims,
+        _jc_y,
+    )
+
+    triples = set()
+    for i in range(JPEG_COLOR_N):
+        wb, hb = _jc_dims(i)
+        for by in range(hb):
+            for bx in range(wb):
+                triples.add(
+                    (_jc_y(bx, by, i), _jc_cb(bx, by, i), _jc_cr(bx, by, i))
+                )
+    assert triples
+    for yv, cbv, crv in triples:
+        y, cb, cr = np.float64(yv), np.float64(cbv), np.float64(crv)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        for v in (r, g, b):
+            assert float(v) % 1.0 != 0.5, (yv, cbv, crv, float(v))
+
+
+def test_color_fixture_decodes_to_mirrored_conversion(tmp_path):
+    """One color fixture end-to-end: decoder output equals the oracle's
+    SQL-side arithmetic computed here in numpy (round + clip)."""
+    from spark_streaming_test_spark.llm.jpeg import (
+        _jc_cb,
+        _jc_cr,
+        _jc_dims,
+        _jc_y,
+        write_jpeg_color_fixture,
+    )
+
+    i = 11
+    p = str(tmp_path / "c.jpg")
+    write_jpeg_color_fixture(p, i)
+    w, h, nc, px = decode_jpeg_baseline(open(p, "rb").read())
+    wb, hb = _jc_dims(i)
+    assert (w, h, nc) == (wb * 8, hb * 8, 3)
+    for by in range(hb):
+        for bx in range(wb):
+            y = np.float64(_jc_y(bx, by, i))
+            cb = np.float64(_jc_cb(bx, by, i))
+            cr = np.float64(_jc_cr(bx, by, i))
+            exp = [
+                int(np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)),
+                int(
+                    np.clip(
+                        np.rint(
+                            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                        ),
+                        0,
+                        255,
+                    )
+                ),
+                int(np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)),
+            ]
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert np.array_equal(block, np.tile(np.array(exp, np.uint8), (8, 8, 1)))
