@@ -15,12 +15,18 @@ from the spec:
   fire-and-forget (the reference's semantics, KafkaProducer.java:39)
   or acks=1 with retry-on-retriable-error (the at-least-once upgrade
   SURVEY §4.3 documents).
+* ``KafkaWireConsumer`` — the fetch side: framed FetchRequest v2 from
+  an arbitrary offset; the response's MessageSet carries ABSOLUTE
+  broker-assigned offsets, which is what makes consumer resume (store
+  last offset, fetch from offset+1) work.
 * ``MiniKafkaBroker`` — an in-process validating broker stub: accepts
-  connections, parses produce requests INDEPENDENTLY of the producer's
-  encoder, verifies every message CRC, appends to an in-memory log,
-  and acks with a ProduceResponse v2 carrying real base offsets. A
-  failure-injection knob nacks the first N requests with a RETRIABLE
-  error code so tests can prove the producer's at-least-once retry.
+  connections, parses produce AND fetch requests INDEPENDENTLY of the
+  client encoders, verifies every message CRC, appends to an in-memory
+  log, acks with a ProduceResponse v2 carrying real base offsets, and
+  serves FetchResponse v2 slices with the high watermark. A
+  failure-injection knob nacks the first N produce requests with a
+  RETRIABLE error code so tests can prove the producer's
+  at-least-once retry.
 
 Scale posture: the Spark-facing sink (``streaming/pipeline.py::
 kafka_wire_sink``) produces from ``foreachPartition`` — one socket per
@@ -42,6 +48,12 @@ Wire layout used (all big-endian, spec names):
               ARRAY[topic STRING, ARRAY[partition INT32,
                     INT16 error, INT64 base_offset, INT64 append_time]],
               INT32 throttle_ms
+  fetch v2 body   := INT32 replica_id(-1), INT32 max_wait_ms,
+              INT32 min_bytes, ARRAY[topic STRING,
+              ARRAY[partition INT32, INT64 fetch_offset, INT32 max_bytes]]
+  fetch v2 resp   := INT32 correlation_id, INT32 throttle_ms,
+              ARRAY[topic STRING, ARRAY[partition INT32, INT16 error,
+                    INT64 high_watermark, BYTES record_set]]
 """
 
 from __future__ import annotations
@@ -54,7 +66,9 @@ import zlib
 from dataclasses import dataclass, field
 
 API_PRODUCE = 0
+API_FETCH = 1
 PRODUCE_VERSION = 2
+FETCH_VERSION = 2
 MAGIC_V1 = 1
 
 ERR_NONE = 0
@@ -162,12 +176,26 @@ def encode_message_set(
     return bytes(out)
 
 
-def decode_message_set(buf: bytes) -> list[tuple[bytes | None, bytes | None, int]]:
-    """Broker-side parse + CRC verify. Returns [(key, value, ts_ms)]."""
+def encode_message_set_at(
+    records: list[tuple[bytes | None, bytes | None, int]], base_offset: int
+) -> bytes:
+    """Fetch-side message set: ABSOLUTE broker offsets, which is what a
+    consumer stores to resume (fetch from last_offset + 1)."""
+    out = bytearray()
+    for i, (key, value, ts) in enumerate(records):
+        msg = encode_message(key, value, ts)
+        out += _i64(base_offset + i) + _i32(len(msg)) + msg
+    return bytes(out)
+
+
+def decode_message_set_entries(
+    buf: bytes,
+) -> list[tuple[int, bytes | None, bytes | None, int]]:
+    """Parse + CRC verify, KEEPING offsets: [(offset, key, value, ts)]."""
     r = _Reader(buf)
-    out: list[tuple[bytes | None, bytes | None, int]] = []
+    out: list[tuple[int, bytes | None, bytes | None, int]] = []
     while r.pos < len(r.buf):
-        r.i64()  # producer-side placeholder offset
+        offset = r.i64()
         size = r.i32()
         msg = _Reader(r.take(size))
         crc = struct.unpack(">I", msg.take(4))[0]
@@ -183,8 +211,14 @@ def decode_message_set(buf: bytes) -> list[tuple[bytes | None, bytes | None, int
         ts = msg.i64()
         key = msg.nbytes()
         value = msg.nbytes()
-        out.append((key, value, ts))
+        out.append((offset, key, value, ts))
     return out
+
+
+def decode_message_set(buf: bytes) -> list[tuple[bytes | None, bytes | None, int]]:
+    """Broker-side parse + CRC verify, offsets dropped (producer-side
+    sets carry placeholders): [(key, value, ts_ms)]."""
+    return [(k, v, ts) for _, k, v, ts in decode_message_set_entries(buf)]
 
 
 # --- produce request / response ------------------------------------------
@@ -275,6 +309,104 @@ def decode_produce_response(frame: bytes) -> tuple[int, list[tuple[str, int, int
             r.i64()  # log_append_time
             results.append((topic, part, err, base))
     r.i32()  # throttle_time_ms
+    return corr, results
+
+
+# --- fetch request / response ----------------------------------------------
+
+
+def encode_fetch_request(
+    correlation_id: int,
+    client_id: str,
+    topic: str,
+    partition: int,
+    fetch_offset: int,
+    max_bytes: int = 1 << 20,
+    max_wait_ms: int = 100,
+    min_bytes: int = 1,
+) -> bytes:
+    payload = (
+        _i16(API_FETCH)
+        + _i16(FETCH_VERSION)
+        + _i32(correlation_id)
+        + _string(client_id)
+        + _i32(-1)  # replica_id: -1 = ordinary consumer
+        + _i32(max_wait_ms)
+        + _i32(min_bytes)
+        + _i32(1)
+        + _string(topic)
+        + _i32(1)
+        + _i32(partition)
+        + _i64(fetch_offset)
+        + _i32(max_bytes)
+    )
+    return _i32(len(payload)) + payload
+
+
+@dataclass
+class FetchRequest:
+    correlation_id: int
+    client_id: str | None
+    max_wait_ms: int
+    min_bytes: int
+    # [(topic, partition, fetch_offset, max_bytes)]
+    wants: list[tuple[str, int, int, int]]
+
+
+def decode_fetch_request(frame: bytes) -> FetchRequest:
+    r = _Reader(frame)
+    api_key = r.i16()
+    api_version = r.i16()
+    if api_key != API_FETCH or api_version != FETCH_VERSION:
+        raise ValueError(f"unsupported api {api_key} v{api_version}")
+    corr = r.i32()
+    client = r.string()
+    r.i32()  # replica_id
+    max_wait = r.i32()
+    min_bytes = r.i32()
+    wants = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            part = r.i32()
+            off = r.i64()
+            max_b = r.i32()
+            wants.append((topic, part, off, max_b))
+    return FetchRequest(corr, client, max_wait, min_bytes, wants)
+
+
+def encode_fetch_response(
+    correlation_id: int,
+    results: list[tuple[str, int, int, int, bytes]],
+    # (topic, partition, error, high_watermark, record_set)
+) -> bytes:
+    by_topic: dict[str, list[tuple[int, int, int, bytes]]] = {}
+    for topic, part, err, hw, rs in results:
+        by_topic.setdefault(topic, []).append((part, err, hw, rs))
+    payload = _i32(correlation_id) + _i32(0)  # throttle_time_ms
+    payload += _i32(len(by_topic))
+    for topic, parts in by_topic.items():
+        payload += _string(topic) + _i32(len(parts))
+        for part, err, hw, rs in parts:
+            payload += _i32(part) + _i16(err) + _i64(hw) + _bytes(rs)
+    return _i32(len(payload)) + payload
+
+
+def decode_fetch_response(
+    frame: bytes,
+) -> tuple[int, list[tuple[str, int, int, int, bytes]]]:
+    r = _Reader(frame)
+    corr = r.i32()
+    r.i32()  # throttle_time_ms
+    results = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            part = r.i32()
+            err = r.i16()
+            hw = r.i64()
+            rs = r.nbytes() or b""
+            results.append((topic, part, err, hw, rs))
     return corr, results
 
 
@@ -395,6 +527,88 @@ class KafkaWireProducer:
         raise RuntimeError(f"produce failed after {retries + 1} attempts") from last_err
 
 
+class KafkaWireConsumer:
+    """Minimal fetch-path client. ``fetch(topic, partition, offset)``
+    returns ``(high_watermark, [(offset, key, value, ts_ms)])`` — the
+    absolute offsets are the consumer's resume cursor (store the last,
+    fetch from +1). Pair with a per-task offset range and this is the
+    executor-side read shape of a Kafka source: each Spark task fetches
+    exactly its (topic-partition, offset-range) slice."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "spark-streaming-test",
+        timeout_s: float = 30.0,
+    ):
+        self.host = host
+        self.port = port
+        self.client_id = client_id
+        self.timeout_s = timeout_s
+        self._sock: socket.socket | None = None
+        self._corr = 0
+
+    def _connect(self) -> socket.socket:
+        if self._sock is None:
+            self._sock = socket.create_connection(
+                (self.host, self.port), timeout=self.timeout_s
+            )
+        return self._sock
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int = 0,
+        offset: int = 0,
+        max_bytes: int = 1 << 20,
+    ) -> tuple[int, list[tuple[int, bytes | None, bytes | None, int]]]:
+        self._corr += 1
+        corr = self._corr
+        sock = self._connect()
+        sock.sendall(
+            encode_fetch_request(
+                corr, self.client_id, topic, partition, offset, max_bytes
+            )
+        )
+        frame = read_frame(sock)
+        if frame is None:
+            raise ConnectionError("broker closed before fetch response")
+        got_corr, results = decode_fetch_response(frame)
+        if got_corr != corr:
+            raise ValueError(f"correlation mismatch: sent {corr} got {got_corr}")
+        rtopic, rpart, err, hw, record_set = results[0]
+        if err != ERR_NONE:
+            raise RuntimeError(f"fetch error {err} for {rtopic}/{rpart}")
+        return hw, decode_message_set_entries(record_set)
+
+    def fetch_all(
+        self, topic: str, partition: int = 0, offset: int = 0
+    ) -> list[tuple[int, bytes | None, bytes | None, int]]:
+        """Drain from ``offset`` to the current high watermark."""
+        out: list[tuple[int, bytes | None, bytes | None, int]] = []
+        cursor = offset
+        while True:
+            hw, batch = self.fetch(topic, partition, cursor)
+            out.extend(batch)
+            cursor = batch[-1][0] + 1 if batch else cursor
+            if cursor >= hw or not batch:
+                return out
+
+
 # --- in-process validating broker stub ------------------------------------
 
 
@@ -434,25 +648,58 @@ class MiniKafkaBroker:
                         return
                     if frame is None:
                         return
-                    req = decode_produce_request(frame)
-                    with log.lock:
-                        log.requests_seen += 1
-                        inject_fail = log.requests_seen <= log.fail_first
-                        results = []
-                        for topic, part, recs in req.batches:
-                            if inject_fail:
-                                results.append(
-                                    (topic, part, ERR_REQUEST_TIMED_OUT, -1)
-                                )
-                                continue
-                            dest = log.records.setdefault((topic, part), [])
-                            base = len(dest)
-                            dest.extend(recs)
-                            results.append((topic, part, ERR_NONE, base))
-                    if req.acks != 0:
-                        self.request.sendall(
-                            encode_produce_response(req.correlation_id, results)
-                        )
+                    api_key = struct.unpack_from(">h", frame, 0)[0]
+                    if api_key == API_PRODUCE:
+                        self._produce(frame)
+                    elif api_key == API_FETCH:
+                        self._fetch(frame)
+                    else:
+                        return  # unknown api: drop the connection
+
+            def _produce(self, frame: bytes) -> None:
+                req = decode_produce_request(frame)
+                with log.lock:
+                    log.requests_seen += 1
+                    inject_fail = log.requests_seen <= log.fail_first
+                    results = []
+                    for topic, part, recs in req.batches:
+                        if inject_fail:
+                            results.append(
+                                (topic, part, ERR_REQUEST_TIMED_OUT, -1)
+                            )
+                            continue
+                        dest = log.records.setdefault((topic, part), [])
+                        base = len(dest)
+                        dest.extend(recs)
+                        results.append((topic, part, ERR_NONE, base))
+                if req.acks != 0:
+                    self.request.sendall(
+                        encode_produce_response(req.correlation_id, results)
+                    )
+
+            def _fetch(self, frame: bytes) -> None:
+                req = decode_fetch_request(frame)
+                results = []
+                with log.lock:
+                    for topic, part, off, max_b in req.wants:
+                        stored = log.records.get((topic, part), [])
+                        hw = len(stored)
+                        # at least one message regardless of max_bytes
+                        # (Kafka's guarantee against starvation)
+                        batch: list = []
+                        nbytes = 0
+                        for j in range(max(0, off), hw):
+                            rec = stored[j]
+                            sz = 12 + len(encode_message(*rec))
+                            if batch and nbytes + sz > max_b:
+                                break
+                            batch.append(rec)
+                            nbytes += sz
+                        rs = encode_message_set_at(batch, max(0, off))
+                        results.append((topic, part, ERR_NONE, hw, rs))
+                self.request.sendall(
+                    encode_fetch_response(req.correlation_id, results)
+                )
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

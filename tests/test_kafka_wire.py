@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_test_spark.sources.kafka_wire import (
+    KafkaWireConsumer,
     KafkaWireProducer,
     MiniKafkaBroker,
     decode_message_set,
@@ -25,6 +26,7 @@ from spark_streaming_test_spark.streaming.pipeline import (
     INFO_MSG,
     edge_trigger_stream,
     packet_stream_from_dir,
+    read_kafka_wire_topic,
     write_alerts_kafka_wire,
 )
 
@@ -80,6 +82,37 @@ def test_producer_acks0_fire_and_forget():
         while time.time() < deadline and not broker.fetch("alerts"):
             time.sleep(0.05)
         assert broker.fetch("alerts") == RECS
+
+
+def test_consumer_fetch_absolute_offsets_and_resume():
+    """Fetch returns broker-assigned ABSOLUTE offsets; resuming from
+    last+1 yields exactly the suffix — the consumer-cursor contract."""
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            producer.produce("t", RECS)      # offsets 0, 1
+            producer.produce("t", RECS)      # offsets 2, 3
+        with KafkaWireConsumer(broker.host, broker.port) as consumer:
+            hw, batch = consumer.fetch("t", 0, 0)
+            assert hw == 4
+            assert [o for o, *_ in batch] == [0, 1, 2, 3]
+            assert [(k, v, ts) for _, k, v, ts in batch] == RECS + RECS
+            hw2, tail = consumer.fetch("t", 0, batch[1][0] + 1)
+            assert [o for o, *_ in tail] == [2, 3]
+
+
+def test_consumer_max_bytes_pagination():
+    """A max_bytes smaller than the log forces multi-round fetches; the
+    broker still serves at least one message per round (no starvation)
+    and fetch_all stitches the full log back together."""
+    recs = [(None, bytes([65 + j]) * 50, j) for j in range(10)]
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            producer.produce("big", recs)
+        with KafkaWireConsumer(broker.host, broker.port) as consumer:
+            hw, one = consumer.fetch("big", 0, 0, max_bytes=1)
+            assert len(one) == 1  # at-least-one guarantee
+            got = consumer.fetch_all("big")
+            assert [(k, v, ts) for _, k, v, ts in got] == recs
 
 
 # --- Spark end-to-end ------------------------------------------------------
@@ -211,3 +244,37 @@ def test_kafka_wire_exact_bytes_parity_with_oracle_format(spark, sf_dir):
         got = sorted((k, v) for k, v, _ in broker.fetch("alerts-wire"))
     assert got == expected
     assert len(got) > 0
+
+
+def test_kafka_wire_produce_consume_loop_through_spark(spark, tmp_path):
+    """Full loop over real sockets, both directions executor-side:
+    alerts stream through the foreachPartition PRODUCER, then a batch
+    DataFrame READS the topic back via per-task FetchRequests — the
+    values recovered through the wire must equal the emitted alerts."""
+    src = str(tmp_path / "in")
+    _write_packet_batch(
+        spark,
+        src,
+        [("A", 200.0, _ts(0)), ("B", 100.0, _ts(0)), ("C", 400.0, _ts(0))],
+        0,
+    )
+    totals = packet_stream_from_dir(spark, src).select(
+        "nif", F.col("bytes").alias("total_bytes")
+    )
+    alerts = edge_trigger_stream(totals, max_limit=150.0)
+    with MiniKafkaBroker() as broker:
+        q = write_alerts_kafka_wire(
+            alerts, broker.host, broker.port,
+            checkpoint=str(tmp_path / "chk"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        df = read_kafka_wire_topic(spark, broker.host, broker.port, "alerts")
+        rows = df.collect()
+    values = sorted(bytes(r["value"]).decode() for r in rows)
+    assert values == sorted([ALERT_MSG, INFO_MSG, ALERT_MSG])
+    assert {r["topic"] for r in rows} == {"alerts"}
+    assert sorted(r["offset"] for r in rows) == [0, 1, 2]
+    assert all(r["key"] is None for r in rows)

@@ -293,6 +293,58 @@ def test_avi_not_riff_raises():
 # --- color JPEG oracle safety ------------------------------------------------
 
 
+def test_jpeg_property_random_blocks_roundtrip():
+    """Property: ANY coefficient block within the baseline amplitude
+    range encodes to a valid JFIF stream and decodes to the independent
+    IDCT reference bit-for-bit — covering arbitrary Huffman tables
+    (built from the data), arbitrary run lengths, ZRLs, amplitude sign
+    handling, and stuffing wherever it happens to occur."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coeff = st.integers(min_value=-1023, max_value=1023)
+    block = st.lists(coeff, min_size=64, max_size=64)
+
+    @settings(max_examples=60, deadline=None)
+    @given(blocks=st.lists(block, min_size=1, max_size=4))
+    def run(blocks):
+        n = len(blocks)
+        data = encode_jpeg_baseline(8 * n, 8, blocks)
+        w, h, nc, px = decode_jpeg_baseline(data)
+        assert (w, h, nc) == (8 * n, 8, 1)
+        for j, blk in enumerate(blocks):
+            assert np.array_equal(
+                px[:, 8 * j : 8 * j + 8].astype(float), _idct_reference(blk)
+            )
+
+    run()
+
+
+def test_jpeg_property_restart_interval_any_stride():
+    """Property: restart markers at ANY interval preserve exact decode
+    (predictor resets + byte alignment are stride-independent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=255), min_size=2, max_size=8
+        ),
+        interval=st.integers(min_value=1, max_value=4),
+    )
+    def run(vals, interval):
+        blocks = [flat_ac44_blocks(v, 0) for v in vals]
+        data = encode_jpeg_baseline(
+            8 * len(vals), 8, blocks, restart_interval=interval
+        )
+        w, h, nc, px = decode_jpeg_baseline(data)
+        for j, v in enumerate(vals):
+            assert np.all(px[:, 8 * j : 8 * j + 8] == v)
+
+    run()
+
+
 def test_color_fixture_domain_is_tie_free():
     """The mm_decode_jpeg_color oracle mirrors the JFIF conversion
     float-for-float and both engines round — np.rint (half-even) vs SQL
