@@ -169,40 +169,60 @@ def encode_jpeg_baseline(
     coeff_blocks: list[list[int]],
     ncomp: int = 1,
     restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Assemble a real baseline JFIF byte stream from per-block DCT
     coefficient vectors (raster order, 64 ints each; quant table = all
     ones so the values are stored verbatim). ``ncomp=1`` grayscale or
-    3 for interleaved 4:4:4 (then ``coeff_blocks`` holds Y,Cb,Cr
-    triples per MCU). Huffman tables are built from the symbols the
-    data actually uses — how optimizing encoders work."""
-    assert width % 8 == 0 and height % 8 == 0
-    n_mcu = (width // 8) * (height // 8)
-    assert len(coeff_blocks) == n_mcu * ncomp
+    3 for interleaved color. ``sampling`` gives (h, v) factors per
+    component — default all (1, 1) (4:4:4); ``[(2, 2), (1, 1), (1, 1)]``
+    is 4:2:0. ``coeff_blocks`` holds blocks in MCU-interleaved order:
+    per MCU, each component's h*v blocks row-major (for 4:2:0 that is
+    [Y00, Y01, Y10, Y11, Cb, Cr] per 16x16 MCU). Huffman tables are
+    built from the symbols the data actually uses — how optimizing
+    encoders work."""
+    samp = sampling if sampling is not None else [(1, 1)] * ncomp
+    assert len(samp) == ncomp
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    assert width % (8 * hmax) == 0 and height % (8 * vmax) == 0
+    n_mcu = (width // (8 * hmax)) * (height // (8 * vmax))
+    # component index of each block within one MCU, in scan order
+    mcu_layout = [c for c in range(ncomp) for _ in range(samp[c][0] * samp[c][1])]
+    assert len(coeff_blocks) == n_mcu * len(mcu_layout)
+
+    def scan_blocks():
+        """(mcu_index, component, block) in entropy order."""
+        i = 0
+        for m in range(n_mcu):
+            for c in mcu_layout:
+                yield m, c, coeff_blocks[i]
+                i += 1
 
     # ---- first pass: collect symbols, so tables cover exactly the data
     dc_syms: set[int] = set()
     ac_syms: set[int] = {0x00}
     preds = [0] * ncomp
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            preds = [0] * ncomp
-        for c in range(ncomp):
-            blk = coeff_blocks[m * ncomp + c]
-            diff = blk[0] - preds[c]
-            preds[c] = blk[0]
-            dc_syms.add(_size_cat(diff))
+    cur_mcu = 0
+    for m, c, blk in scan_blocks():
+        if restart_interval and m != cur_mcu:
+            cur_mcu = m
+            if m % restart_interval == 0:
+                preds = [0] * ncomp
+        diff = blk[0] - preds[c]
+        preds[c] = blk[0]
+        dc_syms.add(_size_cat(diff))
+        run = 0
+        for zz in range(1, 64):
+            v = blk[ZIGZAG[zz]]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            ac_syms.add((run << 4) | _size_cat(v))
             run = 0
-            for zz in range(1, 64):
-                v = blk[ZIGZAG[zz]]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ac_syms.add(0xF0)
-                    run -= 16
-                ac_syms.add((run << 4) | _size_cat(v))
-                run = 0
     dc_bits, dc_vals = uniform_table(sorted(dc_syms))
     ac_bits, ac_vals = uniform_table(sorted(ac_syms))
     dc_codes = build_canonical_codes(dc_bits, dc_vals)
@@ -213,39 +233,40 @@ def encode_jpeg_baseline(
     preds = [0] * ncomp
     rst_inserts: list[tuple[int, int]] = []  # (byte offset, marker index)
     rst_n = 0
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            w.byte_align_ones()
-            rst_inserts.append((len(w.out), rst_n & 7))
-            rst_n += 1
-            preds = [0] * ncomp
-        for c in range(ncomp):
-            blk = coeff_blocks[m * ncomp + c]
-            diff = blk[0] - preds[c]
-            preds[c] = blk[0]
-            s = _size_cat(diff)
-            code, ln = dc_codes[s]
+    cur_mcu = 0
+    for m, c, blk in scan_blocks():
+        if restart_interval and m != cur_mcu:
+            cur_mcu = m
+            if m % restart_interval == 0:
+                w.byte_align_ones()
+                rst_inserts.append((len(w.out), rst_n & 7))
+                rst_n += 1
+                preds = [0] * ncomp
+        diff = blk[0] - preds[c]
+        preds[c] = blk[0]
+        s = _size_cat(diff)
+        code, ln = dc_codes[s]
+        w.put(code, ln)
+        if s:
+            w.put(_amplitude_bits(diff, s), s)
+        run = 0
+        for zz in range(1, 64):
+            v = blk[ZIGZAG[zz]]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s = _size_cat(v)
+            code, ln = ac_codes[(run << 4) | s]
             w.put(code, ln)
-            if s:
-                w.put(_amplitude_bits(diff, s), s)
+            w.put(_amplitude_bits(v, s), s)
             run = 0
-            for zz in range(1, 64):
-                v = blk[ZIGZAG[zz]]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    w.put(code, ln)
-                    run -= 16
-                s = _size_cat(v)
-                code, ln = ac_codes[(run << 4) | s]
-                w.put(code, ln)
-                w.put(_amplitude_bits(v, s), s)
-                run = 0
-            if blk[ZIGZAG[63]] == 0:  # EOB unless block ends at 63
-                code, ln = ac_codes[0x00]
-                w.put(code, ln)
+        if blk[ZIGZAG[63]] == 0:  # EOB unless block ends at 63
+            code, ln = ac_codes[0x00]
+            w.put(code, ln)
     w.byte_align_ones()
     scan = bytearray(w.out)
     for off, idx in reversed(rst_inserts):
@@ -261,8 +282,9 @@ def encode_jpeg_baseline(
     if restart_interval:
         out += seg(0xDD, _struct.pack(">H", restart_interval))  # DRI
     comp_specs = b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
-    )  # sampling 1x1, quant table 0
+        bytes([cid + 1, (samp[cid][0] << 4) | samp[cid][1], 0])
+        for cid in range(ncomp)
+    )  # quant table 0
     out += seg(
         0xC0, bytes([8]) + _struct.pack(">HH", height, width) + bytes([ncomp]) + comp_specs
     )  # SOF0
@@ -345,8 +367,11 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg_baseline(buf: bytes):
     """(width, height, ncomp, pixels) from baseline JFIF bytes; pixels
     is H x W (grayscale) or H x W x 3 RGB uint8, row 0 = top. Supported
-    profile: 8-bit SOF0, 1 or 3 components, all sampling factors 1;
-    anything else raises rather than guessing."""
+    profile: 8-bit SOF0, 1 or 3 components, sampling factors 1 or 2 per
+    axis — covering 4:4:4, 4:2:0 (the dominant real-world layout),
+    4:2:2 and 4:4:0; chroma planes are replicated up to full resolution
+    (the JFIF nearest-neighbor convention). Anything else (progressive,
+    12-bit, factors > 2) raises rather than guessing."""
     import numpy as np
 
     if buf[:2] != b"\xff\xd8":
@@ -355,7 +380,7 @@ def decode_jpeg_baseline(buf: bytes):
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     ncomp = 0
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (comp id, h, v, quant id)
     scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
     restart_interval = 0
     pos = 2
@@ -407,11 +432,12 @@ def decode_jpeg_baseline(buf: bytes):
                 raise ValueError(f"unsupported component count {ncomp}")
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                h_f, v_f = samp >> 4, samp & 0x0F
+                if h_f not in (1, 2) or v_f not in (1, 2):
                     raise ValueError(
-                        "subsampled scans unsupported (sampling factors must be 1x1)"
+                        f"sampling factors {h_f}x{v_f} unsupported (1 or 2)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, h_f, v_f, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
@@ -420,7 +446,7 @@ def decode_jpeg_baseline(buf: bytes):
             ns = body[0]
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
-                idx = next(i for i, (cc, _) in enumerate(comps) if cc == cid)
+                idx = next(i for i, (cc, *_) in enumerate(comps) if cc == cid)
                 scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
             # collect entropy bytes up to the next non-RST marker
             start = pos
@@ -457,11 +483,16 @@ def decode_jpeg_baseline(buf: bytes):
         i += 1
     intervals.append(bytes(cur))
 
-    blocks_w, blocks_h = (width + 7) // 8, (height + 7) // 8
-    n_mcu = blocks_w * blocks_h
+    hmax = max(h_f for _, h_f, _, _ in comps)
+    vmax = max(v_f for _, _, v_f, _ in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcus_x * mcus_y
     dct = _dct_matrix()
+    # each component decodes into its OWN (possibly subsampled) plane
     planes = [
-        np.zeros((blocks_h * 8, blocks_w * 8), dtype=np.float64) for _ in range(ncomp)
+        np.zeros((mcus_y * 8 * v_f, mcus_x * 8 * h_f), dtype=np.float64)
+        for _, h_f, v_f, _ in comps
     ]
     reader = _BitReader(intervals[0])
     interval_idx = 0
@@ -473,32 +504,46 @@ def decode_jpeg_baseline(buf: bytes):
                 raise ValueError("missing restart marker in scan")
             reader = _BitReader(intervals[interval_idx])
             preds = [0] * ncomp
-        by, bx = divmod(m, blocks_w)
+        mcu_y, mcu_x = divmod(m, mcus_x)
         for comp_idx, dc_id, ac_id in scan_comps:
-            coeffs = np.zeros(64, dtype=np.float64)
-            s = _read_symbol(reader, huff[(0, dc_id)])
-            diff = _extend(reader.read_bits(s), s) if s else 0
-            preds[comp_idx] += diff
-            coeffs[0] = preds[comp_idx]
-            zz = 1
-            while zz < 64:
-                sym = _read_symbol(reader, huff[(1, ac_id)])
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    zz += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                zz += run
-                if zz > 63:
-                    raise ValueError("AC coefficient index out of range")
-                coeffs[ZIGZAG[zz]] = _extend(reader.read_bits(size), size)
-                zz += 1
-            q = qt[comps[comp_idx][1]]
-            block = (coeffs * np.asarray(q, dtype=np.float64)).reshape(8, 8)
-            pixels = dct.T @ block @ dct + 128.0
-            planes[comp_idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
-    planes = [np.clip(np.rint(p[:height, :width]), 0, 255) for p in planes]
+            _, h_f, v_f, tq = comps[comp_idx]
+            for b in range(h_f * v_f):  # blocks within the MCU, row-major
+                coeffs = np.zeros(64, dtype=np.float64)
+                s = _read_symbol(reader, huff[(0, dc_id)])
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                preds[comp_idx] += diff
+                coeffs[0] = preds[comp_idx]
+                zz = 1
+                while zz < 64:
+                    sym = _read_symbol(reader, huff[(1, ac_id)])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        zz += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    zz += run
+                    if zz > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    coeffs[ZIGZAG[zz]] = _extend(reader.read_bits(size), size)
+                    zz += 1
+                block = (coeffs * np.asarray(qt[tq], dtype=np.float64)).reshape(8, 8)
+                pixels = dct.T @ block @ dct + 128.0
+                by = mcu_y * v_f + b // h_f
+                bx = mcu_x * h_f + b % h_f
+                planes[comp_idx][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = pixels
+    # replicate subsampled planes up to full resolution (JFIF nearest),
+    # round each plane to exact integers, crop to the declared size
+    up = []
+    for (_, h_f, v_f, _), p in zip(comps, planes):
+        if h_f < hmax:
+            p = np.repeat(p, hmax // h_f, axis=1)
+        if v_f < vmax:
+            p = np.repeat(p, vmax // v_f, axis=0)
+        up.append(p)
+    planes = [np.clip(np.rint(p[:height, :width]), 0, 255) for p in up]
     if ncomp == 1:
         return width, height, 1, planes[0].astype(np.uint8)
     y, cb, cr = planes
@@ -774,6 +819,192 @@ def mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     d = _jpeg_color_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.jpg"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, nc, px = decode_jpeg_baseline(bytes(content))
+                assert nc == 3
+                p = px.astype(np.int64)
+                rows.append(
+                    (
+                        img_id, w, h,
+                        int(p[:, :, 0].sum()),
+                        int(p[:, :, 1].sum()),
+                        int(p[:, :, 2].sum()),
+                        int(p[0, 0, 0]), int(p[h - 1, w - 1, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "sum_r", "sum_g",
+                    "sum_b", "topleft_r", "bottomright_b",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, width int, height int, sum_r bigint, "
+            "sum_g bigint, sum_b bigint, topleft_r int, bottomright_b int"
+        ),
+    )
+
+
+# --- 4:2:0 chroma subsampling (the dominant real-world layout) ----------------
+
+JPEG_420_N = 40
+
+
+def _j420_mcus(i: int) -> tuple[int, int]:
+    return 1 + i % 3, 1 + i % 2  # MCUs (16x16 px) wide, high
+
+
+def _j420_y(bx: int, by: int, i: int) -> int:
+    return 16 + (29 * bx + 31 * by + 7 * i) % 220
+
+
+def _j420_k(bx: int, by: int, i: int) -> int:
+    return 1 + (bx + by + i) % 5
+
+
+def _j420_cb(mx: int, my: int, i: int) -> int:
+    return 16 + (13 * mx + 17 * my + 5 * i) % 220
+
+
+def _j420_cr(mx: int, my: int, i: int) -> int:
+    return 16 + (11 * mx + 23 * my + 3 * i) % 220
+
+
+def write_jpeg_420_fixture(path: str, i: int) -> None:
+    """4:2:0 MCUs: four flat+AC44 Y blocks + one flat Cb + one flat Cr
+    per 16x16 MCU — Y carries the AC checkerboard (so the AC path runs
+    UNDER subsampling), chroma is flat so 2x2 replication is exact."""
+    mw, mh = _j420_mcus(i)
+    blocks: list[list[int]] = []
+    for my in range(mh):
+        for mx in range(mw):
+            for b in range(4):  # Y blocks row-major within the MCU
+                bx, by = mx * 2 + b % 2, my * 2 + b // 2
+                blocks.append(
+                    flat_ac44_blocks(_j420_y(bx, by, i), _j420_k(bx, by, i))
+                )
+            blocks.append(flat_ac44_blocks(_j420_cb(mx, my, i), 0))
+            blocks.append(flat_ac44_blocks(_j420_cr(mx, my, i), 0))
+    data = encode_jpeg_baseline(
+        mw * 16,
+        mh * 16,
+        blocks,
+        ncomp=3,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+        restart_interval=2 if i % 4 == 0 else 0,
+    )
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _jpeg_420_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+    from spark_streaming_test_spark.llm.multimodal import SCRATCH
+
+    rev = fixture_rev(
+        write_jpeg_420_fixture,
+        encode_jpeg_baseline,
+        flat_ac44_blocks,
+        _j420_mcus,
+        _j420_y,
+        _j420_k,
+        _j420_cb,
+        _j420_cr,
+        JPEG_420_N,
+    )
+    d = _os.path.join(SCRATCH, f"jpeg_420_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(JPEG_420_N):
+        p = _os.path.join(d, f"img_{i:04d}.jpg")
+        if not _os.path.exists(p):
+            tmp = p + ".tmp"
+            write_jpeg_420_fixture(tmp, i)
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_decode_jpeg_420",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    # Each Y block holds exactly two pixel values (v +- k on the AC44
+    # checkerboard, 32 pixels each); chroma is flat per MCU and 2x2
+    # replication of a constant is exact — so every pixel's RGB is one
+    # of two closed-form conversions per block. Domain enumerated
+    # tie-free in tests (numpy half-even == SQL half-away when no .5).
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 1 + i % 3 AS mw, 1 + i % 2 AS mh FROM range({JPEG_420_N}) t(i)
+),
+yblk AS (
+  SELECT i, mw, mh, bxx.bx AS bx, byy.by AS by,
+         bxx.bx // 2 AS mx, byy.by // 2 AS my
+  FROM imgs,
+       LATERAL unnest(range(0, 2 * mw)) AS bxx(bx),
+       LATERAL unnest(range(0, 2 * mh)) AS byy(by)
+),
+vals AS (
+  SELECT i, mw, mh, bx, by,
+         CAST(16 + (29 * bx + 31 * by + 7 * i) % 220 AS DOUBLE) AS y,
+         CAST(1 + (bx + by + i) % 5 AS DOUBLE) AS k,
+         CAST(16 + (13 * mx + 17 * my + 5 * i) % 220 AS DOUBLE) AS cb,
+         CAST(16 + (11 * mx + 23 * my + 3 * i) % 220 AS DOUBLE) AS cr
+  FROM yblk
+),
+px AS (
+  SELECT i, mw, mh, bx, by, cls.sgn AS sgn, y + cls.sgn * k AS yy, cb, cr
+  FROM vals, (SELECT 1 AS sgn UNION ALL SELECT -1 AS sgn) cls
+),
+rgb AS (
+  SELECT i, mw, mh, bx, by, sgn,
+         LEAST(255.0, GREATEST(0.0,
+           round(yy + CAST(1.402 AS DOUBLE) * (cr - 128.0)))) AS r,
+         LEAST(255.0, GREATEST(0.0,
+           round(yy - CAST(0.344136 AS DOUBLE) * (cb - 128.0)
+                    - CAST(0.714136 AS DOUBLE) * (cr - 128.0)))) AS g,
+         LEAST(255.0, GREATEST(0.0,
+           round(yy + CAST(1.772 AS DOUBLE) * (cb - 128.0)))) AS b
+  FROM px
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(mw) * 16 AS INTEGER) AS width,
+       CAST(MAX(mh) * 16 AS INTEGER) AS height,
+       CAST(SUM(32 * r) AS BIGINT) AS sum_r,
+       CAST(SUM(32 * g) AS BIGINT) AS sum_g,
+       CAST(SUM(32 * b) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 AND sgn = 1 THEN r END)
+            AS INTEGER) AS topleft_r,
+       CAST(MAX(CASE WHEN bx = 2 * mw - 1 AND by = 2 * mh - 1 AND sgn = 1
+                THEN b END) AS INTEGER) AS bottomright_b
+FROM rgb GROUP BY i
+""",
+)
+def mm_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 baseline JPEG decode — the layout virtually every camera
+    and web encoder emits: 16x16 MCUs of four Y blocks + one Cb + one
+    Cr, quarter-resolution chroma replicated back up (JFIF nearest)
+    before conversion. Y carries the AC44 checkerboard so the AC
+    entropy path runs UNDER subsampling, and every 4th fixture uses
+    restart markers. Per-image RGB sums and corners vs the closed-form
+    oracle (see the register comment for why lossy 4:2:0 is exactly
+    predictable here). Same binaryFile + mapInPandas scale shape as the
+    other decode queries."""
+    import numpy as np
+
+    d = _jpeg_420_fixture_dir()
     src = (
         spark.read.format("binaryFile")
         .load(_os.path.join(d, "*.jpg"))

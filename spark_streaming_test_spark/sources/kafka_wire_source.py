@@ -1,0 +1,146 @@
+"""``format("kafka_wire")`` — a Structured Streaming SOURCE speaking the
+Kafka fetch wire protocol (``sources/kafka_wire.py``), no connector jar.
+
+This is the full O14 loop made streaming: the built-in kafka source
+cannot load here (no spark-sql-kafka jar — COVERAGE.md), but the Python
+DataSource API (Spark 4) + the hand-built FetchRequest v2 client give
+the same contract:
+
+* offsets ARE the streaming cursor — ``initialOffset``/``latestOffset``
+  report per-partition high watermarks straight from the broker, and
+  each micro-batch reads exactly the [start, end) slice, so replay
+  after restart re-reads the same offsets (exactly-once source
+  semantics, like the real Kafka source);
+* partitions are the parallelism unit — ``partitions(start, end)``
+  fans out one :class:`TopicPartitionSlice` per topic-partition, each
+  executor task draining its slice over its OWN socket.
+
+The reference's producer-side O14 plus this source close the loop:
+alerts produced over the wire can be consumed back as a live stream
+by the same engine (``tests/test_kafka_wire.py``)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = (
+    "topic string, partition int, offset bigint, key binary, "
+    "value binary, timestamp_ms bigint"
+)
+
+
+@dataclass
+class TopicPartitionSlice(InputPartition):
+    """One topic-partition × one offset range = one Spark task (the
+    real Kafka source's work unit). Picklable — shipped to executors."""
+
+    host: str
+    port: int
+    topic: str
+    partition: int
+    start_offset: int
+    end_offset: int
+
+
+class KafkaWireStreamReader(DataSourceStreamReader):
+    """Per-partition offset cursor over the broker's high watermarks."""
+
+    def __init__(self, options):
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", "0"))
+        self.topic = options.get("topic", "alerts")
+        self.parts = [
+            int(p) for p in str(options.get("partitions", "0")).split(",")
+        ]
+        if not self.port:
+            raise ValueError("kafka_wire source requires a 'port' option")
+
+    def _high_watermarks(self) -> dict:
+        from spark_streaming_test_spark.sources.kafka_wire import (
+            KafkaWireConsumer,
+        )
+
+        out = {}
+        with KafkaWireConsumer(self.host, self.port) as consumer:
+            for p in self.parts:
+                # max_bytes=1 returns at most one message; we only read
+                # the high watermark from the response header.
+                hw, _ = consumer.fetch(self.topic, p, 0, max_bytes=1)
+                out[str(p)] = hw
+        return out
+
+    def initialOffset(self) -> dict:
+        # Start at the current beginning of the log (offset 0 of each
+        # partition) — mirrors the real source's startingOffsets=earliest.
+        return {str(p): 0 for p in self.parts}
+
+    def latestOffset(self) -> dict:
+        return self._high_watermarks()
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            TopicPartitionSlice(
+                self.host,
+                self.port,
+                self.topic,
+                p,
+                int(start.get(str(p), 0)),
+                int(end.get(str(p), 0)),
+            )
+            for p in self.parts
+            if int(end.get(str(p), 0)) > int(start.get(str(p), 0))
+        ]
+
+    def read(self, partition: TopicPartitionSlice) -> Iterator[tuple]:
+        from spark_streaming_test_spark.sources.kafka_wire import (
+            KafkaWireConsumer,
+        )
+
+        with KafkaWireConsumer(partition.host, partition.port) as consumer:
+            cursor = partition.start_offset
+            while cursor < partition.end_offset:
+                _, batch = consumer.fetch(partition.topic, partition.partition, cursor)
+                if not batch:
+                    return  # broker truncated below the watermark: stop loudly short
+                for off, key, value, ts in batch:
+                    if off >= partition.end_offset:
+                        return
+                    yield (
+                        partition.topic,
+                        partition.partition,
+                        off,
+                        key,
+                        value,
+                        ts,
+                    )
+                cursor = batch[-1][0] + 1
+
+    def commit(self, end: dict) -> None:
+        pass  # broker retains the log; nothing to release
+
+
+class KafkaWireDataSource(DataSource):
+    """``spark.readStream.format("kafka_wire").option("host", ...)
+    .option("port", ...).option("topic", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_wire"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def streamReader(self, schema: StructType):
+        return KafkaWireStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(KafkaWireDataSource)

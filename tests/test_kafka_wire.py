@@ -246,6 +246,45 @@ def test_kafka_wire_exact_bytes_parity_with_oracle_format(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_kafka_wire_streaming_source_incremental(spark, tmp_path):
+    """format('kafka_wire') live: records produced between micro-batches
+    arrive in the next batch, offsets are the cursor (no re-reads, no
+    gaps), and each topic-partition reads in its own task."""
+    from spark_streaming_test_spark.sources import kafka_wire_source
+
+    kafka_wire_source.register(spark)
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            producer.produce("live", RECS)  # offsets 0, 1
+            stream = (
+                spark.readStream.format("kafka_wire")
+                .option("host", broker.host)
+                .option("port", str(broker.port))
+                .option("topic", "live")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("kw_live")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "chk"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                assert spark.sql("SELECT count(*) FROM kw_live").collect()[0][0] == 2
+                producer.produce("live", RECS)  # offsets 2, 3
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    rows = spark.sql("SELECT * FROM kw_live ORDER BY offset").collect()
+    assert [r["offset"] for r in rows] == [0, 1, 2, 3]
+    assert [bytes(r["value"]) for r in rows] == [
+        RECS[0][1], RECS[1][1], RECS[0][1], RECS[1][1],
+    ]
+    assert all(r["topic"] == "live" and r["partition"] == 0 for r in rows)
+
+
 def test_kafka_wire_produce_consume_loop_through_spark(spark, tmp_path):
     """Full loop over real sockets, both directions executor-side:
     alerts stream through the foreachPartition PRODUCER, then a batch

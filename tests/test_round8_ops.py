@@ -290,6 +290,123 @@ def test_avi_not_riff_raises():
         read_avi_mjpeg(b"JUNKJUNKJUNKJUNK")
 
 
+# --- 4:2:0 / 4:2:2 chroma subsampling ----------------------------------------
+
+
+def _jfif_rgb(y, cb, cr):
+    y, cb, cr = np.float64(y), np.float64(cb), np.float64(cr)
+    return (
+        int(np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)),
+        int(np.clip(np.rint(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255)),
+        int(np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)),
+    )
+
+
+def test_jpeg_420_single_mcu_exact():
+    """One 16x16 4:2:0 MCU (4 Y + Cb + Cr): chroma replicates 2x2 and
+    every 8x8 Y region converts with its MCU's chroma — exactly."""
+    yv = [100, 150, 60, 210]
+    data = encode_jpeg_baseline(
+        16, 16,
+        [flat_ac44_blocks(v, 0) for v in yv]
+        + [flat_ac44_blocks(90, 0), flat_ac44_blocks(200, 0)],
+        ncomp=3,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+    w, h, nc, px = decode_jpeg_baseline(data)
+    assert (w, h, nc) == (16, 16, 3)
+    for b, (oy, ox) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+        exp = np.array(_jfif_rgb(yv[b], 90, 200), np.uint8)
+        assert np.all(px[oy : oy + 8, ox : ox + 8] == exp)
+
+
+def test_jpeg_420_ac_and_restart_markers():
+    """AC checkerboard on Y blocks UNDER subsampling + restart interval:
+    the R channel of every Y block matches the independent conversion
+    of (v +- k) with the MCU's chroma."""
+    s = np.array(AC44_SIGN)
+    blocks = []
+    for m in range(2):
+        for b in range(4):
+            blocks.append(flat_ac44_blocks(50 + 20 * b + 5 * m, 1 + b))
+        blocks += [flat_ac44_blocks(80 + m, 0), flat_ac44_blocks(170 + m, 0)]
+    data = encode_jpeg_baseline(
+        32, 16, blocks, ncomp=3,
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=1,
+    )
+    w, h, nc, px = decode_jpeg_baseline(data)
+    assert (w, h, nc) == (32, 16, 3)
+    for m in range(2):
+        for b, (oy, ox) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+            yb = 50 + 20 * b + 5 * m + (1 + b) * np.outer(s, s)
+            exp_r = np.clip(np.rint(yb + 1.402 * (np.float64(170 + m) - 128.0)), 0, 255)
+            got = px[oy : oy + 8, m * 16 + ox : m * 16 + ox + 8, 0]
+            assert np.array_equal(got.astype(float), exp_r)
+
+
+def test_jpeg_422_horizontal_subsampling():
+    data = encode_jpeg_baseline(
+        16, 8,
+        [
+            flat_ac44_blocks(100, 0), flat_ac44_blocks(180, 0),
+            flat_ac44_blocks(90, 0), flat_ac44_blocks(200, 0),
+        ],
+        ncomp=3,
+        sampling=[(2, 1), (1, 1), (1, 1)],
+    )
+    w, h, nc, px = decode_jpeg_baseline(data)
+    assert (w, h, nc) == (16, 8, 3)
+    assert np.all(px[:, :8, 0] == _jfif_rgb(100, 90, 200)[0])
+    assert np.all(px[:, 8:, 0] == _jfif_rgb(180, 90, 200)[0])
+
+
+def test_jpeg_sampling_factor_3_rejected():
+    data = bytearray(
+        encode_jpeg_baseline(8, 8, [flat_ac44_blocks(100, 0)])
+    )
+    sof = data.find(b"\xff\xc0")
+    data[sof + 2 + 2 + 1 + 4 + 1 + 1] = 0x31  # comp 0 sampling byte -> 3x1
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg_baseline(bytes(data))
+
+
+def test_jpeg_420_fixture_domain_is_tie_free():
+    """The mm_decode_jpeg_420 oracle rounds the same IEEE doubles as the
+    decoder; enumerate the (y +- k, cb, cr) domain and prove no exact .5."""
+    from spark_streaming_test_spark.llm.jpeg import (
+        JPEG_420_N,
+        _j420_cb,
+        _j420_cr,
+        _j420_k,
+        _j420_mcus,
+        _j420_y,
+    )
+
+    triples = set()
+    for i in range(JPEG_420_N):
+        mw, mh = _j420_mcus(i)
+        for by in range(2 * mh):
+            for bx in range(2 * mw):
+                mx, my = bx // 2, by // 2
+                for sgn in (1, -1):
+                    triples.add(
+                        (
+                            _j420_y(bx, by, i) + sgn * _j420_k(bx, by, i),
+                            _j420_cb(mx, my, i),
+                            _j420_cr(mx, my, i),
+                        )
+                    )
+    assert triples
+    for yv, cbv, crv in triples:
+        y, cb, cr = np.float64(yv), np.float64(cbv), np.float64(crv)
+        for v in (
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ):
+            assert float(v) % 1.0 != 0.5, (yv, cbv, crv, float(v))
+
+
 # --- color JPEG oracle safety ------------------------------------------------
 
 
