@@ -109,7 +109,14 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             while cursor < partition.end_offset:
                 _, batch = consumer.fetch(partition.topic, partition.partition, cursor)
                 if not batch:
-                    return  # broker truncated below the watermark: stop loudly short
+                    # planned offsets must exist — an empty response below
+                    # the promised end means broker-side truncation; fail
+                    # the task rather than silently emit fewer rows
+                    raise ValueError(
+                        f"offset {cursor} missing below planned end "
+                        f"{partition.end_offset} for {partition.topic}/"
+                        f"{partition.partition}"
+                    )
                 for off, key, value, ts in batch:
                     if off >= partition.end_offset:
                         return
