@@ -364,14 +364,23 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_baseline(buf: bytes):
+def decode_jpeg_baseline(buf: bytes, dc_only: bool = False):
     """(width, height, ncomp, pixels) from baseline JFIF bytes; pixels
     is H x W (grayscale) or H x W x 3 RGB uint8, row 0 = top. Supported
     profile: 8-bit SOF0, 1 or 3 components, sampling factors 1 or 2 per
     axis — covering 4:4:4, 4:2:0 (the dominant real-world layout),
     4:2:2 and 4:4:0; chroma planes are replicated up to full resolution
     (the JFIF nearest-neighbor convention). Anything else (progressive,
-    12-bit, factors > 2) raises rather than guessing."""
+    12-bit, factors > 2) raises rather than guessing.
+
+    ``dc_only=True`` is the classic fast-thumbnail path: a DC-only
+    block IDCTs to a flat DC/8 + 128, so one pixel per 8x8 block falls
+    straight out of the entropy stream with NO inverse transform at
+    all — returns (width//8-scale thumbnail dims, ncomp, thumbnail).
+    AC coefficients are still entropy-DECODED (the bitstream is
+    sequential; there is no skipping them) but never dequantized or
+    transformed — which is the actual cost structure of production
+    thumbnailers."""
     import numpy as np
 
     if buf[:2] != b"\xff\xd8":
@@ -488,10 +497,15 @@ def decode_jpeg_baseline(buf: bytes):
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     n_mcu = mcus_x * mcus_y
-    dct = _dct_matrix()
-    # each component decodes into its OWN (possibly subsampled) plane
+    dct = None if dc_only else _dct_matrix()
+    # each component decodes into its OWN (possibly subsampled) plane;
+    # in dc_only mode the plane is one value per block, not per pixel
+    px_per_block = 1 if dc_only else 8
     planes = [
-        np.zeros((mcus_y * 8 * v_f, mcus_x * 8 * h_f), dtype=np.float64)
+        np.zeros(
+            (mcus_y * px_per_block * v_f, mcus_x * px_per_block * h_f),
+            dtype=np.float64,
+        )
         for _, h_f, v_f, _ in comps
     ]
     reader = _BitReader(intervals[0])
@@ -527,15 +541,23 @@ def decode_jpeg_baseline(buf: bytes):
                         raise ValueError("AC coefficient index out of range")
                     coeffs[ZIGZAG[zz]] = _extend(reader.read_bits(size), size)
                     zz += 1
-                block = (coeffs * np.asarray(qt[tq], dtype=np.float64)).reshape(8, 8)
-                pixels = dct.T @ block @ dct + 128.0
                 by = mcu_y * v_f + b // h_f
                 bx = mcu_x * h_f + b % h_f
-                planes[comp_idx][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = pixels
+                if dc_only:
+                    planes[comp_idx][by, bx] = (
+                        coeffs[0] * qt[tq][0] / 8.0 + 128.0
+                    )
+                else:
+                    block = (
+                        coeffs * np.asarray(qt[tq], dtype=np.float64)
+                    ).reshape(8, 8)
+                    planes[comp_idx][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = dct.T @ block @ dct + 128.0
     # replicate subsampled planes up to full resolution (JFIF nearest),
     # round each plane to exact integers, crop to the declared size
+    out_h = (height + 7) // 8 if dc_only else height
+    out_w = (width + 7) // 8 if dc_only else width
     up = []
     for (_, h_f, v_f, _), p in zip(comps, planes):
         if h_f < hmax:
@@ -543,9 +565,9 @@ def decode_jpeg_baseline(buf: bytes):
         if v_f < vmax:
             p = np.repeat(p, vmax // v_f, axis=0)
         up.append(p)
-    planes = [np.clip(np.rint(p[:height, :width]), 0, 255) for p in up]
+    planes = [np.clip(np.rint(p[:out_h, :out_w]), 0, 255) for p in up]
     if ncomp == 1:
-        return width, height, 1, planes[0].astype(np.uint8)
+        return out_w, out_h, 1, planes[0].astype(np.uint8)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -553,7 +575,7 @@ def decode_jpeg_baseline(buf: bytes):
     rgb = np.stack(
         [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=-1
     ).astype(np.uint8)
-    return width, height, 3, rgb
+    return out_w, out_h, 3, rgb
 
 
 # --- fixtures + registered query ---------------------------------------------
@@ -696,6 +718,90 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "img_id bigint, width int, height int, sum_lum bigint, "
             "checker_sum bigint, topleft int, bottomright int"
+        ),
+    )
+
+
+@register(
+    "mm_jpeg_thumbnail_dc",
+    tags=("llm", "multimodal", "decode", "thumbnail", "pandas-udf"),
+    # DC-only decode drops the AC checkerboard entirely: the thumbnail
+    # pixel of a flat+AC44 block is exactly v — so the oracle is the
+    # grayscale fixture formula WITHOUT the k term, and a thumbnailer
+    # that accidentally runs the full IDCT+downsample would show the
+    # checkerboard leaking into corner pixels and hash-mismatch.
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 2 + i % 3 AS wb, 1 + i % 2 AS hb FROM range({JPEG_N}) t(i)
+),
+blk AS (
+  SELECT i, wb, hb, bxx.bx AS bx, byy.by AS by,
+         8 + (37 * bxx.bx + 59 * byy.by + 11 * i) % 240 AS v
+  FROM imgs,
+       LATERAL unnest(range(0, wb)) AS bxx(bx),
+       LATERAL unnest(range(0, hb)) AS byy(by)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(wb) AS INTEGER) AS thumb_w,
+       CAST(MAX(hb) AS INTEGER) AS thumb_h,
+       CAST(SUM(v) AS BIGINT) AS thumb_sum,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN v END) AS INTEGER)
+         AS topleft,
+       CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN v END)
+            AS INTEGER) AS bottomright
+FROM blk GROUP BY i
+""",
+)
+def mm_jpeg_thumbnail_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production fast-thumbnail operator: one pixel per 8x8 block
+    straight from the DC coefficients — the entropy stream is decoded
+    (it is sequential; AC codes must be walked) but NO dequantization,
+    NO inverse DCT, and 1/64th of the pixel writes. At 100 TB of images
+    this is how gallery/preview/near-dup pipelines avoid paying the
+    full codec: the avg-hash image dedup registered in
+    ``llm/multimodal.py`` composes directly on these thumbnails. Same
+    fixture set as ``mm_decode_jpeg`` (restart markers every 5th file),
+    different oracle: DC-only drops the AC checkerboard, so the
+    expected thumbnail is the flat level v alone."""
+    import numpy as np
+
+    d = _jpeg_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.jpg"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                tw, th, nc, thumb = decode_jpeg_baseline(
+                    bytes(content), dc_only=True
+                )
+                assert nc == 1
+                t = thumb.astype(np.int64)
+                rows.append(
+                    (
+                        img_id, tw, th,
+                        int(t.sum()),
+                        int(t[0, 0]), int(t[th - 1, tw - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "thumb_w", "thumb_h", "thumb_sum",
+                    "topleft", "bottomright",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, thumb_w int, thumb_h int, thumb_sum bigint, "
+            "topleft int, bottomright int"
         ),
     )
 

@@ -370,6 +370,46 @@ def test_jpeg_sampling_factor_3_rejected():
         decode_jpeg_baseline(bytes(data))
 
 
+def test_jpeg_dc_thumbnail_drops_ac_exactly(tmp_path):
+    """dc_only=True yields one pixel per block equal to the flat level v
+    (the AC checkerboard vanishes), at 1/8 scale, for gray AND 4:2:0
+    color — and the full-resolution decode of the same bytes is
+    unchanged."""
+    from spark_streaming_test_spark.llm.jpeg import (
+        _jpeg_block_v,
+        _jpeg_dims,
+        write_jpeg_fixture,
+    )
+
+    i = 15  # restart-marker fixture
+    p = str(tmp_path / "t.jpg")
+    write_jpeg_fixture(p, i)
+    buf = open(p, "rb").read()
+    wb, hb = _jpeg_dims(i)
+    tw, th, nc, thumb = decode_jpeg_baseline(buf, dc_only=True)
+    assert (tw, th, nc) == (wb, hb, 1)
+    exp = np.array(
+        [[_jpeg_block_v(bx, by, i) for bx in range(wb)] for by in range(hb)]
+    )
+    assert np.array_equal(thumb.astype(int), exp)
+    w, h, _, px = decode_jpeg_baseline(buf)
+    assert (w, h) == (wb * 8, hb * 8)
+
+    # color 4:2:0: thumbnail converts DC chroma per MCU
+    yv = [100, 150, 60, 210]
+    data = encode_jpeg_baseline(
+        16, 16,
+        [flat_ac44_blocks(v, 3) for v in yv]
+        + [flat_ac44_blocks(90, 0), flat_ac44_blocks(200, 0)],
+        ncomp=3,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+    tw, th, nc, thumb = decode_jpeg_baseline(data, dc_only=True)
+    assert (tw, th, nc) == (2, 2, 3)
+    for b, (ty, tx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        assert tuple(thumb[ty, tx]) == _jfif_rgb(yv[b], 90, 200)
+
+
 def test_jpeg_420_fixture_domain_is_tie_free():
     """The mm_decode_jpeg_420 oracle rounds the same IEEE doubles as the
     decoder; enumerate the (y +- k, cb, cr) domain and prove no exact .5."""
