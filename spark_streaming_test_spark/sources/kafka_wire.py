@@ -67,9 +67,15 @@ from dataclasses import dataclass, field
 
 API_PRODUCE = 0
 API_FETCH = 1
+API_LIST_OFFSETS = 2
 PRODUCE_VERSION = 2
 FETCH_VERSION = 2
+LIST_OFFSETS_VERSION = 1
 MAGIC_V1 = 1
+
+# ListOffsets sentinel timestamps (spec names)
+TS_LATEST = -1
+TS_EARLIEST = -2
 
 ERR_NONE = 0
 ERR_REQUEST_TIMED_OUT = 7  # retriable per the protocol error table
@@ -410,6 +416,82 @@ def decode_fetch_response(
     return corr, results
 
 
+# --- list offsets request / response -----------------------------------------
+
+
+def encode_list_offsets_request(
+    correlation_id: int,
+    client_id: str,
+    topic: str,
+    partition: int,
+    timestamp: int = TS_LATEST,
+) -> bytes:
+    payload = (
+        _i16(API_LIST_OFFSETS)
+        + _i16(LIST_OFFSETS_VERSION)
+        + _i32(correlation_id)
+        + _string(client_id)
+        + _i32(-1)  # replica_id
+        + _i32(1)
+        + _string(topic)
+        + _i32(1)
+        + _i32(partition)
+        + _i64(timestamp)
+    )
+    return _i32(len(payload)) + payload
+
+
+def decode_list_offsets_request(frame: bytes):
+    r = _Reader(frame)
+    api_key = r.i16()
+    api_version = r.i16()
+    if api_key != API_LIST_OFFSETS or api_version != LIST_OFFSETS_VERSION:
+        raise ValueError(f"unsupported api {api_key} v{api_version}")
+    corr = r.i32()
+    r.string()  # client_id
+    r.i32()  # replica_id
+    wants = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            part = r.i32()
+            ts = r.i64()
+            wants.append((topic, part, ts))
+    return corr, wants
+
+
+def encode_list_offsets_response(
+    correlation_id: int,
+    results: list[tuple[str, int, int, int]],  # (topic, part, err, offset)
+) -> bytes:
+    by_topic: dict[str, list[tuple[int, int, int]]] = {}
+    for topic, part, err, off in results:
+        by_topic.setdefault(topic, []).append((part, err, off))
+    payload = _i32(correlation_id) + _i32(len(by_topic))
+    for topic, parts in by_topic.items():
+        payload += _string(topic) + _i32(len(parts))
+        for part, err, off in parts:
+            payload += _i32(part) + _i16(err) + _i64(-1) + _i64(off)
+    return _i32(len(payload)) + payload
+
+
+def decode_list_offsets_response(
+    frame: bytes,
+) -> tuple[int, list[tuple[str, int, int, int]]]:
+    r = _Reader(frame)
+    corr = r.i32()
+    results = []
+    for _ in range(r.i32()):
+        topic = r.string()
+        for _ in range(r.i32()):
+            part = r.i32()
+            err = r.i16()
+            r.i64()  # timestamp
+            off = r.i64()
+            results.append((topic, part, err, off))
+    return corr, results
+
+
 # --- socket helpers -------------------------------------------------------
 
 
@@ -595,6 +677,30 @@ class KafkaWireConsumer:
             raise RuntimeError(f"fetch error {err} for {rtopic}/{rpart}")
         return hw, decode_message_set_entries(record_set)
 
+    def list_offset(
+        self, topic: str, partition: int = 0, timestamp: int = TS_LATEST
+    ) -> int:
+        """ListOffsets v1: TS_LATEST -> the high watermark (next offset
+        to be assigned), TS_EARLIEST -> the log start offset."""
+        self._corr += 1
+        corr = self._corr
+        sock = self._connect()
+        sock.sendall(
+            encode_list_offsets_request(
+                corr, self.client_id, topic, partition, timestamp
+            )
+        )
+        frame = read_frame(sock)
+        if frame is None:
+            raise ConnectionError("broker closed before list-offsets response")
+        got_corr, results = decode_list_offsets_response(frame)
+        if got_corr != corr:
+            raise ValueError(f"correlation mismatch: sent {corr} got {got_corr}")
+        rtopic, rpart, err, off = results[0]
+        if err != ERR_NONE:
+            raise RuntimeError(f"list-offsets error {err} for {rtopic}/{rpart}")
+        return off
+
     def fetch_all(
         self, topic: str, partition: int = 0, offset: int = 0
     ) -> list[tuple[int, bytes | None, bytes | None, int]]:
@@ -653,6 +759,8 @@ class MiniKafkaBroker:
                         self._produce(frame)
                     elif api_key == API_FETCH:
                         self._fetch(frame)
+                    elif api_key == API_LIST_OFFSETS:
+                        self._list_offsets(frame)
                     else:
                         return  # unknown api: drop the connection
 
@@ -676,6 +784,21 @@ class MiniKafkaBroker:
                     self.request.sendall(
                         encode_produce_response(req.correlation_id, results)
                     )
+
+            def _list_offsets(self, frame: bytes) -> None:
+                corr, wants = decode_list_offsets_request(frame)
+                results = []
+                with log.lock:
+                    for topic, part, ts in wants:
+                        stored = log.records.get((topic, part), [])
+                        if ts == TS_EARLIEST:
+                            off = 0  # the stub never truncates its log
+                        else:  # TS_LATEST (or any concrete timestamp)
+                            off = len(stored)
+                        results.append((topic, part, ERR_NONE, off))
+                self.request.sendall(
+                    encode_list_offsets_response(corr, results)
+                )
 
             def _fetch(self, frame: bytes) -> None:
                 req = decode_fetch_request(frame)

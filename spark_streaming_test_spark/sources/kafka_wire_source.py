@@ -26,6 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -60,10 +61,15 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self.parts = [
             int(p) for p in str(options.get("partitions", "0")).split(",")
         ]
+        self.starting = options.get("startingOffsets", "earliest")
+        if self.starting not in ("earliest", "latest"):
+            raise ValueError(
+                f"startingOffsets must be earliest|latest, got {self.starting}"
+            )
         if not self.port:
             raise ValueError("kafka_wire source requires a 'port' option")
 
-    def _high_watermarks(self) -> dict:
+    def _offsets_at(self, timestamp: int) -> dict:
         from spark_streaming_test_spark.sources.kafka_wire import (
             KafkaWireConsumer,
         )
@@ -71,16 +77,26 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         out = {}
         with KafkaWireConsumer(self.host, self.port) as consumer:
             for p in self.parts:
-                # max_bytes=1 returns at most one message; we only read
-                # the high watermark from the response header.
-                hw, _ = consumer.fetch(self.topic, p, 0, max_bytes=1)
-                out[str(p)] = hw
+                out[str(p)] = consumer.list_offset(self.topic, p, timestamp)
         return out
 
+    def _high_watermarks(self) -> dict:
+        from spark_streaming_test_spark.sources.kafka_wire import TS_LATEST
+
+        return self._offsets_at(TS_LATEST)
+
     def initialOffset(self) -> dict:
-        # Start at the current beginning of the log (offset 0 of each
-        # partition) — mirrors the real source's startingOffsets=earliest.
-        return {str(p): 0 for p in self.parts}
+        # Same semantics as the real source's startingOffsets option:
+        # earliest = the log start offset, latest = only records produced
+        # AFTER the stream starts. Resolved via ListOffsets v1.
+        from spark_streaming_test_spark.sources.kafka_wire import (
+            TS_EARLIEST,
+            TS_LATEST,
+        )
+
+        return self._offsets_at(
+            TS_EARLIEST if self.starting == "earliest" else TS_LATEST
+        )
 
     def latestOffset(self) -> dict:
         return self._high_watermarks()
@@ -134,9 +150,29 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         pass  # broker retains the log; nothing to release
 
 
+class KafkaWireBatchReader(DataSourceReader):
+    """Batch ``spark.read.format("kafka_wire")``: offsets resolved at
+    plan time (earliest..latest via ListOffsets), one task per
+    topic-partition — the snapshot-read twin of the stream reader."""
+
+    def __init__(self, options):
+        self.stream = KafkaWireStreamReader(options)
+
+    def partitions(self):
+        from spark_streaming_test_spark.sources.kafka_wire import TS_EARLIEST
+
+        start = self.stream._offsets_at(TS_EARLIEST)
+        end = self.stream._high_watermarks()
+        return self.stream.partitions(start, end)
+
+    def read(self, partition: TopicPartitionSlice) -> Iterator[tuple]:
+        return self.stream.read(partition)
+
+
 class KafkaWireDataSource(DataSource):
     """``spark.readStream.format("kafka_wire").option("host", ...)
-    .option("port", ...).option("topic", ...)``."""
+    .option("port", ...).option("topic", ...)`` — and the same format
+    for a batch snapshot read via ``spark.read``."""
 
     @classmethod
     def name(cls) -> str:
@@ -147,6 +183,9 @@ class KafkaWireDataSource(DataSource):
 
     def streamReader(self, schema: StructType):
         return KafkaWireStreamReader(self.options)
+
+    def reader(self, schema: StructType):
+        return KafkaWireBatchReader(self.options)
 
 
 def register(spark) -> None:

@@ -115,6 +115,22 @@ def test_consumer_max_bytes_pagination():
             assert [(k, v, ts) for _, k, v, ts in got] == recs
 
 
+def test_list_offsets_earliest_latest():
+    from spark_streaming_test_spark.sources.kafka_wire import (
+        TS_EARLIEST,
+        TS_LATEST,
+    )
+
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            producer.produce("t", RECS)
+            producer.produce("t", RECS)
+        with KafkaWireConsumer(broker.host, broker.port) as consumer:
+            assert consumer.list_offset("t", 0, TS_EARLIEST) == 0
+            assert consumer.list_offset("t", 0, TS_LATEST) == 4
+            assert consumer.list_offset("empty", 0, TS_LATEST) == 0
+
+
 # --- Spark end-to-end ------------------------------------------------------
 
 
@@ -283,6 +299,65 @@ def test_kafka_wire_streaming_source_incremental(spark, tmp_path):
         RECS[0][1], RECS[1][1], RECS[0][1], RECS[1][1],
     ]
     assert all(r["topic"] == "live" and r["partition"] == 0 for r in rows)
+
+
+def test_kafka_wire_streaming_source_starting_offsets_latest(spark, tmp_path):
+    """startingOffsets=latest: records already in the log when the
+    stream starts are SKIPPED; only post-start records arrive."""
+    from spark_streaming_test_spark.sources import kafka_wire_source
+
+    kafka_wire_source.register(spark)
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            producer.produce("lt", RECS)  # pre-start: offsets 0, 1
+            stream = (
+                spark.readStream.format("kafka_wire")
+                .option("host", broker.host)
+                .option("port", str(broker.port))
+                .option("topic", "lt")
+                .option("startingOffsets", "latest")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("kw_latest")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "chk"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                assert (
+                    spark.sql("SELECT count(*) FROM kw_latest").collect()[0][0] == 0
+                )
+                producer.produce("lt", [(None, b"after-start", 7)])  # offset 2
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    rows = spark.sql("SELECT * FROM kw_latest").collect()
+    assert [(r["offset"], bytes(r["value"])) for r in rows] == [(2, b"after-start")]
+
+
+def test_kafka_wire_batch_format_read(spark):
+    """Batch spark.read.format('kafka_wire'): a plan-time snapshot of
+    the topic, one task per partition, offsets earliest..latest."""
+    from spark_streaming_test_spark.sources import kafka_wire_source
+
+    kafka_wire_source.register(spark)
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            producer.produce("snap", RECS)
+            producer.produce("snap", [(b"k2", b"v2", 5)])
+        df = (
+            spark.read.format("kafka_wire")
+            .option("host", broker.host)
+            .option("port", str(broker.port))
+            .option("topic", "snap")
+            .load()
+        )
+        rows = sorted(df.collect(), key=lambda r: r["offset"])
+    assert [r["offset"] for r in rows] == [0, 1, 2]
+    assert bytes(rows[2]["value"]) == b"v2" and bytes(rows[2]["key"]) == b"k2"
 
 
 def test_kafka_wire_produce_consume_loop_through_spark(spark, tmp_path):
