@@ -26,6 +26,7 @@ from gen_driver_window import (  # noqa: E402
     entry_passes,
     load_evidence,
     render_block,
+    rounds_from_source,
     splice,
 )
 
@@ -33,14 +34,29 @@ from spark_streaming_test_spark import registry  # noqa: E402
 
 
 @pytest.fixture(scope="module")
-def generated():
-    return build_window()
+def recorded_rounds():
+    # The window header records which CORRECTNESS rounds it was built
+    # from. Regenerating against exactly those rounds means a driver
+    # artifact written AFTER the builder's session closes (the r8
+    # failure mode) cannot redden the committed suite; the round-start
+    # `gen_driver_window.py --check` ritual still catches it.
+    rounds = rounds_from_source()
+    assert rounds is not None, (
+        "window header lacks an evidence-rounds line — run "
+        "`python tools/gen_driver_window.py`"
+    )
+    return rounds
 
 
-def test_window_is_generator_fixed_point(generated):
+@pytest.fixture(scope="module")
+def generated(recorded_rounds):
+    return build_window(recorded_rounds)
+
+
+def test_window_is_generator_fixed_point(generated, recorded_rounds):
     _, sections = generated
     src = open(REGISTRY_PY).read()
-    assert splice(src, render_block(sections)) == src, (
+    assert splice(src, render_block(sections, recorded_rounds)) == src, (
         "registry.py _DRIVER_WINDOW is stale — run "
         "`python tools/gen_driver_window.py`"
     )
@@ -91,10 +107,10 @@ def test_no_oracle_pass_requires_missing_oracle():
     )
 
 
-def test_evidence_union_matches_green_section(generated):
+def test_evidence_union_matches_green_section(generated, recorded_rounds):
     _, sections = generated
     registry._load()
-    evidence = load_evidence()
+    evidence = load_evidence(rounds=recorded_rounds)
     oracles = {n: q.oracle is not None for n, q in registry._REGISTRY.items()}
     greens = {
         n

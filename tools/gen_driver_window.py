@@ -54,12 +54,44 @@ BEGIN = "_DRIVER_WINDOW = ["
 END = "]"
 
 
-def load_evidence(root: str = ROOT) -> dict[str, tuple[int, dict]]:
-    """name -> (latest round number, that round's record)."""
+def evidence_rounds_on_disk(root: str = ROOT) -> list[int]:
+    """Round numbers of every CORRECTNESS_r*.json currently present."""
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rounds.append(int(m.group(1)))
+    return sorted(rounds)
+
+
+def rounds_from_source() -> list[int] | None:
+    """Evidence rounds recorded in the committed window header, or None
+    if the header predates round tracking. The driver writes
+    CORRECTNESS_r{N}.json AFTER the builder's session closes; tests
+    regenerate against the RECORDED rounds so that post-session artifact
+    can never redden the committed suite (VERDICT r8 item 1). The
+    --check mode still compares against all on-disk evidence, so the
+    round-start ritual (rerun the tool) stays enforced by the tool."""
+    src = open(REGISTRY_PY).read()
+    m = re.search(r"#\s*evidence-rounds:\s*([\d, ]*)", src)
+    if not m:
+        return None
+    text = m.group(1).strip()
+    return [int(x) for x in text.split(",")] if text else []
+
+
+def load_evidence(
+    root: str = ROOT, rounds: list[int] | None = None
+) -> dict[str, tuple[int, dict]]:
+    """name -> (latest round number, that round's record).
+
+    ``rounds`` restricts which CORRECTNESS files are consulted; None
+    means every file on disk."""
     latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1))
+        if rounds is not None and rnd not in rounds:
+            continue
         for name, rec in json.load(open(path)).items():
             if name not in latest or rnd > latest[name][0]:
                 latest[name] = (rnd, rec)
@@ -93,9 +125,12 @@ def _window_from_source() -> list[str]:
     return list(ast.literal_eval(src[start:end]))
 
 
-def build_window() -> tuple[list[str], dict[str, list[str]]]:
+def build_window(
+    rounds: list[int] | None = None,
+) -> tuple[list[str], dict[str, list[str]]]:
     """Return (ordered names, section map) derived from the registry +
-    CORRECTNESS evidence + the current window's relative order."""
+    CORRECTNESS evidence (optionally restricted to ``rounds``) + the
+    current window's relative order."""
     from spark_streaming_test_spark import registry
 
     registry._load()
@@ -112,7 +147,7 @@ def build_window() -> tuple[list[str], dict[str, list[str]]]:
         )
     old_rank = {n: i for i, n in enumerate(old)}
 
-    evidence = load_evidence()
+    evidence = load_evidence(rounds=rounds)
     reds, news, backlog, greens = [], [], [], []
     for n in reg_names:
         if n in evidence:
@@ -131,8 +166,15 @@ def build_window() -> tuple[list[str], dict[str, list[str]]]:
     return reds + news + backlog + greens, sections
 
 
-def render_block(sections: dict[str, list[str]]) -> str:
-    """The generated source text for the _DRIVER_WINDOW assignment."""
+def render_block(
+    sections: dict[str, list[str]], rounds: list[int] | None = None
+) -> str:
+    """The generated source text for the _DRIVER_WINDOW assignment.
+
+    ``rounds`` (the CORRECTNESS rounds consulted) is recorded in the
+    header so tests can regenerate against exactly this evidence set —
+    a driver artifact written after the session closes then cannot
+    redden the committed suite."""
     headers = {
         "red": "failed in their latest driver sample — re-verify FIRST",
         "new": "registered since the last regeneration — verify before backlog",
@@ -148,6 +190,11 @@ def render_block(sections: dict[str, list[str]]) -> str:
     )
     out.append(
         "    # the never-sampled backlog, then greens (stalest first)."
+    )
+    if rounds is None:
+        rounds = evidence_rounds_on_disk()
+    out.append(
+        "    # evidence-rounds: " + ", ".join(str(r) for r in rounds)
     )
     for key in ("red", "new", "backlog", "green"):
         names = sections[key]
@@ -180,8 +227,9 @@ def main() -> int:
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
-    _, sections = build_window()
-    block = render_block(sections)
+    rounds = evidence_rounds_on_disk()
+    _, sections = build_window(rounds)
+    block = render_block(sections, rounds)
     src = open(REGISTRY_PY).read()
     new_src = splice(src, block)
     if args.check:
@@ -200,8 +248,8 @@ def main() -> int:
     # so one rewrite may not be a fixed point — iterate until it is
     # (same order, only section labels move; bounded by construction).
     for _ in range(3):
-        _, sections = build_window()
-        block = render_block(sections)
+        _, sections = build_window(rounds)
+        block = render_block(sections, rounds)
         src = open(REGISTRY_PY).read()
         new_src = splice(src, block)
         if new_src == src:
