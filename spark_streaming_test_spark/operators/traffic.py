@@ -28,6 +28,8 @@ the one agg shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -314,6 +316,124 @@ def traffic_alerts_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.total_bytes").alias("total_bytes"),
         F.col("r.is_alert").alias("is_alert"),
         F.col("r.message").alias("message"),
+    )
+
+
+# v2 RecordBatch fixed overhead (base_offset..record_count) — must stay
+# equal to sources/kafka_wire.py::RECORD_BATCH_OVERHEAD; the oracle SQL
+# below inlines the same constant.
+_V2_BATCH_OVERHEAD = 61
+
+
+@register(
+    "traffic_alerts_kafka_wire_v2",
+    tags=("flagship", "streaming", "serialization"),
+    oracle=f"""
+WITH {_LIMITS_CTE},
+mx AS (
+  SELECT limit_value FROM limits WHERE limit_name = 'max'
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(user_id AS VARCHAR) AS nif,
+         {sql_dsum('value')} AS total_bytes
+  FROM events GROUP BY 1, 2
+),
+alert AS (
+  SELECT agg.nif, agg.window_start, agg.total_bytes,
+         agg.total_bytes > mx.limit_value AS is_alert,
+         CASE WHEN agg.total_bytes > mx.limit_value THEN '{ALERT_MSG}'
+              ELSE '{INFO_MSG}' END AS message
+  FROM agg CROSS JOIN mx
+),
+-- closed-form v2 record framing: zigzag-varint(n >= 0) takes 1 byte
+-- below 64, 2 below 8192 (record attrs 1 + ts_delta 1 + offset_delta 1
+-- + header_count 1 + key/value length prefixes + payloads)
+framed AS (
+  SELECT *,
+         octet_length(ENCODE(nif)) AS klen,
+         octet_length(ENCODE(message)) AS vlen
+  FROM alert
+),
+body AS (
+  SELECT *,
+         4 + (CASE WHEN klen < 64 THEN 1 WHEN klen < 8192 THEN 2 ELSE 3 END)
+           + klen
+           + (CASE WHEN vlen < 64 THEN 1 WHEN vlen < 8192 THEN 2 ELSE 3 END)
+           + vlen AS body_len
+  FROM framed
+)
+SELECT nif, window_start, total_bytes, is_alert, message,
+       CAST(61 + (CASE WHEN body_len < 64 THEN 1
+                       WHEN body_len < 8192 THEN 2 ELSE 3 END)
+               + body_len AS INT) AS wire_len
+FROM body
+""",
+)
+def traffic_alerts_kafka_wire_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The magic=2 (KIP-98 RecordBatch) twin of
+    ``traffic_alerts_kafka_wire``: every alert is encoded into a real
+    v2 RecordBatch — the exact bytes ``KafkaWireProducer(message_format=
+    "v2")`` puts on the socket (key = NIC, value = the alert message,
+    timestamp = the window start; the live sink's record shape) — then
+    decoded back through the same CRC-32C-verifying consumer codec.
+
+    TWO independent checks ride the oracle hash: (1) the roundtripped
+    nif/window_start/message must equal the directly-computed alerts
+    (encode∘decode = identity on real data), and (2) ``wire_len``, the
+    measured byte length of each encoded batch, must equal a CLOSED-FORM
+    zigzag-varint framing formula the oracle computes in SQL — so a
+    codec that pads, mis-frames a varint, or silently switches format
+    hash-mismatches even if it roundtrips.
+
+    The codec is bytes-in/bytes-out and cannot be expressed in built-in
+    functions; it runs as an Arrow-batched pandas UDF (the sanctioned
+    slow path), one batch per Arrow chunk, no shuffle added to the
+    flagship plan."""
+
+    @F.pandas_udf(
+        "wire_len int, rt_nif string, rt_message string, rt_ts_ms long"
+    )
+    def roundtrip_v2(
+        nif: pd.Series, message: pd.Series, ts_ms: pd.Series
+    ) -> pd.DataFrame:
+        from ..sources.kafka_wire import (
+            decode_record_batch_entries,
+            encode_record_batch,
+        )
+
+        lens, nifs, msgs, tss = [], [], [], []
+        for n, m, t in zip(nif, message, ts_ms):
+            buf = encode_record_batch([(n.encode(), m.encode(), int(t))])
+            ((off, key, value, ts),) = decode_record_batch_entries(
+                buf, strict=True
+            )
+            if off != 0:
+                raise ValueError(f"producer-side base offset must be 0, got {off}")
+            lens.append(len(buf))
+            nifs.append(key.decode())
+            msgs.append(value.decode())
+            tss.append(ts)
+        return pd.DataFrame(
+            {"wire_len": lens, "rt_nif": nifs, "rt_message": msgs, "rt_ts_ms": tss}
+        )
+
+    alerts = traffic_alerts(spark, sf_dir)
+    enc = alerts.withColumn(
+        "r",
+        roundtrip_v2(
+            F.col("nif"),
+            F.col("message"),
+            (F.unix_timestamp("window_start") * 1000).cast("long"),
+        ),
+    )
+    return enc.select(
+        F.col("r.rt_nif").alias("nif"),
+        F.timestamp_seconds(F.col("r.rt_ts_ms") / 1000).alias("window_start"),
+        "total_bytes",
+        "is_alert",
+        F.col("r.rt_message").alias("message"),
+        F.col("r.wire_len").alias("wire_len"),
     )
 
 

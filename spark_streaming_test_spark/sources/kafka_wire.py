@@ -19,6 +19,12 @@ from the spec:
   an arbitrary offset; the response's MessageSet carries ABSOLUTE
   broker-assigned offsets, which is what makes consumer resume (store
   last offset, fetch from offset+1) work.
+* BOTH wire formats: message-format v1 (magic=1, the reference era —
+  its pom pins spark-streaming-kafka-0-8) over Produce/Fetch v2, AND
+  record-batch v2 (magic=2, KIP-98 — the only format Kafka >= 4.0
+  accepts) over Produce v3 / Fetch v4, with CRC-32C, zigzag-varint
+  record framing, and ApiVersions v0 negotiation (``message_format=
+  "auto"`` picks the newest format the broker advertises).
 * ``MiniKafkaBroker`` — an in-process validating broker stub: accepts
   connections, parses produce AND fetch requests INDEPENDENTLY of the
   client encoders, verifies every message CRC, appends to an in-memory
@@ -68,10 +74,15 @@ from dataclasses import dataclass, field
 API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
-PRODUCE_VERSION = 2
-FETCH_VERSION = 2
+API_API_VERSIONS = 18
+PRODUCE_VERSION = 2  # message-format v1 (magic=1) produce
+PRODUCE_VERSION_V2_BATCH = 3  # record-batch v2 (magic=2) produce
+FETCH_VERSION = 2  # responds with message-format v1
+FETCH_VERSION_V2_BATCH = 4  # responds with record-batch v2
 LIST_OFFSETS_VERSION = 1
+API_VERSIONS_VERSION = 0
 MAGIC_V1 = 1
+MAGIC_V2 = 2
 
 # ListOffsets sentinel timestamps (spec names)
 TS_LATEST = -1
@@ -147,6 +158,20 @@ class _Reader:
         n = self.i16()
         return None if n < 0 else self.take(n).decode("utf-8")
 
+    def varint(self) -> int:
+        """Zigzag LEB128 (v2 record framing)."""
+        z = 0
+        shift = 0
+        while True:
+            b = self.take(1)[0]
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise ValueError("varint too long")
+        return (z >> 1) ^ -(z & 1)
+
     def nbytes(self) -> bytes | None:
         n = self.i32()
         return None if n < 0 else self.take(n)
@@ -195,14 +220,27 @@ def encode_message_set_at(
 
 
 def decode_message_set_entries(
-    buf: bytes,
+    buf: bytes, strict: bool = False
 ) -> list[tuple[int, bytes | None, bytes | None, int]]:
-    """Parse + CRC verify, KEEPING offsets: [(offset, key, value, ts)]."""
+    """Parse + CRC verify, KEEPING offsets: [(offset, key, value, ts)].
+
+    Real brokers serving message-format-v1 fetches routinely truncate
+    the LAST message of a response at ``max_bytes`` — a legacy consumer
+    must discard the partial tail and re-fetch from its cursor, never
+    crash (kafka.apache.org/protocol, "partial messages"). So by
+    default a trailing message whose header or body extends past the
+    buffer is silently dropped. ``strict=True`` keeps the hard raise
+    for the broker-side PRODUCE path, where a producer never sends a
+    partial message and truncation means corruption."""
     r = _Reader(buf)
     out: list[tuple[int, bytes | None, bytes | None, int]] = []
     while r.pos < len(r.buf):
+        if not strict and r.pos + 12 > len(r.buf):
+            break  # partial offset/size header at max_bytes — discard
         offset = r.i64()
         size = r.i32()
+        if not strict and r.pos + size > len(r.buf):
+            break  # partial message body at max_bytes — discard
         msg = _Reader(r.take(size))
         crc = struct.unpack(">I", msg.take(4))[0]
         rest = msg.buf[msg.pos :]
@@ -223,8 +261,225 @@ def decode_message_set_entries(
 
 def decode_message_set(buf: bytes) -> list[tuple[bytes | None, bytes | None, int]]:
     """Broker-side parse + CRC verify, offsets dropped (producer-side
-    sets carry placeholders): [(key, value, ts_ms)]."""
-    return [(k, v, ts) for _, k, v, ts in decode_message_set_entries(buf)]
+    sets carry placeholders): [(key, value, ts_ms)]. STRICT: a producer
+    never legitimately sends a truncated message."""
+    return [
+        (k, v, ts)
+        for _, k, v, ts in decode_message_set_entries(buf, strict=True)
+    ]
+
+
+# --- record batch (format v2, magic=2) -------------------------------------
+#
+# The modern on-wire format (KIP-98, Kafka >= 0.11; the ONLY format a
+# Kafka 4.x broker speaks — message-format v1 was removed in 4.0):
+#
+#   batch  := INT64 base_offset, INT32 batch_length,
+#             INT32 partition_leader_epoch, INT8 magic=2,
+#             UINT32 crc32c(attributes..end), INT16 attributes,
+#             INT32 last_offset_delta, INT64 base_timestamp,
+#             INT64 max_timestamp, INT64 producer_id,
+#             INT16 producer_epoch, INT32 base_sequence,
+#             INT32 record_count, records
+#   record := VARINT length, INT8 attributes, VARLONG timestamp_delta,
+#             VARINT offset_delta, VARINT key_len, key,
+#             VARINT value_len, value, VARINT header_count, headers
+#
+# All VARINT/VARLONG are zigzag-encoded. The CRC is CRC-32C
+# (Castagnoli), NOT the plain CRC-32 of message-format v1 — and it
+# covers attributes..end, not the whole batch, so the broker can
+# rewrite base_offset without recomputing it. Note both formats place
+# the magic byte at offset 16 of the record set, by design, which is
+# what makes format sniffing possible (``decode_record_set``).
+
+
+def _make_crc32c_table() -> list[int]:
+    poly = 0x82F63B78  # Castagnoli, reflected
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_CRC32C_TABLE = _make_crc32c_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """Pure-stdlib CRC-32C; crc32c(b'123456789') == 0xE3069283."""
+    crc ^= 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def encode_varint(n: int) -> bytes:
+    """Zigzag + LEB128, the v2 record framing integer."""
+    z = (n << 1) ^ (n >> 63)  # Python ints: arithmetic shift is exact
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def varint_len(n: int) -> int:
+    """Encoded byte length of ``encode_varint(n)`` — closed form used
+    by the byte-exact length oracle in traffic_alerts_kafka_wire_v2."""
+    z = (n << 1) ^ (n >> 63)
+    size = 1
+    while z > 0x7F:
+        z >>= 7
+        size += 1
+    return size
+
+
+def encode_record_v2(
+    key: bytes | None,
+    value: bytes | None,
+    timestamp_delta: int,
+    offset_delta: int,
+) -> bytes:
+    body = bytearray()
+    body += _i8(0)  # record attributes (unused by the spec today)
+    body += encode_varint(timestamp_delta)
+    body += encode_varint(offset_delta)
+    if key is None:
+        body += encode_varint(-1)
+    else:
+        body += encode_varint(len(key)) + key
+    if value is None:
+        body += encode_varint(-1)
+    else:
+        body += encode_varint(len(value)) + value
+    body += encode_varint(0)  # header count
+    return encode_varint(len(body)) + bytes(body)
+
+
+def encode_record_batch(
+    records: list[tuple[bytes | None, bytes | None, int]],
+    base_offset: int = 0,
+) -> bytes:
+    """One v2 RecordBatch. Producer-side base_offset is 0 (the broker
+    assigns the real one by rewriting the first 8 bytes — legal because
+    the CRC intentionally excludes them); fetch-side it is absolute."""
+    if not records:
+        return b""
+    base_ts = records[0][2]
+    max_ts = max(ts for _, _, ts in records)
+    recs = bytearray()
+    for i, (key, value, ts) in enumerate(records):
+        recs += encode_record_v2(key, value, ts - base_ts, i)
+    crc_body = (
+        _i16(0)  # attributes: no compression, CreateTime
+        + _i32(len(records) - 1)  # last_offset_delta
+        + _i64(base_ts)
+        + _i64(max_ts)
+        + _i64(-1)  # producer_id (no idempotence)
+        + _i16(-1)  # producer_epoch
+        + _i32(-1)  # base_sequence
+        + _i32(len(records))
+        + bytes(recs)
+    )
+    head = (
+        _i32(-1)  # partition_leader_epoch
+        + _i8(MAGIC_V2)
+        + struct.pack(">I", crc32c(crc_body))
+    )
+    batch_length = len(head) + len(crc_body)
+    return _i64(base_offset) + _i32(batch_length) + head + crc_body
+
+
+# Bytes from base_offset through record_count: the fixed v2 batch
+# overhead before the first record (8+4+4+1+4+2+4+8+8+8+2+4+4).
+RECORD_BATCH_OVERHEAD = 61
+
+
+def decode_record_batch_entries(
+    buf: bytes, strict: bool = False
+) -> list[tuple[int, bytes | None, bytes | None, int]]:
+    """Parse one or more concatenated v2 batches, verifying each
+    CRC-32C: [(absolute_offset, key, value, timestamp_ms)]. Like the
+    v1 decoder, a partial trailing batch (truncated at max_bytes) is
+    discarded unless ``strict``."""
+    out: list[tuple[int, bytes | None, bytes | None, int]] = []
+    pos = 0
+    while pos < len(buf):
+        if pos + 12 > len(buf):
+            if strict:
+                raise ValueError("truncated record batch header")
+            break
+        base_offset, batch_length = struct.unpack_from(">qi", buf, pos)
+        end = pos + 12 + batch_length
+        if end > len(buf):
+            if strict:
+                raise ValueError("truncated record batch body")
+            break
+        r = _Reader(buf[pos + 12 : end])
+        r.i32()  # partition_leader_epoch (excluded from the crc)
+        magic = r.i8()
+        if magic != MAGIC_V2:
+            raise ValueError(f"expected magic=2 record batch, got {magic}")
+        crc = struct.unpack(">I", r.take(4))[0]
+        crc_body = r.buf[r.pos :]
+        if crc32c(crc_body) != crc:
+            raise ValueError("record batch CRC-32C mismatch")
+        attrs = r.i16()
+        if attrs & 0x07:
+            raise ValueError("compressed record batches not supported")
+        r.i32()  # last_offset_delta
+        base_ts = r.i64()
+        r.i64()  # max_timestamp
+        r.i64()  # producer_id
+        r.i16()  # producer_epoch
+        r.i32()  # base_sequence
+        count = r.i32()
+        for _ in range(count):
+            rec_len = r.varint()
+            rec = _Reader(r.take(rec_len))
+            rec.i8()  # record attributes
+            ts_delta = rec.varint()
+            off_delta = rec.varint()
+            klen = rec.varint()
+            key = None if klen < 0 else rec.take(klen)
+            vlen = rec.varint()
+            value = None if vlen < 0 else rec.take(vlen)
+            for _h in range(rec.varint()):  # headers: parse + discard
+                hklen = rec.varint()
+                rec.take(hklen)
+                hvlen = rec.varint()
+                if hvlen >= 0:
+                    rec.take(hvlen)
+            out.append(
+                (base_offset + off_delta, key, value, base_ts + ts_delta)
+            )
+        pos = end
+    return out
+
+
+def decode_record_set(
+    buf: bytes, strict: bool = False
+) -> list[tuple[int, bytes | None, bytes | None, int]]:
+    """Format-sniffing decode: both formats put the magic byte at
+    offset 16 of the record set (v1: 8 offset + 4 size + 4 crc; v2:
+    8 base_offset + 4 length + 4 leader_epoch), so one byte picks the
+    decoder — exactly how real clients dispatch."""
+    if not buf:
+        return []
+    if len(buf) < 17:
+        if strict:
+            raise ValueError("record set shorter than any header")
+        return []
+    if buf[16] >= MAGIC_V2:
+        return decode_record_batch_entries(buf, strict=strict)
+    return decode_message_set_entries(buf, strict=strict)
 
 
 # --- produce request / response ------------------------------------------
@@ -238,13 +493,25 @@ def encode_produce_request(
     records: list[tuple[bytes | None, bytes | None, int]],
     acks: int = 1,
     timeout_ms: int = 30_000,
+    version: int = PRODUCE_VERSION,
 ) -> bytes:
-    record_set = encode_message_set(records)
+    """Produce v2 ships a magic=1 message set; v3 (KIP-98) prepends a
+    nullable transactional_id and ships a magic=2 RecordBatch — the
+    api version IS the format switch, exactly as in real Kafka."""
+    if version == PRODUCE_VERSION:
+        record_set = encode_message_set(records)
+        extra = b""
+    elif version == PRODUCE_VERSION_V2_BATCH:
+        record_set = encode_record_batch(records)
+        extra = _string(None)  # transactional_id: not transactional
+    else:
+        raise ValueError(f"unsupported produce version {version}")
     payload = (
         _i16(API_PRODUCE)
-        + _i16(PRODUCE_VERSION)
+        + _i16(version)
         + _i32(correlation_id)
         + _string(client_id)
+        + extra
         + _i16(acks)
         + _i32(timeout_ms)
         + _i32(1)  # one topic
@@ -270,10 +537,17 @@ def decode_produce_request(frame: bytes) -> ProduceRequest:
     r = _Reader(frame)
     api_key = r.i16()
     api_version = r.i16()
-    if api_key != API_PRODUCE or api_version != PRODUCE_VERSION:
+    if api_key != API_PRODUCE or api_version not in (
+        PRODUCE_VERSION,
+        PRODUCE_VERSION_V2_BATCH,
+    ):
         raise ValueError(f"unsupported api {api_key} v{api_version}")
     corr = r.i32()
     client = r.string()
+    if api_version >= PRODUCE_VERSION_V2_BATCH:
+        txn_id = r.string()
+        if txn_id is not None:
+            raise ValueError("transactional produce not supported")
     acks = r.i16()
     timeout_ms = r.i32()
     batches = []
@@ -282,7 +556,16 @@ def decode_produce_request(frame: bytes) -> ProduceRequest:
         for _ in range(r.i32()):
             partition = r.i32()
             record_set = r.nbytes() or b""
-            batches.append((topic, partition, decode_message_set(record_set)))
+            # Broker-side: strict decode (a producer never truncates),
+            # magic byte picks the format independent of api version —
+            # a v3 request MUST carry magic=2 per the spec.
+            entries = decode_record_set(record_set, strict=True)
+            if api_version >= PRODUCE_VERSION_V2_BATCH and record_set:
+                if record_set[16] != MAGIC_V2:
+                    raise ValueError("produce v3 requires magic=2 batches")
+            batches.append(
+                (topic, partition, [(k, v, ts) for _, k, v, ts in entries])
+            )
     return ProduceRequest(corr, client, acks, timeout_ms, batches)
 
 
@@ -330,15 +613,25 @@ def encode_fetch_request(
     max_bytes: int = 1 << 20,
     max_wait_ms: int = 100,
     min_bytes: int = 1,
+    version: int = FETCH_VERSION,
 ) -> bytes:
+    """Fetch v2 responses carry magic=1 message sets; v4 (KIP-98) adds
+    a top-level max_bytes + isolation_level to the request and the
+    broker responds with magic=2 record batches."""
+    if version not in (FETCH_VERSION, FETCH_VERSION_V2_BATCH):
+        raise ValueError(f"unsupported fetch version {version}")
+    extra = b""
+    if version >= FETCH_VERSION_V2_BATCH:
+        extra = _i32(max_bytes) + _i8(0)  # top-level cap; READ_UNCOMMITTED
     payload = (
         _i16(API_FETCH)
-        + _i16(FETCH_VERSION)
+        + _i16(version)
         + _i32(correlation_id)
         + _string(client_id)
         + _i32(-1)  # replica_id: -1 = ordinary consumer
         + _i32(max_wait_ms)
         + _i32(min_bytes)
+        + extra
         + _i32(1)
         + _string(topic)
         + _i32(1)
@@ -357,19 +650,26 @@ class FetchRequest:
     min_bytes: int
     # [(topic, partition, fetch_offset, max_bytes)]
     wants: list[tuple[str, int, int, int]]
+    version: int = FETCH_VERSION
 
 
 def decode_fetch_request(frame: bytes) -> FetchRequest:
     r = _Reader(frame)
     api_key = r.i16()
     api_version = r.i16()
-    if api_key != API_FETCH or api_version != FETCH_VERSION:
+    if api_key != API_FETCH or api_version not in (
+        FETCH_VERSION,
+        FETCH_VERSION_V2_BATCH,
+    ):
         raise ValueError(f"unsupported api {api_key} v{api_version}")
     corr = r.i32()
     client = r.string()
     r.i32()  # replica_id
     max_wait = r.i32()
     min_bytes = r.i32()
+    if api_version >= FETCH_VERSION_V2_BATCH:
+        r.i32()  # top-level max_bytes (per-partition cap is authoritative here)
+        r.i8()  # isolation_level (no transactions in the stub's log)
     wants = []
     for _ in range(r.i32()):
         topic = r.string()
@@ -378,13 +678,14 @@ def decode_fetch_request(frame: bytes) -> FetchRequest:
             off = r.i64()
             max_b = r.i32()
             wants.append((topic, part, off, max_b))
-    return FetchRequest(corr, client, max_wait, min_bytes, wants)
+    return FetchRequest(corr, client, max_wait, min_bytes, wants, api_version)
 
 
 def encode_fetch_response(
     correlation_id: int,
     results: list[tuple[str, int, int, int, bytes]],
     # (topic, partition, error, high_watermark, record_set)
+    version: int = FETCH_VERSION,
 ) -> bytes:
     by_topic: dict[str, list[tuple[int, int, int, bytes]]] = {}
     for topic, part, err, hw, rs in results:
@@ -394,12 +695,16 @@ def encode_fetch_response(
     for topic, parts in by_topic.items():
         payload += _string(topic) + _i32(len(parts))
         for part, err, hw, rs in parts:
-            payload += _i32(part) + _i16(err) + _i64(hw) + _bytes(rs)
+            payload += _i32(part) + _i16(err) + _i64(hw)
+            if version >= FETCH_VERSION_V2_BATCH:
+                payload += _i64(hw)  # last_stable_offset = hw (no txns)
+                payload += _i32(0)  # aborted_transactions: none
+            payload += _bytes(rs)
     return _i32(len(payload)) + payload
 
 
 def decode_fetch_response(
-    frame: bytes,
+    frame: bytes, version: int = FETCH_VERSION
 ) -> tuple[int, list[tuple[str, int, int, int, bytes]]]:
     r = _Reader(frame)
     corr = r.i32()
@@ -411,6 +716,11 @@ def decode_fetch_response(
             part = r.i32()
             err = r.i16()
             hw = r.i64()
+            if version >= FETCH_VERSION_V2_BATCH:
+                r.i64()  # last_stable_offset
+                for _t in range(r.i32()):  # aborted_transactions
+                    r.i64()  # producer_id
+                    r.i64()  # first_offset
             rs = r.nbytes() or b""
             results.append((topic, part, err, hw, rs))
     return corr, results
@@ -492,6 +802,64 @@ def decode_list_offsets_response(
     return corr, results
 
 
+# --- api versions request / response ----------------------------------------
+#
+# ApiVersions v0 is how a modern client picks its wire format BEFORE
+# sending anything else: the broker advertises (api_key, min, max) per
+# API; Produce max >= 3 / Fetch max >= 4 means the broker speaks
+# record-batch v2. A Kafka 4.x broker advertises Produce min=3 — it
+# cannot accept magic=1 at all — which is exactly the negotiation the
+# "auto" producer format relies on.
+
+
+def encode_api_versions_request(correlation_id: int, client_id: str) -> bytes:
+    payload = (
+        _i16(API_API_VERSIONS)
+        + _i16(API_VERSIONS_VERSION)
+        + _i32(correlation_id)
+        + _string(client_id)
+    )
+    return _i32(len(payload)) + payload
+
+
+def decode_api_versions_request(frame: bytes) -> int:
+    r = _Reader(frame)
+    api_key = r.i16()
+    api_version = r.i16()
+    if api_key != API_API_VERSIONS or api_version != API_VERSIONS_VERSION:
+        raise ValueError(f"unsupported api {api_key} v{api_version}")
+    corr = r.i32()
+    r.string()  # client_id
+    return corr
+
+
+def encode_api_versions_response(
+    correlation_id: int,
+    versions: list[tuple[int, int, int]],  # (api_key, min, max)
+) -> bytes:
+    payload = _i32(correlation_id) + _i16(ERR_NONE) + _i32(len(versions))
+    for key, lo, hi in versions:
+        payload += _i16(key) + _i16(lo) + _i16(hi)
+    return _i32(len(payload)) + payload
+
+
+def decode_api_versions_response(
+    frame: bytes,
+) -> tuple[int, dict[int, tuple[int, int]]]:
+    r = _Reader(frame)
+    corr = r.i32()
+    err = r.i16()
+    if err != ERR_NONE:
+        raise RuntimeError(f"api-versions error {err}")
+    versions = {}
+    for _ in range(r.i32()):
+        key = r.i16()
+        lo = r.i16()
+        hi = r.i16()
+        versions[key] = (lo, hi)
+    return corr, versions
+
+
 # --- socket helpers -------------------------------------------------------
 
 
@@ -526,7 +894,15 @@ class KafkaWireProducer:
     fire-and-forget (KafkaProducer.java:39 — send and never look);
     acks=1 waits for the broker ack and retries retriable errors,
     which is the at-least-once contract the foreachBatch sink relies
-    on (a replayed batch re-produces; consumers must dedup on key)."""
+    on (a replayed batch re-produces; consumers must dedup on key).
+
+    ``message_format``:
+      * ``"v1"``  — magic=1 message sets over Produce v2 (the
+        reference era: its pom pins spark-streaming-kafka-0-8);
+      * ``"v2"``  — magic=2 record batches over Produce v3, the only
+        format a Kafka 4.x broker accepts;
+      * ``"auto"`` — ApiVersions negotiation on first produce: picks
+        v2 when the broker advertises Produce max >= 3, else v1."""
 
     def __init__(
         self,
@@ -534,11 +910,15 @@ class KafkaWireProducer:
         port: int,
         client_id: str = "spark-streaming-test",
         timeout_s: float = 30.0,
+        message_format: str = "v1",
     ):
+        if message_format not in ("v1", "v2", "auto"):
+            raise ValueError(f"message_format must be v1|v2|auto, got {message_format}")
         self.host = host
         self.port = port
         self.client_id = client_id
         self.timeout_s = timeout_s
+        self.message_format = message_format
         self._sock: socket.socket | None = None
         self._corr = 0
 
@@ -562,6 +942,24 @@ class KafkaWireProducer:
     def __exit__(self, *exc):
         self.close()
 
+    def negotiate_format(self) -> str:
+        """ApiVersions round-trip; memoizes the resolved format."""
+        self._corr += 1
+        corr = self._corr
+        sock = self._connect()
+        sock.sendall(encode_api_versions_request(corr, self.client_id))
+        frame = read_frame(sock)
+        if frame is None:
+            raise ConnectionError("broker closed before api-versions response")
+        got_corr, versions = decode_api_versions_response(frame)
+        if got_corr != corr:
+            raise ValueError(f"correlation mismatch: sent {corr} got {got_corr}")
+        _lo, hi = versions.get(API_PRODUCE, (0, PRODUCE_VERSION))
+        self.message_format = (
+            "v2" if hi >= PRODUCE_VERSION_V2_BATCH else "v1"
+        )
+        return self.message_format
+
     def produce(
         self,
         topic: str,
@@ -575,6 +973,13 @@ class KafkaWireProducer:
         and connection failures up to ``retries`` times."""
         if not records:
             return -1
+        if self.message_format == "auto":
+            self.negotiate_format()
+        version = (
+            PRODUCE_VERSION_V2_BATCH
+            if self.message_format == "v2"
+            else PRODUCE_VERSION
+        )
         last_err: Exception | None = None
         for _attempt in range(retries + 1):
             try:
@@ -583,7 +988,13 @@ class KafkaWireProducer:
                 sock = self._connect()
                 sock.sendall(
                     encode_produce_request(
-                        corr, self.client_id, topic, partition, records, acks=acks
+                        corr,
+                        self.client_id,
+                        topic,
+                        partition,
+                        records,
+                        acks=acks,
+                        version=version,
                     )
                 )
                 if acks == 0:
@@ -623,11 +1034,15 @@ class KafkaWireConsumer:
         port: int,
         client_id: str = "spark-streaming-test",
         timeout_s: float = 30.0,
+        fetch_version: int = FETCH_VERSION,
     ):
+        if fetch_version not in (FETCH_VERSION, FETCH_VERSION_V2_BATCH):
+            raise ValueError(f"unsupported fetch version {fetch_version}")
         self.host = host
         self.port = port
         self.client_id = client_id
         self.timeout_s = timeout_s
+        self.fetch_version = fetch_version
         self._sock: socket.socket | None = None
         self._corr = 0
 
@@ -663,19 +1078,28 @@ class KafkaWireConsumer:
         sock = self._connect()
         sock.sendall(
             encode_fetch_request(
-                corr, self.client_id, topic, partition, offset, max_bytes
+                corr,
+                self.client_id,
+                topic,
+                partition,
+                offset,
+                max_bytes,
+                version=self.fetch_version,
             )
         )
         frame = read_frame(sock)
         if frame is None:
             raise ConnectionError("broker closed before fetch response")
-        got_corr, results = decode_fetch_response(frame)
+        got_corr, results = decode_fetch_response(frame, self.fetch_version)
         if got_corr != corr:
             raise ValueError(f"correlation mismatch: sent {corr} got {got_corr}")
         rtopic, rpart, err, hw, record_set = results[0]
         if err != ERR_NONE:
             raise RuntimeError(f"fetch error {err} for {rtopic}/{rpart}")
-        return hw, decode_message_set_entries(record_set)
+        # Magic-sniffing decode: a v4 fetch returns magic=2 batches, a
+        # v2 fetch magic=1 sets; lenient tail handling either way (a
+        # real broker truncates the last message/batch at max_bytes).
+        return hw, decode_record_set(record_set)
 
     def list_offset(
         self, topic: str, partition: int = 0, timestamp: int = TS_LATEST
@@ -739,11 +1163,46 @@ class MiniKafkaBroker:
     retriable REQUEST_TIMED_OUT error — the records are NOT appended —
     so a test can prove the producer retries and the sink is
     at-least-once (the replay may double-append; that duplication is
-    the documented contract, SURVEY §4.3)."""
+    the documented contract, SURVEY §4.3).
 
-    def __init__(self, host: str = "127.0.0.1", fail_first: int = 0):
-        self._log = _BrokerLog(fail_first=fail_first)
+    ``legacy=True`` models a pre-0.11 broker: ApiVersions advertises
+    only Produce v2 / Fetch v2, so an "auto" producer negotiates down
+    to magic=1 — the backward path of the format negotiation. The
+    default models a modern broker (record-batch capable; stores
+    records format-agnostically and DOWN-CONVERTS on fetch, serving
+    magic=1 to a v2 fetch and magic=2 to a v4 fetch, exactly the real
+    broker's compatibility behavior)."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        fail_first: int = 0,
+        legacy: bool = False,
+        port: int = 0,
+        log: _BrokerLog | None = None,
+    ):
+        """``port=0`` picks an ephemeral port; pass a concrete port plus
+        the previous instance's ``.log`` to model a broker RESTART at
+        the same address with its durable on-disk log intact — the
+        scenario a streaming consumer must survive by resuming from its
+        checkpointed offsets."""
+        self._log = log if log is not None else _BrokerLog(fail_first=fail_first)
         log = self._log
+        if legacy:
+            advertised = [
+                (API_PRODUCE, 2, PRODUCE_VERSION),
+                (API_FETCH, 2, FETCH_VERSION),
+                (API_LIST_OFFSETS, 1, LIST_OFFSETS_VERSION),
+                (API_API_VERSIONS, 0, 0),
+            ]
+        else:
+            advertised = [
+                (API_PRODUCE, 2, PRODUCE_VERSION_V2_BATCH),
+                (API_FETCH, 2, FETCH_VERSION_V2_BATCH),
+                (API_LIST_OFFSETS, 1, LIST_OFFSETS_VERSION),
+                (API_API_VERSIONS, 0, 0),
+            ]
+        max_versions = {key: hi for key, _lo, hi in advertised}
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
@@ -754,13 +1213,20 @@ class MiniKafkaBroker:
                         return
                     if frame is None:
                         return
-                    api_key = struct.unpack_from(">h", frame, 0)[0]
+                    api_key, api_version = struct.unpack_from(">hh", frame, 0)
+                    if api_version > max_versions.get(api_key, -1):
+                        return  # unadvertised version: drop the connection
                     if api_key == API_PRODUCE:
                         self._produce(frame)
                     elif api_key == API_FETCH:
                         self._fetch(frame)
                     elif api_key == API_LIST_OFFSETS:
                         self._list_offsets(frame)
+                    elif api_key == API_API_VERSIONS:
+                        corr = decode_api_versions_request(frame)
+                        self.request.sendall(
+                            encode_api_versions_response(corr, advertised)
+                        )
                     else:
                         return  # unknown api: drop the connection
 
@@ -810,25 +1276,37 @@ class MiniKafkaBroker:
                         # at least one message regardless of max_bytes
                         # (Kafka's guarantee against starvation)
                         batch: list = []
-                        nbytes = 0
+                        nbytes = (
+                            RECORD_BATCH_OVERHEAD
+                            if req.version >= FETCH_VERSION_V2_BATCH
+                            else 0
+                        )
                         for j in range(max(0, off), hw):
                             rec = stored[j]
-                            sz = 12 + len(encode_message(*rec))
+                            if req.version >= FETCH_VERSION_V2_BATCH:
+                                sz = len(encode_record_v2(rec[0], rec[1], 0, j))
+                            else:
+                                sz = 12 + len(encode_message(*rec))
                             if batch and nbytes + sz > max_b:
                                 break
                             batch.append(rec)
                             nbytes += sz
-                        rs = encode_message_set_at(batch, max(0, off))
+                        if req.version >= FETCH_VERSION_V2_BATCH:
+                            rs = encode_record_batch(batch, max(0, off))
+                        else:
+                            rs = encode_message_set_at(batch, max(0, off))
                         results.append((topic, part, ERR_NONE, hw, rs))
                 self.request.sendall(
-                    encode_fetch_response(req.correlation_id, results)
+                    encode_fetch_response(
+                        req.correlation_id, results, version=req.version
+                    )
                 )
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
 
-        self._server = Server((host, 0), Handler)
+        self._server = Server((host, port), Handler)
         self.host, self.port = self._server.server_address
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
@@ -858,3 +1336,8 @@ class MiniKafkaBroker:
     def requests_seen(self) -> int:
         with self._log.lock:
             return self._log.requests_seen
+
+    @property
+    def log(self) -> _BrokerLog:
+        """The durable log, hand to a successor broker to model restart."""
+        return self._log

@@ -49,6 +49,7 @@ class TopicPartitionSlice(InputPartition):
     partition: int
     start_offset: int
     end_offset: int
+    fetch_version: int = 2
 
 
 class KafkaWireStreamReader(DataSourceStreamReader):
@@ -65,6 +66,13 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         if self.starting not in ("earliest", "latest"):
             raise ValueError(
                 f"startingOffsets must be earliest|latest, got {self.starting}"
+            )
+        # 2 = message-format v1 responses, 4 = record-batch v2 (KIP-98);
+        # the decode path sniffs the magic byte so both yield identical rows.
+        self.fetch_version = int(options.get("fetchVersion", "2"))
+        if self.fetch_version not in (2, 4):
+            raise ValueError(
+                f"fetchVersion must be 2 or 4, got {self.fetch_version}"
             )
         if not self.port:
             raise ValueError("kafka_wire source requires a 'port' option")
@@ -110,6 +118,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 p,
                 int(start.get(str(p), 0)),
                 int(end.get(str(p), 0)),
+                self.fetch_version,
             )
             for p in self.parts
             if int(end.get(str(p), 0)) > int(start.get(str(p), 0))
@@ -120,7 +129,11 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             KafkaWireConsumer,
         )
 
-        with KafkaWireConsumer(partition.host, partition.port) as consumer:
+        with KafkaWireConsumer(
+            partition.host,
+            partition.port,
+            fetch_version=partition.fetch_version,
+        ) as consumer:
             cursor = partition.start_offset
             while cursor < partition.end_offset:
                 _, batch = consumer.fetch(partition.topic, partition.partition, cursor)
