@@ -17,10 +17,12 @@ level shift. This module implements the full baseline decode path:
 * dequantize -> de-zigzag -> float64 separable IDCT -> +128 level
   shift -> clamp, and JFIF YCbCr->RGB for 3-component scans.
 
-Supported profile (everything else raises, like the PNG decoder):
-8-bit baseline SOF0, 1 or 3 components, no chroma subsampling (all
-sampling factors 1). Progressive (SOF2), 12-bit, and subsampled scans
-are out of scope here.
+Supported profiles (everything else raises, like the PNG decoder):
+8-bit baseline SOF0 with 1 or 3 components and sampling factors 1 or 2
+per axis (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0), AND 8-bit progressive SOF2
+(T.81 Annex G: spectral selection + successive approximation, EOB-RUN
+codes, refinement correction bits — see ``decode_jpeg_progressive``).
+12-bit, arithmetic coding, and hierarchical modes are out of scope.
 
 The ORACLE trick: JPEG is lossy in general, but two DCT coefficient
 families survive quantize->IDCT->round EXACTLY, making a closed-form
@@ -578,6 +580,636 @@ def decode_jpeg_baseline(buf: bytes, dc_only: bool = False):
     return out_w, out_h, 3, rgb
 
 
+# --- progressive (SOF2) -------------------------------------------------------
+#
+# Progressive JPEG (T.81 Annex G) splits the coefficient data across
+# MULTIPLE scans: spectral selection (each scan carries a zigzag band
+# Ss..Se) and successive approximation (each scan carries a bit-plane
+# slice, Ah..Al). The encoder below emits the classic script
+#
+#   1. DC first scan   — interleaved, Ss=Se=0, Ah=0, Al=1
+#   2. AC first scans  — one per component, Ss=1, Se=63, Ah=0, Al=1
+#   3. DC refinement   — interleaved, Ah=1, Al=0 (raw bits, no Huffman)
+#   4. AC refinements  — one per component, Ss=1, Se=63, Ah=1, Al=0
+#
+# which exercises every decoder branch: DC point transform (arithmetic
+# shift) + refinement OR-bit, AC point transform (truncate toward
+# zero), EOB-RUN codes spanning blocks (EOBn = 2^n + extra bits), ZRL
+# inside refinement runs, and interleaved correction bits for
+# already-nonzero coefficients (G.1.2.3 ordering, the hairy part).
+# After the last scan the coefficient planes feed the SAME dequantize
+# -> IDCT -> level-shift path as baseline.
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward ZERO
+    (T.81 G.1.2.2 — NOT an arithmetic shift, which floors)."""
+    t = abs(v) >> al
+    return t if v >= 0 else -t
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    coeff_blocks: list[list[int]],
+    ncomp: int = 1,
+    al: int = 1,
+) -> bytes:
+    """Assemble a real progressive (SOF2) JFIF stream from per-block
+    coefficient vectors (raster order, MCU-interleaved like
+    :func:`encode_jpeg_baseline`; quant table all ones; sampling all
+    1x1). ``al`` is the successive-approximation split for both DC and
+    AC (first scans carry bits >= al, one refinement scan per extra
+    bit). Huffman tables are built from the symbols actually used:
+    DC table 0, AC table 0 (first scans), AC table 1 (refinements)."""
+    assert width % 8 == 0 and height % 8 == 0
+    wb, hb = width // 8, height // 8
+    n_mcu = wb * hb
+    assert len(coeff_blocks) == n_mcu * ncomp
+    assert al >= 1, "al=0 would be sequential-in-one-scan; use >= 1"
+    comp_blocks = [
+        [coeff_blocks[m * ncomp + c] for m in range(n_mcu)]
+        for c in range(ncomp)
+    ]
+
+    # ---- scan emitters, parameterized over (emit_sym, emit_bits) so a
+    # collection pass (building the Huffman tables) and the real
+    # encoding pass share one algorithm — any divergence would be a
+    # correctness bug, not a silent table mismatch.
+
+    def run_dc_first(emit_sym, emit_bits):
+        preds = [0] * ncomp
+        for m in range(n_mcu):
+            for c in range(ncomp):
+                t = comp_blocks[c][m][0] >> al  # DC: arithmetic shift
+                diff = t - preds[c]
+                preds[c] = t
+                s = _size_cat(diff)
+                emit_sym(s)
+                if s:
+                    emit_bits(_amplitude_bits(diff, s), s)
+
+    def run_dc_refine(emit_bits, bit: int):
+        for m in range(n_mcu):
+            for c in range(ncomp):
+                emit_bits((comp_blocks[c][m][0] >> bit) & 1, 1)
+
+    def run_ac_first(emit_sym, emit_bits, c: int, cur_al: int):
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                emit_sym(nbits << 4)
+                if nbits:
+                    emit_bits(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for blk in comp_blocks[c]:
+            t = [_pt_ac(blk[ZIGZAG[z]], cur_al) for z in range(64)]
+            ke = max((z for z in range(1, 64) if t[z]), default=0)
+            if ke == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for z in range(1, ke + 1):
+                v = t[z]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    emit_sym(0xF0)
+                    run -= 16
+                s = _size_cat(v)
+                emit_sym((run << 4) | s)
+                emit_bits(_amplitude_bits(v, s), s)
+                run = 0
+            if ke < 63:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def run_ac_refine(emit_sym, emit_bits, c: int, cur_al: int):
+        # G.1.2.3 ordering (the libjpeg jcphuff shape is the canonical
+        # public reading of it): correction bits for already-nonzero
+        # coefficients are BUFFERED and emitted after the next Huffman
+        # symbol (ZRL / run-size / EOBn) they precede.
+        eobrun = 0
+        pending: list[int] = []  # correction bits buffered across blocks
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                emit_sym(nbits << 4)
+                if nbits:
+                    emit_bits(eobrun - (1 << nbits), nbits)
+                for b in pending:
+                    emit_bits(b, 1)
+                pending.clear()
+                eobrun = 0
+
+        for blk in comp_blocks[c]:
+            t = [_pt_ac(blk[ZIGZAG[z]], cur_al) for z in range(64)]
+            absv = [abs(v) for v in t]
+            # last NEWLY-significant position (becomes nonzero this scan)
+            eob = max((z for z in range(1, 64) if absv[z] == 1), default=0)
+            run = 0
+            br: list[int] = []  # this block's buffered correction bits
+            for z in range(1, 64):
+                av = absv[z]
+                if av == 0:
+                    run += 1
+                    continue
+                while run > 15 and z <= eob:
+                    flush_eob()
+                    emit_sym(0xF0)
+                    run -= 16
+                    for b in br:
+                        emit_bits(b, 1)
+                    br = []
+                if av > 1:  # already significant: one correction bit
+                    br.append(av & 1)
+                    continue
+                flush_eob()
+                emit_sym((run << 4) | 1)
+                emit_bits(1 if t[z] > 0 else 0, 1)
+                for b in br:
+                    emit_bits(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    # ---- pass 1: collect symbols per table
+    dc_syms: set[int] = set()
+    ac_first_syms: set[int] = set()
+    ac_ref_syms: set[int] = set()
+
+    def collect(bag):
+        return bag.add, (lambda v, n: None)
+
+    run_dc_first(*collect(dc_syms))
+    # AC first scans happen once (at Al=al); refinements once per lower bit
+    for c in range(ncomp):
+        sym_add, bit_drop = collect(ac_first_syms)
+        run_ac_first(sym_add, bit_drop, c, al)
+    for cur_al in range(al - 1, -1, -1):
+        for c in range(ncomp):
+            sym_add, bit_drop = collect(ac_ref_syms)
+            run_ac_refine(sym_add, bit_drop, c, cur_al)
+    if not ac_first_syms:
+        ac_first_syms.add(0x00)
+    if al >= 1 and not ac_ref_syms:
+        ac_ref_syms.add(0x00)
+    dc_bits, dc_vals = uniform_table(sorted(dc_syms))
+    acf_bits, acf_vals = uniform_table(sorted(ac_first_syms))
+    acr_bits, acr_vals = uniform_table(sorted(ac_ref_syms))
+    dc_codes = build_canonical_codes(dc_bits, dc_vals)
+    acf_codes = build_canonical_codes(acf_bits, acf_vals)
+    acr_codes = build_canonical_codes(acr_bits, acr_vals)
+
+    # ---- pass 2: emit each scan's entropy segment
+    def emitters(w, codes):
+        def emit_sym(sym):
+            code, ln = codes[sym]
+            w.put(code, ln)
+
+        return emit_sym, w.put
+
+    def scan_bytes(run, codes) -> bytes:
+        w = _BitWriter()
+        if codes is None:
+            run(w.put)
+        else:
+            run(*emitters(w, codes))
+        w.byte_align_ones()
+        return bytes(w.out)
+
+    scans: list[tuple[bytes, bytes]] = []  # (SOS header body, entropy bytes)
+
+    def sos_body(comp_ids, dc_tab, ac_tab, ss, se, ah, cur_al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid + 1, (dc_tab << 4) | ac_tab])
+        return body + bytes([ss, se, (ah << 4) | cur_al])
+
+    scans.append(
+        (
+            sos_body(list(range(ncomp)), 0, 0, 0, 0, 0, al),
+            scan_bytes(lambda es, eb: run_dc_first(es, eb), dc_codes),
+        )
+    )
+    for c in range(ncomp):
+        scans.append(
+            (
+                sos_body([c], 0, 0, 1, 63, 0, al),
+                scan_bytes(
+                    lambda es, eb, c=c: run_ac_first(es, eb, c, al), acf_codes
+                ),
+            )
+        )
+    for bit in range(al - 1, -1, -1):
+        scans.append(
+            (
+                sos_body(list(range(ncomp)), 0, 0, 0, 0, bit + 1, bit),
+                scan_bytes(lambda eb, bit=bit: run_dc_refine(eb, bit), None),
+            )
+        )
+        for c in range(ncomp):
+            scans.append(
+                (
+                    sos_body([c], 0, 1, 1, 63, bit + 1, bit),
+                    scan_bytes(
+                        lambda es, eb, c=c, bit=bit: run_ac_refine(
+                            es, eb, c, bit
+                        ),
+                        acr_codes,
+                    ),
+                )
+            )
+
+    # ---- marker assembly
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + _struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    comp_specs = b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(ncomp))
+    out += seg(
+        0xC2,  # SOF2: progressive DCT, Huffman coding
+        bytes([8])
+        + _struct.pack(">HH", height, width)
+        + bytes([ncomp])
+        + comp_specs,
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(acf_bits) + bytes(acf_vals))
+    out += seg(0xC4, bytes([0x11]) + bytes(acr_bits) + bytes(acr_vals))
+    for body, entropy in scans:
+        out += seg(0xDA, body)
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive(buf: bytes, dc_only: bool = False):
+    """(width, height, ncomp, pixels) from progressive (SOF2) JFIF
+    bytes. Full Annex G decode: spectral-selection bands, successive-
+    approximation first scans (DC arithmetic-shift / AC truncate-
+    toward-zero point transforms), EOB-RUN codes spanning blocks, and
+    refinement scans (DC OR-bit; AC correction bits interleaved into
+    zero-history runs). Coefficients accumulate across scans, then run
+    through the same dequantize -> IDCT -> level-shift -> YCbCr->RGB
+    tail as :func:`decode_jpeg_baseline`.
+
+    ``dc_only=True`` decodes ONLY the first DC scan and returns the
+    1/8-scale preview — the progressive byte layout makes this a pure
+    PREFIX read (the classic "blurry first paint"), unlike baseline
+    where AC codes must still be walked. Sampling factors other than
+    1x1 are rejected (progressive subsampled fixtures aren't needed;
+    the baseline decoder carries the subsampling coverage)."""
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    huff_raw: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    ncomp = 0
+    comps: list[tuple[int, int, int, int]] = []
+    restart_interval = 0
+    coef: list = []  # per component: np int32 array (blocks_y, blocks_x, 64)
+    eobrun = 0
+    wb = hb = 0
+    saw_dc_first = False
+    saw_eoi = False
+    pos = 2
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
+            break
+        (seg_len,) = _struct.unpack_from(">H", buf, pos + 2)
+        body = buf[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = list(body[i : i + 64])
+                    i += 64
+                elif pq == 1:
+                    vals = [
+                        _struct.unpack_from(">H", body, i + 2 * j)[0]
+                        for j in range(64)
+                    ]
+                    i += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                table = [0] * 64
+                for zz in range(64):
+                    table[ZIGZAG[zz]] = vals[zz]
+                qt[tq] = table
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff_raw[(tc, th)] = _build_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive
+            if body[0] != 8:
+                raise ValueError(f"unsupported precision {body[0]}")
+            height, width = _struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled progressive scans unsupported"
+                    )
+                comps.append((cid, 1, 1, tq))
+            wb = (width + 7) // 8
+            hb = (height + 7) // 8
+            coef = [
+                np.zeros((hb, wb, 64), dtype=np.int32) for _ in range(ncomp)
+            ]
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF0 given to the progressive decoder")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
+        elif marker == 0xDD:
+            (restart_interval,) = _struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if width is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(
+                    i for i, (cc, *_) in enumerate(comps) if cc == cid
+                )
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, alo = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            # entropy bytes up to the next non-RST marker; a stream cut
+            # mid-download ends WITHOUT one, and the dc_only prefix
+            # read must still consume that last byte
+            start = pos
+            i = start
+            end = len(buf)
+            while i + 1 < len(buf):
+                if buf[i] == 0xFF and buf[i + 1] not in (
+                    0x00,
+                    *range(0xD0, 0xD8),
+                ):
+                    end = i
+                    break
+                i += 1
+            scan_data = buf[start:end]
+            pos = end
+            _progressive_scan(
+                scan_data,
+                coef,
+                scan_comps,
+                huff_raw,
+                ss,
+                se,
+                ah,
+                alo,
+                wb,
+                hb,
+                restart_interval,
+            )
+            if ss == 0 and ah == 0:
+                saw_dc_first = True
+            if dc_only and saw_dc_first:
+                break
+        # APPn / COM: skipped
+    if width is None or not saw_dc_first:
+        raise ValueError("JPEG missing SOF2 or a DC scan")
+    if not dc_only and not saw_eoi:
+        # a progressive stream cut mid-download still DISPLAYS (that is
+        # the format's point), but a data pipeline must never silently
+        # emit half-refined pixels as if they were the full decode
+        raise ValueError("truncated progressive stream (missing EOI)")
+
+    # ---- shared tail: dequant + IDCT (or DC passthrough) + color
+    dct = None if dc_only else _dct_matrix()
+    px = 1 if dc_only else 8
+    planes = [
+        np.zeros((hb * px, wb * px), dtype=np.float64) for _ in range(ncomp)
+    ]
+    for ci, (_, _, _, tq) in enumerate(comps):
+        q = np.asarray(qt[tq], dtype=np.float64)
+        for by in range(hb):
+            for bx in range(wb):
+                c64 = coef[ci][by, bx].astype(np.float64)
+                if dc_only:
+                    planes[ci][by, bx] = c64[0] * q[0] / 8.0 + 128.0
+                else:
+                    block = (c64 * q).reshape(8, 8)
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = dct.T @ block @ dct + 128.0
+    out_h = (height + 7) // 8 if dc_only else height
+    out_w = (width + 7) // 8 if dc_only else width
+    planes = [np.clip(np.rint(p[:out_h, :out_w]), 0, 255) for p in planes]
+    if ncomp == 1:
+        return out_w, out_h, 1, planes[0].astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return out_w, out_h, 3, rgb
+
+
+def _split_intervals(scan_data: bytes) -> list[bytes]:
+    """Unstuff 0xFF00 and split on RSTn markers."""
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan_data):
+        b = scan_data[i]
+        if b == 0xFF:
+            nxt = scan_data[i + 1] if i + 1 < len(scan_data) else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside scan")
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals
+
+
+def _progressive_scan(
+    scan_data: bytes,
+    coef: list,
+    scan_comps: list[tuple[int, int, int]],
+    huff: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    wb: int,
+    hb: int,
+    restart_interval: int,
+) -> None:
+    """Decode ONE progressive scan into the coefficient planes."""
+    intervals = _split_intervals(scan_data)
+    reader = _BitReader(intervals[0])
+    interval_idx = 0
+    eobrun = 0
+    preds = [0] * len(scan_comps)
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("DC scan must have Se=0 (T.81 G.1.1.1)")
+    if not dc_scan and len(scan_comps) != 1:
+        raise ValueError("AC scans must be non-interleaved (single comp)")
+    # unit count: MCUs for (possibly interleaved) DC scans, blocks of
+    # the single component for AC scans — identical here because all
+    # sampling factors are 1 (enforced at SOF2)
+    n_units = wb * hb
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise ValueError("missing restart marker in scan")
+            reader = _BitReader(intervals[interval_idx])
+            preds = [0] * len(scan_comps)
+            eobrun = 0
+        by, bx = divmod(u, wb)
+        if dc_scan:
+            for si, (ci, dc_id, _) in enumerate(scan_comps):
+                block = coef[ci][by, bx]
+                if ah == 0:  # first DC scan: diff-coded shifted DC
+                    s = _read_symbol(reader, huff[(0, dc_id)])
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    preds[si] += diff
+                    block[0] = preds[si] << al
+                else:  # refinement: one raw bit, OR'd in
+                    if reader.read_bit():
+                        block[0] = int(block[0]) | (1 << al)
+        else:
+            ci, _, ac_id = scan_comps[0]
+            block = coef[ci][by, bx]
+            table = huff[(1, ac_id)]
+            if ah == 0:
+                eobrun = _ac_first_block(
+                    reader, table, block, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, table, block, ss, se, al, eobrun
+                )
+
+
+def _ac_first_block(reader, table, block, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(reader, table)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1  # this block IS the first of the run
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of band")
+        block[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, table, block, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(reader, table)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement size must be 1 (T.81 G.1.2.3)"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            # advance over r zero-history coefficients, applying
+            # correction bits to already-nonzero ones crossed on the way
+            while k <= se:
+                cur = int(block[ZIGZAG[k]])
+                if cur != 0:
+                    if reader.read_bit() and (cur & p1) == 0:
+                        block[ZIGZAG[k]] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        # end-of-band: correction bits only, for the rest of the band
+        while k <= se:
+            cur = int(block[ZIGZAG[k]])
+            if cur != 0:
+                if reader.read_bit() and (cur & p1) == 0:
+                    block[ZIGZAG[k]] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 # --- fixtures + registered query ---------------------------------------------
 
 JPEG_N = 50
@@ -778,6 +1410,228 @@ def mm_jpeg_thumbnail_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 img_id = int(path.rsplit("img_", 1)[1][:4])
                 tw, th, nc, thumb = decode_jpeg_baseline(
+                    bytes(content), dc_only=True
+                )
+                assert nc == 1
+                t = thumb.astype(np.int64)
+                rows.append(
+                    (
+                        img_id, tw, th,
+                        int(t.sum()),
+                        int(t[0, 0]), int(t[th - 1, tw - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "thumb_w", "thumb_h", "thumb_sum",
+                    "topleft", "bottomright",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, thumb_w int, thumb_h int, thumb_sum bigint, "
+            "topleft int, bottomright int"
+        ),
+    )
+
+
+# --- progressive fixtures + queries --------------------------------------------
+
+JPEG_PROG_N = 50
+
+
+def write_jpeg_progressive_fixture(path: str, i: int) -> None:
+    wb, hb = _jpeg_dims(i)
+    blocks = [
+        flat_ac44_blocks(_jpeg_block_v(bx, by, i), _jpeg_block_k(bx, by, i))
+        for by in range(hb)
+        for bx in range(wb)
+    ]
+    # every 4th file uses al=2 (two successive-approximation rounds):
+    # the extra refinement scans + deeper EOB runs are load-bearing
+    data = encode_jpeg_progressive(
+        wb * 8, hb * 8, blocks, al=2 if i % 4 == 0 else 1
+    )
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _jpeg_progressive_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+    from spark_streaming_test_spark.llm.multimodal import SCRATCH
+
+    rev = fixture_rev(
+        write_jpeg_progressive_fixture,
+        encode_jpeg_progressive,
+        flat_ac44_blocks,
+        _jpeg_block_v,
+        _jpeg_block_k,
+        _jpeg_dims,
+        JPEG_PROG_N,
+    )
+    d = _os.path.join(SCRATCH, f"jpeg_progressive_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(JPEG_PROG_N):
+        p = _os.path.join(d, f"img_{i:04d}.jpg")
+        if not _os.path.exists(p):
+            tmp = p + ".tmp"
+            write_jpeg_progressive_fixture(tmp, i)
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_decode_jpeg_progressive",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    # Same closed-form block formulas as mm_decode_jpeg: progressive is
+    # a different WIRE layout of the same coefficients, so a correct
+    # multi-scan decode must land on identical pixels — and therefore
+    # identical sums/corners. The checkerboard term isolates the AC
+    # scans (spectral band 1..63 + refinements); a decoder that ran
+    # only the DC scan (or dropped refinement bits) hash-mismatches.
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 2 + i % 3 AS wb, 1 + i % 2 AS hb FROM range({JPEG_PROG_N}) t(i)
+),
+blk AS (
+  SELECT i, wb, hb, bxx.bx AS bx, byy.by AS by,
+         8 + (37 * bxx.bx + 59 * byy.by + 11 * i) % 240 AS v,
+         1 + (bxx.bx + byy.by + i) % 7 AS k
+  FROM imgs,
+       LATERAL unnest(range(0, wb)) AS bxx(bx),
+       LATERAL unnest(range(0, hb)) AS byy(by)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(wb) * 8 AS INTEGER) AS width,
+       CAST(MAX(hb) * 8 AS INTEGER) AS height,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_lum,
+       CAST(SUM(64 * k) AS BIGINT) AS checker_sum,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN v + k END) AS INTEGER)
+         AS topleft,
+       CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN v + k END)
+            AS INTEGER) AS bottomright
+FROM blk GROUP BY i
+""",
+)
+def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode, no codec libs — the largest
+    real-corpus modality gap after baseline (a big share of web-crawl
+    images are progressive). Full T.81 Annex G: multiple SOS scans with
+    spectral selection (DC scan + per-component AC band scans) and
+    successive approximation (point-transformed first scans, then DC
+    OR-bit and AC correction-bit refinement scans; every 4th fixture
+    uses TWO approximation rounds), EOB-RUN codes spanning blocks, and
+    coefficient accumulation across scans feeding the same dequantize ->
+    IDCT -> level-shift tail as baseline. Features and oracle are
+    identical to ``mm_decode_jpeg`` — same pixels, different wire
+    layout — so the hash proves multi-scan reassembly is exact.
+    Scale: files parallelize via binaryFile + mapInPandas; only O(1)
+    features per image leave the Arrow batch."""
+    import numpy as np
+
+    d = _jpeg_progressive_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.jpg"))
+        .select("path", "content")
+    )
+    sign = np.asarray(AC44_SIGN, dtype=np.int64)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, nc, px = decode_jpeg_progressive(bytes(content))
+                assert nc == 1
+                p = px.astype(np.int64)
+                weights = np.outer(
+                    np.tile(sign, h // 8), np.tile(sign, w // 8)
+                )
+                rows.append(
+                    (
+                        img_id, w, h,
+                        int(p.sum()),
+                        int((p * weights).sum()),
+                        int(p[0, 0]), int(p[h - 1, w - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "sum_lum",
+                    "checker_sum", "topleft", "bottomright",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, width int, height int, sum_lum bigint, "
+            "checker_sum bigint, topleft int, bottomright int"
+        ),
+    )
+
+
+@register(
+    "mm_jpeg_progressive_preview",
+    tags=("llm", "multimodal", "decode", "thumbnail", "pandas-udf"),
+    # The DC-first-scan preview: with the fixtures' all-ones quant
+    # table, DC = 8*(v-128) is a multiple of 8, so the Al-bit point
+    # transform loses nothing and the 1/8-scale preview equals v
+    # exactly — the oracle drops the k term entirely, so a previewer
+    # secretly decoding further scans (checkerboard leaks into the
+    # block pixel) hash-mismatches, and so does one that rounds the
+    # truncated DC wrongly.
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 2 + i % 3 AS wb, 1 + i % 2 AS hb FROM range({JPEG_PROG_N}) t(i)
+),
+blk AS (
+  SELECT i, wb, hb, bxx.bx AS bx, byy.by AS by,
+         8 + (37 * bxx.bx + 59 * byy.by + 11 * i) % 240 AS v
+  FROM imgs,
+       LATERAL unnest(range(0, wb)) AS bxx(bx),
+       LATERAL unnest(range(0, hb)) AS byy(by)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(wb) AS INTEGER) AS thumb_w,
+       CAST(MAX(hb) AS INTEGER) AS thumb_h,
+       CAST(SUM(v) AS BIGINT) AS thumb_sum,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN v END) AS INTEGER)
+         AS topleft,
+       CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN v END)
+            AS INTEGER) AS bottomright
+FROM blk GROUP BY i
+""",
+)
+def mm_jpeg_progressive_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The progressive 'first paint': decode ONLY the first DC scan and
+    stop — in a progressive stream that is a pure PREFIX read (the
+    whole point of the format: previews without fetching the file),
+    unlike baseline DC thumbnails which still walk every AC code. At
+    100 TB this is the cheapest image triage there is: bytes read per
+    image ~= header + one scan. Same fixture set as
+    ``mm_decode_jpeg_progressive``; the oracle keeps only the flat
+    level v (AC scans untouched by construction)."""
+    import numpy as np
+
+    d = _jpeg_progressive_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.jpg"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                tw, th, nc, thumb = decode_jpeg_progressive(
                     bytes(content), dc_only=True
                 )
                 assert nc == 1
