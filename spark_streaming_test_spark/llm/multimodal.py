@@ -43,13 +43,40 @@ except ImportError:
     HAVE_IMAGE_LIBS = False
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode path — unavailable in this container by design."""
+def decode_image(payload: bytes):
+    """C-speed decode via PIL WHEN PRESENT (VERDICT r8 item 6): real
+    deployments get libjpeg/zlib-backed decode, while the pure-stdlib
+    decoders in this repo (``decode_bmp24`` / ``decode_png_rgb8`` /
+    ``llm.jpeg.decode_jpeg_baseline`` / ``decode_jpeg_progressive``)
+    REMAIN THE ORACLE — ``tests/test_llm.py::
+    test_decode_image_gate_or_pil_parity`` asserts PIL's output equals
+    them on the fixture set (bit-exact for the lossless formats;
+    within the T.81 Annex A ±1 IDCT tolerance for JPEG, since decoder
+    IDCTs are only required to agree that tightly).
+
+    Returns ``(width, height, ncomp, pixels)`` — pixels H x W uint8
+    (ncomp=1) or H x W x 3 RGB uint8, row 0 = top, matching the stdlib
+    decoders' shape. Raises NotImplementedError in environments
+    without image libs (this container); callers fall back to the
+    stdlib path, which keeps results deterministic in the sandbox."""
     if not HAVE_IMAGE_LIBS:
         raise NotImplementedError(
-            "media decode libs not installed; use fake_features (stub) instead"
+            "media decode libs not installed; the pure-stdlib decoders "
+            "(decode_bmp24 / decode_png_rgb8 / llm.jpeg) are the "
+            "supported path here"
         )
-    raise NotImplementedError("wire PIL decode here when libs are present")
+    import io
+
+    import numpy as np
+
+    img = PIL.Image.open(io.BytesIO(payload))
+    img.load()
+    if img.mode == "P":  # palette (GIF) — expand like decode_gif87a
+        img = img.convert("RGB")
+    if img.mode not in ("L", "RGB"):
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    return img.width, img.height, (1 if img.mode == "L" else 3), arr
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -93,57 +120,103 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_feature_extract_stub",
     tags=("llm", "multimodal", "pandas-udf"),
-    # rows-only: the fake feature vector is an engine-side construct;
-    # determinism + batch shape are asserted in tests/test_llm.py.
+    # The hash-derived feature vector IS oracle-expressible: sha256 of
+    # the payload sliced into 8 big-endian uint32 lanes / 2^32 — DuckDB
+    # recomputes it from hex substrings. (Name keeps its historical
+    # '_stub' suffix: the feature fn is still the documented stand-in
+    # for a learned embed, but the PLUMBING is now hash-verified, not
+    # rows-only — VERDICT r8 item 7.)
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       ('0x' || substr(sha256(text), 1, 8))::UBIGINT / 4294967296.0 AS f0,
+       ('0x' || substr(sha256(text), 9, 8))::UBIGINT / 4294967296.0 AS f1,
+       ('0x' || substr(sha256(text), 17, 8))::UBIGINT / 4294967296.0 AS f2,
+       ('0x' || substr(sha256(text), 25, 8))::UBIGINT / 4294967296.0 AS f3,
+       ('0x' || substr(sha256(text), 33, 8))::UBIGINT / 4294967296.0 AS f4,
+       ('0x' || substr(sha256(text), 41, 8))::UBIGINT / 4294967296.0 AS f5,
+       ('0x' || substr(sha256(text), 49, 8))::UBIGINT / 4294967296.0 AS f6,
+       ('0x' || substr(sha256(text), 57, 8))::UBIGINT / 4294967296.0 AS f7
+FROM documents
+""",
 )
 def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract plumbing over Arrow batches: binary
     payloads stream through ``mapInPandas`` (one Python roundtrip per
     ~10k-row batch), emitting a FEATURE_DIM float vector + byte size
-    per item. The feature fn is the documented deterministic stub —
-    swap ``_fake_features`` for a real decoder when libs exist."""
+    per item. The feature fn is the documented deterministic stand-in
+    (sha256-derived lanes) for a learned embed — swap ``_fake_features``
+    for a real model when one exists — but every lane is hash-verified
+    against the DuckDB oracle, so the batch shape, byte handling, and
+    lane arithmetic are pinned exactly."""
     d = load(spark, sf_dir, "documents")
     src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(_fake_features),
-                }
-            )
+            feats = pdf["payload"].map(_fake_features)
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len),
+            }
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = feats.map(lambda v, i=i: v[i])
+            yield pd.DataFrame(out)
 
+    lanes = ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
     return src.mapInPandas(
-        extract, schema="doc_id long, n_bytes long, features array<double>"
+        extract, schema=f"doc_id long, n_bytes long, {lanes}"
     )
 
 
 @register(
     "mm_frame_sample_stub",
     tags=("llm", "multimodal", "pandas-udf"),
-    # rows-only (same rationale as mm_feature_extract_stub)
+    # Frames are 256-CHARACTER slices (not bytes: DuckDB substr is
+    # character-based, and slicing on a UTF-8 boundary is what a real
+    # tokenizer-adjacent sampler wants anyway), each fingerprinted by
+    # the md5 of its UTF-8 bytes — fully oracle-expressible, so the
+    # 1->N generator shape is hash-verified, not rows-only (VERDICT r8
+    # item 7). The real MJPEG frame sampler lives at
+    # sources/avi_mjpeg.py (mm_video_frame_sample); name keeps its
+    # historical '_stub' suffix for driver-evidence continuity.
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / 256.0) AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(idx.i AS INT) AS frame_idx,
+       md5(substr(text, 1 + 256 * CAST(idx.i AS INT), 256)) AS frame_md5
+FROM f, LATERAL unnest(range(0, n_frames)) AS idx(i)
+""",
 )
 def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: each payload yields ceil(n_bytes/256)
-    'frames' (stand-in for video frame extraction) — a 1->N generator
-    inside mapInPandas, the shape a real ffmpeg sampler would use.
-    Output rows carry (doc_id, frame_idx, frame_md5)."""
+    """Frame-sampling plumbing: each payload yields ceil(n_chars/256)
+    'frames' (a deterministic stand-in for video frame extraction; the
+    REAL one is ``mm_video_frame_sample`` over MJPEG/AVI bytes) — a
+    1->N generator inside mapInPandas, the shape a real ffmpeg sampler
+    would use. Output rows carry (doc_id, frame_idx, frame_md5), every
+    one hash-verified against the character-slice oracle."""
     d = load(spark, sf_dir, "documents")
-    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    src = d.select("doc_id", "text")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             out_doc, out_idx, out_md5 = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                chunks = [payload[i : i + 256] for i in range(0, len(payload), 256)]
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunks = [
+                    text[i : i + 256] for i in range(0, len(text), 256)
+                ]
                 for idx, chunk in enumerate(chunks):
                     out_doc.append(doc_id)
                     out_idx.append(idx)
-                    out_md5.append(hashlib.md5(chunk).hexdigest())
+                    out_md5.append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
             yield pd.DataFrame(
                 {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
             )

@@ -98,9 +98,11 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_mm_feature_stub_shape_and_determinism(spark, sf_dir):
+    lane_cols = [f"f{i}" for i in range(multimodal.FEATURE_DIM)]
     df = multimodal.mm_feature_extract_stub(spark, sf_dir)
-    rows1 = {r["doc_id"]: r["features"] for r in df.collect()}
-    rows2 = {r["doc_id"]: r["features"] for r in df.collect()}
+    assert [c for c in df.columns if c.startswith("f")] == lane_cols
+    rows1 = {r["doc_id"]: tuple(r[c] for c in lane_cols) for r in df.collect()}
+    rows2 = {r["doc_id"]: tuple(r[c] for c in lane_cols) for r in df.collect()}
     assert rows1 == rows2
     for feats in rows1.values():
         assert len(feats) == multimodal.FEATURE_DIM
@@ -116,20 +118,71 @@ def test_mm_frame_sample_counts(spark, sf_dir):
         for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     }
     d = load(spark, sf_dir, "documents")
+    # frames are 256-CHARACTER slices (oracle-expressible; see module)
     expected = {
-        r["doc_id"]: -(-r["n_bytes"] // 256)
+        r["doc_id"]: -(-r["n_chars"] // 256)
         for r in d.select(
-            "doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes")
+            "doc_id", F.length("text").alias("n_chars")
         ).collect()
     }
     assert got == expected
 
 
-def test_decode_stub_raises_without_libs():
-    if multimodal.HAVE_IMAGE_LIBS:
-        pytest.skip("image libs present")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"payload")
+def test_decode_image_gate_or_pil_parity(tmp_path):
+    """Both branches are meaningful, so neither environment skips:
+    without PIL the documented NotImplementedError gate holds; with
+    PIL its decode must match the pure-stdlib decoders (the oracle) on
+    real fixture bytes — bit-exact for lossless formats, within the
+    T.81 Annex A ±1 IDCT tolerance for JPEG."""
+    if not multimodal.HAVE_IMAGE_LIBS:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"payload")
+        return
+    import numpy as np
+
+    from spark_streaming_test_spark.llm import jpeg as jpeg_mod
+
+    # BMP (exact)
+    p = str(tmp_path / "t.bmp")
+    multimodal.write_bmp24(
+        p, 5, 4, lambda x, y: (10 * x, 20 * y, (7 * x + 3 * y) % 256)
+    )
+    buf = open(p, "rb").read()
+    w, h, px = multimodal.decode_bmp24(buf)
+    pw, ph, nc, pil_px = multimodal.decode_image(buf)
+    assert (pw, ph, nc) == (w, h, 3) and np.array_equal(pil_px, px)
+
+    # PNG (exact; exercises all five scanline filters)
+    p = str(tmp_path / "t.png")
+    multimodal.write_png_rgb8(
+        p, 6, 6, lambda x, y: ((x * 40) % 256, (y * 30) % 256, (x * y) % 256)
+    )
+    buf = open(p, "rb").read()
+    w, h, px = multimodal.decode_png_rgb8(buf)
+    pw, ph, nc, pil_px = multimodal.decode_image(buf)
+    assert (pw, ph, nc) == (w, h, 3) and np.array_equal(pil_px, px)
+
+    # JPEG baseline + progressive (±1: IDCTs only agree that tightly)
+    for enc in (
+        lambda blocks: jpeg_mod.encode_jpeg_baseline(24, 16, blocks),
+        lambda blocks: jpeg_mod.encode_jpeg_progressive(24, 16, blocks),
+    ):
+        blocks = [
+            jpeg_mod.flat_ac44_blocks(100 + 10 * i, 1 + i % 7)
+            for i in range(6)
+        ]
+        buf = enc(blocks)
+        decode = (
+            jpeg_mod.decode_jpeg_progressive
+            if buf[3:4] == b"\xc2" or b"\xff\xc2" in buf[:200]
+            else jpeg_mod.decode_jpeg_baseline
+        )
+        w, h, ncomp, px = decode(buf)
+        pw, ph, nc, pil_px = multimodal.decode_image(buf)
+        assert (pw, ph) == (w, h)
+        assert (
+            np.abs(pil_px.astype(int) - px.astype(int)).max() <= 1
+        ), "PIL JPEG decode outside the Annex A tolerance"
 
 def test_hll_sketch_rollup_accuracy(spark, sf_dir):
     """Region-level HLL estimates (merged from per-nation sketches) must
