@@ -1,0 +1,153 @@
+"""MP4 (ISO BMFF) demux tests — the container half of the round-9
+video work. The stbl chunk walk is the part real demuxers get wrong
+(stsc runs are open-ended; the final chunk is usually partial), so
+fixtures always include a partial final chunk and the tests poison
+indexes to prove the cross-validation bites."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from spark_streaming_test_spark.llm.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+    flat_ac44_blocks,
+)
+from spark_streaming_test_spark.sources.mp4_bmff import (
+    FIRST_SAMPLE_OFFSET,
+    SAMPLES_PER_CHUNK,
+    iter_boxes,
+    read_mp4_mjpeg,
+    read_mp4_sample_table,
+    write_mp4_mjpeg,
+)
+
+
+def _jpeg(v: int, k: int) -> bytes:
+    return encode_jpeg_baseline(
+        16, 8, [flat_ac44_blocks(v, k), flat_ac44_blocks(v + 8, k)]
+    )
+
+
+def _mp4(tmp_path, samples, delta_ms=40):
+    p = str(tmp_path / "t.mp4")
+    write_mp4_mjpeg(p, samples, 16, 8, delta_ms)
+    return open(p, "rb").read()
+
+
+def test_roundtrip_with_partial_final_chunk(tmp_path):
+    # 7 samples, chunks of 3 -> chunks [3, 3, 1]: two stsc runs
+    samples = [_jpeg(60 + 10 * f, 1 + f % 7) for f in range(7)]
+    buf = _mp4(tmp_path, samples)
+    w, h, ts, codec, table = read_mp4_sample_table(buf)
+    assert (w, h, ts, codec) == (16, 8, 1000, b"jpeg")
+    assert len(table) == 7
+    # offsets are contiguous from the fixed first offset
+    expected_off = FIRST_SAMPLE_OFFSET
+    for f, (off, size, pts, ci) in enumerate(table):
+        assert off == expected_off
+        assert size == len(samples[f])
+        assert pts == 40 * f
+        assert ci == f // SAMPLES_PER_CHUNK
+        expected_off += size
+        assert buf[off : off + size] == samples[f]
+    # decode-everything convenience agrees
+    w, h, delta, n, frames = read_mp4_mjpeg(buf)
+    assert (delta, n) == (40, 7)
+    assert frames == samples
+
+
+def test_padded_samples_decode_ignoring_trailer(tmp_path):
+    jpeg = _jpeg(100, 2)
+    padded = jpeg + b"\x00" * 64
+    buf = _mp4(tmp_path, [padded])
+    _, _, _, _, frames = read_mp4_mjpeg(buf)
+    w, h, nc, px = decode_jpeg_baseline(frames[0])
+    assert (w, h, nc) == (16, 8, 1)
+    assert int(px[0, 0]) == 102  # v + k
+
+
+def test_box_walk_handles_largesize_and_to_end(tmp_path):
+    payload = b"x" * 10
+    large = struct.pack(">I", 1) + b"big " + struct.pack(">Q", 16 + 10) + payload
+    toend = struct.pack(">I", 0) + b"rest" + payload
+    buf = large + toend
+    boxes = list(iter_boxes(buf, 0, len(buf)))
+    assert [b[0] for b in boxes] == [b"big ", b"rest"]
+    assert buf[boxes[0][1] : boxes[0][2]] == payload
+    assert buf[boxes[1][1] : boxes[1][2]] == payload
+
+
+def test_box_overrun_raises():
+    bad = struct.pack(">I", 100) + b"bad " + b"x" * 4
+    with pytest.raises(ValueError, match="overruns"):
+        list(iter_boxes(bad, 0, len(bad)))
+
+
+def test_lying_stco_offset_fails_bounds_check(tmp_path):
+    samples = [_jpeg(80, 1), _jpeg(90, 2)]
+    buf = bytearray(_mp4(tmp_path, samples))
+    # find stco and point its first chunk offset past the file end
+    i = buf.index(b"stco")
+    entry_off = i + 4 + 4 + 4  # fourcc, version/flags, entry_count
+    struct.pack_into(">I", buf, entry_off, len(buf) + 1000)
+    with pytest.raises(ValueError, match="escapes mdat"):
+        read_mp4_sample_table(bytes(buf))
+
+
+def test_stsz_stts_disagreement_fails(tmp_path):
+    samples = [_jpeg(80, 1), _jpeg(90, 2)]
+    buf = bytearray(_mp4(tmp_path, samples))
+    i = buf.index(b"stts")
+    # shrink the single stts run from 2 samples to 1
+    struct.pack_into(">I", buf, i + 4 + 4 + 4, 1)
+    with pytest.raises(ValueError, match="stsz declares"):
+        read_mp4_sample_table(bytes(buf))
+
+
+def test_non_jpeg_codec_rejected_by_frame_reader(tmp_path):
+    samples = [_jpeg(80, 1)]
+    buf = bytearray(_mp4(tmp_path, samples))
+    i = buf.index(b"jpeg", buf.index(b"stsd"))
+    buf[i : i + 4] = b"avc1"
+    with pytest.raises(ValueError, match="Motion-JPEG"):
+        read_mp4_mjpeg(bytes(buf))
+
+
+def test_stride_sampling_never_touches_skipped_bytes(tmp_path):
+    """Samples at odd indices are POISON (not JPEG at all). A stride-2
+    reader that slices only its kept byte ranges decodes fine; decoding
+    everything raises — proving skipped bytes truly stay untouched."""
+    good = [_jpeg(60 + 10 * f, 1) for f in range(4)]
+    samples = [
+        good[f] if f % 2 == 0 else b"\x00" * len(good[f]) for f in range(4)
+    ]
+    buf = _mp4(tmp_path, samples)
+    _, _, _, _, table = read_mp4_sample_table(buf)
+    for f, (off, size, _, _) in enumerate(table):
+        if f % 2 == 0:
+            w, h, nc, px = decode_jpeg_baseline(buf[off : off + size])
+            assert (w, h) == (16, 8)
+        else:
+            with pytest.raises(ValueError):
+                decode_jpeg_baseline(buf[off : off + size])
+
+
+def test_sample_index_is_pure_arithmetic(tmp_path):
+    """The demux must work on a buffer whose mdat payload is REDACTED
+    (moov + headers only) as long as no sample bytes are requested —
+    the 100 TB range-request story: index from kilobytes of moov."""
+    samples = [_jpeg(70 + 5 * f, 2) for f in range(5)]
+    buf = bytearray(_mp4(tmp_path, samples))
+    mdat_start = buf.index(b"mdat") + 4
+    mdat_len = struct.unpack_from(">I", buf, mdat_start - 8)[0] - 8
+    buf[mdat_start : mdat_start + mdat_len] = b"\x00" * mdat_len
+    w, h, ts, codec, table = read_mp4_sample_table(bytes(buf))
+    assert len(table) == 5
+    assert [t[0] for t in table] == [
+        FIRST_SAMPLE_OFFSET + sum(len(s) for s in samples[:f])
+        for f in range(5)
+    ]
