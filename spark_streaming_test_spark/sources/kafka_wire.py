@@ -25,6 +25,10 @@ from the spec:
   accepts) over Produce v3 / Fetch v4, with CRC-32C, zigzag-varint
   record framing, and ApiVersions v0 negotiation (``message_format=
   "auto"`` picks the newest format the broker advertises).
+* GZIP compression (codec id 1) in both formats: the v1 wrapper-
+  message form with KIP-31 relative inner offsets, and the v2
+  compressed-records-section form with the CRC over the compressed
+  bytes — stdlib zlib/gzip, mtime pinned for determinism.
 * ``MiniKafkaBroker`` — an in-process validating broker stub: accepts
   connections, parses produce AND fetch requests INDEPENDENTLY of the
   client encoders, verifies every message CRC, appends to an in-memory
@@ -177,16 +181,40 @@ class _Reader:
         return None if n < 0 else self.take(n)
 
 
+# --- compression (gzip codec, stdlib zlib) ---------------------------------
+#
+# Kafka codec id 1 = gzip (RFC 1952) — the one wire codec the stdlib
+# can speak. mtime is pinned to 0 so compressed fixtures/oracles stay
+# byte-deterministic; decompression auto-detects gzip vs zlib headers.
+
+CODEC_NONE = 0
+CODEC_GZIP = 1
+CODEC_MASK = 0x07
+
+
+def gzip_compress(data: bytes) -> bytes:
+    import gzip as _gzip
+
+    return _gzip.compress(data, compresslevel=6, mtime=0)
+
+
+def gzip_decompress(data: bytes) -> bytes:
+    return zlib.decompress(data, wbits=47)  # 47 = auto gzip/zlib
+
+
 # --- message set (format v1) ---------------------------------------------
 
 
 def encode_message(
-    key: bytes | None, value: bytes | None, timestamp_ms: int
+    key: bytes | None,
+    value: bytes | None,
+    timestamp_ms: int,
+    attrs: int = 0,
 ) -> bytes:
     """One v1 message: crc over (magic..value), CreateTime attrs."""
     body = (
         _i8(MAGIC_V1)
-        + _i8(0)  # attributes: no compression, CreateTime
+        + _i8(attrs)
         + _i64(timestamp_ms)
         + _bytes(key)
         + _bytes(value)
@@ -197,14 +225,32 @@ def encode_message(
 
 def encode_message_set(
     records: list[tuple[bytes | None, bytes | None, int]],
+    codec: int = CODEC_NONE,
 ) -> bytes:
     """records = [(key, value, timestamp_ms)]. Producer-side offsets in
-    a message set are placeholders (the broker assigns real ones)."""
+    a message set are placeholders (the broker assigns real ones).
+
+    ``codec=CODEC_GZIP`` emits the v1 compressed form (KIP-31): ONE
+    wrapper message whose value is the gzip of the inner plain set,
+    inner offsets 0..n-1 (relative), wrapper offset = n-1 (the LAST
+    inner offset — the rule consumers invert on fetch), wrapper
+    timestamp = max inner timestamp."""
     out = bytearray()
     for i, (key, value, ts) in enumerate(records):
         msg = encode_message(key, value, ts)
         out += _i64(i) + _i32(len(msg)) + msg
-    return bytes(out)
+    if codec == CODEC_NONE:
+        return bytes(out)
+    if codec != CODEC_GZIP:
+        raise ValueError(f"unsupported codec {codec}")
+    inner = bytes(out)
+    wrapper = encode_message(
+        None,
+        gzip_compress(inner),
+        max(ts for _, _, ts in records),
+        attrs=CODEC_GZIP,
+    )
+    return _i64(len(records) - 1) + _i32(len(wrapper)) + wrapper
 
 
 def encode_message_set_at(
@@ -250,12 +296,26 @@ def decode_message_set_entries(
         if magic != MAGIC_V1:
             raise ValueError(f"unsupported message magic {magic}")
         attrs = msg.i8()
-        if attrs & 0x07:
-            raise ValueError("compressed message sets not supported")
+        codec = attrs & CODEC_MASK
+        if codec not in (CODEC_NONE, CODEC_GZIP):
+            raise ValueError(f"unsupported message codec {codec}")
         ts = msg.i64()
         key = msg.nbytes()
         value = msg.nbytes()
-        out.append((offset, key, value, ts))
+        if codec == CODEC_GZIP:
+            # wrapper message: value = gzip(inner set with RELATIVE
+            # offsets 0..n-1); wrapper offset = absolute offset of the
+            # LAST inner message (KIP-31), so absolute = wrapper -
+            # (n-1) + relative. Inner CRCs are verified recursively.
+            inner = decode_message_set_entries(
+                gzip_decompress(value), strict=True
+            )
+            base = offset - (len(inner) - 1)
+            out.extend(
+                (base + rel, k, v, its) for rel, k, v, its in inner
+            )
+        else:
+            out.append((offset, key, value, ts))
     return out
 
 
@@ -366,19 +426,26 @@ def encode_record_v2(
 def encode_record_batch(
     records: list[tuple[bytes | None, bytes | None, int]],
     base_offset: int = 0,
+    codec: int = CODEC_NONE,
 ) -> bytes:
     """One v2 RecordBatch. Producer-side base_offset is 0 (the broker
     assigns the real one by rewriting the first 8 bytes — legal because
-    the CRC intentionally excludes them); fetch-side it is absolute."""
+    the CRC intentionally excludes them); fetch-side it is absolute.
+    ``codec=CODEC_GZIP`` gzips the records section only — the header
+    stays clear so brokers index batches without decompressing, and
+    the CRC-32C covers the COMPRESSED bytes (the spec's layering)."""
     if not records:
         return b""
+    if codec not in (CODEC_NONE, CODEC_GZIP):
+        raise ValueError(f"unsupported codec {codec}")
     base_ts = records[0][2]
     max_ts = max(ts for _, _, ts in records)
     recs = bytearray()
     for i, (key, value, ts) in enumerate(records):
         recs += encode_record_v2(key, value, ts - base_ts, i)
+    payload = bytes(recs) if codec == CODEC_NONE else gzip_compress(bytes(recs))
     crc_body = (
-        _i16(0)  # attributes: no compression, CreateTime
+        _i16(codec)  # attributes: codec bits 0-2, CreateTime
         + _i32(len(records) - 1)  # last_offset_delta
         + _i64(base_ts)
         + _i64(max_ts)
@@ -386,7 +453,7 @@ def encode_record_batch(
         + _i16(-1)  # producer_epoch
         + _i32(-1)  # base_sequence
         + _i32(len(records))
-        + bytes(recs)
+        + payload
     )
     head = (
         _i32(-1)  # partition_leader_epoch
@@ -432,8 +499,9 @@ def decode_record_batch_entries(
         if crc32c(crc_body) != crc:
             raise ValueError("record batch CRC-32C mismatch")
         attrs = r.i16()
-        if attrs & 0x07:
-            raise ValueError("compressed record batches not supported")
+        codec = attrs & CODEC_MASK
+        if codec not in (CODEC_NONE, CODEC_GZIP):
+            raise ValueError(f"unsupported record batch codec {codec}")
         r.i32()  # last_offset_delta
         base_ts = r.i64()
         r.i64()  # max_timestamp
@@ -441,6 +509,10 @@ def decode_record_batch_entries(
         r.i16()  # producer_epoch
         r.i32()  # base_sequence
         count = r.i32()
+        if codec == CODEC_GZIP:
+            # records section only; the CRC above already validated the
+            # compressed bytes, per the spec's layering
+            r = _Reader(gzip_decompress(r.buf[r.pos :]))
         for _ in range(count):
             rec_len = r.varint()
             rec = _Reader(r.take(rec_len))
@@ -494,15 +566,16 @@ def encode_produce_request(
     acks: int = 1,
     timeout_ms: int = 30_000,
     version: int = PRODUCE_VERSION,
+    codec: int = CODEC_NONE,
 ) -> bytes:
     """Produce v2 ships a magic=1 message set; v3 (KIP-98) prepends a
     nullable transactional_id and ships a magic=2 RecordBatch — the
     api version IS the format switch, exactly as in real Kafka."""
     if version == PRODUCE_VERSION:
-        record_set = encode_message_set(records)
+        record_set = encode_message_set(records, codec=codec)
         extra = b""
     elif version == PRODUCE_VERSION_V2_BATCH:
-        record_set = encode_record_batch(records)
+        record_set = encode_record_batch(records, codec=codec)
         extra = _string(None)  # transactional_id: not transactional
     else:
         raise ValueError(f"unsupported produce version {version}")
@@ -911,14 +984,18 @@ class KafkaWireProducer:
         client_id: str = "spark-streaming-test",
         timeout_s: float = 30.0,
         message_format: str = "v1",
+        compression: str = "none",
     ):
         if message_format not in ("v1", "v2", "auto"):
             raise ValueError(f"message_format must be v1|v2|auto, got {message_format}")
+        if compression not in ("none", "gzip"):
+            raise ValueError(f"compression must be none|gzip, got {compression}")
         self.host = host
         self.port = port
         self.client_id = client_id
         self.timeout_s = timeout_s
         self.message_format = message_format
+        self.codec = CODEC_GZIP if compression == "gzip" else CODEC_NONE
         self._sock: socket.socket | None = None
         self._corr = 0
 
@@ -995,6 +1072,7 @@ class KafkaWireProducer:
                         records,
                         acks=acks,
                         version=version,
+                        codec=self.codec,
                     )
                 )
                 if acks == 0:

@@ -701,3 +701,68 @@ def test_kafka_wire_streaming_source_survives_broker_restart(spark, tmp_path):
     assert [bytes(r["value"]) for r in rows] == [
         RECS[0][1], RECS[1][1], RECS[0][1], RECS[1][1],
     ]
+
+
+# --- gzip compression (codec 1) ----------------------------------------------
+
+from spark_streaming_test_spark.sources.kafka_wire import (  # noqa: E402
+    CODEC_GZIP,
+    decode_record_batch_entries,
+    encode_record_batch,
+)
+
+BULK = [
+    (b"k%d" % i, (b"payload-" * 20) + bytes([i]), 1_000 + i) for i in range(10)
+]
+
+
+def test_gzip_v1_wrapper_relative_offsets():
+    """KIP-31: compressed v1 = ONE wrapper whose offset is the LAST
+    inner absolute offset; inner offsets are relative 0..n-1. The
+    decoder must invert that — and the payload must actually shrink."""
+    compressed = encode_message_set(BULK, codec=CODEC_GZIP)
+    plain = encode_message_set(BULK)
+    assert len(compressed) < len(plain) // 2
+    out = decode_message_set_entries(compressed)
+    assert [(o, k, v, t) for o, k, v, t in out] == [
+        (i, *BULK[i]) for i in range(10)
+    ]
+
+
+def test_gzip_v2_records_section_and_crc():
+    """v2 gzip compresses the records section only; the batch header
+    stays clear (brokers index without decompressing) and the CRC-32C
+    covers the COMPRESSED bytes — so tampering the gzip stream is
+    caught by the CRC before any decompression runs."""
+    compressed = encode_record_batch(BULK, base_offset=5, codec=CODEC_GZIP)
+    plain = encode_record_batch(BULK, base_offset=5)
+    assert len(compressed) < len(plain) // 2
+    assert compressed[16] == 2  # magic still clear-text
+    out = decode_record_batch_entries(compressed, strict=True)
+    assert out == [(5 + i, *BULK[i]) for i in range(10)]
+    tampered = bytearray(compressed)
+    tampered[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32C"):
+        decode_record_batch_entries(bytes(tampered), strict=True)
+
+
+def test_gzip_produce_both_formats_over_socket():
+    """Compressed produce in BOTH formats lands byte-identical records
+    in the broker log; a mixed (compressed v2 + compressed v1) log
+    fetches back in offset order with no seams."""
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(
+            broker.host, broker.port, message_format="v2", compression="gzip"
+        ) as p:
+            assert p.produce("t", BULK) == 0
+        with KafkaWireProducer(
+            broker.host, broker.port, message_format="v1", compression="gzip"
+        ) as p:
+            assert p.produce("t", BULK) == 10
+        assert broker.fetch("t") == BULK + BULK
+        with KafkaWireConsumer(
+            broker.host, broker.port, fetch_version=FETCH_VERSION_V2_BATCH
+        ) as c:
+            got = c.fetch_all("t")
+    assert [o for o, *_ in got] == list(range(20))
+    assert [(k, v, t) for _, k, v, t in got] == BULK + BULK
