@@ -1526,3 +1526,30 @@ def test_pnm_decode_single_python_stage(spark, qs):
     plan = checks.formatted_plan(df)
     assert _n_nodes(plan, "MapInPandas") == 1, plan[:1500]
     assert "BatchEvalPython" not in plan
+
+
+def test_kafka_wire_v2_roundtrip_is_arrow_batched(spark, qs):
+    # The v2 RecordBatch codec is the ONE permitted Python stage in the
+    # flagship's wire twin: exactly one ArrowEvalPython (vectorized
+    # pandas UDF), never a row-at-a-time BatchEvalPython, and the agg
+    # below it still shuffles exactly once on (window, nif).
+    df = qs["traffic_alerts_kafka_wire_v2"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert _n_nodes(plan, "ArrowEvalPython") == 1, plan[:1500]
+    assert "BatchEvalPython" not in plan
+
+
+def test_mp4_demux_single_python_stage(spark, qs):
+    # Demux-only: one MapInPandas over the binaryFile scan; sample
+    # bytes never shuffle (only the O(1) index rows leave Python).
+    df = qs["mm_video_mp4_sample_index"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert _n_nodes(plan, "MapInPandas") == 1, plan[:1500]
+    assert "BatchEvalPython" not in plan
+
+
+def test_progressive_jpeg_single_python_stage(spark, qs):
+    df = qs["mm_decode_jpeg_progressive"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert _n_nodes(plan, "MapInPandas") == 1, plan[:1500]
+    assert "BatchEvalPython" not in plan
