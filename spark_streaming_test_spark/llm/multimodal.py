@@ -1632,6 +1632,18 @@ def write_tiff_exif(
     path: str, big_endian: bool, width: int, height: int,
     make: str, orientation: int, datetime_s: str,
 ) -> None:
+    with open(path, "wb") as f:
+        f.write(
+            tiff_exif_bytes(
+                big_endian, width, height, make, orientation, datetime_s
+            )
+        )
+
+
+def tiff_exif_bytes(
+    big_endian: bool, width: int, height: int,
+    make: str, orientation: int, datetime_s: str,
+) -> bytes:
     """Minimal real TIFF/EXIF writer: header, one IFD0 with
     ImageWidth/ImageLength (LONG, inline), Orientation (SHORT, inline),
     Make and DateTime (ASCII, stored at offsets past the IFD)."""
@@ -1671,10 +1683,12 @@ def write_tiff_exif(
         else:
             body += val
     body += _struct.pack(e + "I", 0)  # no next IFD
-    with open(path, "wb") as f:
-        f.write((b"MM" if big_endian else b"II"))
-        f.write(_struct.pack(e + "HI", 42, ifd_off))
-        f.write(bytes(body) + bytes(tail))
+    return (
+        (b"MM" if big_endian else b"II")
+        + _struct.pack(e + "HI", 42, ifd_off)
+        + bytes(body)
+        + bytes(tail)
+    )
 
 
 def parse_tiff_exif(buf: bytes) -> dict:
@@ -1778,6 +1792,137 @@ def mm_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 img_id = int(path.rsplit("img_", 1)[1][:4])
                 m = parse_tiff_exif(bytes(content))
+                rows.append(
+                    (
+                        img_id, m["endian"], m["width"], m["height"],
+                        m["make"], m["orientation"], m["datetime"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "endian", "width", "height",
+                    "make", "orientation", "taken_at",
+                ],
+            )
+
+    return src.mapInPandas(
+        meta,
+        schema=(
+            "img_id bigint, endian string, width bigint, height bigint, "
+            "make string, orientation int, taken_at string"
+        ),
+    )
+
+
+# --- EXIF inside JPEG (APP1) ---------------------------------------------------
+
+JPEG_EXIF_N = 30
+
+
+def jpeg_exif(buf: bytes) -> dict:
+    """Extract the EXIF dict from a JPEG's APP1 segment WITHOUT
+    decoding the image: walk marker segments from SOI, parse the first
+    ``Exif\\x00\\x00`` APP1 through :func:`parse_tiff_exif`, and STOP
+    at SOS — metadata extraction never touches entropy bytes, which is
+    the point at 100 TB (EXIF lives in the first KB; a range request
+    for the header is enough). Raises if no EXIF APP1 precedes SOS."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        if marker in (0xDA, 0xD9):  # SOS / EOI: metadata region is over
+            break
+        (seg_len,) = _struct.unpack_from(">H", buf, pos + 2)
+        body = buf[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return parse_tiff_exif(body[6:])
+    raise ValueError("no EXIF APP1 segment before SOS")
+
+
+def add_jpeg_exif(jpeg: bytes, tiff: bytes) -> bytes:
+    """Splice an ``Exif\\x00\\x00`` APP1 right after SOI — where real
+    cameras put it (before APP0 is also legal; readers must not care)."""
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + _struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def _jpeg_exif_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+    from spark_streaming_test_spark.llm.jpeg import (
+        encode_jpeg_baseline,
+        flat_ac44_blocks,
+    )
+
+    rev = fixture_rev(
+        _exif_params,
+        tiff_exif_bytes,
+        add_jpeg_exif,
+        encode_jpeg_baseline,
+        flat_ac44_blocks,
+        JPEG_EXIF_N,
+    )
+    d = _os.path.join(SCRATCH, f"jpeg_exif_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(JPEG_EXIF_N):
+        p = _os.path.join(d, f"img_{i:04d}.jpg")
+        if _os.path.exists(p):
+            continue
+        jpeg = encode_jpeg_baseline(
+            16, 8, [flat_ac44_blocks(64 + i, 1 + i % 7) for _ in range(2)]
+        )
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(add_jpeg_exif(jpeg, tiff_exif_bytes(*_exif_params(i))))
+        _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_jpeg_exif_metadata",
+    tags=("llm", "multimodal", "metadata", "pandas-udf"),
+    # same closed-form field oracle as mm_exif_metadata (the APP1 wraps
+    # a TIFF blob built from the SAME _exif_params formulas), but the
+    # blob now has to be FOUND inside a real JPEG marker walk first
+    oracle=f"""
+SELECT CAST(i AS BIGINT) AS img_id,
+       CASE WHEN i % 2 = 1 THEN 'big' ELSE 'little' END AS endian,
+       CAST(640 + i % 32 AS BIGINT) AS width,
+       CAST(480 + i % 24 AS BIGINT) AS height,
+       'Cam-' || CAST(i % 7 AS VARCHAR) AS make,
+       CAST(1 + i % 8 AS INTEGER) AS orientation,
+       '2024:01:' || lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0')
+         || ' 12:' || lpad(CAST(i % 60 AS VARCHAR), 2, '0') || ':00'
+         AS taken_at
+FROM range({JPEG_EXIF_N}) t(i)
+""",
+)
+def mm_jpeg_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction from REAL JPEGs — the form a crawl actually
+    serves: an ``Exif\\x00\\x00`` APP1 segment (both TIFF byte orders)
+    spliced after SOI, located by a marker walk that STOPS at SOS, so
+    the entropy-coded image data is never read. Camera metadata
+    (dimensions, make, orientation, timestamp) is the cheapest
+    multimodal triage signal there is — this query prices it at a
+    header read per image, not a decode."""
+    d = _jpeg_exif_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.jpg"))
+        .select("path", "content")
+    )
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                m = jpeg_exif(bytes(content))
                 rows.append(
                     (
                         img_id, m["endian"], m["width"], m["height"],

@@ -151,3 +151,29 @@ def test_sample_index_is_pure_arithmetic(tmp_path):
         FIRST_SAMPLE_OFFSET + sum(len(s) for s in samples[:f])
         for f in range(5)
     ]
+
+
+# --- EXIF-in-JPEG (round 9, lives here with the other container tests) -------
+
+
+def test_jpeg_exif_app1_roundtrip_and_header_only():
+    from spark_streaming_test_spark.llm.multimodal import (
+        _exif_params,
+        add_jpeg_exif,
+        jpeg_exif,
+        tiff_exif_bytes,
+    )
+
+    base = _jpeg(100, 2)
+    buf = add_jpeg_exif(base, tiff_exif_bytes(*_exif_params(3)))
+    m = jpeg_exif(buf)
+    assert (m["endian"], m["width"], m["make"]) == ("big", 643, "Cam-3")
+    # pixel decode is unaffected by the APP1 splice
+    w, h, nc, px = decode_jpeg_baseline(buf)
+    assert (w, h) == (16, 8) and int(px[0, 0]) == 102
+    # header-only contract: the walk stops at SOS, so TRUNCATING the
+    # file right after the headers still yields full metadata
+    sos = buf.index(b"\xff\xda")
+    assert jpeg_exif(buf[: sos + 2]) == m
+    with pytest.raises(ValueError, match="no EXIF"):
+        jpeg_exif(base)
