@@ -465,6 +465,66 @@ def decode_wav16(buf: bytes):
     return rate, channels, np.frombuffer(data, dtype="<i2")
 
 
+# --- G.711 mu-law (WAVE format code 7) -------------------------------------
+#
+# The telephony codec: 8-bit log-companded samples expanding to 14-bit
+# magnitudes in PCM16 range. The expansion is CLOSED FORM (ITU-T G.711
+# table 2a): with u' = ~u, sign = bit 7, exponent e = bits 4-6,
+# mantissa m = bits 0-3:  magnitude = ((8m + 0x84) << e) - 0x84.
+# That arithmetic is SQL-expressible, which is what makes a byte-exact
+# DuckDB oracle possible for a real audio codec.
+
+
+def _mulaw_table():
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for u in range(256):
+        x = ~u & 0xFF
+        mag = ((((x & 0x0F) << 3) + 0x84) << ((x >> 4) & 7)) - 0x84
+        out[u] = -mag if x & 0x80 else mag
+    return out
+
+
+def write_wav_mulaw(path: str, rate: int, codes: bytes) -> None:
+    """RIFF/WAVE writer for mu-law: audio format 7, 8 bits/sample,
+    mono, block align 1 — the layout every telephony WAV uses."""
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(_struct.pack("<I", 36 + len(codes)))
+        f.write(b"WAVEfmt ")
+        f.write(_struct.pack("<IHHIIHH", 16, 7, 1, rate, rate, 1, 8))
+        f.write(b"data")
+        f.write(_struct.pack("<I", len(codes)))
+        f.write(codes)
+
+
+def decode_wav_mulaw(buf: bytes):
+    """(sample_rate, channels, PCM16 numpy array) from a mu-law WAVE:
+    chunk walk + table-driven G.711 expansion."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    off, rate, channels, data = 12, None, None, None
+    while off + 8 <= len(buf):
+        cid = buf[off : off + 4]
+        size = _struct.unpack_from("<I", buf, off + 4)[0]
+        body = buf[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = _struct.unpack_from("<HHI", body, 0)
+            bits = _struct.unpack_from("<H", body, 14)[0]
+            if fmt != 7 or bits != 8:
+                raise ValueError(f"not mu-law WAVE (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    return rate, channels, _mulaw_table()[codes]
+
+
 def _bmp_pixel(i: int):
     return lambda x, y: (
         (x + y + 3 * i) % 256,
@@ -1942,6 +2002,119 @@ def mm_jpeg_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "img_id bigint, endian string, width bigint, height bigint, "
             "make string, orientation int, taken_at string"
+        ),
+    )
+
+
+# --- mu-law audio fixtures + query ----------------------------------------------
+
+MULAW_N = 30
+
+
+def _mulaw_n_samples(i: int) -> int:
+    return 400 + 40 * (i % 4)
+
+
+def _mulaw_code(t: int, i: int) -> int:
+    return (13 * t + 7 * i) % 256
+
+
+def _mulaw_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(
+        write_wav_mulaw, _mulaw_n_samples, _mulaw_code, MULAW_N
+    )
+    d = _os.path.join(SCRATCH, f"mulaw_audio_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(MULAW_N):
+        p = _os.path.join(d, f"au_{i:04d}.wav")
+        if not _os.path.exists(p):
+            codes = bytes(
+                _mulaw_code(t, i) for t in range(_mulaw_n_samples(i))
+            )
+            tmp = p + ".tmp"
+            write_wav_mulaw(tmp, 8000, codes)
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_audio_mulaw_decode",
+    tags=("llm", "multimodal", "audio", "pandas-udf"),
+    # G.711 expansion is closed form, so the oracle recomputes the
+    # EXACT PCM values of every sample from the code formula: with
+    # x = code XOR 255, magnitude = ((8*(x&15) + 132) << ((x>>4)&7))
+    # - 132, negated when bit 7 of x is set (ITU-T G.711 table 2a).
+    oracle=f"""
+WITH audio AS (
+  SELECT i, 400 + 40 * (i % 4) AS n FROM range({MULAW_N}) t(i)
+),
+codes AS (
+  SELECT i, n, tt.t AS t, xor((13 * tt.t + 7 * i) % 256, 255) AS x
+  FROM audio, LATERAL unnest(range(0, n)) AS tt(t)
+),
+pcm AS (
+  SELECT i, n, t,
+         CASE WHEN (x & 128) > 0 THEN -mag ELSE mag END AS v
+  FROM (SELECT *, ((((x & 15) * 8 + 132) << ((x >> 4) & 7)) - 132) AS mag
+        FROM codes)
+)
+SELECT CAST(i AS BIGINT) AS audio_id,
+       CAST(MAX(n) AS INTEGER) AS n_samples,
+       8000 AS sample_rate,
+       CAST(SUM(v) AS BIGINT) AS sum_pcm,
+       CAST(MAX(abs(v)) AS INTEGER) AS peak,
+       CAST(MAX(CASE WHEN t = 0 THEN v END) AS INTEGER) AS first_pcm,
+       CAST(MAX(CASE WHEN t = n - 1 THEN v END) AS INTEGER) AS last_pcm
+FROM pcm GROUP BY i
+""",
+)
+def mm_audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL telephony audio decode: G.711 mu-law WAVE (format code 7)
+    — chunk walk + the closed-form log-companding expansion to PCM16.
+    The oracle recomputes every sample's exact PCM value in SQL from
+    the ITU-T formula, so the hash pins the codec bit-for-bit
+    (expansion table, sign handling, bias) — position-sensitive
+    first/last samples catch order bugs, the peak catches clipping.
+    Scale: same binaryFile + mapInPandas shape as every mm decode."""
+    import numpy as np
+
+    d = _mulaw_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.wav"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                audio_id = int(path.rsplit("au_", 1)[1][:4])
+                rate, channels, pcm = decode_wav_mulaw(bytes(content))
+                p = pcm.astype(np.int64)
+                rows.append(
+                    (
+                        audio_id, len(p), rate,
+                        int(p.sum()),
+                        int(np.abs(p).max()),
+                        int(p[0]), int(p[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "sample_rate",
+                    "sum_pcm", "peak", "first_pcm", "last_pcm",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "audio_id bigint, n_samples int, sample_rate int, "
+            "sum_pcm bigint, peak int, first_pcm int, last_pcm int"
         ),
     )
 

@@ -177,3 +177,35 @@ def test_jpeg_exif_app1_roundtrip_and_header_only():
     assert jpeg_exif(buf[: sos + 2]) == m
     with pytest.raises(ValueError, match="no EXIF"):
         jpeg_exif(base)
+
+
+def test_mulaw_expansion_matches_g711_anchors(tmp_path):
+    """Known G.711 table anchors + full-range roundtrip through a real
+    mu-law WAVE file."""
+    from spark_streaming_test_spark.llm.multimodal import (
+        _mulaw_table,
+        decode_wav_mulaw,
+        write_wav_mulaw,
+    )
+
+    table = _mulaw_table()
+    assert table[0x00] == -32124 and table[0x80] == 32124  # loudest
+    assert table[0xFF] == 0  # silence
+    assert table[0x7F] == 0
+    p = str(tmp_path / "t.wav")
+    write_wav_mulaw(p, 8000, bytes(range(256)))
+    rate, channels, pcm = decode_wav_mulaw(open(p, "rb").read())
+    assert (rate, channels, len(pcm)) == (8000, 1, 256)
+    assert list(pcm) == list(table)
+    # PCM16 WAVE must be rejected by the mu-law reader and vice versa
+    from spark_streaming_test_spark.llm.multimodal import (
+        decode_wav16,
+        write_wav16,
+    )
+
+    p2 = str(tmp_path / "p.wav")
+    write_wav16(p2, 8000, [0, 100, -100])
+    with pytest.raises(ValueError, match="not mu-law"):
+        decode_wav_mulaw(open(p2, "rb").read())
+    with pytest.raises(ValueError, match="unsupported WAVE"):
+        decode_wav16(open(p, "rb").read())
