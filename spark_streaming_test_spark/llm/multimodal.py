@@ -486,27 +486,58 @@ def _mulaw_table():
     return out
 
 
-def write_wav_mulaw(path: str, rate: int, codes: bytes) -> None:
-    """RIFF/WAVE writer for mu-law: audio format 7, 8 bits/sample,
-    mono, block align 1 — the layout every telephony WAV uses."""
+def _alaw_table():
+    """A-law (G.711 table 1a): x = code XOR 0x55; exponent 0 is the
+    linear chord (16m + 8), higher chords ((16m + 0x108) << (e-1));
+    bit 7 of the RAW code is the sign (1 = positive). Matches
+    ``audioop.alaw2lin`` on all 256 codes (asserted in tests)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for a in range(256):
+        x = a ^ 0x55
+        e = (x >> 4) & 7
+        m = x & 0x0F
+        mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+        out[a] = mag if a & 0x80 else -mag
+    return out
+
+
+# WAVE format codes (RFC 2361 registry): 6 = G.711 A-law, 7 = mu-law.
+_WAV_G711 = {6: _alaw_table, 7: _mulaw_table}
+
+
+def write_wav_g711(path: str, rate: int, codes: bytes, fmt: int) -> None:
+    """RIFF/WAVE writer for G.711: 8 bits/sample, mono, block align 1 —
+    the layout every telephony WAV uses. ``fmt`` 6 = A-law, 7 = mu-law."""
+    assert fmt in _WAV_G711
     with open(path, "wb") as f:
         f.write(b"RIFF")
         f.write(_struct.pack("<I", 36 + len(codes)))
         f.write(b"WAVEfmt ")
-        f.write(_struct.pack("<IHHIIHH", 16, 7, 1, rate, rate, 1, 8))
+        f.write(_struct.pack("<IHHIIHH", 16, fmt, 1, rate, rate, 1, 8))
         f.write(b"data")
         f.write(_struct.pack("<I", len(codes)))
         f.write(codes)
 
 
-def decode_wav_mulaw(buf: bytes):
-    """(sample_rate, channels, PCM16 numpy array) from a mu-law WAVE:
-    chunk walk + table-driven G.711 expansion."""
+def write_wav_mulaw(path: str, rate: int, codes: bytes) -> None:
+    write_wav_g711(path, rate, codes, 7)
+
+
+def write_wav_alaw(path: str, rate: int, codes: bytes) -> None:
+    write_wav_g711(path, rate, codes, 6)
+
+
+def decode_wav_g711(buf: bytes, expect_fmt: int):
+    """(sample_rate, channels, PCM16 numpy array) from a G.711 WAVE:
+    chunk walk + table-driven expansion for the expected companding."""
     import numpy as np
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAVE file")
     off, rate, channels, data = 12, None, None, None
+    name = {6: "A-law", 7: "mu-law"}[expect_fmt]
     while off + 8 <= len(buf):
         cid = buf[off : off + 4]
         size = _struct.unpack_from("<I", buf, off + 4)[0]
@@ -514,15 +545,25 @@ def decode_wav_mulaw(buf: bytes):
         if cid == b"fmt ":
             fmt, channels, rate = _struct.unpack_from("<HHI", body, 0)
             bits = _struct.unpack_from("<H", body, 14)[0]
-            if fmt != 7 or bits != 8:
-                raise ValueError(f"not mu-law WAVE (fmt={fmt}, bits={bits})")
+            if fmt != expect_fmt or bits != 8:
+                raise ValueError(
+                    f"not {name} WAVE (fmt={fmt}, bits={bits})"
+                )
         elif cid == b"data":
             data = body
         off += 8 + size + (size % 2)
     if rate is None or data is None:
         raise ValueError("WAVE missing fmt or data chunk")
     codes = np.frombuffer(data, dtype=np.uint8)
-    return rate, channels, _mulaw_table()[codes]
+    return rate, channels, _WAV_G711[expect_fmt]()[codes]
+
+
+def decode_wav_mulaw(buf: bytes):
+    return decode_wav_g711(buf, 7)
+
+
+def decode_wav_alaw(buf: bytes):
+    return decode_wav_g711(buf, 6)
 
 
 def _bmp_pixel(i: int):
@@ -2093,6 +2134,109 @@ def mm_audio_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 audio_id = int(path.rsplit("au_", 1)[1][:4])
                 rate, channels, pcm = decode_wav_mulaw(bytes(content))
+                p = pcm.astype(np.int64)
+                rows.append(
+                    (
+                        audio_id, len(p), rate,
+                        int(p.sum()),
+                        int(np.abs(p).max()),
+                        int(p[0]), int(p[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "sample_rate",
+                    "sum_pcm", "peak", "first_pcm", "last_pcm",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "audio_id bigint, n_samples int, sample_rate int, "
+            "sum_pcm bigint, peak int, first_pcm int, last_pcm int"
+        ),
+    )
+
+
+def _alaw_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(
+        write_wav_alaw, _mulaw_n_samples, _mulaw_code, MULAW_N
+    )
+    d = _os.path.join(SCRATCH, f"alaw_audio_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(MULAW_N):
+        p = _os.path.join(d, f"au_{i:04d}.wav")
+        if not _os.path.exists(p):
+            codes = bytes(
+                _mulaw_code(t, i) for t in range(_mulaw_n_samples(i))
+            )
+            tmp = p + ".tmp"
+            write_wav_alaw(tmp, 8000, codes)
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_audio_alaw_decode",
+    tags=("llm", "multimodal", "audio", "pandas-udf"),
+    # A-law expansion closed form (G.711 table 1a): x = code XOR 85;
+    # chord 0 is linear (16m + 8), chords 1-7 shift (16m + 264); bit 7
+    # of the RAW code is the sign, 1 = positive. Same code stream as
+    # the mu-law fixtures — the two queries hashing to DIFFERENT pcm
+    # values from identical bytes pins each companding law exactly.
+    oracle=f"""
+WITH audio AS (
+  SELECT i, 400 + 40 * (i % 4) AS n FROM range({MULAW_N}) t(i)
+),
+codes AS (
+  SELECT i, n, tt.t AS t,
+         (13 * tt.t + 7 * i) % 256 AS a,
+         xor((13 * tt.t + 7 * i) % 256, 85) AS x
+  FROM audio, LATERAL unnest(range(0, n)) AS tt(t)
+),
+pcm AS (
+  SELECT i, n, t,
+         CASE WHEN (a & 128) > 0 THEN mag ELSE -mag END AS v
+  FROM (SELECT *,
+          CASE WHEN ((x >> 4) & 7) = 0 THEN (x & 15) * 16 + 8
+               ELSE ((x & 15) * 16 + 264) << (((x >> 4) & 7) - 1)
+          END AS mag
+        FROM codes)
+)
+SELECT CAST(i AS BIGINT) AS audio_id,
+       CAST(MAX(n) AS INTEGER) AS n_samples,
+       8000 AS sample_rate,
+       CAST(SUM(v) AS BIGINT) AS sum_pcm,
+       CAST(MAX(abs(v)) AS INTEGER) AS peak,
+       CAST(MAX(CASE WHEN t = 0 THEN v END) AS INTEGER) AS first_pcm,
+       CAST(MAX(CASE WHEN t = n - 1 THEN v END) AS INTEGER) AS last_pcm
+FROM pcm GROUP BY i
+""",
+)
+def mm_audio_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law WAVE decode (format code 6) — the European/E1 twin
+    of ``mm_audio_mulaw_decode``, same fixtures' code stream companded
+    under the other law. Cross-checked against ``audioop.alaw2lin`` on
+    all 256 codes in tests; the oracle recomputes exact PCM in SQL."""
+    import numpy as np
+
+    d = _alaw_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.wav"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                audio_id = int(path.rsplit("au_", 1)[1][:4])
+                rate, channels, pcm = decode_wav_alaw(bytes(content))
                 p = pcm.astype(np.int64)
                 rows.append(
                     (

@@ -209,3 +209,32 @@ def test_mulaw_expansion_matches_g711_anchors(tmp_path):
         decode_wav_mulaw(open(p2, "rb").read())
     with pytest.raises(ValueError, match="unsupported WAVE"):
         decode_wav16(open(p, "rb").read())
+
+
+def test_g711_tables_match_audioop_when_present():
+    """Independent cross-check: both companding tables must equal the
+    CPython reference implementation (audioop ships through 3.12; when
+    absent the closed-form anchors below still pin the law)."""
+    from spark_streaming_test_spark.llm.multimodal import (
+        _alaw_table,
+        _mulaw_table,
+    )
+
+    alaw, mulaw = _alaw_table(), _mulaw_table()
+    # spec anchors that hold with or without audioop
+    assert mulaw[0x00] == -32124 and mulaw[0x80] == 32124
+    assert mulaw[0xFF] == 0 and mulaw[0x7F] == 0
+    assert alaw[0xD5] == 8 and alaw[0x55] == -8  # A-law has no zero
+    assert alaw[0xAA] == 32256 and alaw[0x2A] == -32256
+    try:
+        import struct as _s
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        return
+    for c in range(256):
+        assert alaw[c] == _s.unpack("<h", audioop.alaw2lin(bytes([c]), 2))[0]
+        assert mulaw[c] == _s.unpack("<h", audioop.ulaw2lin(bytes([c]), 2))[0]
