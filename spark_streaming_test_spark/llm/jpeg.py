@@ -614,6 +614,7 @@ def encode_jpeg_progressive(
     coeff_blocks: list[list[int]],
     ncomp: int = 1,
     al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a real progressive (SOF2) JFIF stream from per-block
     coefficient vectors (raster order, MCU-interleaved like
@@ -621,7 +622,12 @@ def encode_jpeg_progressive(
     1x1). ``al`` is the successive-approximation split for both DC and
     AC (first scans carry bits >= al, one refinement scan per extra
     bit). Huffman tables are built from the symbols actually used:
-    DC table 0, AC table 0 (first scans), AC table 1 (refinements)."""
+    DC table 0, AC table 0 (first scans), AC table 1 (refinements).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N units in EVERY scan — DC predictors, EOB runs, and buffered
+    correction bits all reset at each boundary (an EOB run can never
+    span a restart; T.81 F.2.1.3 applies per scan kind)."""
     assert width % 8 == 0 and height % 8 == 0
     wb, hb = width // 8, height // 8
     n_mcu = wb * hb
@@ -632,14 +638,16 @@ def encode_jpeg_progressive(
         for c in range(ncomp)
     ]
 
-    # ---- scan emitters, parameterized over (emit_sym, emit_bits) so a
-    # collection pass (building the Huffman tables) and the real
-    # encoding pass share one algorithm — any divergence would be a
-    # correctness bug, not a silent table mismatch.
+    # ---- scan emitters, parameterized over (emit_sym, emit_bits) and a
+    # [lo, hi) unit range (one restart interval) so a collection pass
+    # (building the Huffman tables) and the real encoding pass share one
+    # algorithm — any divergence would be a correctness bug, not a
+    # silent table mismatch — and all per-interval state (predictors,
+    # EOB runs, buffered bits) resets naturally at interval boundaries.
 
-    def run_dc_first(emit_sym, emit_bits):
+    def run_dc_first(emit_sym, emit_bits, lo: int = 0, hi: int | None = None):
         preds = [0] * ncomp
-        for m in range(n_mcu):
+        for m in range(lo, n_mcu if hi is None else hi):
             for c in range(ncomp):
                 t = comp_blocks[c][m][0] >> al  # DC: arithmetic shift
                 diff = t - preds[c]
@@ -649,12 +657,15 @@ def encode_jpeg_progressive(
                 if s:
                     emit_bits(_amplitude_bits(diff, s), s)
 
-    def run_dc_refine(emit_bits, bit: int):
-        for m in range(n_mcu):
+    def run_dc_refine(emit_bits, bit: int, lo: int = 0, hi: int | None = None):
+        for m in range(lo, n_mcu if hi is None else hi):
             for c in range(ncomp):
                 emit_bits((comp_blocks[c][m][0] >> bit) & 1, 1)
 
-    def run_ac_first(emit_sym, emit_bits, c: int, cur_al: int):
+    def run_ac_first(
+        emit_sym, emit_bits, c: int, cur_al: int,
+        lo: int = 0, hi: int | None = None,
+    ):
         eobrun = 0
 
         def flush_eob():
@@ -666,7 +677,7 @@ def encode_jpeg_progressive(
                     emit_bits(eobrun - (1 << nbits), nbits)
                 eobrun = 0
 
-        for blk in comp_blocks[c]:
+        for blk in comp_blocks[c][lo : n_mcu if hi is None else hi]:
             t = [_pt_ac(blk[ZIGZAG[z]], cur_al) for z in range(64)]
             ke = max((z for z in range(1, 64) if t[z]), default=0)
             if ke == 0:
@@ -694,7 +705,10 @@ def encode_jpeg_progressive(
                     flush_eob()
         flush_eob()
 
-    def run_ac_refine(emit_sym, emit_bits, c: int, cur_al: int):
+    def run_ac_refine(
+        emit_sym, emit_bits, c: int, cur_al: int,
+        lo: int = 0, hi: int | None = None,
+    ):
         # G.1.2.3 ordering (the libjpeg jcphuff shape is the canonical
         # public reading of it): correction bits for already-nonzero
         # coefficients are BUFFERED and emitted after the next Huffman
@@ -714,7 +728,7 @@ def encode_jpeg_progressive(
                 pending.clear()
                 eobrun = 0
 
-        for blk in comp_blocks[c]:
+        for blk in comp_blocks[c][lo : n_mcu if hi is None else hi]:
             t = [_pt_ac(blk[ZIGZAG[z]], cur_al) for z in range(64)]
             absv = [abs(v) for v in t]
             # last NEWLY-significant position (becomes nonzero this scan)
@@ -750,7 +764,17 @@ def encode_jpeg_progressive(
                     flush_eob()
         flush_eob()
 
-    # ---- pass 1: collect symbols per table
+    # restart-interval unit groups (all scans here have n_mcu units:
+    # sampling is 1x1, so MCUs == per-component blocks)
+    ri = restart_interval
+    groups = (
+        [(0, n_mcu)]
+        if not ri
+        else [(lo, min(n_mcu, lo + ri)) for lo in range(0, n_mcu, ri)]
+    )
+
+    # ---- pass 1: collect symbols per table (per restart group — EOB
+    # runs truncate at boundaries, which changes the EOBn symbols used)
     dc_syms: set[int] = set()
     ac_first_syms: set[int] = set()
     ac_ref_syms: set[int] = set()
@@ -758,15 +782,16 @@ def encode_jpeg_progressive(
     def collect(bag):
         return bag.add, (lambda v, n: None)
 
-    run_dc_first(*collect(dc_syms))
-    # AC first scans happen once (at Al=al); refinements once per lower bit
-    for c in range(ncomp):
-        sym_add, bit_drop = collect(ac_first_syms)
-        run_ac_first(sym_add, bit_drop, c, al)
-    for cur_al in range(al - 1, -1, -1):
+    for lo, hi in groups:
+        run_dc_first(*collect(dc_syms), lo, hi)
+        # AC first scans happen once (at Al=al); refinements per lower bit
         for c in range(ncomp):
-            sym_add, bit_drop = collect(ac_ref_syms)
-            run_ac_refine(sym_add, bit_drop, c, cur_al)
+            sym_add, bit_drop = collect(ac_first_syms)
+            run_ac_first(sym_add, bit_drop, c, al, lo, hi)
+        for cur_al in range(al - 1, -1, -1):
+            for c in range(ncomp):
+                sym_add, bit_drop = collect(ac_ref_syms)
+                run_ac_refine(sym_add, bit_drop, c, cur_al, lo, hi)
     if not ac_first_syms:
         ac_first_syms.add(0x00)
     if al >= 1 and not ac_ref_syms:
@@ -778,7 +803,8 @@ def encode_jpeg_progressive(
     acf_codes = build_canonical_codes(acf_bits, acf_vals)
     acr_codes = build_canonical_codes(acr_bits, acr_vals)
 
-    # ---- pass 2: emit each scan's entropy segment
+    # ---- pass 2: emit each scan's entropy segment, one byte-aligned
+    # chunk per restart group joined by cycling RSTn markers
     def emitters(w, codes):
         def emit_sym(sym):
             code, ln = codes[sym]
@@ -787,13 +813,18 @@ def encode_jpeg_progressive(
         return emit_sym, w.put
 
     def scan_bytes(run, codes) -> bytes:
-        w = _BitWriter()
-        if codes is None:
-            run(w.put)
-        else:
-            run(*emitters(w, codes))
-        w.byte_align_ones()
-        return bytes(w.out)
+        out = bytearray()
+        for gi, (lo, hi) in enumerate(groups):
+            if gi:
+                out += bytes([0xFF, 0xD0 + ((gi - 1) & 7)])
+            w = _BitWriter()
+            if codes is None:
+                run(w.put, lo, hi)
+            else:
+                run(*emitters(w, codes), lo, hi)
+            w.byte_align_ones()
+            out += w.out
+        return bytes(out)
 
     scans: list[tuple[bytes, bytes]] = []  # (SOS header body, entropy bytes)
 
@@ -806,7 +837,9 @@ def encode_jpeg_progressive(
     scans.append(
         (
             sos_body(list(range(ncomp)), 0, 0, 0, 0, 0, al),
-            scan_bytes(lambda es, eb: run_dc_first(es, eb), dc_codes),
+            scan_bytes(
+                lambda es, eb, lo, hi: run_dc_first(es, eb, lo, hi), dc_codes
+            ),
         )
     )
     for c in range(ncomp):
@@ -814,7 +847,10 @@ def encode_jpeg_progressive(
             (
                 sos_body([c], 0, 0, 1, 63, 0, al),
                 scan_bytes(
-                    lambda es, eb, c=c: run_ac_first(es, eb, c, al), acf_codes
+                    lambda es, eb, lo, hi, c=c: run_ac_first(
+                        es, eb, c, al, lo, hi
+                    ),
+                    acf_codes,
                 ),
             )
         )
@@ -822,7 +858,12 @@ def encode_jpeg_progressive(
         scans.append(
             (
                 sos_body(list(range(ncomp)), 0, 0, 0, 0, bit + 1, bit),
-                scan_bytes(lambda eb, bit=bit: run_dc_refine(eb, bit), None),
+                scan_bytes(
+                    lambda eb, lo, hi, bit=bit: run_dc_refine(
+                        eb, bit, lo, hi
+                    ),
+                    None,
+                ),
             )
         )
         for c in range(ncomp):
@@ -830,8 +871,8 @@ def encode_jpeg_progressive(
                 (
                     sos_body([c], 0, 1, 1, 63, bit + 1, bit),
                     scan_bytes(
-                        lambda es, eb, c=c, bit=bit: run_ac_refine(
-                            es, eb, c, bit
+                        lambda es, eb, lo, hi, c=c, bit=bit: run_ac_refine(
+                            es, eb, c, bit, lo, hi
                         ),
                         acr_codes,
                     ),
@@ -849,6 +890,8 @@ def encode_jpeg_progressive(
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    if ri:
+        out += seg(0xDD, _struct.pack(">H", ri))  # DRI
     comp_specs = b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(ncomp))
     out += seg(
         0xC2,  # SOF2: progressive DCT, Huffman coding
@@ -1450,10 +1493,16 @@ def write_jpeg_progressive_fixture(path: str, i: int) -> None:
         for by in range(hb)
         for bx in range(wb)
     ]
-    # every 4th file uses al=2 (two successive-approximation rounds):
-    # the extra refinement scans + deeper EOB runs are load-bearing
+    # every 4th file uses al=2 (two successive-approximation rounds);
+    # every 3rd uses restart markers (interval 2): the extra refinement
+    # scans, deeper EOB runs, and per-interval predictor/EOB-run resets
+    # are all load-bearing in the driver-facing query
     data = encode_jpeg_progressive(
-        wb * 8, hb * 8, blocks, al=2 if i % 4 == 0 else 1
+        wb * 8,
+        hb * 8,
+        blocks,
+        al=2 if i % 4 == 0 else 1,
+        restart_interval=2 if i % 3 == 0 else 0,
     )
     with open(path, "wb") as f:
         f.write(data)

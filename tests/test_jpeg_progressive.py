@@ -205,3 +205,27 @@ def test_hypothesis_progressive_roundtrip():
         assert np.array_equal(pb, pp)
 
     roundtrip()
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3])
+@pytest.mark.parametrize("al", [1, 2])
+def test_restart_markers_in_every_scan_kind(ri, al):
+    """RSTn markers appear in ALL scan kinds (DC first, AC first, DC
+    refine raw bits, AC refine) with per-interval resets of predictors,
+    EOB runs, and buffered correction bits — and decode still equals
+    baseline exactly."""
+    rng = np.random.RandomState(7 * ri + al)
+    blocks = []
+    for _ in range(6):
+        blk = [0] * 64
+        blk[0] = int(rng.randint(-300, 300))
+        for _ in range(6):
+            blk[int(rng.randint(1, 64))] = int(rng.randint(-30, 30))
+        blocks.append(blk)
+    base = decode_jpeg_baseline(encode_jpeg_baseline(48, 8, blocks))[3]
+    buf = encode_jpeg_progressive(
+        48, 8, blocks, al=al, restart_interval=ri
+    )
+    assert any(bytes([0xFF, 0xD0 + j]) in buf for j in range(8))
+    prog = decode_jpeg_progressive(buf)[3]
+    assert np.array_equal(base, prog)
