@@ -25,10 +25,13 @@ from the spec:
   accepts) over Produce v3 / Fetch v4, with CRC-32C, zigzag-varint
   record framing, and ApiVersions v0 negotiation (``message_format=
   "auto"`` picks the newest format the broker advertises).
-* GZIP compression (codec id 1) in both formats: the v1 wrapper-
-  message form with KIP-31 relative inner offsets, and the v2
-  compressed-records-section form with the CRC over the compressed
-  bytes — stdlib zlib/gzip, mtime pinned for determinism.
+* GZIP (codec 1) and SNAPPY (codec 2) compression in both formats:
+  the v1 wrapper-message form with KIP-31 relative inner offsets
+  (snappy under the snappy-java "xerial" stream framing, exactly as
+  Kafka ships it), and the v2 compressed-records-section form with
+  the CRC over the compressed bytes. gzip is stdlib zlib (mtime
+  pinned); snappy is a hand-written raw-format codec (greedy 4-byte
+  hash matcher, full literal/copy decoder) — no C library anywhere.
 * ``MiniKafkaBroker`` — an in-process validating broker stub: accepts
   connections, parses produce AND fetch requests INDEPENDENTLY of the
   client encoders, verifies every message CRC, appends to an in-memory
@@ -189,6 +192,7 @@ class _Reader:
 
 CODEC_NONE = 0
 CODEC_GZIP = 1
+CODEC_SNAPPY = 2
 CODEC_MASK = 0x07
 
 
@@ -200,6 +204,172 @@ def gzip_compress(data: bytes) -> bytes:
 
 def gzip_decompress(data: bytes) -> bytes:
     return zlib.decompress(data, wbits=47)  # 47 = auto gzip/zlib
+
+
+# --- snappy (raw block format + xerial stream framing), pure stdlib --------
+#
+# Kafka codec id 2. The raw block format (google/snappy format_description)
+# is a varint uncompressed-length preamble followed by literal/copy tagged
+# elements. Record-batch v2 carries RAW snappy; message-format v1 carries
+# the snappy-java ("xerial") stream framing around raw blocks — both
+# implemented here. The encoder uses a greedy 4-byte hash matcher (the
+# reference encoder's shape); all-literal output is also legal and the
+# decoder accepts any spec-conformant stream.
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while n > 0x7F:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy preamble varint too long")
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Raw snappy block: greedy hash matching, copies with 1- or 2-byte
+    offsets, literals for everything else."""
+    out = bytearray(_uvarint(len(data)))
+    n = len(data)
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            run = min(hi - lo, 1 << 16)  # keep extension bytes <= 2
+            ln = run - 1
+            if ln < 60:
+                out.append(ln << 2)
+            elif ln < 256:
+                out.append(60 << 2)
+                out.append(ln)
+            else:
+                out.append(61 << 2)
+                out.extend(ln.to_bytes(2, "little"))
+            out.extend(data[lo : lo + run])
+            lo += run
+
+    # keyed by the 4-gram bytes themselves: deterministic across
+    # processes (hash() is seed-randomized) and collision-free
+    table: dict[bytes, int] = {}
+    i = lit_start = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 0xFFFF:
+            # extend the match
+            mlen = 4
+            while i + mlen < n and data[cand + mlen] == data[i + mlen]:
+                mlen += 1
+            emit_literal(lit_start, i)
+            offset = i - cand
+            rest = mlen
+            while rest > 0:
+                take = min(rest, 64)
+                if rest - take in (1, 2, 3):
+                    take = rest - 4  # never leave a tail copy shorter than 4
+                if 4 <= take <= 11 and offset < 2048:
+                    out.append(
+                        1 | ((take - 4) << 2) | ((offset >> 8) << 5)
+                    )
+                    out.append(offset & 0xFF)
+                else:
+                    out.append(2 | ((take - 1) << 2))
+                    out += offset.to_bytes(2, "little")
+                rest -= take
+            i += mlen
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, n)
+    return bytes(out)
+
+
+def snappy_decompress(buf: bytes) -> bytes:
+    """Full raw-format decoder: literals (with 1/2/3/4 extension
+    bytes), copies with 1-, 2- and 4-byte offsets, overlap-correct."""
+    want, pos = _read_uvarint(buf, 0)
+    out = bytearray()
+    n = len(buf)
+    while pos < n:
+        tag = buf[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                ext = ln - 59
+                ln = int.from_bytes(buf[pos : pos + ext], "little")
+                pos += ext
+            ln += 1
+            if pos + ln > n:
+                raise ValueError("snappy literal overruns input")
+            out += buf[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:
+            ln = ((tag >> 2) & 0x07) + 4
+            offset = ((tag >> 5) << 8) | buf[pos]
+            pos += 1
+        elif kind == 2:
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(buf[pos : pos + 2], "little")
+            pos += 2
+        else:
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy copy offset out of range")
+        start = len(out) - offset
+        for j in range(ln):  # byte-wise: overlapping copies are legal
+            out.append(out[start + j])
+    if len(out) != want:
+        raise ValueError(
+            f"snappy length mismatch: preamble {want}, got {len(out)}"
+        )
+    return bytes(out)
+
+
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def xerial_frame(data: bytes) -> bytes:
+    """snappy-java stream framing (what Kafka v1 snappy actually ships):
+    magic + version/compat ints + big-endian-length-prefixed raw blocks."""
+    block = snappy_compress(data)
+    return (
+        _XERIAL_MAGIC
+        + struct.pack(">ii", 1, 1)
+        + struct.pack(">i", len(block))
+        + block
+    )
+
+
+def xerial_unframe(buf: bytes) -> bytes:
+    if buf[:8] != _XERIAL_MAGIC:
+        # bare raw snappy is also seen in the wild; accept it
+        return snappy_decompress(buf)
+    pos = 16  # magic + version + compat
+    out = bytearray()
+    while pos < len(buf):
+        (ln,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        out += snappy_decompress(buf[pos : pos + ln])
+        pos += ln
+    return bytes(out)
 
 
 # --- message set (format v1) ---------------------------------------------
@@ -241,14 +411,17 @@ def encode_message_set(
         out += _i64(i) + _i32(len(msg)) + msg
     if codec == CODEC_NONE:
         return bytes(out)
-    if codec != CODEC_GZIP:
+    if codec == CODEC_GZIP:
+        payload = gzip_compress(bytes(out))
+    elif codec == CODEC_SNAPPY:
+        payload = xerial_frame(bytes(out))  # v1 snappy = xerial framing
+    else:
         raise ValueError(f"unsupported codec {codec}")
-    inner = bytes(out)
     wrapper = encode_message(
         None,
-        gzip_compress(inner),
+        payload,
         max(ts for _, _, ts in records),
-        attrs=CODEC_GZIP,
+        attrs=codec,
     )
     return _i64(len(records) - 1) + _i32(len(wrapper)) + wrapper
 
@@ -297,19 +470,23 @@ def decode_message_set_entries(
             raise ValueError(f"unsupported message magic {magic}")
         attrs = msg.i8()
         codec = attrs & CODEC_MASK
-        if codec not in (CODEC_NONE, CODEC_GZIP):
+        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
             raise ValueError(f"unsupported message codec {codec}")
         ts = msg.i64()
         key = msg.nbytes()
         value = msg.nbytes()
-        if codec == CODEC_GZIP:
-            # wrapper message: value = gzip(inner set with RELATIVE
-            # offsets 0..n-1); wrapper offset = absolute offset of the
+        if codec != CODEC_NONE:
+            # wrapper message: value = compressed inner set with RELATIVE
+            # offsets 0..n-1; wrapper offset = absolute offset of the
             # LAST inner message (KIP-31), so absolute = wrapper -
             # (n-1) + relative. Inner CRCs are verified recursively.
-            inner = decode_message_set_entries(
-                gzip_decompress(value), strict=True
+            # gzip = RFC 1952; snappy = xerial stream framing.
+            raw = (
+                gzip_decompress(value)
+                if codec == CODEC_GZIP
+                else xerial_unframe(value)
             )
+            inner = decode_message_set_entries(raw, strict=True)
             base = offset - (len(inner) - 1)
             out.extend(
                 (base + rel, k, v, its) for rel, k, v, its in inner
@@ -436,14 +613,19 @@ def encode_record_batch(
     the CRC-32C covers the COMPRESSED bytes (the spec's layering)."""
     if not records:
         return b""
-    if codec not in (CODEC_NONE, CODEC_GZIP):
+    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
         raise ValueError(f"unsupported codec {codec}")
     base_ts = records[0][2]
     max_ts = max(ts for _, _, ts in records)
     recs = bytearray()
     for i, (key, value, ts) in enumerate(records):
         recs += encode_record_v2(key, value, ts - base_ts, i)
-    payload = bytes(recs) if codec == CODEC_NONE else gzip_compress(bytes(recs))
+    if codec == CODEC_NONE:
+        payload = bytes(recs)
+    elif codec == CODEC_GZIP:
+        payload = gzip_compress(bytes(recs))
+    else:
+        payload = snappy_compress(bytes(recs))  # v2 snappy is RAW
     crc_body = (
         _i16(codec)  # attributes: codec bits 0-2, CreateTime
         + _i32(len(records) - 1)  # last_offset_delta
@@ -500,7 +682,7 @@ def decode_record_batch_entries(
             raise ValueError("record batch CRC-32C mismatch")
         attrs = r.i16()
         codec = attrs & CODEC_MASK
-        if codec not in (CODEC_NONE, CODEC_GZIP):
+        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
             raise ValueError(f"unsupported record batch codec {codec}")
         r.i32()  # last_offset_delta
         base_ts = r.i64()
@@ -509,10 +691,15 @@ def decode_record_batch_entries(
         r.i16()  # producer_epoch
         r.i32()  # base_sequence
         count = r.i32()
-        if codec == CODEC_GZIP:
+        if codec != CODEC_NONE:
             # records section only; the CRC above already validated the
             # compressed bytes, per the spec's layering
-            r = _Reader(gzip_decompress(r.buf[r.pos :]))
+            raw = r.buf[r.pos :]
+            r = _Reader(
+                gzip_decompress(raw)
+                if codec == CODEC_GZIP
+                else snappy_decompress(raw)
+            )
         for _ in range(count):
             rec_len = r.varint()
             rec = _Reader(r.take(rec_len))
@@ -988,14 +1175,20 @@ class KafkaWireProducer:
     ):
         if message_format not in ("v1", "v2", "auto"):
             raise ValueError(f"message_format must be v1|v2|auto, got {message_format}")
-        if compression not in ("none", "gzip"):
-            raise ValueError(f"compression must be none|gzip, got {compression}")
+        if compression not in ("none", "gzip", "snappy"):
+            raise ValueError(
+                f"compression must be none|gzip|snappy, got {compression}"
+            )
         self.host = host
         self.port = port
         self.client_id = client_id
         self.timeout_s = timeout_s
         self.message_format = message_format
-        self.codec = CODEC_GZIP if compression == "gzip" else CODEC_NONE
+        self.codec = {
+            "none": CODEC_NONE,
+            "gzip": CODEC_GZIP,
+            "snappy": CODEC_SNAPPY,
+        }[compression]
         self._sock: socket.socket | None = None
         self._corr = 0
 
