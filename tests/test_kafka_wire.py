@@ -838,3 +838,45 @@ def test_snappy_produce_both_formats_over_socket():
         ) as c:
             got = c.fetch_all("t")
     assert [(k, v, t) for _, k, v, t in got] == BULK + BULK
+
+
+def test_kafka_wire_streaming_source_multiple_partitions(spark, tmp_path):
+    """Partitions are the parallelism unit: records produced to
+    partitions 0 and 1 arrive through SEPARATE TopicPartitionSlice
+    tasks, each with its own offset sequence starting at 0."""
+    from spark_streaming_test_spark.sources import kafka_wire_source
+
+    kafka_wire_source.register(spark)
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(broker.host, broker.port) as producer:
+            producer.produce("mp", RECS, partition=0)  # p0: offsets 0,1
+            producer.produce("mp", RECS[:1], partition=1)  # p1: offset 0
+            stream = (
+                spark.readStream.format("kafka_wire")
+                .option("host", broker.host)
+                .option("port", str(broker.port))
+                .option("topic", "mp")
+                .option("partitions", "0,1")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("kw_mp")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "chk"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                producer.produce("mp", RECS[1:], partition=1)  # p1: offset 1
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    rows = spark.sql(
+        "SELECT partition, offset, value FROM kw_mp ORDER BY partition, offset"
+    ).collect()
+    assert [(r["partition"], r["offset"]) for r in rows] == [
+        (0, 0), (0, 1), (1, 0), (1, 1),
+    ]
+    assert bytes(rows[2]["value"]) == RECS[0][1]
+    assert bytes(rows[3]["value"]) == RECS[1][1]
