@@ -25,13 +25,15 @@ from the spec:
   accepts) over Produce v3 / Fetch v4, with CRC-32C, zigzag-varint
   record framing, and ApiVersions v0 negotiation (``message_format=
   "auto"`` picks the newest format the broker advertises).
-* GZIP (codec 1) and SNAPPY (codec 2) compression in both formats:
-  the v1 wrapper-message form with KIP-31 relative inner offsets
-  (snappy under the snappy-java "xerial" stream framing, exactly as
-  Kafka ships it), and the v2 compressed-records-section form with
-  the CRC over the compressed bytes. gzip is stdlib zlib (mtime
-  pinned); snappy is a hand-written raw-format codec (greedy 4-byte
-  hash matcher, full literal/copy decoder) — no C library anywhere.
+* GZIP (codec 1), SNAPPY (codec 2) and LZ4 (codec 3) compression in
+  both formats: the v1 wrapper-message form with KIP-31 relative
+  inner offsets (snappy under the snappy-java "xerial" stream
+  framing, lz4 under the KIP-57 correct LZ4F framing), and the v2
+  compressed-records-section form with the CRC over the compressed
+  bytes. gzip is stdlib zlib (mtime pinned); snappy and lz4 are
+  hand-written codecs (greedy 4-byte hash matchers, full spec
+  decoders, LZ4F with a from-scratch xxHash32) — no C library
+  anywhere. zstd (codec 4) is the one codec out of stdlib reach.
 * ``MiniKafkaBroker`` — an in-process validating broker stub: accepts
   connections, parses produce AND fetch requests INDEPENDENTLY of the
   client encoders, verifies every message CRC, appends to an in-memory
@@ -193,6 +195,7 @@ class _Reader:
 CODEC_NONE = 0
 CODEC_GZIP = 1
 CODEC_SNAPPY = 2
+CODEC_LZ4 = 3
 CODEC_MASK = 0x07
 
 
@@ -343,6 +346,215 @@ def snappy_decompress(buf: bytes) -> bytes:
     return bytes(out)
 
 
+# --- lz4 (block format + LZ4F frame + xxHash32), pure stdlib ---------------
+#
+# Kafka codec id 3 — the broker's recommended codec. Both wire formats
+# carry the LZ4 FRAME format (LZ4F: magic, FLG/BD descriptor with an
+# xxHash32 header checksum, length-prefixed blocks, end mark, content
+# checksum), whose payload blocks use the LZ4 block format (token =
+# literal-length nibble + match-length nibble, 255-extension bytes,
+# 2-byte little-endian match offsets, 12-byte end-of-block rules).
+# xxHash32 is implemented from its public spec (vectors asserted in
+# tests: xxh32('') = 0x02CC5D05, xxh32('abc') = 0x32D153FF).
+
+_XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393,
+)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v = [
+            (seed + _XXP1 + _XXP2) & _M32,
+            (seed + _XXP2) & _M32,
+            seed & _M32,
+            (seed - _XXP1) & _M32,
+        ]
+        while i + 16 <= n:
+            for lane in range(4):
+                w = int.from_bytes(data[i : i + 4], "little")
+                i += 4
+                v[lane] = (
+                    _rotl32((v[lane] + w * _XXP2) & _M32, 13) * _XXP1
+                ) & _M32
+        h = (
+            _rotl32(v[0], 1)
+            + _rotl32(v[1], 7)
+            + _rotl32(v[2], 12)
+            + _rotl32(v[3], 18)
+        ) & _M32
+    else:
+        h = (seed + _XXP5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        w = int.from_bytes(data[i : i + 4], "little")
+        i += 4
+        h = (_rotl32((h + w * _XXP3) & _M32, 17) * _XXP4) & _M32
+    while i < n:
+        h = (_rotl32((h + data[i] * _XXP5) & _M32, 11) * _XXP1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXP2) & _M32
+    h ^= h >> 13
+    h = (h * _XXP3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """LZ4 block format, greedy 4-byte hash matcher. End-of-stream
+    rules honored: the last 5 bytes are always literals and no match
+    runs into the final 12 bytes (the spec's copy-safety margins)."""
+    n = len(data)
+    out = bytearray()
+
+    def emit(lit_lo: int, lit_hi: int, mlen: int, offset: int) -> None:
+        lit = lit_hi - lit_lo
+        tok_lit = min(lit, 15)
+        tok_mat = min(mlen - 4, 15) if mlen else 0
+        out.append((tok_lit << 4) | tok_mat)
+        rest = lit - 15
+        while rest >= 0:
+            out.append(min(rest, 255))
+            rest -= 255
+        out.extend(data[lit_lo:lit_hi])
+        if mlen:
+            out.extend(offset.to_bytes(2, "little"))
+            rest = mlen - 4 - 15
+            while rest >= 0:
+                out.append(min(rest, 255))
+                rest -= 255
+
+    table: dict[bytes, int] = {}
+    i = lit_start = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 0xFFFF and i + 12 <= n:
+            mlen = 4
+            # matches must end >= 12 bytes before the end of input
+            limit = n - 12 - i
+            while mlen < limit and data[cand + mlen] == data[i + mlen]:
+                mlen += 1
+            if mlen >= 4:
+                emit(lit_start, i, mlen, i - cand)
+                i += mlen
+                lit_start = i
+                continue
+        i += 1
+    emit(lit_start, n, 0, 0)  # final literals-only sequence
+    return bytes(out)
+
+
+def lz4_block_decompress(buf: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        token = buf[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = buf[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError("lz4 literal overruns input")
+        out += buf[pos : pos + lit]
+        pos += lit
+        if pos >= n:
+            break  # final sequence has no match part
+        offset = int.from_bytes(buf[pos : pos + 2], "little")
+        pos += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("lz4 match offset out of range")
+        mlen = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                b = buf[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        for j in range(mlen):  # byte-wise: overlapping matches are legal
+            out.append(out[start + j])
+    return bytes(out)
+
+
+_LZ4F_MAGIC = (0x184D2204).to_bytes(4, "little")
+
+
+def lz4f_frame(data: bytes) -> bytes:
+    """LZ4 frame: FLG = version 01 + block-independence + content
+    checksum; BD = 4 MiB max block; HC = byte 1 of xxh32(FLG+BD).
+    One compressed block (high bit of the size word clear), end mark,
+    then xxh32 of the UNCOMPRESSED content — the Kafka layout."""
+    flg = 0b01100100  # version=01, b.indep=1, c.checksum=1
+    bd = 0x70  # max block size 4 MiB
+    desc = bytes([flg, bd])
+    hc = (xxh32(desc) >> 8) & 0xFF
+    block = lz4_block_compress(data)
+    if len(block) >= len(data) and data:
+        body = (len(data) | 0x80000000).to_bytes(4, "little") + data
+    else:
+        body = len(block).to_bytes(4, "little") + block
+    return (
+        _LZ4F_MAGIC
+        + desc
+        + bytes([hc])
+        + body
+        + b"\x00\x00\x00\x00"
+        + xxh32(data).to_bytes(4, "little")
+    )
+
+
+def lz4f_unframe(buf: bytes) -> bytes:
+    if buf[:4] != _LZ4F_MAGIC:
+        raise ValueError("not an LZ4 frame")
+    flg, bd = buf[4], buf[5]
+    if (flg >> 6) != 0b01:
+        raise ValueError(f"unsupported LZ4F version {flg >> 6}")
+    has_csum = bool(flg & 0x04)
+    if flg & 0x08:  # content size present: 8 extra header bytes
+        hc_pos, pos = 14, 15
+    else:
+        hc_pos, pos = 6, 7
+    expect_hc = (xxh32(buf[4:hc_pos]) >> 8) & 0xFF
+    if buf[hc_pos] != expect_hc:
+        raise ValueError("LZ4F header checksum mismatch")
+    out = bytearray()
+    while True:
+        word = int.from_bytes(buf[pos : pos + 4], "little")
+        pos += 4
+        if word == 0:
+            break  # end mark
+        size = word & 0x7FFFFFFF
+        chunk = buf[pos : pos + size]
+        pos += size
+        out += chunk if word & 0x80000000 else lz4_block_decompress(chunk)
+        if flg & 0x10:  # per-block checksums
+            if xxh32(chunk) != int.from_bytes(buf[pos : pos + 4], "little"):
+                raise ValueError("LZ4F block checksum mismatch")
+            pos += 4
+    if has_csum:
+        want = int.from_bytes(buf[pos : pos + 4], "little")
+        if xxh32(bytes(out)) != want:
+            raise ValueError("LZ4F content checksum mismatch")
+    return bytes(out)
+
+
 _XERIAL_MAGIC = b"\x82SNAPPY\x00"
 
 
@@ -415,6 +627,8 @@ def encode_message_set(
         payload = gzip_compress(bytes(out))
     elif codec == CODEC_SNAPPY:
         payload = xerial_frame(bytes(out))  # v1 snappy = xerial framing
+    elif codec == CODEC_LZ4:
+        payload = lz4f_frame(bytes(out))  # KIP-57 correct framing
     else:
         raise ValueError(f"unsupported codec {codec}")
     wrapper = encode_message(
@@ -470,7 +684,7 @@ def decode_message_set_entries(
             raise ValueError(f"unsupported message magic {magic}")
         attrs = msg.i8()
         codec = attrs & CODEC_MASK
-        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
             raise ValueError(f"unsupported message codec {codec}")
         ts = msg.i64()
         key = msg.nbytes()
@@ -481,11 +695,12 @@ def decode_message_set_entries(
             # LAST inner message (KIP-31), so absolute = wrapper -
             # (n-1) + relative. Inner CRCs are verified recursively.
             # gzip = RFC 1952; snappy = xerial stream framing.
-            raw = (
-                gzip_decompress(value)
-                if codec == CODEC_GZIP
-                else xerial_unframe(value)
-            )
+            if codec == CODEC_GZIP:
+                raw = gzip_decompress(value)
+            elif codec == CODEC_SNAPPY:
+                raw = xerial_unframe(value)
+            else:
+                raw = lz4f_unframe(value)
             inner = decode_message_set_entries(raw, strict=True)
             base = offset - (len(inner) - 1)
             out.extend(
@@ -613,7 +828,7 @@ def encode_record_batch(
     the CRC-32C covers the COMPRESSED bytes (the spec's layering)."""
     if not records:
         return b""
-    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
         raise ValueError(f"unsupported codec {codec}")
     base_ts = records[0][2]
     max_ts = max(ts for _, _, ts in records)
@@ -624,8 +839,10 @@ def encode_record_batch(
         payload = bytes(recs)
     elif codec == CODEC_GZIP:
         payload = gzip_compress(bytes(recs))
-    else:
+    elif codec == CODEC_SNAPPY:
         payload = snappy_compress(bytes(recs))  # v2 snappy is RAW
+    else:
+        payload = lz4f_frame(bytes(recs))  # v2 lz4 is a full LZ4F frame
     crc_body = (
         _i16(codec)  # attributes: codec bits 0-2, CreateTime
         + _i32(len(records) - 1)  # last_offset_delta
@@ -682,7 +899,7 @@ def decode_record_batch_entries(
             raise ValueError("record batch CRC-32C mismatch")
         attrs = r.i16()
         codec = attrs & CODEC_MASK
-        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
             raise ValueError(f"unsupported record batch codec {codec}")
         r.i32()  # last_offset_delta
         base_ts = r.i64()
@@ -695,11 +912,13 @@ def decode_record_batch_entries(
             # records section only; the CRC above already validated the
             # compressed bytes, per the spec's layering
             raw = r.buf[r.pos :]
-            r = _Reader(
-                gzip_decompress(raw)
-                if codec == CODEC_GZIP
-                else snappy_decompress(raw)
-            )
+            if codec == CODEC_GZIP:
+                raw = gzip_decompress(raw)
+            elif codec == CODEC_SNAPPY:
+                raw = snappy_decompress(raw)
+            else:
+                raw = lz4f_unframe(raw)
+            r = _Reader(raw)
         for _ in range(count):
             rec_len = r.varint()
             rec = _Reader(r.take(rec_len))
@@ -1175,9 +1394,9 @@ class KafkaWireProducer:
     ):
         if message_format not in ("v1", "v2", "auto"):
             raise ValueError(f"message_format must be v1|v2|auto, got {message_format}")
-        if compression not in ("none", "gzip", "snappy"):
+        if compression not in ("none", "gzip", "snappy", "lz4"):
             raise ValueError(
-                f"compression must be none|gzip|snappy, got {compression}"
+                f"compression must be none|gzip|snappy|lz4, got {compression}"
             )
         self.host = host
         self.port = port
@@ -1188,6 +1407,7 @@ class KafkaWireProducer:
             "none": CODEC_NONE,
             "gzip": CODEC_GZIP,
             "snappy": CODEC_SNAPPY,
+            "lz4": CODEC_LZ4,
         }[compression]
         self._sock: socket.socket | None = None
         self._corr = 0

@@ -880,3 +880,70 @@ def test_kafka_wire_streaming_source_multiple_partitions(spark, tmp_path):
     ]
     assert bytes(rows[2]["value"]) == RECS[0][1]
     assert bytes(rows[3]["value"]) == RECS[1][1]
+
+
+# --- lz4 compression (codec 3) -------------------------------------------------
+
+from spark_streaming_test_spark.sources.kafka_wire import (  # noqa: E402
+    lz4_block_compress,
+    lz4_block_decompress,
+    lz4f_frame,
+    lz4f_unframe,
+    xxh32,
+)
+
+
+def test_xxh32_published_vectors():
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"abc", seed=0) != xxh32(b"abc", seed=1)
+
+
+def test_lz4_block_decoder_against_hand_built_vector():
+    """'abababab' by hand: token lit=2/match=2 (mlen 6 = 4+2), two
+    literal bytes, offset 2 little-endian — overlap-expanding copy."""
+    hand = bytes([(2 << 4) | 2]) + b"ab" + (2).to_bytes(2, "little")
+    assert lz4_block_decompress(hand) == b"abababab"
+
+
+def test_lz4_roundtrip_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=4096))
+    def roundtrip(data):
+        assert lz4_block_decompress(lz4_block_compress(data)) == data
+        assert lz4f_unframe(lz4f_frame(data)) == data
+
+    roundtrip()
+    rep = b"payload-" * 1000
+    assert len(lz4_block_compress(rep)) < len(rep) // 10
+
+
+def test_lz4f_checksums_catch_corruption():
+    frame = bytearray(lz4f_frame(b"payload-" * 100))
+    frame[6] ^= 0xFF  # header checksum byte
+    with pytest.raises(ValueError, match="header checksum"):
+        lz4f_unframe(bytes(frame))
+    frame = bytearray(lz4f_frame(b"payload-" * 100))
+    frame[-2] ^= 0xFF  # content checksum
+    with pytest.raises(ValueError, match="content checksum"):
+        lz4f_unframe(bytes(frame))
+
+
+def test_lz4_produce_both_formats_over_socket():
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(
+            broker.host, broker.port, message_format="v2", compression="lz4"
+        ) as p:
+            assert p.produce("t", BULK) == 0
+        with KafkaWireProducer(
+            broker.host, broker.port, message_format="v1", compression="lz4"
+        ) as p:
+            assert p.produce("t", BULK) == 10
+        assert broker.fetch("t") == BULK + BULK
+        with KafkaWireConsumer(
+            broker.host, broker.port, fetch_version=FETCH_VERSION_V2_BATCH
+        ) as c:
+            got = c.fetch_all("t")
+    assert [(k, v, t) for _, k, v, t in got] == BULK + BULK
