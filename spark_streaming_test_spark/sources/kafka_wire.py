@@ -945,19 +945,39 @@ def decode_record_batch_entries(
 def decode_record_set(
     buf: bytes, strict: bool = False
 ) -> list[tuple[int, bytes | None, bytes | None, int]]:
-    """Format-sniffing decode: both formats put the magic byte at
-    offset 16 of the record set (v1: 8 offset + 4 size + 4 crc; v2:
-    8 base_offset + 4 length + 4 leader_epoch), so one byte picks the
-    decoder — exactly how real clients dispatch."""
-    if not buf:
-        return []
-    if len(buf) < 17:
-        if strict:
-            raise ValueError("record set shorter than any header")
-        return []
-    if buf[16] >= MAGIC_V2:
-        return decode_record_batch_entries(buf, strict=strict)
-    return decode_message_set_entries(buf, strict=strict)
+    """Format-sniffing decode, PER UNIT: both formats put the magic
+    byte at offset 16 of each unit (v1 message: 8 offset + 4 size +
+    4 crc; v2 batch: 8 base_offset + 4 length + 4 leader_epoch), so
+    one byte picks the decoder — and a real log can MIX magics (old
+    segments followed by new ones), so the sniff repeats at every unit
+    boundary, exactly how real clients walk a fetch response. A
+    partial trailing unit is discarded unless ``strict``."""
+    out: list[tuple[int, bytes | None, bytes | None, int]] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if pos + 17 > n:
+            if strict:
+                raise ValueError("record set shorter than any unit header")
+            break
+        (unit_len,) = struct.unpack_from(">i", buf, pos + 8)
+        end = pos + 12 + unit_len
+        if end > n:
+            if strict:
+                raise ValueError("truncated record unit")
+            break
+        # complete unit slices decode strictly — truncation tolerance
+        # applies only to the response tail, never inside a unit
+        if buf[pos + 16] >= MAGIC_V2:
+            out.extend(
+                decode_record_batch_entries(buf[pos:end], strict=True)
+            )
+        else:
+            out.extend(
+                decode_message_set_entries(buf[pos:end], strict=True)
+            )
+        pos = end
+    return out
 
 
 # --- produce request / response ------------------------------------------
@@ -1010,6 +1030,9 @@ class ProduceRequest:
     timeout_ms: int
     # [(topic, partition, [(key, value, ts_ms)])]
     batches: list[tuple[str, int, list[tuple[bytes | None, bytes | None, int]]]]
+    # the raw record-set bytes per batch, aligned with ``batches`` —
+    # brokers store these VERBATIM (compressed sets/batches are atomic)
+    raw_sets: list[bytes] = field(default_factory=list)
 
 
 def decode_produce_request(frame: bytes) -> ProduceRequest:
@@ -1030,6 +1053,7 @@ def decode_produce_request(frame: bytes) -> ProduceRequest:
     acks = r.i16()
     timeout_ms = r.i32()
     batches = []
+    raw_sets = []
     for _ in range(r.i32()):
         topic = r.string()
         for _ in range(r.i32()):
@@ -1045,7 +1069,8 @@ def decode_produce_request(frame: bytes) -> ProduceRequest:
             batches.append(
                 (topic, partition, [(k, v, ts) for _, k, v, ts in entries])
             )
-    return ProduceRequest(corr, client, acks, timeout_ms, batches)
+            raw_sets.append(record_set)
+    return ProduceRequest(corr, client, acks, timeout_ms, batches, raw_sets)
 
 
 def encode_produce_response(
@@ -1633,12 +1658,51 @@ class KafkaWireConsumer:
 # --- in-process validating broker stub ------------------------------------
 
 
+def rewrite_record_set_base(raw: bytes, base: int, count: int) -> bytes:
+    """Assign broker offsets into a produced record set WITHOUT
+    re-encoding it — exactly what real brokers do, and exactly why the
+    formats keep offsets OUTSIDE their CRCs:
+
+    * magic=2 batch: the 8-byte base_offset prefix becomes ``base``
+      (record offset deltas are relative, nothing else moves);
+    * magic=1 compressed wrapper: the single wrapper message's offset
+      becomes ``base + count - 1`` (the LAST inner offset, KIP-31);
+    * magic=1 plain set: every message's offset becomes base+i."""
+    out = bytearray(raw)
+    magic = raw[16]
+    if magic == MAGIC_V2:
+        out[0:8] = _i64(base)
+        return bytes(out)
+    codec = raw[17] & CODEC_MASK
+    if codec != CODEC_NONE:
+        out[0:8] = _i64(base + count - 1)
+        return bytes(out)
+    pos = 0
+    i = 0
+    while pos + 12 <= len(raw):
+        out[pos : pos + 8] = _i64(base + i)
+        (size,) = struct.unpack_from(">i", raw, pos + 8)
+        pos += 12 + size
+        i += 1
+    return bytes(out)
+
+
 @dataclass
 class _BrokerLog:
-    """In-memory topic-partition logs + failure injection counter."""
+    """In-memory topic-partition logs + failure injection counter.
+    ``records`` is the flat per-record view (bookkeeping, high
+    watermark, down-conversion source); ``segments`` overlays the
+    ATOMIC raw units — v2 batches and v1 compressed wrappers — stored
+    verbatim with rewritten offsets, served zero-copy to fetches of a
+    matching format (so compressed bytes reach consumers compressed,
+    like a real broker)."""
 
     records: dict[tuple[str, int], list[tuple[bytes | None, bytes | None, int]]] = (
         field(default_factory=dict)
+    )
+    # (topic, part) -> [(base_offset, count, raw_bytes_with_offsets)]
+    segments: dict[tuple[str, int], list[tuple[int, int, bytes]]] = field(
+        default_factory=dict
     )
     requests_seen: int = 0
     fail_first: int = 0
@@ -1727,7 +1791,9 @@ class MiniKafkaBroker:
                     log.requests_seen += 1
                     inject_fail = log.requests_seen <= log.fail_first
                     results = []
-                    for topic, part, recs in req.batches:
+                    for (topic, part, recs), raw in zip(
+                        req.batches, req.raw_sets
+                    ):
                         if inject_fail:
                             results.append(
                                 (topic, part, ERR_REQUEST_TIMED_OUT, -1)
@@ -1736,6 +1802,22 @@ class MiniKafkaBroker:
                         dest = log.records.setdefault((topic, part), [])
                         base = len(dest)
                         dest.extend(recs)
+                        # atomic raw units kept verbatim: v2 batches and
+                        # v1 compressed wrappers (plain v1 sets are
+                        # per-message — old brokers split them freely)
+                        if raw and (
+                            raw[16] == MAGIC_V2
+                            or (raw[17] & CODEC_MASK) != CODEC_NONE
+                        ):
+                            log.segments.setdefault((topic, part), []).append(
+                                (
+                                    base,
+                                    len(recs),
+                                    rewrite_record_set_base(
+                                        raw, base, len(recs)
+                                    ),
+                                )
+                            )
                         results.append((topic, part, ERR_NONE, base))
                 if req.acks != 0:
                     self.request.sendall(
@@ -1757,36 +1839,83 @@ class MiniKafkaBroker:
                     encode_list_offsets_response(corr, results)
                 )
 
+            def _synth(self, stored, lo, hi, max_b, version):
+                """Re-encode records [lo, hi) from the flat log (the
+                down-/up-conversion path), at-least-one guaranteed."""
+                batch: list = []
+                nbytes = (
+                    RECORD_BATCH_OVERHEAD
+                    if version >= FETCH_VERSION_V2_BATCH
+                    else 0
+                )
+                for j in range(lo, hi):
+                    rec = stored[j]
+                    if version >= FETCH_VERSION_V2_BATCH:
+                        sz = len(encode_record_v2(rec[0], rec[1], 0, j))
+                    else:
+                        sz = 12 + len(encode_message(*rec))
+                    if batch and nbytes + sz > max_b:
+                        break
+                    batch.append(rec)
+                    nbytes += sz
+                if version >= FETCH_VERSION_V2_BATCH:
+                    return encode_record_batch(batch, lo)
+                return encode_message_set_at(batch, lo)
+
             def _fetch(self, frame: bytes) -> None:
                 req = decode_fetch_request(frame)
                 results = []
                 with log.lock:
                     for topic, part, off, max_b in req.wants:
                         stored = log.records.get((topic, part), [])
+                        segs = log.segments.get((topic, part), [])
                         hw = len(stored)
-                        # at least one message regardless of max_bytes
-                        # (Kafka's guarantee against starvation)
-                        batch: list = []
-                        nbytes = (
-                            RECORD_BATCH_OVERHEAD
-                            if req.version >= FETCH_VERSION_V2_BATCH
-                            else 0
-                        )
-                        for j in range(max(0, off), hw):
-                            rec = stored[j]
-                            if req.version >= FETCH_VERSION_V2_BATCH:
-                                sz = len(encode_record_v2(rec[0], rec[1], 0, j))
-                            else:
-                                sz = 12 + len(encode_message(*rec))
-                            if batch and nbytes + sz > max_b:
+                        pos = max(0, off)
+                        # a fetch landing exactly on a stored atomic
+                        # unit's base is served VERBATIM (zero-copy):
+                        # compressed bytes stay compressed on the wire.
+                        # A v2 (legacy) fetch can take magic=1 wrappers
+                        # raw but needs magic=2 batches down-converted.
+                        rs = bytearray()
+                        served_to = pos
+                        for base, count, raw in segs:
+                            if base != served_to:
+                                continue
+                            if (
+                                req.version < FETCH_VERSION_V2_BATCH
+                                and raw[16] == MAGIC_V2
+                            ):
+                                break  # needs down-conversion below
+                            if rs and len(rs) + len(raw) > max_b:
                                 break
-                            batch.append(rec)
-                            nbytes += sz
-                        if req.version >= FETCH_VERSION_V2_BATCH:
-                            rs = encode_record_batch(batch, max(0, off))
-                        else:
-                            rs = encode_message_set_at(batch, max(0, off))
-                        results.append((topic, part, ERR_NONE, hw, rs))
+                            rs += raw
+                            served_to += count
+                        if rs:
+                            results.append(
+                                (topic, part, ERR_NONE, hw, bytes(rs))
+                            )
+                            continue
+                        # otherwise synthesize from the flat log
+                        # (down-/up-conversion — no atomicity needed),
+                        # stopping at the next base this fetch version
+                        # COULD take raw, so later fetches re-align to
+                        # the zero-copy path
+                        hi = min(
+                            (
+                                b
+                                for b, _c, raw in segs
+                                if b > pos
+                                and (
+                                    req.version >= FETCH_VERSION_V2_BATCH
+                                    or raw[16] != MAGIC_V2
+                                )
+                            ),
+                            default=hw,
+                        )
+                        rs2 = self._synth(
+                            stored, pos, min(hi, hw), max_b, req.version
+                        )
+                        results.append((topic, part, ERR_NONE, hw, rs2))
                 self.request.sendall(
                     encode_fetch_response(
                         req.correlation_id, results, version=req.version

@@ -583,17 +583,24 @@ def test_truncated_tail_discarded_lenient_strict_raises():
 
 
 def test_consumer_max_bytes_pagination_v4():
+    """v2 batches are ATOMIC on fetch (the broker serves stored batches
+    verbatim — zero-copy — and max_bytes is a soft cap with an
+    at-least-one-batch floor, like a real broker). Pagination therefore
+    splits BETWEEN batches: five 2-record produces, a small max_bytes,
+    and the first fetch returns a whole number of batches < 10."""
     recs = [(None, bytes([i]) * 100, 1_000 + i) for i in range(10)]
     with MiniKafkaBroker() as broker:
         with KafkaWireProducer(
             broker.host, broker.port, message_format="v2"
         ) as producer:
-            producer.produce("t", recs)
+            for j in range(0, 10, 2):
+                producer.produce("t", recs[j : j + 2])
         with KafkaWireConsumer(
             broker.host, broker.port, fetch_version=FETCH_VERSION_V2_BATCH
         ) as consumer:
             hw, first = consumer.fetch("t", 0, 0, max_bytes=350)
-            assert hw == 10 and 1 <= len(first) < 10
+            assert hw == 10
+            assert len(first) % 2 == 0 and 2 <= len(first) < 10
             got = consumer.fetch_all("t", 0, 0)
     assert [(k, v, ts) for _, k, v, ts in got] == recs
     assert [o for o, *_ in got] == list(range(10))
@@ -947,3 +954,62 @@ def test_lz4_produce_both_formats_over_socket():
         ) as c:
             got = c.fetch_all("t")
     assert [(k, v, t) for _, k, v, t in got] == BULK + BULK
+
+
+def test_fetch_serves_stored_compressed_batches_verbatim():
+    """Zero-copy broker contract: a gzip v2 batch is stored and served
+    VERBATIM (base offset rewritten in place, codec bits intact), so
+    compressed bytes cross the wire compressed and the CONSUMER does
+    the decompression — plus a mixed-magic log (v2 batch then v1
+    snappy wrapper) decodes seamlessly via per-unit sniffing."""
+    import socket as socket_mod
+
+    from spark_streaming_test_spark.sources.kafka_wire import (
+        decode_fetch_response,
+        encode_fetch_request,
+        read_frame,
+    )
+
+    with MiniKafkaBroker() as broker:
+        with KafkaWireProducer(
+            broker.host, broker.port, message_format="v2", compression="gzip"
+        ) as p:
+            p.produce("t", BULK)  # batch at base 0
+        with KafkaWireProducer(
+            broker.host, broker.port, message_format="v1", compression="snappy"
+        ) as p:
+            p.produce("t", BULK)  # wrapper at base 10
+        sock = socket_mod.create_connection((broker.host, broker.port))
+        try:
+            sock.sendall(
+                encode_fetch_request(
+                    1, "raw", "t", 0, 0, version=FETCH_VERSION_V2_BATCH
+                )
+            )
+            _, results = decode_fetch_response(
+                read_frame(sock), FETCH_VERSION_V2_BATCH
+            )
+        finally:
+            sock.close()
+        _, _, err, hw, rs = results[0]
+        assert err == 0 and hw == 20
+        # unit 1: v2 batch, base offset rewritten to 0, gzip codec bits
+        assert rs[16] == 2
+        import struct as _s
+
+        assert _s.unpack_from(">q", rs, 0)[0] == 0
+        attrs = _s.unpack_from(">h", rs, 21)[0]
+        assert attrs & 0x07 == 1, "stored batch must stay gzip on the wire"
+        # unit 2 follows: magic=1 snappy wrapper at the LAST inner offset
+        (blen,) = _s.unpack_from(">i", rs, 8)
+        u2 = 12 + blen
+        assert rs[u2 + 16] == 1
+        assert rs[u2 + 17] & 0x07 == 2  # snappy codec bits intact
+        assert _s.unpack_from(">q", rs, u2)[0] == 19  # KIP-31 wrapper offset
+        # and the normal consumer path decodes the mixed log completely
+        with KafkaWireConsumer(
+            broker.host, broker.port, fetch_version=FETCH_VERSION_V2_BATCH
+        ) as c:
+            got = c.fetch_all("t")
+        assert [(k, v, t) for _, k, v, t in got] == BULK + BULK
+        assert [o for o, *_ in got] == list(range(20))
