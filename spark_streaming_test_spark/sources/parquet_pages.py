@@ -16,13 +16,18 @@ round-6 Thrift compact reader:
     then PLAIN-encoded values for the non-null slots,
   * PLAIN decode for INT64, DOUBLE and BYTE_ARRAY (length-prefixed).
 
-Scope is explicit: PLAIN encoding, flat schemas (no repetition
-levels), data page v1. Dictionary pages, v2 pages, and nested columns
-raise — the fixtures are written by pyarrow with
-``use_dictionary=False``/``data_page_version='1.0'``, and THAT is the
-cross-engine proof: pyarrow WRITES the bytes, this module reads them
-by hand, and the DuckDB oracle (plus a pyarrow read-back in tests)
-must agree row-for-row.
+  * DICTIONARY chunks — the pyarrow/production DEFAULT layout: a
+    PLAIN dictionary page, then RLE_DICTIONARY data pages (one raw
+    bit-width byte + an index run in the same hybrid encoding),
+    including the mid-chunk PLAIN fallback pyarrow emits when the
+    dictionary outgrows its limit.
+
+Scope is explicit: PLAIN + RLE_DICTIONARY encodings, flat schemas (no
+repetition levels), data page v1; v2 pages and nested columns raise.
+The fixtures are written by pyarrow, and THAT is the cross-engine
+proof: pyarrow WRITES the bytes, this module reads them by hand, and
+the DuckDB oracle (plus a pyarrow read-back in tests) must agree
+row-for-row.
 
 Scale posture: the reader is per-file inside ``mapInPandas`` over a
 ``binaryFile`` scan — the demonstration path. The production path for
@@ -57,6 +62,8 @@ _PAGE_DATA_V1 = 0
 _PAGE_DICTIONARY = 2
 _PAGE_DATA_V2 = 3
 _ENC_PLAIN = 0
+_ENC_PLAIN_DICTIONARY = 2
+_ENC_RLE_DICTIONARY = 8
 
 
 def rle_bitpacked_hybrid(data: bytes, width: int, count: int) -> list[int]:
@@ -116,9 +123,11 @@ def _decompress(page: bytes, codec: int, want: int) -> bytes:
 
 def read_parquet_plain(buf: bytes) -> dict[str, list]:
     """{column_name: python values (None for nulls)} from whole-file
-    parquet bytes — footer walk, per-chunk page loop, def-level decode,
-    PLAIN value decode. Raises on dictionary pages / v2 pages / nested
-    schemas (out of the declared scope) rather than guessing."""
+    parquet bytes — footer walk, per-chunk page loop (dictionary page
+    first when the chunk has one), def-level decode, PLAIN or
+    RLE_DICTIONARY value decode with per-page encoding dispatch (the
+    mid-chunk PLAIN fallback is real pyarrow behavior). Raises on v2
+    pages / nested schemas (out of the declared scope)."""
     from .parquet_footer import thrift_read_struct
 
     if buf[-4:] != b"PAR1" or buf[:4] != b"PAR1":
@@ -150,27 +159,53 @@ def read_parquet_plain(buf: bytes) -> dict[str, list]:
                 raise ValueError("chunk type disagrees with schema")
             codec = md[4]
             nvals = md[5]
-            if md.get(11) is not None:
-                raise ValueError(
-                    "dictionary-encoded chunks unsupported (PLAIN scope)"
-                )
-            off = md[9]  # data_page_offset
+
+            def plain_values(raw: bytes, p: int, n_vals: int, typ: int):
+                vals = []
+                for _ in range(n_vals):
+                    if typ == _TYPE_INT64:
+                        vals.append(_struct.unpack_from("<q", raw, p)[0])
+                        p += 8
+                    elif typ == _TYPE_DOUBLE:
+                        vals.append(_struct.unpack_from("<d", raw, p)[0])
+                        p += 8
+                    elif typ == _TYPE_BYTE_ARRAY:
+                        (sl,) = _struct.unpack_from("<I", raw, p)
+                        p += 4
+                        vals.append(raw[p : p + sl].decode("utf-8"))
+                        p += sl
+                    else:
+                        raise ValueError(f"PLAIN type {typ} unsupported")
+                return vals
+
+            dictionary: list | None = None
+            dict_off = md.get(11)
+            # the chunk starts at the dictionary page when present
+            off = dict_off if dict_off is not None else md[9]
             col = out[name.decode()]
             got = 0
             while got < nvals:
                 ph, body = thrift_read_struct(buf, off)
                 if ph[1] == _PAGE_DICTIONARY:
-                    raise ValueError("unexpected dictionary page")
+                    dph = ph[7]  # dictionary_page_header
+                    if dph.get(2, _ENC_PLAIN) not in (
+                        _ENC_PLAIN,
+                        _ENC_PLAIN_DICTIONARY,
+                    ):
+                        raise ValueError("non-PLAIN dictionary page")
+                    raw = _decompress(
+                        buf[body : body + ph[3]], codec, ph[2]
+                    )
+                    dictionary = plain_values(raw, 0, dph[1], typ)
+                    off = body + ph[3]
+                    continue
                 if ph[1] == _PAGE_DATA_V2:
                     raise ValueError("data page v2 unsupported (v1 scope)")
                 if ph[1] != _PAGE_DATA_V1:
                     raise ValueError(f"unknown page type {ph[1]}")
                 dph = ph[5]
                 nv = dph[1]
-                if dph[2] != _ENC_PLAIN:
-                    raise ValueError(
-                        f"non-PLAIN encoding {dph[2]} unsupported"
-                    )
+                enc = dph[2]
                 raw = _decompress(buf[body : body + ph[3]], codec, ph[2])
                 p = 0
                 if optional:
@@ -180,22 +215,25 @@ def read_parquet_plain(buf: bytes) -> dict[str, list]:
                     p += ln
                 else:
                     defs = [1] * nv
+                n_present = sum(defs)
+                if enc == _ENC_PLAIN:
+                    vals = plain_values(raw, p, n_present, typ)
+                elif enc in (_ENC_RLE_DICTIONARY, _ENC_PLAIN_DICTIONARY):
+                    if dictionary is None:
+                        raise ValueError(
+                            "dictionary-encoded page before any dictionary"
+                        )
+                    # one raw bit-width byte, then an RLE/bit-packed
+                    # hybrid run of indexes extending to the page end
+                    width = raw[p]
+                    p += 1
+                    idxs = rle_bitpacked_hybrid(raw[p:], width, n_present)
+                    vals = [dictionary[ix] for ix in idxs]
+                else:
+                    raise ValueError(f"encoding {enc} unsupported")
+                it = iter(vals)
                 for d in defs:
-                    if d == 0:
-                        col.append(None)
-                    elif typ == _TYPE_INT64:
-                        col.append(_struct.unpack_from("<q", raw, p)[0])
-                        p += 8
-                    elif typ == _TYPE_DOUBLE:
-                        col.append(_struct.unpack_from("<d", raw, p)[0])
-                        p += 8
-                    elif typ == _TYPE_BYTE_ARRAY:
-                        (sl,) = _struct.unpack_from("<I", raw, p)
-                        p += 4
-                        col.append(raw[p : p + sl].decode("utf-8"))
-                        p += sl
-                    else:
-                        raise ValueError(f"PLAIN type {typ} unsupported")
+                    col.append(next(it) if d else None)
                 got += nv
                 off = body + ph[3]
     lens = {len(v) for v in out.values()}
@@ -290,6 +328,103 @@ def scan_parquet_pages_handrolled(spark: SparkSession, sf_dir: str) -> DataFrame
     files). Codec rotates snappy/none/gzip across shards so each
     decompressor is load-bearing."""
     d = _pq_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.parquet"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(path.rsplit("shard_", 1)[1][:4])
+                cols = read_parquet_plain(bytes(content))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "shard": shard,
+                            "row_id": cols["row_id"],
+                            "val": cols["val"],
+                            "name": cols["name"],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return src.mapInPandas(
+        decode,
+        schema="shard bigint, row_id bigint, val double, name string",
+    )
+
+
+def _pq_dict_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+    from spark_streaming_test_spark.llm.multimodal import SCRATCH
+
+    rev = fixture_rev(_pq_n_rows, _pq_val, _pq_name, PQ_N, "dict", 2)
+    d = _os.path.join(SCRATCH, f"pq_dict_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(PQ_N):
+        p = _os.path.join(d, f"shard_{i:04d}.parquet")
+        if _os.path.exists(p):
+            continue
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = _pq_n_rows(i)
+        tbl = pa.table(
+            {
+                "row_id": pa.array(range(n), pa.int64()),
+                "val": pa.array([_pq_val(r, i) for r in range(n)], pa.float64()),
+                "name": pa.array([_pq_name(r, i) for r in range(n)], pa.string()),
+            }
+        )
+        tmp = p + ".tmp"
+        # dictionary ON (the default) + small pages so chunks carry a
+        # dictionary page plus multiple RLE_DICTIONARY data pages
+        pq.write_table(
+            tbl,
+            tmp,
+            compression=["snappy", "none", "gzip"][i % 3],
+            data_page_version="1.0",
+            data_page_size=512,
+        )
+        _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "scan_parquet_dict_handrolled",
+    tags=("scan", "format", "pandas-udf"),
+    # identical truth to the PLAIN twin — the dictionary layout is a
+    # different ENCODING of the same rows, so the same closed-form
+    # oracle must hash-match: dictionary page decode, bit-width header,
+    # hybrid index runs and the def-level interleave all load-bearing
+    oracle=f"""
+WITH shards AS (
+  SELECT i, 80 + 10 * (i % 5) AS n FROM range({PQ_N}) t(i)
+),
+rows_ AS (
+  SELECT i, rr.r AS r FROM shards, LATERAL unnest(range(0, n)) AS rr(r)
+)
+SELECT CAST(i AS BIGINT) AS shard,
+       CAST(r AS BIGINT) AS row_id,
+       CASE WHEN (r + i) % 7 = 0 THEN NULL
+            ELSE ((r * r * 3 + i) % 1000) / 8.0 END AS val,
+       CASE WHEN (r + i) % 11 = 0 THEN NULL
+            ELSE 'n' || CAST((r * 13 + i) % 97 AS VARCHAR) END AS name
+FROM rows_
+""",
+)
+def scan_parquet_dict_handrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DICTIONARY-encoded twin of ``scan_parquet_pages_handrolled``
+    — pyarrow's default production layout: per-chunk PLAIN dictionary
+    page + RLE_DICTIONARY data pages (raw bit-width byte + hybrid index
+    runs), small pages forcing several pages per chunk, codec rotating
+    snappy/none/gzip. Same rows, same oracle, different bytes: a
+    correct reader must agree with its PLAIN twin hash-for-hash."""
+    d = _pq_dict_fixture_dir()
     src = (
         spark.read.format("binaryFile")
         .load(_os.path.join(d, "*.parquet"))

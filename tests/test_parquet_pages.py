@@ -68,12 +68,47 @@ def test_multiple_row_groups_and_pages(tmp_path):
     assert read_parquet_plain(buf)["x"] == list(range(n))
 
 
-def test_dictionary_pages_rejected(tmp_path):
-    tbl = pa.table({"x": pa.array(["a", "b", "a", "b"] * 50)})
+def test_dictionary_encoded_chunks_decode(tmp_path):
+    """The pyarrow DEFAULT layout: dictionary page + RLE_DICTIONARY
+    data pages. Low-cardinality strings with nulls across several
+    pages must reproduce exactly."""
+    import random
+
+    rng = random.Random(3)
+    n = 3000
+    vals = [
+        None if rng.random() < 0.15 else f"cat{rng.randint(0, 9)}"
+        for _ in range(n)
+    ]
+    nums = [
+        None if rng.random() < 0.15 else rng.randint(0, 5) for _ in range(n)
+    ]
+    tbl = pa.table(
+        {"s": pa.array(vals, pa.string()), "k": pa.array(nums, pa.int64())}
+    )
     p = str(tmp_path / "t.parquet")
-    pq.write_table(tbl, p)  # dictionary ON (the pyarrow default)
-    with pytest.raises(ValueError, match="dictionary"):
-        read_parquet_plain(open(p, "rb").read())
+    pq.write_table(
+        tbl, p, compression="snappy", data_page_version="1.0",
+        data_page_size=2048,
+    )  # dictionary ON (the pyarrow default)
+    got = read_parquet_plain(open(p, "rb").read())
+    assert got == _expected(tbl)
+
+
+def test_dictionary_fallback_to_plain_mid_chunk(tmp_path):
+    """pyarrow falls back to PLAIN pages when the dictionary outgrows
+    its limit — a single chunk then MIXES RLE_DICTIONARY and PLAIN
+    pages, and the per-page encoding dispatch must handle both."""
+    n = 4000
+    vals = [f"unique-{i:05d}" for i in range(n)]  # unbounded cardinality
+    tbl = pa.table({"s": pa.array(vals, pa.string())})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(
+        tbl, p, compression="none", data_page_version="1.0",
+        dictionary_pagesize_limit=2048, data_page_size=2048,
+    )
+    got = read_parquet_plain(open(p, "rb").read())
+    assert got == _expected(tbl)
 
 
 def test_nested_schema_rejected(tmp_path):
