@@ -8,7 +8,8 @@ not the capability: this module parses the actual bytes — the
 ``Obj\\x01`` magic, the metadata map (avro.schema JSON + avro.codec),
 the 16-byte sync marker, per-block record counts and byte sizes,
 zigzag-varint longs, length-prefixed UTF-8 strings, little-endian
-IEEE doubles, and both the ``null`` and ``deflate`` (raw zlib) codecs.
+IEEE doubles, and the ``null``, ``deflate`` (raw zlib) and ``snappy``
+(round-9 hand codec + the spec's big-endian CRC32 suffix) codecs.
 
 Scope: record schemas whose fields are long / string / double (the
 shapes event logs actually use), resolved IN ORDER from the embedded
@@ -121,6 +122,15 @@ def write_avro_container(path: str, records, codec: str, sync: bytes) -> None:
         if codec == "deflate":
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             data = comp.compress(data) + comp.flush()
+        elif codec == "snappy":
+            # Avro spec: raw snappy block + 4-byte BIG-ENDIAN CRC32 of
+            # the UNCOMPRESSED data (round-9 hand codec, kafka_wire)
+            from .kafka_wire import snappy_compress
+
+            data = (
+                snappy_compress(data)
+                + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+            )
         elif codec != "null":
             raise ValueError(f"unsupported avro codec {codec!r}")
         out += _zz_long(len(chunk)) + _zz_long(len(data)) + data + sync
@@ -154,8 +164,10 @@ def parse_avro_container(path: str, buf: bytes) -> Iterator[tuple]:
             off += vlen
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"avro codec {codec!r} unsupported (null/deflate)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError(
+            f"avro codec {codec!r} unsupported (null/deflate/snappy)"
+        )
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     for _, ftype in fields:
         if ftype not in ("long", "string", "double"):
@@ -178,6 +190,13 @@ def parse_avro_container(path: str, buf: bytes) -> Iterator[tuple]:
         off = o3 + size + 16
         if codec == "deflate":
             data = zlib.decompress(data, -15)
+        elif codec == "snappy":
+            from .kafka_wire import snappy_decompress
+
+            (want_crc,) = struct.unpack_from(">I", data, len(data) - 4)
+            data = snappy_decompress(data[:-4])
+            if zlib.crc32(data) & 0xFFFFFFFF != want_crc:
+                raise ValueError(f"avro snappy block at {off}: bad CRC32")
         p = 0
         for _ in range(count):
             vals: dict[str, object] = {}
@@ -233,7 +252,8 @@ def _avro_fixture_dir() -> str:
     from spark_streaming_test_spark.llm.multimodal import SCRATCH
 
     rev = fixture_rev(
-        _avro_record, write_avro_container, AVRO_FILES, AVRO_RECS, AVRO_BLOCK
+        _avro_record, write_avro_container, AVRO_FILES, AVRO_RECS, AVRO_BLOCK,
+        3,  # codec rotation null/deflate/snappy
     )
     d = os.path.join(SCRATCH, f"avro_containers_{rev}")
     os.makedirs(d, exist_ok=True)
@@ -244,7 +264,7 @@ def _avro_fixture_dir() -> str:
             sync = hashlib.md5(f"avro-sync-{fidx}".encode()).digest()
             tmp = p + ".tmp"
             write_avro_container(
-                tmp, recs, "deflate" if fidx % 2 else "null", sync
+                tmp, recs, ["null", "deflate", "snappy"][fidx % 3], sync
             )
             os.replace(tmp, p)
     return d
@@ -263,14 +283,15 @@ SELECT CAST(file_id AS INTEGER) AS file_id,
        CAST(i AS BIGINT) AS id,
        'ev-' || CAST(i AS VARCHAR) AS name,
        CAST(i % 97 AS DOUBLE) + CAST(0.25 AS DOUBLE) AS score,
-       CASE WHEN file_id % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec
+       CASE file_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+            ELSE 'snappy' END AS codec
 FROM recs
 """,
 )
 def scan_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Avro container parsing end-to-end, closing the recorded
-    spark-avro env gap at the FORMAT level: fixture containers (half
-    null codec, half raw-deflate) are re-parsed from bytes — magic,
+    spark-avro env gap at the FORMAT level: fixture containers (codec
+    rotating null / raw-deflate / snappy+CRC32) are re-parsed from bytes — magic,
     metadata map, embedded schema JSON, zigzag longs, length-prefixed
     strings, IEEE doubles, per-block sync-marker verification — and
     every field is checked against a closed-form DuckDB oracle. Scale:
