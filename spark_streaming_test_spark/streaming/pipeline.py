@@ -289,7 +289,12 @@ def write_alerts_kafka(
 
 
 def kafka_wire_batch_sink(
-    host: str, port: int, topic: str, acks: int = 1
+    host: str,
+    port: int,
+    topic: str,
+    acks: int = 1,
+    message_format: str = "v1",
+    compression: str = "none",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` hook that ships each micro-batch's alerts to a
     Kafka broker over the ACTUAL produce wire protocol — pure-stdlib
@@ -303,7 +308,11 @@ def kafka_wire_batch_sink(
     Kafka-client-under-foreachBatch deployment. Delivery is
     at-least-once with acks=1 (foreachBatch replays a failed batch and
     the producer retries retriable errors); acks=0 reproduces the
-    reference's fire-and-forget at-most-once (SURVEY §4.3)."""
+    reference's fire-and-forget at-most-once (SURVEY §4.3).
+    ``message_format`` ('v1'|'v2'|'auto' — ApiVersions negotiation) and
+    ``compression`` ('none'|'gzip'|'snappy'|'lz4') pass straight to the
+    producer: each TASK compresses its own batch executor-side, so the
+    bytes-on-wire saving scales with parallelism."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         def send_partition(rows) -> None:
@@ -319,7 +328,12 @@ def kafka_wire_batch_sink(
             ]
             if not records:
                 return
-            with KafkaWireProducer(host, port) as producer:
+            with KafkaWireProducer(
+                host,
+                port,
+                message_format=message_format,
+                compression=compression,
+            ) as producer:
                 producer.produce(topic, records, acks=acks)
 
         batch_df.select("message").foreachPartition(send_partition)
@@ -334,6 +348,8 @@ def write_alerts_kafka_wire(
     topic: str = "alerts",
     checkpoint: str | None = None,
     acks: int = 1,
+    message_format: str = "v1",
+    compression: str = "none",
 ):
     """O14 with real bytes on a real socket: the edge-triggered alert
     stream produced to a broker speaking the public Kafka protocol
@@ -342,7 +358,14 @@ def write_alerts_kafka_wire(
     form stays in :func:`write_alerts_kafka` for clusters that ship the
     connector jar."""
     writer = alerts.writeStream.foreachBatch(
-        kafka_wire_batch_sink(host, port, topic, acks=acks)
+        kafka_wire_batch_sink(
+            host,
+            port,
+            topic,
+            acks=acks,
+            message_format=message_format,
+            compression=compression,
+        )
     ).outputMode("append")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)

@@ -1013,3 +1013,37 @@ def test_fetch_serves_stored_compressed_batches_verbatim():
             got = c.fetch_all("t")
         assert [(k, v, t) for _, k, v, t in got] == BULK + BULK
         assert [o for o, *_ in got] == list(range(20))
+
+
+def test_kafka_wire_sink_negotiated_compressed_delivery(spark, tmp_path):
+    """The Spark-facing sink with message_format='auto' +
+    compression='lz4': each task negotiates v2 via ApiVersions and
+    produces compressed batches; the broker log carries the exact
+    alert multiset and the stored segment is a magic=2 LZ4 batch."""
+    src = str(tmp_path / "in")
+    _write_packet_batch(
+        spark, src, [("A", 200.0, _ts(0)), ("B", 100.0, _ts(0))], 0
+    )
+    totals = packet_stream_from_dir(spark, src).select(
+        "nif", F.col("bytes").alias("total_bytes")
+    )
+    alerts = edge_trigger_stream(totals, max_limit=150.0)
+    with MiniKafkaBroker() as broker:
+        q = write_alerts_kafka_wire(
+            alerts, broker.host, broker.port,
+            checkpoint=str(tmp_path / "chk"),
+            message_format="auto", compression="lz4",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(v.decode() for _k, v, _ in broker.fetch("alerts"))
+        segs = broker.log.segments.get(("alerts", 0), [])
+    assert got == sorted([ALERT_MSG, INFO_MSG])
+    assert segs, "negotiated v2 produce must store an atomic raw batch"
+    raw = segs[0][2]
+    assert raw[16] == 2  # magic=2 (auto picked v2)
+    import struct as _s
+
+    assert _s.unpack_from(">h", raw, 21)[0] & 0x07 == 3  # lz4 codec bits
