@@ -2263,6 +2263,287 @@ def mm_audio_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IMA ADPCM (WAVE format 0x11) -------------------------------------------
+#
+# The third real audio codec, and the first STATEFUL one: 4-bit
+# nibbles drive a (predictor, step-index) state machine (public IMA
+# spec; identical tables to CPython's audioop, asserted in tests).
+# Each WAV block restarts the state from its 4-byte header, which is
+# what makes blocks the unit of parallel decode — and what makes a
+# closed-form oracle possible anyway: the DuckDB oracle replays the
+# recursion with a RECURSIVE CTE over all (file, block) rows in
+# lockstep (depth = samples per block, 64), joining the 89-entry step
+# table each iteration. A stateful codec, still hash-verified exactly.
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+ADPCM_BLOCK_ALIGN = 36  # 4-byte header + 32 nibble bytes = 65 samples
+
+
+def ima_adpcm_step(pred: int, idx: int, n: int) -> tuple[int, int]:
+    """One nibble through the IMA state machine (shift-approximated
+    multiply, both clamps) — byte-identical to audioop.adpcm2lin."""
+    step = IMA_STEP_TABLE[idx]
+    d = step >> 3
+    if n & 4:
+        d += step
+    if n & 2:
+        d += step >> 1
+    if n & 1:
+        d += step >> 2
+    pred = pred - d if n & 8 else pred + d
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[n & 7]))
+    return pred, idx
+
+
+def write_wav_ima_adpcm(
+    path: str, rate: int, blocks: list[tuple[int, int, list[int]]]
+) -> None:
+    """RIFF/WAVE format 0x11 writer: fmt with cbSize=2 extension
+    (wSamplesPerBlock), the spec-required fact chunk, and per block a
+    4-byte state header (int16 predictor, uint8 step index, reserved)
+    + 32 nibble bytes, LOW nibble first (the WAV convention — audioop
+    packs high-first; tests repack when cross-checking)."""
+    spb = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+    data = bytearray()
+    for pred0, idx0, nibbles in blocks:
+        assert len(nibbles) == (ADPCM_BLOCK_ALIGN - 4) * 2
+        data += _struct.pack("<hBB", pred0, idx0, 0)
+        for j in range(0, len(nibbles), 2):
+            data.append(nibbles[j] | (nibbles[j + 1] << 4))
+    n_samples = len(blocks) * spb
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        # WAVE(4) + fmt(8+20) + fact(8+4) + data hdr(8) + payload
+        f.write(_struct.pack("<I", 4 + 28 + 12 + 8 + len(data)))
+        f.write(b"WAVEfmt ")
+        f.write(
+            _struct.pack(
+                "<IHHIIHHHH",
+                20,  # 16 base + 2 cbSize field + 2 extension bytes
+                0x11, 1, rate,
+                rate * ADPCM_BLOCK_ALIGN // spb,  # nominal byte rate
+                ADPCM_BLOCK_ALIGN, 4, 2, spb,
+            )
+        )
+        f.write(b"fact" + _struct.pack("<II", 4, n_samples))
+        f.write(b"data")
+        f.write(_struct.pack("<I", len(data)))
+        f.write(bytes(data))
+
+
+def decode_wav_ima_adpcm(buf: bytes):
+    """(rate, samples_per_block, PCM16 numpy array): chunk walk + per-
+    block state-machine replay. The block header's predictor IS the
+    block's first output sample (the WAV IMA convention)."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    off, rate, align, spb, data = 12, None, None, None, None
+    while off + 8 <= len(buf):
+        cid = buf[off : off + 4]
+        size = _struct.unpack_from("<I", buf, off + 4)[0]
+        body = buf[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt, _ch, rate = _struct.unpack_from("<HHI", body, 0)
+            align, bits = _struct.unpack_from("<HH", body, 12)
+            if fmt != 0x11 or bits != 4:
+                raise ValueError(
+                    f"not IMA ADPCM WAVE (fmt={fmt}, bits={bits})"
+                )
+            (spb,) = _struct.unpack_from("<H", body, 18)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    if spb != (align - 4) * 2 + 1:
+        raise ValueError(
+            f"wSamplesPerBlock {spb} inconsistent with block align {align}"
+        )
+    out: list[int] = []
+    for boff in range(0, len(data), align):
+        block = data[boff : boff + align]
+        if len(block) < align:
+            break  # torn trailing block
+        pred, idx, _ = _struct.unpack_from("<hBB", block, 0)
+        if idx > 88:
+            raise ValueError(f"block at {boff}: step index {idx} > 88")
+        out.append(pred)
+        for byte in block[4:]:
+            for n in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                pred, idx = ima_adpcm_step(pred, idx, n)
+                out.append(pred)
+    return rate, spb, np.asarray(out, dtype=np.int16)
+
+
+ADPCM_N = 20
+
+
+def _adpcm_n_blocks(i: int) -> int:
+    return 3 + i % 3
+
+
+def _adpcm_pred0(b: int, i: int) -> int:
+    return ((1234 * b + 777 * i) % 60000) - 30000
+
+
+def _adpcm_idx0(b: int, i: int) -> int:
+    return (13 * b + 7 * i) % 89
+
+
+def _adpcm_nib(s: int, b: int, i: int) -> int:
+    return (7 * s + 3 * b + 5 * i) % 16
+
+
+def _adpcm_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(
+        write_wav_ima_adpcm, ima_adpcm_step, _adpcm_n_blocks,
+        _adpcm_pred0, _adpcm_idx0, _adpcm_nib, ADPCM_N, ADPCM_BLOCK_ALIGN,
+    )
+    d = _os.path.join(SCRATCH, f"adpcm_audio_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(ADPCM_N):
+        p = _os.path.join(d, f"au_{i:04d}.wav")
+        if not _os.path.exists(p):
+            blocks = [
+                (
+                    _adpcm_pred0(b, i),
+                    _adpcm_idx0(b, i),
+                    [_adpcm_nib(s, b, i) for s in range(64)],
+                )
+                for b in range(_adpcm_n_blocks(i))
+            ]
+            tmp = p + ".tmp"
+            write_wav_ima_adpcm(tmp, 8000, blocks)
+            _os.replace(tmp, p)
+    return d
+
+
+_IMA_STEPS_SQL = ", ".join(
+    f"({i}, {v})" for i, v in enumerate(IMA_STEP_TABLE)
+)
+
+@register(
+    "mm_audio_adpcm_decode",
+    tags=("llm", "multimodal", "audio", "recursive", "pandas-udf"),
+    # The state machine replayed IN SQL: a recursive CTE advances every
+    # (file, block) row one nibble per iteration (depth 64), joining
+    # the 89-entry step table, with both clamps and the shift-
+    # approximated multiply — any drift in predictor or index anywhere
+    # in the recursion changes the sums and hash-mismatches.
+    oracle=f"""
+WITH RECURSIVE
+steps(ix, step) AS (VALUES {_IMA_STEPS_SQL}),
+blocks AS (
+  SELECT f.i AS i, b.b AS b,
+         3 + f.i % 3 AS nb,
+         ((1234 * b.b + 777 * f.i) % 60000) - 30000 AS pred0,
+         (13 * b.b + 7 * f.i) % 89 AS idx0
+  FROM range({ADPCM_N}) f(i),
+       LATERAL unnest(range(3 + f.i % 3)) AS b(b)
+),
+dec(i, b, s, pred, ix) AS (
+  SELECT i, b, -1, pred0, idx0 FROM blocks
+  UNION ALL
+  SELECT i, b, s + 1,
+    LEAST(32767, GREATEST(-32768,
+      CASE WHEN (n & 8) > 0 THEN pred - dd ELSE pred + dd END)),
+    LEAST(88, GREATEST(0, ix + CASE n & 7
+      WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+      ELSE -1 END))
+  FROM (
+    SELECT d.i AS i, d.b AS b, d.s AS s, d.pred AS pred, d.ix AS ix,
+      (7 * (d.s + 1) + 3 * d.b + 5 * d.i) % 16 AS n,
+      (st.step >> 3)
+        + CASE WHEN ((7 * (d.s + 1) + 3 * d.b + 5 * d.i) % 16 & 4) > 0
+               THEN st.step ELSE 0 END
+        + CASE WHEN ((7 * (d.s + 1) + 3 * d.b + 5 * d.i) % 16 & 2) > 0
+               THEN st.step >> 1 ELSE 0 END
+        + CASE WHEN ((7 * (d.s + 1) + 3 * d.b + 5 * d.i) % 16 & 1) > 0
+               THEN st.step >> 2 ELSE 0 END AS dd
+    FROM dec d JOIN steps st ON st.ix = d.ix
+    WHERE d.s < 63
+  )
+),
+agg AS (
+  SELECT i, b, COUNT(*) AS n_b, SUM(pred) AS sum_b,
+         MIN(CASE WHEN s = -1 THEN pred END) AS first_b,
+         MIN(CASE WHEN s = 63 THEN pred END) AS last_b,
+         MAX(abs(pred)) AS peak_b
+  FROM dec GROUP BY i, b
+)
+SELECT CAST(i AS BIGINT) AS audio_id,
+       CAST(SUM(n_b) AS INTEGER) AS n_samples,
+       8000 AS sample_rate,
+       CAST(SUM(sum_b) AS BIGINT) AS sum_pcm,
+       CAST(MAX(peak_b) AS INTEGER) AS peak,
+       CAST(MIN(CASE WHEN b = 0 THEN first_b END) AS INTEGER) AS first_pcm
+FROM agg GROUP BY i
+""",
+)
+def mm_audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM (WAVE 0x11) decode — the first STATEFUL codec with a
+    full hash oracle: the per-nibble (predictor, step-index) recursion
+    is replayed in DuckDB as a recursive CTE (depth = 64 samples/block,
+    all file x block rows advancing in lockstep against the 89-entry
+    step table). The Python transition is byte-identical to CPython's
+    audioop on all states (tests sweep random (pred, index, nibble)
+    triples). Blocks restart state from their headers — the property
+    that makes both block-parallel decode AND the SQL replay possible."""
+    import numpy as np
+
+    d = _adpcm_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.wav"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                audio_id = int(path.rsplit("au_", 1)[1][:4])
+                rate, spb, pcm = decode_wav_ima_adpcm(bytes(content))
+                p = pcm.astype(np.int64)
+                rows.append(
+                    (
+                        audio_id, len(p), rate,
+                        int(p.sum()),
+                        int(np.abs(p).max()),
+                        int(p[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "sample_rate",
+                    "sum_pcm", "peak", "first_pcm",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "audio_id bigint, n_samples int, sample_rate int, "
+            "sum_pcm bigint, peak int, first_pcm int"
+        ),
+    )
+
+
 # --- netpbm (PPM P6 / PGM P5) decode -------------------------------------------
 #
 # The third codec-free raster family after BMP and PNG: netpbm binary

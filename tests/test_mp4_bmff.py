@@ -238,3 +238,66 @@ def test_g711_tables_match_audioop_when_present():
     for c in range(256):
         assert alaw[c] == _s.unpack("<h", audioop.alaw2lin(bytes([c]), 2))[0]
         assert mulaw[c] == _s.unpack("<h", audioop.ulaw2lin(bytes([c]), 2))[0]
+
+
+def test_ima_adpcm_transition_matches_audioop():
+    """The per-nibble state machine must be byte-identical to CPython's
+    audioop (independent implementation of the same IMA spec), swept
+    over random (predictor, index, nibble) states — plus a WAV
+    roundtrip with the LOW-nibble-first packing (audioop packs high
+    first, so the repack is part of the test)."""
+    import random
+    import struct as _s
+    import warnings
+
+    from spark_streaming_test_spark.llm.multimodal import (
+        ADPCM_BLOCK_ALIGN,
+        decode_wav_ima_adpcm,
+        ima_adpcm_step,
+        write_wav_ima_adpcm,
+    )
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        audioop = None
+    rng = random.Random(17)
+    if audioop is not None:
+        for _ in range(2000):
+            pred = rng.randint(-32768, 32767)
+            idx = rng.randint(0, 88)
+            nibs = [rng.randint(0, 15) for _ in range(4)]
+            packed = bytes(
+                ((nibs[0] << 4) | nibs[1], (nibs[2] << 4) | nibs[3])
+            )
+            out, _state = audioop.adpcm2lin(packed, 2, (pred, idx))
+            ref = list(_s.unpack("<4h", out))
+            mine = []
+            p, ix = pred, idx
+            for n in nibs:
+                p, ix = ima_adpcm_step(p, ix, n)
+                mine.append(p)
+            assert mine == ref, (pred, idx, nibs)
+
+    # WAV roundtrip: block headers restart state; low-nibble-first
+    blocks = []
+    for b in range(3):
+        nibs = [rng.randint(0, 15) for _ in range((ADPCM_BLOCK_ALIGN - 4) * 2)]
+        blocks.append((rng.randint(-30000, 30000), rng.randint(0, 88), nibs))
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        write_wav_ima_adpcm(f.name, 8000, blocks)
+        rate, spb, pcm = decode_wav_ima_adpcm(open(f.name, "rb").read())
+    assert (rate, spb) == (8000, 65)
+    assert len(pcm) == 3 * 65
+    expect = []
+    for pred0, idx0, nibs in blocks:
+        p, ix = pred0, idx0
+        expect.append(p)
+        for n in nibs:
+            p, ix = ima_adpcm_step(p, ix, n)
+            expect.append(p)
+    assert list(pcm) == expect
