@@ -437,6 +437,126 @@ def traffic_alerts_kafka_wire_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "traffic_alerts_kafka_wire_zstd",
+    tags=("flagship", "streaming", "serialization"),
+    oracle=f"""
+WITH {_LIMITS_CTE},
+mx AS (
+  SELECT limit_value FROM limits WHERE limit_name = 'max'
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         CAST(user_id AS VARCHAR) AS nif,
+         {sql_dsum('value')} AS total_bytes
+  FROM events GROUP BY 1, 2
+),
+alert AS (
+  SELECT agg.nif, agg.window_start, agg.total_bytes,
+         agg.total_bytes > mx.limit_value AS is_alert,
+         CASE WHEN agg.total_bytes > mx.limit_value THEN '{ALERT_MSG}'
+              ELSE '{INFO_MSG}' END AS message
+  FROM agg CROSS JOIN mx
+),
+framed AS (
+  SELECT *,
+         octet_length(ENCODE(nif)) AS klen,
+         octet_length(ENCODE(message)) AS vlen
+  FROM alert
+),
+-- v2 record framing (same arithmetic as the v2 twin) ...
+body AS (
+  SELECT *,
+         4 + (CASE WHEN klen < 64 THEN 1 WHEN klen < 8192 THEN 2 ELSE 3 END)
+           + klen
+           + (CASE WHEN vlen < 64 THEN 1 WHEN vlen < 8192 THEN 2 ELSE 3 END)
+           + vlen AS body_len
+  FROM framed
+),
+-- ... giving the records-section length R, which the producer wraps in
+-- ONE RFC 8878 raw-block zstd frame: magic(4) + frame-header
+-- descriptor(1) + frame-content-size(1/2/4 by R) + block header(3) + R
+recsec AS (
+  SELECT *,
+         (CASE WHEN body_len < 64 THEN 1
+               WHEN body_len < 8192 THEN 2 ELSE 3 END) + body_len AS r_len
+  FROM body
+)
+SELECT nif, window_start, total_bytes, is_alert, message,
+       CAST(61 + 8 + (CASE WHEN r_len < 256 THEN 1
+                           WHEN r_len < 65792 THEN 2 ELSE 4 END)
+               + r_len AS INT) AS wire_len
+FROM recsec
+""",
+)
+def traffic_alerts_kafka_wire_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KIP-110 (zstd, codec 4) twin of ``traffic_alerts_kafka_wire_v2``:
+    each alert is encoded into a v2 RecordBatch whose records section is
+    wrapped in a zstd frame — the exact bytes ``KafkaWireProducer(
+    message_format="v2", compression="zstd")`` ships — then decoded back
+    through the consumer path, which runs the full RFC 8878 decoder in
+    ``sources/zstd_codec.py`` under the CRC-32C check (the CRC covers the
+    COMPRESSED bytes, the spec's layering).
+
+    The oracle hash carries (1) roundtrip identity on real data and
+    (2) ``wire_len`` equal to a closed-form formula composing the
+    zigzag-varint record framing with the RFC 8878 raw-block frame
+    arithmetic (magic + FHD + FCS-by-size + block header) — so the
+    batch layout, the varint framing, AND the zstd frame structure are
+    all pinned by SQL that shares no code with the codec.
+
+    Same execution shape as the v2 twin: one Arrow-batched pandas UDF,
+    no added shuffle."""
+
+    @F.pandas_udf(
+        "wire_len int, rt_nif string, rt_message string, rt_ts_ms long"
+    )
+    def roundtrip_zstd(
+        nif: pd.Series, message: pd.Series, ts_ms: pd.Series
+    ) -> pd.DataFrame:
+        from ..sources.kafka_wire import (
+            CODEC_ZSTD,
+            decode_record_batch_entries,
+            encode_record_batch,
+        )
+
+        lens, nifs, msgs, tss = [], [], [], []
+        for n, m, t in zip(nif, message, ts_ms):
+            buf = encode_record_batch(
+                [(n.encode(), m.encode(), int(t))], codec=CODEC_ZSTD
+            )
+            ((off, key, value, ts),) = decode_record_batch_entries(
+                buf, strict=True
+            )
+            if off != 0:
+                raise ValueError(f"producer-side base offset must be 0, got {off}")
+            lens.append(len(buf))
+            nifs.append(key.decode())
+            msgs.append(value.decode())
+            tss.append(ts)
+        return pd.DataFrame(
+            {"wire_len": lens, "rt_nif": nifs, "rt_message": msgs, "rt_ts_ms": tss}
+        )
+
+    alerts = traffic_alerts(spark, sf_dir)
+    enc = alerts.withColumn(
+        "r",
+        roundtrip_zstd(
+            F.col("nif"),
+            F.col("message"),
+            (F.unix_timestamp("window_start") * 1000).cast("long"),
+        ),
+    )
+    return enc.select(
+        F.col("r.rt_nif").alias("nif"),
+        F.timestamp_seconds(F.col("r.rt_ts_ms") / 1000).alias("window_start"),
+        "total_bytes",
+        "is_alert",
+        F.col("r.rt_message").alias("message"),
+        F.col("r.wire_len").alias("wire_len"),
+    )
+
+
 P95_RANK_PCT = 0.95  # burstable-billing percentile
 
 

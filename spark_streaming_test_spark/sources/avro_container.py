@@ -8,8 +8,10 @@ not the capability: this module parses the actual bytes — the
 ``Obj\\x01`` magic, the metadata map (avro.schema JSON + avro.codec),
 the 16-byte sync marker, per-block record counts and byte sizes,
 zigzag-varint longs, length-prefixed UTF-8 strings, little-endian
-IEEE doubles, and the ``null``, ``deflate`` (raw zlib) and ``snappy``
-(round-9 hand codec + the spec's big-endian CRC32 suffix) codecs.
+IEEE doubles, and the ``null``, ``deflate`` (raw zlib), ``snappy``
+(round-9 hand codec + the spec's big-endian CRC32 suffix) and
+``zstandard`` (RFC 8878 frame, no checksum suffix per the spec)
+codecs.
 
 Scope: record schemas whose fields are long / string / double (the
 shapes event logs actually use), resolved IN ORDER from the embedded
@@ -131,6 +133,11 @@ def write_avro_container(path: str, records, codec: str, sync: bytes) -> None:
                 snappy_compress(data)
                 + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
             )
+        elif codec == "zstandard":
+            # Avro spec: one zstd frame per block, no extra checksum
+            from .zstd_codec import zstd_compress
+
+            data = zstd_compress(data)
         elif codec != "null":
             raise ValueError(f"unsupported avro codec {codec!r}")
         out += _zz_long(len(chunk)) + _zz_long(len(data)) + data + sync
@@ -164,9 +171,10 @@ def parse_avro_container(path: str, buf: bytes) -> Iterator[tuple]:
             off += vlen
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise ValueError(
-            f"avro codec {codec!r} unsupported (null/deflate/snappy)"
+            f"avro codec {codec!r} unsupported "
+            "(null/deflate/snappy/zstandard)"
         )
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     for _, ftype in fields:
@@ -197,6 +205,10 @@ def parse_avro_container(path: str, buf: bytes) -> Iterator[tuple]:
             data = snappy_decompress(data[:-4])
             if zlib.crc32(data) & 0xFFFFFFFF != want_crc:
                 raise ValueError(f"avro snappy block at {off}: bad CRC32")
+        elif codec == "zstandard":
+            from .zstd_codec import zstd_decompress
+
+            data = zstd_decompress(data)
         p = 0
         for _ in range(count):
             vals: dict[str, object] = {}
@@ -253,7 +265,7 @@ def _avro_fixture_dir() -> str:
 
     rev = fixture_rev(
         _avro_record, write_avro_container, AVRO_FILES, AVRO_RECS, AVRO_BLOCK,
-        3,  # codec rotation null/deflate/snappy
+        4,  # codec rotation null/deflate/snappy/zstandard
     )
     d = os.path.join(SCRATCH, f"avro_containers_{rev}")
     os.makedirs(d, exist_ok=True)
@@ -264,7 +276,10 @@ def _avro_fixture_dir() -> str:
             sync = hashlib.md5(f"avro-sync-{fidx}".encode()).digest()
             tmp = p + ".tmp"
             write_avro_container(
-                tmp, recs, ["null", "deflate", "snappy"][fidx % 3], sync
+                tmp,
+                recs,
+                ["null", "deflate", "snappy", "zstandard"][fidx % 4],
+                sync,
             )
             os.replace(tmp, p)
     return d
@@ -283,15 +298,16 @@ SELECT CAST(file_id AS INTEGER) AS file_id,
        CAST(i AS BIGINT) AS id,
        'ev-' || CAST(i AS VARCHAR) AS name,
        CAST(i % 97 AS DOUBLE) + CAST(0.25 AS DOUBLE) AS score,
-       CASE file_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
-            ELSE 'snappy' END AS codec
+       CASE file_id % 4 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+            WHEN 2 THEN 'snappy' ELSE 'zstandard' END AS codec
 FROM recs
 """,
 )
 def scan_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Avro container parsing end-to-end, closing the recorded
     spark-avro env gap at the FORMAT level: fixture containers (codec
-    rotating null / raw-deflate / snappy+CRC32) are re-parsed from bytes — magic,
+    rotating null / raw-deflate / snappy+CRC32 / zstandard) are
+    re-parsed from bytes — magic,
     metadata map, embedded schema JSON, zigzag longs, length-prefixed
     strings, IEEE doubles, per-block sync-marker verification — and
     every field is checked against a closed-form DuckDB oracle. Scale:

@@ -33,7 +33,12 @@ from the spec:
   bytes. gzip is stdlib zlib (mtime pinned); snappy and lz4 are
   hand-written codecs (greedy 4-byte hash matchers, full spec
   decoders, LZ4F with a from-scratch xxHash32) — no C library
-  anywhere. zstd (codec 4) is the one codec out of stdlib reach.
+  anywhere.
+* ZSTD (codec 4, KIP-110) in record-batch v2 ONLY — like a real
+  broker, the v1 paths reject it (magic=1 was frozen before zstd
+  landed in Kafka 2.1). Backed by the pure-stdlib RFC 8878 codec in
+  ``zstd_codec.py``: the consumer decodes real libzstd frames; the
+  producer emits spec-valid raw/RLE-block frames.
 * ``MiniKafkaBroker`` — an in-process validating broker stub: accepts
   connections, parses produce AND fetch requests INDEPENDENTLY of the
   client encoders, verifies every message CRC, appends to an in-memory
@@ -79,6 +84,8 @@ import struct
 import threading
 import zlib
 from dataclasses import dataclass, field
+
+from .zstd_codec import zstd_compress, zstd_decompress
 
 API_PRODUCE = 0
 API_FETCH = 1
@@ -196,7 +203,14 @@ CODEC_NONE = 0
 CODEC_GZIP = 1
 CODEC_SNAPPY = 2
 CODEC_LZ4 = 3
+CODEC_ZSTD = 4  # KIP-110: valid ONLY with record-batch v2 (magic=2)
 CODEC_MASK = 0x07
+
+# codecs legal in each on-wire format. Real brokers reject zstd in
+# message-format v1 (UNSUPPORTED_COMPRESSION_TYPE): KIP-110 shipped
+# with Kafka 2.1, after magic=1 was frozen.
+_V1_CODECS = (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4)
+_V2_CODECS = (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD)
 
 
 def gzip_compress(data: bytes) -> bytes:
@@ -629,6 +643,11 @@ def encode_message_set(
         payload = xerial_frame(bytes(out))  # v1 snappy = xerial framing
     elif codec == CODEC_LZ4:
         payload = lz4f_frame(bytes(out))  # KIP-57 correct framing
+    elif codec == CODEC_ZSTD:
+        raise ValueError(
+            "zstd requires message format v2 (KIP-110; brokers answer "
+            "UNSUPPORTED_COMPRESSION_TYPE for magic<2)"
+        )
     else:
         raise ValueError(f"unsupported codec {codec}")
     wrapper = encode_message(
@@ -684,8 +703,10 @@ def decode_message_set_entries(
             raise ValueError(f"unsupported message magic {magic}")
         attrs = msg.i8()
         codec = attrs & CODEC_MASK
-        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
-            raise ValueError(f"unsupported message codec {codec}")
+        if codec not in _V1_CODECS:
+            raise ValueError(
+                f"unsupported message codec {codec} (zstd is v2-only)"
+            )
         ts = msg.i64()
         key = msg.nbytes()
         value = msg.nbytes()
@@ -828,7 +849,7 @@ def encode_record_batch(
     the CRC-32C covers the COMPRESSED bytes (the spec's layering)."""
     if not records:
         return b""
-    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
+    if codec not in _V2_CODECS:
         raise ValueError(f"unsupported codec {codec}")
     base_ts = records[0][2]
     max_ts = max(ts for _, _, ts in records)
@@ -841,8 +862,10 @@ def encode_record_batch(
         payload = gzip_compress(bytes(recs))
     elif codec == CODEC_SNAPPY:
         payload = snappy_compress(bytes(recs))  # v2 snappy is RAW
-    else:
+    elif codec == CODEC_LZ4:
         payload = lz4f_frame(bytes(recs))  # v2 lz4 is a full LZ4F frame
+    else:
+        payload = zstd_compress(bytes(recs))  # v2 zstd: one frame
     crc_body = (
         _i16(codec)  # attributes: codec bits 0-2, CreateTime
         + _i32(len(records) - 1)  # last_offset_delta
@@ -899,7 +922,7 @@ def decode_record_batch_entries(
             raise ValueError("record batch CRC-32C mismatch")
         attrs = r.i16()
         codec = attrs & CODEC_MASK
-        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
+        if codec not in _V2_CODECS:
             raise ValueError(f"unsupported record batch codec {codec}")
         r.i32()  # last_offset_delta
         base_ts = r.i64()
@@ -916,8 +939,10 @@ def decode_record_batch_entries(
                 raw = gzip_decompress(raw)
             elif codec == CODEC_SNAPPY:
                 raw = snappy_decompress(raw)
-            else:
+            elif codec == CODEC_LZ4:
                 raw = lz4f_unframe(raw)
+            else:
+                raw = zstd_decompress(raw)
             r = _Reader(raw)
         for _ in range(count):
             rec_len = r.varint()
@@ -1419,9 +1444,9 @@ class KafkaWireProducer:
     ):
         if message_format not in ("v1", "v2", "auto"):
             raise ValueError(f"message_format must be v1|v2|auto, got {message_format}")
-        if compression not in ("none", "gzip", "snappy", "lz4"):
+        if compression not in ("none", "gzip", "snappy", "lz4", "zstd"):
             raise ValueError(
-                f"compression must be none|gzip|snappy|lz4, got {compression}"
+                f"compression must be none|gzip|snappy|lz4|zstd, got {compression}"
             )
         self.host = host
         self.port = port
@@ -1433,6 +1458,7 @@ class KafkaWireProducer:
             "gzip": CODEC_GZIP,
             "snappy": CODEC_SNAPPY,
             "lz4": CODEC_LZ4,
+            "zstd": CODEC_ZSTD,
         }[compression]
         self._sock: socket.socket | None = None
         self._corr = 0
@@ -1490,6 +1516,11 @@ class KafkaWireProducer:
             return -1
         if self.message_format == "auto":
             self.negotiate_format()
+        if self.codec == CODEC_ZSTD and self.message_format == "v1":
+            raise ValueError(
+                "compression='zstd' needs record-batch v2; the broker "
+                "only speaks message-format v1 (KIP-110)"
+            )
         version = (
             PRODUCE_VERSION_V2_BATCH
             if self.message_format == "v2"

@@ -9,7 +9,9 @@ round-6 Thrift compact reader:
   * page decompression: UNCOMPRESSED, SNAPPY (codec 1 — the RAW snappy
     block format; the round-9 hand-written decoder in
     ``sources/kafka_wire.py`` gets its second consumer here), and
-    GZIP (codec 2, stdlib zlib),
+    GZIP (codec 2, stdlib zlib), ZSTD (codec 6, the pure-stdlib
+    RFC 8878 decoder in zstd_codec.py — pyarrow writes real libzstd
+    pages and this reader decodes them),
   * DATA_PAGE v1 payload: definition levels as a length-prefixed
     RLE/bit-packed HYBRID run (the same encoding Parquet uses for
     dictionary indexes and rep levels — both run kinds implemented),
@@ -58,6 +60,7 @@ _TYPE_BYTE_ARRAY = 6
 _CODEC_UNCOMPRESSED = 0
 _CODEC_SNAPPY = 1
 _CODEC_GZIP = 2
+_CODEC_ZSTD = 6
 _PAGE_DATA_V1 = 0
 _PAGE_DICTIONARY = 2
 _PAGE_DATA_V2 = 3
@@ -108,6 +111,10 @@ def _decompress(page: bytes, codec: int, want: int) -> bytes:
         from .kafka_wire import snappy_decompress
 
         raw = snappy_decompress(page)
+    elif codec == _CODEC_ZSTD:
+        from .zstd_codec import zstd_decompress
+
+        raw = zstd_decompress(page)
     elif codec == _CODEC_GZIP:
         import zlib
 
@@ -261,7 +268,7 @@ def _pq_fixture_dir() -> str:
     from spark_streaming_test_spark.fixtures import fixture_rev
     from spark_streaming_test_spark.llm.multimodal import SCRATCH
 
-    rev = fixture_rev(_pq_n_rows, _pq_val, _pq_name, PQ_N, 2)
+    rev = fixture_rev(_pq_n_rows, _pq_val, _pq_name, PQ_N, 3)
     d = _os.path.join(SCRATCH, f"pq_plain_{rev}")
     _os.makedirs(d, exist_ok=True)
     for i in range(PQ_N):
@@ -280,9 +287,10 @@ def _pq_fixture_dir() -> str:
             }
         )
         tmp = p + ".tmp"
-        # rotate the codec so SNAPPY (hand decoder), GZIP (zlib) and
+        # rotate the codec so SNAPPY (hand decoder), GZIP (zlib),
+        # ZSTD (RFC 8878 hand decoder reading real libzstd pages) and
         # UNCOMPRESSED chunks all appear in the driver-facing query
-        codec = ["snappy", "none", "gzip"][i % 3]
+        codec = ["snappy", "none", "gzip", "zstd"][i % 4]
         pq.write_table(
             tbl,
             tmp,
@@ -319,14 +327,15 @@ FROM rows_
 )
 def scan_parquet_pages_handrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet read WITHOUT a parquet engine: Thrift footer walk, page
-    headers, SNAPPY/GZIP page decompression (the snappy decoder is the
-    round-9 hand-written one), RLE/bit-packed definition levels, PLAIN
+    headers, SNAPPY/GZIP/ZSTD page decompression (snappy and zstd are
+    the hand-written decoders), RLE/bit-packed definition levels, PLAIN
     value decode — every row of pyarrow-written shards reproduced
     byte-exactly. Cross-engine triangle: pyarrow wrote the bytes, this
     reader decodes them, DuckDB recomputes the truth from closed
     forms (tests add a fourth corner: pyarrow reads back the same
-    files). Codec rotates snappy/none/gzip across shards so each
-    decompressor is load-bearing."""
+    files). Codec rotates snappy/none/gzip/zstd across shards so each
+    decompressor is load-bearing — the zstd shards are REAL libzstd
+    output decoded by the pure-stdlib RFC 8878 decoder."""
     d = _pq_fixture_dir()
     src = (
         spark.read.format("binaryFile")
@@ -362,7 +371,7 @@ def _pq_dict_fixture_dir() -> str:
     from spark_streaming_test_spark.fixtures import fixture_rev
     from spark_streaming_test_spark.llm.multimodal import SCRATCH
 
-    rev = fixture_rev(_pq_n_rows, _pq_val, _pq_name, PQ_N, "dict", 2)
+    rev = fixture_rev(_pq_n_rows, _pq_val, _pq_name, PQ_N, "dict", 3)
     d = _os.path.join(SCRATCH, f"pq_dict_{rev}")
     _os.makedirs(d, exist_ok=True)
     for i in range(PQ_N):
@@ -386,7 +395,7 @@ def _pq_dict_fixture_dir() -> str:
         pq.write_table(
             tbl,
             tmp,
-            compression=["snappy", "none", "gzip"][i % 3],
+            compression=["snappy", "none", "gzip", "zstd"][i % 4],
             data_page_version="1.0",
             data_page_size=512,
         )
@@ -422,7 +431,7 @@ def scan_parquet_dict_handrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     — pyarrow's default production layout: per-chunk PLAIN dictionary
     page + RLE_DICTIONARY data pages (raw bit-width byte + hybrid index
     runs), small pages forcing several pages per chunk, codec rotating
-    snappy/none/gzip. Same rows, same oracle, different bytes: a
+    snappy/none/gzip/zstd. Same rows, same oracle, different bytes: a
     correct reader must agree with its PLAIN twin hash-for-hash."""
     d = _pq_dict_fixture_dir()
     src = (

@@ -310,7 +310,7 @@ def kafka_wire_batch_sink(
     the producer retries retriable errors); acks=0 reproduces the
     reference's fire-and-forget at-most-once (SURVEY §4.3).
     ``message_format`` ('v1'|'v2'|'auto' — ApiVersions negotiation) and
-    ``compression`` ('none'|'gzip'|'snappy'|'lz4') pass straight to the
+    ``compression`` ('none'|'gzip'|'snappy'|'lz4'|'zstd') pass straight to the
     producer: each TASK compresses its own batch executor-side, so the
     bytes-on-wire saving scales with parallelism."""
 
