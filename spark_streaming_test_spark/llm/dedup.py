@@ -2974,3 +2974,158 @@ def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hit & F.col("in_b").isNull()).alias("false_positive"),
         )
     )
+
+
+# --- paragraph-level dedup (CCNet-style) -------------------------------------
+#
+# CCNet (Wenzek et al. 2020) removes duplicated PARAGRAPHS across the
+# corpus before any document-level pass: boilerplate headers, cookie
+# banners, and licence blocks repeat verbatim inside otherwise-unique
+# pages. The synthetic documents carry no newlines, so "paragraph" here
+# is a fixed non-overlapping word window — the same first-occurrence-
+# wins semantics, deterministic and closed-form for the oracle.
+
+PARA_WORDS = 20  # words per paragraph chunk
+BP_SPAN_WORDS = 10  # words per boilerplate span
+BP_MIN_DOCS = 2  # spans in >= this many distinct docs (same source) flag
+
+
+def _word_chunks(text_col, width: int):
+    """(chunk_index, chunk_text) pairs: non-overlapping ``width``-word
+    windows of the lower-cased text, all JVM-side array ops."""
+    toks = F.split(F.lower(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(toks, i * width + 1, width), " "
+            ).alias("chunk"),
+        ),
+    )
+
+
+@register(
+    "text_paragraph_dedup",
+    tags=("llm", "dedup", "curation"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+paras AS (
+  SELECT doc_id, i.i AS idx,
+         array_to_string(
+           toks[i.i * {PARA_WORDS} + 1 :
+                least((i.i + 1) * {PARA_WORDS}, len(toks))], ' ') AS para
+  FROM d, LATERAL unnest(range(0, greatest(
+    CAST(ceil(len(toks) / {PARA_WORDS}.0) AS BIGINT), 1))) AS i(i)
+),
+ranked AS (
+  SELECT doc_id, idx, length(para) AS plen,
+         ROW_NUMBER() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, idx) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN rn = 1 THEN plen ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM ranked GROUP BY doc_id
+""",
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup, CCNet's pre-pass: every 20-word
+    chunk is hashed, the FIRST occurrence (by doc_id, chunk index) wins,
+    and later verbatim repeats are removed. Emits the per-document
+    audit a curation pipeline keeps: paragraphs seen, paragraphs
+    removed, characters surviving.
+
+    Scale shape: chunk text is reduced to (md5, length) BEFORE the
+    shuffle — the window partitions by the 32-byte hash, never moving
+    document bodies; the per-doc rollup is a second O(paragraphs)
+    shuffle on doc_id. No pairwise stage exists at any scale."""
+    d = spread(load(spark, sf_dir, "documents"))
+    paras = d.select(
+        "doc_id",
+        F.explode(_word_chunks(F.col("text"), PARA_WORDS)).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.idx").alias("idx"),
+        F.md5("p.chunk").alias("h"),
+        F.length("p.chunk").alias("plen"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("rn") == 1, F.col("plen")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+@register(
+    "text_boilerplate_spans",
+    tags=("llm", "dedup", "curation"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+           toks[i.i * {BP_SPAN_WORDS} + 1 :
+                least((i.i + 1) * {BP_SPAN_WORDS}, len(toks))], ' ')) AS h
+  FROM d, LATERAL unnest(range(0, greatest(
+    CAST(ceil(len(toks) / {BP_SPAN_WORDS}.0) AS BIGINT), 1))) AS i(i)
+),
+freq AS (
+  SELECT source, h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM spans GROUP BY source, h
+)
+SELECT s.doc_id,
+       s.source,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN f.n_docs >= {BP_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN f.n_docs >= {BP_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS boiler_ratio
+FROM spans s JOIN freq f ON s.source = f.source AND s.h = f.h
+GROUP BY s.doc_id, s.source
+""",
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-scoped boilerplate detection (the jusText/trafilatura
+    signal generalized to a corpus pass): a span repeating across
+    >= 2 distinct documents OF THE SAME SOURCE is boilerplate —
+    navigation, footers, licence text — and each document reports its
+    boilerplate ratio, the feature quality filters threshold on.
+
+    Scale shape: spans reduce to (source, md5) pre-shuffle; frequency
+    is one groupBy on (source, hash); the flag returns via an
+    equi-join on the same key, so every stage is postings-bounded —
+    cross-document comparison never materializes."""
+    d = spread(load(spark, sf_dir, "documents"))
+    spans = d.select(
+        "doc_id",
+        "source",
+        F.explode(_word_chunks(F.col("text"), BP_SPAN_WORDS)).alias("p"),
+    ).select("doc_id", "source", F.md5("p.chunk").alias("h"))
+    freq = spans.groupBy("source", "h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    flagged = spans.join(freq, ["source", "h"])
+    boiler = F.when(F.col("n_docs") >= BP_MIN_DOCS, 1).otherwise(0)
+    return flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(boiler).cast("bigint").alias("n_boiler"),
+        (F.sum(boiler).cast("double") / F.count(F.lit(1))).alias(
+            "boiler_ratio"
+        ),
+    )

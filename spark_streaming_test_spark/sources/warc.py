@@ -481,6 +481,133 @@ def scan_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- .warc.zst: one zstd frame per record (the modern crawl layout) ---------
+#
+# Common Crawl's zstd-compressed segments use frame-per-chunk layouts
+# for the same reason the gzip form uses members: an offset index can
+# fetch one record without touching the rest. RFC 8878 frames
+# concatenate legally, so a whole-file decompress also works. The
+# frames here come from the pure-stdlib encoder in zstd_codec.py and
+# are read back by its full decoder.
+
+
+def write_warc_zst(path: str, records) -> None:
+    """Write a .warc.zst segment: each record is its own zstd frame
+    (checksummed — xxHash64 rides every frame) wrapping the exact
+    bytes write_warc would emit for it."""
+    import io
+
+    from .zstd_codec import zstd_compress
+
+    with open(path, "wb") as f:
+        for warc_type, rec_id, uri, payload in records:
+            buf = io.BytesIO()
+            buf.write(b"WARC/1.0\r\n")
+            buf.write(f"WARC-Type: {warc_type}\r\n".encode())
+            buf.write(f"WARC-Record-ID: {rec_id}\r\n".encode())
+            if uri:
+                buf.write(f"WARC-Target-URI: {uri}\r\n".encode())
+            buf.write(f"Content-Length: {len(payload)}\r\n".encode())
+            buf.write(b"\r\n")
+            buf.write(payload)
+            buf.write(b"\r\n\r\n")
+            f.write(zstd_compress(buf.getvalue(), checksum=True))
+
+
+def parse_warc_zst_bytes(path: str, buf: bytes) -> Iterator[tuple]:
+    """Walk the concatenated zstd frames (the frame grammar itself
+    gives the boundary — no heuristic scan), parse each frame's bytes
+    with the plain-WARC parser. rec_index is continuous across frames;
+    a torn final frame is dropped (the .warc.gz convention)."""
+    from .zstd_codec import iter_zstd_frames
+
+    idx = 0
+    try:
+        for raw, _end in iter_zstd_frames(buf):
+            for rec in parse_warc_bytes(path, raw):
+                yield (path, idx, *rec[2:])
+                idx += 1
+    except (ValueError, IndexError, struct.error):
+        return  # torn final frame
+
+
+WARC_ZST_RECS = 60
+
+
+def _warc_zst_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_warc_records, write_warc_zst, WARC_FILES, WARC_ZST_RECS)
+    d = os.path.join(SCRATCH, f"warczst_{rev}")
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        for f in range(WARC_FILES):
+            recs = list(_warc_records(f))[:WARC_ZST_RECS]
+            tmp = os.path.join(d, f"seg_{f:04d}.warc.zst.tmp")
+            write_warc_zst(tmp, recs)
+            os.replace(tmp, os.path.join(d, f"seg_{f:04d}.warc.zst"))
+        open(os.path.join(d, "_DONE"), "w").close()
+    return d
+
+
+@register(
+    "scan_warc_zst_records",
+    tags=("source", "warc", "binary", "zstd"),
+    oracle=f"""
+WITH {_SQL_WARC}
+SELECT CAST(f AS BIGINT) AS file_id, CAST(j AS BIGINT) AS rec_index,
+       warc_type, target_uri,
+       CAST(length(body) AS BIGINT) AS content_length,
+       md5(body) AS payload_md5
+FROM recs WHERE j < {WARC_ZST_RECS}
+""",
+)
+def scan_warc_zst_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zstd twin of ``scan_warc_gz_records``: ``.warc.zst`` with
+    one RFC 8878 frame per record, the layout modern crawls ship for
+    seekability. Frame boundaries come from the zstd frame grammar
+    itself (walked by the pure-stdlib decoder, xxHash64 verified per
+    frame) and each frame's bytes go through the same plain-WARC
+    parser — three container forms (plain / .gz / .zst) now pin one
+    record grammar, under the identical closed-form oracle.
+
+    Scale: same as the gz form — one task per segment file; at crawl
+    scale an offset index turns per-record frames into point reads."""
+    import pandas as pd  # noqa: F401
+
+    d = _warc_zst_fixture_dir()
+
+    def _parse(iterator):
+        import pandas as pd
+
+        cols = [
+            "path", "rec_index", "warc_type", "record_id",
+            "target_uri", "content_length", "payload",
+        ]
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_zst_bytes(path_, bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(d, "*.warc.zst"))
+        .select("path", "content")
+        .mapInPandas(_parse, WARC_SCHEMA)
+    )
+    return df.select(
+        F.regexp_extract("path", r"seg_(\d+)\.warc\.zst", 1)
+        .cast("bigint")
+        .alias("file_id"),
+        "rec_index",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 @register(
     "corpus_warc_ingest_report",
     tags=("source", "warc", "llm", "curation", "flagship"),

@@ -636,77 +636,96 @@ def _decode_block(block: bytes, out: bytearray, state: _FrameState) -> None:
     out += lits[lit_pos:]
 
 
-def zstd_decompress(buf: bytes) -> bytes:
-    """Decompress one or more concatenated zstd frames (skippable
-    frames are skipped). Dictionaries are not supported."""
-    out = bytearray()
+def _decode_frame(buf: bytes, pos: int, out: bytearray) -> int:
+    """Decode ONE zstd frame starting at ``pos`` (after the magic has
+    been verified) into ``out``; returns the position just past the
+    frame. Frames are independent — match offsets never cross a frame
+    boundary — which is what makes frame-per-record container layouts
+    (.warc.zst and friends) seekable."""
+    fhd = buf[pos]
+    pos += 1
+    single_segment = (fhd >> 5) & 1
+    checksum_flag = (fhd >> 2) & 1
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    fcs_flag = fhd >> 6
+    if not single_segment:
+        pos += 1  # Window_Descriptor: parsed for bounds only
+    if did_size:
+        raise ValueError("zstd: dictionaries not supported")
+    if fcs_flag == 0:
+        fcs = buf[pos] if single_segment else None
+        pos += 1 if single_segment else 0
+    elif fcs_flag == 1:
+        fcs = struct.unpack_from("<H", buf, pos)[0] + 256
+        pos += 2
+    elif fcs_flag == 2:
+        (fcs,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+    else:
+        (fcs,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+    frame_start = len(out)
+    state = _FrameState()
+    while True:
+        h = int.from_bytes(buf[pos : pos + 3], "little")
+        pos += 3
+        last = h & 1
+        btype = (h >> 1) & 3
+        bsize = h >> 3
+        if btype == 0:  # raw
+            out += buf[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE: bsize = regenerated size, 1 byte
+            out += bytes([buf[pos]]) * bsize
+            pos += 1
+        elif btype == 2:
+            if bsize > MAX_BLOCK:
+                raise ValueError("zstd: block above maximum size")
+            _decode_block(buf[pos : pos + bsize], out, state)
+            pos += bsize
+        else:
+            raise ValueError("zstd: reserved block type")
+        if last:
+            break
+    if fcs is not None and len(out) - frame_start != fcs:
+        raise ValueError(
+            f"zstd: frame content size mismatch: "
+            f"{len(out) - frame_start} != {fcs}"
+        )
+    if checksum_flag:
+        (want,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        got = xxhash64(bytes(out[frame_start:])) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError("zstd: content checksum mismatch")
+    return pos
+
+
+def iter_zstd_frames(buf: bytes):
+    """Yield ``(decoded_bytes, end_pos)`` per zstd frame in a
+    concatenated stream (skippable frames are skipped, yielding
+    nothing). Strict: truncation mid-frame raises — callers that
+    tolerate a torn final frame (container readers) catch it."""
     pos = 0
     while pos < len(buf):
+        if pos + 4 > len(buf):
+            raise ValueError("zstd: truncated magic")
         (magic,) = struct.unpack_from("<I", buf, pos)
-        pos += 4
         if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
-            (skip,) = struct.unpack_from("<I", buf, pos)
-            pos += 4 + skip
+            (skip,) = struct.unpack_from("<I", buf, pos + 4)
+            pos += 8 + skip
             continue
         if magic != ZSTD_MAGIC:
             raise ValueError(f"zstd: bad magic 0x{magic:08X}")
-        fhd = buf[pos]
-        pos += 1
-        single_segment = (fhd >> 5) & 1
-        checksum_flag = (fhd >> 2) & 1
-        did_size = (0, 1, 2, 4)[fhd & 3]
-        fcs_flag = fhd >> 6
-        if not single_segment:
-            pos += 1  # Window_Descriptor: parsed for bounds only
-        if did_size:
-            raise ValueError("zstd: dictionaries not supported")
-        if fcs_flag == 0:
-            fcs = buf[pos] if single_segment else None
-            pos += 1 if single_segment else 0
-        elif fcs_flag == 1:
-            fcs = struct.unpack_from("<H", buf, pos)[0] + 256
-            pos += 2
-        elif fcs_flag == 2:
-            (fcs,) = struct.unpack_from("<I", buf, pos)
-            pos += 4
-        else:
-            (fcs,) = struct.unpack_from("<Q", buf, pos)
-            pos += 8
-        frame_start = len(out)
-        state = _FrameState()
-        while True:
-            h = int.from_bytes(buf[pos : pos + 3], "little")
-            pos += 3
-            last = h & 1
-            btype = (h >> 1) & 3
-            bsize = h >> 3
-            if btype == 0:  # raw
-                out += buf[pos : pos + bsize]
-                pos += bsize
-            elif btype == 1:  # RLE: bsize = regenerated size, 1 byte
-                out += bytes([buf[pos]]) * bsize
-                pos += 1
-            elif btype == 2:
-                if bsize > MAX_BLOCK:
-                    raise ValueError("zstd: block above maximum size")
-                _decode_block(buf[pos : pos + bsize], out, state)
-                pos += bsize
-            else:
-                raise ValueError("zstd: reserved block type")
-            if last:
-                break
-        if fcs is not None and len(out) - frame_start != fcs:
-            raise ValueError(
-                f"zstd: frame content size mismatch: "
-                f"{len(out) - frame_start} != {fcs}"
-            )
-        if checksum_flag:
-            (want,) = struct.unpack_from("<I", buf, pos)
-            pos += 4
-            got = xxhash64(bytes(out[frame_start:])) & 0xFFFFFFFF
-            if got != want:
-                raise ValueError("zstd: content checksum mismatch")
-    return bytes(out)
+        out = bytearray()
+        pos = _decode_frame(buf, pos + 4, out)
+        yield bytes(out), pos
+
+
+def zstd_decompress(buf: bytes) -> bytes:
+    """Decompress one or more concatenated zstd frames (skippable
+    frames are skipped). Dictionaries are not supported."""
+    return b"".join(chunk for chunk, _ in iter_zstd_frames(buf))
 
 
 # --- encoder: raw/RLE-block frames ------------------------------------------

@@ -1,0 +1,116 @@
+"""Round-9 second-wave operators: .warc.zst containers, CCNet-style
+paragraph dedup, and domain-scoped boilerplate spans.
+
+Correctness of the registered queries rides test_oracle_parity (hash
+vs DuckDB); these tests pin the parts an oracle can't: container
+torn-tail behavior, cross-container agreement, first-occurrence-wins
+semantics on a hand-built corpus, and the plan shapes that make the
+text operators scale (hash-not-body shuffles, zero Python eval)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_warc_zst_frame_roundtrip_and_torn_tail(tmp_path):
+    """Frame-per-record .warc.zst roundtrips exactly, the whole file is
+    one legal concatenated-frame stream, and a torn final frame drops
+    cleanly (the .warc.gz convention)."""
+    from spark_streaming_test_spark.sources import warc as W
+    from spark_streaming_test_spark.sources.zstd_codec import zstd_decompress
+
+    recs = [
+        ("response", "<urn:z1>", "http://h.test/1", b"hello zst"),
+        ("request", "<urn:z2>", "http://h.test/1", b""),
+        ("response", "<urn:z3>", "http://h.test/2", b"bye " * 50),
+    ]
+    p = str(tmp_path / "seg.warc.zst")
+    W.write_warc_zst(p, recs)
+    buf = open(p, "rb").read()
+    got = list(W.parse_warc_zst_bytes(p, buf))
+    assert [(r[2], r[3], r[4], r[6]) for r in got] == recs
+    assert [r[1] for r in got] == [0, 1, 2]  # file-level rec_index
+    # whole-stream decompress is the same plain WARC (frame concat law)
+    plain = zstd_decompress(buf)
+    assert len(list(W.parse_warc_bytes(p, plain))) == 3
+    # torn final frame: complete records survive, the tail is dropped
+    got2 = list(W.parse_warc_zst_bytes(p, buf[:-5]))
+    assert [r[3] for r in got2] == ["<urn:z1>", "<urn:z2>"]
+
+
+def test_warc_three_containers_agree(spark):
+    """plain / .gz / .zst fixture scans produce identical parse output
+    (same record grammar under three compressions) on the shared
+    record prefix."""
+    from spark_streaming_test_spark import registry
+
+    qs = registry.queries()
+    cols = ["file_id", "rec_index", "warc_type", "target_uri",
+            "content_length", "payload_md5"]
+    plain = {
+        tuple(r) for r in qs["scan_warc_records"](spark, SF_DIR)
+        .filter(F.col("rec_index") < 50).select(cols).collect()
+    }
+    gz = {
+        tuple(r) for r in qs["scan_warc_gz_records"](spark, SF_DIR)
+        .filter(F.col("rec_index") < 50).select(cols).collect()
+    }
+    zst = {
+        tuple(r) for r in qs["scan_warc_zst_records"](spark, SF_DIR)
+        .filter(F.col("rec_index") < 50).select(cols).collect()
+    }
+    assert plain == gz == zst
+    assert len(plain) == 200  # 4 files x 50 shared records
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Hand-built corpus: doc 0 and doc 2 share a verbatim 20-word
+    paragraph; the doc-0 copy (smaller doc_id) survives, the doc-2
+    copy is removed, unique paragraphs are untouched."""
+    from spark_streaming_test_spark.llm.dedup import (
+        PARA_WORDS,
+        _word_chunks,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(PARA_WORDS))
+    uniq = [" ".join(f"u{d}w{i}" for i in range(PARA_WORDS)) for d in range(3)]
+    df = spark.createDataFrame(
+        [
+            (0, shared + " " + uniq[0]),
+            (1, uniq[1]),
+            (2, uniq[2] + " " + shared),
+        ],
+        "doc_id long, text string",
+    )
+    paras = df.select(
+        "doc_id", F.explode(_word_chunks(F.col("text"), PARA_WORDS)).alias("p")
+    ).select("doc_id", "p.idx", F.md5("p.chunk").alias("h"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    removed = {
+        (r["doc_id"], r["idx"])
+        for r in ranked.filter(F.col("rn") > 1).collect()
+    }
+    assert removed == {(2, 1)}  # only doc 2's copy of the shared para
+
+
+def test_text_dedup_plans_shuffle_hashes_not_bodies(spark):
+    """Scale gate for the two text passes: no Python eval node at all
+    (pure built-ins), and every exchange key set is (hash[, idx/doc_id/
+    source]) — document text never crosses a shuffle boundary."""
+    from spark_streaming_test_spark import registry
+
+    qs = registry.queries()
+    for name in ("text_paragraph_dedup", "text_boilerplate_spans"):
+        df = qs[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text#" not in line, (name, line)
+                assert "chunk" not in line, (name, line)
