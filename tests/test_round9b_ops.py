@@ -114,3 +114,79 @@ def test_text_dedup_plans_shuffle_hashes_not_bodies(spark):
             if "Exchange hashpartitioning" in line:
                 assert "text#" not in line, (name, line)
                 assert "chunk" not in line, (name, line)
+
+
+# --- H.264 NAL/SPS metadata demux --------------------------------------------
+
+
+def test_h264_exp_golomb_and_escape_roundtrip():
+    """Property: ue(v) write->read is identity, and emulation
+    prevention escape->unescape is identity on adversarial byte runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_test_spark.sources.h264_nal import (
+        _BitReader,
+        _BitWriter,
+        escape_rbsp,
+        unescape_rbsp,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, 100000), min_size=1, max_size=30))
+    def golomb(values):
+        w = _BitWriter()
+        for v in values:
+            w.ue(v)
+        r = _BitReader(w.rbsp())
+        assert [r.ue() for _ in values] == values
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def escape(payload):
+        # bias toward the dangerous alphabet
+        twisted = bytes(b % 5 for b in payload)
+        for data in (payload, twisted):
+            assert unescape_rbsp(escape_rbsp(data)) == data
+            # escaped form never contains a start code
+            assert b"\x00\x00\x01" not in escape_rbsp(data)
+            assert b"\x00\x00\x00" not in escape_rbsp(data)
+
+    golomb()
+    escape()
+
+
+def test_h264_annexb_split_and_forbidden_bit():
+    from spark_streaming_test_spark.sources.h264_nal import (
+        split_annexb,
+        write_annexb,
+    )
+    import pytest as _pytest
+
+    nals = [(7, b"\x42\x00\x1e\x80"), (8, b"\x01\x00\x00\x01\x80"),
+            (5, b"\x00\x00\x02\x00\x00\x00\x03\x80")]
+    buf = write_annexb(nals)
+    got = split_annexb(buf)
+    assert [(i, t) for i, t, _ in got] == [(0, 7), (1, 8), (2, 5)]
+    from spark_streaming_test_spark.sources.h264_nal import unescape_rbsp
+
+    assert [unescape_rbsp(e) for _, _, e in got] == [p for _, p in nals]
+    # forbidden_zero_bit: a header byte with the top bit set must raise
+    bad = b"\x00\x00\x01" + bytes([0x80 | 7]) + b"\x42"
+    with _pytest.raises(ValueError, match="forbidden"):
+        split_annexb(bad)
+
+
+def test_h264_sps_crop_math_1080p():
+    """1920x1080 codes as 120x68 macroblocks (1088 rows); only correct
+    4:2:0 crop-unit math recovers 1080."""
+    from spark_streaming_test_spark.sources.h264_nal import (
+        build_sps,
+        parse_sps,
+    )
+
+    m = parse_sps(build_sps(77, 40, 1920, 1080))
+    assert (m["width"], m["height"]) == (1920, 1080)
+    # and a non-multiple-of-16 width too
+    m2 = parse_sps(build_sps(66, 30, 1366, 768))
+    assert (m2["width"], m2["height"]) == (1366, 768)
