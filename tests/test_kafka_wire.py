@@ -1146,3 +1146,37 @@ def test_consumer_decodes_libzstd_compressed_batch():
     batch = _s.pack(">qi", 0, len(head) + len(crc_body)) + head + crc_body
     out = decode_record_batch_entries(batch, strict=True)
     assert out == [(i, *BULK[i]) for i in range(10)]
+
+
+def test_kafka_wire_sink_negotiated_zstd_delivery(spark, tmp_path):
+    """The zstd twin of the lz4 sink test: message_format='auto' +
+    compression='zstd' negotiates v2, the stored segment is a magic=2
+    batch with codec bits 4, and the records decode back through the
+    full RFC 8878 decoder on the consumer side."""
+    src = str(tmp_path / "in")
+    _write_packet_batch(
+        spark, src, [("A", 200.0, _ts(0)), ("B", 100.0, _ts(0))], 0
+    )
+    totals = packet_stream_from_dir(spark, src).select(
+        "nif", F.col("bytes").alias("total_bytes")
+    )
+    alerts = edge_trigger_stream(totals, max_limit=150.0)
+    with MiniKafkaBroker() as broker:
+        q = write_alerts_kafka_wire(
+            alerts, broker.host, broker.port,
+            checkpoint=str(tmp_path / "chk"),
+            message_format="auto", compression="zstd",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(v.decode() for _k, v, _ in broker.fetch("alerts"))
+        segs = broker.log.segments.get(("alerts", 0), [])
+    assert got == sorted([ALERT_MSG, INFO_MSG])
+    assert segs, "negotiated v2 produce must store an atomic raw batch"
+    raw = segs[0][2]
+    assert raw[16] == 2  # magic=2 (auto picked v2)
+    import struct as _s
+
+    assert _s.unpack_from(">h", raw, 21)[0] & 0x07 == CODEC_ZSTD
