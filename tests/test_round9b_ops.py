@@ -190,3 +190,42 @@ def test_h264_sps_crop_math_1080p():
     # and a non-multiple-of-16 width too
     m2 = parse_sps(build_sps(66, 30, 1366, 768))
     assert (m2["width"], m2["height"]) == (1366, 768)
+
+
+# --- web-document operators ---------------------------------------------------
+
+
+def test_html_extractor_drops_invisible_and_decodes_entities():
+    from spark_streaming_test_spark.llm.webdoc import extract_html
+
+    html = (
+        "<html><head><title>T &amp; U</title>"
+        "<script>var leak = 'SECRET';</script>"
+        "<style>b { }</style></head>"
+        "<body><p>alpha &lt;beta&gt;</p><noscript>NOPE</noscript>"
+        "<p><a href='x'>go</a> gamma</p></body></html>"
+    )
+    r = extract_html(html)
+    assert r["title"] == "T & U"
+    assert r["text"] == "alpha <beta> go gamma"
+    assert "SECRET" not in r["text"] and "NOPE" not in r["text"]
+    assert r["n_links"] == 1 and r["n_paragraphs"] == 2
+    assert r["dropped_chars"] > 0
+
+
+def test_robots_prefix_semantics():
+    import urllib.robotparser as rp
+
+    from spark_streaming_test_spark.llm.webdoc import _robots_txt
+
+    p = rp.RobotFileParser()
+    p.parse(_robots_txt("src3").splitlines())  # odd: disallow 3, 7, 11
+    assert not p.can_fetch("*", "http://src3.example/p/3")
+    assert not p.can_fetch("*", "http://src3.example/p/11")
+    assert p.can_fetch("*", "http://src3.example/p/1")  # 1 != prefix of 11 rule
+    assert p.can_fetch("*", "http://src3.example/p/13")  # /p/3 not a prefix
+    p2 = rp.RobotFileParser()
+    p2.parse(_robots_txt("src4").splitlines())
+    assert not p2.can_fetch("*", "http://src4.example/p/0")
+    assert not p2.can_fetch("*", "http://src4.example/private/x")
+    assert p2.can_fetch("*", "http://src4.example/p/3")
