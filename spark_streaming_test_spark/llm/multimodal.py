@@ -1144,36 +1144,38 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def write_png_rgb8(path: str, width: int, height: int, pixel) -> None:
-    """Minimal REAL PNG writer: 8-bit/channel truecolor (color type 2),
-    non-interlaced. Scanline y uses filter type y % 5, so None, Sub,
-    Up, Average and Paeth all appear in any image of height >= 5;
-    ``pixel(x, y)`` returns (r, g, b) with (0, 0) the top-left."""
-    import binascii
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order.
+ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    bpp = 3
+
+def _filter_scanlines(rows: list[bytes], bpp: int) -> bytearray:
+    """Apply the five PNG filters cycling per row (y % 5) to a block of
+    raw scanlines; prior-row state starts at zero (each Adam7 pass is
+    filtered as its own little image, per the spec)."""
     stream = bytearray()
-    prior = bytes(width * bpp)
-    for y in range(height):
-        raw = bytes(v for x in range(width) for v in pixel(x, y))
+    prior = bytes(len(rows[0])) if rows else b""
+    for y, raw in enumerate(rows):
         f = y % 5
         stream.append(f)
         if f == 0:
             stream += raw
-        elif f == 1:  # Sub: left neighbor
+        elif f == 1:
             stream += bytes(
                 (raw[i] - (raw[i - bpp] if i >= bpp else 0)) % 256
                 for i in range(len(raw))
             )
-        elif f == 2:  # Up: prior scanline
+        elif f == 2:
             stream += bytes((raw[i] - prior[i]) % 256 for i in range(len(raw)))
-        elif f == 3:  # Average: floor mean of left and up
+        elif f == 3:
             stream += bytes(
-                (raw[i] - ((raw[i - bpp] if i >= bpp else 0) + prior[i]) // 2) % 256
+                (raw[i] - ((raw[i - bpp] if i >= bpp else 0) + prior[i]) // 2)
+                % 256
                 for i in range(len(raw))
             )
-        else:  # Paeth
+        else:
             stream += bytes(
                 (
                     raw[i]
@@ -1187,6 +1189,42 @@ def write_png_rgb8(path: str, width: int, height: int, pixel) -> None:
                 for i in range(len(raw))
             )
         prior = raw
+    return stream
+
+
+def write_png_rgb8(
+    path: str, width: int, height: int, pixel, interlace: int = 0
+) -> None:
+    """Minimal REAL PNG writer: 8-bit/channel truecolor (color type 2).
+    Scanline y uses filter type y % 5, so None, Sub, Up, Average and
+    Paeth all appear in any image of height >= 5; ``pixel(x, y)``
+    returns (r, g, b) with (0, 0) the top-left. ``interlace=1`` writes
+    Adam7: seven passes, each extracted on the spec's grid and
+    filtered as an independent sub-image."""
+    import binascii
+    import zlib
+
+    bpp = 3
+    if interlace:
+        stream = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            rows = [
+                bytes(
+                    v
+                    for x in range(x0, width, dx)
+                    for v in pixel(x, y)
+                )
+                for y in range(y0, height, dy)
+            ]
+            rows = [r for r in rows if r]
+            if rows:
+                stream += _filter_scanlines(rows, bpp)
+    else:
+        rows = [
+            bytes(v for x in range(width) for v in pixel(x, y))
+            for y in range(height)
+        ]
+        stream = _filter_scanlines(rows, bpp)
     comp = zlib.compress(bytes(stream), 6)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -1197,7 +1235,7 @@ def write_png_rgb8(path: str, width: int, height: int, pixel) -> None:
             + _struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, interlace)
     mid = max(1, len(comp) // 2)  # two IDAT chunks: reader must concat
     with open(path, "wb") as f_out:
         f_out.write(
@@ -1218,8 +1256,10 @@ def decode_png_rgb8(buf: bytes):
     dependency, so those lanes reconstruct byte-sequentially within the
     row — true of every PNG decoder ever written, which is why PNG rows
     (not pixels) are the natural unit of decode parallelism. Supported
-    profile: bit depth 8, color type 2 (truecolor), non-interlaced;
-    anything else raises rather than guessing."""
+    profile: bit depth 8, color type 2 (truecolor), interlace 0 OR 1
+    — Adam7 passes are unfiltered as independent sub-images and
+    scattered back on the pass grid; anything else raises rather than
+    guessing."""
     import binascii
     import zlib
 
@@ -1237,11 +1277,11 @@ def decode_png_rgb8(buf: bytes):
             raise ValueError(f"PNG chunk {ctype!r} fails CRC-32")
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, inter = _struct.unpack(">IIBBBBB", data)
-            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+            if (depth, color, comp, filt) != (8, 2, 0, 0) or inter not in (0, 1):
                 raise ValueError(
                     f"unsupported PNG profile (depth={depth}, color={color}, "
                     f"interlace={inter}) — this decoder covers 8-bit "
-                    "truecolor non-interlaced"
+                    "truecolor, interlace 0/1"
                 )
         elif ctype == b"IDAT":
             idat += data
@@ -1251,38 +1291,62 @@ def decode_png_rgb8(buf: bytes):
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     raw = zlib.decompress(bytes(idat))
-    bpp, stride = 3, w * 3
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG decompressed stream has the wrong length")
-    img = np.zeros((h, stride), dtype=np.uint8)
+    bpp = 3
+
+    def unfilter_block(pos: int, bw: int, bh: int):
+        """Reverse the scanline filters over one filtered block (the
+        whole image, or one Adam7 pass) -> (bh x bw*3 array, new pos)."""
+        stride = bw * bpp
+        blk = np.zeros((bh, stride), dtype=np.uint8)
+        for y in range(bh):
+            if pos >= len(raw):
+                raise ValueError("PNG decompressed stream too short")
+            f = raw[pos]
+            pos += 1
+            line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+            pos += stride
+            prior = (
+                blk[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+            )
+            if f == 0:
+                rec = line
+            elif f == 2:
+                rec = (line + prior) % 256
+            elif f in (1, 3, 4):
+                rec = np.empty(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = int(rec[i - bpp]) if i >= bpp else 0
+                    up = int(prior[i])
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + up) // 2
+                    else:
+                        pred = _paeth(a, up, ul)
+                    rec[i] = (int(line[i]) + pred) % 256
+            else:
+                raise ValueError(f"PNG scanline has invalid filter type {f}")
+            blk[y] = rec.astype(np.uint8)
+        return blk, pos
+
+    if inter == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG decompressed stream has the wrong length")
+        img, pos = unfilter_block(0, w, h)
+        return w, h, img.reshape(h, w, bpp)
+    img = np.zeros((h, w, bpp), dtype=np.uint8)
     pos = 0
-    for y in range(h):
-        f = raw[pos]
-        pos += 1
-        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
-        pos += stride
-        prior = img[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
-        if f == 0:
-            rec = line
-        elif f == 2:
-            rec = (line + prior) % 256
-        elif f in (1, 3, 4):
-            rec = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(rec[i - bpp]) if i >= bpp else 0
-                up = int(prior[i])
-                ul = int(prior[i - bpp]) if i >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + up) // 2
-                else:
-                    pred = _paeth(a, up, ul)
-                rec[i] = (int(line[i]) + pred) % 256
-        else:
-            raise ValueError(f"PNG scanline has invalid filter type {f}")
-        img[y] = rec.astype(np.uint8)
-    return w, h, img.reshape(h, w, bpp)
+    for x0, y0, dx, dy in ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        blk, pos = unfilter_block(pos, pw, ph)
+        img[y0:h:dy, x0:w:dx] = blk.reshape(ph, pw, bpp)
+    if pos != len(raw):
+        raise ValueError("PNG interlaced stream has trailing bytes")
+    return w, h, img
 
 
 def _png_pixel(i: int):
@@ -1350,6 +1414,105 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     d = _png_fixture_dir()
+    src = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.png"))
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img_id = int(path.rsplit("img_", 1)[1][:4])
+                w, h, px = decode_png_rgb8(bytes(content))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        img_id, w, h, w * h,
+                        int(s[0]), int(s[1]), int(s[2]),
+                        int(px[0, 0, 1]), int(px[h - 1, w - 1, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                    "topleft_g", "bottomright_r",
+                ],
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "img_id bigint, width int, height int, n_pixels bigint, "
+            "sum_r bigint, sum_g bigint, sum_b bigint, "
+            "topleft_g int, bottomright_r int"
+        ),
+    )
+
+
+PNG_I_N = 30
+
+
+def _png_interlaced_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+
+    rev = fixture_rev(_png_pixel, write_png_rgb8, _paeth, "adam7", PNG_I_N)
+    d = _os.path.join(SCRATCH, f"png_adam7_{rev}")
+    _os.makedirs(d, exist_ok=True)
+    for i in range(PNG_I_N):
+        p = _os.path.join(d, f"img_{i:04d}.png")
+        if not _os.path.exists(p):
+            tmp = p + ".tmp"
+            # sizes down to 1xN / Nx1 so empty Adam7 passes occur
+            write_png_rgb8(
+                tmp, 1 + i % 12, 1 + i % 9, _png_pixel(i), interlace=1
+            )
+            _os.replace(tmp, p)
+    return d
+
+
+@register(
+    "mm_decode_png_interlaced",
+    tags=("llm", "multimodal", "decode", "pandas-udf"),
+    oracle=f"""
+WITH imgs AS (
+  SELECT i, 1 + i % 12 AS w, 1 + i % 9 AS h FROM range({PNG_I_N}) t(i)
+),
+px AS (
+  SELECT i, w, h, xx.x AS x, yy.y AS y
+  FROM imgs,
+       LATERAL unnest(range(0, w)) AS xx(x),
+       LATERAL unnest(range(0, h)) AS yy(y)
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+       CAST(SUM((2 * x + 3 * y + 5 * i) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((x + 4 * y + 7 * i) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((5 * x + y + 2 * i) % 256) AS BIGINT) AS sum_b,
+       CAST((7 * i) % 256 AS INTEGER) AS topleft_g,
+       CAST((2 * (MAX(w) - 1) + 3 * (MAX(h) - 1) + 5 * i) % 256 AS INTEGER)
+         AS bottomright_r
+FROM px GROUP BY i
+""",
+)
+def mm_decode_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Adam7 twin of ``mm_decode_png``: interlaced fixtures decode
+    through the seven-pass grid — each pass unfiltered as its own
+    sub-image (filter state resets per pass, per the spec) and
+    scattered back on the (x0, y0, dx, dy) lattice. Sizes run down to
+    1xN / Nx1 so EMPTY passes occur and must be skipped without
+    consuming stream bytes; the position-sensitive corners catch any
+    scatter-grid error the sums would mask. Same oracle arithmetic as
+    the progressive-JPEG pair: identical pixels, different wire order.
+    Scale: identical shape to mm_decode_png (files x mapInPandas)."""
+    import numpy as np
+
+    d = _png_interlaced_fixture_dir()
     src = (
         spark.read.format("binaryFile")
         .load(_os.path.join(d, "*.png"))

@@ -1553,3 +1553,41 @@ def test_progressive_jpeg_single_python_stage(spark, qs):
     plan = checks.formatted_plan(df)
     assert _n_nodes(plan, "MapInPandas") == 1, plan[:1500]
     assert "BatchEvalPython" not in plan
+
+
+def test_round9b_container_queries_single_python_stage(spark, qs):
+    # Every round-9b byte-level source parses in ONE Python boundary
+    # (mapInPandas over binaryFile or one ArrowEvalPython); no
+    # row-wise BatchEvalPython anywhere, no shuffle before the parse.
+    for name in (
+        "scan_warc_zst_records",
+        "mm_video_h264_nal_index",
+        "mm_audio_flac_decode",
+        "mm_audio_flac_streaminfo",
+        "scan_pdf_text",
+        "scan_pdf_doc_meta",
+    ):
+        df = qs[name](spark, SF_DIR)
+        plan = checks.formatted_plan(df)
+        assert plan.count("MapInPandas (") == 1, (name, plan[:1200])
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_round9b_table_queries_single_arrow_stage(spark, qs):
+    # html extraction, robots filtering, and the zstd wire twin are
+    # per-row Arrow-batched passes: exactly one ArrowEvalPython, no
+    # exchange introduced by the UDF itself.
+    for name in (
+        "html_extract_text",
+        "corpus_robots_filter",
+        "traffic_alerts_kafka_wire_zstd",
+    ):
+        df = qs[name](spark, SF_DIR)
+        plan = checks.formatted_plan(df)
+        assert plan.count("ArrowEvalPython (") == 1, (name, plan[:1200])
+        assert "BatchEvalPython" not in plan, name
+    # h264 SPS metadata: NAL split + SPS parse are two mapInPandas
+    # stages by design (filter nal_type==7 between them stays JVM-side)
+    df = qs["mm_video_h264_sps_meta"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BatchEvalPython" not in plan

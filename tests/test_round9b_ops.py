@@ -229,3 +229,75 @@ def test_robots_prefix_semantics():
     assert not p2.can_fetch("*", "http://src4.example/p/0")
     assert not p2.can_fetch("*", "http://src4.example/private/x")
     assert p2.can_fetch("*", "http://src4.example/p/3")
+
+
+def test_png_adam7_equals_sequential_decode(tmp_path):
+    """Same pixel formula written interlaced and straight must decode
+    to identical arrays, across shapes with empty Adam7 passes."""
+    import numpy as np
+
+    from spark_streaming_test_spark.llm.multimodal import (
+        _png_pixel,
+        decode_png_rgb8,
+        write_png_rgb8,
+    )
+
+    for w, h in [(1, 1), (2, 3), (7, 1), (1, 9), (13, 11), (16, 5)]:
+        pa = str(tmp_path / "a.png")
+        pb = str(tmp_path / "b.png")
+        write_png_rgb8(pa, w, h, _png_pixel(4), interlace=0)
+        write_png_rgb8(pb, w, h, _png_pixel(4), interlace=1)
+        _, _, seq = decode_png_rgb8(open(pa, "rb").read())
+        _, _, adam = decode_png_rgb8(open(pb, "rb").read())
+        assert (seq == adam).all(), (w, h)
+        want = np.array(
+            [[_png_pixel(4)(x, y) for x in range(w)] for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (adam == want).all(), (w, h)
+
+
+def test_png_interlaced_trailing_bytes_detected(tmp_path):
+    """An interlaced stream with leftover bytes after the last pass
+    (a pass-geometry bug) must raise, not silently succeed."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.llm.multimodal import (
+        _png_pixel,
+        decode_png_rgb8,
+        write_png_rgb8,
+    )
+
+    p = str(tmp_path / "t.png")
+    write_png_rgb8(p, 9, 7, _png_pixel(2), interlace=1)
+    buf = bytearray(open(p, "rb").read())
+    # rebuild with one junk byte appended inside the deflate stream
+    # (cheap route: decode IDAT, append, re-deflate, re-chunk)
+    import binascii
+
+    off, idat, chunks = 8, bytearray(), []
+    while off + 12 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, off)
+        ctype = bytes(buf[off + 4 : off + 8])
+        data = bytes(buf[off + 8 : off + 8 + ln])
+        chunks.append((ctype, data))
+        if ctype == b"IDAT":
+            idat += data
+        off += 12 + ln
+    bad_stream = zlib.decompress(bytes(idat)) + b"\x00"
+    comp = zlib.compress(bad_stream, 6)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + b"".join(
+        chunk(t, d) for t, d in chunks if t not in (b"IDAT", b"IEND")
+    ) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="trailing|filter|short"):
+        decode_png_rgb8(out)
