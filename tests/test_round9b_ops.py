@@ -301,3 +301,52 @@ def test_png_interlaced_trailing_bytes_detected(tmp_path):
     ) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="trailing|filter|short"):
         decode_png_rgb8(out)
+
+
+# --- TIFF ----------------------------------------------------------------------
+
+
+def test_tiff_error_paths_and_packbits_vectors():
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import tiff_file as T
+
+    # spec example vector (TIFF 6.0 §9): mixed literal + repeat runs
+    enc = bytes.fromhex("fe aa 02 80 00 2a fd aa 03 80 00 2a 22 f7 aa".replace(" ", ""))
+    dec = T.packbits_decode(enc, 24)
+    assert dec == bytes.fromhex(
+        "aa aa aa 80 00 2a aa aa aa aa 80 00 2a 22 aa aa aa aa aa aa aa aa aa aa".replace(" ", "")
+    )
+    with _pytest.raises(ValueError, match="byte-order"):
+        list(T.parse_tiff(b"XX\x2a\x00"))
+    with _pytest.raises(ValueError, match="magic"):
+        list(T.parse_tiff(b"II\x2b\x00\x08\x00\x00\x00"))
+
+
+def test_tiff_multipage_both_endians_agree(tmp_path):
+    """Identical pixels written LE and BE decode to identical bytes."""
+    from spark_streaming_test_spark.sources import tiff_file as T
+
+    pages = [(9, 7, 1, T._tiff_px_gray(0, 0)), (10, 8, 3, T._tiff_px_rgb(0, 1))]
+    a, b = str(tmp_path / "le.tif"), str(tmp_path / "be.tif")
+    T.write_tiff(a, pages, big_endian=False)
+    T.write_tiff(b, pages, big_endian=True)
+    pa = [pg["pixels"] for pg in T.parse_tiff(open(a, "rb").read())]
+    pb = [pg["pixels"] for pg in T.parse_tiff(open(b, "rb").read())]
+    assert pa == pb and len(pa) == 2
+
+
+def test_tiff_circular_ifd_detected(tmp_path):
+    import struct as _s
+
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import tiff_file as T
+
+    p = str(tmp_path / "c.tif")
+    T.write_tiff(p, [(4, 3, 1, T._tiff_px_gray(1, 0))])
+    buf = bytearray(open(p, "rb").read())
+    (ifd0,) = _s.unpack_from("<I", buf, 4)
+    buf[-4:] = _s.pack("<I", ifd0)  # last IFD points back at itself
+    with _pytest.raises(ValueError, match="circular"):
+        list(T.parse_tiff(bytes(buf)))
