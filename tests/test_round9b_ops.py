@@ -350,3 +350,68 @@ def test_tiff_circular_ifd_detected(tmp_path):
     buf[-4:] = _s.pack("<I", ifd0)  # last IFD points back at itself
     with _pytest.raises(ValueError, match="circular"):
         list(T.parse_tiff(bytes(buf)))
+
+
+# --- tokenized binary export ----------------------------------------------------
+
+
+def test_tokenized_bin_shards_memmap_roundtrip(spark, tmp_path):
+    """Materialize actual .bin/.idx shards from the export plan, then
+    slice every document back out with numpy memory-maps: the byte
+    offsets computed by the window must land exactly on each doc's
+    token run, and the packed uint16 bytes must hash to ids_md5."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from spark_streaming_test_spark import registry
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.llm.export_bin import (
+        N_SHARDS,
+        token_ids,
+    )
+    import pyspark.sql.functions as F
+
+    plan = {
+        r["doc_id"]: r
+        for r in registry.queries()["export_tokenized_bin"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", token_ids(F.col("text")).alias("ids"))
+        .collect()
+    )
+    ids_by_doc = {r["doc_id"]: r["ids"] for r in docs}
+    # write shards in idx_pos order (what a real exporter does per task)
+    shards: dict[int, list] = {s: [] for s in range(N_SHARDS)}
+    for doc_id, row in plan.items():
+        shards[row["shard_id"]].append((row["idx_pos"], doc_id, row))
+    for s, entries in shards.items():
+        entries.sort()
+        binf = tmp_path / f"shard_{s}.bin"
+        idxf = tmp_path / f"shard_{s}.idx"
+        with open(binf, "wb") as bf, open(idxf, "wb") as xf:
+            for _pos, doc_id, row in entries:
+                arr = np.asarray(ids_by_doc[doc_id], dtype="<u2")
+                assert bf.tell() == row["byte_offset"], (s, doc_id)
+                bf.write(arr.tobytes())
+                xf.write(struct.pack("<qqq", doc_id, row["byte_offset"],
+                                     row["byte_len"]))
+        # memmap slice-back: every doc recoverable in O(1) by offset
+        mm = np.memmap(binf, dtype="<u2", mode="r")
+        for _pos, doc_id, row in entries:
+            lo = row["byte_offset"] // 2
+            n = row["byte_len"] // 2
+            got = mm[lo : lo + n]
+            assert list(got) == list(ids_by_doc[doc_id]), doc_id
+            joined = ",".join(str(int(v)) for v in got)
+            assert hashlib.md5(joined.encode()).hexdigest() == row["ids_md5"]
+
+
+def test_token_ids_fit_uint16():
+    from spark_streaming_test_spark.llm.export_bin import VOCAB
+
+    assert VOCAB <= 0xFFFF + 1
