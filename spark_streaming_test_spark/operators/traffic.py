@@ -523,7 +523,9 @@ def traffic_alerts_kafka_wire_zstd(spark: SparkSession, sf_dir: str) -> DataFram
         lens, nifs, msgs, tss = [], [], [], []
         for n, m, t in zip(nif, message, ts_ms):
             buf = encode_record_batch(
-                [(n.encode(), m.encode(), int(t))], codec=CODEC_ZSTD
+                [(n.encode(), m.encode(), int(t))],
+                codec=CODEC_ZSTD,
+                zstd_raw=True,  # the oracle replays THIS framing's length
             )
             ((off, key, value, ts),) = decode_record_batch_entries(
                 buf, strict=True

@@ -135,9 +135,9 @@ def write_avro_container(path: str, records, codec: str, sync: bytes) -> None:
             )
         elif codec == "zstandard":
             # Avro spec: one zstd frame per block, no extra checksum
-            from .zstd_codec import zstd_compress
+            from .zstd_codec import zstd_compress_lz
 
-            data = zstd_compress(data)
+            data = zstd_compress_lz(data)
         elif codec != "null":
             raise ValueError(f"unsupported avro codec {codec!r}")
         out += _zz_long(len(chunk)) + _zz_long(len(data)) + data + sync

@@ -85,7 +85,7 @@ import threading
 import zlib
 from dataclasses import dataclass, field
 
-from .zstd_codec import zstd_compress, zstd_decompress
+from .zstd_codec import zstd_compress, zstd_compress_lz, zstd_decompress
 
 API_PRODUCE = 0
 API_FETCH = 1
@@ -840,6 +840,7 @@ def encode_record_batch(
     records: list[tuple[bytes | None, bytes | None, int]],
     base_offset: int = 0,
     codec: int = CODEC_NONE,
+    zstd_raw: bool = False,
 ) -> bytes:
     """One v2 RecordBatch. Producer-side base_offset is 0 (the broker
     assigns the real one by rewriting the first 8 bytes — legal because
@@ -865,7 +866,14 @@ def encode_record_batch(
     elif codec == CODEC_LZ4:
         payload = lz4f_frame(bytes(recs))  # v2 lz4 is a full LZ4F frame
     else:
-        payload = zstd_compress(bytes(recs))  # v2 zstd: one frame
+        # production path: the real LZ + predefined-FSE compressor;
+        # ``zstd_raw=True`` selects the raw-block framer whose length
+        # is a closed form (traffic_alerts_kafka_wire_zstd's oracle)
+        payload = (
+            zstd_compress(bytes(recs))
+            if zstd_raw
+            else zstd_compress_lz(bytes(recs))
+        )
     crc_body = (
         _i16(codec)  # attributes: codec bits 0-2, CreateTime
         + _i32(len(records) - 1)  # last_offset_delta

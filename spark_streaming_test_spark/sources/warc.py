@@ -497,7 +497,7 @@ def write_warc_zst(path: str, records) -> None:
     bytes write_warc would emit for it."""
     import io
 
-    from .zstd_codec import zstd_compress
+    from .zstd_codec import zstd_compress_lz
 
     with open(path, "wb") as f:
         for warc_type, rec_id, uri, payload in records:
@@ -511,7 +511,7 @@ def write_warc_zst(path: str, records) -> None:
             buf.write(b"\r\n")
             buf.write(payload)
             buf.write(b"\r\n\r\n")
-            f.write(zstd_compress(buf.getvalue(), checksum=True))
+            f.write(zstd_compress_lz(buf.getvalue(), checksum=True))
 
 
 def parse_warc_zst_bytes(path: str, buf: bytes) -> Iterator[tuple]:

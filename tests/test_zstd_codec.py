@@ -128,3 +128,75 @@ def test_dictionary_frames_rejected():
     frame = struct.pack("<IBBB", ZSTD_MAGIC, 0x21, 7, 0)
     with pytest.raises(ValueError, match="dictionaries"):
         zstd_decompress(frame)
+
+
+@pytest.mark.parametrize("checksum", [False, True])
+def test_lz_compressor_roundtrips_both_decoders(checksum):
+    from spark_streaming_test_spark.sources.zstd_codec import (
+        zstd_compress_lz,
+    )
+
+    codec = pa.Codec("zstd")
+    for raw in _corpora():
+        frame = zstd_compress_lz(raw, checksum=checksum)
+        assert zstd_decompress(frame) == raw
+        assert codec.decompress(
+            frame, decompressed_size=len(raw), asbytes=True
+        ) == raw
+
+
+def test_lz_compressor_actually_compresses():
+    from spark_streaming_test_spark.sources.zstd_codec import (
+        zstd_compress_lz,
+    )
+
+    texty = b"the quick brown fox jumps over the lazy dog. " * 500
+    frame = zstd_compress_lz(texty)
+    assert len(frame) < len(texty) // 3
+    # incompressible input falls back to raw blocks: bounded overhead
+    rng = random.Random(11)
+    noise = bytes(rng.randrange(256) for _ in range(5000))
+    assert len(zstd_compress_lz(noise)) <= len(noise) + 16
+
+
+def test_fse_encoder_matches_decoder_all_predefined_tables():
+    """Interleave-free single-table FSE roundtrip across the three
+    predefined distributions — pins the encode-side state machine
+    (delta_nb_bits / delta_find_state / nextState) against the
+    decode-side table build."""
+    from spark_streaming_test_spark.sources.zstd_codec import (
+        _BackBits,
+        _FseEncoder,
+        _FwdBitWriter,
+        _LL_DEFAULT,
+        _ML_DEFAULT,
+        _OF_DEFAULT,
+        fse_build_ctable,
+        fse_build_dtable,
+    )
+
+    rng = random.Random(1)
+    for counts, al, nsym in (
+        (_LL_DEFAULT, 6, 36),
+        (_OF_DEFAULT, 5, 29),
+        (_ML_DEFAULT, 6, 53),
+    ):
+        dt = fse_build_dtable(counts, al)
+        ct = fse_build_ctable(counts, al)
+        for _ in range(100):
+            syms = [rng.randrange(nsym) for _ in range(rng.randrange(1, 50))]
+            enc = _FseEncoder(ct, al)
+            bits = _FwdBitWriter()
+            enc.init(syms[-1])
+            for s in reversed(syms[:-1]):
+                enc.encode(s, bits)
+            enc.flush(bits)
+            br = _BackBits(bits.close())
+            state = br.read(al)
+            out = []
+            for i in range(len(syms)):
+                sym, nb, base = dt[state]
+                out.append(sym)
+                if i + 1 < len(syms):
+                    state = base + br.read(nb)
+            assert out == syms
