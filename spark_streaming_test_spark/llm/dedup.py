@@ -3129,3 +3129,82 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boiler_ratio"
         ),
     )
+
+
+@register(
+    "text_paragraph_dedup_apply",
+    tags=("llm", "dedup", "curation"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+paras AS (
+  SELECT doc_id, i.i AS idx,
+         array_to_string(
+           toks[i.i * {PARA_WORDS} + 1 :
+                least((i.i + 1) * {PARA_WORDS}, len(toks))], ' ') AS para
+  FROM d, LATERAL unnest(range(0, greatest(
+    CAST(ceil(len(toks) / {PARA_WORDS}.0) AS BIGINT), 1))) AS i(i)
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, idx) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       string_agg(para, ' ' ORDER BY idx)
+         FILTER (WHERE rn = 1) AS cleaned_text,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+FROM ranked GROUP BY doc_id
+""",
+)
+def text_paragraph_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the CCNet pass: rebuild each document from
+    its surviving paragraphs (first occurrence wins corpus-wide),
+    emitting the cleaned text itself — what actually flows to the next
+    pipeline stage. Documents whose every paragraph was seen earlier
+    come back NULL (dropped entirely), the CCNet behavior for full
+    duplicates.
+
+    Scale note vs the stats twin: this variant must carry paragraph
+    TEXT through the hash window (the rebuild needs it), so its
+    shuffle is O(corpus bytes) — unavoidable for a materializing pass
+    and still a single exchange + one rollup; the stats twin remains
+    the cheap audit."""
+    d = spread(load(spark, sf_dir, "documents"))
+    paras = d.select(
+        "doc_id",
+        F.explode(_word_chunks(F.lower(F.col("text")), PARA_WORDS)).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.idx").alias("idx"),
+        F.col("p.chunk").alias("para"),
+        F.md5("p.chunk").alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "para"))
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    # documents with zero surviving paragraphs must still appear (NULL)
+    return (
+        d.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cleaned_text",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
