@@ -229,17 +229,30 @@ def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_resize_stub",
     tags=("llm", "multimodal", "pandas-udf"),
-    # rows-only (engine-side stub; determinism asserted in tests/test_llm.py)
+    # upgraded round 9 from rows-only to a FULL hash oracle: payloads
+    # here are ASCII text bytes, so DuckDB replays truncate-or-cycle-pad
+    # as repeat+substr and md5s the same 128 bytes the Arrow stage
+    # produced (name kept for driver-evidence continuity)
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_bytes,
+       CAST(128 AS BIGINT) AS new_bytes,
+       md5(substr(repeat(text,
+             CAST(ceil(128.0 / length(text)) AS BIGINT)), 1, 128))
+         AS resized_md5
+FROM documents
+""",
 )
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: binary payloads stream through ``mapInPandas``
     and come back re-scaled to a fixed TARGET_BYTES budget (truncate or
     cycle-pad — the deterministic stand-in for an image resample; swap
-    the inner fn for PIL ``Image.resize`` when libs exist). Emits the
-    resized payload WITH its provenance metadata (orig/new sizes, scale
-    factor) — the payload column stays opaque binary end-to-end, which
-    is the invariant that matters at 100 TB: Python touches bytes only
-    inside the Arrow batch, the engine never interprets them."""
+    the inner fn for PIL ``Image.resize`` when libs exist). The payload
+    column stays opaque binary inside the Arrow stage — the invariant
+    that matters at 100 TB — and is hashed at the boundary so the
+    oracle can replay the byte arithmetic (documents are ASCII, making
+    cycle-pad SQL-expressible; both truncate and pad branches occur at
+    every SF since doc lengths straddle the 128-byte budget)."""
     TARGET_BYTES = 128
     d = load(spark, sf_dir, "documents")
     src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
@@ -265,9 +278,15 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return src.mapInPandas(
+    out = src.mapInPandas(
         resize,
         schema="doc_id long, orig_bytes long, resized binary, new_bytes long",
+    )
+    return out.select(
+        "doc_id",
+        "orig_bytes",
+        "new_bytes",
+        F.md5("resized").alias("resized_md5"),
     )
 
 

@@ -268,11 +268,19 @@ def test_mm_resize_stub_budget_and_determinism(spark, sf_dir):
 
     rows = {r["doc_id"]: r for r in mm_resize_stub(spark, sf_dir).collect()}
     assert rows
+    import hashlib
+
+    md5_128_zero = hashlib.md5(b"\x00" * 128).hexdigest()
     for r in rows.values():
         assert r["new_bytes"] == 128
-        assert len(r["resized"]) == 128
-    again = {r["doc_id"]: bytes(r["resized"]) for r in mm_resize_stub(spark, sf_dir).collect()}
-    assert {k: bytes(v["resized"]) for k, v in rows.items()} == again
+        assert len(r["resized_md5"]) == 32
+        assert r["resized_md5"] != md5_128_zero  # no doc hit the
+        # empty-payload zero-fill branch (docs are never empty)
+    again = {
+        r["doc_id"]: r["resized_md5"]
+        for r in mm_resize_stub(spark, sf_dir).collect()
+    }
+    assert {k: v["resized_md5"] for k, v in rows.items()} == again
 
 
 def test_kmeans_lloyd_inertia_non_increasing(spark, sf_dir):
