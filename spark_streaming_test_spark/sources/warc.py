@@ -344,8 +344,47 @@ class WarcDirDataSource(DataSource):
         return WarcDirStreamReader(self.options)
 
 
+def _read_warc_zst_file(path: str) -> Iterator[tuple]:
+    with open(path, "rb") as f:
+        buf = f.read()
+    yield from parse_warc_zst_bytes(path, buf)
+
+
+class WarcZstDirBatchReader(PcapDirBatchReader):
+    _GLOB = "*.warc.zst"
+    _parse_file = staticmethod(_read_warc_zst_file)
+
+
+class WarcZstDirStreamReader(PcapDirStreamReader):
+    _GLOB = "*.warc.zst"
+    _parse_file = staticmethod(_read_warc_zst_file)
+
+
+class WarcZstDirDataSource(DataSource):
+    """format('warc_zst_dir') — the compressed-segment twin of
+    ``warc_dir``: zstd frame-per-record crawl segments landing in a
+    directory, streamed with the same named-offset replay contract.
+    Decompression happens executor-side inside the partition read (the
+    pure-stdlib RFC 8878 decoder), so the driver plans by file NAME
+    and never touches segment bytes."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc_zst_dir"
+
+    def schema(self) -> str:
+        return WARC_SCHEMA
+
+    def reader(self, schema):
+        return WarcZstDirBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return WarcZstDirStreamReader(self.options)
+
+
 def register_warc_source(spark: SparkSession) -> None:
     spark.dataSource.register(WarcDirDataSource)
+    spark.dataSource.register(WarcZstDirDataSource)
 
 
 # --- .warc.gz: one gzip member per record (the actual CommonCrawl layout) ---

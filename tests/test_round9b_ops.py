@@ -415,3 +415,57 @@ def test_token_ids_fit_uint16():
     from spark_streaming_test_spark.llm.export_bin import VOCAB
 
     assert VOCAB <= 0xFFFF + 1
+
+
+def test_warc_zst_dir_stream_exactly_once(spark, tmp_path):
+    """warc_zst_dir streaming source: compressed crawl segments land in
+    two waves; each record is consumed exactly once across
+    micro-batches (the warc_dir contract under zstd frames, with
+    decompression executor-side)."""
+    import os
+
+    from spark_streaming_test_spark.sources.warc import (
+        register_warc_source,
+        write_warc_zst,
+    )
+
+    register_warc_source(spark)
+    src = str(tmp_path / "segs")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "got")
+    os.makedirs(src)
+
+    def land(name, recs):
+        write_warc_zst(os.path.join(src, name), recs)
+
+    land("seg_000.warc.zst",
+         [("response", "<urn:z0>", "http://a.test/0", b"aa bb " * 50)])
+    q = (
+        spark.readStream.format("warc_zst_dir")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land(
+            "seg_001.warc.zst",
+            [
+                ("response", "<urn:z1>", "http://b.test/1", b"cc dd ee"),
+                ("request", "<urn:z2>", "http://b.test/1", b""),
+            ],
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()  # idle trigger must not re-read
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["record_id"] for r in rows)
+    assert ids == ["<urn:z0>", "<urn:z1>", "<urn:z2>"]
+    by_id = {r["record_id"]: r for r in rows}
+    assert bytes(by_id["<urn:z1>"]["payload"]) == b"cc dd ee"
+    assert by_id["<urn:z0>"]["content_length"] == 300
