@@ -50,6 +50,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 
@@ -123,6 +124,23 @@ def write_mp4_mjpeg(
     ``SAMPLES_PER_CHUNK`` samples with a partial final chunk (so the
     stsc run table has two entries whenever n % 3 != 0 — the case a
     naive demuxer gets wrong)."""
+    _write_mp4_video(
+        path, samples, width, height, delta_ms, b"jpeg", b"", b"mjpeg\x00"
+    )
+
+
+def _write_mp4_video(
+    path: str,
+    samples: list[bytes],
+    width: int,
+    height: int,
+    delta_ms: int,
+    entry_fourcc: bytes,
+    entry_extra: bytes,
+    handler_tag: bytes,
+) -> None:
+    """Shared track assembly; ``entry_extra`` appends codec-config
+    child boxes (avcC and friends) inside the VisualSampleEntry."""
     n = len(samples)
     assert n >= 1
     sizes = [len(s) for s in samples]
@@ -177,7 +195,7 @@ def write_mp4_mjpeg(
         + _struct.pack(">Hh", 0x55C4, 0),  # language 'und'
     )
     hdlr = _full(
-        b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"mjpeg\x00"
+        b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + handler_tag
     )
     vmhd = _full(b"vmhd", 0, 1, _struct.pack(">Hhhh", 0, 0, 0, 0))
     dref = _full(
@@ -185,7 +203,7 @@ def write_mp4_mjpeg(
     )
     dinf = _box(b"dinf", dref)
     sample_entry = _box(
-        b"jpeg",
+        entry_fourcc,
         b"\x00" * 6
         + _struct.pack(">H", 1)  # data_reference_index
         + b"\x00" * 16  # predefined/reserved
@@ -194,7 +212,8 @@ def write_mp4_mjpeg(
         + b"\x00" * 4
         + _struct.pack(">H", 1)  # frame_count
         + b"\x00" * 32  # compressorname
-        + _struct.pack(">Hh", 24, -1),  # depth, predefined
+        + _struct.pack(">Hh", 24, -1)  # depth, predefined
+        + entry_extra,
     )
     stsd = _full(b"stsd", 0, 0, _struct.pack(">I", 1) + sample_entry)
     stts = _full(
@@ -636,4 +655,232 @@ def _mp4_video_query(spark: SparkSession, stride: int) -> DataFrame:
             "video_id bigint, frame_idx bigint, pts_ms bigint, "
             "n_frames int, sum_lum bigint, checker_sum bigint, topleft int"
         ),
+    )
+
+
+# --- H.264 in MP4: 'avc1' sample entries + the avcC configuration box --------
+#
+# The integration point between this container module and
+# sources/h264_nal.py: real MP4 video carries AVC as 'avc1' tracks
+# whose decoder configuration (SPS/PPS, length-prefix size) lives in
+# an avcC box INSIDE the sample entry, and whose samples are
+# length-prefixed NAL units (not Annex-B start codes). Metadata-level
+# only, like the rest of the h264 family: SPS geometry + keyframe map,
+# no pixel decode.
+
+
+def build_avcc(sps_ebsp: bytes, pps_ebsp: bytes) -> bytes:
+    """AVCDecoderConfigurationRecord (ISO 14496-15): version, profile/
+    level mirrored from the SPS, 4-byte NAL length prefixes, one SPS +
+    one PPS (stored as full NAL units, emulation prevention intact)."""
+    return _box(
+        b"avcC",
+        bytes([1, sps_ebsp[1], sps_ebsp[2], sps_ebsp[3], 0xFC | 3, 0xE0 | 1])
+        + _struct.pack(">H", len(sps_ebsp))
+        + sps_ebsp
+        + bytes([1])
+        + _struct.pack(">H", len(pps_ebsp))
+        + pps_ebsp,
+    )
+
+
+def write_mp4_h264(
+    path: str,
+    width: int,
+    height: int,
+    profile: int,
+    level: int,
+    nal_payloads: list[tuple[int, bytes]],
+    delta_ms: int = 40,
+) -> None:
+    """One length-prefixed NAL unit per sample; SPS/PPS ride the avcC
+    box (out-of-band, the MP4 convention) rather than the stream."""
+    from .h264_nal import build_sps, escape_rbsp
+
+    sps_ebsp = bytes([0x67]) + escape_rbsp(build_sps(profile, level, width, height))
+    pps_ebsp = bytes([0x68, 0xCE, 0x38, 0x80])  # minimal valid PPS shape
+    samples = []
+    for nal_type, rbsp in nal_payloads:
+        nal = bytes([(3 << 5) | nal_type]) + escape_rbsp(rbsp)
+        samples.append(_struct.pack(">I", len(nal)) + nal)
+    _write_mp4_video(
+        path, samples, width, height, delta_ms,
+        b"avc1", build_avcc(sps_ebsp, pps_ebsp), b"avc1\x00",
+    )
+
+
+def read_mp4_avcc(buf: bytes) -> dict:
+    """Extract + parse the avcC record of the first sample entry:
+    profile/level from the record header, display geometry from the
+    embedded SPS (exp-Golomb parse, emulation prevention stripped)."""
+    from .h264_nal import parse_sps, unescape_rbsp
+
+    moov_body, moov_end = _find_box(buf, 0, len(buf), b"moov")
+    trak_body, trak_end = _find_box(buf, moov_body, moov_end, b"trak")
+    mdia_body, mdia_end = _find_box(buf, trak_body, trak_end, b"mdia")
+    minf_body, minf_end = _find_box(buf, mdia_body, mdia_end, b"minf")
+    stbl_body, stbl_end = _find_box(buf, minf_body, minf_end, b"stbl")
+    stsd_body, stsd_end = _find_box(buf, stbl_body, stbl_end, b"stsd")
+    entry_start = stsd_body + 8  # version/flags + entry_count
+    (entry_size,) = _struct.unpack_from(">I", buf, entry_start)
+    fourcc = buf[entry_start + 4 : entry_start + 8]
+    if fourcc != b"avc1":
+        raise ValueError(f"not an avc1 track (sample entry {fourcc!r})")
+    # VisualSampleEntry fixed prefix: 8 (box hdr) + 78 bytes
+    child_start = entry_start + 8 + 78
+    avcc_body, avcc_end = _find_box(
+        buf, child_start, entry_start + entry_size, b"avcC"
+    )
+    version, profile, _compat, level, lsm1, nsps = _struct.unpack_from(
+        ">BBBBBB", buf, avcc_body
+    )
+    if version != 1:
+        raise ValueError(f"avcC version {version}")
+    length_size = (lsm1 & 3) + 1
+    p = avcc_body + 6
+    if (nsps & 0x1F) != 1:
+        raise ValueError("expected exactly one SPS in avcC")
+    (sps_len,) = _struct.unpack_from(">H", buf, p)
+    sps_ebsp = buf[p + 2 : p + 2 + sps_len]
+    meta = parse_sps(unescape_rbsp(sps_ebsp[1:]))
+    return {
+        "profile_idc": profile,
+        "level_idc": level,
+        "length_size": length_size,
+        "width": meta["width"],
+        "height": meta["height"],
+    }
+
+
+def split_length_prefixed_nals(sample: bytes, length_size: int = 4):
+    """MP4-style NAL framing: [(nal_type, payload)] per sample."""
+    out = []
+    p = 0
+    while p < len(sample):
+        ln = int.from_bytes(sample[p : p + length_size], "big")
+        p += length_size
+        nal = sample[p : p + ln]
+        if len(nal) < ln:
+            raise ValueError("mp4: NAL length prefix past sample end")
+        p += ln
+        out.append((nal[0] & 0x1F, nal[1:]))
+    return out
+
+
+H264_MP4_FILES = 4
+
+
+def _h264_mp4_nals(f: int) -> list[tuple[int, bytes]]:
+    """5+f samples; every 4th is an IDR; ramp payloads end 0x80."""
+    out = []
+    for j in range(5 + f):
+        body = bytes(((f * 19 + j * 11 + k) % 7 for k in range(20 + 4 * j)))
+        out.append((5 if j % 4 == 0 else 1, body + b"\x80"))
+    return out
+
+
+def _h264_mp4_fixture_dir() -> str:
+    from spark_streaming_test_spark.fixtures import fixture_rev
+    from spark_streaming_test_spark.llm.multimodal import SCRATCH
+    from .h264_nal import _SPS_PARAMS, build_sps
+
+    rev = fixture_rev(
+        _h264_mp4_nals, write_mp4_h264, build_avcc, build_sps, H264_MP4_FILES
+    )
+    d = _os.path.join(SCRATCH, f"mp4h264_{rev}")
+    if not _os.path.exists(_os.path.join(d, "_DONE")):
+        _os.makedirs(d, exist_ok=True)
+        for f in range(H264_MP4_FILES):
+            profile, level, w, h, _refs = _SPS_PARAMS[f % len(_SPS_PARAMS)]
+            write_mp4_h264(
+                _os.path.join(d, f"clip_{f:04d}.mp4"),
+                w, h, profile, level, _h264_mp4_nals(f),
+            )
+        open(_os.path.join(d, "_DONE"), "w").close()
+    return d
+
+
+@register(
+    "mm_video_mp4_h264_meta",
+    tags=("multimodal", "video", "binary"),
+    oracle=f"""
+WITH params(f, profile_idc, level_idc, width, height) AS (
+  VALUES (0, 66, 30, 320, 240), (1, 77, 31, 1280, 720),
+         (2, 66, 21, 352, 288), (3, 77, 40, 1920, 1080)
+)
+SELECT CAST(f AS INTEGER) AS file_id,
+       'avc1' AS codec,
+       CAST(profile_idc AS INTEGER) AS profile_idc,
+       CAST(level_idc AS INTEGER) AS level_idc,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS length_size,
+       CAST(5 + f AS INTEGER) AS n_samples,
+       CAST(CEIL((5 + f) / 4.0) AS INTEGER) AS n_keyframes
+FROM params
+""",
+)
+def mm_video_mp4_h264_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264-in-MP4 metadata: the avcC decoder configuration (profile/
+    level + the out-of-band SPS parsed with the exp-Golomb machinery
+    from sources/h264_nal.py — geometry incl. the 1080p crop case) and
+    the keyframe map from walking every sample's LENGTH-PREFIXED NAL
+    units (the MP4 framing, distinct from Annex-B start codes). Two
+    modules' formats meeting exactly where real files put them; still
+    metadata-level, no pixel decode.
+
+    Scale: moov + avcC are a header read; the keyframe walk touches
+    NAL headers via the sample table, not frame bodies."""
+    import pandas as pd  # noqa: F401
+
+    d = _h264_mp4_fixture_dir()
+
+    def _parse(iterator):
+        import pandas as pd
+
+        cols = ["path", "codec", "profile_idc", "level_idc", "width",
+                "height", "length_size", "n_samples", "n_keyframes"]
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                meta = read_mp4_avcc(buf)
+                _w, _h, _ts, codec, table = read_mp4_sample_table(buf)
+                nkey = 0
+                for off, size, _pts, _idx in table:
+                    nals = split_length_prefixed_nals(
+                        buf[off : off + size], meta["length_size"]
+                    )
+                    if any(t == 5 for t, _ in nals):
+                        nkey += 1
+                rows.append((
+                    path_, codec.decode("ascii"), meta["profile_idc"],
+                    meta["level_idc"], meta["width"], meta["height"],
+                    meta["length_size"], len(table), nkey,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(_os.path.join(d, "*.mp4"))
+        .select("path", "content")
+        .mapInPandas(
+            _parse,
+            "path string, codec string, profile_idc int, level_idc int, "
+            "width int, height int, length_size int, n_samples int, "
+            "n_keyframes int",
+        )
+    )
+    return df.select(
+        F.regexp_extract("path", r"clip_(\d{4})\.mp4", 1)
+        .cast("int")
+        .alias("file_id"),
+        "codec",
+        "profile_idc",
+        "level_idc",
+        "width",
+        "height",
+        "length_size",
+        "n_samples",
+        "n_keyframes",
     )
