@@ -469,3 +469,45 @@ def test_warc_zst_dir_stream_exactly_once(spark, tmp_path):
     by_id = {r["record_id"]: r for r in rows}
     assert bytes(by_id["<urn:z1>"]["payload"]) == b"cc dd ee"
     assert by_id["<urn:z0>"]["content_length"] == 300
+
+
+# --- MP3 / ID3v2 ----------------------------------------------------------------
+
+
+def test_mp3_id3_roundtrip_and_error_paths(tmp_path):
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import mp3_id3 as M
+
+    p = str(tmp_path / "t.mp3")
+    M.write_mp3(p, [("TIT2", "héllo"), ("TALB", "ångström")],
+                [(9, 0, 0, 1), (5, 0, 1, 2), (14, 0, 0, 3)])
+    buf = open(p, "rb").read()
+    tags, frames = M.parse_mp3(buf)
+    assert tags == {"TIT2": "héllo", "TALB": "ångström"}  # UTF-8 decode
+    assert [fr["bitrate_kbps"] for fr in frames] == [128, 64, 320]
+    # padding adds exactly one byte
+    assert frames[1]["bytes"] == 144 * 64000 // 44100 + 1
+    # torn final frame drops
+    _, fr2 = M.parse_mp3(buf[:-1])
+    assert len(fr2) == 2
+    # junk between tag and first sync: hard error, not silent resync
+    tag = M.build_id3v2([("TIT2", "x")])
+    with _pytest.raises(ValueError, match="sync"):
+        M.parse_mp3(tag + b"\x00\x01\x02\x03" + buf[len(tag):])
+    # free-format / invalid bitrate index rejected
+    import struct as _s
+
+    bad = _s.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17) | (0 << 12) | (0 << 10))
+    with _pytest.raises(ValueError, match="bitrate"):
+        M.parse_mp3(bad + b"\x00" * 100)
+
+
+def test_id3v2_syncsafe_roundtrip():
+    from spark_streaming_test_spark.sources.mp3_id3 import (
+        _read_syncsafe,
+        _syncsafe,
+    )
+
+    for n in (0, 1, 127, 128, 0x3FFF, 0x4000, (1 << 28) - 1):
+        assert _read_syncsafe(_syncsafe(n)) == n
