@@ -96,6 +96,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.sources.tiff_file",
     "spark_streaming_test_spark.llm.export_bin",
     "spark_streaming_test_spark.sources.mp3_id3",
+    "spark_streaming_test_spark.sources.webm_ebml",
 ]
 
 # Driver verification window + full rotation plan. The driver checks the
@@ -110,8 +111,8 @@ _DRIVER_WINDOW = [
     # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8
     # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (215) ---
-    "mm_audio_mp3_meta", "mm_video_mp4_h264_meta",
+    # --- never driver-sampled — planned rotation order (216) ---
+    "mm_video_webm_meta", "mm_audio_mp3_meta", "mm_video_mp4_h264_meta",
     "text_paragraph_dedup_apply", "export_tokenized_bin", "mm_decode_tiff",
     "mm_decode_png_interlaced", "html_extract_text", "corpus_robots_filter",
     "scan_pdf_text", "scan_pdf_doc_meta", "mm_audio_flac_decode",

@@ -511,3 +511,57 @@ def test_id3v2_syncsafe_roundtrip():
 
     for n in (0, 1, 127, 128, 0x3FFF, 0x4000, (1 << 28) - 1):
         assert _read_syncsafe(_syncsafe(n)) == n
+
+
+# --- WebM / EBML ---------------------------------------------------------------
+
+
+def test_webm_unknown_elements_skipped_and_errors(tmp_path):
+    """EBML forward compat: an unknown element injected into Tracks is
+    skipped by size; unknown-size elements and wrong doctypes raise."""
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import webm_ebml as W
+
+    p = str(tmp_path / "v.webm")
+    W.write_webm(p, "V_VP8", 64, 48, W._webm_clusters(0), duration_ms=320.0)
+    buf = open(p, "rb").read()
+    # inject an unknown element (ID 0xBF = CRC-32, valid anywhere) at
+    # the head of the Segment payload
+    eid, s0, s1, _ = W.read_element(buf, 0)  # EBML header
+    seg_id, g0, g1, _ = W.read_element(buf, s1)
+    unknown = W.element(0xBF, b"\xde\xad\xbe\xef")
+    patched = (
+        buf[:s1]
+        + W._id_bytes(W.SEGMENT)
+        + W.encode_vint_size((g1 - g0) + len(unknown))
+        + unknown
+        + buf[g0:g1]
+    )
+    m = W.parse_webm(patched)
+    assert (m["width"], m["height"], m["n_blocks"]) == (64, 48, 8)
+    # unknown-size element: all-ones size vint must raise
+    bad = buf[:s1] + W._id_bytes(W.SEGMENT) + b"\xff" + buf[g0:g1]
+    with _pytest.raises(ValueError, match="unknown-size"):
+        W.parse_webm(bad)
+    # doctype gate
+    with _pytest.raises(ValueError, match="doctype"):
+        W.parse_webm(
+            W.element(W.EBML_HEADER, W.element(W.DOCTYPE, b"avi"))
+            + buf[s1:]
+        )
+
+
+def test_ebml_vint_widths():
+    from spark_streaming_test_spark.sources.webm_ebml import (
+        _read_vint,
+        encode_vint_size,
+    )
+
+    assert encode_vint_size(0) == b"\x80"
+    assert encode_vint_size(126) == b"\xfe"
+    assert encode_vint_size(127) == b"\x40\x7f"  # all-ones is reserved
+    assert encode_vint_size(16382) == b"\x7f\xfe"
+    assert encode_vint_size(16383) == b"\x20\x3f\xff"
+    v, n = _read_vint(b"\x1a\x45\xdf\xa3", 0, keep_marker=True)
+    assert (v, n) == (0x1A45DFA3, 4)  # the EBML header ID, verbatim
