@@ -97,6 +97,7 @@ _QUERY_MODULES = [
     "spark_streaming_test_spark.llm.export_bin",
     "spark_streaming_test_spark.sources.mp3_id3",
     "spark_streaming_test_spark.sources.webm_ebml",
+    "spark_streaming_test_spark.sources.ogg_pages",
 ]
 
 # Driver verification window + full rotation plan. The driver checks the
@@ -111,14 +112,14 @@ _DRIVER_WINDOW = [
     # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8
     # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (216) ---
-    "mm_video_webm_meta", "mm_audio_mp3_meta", "mm_video_mp4_h264_meta",
-    "text_paragraph_dedup_apply", "export_tokenized_bin", "mm_decode_tiff",
-    "mm_decode_png_interlaced", "html_extract_text", "corpus_robots_filter",
-    "scan_pdf_text", "scan_pdf_doc_meta", "mm_audio_flac_decode",
-    "mm_audio_flac_streaminfo", "mm_video_h264_nal_index",
-    "mm_video_h264_sps_meta", "text_paragraph_dedup",
-    "text_boilerplate_spans", "scan_warc_zst_records",
+    # --- never driver-sampled — planned rotation order (217) ---
+    "mm_audio_ogg_pages", "mm_video_webm_meta", "mm_audio_mp3_meta",
+    "mm_video_mp4_h264_meta", "text_paragraph_dedup_apply",
+    "export_tokenized_bin", "mm_decode_tiff", "mm_decode_png_interlaced",
+    "html_extract_text", "corpus_robots_filter", "scan_pdf_text",
+    "scan_pdf_doc_meta", "mm_audio_flac_decode", "mm_audio_flac_streaminfo",
+    "mm_video_h264_nal_index", "mm_video_h264_sps_meta",
+    "text_paragraph_dedup", "text_boilerplate_spans", "scan_warc_zst_records",
     "traffic_alerts_kafka_wire_zstd", "mm_audio_adpcm_decode",
     "scan_parquet_dict_handrolled", "scan_parquet_pages_handrolled",
     "mm_audio_alaw_decode", "mm_audio_mulaw_decode", "mm_jpeg_exif_metadata",

@@ -565,3 +565,36 @@ def test_ebml_vint_widths():
     assert encode_vint_size(16383) == b"\x20\x3f\xff"
     v, n = _read_vint(b"\x1a\x45\xdf\xa3", 0, keep_marker=True)
     assert (v, n) == (0x1A45DFA3, 4)  # the EBML header ID, verbatim
+
+
+# --- Ogg pages -----------------------------------------------------------------
+
+
+def test_ogg_page_grammar_and_integrity():
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import ogg_pages as O
+
+    buf = b"".join(
+        O.build_page(7, p, (p + 1) * 960, O._ogg_packets(0, p),
+                     bos=(p == 0), eos=(p == 2))
+        for p in range(3)
+    )
+    st = O.parse_ogg(buf)[7]
+    assert (st["n_pages"], st["n_packets"]) == (3, 6)
+    assert st["bos_seen"] and st["eos_seen"]
+    # exact-multiple-of-255 packet: lacing 255,255,0 (terminator 0)
+    one = O.build_page(1, 0, 0, [b"x" * 510])
+    assert one[26] == 3 and list(one[27:30]) == [255, 255, 0]
+    assert O.parse_ogg(one)[1]["n_packets"] == 1
+    # unreflected CRC is verified with the field zeroed
+    bad = bytearray(buf)
+    bad[40] ^= 1
+    with _pytest.raises(ValueError, match="CRC"):
+        O.parse_ogg(bytes(bad))
+    # page sequence gaps are loss, not noise
+    gap = O.build_page(7, 0, 0, [b"a"], bos=True) + O.build_page(7, 2, 0, [b"b"])
+    with _pytest.raises(ValueError, match="gap"):
+        O.parse_ogg(gap)
+    # torn final page drops
+    assert O.parse_ogg(buf[:-5])[7]["n_pages"] == 2
