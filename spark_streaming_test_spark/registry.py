@@ -109,31 +109,12 @@ _DRIVER_WINDOW = [
     # GENERATED by tools/gen_driver_window.py — do not hand-edit.
     # Derived from CORRECTNESS_r*.json: reds, then new names, then
     # the never-sampled backlog, then greens (stalest first).
-    # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8
+    # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9
     # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (217) ---
-    "mm_audio_ogg_pages", "mm_video_webm_meta", "mm_audio_mp3_meta",
-    "mm_video_mp4_h264_meta", "text_paragraph_dedup_apply",
-    "export_tokenized_bin", "mm_decode_tiff", "mm_decode_png_interlaced",
-    "html_extract_text", "corpus_robots_filter", "scan_pdf_text",
-    "scan_pdf_doc_meta", "mm_audio_flac_decode", "mm_audio_flac_streaminfo",
-    "mm_video_h264_nal_index", "mm_video_h264_sps_meta",
-    "text_paragraph_dedup", "text_boilerplate_spans", "scan_warc_zst_records",
-    "traffic_alerts_kafka_wire_zstd", "mm_audio_adpcm_decode",
-    "scan_parquet_dict_handrolled", "scan_parquet_pages_handrolled",
-    "mm_audio_alaw_decode", "mm_audio_mulaw_decode", "mm_jpeg_exif_metadata",
-    "mm_video_mp4_sample_index", "mm_video_mp4_frames",
-    "mm_video_mp4_stride_sample", "mm_decode_jpeg_progressive",
-    "mm_jpeg_progressive_preview", "traffic_alerts_kafka_wire_v2",
-    "ab_test_power_analysis", "events_metric_tree_decomposition",
-    "ml_learning_curve", "ts_forecast_ensemble", "traffic_capacity_forecast",
-    "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
-    "window_gap_islands", "agg_linreg_by_group", "ab_test_zscore",
-    "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",
-    "ts_rolling_autocorr", "join_fuzzy_dictionary", "text_char_entropy",
-    "corpus_curriculum_order", "events_attribution", "ts_period_over_period",
-    "agg_gini_hhi", "sim_sparse_cosine_join", "window_moving_median",
+    # --- never driver-sampled — planned rotation order (167) ---
+    "events_attribution", "ts_period_over_period", "agg_gini_hhi",
+    "sim_sparse_cosine_join", "window_moving_median",
     "emb_quantile_transform", "agg_rate_wilson_ci", "ts_seasonal_residual",
     "scan_csv_badrecords", "emb_covariance_matrix", "ab_test_welch_t",
     "sample_balanced_classes", "emb_pca_power", "window_ohlc_bars",
@@ -194,7 +175,7 @@ _DRIVER_WINDOW = [
     "geo_dbscan_grid", "text_compress_ratio", "emb_kmeans_lloyd",
     "mm_feature_extract_stub", "mm_frame_sample_stub", "mm_resize_stub",
     "mm_binary_metadata",
-    # --- driver-green — re-verify last, stalest first (386) ---
+    # --- driver-green — re-verify last, stalest first (436) ---
     "scan_project_filter", "filter_like_null_routing", "sort_limit_topk",
     "distinct_values", "set_union_distinct", "set_union_all", "set_intersect",
     "set_except", "set_union_by_name", "fn_unpivot", "join_broadcast_dim",
@@ -331,7 +312,27 @@ _DRIVER_WINDOW = [
     "emb_random_projection_jl", "agg_kmv_set_ops", "geo_point_in_polygon",
     "ts_sax_symbolize", "ts_sax_motifs", "events_concurrency_sweep",
     "graph_random_walks", "window_bollinger_bands", "dq_table_checksum",
-    "mlstats_rbo_ranking", "er_survivorship_golden",
+    "mlstats_rbo_ranking", "er_survivorship_golden", "mm_audio_ogg_pages",
+    "mm_video_webm_meta", "mm_audio_mp3_meta", "mm_video_mp4_h264_meta",
+    "text_paragraph_dedup_apply", "export_tokenized_bin", "mm_decode_tiff",
+    "mm_decode_png_interlaced", "html_extract_text", "corpus_robots_filter",
+    "scan_pdf_text", "scan_pdf_doc_meta", "mm_audio_flac_decode",
+    "mm_audio_flac_streaminfo", "mm_video_h264_nal_index",
+    "mm_video_h264_sps_meta", "text_paragraph_dedup",
+    "text_boilerplate_spans", "scan_warc_zst_records",
+    "traffic_alerts_kafka_wire_zstd", "mm_audio_adpcm_decode",
+    "scan_parquet_dict_handrolled", "scan_parquet_pages_handrolled",
+    "mm_audio_alaw_decode", "mm_audio_mulaw_decode", "mm_jpeg_exif_metadata",
+    "mm_video_mp4_sample_index", "mm_video_mp4_frames",
+    "mm_video_mp4_stride_sample", "mm_decode_jpeg_progressive",
+    "mm_jpeg_progressive_preview", "traffic_alerts_kafka_wire_v2",
+    "ab_test_power_analysis", "events_metric_tree_decomposition",
+    "ml_learning_curve", "ts_forecast_ensemble", "traffic_capacity_forecast",
+    "text_rrf_fusion", "join_asof_forward", "join_asof_nearest",
+    "window_gap_islands", "agg_linreg_by_group", "ab_test_zscore",
+    "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",
+    "ts_rolling_autocorr", "join_fuzzy_dictionary", "text_char_entropy",
+    "corpus_curriculum_order",
 ]
 
 
