@@ -187,6 +187,11 @@ def decode_frame_number(r: _BitsReader) -> int:
     b0 = r.u(8)
     if b0 < 0x80:
         return b0
+    if b0 == 0xFF:
+        # 0xFF & 0xFE == 0xFE would false-match the 6-continuation
+        # pattern below, but 0xFF is spec-invalid as a lead byte (the
+        # UTF-8-style coding tops out at 0xFE).
+        raise ValueError("flac: bad frame-number lead byte")
     k = 0
     for lead, kk in ((0xFE, 6), (0xFC, 5), (0xF8, 4), (0xF0, 3), (0xE0, 2), (0xC0, 1)):
         if (b0 & ~((1 << (7 - kk)) - 1)) == lead:

@@ -123,6 +123,14 @@ def extract_html(html: str) -> dict:
 @register(
     "html_extract_text",
     tags=("llm", "curation", "text", "pandas-udf"),
+    # Oracle invariant: documents.text is single-spaced with no
+    # leading/trailing whitespace (the datagen emits space-joined word
+    # lists), so splitting on ' ' yields no empty tokens and the
+    # halves re-join losslessly. The trim() below covers the one
+    # departure the extractor would still normalize — an empty second
+    # half (single-token doc) leaving a trailing space after ' go '.
+    # test_round9b_ops.py::test_documents_text_single_spaced_invariant
+    # pins the corpus invariant itself.
     oracle="""
 WITH d AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks,
@@ -142,10 +150,10 @@ parts AS (
 )
 SELECT doc_id,
        'doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
-       first_half || ' go ' || second_half AS text,
+       trim(first_half || ' go ' || second_half) AS text,
        1 AS n_links,
        2 AS n_paragraphs,
-       CAST(length(first_half || ' go ' || second_half) AS BIGINT)
+       CAST(length(trim(first_half || ' go ' || second_half)) AS BIGINT)
          AS text_len,
        length('DO NOT EXTRACT ' || CAST(doc_id AS VARCHAR)) > 0 AS decoy_dropped
 FROM parts
@@ -219,8 +227,8 @@ def _robots_txt(source: str) -> str:
     oracle=f"""
 WITH d AS (
   SELECT doc_id, source, doc_id % {ROBOTS_DISALLOW_MOD} AS bucket,
-         CAST(regexp_extract(source, '(\\d)$', 1) AS INTEGER) % 2 = 1
-           AS odd_source
+         COALESCE(TRY_CAST(regexp_extract(source, '(\\d)$', 1) AS INTEGER), 0)
+           % 2 = 1 AS odd_source
   FROM documents
 )
 SELECT doc_id, source,

@@ -412,9 +412,8 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                         path_, p_idx, page["width"], page["height"],
                         page["samples"], page["compression"],
                         page["n_strips"],
-                        sum(px) if page["samples"] == 1 else sum(px),
-                        px[0] if page["samples"] == 1
-                        else px[0],
+                        sum(px),
+                        px[0],
                     ))
             yield pd.DataFrame(rows, columns=cols)
 

@@ -125,6 +125,17 @@ def test_frame_number_utf8_roundtrip():
         assert FL.decode_frame_number(r) == n, n
 
 
+def test_frame_number_rejects_0xff_lead():
+    """0xFF & 0xFE == 0xFE, so without an explicit guard the
+    spec-invalid lead byte 0xFF silently decodes as a 6-continuation
+    code (ADVICE r9 item 3)."""
+    import pytest
+
+    r = FL._BitsReader(bytes([0xFF] + [0x80] * 6))
+    with pytest.raises(ValueError, match="lead byte"):
+        FL.decode_frame_number(r)
+
+
 def test_fixed_predictor_orders_roundtrip():
     samples = [_signal(3, 0, n) for n in range(50)]
     for order in range(0, 5):

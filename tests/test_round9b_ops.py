@@ -213,6 +213,26 @@ def test_html_extractor_drops_invisible_and_decodes_entities():
     assert r["dropped_chars"] > 0
 
 
+def test_documents_text_single_spaced_invariant():
+    """The html_extract_text oracle rebuilds the extraction by splitting
+    documents.text on single spaces; that is only hash-exact while the
+    corpus text is single-spaced with no leading/trailing whitespace
+    (the extractor normalizes whitespace, the oracle preserves it).
+    Pin the invariant so a datagen change fails here, not in the
+    driver's hash compare (ADVICE r9 item 1)."""
+    import duckdb
+
+    bad = duckdb.sql(
+        f"""
+        SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')
+        WHERE text LIKE '  %' OR text LIKE '% ' OR text LIKE ' %'
+           OR contains(text, '  ') OR contains(text, chr(9))
+           OR contains(text, chr(10))
+        """
+    ).fetchone()[0]
+    assert bad == 0
+
+
 def test_robots_prefix_semantics():
     import urllib.robotparser as rp
 
