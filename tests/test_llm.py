@@ -642,6 +642,58 @@ def test_compress_ratio_separates_repetitive_text(spark, tmp_path):
     assert all(
         rows[k]["compress_ratio"] == again[k]["compress_ratio"] for k in rows
     )
+    # the unregistered DEFLATE variant orders the same fixtures the
+    # same way (zlib is not oracle-expressible; held here instead)
+    from spark_streaming_test_spark.llm.curation import (
+        zlib_compress_ratio_frame,
+    )
+
+    zr = {
+        r["doc_id"]: r
+        for r in zlib_compress_ratio_frame(spark, str(tmp_path)).collect()
+    }
+    assert zr[0]["compress_ratio"] < zr[2]["compress_ratio"]
+    assert zr[2]["compress_ratio"] < zr[1]["compress_ratio"]
+    assert zr[0]["is_repetitive"] and not zr[1]["is_repetitive"]
+
+
+def test_token_dict_codec_roundtrip_and_length():
+    """The compress-ratio encoder is a real codec: decode inverts
+    encode, and the serialized length matches the closed form the
+    DuckDB oracle recomputes — including >127 distinct tokens (2-byte
+    varint, index width > 7 bits) and multi-byte UTF-8."""
+    from spark_streaming_test_spark.llm.curation import (
+        token_dict_decode,
+        token_dict_encode,
+    )
+
+    cases = [
+        "",
+        "one",
+        "a b a b a b",
+        "naïve café déjà vu naïve café",
+        " ".join(f"tok{i}" for i in range(300)),          # w = 9 bits
+        " ".join(f"tok{i % 7}" for i in range(200)),
+        "x" * 200 + " " + "x" * 200,                      # long tokens
+    ]
+    for text in cases:
+        enc = token_dict_encode(text)
+        assert token_dict_decode(enc) == text
+        toks = text.split(" ")
+        distinct = list(dict.fromkeys(toks))
+        w = max(1, (len(distinct) - 1).bit_length())
+
+        def vl(n):
+            return 1 if n < 128 else 2
+
+        expect = (
+            2
+            + vl(len(toks))
+            + vl(len(distinct))
+            + sum(vl(len(t.encode())) + len(t.encode()) for t in distinct)
+            + -(-len(toks) * w // 8)
+        )
+        assert len(enc) == expect, text[:40]
 
 
 def test_ivf_index_collect_is_bounded(spark, sf_dir):
