@@ -79,7 +79,56 @@ HEADLINE = [
     "rec_item_item_topn",        # bounded basket pair join + top-N window
     "graph_label_propagation",   # 3-round majority message passing
     "sql_recursive_cte",         # depth-bounded recursive CTE execution
+    # -- media/decoder path (added r10; first sf0.1 numbers in
+    #    BENCH_r10.json are these queries' baseline, per BASELINE.md).
+    #    Fixture-backed decoders are wall-cheap but pin the mapInPandas
+    #    decode plumbing; the kafka v2 wire encode is SF-scaled.
+    "traffic_alerts_kafka_wire_v2",   # KIP-98 record-batch encode, CRC-32C
+    "mm_decode_jpeg_progressive",     # SOF2 successive-approximation decode
+    "mm_jpeg_progressive_preview",    # prefix-read scan-1 preview
+    "mm_decode_jpeg_420",             # chroma-subsampled baseline JPEG
+    "mm_decode_png_interlaced",       # Adam7 deinterlace + unfilter
+    "scan_parquet_pages_handrolled",  # hand-rolled data pages + dictionary
+    "scan_warc_zst_records",          # RFC 8878 zstd WARC streaming scan
+    "mm_video_mp4_frames",            # ISO-BMFF demux + sample decode
 ]
+
+
+def calibration_probe(spark) -> dict[str, float]:
+    """Pinned Spark-only micro-workloads, independent of every operator
+    in this repo — a box-speed yardstick embedded in each round's bench
+    record so cross-round numbers can be normalized without re-running
+    old code (VERDICT r9 item 3: a 37→44 s swing was box drift, proven
+    only by an ad-hoc A/B). Two axes:
+
+    - ``cpu_sec``: codegen arithmetic over ``range(200M)`` reduced to
+      one sum — pure per-core throughput, no exchange.
+    - ``shuffle_sec``: ``range(20M)`` hash-aggregated into 4096 keys —
+      exchange + partial-agg machinery.
+
+    Median of 3 runs each (first run additionally pays any residual
+    warm-up). BASELINE.md documents the normalization rule."""
+    from pyspark.sql import functions as F
+
+    def med3(build) -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        return sorted(runs)[1]
+
+    cpu = med3(
+        lambda: spark.range(0, 200_000_000, 1, 32)
+        .select((F.col("id") * 2 + 1).alias("x"))
+        .agg(F.sum("x").alias("s"))
+    )
+    shuffle = med3(
+        lambda: spark.range(0, 20_000_000, 1, 32)
+        .groupBy((F.col("id") % 4096).alias("k"))
+        .count()
+    )
+    return {"cpu_sec": cpu, "shuffle_sec": shuffle}
 
 
 def main() -> None:
@@ -103,6 +152,8 @@ def main() -> None:
         .join(F.broadcast(dim), F.lit(True))
         .write.format("noop").mode("overwrite").save()
     )
+
+    calibration = calibration_probe(spark)
 
     # Each query runs 1 warm-up + 3 timed repeats. The warm-up pays the
     # one-time JIT/codegen compilation (seconds for wide unrolled
@@ -141,10 +192,12 @@ def main() -> None:
     except OSError as e:  # read-only checkout: stderr still has the data
         print(f"bench: could not write {sidecar}: {e}", file=sys.stderr)
     print(json.dumps({"repeats": repeats}), file=sys.stderr)
-    print(final_line(timings, sf))
+    print(final_line(timings, sf, calibration))
 
 
-def final_line(timings: dict[str, float], sf) -> str:
+def final_line(
+    timings: dict[str, float], sf, calibration: dict[str, float] | None = None
+) -> str:
     """The ONE stdout line the driver records. Kept as a pure function
     so tests/test_entry.py can pin the protocol (compact JSON, exact
     key set, < 4 KB) without running the suite — the r5 regression
@@ -157,6 +210,7 @@ def final_line(timings: dict[str, float], sf) -> str:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "calibration": calibration or {},
         },
         separators=(",", ":"),
     )

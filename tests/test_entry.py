@@ -43,14 +43,16 @@ def test_bench_final_line_protocol():
     import bench
 
     fake = {name: 9999.999 for name in bench.HEADLINE}
-    line = bench.final_line(fake, 0.1)
+    cal = {"cpu_sec": 9999.999, "shuffle_sec": 9999.999}
+    line = bench.final_line(fake, 0.1, cal)
     assert "\n" not in line
     assert len(line.encode()) < 4096, f"final line {len(line)}B >= 4KB"
     obj = json.loads(line)
-    assert set(obj) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(obj) == {"metric", "value", "unit", "queries", "sf", "calibration"}
     assert obj["unit"] == "sec"
     assert set(obj["queries"]) == set(bench.HEADLINE)
     assert obj["value"] == round(sum(fake.values()), 3)
+    assert obj["calibration"] == cal
 
 
 def test_docs_match_registry_counts():
