@@ -551,6 +551,32 @@ def test_bpe_train_query_runs(spark):
     assert all(r.merged == r.left + r.right for r in rows)
 
 
+def test_bpe_train_sampled_tracks_exact(spark):
+    """The scale variant trains on a hash-deterministic ~25% doc
+    sample; BPE merges depend on relative pair frequencies, so the
+    sampled merge table must stay close to the exact-corpus one
+    (measured 7-8 of 8 shared at sf0.001/sf0.01 — assert >= 6), and
+    repeat runs must be bit-identical (the sample is hash-selected,
+    not df.sample)."""
+    from spark_streaming_test_spark import registry
+
+    qs = registry.queries()
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r.left, r.right) for r in qs["text_bpe_train"](spark, sf).collect()
+    }
+    samp_rows = qs["text_bpe_train_sampled"](spark, sf).collect()
+    samp = {(r.left, r.right) for r in samp_rows}
+    assert len(samp_rows) == 8
+    assert all(r.merged == r.left + r.right for r in samp_rows)
+    assert len(full & samp) >= 6, (full, samp)
+    again = {
+        (r.left, r.right)
+        for r in qs["text_bpe_train_sampled"](spark, sf).collect()
+    }
+    assert samp == again
+
+
 def test_pca_power_recovers_planted_component(spark, tmp_path):
     """emb_pca_power must recover a PLANTED dominant direction. The
     driver's synthetic embeddings are isotropic (top eigengap ratio
