@@ -618,3 +618,79 @@ def test_ogg_page_grammar_and_integrity():
         O.parse_ogg(gap)
     # torn final page drops
     assert O.parse_ogg(buf[:-5])[7]["n_pages"] == 2
+
+
+def test_ogg_packet_reassembly_spans_pages():
+    """iter_packets must rejoin a packet split across pages (trailing
+    255-run, continuation flag) and reject continuation-flag abuse."""
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import ogg_pages as O
+
+    big = bytes(k % 251 for k in range(700))
+    pages = O.build_spanned_packet_pages(9, 0, big, 510, trailing=[b"tail"])
+    got = list(O.iter_packets(b"".join(pages)))
+    assert [(s, p) for s, _g, p in got] == [(9, big), (9, b"tail")]
+    # first (incomplete) page carries granule -1; completion page 0
+    assert [g for _s, g, _p in got] == [0, 0]
+    # continuation flag without an open packet is corruption
+    orphan = O.build_page(9, 0, 0, [b"a"], bos=True, continued=True)
+    with _pytest.raises(ValueError, match="continues no open packet"):
+        list(O.iter_packets(orphan))
+    # an open packet followed by a non-continued page is loss
+    drop = pages[0].replace(b"OggS", b"OggS", 1) + O.build_page(9, 1, 0, [b"b"])
+    with _pytest.raises(ValueError, match="drops an open packet"):
+        list(O.iter_packets(drop))
+
+
+def test_ogg_codec_headers_roundtrip():
+    """Vorbis id/comment and OpusHead/OpusTags encode->parse inverts,
+    and malformed headers raise."""
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import ogg_pages as O
+
+    m = O.parse_codec_headers(
+        O.build_vorbis_id(2, 44100, 6, 9),
+        O.build_vorbis_comment("vend", [("TITLE", "a b"), ("K", "v=w")]),
+    )
+    assert m["codec"] == "vorbis"
+    assert (m["channels"], m["sample_rate"]) == (2, 44100)
+    assert (m["blocksize_0"], m["blocksize_1"]) == (64, 512)
+    assert m["pre_skip"] is None
+    assert m["vendor"] == "vend" and m["tags"] == ["TITLE=a b", "K=v=w"]
+
+    m = O.parse_codec_headers(
+        O.build_opus_head(1, 312, 24000),
+        O.build_opus_tags("opusv", [("ARTIST", "x")]),
+    )
+    assert m["codec"] == "opus"
+    assert (m["channels"], m["sample_rate"], m["pre_skip"]) == (1, 24000, 312)
+    assert m["blocksize_0"] is None and m["vendor"] == "opusv"
+
+    bad_id = bytearray(O.build_vorbis_id(2, 44100))
+    bad_id[-1] = 0  # framing bit unset
+    with _pytest.raises(ValueError, match="framing"):
+        O.parse_codec_headers(bytes(bad_id), O.build_vorbis_comment("v", []))
+    with _pytest.raises(ValueError, match="OpusTags"):
+        O.parse_codec_headers(O.build_opus_head(1, 0, 48000), b"junk")
+    with _pytest.raises(ValueError, match="unrecognized"):
+        O.parse_codec_headers(b"\x01theora??", b"")
+
+
+def test_ogg_codec_meta_spanning_fixture():
+    """File 2's comment packet must actually span two pages in the
+    committed fixture (the PAD tag pushes it past 510 bytes), and
+    parse_ogg_codec_meta must recover every field through the span."""
+    from spark_streaming_test_spark.sources import ogg_pages as O
+
+    d = O._ogg_codec_fixture_dir()
+    buf = open(f"{d}/c_0002.ogg", "rb").read()
+    pages = list(O.iter_pages(buf))
+    # page 1 ends mid-packet (all-255 lacing), page 2 continues
+    assert all(v == 255 for v in pages[1][4]) and pages[1][1] == -1
+    assert pages[2][0] & 1  # continuation flag
+    (m,) = O.parse_ogg_codec_meta(buf)
+    assert m["codec"] == "vorbis" and m["channels"] == 3
+    assert len(m["tags"]) == 3 and m["tags"][2].startswith("PAD=")
+    assert m["last_granule"] == 2 * (1200 + 240 * 2)
