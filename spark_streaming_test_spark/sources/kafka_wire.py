@@ -1621,6 +1621,30 @@ class KafkaWireConsumer:
     def __exit__(self, *exc):
         self.close()
 
+    def negotiate_fetch_version(self) -> int:
+        """ApiVersions round-trip (the consumer twin of the producer's
+        ``message_format="auto"``): picks the newest fetch version the
+        broker advertises — v4 record-batch responses from a
+        record-batch-capable broker, v2 message sets from a legacy
+        one. Memoizes into ``self.fetch_version``."""
+        self._corr += 1
+        corr = self._corr
+        sock = self._connect()
+        sock.sendall(encode_api_versions_request(corr, self.client_id))
+        frame = read_frame(sock)
+        if frame is None:
+            raise ConnectionError("broker closed before api-versions response")
+        got_corr, versions = decode_api_versions_response(frame)
+        if got_corr != corr:
+            raise ValueError(f"correlation mismatch: sent {corr} got {got_corr}")
+        _lo, hi = versions.get(API_FETCH, (0, FETCH_VERSION))
+        self.fetch_version = (
+            FETCH_VERSION_V2_BATCH
+            if hi >= FETCH_VERSION_V2_BATCH
+            else FETCH_VERSION
+        )
+        return self.fetch_version
+
     def fetch(
         self,
         topic: str,
@@ -1765,13 +1789,21 @@ class MiniKafkaBroker:
     default models a modern broker (record-batch capable; stores
     records format-agnostically and DOWN-CONVERTS on fetch, serving
     magic=1 to a v2 fetch and magic=2 to a v4 fetch, exactly the real
-    broker's compatibility behavior)."""
+    broker's compatibility behavior).
+
+    ``v2_only=True`` models Kafka >= 4.0 (KIP-724: message formats
+    v0/v1 REMOVED): ApiVersions advertises Produce min=3 / Fetch
+    min=4 only, and any request below a key's advertised minimum is
+    refused (connection dropped, the stub's refusal convention) — so
+    a magic=1 producer or a v2 fetch cannot talk to it at all, and
+    only negotiated clients interoperate."""
 
     def __init__(
         self,
         host: str = "127.0.0.1",
         fail_first: int = 0,
         legacy: bool = False,
+        v2_only: bool = False,
         port: int = 0,
         log: _BrokerLog | None = None,
     ):
@@ -1782,10 +1814,19 @@ class MiniKafkaBroker:
         checkpointed offsets."""
         self._log = log if log is not None else _BrokerLog(fail_first=fail_first)
         log = self._log
+        if legacy and v2_only:
+            raise ValueError("legacy and v2_only are mutually exclusive")
         if legacy:
             advertised = [
                 (API_PRODUCE, 2, PRODUCE_VERSION),
                 (API_FETCH, 2, FETCH_VERSION),
+                (API_LIST_OFFSETS, 1, LIST_OFFSETS_VERSION),
+                (API_API_VERSIONS, 0, 0),
+            ]
+        elif v2_only:
+            advertised = [
+                (API_PRODUCE, PRODUCE_VERSION_V2_BATCH, PRODUCE_VERSION_V2_BATCH),
+                (API_FETCH, FETCH_VERSION_V2_BATCH, FETCH_VERSION_V2_BATCH),
                 (API_LIST_OFFSETS, 1, LIST_OFFSETS_VERSION),
                 (API_API_VERSIONS, 0, 0),
             ]
@@ -1797,6 +1838,7 @@ class MiniKafkaBroker:
                 (API_API_VERSIONS, 0, 0),
             ]
         max_versions = {key: hi for key, _lo, hi in advertised}
+        min_versions = {key: lo for key, lo, _hi in advertised}
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
@@ -1808,7 +1850,11 @@ class MiniKafkaBroker:
                     if frame is None:
                         return
                     api_key, api_version = struct.unpack_from(">hh", frame, 0)
-                    if api_version > max_versions.get(api_key, -1):
+                    if not (
+                        min_versions.get(api_key, 0)
+                        <= api_version
+                        <= max_versions.get(api_key, -1)
+                    ):
                         return  # unadvertised version: drop the connection
                     if api_key == API_PRODUCE:
                         self._produce(frame)

@@ -67,15 +67,28 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"startingOffsets must be earliest|latest, got {self.starting}"
             )
-        # 2 = message-format v1 responses, 4 = record-batch v2 (KIP-98);
-        # the decode path sniffs the magic byte so both yield identical rows.
-        self.fetch_version = int(options.get("fetchVersion", "2"))
-        if self.fetch_version not in (2, 4):
-            raise ValueError(
-                f"fetchVersion must be 2 or 4, got {self.fetch_version}"
-            )
         if not self.port:
             raise ValueError("kafka_wire source requires a 'port' option")
+        # 2 = message-format v1 responses, 4 = record-batch v2 (KIP-98);
+        # the decode path sniffs the magic byte so both yield identical
+        # rows. "auto" negotiates via ApiVersions at plan time (driver
+        # side, once) — the consumer twin of the producer's
+        # message_format="auto", and the only setting that talks to
+        # BOTH a legacy broker and a v2-only (Kafka >= 4.0) broker.
+        raw_fv = str(options.get("fetchVersion", "2"))
+        if raw_fv == "auto":
+            from spark_streaming_test_spark.sources.kafka_wire import (
+                KafkaWireConsumer,
+            )
+
+            with KafkaWireConsumer(self.host, self.port) as consumer:
+                self.fetch_version = consumer.negotiate_fetch_version()
+        else:
+            self.fetch_version = int(raw_fv)
+        if self.fetch_version not in (2, 4):
+            raise ValueError(
+                f"fetchVersion must be 2, 4 or auto, got {self.fetch_version}"
+            )
 
     def _offsets_at(self, timestamp: int) -> dict:
         from spark_streaming_test_spark.sources.kafka_wire import (
