@@ -874,3 +874,47 @@ def test_lsh_guard_partitioning_invariant(spark):
         )
     assert outs[0] == outs[1] == outs[2]
     assert outs[0], "no candidates produced"
+
+
+def test_token_dict_codec_hypothesis_roundtrip():
+    """Property: decode(encode(t)) == t and the length formula holds
+    for arbitrary single-space-joined unicode token lists."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_test_spark.llm.curation import (
+        token_dict_decode,
+        token_dict_encode,
+    )
+
+    token = st.text(
+        alphabet=st.characters(blacklist_characters=" ", max_codepoint=0x2FFF),
+        max_size=20,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(token, min_size=1, max_size=400))
+    def roundtrip(tokens):
+        text = " ".join(tokens)
+        enc = token_dict_encode(text)
+        assert token_dict_decode(enc) == text
+        distinct = list(dict.fromkeys(text.split(" ")))
+        w = max(1, (len(distinct) - 1).bit_length())
+
+        def vl(n):
+            out = 1
+            while n >= 128:
+                n >>= 7
+                out += 1
+            return out
+
+        toks = text.split(" ")
+        assert len(enc) == (
+            2
+            + vl(len(toks))
+            + vl(len(distinct))
+            + sum(vl(len(t.encode())) + len(t.encode()) for t in distinct)
+            + -(-len(toks) * w // 8)
+        )
+
+    roundtrip()

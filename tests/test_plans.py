@@ -1591,3 +1591,37 @@ def test_round9b_table_queries_single_arrow_stage(spark, qs):
     df = qs["mm_video_h264_sps_meta"](spark, SF_DIR)
     plan = checks.formatted_plan(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_round10_ops_plan_shapes(spark, qs):
+    # token-dict compress ratio: one Arrow-batched pass, ZERO shuffles
+    # (map-only quality signal — the 100 TB shape)
+    df = qs["text_compress_ratio"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("ArrowEvalPython (") == 1, plan[:1200]
+    assert "Exchange" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan
+    # ogg codec meta: one MapInPandas over the binaryFile scan, no
+    # shuffle — header bytes never leave the parse task
+    df = qs["mm_audio_ogg_codec_meta"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("MapInPandas (") == 1, plan[:1200]
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_bpe_sampled_filters_before_explode(spark):
+    # The sample predicate must gate the corpus BEFORE tokenization:
+    # in the word-count plan the Filter sits under Generate (explode),
+    # so the 75% of documents outside the sample are dropped at scan
+    # altitude, never exploded into words.
+    from spark_streaming_test_spark.llm.bpe import (
+        BPE_SAMPLE_CEIL,
+        _word_counts,
+    )
+
+    df = _word_counts(spark, SF_DIR, BPE_SAMPLE_CEIL)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    gen = tree.find("Generate explode")
+    filt = tree.find("md5")
+    assert gen != -1 and filt != -1
+    assert filt > gen, tree[:1500]  # deeper in the tree = earlier
