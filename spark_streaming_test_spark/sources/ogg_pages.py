@@ -513,6 +513,28 @@ def _ogg_codec_params(f: int) -> dict:
     }
 
 
+def _ogg_codec_audio_packet(f: int, i: int, j: int) -> bytes:
+    """Audio data packet j of page i. Vorbis files carry opaque filler
+    (audio decode is past this source's boundary); Opus files carry a
+    REAL RFC 6716 TOC byte — config cycling through SILK/hybrid/CELT
+    ranges, the stereo bit from the stream's channel count, code 0
+    (one frame) on even packets and code 3 (count byte, 2+i frames)
+    on odd ones — so the TOC query below parses genuine packets."""
+    prm = _ogg_codec_params(f)
+    filler = bytes(
+        (f * 11 + i * 5 + j * 3 + k) % 251 for k in range(60 + 10 * i + j)
+    )
+    if prm["vorbis"]:
+        return filler
+    config = (5 * (2 * i + j) + 7 * f) % 32
+    stereo = 1 if prm["channels"] == 2 else 0
+    if j % 2 == 0:
+        toc = (config << 3) | (stereo << 2) | 0  # code 0: one frame
+        return bytes([toc]) + filler
+    toc = (config << 3) | (stereo << 2) | 3  # code 3: count byte
+    return bytes([toc, 2 + i]) + filler  # VBR=0, padding=0, M=2+i
+
+
 def _ogg_codec_fixture_dir() -> str:
     from spark_streaming_test_spark.fixtures import fixture_rev
     from spark_streaming_test_spark.llm.multimodal import SCRATCH
@@ -520,7 +542,7 @@ def _ogg_codec_fixture_dir() -> str:
     rev = fixture_rev(
         _ogg_codec_params, build_vorbis_id, build_vorbis_comment,
         build_opus_head, build_opus_tags, build_spanned_packet_pages,
-        OGG_CODEC_FILES,
+        _ogg_codec_audio_packet, OGG_CODEC_FILES,
     )
     d = os.path.join(SCRATCH, f"ogg_codec_{rev}")
     if not os.path.exists(os.path.join(d, "_DONE")):
@@ -557,13 +579,7 @@ def _ogg_codec_fixture_dir() -> str:
                 pages.append(
                     build_page(
                         serial, seq + i, (i + 1) * prm["granule_step"],
-                        [
-                            bytes(
-                                (f * 11 + i * 5 + j * 3 + k) % 251
-                                for k in range(60 + 10 * i + j)
-                            )
-                            for j in range(2)
-                        ],
+                        [_ogg_codec_audio_packet(f, i, j) for j in range(2)],
                         eos=(i == 1),
                     )
                 )
@@ -663,4 +679,185 @@ def mm_audio_ogg_codec_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tags",
         "tag_title",
         "last_granule",
+    )
+
+
+# --- Opus packet TOC (RFC 6716 §3.1-3.2) --------------------------------------
+
+OPUS_MODE = ["silk"] * 12 + ["hybrid"] * 4 + ["celt"] * 16
+OPUS_BW = (
+    ["NB"] * 4 + ["MB"] * 4 + ["WB"] * 4        # SILK configs 0-11
+    + ["SWB"] * 2 + ["FB"] * 2                  # hybrid 12-15
+    + ["NB"] * 4 + ["WB"] * 4 + ["SWB"] * 4 + ["FB"] * 4  # CELT 16-31
+)
+_SILK_TENTHS = [100, 200, 400, 600]
+_HYBRID_TENTHS = [100, 200]
+_CELT_TENTHS = [25, 50, 100, 200]
+
+
+def opus_frame_tenths(config: int) -> int:
+    """Frame duration in tenths of a millisecond (2.5 ms = 25 — kept
+    integral so both engines compare exactly)."""
+    if config < 12:
+        return _SILK_TENTHS[config % 4]
+    if config < 16:
+        return _HYBRID_TENTHS[config % 2]
+    return _CELT_TENTHS[config % 4]
+
+
+def parse_opus_toc(packet: bytes) -> dict:
+    """RFC 6716 §3.1: TOC byte = config(5) | stereo(1) | code(2);
+    §3.2: code 0 = 1 frame, 1 = 2 equal frames, 2 = 2 different
+    frames, 3 = count byte (VBR + padding flags + M, 1-48). A packet
+    may not exceed 120 ms of audio (§3.4 constraint R5)."""
+    if not packet:
+        raise ValueError("opus: empty packet")
+    toc = packet[0]
+    config, stereo, code = toc >> 3, (toc >> 2) & 1, toc & 3
+    if code < 2:
+        n_frames = code + 1
+    elif code == 2:
+        n_frames = 2
+    else:
+        if len(packet) < 2:
+            raise ValueError("opus: code-3 packet without count byte")
+        n_frames = packet[1] & 0x3F
+        if n_frames == 0:
+            raise ValueError("opus: code-3 packet with zero frames")
+    tenths = opus_frame_tenths(config)
+    if n_frames * tenths > 1200:
+        raise ValueError("opus: packet exceeds 120 ms (R5)")
+    return {
+        "config": config,
+        "stereo": bool(stereo),
+        "code": code,
+        "n_frames": n_frames,
+        "frame_tenths_ms": tenths,
+        "mode": OPUS_MODE[config],
+        "bandwidth": OPUS_BW[config],
+    }
+
+
+def parse_opus_packet_stats(buf: bytes) -> list[dict]:
+    """Per audio packet of each Opus stream (header packets skipped):
+    the decoded TOC plus a running packet index. Vorbis streams are
+    passed over (their data packets have no TOC)."""
+    counts: dict[int, int] = {}
+    firsts: dict[int, bytes] = {}
+    out = []
+    for serial, _granule, packet in iter_packets(buf):
+        seen = counts.get(serial, 0)
+        counts[serial] = seen + 1
+        if seen == 0:
+            firsts[serial] = packet[:8]
+            continue
+        if seen == 1:
+            continue  # comment/tags header
+        if firsts.get(serial, b"")[:8] != b"OpusHead":
+            continue
+        m = parse_opus_toc(packet)
+        m["serial"] = serial
+        m["packet_idx"] = seen - 2
+        out.append(m)
+    return out
+
+
+_OPUS_TOC_ORACLE = f"""
+WITH p AS (
+  SELECT u.f, v.pi
+  FROM (SELECT unnest([1, 3]) AS f) u, (SELECT unnest(range(4)) AS pi) v
+),
+c AS (
+  SELECT f, CAST(pi AS INTEGER) AS packet_idx,
+         (5 * pi + 7 * f) % 32 AS config,
+         (1 + (f % 3)) = 2 AS stereo,
+         CAST(CASE WHEN pi % 2 = 0 THEN 1 ELSE 2 + (pi // 2) END
+              AS INTEGER) AS n_frames
+  FROM p
+),
+d AS (
+  SELECT *, CAST(CASE
+    WHEN config < 12 THEN [100, 200, 400, 600][(config % 4) + 1]
+    WHEN config < 16 THEN [100, 200][(config % 2) + 1]
+    ELSE [25, 50, 100, 200][(config % 4) + 1]
+  END AS INTEGER) AS frame_tenths_ms
+  FROM c
+)
+SELECT CAST(f AS INTEGER) AS file_id, packet_idx,
+       CAST(config AS INTEGER) AS config, stereo, n_frames,
+       frame_tenths_ms,
+       CAST(n_frames * frame_tenths_ms AS INTEGER) AS packet_tenths_ms,
+       CASE WHEN config < 12 THEN 'silk'
+            WHEN config < 16 THEN 'hybrid' ELSE 'celt' END AS mode,
+       CASE WHEN config < 12 THEN ['NB', 'MB', 'WB'][(config // 4) + 1]
+            WHEN config < 14 THEN 'SWB'
+            WHEN config < 16 THEN 'FB'
+            ELSE ['NB', 'WB', 'SWB', 'FB'][((config - 16) // 4) + 1]
+       END AS bandwidth
+FROM d
+"""
+
+
+@register(
+    "mm_audio_opus_toc",
+    tags=("multimodal", "audio", "binary"),
+    oracle=_OPUS_TOC_ORACLE,
+)
+def mm_audio_opus_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opus packet-level TOC census (RFC 6716 §3.1-3.2) over the codec
+    fixture's Opus streams: per audio packet, the coding mode
+    (SILK/hybrid/CELT), audio bandwidth, stereo flag, frame count
+    (codes 0 and 3 both present in the fixture) and frame/packet
+    duration in tenths of a millisecond — the duration accounting an
+    audio-curation pass needs BEFORE any DSP (total corpus hours,
+    mode mix, bandwidth mix). Vorbis streams in the same directory
+    are passed over (no TOC in Vorbis data packets).
+
+    Scale: one map task per file over the binaryFile scan, no shuffle
+    — the TOC is byte 0 of each packet, so the per-packet cost is the
+    page walk itself."""
+    import pandas as pd  # noqa: F401
+
+    d = _ogg_codec_fixture_dir()
+
+    def _parse(iterator):
+        import pandas as pd
+
+        cols = ["path", "packet_idx", "config", "stereo", "n_frames",
+                "frame_tenths_ms", "packet_tenths_ms", "mode", "bandwidth"]
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for m in parse_opus_packet_stats(bytes(content)):
+                    rows.append((
+                        path_, m["packet_idx"], m["config"], m["stereo"],
+                        m["n_frames"], m["frame_tenths_ms"],
+                        m["n_frames"] * m["frame_tenths_ms"],
+                        m["mode"], m["bandwidth"],
+                    ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(d, "*.ogg"))
+        .select("path", "content")
+        .mapInPandas(
+            _parse,
+            "path string, packet_idx int, config int, stereo boolean, "
+            "n_frames int, frame_tenths_ms int, packet_tenths_ms int, "
+            "mode string, bandwidth string",
+        )
+    )
+    return df.select(
+        F.regexp_extract("path", r"c_(\d{4})\.ogg", 1)
+        .cast("int")
+        .alias("file_id"),
+        "packet_idx",
+        "config",
+        "stereo",
+        "n_frames",
+        "frame_tenths_ms",
+        "packet_tenths_ms",
+        "mode",
+        "bandwidth",
     )

@@ -694,3 +694,54 @@ def test_ogg_codec_meta_spanning_fixture():
     assert m["codec"] == "vorbis" and m["channels"] == 3
     assert len(m["tags"]) == 3 and m["tags"][2].startswith("PAD=")
     assert m["last_granule"] == 2 * (1200 + 240 * 2)
+
+
+def test_opus_toc_semantics():
+    """RFC 6716 §3.1-3.2: config ranges map to mode/bandwidth/duration,
+    frame-count codes 0-3 count correctly, and the 120 ms cap (R5) and
+    zero-frame code-3 packets raise."""
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import ogg_pages as O
+
+    # config 0: SILK NB 10 ms; code 0 = one frame
+    m = O.parse_opus_toc(bytes([0b00000000]) + b"x")
+    assert (m["mode"], m["bandwidth"], m["frame_tenths_ms"]) == ("silk", "NB", 100)
+    assert m["n_frames"] == 1 and not m["stereo"]
+    # config 14: hybrid FB 10 ms; code 1 = two equal frames, stereo
+    m = O.parse_opus_toc(bytes([(14 << 3) | (1 << 2) | 1]))
+    assert (m["mode"], m["bandwidth"]) == ("hybrid", "FB")
+    assert m["n_frames"] == 2 and m["stereo"]
+    # config 16: CELT NB 2.5 ms; code 3 with M=48 -> 120 ms exactly (legal)
+    m = O.parse_opus_toc(bytes([(16 << 3) | 3, 48]))
+    assert (m["mode"], m["frame_tenths_ms"], m["n_frames"]) == ("celt", 25, 48)
+    # config 31: CELT FB 20 ms; code 3 with M=7 -> 140 ms violates R5
+    with _pytest.raises(ValueError, match="120 ms"):
+        O.parse_opus_toc(bytes([(31 << 3) | 3, 7]))
+    with _pytest.raises(ValueError, match="zero frames"):
+        O.parse_opus_toc(bytes([(0 << 3) | 3, 0]))
+    with _pytest.raises(ValueError, match="count byte"):
+        O.parse_opus_toc(bytes([(0 << 3) | 3]))
+    # full config sweep stays in-table and positive
+    for cfg in range(32):
+        m = O.parse_opus_toc(bytes([cfg << 3]) + b"p")
+        assert m["mode"] in ("silk", "hybrid", "celt")
+        assert m["bandwidth"] in ("NB", "MB", "WB", "SWB", "FB")
+        assert m["frame_tenths_ms"] in (25, 50, 100, 200, 400, 600)
+
+
+def test_opus_toc_fixture_skips_vorbis_and_headers():
+    """parse_opus_packet_stats must emit only Opus AUDIO packets: both
+    header packets skipped, Vorbis files produce nothing."""
+    from spark_streaming_test_spark.sources import ogg_pages as O
+
+    d = O._ogg_codec_fixture_dir()
+    for f in range(O.OGG_CODEC_FILES):
+        stats = O.parse_opus_packet_stats(
+            open(f"{d}/c_{f:04d}.ogg", "rb").read()
+        )
+        if f % 2 == 0:
+            assert stats == []
+        else:
+            assert [m["packet_idx"] for m in stats] == [0, 1, 2, 3]
+            assert [m["n_frames"] for m in stats] == [1, 2, 1, 3]
