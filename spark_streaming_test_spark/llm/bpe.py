@@ -471,3 +471,185 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("n") * F.col("toks")).cast("double")
         ).alias("chars_per_token"),
     )
+
+
+# --- unigram-LM segmentation (the SentencePiece-style tokenizer twin) ---------
+#
+# BPE segments by replaying merges; the unigram LM (Kudo 2018,
+# SentencePiece's default) segments each word with VITERBI under a
+# piece-cost table (cost ~ -log p). Costs here are INTEGERS (scaled
+# -log2 p), so the DP is exact in both engines — no float fold drift
+# at all (contrast ml_viterbi_decode's 8-dp rounding). The DP value is
+# a composite 64*cost + n_pieces: cost dominates (adjacent costs
+# differ by >= 64 > max pieces/word), so min() resolves ties toward
+# fewer pieces deterministically. Valid for words up to 63 chars;
+# the corpus tops out at 8 (pytest-pinned).
+
+_U_COSTS = {
+    # multi-char pieces
+    "the": 45, "ing": 50, "ion": 55, "ent": 57, "and": 52, "her": 54,
+    "ter": 56,
+    "er": 38, "in": 37, "on": 39, "an": 39, "re": 40, "at": 40, "es": 40,
+    "or": 41, "ti": 42, "te": 42, "al": 42, "st": 42, "ar": 43, "nd": 43,
+    "he": 38, "en": 40, "ed": 41, "to": 42, "it": 43, "ou": 44, "is": 44,
+    # single characters (full a-z coverage -> every word segments)
+    "a": 48, "e": 46, "i": 48, "o": 48, "u": 50,
+    "t": 50, "n": 50, "s": 50, "r": 50, "h": 52, "l": 52, "d": 52,
+    "c": 54, "m": 54,
+    "b": 60, "f": 60, "g": 60, "k": 60, "p": 60, "v": 60, "w": 60,
+    "y": 60, "j": 66, "q": 66, "x": 66, "z": 66,
+}
+_U_MAXLEN = max(len(p) for p in _U_COSTS)
+_U_SCALE = 64  # composite = cost * 64 + n_pieces; words <= 63 chars
+
+
+def _u_cost_sql(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN '{p}' THEN {c}" for p, c in sorted(_U_COSTS.items())
+    )
+    return f"(CASE {expr} {whens} END)"
+
+
+def unigram_segment_cost(word: str) -> tuple[int, int]:
+    """Pure-Python replay of the DP (pytest twin of both engines):
+    returns (total_cost, n_pieces) of the Viterbi segmentation."""
+    big = 1 << 40
+    dp = [0] + [big] * len(word)
+    for i in range(1, len(word) + 1):
+        best = big
+        for length in range(1, min(_U_MAXLEN, i) + 1):
+            c = _U_COSTS.get(word[i - length : i])
+            if c is not None and dp[i - length] < big:
+                best = min(best, dp[i - length] + _U_SCALE * c + 1)
+        dp[i] = best
+    return dp[-1] // _U_SCALE, dp[-1] % _U_SCALE
+
+
+def _u_duck_fold() -> str:
+    """DuckDB: integer Viterbi fold over word positions (list
+    accumulator — the repo's list_reduce convention)."""
+    cands = []
+    for length in range(1, _U_MAXLEN + 1):
+        cost = _u_cost_sql(f"substr(word, CAST(pp[1] AS INTEGER) - {length - 1}, {length})")
+        cands.append(
+            f"CASE WHEN pp[1] >= {length} AND {cost} IS NOT NULL "
+            f"THEN acc[CAST(pp[1] AS INTEGER) - {length} + 1] "
+            f"+ {_U_SCALE} * {cost} + 1 END"
+        )
+    return f"""list_reduce(
+  [CAST([0] AS BIGINT[])]
+    || list_transform(range(1, len(word) + 1), i -> [CAST(i AS BIGINT)]),
+  (acc, pp) -> list_append(acc, least({", ".join(cands)}))
+)"""
+
+
+def _u_spark_dp(word_col):
+    """Spark: the same fold via F.aggregate — JVM-only, no UDF."""
+    cost_map = F.create_map(
+        *[F.lit(x) for kv in sorted(_U_COSTS.items()) for x in kv]
+    )
+    big = F.lit(1 << 40).cast("long")
+
+    def step(acc, i):
+        cands = []
+        for length in range(1, _U_MAXLEN + 1):
+            piece = F.substring(word_col, i - F.lit(length - 1), length)
+            cost = F.element_at(cost_map, piece)
+            cands.append(
+                F.when(
+                    (i >= F.lit(length)) & cost.isNotNull(),
+                    F.element_at(acc, (i - F.lit(length) + F.lit(1)).cast("int"))
+                    + F.lit(_U_SCALE) * cost.cast("long")
+                    + F.lit(1),
+                ).otherwise(big)
+            )
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length(word_col)),
+        F.array(F.lit(0).cast("long")),
+        step,
+    )
+    return F.element_at(dp, F.length(word_col) + F.lit(1))
+
+
+@register(
+    "text_unigram_segment",
+    tags=("llm", "text", "tokenizer"),
+    oracle=f"""
+WITH words AS (
+  SELECT source, w AS word, COUNT(*) AS n
+  FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) s
+  WHERE w <> ''
+  GROUP BY source, w
+),
+vocab AS (
+  SELECT word,
+         CAST(len(word) AS BIGINT) AS chars,
+         {_u_duck_fold()}[len(word) + 1] AS dp
+  FROM (SELECT DISTINCT word FROM words) v
+),
+scored AS (
+  SELECT word, chars, dp // {_U_SCALE} AS cost, dp % {_U_SCALE} AS pieces
+  FROM vocab
+)
+SELECT w.source,
+       CAST(SUM(w.n) AS BIGINT) AS n_words,
+       CAST(SUM(w.n * s.chars) AS BIGINT) AS n_chars,
+       CAST(SUM(w.n * s.pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(w.n * s.cost) AS BIGINT) AS total_cost,
+       CAST(SUM(w.n * s.pieces) AS DOUBLE) / CAST(SUM(w.n) AS DOUBLE)
+         AS pieces_per_word
+FROM words w JOIN scored s ON w.word = s.word
+GROUP BY w.source
+""",
+)
+def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword segmentation (SentencePiece's default
+    algorithm): Viterbi-segment every word under the fixed integer
+    piece-cost table and report per-source token economics — the
+    third tokenizer family next to BPE train/encode/apply (HF
+    `tokenizers` ships exactly these: BPE, WordPiece, Unigram).
+
+    Plan: ONE corpus-sized shuffle (per-(source, word) counts); the
+    DP — an `F.aggregate` integer fold over word positions, pure JVM,
+    no UDF — runs only over DISTINCT words (Heaps'-law bounded), then
+    joins back broadcast. Integer costs make the fold EXACT in both
+    engines; the composite encoding resolves equal-cost ties toward
+    fewer pieces, deterministically."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = (
+        d.select(
+            "source",
+            F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dp = _u_spark_dp(F.col("word"))
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.length("word").cast("bigint").alias("chars"),
+            (dp / F.lit(_U_SCALE)).cast("long").alias("cost"),
+            (dp % F.lit(_U_SCALE)).cast("long").alias("pieces"),
+        )
+    )
+    joined = words.join(F.broadcast(vocab), "word")
+    return joined.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.col("n") * F.col("chars")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("n") * F.col("pieces")).cast("bigint").alias("n_pieces"),
+        F.sum(F.col("n") * F.col("cost")).cast("bigint").alias("total_cost"),
+        (
+            F.sum(F.col("n") * F.col("pieces")).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("pieces_per_word"),
+    )

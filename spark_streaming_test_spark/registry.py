@@ -112,10 +112,10 @@ _DRIVER_WINDOW = [
     # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9
     # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (170) ---
-    "mm_audio_opus_toc", "mm_audio_ogg_codec_meta", "text_bpe_train_sampled",
-    "events_attribution", "ts_period_over_period", "agg_gini_hhi",
-    "sim_sparse_cosine_join", "window_moving_median",
+    # --- never driver-sampled — planned rotation order (171) ---
+    "text_unigram_segment", "mm_audio_opus_toc", "mm_audio_ogg_codec_meta",
+    "text_bpe_train_sampled", "events_attribution", "ts_period_over_period",
+    "agg_gini_hhi", "sim_sparse_cosine_join", "window_moving_median",
     "emb_quantile_transform", "agg_rate_wilson_ci", "ts_seasonal_residual",
     "scan_csv_badrecords", "emb_covariance_matrix", "ab_test_welch_t",
     "sample_balanced_classes", "emb_pca_power", "window_ohlc_bars",

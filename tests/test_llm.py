@@ -918,3 +918,52 @@ def test_token_dict_codec_hypothesis_roundtrip():
         )
 
     roundtrip()
+
+
+def test_unigram_segment_dp_semantics(spark):
+    """The integer Viterbi DP picks known segmentations: multi-char
+    pieces beat char-by-char when cheaper, ties resolve toward fewer
+    pieces, and the Spark fold agrees with the pure-Python twin on a
+    word set that covers every piece length."""
+    from spark_streaming_test_spark.llm.bpe import (
+        _U_COSTS,
+        _U_SCALE,
+        _u_spark_dp,
+        unigram_segment_cost,
+    )
+    import pyspark.sql.functions as F
+
+    # 'the' as one piece (45) beats t+h+e (154) and th?+e etc.
+    assert unigram_segment_cost("the") == (45, 1)
+    # 'therein' -> the|re|in = 45+40+37 (cost 122, 3 pieces)
+    assert unigram_segment_cost("therein") == (122, 3)
+    # single exotic char
+    assert unigram_segment_cost("q") == (66, 1)
+    words = ["the", "therein", "q", "zzz", "ingestion", "standard",
+             "onion", "a", "xylophone", "strength"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    dp = _u_spark_dp(F.col("word"))
+    got = {
+        r["word"]: (r["c"], r["p"])
+        for r in df.select(
+            "word",
+            (dp / F.lit(_U_SCALE)).cast("long").alias("c"),
+            (dp % F.lit(_U_SCALE)).cast("long").alias("p"),
+        ).collect()
+    }
+    assert got == {w: unigram_segment_cost(w) for w in words}
+    # every a-z char is priced: any lowercase word segments
+    assert set("abcdefghijklmnopqrstuvwxyz") <= set(_U_COSTS)
+
+
+def test_unigram_segment_corpus_word_length_bound():
+    """The composite DP encoding (cost*64 + n_pieces) is valid for
+    words up to 63 chars; pin that the corpus stays far inside it."""
+    import duckdb
+
+    mx = duckdb.sql(
+        """SELECT max(strlen(w)) FROM (
+             SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) w
+             FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"""
+    ).fetchone()[0]
+    assert mx <= 63
