@@ -1625,3 +1625,13 @@ def test_bpe_sampled_filters_before_explode(spark):
     filt = tree.find("md5")
     assert gen != -1 and filt != -1
     assert filt > gen, tree[:1500]  # deeper in the tree = earlier
+
+
+def test_unigram_segment_jvm_only_broadcast_vocab(spark, qs):
+    # The Viterbi fold must compile into the JVM expression tree (no
+    # Python boundary at all) and the scored vocab must broadcast back
+    # onto the count table — the text_bpe_apply shape.
+    df = qs["text_unigram_segment"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "EvalPython" not in plan, plan[:1200]
+    checks.assert_broadcast_join(df, min_count=1)
