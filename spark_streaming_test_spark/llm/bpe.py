@@ -653,3 +653,211 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("double")
         ).alias("pieces_per_word"),
     )
+
+
+# --- WordPiece segmentation (greedy longest-match-first) ----------------------
+#
+# The third HF tokenizer family (BPE, Unigram, WordPiece — BERT's
+# algorithm): scan each word left to right, at every position take the
+# LONGEST vocab piece (continuation positions consult the ##-piece
+# set), and if NO piece matches the word becomes a single [UNK] token
+# (HF semantics: any mid-word failure unks the whole word). The walk
+# is an integer state machine [pos, n_pieces, unk] folded over word
+# positions — exact in both engines, like the unigram DP. The ##-sets
+# deliberately omit q/x/z so the UNK branch is live on real corpora.
+
+_WP_INITIAL = {
+    "the", "and", "ing",
+    "th", "in", "re", "on", "an", "st", "er", "at", "or", "he", "is",
+    "it", "to", "of",
+    *"abcdefghijklmnopqrstuvwxyz",
+}
+_WP_CONT = {
+    "ing", "ion", "ent", "ers",
+    "er", "in", "on", "an", "re", "at", "es", "ed", "en", "nd", "te",
+    "ti", "al", "ar", "or", "st", "nt", "ng",
+    # no continuation k/q/x/z: rare-char coverage gaps are what real
+    # WordPiece vocabs have, and they keep the [UNK] branch live on
+    # the corpus itself ('spark' ends in a continuation k)
+    *"abcdefghijlmnopsrtuvwy",
+}
+_WP_MAXLEN = 3
+
+
+def wordpiece_segment(word: str) -> tuple[int, bool]:
+    """Pure-Python twin: (n_pieces, is_unk). [UNK] counts as 1 piece."""
+    pos, pieces = 0, 0
+    while pos < len(word):
+        vocab = _WP_INITIAL if pos == 0 else _WP_CONT
+        for length in range(min(_WP_MAXLEN, len(word) - pos), 0, -1):
+            if word[pos : pos + length] in vocab:
+                pos += length
+                pieces += 1
+                break
+        else:
+            return 1, True
+    return pieces, False
+
+
+def _wp_in_sql(expr: str, pieces: set[str], length: int) -> str:
+    opts = sorted(p for p in pieces if len(p) == length)
+    return f"{expr} IN ({', '.join(repr(p) for p in opts)})"
+
+
+_WP_UNK_SENTINEL = 1000  # any g >= this encodes "unk below here"
+
+
+def _wp_duck_fold() -> str:
+    """BACKWARD greedy fold: g[i] = pieces from position i to the end
+    under longest-match-first; g[N+1] = 0; the j-th step (j = 1..N)
+    computes g[i] for i = N+1-j, so the accumulator APPENDS one value
+    per step with no skip branch. g[1] (= acc[N+1]) >= the sentinel
+    means the greedy walk hit a no-match — whole-word [UNK].
+
+    Why backward: the natural forward state machine carries a
+    'pp[1] <> acc[1] THEN acc' skip branch, and THAT construct
+    cross-contaminates rows under DuckDB 1.0's vectorized lambda
+    evaluation (measured: multi-row evaluation returned another row's
+    state for ~0.1% of words while single-row evaluation was correct).
+    The append-per-step shape is the same one the unigram fold and
+    ml_viterbi_decode use, which evaluates correctly."""
+    branches = []
+    for length in range(_WP_MAXLEN, 0, -1):
+        sub = f"substr(word, CAST(len(word) + 1 - pp[1] AS INTEGER), {length})"
+        cond = (
+            f"(pp[1] >= {length} AND "
+            f"(CASE WHEN pp[1] = len(word) "
+            f"THEN {_wp_in_sql(sub, _WP_INITIAL, length)} "
+            f"ELSE {_wp_in_sql(sub, _WP_CONT, length)} END))"
+        )
+        branches.append(
+            f"WHEN {cond} THEN acc[CAST(pp[1] AS INTEGER) + 1 - {length}] + 1"
+        )
+    step = (
+        "CASE "
+        + " ".join(branches)
+        + f" ELSE CAST({_WP_UNK_SENTINEL} AS BIGINT) END"
+    )
+    return f"""list_reduce(
+  [CAST([0] AS BIGINT[])]
+    || list_transform(range(1, len(word) + 1), j -> [CAST(j AS BIGINT)]),
+  (acc, pp) -> list_append(acc, {step})
+)"""
+
+
+def _wp_spark_state(word_col):
+    def member(piece, length, cont):
+        vocab = _WP_CONT if cont else _WP_INITIAL
+        opts = sorted(p for p in vocab if len(p) == length)
+        return piece.isin(opts)
+
+    def step(acc, i):
+        pos = F.element_at(acc, 1)
+        pieces = F.element_at(acc, 2)
+        unk = F.element_at(acc, 3)
+        expr = F.array(
+            F.length(word_col).cast("long") + F.lit(1).cast("long"),
+            F.lit(1).cast("long"),
+            F.lit(1).cast("long"),
+        )  # fallthrough: UNK
+        for length in range(1, _WP_MAXLEN + 1):
+            sub = F.substring(word_col, pos.cast("int"), length)
+            fits = (pos + F.lit(length) - F.lit(1)) <= F.length(word_col)
+            hit = fits & F.when(
+                pos == F.lit(1), member(sub, length, cont=False)
+            ).otherwise(member(sub, length, cont=True))
+            expr = F.when(
+                hit,
+                F.array(
+                    pos + F.lit(length).cast("long"),
+                    pieces + F.lit(1).cast("long"),
+                    unk,
+                ),
+            ).otherwise(expr)
+        return F.when(i.cast("long") != pos, acc).otherwise(expr)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word_col)),
+        F.array(
+            F.lit(1).cast("long"), F.lit(0).cast("long"), F.lit(0).cast("long")
+        ),
+        step,
+    )
+
+
+@register(
+    "text_wordpiece_segment",
+    tags=("llm", "text", "tokenizer"),
+    oracle=f"""
+WITH words AS (
+  SELECT source, w AS word, COUNT(*) AS n
+  FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) s
+  WHERE w <> ''
+  GROUP BY source, w
+),
+vocab AS (
+  SELECT word, CAST(len(word) AS BIGINT) AS chars,
+         {_wp_duck_fold()}[len(word) + 1] AS g1
+  FROM (SELECT DISTINCT word FROM words) v
+),
+scored AS (
+  SELECT word, chars,
+         CASE WHEN g1 >= {_WP_UNK_SENTINEL} THEN 1 ELSE g1 END AS pieces,
+         g1 >= {_WP_UNK_SENTINEL} AS is_unk
+  FROM vocab
+)
+SELECT w.source,
+       CAST(SUM(w.n) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN s.is_unk THEN w.n ELSE 0 END) AS BIGINT)
+         AS n_unk_words,
+       CAST(SUM(w.n * s.pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(w.n * s.pieces) AS DOUBLE) / CAST(SUM(w.n) AS DOUBLE)
+         AS pieces_per_word
+FROM words w JOIN scored s ON w.word = s.word
+GROUP BY w.source
+""",
+)
+def text_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization economics (BERT's greedy longest-match-
+    first, HF semantics incl. whole-word [UNK] on any mid-word miss)
+    per source. Same plan shape as text_unigram_segment: one
+    corpus-sized shuffle, the greedy walk as an integer F.aggregate
+    state machine over DISTINCT words only, broadcast join back.
+    The continuation vocabulary omits q/x/z so the UNK path is
+    exercised by real corpus words, not just fixtures."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = (
+        d.select(
+            "source",
+            F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = _wp_spark_state(F.col("word"))
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.element_at(st, 2).alias("pieces"),
+            (F.element_at(st, 3) == F.lit(1)).alias("is_unk"),
+        )
+    )
+    joined = words.join(F.broadcast(vocab), "word")
+    return joined.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.when(F.col("is_unk"), F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_unk_words"),
+        F.sum(F.col("n") * F.col("pieces")).cast("bigint").alias("n_pieces"),
+        (
+            F.sum(F.col("n") * F.col("pieces")).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("pieces_per_word"),
+    )

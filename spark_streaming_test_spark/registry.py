@@ -112,22 +112,22 @@ _DRIVER_WINDOW = [
     # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9
     # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (171) ---
-    "text_unigram_segment", "mm_audio_opus_toc", "mm_audio_ogg_codec_meta",
-    "text_bpe_train_sampled", "events_attribution", "ts_period_over_period",
-    "agg_gini_hhi", "sim_sparse_cosine_join", "window_moving_median",
-    "emb_quantile_transform", "agg_rate_wilson_ci", "ts_seasonal_residual",
-    "scan_csv_badrecords", "emb_covariance_matrix", "ab_test_welch_t",
-    "sample_balanced_classes", "emb_pca_power", "window_ohlc_bars",
-    "join_scd2_pointintime", "events_anomaly_mad", "ab_test_chi_square",
-    "events_time_to_convert", "ts_holt_linear", "window_donchian_band",
-    "join_asof_tolerance", "sample_importance_weights",
-    "graph_jaccard_neighbors", "agg_incremental_maintenance",
-    "text_textrank_keywords", "text_langid_confusion",
-    "events_sequence_trigrams", "emb_outlier_centroid_dist",
-    "dq_benford_digits", "events_cohort_ltv", "corpus_domain_quality_rollup",
-    "text_ngram_novelty", "ts_mann_kendall", "ab_test_ks",
-    "events_inter_arrival", "scan_dynamic_partition_overwrite",
+    # --- never driver-sampled — planned rotation order (172) ---
+    "text_wordpiece_segment", "text_unigram_segment", "mm_audio_opus_toc",
+    "mm_audio_ogg_codec_meta", "text_bpe_train_sampled", "events_attribution",
+    "ts_period_over_period", "agg_gini_hhi", "sim_sparse_cosine_join",
+    "window_moving_median", "emb_quantile_transform", "agg_rate_wilson_ci",
+    "ts_seasonal_residual", "scan_csv_badrecords", "emb_covariance_matrix",
+    "ab_test_welch_t", "sample_balanced_classes", "emb_pca_power",
+    "window_ohlc_bars", "join_scd2_pointintime", "events_anomaly_mad",
+    "ab_test_chi_square", "events_time_to_convert", "ts_holt_linear",
+    "window_donchian_band", "join_asof_tolerance",
+    "sample_importance_weights", "graph_jaccard_neighbors",
+    "agg_incremental_maintenance", "text_textrank_keywords",
+    "text_langid_confusion", "events_sequence_trigrams",
+    "emb_outlier_centroid_dist", "dq_benford_digits", "events_cohort_ltv",
+    "corpus_domain_quality_rollup", "text_ngram_novelty", "ts_mann_kendall",
+    "ab_test_ks", "events_inter_arrival", "scan_dynamic_partition_overwrite",
     "text_zipf_fit", "agg_spearman_corr", "dedup_soft_weights",
     "agg_concentration_curve", "dedup_prefix_hash", "mlstats_auc_roc",
     "mlstats_calibration_bins", "mlstats_logloss_brier",

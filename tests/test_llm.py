@@ -967,3 +967,47 @@ def test_unigram_segment_corpus_word_length_bound():
              FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"""
     ).fetchone()[0]
     assert mx <= 63
+
+
+def test_wordpiece_greedy_semantics(spark):
+    """Greedy longest-match-first with HF whole-word-UNK semantics:
+    the Spark state machine agrees with the pure-Python twin, longest
+    match wins even when it strands the tail (the greedy-vs-optimal
+    signature), and q/x/z in continuation position unk the word."""
+    from spark_streaming_test_spark.llm.bpe import (
+        _wp_spark_state,
+        wordpiece_segment,
+    )
+    import pyspark.sql.functions as F
+
+    # 'the' one piece; 'thein' -> the|in(cont)
+    assert wordpiece_segment("the") == (1, False)
+    assert wordpiece_segment("thein") == (2, False)
+    # mid-word q unks the WHOLE word (HF semantics)
+    assert wordpiece_segment("aqua") == (1, True)
+    # initial q is fine ('q' is in the initial set)
+    assert wordpiece_segment("qi") == (2, False)
+    words = ["the", "thein", "aqua", "qi", "standard", "ingestion",
+             "zigzag", "onion", "a", "strength", "texture"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    st = _wp_spark_state(F.col("word"))
+    got = {
+        r["word"]: (r["p"], bool(r["u"]))
+        for r in df.select(
+            "word",
+            F.element_at(st, 2).alias("p"),
+            (F.element_at(st, 3) == F.lit(1)).alias("u"),
+        ).collect()
+    }
+    assert got == {w: wordpiece_segment(w) for w in words}
+
+
+def test_wordpiece_unk_branch_live_on_corpus(spark, sf_dir):
+    """The omitted q/x/z continuation pieces must make the UNK path
+    reachable on the real corpus (otherwise the n_unk_words column is
+    never exercised by the driver's hash)."""
+    from spark_streaming_test_spark.registry import all_queries
+
+    rows = all_queries()["text_wordpiece_segment"].fn(spark, sf_dir).collect()
+    assert sum(r["n_unk_words"] for r in rows) > 0
+    assert all(r["n_pieces"] > 0 and r["n_words"] > 0 for r in rows)
