@@ -91,6 +91,12 @@ HEADLINE = [
     "scan_parquet_pages_handrolled",  # hand-rolled data pages + dictionary
     "scan_warc_zst_records",          # RFC 8878 zstd WARC streaming scan
     "mm_video_mp4_frames",            # ISO-BMFF demux + sample decode
+    # -- round-10 corpus-scaled additions (first sf0.1 numbers in
+    #    BENCH_r10.json are their baseline)
+    "text_compress_ratio",            # token-dict codec quality signal
+    "text_bpe_train_sampled",         # hash-sampled BPE merge training
+    "text_unigram_segment",           # unigram-LM Viterbi segmentation
+    "text_wordpiece_segment",         # WordPiece greedy segmentation
 ]
 
 
