@@ -74,6 +74,12 @@ def main() -> int:
         dt = time.perf_counter() - t0
         print(f"[{i + 1}/{len(picked)}] {name}: {status} ({dt:.1f}s)",
               flush=True)
+        # Long sweeps at bigger SFs OOMed the default 1g driver heap
+        # around query ~75: persisted blocks (pagerank edge indexes,
+        # checkpointed BPE frames, ...) accumulate across queries that
+        # each fit comfortably alone. Drop them between queries — this
+        # is a correctness harness, not a benchmark.
+        spark.catalog.clearCache()
 
     print(f"\n{len(picked) - len(failures)}/{len(picked)} green"
           + (f"; FAILURES: {failures}" if failures else ""))
