@@ -3354,12 +3354,21 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 # being intermittent). The fold walks each user's demand epochs in
 # day order carrying [z, p, prev_day, n_seen]: first epoch seeds z,
 # second seeds p with the first interval, later epochs SES-update
-# both. Pure {*, +} over identical doubles in identical order —
-# deterministic; emitted smoothed values round at 8 dp (list_reduce
-# ulp guard). Scale: parallelism = users, one sorted collect per user
+# both. Scale: parallelism = users, one sorted collect per user
 # of its DEMAND DAYS only (zeros never materialize).
+#
+# alpha = 1/2 (EXACT HALVING, the ts_ewma_smooth convention): every
+# SES update is (acc + x) / 2 over integer-seeded values, IEEE-exact
+# at any fold depth the 30-day event window allows (dyadic denominator
+# 2^k, k <= epochs <= 30, ~33 significand bits used of 53) — so both
+# engines hold bitwise-identical doubles AND the 8-dp round can never
+# tie (a dyadic value's 10^8-scaled form has no factor-5 denominator).
+# The previous alpha = 0.1 made k-epoch values EXACT (k-2)-digit
+# decimals; at sf0.1 one 11-epoch user landed interval = 2.278382055,
+# a true 9th-digit tie where Spark's HALF_UP and DuckDB's scaled round
+# disagree (caught by the r10 full-registry sf0.1 sweep).
 
-CROSTON_ALPHA = "0.1"
+CROSTON_ALPHA = "0.5"
 CROSTON_MIN_EPOCHS = 3
 
 
