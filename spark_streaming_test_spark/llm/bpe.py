@@ -47,10 +47,9 @@ def _word_counts(
     applied as a scan-level filter before the explode."""
     d = spread(load(spark, sf_dir, "documents"))
     if sample_ceil is not None:
-        d = d.filter(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-            <= sample_ceil
-        )
+        from .sampling import _hash_key  # the predicate's source of truth
+
+        d = d.filter(F.substring(_hash_key("doc_id"), 1, 1) <= sample_ceil)
     return (
         d.select(
             F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("word")
@@ -188,17 +187,13 @@ w{k} AS MATERIALIZED (
     return "\n".join(lines) + "\n" + sel
 
 
-@register(
-    "text_bpe_train",
-    tags=("llm", "text", "tokenizer", "iterative"),
-    oracle=_bpe_train_oracle(),
-)
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a BPE merge table on the corpus: one word-count shuffle,
-    then N_MERGES iterations over the vocab-bounded symbol frame. The
-    result IS the tokenizer model (ordered merge rules)."""
-    merges = bpe_train(_word_counts(spark, sf_dir))
-    schema = "iteration int, left string, right string, merged string, pair_count bigint"
+def _merges_frame(spark: SparkSession, merges: list[dict]) -> DataFrame:
+    """Ordered merge table as the driver-contract DataFrame (shared by
+    the exact and sampled trainers so the model schema cannot drift)."""
+    schema = (
+        "iteration int, left string, right string, merged string, "
+        "pair_count bigint"
+    )
     if not merges:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(
@@ -208,6 +203,18 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+
+
+@register(
+    "text_bpe_train",
+    tags=("llm", "text", "tokenizer", "iterative"),
+    oracle=_bpe_train_oracle(),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table on the corpus: one word-count shuffle,
+    then N_MERGES iterations over the vocab-bounded symbol frame. The
+    result IS the tokenizer model (ordered merge rules)."""
+    return _merges_frame(spark, bpe_train(_word_counts(spark, sf_dir)))
 
 
 @register(
@@ -235,19 +242,8 @@ def text_bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm.py asserts the sampled table stays close to it on
     the fixture corpus (>= 6 of 8 merge pairs shared; measured 7-8 at
     sf0.001/sf0.01)."""
-    merges = bpe_train(_word_counts(spark, sf_dir, BPE_SAMPLE_CEIL))
-    schema = (
-        "iteration int, left string, right string, merged string, "
-        "pair_count bigint"
-    )
-    if not merges:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(
-        [
-            (m["iteration"], m["left"], m["right"], m["merged"], m["pair_count"])
-            for m in merges
-        ],
-        schema,
+    return _merges_frame(
+        spark, bpe_train(_word_counts(spark, sf_dir, BPE_SAMPLE_CEIL))
     )
 
 

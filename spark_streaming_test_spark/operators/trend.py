@@ -3361,8 +3361,14 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SES update is (acc + x) / 2 over integer-seeded values, IEEE-exact
 # at any fold depth the 30-day event window allows (dyadic denominator
 # 2^k, k <= epochs <= 30, ~33 significand bits used of 53) — so both
-# engines hold bitwise-identical doubles AND the 8-dp round can never
-# tie (a dyadic value's 10^8-scaled form has no factor-5 denominator).
+# engines hold bitwise-identical doubles. 8-dp rounding of a dyadic
+# m/2^j can tie ONLY when j = 9 exactly (then x*10^8 is an exact
+# half-integer; for j < 9 the value terminates within 8 decimals, for
+# j > 9 the 9th-plus digits are never exactly 5-then-zeros) — and on
+# exact positive half-integers Spark's HALF_UP and DuckDB's
+# round-half-away-from-zero AGREE, so the cross-engine divergence
+# class is closed. croston_forecast rounds a generic quotient of two
+# dyadics (ties measure-zero, the house rule for rounding doubles).
 # The previous alpha = 0.1 made k-epoch values EXACT (k-2)-digit
 # decimals; at sf0.1 one 11-epoch user landed interval = 2.278382055,
 # a true 9th-digit tie where Spark's HALF_UP and DuckDB's scaled round

@@ -543,6 +543,10 @@ def _ogg_codec_fixture_dir() -> str:
         _ogg_codec_params, build_vorbis_id, build_vorbis_comment,
         build_opus_head, build_opus_tags, build_spanned_packet_pages,
         _ogg_codec_audio_packet, OGG_CODEC_FILES,
+        # page-layer builders too: a lacing/CRC layout change must bust
+        # this cache as well (review r10 — the sibling ogg fixture
+        # hashes build_page for the same reason)
+        build_page, build_page_segments, _lacing_for, ogg_crc,
     )
     d = os.path.join(SCRATCH, f"ogg_codec_{rev}")
     if not os.path.exists(os.path.join(d, "_DONE")):

@@ -956,15 +956,19 @@ def test_unigram_segment_dp_semantics(spark):
     assert set("abcdefghijklmnopqrstuvwxyz") <= set(_U_COSTS)
 
 
-def test_unigram_segment_corpus_word_length_bound():
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_unigram_segment_corpus_word_length_bound(sf):
     """The composite DP encoding (cost*64 + n_pieces) is valid for
-    words up to 63 chars; pin that the corpus stays far inside it."""
+    words up to 63 chars; pin that the corpus stays far inside it at
+    EVERY local SF — the DP runs in driver sweeps at sf0.1 too, and a
+    >63-char word would silently corrupt pieces into cost there while
+    an sf0.001-only check stayed green (review r10)."""
     import duckdb
 
     mx = duckdb.sql(
-        """SELECT max(strlen(w)) FROM (
+        f"""SELECT max(strlen(w)) FROM (
              SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) w
-             FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"""
+             FROM read_parquet('/root/testdata/sf{sf}/documents.parquet'))"""
     ).fetchone()[0]
     assert mx <= 63
 
