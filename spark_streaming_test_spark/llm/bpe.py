@@ -660,7 +660,7 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (HF semantics: any mid-word failure unks the whole word). The walk
 # is an integer state machine [pos, n_pieces, unk] folded over word
 # positions — exact in both engines, like the unigram DP. The ##-sets
-# deliberately omit q/x/z so the UNK branch is live on real corpora.
+# deliberately omit k/q/x/z so the UNK branch is live on real corpora.
 
 _WP_INITIAL = {
     "the", "and", "ing",
@@ -674,7 +674,8 @@ _WP_CONT = {
     "ti", "al", "ar", "or", "st", "nt", "ng",
     # no continuation k/q/x/z: rare-char coverage gaps are what real
     # WordPiece vocabs have, and they keep the [UNK] branch live on
-    # the corpus itself ('spark' ends in a continuation k)
+    # the corpus itself ('spark' ends in k, which only exists as an
+    # initial piece — so 'spark' whole-word-UNKs)
     *"abcdefghijlmnopsrtuvwy",
 }
 _WP_MAXLEN = 3
@@ -823,7 +824,7 @@ def text_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source. Same plan shape as text_unigram_segment: one
     corpus-sized shuffle, the greedy walk as an integer F.aggregate
     state machine over DISTINCT words only, broadcast join back.
-    The continuation vocabulary omits q/x/z so the UNK path is
+    The continuation vocabulary omits k/q/x/z so the UNK path is
     exercised by real corpus words, not just fixtures."""
     d = spread(load(spark, sf_dir, "documents"))
     words = (

@@ -214,7 +214,7 @@ mom AS (
   FROM pairs GROUP BY di, dj
 )
 SELECT CAST(di - 1 AS INTEGER) AS di, CAST(dj - 1 AS INTEGER) AS dj,
-       round(sij / n - (si / n) * (sj / n), {COV_DP}) AS cov
+       round(sij / n - (si / n) * (sj / n), {COV_DP}) + 0.0 AS cov
 FROM mom
 """,
 )
@@ -258,7 +258,15 @@ def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         F.col("di").cast("int").alias("di"),
         F.col("dj").cast("int").alias("dj"),
-        F.round(sij / n - (si / n) * (sj / n), COV_DP).alias("cov"),
+        # + 0.0 collapses IEEE signed zero: F.round goes through
+        # BigDecimal (unsigned zero) while DuckDB's round keeps the
+        # sign of the scaled double — the r10 driver red was one
+        # matrix entry hashing -0.0 vs +0.0 through pandas. Adding
+        # positive zero normalizes BOTH engines to +0.0 (-0.0 + 0.0
+        # == +0.0 in IEEE 754 round-to-nearest).
+        (F.round(sij / n - (si / n) * (sj / n), COV_DP) + F.lit(0.0)).alias(
+            "cov"
+        ),
     )
 
 

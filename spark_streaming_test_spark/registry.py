@@ -109,30 +109,13 @@ _DRIVER_WINDOW = [
     # GENERATED by tools/gen_driver_window.py — do not hand-edit.
     # Derived from CORRECTNESS_r*.json: reds, then new names, then
     # the never-sampled backlog, then greens (stalest first).
-    # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9
-    # --- failed in their latest driver sample — re-verify FIRST (0) ---
+    # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+    # --- failed in their latest driver sample — re-verify FIRST (1) ---
+    "emb_covariance_matrix",
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (172) ---
-    "text_wordpiece_segment", "text_unigram_segment", "mm_audio_opus_toc",
-    "mm_audio_ogg_codec_meta", "text_bpe_train_sampled", "events_attribution",
-    "ts_period_over_period", "agg_gini_hhi", "sim_sparse_cosine_join",
-    "window_moving_median", "emb_quantile_transform", "agg_rate_wilson_ci",
-    "ts_seasonal_residual", "scan_csv_badrecords", "emb_covariance_matrix",
-    "ab_test_welch_t", "sample_balanced_classes", "emb_pca_power",
-    "window_ohlc_bars", "join_scd2_pointintime", "events_anomaly_mad",
-    "ab_test_chi_square", "events_time_to_convert", "ts_holt_linear",
-    "window_donchian_band", "join_asof_tolerance",
-    "sample_importance_weights", "graph_jaccard_neighbors",
-    "agg_incremental_maintenance", "text_textrank_keywords",
-    "text_langid_confusion", "events_sequence_trigrams",
-    "emb_outlier_centroid_dist", "dq_benford_digits", "events_cohort_ltv",
-    "corpus_domain_quality_rollup", "text_ngram_novelty", "ts_mann_kendall",
-    "ab_test_ks", "events_inter_arrival", "scan_dynamic_partition_overwrite",
-    "text_zipf_fit", "agg_spearman_corr", "dedup_soft_weights",
-    "agg_concentration_curve", "dedup_prefix_hash", "mlstats_auc_roc",
-    "mlstats_calibration_bins", "mlstats_logloss_brier",
-    "mlstats_threshold_sweep", "geo_radius_join", "geo_nearest_within_radius",
-    "geo_cell_density", "join_interval_overlap", "sample_temperature_mixture",
+    # --- never driver-sampled — planned rotation order (122) ---
+    "geo_radius_join", "geo_nearest_within_radius", "geo_cell_density",
+    "join_interval_overlap", "sample_temperature_mixture",
     "graph_connected_components", "feature_hashing_trick",
     "dedup_incremental_exact", "er_entity_groups", "hierarchy_subtree_rollup",
     "dq_dup_rate_by_source", "dq_l_diversity", "events_journey_paths",
@@ -176,7 +159,7 @@ _DRIVER_WINDOW = [
     "geo_dbscan_grid", "text_compress_ratio", "emb_kmeans_lloyd",
     "mm_feature_extract_stub", "mm_frame_sample_stub", "mm_resize_stub",
     "mm_binary_metadata",
-    # --- driver-green — re-verify last, stalest first (436) ---
+    # --- driver-green — re-verify last, stalest first (485) ---
     "scan_project_filter", "filter_like_null_routing", "sort_limit_topk",
     "distinct_values", "set_union_distinct", "set_union_all", "set_intersect",
     "set_except", "set_union_by_name", "fn_unpivot", "join_broadcast_dim",
@@ -333,7 +316,25 @@ _DRIVER_WINDOW = [
     "window_gap_islands", "agg_linreg_by_group", "ab_test_zscore",
     "agg_winsorize", "ts_ewma_smooth", "ts_cusum_shift",
     "ts_rolling_autocorr", "join_fuzzy_dictionary", "text_char_entropy",
-    "corpus_curriculum_order",
+    "corpus_curriculum_order", "text_wordpiece_segment",
+    "text_unigram_segment", "mm_audio_opus_toc", "mm_audio_ogg_codec_meta",
+    "text_bpe_train_sampled", "events_attribution", "ts_period_over_period",
+    "agg_gini_hhi", "sim_sparse_cosine_join", "window_moving_median",
+    "emb_quantile_transform", "agg_rate_wilson_ci", "ts_seasonal_residual",
+    "scan_csv_badrecords", "ab_test_welch_t", "sample_balanced_classes",
+    "emb_pca_power", "window_ohlc_bars", "join_scd2_pointintime",
+    "events_anomaly_mad", "ab_test_chi_square", "events_time_to_convert",
+    "ts_holt_linear", "window_donchian_band", "join_asof_tolerance",
+    "sample_importance_weights", "graph_jaccard_neighbors",
+    "agg_incremental_maintenance", "text_textrank_keywords",
+    "text_langid_confusion", "events_sequence_trigrams",
+    "emb_outlier_centroid_dist", "dq_benford_digits", "events_cohort_ltv",
+    "corpus_domain_quality_rollup", "text_ngram_novelty", "ts_mann_kendall",
+    "ab_test_ks", "events_inter_arrival", "scan_dynamic_partition_overwrite",
+    "text_zipf_fit", "agg_spearman_corr", "dedup_soft_weights",
+    "agg_concentration_curve", "dedup_prefix_hash", "mlstats_auc_roc",
+    "mlstats_calibration_bins", "mlstats_logloss_brier",
+    "mlstats_threshold_sweep",
 ]
 
 

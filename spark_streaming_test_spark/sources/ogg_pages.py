@@ -274,15 +274,32 @@ def build_opus_tags(vendor: str, tags: list[tuple[str, str]]) -> bytes:
     return b"OpusTags" + _comment_block(vendor, tags)
 
 
-def _parse_comment_block(p: bytes, pos: int) -> tuple[str, list[str], int]:
-    (vlen,) = struct.unpack_from("<I", p, pos)
+def _parse_comment_block(
+    p: bytes, pos: int, who: str = "ogg"
+) -> tuple[str, list[str], int]:
+    """Vorbis-comment block (vendor + tag list). Every length field is
+    bounds-checked BEFORE use so truncated headers raise the module's
+    ValueError corruption convention (ADVICE r10 — struct.error /
+    IndexError / silent slice truncation otherwise), prefixed with the
+    caller's codec name."""
+
+    def _u32(at: int, what: str) -> int:
+        if at + 4 > len(p):
+            raise ValueError(f"{who}: comment block truncated in {what}")
+        return struct.unpack_from("<I", p, at)[0]
+
+    vlen = _u32(pos, "vendor length")
+    if pos + 4 + vlen > len(p):
+        raise ValueError(f"{who}: comment block truncated in vendor string")
     vendor = p[pos + 4 : pos + 4 + vlen].decode("utf-8")
     pos += 4 + vlen
-    (n,) = struct.unpack_from("<I", p, pos)
+    n = _u32(pos, "tag count")
     pos += 4
     tags = []
-    for _ in range(n):
-        (clen,) = struct.unpack_from("<I", p, pos)
+    for i in range(n):
+        clen = _u32(pos, f"tag {i} length")
+        if pos + 4 + clen > len(p):
+            raise ValueError(f"{who}: comment block truncated in tag {i}")
         tags.append(p[pos + 4 : pos + 4 + clen].decode("utf-8"))
         pos += 4 + clen
     return vendor, tags, pos
@@ -293,6 +310,8 @@ def parse_codec_headers(first: bytes, second: bytes) -> dict:
     Returns codec, channels, sample_rate, pre_skip (Opus only),
     blocksize_0/1 (Vorbis only), vendor, tags."""
     if first[:7] == b"\x01vorbis":
+        if len(first) < 30:
+            raise ValueError("vorbis: id header shorter than 30 bytes")
         version, channels, rate = struct.unpack_from("<IBI", first, 7)
         if version != 0:
             raise ValueError(f"vorbis: version {version} unsupported")
@@ -301,7 +320,9 @@ def parse_codec_headers(first: bytes, second: bytes) -> dict:
             raise ValueError("vorbis: id framing bit unset")
         if second[:7] != b"\x03vorbis":
             raise ValueError("vorbis: second packet is not a comment header")
-        vendor, tags, pos = _parse_comment_block(second, 7)
+        vendor, tags, pos = _parse_comment_block(second, 7, "vorbis")
+        if pos >= len(second):
+            raise ValueError("vorbis: comment packet missing framing byte")
         if second[pos] & 0x01 != 0x01:
             raise ValueError("vorbis: comment framing bit unset")
         return {
@@ -315,6 +336,8 @@ def parse_codec_headers(first: bytes, second: bytes) -> dict:
             "tags": tags,
         }
     if first[:8] == b"OpusHead":
+        if len(first) < 19:
+            raise ValueError("opus: OpusHead shorter than 19 bytes")
         version, channels, pre_skip, input_rate, _gain, family = (
             struct.unpack_from("<BBHIhB", first, 8)
         )
@@ -324,7 +347,7 @@ def parse_codec_headers(first: bytes, second: bytes) -> dict:
             raise ValueError("opus: only channel mapping family 0 supported")
         if second[:8] != b"OpusTags":
             raise ValueError("opus: second packet is not OpusTags")
-        vendor, tags, _pos = _parse_comment_block(second, 8)
+        vendor, tags, _pos = _parse_comment_block(second, 8, "opus")
         return {
             "codec": "opus",
             "channels": channels,
@@ -487,6 +510,13 @@ def mm_audio_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- codec-header fixture + query ---------------------------------------------
 
 OGG_CODEC_FILES = 4
+# Audio-page shape shared by the fixture builder and every oracle that
+# enumerates its packets (ADVICE r10: the Opus TOC oracle hard-coded
+# the file list and packet count; deriving both from these constants
+# makes a fixture-shape change fail loudly at the oracle, not silently).
+OGG_AUDIO_PAGES = 2  # audio pages per file
+OGG_PACKETS_PER_PAGE = 2  # audio packets per page
+OGG_PACKETS_PER_FILE = OGG_AUDIO_PAGES * OGG_PACKETS_PER_PAGE
 _OGG_VORBIS_BS = (8, 11)  # blocksize exponents -> 256 / 2048
 
 
@@ -526,7 +556,7 @@ def _ogg_codec_audio_packet(f: int, i: int, j: int) -> bytes:
     )
     if prm["vorbis"]:
         return filler
-    config = (5 * (2 * i + j) + 7 * f) % 32
+    config = (5 * (i * OGG_PACKETS_PER_PAGE + j) + 7 * f) % 32
     stereo = 1 if prm["channels"] == 2 else 0
     if j % 2 == 0:
         toc = (config << 3) | (stereo << 2) | 0  # code 0: one frame
@@ -579,12 +609,15 @@ def _ogg_codec_fixture_dir() -> str:
             else:
                 pages.append(build_page(serial, 1, 0, [comment] + tail))
             seq = len(pages)
-            for i in range(2):
+            for i in range(OGG_AUDIO_PAGES):
                 pages.append(
                     build_page(
                         serial, seq + i, (i + 1) * prm["granule_step"],
-                        [_ogg_codec_audio_packet(f, i, j) for j in range(2)],
-                        eos=(i == 1),
+                        [
+                            _ogg_codec_audio_packet(f, i, j)
+                            for j in range(OGG_PACKETS_PER_PAGE)
+                        ],
+                        eos=(i == OGG_AUDIO_PAGES - 1),
                     )
                 )
             with open(os.path.join(d, f"c_{f:04d}.ogg"), "wb") as fh:
@@ -611,7 +644,7 @@ SELECT CAST(f AS INTEGER) AS file_id,
        CAST(2 + (f % 2)
             + CASE WHEN f = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_tags,
        'track ' || CAST(f AS VARCHAR) AS tag_title,
-       CAST(2 * (1200 + 240 * f) AS BIGINT) AS last_granule
+       CAST({OGG_AUDIO_PAGES} * (1200 + 240 * f) AS BIGINT) AS last_granule
 FROM range({OGG_CODEC_FILES}) t(f)
 """,
 )
@@ -768,14 +801,20 @@ def parse_opus_packet_stats(buf: bytes) -> list[dict]:
 
 _OPUS_TOC_ORACLE = f"""
 WITH p AS (
+  -- file list and packets-per-file derive from the SAME constants the
+  -- fixture builder uses (odd f = Opus; pi = page * packets_per_page
+  -- + packet), so a fixture-shape change breaks this oracle loudly
   SELECT u.f, v.pi
-  FROM (SELECT unnest([1, 3]) AS f) u, (SELECT unnest(range(4)) AS pi) v
+  FROM (SELECT unnest(range({OGG_CODEC_FILES})) AS f) u,
+       (SELECT unnest(range({OGG_PACKETS_PER_FILE})) AS pi) v
+  WHERE u.f % 2 = 1
 ),
 c AS (
   SELECT f, CAST(pi AS INTEGER) AS packet_idx,
          (5 * pi + 7 * f) % 32 AS config,
          (1 + (f % 3)) = 2 AS stereo,
-         CAST(CASE WHEN pi % 2 = 0 THEN 1 ELSE 2 + (pi // 2) END
+         CAST(CASE WHEN pi % {OGG_PACKETS_PER_PAGE} % 2 = 0 THEN 1
+              ELSE 2 + (pi // {OGG_PACKETS_PER_PAGE}) END
               AS INTEGER) AS n_frames
   FROM p
 ),

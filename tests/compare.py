@@ -22,7 +22,11 @@ from __future__ import annotations
 import datetime as dt
 import math
 import re
+import struct
 from decimal import Decimal
+
+# Canonical bit pattern for every NaN (payloads differ across engines).
+_NAN_BITS = struct.pack("<d", float("nan"))
 
 # Canonical type labels keyed by each engine's spelling. Coarse on
 # purpose: the driver's hash cares about the pandas dtype a value lands
@@ -90,18 +94,33 @@ def canon_duckdb_type(t: str) -> str:
     return _DUCKDB_TYPES.get(t, t)
 
 
+def _canon_float(v: float) -> tuple:
+    """Bitwise-strict float canonicalization.
+
+    The driver canonicalizes through pandas, whose value hash is over
+    the raw float64 BITS — so -0.0 and +0.0 hash differently there
+    (the round-10 ``emb_covariance_matrix`` red: one covariance entry
+    rounded to +0.0 in Spark, -0.0 in DuckDB, values "equal" in Python
+    but hash-divergent in the driver). The local gate must be strictly
+    TIGHTER than the driver, so floats canonicalize to their IEEE-754
+    bit pattern. NaN is the one exception: payload bits differ by
+    engine for the same semantic NaN, so every NaN collapses to one
+    canonical pattern.
+    """
+    if math.isnan(v):
+        return ("f", _NAN_BITS)
+    return ("f", struct.pack("<d", v))
+
+
 def _canon(v):
     if v is None:
         return ("\x00none",)
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, Decimal):
-        return ("f", float(v))
+        return _canon_float(float(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        # -0.0 and 0.0 hash/compare equal in python; normalize anyway
-        return ("f", v + 0.0)
+        return _canon_float(v)
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, dt.datetime):

@@ -973,6 +973,32 @@ def test_unigram_segment_corpus_word_length_bound(sf):
     assert mx <= 63
 
 
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_token_dict_varint_envelope(sf):
+    """The text_compress_ratio oracle inlines varint lengths as a
+    two-tier CASE (1 byte < 128, else 2), valid only while n_tokens,
+    n_distinct and every token's byte length stay below 16384 (the
+    encoder emits 3-byte varints beyond that). Pin the corpus inside
+    that envelope at EVERY local SF, mirroring the unigram 63-char
+    word bound — a datagen/SF change past the tier boundary must fail
+    here, not silently diverge at driver hash-compare time
+    (ADVICE r10)."""
+    import duckdb
+
+    n_tokens, n_distinct, tok_len = duckdb.sql(
+        f"""SELECT max(len(tokens)),
+                   max(len(list_distinct(tokens))),
+                   max(list_max(list_transform(
+                       tokens, t -> octet_length(encode(t)))))
+            FROM (SELECT string_split(text, ' ') AS tokens
+                  FROM read_parquet(
+                      '/root/testdata/sf{sf}/documents.parquet'))"""
+    ).fetchone()
+    assert n_tokens < 16384, n_tokens
+    assert n_distinct < 16384, n_distinct
+    assert tok_len < 16384, tok_len
+
+
 def test_wordpiece_greedy_semantics(spark):
     """Greedy longest-match-first with HF whole-word-UNK semantics:
     the Spark state machine agrees with the pure-Python twin, longest
