@@ -546,11 +546,9 @@ def mlstats_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LIFT_DECILES = 10
 
-
-@register(
-    "mlstats_lift_gains",
-    tags=("mlstats", "evaluation", "ranking"),
-    oracle=f"""
+# Shared by mlstats_lift_gains and its distributed-rank twin: both
+# compute the identical decile table, so one oracle serves both.
+_LIFT_ORACLE = f"""
 WITH scored AS (
   SELECT event_id, {_Y_SQL} AS y, value AS score FROM events
 ),
@@ -574,7 +572,13 @@ SELECT p.decile,
             AS DOUBLE) / t.pt AS cum_capture,
        (CAST(p.pos AS DOUBLE) / p.n) / (CAST(t.pt AS DOUBLE) / t.nt) AS lift
 FROM per p CROSS JOIN tot t
-""",
+"""
+
+
+@register(
+    "mlstats_lift_gains",
+    tags=("mlstats", "evaluation", "ranking"),
+    oracle=_LIFT_ORACLE,
 )
 def mlstats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative gains and lift table: rank the population by model
@@ -620,6 +624,131 @@ def mlstats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("pt").cast("double") / F.col("nt"))
             ).alias("lift"),
         )
+    )
+
+
+LIFT_RANGE_PARTS = 32  # range-partition fan for the distributed rank
+
+
+def _lift_local_ranked(ev: DataFrame) -> DataFrame:
+    """Stage 1 of the distributed rank: range-partition the corpus on
+    the (score DESC, event_id) total order and compute partition-LOCAL
+    row numbers. No single-partition exchange anywhere (plan-pinned by
+    tests/test_plans.py); the caller localCheckpoints the result."""
+    parts = ev.repartitionByRange(
+        LIFT_RANGE_PARTS, F.col("score").desc(), F.col("event_id")
+    ).withColumn("pid", F.spark_partition_id())
+    wloc = Window.partitionBy("pid").orderBy(F.col("score").desc(), "event_id")
+    return parts.withColumn("lrank", F.row_number().over(wloc))
+
+
+@register(
+    "mlstats_lift_gains_distributed",
+    tags=("mlstats", "evaluation", "ranking", "scale"),
+    oracle=_LIFT_ORACLE,
+)
+def mlstats_lift_gains_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``mlstats_lift_gains`` re-expressed without a single-partition
+    ordering of the corpus — the scale form of the global-rank shape
+    (VERDICT r10 #4), twinning it the way ``traffic_alerts_broadcast``
+    twins the collect-once flagship.
+
+    The global NTILE becomes a distributed two-pass exact rank:
+
+      1. ``repartitionByRange`` on (score DESC, event_id) splits the
+         total order into {LIFT_RANGE_PARTS} contiguous ranges;
+         ``row_number`` runs PARTITIONED by the range id, so every
+         sort is partition-local.
+      2. Per-range counts (one row per range) turn into rank offsets
+         via a broadcast triangular self-join — O(P^2) pairs of a
+         P-row frame — and each row's exact global rank is
+         local rank + its range's offset, attached by broadcast join.
+
+    Decile membership is then pure arithmetic on the rank (NTILE
+    semantics: the first N mod T tiles hold ceil(N/T) rows), and the
+    10-row cumulative table folds through the same triangular-join
+    trick — so the WHOLE plan contains no Exchange SinglePartition
+    (pinned by tests/test_plans.py). Rank, decile, and output are
+    exact and independent of where the sampled range boundaries land,
+    because (score, event_id) is a total order. All divisions happen
+    on counts < 2^53, so the floor-of-double forms are exact."""
+    T = LIFT_DECILES
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.col("value").alias("score"),
+    )
+    # localCheckpoint binds BOTH downstream branches (per-range sizes,
+    # rank join) to ONE materialized ranked frame. Without it each
+    # branch compiles its own range exchange, and RangePartitioner's
+    # sample seed includes the RDD id — two instances can draw
+    # DIFFERENT boundaries, making offsets disagree with local ranks
+    # (measured: per-decile counts off by ±6% at sf0.1). The global
+    # two-pass rank materializes the sorted corpus once by design —
+    # the same footprint any sort-based rank (TeraSort-style) pays.
+    local = _lift_local_ranked(ev).localCheckpoint(eager=False)
+
+    sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = sizes.alias("a"), sizes.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
+    )
+    tot = sizes.agg(F.sum("cnt").alias("nt"))
+
+    ranked = (
+        local.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.col("lrank") + F.col("off"))
+    )
+    qq = F.floor(F.col("nt") / F.lit(T)).cast("bigint")
+    rr = (F.col("nt") % F.lit(T)).cast("bigint")
+    thr = rr * (qq + F.lit(1))
+    safe_q = F.greatest(qq, F.lit(1))
+    decile = (
+        F.when(
+            F.col("rnk") <= thr,
+            F.floor((F.col("rnk") + qq) / (qq + F.lit(1))),
+        )
+        .otherwise(
+            rr + F.floor((F.col("rnk") - thr + safe_q - F.lit(1)) / safe_q)
+        )
+        .cast("int")
+    )
+    per = (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("pt")
+    )
+    pa, pb = per.alias("pa"), per.alias("pb")
+    cum = (
+        pa.join(F.broadcast(pb), F.col("pb.decile") <= F.col("pa.decile"))
+        .groupBy(
+            F.col("pa.decile").alias("decile"),
+            F.col("pa.n").alias("n_raw"),
+            F.col("pa.pos").alias("pos"),
+        )
+        .agg(F.sum("pb.pos").alias("cum_pos"))
+    )
+    return cum.crossJoin(F.broadcast(totals)).select(
+        "decile",
+        F.col("n_raw").cast("bigint").alias("n"),
+        "pos",
+        F.col("cum_pos").cast("bigint").alias("cum_pos"),
+        (F.col("cum_pos").cast("double") / F.col("pt")).alias("cum_capture"),
+        (
+            (F.col("pos").cast("double") / F.col("n_raw"))
+            / (F.col("pt").cast("double") / F.col("nt"))
+        ).alias("lift"),
     )
 
 

@@ -20,13 +20,9 @@ ever sees it.
 from __future__ import annotations
 
 import datetime as dt
-import math
 import re
 import struct
 from decimal import Decimal
-
-# Canonical bit pattern for every NaN (payloads differ across engines).
-_NAN_BITS = struct.pack("<d", float("nan"))
 
 # Canonical type labels keyed by each engine's spelling. Coarse on
 # purpose: the driver's hash cares about the pandas dtype a value lands
@@ -101,14 +97,15 @@ def _canon_float(v: float) -> tuple:
     the raw float64 BITS — so -0.0 and +0.0 hash differently there
     (the round-10 ``emb_covariance_matrix`` red: one covariance entry
     rounded to +0.0 in Spark, -0.0 in DuckDB, values "equal" in Python
-    but hash-divergent in the driver). The local gate must be strictly
-    TIGHTER than the driver, so floats canonicalize to their IEEE-754
-    bit pattern. NaN is the one exception: payload bits differ by
-    engine for the same semantic NaN, so every NaN collapses to one
-    canonical pattern.
+    but hash-divergent in the driver). The local gate must be at least
+    as TIGHT as the driver, so floats canonicalize to their raw
+    IEEE-754 bit pattern — including NaN payload bits, which pandas
+    also distinguishes (measured: hash_pandas_object of 0x7ff8...0 vs
+    0x7ff8...1 differs). Both engines emit the canonical quiet NaN
+    from arithmetic, so bit-exact NaN costs nothing and closes the
+    last looser-than-driver class. tests/test_gate_parity.py pins the
+    strictness direction against a pandas replica.
     """
-    if math.isnan(v):
-        return ("f", _NAN_BITS)
     return ("f", struct.pack("<d", v))
 
 
@@ -118,13 +115,29 @@ def _canon(v):
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, Decimal):
-        return _canon_float(float(v))
+        # Representation-exact, not through float: pandas hashes
+        # object columns by each element's serialized form, so
+        # Decimal('1.5') and Decimal('1.50') hash APART in the driver
+        # (measured — numeric hash(Decimal) equality does NOT apply).
+        # str(v) has the same equality classes as that serialization.
+        # Matched declared scales (enforced by assert_types_match)
+        # make both engines render the same digit string for equal
+        # values, so this is exactly driver-tight, not over-tight.
+        return ("dec", str(v))
     if isinstance(v, float):
         return _canon_float(v)
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, dt.datetime):
-        return ("t", v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"))
+        # Instant-based, matching pandas i8 semantics: a tz-aware
+        # value hashes as its UTC instant driver-side, a naive one as
+        # its wall time. Stripping tzinfo wall-clock-style would make
+        # a +02:00-aware value compare equal to a naive twin the
+        # driver hashes apart. (UTC-aware values — the only aware
+        # values this environment produces — are unaffected.)
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return ("t", v.isoformat(sep=" ", timespec="microseconds"))
     if isinstance(v, dt.date):
         return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):

@@ -1635,3 +1635,62 @@ def test_unigram_segment_jvm_only_broadcast_vocab(spark, qs):
     plan = checks.formatted_plan(df)
     assert "EvalPython" not in plan, plan[:1200]
     checks.assert_broadcast_join(df, min_count=1)
+
+
+def _single_partition_exchange_children(plan: str) -> list[str]:
+    # For every `Exchange ... SinglePartition` node, the tree line of
+    # its child (formatted plans list a unary node's child on the next
+    # tree line, one level deeper).
+    import re
+
+    ids = re.findall(
+        r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", plan
+    )
+    tree = plan.split("\n\n")[0].splitlines()
+    out = []
+    for node_id in ids:
+        for i, ln in enumerate(tree):
+            if f"Exchange ({node_id})" in ln:
+                out.append(tree[i + 1])
+                break
+    return out
+
+
+def test_lift_gains_distributed_no_single_partition_rank(spark, qs):
+    # The scale twin of the global-rank shape (VERDICT r10 #4): the
+    # two-pass distributed rank must never collapse the CORPUS into a
+    # single partition. The pre-checkpoint ranked frame (range
+    # exchange + pid-partitioned window) has no SinglePartition
+    # exchange at all; in the full query the only SinglePartition
+    # exchanges are the one-row final merges of global scalar
+    # aggregates (child = partial HashAggregate — O(tasks) rows, the
+    # shape every global count has). The original NTILE form, by
+    # contrast, funnels the raw projection into a single partition to
+    # sort it — that's the shape being twinned, the
+    # traffic_alerts/traffic_alerts_broadcast precedent.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.catalog import load
+    from spark_streaming_test_spark.operators.evalmetrics import (
+        _lift_local_ranked,
+    )
+
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.col("value").alias("score"),
+    )
+    inner = checks.formatted_plan(_lift_local_ranked(ev))
+    assert "SinglePartition" not in inner, inner[:1500]
+    assert "rangepartitioning" in inner, inner[:1500]
+
+    full = checks.formatted_plan(
+        qs["mlstats_lift_gains_distributed"](spark, SF_DIR)
+    )
+    kids = _single_partition_exchange_children(full)
+    bad = [k for k in kids if "HashAggregate" not in k]
+    assert not bad, f"corpus-sized SinglePartition exchange(s): {bad}"
+
+    orig = checks.formatted_plan(qs["mlstats_lift_gains"](spark, SF_DIR))
+    okids = _single_partition_exchange_children(orig)
+    assert any("HashAggregate" not in k for k in okids), okids
