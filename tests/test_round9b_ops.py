@@ -745,3 +745,74 @@ def test_opus_toc_fixture_skips_vorbis_and_headers():
         else:
             assert [m["packet_idx"] for m in stats] == [0, 1, 2, 3]
             assert [m["n_frames"] for m in stats] == [1, 2, 1, 3]
+
+
+def test_vorbis_audio_packet_semantics():
+    """Vorbis I §4.3.1 preamble, LSB-first: type flag routes
+    audio/not-audio, the 1-bit mode picks short/long blocksize from
+    the id-header exponents, window flags only exist on long blocks,
+    and truncated comment blocks raise the ValueError convention."""
+    import pytest as _pytest
+
+    from spark_streaming_test_spark.sources import ogg_pages as O
+
+    # even byte, mode bit 0 -> short block, no window flags
+    m = O.parse_vorbis_audio_packet(bytes([0b00000000, 7]), 256, 2048)
+    assert m["is_audio"] and m["mode"] == 0 and m["blocksize"] == 256
+    assert m["prev_window_flag"] is None and m["next_window_flag"] is None
+    # mode bit 1 -> long block; bits 2/3 are the window flags
+    m = O.parse_vorbis_audio_packet(bytes([0b00000110]), 256, 2048)
+    assert m["mode"] == 1 and m["blocksize"] == 2048
+    assert m["prev_window_flag"] is True and m["next_window_flag"] is False
+    m = O.parse_vorbis_audio_packet(bytes([0b00001010]), 64, 512)
+    assert m["blocksize"] == 512
+    assert m["prev_window_flag"] is False and m["next_window_flag"] is True
+    # type flag set -> not an audio packet, everything else null
+    m = O.parse_vorbis_audio_packet(bytes([0b00000001]), 256, 2048)
+    assert m["is_audio"] is False and m["mode"] is None
+    with _pytest.raises(ValueError, match="empty"):
+        O.parse_vorbis_audio_packet(b"", 256, 2048)
+    # ilog: the §9.2.1 table rows
+    assert [O.ilog(x) for x in (0, 1, 2, 3, 4, 7)] == [0, 1, 2, 2, 3, 3]
+    # truncated comment blocks raise ValueError (module convention)
+    with _pytest.raises(ValueError, match="vorbis: comment"):
+        O.parse_codec_headers(
+            O.build_vorbis_id(2, 44100),
+            b"\x03vorbis" + b"\x40\x00\x00\x00",  # vendor len 64, no bytes
+        )
+    with _pytest.raises(ValueError, match="opus: comment"):
+        O.parse_codec_headers(
+            O.build_opus_head(1, 0, 48000),
+            b"OpusTags\x00\x00\x00\x00\x02\x00\x00\x00",  # 2 tags, none
+        )
+    with _pytest.raises(ValueError, match="shorter than 30"):
+        O.parse_codec_headers(b"\x01vorbis", b"")
+    with _pytest.raises(ValueError, match="shorter than 19"):
+        O.parse_codec_headers(b"OpusHead\x01", b"OpusTags")
+
+
+def test_vorbis_packet_stats_fixture_census():
+    """parse_vorbis_packet_stats over the committed fixture: Opus
+    files produce nothing; Vorbis files yield one row per audio
+    packet with framing validated, and the mode/flag census matches
+    the closed-form byte-0 arithmetic of the fixture builder."""
+    from spark_streaming_test_spark.sources import ogg_pages as O
+
+    d = O._ogg_codec_fixture_dir()
+    for f in range(O.OGG_CODEC_FILES):
+        stats = O.parse_vorbis_packet_stats(
+            open(f"{d}/c_{f:04d}.ogg", "rb").read()
+        )
+        if f % 2 == 1:
+            assert stats == []
+            continue
+        assert [m["packet_idx"] for m in stats] == [0, 1, 2, 3]
+        assert all(m["framing_ok"] for m in stats)
+        for m in stats:
+            i, j = divmod(m["packet_idx"], O.OGG_PACKETS_PER_PAGE)
+            b0 = (f * 11 + i * 5 + j * 3) % 251
+            assert m["is_audio"] == (b0 % 2 == 0)
+            assert m["n_bytes"] == 60 + 10 * i + j
+            assert m["granule"] == (i + 1) * (1200 + 240 * f)
+            if m["is_audio"]:
+                assert m["mode"] == (b0 >> 1) & 1
