@@ -1618,3 +1618,106 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# --- SemDeDup: cluster-bounded semantic dedup ----------------------------------
+
+# ε-ball cosine threshold. Calibrated to the synthetic corpus: its max
+# pairwise cosine is ~0.6 (no planted embedding near-dups), so the
+# paper's ~0.95-tier threshold would make the drop branch dead code.
+# 0.35 drops ~10-20% at every local SF (measured), keeping both kept
+# branches live; production swaps the constant, not the plan.
+SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "dedup_semdedup",
+    tags=("llm", "dedup", "embedding", "semdedup"),
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+  FROM embeddings
+  WHERE vec_id % {IVF_STRIDE} = 0 AND vec_id < {IVF_STRIDE * IVF_MAX_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(e.embedding::DOUBLE[], c.cemb)
+           / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(c.cemb, c.cemb))) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+mem AS (
+  SELECT a.vec_id, a.cid, e.embedding::DOUBLE[] AS emb
+  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM mem a JOIN mem b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE list_inner_product(a.emb, b.emb)
+          / (sqrt(list_inner_product(a.emb, a.emb))
+             * sqrt(list_inner_product(b.emb, b.emb)))
+        > CAST({SEMDEDUP_TAU} AS DOUBLE)
+)
+SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cell,
+       d.vec_id IS NULL AS kept
+FROM mem m LEFT JOIN dup d ON d.vec_id = m.vec_id
+""",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    with the pairwise work BOUNDED BY CLUSTER — k-means-style cells
+    first, exact cosine only WITHIN a cell, drop any vector that has a
+    same-cell neighbor above SEMDEDUP_TAU with a smaller vec_id (the
+    id-deterministic representative rule; the paper keeps the member
+    closest to the centroid — that ranking is the production swap, the
+    lowest-id rule is its oracle-exact stand-in). Complements the
+    text-level near-dup family: MinHash catches lexical copies,
+    SemDeDup catches paraphrases/translations that share no shingles.
+
+    Output: (vec_id, cell, kept) — the full census, so downstream
+    passes can both filter (kept) and audit per-cell drop rates.
+
+    Shape at scale: cell assignment reuses the IVF coarse quantizer
+    (broadcast centroids, map-only Arrow scan — O(n·K), no shuffle);
+    the candidate join shuffles on cell id ONCE, and each task's
+    pairwise work is O((n/K)²) for its cells — K is the quadratic
+    bound, exactly the paper's trick (they run K = 50k on 600M docs).
+    A skewed cell would recreate the quadratic corner; the
+    dedup_minhash_lsh hot-bucket star-edge cap is the documented
+    mitigation if assignments ever concentrate. Dot products fold
+    left-to-right in double — bitwise identical to the oracle's
+    list_inner_product."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    mem = ivf_corpus_cells(spark, sf_dir, e)
+    a = mem.select(
+        F.col("vec_id").alias("va"),
+        F.col("cell").alias("ca"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = mem.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cell").alias("cb"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = cosine(_as_double("emb_a"), _as_double("emb_b"))
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
+        .filter(cos > F.lit(SEMDEDUP_TAU))
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        mem.join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("is_dup").isNull().alias("kept"),
+        )
+    )

@@ -113,22 +113,22 @@ _DRIVER_WINDOW = [
     # --- failed in their latest driver sample — re-verify FIRST (1) ---
     "emb_covariance_matrix",
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (124) ---
-    "mm_audio_vorbis_packets", "mlstats_lift_gains_distributed",
-    "geo_radius_join", "geo_nearest_within_radius", "geo_cell_density",
-    "join_interval_overlap", "sample_temperature_mixture",
-    "graph_connected_components", "feature_hashing_trick",
-    "dedup_incremental_exact", "er_entity_groups", "hierarchy_subtree_rollup",
-    "dq_dup_rate_by_source", "dq_l_diversity", "events_journey_paths",
-    "dq_psi_drift", "ts_forecast_accuracy", "window_time_weighted_avg",
-    "sim_mmr_diversify", "sim_binary_hamming_topk", "sample_epoch_shuffle",
-    "graph_kcore", "fn_variant_suite", "scan_manifest_pruning",
-    "text_rake_keyphrases", "scan_time_travel", "events_bot_detection",
-    "window_drawdown", "join_set_similarity_prefix", "sim_recall_eval",
-    "sim_two_stage_rerank", "scan_row_level_deletes", "graph_bfs_hops",
-    "sample_group_kfold", "dq_categorical_drift", "emb_cluster_purity",
-    "fn_try_arithmetic_suite", "text_jsd_source_similarity",
-    "ts_interval_coverage", "events_stickiness",
+    # --- never driver-sampled — planned rotation order (125) ---
+    "dedup_semdedup", "mm_audio_vorbis_packets",
+    "mlstats_lift_gains_distributed", "geo_radius_join",
+    "geo_nearest_within_radius", "geo_cell_density", "join_interval_overlap",
+    "sample_temperature_mixture", "graph_connected_components",
+    "feature_hashing_trick", "dedup_incremental_exact", "er_entity_groups",
+    "hierarchy_subtree_rollup", "dq_dup_rate_by_source", "dq_l_diversity",
+    "events_journey_paths", "dq_psi_drift", "ts_forecast_accuracy",
+    "window_time_weighted_avg", "sim_mmr_diversify",
+    "sim_binary_hamming_topk", "sample_epoch_shuffle", "graph_kcore",
+    "fn_variant_suite", "scan_manifest_pruning", "text_rake_keyphrases",
+    "scan_time_travel", "events_bot_detection", "window_drawdown",
+    "join_set_similarity_prefix", "sim_recall_eval", "sim_two_stage_rerank",
+    "scan_row_level_deletes", "graph_bfs_hops", "sample_group_kfold",
+    "dq_categorical_drift", "emb_cluster_purity", "fn_try_arithmetic_suite",
+    "text_jsd_source_similarity", "ts_interval_coverage", "events_stickiness",
     "agg_audience_overlap_estimate", "dedup_template_shape",
     "traffic_burst_alerts", "sample_neyman_allocation", "dq_reconcile_orders",
     "ts_rolling_cross_corr", "scan_tsv_quoted_roundtrip",

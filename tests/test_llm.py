@@ -1041,3 +1041,52 @@ def test_wordpiece_unk_branch_live_on_corpus(spark, sf_dir):
     rows = all_queries()["text_wordpiece_segment"].fn(spark, sf_dir).collect()
     assert sum(r["n_unk_words"] for r in rows) > 0
     assert all(r["n_pieces"] > 0 and r["n_words"] > 0 for r in rows)
+
+
+def test_semdedup_census_semantics(spark, sf_dir):
+    """dedup_semdedup: both kept branches live on the corpus; a
+    dropped vector always has a SAME-CELL smaller-id neighbor above
+    the threshold (the ε-ball rule), and a kept vector never does —
+    re-derived from the query's own cell/embedding columns via a
+    pure-Python pairwise check, independent of the SQL oracle."""
+    import itertools
+    import math
+
+    from spark_streaming_test_spark.llm.similarity import (
+        SEMDEDUP_TAU,
+        dedup_semdedup,
+        ivf_corpus_cells,
+    )
+    from spark_streaming_test_spark.catalog import load, spread
+
+    out = {r["vec_id"]: r for r in dedup_semdedup(spark, sf_dir).collect()}
+    kept = [v for v, r in out.items() if r["kept"]]
+    dropped = [v for v, r in out.items() if not r["kept"]]
+    assert kept and dropped, (len(kept), len(dropped))
+
+    mem = ivf_corpus_cells(
+        spark, sf_dir, spread(load(spark, sf_dir, "embeddings"))
+    ).collect()
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in mem}
+    cell = {r["vec_id"]: r["cell"] for r in mem}
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / math.sqrt(n1 * n2)
+
+    by_cell: dict[int, list[int]] = {}
+    for v, c in cell.items():
+        by_cell.setdefault(c, []).append(v)
+    expect_drop = set()
+    for members in by_cell.values():
+        for b, a in itertools.combinations(sorted(members), 2):
+            if cos(emb[a], emb[b]) > SEMDEDUP_TAU:
+                expect_drop.add(a)
+    assert expect_drop == set(dropped)
+    # census covers every vector exactly once, cells match assignment
+    assert set(out) == set(emb)
+    assert all(out[v]["cell"] == cell[v] for v in out)

@@ -1694,3 +1694,17 @@ def test_lift_gains_distributed_no_single_partition_rank(spark, qs):
     orig = checks.formatted_plan(qs["mlstats_lift_gains"](spark, SF_DIR))
     okids = _single_partition_exchange_children(orig)
     assert any("HashAggregate" not in k for k in okids), okids
+
+
+def test_semdedup_pair_join_is_cell_equijoin(spark, qs):
+    # SemDeDup's quadratic bound IS the cluster: the candidate pair
+    # join must shuffle on cell equality (never a cartesian/nested
+    # loop over the corpus), with the id ordering and the cosine
+    # threshold as post-join filters.
+    df = qs["dedup_semdedup"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    checks.assert_no_cartesian(df)
+    assert "CartesianProduct" not in plan
+    joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln
+             or "ShuffledHashJoin" in ln]
+    assert joins, plan[:1500]
