@@ -97,6 +97,22 @@ HEADLINE = [
     "text_bpe_train_sampled",         # hash-sampled BPE merge training
     "text_unigram_segment",           # unigram-LM Viterbi segmentation
     "text_wordpiece_segment",         # WordPiece greedy segmentation
+    # -- round-11: the never-benched heavy tail (VERDICT r10 #7). The
+    #    full-registry sf0.1 sweep walls ranked all 609 queries; these
+    #    six had the highest Spark-only (noop-sink) steady-state walls
+    #    of the never-benched set — iterative/unrolled plans whose cost
+    #    class the old headline under-sampled. First sf0.1 numbers in
+    #    BENCH_r11.json are their baseline.
+    "emb_pca_power",                  # unrolled power iteration (8 rounds)
+    "ml_isotonic_calibration",        # PAVA pool-adjacent-violators unroll
+    "sim_knn_graph_search",           # beam search over the kNN graph
+    "sim_nn_descent",                 # NN-descent graph construction rounds
+    "emb_covariance_matrix",          # D^2/2 moment reduce (the r10 red, now fixed)
+    "graph_spectral_bisection",       # power iteration on the Laplacian
+    # -- round-11 additions (first sf0.1 numbers in BENCH_r11.json)
+    "mlstats_lift_gains_distributed", # two-pass distributed exact rank
+    "dedup_semdedup",                 # cluster-bounded semantic dedup
+    "mm_audio_vorbis_packets",        # Vorbis §4.3 packet census
 ]
 
 

@@ -191,6 +191,57 @@ def emb_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 COV_DP = 8  # covariance entry rounding (both engines) before output
 
 
+def _embedding_pair_moments(e: DataFrame) -> DataFrame:
+    """Upper-triangular (di <= dj) second-moment frame over the
+    embedding dimensions: (di, dj, n, si, sj, sij), exact decimal sums
+    — shared by ``emb_covariance_matrix`` and ``emb_pca_power``.
+
+    The pair fan-out (n_vecs × D(D+1)/2 rows, the dominant stage)
+    carries ONLY the product vi·vj: the marginal sums si/sj depend on
+    a single dimension each, so they reduce on the D-row per-dim frame
+    and broadcast-join back — one decimal accumulator per fanned row
+    instead of three (measured: 14.1 s → ~7 s for the covariance at
+    sf0.1). Decimal addition is exact and order-independent, so the
+    marginals are bitwise the values the per-pair sums produced.
+
+    Validity rests on the embedding arrays being uniform-length and
+    NULL-free (a ragged corpus would make per-dim marginals over-count
+    relative to pairs-present semantics); that invariant is pinned per
+    SF by tests/test_llm.py::test_embedding_array_uniformity."""
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    marg = dims.groupBy("dim").agg(dsum("v").alias("s"))
+    a_, b_ = dims.alias("a"), dims.alias("b")
+    sij_f = (
+        a_.join(
+            b_,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .select(
+            F.col("a.dim").alias("di"),
+            F.col("b.dim").alias("dj"),
+            (F.col("a.v") * F.col("b.v")).alias("p"),
+        )
+        .groupBy("di", "dj")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum("p").alias("sij"),
+        )
+    )
+    mi = marg.select(F.col("dim").alias("di"), F.col("s").alias("si"))
+    mj = marg.select(F.col("dim").alias("dj"), F.col("s").alias("sj"))
+    return (
+        sij_f.join(F.broadcast(mi), "di")
+        .join(F.broadcast(mj), "dj")
+        .select("di", "dj", "n", "si", "sj", "sij")
+    )
+
+
 @register(
     "emb_covariance_matrix",
     tags=("llm", "embeddings", "features", "pca"),
@@ -228,32 +279,11 @@ def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside one shuffle), and the moment aggregate reduces straight to
     the D^2/2-row matrix with map-side combine — the shuffle carries
     O(tasks x D^2) partials, never the corpus. Moments are exact
-    decimal sums; the only rounding is the final entry quantization."""
+    decimal sums (the pair fan-out carries only the product term; see
+    ``_embedding_pair_moments``); the only rounding is the final entry
+    quantization."""
     e = load(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "v"
-        ),
-    )
-    a = dims.alias("a")
-    b = dims.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.vec_id") == F.col("b.vec_id"))
-        & (F.col("a.dim") <= F.col("b.dim")),
-    ).select(
-        F.col("a.dim").alias("di"),
-        F.col("b.dim").alias("dj"),
-        F.col("a.v").alias("vi"),
-        F.col("b.v").alias("vj"),
-    )
-    mom = pairs.groupBy("di", "dj").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("vi").alias("si"),
-        dsum("vj").alias("sj"),
-        dsum(F.col("vi") * F.col("vj")).alias("sij"),
-    )
+    mom = _embedding_pair_moments(e)
     n, si, sj, sij = F.col("n"), F.col("si"), F.col("sj"), F.col("sij")
     return mom.select(
         F.col("di").cast("int").alias("di"),
@@ -371,28 +401,25 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage-truncated per iteration. D=64 here; at D=4096 the matrix
     frame is 16M rows — still executor-resident, same plan."""
     e = load(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "v"
-        ),
-    )
-    a_ = dims.alias("a")
-    b_ = dims.alias("b")
-    mom = (
-        a_.join(b_, F.col("a.vec_id") == F.col("b.vec_id"))
-        .select(
-            F.col("a.dim").alias("di"),
-            F.col("b.dim").alias("dj"),
-            F.col("a.v").alias("vi_"),
-            F.col("b.v").alias("vj_"),
-        )
-        .groupBy("di", "dj")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            dsum("vi_").alias("si"),
-            dsum("vj_").alias("sj"),
-            dsum(F.col("vi_") * F.col("vj_")).alias("sij"),
+    # Moments over the UPPER TRIANGLE only (di <= dj) — half the rows
+    # through the vector-local pair fan-out and the decimal partial
+    # aggregate, which dominate this query's wall (measured: full
+    # matrix 36.8 s at sf0.1; triangular+mirror with the product-only
+    # fan-out of _embedding_pair_moments lands ~12 s). The lower
+    # triangle is recovered by mirroring: cov is symmetric, and the
+    # mirrored entry's expression sij/n - (sj/n)*(si/n) is BITWISE the
+    # original because IEEE-754 multiplication commutes. Checkpointed
+    # before the union so the mirror branch reuses the one materialized
+    # aggregate instead of compiling a second covariance build.
+    tri = _embedding_pair_moments(e).localCheckpoint(eager=True)
+    mom = tri.unionByName(
+        tri.filter(F.col("di") != F.col("dj")).select(
+            F.col("dj").alias("di"),
+            F.col("di").alias("dj"),
+            "n",
+            F.col("sj").alias("si"),
+            F.col("si").alias("sj"),
+            "sij",
         )
     )
     n, si, sj, sij = F.col("n"), F.col("si"), F.col("sj"), F.col("sij")

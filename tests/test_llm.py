@@ -1090,3 +1090,24 @@ def test_semdedup_census_semantics(spark, sf_dir):
     # census covers every vector exactly once, cells match assignment
     assert set(out) == set(emb)
     assert all(out[v]["cell"] == cell[v] for v in out)
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_embedding_array_uniformity(sf):
+    """_embedding_pair_moments derives the marginal sums si/sj from
+    per-dim aggregates instead of the pair fan-out — valid only while
+    every embedding array has the same length and no NULLs (ragged
+    arrays would make per-dim marginals over-count relative to
+    pairs-present semantics). Pin that invariant at every local SF,
+    the varint-envelope pattern."""
+    import duckdb
+
+    mn, mx, null_arrays, null_elems = duckdb.sql(
+        f"""SELECT min(len(embedding)), max(len(embedding)),
+                   sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END),
+                   sum(len(list_filter(embedding, x -> x IS NULL)))
+            FROM read_parquet(
+                '/root/testdata/sf{sf}/embeddings.parquet')"""
+    ).fetchone()
+    assert mn == mx, (mn, mx)
+    assert null_arrays == 0 and null_elems == 0
