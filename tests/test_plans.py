@@ -1708,3 +1708,26 @@ def test_semdedup_pair_join_is_cell_equijoin(spark, qs):
     joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln
              or "ShuffledHashJoin" in ln]
     assert joins, plan[:1500]
+
+
+def test_embedding_moments_product_only_fanout(spark, qs):
+    # The shared moment frame must keep the D^2/2 pair fan-out down to
+    # ONE decimal accumulator (the product term): the si/sj marginals
+    # come back as broadcast joins of the D-row per-dim aggregate, so
+    # the plan shows two BroadcastHashJoins above the pair aggregate
+    # and the covariance query carries exactly one corpus-sized
+    # SortMergeJoin/ShuffledHashJoin (the vector-local pair join).
+    df = qs["emb_covariance_matrix"](spark, SF_DIR)
+    checks.assert_broadcast_join(df, min_count=2)
+    checks.assert_no_cartesian(df)
+    plan = checks.formatted_plan(df)
+    partials = [ln.strip() for ln in plan.splitlines()
+                if "partial_sum" in ln or "partial_count" in ln]
+    pair_aggs = [ln for ln in partials if "partial_count" in ln]
+    assert len(pair_aggs) == 1, partials  # exactly one pair aggregate
+    # ... and it carries exactly one decimal sum (the product term)
+    assert pair_aggs[0].count("partial_sum") == 1, pair_aggs[0]
+    # the marginals are separate single-sum aggregates over the per-dim
+    # frame, not extra accumulators on the fan-out
+    assert len([ln for ln in partials
+                if "partial_sum" in ln and "partial_count" not in ln]) >= 1
