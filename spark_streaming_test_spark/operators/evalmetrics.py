@@ -630,16 +630,67 @@ def mlstats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 LIFT_RANGE_PARTS = 32  # range-partition fan for the distributed rank
 
 
-def _lift_local_ranked(ev: DataFrame) -> DataFrame:
+def _range_local_ranked(df: DataFrame, order_cols: list) -> DataFrame:
     """Stage 1 of the distributed rank: range-partition the corpus on
-    the (score DESC, event_id) total order and compute partition-LOCAL
-    row numbers. No single-partition exchange anywhere (plan-pinned by
-    tests/test_plans.py); the caller localCheckpoints the result."""
-    parts = ev.repartitionByRange(
-        LIFT_RANGE_PARTS, F.col("score").desc(), F.col("event_id")
-    ).withColumn("pid", F.spark_partition_id())
-    wloc = Window.partitionBy("pid").orderBy(F.col("score").desc(), "event_id")
-    return parts.withColumn("lrank", F.row_number().over(wloc))
+    the given total order and compute partition-LOCAL row numbers
+    (columns ``_pid``, ``_lrank``). No single-partition exchange
+    anywhere (plan-pinned by tests/test_plans.py); callers must bind
+    every consumer to ONE materialized instance (localCheckpoint) —
+    RangePartitioner's sample seed includes the RDD id, so two plan
+    instances can draw different boundaries."""
+    parts = df.repartitionByRange(LIFT_RANGE_PARTS, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    return parts.withColumn("_lrank", F.row_number().over(wloc))
+
+
+def distributed_ntile(df: DataFrame, tiles: int, order_cols: list) -> DataFrame:
+    """Exact ``NTILE(tiles) OVER (ORDER BY order_cols)`` as a ``tile``
+    column, computed WITHOUT a single-partition sort — the scale form
+    of the global-rank shape (VERDICT r10 #4), shared by
+    ``mlstats_lift_gains_distributed`` and ``ml_isotonic_calibration``.
+
+    Two-pass exact rank: range partitions give partition-local row
+    numbers; per-range counts (one row per range) become rank offsets
+    via a broadcast triangular self-join (O(P²) pairs of a P-row
+    frame); tile membership is then closed-form arithmetic on the
+    exact rank (NTILE remainder semantics: the first N mod T tiles
+    hold ceil(N/T) rows). order_cols must be a total order, which
+    makes the output independent of where the sampled range boundaries
+    land. All divisions operate on counts < 2^53, so the
+    floor-of-double forms are exact."""
+    local = _range_local_ranked(df, order_cols).localCheckpoint(eager=False)
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    a, b = sizes.alias("a"), sizes.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    tot = sizes.agg(F.sum("_cnt").alias("_nt"))
+    ranked = (
+        local.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_rnk", F.col("_lrank") + F.col("_off"))
+    )
+    qq = F.floor(F.col("_nt") / F.lit(tiles)).cast("bigint")
+    rr = (F.col("_nt") % F.lit(tiles)).cast("bigint")
+    thr = rr * (qq + F.lit(1))
+    safe_q = F.greatest(qq, F.lit(1))
+    tile = (
+        F.when(
+            F.col("_rnk") <= thr,
+            F.floor((F.col("_rnk") + qq) / (qq + F.lit(1))),
+        )
+        .otherwise(
+            rr + F.floor((F.col("_rnk") - thr + safe_q - F.lit(1)) / safe_q)
+        )
+        .cast("int")
+    )
+    return ranked.withColumn("tile", tile).drop(
+        "_pid", "_lrank", "_off", "_nt", "_rnk"
+    )
 
 
 @register(
@@ -674,52 +725,16 @@ def mlstats_lift_gains_distributed(
     exact and independent of where the sampled range boundaries land,
     because (score, event_id) is a total order. All divisions happen
     on counts < 2^53, so the floor-of-double forms are exact."""
-    T = LIFT_DECILES
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
         F.col("value").alias("score"),
     )
-    # localCheckpoint binds BOTH downstream branches (per-range sizes,
-    # rank join) to ONE materialized ranked frame. Without it each
-    # branch compiles its own range exchange, and RangePartitioner's
-    # sample seed includes the RDD id — two instances can draw
-    # DIFFERENT boundaries, making offsets disagree with local ranks
-    # (measured: per-decile counts off by ±6% at sf0.1). The global
-    # two-pass rank materializes the sorted corpus once by design —
-    # the same footprint any sort-based rank (TeraSort-style) pays.
-    local = _lift_local_ranked(ev).localCheckpoint(eager=False)
-
-    sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = sizes.alias("a"), sizes.alias("b")
-    offs = (
-        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
-    )
-    tot = sizes.agg(F.sum("cnt").alias("nt"))
-
-    ranked = (
-        local.join(F.broadcast(offs), "pid")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("rnk", F.col("lrank") + F.col("off"))
-    )
-    qq = F.floor(F.col("nt") / F.lit(T)).cast("bigint")
-    rr = (F.col("nt") % F.lit(T)).cast("bigint")
-    thr = rr * (qq + F.lit(1))
-    safe_q = F.greatest(qq, F.lit(1))
-    decile = (
-        F.when(
-            F.col("rnk") <= thr,
-            F.floor((F.col("rnk") + qq) / (qq + F.lit(1))),
-        )
-        .otherwise(
-            rr + F.floor((F.col("rnk") - thr + safe_q - F.lit(1)) / safe_q)
-        )
-        .cast("int")
+    ranked = distributed_ntile(
+        ev, LIFT_DECILES, [F.col("score").desc(), F.col("event_id")]
     )
     per = (
-        ranked.withColumn("decile", decile)
+        ranked.withColumnRenamed("tile", "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -1406,16 +1406,23 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/merge steps over that constant-size frame (driver-free)."""
     from pyspark.sql import Window as W
 
+    from .evalmetrics import distributed_ntile
+
     e = load(spark, sf_dir, "events")
     scored = e.select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
         F.col("value").alias("score"),
         "event_id",
     )
-    binned = scored.select(
-        F.ntile(ISO_BINS).over(W.orderBy("score", "event_id")).alias("idx"),
-        "y",
-    )
+    # distributed_ntile replaces the former raw-corpus
+    # F.ntile().over(Window.orderBy(...)) — the one remaining
+    # single-partition sort of RAW rows in this module. NTILE remainder
+    # semantics are reproduced exactly (same oracle), so the swap is
+    # plan-only: two-pass distributed rank, no SinglePartition exchange
+    # over the corpus (see evalmetrics.distributed_ntile).
+    binned = distributed_ntile(
+        scored, ISO_BINS, [F.col("score"), F.col("event_id")]
+    ).select(F.col("tile").alias("idx"), "y")
     blocks = binned.groupBy("idx").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),

@@ -1672,7 +1672,7 @@ def test_lift_gains_distributed_no_single_partition_rank(spark, qs):
 
     from spark_streaming_test_spark.catalog import load
     from spark_streaming_test_spark.operators.evalmetrics import (
-        _lift_local_ranked,
+        _range_local_ranked,
     )
 
     ev = load(spark, SF_DIR, "events").select(
@@ -1680,7 +1680,9 @@ def test_lift_gains_distributed_no_single_partition_rank(spark, qs):
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
         F.col("value").alias("score"),
     )
-    inner = checks.formatted_plan(_lift_local_ranked(ev))
+    inner = checks.formatted_plan(
+        _range_local_ranked(ev, [F.col("score").desc(), F.col("event_id")])
+    )
     assert "SinglePartition" not in inner, inner[:1500]
     assert "rangepartitioning" in inner, inner[:1500]
 
@@ -1731,3 +1733,16 @@ def test_embedding_moments_product_only_fanout(spark, qs):
     # frame, not extra accumulators on the fan-out
     assert len([ln for ln in partials
                 if "partial_sum" in ln and "partial_count" not in ln]) >= 1
+
+
+def test_isotonic_no_corpus_single_partition_sort(spark, qs):
+    # ml_isotonic_calibration's binning now goes through
+    # distributed_ntile: every SinglePartition exchange in the plan
+    # must be a one-row scalar-aggregate merge (child = partial
+    # HashAggregate), never the raw-event projection the old global
+    # NTILE funneled into one partition.
+    df = qs["ml_isotonic_calibration"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    kids = _single_partition_exchange_children(plan)
+    bad = [k for k in kids if "HashAggregate" not in k]
+    assert not bad, f"corpus-sized SinglePartition exchange(s): {bad}"
