@@ -24,7 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_streaming_test_spark import registry  # noqa: E402
-from spark_streaming_test_spark.session import get_spark  # noqa: E402
+from spark_streaming_test_spark.session import (  # noqa: E402
+    get_spark,
+    reset_query_state,
+)
 
 # Headline suite: one representative per operator family (SURVEY.md §2.1),
 # weighted toward the shuffle/join-heavy plans that dominate at 100 TB.
@@ -198,6 +201,17 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         repeats[name] = runs
         timings[name] = sorted(runs)[len(runs) // 2]
+        # Cross-query isolation (the driver_sim r10 lesson, now
+        # measured to matter for TIMING too): checkpointed RDDs from
+        # 60+ earlier queries accumulate and slow the iterative
+        # queries at the suite's tail by ~1.7x (spectral bisection
+        # 13 s standalone vs 24 s at position 68). reset_query_state
+        # clears the registered cross-query frame caches FIRST (their
+        # checkpoints are unrecoverable once unpersisted), then the
+        # SQL cache and all persisted RDD blocks. Each query's warm-up
+        # rebuilds whatever caches it uses, so the timed repeats stay
+        # warm-path.
+        reset_query_state(spark)
 
     # The per-run raw repeats are diagnostics, not part of the driver
     # contract; inlining them in r5 grew the stdout line past the

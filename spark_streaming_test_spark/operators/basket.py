@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
+from ..session import register_frame_cache
 
 MIN_PAIR_SUPPORT = 2  # emit pairs seen in >= this many orders
 LIFT_DP = 8
@@ -118,7 +119,7 @@ REC_MIN_PAIR = 2
 # sf_dir): the basket/recommender operators all start from this frame
 # and the self-join reads it twice more — localCheckpoint truncates the
 # recompute instead of re-scanning lineitem per consumer.
-_ITEMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ITEMS_CACHE: dict[tuple[str, str], DataFrame] = register_frame_cache({})
 
 
 def _distinct_items(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from ..session import register_frame_cache
 
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
 PR_ITERS = 3
@@ -244,7 +245,7 @@ edges AS (
 # Materialized co-purchase edge cache, keyed like _EDGE_CACHE: the edge
 # list is a pure function of lineitem and shared by the triangle and
 # degree-histogram queries (and by warm bench re-runs).
-_COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = register_frame_cache({})
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1115,7 +1116,7 @@ HITS_FP = 10**6  # fixed-point unit for HITS scores (see overflow note)
 # Distinct (customer, supplier) pair list, persisted once per session —
 # scanned 2×HITS_ITERS times by the iteration. Keyed by applicationId
 # (stable; never reused after a session stops), stale sessions evicted.
-_HITS_CACHE: dict[tuple, DataFrame] = {}
+_HITS_CACHE: dict[tuple, DataFrame] = register_frame_cache({})
 
 
 def _sql_hits_round(i: int) -> str:
