@@ -1755,3 +1755,77 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_dup").isNull().alias("kept"),
         )
     )
+
+
+@register(
+    "dedup_semdedup_cell_audit",
+    tags=("llm", "dedup", "semdedup", "audit"),
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+  FROM embeddings
+  WHERE vec_id % {IVF_STRIDE} = 0 AND vec_id < {IVF_STRIDE * IVF_MAX_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(e.embedding::DOUBLE[], c.cemb)
+           / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(c.cemb, c.cemb))) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT cid, COUNT(*) AS n FROM assigned GROUP BY cid
+),
+tot AS (
+  SELECT SUM(n * (n - 1) / 2) AS pw, SUM(n) AS nv, COUNT(*) AS k FROM per
+)
+SELECT CAST(p.cid AS BIGINT) AS cell,
+       CAST(p.n AS BIGINT) AS n_members,
+       CAST(p.n * (p.n - 1) / 2 AS BIGINT) AS n_pairs,
+       CAST(p.n * (p.n - 1) / 2 AS DOUBLE) / t.pw AS pair_share,
+       CAST(p.n AS DOUBLE) * t.k / t.nv AS skew_vs_uniform
+FROM per p CROSS JOIN tot t
+""",
+)
+def dedup_semdedup_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size audit for ``dedup_semdedup`` — the non-silent-cap
+    companion (the ``dedup_lsh_bucket_audit`` convention): SemDeDup's
+    quadratic bound is the cell, so a skewed assignment silently
+    recreates the O(n²) corner this design exists to avoid. Per cell:
+    member count, implied pairwise-comparison count, that cell's share
+    of the corpus' total pairwise work, and its size relative to a
+    uniform n/K spread. A curation pipeline alerts on pair_share (one
+    cell owning most of the pairwise budget means re-train centroids
+    or split the cell) BEFORE running the dedup pass.
+
+    Scale: the assignment is the same map-only broadcast-centroid
+    scan as the dedup itself; the audit reduces it to K rows — cost
+    is one corpus pass, no pair materialization at all."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    mem = ivf_corpus_cells(spark, sf_dir, e)
+    per = mem.groupBy(F.col("cell").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    tot = per.agg(
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("bigint")).alias("pw"),
+        F.sum("n").alias("nv"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("bigint").alias("cell"),
+        F.col("n").cast("bigint").alias("n_members"),
+        pairs.alias("n_pairs"),
+        (pairs.cast("double") / F.col("pw")).alias("pair_share"),
+        # n vs the uniform nv/k spread over the k NON-EMPTY cells
+        (F.col("n").cast("double") * F.col("k") / F.col("nv")).alias(
+            "skew_vs_uniform"
+        ),
+    )

@@ -113,8 +113,8 @@ _DRIVER_WINDOW = [
     # --- failed in their latest driver sample — re-verify FIRST (1) ---
     "emb_covariance_matrix",
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (125) ---
-    "dedup_semdedup", "mm_audio_vorbis_packets",
+    # --- never driver-sampled — planned rotation order (126) ---
+    "dedup_semdedup_cell_audit", "dedup_semdedup", "mm_audio_vorbis_packets",
     "mlstats_lift_gains_distributed", "geo_radius_join",
     "geo_nearest_within_radius", "geo_cell_density", "join_interval_overlap",
     "sample_temperature_mixture", "graph_connected_components",
