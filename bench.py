@@ -31,6 +31,13 @@ from spark_streaming_test_spark.session import (  # noqa: E402
 
 # Headline suite: one representative per operator family (SURVEY.md §2.1),
 # weighted toward the shuffle/join-heavy plans that dominate at 100 TB.
+# Grouped into named cohorts whose subtotals are what the final stdout
+# line reports (the driver keeps only the last ~2000 bytes of stdout —
+# BENCH_r11.json was truncated to "parsed": null because the per-query
+# map outgrew that budget; per-query numbers now ship ONLY in
+# BENCH_REPEATS.json + stderr). "original_50" is the cohort BASELINE.md's
+# 61.5 s headline number covers; later cohorts' first sf0.1 numbers in
+# their introduction round's BENCH_REPEATS are their own baselines.
 HEADLINE = [
     "traffic_alerts",            # flagship: scan+agg+broadcast join+routing
     "tpch_q1_pricing_summary",   # wide hash aggregate over lineitem
@@ -116,7 +123,37 @@ HEADLINE = [
     "mlstats_lift_gains_distributed", # two-pass distributed exact rank
     "dedup_semdedup",                 # cluster-bounded semantic dedup
     "mm_audio_vorbis_packets",        # Vorbis §4.3 packet census
+    # -- round-12 additions (first sf0.1 numbers in BENCH_REPEATS of
+    #    round 12 are their baseline)
+    "dedup_semdedup_centroid_rep",    # paper-faithful centroid-rep SemDeDup
 ]
+
+# Cohort boundaries over HEADLINE (contiguous slices, in order). The
+# final stdout line reports one subtotal per cohort; "original_50" is
+# the BASELINE.md-comparable set. New rounds append (name, count)
+# here when they append queries to HEADLINE.
+COHORTS: list[tuple[str, int]] = [
+    ("original_50", 50),
+    ("media_r10", 8),
+    ("tokenizer_r10", 4),
+    ("heavy_tail_r11", 6),
+    ("new_r11", 3),
+    ("new_r12", 1),
+]
+
+
+def cohort_slices() -> dict[str, list[str]]:
+    """HEADLINE partitioned into the named cohorts (exact cover)."""
+    out: dict[str, list[str]] = {}
+    i = 0
+    for name, n in COHORTS:
+        out[name] = HEADLINE[i : i + n]
+        i += n
+    assert i == len(HEADLINE), (
+        f"COHORTS cover {i} of {len(HEADLINE)} headline queries — "
+        "append a cohort entry for the new queries"
+    )
+    return out
 
 
 def calibration_probe(spark) -> dict[str, float]:
@@ -213,22 +250,33 @@ def main() -> None:
         # warm-path.
         reset_query_state(spark)
 
-    # The per-run raw repeats are diagnostics, not part of the driver
-    # contract; inlining them in r5 grew the stdout line past the
-    # driver's tail buffer and truncated the medians (the round lost its
-    # official bench record). Ship them to a sidecar file + stderr and
-    # keep the final stdout line compact (<4KB): metric/value/queries/sf
-    # ONLY, printed LAST.
+    # Per-query numbers (medians + raw repeats) are diagnostics, not
+    # part of the driver-recorded line; inlining repeats in r5 — and
+    # then merely the 71-query median map in r11 — grew the stdout line
+    # past the driver's ~2000-byte tail buffer and truncated the JSON
+    # head ("parsed": null). Ship per-query data to the sidecar file +
+    # stderr; the FINAL stdout line carries only cohort subtotals and
+    # is size-pinned so it survives tail truncation at ANY suite size.
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_REPEATS.json"
     )
     try:
         with open(sidecar, "w") as f:
-            json.dump({"repeats": repeats, "sf": sf}, f)
+            json.dump(
+                {"repeats": repeats, "medians": timings, "sf": sf,
+                 "calibration": calibration},
+                f,
+            )
     except OSError as e:  # read-only checkout: stderr still has the data
         print(f"bench: could not write {sidecar}: {e}", file=sys.stderr)
-    print(json.dumps({"repeats": repeats}), file=sys.stderr)
+    print(json.dumps({"repeats": repeats, "medians": timings}), file=sys.stderr)
     print(final_line(timings, sf, calibration))
+
+
+# Hard budget for the driver-recorded line: the r11 artifact shows the
+# driver keeps the LAST 2000 bytes of stdout, so the final line must
+# fit with slack (other trailing output could share the window).
+FINAL_LINE_BUDGET = 1500
 
 
 def final_line(
@@ -236,20 +284,37 @@ def final_line(
 ) -> str:
     """The ONE stdout line the driver records. Kept as a pure function
     so tests/test_entry.py can pin the protocol (compact JSON, exact
-    key set, < 4 KB) without running the suite — the r5 regression
-    class was raw repeats inlined here growing the line past the
-    driver's tail buffer and truncating the medians."""
-    return json.dumps(
+    key set, < FINAL_LINE_BUDGET bytes) without running the suite.
+
+    Reports COHORT SUBTOTALS, not per-query timings: the per-query map
+    outgrew the driver's 2000-byte stdout tail at 71 queries (r11's
+    record was head-truncated and unparseable) and only gets wider.
+    ``queries`` holds one entry per cohort — "original_50" is the
+    BASELINE.md-comparable subtotal — and the full per-query map lives
+    in BENCH_REPEATS.json (pointed to by ``per_query``) and on stderr."""
+    slices = cohort_slices()
+    subtotals = {
+        cohort: round(sum(timings[q] for q in names if q in timings), 3)
+        for cohort, names in slices.items()
+    }
+    line = json.dumps(
         {
             "metric": "headline_suite_wall",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
-            "queries": timings,
+            "queries": subtotals,
+            "n_queries": len(timings),
             "sf": sf,
             "calibration": calibration or {},
+            "per_query": "BENCH_REPEATS.json",
         },
         separators=(",", ":"),
     )
+    assert len(line.encode()) < FINAL_LINE_BUDGET, (
+        f"final line {len(line.encode())}B >= {FINAL_LINE_BUDGET}B — "
+        "would be tail-truncated by the driver; trim cohort names"
+    )
+    return line
 
 
 if __name__ == "__main__":

@@ -67,6 +67,9 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same memoized-dimension pattern as the IVF coarse quantizer in
 # ``llm/similarity.py``.
 _SEED_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+# Plain Python values (no Spark state) — exempt from the
+# register_frame_cache reset contract (tests/test_session_reset.py).
+_PLAIN_CACHES = ("_SEED_CACHE",)
 
 
 def _seed_centroids(

@@ -50,6 +50,9 @@ QUERY_VEC_ID = 0  # ADC query = this embedding row (read by both engines)
 
 _CB_CACHE: dict[str, list[list[list[float]]]] = {}
 _QV_CACHE: dict[str, list[float]] = {}
+# Plain Python values (no Spark state) — exempt from the
+# register_frame_cache reset contract (tests/test_session_reset.py).
+_PLAIN_CACHES = ("_CB_CACHE", "_QV_CACHE")
 
 
 def _codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:

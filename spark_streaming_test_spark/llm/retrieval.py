@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, spread
 from ..registry import register
+from ..session import register_frame_cache
 
 TFIDF_TOPK = 5  # top terms kept per document
 SCORE_DP = 6  # score rounding, see module docstring
@@ -542,7 +543,12 @@ def sim_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- pseudo-relevance-feedback query expansion ----------------------------
 
-_PRF_TOKS_CACHE: dict = {}
+# Registered for harness resets (same contract as the basket/graph/HITS
+# caches): reset_query_state unpersists ALL RDD blocks, and a
+# localCheckpointed frame whose blocks are gone is unrecoverable
+# (lineage truncated) — an unregistered cache would hand the next
+# consumer a frame that throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+_PRF_TOKS_CACHE: dict = register_frame_cache({})
 
 
 def _cached_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

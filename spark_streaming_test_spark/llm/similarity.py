@@ -227,6 +227,9 @@ IVF_NPROBE = 2
 # query batches — re-collecting it per call would bill every query for
 # the index build. Keyed by sf_dir so each scale factor gets its own.
 _IVF_CACHE: dict[str, tuple[list, list]] = {}
+# Plain Python values (no Spark state) — exempt from the
+# register_frame_cache reset contract (tests/test_session_reset.py).
+_PLAIN_CACHES = ("_IVF_CACHE",)
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
@@ -1752,6 +1755,120 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("cell").cast("bigint").alias("cell"),
+            F.col("is_dup").isNull().alias("kept"),
+        )
+    )
+
+
+@register(
+    "dedup_semdedup_centroid_rep",
+    tags=("llm", "dedup", "embedding", "semdedup"),
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+  FROM embeddings
+  WHERE vec_id % {IVF_STRIDE} = 0 AND vec_id < {IVF_STRIDE * IVF_MAX_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(e.embedding::DOUBLE[], c.cemb)
+           / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(c.cemb, c.cemb))) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid, ccos FROM (
+    SELECT vec_id, cid, ccos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+mem AS (
+  SELECT a.vec_id, a.cid, a.ccos, e.embedding::DOUBLE[] AS emb
+  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM mem a JOIN mem b
+    ON a.cid = b.cid
+   AND (b.ccos > a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+  WHERE list_inner_product(a.emb, b.emb)
+          / (sqrt(list_inner_product(a.emb, a.emb))
+             * sqrt(list_inner_product(b.emb, b.emb)))
+        > CAST({SEMDEDUP_TAU} AS DOUBLE)
+)
+SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cell,
+       m.ccos AS centroid_cos,
+       d.vec_id IS NULL AS kept
+FROM mem m LEFT JOIN dup d ON d.vec_id = m.vec_id
+""",
+)
+def dedup_semdedup_centroid_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PAPER'S representative rule (Abbas et al.
+    2023, arXiv:2303.09540 §3): within an ε-ball of semantic
+    duplicates, keep the member whose cosine to its cluster centroid
+    ranks FIRST — i.e. drop a vector iff some same-cell neighbor above
+    SEMDEDUP_TAU is more central (higher centroid cosine; exact-tie
+    fallback: lower vec_id, making the rule total and deterministic).
+    ``dedup_semdedup`` is the lowest-id stand-in; this variant is the
+    production rule — same cell-bounded plan, one extra broadcast join
+    to score centrality.
+
+    Cross-engine determinism: the centrality score reuses the
+    assignment's own cosine — Spark recomputes it with the
+    ``F.aggregate`` left fold against a broadcast K-row centroid
+    frame, DuckDB keeps the winning ``ccos`` from the assignment CTE;
+    both are the identical dimension-order fold over exact f32→f64
+    casts, so the ranking comparisons match bitwise (ties between
+    DISTINCT vectors would need exactly equal doubles and are handled
+    by the id fallback either way).
+
+    Shape at scale: identical to ``dedup_semdedup`` — broadcast
+    centroids (map-only assignment + map-only centrality join, no
+    shuffle), ONE shuffle on cell id for the pairwise stage, per-task
+    work O((n/K)²) bounded by the cell; the
+    ``dedup_semdedup_cell_audit`` skew audit covers this variant too
+    (same assignment)."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    mem = ivf_corpus_cells(spark, sf_dir, e)
+    cents, _ = _ivf_index(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        list(cents), "cell long, cemb array<double>"
+    )
+    memc = mem.join(F.broadcast(cent_df), "cell").select(
+        "vec_id",
+        "cell",
+        "embedding",
+        cosine(_as_double("embedding"), F.col("cemb")).alias("ccos"),
+    )
+    a = memc.select(
+        F.col("vec_id").alias("va"),
+        F.col("cell").alias("ca"),
+        F.col("embedding").alias("emb_a"),
+        F.col("ccos").alias("ccos_a"),
+    )
+    b = memc.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cell").alias("cb"),
+        F.col("embedding").alias("emb_b"),
+        F.col("ccos").alias("ccos_b"),
+    )
+    more_central = (F.col("ccos_b") > F.col("ccos_a")) | (
+        (F.col("ccos_b") == F.col("ccos_a")) & (F.col("vb") < F.col("va"))
+    )
+    pair_cos = cosine(_as_double("emb_a"), _as_double("emb_b"))
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & more_central)
+        .filter(pair_cos > F.lit(SEMDEDUP_TAU))
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        memc.join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("ccos").alias("centroid_cos"),
             F.col("is_dup").isNull().alias("kept"),
         )
     )

@@ -66,7 +66,13 @@ _TELEPORT_FP = (DAMP_DEN - DAMP_NUM) * FP_ONE // DAMP_DEN
 # Hive-enabled test session, or a driver that recycles sessions) must
 # rebuild rather than touch another context's plan. The seed/IVF
 # caches hold plain Python lists and don't need this.
-_EDGE_CACHE: dict[tuple[str, str], tuple] = {}
+# Registered for harness resets: these frames are persist()-ed, not
+# checkpointed, so a reset would not corrupt them — but it DOES drop
+# their storage blocks, and an unregistered cache would keep handing
+# out the now-unpersisted frames (every later iteration re-derives the
+# edge list, ~0.65 s/pop). Registering forces rebuild+re-persist on
+# the next cache miss after a reset.
+_EDGE_CACHE: dict[tuple[str, str], tuple] = register_frame_cache({})
 
 
 def _edge_index(spark: SparkSession, sf_dir: str):

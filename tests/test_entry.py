@@ -33,11 +33,15 @@ def test_contract_shapes():
 
 
 def test_bench_final_line_protocol():
-    """The driver records bench.py's LAST stdout line; r5 lost its
-    bench record when that line outgrew the driver's tail buffer.
-    Pin the protocol: for the real headline list with worst-case-width
+    """The driver records bench.py's LAST stdout line and keeps only
+    its last ~2000 bytes; r5 lost its bench record to inlined repeats
+    and r11 to the 71-query median map itself ("parsed": null). Pin
+    the protocol: for the real headline list with worst-case-width
     timings, final_line() must be one compact JSON object with exactly
-    the contract keys, every headline query present, and < 4 KB."""
+    the contract keys, one subtotal per cohort covering every headline
+    query, and < bench.FINAL_LINE_BUDGET (1500) bytes — a budget that
+    holds at ANY suite size because the line width scales with the
+    cohort count, not the query count."""
     import json
 
     import bench
@@ -46,11 +50,25 @@ def test_bench_final_line_protocol():
     cal = {"cpu_sec": 9999.999, "shuffle_sec": 9999.999}
     line = bench.final_line(fake, 0.1, cal)
     assert "\n" not in line
-    assert len(line.encode()) < 4096, f"final line {len(line)}B >= 4KB"
+    assert len(line.encode()) < bench.FINAL_LINE_BUDGET, (
+        f"final line {len(line)}B >= {bench.FINAL_LINE_BUDGET}B"
+    )
     obj = json.loads(line)
-    assert set(obj) == {"metric", "value", "unit", "queries", "sf", "calibration"}
+    assert set(obj) == {
+        "metric", "value", "unit", "queries", "n_queries", "sf",
+        "calibration", "per_query",
+    }
     assert obj["unit"] == "sec"
-    assert set(obj["queries"]) == set(bench.HEADLINE)
+    slices = bench.cohort_slices()
+    assert set(obj["queries"]) == set(slices)
+    # cohorts exactly cover HEADLINE, and each subtotal sums its cohort
+    covered = [q for names in slices.values() for q in names]
+    assert sorted(covered) == sorted(bench.HEADLINE)
+    for cohort, names in slices.items():
+        assert obj["queries"][cohort] == round(
+            sum(fake[q] for q in names), 3
+        )
+    assert obj["n_queries"] == len(bench.HEADLINE)
     assert obj["value"] == round(sum(fake.values()), 3)
     assert obj["calibration"] == cal
 

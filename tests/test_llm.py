@@ -1092,6 +1092,71 @@ def test_semdedup_census_semantics(spark, sf_dir):
     assert all(out[v]["cell"] == cell[v] for v in out)
 
 
+def test_semdedup_centroid_rep_semantics(spark, sf_dir):
+    """dedup_semdedup_centroid_rep (the paper's rule): a vector is
+    dropped iff some same-cell neighbor above the threshold is MORE
+    CENTRAL (higher centroid cosine; tie → lower id) — re-derived with
+    a pure-Python pairwise check independent of the SQL oracle. The
+    kept set therefore always contains each dup-relation's most
+    central member, and the census matches dedup_semdedup's cells."""
+    import itertools
+    import math
+
+    from spark_streaming_test_spark.catalog import load, spread
+    from spark_streaming_test_spark.llm.similarity import (
+        SEMDEDUP_TAU,
+        _ivf_index,
+        dedup_semdedup_centroid_rep,
+        ivf_corpus_cells,
+    )
+
+    out = {
+        r["vec_id"]: r
+        for r in dedup_semdedup_centroid_rep(spark, sf_dir).collect()
+    }
+    kept = [v for v, r in out.items() if r["kept"]]
+    dropped = [v for v, r in out.items() if not r["kept"]]
+    assert kept and dropped, (len(kept), len(dropped))
+
+    mem = ivf_corpus_cells(
+        spark, sf_dir, spread(load(spark, sf_dir, "embeddings"))
+    ).collect()
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in mem}
+    cell = {r["vec_id"]: r["cell"] for r in mem}
+    cents = dict(_ivf_index(spark, sf_dir)[0])
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / math.sqrt(n1 * n2)
+
+    ccos = {v: cos(emb[v], cents[cell[v]]) for v in emb}
+    by_cell: dict[int, list[int]] = {}
+    for v, c in cell.items():
+        by_cell.setdefault(c, []).append(v)
+    expect_drop = set()
+    for members in by_cell.values():
+        for a, b in itertools.combinations(members, 2):
+            if cos(emb[a], emb[b]) > SEMDEDUP_TAU:
+                # drop the less central of the pair (tie: higher id)
+                loser = (
+                    a
+                    if (ccos[b], -b) > (ccos[a], -a)
+                    else b
+                )
+                expect_drop.add(loser)
+    assert expect_drop == set(dropped)
+    assert set(out) == set(emb)
+    assert all(out[v]["cell"] == cell[v] for v in out)
+    # the reported centrality matches the recomputation to float noise
+    assert all(
+        abs(out[v]["centroid_cos"] - ccos[v]) < 1e-9 for v in out
+    )
+
+
 @pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
 def test_embedding_array_uniformity(sf):
     """_embedding_pair_moments derives the marginal sums si/sj from
