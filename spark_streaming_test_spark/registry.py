@@ -109,40 +109,21 @@ _DRIVER_WINDOW = [
     # GENERATED by tools/gen_driver_window.py — do not hand-edit.
     # Derived from CORRECTNESS_r*.json: reds, then new names, then
     # the never-sampled backlog, then greens (stalest first).
-    # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
-    # --- failed in their latest driver sample — re-verify FIRST (1) ---
-    "emb_covariance_matrix",
+    # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11
+    # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (126) ---
-    "dedup_semdedup_cell_audit", "dedup_semdedup", "mm_audio_vorbis_packets",
-    "mlstats_lift_gains_distributed", "geo_radius_join",
-    "geo_nearest_within_radius", "geo_cell_density", "join_interval_overlap",
-    "sample_temperature_mixture", "graph_connected_components",
-    "feature_hashing_trick", "dedup_incremental_exact", "er_entity_groups",
-    "hierarchy_subtree_rollup", "dq_dup_rate_by_source", "dq_l_diversity",
-    "events_journey_paths", "dq_psi_drift", "ts_forecast_accuracy",
-    "window_time_weighted_avg", "sim_mmr_diversify",
-    "sim_binary_hamming_topk", "sample_epoch_shuffle", "graph_kcore",
-    "fn_variant_suite", "scan_manifest_pruning", "text_rake_keyphrases",
-    "scan_time_travel", "events_bot_detection", "window_drawdown",
-    "join_set_similarity_prefix", "sim_recall_eval", "sim_two_stage_rerank",
-    "scan_row_level_deletes", "graph_bfs_hops", "sample_group_kfold",
-    "dq_categorical_drift", "emb_cluster_purity", "fn_try_arithmetic_suite",
-    "text_jsd_source_similarity", "ts_interval_coverage", "events_stickiness",
-    "agg_audience_overlap_estimate", "dedup_template_shape",
-    "traffic_burst_alerts", "sample_neyman_allocation", "dq_reconcile_orders",
-    "ts_rolling_cross_corr", "scan_tsv_quoted_roundtrip",
-    "text_cooccurrence_pmi", "events_survival_km", "feature_target_encoding",
-    "ab_test_sprt", "events_decayed_engagement", "fn_collation_suite",
-    "join_lateral_topk", "mlstats_ndcg_map", "graph_adamic_adar",
-    "feature_woe_iv", "rec_item_item_topn", "ts_theil_sen_slope",
-    "fn_bitwise_suite", "text_line_dedup", "agg_bootstrap_ci",
-    "ts_changepoint_pettitt", "dq_t_closeness", "sample_poisson_epochs",
-    "udf_pandas_iter", "udf_map_in_arrow", "mlstats_pr_auc",
-    "scan_dynamic_partition_pruning", "ts_downsample_m4",
-    "graph_label_propagation", "ab_test_srm_check", "dq_freshness_lag",
-    "er_fellegi_sunter", "export_dpo_pairs", "sql_pipe_syntax",
-    "sql_session_variables", "decon_exact_substring",
+    # --- never driver-sampled — planned rotation order (78) ---
+    "dedup_semdedup_centroid_rep", "text_cooccurrence_pmi",
+    "events_survival_km", "feature_target_encoding", "ab_test_sprt",
+    "events_decayed_engagement", "fn_collation_suite", "join_lateral_topk",
+    "mlstats_ndcg_map", "graph_adamic_adar", "feature_woe_iv",
+    "rec_item_item_topn", "ts_theil_sen_slope", "fn_bitwise_suite",
+    "text_line_dedup", "agg_bootstrap_ci", "ts_changepoint_pettitt",
+    "dq_t_closeness", "sample_poisson_epochs", "udf_pandas_iter",
+    "udf_map_in_arrow", "mlstats_pr_auc", "scan_dynamic_partition_pruning",
+    "ts_downsample_m4", "graph_label_propagation", "ab_test_srm_check",
+    "dq_freshness_lag", "er_fellegi_sunter", "export_dpo_pairs",
+    "sql_pipe_syntax", "sql_session_variables", "decon_exact_substring",
     "text_quality_buckets_ccnet", "events_feature_matrix",
     "dedup_boundary_overlap", "ab_test_ratio_delta_method", "ab_test_cuped",
     "mlstats_lift_gains", "graph_modularity", "scan_nested_struct_roundtrip",
@@ -160,7 +141,7 @@ _DRIVER_WINDOW = [
     "geo_dbscan_grid", "text_compress_ratio", "emb_kmeans_lloyd",
     "mm_feature_extract_stub", "mm_frame_sample_stub", "mm_resize_stub",
     "mm_binary_metadata",
-    # --- driver-green — re-verify last, stalest first (485) ---
+    # --- driver-green — re-verify last, stalest first (535) ---
     "scan_project_filter", "filter_like_null_routing", "sort_limit_topk",
     "distinct_values", "set_union_distinct", "set_union_all", "set_intersect",
     "set_except", "set_union_by_name", "fn_unpivot", "join_broadcast_dim",
@@ -335,7 +316,25 @@ _DRIVER_WINDOW = [
     "text_zipf_fit", "agg_spearman_corr", "dedup_soft_weights",
     "agg_concentration_curve", "dedup_prefix_hash", "mlstats_auc_roc",
     "mlstats_calibration_bins", "mlstats_logloss_brier",
-    "mlstats_threshold_sweep",
+    "mlstats_threshold_sweep", "emb_covariance_matrix",
+    "dedup_semdedup_cell_audit", "dedup_semdedup", "mm_audio_vorbis_packets",
+    "mlstats_lift_gains_distributed", "geo_radius_join",
+    "geo_nearest_within_radius", "geo_cell_density", "join_interval_overlap",
+    "sample_temperature_mixture", "graph_connected_components",
+    "feature_hashing_trick", "dedup_incremental_exact", "er_entity_groups",
+    "hierarchy_subtree_rollup", "dq_dup_rate_by_source", "dq_l_diversity",
+    "events_journey_paths", "dq_psi_drift", "ts_forecast_accuracy",
+    "window_time_weighted_avg", "sim_mmr_diversify",
+    "sim_binary_hamming_topk", "sample_epoch_shuffle", "graph_kcore",
+    "fn_variant_suite", "scan_manifest_pruning", "text_rake_keyphrases",
+    "scan_time_travel", "events_bot_detection", "window_drawdown",
+    "join_set_similarity_prefix", "sim_recall_eval", "sim_two_stage_rerank",
+    "scan_row_level_deletes", "graph_bfs_hops", "sample_group_kfold",
+    "dq_categorical_drift", "emb_cluster_purity", "fn_try_arithmetic_suite",
+    "text_jsd_source_similarity", "ts_interval_coverage", "events_stickiness",
+    "agg_audience_overlap_estimate", "dedup_template_shape",
+    "traffic_burst_alerts", "sample_neyman_allocation", "dq_reconcile_orders",
+    "ts_rolling_cross_corr", "scan_tsv_quoted_roundtrip",
 ]
 
 
