@@ -127,18 +127,18 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``curriculum_rank`` walks easy→hard within each cycle while every
     cycle samples all strata.
 
-    The global ntile here is the PARITY form (single-task sort, exact).
-    At 100 TB, stratify with pre-computed difficulty quantiles
-    (``approxQuantile`` or a 1% hash sample) so bucketing becomes a
-    stateless projection and the only sort is per-bucket — the same
-    swap documented for ``sort_limit_topk``."""
+    The stratifying NTILE runs DISTRIBUTED (``distributed_ntile``'s
+    two-pass exact rank — range partitions, local row numbers,
+    broadcast offsets), so no single task ever sorts the corpus: the
+    r11 raw-grain global-window migration (VERDICT r11 #3). Output is
+    bitwise the old single-task form — the rank is exact and
+    (n_chars, doc_id) is a total order."""
+    from ..operators.evalmetrics import distributed_ntile
+
     d = load(spark, sf_dir, "documents")
-    worder = Window.orderBy("n_chars", "doc_id")
-    strat = d.select(
-        "doc_id",
-        "n_chars",
-        F.ntile(CUR_BUCKETS).over(worder).alias("bucket"),
-    )
+    strat = distributed_ntile(
+        d.select("doc_id", "n_chars"), CUR_BUCKETS, ["n_chars", "doc_id"]
+    ).withColumnRenamed("tile", "bucket")
     wpos = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
     return strat.select(
         "doc_id",

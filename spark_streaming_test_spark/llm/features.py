@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, spread
 from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..iterate import iterate, materialize
 from ..registry import register
 
 Z_DP = 6  # z-score rounding (see functions/deterministic.py)
@@ -434,24 +435,27 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("di").alias("dim"),
         F.lit(PCA_SV // 8).cast("bigint").alias("vi"),
     )
-    nrm = None
-    for _ in range(PCA_ITERS):
-        w = (
+    last_nrm: list = [None]
+
+    def _pca_step(v: DataFrame, _i: int) -> DataFrame:
+        w = materialize(
+            # Eager mid-step checkpoint of the O(D) frame: norm and the
+            # next iterate both derive from it, and without truncation
+            # the lineage (broadcast of a frame whose plan contains the
+            # previous broadcast...) re-plans the whole history each
+            # iteration — the same measured blowup graph_pagerank
+            # documents.
             cov_fp.join(F.broadcast(v), cov_fp.dj == v.dim)
             .groupBy(F.col("di").alias("dim"))
-            .agg(F.sum(F.col("mi") * F.col("vi")).cast("bigint").alias("wr"))
-            # Eager checkpoint of the O(D) frame: norm and next iterate
-            # both derive from it, and without truncation the lineage
-            # (broadcast of a frame whose plan contains the previous
-            # broadcast...) re-plans the whole history each iteration —
-            # the same measured blowup graph_pagerank documents.
-            .localCheckpoint(eager=True)
+            .agg(F.sum(F.col("mi") * F.col("vi")).cast("bigint").alias("wr")),
+            eager=True,
         )
         wq = F.floor(F.col("wr").cast("double") / PCA_WQ).cast("bigint")
         nrm = w.agg(
             F.sqrt(F.sum(wq * wq).cast("double")).alias("nq")
         )
-        v = w.crossJoin(F.broadcast(nrm)).select(
+        last_nrm[0] = nrm
+        return w.crossJoin(F.broadcast(nrm)).select(
             "dim",
             F.floor(
                 F.col("wr").cast("double")
@@ -460,6 +464,9 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("vi"),
         )
+
+    v = iterate(v, _pca_step, PCA_ITERS, eager=False, checkpoint_input=False)
+    nrm = last_nrm[0]
     anchor = (
         v.orderBy(F.abs(F.col("vi")).desc(), "dim")
         .limit(1)

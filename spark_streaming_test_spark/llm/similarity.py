@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
+from ..iterate import iterate
 from ..registry import register
 
 N_QUERIES = 5  # query set: vec_id < 5
@@ -1327,9 +1328,9 @@ def nn_descent(
             ((F.col("vec_id") + F.col("j") * NND_STEP) % n).alias("u"),
         )
         .filter(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+
+    def _nnd_step(g: DataFrame, _i: int) -> DataFrame:
         und = (
             g.select("v", "u")
             .union(g.select(F.col("u").alias("v"), F.col("v").alias("u")))
@@ -1369,13 +1370,13 @@ def nn_descent(
             )
         )
         wnd = Window.partitionBy("v").orderBy(F.col("cosine").desc(), "w")
-        g = (
+        return (
             sc.withColumn("rk", F.row_number().over(wnd))
             .filter(F.col("rk") <= k)
             .select("v", F.col("w").alias("u"))
-            .localCheckpoint(eager=True)
         )
-    return g
+
+    return iterate(g, _nnd_step, rounds, eager=True)
 
 
 def _nnd_oracle() -> str:

@@ -924,7 +924,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized and summed as exact decimals (order-free) and the fit is
     the same closed-form normal-equation expression as
     ``agg_linreg_by_group``. Vocabulary-sized everything after the one
-    word-count shuffle; the rank window runs on the vocab frame."""
+    word-count shuffle; the frequency rank is computed DISTRIBUTED
+    (``distributed_row_number`` — range partitions + broadcast
+    offsets), so even a 10^9-type vocabulary never funnels through a
+    single-task sort (the r12 raw-grain global-window migration)."""
     d = spread(load(spark, sf_dir, "documents"))
     freqs = (
         d.select(
@@ -934,8 +937,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    wr = Window.orderBy(F.col("freq").desc(), "token")
-    ranked = freqs.withColumn("rnk", F.row_number().over(wr))
+    from ..operators.evalmetrics import distributed_row_number
+
+    ranked = (
+        distributed_row_number(freqs, [F.col("freq").desc(), "token"])
+        .withColumnRenamed("_rnk", "rnk")
+        .drop("_nt")
+    )
     pts = ranked.select(
         F.round(F.log(F.col("rnk").cast("double")), ZIPF_DP).alias("x"),
         F.round(F.log(F.col("freq").cast("double")), ZIPF_DP).alias("y"),

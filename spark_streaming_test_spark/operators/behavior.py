@@ -521,8 +521,10 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One user-grain conditional-MIN reduce (single shuffle, map-side
     combine) computes both first-touch timestamps; the duration
-    distribution is user-count-sized, so its rank window is cheap, and
-    the percentiles are concrete data points picked by rank — no
+    distribution is user-count-sized and its exact rank is computed
+    DISTRIBUTED (``distributed_row_number`` — range partitions +
+    broadcast offsets, no single-partition sort even at 10^9 users),
+    and the percentiles are concrete data points picked by rank — no
     interpolation to disagree on. Users who purchase before ever
     signing up (data noise) are excluded, as are non-converters."""
     e = load(spark, sf_dir, "events")
@@ -544,11 +546,14 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
         ).alias("secs_to_convert"),
     )
-    wr = Window.orderBy("secs_to_convert", "user_id")
-    ranked = durs.select(
+    from .evalmetrics import distributed_row_number
+
+    ranked = distributed_row_number(
+        durs, ["secs_to_convert", "user_id"]
+    ).select(
         "secs_to_convert",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.col("_rnk").alias("rn"),
+        F.col("_nt").alias("n"),
     )
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_converted"),

@@ -375,10 +375,13 @@ def ab_test_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`mlstats_lift_gains` is the single-arm cousin).
 
     Integer counts throughout; two divisions per row of identical
-    operands. Plan: one corpus reduce to user grain, one NTILE window
-    (global rank over USERS — at 100 TB this moves to range-partitioned
-    rank or bucketed score quantiles with identical downstream shape),
-    a {QINI_DECILES}-row aggregate, and cumsums over those rows."""
+    operands. Plan: one corpus reduce to user grain, then a
+    DISTRIBUTED exact-rank decile cut (``distributed_ntile`` — range
+    partitions + local row numbers + broadcast offsets, no
+    single-partition sort of the user frame even at 100 TB), a
+    {QINI_DECILES}-row aggregate, and cumsums over those rows. The
+    cut is bitwise the global NTILE: (activity DESC, user_id) is a
+    total order and the two-pass rank is exact."""
     e = load(spark, sf_dir, "events")
     users = e.groupBy("user_id").agg(
         F.max(
@@ -396,13 +399,11 @@ def ab_test_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    ranked = users.select(
-        "variant",
-        "converted",
-        F.ntile(QINI_DECILES)
-        .over(W.orderBy(F.desc("activity"), "user_id"))
-        .alias("decile"),
-    )
+    from .evalmetrics import distributed_ntile
+
+    ranked = distributed_ntile(
+        users, QINI_DECILES, [F.desc("activity"), "user_id"]
+    ).withColumnRenamed("tile", "decile")
     is_t = F.col("variant") == "B"
     per = ranked.groupBy("decile").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_t"),

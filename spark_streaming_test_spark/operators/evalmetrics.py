@@ -645,21 +645,18 @@ def _range_local_ranked(df: DataFrame, order_cols: list) -> DataFrame:
     return parts.withColumn("_lrank", F.row_number().over(wloc))
 
 
-def distributed_ntile(df: DataFrame, tiles: int, order_cols: list) -> DataFrame:
-    """Exact ``NTILE(tiles) OVER (ORDER BY order_cols)`` as a ``tile``
-    column, computed WITHOUT a single-partition sort — the scale form
-    of the global-rank shape (VERDICT r10 #4), shared by
-    ``mlstats_lift_gains_distributed`` and ``ml_isotonic_calibration``.
+def distributed_row_number(df: DataFrame, order_cols: list) -> DataFrame:
+    """Exact ``ROW_NUMBER() OVER (ORDER BY order_cols)`` as a ``_rnk``
+    column (plus the total count as ``_nt``), computed WITHOUT a
+    single-partition sort — the shared primitive under
+    ``distributed_ntile`` and every raw-grain global-rank migration
+    (VERDICT r11 #3).
 
     Two-pass exact rank: range partitions give partition-local row
     numbers; per-range counts (one row per range) become rank offsets
     via a broadcast triangular self-join (O(P²) pairs of a P-row
-    frame); tile membership is then closed-form arithmetic on the
-    exact rank (NTILE remainder semantics: the first N mod T tiles
-    hold ceil(N/T) rows). order_cols must be a total order, which
-    makes the output independent of where the sampled range boundaries
-    land. All divisions operate on counts < 2^53, so the
-    floor-of-double forms are exact."""
+    frame). order_cols must be a total order, which makes the output
+    independent of where the sampled range boundaries land."""
     local = _range_local_ranked(df, order_cols).localCheckpoint(eager=False)
     sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     a, b = sizes.alias("a"), sizes.alias("b")
@@ -669,11 +666,75 @@ def distributed_ntile(df: DataFrame, tiles: int, order_cols: list) -> DataFrame:
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
     tot = sizes.agg(F.sum("_cnt").alias("_nt"))
-    ranked = (
+    return (
         local.join(F.broadcast(offs), "_pid")
         .crossJoin(F.broadcast(tot))
         .withColumn("_rnk", F.col("_lrank") + F.col("_off"))
+        .drop("_pid", "_lrank", "_off")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame, order_cols: list, col: str
+) -> DataFrame:
+    """Exact global rank AND running sum — ``_rnk``, ``_nt``,
+    ``_cum`` (= SUM(col) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)) and ``_tot`` — without a single-partition sort: the
+    cumulative-window counterpart of ``distributed_row_number``
+    (Lorenz/Pareto curves, CDF sweeps, drawdown-style prefix scans).
+
+    Same two-pass shape: range partitions compute partition-LOCAL rank
+    and running sum; per-range (count, sum) rows — one per range —
+    become rank/sum offsets via the broadcast triangular self-join.
+    ``col`` must be an exact associative type (integer/decimal): the
+    offset addition then reproduces the single-partition running sum
+    bitwise regardless of where the sampled range boundaries land.
+    (The cum/tot decimal may widen a digit vs the one-window form —
+    cast at the consumer.)"""
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = (
+        _range_local_ranked(df, order_cols)
+        .withColumn("_lcum", F.sum(col).over(wloc))
+        .localCheckpoint(eager=False)
+    )
+    sizes = local.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum(col).alias("_s")
+    )
+    a, b = sizes.alias("a"), sizes.alias("b")
+    zero = F.lit(0)
+    offs = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.coalesce(F.sum("b._cnt"), zero).alias("_off"),
+            F.coalesce(F.sum("b._s"), zero).alias("_soff"),
+        )
+    )
+    tot = sizes.agg(
+        F.sum("_cnt").alias("_nt"), F.sum("_s").alias("_tot")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_rnk", F.col("_lrank") + F.col("_off"))
+        .withColumn("_cum", F.col("_lcum") + F.col("_soff"))
+        .drop("_pid", "_lrank", "_off", "_soff", "_lcum")
+    )
+
+
+def distributed_ntile(df: DataFrame, tiles: int, order_cols: list) -> DataFrame:
+    """Exact ``NTILE(tiles) OVER (ORDER BY order_cols)`` as a ``tile``
+    column, computed WITHOUT a single-partition sort — the scale form
+    of the global-rank shape (VERDICT r10 #4), shared by
+    ``mlstats_lift_gains_distributed``, ``ml_isotonic_calibration``,
+    ``rfm_segmentation``, ``ab_test_qini_uplift`` and
+    ``corpus_curriculum_order``.
+
+    Tile membership is closed-form arithmetic on the exact rank from
+    ``distributed_row_number`` (NTILE remainder semantics: the first
+    N mod T tiles hold ceil(N/T) rows). All divisions operate on
+    counts < 2^53, so the floor-of-double forms are exact."""
+    ranked = distributed_row_number(df, order_cols)
     qq = F.floor(F.col("_nt") / F.lit(tiles)).cast("bigint")
     rr = (F.col("_nt") % F.lit(tiles)).cast("bigint")
     thr = rr * (qq + F.lit(1))
@@ -688,9 +749,7 @@ def distributed_ntile(df: DataFrame, tiles: int, order_cols: list) -> DataFrame:
         )
         .cast("int")
     )
-    return ranked.withColumn("tile", tile).drop(
-        "_pid", "_lrank", "_off", "_nt", "_rnk"
-    )
+    return ranked.withColumn("tile", tile).drop("_nt", "_rnk")
 
 
 @register(

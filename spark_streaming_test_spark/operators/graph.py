@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from ..iterate import iterate, materialize
 from ..session import register_frame_cache
 
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
@@ -176,10 +177,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank frame outgrows a broadcast and the join becomes a co-hashed
     shuffle join on src — the partials-only property still holds."""
     edges, deg = _edge_index(spark, sf_dir)
-    ranks = deg.select(
+    ranks0 = deg.select(
         F.col("src").alias("node"), F.lit(FP_ONE).cast("bigint").alias("r")
     )
-    for _ in range(PR_ITERS):
+
+    def _pr_step(ranks: DataFrame, _i: int) -> DataFrame:
         # Degree folds into the node-sized rank frame (a tiny
         # broadcast-broadcast join), so each iteration is ONE
         # broadcast join against the cached edges — zero edge-side
@@ -193,20 +195,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = edges.join(
             F.broadcast(rd), edges.src == rd.node
         ).select("dst", F.expr("r div outdeg").alias("w"))
-        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+        return contrib.groupBy(F.col("dst").alias("node")).agg(
             (
                 F.lit(_TELEPORT_FP).cast("bigint")
                 + F.expr(f"({DAMP_NUM} * sum(w)) div {DAMP_DEN}")
             ).alias("r")
         )
-        # Truncate lineage: without this, iteration N's broadcast
-        # subtree re-executes iterations 0..N-1 (measured growing
-        # 4.3 -> 5.5 -> 7.3 s per iteration). The checkpoint
-        # materializes a node-sized frame — kilobytes — after which
-        # every iteration costs one cached-edge scan + one partial
-        # agg. The standard iterative-algorithm pattern, same as
-        # dedup_cluster_canonical.
-        ranks = ranks.localCheckpoint(eager=False)
+
+    # iterate() truncates lineage per round: without that, iteration
+    # N's broadcast subtree re-executes iterations 0..N-1 (measured
+    # growing 4.3 -> 5.5 -> 7.3 s per iteration). Each checkpoint
+    # materializes a node-sized frame — kilobytes — after which every
+    # iteration costs one cached-edge scan + one partial agg.
+    ranks = iterate(
+        ranks0, _pr_step, PR_ITERS, eager=False, checkpoint_input=False
+    )
     # Int ids map back to the public labels by arithmetic — even ids
     # are customers, odd are suppliers.
     label = F.when(
@@ -898,8 +901,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
-    lab = nodes.select("node", F.col("seed_label").alias("lab"))
-    for _ in range(LPA_ROUNDS):
+    def _lpa_step(lab: DataFrame, _i: int) -> DataFrame:
         prop = (
             und.join(
                 lab.select(F.col("node").alias("nbr"), "lab").filter(
@@ -916,9 +918,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("lab").alias("p_lab"))
         )
-        lab = nodes.join(pick, "node", "left").select(
+        return nodes.join(pick, "node", "left").select(
             "node", F.coalesce("seed_label", "p_lab").alias("lab")
         )
+
+    lab = iterate(
+        nodes.select("node", F.col("seed_label").alias("lab")),
+        _lpa_step,
+        LPA_ROUNDS,
+        eager=False,
+        checkpoint_input=False,
+    )
     return nodes.join(lab, "node").select(
         "node",
         F.col("seed_label").cast("int").alias("seed_label"),
@@ -2184,9 +2194,8 @@ def _min_label_fixpoint(nodes: DataFrame, edges: DataFrame, forward: bool) -> Da
     the sum is strictly monotone and one O(1) collect per round detects
     the fixpoint."""
     src, dst = ("u", "v") if forward else ("v", "u")
-    lab = nodes.select("id", F.col("id").alias("lab")).localCheckpoint(eager=True)
-    prev_sum = None
-    for _ in range(SCC_MAX_PROP_ROUNDS):
+
+    def _prop_step(lab: DataFrame, _i: int) -> DataFrame:
         msgs = (
             edges.join(
                 lab.select(F.col("id").alias(dst), F.col("lab").alias("nlab")), dst
@@ -2194,21 +2203,20 @@ def _min_label_fixpoint(nodes: DataFrame, edges: DataFrame, forward: bool) -> Da
             .groupBy(F.col(src).alias("id"))
             .agg(F.min("nlab").alias("mn"))
         )
-        lab = (
-            lab.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least("lab", F.coalesce("mn", F.col("lab"))).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+        return lab.join(msgs, "id", "left").select(
+            "id",
+            F.least("lab", F.coalesce("mn", F.col("lab"))).alias("lab"),
         )
-        cur = lab.agg(F.sum("lab")).collect()[0][0]
-        if cur == prev_sum:
-            return lab
-        prev_sum = cur
-    raise RuntimeError(
-        f"scc min-label propagation still moving after {SCC_MAX_PROP_ROUNDS} "
-        "rounds — refusing to emit labels from an unconverged fixpoint"
+
+    # iterate()'s monotone-probe fixpoint: labels only decrease, so a
+    # repeated sum IS convergence; require_convergence raises rather
+    # than emitting labels from an unconverged fixpoint.
+    return iterate(
+        nodes.select("id", F.col("id").alias("lab")),
+        _prop_step,
+        SCC_MAX_PROP_ROUNDS,
+        probe=lambda df: df.agg(F.sum("lab")).collect()[0][0],
+        require_convergence=True,
     )
 
 
@@ -3577,7 +3585,8 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("node"), "x").localCheckpoint(eager=True)
 
     fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda s, v: s + v)
-    for _ in range(SPECTRAL_ITERS):
+
+    def _spectral_step(x: DataFrame, _i: int) -> DataFrame:
         msg = (
             core.select(F.col("id").alias("node"))
             .join(und.select(F.col("u").alias("node"), "v"), "node", "left")
@@ -3614,8 +3623,10 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.col("s")
                 ).alias("y"),
             )
-            .localCheckpoint(eager=True)
         )
+        # mid-step materialize: mu and z both consume y — one instance
+        # (the r10 multi-consumer lesson), lineage truncated.
+        y = materialize(y, eager=True)
         mu = y.agg(
             (
                 fold_sum(
@@ -3640,11 +3651,13 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("nr")
         )
-        x = (
-            z.crossJoin(F.broadcast(nr))
-            .select("node", (F.col("z") / F.col("nr")).alias("x"))
-            .localCheckpoint(eager=True)
+        return z.crossJoin(F.broadcast(nr)).select(
+            "node", (F.col("z") / F.col("nr")).alias("x")
         )
+
+    x = iterate(
+        x, _spectral_step, SPECTRAL_ITERS, eager=True, checkpoint_input=False
+    )
     side = F.round("x", 8) > 0
     sides = x.select("node", F.round("x", 8).alias("fiedler"), side.alias("side"))
     cut = (
@@ -3725,13 +3738,12 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("h")
     ).localCheckpoint(eager=True)
-    h = deg
-    for r in range(CORENESS_MAX_ROUNDS + 1):
+    def _hindex_step(h: DataFrame, _i: int) -> DataFrame:
         nb = und.join(
             h.select(F.col("id").alias("v"), F.col("h").alias("val")), "v"
         ).select(F.col("u").alias("id"), "val")
         w = Window.partitionBy("id").orderBy(F.col("val").desc())
-        nh = (
+        return (
             nb.withColumn("rk", F.row_number().over(w))
             .groupBy("id")
             .agg(
@@ -3739,21 +3751,22 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("h")
             )
-            .localCheckpoint(eager=True)
         )
-        converged = (
-            nh.join(h.withColumnRenamed("h", "hp"), "id")
-            .filter(F.col("h") != F.col("hp"))
-            .isEmpty()
-        )
-        h = nh
-        if converged:
-            break
-        if r == CORENESS_MAX_ROUNDS:
-            raise RuntimeError(
-                f"graph_coreness: H-index fixpoint not reached after "
-                f"{CORENESS_MAX_ROUNDS} rounds"
-            )
+
+    # iterate()'s monotone-probe fixpoint: iterated H-index values only
+    # DESCEND (Lu-Chen-Zhang), so a repeated sum means no value changed
+    # — the same convergence the old per-round anti-join isEmpty()
+    # detected, for the price of an O(1) scalar instead of a join;
+    # require_convergence raises at the cap rather than emitting
+    # unconverged labels.
+    h = iterate(
+        deg,
+        _hindex_step,
+        CORENESS_MAX_ROUNDS + 1,
+        checkpoint_input=False,
+        probe=lambda df: df.agg(F.sum("h")).collect()[0][0],
+        require_convergence=True,
+    )
     return deg.select(F.col("id").alias("node"), F.col("h").alias("degree")).join(
         h.select(F.col("id").alias("node"), F.col("h").alias("coreness")),
         "node",

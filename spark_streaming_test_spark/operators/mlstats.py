@@ -963,31 +963,27 @@ def agg_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     complements the scalar ``agg_gini_hhi`` with the actual curve.
 
     Exact decimal spend all the way through BOTH cumulative sums; the
-    decile share is one integer-ratio division per output row. The
-    global rank window runs on the customer-grain frame (already
-    reduced); the production swap for extreme cardinality is the same
-    quantile pre-bucketing documented on ``corpus_curriculum_order``."""
+    decile share is one integer-ratio division per output row. Both
+    the rank and the running revenue sum are computed DISTRIBUTED
+    (``distributed_prefix_sum``: range partitions + local running
+    sums + broadcast offsets — exact because decimal addition is
+    associative), so even 10^9 customers never funnel through a
+    single-task sort (the r12 raw-grain global-window migration)."""
+    from .evalmetrics import distributed_prefix_sum
+
     o = load(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
         .cast("decimal(18,2)")
         .alias("x")
     )
-    wr = Window.orderBy(F.col("x").desc(), "o_custkey")
-    wn = Window.partitionBy()
-    ranked = spend.select(
-        "x",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    wcum = Window.orderBy("rn").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = ranked.select(
-        "rn",
-        "n",
-        F.sum("x").over(wcum).alias("cum_x"),
-        F.sum("x").over(wn).alias("tot"),
+    cum = distributed_prefix_sum(
+        spend, [F.col("x").desc(), "o_custkey"], "x"
+    ).select(
+        F.col("_rnk").alias("rn"),
+        F.col("_nt").alias("n"),
+        F.col("_cum").alias("cum_x"),
+        F.col("_tot").alias("tot"),
     )
     decile = F.ceil(
         F.lit(float(PARETO_DECILES)) * F.col("rn") / F.col("n")

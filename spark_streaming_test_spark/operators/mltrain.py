@@ -1012,10 +1012,12 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: weights come off the shared decimal moment pass, so
     residuals are identical doubles; q̂ is an exact-rank selection
     with an id tie-break; coverage compares identical doubles. Scale:
-    the rank window runs over the CALIBRATION split only — in
-    production conformal calibration is a bounded sample by design
-    (coverage error shrinks as 1/n_cal; ~10³ points suffice), so the
-    one unpartitioned window never sees corpus-scale input."""
+    the q̂ selection runs over the CALIBRATION split — bounded by
+    design in production (coverage error shrinks as 1/n_cal; ~10³
+    points suffice) — and is computed DISTRIBUTED anyway
+    (``distributed_row_number``: range partitions + broadcast
+    offsets), so even a corpus-sized calibration split never funnels
+    through a single-task sort."""
     e = load(spark, sf_dir, "events")
     feat = e.select(
         "event_id",
@@ -1070,12 +1072,12 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(w))
         .select("event_id", F.abs(c("y") - pred).alias("r"))
     )
-    from pyspark.sql import Window as W
+    from .evalmetrics import distributed_row_number
 
-    ranked = cal.select(
+    ranked = distributed_row_number(cal, ["r", "event_id"]).select(
         "r",
-        F.row_number().over(W.orderBy("r", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n_cal"),
+        c("_rnk").alias("rn"),
+        c("_nt").alias("n_cal"),
     )
     keep = (CONF_ALPHA_DEN - CONF_ALPHA_NUM, CONF_ALPHA_DEN)
     qhat = ranked.filter(

@@ -64,11 +64,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTPUT columns canonicalize engine-dependently downstream (Python
     Decimal vs float64) while a correctly-rounded double is identical.
 
-    Scale note: the three NTILEs are global windows — fine here
-    because they run on the per-CUSTOMER frame (orders of magnitude
-    smaller than the fact table), but at 10^9 customers the swap is
-    approx_percentile boundary scoring (broadcast 4 cut points per
-    metric), trading exact equal-size buckets for a map-only pass."""
+    Scale note: the three quintile scores run on the per-CUSTOMER
+    frame (orders of magnitude smaller than the fact table) and are
+    computed DISTRIBUTED via ``distributed_ntile`` (two-pass exact
+    rank — range partitions, local row numbers, broadcast offsets),
+    so even at 10^9 customers no single task sorts the frame; the
+    output is bitwise the single-task NTILE because each
+    (metric, custkey) order is total. The cheaper approximate swap
+    (approx_percentile cut points, map-only) remains available when
+    exact equal-size buckets aren't required."""
     rfm = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
@@ -80,16 +84,19 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tile = lambda c: F.ntile(N_TILES).over(
-        Window.orderBy(F.col(c), F.col("custkey"))
-    )
+    from .evalmetrics import distributed_ntile
+
+    scored = rfm
+    for metric, score in (
+        ("recency", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        scored = distributed_ntile(
+            scored, N_TILES, [metric, "custkey"]
+        ).withColumnRenamed("tile", score)
     return (
-        rfm.select(
-            "monetary",
-            tile("recency").alias("r_score"),
-            tile("frequency").alias("f_score"),
-            tile("monetary").alias("m_score"),
-        )
+        scored.select("monetary", "r_score", "f_score", "m_score")
         .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),

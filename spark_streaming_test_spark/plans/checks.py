@@ -96,6 +96,74 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, "CartesianProduct in plan"
 
 
+def single_partition_funnels(plan: str) -> list[dict]:
+    """Every ``Exchange SinglePartition`` in a formatted plan, with its
+    child operator classified for boundedness.
+
+    A SinglePartition exchange funnels its entire input through ONE
+    task — the shape that cannot survive 100 TB unless the input is
+    provably small. Two shapes are bounded by construction and
+    auto-approved by the registry-wide audit
+    (tests/test_global_window_audit.py):
+
+    * child is a KEYLESS partial aggregate (``Keys: []``) — the merge
+      step of a global scalar aggregate, O(running tasks) rows;
+    * child is ``TakeOrderedAndProject`` / a limit — O(k) rows.
+
+    Anything else (keyed aggregates, projections, joins) is returned
+    with ``bounded=False``: its cardinality depends on data grain the
+    plan cannot prove, so the query must carry a documented bound.
+
+    Returns one dict per funnel: ``{"child_op", "child_id",
+    "bounded", "reason"}``.
+    """
+    # Node details sections: "(N) OpName\n..." separated by blank lines.
+    details: dict[str, str] = {}
+    ops: dict[str, str] = {}
+    for sec in re.split(r"\n\n+", plan):
+        m = re.match(r"\((\d+)\) ([A-Za-z0-9_]+)", sec)
+        if m:
+            details[m.group(1)] = sec
+            ops[m.group(1)] = m.group(2)
+    sp_ids = [
+        nid
+        for nid, sec in details.items()
+        if ops[nid] == "Exchange" and "Arguments: SinglePartition" in sec
+    ]
+    out: list[dict] = []
+    lines = plan.splitlines()
+    for nid in sp_ids:
+        child_line = None
+        for i, ln in enumerate(lines):
+            # tree lines reference nodes as "OpName (N)"
+            if re.search(rf"\bExchange \({nid}\)", ln):
+                child_line = lines[i + 1] if i + 1 < len(lines) else ""
+                break
+        cm = re.search(r"([A-Za-z0-9_]+) \((\d+)\)", child_line or "")
+        if not cm:
+            out.append(
+                {"child_op": "?", "child_id": None, "bounded": False,
+                 "reason": f"unparseable child of Exchange({nid})"}
+            )
+            continue
+        cop, cid = cm.group(1), cm.group(2)
+        csec = details.get(cid, "")
+        if cop in ("TakeOrderedAndProject", "GlobalLimit", "LocalLimit"):
+            bounded, reason = True, "limit-bounded"
+        elif (
+            cop in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+            and "Keys: []" in csec
+        ):
+            bounded, reason = True, "keyless partial aggregate (O(tasks) rows)"
+        else:
+            bounded, reason = False, "cardinality not provable from plan"
+        out.append(
+            {"child_op": cop, "child_id": cid, "bounded": bounded,
+             "reason": reason}
+        )
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (wider fused spans = fewer).
 
