@@ -83,6 +83,34 @@ def test_no_unbounded_single_partition_funnels(spark):
     )
 
 
+def test_rank_primitives_have_no_unbounded_funnel(spark):
+    """The three distributed-rank primitives themselves must never
+    emit an unbounded SinglePartition exchange — their whole point.
+    (Their only SinglePartition exchanges are the one-row merges of
+    the keyless total-count/total-sum aggregates.)"""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_test_spark.operators.evalmetrics import (
+        distributed_ntile,
+        distributed_prefix_sum,
+        distributed_row_number,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("x")
+    )
+    for out in (
+        distributed_row_number(df, [F.col("x").desc(), "k"]),
+        distributed_ntile(df, 10, [F.col("x").desc(), "k"]),
+        distributed_prefix_sum(df, [F.col("x").desc(), "k"], "x"),
+    ):
+        plan = checks.formatted_plan(out)
+        bad = [
+            f for f in checks.single_partition_funnels(plan) if not f["bounded"]
+        ]
+        assert not bad, bad
+
+
 def test_distributed_prefix_sum_matches_global_window(spark):
     """distributed_prefix_sum == the single-partition window bitwise
     (decimal addition is associative, rank offsets are exact) — on a
