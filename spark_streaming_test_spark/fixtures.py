@@ -33,3 +33,26 @@ def fixture_rev(*parts) -> str:
         else:
             h.update(repr(p).encode())
     return h.hexdigest()[:8]
+
+
+import os as _os
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def scratch_dir(sf_dir: str, name: str) -> str:
+    """Per-SF scratch directory for write→read roundtrip queries.
+
+    Unlike the content-addressed read-only fixtures above, roundtrip
+    queries OVERWRITE their scratch path on every invocation — so two
+    harness processes running at different SFs (a sweep and the pytest
+    suite, or two concurrent sweeps) must not share one path: Hadoop's
+    overwrite first deletes the other process's in-flight _temporary
+    attempt files (observed r12: chmod-on-missing-file task failure at
+    sf0.1), and even a "successful" race reads the other SF's rows.
+    Qualifying by the SF tag makes every cross-SF combination safe —
+    same-SF concurrency remains out of contract, as everywhere else in
+    the harness.
+    """
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    return _os.path.join(_SCRATCH, f"{name}_{tag}")

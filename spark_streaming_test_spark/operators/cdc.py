@@ -457,11 +457,15 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure metadata: the data writes are tiny here (and irrelevant —
     only footers are read); at lake scale this runs against catalog
     schemas with the same diff logic."""
-    import os as _os
+    # SF-qualified scratch dirs: two harness processes at different
+    # SFs must not overwrite each other's in-flight _temporary files —
+    # an unqualified path cost a concurrent sf0.1 sweep this query
+    # (r12, chmod-on-missing-file task failure while the sf0.001
+    # suite rewrote the same dir). See fixtures.scratch_dir.
+    from ..fixtures import scratch_dir
 
-    base = "/root/repo/.scratch"
-    v1p = _os.path.join(base, "drift_v1")
-    v2p = _os.path.join(base, "drift_v2")
+    v1p = scratch_dir(sf_dir, "drift_v1")
+    v2p = scratch_dir(sf_dir, "drift_v2")
     ev = load(spark, sf_dir, "events").limit(100)
     ev.select("event_id", "event_type", "value", "user_id").write.mode(
         "overwrite"

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..fixtures import scratch_dir
 from ..registry import register
 
 SCRATCH = "/root/repo/.scratch"
@@ -33,7 +34,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV connector roundtrip: parquet dim -> CSV (header) -> scan with
     explicit DDL schema. Distributed on both sides (the writer emits one
     file per partition; the reader splits by line)."""
-    path = os.path.join(SCRATCH, "nation_csv")
+    path = scratch_dir(sf_dir, "nation_csv")
     load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(NATION_DDL).option("header", True).csv(path)
 
@@ -47,7 +48,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines connector roundtrip with explicit schema (no inference
     pass). INT columns are declared INT so the roundtrip preserves the
     parquet types instead of JSON's default BIGINT widening."""
-    path = os.path.join(SCRATCH, "nation_json")
+    path = scratch_dir(sf_dir, "nation_json")
     load(spark, sf_dir, "nation").write.mode("overwrite").json(path)
     return spark.read.schema(NATION_DDL).json(path)
 
@@ -73,7 +74,7 @@ def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between scanning 40 TB and scanning the whole lake; the
     same mechanism prunes date-partitioned event logs to the queried
     day range."""
-    path = os.path.join(SCRATCH, "events_by_type")
+    path = scratch_dir(sf_dir, "events_by_type")
     (
         load(spark, sf_dir, "events")
         .select("event_id", "user_id", "value", "event_type")
@@ -105,7 +106,7 @@ def scan_compacted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce-rewrite (files sized to ~1 GB) restores scan throughput.
     The roundtrip is oracle-checked; the file count is asserted in
     tests/test_plans.py."""
-    path = os.path.join(SCRATCH, "events_compacted")
+    path = scratch_dir(sf_dir, "events_compacted")
     (
         load(spark, sf_dir, "events")
         .select("event_id", "user_id", "event_type", "value")
@@ -127,7 +128,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's vectorized ORC reader gives the same pushdown/pruning as
     parquet. (DuckDB can't read ORC, so the oracle checks the roundtrip
     against the original rows instead — value-exact.)"""
-    path = os.path.join(SCRATCH, "nation_orc")
+    path = scratch_dir(sf_dir, "nation_orc")
     load(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
     return spark.read.schema(NATION_DDL).orc(path)
 
@@ -142,7 +143,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-corpus ingest format (every web-scale text dump starts life as
     line-delimited text). Values are newline-free dimension names so the
     roundtrip is exact."""
-    path = os.path.join(SCRATCH, "nation_txt")
+    path = scratch_dir(sf_dir, "nation_txt")
     load(spark, sf_dir, "nation").select(F.col("n_name").alias("line")).write.mode(
         "overwrite"
     ).text(path)
@@ -199,7 +200,7 @@ def scan_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.repartitionByRange(8, "zval")
         .sortWithinPartitions("zval")
         .write.mode("overwrite")
-        .parquet(os.path.join(SCRATCH, "orders_zorder"))
+        .parquet(scratch_dir(sf_dir, "orders_zorder"))
     )
     return df
 
@@ -221,7 +222,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewriting history. (Pay the footer-merge cost only when schemas
     actually diverge; pin the schema explicitly otherwise.)"""
     n = load(spark, sf_dir, "nation")
-    path = os.path.join(SCRATCH, "nation_evolved")
+    path = scratch_dir(sf_dir, "nation_evolved")
     (
         n.filter(F.col("n_nationkey") < 13)
         .select("n_nationkey", "n_name")
@@ -278,7 +279,7 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .bucketBy(N_BUCKETS, key)
             .sortBy(key)
-            .option("path", os.path.join(SCRATCH, name))
+            .option("path", scratch_dir(sf_dir, name))
             .format("parquet")
             .saveAsTable(name)
         )
@@ -299,7 +300,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark-xml): parquet dim -> row-tagged XML -> scan with explicit
     schema. Same no-inference rule as the CSV/JSON twins — at 100 TB an
     inference pass over XML is a full extra parse of the corpus."""
-    path = os.path.join(SCRATCH, "nation_xml")
+    path = scratch_dir(sf_dir, "nation_xml")
     (
         load(spark, sf_dir, "nation")
         .write.mode("overwrite")
@@ -342,7 +343,7 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw line for a quarantine sink. Corruption here is derived
     deterministically from the key so the DuckDB oracle can predict the
     split exactly."""
-    path = os.path.join(SCRATCH, "nation_badcsv")
+    path = scratch_dir(sf_dir, "nation_badcsv")
     load(spark, sf_dir, "nation").select(
         F.when(
             F.col("n_nationkey") % 5 == 0,
@@ -414,7 +415,7 @@ def scan_dynamic_partition_overwrite(
     partitions, and without the eventual-consistency hazards of
     delete-then-write. Static overwrite mode here would silently drop
     every other partition — the failure this query pins against."""
-    path = os.path.join(SCRATCH, "events_dynpart")
+    path = scratch_dir(sf_dir, "events_dynpart")
     e = load(spark, sf_dir, "events").select("event_type", "value")
     e.write.mode("overwrite").partitionBy("event_type").parquet(path)
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -466,7 +467,7 @@ def scan_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches a fraction of the data files without any Hive partition
     directories. Row-identical to the full-scan filter (the oracle);
     the files-skipped assertion lives in tests/test_plans.py."""
-    path = os.path.join(SCRATCH, "events_manifest")
+    path = scratch_dir(sf_dir, "events_manifest")
     ev = load(spark, sf_dir, "events").select("event_id", "value")
     bucket = F.least(
         F.floor(F.col("value") / 62.5).cast("int"), F.lit(MANIFEST_BUCKETS - 1)
@@ -526,7 +527,7 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot because the version directory only becomes referenced
     after its write completes."""
     nation = load(spark, sf_dir, "nation")
-    base = os.path.join(SCRATCH, "nation_versions")
+    base = scratch_dir(sf_dir, "nation_versions")
     v0 = nation.filter(F.col("n_regionkey") != 1)
     v0.write.mode("overwrite").parquet(os.path.join(base, "v=0"))
     nation.write.mode("overwrite").parquet(os.path.join(base, "v=1"))
@@ -564,7 +565,7 @@ def scan_row_level_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a co-hashed anti-join — same plan algebra. Compaction later
     folds deletes into the base (`scan_compacted_write`) and drops the
     delete file."""
-    base = os.path.join(SCRATCH, "events_dv")
+    base = scratch_dir(sf_dir, "events_dv")
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     ev.write.mode("overwrite").parquet(os.path.join(base, "data"))
     deletes = ev.filter(F.col("event_id") % DV_DELETE_MOD == 0).select(
@@ -593,7 +594,7 @@ def scan_tsv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same distributed contract as `scan_csv_roundtrip`: file-per-
     partition writer, line-splittable reader, explicit DDL schema (no
     inference pass)."""
-    path = os.path.join(SCRATCH, "nation_tsv")
+    path = scratch_dir(sf_dir, "nation_tsv")
     (
         load(spark, sf_dir, "nation")
         .write.mode("overwrite")
@@ -633,7 +634,7 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     (``scan_partitioned_pruning``) is the planning-time special case;
     DPP is what saves the scan when the partition set comes from a
     JOIN — the star-schema fact×dim shape at 100 TB."""
-    path = os.path.join(SCRATCH, "events_by_type_dpp")
+    path = scratch_dir(sf_dir, "events_by_type_dpp")
     (
         load(spark, sf_dir, "events")
         .select("event_id", "user_id", "value", "event_type")
@@ -673,7 +674,7 @@ def scan_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (order-with-items, request-with-spans) that avoids the join
     at read time by nesting it at write time; predicate pushdown on
     the top-level filter column still reaches the scan."""
-    path = os.path.join(SCRATCH, "orders_nested")
+    path = scratch_dir(sf_dir, "orders_nested")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
@@ -726,8 +727,8 @@ def scan_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     NON-SPLITTABLE format: one file = one task, the classic ingest
     bottleneck — production keeps gzip only at the landing zone and
     rewrites to splittable zstd parquet immediately."""
-    zp = os.path.join(SCRATCH, "nation_zstd_parquet")
-    gc = os.path.join(SCRATCH, "nation_gzip_csv")
+    zp = scratch_dir(sf_dir, "nation_zstd_parquet")
+    gc = scratch_dir(sf_dir, "nation_gzip_csv")
     n = load(spark, sf_dir, "nation")
     n.write.mode("overwrite").option("compression", "zstd").parquet(zp)
     n.write.mode("overwrite").option("compression", "gzip").option(
@@ -761,7 +762,7 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole 100 TB job dies on one bad object; with it the loss is
     quantified by reconciliation (``dq_reconcile_orders``-style
     counts), not an outage."""
-    path = os.path.join(SCRATCH, "nation_with_corrupt")
+    path = scratch_dir(sf_dir, "nation_with_corrupt")
     load(spark, sf_dir, "nation").write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "part-corrupt-000.parquet"), "wb") as f:
         f.write(b"NOT A PARQUET FILE \x00\x01\x02 torn upload")
@@ -806,7 +807,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scan, and the projection keeps only the verified fingerprint —
     at 100 TB of images the pattern is identical, with the md5 swapped
     for the real decode."""
-    path = os.path.join(SCRATCH, "binary_docs")
+    path = scratch_dir(sf_dir, "binary_docs")
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < BINFILE_DOCS)
@@ -864,7 +865,7 @@ def scan_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB table touches the handful of files that actually contain
     the key. Row-identical to the full-scan filter (the oracle); the
     files-skipped assertion lives in tests/test_plans.py."""
-    path = os.path.join(SCRATCH, "events_pidx")
+    path = scratch_dir(sf_dir, "events_pidx")
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
