@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
+from ..iterate import iterate
 from ..operators.graph import DAMP_DEN, DAMP_NUM, FP_ONE, _TELEPORT_FP
 from ..registry import register
 
@@ -138,20 +139,23 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(FP_ONE).cast("bigint").alias("r")
     )
-    for _ in range(TR_ITERS):
+    def _tr_step(ranks, _i: int):
         rd = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
             "node", "r", "outdeg"
         )
         contrib = edges.join(F.broadcast(rd), edges.src == rd.node).select(
             "dst", F.expr("r div outdeg").alias("w")
         )
-        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+        return contrib.groupBy(F.col("dst").alias("node")).agg(
             (
                 F.lit(_TELEPORT_FP).cast("bigint")
                 + F.expr(f"({DAMP_NUM} * sum(w)) div {DAMP_DEN}")
             ).alias("r")
         )
-        ranks = ranks.localCheckpoint(eager=False)
+
+    ranks = iterate(
+        ranks, _tr_step, TR_ITERS, eager=False, checkpoint_input=False
+    )
     w = Window.orderBy(F.col("r").desc(), "node")
     return (
         ranks.withColumn("rk", F.row_number().over(w))

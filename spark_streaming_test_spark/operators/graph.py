@@ -496,31 +496,32 @@ def min_label_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("u").alias("node")).distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_rounds):
+    def _ml_step(labels: DataFrame, _i: int) -> DataFrame:
         nbr_min = (
             und.join(labels, und.v == labels.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("lab").alias("nbr_min"))
         )
-        merged = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                "lab",
-                F.least("lab", F.coalesce("nbr_min", "lab")).alias("new_lab"),
-            )
-            .localCheckpoint(eager=True)
+        return labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least("lab", F.coalesce("nbr_min", "lab")).alias("lab"),
         )
-        changed = merged.filter(F.col("new_lab") != F.col("lab")).count()
-        labels = merged.select("node", F.col("new_lab").alias("lab"))
-        if changed == 0:
-            break
-    return labels
+
+    # iterate()'s monotone-probe fixpoint: labels only decrease, so a
+    # repeated sum IS convergence (decimal sum — id sums can pass 2^63
+    # at planetary node counts); raising at the cap replaces the old
+    # silent return of possibly-unconverged labels.
+    return iterate(
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node")),
+        _ml_step,
+        max_rounds,
+        probe=lambda df: df.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)"))
+        ).collect()[0][0],
+        require_convergence=True,
+    )
 
 
 @register(
@@ -621,8 +622,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the {KCORE_ROUNDS}-round unroll the oracle replays (the loop
     raises past the cap rather than silently diverging from it). The
     fixpoint is partition-independent — pure integer degrees."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    for _ in range(KCORE_ROUNDS):
+    def _peel_step(edges: DataFrame, _i: int) -> DataFrame:
         deg = (
             edges.select(F.col("u").alias("node"))
             .unionAll(edges.select(F.col("v").alias("node")))
@@ -630,20 +630,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= KCORE_K).select("node")
-        pruned = (
+        return (
             edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
-        if pruned.count() == edges.count():
-            edges = pruned
-            break
-        edges = pruned
-    else:
-        raise RuntimeError(
-            f"k-core peeling did not converge in {KCORE_ROUNDS} rounds"
-        )
+
+    # iterate()'s monotone-probe fixpoint: the edge count only shrinks
+    # under peeling, so a repeated count IS convergence; raising at the
+    # cap preserves the old else-raise.
+    edges = iterate(
+        _copurchase_edges(spark, sf_dir),
+        _peel_step,
+        KCORE_ROUNDS,
+        probe=lambda df: df.count(),
+        require_convergence=True,
+    )
     return (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1219,31 +1221,42 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _HITS_CACHE[key]
     cdeg = pairs.groupBy("ck").agg(F.count(F.lit(1)).alias("outdeg"))
     sdeg = pairs.groupBy("sk").agg(F.count(F.lit(1)).alias("indeg"))
-    h = cdeg.select("ck", F.lit(HITS_FP).cast("bigint").alias("h"))
-    a = None
-    for _ in range(HITS_ITERS):
+    last_a: list = [None]
+
+    def _hits_step(h: DataFrame, _i: int) -> DataFrame:
         a_raw = (
             pairs.join(F.broadcast(h), "ck")
             .groupBy("sk")
             .agg(F.sum("h").cast("bigint").alias("raw"))
         )
         amax = a_raw.agg(F.max("raw").alias("m"))
-        a = (
-            a_raw.crossJoin(F.broadcast(amax))
-            .select("sk", F.expr(f"(raw * {HITS_FP}) div m").alias("a"))
-            .localCheckpoint(eager=False)
+        # mid-step materialize: the h-update and the final authority
+        # output both consume a — one instance, lineage truncated.
+        a = materialize(
+            a_raw.crossJoin(F.broadcast(amax)).select(
+                "sk", F.expr(f"(raw * {HITS_FP}) div m").alias("a")
+            ),
+            eager=False,
         )
+        last_a[0] = a
         h_raw = (
             pairs.join(F.broadcast(a), "sk")
             .groupBy("ck")
             .agg(F.sum("a").cast("bigint").alias("raw"))
         )
         hmax = h_raw.agg(F.max("raw").alias("m"))
-        h = (
-            h_raw.crossJoin(F.broadcast(hmax))
-            .select("ck", F.expr(f"(raw * {HITS_FP}) div m").alias("h"))
-            .localCheckpoint(eager=False)
+        return h_raw.crossJoin(F.broadcast(hmax)).select(
+            "ck", F.expr(f"(raw * {HITS_FP}) div m").alias("h")
         )
+
+    h = iterate(
+        cdeg.select("ck", F.lit(HITS_FP).cast("bigint").alias("h")),
+        _hits_step,
+        HITS_ITERS,
+        eager=False,
+        checkpoint_input=False,
+    )
+    a = last_a[0]
     hubs = h.join(F.broadcast(cdeg), "ck").select(
         F.concat(F.lit("c:"), F.col("ck").cast("string")).alias("node_id"),
         F.lit("hub").alias("role"),
@@ -1349,14 +1362,14 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r"),
     )
-    for _ in range(PR_ITERS):
+    def _ppr_step(ranks: DataFrame, _i: int) -> DataFrame:
         rd = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
             "node", "r", "outdeg"
         )
         contrib = edges.join(
             F.broadcast(rd), edges.src == rd.node
         ).select("dst", F.expr("r div outdeg").alias("w"))
-        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+        return contrib.groupBy(F.col("dst").alias("node")).agg(
             (
                 F.when(
                     (F.col("dst") % 2 == 0)
@@ -1368,7 +1381,10 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr(f"({DAMP_NUM} * sum(w)) div {DAMP_DEN}")
             ).alias("r")
         )
-        ranks = ranks.localCheckpoint(eager=False)
+
+    ranks = iterate(
+        ranks, _ppr_step, PR_ITERS, eager=False, checkpoint_input=False
+    )
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c:"), F.expr("node div 2").cast("string")),
@@ -1682,21 +1698,17 @@ def alternating_star_components(raw: DataFrame) -> DataFrame:
         ).collect()[0]
         return (row["n"], row["x"])
 
-    fp = fingerprint(E)
-    converged = False
-    for _ in range(CC_STAR_MAX_ROUNDS):
-        E = star(star(E, large=True), large=False).localCheckpoint(eager=True)
-        nfp = fingerprint(E)
-        if nfp == fp:
-            converged = True
-            break
-        fp = nfp
-    if not converged:
-        raise RuntimeError(
-            f"alternating_star_components: fingerprint still moving after "
-            f"{CC_STAR_MAX_ROUNDS} rounds — refusing to emit possibly "
-            f"partially-contracted component labels"
-        )
+    # iterate()'s probe-repeat fixpoint on the (count, xor-hash) edge
+    # fingerprint — a repeated fingerprint means the contraction is
+    # stationary; require_convergence raises ("probe still moving")
+    # rather than emitting partially-contracted labels.
+    E = iterate(
+        E,
+        lambda cur, _i: star(star(cur, large=True), large=False),
+        CC_STAR_MAX_ROUNDS,
+        probe=fingerprint,
+        require_convergence=True,
+    )
     # Converged: E holds (node -> component min) for every non-root;
     # roots self-labelled via the left join against the node universe.
     parents = E.groupBy(F.col("child").alias("node")).agg(
@@ -1938,8 +1950,6 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     Peeling that exceeds the {KTRUSS_ROUNDS}-round unroll raises
     rather than silently disagreeing with the oracle's replay (the
     k-core convention)."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-
     def support(e: DataFrame) -> DataFrame:
         e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
         e2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -1956,22 +1966,21 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return roles.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
 
-    for _ in range(KTRUSS_ROUNDS):
-        sup = support(edges)
-        pruned = (
-            edges.join(sup, ["u", "v"])
+    def _truss_step(edges: DataFrame, _i: int) -> DataFrame:
+        return (
+            edges.join(support(edges), ["u", "v"])
             .filter(F.col("sup") >= KTRUSS_K - 2)
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
-        if pruned.count() == edges.count():
-            edges = pruned
-            break
-        edges = pruned
-    else:
-        raise RuntimeError(
-            f"k-truss peeling did not converge in {KTRUSS_ROUNDS} rounds"
-        )
+
+    # monotone count probe (edges only shrink); raise-at-cap preserved.
+    edges = iterate(
+        _copurchase_edges(spark, sf_dir),
+        _truss_step,
+        KTRUSS_ROUNDS,
+        probe=lambda df: df.count(),
+        require_convergence=True,
+    )
     return edges.join(support(edges), ["u", "v"]).select(
         "u", "v", F.col("sup").cast("bigint").alias("support")
     )
