@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
+from ..iterate import iterate
 from ..registry import register
 
 # Pairwise (O(n^2)-shaped) queries cap the doc_id range so the oracle
@@ -819,38 +820,33 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
-    labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(20):
+    def _cc_step(labels: DataFrame, _i: int) -> DataFrame:
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # Fused convergence probe: checkpoint (old, new) side-by-side
-        # once, count the diff with a filter — no old-vs-new join.
-        merged = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                "cluster_id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
-                ).alias("new_cluster"),
-            )
-            .localCheckpoint(eager=True)
+        return labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                "cluster_id", F.coalesce("nbr_min", "cluster_id")
+            ).alias("cluster_id"),
         )
-        changed = merged.filter(
-            F.col("new_cluster") != F.col("cluster_id")
-        ).count()
-        labels = merged.select(
-            "doc_id", F.col("new_cluster").alias("cluster_id")
-        )
-        if changed == 0:
-            break
+
+    # iterate()'s monotone-probe fixpoint (labels only decrease, so a
+    # repeated decimal label sum IS convergence), raising at the cap
+    # rather than returning possibly-unconverged clusters.
+    labels = iterate(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        ),
+        _cc_step,
+        20,
+        probe=lambda df: df.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0],
+        require_convergence=True,
+    )
     return labels.select(
         "doc_id",
         "cluster_id",

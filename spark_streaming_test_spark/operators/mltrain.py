@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.deterministic import dsum, sql_dsum
+from ..iterate import iterate
 from ..registry import register
 
 LR_ITERS = 3
@@ -734,8 +735,9 @@ def ml_gbrt_boost2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f1", "f2", (F.col("y") - F.col("f0")).alias("r")
     )
     out = []
-    for i in range(1, GBRT_ROUNDS + 1):
-        cur = cur.localCheckpoint(eager=False)
+
+    def _boost_step(cur: DataFrame, i0: int) -> DataFrame:
+        i = i0 + 1
         long = cur.select(
             F.lit("hour").alias("feat"), F.col("f1").alias("x"), "r"
         ).unionAll(
@@ -803,9 +805,11 @@ def ml_gbrt_boost2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " OR (feat = 'dow' AND f2 <= threshold)"
             " THEN vl ELSE vr END) div 2"
         )
-        cur = cur.crossJoin(F.broadcast(b)).select(
+        return cur.crossJoin(F.broadcast(b)).select(
             "f1", "f2", (F.col("r") - contrib).alias("r")
         )
+
+    iterate(cur, _boost_step, GBRT_ROUNDS, eager=False)
     res = out[0]
     for o in out[1:]:
         res = res.unionAll(o)
