@@ -126,6 +126,7 @@ HEADLINE = [
     # -- round-12 additions (first sf0.1 numbers in BENCH_REPEATS of
     #    round 12 are their baseline)
     "dedup_semdedup_centroid_rep",    # paper-faithful centroid-rep SemDeDup
+    "events_value_lorenz_distributed",  # corpus-grain distributed prefix sum
 ]
 
 # Cohort boundaries over HEADLINE (contiguous slices, in order). The
@@ -138,7 +139,7 @@ COHORTS: list[tuple[str, int]] = [
     ("tokenizer_r10", 4),
     ("heavy_tail_r11", 6),
     ("new_r11", 3),
-    ("new_r12", 1),
+    ("new_r12", 2),
 ]
 
 

@@ -827,6 +827,86 @@ def mlstats_lift_gains_distributed(
 
 
 @register(
+    "events_value_lorenz_distributed",
+    tags=("scale", "window", "distributed-rank", "events"),
+    oracle="""
+WITH vals AS (
+  SELECT event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS x
+  FROM events
+),
+ranked AS (
+  SELECT x,
+         ROW_NUMBER() OVER (ORDER BY x DESC, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM vals
+),
+cum AS (
+  SELECT rn, n,
+         SUM(x) OVER (ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_x,
+         SUM(x) OVER () AS tot
+  FROM ranked
+)
+SELECT CAST(decile AS INTEGER) AS top_pct_decile,
+       CAST(MAX(rn) AS BIGINT) AS n_events,
+       CAST(MAX(cum_x) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+         AS value_share
+FROM (
+  SELECT *, CAST(ceil(10.0 * rn / n) AS BIGINT) AS decile
+  FROM cum
+)
+GROUP BY decile
+""",
+)
+def events_value_lorenz_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lorenz curve of event VALUE at RAW EVENT GRAIN — the corpus-
+    grain demonstration of ``distributed_prefix_sum``: unlike
+    ``agg_concentration_curve`` (which pre-reduces to customers), this
+    ranks and prefix-sums the fact table itself, the shape that a
+    single-partition cumulative window could never survive at 100 TB.
+    Per top-N%-of-events decile: event count and cumulative share of
+    total value.
+
+    Exact by construction: decimal value through both cumulative sums
+    (associative — the per-range offsets reproduce the one-window sum
+    bitwise), exact two-pass rank, and the decile boundary
+    ceil(10·rn/n) is safe in double out to ~1e14 rows (the rational's
+    distance from an integer is ≥ 1/n, astronomically above ulp(10))."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").cast("decimal(12,2)").cast("decimal(18,2)").alias("x"),
+    )
+    cum = distributed_prefix_sum(
+        ev, [F.col("x").desc(), "event_id"], "x"
+    ).select(
+        F.col("_rnk").alias("rn"),
+        F.col("_nt").alias("n"),
+        F.col("_cum").alias("cum_x"),
+        F.col("_tot").alias("tot"),
+    )
+    decile = F.ceil(F.lit(10.0) * F.col("rn") / F.col("n")).cast("bigint")
+    return (
+        cum.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_events"),
+            (
+                F.max("cum_x").cast("double") / F.max("tot").cast("double")
+            ).alias("value_share"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("top_pct_decile"),
+            "n_events",
+            "value_share",
+        )
+    )
+
+
+@register(
     "mlstats_ece",
     tags=("mlstats", "evaluation", "calibration"),
     oracle=f"""

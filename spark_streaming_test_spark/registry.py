@@ -112,18 +112,19 @@ _DRIVER_WINDOW = [
     # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11
     # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (78) ---
-    "dedup_semdedup_centroid_rep", "text_cooccurrence_pmi",
-    "events_survival_km", "feature_target_encoding", "ab_test_sprt",
-    "events_decayed_engagement", "fn_collation_suite", "join_lateral_topk",
-    "mlstats_ndcg_map", "graph_adamic_adar", "feature_woe_iv",
-    "rec_item_item_topn", "ts_theil_sen_slope", "fn_bitwise_suite",
-    "text_line_dedup", "agg_bootstrap_ci", "ts_changepoint_pettitt",
-    "dq_t_closeness", "sample_poisson_epochs", "udf_pandas_iter",
-    "udf_map_in_arrow", "mlstats_pr_auc", "scan_dynamic_partition_pruning",
-    "ts_downsample_m4", "graph_label_propagation", "ab_test_srm_check",
-    "dq_freshness_lag", "er_fellegi_sunter", "export_dpo_pairs",
-    "sql_pipe_syntax", "sql_session_variables", "decon_exact_substring",
+    # --- never driver-sampled — planned rotation order (79) ---
+    "events_value_lorenz_distributed", "dedup_semdedup_centroid_rep",
+    "text_cooccurrence_pmi", "events_survival_km", "feature_target_encoding",
+    "ab_test_sprt", "events_decayed_engagement", "fn_collation_suite",
+    "join_lateral_topk", "mlstats_ndcg_map", "graph_adamic_adar",
+    "feature_woe_iv", "rec_item_item_topn", "ts_theil_sen_slope",
+    "fn_bitwise_suite", "text_line_dedup", "agg_bootstrap_ci",
+    "ts_changepoint_pettitt", "dq_t_closeness", "sample_poisson_epochs",
+    "udf_pandas_iter", "udf_map_in_arrow", "mlstats_pr_auc",
+    "scan_dynamic_partition_pruning", "ts_downsample_m4",
+    "graph_label_propagation", "ab_test_srm_check", "dq_freshness_lag",
+    "er_fellegi_sunter", "export_dpo_pairs", "sql_pipe_syntax",
+    "sql_session_variables", "decon_exact_substring",
     "text_quality_buckets_ccnet", "events_feature_matrix",
     "dedup_boundary_overlap", "ab_test_ratio_delta_method", "ab_test_cuped",
     "mlstats_lift_gains", "graph_modularity", "scan_nested_struct_roundtrip",
