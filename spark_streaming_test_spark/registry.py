@@ -109,28 +109,10 @@ _DRIVER_WINDOW = [
     # GENERATED by tools/gen_driver_window.py — do not hand-edit.
     # Derived from CORRECTNESS_r*.json: reds, then new names, then
     # the never-sampled backlog, then greens (stalest first).
-    # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11
+    # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12
     # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (79) ---
-    "events_value_lorenz_distributed", "dedup_semdedup_centroid_rep",
-    "text_cooccurrence_pmi", "events_survival_km", "feature_target_encoding",
-    "ab_test_sprt", "events_decayed_engagement", "fn_collation_suite",
-    "join_lateral_topk", "mlstats_ndcg_map", "graph_adamic_adar",
-    "feature_woe_iv", "rec_item_item_topn", "ts_theil_sen_slope",
-    "fn_bitwise_suite", "text_line_dedup", "agg_bootstrap_ci",
-    "ts_changepoint_pettitt", "dq_t_closeness", "sample_poisson_epochs",
-    "udf_pandas_iter", "udf_map_in_arrow", "mlstats_pr_auc",
-    "scan_dynamic_partition_pruning", "ts_downsample_m4",
-    "graph_label_propagation", "ab_test_srm_check", "dq_freshness_lag",
-    "er_fellegi_sunter", "export_dpo_pairs", "sql_pipe_syntax",
-    "sql_session_variables", "decon_exact_substring",
-    "text_quality_buckets_ccnet", "events_feature_matrix",
-    "dedup_boundary_overlap", "ab_test_ratio_delta_method", "ab_test_cuped",
-    "mlstats_lift_gains", "graph_modularity", "scan_nested_struct_roundtrip",
-    "sql_named_parameters", "dedup_exact_normalized", "text_lexical_stats",
-    "agg_skew_kurtosis", "ts_seasonal_strength", "fn_luhn_validate",
-    "window_time_range_frame", "fn_sql_udf", "sim_query_expansion_prf",
+    # --- never driver-sampled — planned rotation order (29) ---
     "sim_mips_transform_topk", "dq_fk_discovery", "mlstats_ece",
     "graph_assortativity", "ts_interpolate_linear", "dq_schema_drift",
     "fn_uuid_surrogate_keys", "dedup_threshold_sweep",
@@ -142,7 +124,7 @@ _DRIVER_WINDOW = [
     "geo_dbscan_grid", "text_compress_ratio", "emb_kmeans_lloyd",
     "mm_feature_extract_stub", "mm_frame_sample_stub", "mm_resize_stub",
     "mm_binary_metadata",
-    # --- driver-green — re-verify last, stalest first (535) ---
+    # --- driver-green — re-verify last, stalest first (585) ---
     "scan_project_filter", "filter_like_null_routing", "sort_limit_topk",
     "distinct_values", "set_union_distinct", "set_union_all", "set_intersect",
     "set_except", "set_union_by_name", "fn_unpivot", "join_broadcast_dim",
@@ -336,6 +318,24 @@ _DRIVER_WINDOW = [
     "agg_audience_overlap_estimate", "dedup_template_shape",
     "traffic_burst_alerts", "sample_neyman_allocation", "dq_reconcile_orders",
     "ts_rolling_cross_corr", "scan_tsv_quoted_roundtrip",
+    "events_value_lorenz_distributed", "dedup_semdedup_centroid_rep",
+    "text_cooccurrence_pmi", "events_survival_km", "feature_target_encoding",
+    "ab_test_sprt", "events_decayed_engagement", "fn_collation_suite",
+    "join_lateral_topk", "mlstats_ndcg_map", "graph_adamic_adar",
+    "feature_woe_iv", "rec_item_item_topn", "ts_theil_sen_slope",
+    "fn_bitwise_suite", "text_line_dedup", "agg_bootstrap_ci",
+    "ts_changepoint_pettitt", "dq_t_closeness", "sample_poisson_epochs",
+    "udf_pandas_iter", "udf_map_in_arrow", "mlstats_pr_auc",
+    "scan_dynamic_partition_pruning", "ts_downsample_m4",
+    "graph_label_propagation", "ab_test_srm_check", "dq_freshness_lag",
+    "er_fellegi_sunter", "export_dpo_pairs", "sql_pipe_syntax",
+    "sql_session_variables", "decon_exact_substring",
+    "text_quality_buckets_ccnet", "events_feature_matrix",
+    "dedup_boundary_overlap", "ab_test_ratio_delta_method", "ab_test_cuped",
+    "mlstats_lift_gains", "graph_modularity", "scan_nested_struct_roundtrip",
+    "sql_named_parameters", "dedup_exact_normalized", "text_lexical_stats",
+    "agg_skew_kurtosis", "ts_seasonal_strength", "fn_luhn_validate",
+    "window_time_range_frame", "fn_sql_udf", "sim_query_expansion_prf",
 ]
 
 
