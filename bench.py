@@ -258,18 +258,28 @@ def main() -> None:
     # head ("parsed": null). Ship per-query data to the sidecar file +
     # stderr; the FINAL stdout line carries only cohort subtotals and
     # is size-pinned so it survives tail truncation at ANY suite size.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_REPEATS.json"
-    )
+    record = {"repeats": repeats, "medians": timings, "sf": sf,
+              "calibration": calibration,
+              "wall_clock_utc": time.strftime(
+                  "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    root = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(root, "BENCH_REPEATS.json")
     try:
         with open(sidecar, "w") as f:
-            json.dump(
-                {"repeats": repeats, "medians": timings, "sf": sf,
-                 "calibration": calibration},
-                f,
-            )
+            json.dump(record, f)
     except OSError as e:  # read-only checkout: stderr still has the data
         print(f"bench: could not write {sidecar}: {e}", file=sys.stderr)
+    # BENCH_REPEATS.json is only the LATEST run — a contended driver box
+    # overwriting a committed idle-box record made cross-round per-query
+    # comparison require git archaeology (VERDICT r12). Every run also
+    # APPENDS here with its calibration probe embedded, so any two runs
+    # remain comparable at matched calibration without re-running.
+    history = os.path.join(root, "BENCH_HISTORY.jsonl")
+    try:
+        with open(history, "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError as e:
+        print(f"bench: could not append {history}: {e}", file=sys.stderr)
     print(json.dumps({"repeats": repeats, "medians": timings}), file=sys.stderr)
     print(final_line(timings, sf, calibration))
 

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..catalog import load, spread
 from ..functions.deterministic import dsum
 from ..functions.literals import lit_double_matrix, lit_doubles, lit_longs
+from ..iterate import iterate
 from ..registry import register
 
 K = 8  # centroids seeded from vec_id < K
@@ -816,34 +817,34 @@ def emb_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = emb.filter(F.col("vec_id") == 0).select(
         F.col("x").alias("cx")
     )
-    d = (
-        emb.crossJoin(F.broadcast(seed))
-        .select("vec_id", dist2(F.col("x"), F.col("cx")).alias("d"))
-        .localCheckpoint(eager=True)
+    d = emb.crossJoin(F.broadcast(seed)).select(
+        "vec_id", dist2(F.col("x"), F.col("cx")).alias("d")
     )
     out_rows = [(0, 0)]
-    radii = [d.agg(F.max("d").alias("m")).collect()[0]["m"]]  # O(1) scalar
-    for j in range(1, KCENTER_K):
-        pick = (
-            d.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
-        )  # 1-row argmax — the reference-style bounded collect
+    radii: list[float] = []
+
+    def _kc_step(dprev, i):
+        # 1-row argmax — the reference-style bounded collect. Its d IS
+        # max(d) over the previous round's field (identical double), so
+        # the separate radius aggregate of the pre-iterate() loop is
+        # folded into the pick: one collect per round instead of two.
+        j = i + 1
+        pick = dprev.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
+        radii.append(pick["d"])
         cid = pick["vec_id"]
-        out_rows.append((j, cid))
-        cx = emb.filter(F.col("vec_id") == cid).select(
-            F.col("x").alias("cx")
-        )
-        d = (
-            emb.join(d, "vec_id")
+        out_rows.append((j, int(cid)))
+        cx = emb.filter(F.col("vec_id") == cid).select(F.col("x").alias("cx"))
+        return (
+            emb.join(dprev, "vec_id")
             .crossJoin(F.broadcast(cx))
             .select(
                 "vec_id",
-                F.least(
-                    F.col("d"), dist2(F.col("x"), F.col("cx"))
-                ).alias("d"),
+                F.least(F.col("d"), dist2(F.col("x"), F.col("cx"))).alias("d"),
             )
-            .localCheckpoint(eager=True)
         )
-        radii.append(d.agg(F.max("d").alias("m")).collect()[0]["m"])
+
+    dfin = iterate(d, _kc_step, KCENTER_K - 1)
+    radii.append(dfin.agg(F.max("d").alias("m")).collect()[0]["m"])
     res = spark.createDataFrame(
         [
             (r, int(c), float(rad))

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-from ..iterate import iterate, materialize
+from ..iterate import iterate, iterate_state, materialize
 from ..session import register_frame_cache
 
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
@@ -707,24 +707,27 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = (
         deg.orderBy(F.col("d").desc(), "node").limit(1).select("node")
     )
-    dist = hub.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
-    frontier = dist
-    for hop in range(1, BFS_MAX_HOPS + 1):
-        nxt = (
-            und.join(
-                frontier.select(F.col("node").alias("u")), "u"
-            )
+    dist0 = hub.withColumn("hops", F.lit(0))
+
+    def _bfs_step(st, i):
+        # materialize() mid-step: the frontier expansion feeds both the
+        # emptiness probe and (via the returned dict) the next round —
+        # one computation, not two.
+        nxt = materialize(
+            und.join(st["frontier"].select(F.col("node").alias("u")), "u")
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .join(st["dist"].select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(i + 1))
         )
-        if nxt.count() == 0:
-            break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return dist.select(
+        if nxt.isEmpty():
+            return None
+        return {"dist": st["dist"].unionAll(nxt), "frontier": nxt}
+
+    st = iterate_state(
+        {"dist": dist0, "frontier": dist0}, _bfs_step, BFS_MAX_HOPS
+    )
+    return st["dist"].select(
         F.col("node").alias("part_id"), F.col("hops").cast("int").alias("hops")
     )
 
@@ -2628,16 +2631,17 @@ def boruvka_msf(edges: DataFrame) -> DataFrame:
         .unionAll(E.select(F.col("v").alias("id")))
         .distinct()
     )
-    comp = nodes.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
-    forest = None
-    for _ in range(MST_MAX_ROUNDS):
-        cu = comp.select(F.col("id").alias("u"), F.col("c").alias("cu"))
-        cv = comp.select(F.col("id").alias("v"), F.col("c").alias("cv"))
+    comp0 = nodes.select("id", F.col("id").alias("c"))
+    forest0 = E.limit(0)  # typed empty (u, v, w) accumulator
+
+    def _boruvka_step(st, _i):
+        cu = st["comp"].select(F.col("id").alias("u"), F.col("c").alias("cu"))
+        cv = st["comp"].select(F.col("id").alias("v"), F.col("c").alias("cv"))
         labeled = (
             E.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
         )
         if labeled.isEmpty():
-            break
+            return None  # no crossing edges: the forest is complete
         # per-component lightest outgoing edge, from BOTH endpoints'
         # perspectives (weights unique => struct-min is unambiguous)
         cand = (
@@ -2648,8 +2652,9 @@ def boruvka_msf(edges: DataFrame) -> DataFrame:
             .select(F.col("m.u").alias("u"), F.col("m.v").alias("v"), F.col("m.w").alias("w"))
             .distinct()  # two components may pick the same edge
         )
-        forest = cand if forest is None else forest.unionAll(cand).distinct()
-        forest = forest.localCheckpoint(eager=True)
+        # materialize() mid-step: the grown forest feeds BOTH the star
+        # contraction below and the returned state — one instance.
+        forest = materialize(st["forest"].unionAll(cand).distinct())
         # contract: components = connected components of the forest
         cc = alternating_star_components(forest.select("u", "v"))
         comp = (
@@ -2659,16 +2664,22 @@ def boruvka_msf(edges: DataFrame) -> DataFrame:
                 "left",
             )
             .select("id", F.coalesce("c", F.col("id")).alias("c"))
-            .localCheckpoint(eager=True)
         )
-    else:
+        return {"comp": comp, "forest": forest}
+
+    try:
+        st = iterate_state(
+            {"comp": comp0, "forest": forest0},
+            _boruvka_step,
+            MST_MAX_ROUNDS,
+            require_convergence=True,
+        )
+    except RuntimeError as e:
         raise RuntimeError(
             f"boruvka_msf: components still merging after {MST_MAX_ROUNDS} "
             "rounds — refusing to emit a partial forest"
-        )
-    if forest is None:
-        return edges.limit(0)
-    return forest
+        ) from e
+    return st["forest"]
 
 
 def _mst_oracle() -> str:
@@ -3187,41 +3198,48 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", p.alias("p"))
         .localCheckpoint(eager=True)
     )
-    mis: DataFrame | None = None
-    for k in range(MIS_MAX_ROUNDS + 1):
-        if act.isEmpty():
-            break
-        if k == MIS_MAX_ROUNDS:
-            raise RuntimeError(
-                f"graph_mis_luby: still active after {MIS_MAX_ROUNDS} "
-                "rounds — refusing to emit a partial MIS"
-            )
+    mis0 = act.select("id", F.lit(0).alias("r")).limit(0)  # typed empty
+
+    def _mis_step(st, k):
+        act_ = st["act"]
+        if act_.isEmpty():
+            return None
         act_nb = und.join(
-            act.select(F.col("id").alias("v"), F.col("p").alias("vp")), "v"
+            act_.select(F.col("id").alias("v"), F.col("p").alias("vp")), "v"
         )
         nbmin = act_nb.groupBy(F.col("u").alias("id")).agg(
             F.min("vp").alias("minp")
         )
-        sel = (
-            act.join(nbmin, "id", "left")
+        # materialize() mid-step: the winners feed both the MIS
+        # accumulator and the kill set — one instance.
+        sel = materialize(
+            act_.join(nbmin, "id", "left")
             .filter(F.col("minp").isNull() | (F.col("p") < F.col("minp")))
             .select("id")
-            .localCheckpoint(eager=True)
         )
-        round_mis = sel.select("id", F.lit(k).alias("r"))
-        mis = round_mis if mis is None else mis.unionAll(round_mis)
         kill = sel.unionAll(
             und.join(sel.select(F.col("id").alias("u")), "u").select(
                 F.col("v").alias("id")
             )
         ).distinct()
-        act = act.join(kill, "id", "left_anti").localCheckpoint(eager=True)
-    if mis is None:
-        return und.select(
-            F.col("u").cast("bigint").alias("node"),
-            F.lit(0).cast("int").alias("mis_round"),
-        ).limit(0)
-    return mis.select(
+        return {
+            "act": act_.join(kill, "id", "left_anti"),
+            "mis": st["mis"].unionAll(sel.select("id", F.lit(k).alias("r"))),
+        }
+
+    try:
+        st = iterate_state(
+            {"act": act, "mis": mis0},
+            _mis_step,
+            MIS_MAX_ROUNDS + 1,
+            require_convergence=True,
+        )
+    except RuntimeError as e:
+        raise RuntimeError(
+            f"graph_mis_luby: still active after {MIS_MAX_ROUNDS} "
+            "rounds — refusing to emit a partial MIS"
+        ) from e
+    return st["mis"].select(
         F.col("id").cast("bigint").alias("node"),
         F.col("r").cast("int").alias("mis_round"),
     )

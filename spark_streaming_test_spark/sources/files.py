@@ -270,9 +270,14 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # SF-qualify the TABLE names too, not just the paths: two processes
+    # at different SFs share one metastore, and an unqualified name
+    # races on create/overwrite exactly like the scratch paths did
+    # (ADVICE r12). Dots aren't legal in table identifiers — sanitize.
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     for df, key, name in (
-        (orders, "o_custkey", "orders_bkt"),
-        (cust, "c_custkey", "customer_bkt"),
+        (orders, "o_custkey", f"orders_bkt_{tag}"),
+        (cust, "c_custkey", f"customer_bkt_{tag}"),
     ):
         (
             df.repartition(N_BUCKETS, key)  # one file per bucket
@@ -283,8 +288,8 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    o = spark.table("orders_bkt").hint("merge")
-    c = spark.table("customer_bkt")
+    o = spark.table(f"orders_bkt_{tag}").hint("merge")
+    c = spark.table(f"customer_bkt_{tag}")
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
     )

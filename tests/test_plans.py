@@ -169,9 +169,10 @@ def test_compacted_write_file_count(spark, qs):
     import glob
 
     qs["scan_compacted_write"](spark, SF_DIR).count()
-    from spark_streaming_test_spark.sources.files import COMPACT_FILES, SCRATCH
+    from spark_streaming_test_spark.fixtures import scratch_dir
+    from spark_streaming_test_spark.sources.files import COMPACT_FILES
 
-    files = glob.glob(f"{SCRATCH}/events_compacted/*.parquet")
+    files = glob.glob(f"{scratch_dir(SF_DIR, 'events_compacted')}/*.parquet")
     assert 0 < len(files) <= COMPACT_FILES, files
 
 
@@ -241,9 +242,11 @@ def test_zorder_write_clusters_files(spark, qs):
     # property: a zval-band filter then touches few files.
     from pyspark.sql import functions as F
 
+    from spark_streaming_test_spark.fixtures import scratch_dir
+
     qs["scan_zorder_write"](spark, SF_DIR)  # side effect: clustered write
     written = spark.read.parquet(
-        "/root/repo/.scratch/orders_zorder"
+        scratch_dir(SF_DIR, "orders_zorder")
     ).withColumn("file", F.input_file_name())
     spans = (
         written.groupBy("file")
