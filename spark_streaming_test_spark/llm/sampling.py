@@ -1069,3 +1069,4 @@ def sample_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exp_adjacent_rate"),
         )
     )
+

@@ -1262,3 +1262,104 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_v",
         F.sum("n").over(w).cast("bigint").alias("cum_n"),
     )
+
+
+# --- count-min sketch heavy hitters ---------------------------------------
+
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 256   # counters per row
+CMS_TOPK = 10     # heavy hitters to estimate
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    tags=("agg", "sketch", "heavy-hitters"),
+    oracle=f"""
+WITH exact AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM lineitem GROUP BY l_partkey
+),
+hashed AS (
+  SELECT e.k, e.n_exact, r.range AS row_id,
+         CAST(('0x' || substr(md5(r.range || ':' || e.k), 1, 8))::UBIGINT
+              % {CMS_WIDTH} AS BIGINT) AS bucket
+  FROM exact e CROSS JOIN range({CMS_DEPTH}) r
+),
+counters AS (
+  SELECT row_id, bucket, CAST(SUM(n_exact) AS BIGINT) AS c
+  FROM hashed GROUP BY row_id, bucket
+),
+topk AS (
+  SELECT k, n_exact FROM exact
+  ORDER BY n_exact DESC, k LIMIT {CMS_TOPK}
+)
+SELECT t.k AS l_partkey, t.n_exact,
+       CAST(MIN(c.c) AS BIGINT) AS n_cms,
+       CAST(MIN(c.c) - t.n_exact AS BIGINT) AS overestimate
+FROM topk t
+JOIN hashed h ON h.k = t.k
+JOIN counters c ON c.row_id = h.row_id AND c.bucket = h.bucket
+GROUP BY t.k, t.n_exact
+""",
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) heavy-hitter
+    estimation, next to HLL (``agg_hll_sketch_rollup``) and KMV
+    (``agg_kmv_set_ops``) in the mergeable-sketch family: {CMS_DEPTH}
+    md5-derived hash rows x {CMS_WIDTH} counters, estimate = min over
+    rows of the key's counter, always >= the exact count (the
+    ``overestimate`` column exposes collision error; the audit shape of
+    ``agg_approx_count_distinct`` / ``agg_hll_sketch_rollup``).
+
+    Scale: counts pre-aggregate PER KEY first (the one corpus-sized
+    shuffle, map-side combined), so the counter build fans out only the
+    DISTINCT-key frame x {CMS_DEPTH} rows and reduces to a fixed
+    {CMS_DEPTH}x{CMS_WIDTH} sketch — mergeable across shards/windows by
+    plain counter addition, which is the whole point of CMS at 100 TB:
+    a skewed key's counter never needs the key's rows co-located. The
+    top-k extraction is a TakeOrdered (bounded); the estimate join
+    touches O(k x depth) rows."""
+    li = load(spark, sf_dir, "lineitem")
+    exact = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    rows = spark.range(CMS_DEPTH).select(F.col("id").alias("row_id"))
+    hashed = exact.crossJoin(F.broadcast(rows)).select(
+        "k",
+        "n_exact",
+        "row_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("row_id").cast("string"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    counters = hashed.groupBy("row_id", "bucket").agg(
+        F.sum("n_exact").cast("bigint").alias("c")
+    )
+    topk = exact.orderBy(F.col("n_exact").desc(), "k").limit(CMS_TOPK)
+    est = (
+        topk.join(hashed.select("k", "row_id", "bucket"), "k")
+        .join(counters, ["row_id", "bucket"])
+        .groupBy("k", "n_exact")
+        .agg(F.min("c").cast("bigint").alias("n_cms"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).cast("bigint").alias("overestimate"),
+    )

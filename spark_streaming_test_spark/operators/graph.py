@@ -3946,3 +3946,127 @@ def graph_matching_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint"),
         F.col("r").cast("int").alias("match_round"),
     )
+
+
+# --- weighted single-source shortest paths (Bellman-Ford rounds) -----------
+
+SSSP_ROUNDS = 40  # weighted detours need more hops than the BFS diameter
+                  # (measured: fixpoint at round 17 at sf0.01) — the cap
+                  # carries >2x slack; the probe early-stops the engine
+                  # and post-convergence oracle rounds are no-ops
+
+
+def _sssp_oracle() -> str:
+    """Machine-generated DuckDB oracle: Bellman-Ford itself, unrolled.
+
+    Round k materializes the per-node MIN tentative distance (one
+    min-reduce per round — a recursive CTE carrying dist would
+    enumerate every distinct path weight and explode combinatorially
+    on cyclic graphs; this is the ``_mst_oracle``/LPA convention).
+    Each dK is referenced twice by round k+1, hence AS MATERIALIZED
+    (the multi-referenced-CTE rule). After convergence every further
+    round is a no-op, so a fixed {SSSP_ROUNDS}-round unrolling matches
+    the engine's probe-early-stopped loop exactly."""
+    rounds = []
+    for k in range(1, SSSP_ROUNDS + 1):
+        rounds.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT w.dst AS node, d{k - 1}.dist + w.wt AS dist
+    FROM d{k - 1} JOIN undw w ON w.src = d{k - 1}.node
+  ) GROUP BY node
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH {_SQL_COPURCHASE},
+undw AS MATERIALIZED (
+  SELECT u AS src, v AS dst, CAST(1 + (u * 31 + v * 17) % 97 AS BIGINT) AS wt
+  FROM edges
+  UNION ALL
+  SELECT v, u, CAST(1 + (u * 31 + v * 17) % 97 AS BIGINT) FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM undw GROUP BY src),
+hub AS (
+  SELECT node FROM (
+    SELECT node, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rn FROM deg
+  ) WHERE rn = 1
+),
+d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM hub),
+{body}
+SELECT node AS part_id, dist FROM d{SSSP_ROUNDS}
+"""
+
+
+@register(
+    "graph_sssp_weighted",
+    tags=("graph", "iterative", "shortest-path", "weighted"),
+    oracle=_sssp_oracle(),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from the co-purchase hub
+    (``graph_bfs_hops``'s source) by synchronous Bellman-Ford rounds —
+    the weighted companion to BFS hops: per-edge weight
+    ``1 + (u*31 + v*17) % 97`` (deterministic, positive, same both
+    directions), per round every reached node relaxes its out-edges
+    and each node keeps the MIN tentative distance.
+
+    Scale: the loop state is the (node, dist) frame — O(nodes), never
+    edges; each round is ONE equi-join of the state against the edge
+    list plus a min-reduce on node (map-side combined), the
+    ``iterate()`` shape shared with PageRank/LPA. The monotone probe
+    (reached count, distance sum — adds only grow the count, relaxes
+    only shrink the sum) stops the loop at the fixpoint;
+    ``require_convergence=True`` raises rather than emitting distances
+    that are still shrinking (a partial SSSP is silently wrong), and
+    the oracle unrolls the same {SSSP_ROUNDS}-round cap."""
+    edges = _copurchase_edges(spark, sf_dir)
+    wt = (F.lit(1) + (F.col("u") * 31 + F.col("v") * 17) % 97).cast("bigint")
+    undw = (
+        edges.select("u", "v", wt.alias("wt"))
+        .select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "wt"
+        )
+        .unionAll(
+            edges.select("u", "v", wt.alias("wt")).select(
+                F.col("v").alias("src"), F.col("u").alias("dst"), "wt"
+            )
+        )
+    )
+    undw = materialize(undw)
+    hub = (
+        undw.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .limit(1)
+        .select("node")
+    )
+    dist0 = hub.select("node", F.lit(0).cast("bigint").alias("dist"))
+
+    def _relax(dist, _i):
+        via = (
+            undw.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("wt")).alias("dist"))
+        )
+        return (
+            dist.unionAll(via)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    def _probe(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    dist = iterate(
+        dist0,
+        _relax,
+        SSSP_ROUNDS,
+        probe=_probe,
+        require_convergence=True,
+    )
+    return dist.select(F.col("node").alias("part_id"), "dist")
