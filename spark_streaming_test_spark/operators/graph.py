@@ -732,6 +732,48 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_source_bfs(
+    seeds: DataFrame, und: DataFrame, cap: int, who: str
+) -> DataFrame:
+    """Multi-source frontier BFS on ``iterate_state`` — the shared loop
+    of graph_eccentricity / graph_harmonic_closeness: ``seeds`` is a
+    (src) frame, ``und`` a directed (u, v) edge list; returns the
+    settled (src, node, d) min hop distances. Per round ONE
+    frontier-edges join + anti-join against settled pairs —
+    frontier-sized shuffles, never edge-sized state — and a RAISE past
+    the hop cap rather than silently truncated distances."""
+    dist0 = seeds.select(
+        "src", F.col("src").alias("node"), F.lit(0).alias("d")
+    )
+
+    def _step(st, i):
+        fr = st["frontier"]
+        nxt = materialize(
+            fr.join(und, fr["node"] == und["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+            .join(st["dist"].select("src", "node"), ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(i + 1).alias("d"))
+        )
+        if nxt.isEmpty():
+            return None
+        return {"dist": st["dist"].unionAll(nxt), "frontier": nxt}
+
+    try:
+        st = iterate_state(
+            {"dist": dist0, "frontier": dist0},
+            _step,
+            cap + 1,
+            require_convergence=True,
+        )
+    except RuntimeError as e:
+        raise RuntimeError(
+            f"{who}: BFS still expanding past the {cap}-hop cap — "
+            "refusing to emit truncated distances"
+        ) from e
+    return st["dist"]
+
+
 # --- Adamic–Adar link prediction ------------------------------------------
 
 AA_DP = 8  # 1/ln(degree) is generic (ln of an integer) — round then sum
@@ -2411,30 +2453,11 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CLOSENESS_K)
         .select(F.col("id").alias("src"))
     )
-    # dist: (src, node, d) settled min distances; frontier: last ring
-    dist = srcs.select("src", F.col("src").alias("node"), F.lit(0).alias("d"))
-    dist = dist.localCheckpoint(eager=True)
-    frontier = dist
-    for depth in range(1, CLOSENESS_CAP + 2):
-        if depth > CLOSENESS_CAP:
-            raise RuntimeError(
-                f"graph_harmonic_closeness: BFS still expanding past the "
-                f"{CLOSENESS_CAP}-hop cap — refusing to emit truncated "
-                "harmonic sums"
-            )
-        nxt = (
-            frontier.join(und, frontier["node"] == und["u"])
-            .select("src", F.col("v").alias("node"))
-            .distinct()
-            .join(dist.select("src", "node", F.lit(1).alias("seen")),
-                  ["src", "node"], "left_anti")
-            .select("src", "node", F.lit(depth).alias("d"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    # dist: (src, node, d) settled min distances, via the shared
+    # iterate_state frontier-BFS (frontier-sized shuffles per round)
+    dist = _multi_source_bfs(
+        srcs, und, CLOSENESS_CAP, "graph_harmonic_closeness"
+    )
     return (
         dist.filter(F.col("d") > 0)
         .groupBy("node")
@@ -2522,36 +2545,46 @@ def graph_shortest_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SPC_K)
         .select(F.col("id").alias("src"))
     )
-    level = srcs.select(
+    level0 = srcs.select(
         "src", F.col("src").alias("node"), F.lit(1).cast("bigint").alias("sigma")
-    ).localCheckpoint(eager=True)
-    seen = level.select("src", "node").localCheckpoint(eager=True)
-    out = level.select("src", "node", F.lit(0).alias("d"), "sigma")
-    out = out.localCheckpoint(eager=True)
-    for depth in range(1, SPC_CAP + 2):
-        if depth > SPC_CAP:
-            raise RuntimeError(
-                f"graph_shortest_path_counts: BFS still expanding past "
-                f"{SPC_CAP} levels — refusing to emit truncated sigmas"
-            )
+    )
+
+    def _spc_step(st, i):
         cand = (
-            level.join(und, level["node"] == und["u"])
+            st["level"].join(und, st["level"]["node"] == und["u"])
             .groupBy("src", F.col("v").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
         )
-        nxt = cand.join(seen, ["src", "node"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        # materialize() mid-step: the new ring feeds level, seen AND
+        # out — one computation for all three state frames.
+        nxt = materialize(cand.join(st["seen"], ["src", "node"], "left_anti"))
         if nxt.isEmpty():
-            break
-        out = out.unionAll(
-            nxt.select("src", "node", F.lit(depth).alias("d"), "sigma")
-        ).localCheckpoint(eager=True)
-        seen = seen.unionAll(nxt.select("src", "node")).localCheckpoint(
-            eager=True
+            return None
+        return {
+            "level": nxt,
+            "seen": st["seen"].unionAll(nxt.select("src", "node")),
+            "out": st["out"].unionAll(
+                nxt.select("src", "node", F.lit(i + 1).alias("d"), "sigma")
+            ),
+        }
+
+    try:
+        st = iterate_state(
+            {
+                "level": level0,
+                "seen": level0.select("src", "node"),
+                "out": level0.select("src", "node", F.lit(0).alias("d"), "sigma"),
+            },
+            _spc_step,
+            SPC_CAP + 1,
+            require_convergence=True,
         )
-        level = nxt
-    return out.select(
+    except RuntimeError as e:
+        raise RuntimeError(
+            f"graph_shortest_path_counts: BFS still expanding past "
+            f"{SPC_CAP} levels — refusing to emit truncated sigmas"
+        ) from e
+    return st["out"].select(
         "src", "node", F.col("d").cast("int"), F.col("sigma").cast("bigint")
     )
 
@@ -3435,27 +3468,10 @@ def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    dist = core.select(
-        F.col("id").alias("src"), F.col("id").alias("node"), F.lit(0).alias("d")
-    ).localCheckpoint(eager=True)
-    frontier = dist
-    for depth in range(1, ECC_CAP + 2):
-        if depth > ECC_CAP:
-            raise RuntimeError(
-                f"graph_eccentricity: BFS past the {ECC_CAP}-hop cap"
-            )
-        nxt = (
-            frontier.join(und, frontier["node"] == und["u"])
-            .select("src", F.col("v").alias("node"))
-            .distinct()
-            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
-            .select("src", "node", F.lit(depth).alias("d"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    dist = _multi_source_bfs(
+        core.select(F.col("id").alias("src")), und, ECC_CAP,
+        "graph_eccentricity",
+    )
     ecc = dist.groupBy(F.col("src").alias("node")).agg(
         F.max("d").cast("int").alias("ecc"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
@@ -3892,16 +3908,13 @@ def graph_matching_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("u").cast("string"), 12, "0"),
         F.lpad(F.col("v").cast("string"), 12, "0"),
     )
-    live = edges.select("u", "v", p.alias("p")).localCheckpoint(eager=True)
-    out: DataFrame | None = None
-    for k in range(MATCH_MAX_ROUNDS + 1):
+    live0 = edges.select("u", "v", p.alias("p"))
+    out0 = edges.select("u", "v", F.lit(0).alias("r")).limit(0)  # typed empty
+
+    def _match_step(st, k):
+        live = st["live"]
         if live.isEmpty():
-            break
-        if k == MATCH_MAX_ROUNDS:
-            raise RuntimeError(
-                f"graph_matching_greedy: live edges after {MATCH_MAX_ROUNDS}"
-                " rounds — refusing to emit a partial matching"
-            )
+            return None
         # per-ENDPOINT minimum priority among live edges
         epmin = (
             live.select(F.col("u").alias("id"), "p")
@@ -3909,7 +3922,9 @@ def graph_matching_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id")
             .agg(F.min("p").alias("mp"))
         )
-        sel = (
+        # materialize() mid-step: the round's winners feed the matching
+        # accumulator AND the kill set — one instance.
+        sel = materialize(
             live.join(
                 epmin.select(F.col("id").alias("u"), F.col("mp").alias("mu")),
                 "u",
@@ -3920,28 +3935,36 @@ def graph_matching_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter((F.col("p") <= F.col("mu")) & (F.col("p") <= F.col("mv")))
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
-        rmatch = sel.select("u", "v", F.lit(k).alias("r"))
-        out = rmatch if out is None else out.unionAll(rmatch)
         matched = (
             sel.select(F.col("u").alias("id"))
             .unionAll(sel.select(F.col("v").alias("id")))
             .distinct()
         )
-        live = (
-            live.join(matched.select(F.col("id").alias("u")), "u", "left_anti")
-            .join(matched.select(F.col("id").alias("v")), "v", "left_anti")
-            .select("u", "v", "p")
-            .localCheckpoint(eager=True)
+        return {
+            "live": (
+                live.join(matched.select(F.col("id").alias("u")), "u", "left_anti")
+                .join(matched.select(F.col("id").alias("v")), "v", "left_anti")
+                .select("u", "v", "p")
+            ),
+            "out": st["out"].unionAll(
+                sel.select("u", "v", F.lit(k).alias("r"))
+            ),
+        }
+
+    try:
+        st = iterate_state(
+            {"live": live0, "out": out0},
+            _match_step,
+            MATCH_MAX_ROUNDS + 1,
+            require_convergence=True,
         )
-    if out is None:
-        return edges.select(
-            F.col("u").cast("bigint"),
-            F.col("v").cast("bigint"),
-            F.lit(0).cast("int").alias("match_round"),
-        ).limit(0)
-    return out.select(
+    except RuntimeError as e:
+        raise RuntimeError(
+            f"graph_matching_greedy: live edges after {MATCH_MAX_ROUNDS}"
+            " rounds — refusing to emit a partial matching"
+        ) from e
+    return st["out"].select(
         F.col("u").cast("bigint"),
         F.col("v").cast("bigint"),
         F.col("r").cast("int").alias("match_round"),
