@@ -112,18 +112,18 @@ _DRIVER_WINDOW = [
     # evidence-rounds: 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12
     # --- failed in their latest driver sample — re-verify FIRST (0) ---
     # --- registered since the last regeneration — verify before backlog (0) ---
-    # --- never driver-sampled — planned rotation order (29) ---
-    "sim_mips_transform_topk", "dq_fk_discovery", "mlstats_ece",
-    "graph_assortativity", "ts_interpolate_linear", "dq_schema_drift",
-    "fn_uuid_surrogate_keys", "dedup_threshold_sweep",
-    "events_next_event_baseline", "emb_isotropy_score",
-    "sql_identifier_clause", "ts_outlier_hampel", "corpus_report_card",
-    "events_user_lifecycle", "fn_mask_suite", "scan_compressed_roundtrip",
-    "dedup_winnowing", "scan_ignore_corrupt_files", "join_null_aware_anti",
-    "ts_spectral_power", "agg_anova_oneway", "mlstats_fdr_bh",
-    "geo_dbscan_grid", "text_compress_ratio", "emb_kmeans_lloyd",
-    "mm_feature_extract_stub", "mm_frame_sample_stub", "mm_resize_stub",
-    "mm_binary_metadata",
+    # --- never driver-sampled — planned rotation order (31) ---
+    "agg_cms_heavy_hitters", "graph_sssp_weighted", "sim_mips_transform_topk",
+    "dq_fk_discovery", "mlstats_ece", "graph_assortativity",
+    "ts_interpolate_linear", "dq_schema_drift", "fn_uuid_surrogate_keys",
+    "dedup_threshold_sweep", "events_next_event_baseline",
+    "emb_isotropy_score", "sql_identifier_clause", "ts_outlier_hampel",
+    "corpus_report_card", "events_user_lifecycle", "fn_mask_suite",
+    "scan_compressed_roundtrip", "dedup_winnowing",
+    "scan_ignore_corrupt_files", "join_null_aware_anti", "ts_spectral_power",
+    "agg_anova_oneway", "mlstats_fdr_bh", "geo_dbscan_grid",
+    "text_compress_ratio", "emb_kmeans_lloyd", "mm_feature_extract_stub",
+    "mm_frame_sample_stub", "mm_resize_stub", "mm_binary_metadata",
     # --- driver-green — re-verify last, stalest first (585) ---
     "scan_project_filter", "filter_like_null_routing", "sort_limit_topk",
     "distinct_values", "set_union_distinct", "set_union_all", "set_intersect",
