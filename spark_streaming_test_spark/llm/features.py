@@ -208,25 +208,35 @@ def _embedding_pair_moments(e: DataFrame) -> DataFrame:
     Validity rests on the embedding arrays being uniform-length and
     NULL-free (a ragged corpus would make per-dim marginals over-count
     relative to pairs-present semantics); that invariant is pinned per
-    SF by tests/test_llm.py::test_embedding_array_uniformity."""
-    dims = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "v"
-        ),
-    )
+    SF by tests/test_llm.py::test_embedding_array_uniformity.
+
+    The pair fan-out is GENERATED, not joined (optimization r13, guide
+    §2.3/2.4): the old dims-frame self-join on vec_id shuffled the
+    exploded corpus twice and ran the N×D(D+1)/2 pair stream through a
+    join, even though every pair is vector-local. Two chained
+    ``posexplode``s (the second over ``slice(x, di+1, ..)`` — the upper
+    triangle directly) produce the identical (di, dj, vi·vj) rows with
+    ZERO pre-aggregation shuffle; the only exchange left carries the
+    O(tasks × D²) map-side decimal partials. ``spread`` keeps the
+    corpus pass parallel on single-file test inputs (no-op on a real
+    multi-file layout). Bitwise unchanged: same products, same decimal
+    casts, exact order-independent sums."""
+    e = spread(e)
+    arr = F.col("embedding").cast("array<double>")
+    dims = e.select("vec_id", F.posexplode(arr).alias("dim", "v"))
     marg = dims.groupBy("dim").agg(dsum("v").alias("s"))
-    a_, b_ = dims.alias("a"), dims.alias("b")
+    tri = e.select(arr.alias("x"), F.posexplode(arr).alias("di", "vi")).select(
+        "di",
+        "vi",
+        F.posexplode(
+            F.slice(F.col("x"), F.col("di") + 1, F.size(F.col("x")) - F.col("di"))
+        ).alias("j", "vj"),
+    )
     sij_f = (
-        a_.join(
-            b_,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.dim") <= F.col("b.dim")),
-        )
-        .select(
-            F.col("a.dim").alias("di"),
-            F.col("b.dim").alias("dj"),
-            (F.col("a.v") * F.col("b.v")).alias("p"),
+        tri.select(
+            "di",
+            (F.col("di") + F.col("j")).alias("dj"),
+            (F.col("vi") * F.col("vj")).alias("p"),
         )
         .groupBy("di", "dj")
         .agg(

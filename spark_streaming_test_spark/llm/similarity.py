@@ -49,6 +49,25 @@ def _as_double(c: str) -> Column:
     return F.col(c).cast("array<double>")
 
 
+# Rows-per-task sizing for the graph-ANN loops' compute-dense stages
+# (optimization r13, guide §2.2/2.5). Their shuffled rows are ~16-byte
+# candidate id pairs whose downstream cost is a 64-term interpreted
+# cosine — so partition count must follow ROWS, not bytes: AQE's
+# byte advisory coalesces the few-MB exchanges to one task, while a
+# flat cores count overslices (per-task fixed cost >> µs-scale row
+# work). Local default tuned by measurement (4.3-5.3 s across 4-16
+# partitions at sf0.1, minimum near rows/16k); production overrides
+# via SPARK_GRAFT_ANN_ROWS_PER_TASK, and the cap scales with the
+# cluster (4× scheduler slots), so bigger corpora fan out wider
+# without a code change.
+def ann_partitions(spark: SparkSession, est_rows: int) -> int:
+    import os as _os
+
+    rpt = int(_os.environ.get("SPARK_GRAFT_ANN_ROWS_PER_TASK", "16384"))
+    cap = 4 * spark.sparkContext.defaultParallelism
+    return max(1, min(-(-est_rows // rpt), cap))
+
+
 @register(
     "sim_bruteforce_topk",
     bench=True,
@@ -1330,33 +1349,88 @@ def nn_descent(
         .filter(F.col("u") != F.col("v"))
     )
 
+    # Per-round plan shape (optimization r13, guide §2.2/2.4/2.5): TWO
+    # explicit keyed exchanges, everything downstream riding them.
+    #
+    #   * ``und`` hash-repartitions on v with an explicit partition
+    #     count: the distinct (clustering {v,u} ⊇ {v}), the
+    #     adjacency-list aggregate (key v), the candidate distinct, and
+    #     the final top-k window (key v) all reuse that partitioning.
+    #     The count is ROWS-derived (``ann_partitions`` — the rows
+    #     analog of AQE's byte advisory, because each candidate row
+    #     costs a 64-term interpreted cosine downstream, not bytes):
+    #     byte-based AQE coalescing collapsed these narrow-row stages
+    #     to ONE task (the 0.7 s single-task stage per round in the
+    #     stage profile), while a flat cores-count oversliced them
+    #     (measured 12.7 s at 32 partitions vs 4.5 s at the ~9 the
+    #     rows rule picks — per-task fixed cost dominates µs-scale
+    #     row work at this grain; at corpus scale the same rule
+    #     yields cluster-wide parallelism, capped at 4× the scheduler
+    #     slots).
+    #   * neighbors-of-neighbors come from exploding each node's OWN
+    #     adjacency list against itself (und is symmetric, so in- and
+    #     out-neighborhoods coincide) instead of the old und⋈und
+    #     self-join — same candidate multiset, one exchange less, and
+    #     no join hash table over the edge frame; both directions of
+    #     an edge emit from ONE generator pass instead of a 2×-task
+    #     union of two scans.
+    #   * the score joins BROADCAST embn explicitly: a checkpointed
+    #     frame has no catalog stats, so the planner shuffled both
+    #     sides of what is a corpus-vs-K-vectors lookup.
+    #
+    # Results are bitwise unchanged: candidates are DISTINCT unions
+    # either way, the cosine fold and tie-breaks are untouched.
+    npart = ann_partitions(spark, n * k * (k + 1))
+
     def _nnd_step(g: DataFrame, _i: int) -> DataFrame:
         und = (
-            g.select("v", "u")
-            .union(g.select(F.col("u").alias("v"), F.col("v").alias("u")))
+            g.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v"), F.col("u")),
+                        F.struct(
+                            F.col("u").alias("v"), F.col("v").alias("u")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.v", "e.u")
+            .repartition(npart, "v")
             .distinct()
         )
-        nofn = (
-            und.alias("a")
-            .join(und.alias("b"), F.col("a.u") == F.col("b.v"))
-            .filter(F.col("b.u") != F.col("a.v"))
-            .select(F.col("a.v").alias("v"), F.col("b.u").alias("w"))
+        adj = und.groupBy("v").agg(F.collect_list("u").alias("ns"))
+        nofn = adj.select(F.explode("ns").alias("v"), "ns").select(
+            "v", F.explode("ns").alias("w")
         )
-        cand = nofn.union(und.select("v", F.col("u").alias("w"))).distinct()
+        # the w != v filter sits AFTER the union+distinct (identical
+        # set: the und branch never holds w == v) — filtering inside
+        # the nofn branch trips a Catalyst Union constraint-rewrite
+        # error ("key not found: v#…") once the loop state is a
+        # checkpointed LogicalRDD.
+        cand = (
+            nofn.union(und.select("v", F.col("u").alias("w")))
+            .repartition(npart, "v")
+            .distinct()
+            .filter(F.col("w") != F.col("v"))
+        )
         sc = (
             cand.join(
-                embn.select(
-                    F.col("vec_id").alias("v"),
-                    F.col("x").alias("xv"),
-                    F.col("nx").alias("nv"),
+                F.broadcast(
+                    embn.select(
+                        F.col("vec_id").alias("v"),
+                        F.col("x").alias("xv"),
+                        F.col("nx").alias("nv"),
+                    )
                 ),
                 "v",
             )
             .join(
-                embn.select(
-                    F.col("vec_id").alias("w"),
-                    F.col("x").alias("xw"),
-                    F.col("nx").alias("nw"),
+                F.broadcast(
+                    embn.select(
+                        F.col("vec_id").alias("w"),
+                        F.col("x").alias("xw"),
+                        F.col("nx").alias("nw"),
+                    )
                 ),
                 "w",
             )
@@ -1473,8 +1547,18 @@ def sim_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = nn_descent(spark, emb, n, NND_K, NND_ROUNDS)
     out = (
-        g.join(emb.select(F.col("vec_id").alias("v"), F.col("x").alias("xv")), "v")
-        .join(emb.select(F.col("vec_id").alias("u"), F.col("x").alias("xu")), "u")
+        g.join(
+            F.broadcast(
+                emb.select(F.col("vec_id").alias("v"), F.col("x").alias("xv"))
+            ),
+            "v",
+        )
+        .join(
+            F.broadcast(
+                emb.select(F.col("vec_id").alias("u"), F.col("x").alias("xu"))
+            ),
+            "u",
+        )
         .select(
             F.col("v").alias("vec_id"),
             F.col("u").alias("neighbor_id"),
@@ -1605,20 +1689,38 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") != F.col("q"))
         .localCheckpoint(eager=True)
     )
+    # Per-hop plan shape (optimization r13, guide §2.4/2.5, the
+    # nn_descent recipe): ONE explicit keyed exchange on q — the
+    # candidate distinct and the per-query window both ride it — with
+    # the O(N·k) edge list and the K-vector frames BROADCAST into the
+    # expand/score joins (checkpointed frames have no stats, so the
+    # planner was shuffling both sides and AQE then collapsed the
+    # compute-dense scoring stage to one task). The partition count is
+    # rows-derived (``ann_partitions``): the beam frame is
+    # queries × beam-width × (k+1) rows, so a small query batch rides
+    # one task while a production batch fans out. Bitwise unchanged:
+    # same DISTINCT candidate set, same fold, same tie-breaks.
+    npart = ann_partitions(spark, N_QUERIES * BEAM_W * (NND_K + 1))
     for _ in range(BEAM_HOPS):
         expand = (
-            beam.join(knn.withColumnRenamed("v", "c"), "c")
+            beam.join(F.broadcast(knn.withColumnRenamed("v", "c")), "c")
             .filter(F.col("u") != F.col("q"))
             .select("q", F.col("u").alias("c"))
         )
-        cand = expand.union(beam.select("q", "c")).distinct()
+        cand = (
+            expand.union(beam.select("q", "c"))
+            .repartition(npart, "q")
+            .distinct()
+        )
         sc = (
-            cand.join(queries, "q")
+            cand.join(F.broadcast(queries), "q")
             .join(
-                embn.select(
-                    F.col("vec_id").alias("c"),
-                    F.col("x").alias("xc"),
-                    F.col("nx").alias("nc"),
+                F.broadcast(
+                    embn.select(
+                        F.col("vec_id").alias("c"),
+                        F.col("x").alias("xc"),
+                        F.col("nx").alias("nc"),
+                    )
                 ),
                 "c",
             )
@@ -1639,12 +1741,14 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return (
-        beam.join(queries, "q")
+        beam.join(F.broadcast(queries), "q")
         .join(
-            embn.select(
-                F.col("vec_id").alias("c"),
-                F.col("x").alias("xc"),
-                F.col("nx").alias("nc"),
+            F.broadcast(
+                embn.select(
+                    F.col("vec_id").alias("c"),
+                    F.col("x").alias("xc"),
+                    F.col("nx").alias("nc"),
+                )
             ),
             "c",
         )

@@ -28,6 +28,8 @@ where a data-dependent fixpoint would be rows-only.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3574,9 +3576,24 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     core by {SPECTRAL_ITERS} deflated power iterations on
     B = dmax*I - L (see section comment for the bitwise-determinism
     recipe). Emits each node's 8-dp Fiedler coordinate, its side of
-    the cut, and the resulting cut size. Scale: one edge-frame
-    join-aggregate per iteration (the PageRank shape), two O(nodes)
-    folds for mean/norm; nothing quadratic, nothing collected."""
+    the cut, and the resulting cut size.
+
+    Scale/plan shape (optimization r13, guide §1.2 "the distributed
+    algorithm" + §5): the corpus-sized stages — co-occurrence edge
+    build, degree ranking, core induction — stay distributed; the
+    POWER ITERATION itself runs in ONE executor task (``mapInPandas``
+    over the induced core subgraph coalesced to one partition). The
+    core is bounded by construction at BW_EXACT_N = {BW_EXACT_N} nodes
+    / {BW_EXACT_N}² edges at ANY corpus size — loop state that small
+    distributed across a cluster is pure orchestration cost: the old
+    per-round join-aggregate loop ran ~260 scheduler jobs over
+    192-row frames (measured 12.5 s, <8 s of which was executor time
+    and most of THAT per-task fixed cost). The solver replays the
+    identical fold orders (messages by neighbor id, mean/norm by node
+    id, left folds from 0.0 — IEEE ops over identical doubles), so
+    every Fiedler coordinate is bitwise the distributed loop's value.
+    The cut count reuses the checkpointed core edge frame instead of
+    re-scanning lineitem."""
     items = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -3608,110 +3625,69 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    cdeg = und.groupBy(F.col("u").alias("id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dg")
-    ).localCheckpoint(eager=True)
-    dmax = cdeg.agg(F.max("dg").alias("m")).collect()[0]["m"]  # O(1) scalar
-    n_core = core.count()
+    # Pack the bounded core subgraph (node rows carry v = NULL, edge
+    # rows carry both endpoints) into ONE task and run the whole
+    # 16-iteration solve there. Everything the old per-round loop
+    # derived distributedly (degrees, dmax, n, x0) is recomputed
+    # inside the solver from the same inputs with the same fold
+    # orders — see the docstring for the bitwise argument.
+    packed = core.select(
+        F.col("id").alias("u"), F.lit(None).cast("bigint").alias("v")
+    ).unionByName(und.select("u", "v"))
 
-    x = core.select(
-        "id",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("sb:"), F.col("id").cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .cast("double")
-            / F.lit(1152921504606846976.0)
-            - F.lit(0.5)
-        ).alias("x"),
-    ).select(F.col("id").alias("node"), "x").localCheckpoint(eager=True)
+    def _solve(batches):
+        import hashlib
+        import math
 
-    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda s, v: s + v)
+        parts = [b for b in batches]
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"u": [], "v": []})
+        )
+        nodes = sorted(int(r) for r in pdf.loc[pdf["v"].isnull(), "u"])
+        ed = pdf.loc[pdf["v"].notnull()]
+        adj: dict[int, list[int]] = {nd: [] for nd in nodes}
+        deg: dict[int, int] = {nd: 0 for nd in nodes}
+        for eu, ev in zip(ed["u"], ed["v"]):
+            eu, ev = int(eu), int(ev)
+            adj[eu].append(ev)
+            deg[eu] += 1
+        for nd in nodes:
+            adj[nd].sort()  # messages fold in neighbor-id order
+        dmax = float(max(deg.values())) if deg else 0.0
+        nfl = float(len(nodes))
+        x = {}
+        for nd in nodes:
+            h = int(hashlib.md5(f"sb:{nd}".encode()).hexdigest()[:15], 16)
+            x[nd] = h / 1152921504606846976.0 - 0.5
+        for _ in range(SPECTRAL_ITERS):
+            y = {}
+            for nd in nodes:
+                s = 0.0
+                for nb in adj[nd]:
+                    s = s + x[nb]
+                y[nd] = (dmax - float(deg[nd])) * x[nd] + s
+            acc = 0.0
+            for nd in nodes:  # mean folds in node-id order
+                acc = acc + y[nd]
+            mu = acc / nfl
+            z = {nd: y[nd] - mu for nd in nodes}
+            acc = 0.0
+            for nd in nodes:  # norm folds in node-id order
+                acc = acc + z[nd] * z[nd]
+            nr = math.sqrt(acc)
+            x = {nd: z[nd] / nr for nd in nodes}
+        yield pd.DataFrame(
+            {"node": nodes, "x": [x[nd] for nd in nodes]}
+        ).astype({"node": "int64", "x": "float64"})
 
-    def _spectral_step(x: DataFrame, _i: int) -> DataFrame:
-        msg = (
-            core.select(F.col("id").alias("node"))
-            .join(und.select(F.col("u").alias("node"), "v"), "node", "left")
-            .join(
-                x.select(F.col("node").alias("v"), F.col("x").alias("xv")),
-                "v",
-                "left",
-            )
-            .groupBy("node")
-            .agg(
-                fold_sum(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(
-                                    F.col("xv").isNotNull(),
-                                    F.struct(F.col("v").alias("o"), F.col("xv").alias("m")),
-                                )
-                            )
-                        ),
-                        lambda s: s["m"],
-                    )
-                ).alias("s")
-            )
-        )
-        y = (
-            msg.join(x, "node")
-            .join(cdeg.select(F.col("id").alias("node"), "dg"), "node", "left")
-            .select(
-                "node",
-                (
-                    (F.lit(float(dmax)) - F.coalesce(F.col("dg"), F.lit(0)).cast("double"))
-                    * F.col("x")
-                    + F.col("s")
-                ).alias("y"),
-            )
-        )
-        # mid-step materialize: mu and z both consume y — one instance
-        # (the r10 multi-consumer lesson), lineage truncated.
-        y = materialize(y, eager=True)
-        mu = y.agg(
-            (
-                fold_sum(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("node", "y"))),
-                        lambda s: s["y"],
-                    )
-                )
-                / F.lit(float(n_core))
-            ).alias("mu")
-        )
-        z = y.crossJoin(F.broadcast(mu)).select(
-            "node", (F.col("y") - F.col("mu")).alias("z")
-        )
-        nr = z.agg(
-            F.sqrt(
-                fold_sum(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("node", (F.col("z") * F.col("z")).alias("zz")))),
-                        lambda s: s["zz"],
-                    )
-                )
-            ).alias("nr")
-        )
-        return z.crossJoin(F.broadcast(nr)).select(
-            "node", (F.col("z") / F.col("nr")).alias("x")
-        )
-
-    x = iterate(
-        x, _spectral_step, SPECTRAL_ITERS, eager=True, checkpoint_input=False
-    )
+    x = packed.coalesce(1).mapInPandas(_solve, "node bigint, x double")
+    x = x.localCheckpoint(eager=True)
     side = F.round("x", 8) > 0
     sides = x.select("node", F.round("x", 8).alias("fiedler"), side.alias("side"))
     cut = (
-        edges.join(F.broadcast(core.select(F.col("id").alias("u"))), "u", "left_semi")
-        .join(F.broadcast(core.select(F.col("id").alias("v"))), "v", "left_semi")
+        und.filter(F.col("u") < F.col("v"))
         .join(sides.select(F.col("node").alias("u"), F.col("side").alias("su")), "u")
         .join(sides.select(F.col("node").alias("v"), F.col("side").alias("sv")), "v")
         .filter(F.col("su") != F.col("sv"))

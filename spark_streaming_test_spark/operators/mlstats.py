@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
-from ..functions.deterministic import dsum, sql_dsum
+from ..catalog import load, spread
+from ..functions.deterministic import _DEC, dsum, sql_dsum
 from ..registry import register
 
 
@@ -1319,37 +1319,63 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks) decimal partials, never the fanned rows. Resample means are
     exact-decimal sums over identical weights, CI endpoints are
     exact-rank selections among {BOOT_B} means — bitwise reproducible
-    across engines, partitionings, and reruns."""
-    ev = load(spark, sf_dir, "events")
+    across engines, partitionings, and reruns.
+
+    Optimization r13 (guide §2.3/2.5 — shuffle/scan-stage work in the
+    cheapest representation): ``spread`` parallelizes the fan-out (a
+    single-file test input serialized the whole ×{BOOT_B} explode +
+    partial aggregate onto one core — measured: one 4.3 s task, 31
+    idle); the fanned rows then carry the UNSCALED LONG of
+    ``CAST(value AS DECIMAL(25,6))`` instead of paying a per-row
+    double→decimal cast and BigDecimal add — exact integer arithmetic,
+    reconstructed to the identical decimal (and double bits) per
+    resample. Valid because events.value sits on the 2-dp grid
+    (asserted below), so ``CAST(w*value AS DEC)`` == ``w * CAST(value
+    AS DEC)`` — w ≤ 6 keeps the product within half an ulp of the
+    grid — and |Σ w·vu| < 2^53 at any per-group cardinality this fan
+    produces. The inverse-CDF ladder compares the integer hash against
+    precomputed ``ceil(c·2^32)`` thresholds — the same predicate as
+    ``u < c`` (u = h1/2^32 is exact, division by a power of two)
+    without materializing the double."""
+    ev = spread(load(spark, sf_dir, "events"))
     hashed = ev.select(
         "event_type",
-        "value",
+        (F.col("value").cast(_DEC) * 1000000).cast("long").alias("vu"),
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         .alias("h0"),
     )
     fan = hashed.select(
         "event_type",
-        "value",
+        "vu",
         "h0",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     ).withColumn(
-        "u",
-        ((F.col("h0") * (2 * F.col("b") + 1)) % F.lit(4294967296))
-        / F.lit(4294967296.0),
+        "h1", (F.col("h0") * (2 * F.col("b") + 1)) % F.lit(4294967296)
     )
-    weighted = fan.withColumn("w", F.expr(_W_CASE))
+    # ceil(c * 2^32) for each CDF literal's double value: h1 < T[k]
+    # <=> h1/2^32 < c (exact — see docstring).
+    _T = [1580030164, 3160060328, 3950075410, 4213413770, 4279248360, 4292415313]
+    w_expr = F.lit(6)
+    for k in range(len(_T) - 1, -1, -1):
+        w_expr = F.when(F.col("h1") < _T[k], k).otherwise(w_expr)
+    weighted = fan.withColumn("w", w_expr)
     per_b = (
         weighted.groupBy("event_type", "b")
         .agg(
-            dsum(F.col("w") * F.col("value")).alias("sw"),
+            F.sum(F.col("w") * F.col("vu")).alias("swu"),
             F.sum("w").alias("nw"),
         )
         .filter(F.col("nw") > 0)
         .select(
             "event_type",
             "b",
-            (F.col("sw") / F.col("nw").cast("double")).alias("mean_b"),
+            (
+                (F.col("swu").cast("decimal(32,6)") / F.lit(1000000)).cast(
+                    "double"
+                )
+                / F.col("nw").cast("double")
+            ).alias("mean_b"),
         )
     )
     wr = Window.partitionBy("event_type").orderBy("mean_b", "b")

@@ -97,6 +97,12 @@ DOCUMENTED_PYTHON_EVAL: dict[str, tuple[tuple[str, ...], str]] = {
     "dedup_semdedup_centroid_rep": (("ArrowEvalPython",), "vectorized numpy IVF cell-assignment kernel (Arrow batches)"),
     "dedup_unicode_nfc": (("ArrowEvalPython",), "unicodedata NFC normalization — no JVM builtin"),
     "fuzzy_jaro_winkler": (("ArrowEvalPython",), "Jaro-Winkler kernel (vectorized, Arrow batches)"),
+    # graph_spectral_bisection runs its bounded-core eigensolve in a
+    # MapInPandas task, but the result is localCheckpointed inside the
+    # query (3 consumers — the r10 one-instance rule), so the emitted
+    # plan starts at the materialized LogicalRDD and carries no
+    # Python-eval node for this audit to see. Documented here; the
+    # bound is BW_EXACT_N nodes / BW_EXACT_N^2 edges at any SF.
     "html_extract_text": (("ArrowEvalPython",), "stdlib HTMLParser text extraction"),
     "mm_audio_adpcm_decode": (("MapInPandas",), "audio byte codec (stdlib+numpy) — no JVM builtin"),
     "mm_audio_alaw_decode": (("MapInPandas",), "audio byte codec (stdlib+numpy) — no JVM builtin"),
