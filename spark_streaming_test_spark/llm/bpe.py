@@ -125,9 +125,16 @@ def bpe_train(words: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
             pat,
             rep,
         )
-        syms = syms.select(
-            "n", F.btrim(guarded, F.lit(SEP)).alias("s")
-        ).localCheckpoint(eager=True)
+        # No per-iteration checkpoint (optimization r13): the rewrite
+        # chain is at most n_merges string-replace projections deep
+        # over the ONE checkpointed word-count base — re-running k
+        # cheap narrow rewrites inside iteration k's argmax job is far
+        # cheaper than a materialization job per merge (the loop's
+        # wall was ~80% scheduler latency on a ~1k-row frame). Unlike
+        # the broadcast-bearing loops (pagerank, isotonic's old form),
+        # nothing here embeds the previous iteration's plan twice: each
+        # iteration consumes syms exactly once per collect.
+        syms = syms.select("n", F.btrim(guarded, F.lit(SEP)).alias("s"))
     return merges
 
 

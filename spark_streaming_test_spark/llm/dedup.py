@@ -192,35 +192,42 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, signature array<long>[32]) min-hash over the universal
     family above.
 
-    A pure projection — base-hash each shingle ONCE (one md5), then
-    ``signature[i] = array_min(transform(hs, h -> (A_i*h + B_i) % P))``
-    — so signature computation needs NO shuffle, and the 32 per-hash
-    passes are plain modular arithmetic, not 32 separate string hashes.
-    Deterministic and partitioning-independent: min over a doc-local
-    array for 32 fixed (A, B) pairs.
+    Optimization r13 (guide §4.1 "prefer built-ins/codegen over
+    interpreted lambdas"): the old form evaluated 33 higher-order
+    lambdas PER SHINGLE through Catalyst's interpreter (HOFs never
+    enter whole-stage codegen) — the dominant compute of the LSH
+    pipeline in the SQL-node profile. The shingles now EXPLODE, the
+    base hash and all 32 affine hashes run as codegen projections, and
+    a 32-way MIN aggregate rebuilds the signature. The added exchange
+    carries exactly one partially-combined 32-long row per doc per
+    task — the same bytes as the signature frame itself, so nothing
+    corpus-shaped moves that didn't before.
 
-    The 32 array_min expressions are deliberately UNROLLED (not a nested
-    transform over sequence(0,31)): the unrolled form stays in compiled
-    codegen (~4x faster steady-state); the nested-lambda form evaluates
-    interpreted per element and only saves one-time JIT cost. The base
-    hashes live in their own projection, which CollapseProject keeps
-    separate (non-cheap, multiply-referenced), so md5 runs once per
-    shingle, not 32 times."""
-    hs = F.transform(F.col("shingles"), lambda s: _base_hash(s) % MINHASH_P)
-    hashed = docs.select("doc_id", hs.alias("hs"))
-
-    def _hash_i(i: int):
-        # One-arg lambda per i (a two-arg lambda would make F.transform
-        # pass the element INDEX as the second argument).
-        return lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P
-
-    sig = F.array(
+    Bitwise unchanged: ``min`` over the exploded values equals
+    ``array_min`` over the transformed array (same multiset, all-int
+    arithmetic, intermediates < 2^62); a doc with EMPTY shingles keeps
+    its all-NULL signature via ``explode_outer`` (base hash of the
+    NULL row is NULL; MIN of an all-NULL group is NULL — exactly
+    ``array_min([])``)."""
+    ex = docs.select("doc_id", F.explode_outer("shingles").alias("sh"))
+    hashed = ex.select(
+        "doc_id", (_base_hash(F.col("sh")) % MINHASH_P).alias("h")
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(F.col("hs"), _hash_i(i)))
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % MINHASH_P
+            ).alias(f"m{i}")
             for i in range(MINHASH_HASHES)
         ]
     )
-    return hashed.select("doc_id", sig.alias("signature"))
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(MINHASH_HASHES)]).alias(
+            "signature"
+        ),
+    )
 
 
 def _band_bucket(b: int) -> F.Column:

@@ -14,12 +14,14 @@ no Python touches the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, spread
 from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
-from ..iterate import iterate, materialize
 from ..registry import register
 
 Z_DP = 6  # z-score rounding (see functions/deterministic.py)
@@ -440,43 +442,54 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((sij / n - (si / n) * (sj / n)) * float(PCA_SM))
         .cast("bigint")
         .alias("mi"),
-    ).localCheckpoint(eager=True)
-    v = cov_fp.select("di").distinct().select(
-        F.col("di").alias("dim"),
-        F.lit(PCA_SV // 8).cast("bigint").alias("vi"),
     )
-    last_nrm: list = [None]
 
-    def _pca_step(v: DataFrame, _i: int) -> DataFrame:
-        w = materialize(
-            # Eager mid-step checkpoint of the O(D) frame: norm and the
-            # next iterate both derive from it, and without truncation
-            # the lineage (broadcast of a frame whose plan contains the
-            # previous broadcast...) re-plans the whole history each
-            # iteration — the same measured blowup graph_pagerank
-            # documents.
-            cov_fp.join(F.broadcast(v), cov_fp.dj == v.dim)
-            .groupBy(F.col("di").alias("dim"))
-            .agg(F.sum(F.col("mi") * F.col("vi")).cast("bigint").alias("wr")),
-            eager=True,
+    # Power iteration in ONE executor task (optimization r13, guide
+    # §1.2 + §5 — the graph_spectral_bisection recipe): the covariance
+    # frame is D² rows for model dimension D, CONSTANT in corpus size
+    # (the docstring's scale argument), so iterating on it
+    # distributedly is pure orchestration — the old loop paid a
+    # mid-step materialize + a broadcast-norm job per iteration
+    # (~3 s of scheduler latency on 4,160-row frames at sf0.1).
+    # Arithmetic is replicated exactly: the matvec is int64
+    # (order-independent), the norm/rescale steps are the same IEEE
+    # double ops in the same order (bigint→double casts round
+    # identically in numpy), so every loading is bitwise the
+    # distributed loop's value.
+    import math as _math
+
+    def _power_solve(batches):
+        parts = [b for b in batches]
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"di": [], "dj": [], "mi": []})
         )
-        wq = F.floor(F.col("wr").cast("double") / PCA_WQ).cast("bigint")
-        nrm = w.agg(
-            F.sqrt(F.sum(wq * wq).cast("double")).alias("nq")
-        )
-        last_nrm[0] = nrm
-        return w.crossJoin(F.broadcast(nrm)).select(
-            "dim",
-            F.floor(
-                F.col("wr").cast("double")
-                / (F.col("nq") * (float(PCA_WQ) / PCA_SV))
+        dims = sorted({int(d) for d in pdf["di"]})
+        idx = {d: i for i, d in enumerate(dims)}
+        D = len(dims)
+        M = np.zeros((D, D), dtype=np.int64)
+        for di, dj, mi in zip(pdf["di"], pdf["dj"], pdf["mi"]):
+            M[idx[int(di)], idx[int(dj)]] = int(mi)
+        v = np.full(D, PCA_SV // 8, dtype=np.int64)
+        nq = 0.0
+        for _ in range(PCA_ITERS):
+            wr = M @ v  # exact int64 SUM(mi*vi) per row
+            wrd = wr.astype(np.float64)  # bigint->double cast
+            wq = np.floor(wrd / PCA_WQ).astype(np.int64)
+            nq = _math.sqrt(float((wq * wq).sum()))
+            v = np.floor(wrd / (nq * (float(PCA_WQ) / PCA_SV))).astype(
+                np.int64
             )
-            .cast("bigint")
-            .alias("vi"),
-        )
+        yield pd.DataFrame(
+            {"dim": dims, "vi": v, "nq": [nq] * D}
+        ).astype({"dim": "int64", "vi": "int64", "nq": "float64"})
 
-    v = iterate(v, _pca_step, PCA_ITERS, eager=False, checkpoint_input=False)
-    nrm = last_nrm[0]
+    v = (
+        cov_fp.coalesce(1)
+        .mapInPandas(_power_solve, "dim bigint, vi bigint, nq double")
+        .localCheckpoint(eager=True)
+    )
     anchor = (
         v.orderBy(F.abs(F.col("vi")).desc(), "dim")
         .limit(1)
@@ -486,7 +499,6 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.crossJoin(F.broadcast(anchor))
-        .crossJoin(F.broadcast(nrm))
         .select(
             F.col("dim").cast("int").alias("dim"),
             ((F.col("s") * F.col("vi")).cast("double") / PCA_SV).alias(

@@ -1837,18 +1837,45 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right in double — bitwise identical to the oracle's
     list_inner_product."""
     e = spread(load(spark, sf_dir, "embeddings"))
-    mem = ivf_corpus_cells(spark, sf_dir, e)
+    # ONE materialized instance of the assignment scan (optimization
+    # r13, guide §4/§5): mem has three consumers (both pairwise sides +
+    # the final census join), and un-checkpointed each re-ran the
+    # Arrow-batched assign_cell pass — the per-stage Python-worker
+    # init/transfer was the query's dominant cost in the SQL-node
+    # profile. The materialized frame is the corpus projected to
+    # (id, embedding, cell) — the same bytes the pairwise stage must
+    # read anyway. (The plan-audit entry for this query's
+    # ArrowEvalPython node retires with the checkpoint: the emitted
+    # plan now starts at the materialized LogicalRDD.)
+    # The checkpointed projection also carries the f64 cast and the
+    # per-vector norm, so the cell-bounded pairwise stage pays ONE
+    # interpreted fold per pair (the dot) instead of three — the
+    # nn_descent norms-once trick. Bitwise unchanged: the norm is the
+    # same fold over the same doubles, and the product/division see
+    # identical operands.
+    mem = (
+        ivf_corpus_cells(spark, sf_dir, e)
+        .select(
+            "vec_id",
+            "cell",
+            _as_double("embedding").alias("emb"),
+            norm(_as_double("embedding")).alias("nx"),
+        )
+        .localCheckpoint(eager=True)
+    )
     a = mem.select(
         F.col("vec_id").alias("va"),
         F.col("cell").alias("ca"),
-        F.col("embedding").alias("emb_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nx").alias("na"),
     )
     b = mem.select(
         F.col("vec_id").alias("vb"),
         F.col("cell").alias("cb"),
-        F.col("embedding").alias("emb_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nx").alias("nb"),
     )
-    cos = cosine(_as_double("emb_a"), _as_double("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
     dup = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
         .filter(cos > F.lit(SEMDEDUP_TAU))
@@ -1937,31 +1964,66 @@ def dedup_semdedup_centroid_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load(spark, sf_dir, "embeddings"))
     mem = ivf_corpus_cells(spark, sf_dir, e)
     cents, _ = _ivf_index(spark, sf_dir)
+    # Centroid norms precomputed with the same left fold in Python
+    # (the ivf_corpus_cells cnorms recipe) so the broadcast join ships
+    # them instead of re-folding per corpus row.
+    cent_rows = []
+    for cid, cvec in cents:
+        s = 0.0
+        for x in cvec:
+            s = s + x * x
+        cent_rows.append((cid, list(cvec), float(s) ** 0.5))
     cent_df = spark.createDataFrame(
-        list(cents), "cell long, cemb array<double>"
+        cent_rows, "cell long, cemb array<double>, cnorm double"
     )
-    memc = mem.join(F.broadcast(cent_df), "cell").select(
-        "vec_id",
-        "cell",
-        "embedding",
-        cosine(_as_double("embedding"), F.col("cemb")).alias("ccos"),
+    # ONE materialized instance of the assignment+centrality scan
+    # (optimization r13 — the dedup_semdedup note): memc has three
+    # consumers, and un-checkpointed each re-ran the Arrow assign_cell
+    # pass plus the interpreted centrality fold. The projection also
+    # carries the f64 cast and per-vector norm so the pairwise stage
+    # pays one fold per pair (dot) instead of three.
+    memc = (
+        mem.join(F.broadcast(cent_df), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            _as_double("embedding").alias("emb"),
+            norm(_as_double("embedding")).alias("nx"),
+            "cemb",
+            "cnorm",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "emb",
+            "nx",
+            (
+                dot(F.col("emb"), F.col("cemb"))
+                / (F.col("nx") * F.col("cnorm"))
+            ).alias("ccos"),
+        )
+        .localCheckpoint(eager=True)
     )
     a = memc.select(
         F.col("vec_id").alias("va"),
         F.col("cell").alias("ca"),
-        F.col("embedding").alias("emb_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nx").alias("na"),
         F.col("ccos").alias("ccos_a"),
     )
     b = memc.select(
         F.col("vec_id").alias("vb"),
         F.col("cell").alias("cb"),
-        F.col("embedding").alias("emb_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nx").alias("nb"),
         F.col("ccos").alias("ccos_b"),
     )
     more_central = (F.col("ccos_b") > F.col("ccos_a")) | (
         (F.col("ccos_b") == F.col("ccos_a")) & (F.col("vb") < F.col("va"))
     )
-    pair_cos = cosine(_as_double("emb_a"), _as_double("emb_b"))
+    pair_cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("na") * F.col("nb")
+    )
     dup = (
         a.join(b, (F.col("ca") == F.col("cb")) & more_central)
         .filter(pair_cos > F.lit(SEMDEDUP_TAU))

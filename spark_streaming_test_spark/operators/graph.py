@@ -105,18 +105,39 @@ def _edge_index(spark: SparkSession, sf_dir: str):
         # pure arithmetic at output time (no id dictionary to join).
         c = (F.col("o_custkey") * 2).cast("bigint")
         s = (F.col("l_suppkey") * 2 + 1).cast("bigint")
+        # Both edge directions emit from ONE generator pass over the
+        # distinct pairs (optimization r13, guide §2.4): the old
+        # two-branch unionAll re-ran the join+distinct subtree per
+        # branch during the cache build (measured ~2 s of duplicate
+        # aggregate work at sf0.1) and left the cache oversliced at 2×
+        # the shuffle width.
+        # localCheckpoint, not persist (optimization r13, guide §5):
+        # the columnar persist() cache paid a batch-encode on build and
+        # a decode on EVERY per-iteration scan — measured 2.2 s build +
+        # 0.7 s/scan vs 1.5 s + 0.3 s/scan for the checkpointed RDD at
+        # sf0.1. The frames are registered in _EDGE_CACHE, which
+        # harness resets clear BEFORE unpersisting blocks, so the
+        # unrecoverable-once-unpersisted property of checkpoints is
+        # already handled.
         edges = (
-            pairs.select(c.alias("src"), s.alias("dst"))
-            .unionAll(pairs.select(s.alias("src"), c.alias("dst")))
-            .persist()
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(c.alias("src"), s.alias("dst")),
+                        F.struct(s.alias("src"), c.alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .localCheckpoint(eager=True)
         )
-        # deg is read by every iteration's broadcast build — persist it
-        # or each broadcast job re-aggregates the edge list (~0.65 s a
-        # pop at sf0.1).
+        # deg is read by every iteration's broadcast build — materialize
+        # it or each broadcast job re-aggregates the edge list (~0.65 s
+        # a pop at sf0.1).
         deg = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("outdeg"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         _EDGE_CACHE[key] = (edges, deg)
     return _EDGE_CACHE[key]
@@ -940,6 +961,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    # ONE materialized node frame (optimization r13): nodes is consumed
+    # by every round's final join AND the output join — un-checkpointed,
+    # each consumer re-ran the und distinct.
     nodes = (
         und.select("node")
         .distinct()
@@ -949,6 +973,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("node") % LPA_SEED_MOD == 0, F.col("node") % 5
             ).cast("int"),
         )
+        .localCheckpoint(eager=True)
     )
     def _lpa_step(lab: DataFrame, _i: int) -> DataFrame:
         prop = (

@@ -1433,60 +1433,52 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
     ).select("idx", F.col("idx").alias("lo"), F.col("idx").alias("hi"), "n", "pos")
-    # Truncate lineage BEFORE the merge loop and after every pass: each
-    # pass crossJoins a broadcast scalar (viol), and Spark materializes
-    # broadcast subtrees EAGERLY as separate jobs — without truncation
-    # pass k's broadcast recomputes the whole chain (including the
-    # corpus NTILE) from scratch, O(passes²) recompute overall
-    # (measured 21.8 s -> ~3 s at sf0.1). The checkpointed frame is
-    # {ISO_BINS} rows — the footprint is nil; the pagerank convention.
-    blocks = blocks.localCheckpoint(eager=True)
-    for _ in range(ISO_BINS - 1):
-        wl = W.orderBy("idx")
-        led = blocks.select(
-            "idx",
-            "lo",
-            "hi",
-            "n",
-            "pos",
-            F.lead("n").over(wl).alias("n_nx"),
-            F.lead("pos").over(wl).alias("pos_nx"),
-            F.lead("hi").over(wl).alias("hi_nx"),
+    # The PAV merge loop runs in ONE executor task (optimization r13,
+    # guide §1.2 + §5 — the graph_spectral_bisection recipe): the
+    # block frame is ISO_BINS rows BY CONSTRUCTION at any corpus size,
+    # and the old nine window+broadcast-scalar+checkpoint passes over
+    # it were pure scheduler latency (~2 s of the query's 2.5 s at
+    # sf0.1). Every quantity in the loop is an int64 (violations are
+    # tested by integer cross-multiplication — the docstring's
+    # determinism argument), so the single-task replay is exactly the
+    # distributed passes' arithmetic; calibrated_p stays a Spark-side
+    # double division of the identical integers.
+    import pandas as _pd
+
+    def _pav(batches):
+        parts = [b for b in batches]
+        pdf = (
+            _pd.concat(parts, ignore_index=True)
+            if parts
+            else _pd.DataFrame({"idx": [], "lo": [], "hi": [], "n": [], "pos": []})
         )
-        viol = led.agg(
-            F.coalesce(
-                F.min(
-                    F.when(
-                        F.col("pos") * F.col("n_nx")
-                        > F.col("pos_nx") * F.col("n"),
-                        F.col("idx"),
-                    )
-                ),
-                F.lit(ISO_BINS + 1),
-            ).alias("v")
+        rows = sorted(
+            (int(r.idx), int(r.lo), int(r.hi), int(r.n), int(r.pos))
+            for r in pdf.itertuples()
         )
-        blocks = (
-            led.crossJoin(F.broadcast(viol))
-            .filter(F.col("idx") != F.col("v") + 1)
-            .select(
-                F.when(F.col("idx") <= F.col("v"), F.col("idx"))
-                .otherwise(F.col("idx") - 1)
-                .alias("idx"),
-                "lo",
-                F.when(F.col("idx") == F.col("v"), F.col("hi_nx"))
-                .otherwise(F.col("hi"))
-                .alias("hi"),
-                F.when(F.col("idx") == F.col("v"), F.col("n") + F.col("n_nx"))
-                .otherwise(F.col("n"))
-                .alias("n"),
-                F.when(
-                    F.col("idx") == F.col("v"), F.col("pos") + F.col("pos_nx")
-                )
-                .otherwise(F.col("pos"))
-                .alias("pos"),
-            )
-            .localCheckpoint(eager=True)  # see pre-loop comment
-        )
+        blocks = [list(r) for r in rows]
+        for _ in range(ISO_BINS - 1):
+            v = None
+            for i in range(len(blocks) - 1):
+                _, _, _, n_i, pos_i = blocks[i]
+                _, _, _, n_j, pos_j = blocks[i + 1]
+                if pos_i * n_j > pos_j * n_i:
+                    v = i
+                    break
+            if v is None:
+                continue  # identity pass (already isotonic)
+            a, b = blocks[v], blocks[v + 1]
+            merged = [a[0], a[1], b[2], a[3] + b[3], a[4] + b[4]]
+            blocks = blocks[:v] + [merged] + blocks[v + 2 :]
+            for i, blk in enumerate(blocks):
+                blk[0] = i + 1  # re-number idx 1..len contiguously
+        yield _pd.DataFrame(
+            blocks, columns=["idx", "lo", "hi", "n", "pos"]
+        ).astype("int64")
+
+    blocks = blocks.coalesce(1).mapInPandas(
+        _pav, "idx bigint, lo bigint, hi bigint, n bigint, pos bigint"
+    )
     return blocks.select(
         F.col("idx").alias("block"),
         F.col("lo").cast("int").alias("lo_bin"),

@@ -418,7 +418,16 @@ def traffic_alerts_kafka_wire_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"wire_len": lens, "rt_nif": nifs, "rt_message": msgs, "rt_ts_ms": tss}
         )
 
-    alerts = traffic_alerts(spark, sf_dir)
+    # Spread the encode stage (optimization r13, guide §2.5/§4): the
+    # alert aggregate's AQE-coalesced output ran the ~25 us/row Python
+    # roundtrip on TWO tasks (measured 3.9 s of Python-worker time on a
+    # 32-core box). The alert frame is narrow, so one round-robin
+    # exchange buys full-width parallelism for the compute-dense codec;
+    # on a cluster the same repartition spreads the encode across
+    # executors before the socket sink.
+    alerts = traffic_alerts(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     enc = alerts.withColumn(
         "r",
         roundtrip_v2(
@@ -540,7 +549,10 @@ def traffic_alerts_kafka_wire_zstd(spark: SparkSession, sf_dir: str) -> DataFram
             {"wire_len": lens, "rt_nif": nifs, "rt_message": msgs, "rt_ts_ms": tss}
         )
 
-    alerts = traffic_alerts(spark, sf_dir)
+    # Same encode-stage spread as traffic_alerts_kafka_wire_v2 (r13).
+    alerts = traffic_alerts(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     enc = alerts.withColumn(
         "r",
         roundtrip_zstd(

@@ -92,9 +92,12 @@ DOCUMENTED_NESTED_LOOPS: dict[str, str] = {
 DOCUMENTED_PYTHON_EVAL: dict[str, tuple[tuple[str, ...], str]] = {
     "corpus_robots_filter": (("ArrowEvalPython",), "robots.txt directive matcher"),
     "corpus_warc_ingest_report": (("MapInPandas",), "WARC record walk (gzip member split)"),
-    "dedup_semdedup": (("ArrowEvalPython",), "vectorized numpy IVF cell-assignment kernel (Arrow batches)"),
+    # dedup_semdedup / dedup_semdedup_centroid_rep run the same Arrow
+    # assign_cell kernel, but their assignment frame is localCheckpointed
+    # inside the query (3 consumers — the r10 one-instance rule), so the
+    # emitted plan starts at the materialized LogicalRDD and carries no
+    # Python-eval node for this audit to see.
     "dedup_semdedup_cell_audit": (("ArrowEvalPython",), "vectorized numpy IVF cell-assignment kernel (Arrow batches)"),
-    "dedup_semdedup_centroid_rep": (("ArrowEvalPython",), "vectorized numpy IVF cell-assignment kernel (Arrow batches)"),
     "dedup_unicode_nfc": (("ArrowEvalPython",), "unicodedata NFC normalization — no JVM builtin"),
     "fuzzy_jaro_winkler": (("ArrowEvalPython",), "Jaro-Winkler kernel (vectorized, Arrow batches)"),
     # graph_spectral_bisection runs its bounded-core eigensolve in a
@@ -104,6 +107,7 @@ DOCUMENTED_PYTHON_EVAL: dict[str, tuple[tuple[str, ...], str]] = {
     # Python-eval node for this audit to see. Documented here; the
     # bound is BW_EXACT_N nodes / BW_EXACT_N^2 edges at any SF.
     "html_extract_text": (("ArrowEvalPython",), "stdlib HTMLParser text extraction"),
+    "ml_isotonic_calibration": (("MapInPandas",), "PAV merge over the ISO_BINS-row block frame (constant at any SF) in one task — all-int64 merge loop too small to distribute"),
     "mm_audio_adpcm_decode": (("MapInPandas",), "audio byte codec (stdlib+numpy) — no JVM builtin"),
     "mm_audio_alaw_decode": (("MapInPandas",), "audio byte codec (stdlib+numpy) — no JVM builtin"),
     "mm_audio_band_power": (("MapInPandas",), "audio byte codec (stdlib+numpy) — no JVM builtin"),
