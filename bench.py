@@ -127,6 +127,10 @@ HEADLINE = [
     #    round 12 are their baseline)
     "dedup_semdedup_centroid_rep",    # paper-faithful centroid-rep SemDeDup
     "events_value_lorenz_distributed",  # corpus-grain distributed prefix sum
+    # -- round-13 additions (first sf0.1 numbers in BENCH_REPEATS of
+    #    round 13 are their baseline)
+    "agg_cms_heavy_hitters",          # count-min sketch heavy hitters
+    "graph_sssp_weighted",            # weighted SSSP on iterate_state
 ]
 
 # Cohort boundaries over HEADLINE (contiguous slices, in order). The
@@ -140,6 +144,7 @@ COHORTS: list[tuple[str, int]] = [
     ("heavy_tail_r11", 6),
     ("new_r11", 3),
     ("new_r12", 2),
+    ("new_r13", 2),
 ]
 
 

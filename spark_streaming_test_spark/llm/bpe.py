@@ -7,8 +7,9 @@ same) operates on the WORD-FREQUENCY table — count words once, then
 iterate merges over that vocab-bounded frame. That shape is ideal for
 Spark: the only corpus-sized stage is the initial word count (one
 shuffle with map-side partials); every merge iteration is a pair-count
-aggregate + argmax + string rewrite on O(vocab) rows, checkpointed like
-the PageRank loop (`operators/graph.py`).
+aggregate + argmax + string rewrite on O(vocab) rows over the ONE
+checkpointed word-count base (the rewrite chain is at most n_merges
+narrow projections deep — see the loop comment in bpe_train).
 
 Symbols are '\\x00'-delimited inside a word string, so a merge is a
 separator-wrapped `replace('\\0a\\0b\\0' -> '\\0ab\\0')` (applied twice —

@@ -409,10 +409,10 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the covariance build is the corpus-sized stage (vector-local
     D^2 fan-out, partial-combined reduce to D^2 rows — see
-    ``emb_covariance_matrix``); each iteration is then a broadcast join
-    over the D^2-row matrix frame with an O(D) shuffle of partials,
-    lineage-truncated per iteration. D=64 here; at D=4096 the matrix
-    frame is 16M rows — still executor-resident, same plan."""
+    ``emb_covariance_matrix``); the iterations then run over the
+    D^2-row matrix frame — constant in corpus size — in one executor
+    task (see the solver comment below). D=64 here; at D=4096 the
+    matrix is 16M rows / ~128 MB, still a single-task int64 matvec."""
     e = load(spark, sf_dir, "embeddings")
     # Moments over the UPPER TRIANGLE only (di <= dj) — half the rows
     # through the vector-local pair fan-out and the decimal partial

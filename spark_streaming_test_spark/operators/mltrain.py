@@ -1408,10 +1408,9 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pos_i·n_j > pos_j·n_i) — block means never materialize as floats
     until the final calibrated_p division, so both the merge sequence
     and the result are bitwise-deterministic. The corpus reduces to
-    {ISO_BINS} rows in one NTILE + aggregate; the nine PAV passes are
-    window/merge steps over that constant-size frame (driver-free)."""
-    from pyspark.sql import Window as W
-
+    {ISO_BINS} rows in one NTILE + aggregate; the PAV merge loop then
+    runs over that constant-size frame in a single executor task
+    (driver-free — see the loop comment below)."""
     from .evalmetrics import distributed_ntile
 
     e = load(spark, sf_dir, "events")

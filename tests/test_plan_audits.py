@@ -56,6 +56,7 @@ DOCUMENTED_NESTED_LOOPS: dict[str, str] = {
     "events_value_lorenz_distributed": "P-row offsets frame of distributed_prefix_sum (broadcast)",
     "geo_point_in_polygon": "polygon ring vertex frame (fixed literal fence, dozens of rows)",
     "ml_conformal_interval": "1-row OLS params + 1-row conformal quantile scalars (checkpointed)",
+    "ml_isotonic_calibration": "P-row partition-offset frame of distributed_ntile (broadcast; visible since r13 removed the pre-PAV checkpoint)",
     "ml_nb_train_score": "per-class prior/likelihood frame (classes x vocab of the LANG-ID domain)",
     "ml_ridge_path": "1-row decimal moment scalars (checkpointed) x 5-row lambda grid",
     "mlstats_lift_gains_distributed": "P-row partition-offset frame of distributed_ntile (broadcast)",

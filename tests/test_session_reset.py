@@ -42,20 +42,28 @@ def test_prf_token_cache_survives_reset(spark, sf_dir):
 
 
 def test_edge_cache_repersists_after_reset(spark, sf_dir):
-    """After a reset, the edge cache must miss and re-persist — not hand
-    out frames whose persist status the reset dropped."""
+    """After a reset, the edge cache must miss and re-materialize — not
+    hand out frames whose checkpoint blocks the reset dropped. (r13:
+    the cache switched persist() -> eager localCheckpoint, so the
+    materialization invariant is a truncated LogicalRDD plan, not a
+    SQL-cache storage level.)"""
+
+    def _is_checkpointed(df):
+        head = (
+            df._jdf.queryExecution().logical().toString().strip()
+            .splitlines()[0]
+        )
+        return head.startswith("LogicalRDD")
+
     edges, deg = graph._edge_index(spark, sf_dir)
-    assert edges.storageLevel != StorageLevel.NONE
+    assert _is_checkpointed(edges) and _is_checkpointed(deg)
     sess.reset_query_state(spark)
     assert not graph._EDGE_CACHE, "reset must clear the edge cache"
     edges2, deg2 = graph._edge_index(spark, sf_dir)
-    assert edges2.storageLevel != StorageLevel.NONE, (
-        "rebuilt edges must be persisted again"
-    )
-    assert deg2.storageLevel != StorageLevel.NONE, (
-        "rebuilt degree frame must be persisted again"
-    )
-    # and they are usable (blocks present, lineage intact)
+    assert _is_checkpointed(edges2), "rebuilt edges must be materialized"
+    assert _is_checkpointed(deg2), "rebuilt degree frame must be materialized"
+    # and they are usable: these counts would throw
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND if a stale frame were served.
     assert edges2.count() > 0 and deg2.count() > 0
 
 
