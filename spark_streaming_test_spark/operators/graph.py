@@ -4086,10 +4086,16 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         return (r["n"], r["s"])
 
+    # eager=False (optimization r13, the PCA/GBRT pattern): the lazy
+    # checkpoint materializes inside the probe's collect, so each
+    # Bellman-Ford round costs ONE scheduler job instead of a
+    # materialization job plus a probe job — the loop's wall was
+    # dominated by per-round job latency on the O(nodes) state frame.
     dist = iterate(
         dist0,
         _relax,
         SSSP_ROUNDS,
+        eager=False,
         probe=_probe,
         require_convergence=True,
     )
