@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
 
@@ -677,7 +677,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("s_suppkey") * 131) % 30
         ).alias("a_end"),
     )
-    cus = load(spark, sf_dir, "customer").select(
+    # spread (optimization r13, guide §2.5): the probe side is one
+    # single-row-group test file, so the bin explode + broadcast probe
+    # + distinct partials all ran on ONE task (measured: a 1.2 s
+    # single-task stage emitting 2.35M candidates). No-op on a real
+    # multi-file layout.
+    cus = spread(load(spark, sf_dir, "customer")).select(
         "c_custkey",
         ((F.col("c_custkey") * 61) % 320).alias("d_start"),
         (
