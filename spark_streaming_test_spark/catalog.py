@@ -96,6 +96,29 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def bounded_broadcast(df: DataFrame, est_rows: int) -> DataFrame:
+    """Broadcast-hint ``df`` only when its known row count is safely
+    inside the broadcast budget; above it, return the frame unhinted so
+    the planner shuffle-joins it.
+
+    ``F.broadcast`` is a MANDATORY hint — it bypasses
+    ``autoBroadcastJoinThreshold`` and the planner cannot back out — so
+    hinting a corpus-derived frame (an embeddings table, a node-sized
+    rank/degree frame, an O(N*k) edge list) would hit the 8 GB /
+    512M-row broadcast cap or OOM the driver at production scale.
+    Checkpointed frames have no catalog stats, but their row counts are
+    known (or bounded) at plan time, so gate on rows: the default 1M
+    rows is at most a few hundred MB framed for the row shapes involved
+    — comfortably executor-resident, far under the hard cap. Production
+    overrides via ``SPARK_GRAFT_BROADCAST_MAX_ROWS``. Join RESULTS are
+    identical under either strategy; only the physical plan changes."""
+    try:
+        cap = int(os.environ.get("SPARK_GRAFT_BROADCAST_MAX_ROWS", "1000000"))
+    except ValueError:
+        cap = 1_000_000
+    return F.broadcast(df) if 0 <= est_rows <= cap else df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API paths)."""
     for name in TABLES:

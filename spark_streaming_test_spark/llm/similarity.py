@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load, spread
+from ..catalog import bounded_broadcast, load, spread
 from ..iterate import iterate
 from ..registry import register
 
@@ -63,9 +63,26 @@ def _as_double(c: str) -> Column:
 def ann_partitions(spark: SparkSession, est_rows: int) -> int:
     import os as _os
 
-    rpt = int(_os.environ.get("SPARK_GRAFT_ANN_ROWS_PER_TASK", "16384"))
+    # Clamp the env override: a non-numeric or <= 0 value falls back to
+    # the measured 16384 default instead of raising mid-query (a "0"
+    # would otherwise hit the ceil division with ZeroDivisionError and
+    # a negative value would silently collapse to 1 partition).
+    try:
+        rpt = int(_os.environ.get("SPARK_GRAFT_ANN_ROWS_PER_TASK", "16384"))
+    except ValueError:
+        rpt = 16384
+    if rpt <= 0:
+        rpt = 16384
     cap = 4 * spark.sparkContext.defaultParallelism
     return max(1, min(-(-est_rows // rpt), cap))
+
+
+# bounded_broadcast (imported from catalog above, shared with the graph
+# loops) gates every ANN score join's hint: the corpus frames (embn,
+# the O(N*k) edge list) broadcast only while they fit, and above the
+# budget the joins revert to shuffles that the explicit
+# ``ann_partitions`` repartition on the probe side keeps fanned out
+# rather than AQE-collapsed.
 
 
 @register(
@@ -774,14 +791,22 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine")
         .localCheckpoint(eager=True)
     )
+    # The pair join only ever touches CANDIDATE vectors (a/b come from
+    # cand), so filter the corpus down to the bounded candidate-id set
+    # first — broadcast the tiny id list into a semi-filter pass — and
+    # broadcast THAT (<= queries x MMR_CAND rows by construction at any
+    # corpus size) into the pair join. Broadcasting the full embeddings
+    # table here would hit the 8 GB broadcast cap at production scale.
     emb = e.select("vec_id", _as_double("embedding").alias("emb"))
+    cand_ids = cand.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    emb_c = emb.join(F.broadcast(cand_ids), "vec_id")
     ca = cand.select("query_id", F.col("neighbor_id").alias("a"))
     cb = cand.select("query_id", F.col("neighbor_id").alias("b"))
     pair = (
         ca.join(cb, "query_id")
         .filter(F.col("a") != F.col("b"))
-        .join(F.broadcast(emb.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))), "a")
-        .join(F.broadcast(emb.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))), "b")
+        .join(F.broadcast(emb_c.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))), "a")
+        .join(F.broadcast(emb_c.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))), "b")
         .select("query_id", "a", "b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
     )
     merged = cand.join(
@@ -1374,9 +1399,13 @@ def nn_descent(
     #     no join hash table over the edge frame; both directions of
     #     an edge emit from ONE generator pass instead of a 2×-task
     #     union of two scans.
-    #   * the score joins BROADCAST embn explicitly: a checkpointed
-    #     frame has no catalog stats, so the planner shuffled both
-    #     sides of what is a corpus-vs-K-vectors lookup.
+    #   * the score joins broadcast embn explicitly WHEN IT FITS
+    #     (``bounded_broadcast``): a checkpointed frame has no catalog
+    #     stats, so the planner shuffled both sides and AQE collapsed
+    #     the compute-dense scoring stage to one task. embn is
+    #     corpus-sized (all N vectors + norms), so the hint is gated on
+    #     N — above the budget the join reverts to a shuffle that the
+    #     explicit candidate repartition keeps fanned out.
     #
     # Results are bitwise unchanged: candidates are DISTINCT unions
     # either way, the cosine fold and tie-breaks are untouched.
@@ -1415,22 +1444,24 @@ def nn_descent(
         )
         sc = (
             cand.join(
-                F.broadcast(
+                bounded_broadcast(
                     embn.select(
                         F.col("vec_id").alias("v"),
                         F.col("x").alias("xv"),
                         F.col("nx").alias("nv"),
-                    )
+                    ),
+                    n,
                 ),
                 "v",
             )
             .join(
-                F.broadcast(
+                bounded_broadcast(
                     embn.select(
                         F.col("vec_id").alias("w"),
                         F.col("x").alias("xw"),
                         F.col("nx").alias("nw"),
-                    )
+                    ),
+                    n,
                 ),
                 "w",
             )
@@ -1548,14 +1579,16 @@ def sim_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = nn_descent(spark, emb, n, NND_K, NND_ROUNDS)
     out = (
         g.join(
-            F.broadcast(
-                emb.select(F.col("vec_id").alias("v"), F.col("x").alias("xv"))
+            bounded_broadcast(
+                emb.select(F.col("vec_id").alias("v"), F.col("x").alias("xv")),
+                n,
             ),
             "v",
         )
         .join(
-            F.broadcast(
-                emb.select(F.col("vec_id").alias("u"), F.col("x").alias("xu"))
+            bounded_broadcast(
+                emb.select(F.col("vec_id").alias("u"), F.col("x").alias("xu")),
+                n,
             ),
             "u",
         )
@@ -1692,10 +1725,13 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-hop plan shape (optimization r13, guide §2.4/2.5, the
     # nn_descent recipe): ONE explicit keyed exchange on q — the
     # candidate distinct and the per-query window both ride it — with
-    # the O(N·k) edge list and the K-vector frames BROADCAST into the
-    # expand/score joins (checkpointed frames have no stats, so the
-    # planner was shuffling both sides and AQE then collapsed the
-    # compute-dense scoring stage to one task). The partition count is
+    # the bounded query frame broadcast outright and the corpus-sized
+    # frames (the O(N·k) edge list, the N-row embn) broadcast ONLY
+    # while they fit (``bounded_broadcast``; checkpointed frames have
+    # no stats, so the planner was shuffling both sides and AQE then
+    # collapsed the compute-dense scoring stage to one task — above
+    # the budget the joins revert to shuffles the explicit candidate
+    # repartition keeps fanned out). The partition count is
     # rows-derived (``ann_partitions``): the beam frame is
     # queries × beam-width × (k+1) rows, so a small query batch rides
     # one task while a production batch fans out. Bitwise unchanged:
@@ -1703,7 +1739,10 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     npart = ann_partitions(spark, N_QUERIES * BEAM_W * (NND_K + 1))
     for _ in range(BEAM_HOPS):
         expand = (
-            beam.join(F.broadcast(knn.withColumnRenamed("v", "c")), "c")
+            beam.join(
+                bounded_broadcast(knn.withColumnRenamed("v", "c"), n * NND_K),
+                "c",
+            )
             .filter(F.col("u") != F.col("q"))
             .select("q", F.col("u").alias("c"))
         )
@@ -1715,12 +1754,13 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc = (
             cand.join(F.broadcast(queries), "q")
             .join(
-                F.broadcast(
+                bounded_broadcast(
                     embn.select(
                         F.col("vec_id").alias("c"),
                         F.col("x").alias("xc"),
                         F.col("nx").alias("nc"),
-                    )
+                    ),
+                    n,
                 ),
                 "c",
             )
@@ -1743,12 +1783,13 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         beam.join(F.broadcast(queries), "q")
         .join(
-            F.broadcast(
+            bounded_broadcast(
                 embn.select(
                     F.col("vec_id").alias("c"),
                     F.col("x").alias("xc"),
                     F.col("nx").alias("nc"),
-                )
+                ),
+                n,
             ),
             "c",
         )

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import bounded_broadcast, load
 from ..registry import register
 from ..iterate import iterate, iterate_state, materialize
 from ..session import register_frame_cache
@@ -118,7 +118,15 @@ def _edge_index(spark: SparkSession, sf_dir: str):
         # sf0.1. The frames are registered in _EDGE_CACHE, which
         # harness resets clear BEFORE unpersisting blocks, so the
         # unrecoverable-once-unpersisted property of checkpoints is
-        # already handled.
+        # already handled. Executor-loss tradeoff (vs persist): a
+        # checkpointed frame whose blocks die with a lost executor
+        # (preemption, dynamic allocation) fails permanently instead
+        # of recomputing from lineage — acceptable here because the
+        # consumer query fails fast and its retry rebuilds the cache
+        # from the parquet inputs; a deployment with routine executor
+        # churn should prefer persist(MEMORY_AND_DISK) for this
+        # cross-query cache and keep localCheckpoint for per-query
+        # loop state only.
         edges = (
             pairs.select(
                 F.explode(
@@ -139,7 +147,12 @@ def _edge_index(spark: SparkSession, sf_dir: str):
             .agg(F.count(F.lit(1)).alias("outdeg"))
             .localCheckpoint(eager=True)
         )
-        _EDGE_CACHE[key] = (edges, deg)
+        # Node count (cheap: deg is already materialized) gates the
+        # per-iteration broadcast hints — node-sized frames broadcast
+        # only while they fit (bounded_broadcast), and at web scale the
+        # rank join reverts to the co-hashed shuffle join the PageRank
+        # docstring describes.
+        _EDGE_CACHE[key] = (edges, deg, deg.count())
     return _EDGE_CACHE[key]
 
 
@@ -199,7 +212,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once, degree-enriched, and persisted. At web scale the
     rank frame outgrows a broadcast and the join becomes a co-hashed
     shuffle join on src — the partials-only property still holds."""
-    edges, deg = _edge_index(spark, sf_dir)
+    edges, deg, n_nodes = _edge_index(spark, sf_dir)
     ranks0 = deg.select(
         F.col("src").alias("node"), F.lit(FP_ONE).cast("bigint").alias("r")
     )
@@ -209,14 +222,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast-broadcast join), so each iteration is ONE
         # broadcast join against the cached edges — zero edge-side
         # exchanges — followed by a partial-combine hash agg; only
-        # O(nodes) partials ever move.
+        # O(nodes) partials ever move. The hints are gated on the node
+        # count (bounded_broadcast): past the budget both joins revert
+        # to co-hashed shuffle joins on src, partials-only still holds.
         # `div` is int64 floor division (positive operands) — the same
         # operator as DuckDB's `//`; no float enters the loop.
-        rd = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
-            "node", "r", "outdeg"
-        )
+        rd = ranks.join(
+            bounded_broadcast(deg, n_nodes), ranks.node == deg.src
+        ).select("node", "r", "outdeg")
         contrib = edges.join(
-            F.broadcast(rd), edges.src == rd.node
+            bounded_broadcast(rd, n_nodes), edges.src == rd.node
         ).select("dst", F.expr("r div outdeg").alias("w"))
         return contrib.groupBy(F.col("dst").alias("node")).agg(
             (
@@ -242,7 +257,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s:"), F.expr("(node - 1) div 2").cast("string"))
     )
     return (
-        ranks.join(F.broadcast(deg), ranks.node == deg.src)
+        ranks.join(bounded_broadcast(deg, n_nodes), ranks.node == deg.src)
         .select(
             label.alias("node_id"),
             (F.col("r").cast("double") / F.lit(float(FP_ONE))).alias("rank"),
@@ -1425,7 +1440,7 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-rank iteration as `graph_pagerank` — the ONLY change is
     the teleport term's seed condition (an integer predicate on the
     node id). Bitwise oracle via the same unrolled-CTE technique."""
-    edges, deg = _edge_index(spark, sf_dir)
+    edges, deg, n_nodes = _edge_index(spark, sf_dir)
     is_seed = (F.col("node") % 2 == 0) & (
         F.expr("node div 2") < PPR_SEED_MAX_CUST
     )
@@ -1441,11 +1456,11 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
     )
     def _ppr_step(ranks: DataFrame, _i: int) -> DataFrame:
-        rd = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
-            "node", "r", "outdeg"
-        )
+        rd = ranks.join(
+            bounded_broadcast(deg, n_nodes), ranks.node == deg.src
+        ).select("node", "r", "outdeg")
         contrib = edges.join(
-            F.broadcast(rd), edges.src == rd.node
+            bounded_broadcast(rd, n_nodes), edges.src == rd.node
         ).select("dst", F.expr("r div outdeg").alias("w"))
         return contrib.groupBy(F.col("dst").alias("node")).agg(
             (

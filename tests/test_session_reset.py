@@ -55,16 +55,17 @@ def test_edge_cache_repersists_after_reset(spark, sf_dir):
         )
         return head.startswith("LogicalRDD")
 
-    edges, deg = graph._edge_index(spark, sf_dir)
+    edges, deg, n_nodes = graph._edge_index(spark, sf_dir)
     assert _is_checkpointed(edges) and _is_checkpointed(deg)
+    assert n_nodes > 0
     sess.reset_query_state(spark)
     assert not graph._EDGE_CACHE, "reset must clear the edge cache"
-    edges2, deg2 = graph._edge_index(spark, sf_dir)
+    edges2, deg2, n_nodes2 = graph._edge_index(spark, sf_dir)
     assert _is_checkpointed(edges2), "rebuilt edges must be materialized"
     assert _is_checkpointed(deg2), "rebuilt degree frame must be materialized"
     # and they are usable: these counts would throw
     # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND if a stale frame were served.
-    assert edges2.count() > 0 and deg2.count() > 0
+    assert edges2.count() > 0 and deg2.count() == n_nodes2 > 0
 
 
 def test_all_dataframe_caches_are_registered():
