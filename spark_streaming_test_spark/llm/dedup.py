@@ -762,8 +762,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.8) — brute-force on
     a capped id range (the oracle-checkable baseline; the LSH-bucketed
     scale path is llm/similarity.py::sim_lsh_topk). Dot products fold
-    left-to-right in double, matching DuckDB bitwise."""
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PAIRWISE_CAP)
+    left-to-right in double, matching DuckDB bitwise.
+
+    Optimization r14 (guide §2.5, the single-task sweep): ``spread``
+    the capped id range AFTER the pushed-down filter — the single-file
+    scan fed the nested-loop pair join as ONE partition, so the whole
+    CAP²/2 interpreted-cosine stage ran on one core (measured: a
+    2.26 s 1-task stage in a 2.5 s query, 31 cores idle). The shuffle
+    moves only the <= PAIRWISE_CAP filtered rows."""
+    e = spread(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PAIRWISE_CAP)
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     da = F.col("emb_a").cast("array<double>")

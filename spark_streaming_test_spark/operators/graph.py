@@ -3057,6 +3057,71 @@ def brandes_betweenness(
 BW_EXACT_N = 192  # core size: exact Brandes state is O(N^2), bounded
 BW_EXACT_CAP = 16  # BFS level cap on the core; raise-on-cap
 
+# Shared bounded-core fixture for the exact-algorithm family
+# (graph_betweenness_exact, graph_eccentricity,
+# graph_spectral_bisection): all three induce the SAME top-degree core
+# of the SAME unthresholded co-purchase projection, and the ~2 s
+# lineitem pair-distinct dominated each of their walls (optimization
+# r14, VERDICT r13 ask #5). One build per (application, SF), the
+# _EDGE_CACHE pattern: registered for harness resets, which clear the
+# dict before unpersisting the checkpoint blocks.
+_BWCORE_CACHE: dict[tuple[str, str], tuple] = register_frame_cache({})
+
+
+def _bw_core(spark: SparkSession, sf_dir: str) -> tuple:
+    """(core, und) for the BW_EXACT_N-node top-degree core: core is the
+    node frame, und the induced undirected edge frame — both eagerly
+    checkpointed. Core selection orders by (degree DESC, id):
+    deterministic under ties and stable as SF grows. The projection is
+    UNTHRESHOLDED (all co-purchase pairs) — see
+    graph_betweenness_exact's docstring for why the support filter is
+    wrong for this family."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BWCORE_CACHE:
+        for stale in [k for k in _BWCORE_CACHE if k[0] != key[0]]:
+            del _BWCORE_CACHE[stale]
+        items = (
+            load(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+            )
+            .distinct()
+        )
+        a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
+        b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
+        edges = (
+            a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
+            .distinct()
+        )
+        undall = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=True)
+        deg = undall.groupBy(F.col("u").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        core = (
+            deg.orderBy(F.col("d").desc(), F.col("id"))
+            .limit(BW_EXACT_N)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        und = (
+            undall.join(
+                F.broadcast(core.select(F.col("id").alias("u"))),
+                "u",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(core.select(F.col("id").alias("v"))),
+                "v",
+                "left_semi",
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        _BWCORE_CACHE[key] = (core, und)
+    return _BWCORE_CACHE[key]
+
 
 def _betweenness_exact_oracle() -> str:
     """Machine-generated full-Brandes oracle over the induced
@@ -3156,38 +3221,10 @@ def graph_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the level cap at sf0.01; the dense projection keeps measured
     eccentricity <= 10 through sf0.1. Emits (node, betweenness) with
     the same order-canonical-fold bitwise determinism as the landmark
-    query."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
-    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
-    edges = (
-        a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
-        .distinct()
-    )
-    undall = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    deg = undall.groupBy(F.col("u").alias("id")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    core = (
-        deg.orderBy(F.col("d").desc(), F.col("id"))
-        .limit(BW_EXACT_N)
-        .select("id")
-        .localCheckpoint(eager=True)
-    )
-    und = (
-        undall.join(
-            F.broadcast(core.select(F.col("id").alias("u"))), "u", "left_semi"
-        )
-        .join(F.broadcast(core.select(F.col("id").alias("v"))), "v", "left_semi")
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    query. Core + induced edges come from the cached shared build
+    (``_bw_core``) — one lineitem pair-distinct per application+SF for
+    the whole exact-core family."""
+    core, und = _bw_core(spark, sf_dir)
     srcs = core.select(F.col("id").alias("src"))
     return brandes_betweenness(und, srcs, BW_EXACT_CAP, "graph_betweenness_exact")
 
@@ -3478,38 +3515,10 @@ def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per level one join + anti-join against settled pairs, lineage
     truncated per level, RAISE at the {ECC_CAP} cap rather than
     emitting truncated distances. Unreached pairs (disconnected core
-    at some SFs) simply don't contribute — ecc is per-component."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
-    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
-    edges = (
-        a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
-        .distinct()
-    )
-    undall = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    deg = undall.groupBy(F.col("u").alias("id")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    core = (
-        deg.orderBy(F.col("d").desc(), F.col("id"))
-        .limit(BW_EXACT_N)
-        .select("id")
-        .localCheckpoint(eager=True)
-    )
-    und = (
-        undall.join(
-            F.broadcast(core.select(F.col("id").alias("u"))), "u", "left_semi"
-        )
-        .join(F.broadcast(core.select(F.col("id").alias("v"))), "v", "left_semi")
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    at some SFs) simply don't contribute — ecc is per-component.
+    Core + induced edges come from the cached shared build
+    (``_bw_core``)."""
+    core, und = _bw_core(spark, sf_dir)
     dist = _multi_source_bfs(
         core.select(F.col("id").alias("src")), und, ECC_CAP,
         "graph_eccentricity",
@@ -3633,38 +3642,10 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, left folds from 0.0 — IEEE ops over identical doubles), so
     every Fiedler coordinate is bitwise the distributed loop's value.
     The cut count reuses the checkpointed core edge frame instead of
-    re-scanning lineitem."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a = items.select("ok", F.col("pk").alias("u")).hint("shuffle_hash")
-    b = items.select("ok", F.col("pk").alias("v")).hint("shuffle_hash")
-    edges = (
-        a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
-        .distinct()
-    )
-    undall = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    deg0 = undall.groupBy(F.col("u").alias("id")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    core = (
-        deg0.orderBy(F.col("d").desc(), F.col("id"))
-        .limit(BW_EXACT_N)
-        .select("id")
-        .localCheckpoint(eager=True)
-    )
-    und = (
-        undall.join(
-            F.broadcast(core.select(F.col("id").alias("u"))), "u", "left_semi"
-        )
-        .join(F.broadcast(core.select(F.col("id").alias("v"))), "v", "left_semi")
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    re-scanning lineitem. Core + induced edges come from the cached
+    shared build (``_bw_core``) — the ~2 s lineitem pair-distinct that
+    dominated this query's wall now builds once per application+SF."""
+    core, und = _bw_core(spark, sf_dir)
     # Pack the bounded core subgraph (node rows carry v = NULL, edge
     # rows carry both endpoints) into ONE task and run the whole
     # 16-iteration solve there. Everything the old per-round loop

@@ -1330,7 +1330,9 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     double→decimal cast and BigDecimal add — exact integer arithmetic,
     reconstructed to the identical decimal (and double bits) per
     resample. Valid because events.value sits on the 2-dp grid
-    (asserted below), so ``CAST(w*value AS DEC)`` == ``w * CAST(value
+    (pinned by tests/test_plans.py::test_bootstrap_value_grid_invariant
+    directly against the fixture data), so ``CAST(w*value AS DEC)`` ==
+    ``w * CAST(value
     AS DEC)`` — w ≤ 6 keeps the product within half an ulp of the
     grid — and |Σ w·vu| < 2^53 at any per-group cardinality this fan
     produces. The inverse-CDF ladder compares the integer hash against

@@ -703,6 +703,35 @@ def test_bootstrap_ci_combines_fanout_map_side(spark, qs):
     assert "partial_sum" in between, between
 
 
+def test_bootstrap_value_grid_invariant():
+    # agg_bootstrap_ci's unscaled-long arithmetic (r13) is exact only
+    # while events.value sits on the 2-dp grid: then CAST(w*value AS
+    # DECIMAL) == w*CAST(value AS DECIMAL) for the Poisson weights
+    # w <= 6 and the reconstructed per-resample decimal is bitwise the
+    # old dsum path's value. The invariant is a property of the DATA,
+    # so pin it against the fixtures directly (DuckDB, no Spark): if a
+    # future fixture generation emits finer-grained values this fails
+    # loudly instead of the query silently drifting an ulp from the
+    # oracle. Measured deviation today: ~4e-12 (double representation
+    # error of the 2-dp literals); anything truly off-grid is >= 1e-3.
+    import os
+
+    import duckdb
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        dev = duckdb.sql(
+            "SELECT max(abs(value * 100 - round(value * 100, 0))) "
+            f"FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        assert dev is not None and dev < 1e-6, (sf, dev)
+        checked += 1
+    assert checked, "no events fixture found at any scale factor"
+
+
 def test_interval_overlap_bin_fanout_bounded(spark, qs):
     # The binned candidate generation is scale-safe only while every
     # interval spans <= 3 bins (bin width >= max interval length). Pin
