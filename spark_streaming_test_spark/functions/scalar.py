@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 
@@ -196,7 +196,7 @@ FROM events
 def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object path extraction on the events.props JSON column +
     cast; absent paths yield NULL in both engines."""
-    ev = load(spark, sf_dir, "events")
+    ev = spread(load(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k")
     return ev.select(
         "event_id",
@@ -257,7 +257,7 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists/forall/array_sort — all Catalyst expressions evaluated inside
     whole-stage codegen (no Python), the building blocks for the
     embedding math in llm/similarity.py."""
-    ev = load(spark, sf_dir, "events")
+    ev = spread(load(spark, sf_dir, "events"))
     eid = F.col("event_id")
     a = F.array(eid % 7, eid % 11, eid % 13)
     b = F.array(eid % 3, eid % 5, eid % 2)
@@ -504,7 +504,7 @@ def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parse. The oracle flattens to DuckDB JSON extraction — same
     values, which is the point: VARIANT changes the storage/CPU
     profile, not the semantics."""
-    ev = load(spark, sf_dir, "events")
+    ev = spread(load(spark, sf_dir, "events"))
     v = F.parse_json("props")
     return ev.select(
         "event_id",
@@ -543,7 +543,7 @@ def fn_try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure codegen projection; the oracle mirrors with NULLIF/TRY_CAST
     (DuckDB's non-throwing semantics made explicit)."""
-    ev = load(spark, sf_dir, "events")
+    ev = spread(load(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         F.try_add(

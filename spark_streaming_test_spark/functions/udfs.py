@@ -367,15 +367,24 @@ def udf_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield tuple(s)
 
     spark.udtf.register("flatten_struct_poly", udtf(FlattenStruct))
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_poly")
+    # Filter in a subquery BELOW the lateral (optimization r14, guide
+    # §4 "pass only what the function needs"): the WHERE above the
+    # lateral fed every orders row through the per-row Python eval
+    # (and, on the single-file test scan, on ONE task — measured 1.6 s
+    # at sf0.1); the filter touches only o columns, so pushing it under
+    # the UDTF is result-identical and cuts the Python rows ~200x.
+    # ``spread`` parallelizes what remains.
+    spread(load(spark, sf_dir, "orders")).createOrReplaceTempView(
+        "orders_poly"
+    )
     return spark.sql("""
-        SELECT f.* FROM orders_poly o,
+        SELECT f.* FROM
+        (SELECT * FROM orders_poly WHERE o_custkey % 211 = 0) o,
         LATERAL flatten_struct_poly(struct(
             o.o_orderkey AS key,
             upper(o.o_orderpriority) AS prio,
             o.o_totalprice > 150000 AS big
         )) f
-        WHERE o.o_custkey % 211 = 0
     """)
 
 
@@ -410,6 +419,7 @@ def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 97 == 0)
         .select("c_custkey", "c_mktsegment")
+        .repartition(spark.sparkContext.defaultParallelism, "c_custkey")
     )
     # mirror the key predicate on the fact side: without it every
     # order key rides the cogroup shuffle just to meet an empty
@@ -418,6 +428,7 @@ def udf_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") % 97 == 0)
         .select("o_custkey", "o_orderkey", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism, "o_custkey")
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

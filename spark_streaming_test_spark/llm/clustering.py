@@ -374,18 +374,24 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign(e, _seed_centroids(spark, sf_dir, SEM_K)).select(
         "vec_id", "x", "cid"
     )
-    # shuffle-hash hints on BOTH sides: the two inputs are the same
-    # scan -> assign subtree, so their hash exchanges on cid
-    # canonicalize identically and AQE's ReusedExchange computes the
-    # (expensive, {SEM_K}-centroid) assignment ONCE, replaying shuffle
-    # files for the other side — the same trick as the MinHash band
-    # self-join in llm/dedup.py.
+    # ONE explicit keyed exchange on cid shared by both join sides
+    # (optimization r14, guide §2.5): the old shuffle-hash-hinted
+    # exchanges were byte-coalesced by AQE to a single task, so the
+    # whole within-cluster interpreted-cosine stage ran on one core
+    # (measured 1.6 s at sf0.1, 31 idle). Both aliases derive from the
+    # repartitioned frame, so the (expensive, {SEM_K}-centroid)
+    # assignment is still computed once and the exchange reused; the
+    # pinned count scales with scheduler slots, and cid has {SEM_K}
+    # distinct values, so the keyed shuffle spreads.
+    assigned = assigned.repartition(
+        spark.sparkContext.defaultParallelism, "cid"
+    )
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("vec_a"), F.col("x").alias("xa")
-    ).hint("shuffle_hash")
+    )
     b = assigned.select(
         F.col("cid"), F.col("vec_id").alias("vec_b"), F.col("x").alias("xb")
-    ).hint("shuffle_hash")
+    )
     cos = _ip(F.col("xa"), F.col("xb")) / (
         F.sqrt(_ip(F.col("xa"), F.col("xa"))) * F.sqrt(_ip(F.col("xb"), F.col("xb")))
     )
@@ -536,7 +542,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(K × labels) cells with map-side combine; majority pick is a
     rank-1 window over that tiny frame. Integer counts to one final
     division."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
     )
     assigned = _assign(

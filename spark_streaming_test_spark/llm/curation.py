@@ -69,8 +69,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal (order-independent); the final entropy is rounded at
     8 dp so a last-ulp libm difference between engines cannot
     surface. The explode is the only corpus-sized stage; the per-doc
-    char histogram it reduces to is bounded by the alphabet."""
-    d = load(spark, sf_dir, "documents")
+    char histogram it reduces to is bounded by the alphabet.
+    ``spread`` (optimization r14, guide §2.5): the single-file scan
+    fused the per-character explode onto one core (measured 1.6 s
+    single-task stage at sf0.1)."""
+    d = spread(load(spark, sf_dir, "documents"))
     chars = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
@@ -324,7 +327,7 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encoded_len(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: len(token_dict_encode(t)))
 
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     enc = d.select(
         "doc_id",
         "n_chars",
@@ -722,9 +725,16 @@ def corpus_select_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.cast("bigint").alias("n_tokens"),
         F.length("text").alias("n_chars_txt"),
     )
+    # Explicit keyed repartition (optimization r14, guide §2.5): the
+    # exact-dedup window exchange carries whole documents but few MB at
+    # test SF, so AQE byte-coalescing ran it on one task.
     w = Window.partitionBy(F.sha2("text", 256))
-    ex = q.withColumn("keep_id", F.min("doc_id").over(w)).filter(
-        F.col("doc_id") == F.col("keep_id")
+    ex = (
+        q.repartition(
+            spark.sparkContext.defaultParallelism, F.sha2("text", 256)
+        )
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
     )
     drops = (
         dedup_minhash_lsh(spark, sf_dir)

@@ -712,7 +712,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wb.orderBy("doc_id"))
         .alias("mn_sig"),
     )
-    cold = sized.filter(F.col("bsz") <= SIMHASH_BUCKET_CAP)
+    # Explicit keyed repartition (optimization r14, guide §2.5): the
+    # banded self-join's shuffle is a few hundred KB, so byte-based AQE
+    # coalescing collapsed the pair-verification stage to 2 tasks
+    # (measured 1.0 s at sf0.1); both aliases derive from the one
+    # repartitioned frame, so the join plans a single reused exchange
+    # at a slot-scaled width.
+    cold = sized.filter(F.col("bsz") <= SIMHASH_BUCKET_CAP).repartition(
+        spark.sparkContext.defaultParallelism, "band", "piece"
+    )
     a, b = cold.alias("a"), cold.alias("b")
     all_pairs = a.join(
         b,
@@ -1558,8 +1566,10 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the line grain); reassembly is one exchange on doc_id with the
     in-order fold done by array_sort over (line_no, line) structs.
     Lines here are {LINE_WORDS}-word spans because the sandbox corpus
-    has no newlines; production splits on '\\n' with the same plan."""
-    d = load(spark, sf_dir, "documents")
+    has no newlines; production splits on '\\n' with the same plan.
+    ``spread`` (optimization r14, guide §2.5): the single-file scan
+    fused the line explode onto one core."""
+    d = spread(load(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     n_lines = F.greatest(
         F.ceil(F.size(words) / float(LINE_WORDS)).cast("int"), F.lit(1)
@@ -2716,8 +2726,10 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the base index is 8-byte gram hashes stored pre-bucketed in
     production (no base-side shuffle on probe); verdict thresholds
     compare identical doubles against identical cast literals on both
-    engines."""
-    docs = load(spark, sf_dir, "documents")
+    engines. ``spread`` (optimization r14, guide §2.5): the
+    single-file scan fused the gram explode + hashing onto one core
+    (measured 1.9 s single-task stage at sf0.1)."""
+    docs = spread(load(spark, sf_dir, "documents"))
     grams = _token_gram_frame(docs).withColumn(
         "is_delta", F.col("doc_id") % DELTA_MOD == 0
     )

@@ -480,7 +480,7 @@ def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same-label pairs should score higher). Decimal(scale 12)-cast sum
     keeps the mean deterministic; cosines are not decimal-scale values,
     but at scale 12 the rounding-tie probability is ~1e-12 per pair."""
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    e = spread(load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200))
     a = e.select(
         F.col("vec_id").alias("ia"), F.col("label").alias("label_a"),
         F.col("embedding").alias("emb_a"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
 
@@ -56,7 +56,9 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.session_window``). Ties broken by event_id so the order — and
     therefore the session numbering — is fully deterministic. ONE
     shuffle on user_id serves both windows and the final group-by."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
@@ -438,7 +440,9 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel domain and the final FULL OUTER join runs on single-digit
     rows. Purchases with no preceding touch are unattributable and
     excluded (documented, matching standard attribution tooling)."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     hist = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

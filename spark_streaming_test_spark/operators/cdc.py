@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 # Snapshot predicates: old = buckets 0..9, new = buckets 3..12 of 16.
@@ -62,7 +62,7 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free; the change predicate compares columns directly (a
     content hash per side collapses it to one comparison when rows are
     wide)."""
-    o = load(spark, sf_dir, "orders")
+    o = spread(load(spark, sf_dir, "orders"))
     bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
     mut = F.substring(F.md5(F.col("o_orderkey").cast("string")), 2, 1)
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
@@ -215,12 +215,12 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
     op_char = F.substring(F.md5(F.col("o_orderkey").cast("string")), 2, 1)
     base = (
-        load(spark, sf_dir, "orders")
+        spread(load(spark, sf_dir, "orders"))
         .filter(bucket <= "9")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
     changes = (
-        load(spark, sf_dir, "orders")
+        spread(load(spark, sf_dir, "orders"))
         .filter(bucket.between("3", "c"))
         .select(
             "o_orderkey",

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 _DP = 8  # transcendental rounding, matches LOGPROB_DP in text_analysis
@@ -261,7 +261,7 @@ def mlstats_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a literal frame — no shuffle on the big side), and reduces
     to 9 integer triples with map-side combine. Exact integer counts
     until the final ratios — deterministic cross-engine."""
-    s = _scored(spark, sf_dir)
+    s = spread(_scored(spark, sf_dir))
     thresholds = spark.range(1, 10).select(
         (F.col("id").cast("double") / 10.0).alias("thr")
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 PROBE_MOD = 7  # 1-in-7 parts become noisy probes
@@ -275,7 +275,13 @@ def fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "double",
     )
-    scored = pairs.withColumn("raw", jw_udf("name_a", "name_b"))
+    # Round-robin the narrow pair frame before the Arrow UDF
+    # (optimization r14, guide §2.5/§4, the kafka-wire r13 recipe): the
+    # adjacent-key join output was AQE-coalesced to one task, so all
+    # Python scoring ran on one core.
+    scored = pairs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).withColumn("raw", jw_udf("name_a", "name_b"))
     return scored.select(
         "key_a",
         "key_b",

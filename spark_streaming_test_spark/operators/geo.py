@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 # World is 100_000 × 100_000 centi-units (1000.00 × 1000.00 units).
@@ -589,8 +589,8 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one distinct over (user, cell) — O(events) —, one
     shared-cell equi-join bounded by cell occupancy, one pair-keyed
     count with map-side partials, and a global TOP_K TakeOrdered."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("user_id") < TRAJ_USER_CAP
+    ev = spread(
+        load(spark, sf_dir, "events").filter(F.col("user_id") < TRAJ_USER_CAP)
     )
     minute = F.expr("div(CAST(floor(unix_timestamp(ts)) AS BIGINT), 60)")
     cls = F.col("user_id") % 7

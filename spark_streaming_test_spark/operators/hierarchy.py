@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
 
@@ -71,7 +71,7 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop, and deep-but-narrow subtree skew lands on distinct
     ancestor keys rather than one hot row. Swap the derived parent
     expression for a real parent column and nothing else changes."""
-    p = load(spark, sf_dir, "part").select(
+    p = spread(load(spark, sf_dir, "part")).select(
         F.col("p_partkey").alias("k"), F.col("p_retailprice").alias("v")
     )
     chain_cols = [F.col("k")]

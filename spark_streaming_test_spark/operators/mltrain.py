@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions.deterministic import dsum, sql_dsum
 from ..iterate import iterate
 from ..registry import register
@@ -96,10 +96,21 @@ def ml_logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (iter, loss_before_update, post-update weights) per
     iteration — the training curve itself, so convergence is part of
     the verified result."""
-    feat = load(spark, sf_dir, "events").select(
-        F.when(F.col("event_type") == LR_LABEL, 1.0).otherwise(0.0).alias("y"),
-        (F.col("value") / 100.0).alias("x1"),
-        (F.hour("ts").cast("double") / 24.0).alias("x2"),
+    # spread + one materialization (optimization r14, guide §2.5/§5 —
+    # the single-task sweep): the single-file scan fused each
+    # iteration's partial aggregate onto one core, and every iteration
+    # re-read the parquet; now LR_ITERS iterations scan one
+    # slot-parallel checkpointed frame.
+    feat = (
+        spread(load(spark, sf_dir, "events"))
+        .select(
+            F.when(F.col("event_type") == LR_LABEL, 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+            (F.col("value") / 100.0).alias("x1"),
+            (F.hour("ts").cast("double") / 24.0).alias("x2"),
+        )
+        .localCheckpoint(eager=True)
     )
     w = [0.0, 0.0, 0.0]
     out = []
@@ -206,7 +217,7 @@ def ml_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair-of-docs, and no state leaves the cluster. Per-doc
     log-likelihoods go through decimal sums so the arg-max compares
     identical doubles on both engines (ties break alphabetically)."""
-    d = load(spark, sf_dir, "documents").select(
+    d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.split(F.lower("text"), " ").alias("toks"),
@@ -454,7 +465,7 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined scan regardless of rows. Determinants expand in the SAME
     literal order on both engines, so every coefficient is an IEEE
     expression over identical doubles."""
-    feat = load(spark, sf_dir, "events").select(
+    feat = spread(load(spark, sf_dir, "events")).select(
         F.col("value").alias("y"),
         (F.hour("ts").cast("double") / 24.0).alias("x1"),
         F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("x2"),
@@ -564,7 +575,7 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) scalar arithmetic — a 100-point path at 100 TB still costs
     one scan. Cramer determinants expand in the same literal order on
     both engines over identical doubles."""
-    feat = load(spark, sf_dir, "events").select(
+    feat = spread(load(spark, sf_dir, "events")).select(
         F.col("value").alias("y"),
         (F.hour("ts").cast("double") / 24.0).alias("x1"),
         F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("x2"),
@@ -1222,7 +1233,7 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-partitioned rank windows + an equi-join build the permuted
     column (per-day frames — never a global sort), and one decimal
     MSE reduce scores it. O(features) passes, all map-side-combined."""
-    e = load(spark, sf_dir, "events")
+    e = spread(load(spark, sf_dir, "events"))
     feat = e.select(
         "event_id",
         F.to_date("ts").alias("day"),
@@ -1553,7 +1564,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     MSE expands algebraically in the moments — syy − 2b·sy − 2m·sxy +
     n·b² + 2mb·sx + m²·sxx, all over n — in the SAME literal order on
     both engines. Decimal-combined sums; one corpus scan total."""
-    e = load(spark, sf_dir, "events")
+    e = spread(load(spark, sf_dir, "events"))
     feat = e.select(
         "event_id",
         F.col("value").alias("y"),
@@ -1690,7 +1701,7 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    feat = load(spark, sf_dir, "events").select(
+    feat = spread(load(spark, sf_dir, "events")).select(
         c("value").alias("y"),
         (F.hour("ts").cast("double") / 24.0).alias("x"),
         (prf % KFOLD_K).cast("int").alias("fold"),
@@ -2073,7 +2084,14 @@ def ml_em_gmm_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB EM actually runs (params are KBs, data never re-shuffles,
     map-side partial aggregation carries the moments). Emits each
     component's (weight, mu, variance) after the final iteration."""
-    data = load(spark, sf_dir, "events").selectExpr(_EM_X)
+    # spread + one materialization (optimization r14, guide §2.5/§5):
+    # the single-file scan fused each EM iteration's M-step partial
+    # aggregate onto one core and re-read the parquet per iteration.
+    data = (
+        spread(load(spark, sf_dir, "events"))
+        .selectExpr(_EM_X)
+        .localCheckpoint(eager=True)
+    )
     params = spark.sql("SELECT * FROM (VALUES (1)) t(z)").selectExpr(
         *_EM_INIT.replace("SELECT ", "").split(", ")
     )
@@ -2631,7 +2649,12 @@ def ml_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the section comment. Emits per user the minimum path cost and the
     decoded segmentation (burst count, gaps inside bursts, burst
     seconds)."""
-    ev = load(spark, sf_dir, "events")
+    # Explicit keyed repartition (optimization r14, guide §2.5): the
+    # user_id exchange is ~2 MB, so AQE byte-coalescing ran the whole
+    # per-user Viterbi fold on one task (measured 0.9 s at sf0.1).
+    ev = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     seq = ev.groupBy("user_id").agg(
         F.transform(
             F.sort_array(

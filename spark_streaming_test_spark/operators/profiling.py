@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 _PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
@@ -230,9 +230,12 @@ def dq_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("pair"), "n_fk", "n_hit", "pk_distinct", "pk_rows"
         )
 
-    o = load(spark, sf_dir, "orders")
+    # spread the fact-side scans (optimization r14, guide §2.5): the
+    # single-file test layout fused each probe's distinct partials onto
+    # one core.
+    o = spread(load(spark, sf_dir, "orders"))
     c = load(spark, sf_dir, "customer")
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem"))
     p = load(spark, sf_dir, "part")
     su = load(spark, sf_dir, "supplier")
     na = load(spark, sf_dir, "nation")

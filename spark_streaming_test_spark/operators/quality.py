@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 METRIC_DP = 8  # ratios rounded to 8 dp: exact count ratios, stable in binary
@@ -663,7 +663,7 @@ def dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table twice); header-vs-items arithmetic stays in exact
     DECIMAL end-to-end, so tolerance comparisons cannot waver."""
     li = (
-        load(spark, sf_dir, "lineitem")
+        spread(load(spark, sf_dir, "lineitem"))
         .groupBy("l_orderkey")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
@@ -1156,8 +1156,10 @@ def dq_merkle_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 -> 1 rows, so reconciliation cost above the scan is nil, and
     two replicas diff by comparing roots then walking mismatched
     subtrees. Within-leaf ordering is BY HASH (not by key), making the
-    structure stable under resharding."""
-    rows_h = load(spark, sf_dir, "orders").select(
+    structure stable under resharding. ``spread`` (optimization r14,
+    guide §2.5 — the single-task sweep): the single-file test scan
+    fused the per-row md5 leaf hashing onto one core."""
+    rows_h = spread(load(spark, sf_dir, "orders")).select(
         (F.col("o_orderkey") % MERKLE_LEAVES).cast("int").alias("leaf"),
         F.md5(
             F.concat_ws(
@@ -1306,8 +1308,11 @@ def dq_merkle_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     melts all tracked columns into (col, leaf, base-hash, evo-hash)
     rows; each level above is an O(#cols x leaves) self-aggregate.
     Emits every (col_name, level, idx) node with both hashes,
-    is_match, and the diverged-row count the walk-down would find."""
-    o = load(spark, sf_dir, "orders")
+    is_match, and the diverged-row count the walk-down would find.
+    ``spread`` (optimization r14, guide §2.5): the single-file scan
+    fused the 4-way melt + per-row double-md5 onto one core (measured
+    1.5 s single-task stage at sf0.1)."""
+    o = spread(load(spark, sf_dir, "orders"))
     prf = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("mc:"), F.col("o_orderkey").cast("string"))),

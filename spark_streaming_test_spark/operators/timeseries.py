@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions.deterministic import davg, dsum, sql_davg
 from ..registry import register
 
@@ -513,7 +513,12 @@ def ts_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(HAMPEL_WIN - 1), Window.currentRow)
     )
-    framed = e.select("user_id", "ts", "event_id", "value").withColumn(
+    # Explicit keyed repartition (optimization r14, guide §2.5): AQE
+    # byte-coalescing collapsed the ~2 MB user_id exchange to 2 tasks,
+    # serializing the double array_sort per row.
+    framed = e.select("user_id", "ts", "event_id", "value").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    ).withColumn(
         "arr", F.array_sort(F.collect_list("value").over(w))
     )
     med = framed.withColumn(

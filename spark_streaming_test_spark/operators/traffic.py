@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
 
@@ -291,9 +291,13 @@ def traffic_alerts_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     the half of O14 a missing broker cannot test (delivery semantics
     stay documented at the writer).
 
-    Serialization is one codegen projection each way; no shuffle is
-    added to the flagship plan."""
-    alerts = traffic_alerts(spark, sf_dir)
+    Serialization is one codegen projection each way. Optimization
+    r14 (guide §2.5, the v2 recipe): round-robin repartition of the
+    narrow alert frame ahead of the encode/parse projections — AQE
+    byte-coalescing left the JSON roundtrip on two tasks."""
+    alerts = traffic_alerts(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     wire = alerts.select(
         F.col("nif").cast("binary").alias("key"),
         F.to_json(

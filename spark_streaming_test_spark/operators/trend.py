@@ -2845,6 +2845,7 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 MP_W = 12    # subsequence length (hours of observed series)
 MP_EXCL = 6  # trivial-match exclusion zone (w/2, the standard choice)
 MP_DP = 8    # round z-norm distances before the argmin tie-break
+MP_BLOCK = 256  # neighbor-side block length for the pair join (see below)
 
 
 @register(
@@ -2919,7 +2920,25 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     millions of series sharded by key) with the exclusion-zone filter
     pushed into the self-join. One window pass builds subsequences;
     the pair join shuffles only (i, 12-float array, 2 moments) rows,
-    O(n^2/series) bounded by per-series length, never corpus-sized."""
+    O(n^2/series) bounded by per-series length, never corpus-sized.
+
+    Optimization r14 (guide §2.5, the single-task sweep): the pair
+    join used to key on event_type alone — a handful of distinct
+    values, so the O(n²/series) fold stage could never exceed
+    n_series tasks and byte-based AQE coalesced it to ONE (measured:
+    a 5.9 s 1-task stage in a 6.6 s query at sf0.1, 31 cores idle).
+    Now BLOCKED: the neighbor side carries blk = (j-1) div {MP_BLOCK},
+    the probe side fans out once per existing (event_type, blk) cell
+    (a broadcast of the tiny distinct-blocks frame), and both sides
+    ride ONE explicit co-partitioned exchange on (event_type, blk) —
+    per-task work is n·{MP_BLOCK} folds per cell, parallel in
+    n_series × n/{MP_BLOCK} cells at any scale. The same candidate
+    pairs emerge (each j lives in exactly one block; the exclusion
+    filter is unchanged), and the per-i argmin is now a min-struct
+    aggregate — bitwise the ROW_NUMBER pick (lexicographic (d2, j)
+    min IS the ORDER BY d2, j first row) with map-side combine, so
+    the post-pair exchange carries per-(i, cell) partials, never the
+    pair rows."""
     hourly = _hourly_sum(spark, sf_dir).select(
         "event_type", "h", F.col("hv").cast("double").alias("v")
     )
@@ -2961,21 +2980,37 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    a = zs.select(
-        "event_type",
-        "i",
-        "h",
-        F.col("xs").alias("xa"),
-        F.col("mu").alias("mua"),
-        F.col("sig").alias("siga"),
+    blocks = (
+        zs.select(
+            "event_type",
+            F.floor((F.col("i") - 1) / F.lit(MP_BLOCK)).alias("blk"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    npart = max(
+        1, min(blocks.count(), 4 * spark.sparkContext.defaultParallelism)
+    )
+    a = (
+        zs.select(
+            "event_type",
+            "i",
+            "h",
+            F.col("xs").alias("xa"),
+            F.col("mu").alias("mua"),
+            F.col("sig").alias("siga"),
+        )
+        .join(F.broadcast(blocks), "event_type")
+        .repartition(npart, "event_type", "blk")
     )
     b = zs.select(
         F.col("event_type").alias("et_b"),
+        F.floor((F.col("i") - 1) / F.lit(MP_BLOCK)).alias("blk_b"),
         F.col("i").alias("j"),
         F.col("xs").alias("xb"),
         F.col("mu").alias("mub"),
         F.col("sig").alias("sigb"),
-    )
+    ).repartition(npart, "et_b", "blk_b")
     d2 = F.round(
         F.lit(float(2 * MP_W))
         * (
@@ -2989,21 +3024,24 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("event_type") == F.col("et_b"))
+            & (F.col("blk") == F.col("blk_b"))
             & (F.abs(F.col("i") - F.col("j")) >= MP_EXCL),
         )
         .select("event_type", "i", "h", "j", d2.alias("d2"))
     )
-    rn = Window.partitionBy("event_type", "i").orderBy("d2", "j")
-    return (
-        pairs.withColumn("rn", F.row_number().over(rn))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("i").cast("bigint").alias("idx"),
-            F.col("h").alias("window_start"),
-            F.col("j").cast("bigint").alias("nn_idx"),
-            F.col("d2").alias("mp_dist2"),
-        )
+    # per-(event_type, i) argmin: lexicographic min over (d2, j) — the
+    # identical pick (and tie-break) as ROW_NUMBER ... ORDER BY d2, j,
+    # but with map-side partial combine so only per-cell minima cross
+    # the final exchange.
+    nn = pairs.groupBy("event_type", "i", "h").agg(
+        F.min(F.struct(F.col("d2"), F.col("j"))).alias("m")
+    )
+    return nn.select(
+        "event_type",
+        F.col("i").cast("bigint").alias("idx"),
+        F.col("h").alias("window_start"),
+        F.col("m.j").cast("bigint").alias("nn_idx"),
+        F.col("m.d2").alias("mp_dist2"),
     )
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..registry import register
 
 
@@ -241,7 +241,15 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary values, so the result is deterministic even where user_id
     ties — and the decimal-cast sum keeps the float total
     order-independent across engines."""
-    ev = load(spark, sf_dir, "events")
+    # Explicit keyed repartition (optimization r14, guide §2.5): the
+    # window exchange is ~2 MB, so AQE byte-coalescing ran the whole
+    # RANGE-frame evaluation on one task (measured 1.1 s at sf0.1).
+    # Parallelism is inherently bounded by the handful of event_type
+    # keys (window semantics); the repartition at least gives each key
+    # its own task.
+    ev = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_type"
+    )
     w = Window.partitionBy("event_type").orderBy("user_id").rangeBetween(-50, 0)
     return ev.select(
         "event_id",
@@ -384,8 +392,13 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(MED_WIN - 1), Window.currentRow)
     )
+    # Explicit keyed repartition (optimization r14, guide §2.5): AQE
+    # byte-coalescing collapsed the ~2 MB user_id exchange to 2 tasks,
+    # serializing the per-row frame sort.
     return (
-        e.select("user_id", "ts", "event_id", "value")
+        e.select("user_id", "ts", "event_id", "value").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
         .withColumn("arr", F.array_sort(F.collect_list("value").over(w)))
         .select(
             "user_id",
