@@ -1904,6 +1904,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # NOTE (optimization r14): an explicit cell-keyed repartition was
+    # A/B-measured HERE and reverted (1.57 -> 1.94 s at sf0.1 — this
+    # variant's pairwise stage is too light to pay for the extra
+    # exchange); the heavier centroid_rep variant below keeps it.
     a = mem.select(
         F.col("vec_id").alias("va"),
         F.col("cell").alias("ca"),
@@ -2045,14 +2049,17 @@ def dedup_semdedup_centroid_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    a = memc.select(
+    # Explicit cell-keyed repartition (optimization r14, guide §2.5):
+    # same single-task fix as dedup_semdedup's pairwise stage.
+    memcp = memc.repartition(spark.sparkContext.defaultParallelism, "cell")
+    a = memcp.select(
         F.col("vec_id").alias("va"),
         F.col("cell").alias("ca"),
         F.col("emb").alias("emb_a"),
         F.col("nx").alias("na"),
         F.col("ccos").alias("ccos_a"),
     )
-    b = memc.select(
+    b = memcp.select(
         F.col("vec_id").alias("vb"),
         F.col("cell").alias("cb"),
         F.col("emb").alias("emb_b"),
