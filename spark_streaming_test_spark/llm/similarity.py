@@ -73,7 +73,15 @@ def ann_partitions(spark: SparkSession, est_rows: int) -> int:
         rpt = 16384
     if rpt <= 0:
         rpt = 16384
-    cap = 4 * spark.sparkContext.defaultParallelism
+    # Cap at 1x the scheduler slots (optimization r14): the r13 cap of
+    # 4x was measured to ANTI-scale at a 10x-sf0.1 grain — 88
+    # partitions ran sim_nn_descent at 27.3 s / sim_knn_graph_search at
+    # 45.5 s on 32 cores, where ~22-32 partitions ran them at ~13 s
+    # (plans/r14/scaling_probe.json) — per-round fixed cost per task
+    # dominates these candidate-frame stages well past the slot count.
+    # The cap still scales with the cluster (slots), and the rows rule
+    # below it keeps small batches on few tasks.
+    cap = spark.sparkContext.defaultParallelism
     return max(1, min(-(-est_rows // rpt), cap))
 
 
