@@ -327,7 +327,10 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encoded_len(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: len(token_dict_encode(t)))
 
-    d = spread(load(spark, sf_dir, "documents"))
+    # (r14 note: a spread() was tried here for the single-file test
+    # layout's 1-task scan and reverted — it breaks the pinned map-only
+    # zero-shuffle shape, which is the query's 100 TB design point.)
+    d = load(spark, sf_dir, "documents")
     enc = d.select(
         "doc_id",
         "n_chars",
